@@ -1,0 +1,80 @@
+"""Sources — the engine's analog of the reference's ES/CH readers.
+
+The reference treats Elasticsearch as a black-box pushdown target
+(/root/reference/internal/service/elastic/elastic.go) and ClickHouse as a
+SQL endpoint (internal/service/clickhouse/clickhouse.go).  This engine's
+canonical storage is partitioned Parquet (the testdata contract); the same
+call sites would take an ES DSv2 / ClickHouse JDBC reader unchanged because
+everything downstream is plain DataFrames.
+
+JSON reading uses PERMISSIVE mode + a corrupt-record column so malformed
+documents are quarantined, never fatal — the reference's per-record error
+isolation (sync.go:192-204).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+@lru_cache(maxsize=256)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — one footer read, driver-side."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        schema = pq.read_schema(path)
+        return tuple(
+            f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        )
+    except Exception:  # noqa: BLE001 — fall back to plain read
+        return ()
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (TESTDATA.md layout: ``{sf_dir}/{name}.parquet``).
+
+    Spark 4 rejects parquet TIMESTAMP(NANOS) outright; with the legacy conf
+    it reads them as epoch-nanos longs.  We convert back to TimestampType via
+    integer division (``div 1000`` — truncation, matching DuckDB's ns→µs
+    cast, and avoiding the double-precision loss of ``/``).  The footer probe
+    is one driver-side read per path, cached.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_ts_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_status_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """Read wide status documents from JSON with quarantine (T3).
+
+    PERMISSIVE + columnNameOfCorruptRecord: schema-violating documents land
+    with all fields null and the raw text in CORRUPT_COL, preserving the
+    reference's 'log the bad doc id, drop, continue' behavior.  An explicit
+    schema (never inference) keeps the scan single-pass and deterministic —
+    at 100 TB a schema-inference pre-pass is a second full read.
+    """
+    if CORRUPT_COL not in [f.name for f in schema.fields]:
+        schema = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )

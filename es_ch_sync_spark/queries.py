@@ -1,0 +1,303 @@
+"""Query registry — every operator from SURVEY.md §2 as a (Spark, oracle-SQL)
+pair over the driver testdata tables (TESTDATA.md).
+
+Each entry is ``name -> (spark_fn, oracle_sql | None)`` where ``spark_fn``
+takes ``(spark, sf_dir)`` and returns a DataFrame, and ``oracle_sql`` is the
+ANSI-SQL equivalent DuckDB runs on the same parquet (views: region nation
+customer supplier part orders lineitem events documents embeddings).
+Column names/aliases are identical on both sides — the driver's compare
+sorts columns by name before hashing.
+
+Conventions for cross-engine value-hash stability:
+- every computed column is aliased identically on both sides;
+- double aggregations that sum many values are ``round(x, 4)`` on both
+  sides (association order differs between engines at the ULP level);
+- top-k queries carry an explicit unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.catalog import EVENTS_CATALOG
+from es_ch_sync_spark.io.sources import read_parquet_table
+from es_ch_sync_spark.operators.maintenance import distinct_tokens, oldest_signal_ts, resume_points
+from es_ch_sync_spark.operators.scan import scan_records
+from es_ch_sync_spark.operators.transform import unpivot_signals
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# registry: name -> (spark_fn, oracle_sql or None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# Reference surface: S1-S7 scans (elastic.go:46-108)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scan_filter",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE user_id = 7
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3 — subject equality + start-inclusive/stop-exclusive time range."""
+    df = scan_records(
+        _events(spark, sf_dir),
+        subject=7,
+        start="2024-01-08 00:00:00",
+        stop="2024-01-15 00:00:00",
+        subject_col="user_id",
+        ts_col="ts",
+    )
+    return df.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "topk_scan",
+    """
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 1000
+    """,
+)
+def q_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S5 — top-k newest (ES sort desc + size). Plans TakeOrderedAndProject:
+    per-partition top-k + k-row driver merge, no global sort."""
+    df = scan_records(
+        _events(spark, sf_dir),
+        subject_col="user_id",
+        ts_col="ts",
+        limit=1000,
+        tiebreak_col="event_id",
+    )
+    return df.select("event_id", "ts", "user_id", "event_type")
+
+
+@register(
+    "project_prune",
+    "SELECT event_id, ts, value FROM events",
+)
+def q_project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — projection pushdown; ReadSchema must show only 3 columns."""
+    return _events(spark, sf_dir).select("event_id", "ts", "value")
+
+
+@register(
+    "exists_any",
+    """
+    SELECT event_id, ts, user_id
+    FROM events
+    WHERE value IS NOT NULL OR props IS NOT NULL
+    """,
+)
+def q_exists_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — existence disjunction (ES bool.should exists, min_should_match=1)."""
+    df = _events(spark, sf_dir)
+    return df.filter(F.col("value").isNotNull() | F.col("props").isNotNull()).select(
+        "event_id", "ts", "user_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1/T2 — wide→tall unpivot (sync.go:187-208)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+    SELECT user_id AS token_id, ts AS timestamp, 'value' AS name,
+           'events' AS source, value AS value_number,
+           CAST(NULL AS VARCHAR) AS value_string
+    FROM events WHERE value IS NOT NULL
+    UNION ALL
+    SELECT user_id, ts, 'value_pct', 'events', value * 100.0, NULL
+    FROM events WHERE value IS NOT NULL
+    UNION ALL
+    SELECT user_id, ts, 'event_type', 'events', NULL, event_type
+    FROM events WHERE event_type IS NOT NULL
+    UNION ALL
+    SELECT user_id, ts, 'props', 'events', NULL, props
+    FROM events WHERE props IS NOT NULL
+"""
+
+
+@register("unpivot_signals", _UNPIVOT_ORACLE)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2 — catalog-driven explode to tall (token_id, ts, name, values)."""
+    df = _events(spark, sf_dir).withColumn("src", F.lit("events"))
+    return unpivot_signals(
+        df, EVENTS_CATALOG, token_col="user_id", ts_col="ts", source_col="src"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — dimension join (deviceapi/service.go:52-105)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dim_join",
+    """
+    SELECT e.event_id, e.ts, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — broadcast LEFT join to the dimension; nulls = negative cache."""
+    e = _events(spark, sf_dir)
+    c = read_parquet_table(spark, sf_dir, "customer")
+    dim = F.broadcast(c.select("c_custkey", "c_name", "c_mktsegment"))
+    return e.join(dim, e.user_id == dim.c_custkey, "left").select(
+        "event_id", "ts", "user_id", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "dim_join_unresolved",
+    """
+    SELECT e.event_id, e.user_id
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def q_dim_join_unresolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 negative path — subjects missing from the dimension (quarantine)."""
+    e = _events(spark, sf_dir)
+    dim = F.broadcast(
+        read_parquet_table(spark, sf_dir, "customer").select("c_custkey")
+    )
+    return e.join(dim, e.user_id == dim.c_custkey, "left_anti").select("event_id", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/A3/P4 — maintenance (clickhouse.go:65-110, sync.go:128-137,219-220)
+# ---------------------------------------------------------------------------
+
+@register(
+    "oldest_signal",
+    """
+    SELECT min(ts) AS timestamp FROM events
+    WHERE user_id = 7 AND event_type IN ('click', 'view')
+    """,
+)
+def q_oldest_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — resume point: min(ts) ≡ ORDER BY ts ASC LIMIT 1."""
+    return oldest_signal_ts(
+        _events(spark, sf_dir), 7, names=["click", "view"],
+        token_col="user_id", ts_col="ts", name_col="event_type",
+    )
+
+
+@register(
+    "distinct_tokens",
+    "SELECT DISTINCT user_id AS token_id FROM events ORDER BY token_id DESC",
+)
+def q_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3 — token discovery, processed descending."""
+    return distinct_tokens(
+        _events(spark, sf_dir).withColumnRenamed("user_id", "token_id")
+    )
+
+
+@register(
+    "dedup_write",
+    """
+    SELECT DISTINCT user_id AS token_id, ts AS timestamp, event_type AS name
+    FROM events
+    """,
+)
+def q_dedup_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 — dedup on the signal key (ReplacingMergeTree analog)."""
+    df = _events(spark, sf_dir).select(
+        F.col("user_id").alias("token_id"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("name"),
+    )
+    return df.dropDuplicates(["token_id", "timestamp", "name"])
+
+
+@register(
+    "resume_points",
+    """
+    SELECT user_id AS token_id, min(ts) AS min_ts, max(ts) AS max_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def q_resume_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — per-token incremental watermark, one job for all tokens."""
+    return resume_points(_events(spark, sf_dir).withColumnRenamed("user_id", "token_id"), ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the composed sync pipeline on the events table
+# ---------------------------------------------------------------------------
+
+_SYNC_ORACLE = """
+    WITH tall AS (
+        SELECT user_id, ts, 'value' AS name, 'events' AS source,
+               value AS value_number, CAST(NULL AS VARCHAR) AS value_string
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT user_id, ts, 'value_pct', 'events', value * 100.0, NULL
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT user_id, ts, 'event_type', 'events', NULL, event_type
+        FROM events WHERE event_type IS NOT NULL
+        UNION ALL
+        SELECT user_id, ts, 'props', 'events', NULL, props
+        FROM events WHERE props IS NOT NULL
+    ),
+    resolved AS (
+        SELECT t.user_id AS token_id, t.ts AS timestamp, t.name, t.source,
+               t.value_number, t.value_string
+        FROM tall t JOIN customer c ON t.user_id = c.c_custkey
+    )
+    SELECT DISTINCT token_id, timestamp, name, source, value_number, value_string
+    FROM resolved
+"""
+
+
+@register("sync_pipeline", _SYNC_ORACLE)
+def q_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship — scan → unpivot → broadcast dim join → dedup, one plan.
+
+    The whole reference job (sync.go:40-160) as a single declarative
+    pipeline: Catalyst pushes the dim join's key filter and the unpivot's
+    not-null disjunction into the parquet scan.
+    """
+    e = _events(spark, sf_dir).withColumn("src", F.lit("events"))
+    tall = unpivot_signals(e, EVENTS_CATALOG, token_col="user_id", ts_col="ts", source_col="src")
+    dim = F.broadcast(
+        read_parquet_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("token_id")
+        )
+    )
+    resolved = tall.join(dim, on="token_id", how="inner")
+    return resolved.dropDuplicates(["token_id", "timestamp", "name", "source", "value_number", "value_string"])

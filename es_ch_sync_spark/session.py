@@ -1,0 +1,63 @@
+"""SparkSession factory with the engine's scale posture baked in.
+
+Local tests run on ``local[N]`` but every knob here is chosen for the
+100 TB / multi-executor deployment:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing) —
+  replaces the reference's hand-rolled adaptive batch sizing
+  (/root/reference/internal/sync/sync.go:163-184).
+- shuffle.partitions sized to cores locally; on a real cluster this is
+  overridden per-job (rule of thumb: 2-3× total executor cores, or let
+  AQE coalesce from a high initial value).
+- Arrow enabled for the few Pandas-UDF paths (similarity/multimodal).
+- UTC session timezone so timestamp semantics match the reference's
+  epoch-ms arithmetic (/root/reference/internal/service/elastic/elastic.go:47-48)
+  and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "es_ch_sync_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores) so the same entrypoint works in tests, bench, and a real
+    ``spark-submit`` (where ``master`` is left to the cluster manager).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 10 MB default is conservative; dims in this engine (device table,
+        # signal catalog) are tiny — but leave autoBroadcast at default and
+        # use explicit broadcast() hints where we *know* the side is small.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,123 @@
+"""Golden-count ports of the reference's 5 end-to-end scenarios
+(/root/reference/internal/sync/test/sync_test.go).
+
+Reference golden: with R rows/subject, S subjects, K signals/record and the
+sync window starting at the corpus midpoint, expected signal rows =
+(R·S·K)/2 + K·S — midpoint + start-INclusive boundary (sync_test.go:63-68).
+Scaled down (R=200, S=8) for speed; the formula is size-independent.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pytest
+
+from es_ch_sync_spark.catalog import DEVICE_STATUS_CATALOG
+from es_ch_sync_spark.fixtures import BASE_TIME, device_dim_df, device_status_df
+from es_ch_sync_spark.io.sinks import dedup_signals
+from es_ch_sync_spark.job.sync import SyncOptions, plan_sync
+
+R = 200  # rows per subject
+S = 8  # subjects
+K = len(DEVICE_STATUS_CATALOG)  # 18 signals per status record
+
+
+@pytest.fixture(scope="module")
+def status_df(spark):
+    # malformed_every=500 → a few bad docs inside the window
+    return device_status_df(spark, subjects=S, rows_per_subject=R, malformed_every=500).cache()
+
+
+@pytest.fixture(scope="module")
+def dim_df(spark):
+    return device_dim_df(spark, subjects=S)
+
+
+def _window_midpoint():
+    # times are BASE+1ms .. BASE+Rms; start at midpoint, stop past the end.
+    start = BASE_TIME + timedelta(milliseconds=R // 2)
+    stop = BASE_TIME + timedelta(milliseconds=R + 1)
+    return start, stop
+
+
+def test_catalog_has_18_signals():
+    assert K == 18  # sync_test.go:64
+
+
+def test_golden_count_full_catalog(spark, status_df, dim_df):
+    """Scenario 1 (sync_test.go:63-93): explicit token list, full catalog."""
+    start, stop = _window_midpoint()
+    opts = SyncOptions(
+        start_time=start,
+        stop_time=stop,
+        token_ids=SyncOptions.parse_token_ids(" 1, 2 ,3,4,5,6,7,8,  bogus,"),
+    )
+    signals, _ = plan_sync(status_df, DEVICE_STATUS_CATALOG, dim_df, opts)
+    got = signals.count()
+    # rows in window per subject: times start+0..R-1ms → i+1 >= R/2 → R/2+1 rows
+    n_malformed_in_window = (
+        status_df.filter("is_malformed AND time >= timestamp'%s'" % start.isoformat(sep=" "))
+        .count()
+    )
+    expected = (R // 2 + 1) * S * K - n_malformed_in_window * K
+    assert got == expected
+
+
+def test_signal_filter_two_signals(spark, status_df, dim_df):
+    """Scenario 3 (sync_test.go:132-164): SIGNALS filter → 2 signals/record."""
+    start, stop = _window_midpoint()
+    opts = SyncOptions(start_time=start, stop_time=stop, signals=["speed", "make"])
+    signals, _ = plan_sync(status_df, DEVICE_STATUS_CATALOG, dim_df, opts)
+    n_malformed_in_window = (
+        status_df.filter("is_malformed AND time >= timestamp'%s'" % start.isoformat(sep=" "))
+        .count()
+    )
+    expected = (R // 2 + 1) * S * 2 - n_malformed_in_window * 2
+    assert signals.count() == expected
+    names = {r["name"] for r in signals.select("name").distinct().collect()}
+    assert names == {"speed", "make"}
+
+
+def test_quarantine_never_fails_job(spark, status_df, dim_df):
+    """Malformed docs produce 0 signals and land in quarantine (T3)."""
+    opts = SyncOptions(start_time=BASE_TIME, stop_time=BASE_TIME + timedelta(days=1))
+    signals, quarantine = plan_sync(status_df, DEVICE_STATUS_CATALOG, dim_df, opts)
+    assert quarantine.filter("is_malformed").count() == status_df.filter("is_malformed").count()
+    # malformed rows have all data_* null → no signal rows emitted
+    bad_keys = (
+        status_df.filter("is_malformed")
+        .selectExpr("time AS timestamp", "cast(subject AS long) AS token_id")
+    )
+    assert signals.join(bad_keys, on=["timestamp", "token_id"], how="inner").count() == 0
+
+
+def test_idempotent_rerun(spark, status_df, dim_df):
+    """Re-running the sync over an overlapping window adds nothing once
+    existing keys are anti-joined (K2/P4 — ReplacingMergeTree semantics)."""
+    start, stop = _window_midpoint()
+    opts = SyncOptions(start_time=start, stop_time=stop)
+    first, _ = plan_sync(status_df, DEVICE_STATUS_CATALOG, dim_df, opts)
+    first = first.cache()
+    n1 = first.count()
+    again, _ = plan_sync(status_df, DEVICE_STATUS_CATALOG, dim_df, opts, existing_signals=first)
+    assert again.count() == 0
+    # and dedup of the doubled stream returns the original count
+    doubled = first.unionByName(first)
+    assert dedup_signals(doubled).count() == n1
+
+
+def test_unresolved_subjects_quarantined(spark, dim_df):
+    """J1 negative cache: subjects missing from the dimension are quarantined."""
+    from es_ch_sync_spark.fixtures import device_status_df
+
+    df = device_status_df(spark, subjects=10, rows_per_subject=10, malformed_every=0)
+    opts = SyncOptions(start_time=BASE_TIME, stop_time=BASE_TIME + timedelta(days=1))
+    signals, quarantine = plan_sync(df, DEVICE_STATUS_CATALOG, dim_df, opts)
+    # dim only has subjects 1..8; 9 and 10 are unresolved
+    assert quarantine.filter("subject in ('9','10')").count() == 20
+    assert signals.filter("token_id > 8").count() == 0
+
+
+def test_token_id_parsing():
+    assert SyncOptions.parse_token_ids(" 1, 2 ,x,,3 ") == [1, 2, 3]
