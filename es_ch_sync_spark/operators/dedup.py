@@ -1,0 +1,336 @@
+"""Deduplication family for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the point of each choice):
+
+- **Exact** dedup never shuffles document bodies: group on md5(normalized
+  text) — 32 bytes/row through the shuffle instead of the document.
+- **MinHash+LSH** is the linear-time near-dup path: shingle → H minhashes →
+  B band buckets → join *within buckets only*.  No O(n²) cross join ever
+  appears in the plan; the only shuffles are the band-key exchange and the
+  candidate-pair join, both keyed by short hashes.
+- **Hash family**: md5 over seeded strings.  md5 is identical in Spark and
+  DuckDB, which makes every step here oracle-checkable; taking the *string
+  minimum* of hex digests is a valid min-wise hash (uniform over the 128-bit
+  space, compared lexicographically = numerically for fixed-width hex).
+- **SimHash** packs a document into one 60-bit int (15 md5 hex chars keeps
+  arithmetic in signed-64 territory); near-dup = small Hamming distance.
+- **Verification** (exact Jaccard / cosine) runs only on LSH candidates.
+
+All pure column expressions — shingling, hashing, banding are map-side;
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.operators.text import normalize_text, words
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of the normalized text.
+
+    Documents shorter than k words yield their single joined form — keeps
+    every doc hashable (no empty signatures)."""
+    w = words(col)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+    return F.array_distinct(ngrams)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
+    """H min-wise hashes: min over shingles of md5('<seed>:'||shingle)."""
+    return [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(num_hashes)
+    ]
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Project (id, mh_0..mh_{H-1}, shingles) — the map-side prep stage."""
+    sh = word_shingles(F.col(text_col), shingle_k)
+    sig = minhash_signature(sh, num_hashes)
+    return df.select(
+        F.col(id_col),
+        sh.alias("shingles"),
+        *[s.alias(f"mh_{i}") for i, s in enumerate(sig)],
+    )
+
+
+def lsh_band_keys(num_hashes: int, bands: int) -> list[Column]:
+    """Band keys: md5 of the concatenated rows-per-band signature slice."""
+    rows_per_band = num_hashes // bands
+    keys = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        keys.append(F.md5(F.concat_ws("|", *cols)))
+    return keys
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    Plan shape: map (shingle+hash) → explode B band keys → self-join on
+    (band, key) → distinct pairs.  Shuffle volume is O(B·n) short keys; the
+    join only materializes within-bucket pairs.  Skewed buckets (boilerplate
+    docs) are handled by AQE skew-join splitting; a production hardening is
+    to cap bucket size and divert mega-buckets to a sampled pass."""
+    mh = with_minhash(df, text_col, id_col, num_hashes, shingle_k)
+    keys = lsh_band_keys(num_hashes, bands)
+    bucketed = mh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in enumerate(keys)])
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard ≥ threshold.
+
+    The verify join re-attaches shingle arrays only for candidate ids —
+    at scale that's a tiny fraction of the corpus."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    out = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by content fingerprint; keep-id = min(id).
+
+    Only (md5, id) flows through the shuffle.  Downstream `keep` filter is a
+    broadcast semi-join of keep_ids back onto the corpus."""
+    return (
+        df.select(F.md5(normalize_text(F.col(text_col))).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct normalized content."""
+    keep = exact_duplicate_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed int64
+
+
+def _word_hash60(w: Column) -> Column:
+    """First 60 bits of md5(word) as a bigint (conv through hex)."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash of the word multiset: per-bit majority vote of word hashes.
+
+    Two chained folds over the word array (one pass each, map-only): hash
+    each word once (md5+conv evaluated once per word — the hash is a bound
+    lambda value, not re-evaluated per bit), then accumulate a bits-length
+    vote array; final = Σ 2^i·[vote_i > 0]."""
+    word_hashes = F.transform(words(col), _word_hash60)
+    votes = F.aggregate(
+        word_hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            # bit positions unrolled in Python (shift amounts must be ints,
+            # not lambda variables); h stays a bound value — one md5 per word
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # zip against a literal powers array: `votes` is evaluated once, not
+    # re-expanded per bit
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    return F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming60(a: Column, b: Column) -> Column:
+    """Hamming distance between two 60-bit simhashes (popcount of xor)."""
+    x = a.bitwiseXOR(b)
+    out: Column = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        out = out + F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("long")
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 12,
+    band_bits: int = 15,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, banded for scale.
+
+    Pigeonhole banding: split the 60-bit hash into 4×15-bit bands; any pair
+    within Hamming ≤ 3·(bands-1) shares ≥1 exact band for distance ≤ 12 when
+    ≤ 4 differing bits spread across bands — standard simhash blocking.
+    Join happens per-band on 15-bit keys, never all-pairs."""
+    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    n_bands = SIMHASH_BITS // band_bits
+    bucketed = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming60(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (direct, for candidate verification / small corpora)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """All-pairs exact shingle Jaccard above threshold.
+
+    O(n²) by construction — reserved for candidate verification or small
+    dims; the scale path is minhash_near_duplicates.  Implemented via
+    explode + equi-join on shingle (not a cross join): only pairs sharing
+    ≥1 shingle are materialized, with partial-agg intersection counts."""
+    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"))
+    sizes = df.select(
+        F.col(id_col), F.size(word_shingles(F.col(text_col), shingle_k)).alias("n")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )

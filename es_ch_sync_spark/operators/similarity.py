@@ -1,0 +1,236 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers, same API:
+
+- **Brute-force cosine top-k** — the exact baseline.  Dot products are pure
+  column expressions (`zip_with` + `aggregate`): JVM-side, fused with the
+  scan, no Python.  Top-k plans as TakeOrderedAndProject (per-partition
+  heap + k-row driver merge) — no global sort.
+- **LSH-bucketed ANN (random hyperplanes / SRP)** — the 100 TB path.  Each
+  vector maps to a `planes`-bit signature; the search probes only vectors
+  whose signature matches the query's in ≥1 band.  Hyperplane components
+  are derived deterministically from md5 at *plan-build time* (plain Python
+  floats embedded as literals), so the same planes can be embedded in the
+  DuckDB oracle and results are exactly reproducible — no RNG state anywhere.
+- **Embedding-cosine near-dup** (all-pairs above threshold, LSH-pruned) —
+  the dedup-by-embedding entry of the dedup family.
+
+All cosine math is done in float64 after an explicit element cast —
+float32 parquet values widen exactly, and both Spark and DuckDB fold the
+sum left-to-right over the index order, so scores are bit-identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    The query is a broadcast-free literal array folded into the projection;
+    the plan is scan → map(score) → TakeOrderedAndProject(k)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        cosine(_as_double(F.col(vec_col)), q).alias("cos_sim"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    out = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+    return out.select(id_col, F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN for every vector (self-join + per-id window top-k).
+
+    Quadratic — the correctness baseline ANN variants are judged against.
+    At scale, replace the cross join with lsh_knn_join (same output schema)."""
+    v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    from pyspark.sql import Window as W
+
+    scored = a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+    )
+    w = W.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (signed random projections), deterministic planes
+# ---------------------------------------------------------------------------
+
+
+def srp_planes(dim: int, n_planes: int, seed: str = "srp") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5), derived from
+    md5 — plain Python floats, embeddable as literals in Spark *and* the
+    DuckDB oracle.  No RNG state, reproducible across engines and runs."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8]
+            row.append(int(h, 16) / 2**32 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit signature: bit p = [dot(vec, plane_p) >= 0], packed into a long."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit(1 << p).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for p, plane in enumerate(planes)
+    ]
+    out: Column = F.lit(0).cast("long")
+    for b in bits:
+        out = out + b
+    return out
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    bands: int = 3,
+    dim: int | None = None,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe only vectors sharing ≥1 signature band with
+    the query, then exact-rescore the candidates.
+
+    Bucketing is a map-side projection; the band filter replaces the full
+    scan's score computation with a cheap long-comparison — at 100 TB the
+    win is reading *score only the ~n/2^bits candidate fraction*.  Recall
+    is tuned by (n_planes, bands)."""
+    dim = dim or len(query_vec)
+    planes = srp_planes(dim, n_planes)
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+
+    v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    sig = srp_signature(F.col("v"), planes)
+    bucketed = v.withColumn("sig", sig)
+
+    # query signature computed driver-side with the same plane literals
+    qsig = 0
+    for p, plane in enumerate(planes):
+        d = sum(float(a) * b for a, b in zip(query_vec, plane))
+        if d >= 0:
+            qsig |= 1 << p
+    band_match: Column = F.lit(False)
+    for b in range(bands):
+        qband = (qsig >> (b * bits_per_band)) & mask
+        band_match = band_match | (
+            F.shiftright(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask)) == F.lit(qband)
+        )
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cands = bucketed.filter(band_match)
+    if exclude_id is not None:
+        cands = cands.filter(F.col(id_col) != exclude_id)
+    return (
+        cands.select(F.col(id_col), cosine(F.col("v"), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold, LSH-blocked.
+
+    Same banding idea as minhash LSH: pairs must share ≥1 signature band,
+    so the join is per-band on small integer keys, never all-pairs."""
+    planes = srp_planes(dim, n_planes)
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).withColumn(
+        "sig", srp_signature(F.col("v"), planes)
+    )
+    bucketed = v.select(
+        id_col,
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .distinct()
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,158 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+All hot-path logic is pure Column expressions (JVM codegen, zero Python) —
+at 100 TB these run as a narrow map fused into the scan.  Determinism across
+engines is part of the contract: every function here has an exact DuckDB
+oracle (queries.py), so hashing uses md5 (identical bytes→hex in both
+engines) and arithmetic avoids engine-specific float quirks.
+
+Ops: normalization, token counting (whitespace + BPE-ish regex),
+language ID (stopword-count heuristic), quality scoring
+(length/punct/stopword ratios), document fingerprinting (md5 of the
+normalized text + 61-bit polynomial rolling hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: letter runs, digit runs, single non-space symbols.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small & literal: they are *data*, embedded identically in the
+# oracle SQL.  Order of LANGS is the deterministic argmax tie-break.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que", "les", "des"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu", "den", "mit"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "们"],
+}
+LANGS = list(STOPWORDS)
+
+ROLL_MOD = 70_000_000_000_000_003  # prime; ROLL_MOD*131+255 < 2^63 (no int64 overflow)
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace — the canonical form every other op
+    keys on (dedup, fingerprint, shingles)."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def words(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + single symbols —
+    a cheap proxy for subword tokenizer counts.  Group idx 0 = whole match
+    (Spark defaults to group 1; DuckDB to 0)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """# words (with repeats) that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words(col), lambda w: F.array_contains(sw, w)))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(col, lang) for lang in LANGS}
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by stopword hits; ties break by LANGS order; all-zero
+    → 'und'.  Expressed as a CASE chain (first max wins) so the DuckDB
+    oracle is the literally identical expression.  A real deployment swaps
+    the stopword table for char-n-gram profiles — same map-only plan."""
+    scores = lang_scores(col)
+    expr = F.lit("und")
+    # build backwards: ... WHEN s_i >= greatest(s_{i+1..}) THEN lang_i
+    for i in range(len(LANGS) - 1, -1, -1):
+        lang = LANGS[i]
+        rest = [scores[l] for l in LANGS[i + 1 :]]
+        cond = scores[lang] > 0
+        if rest:
+            cond = cond & (scores[lang] >= F.greatest(*rest) if len(rest) > 1 else scores[lang] >= rest[0])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-space characters that are ASCII punctuation."""
+    nonspace = F.length(F.regexp_replace(col, "\\s", ""))
+    punct = F.length(col) - F.length(F.regexp_replace(col, "[!-/:-@\\[-`{-~]", ""))
+    return F.when(nonspace > 0, punct.cast("double") / nonspace.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Stopword density across all supported languages — a fluency signal."""
+    total = token_count_ws(col)
+    hits: Column = F.lit(0)
+    for lang in LANGS:
+        hits = hits + stopword_hits(col, lang)
+    return F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    w = words(col)
+    total_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(w) > 0, total_chars.cast("double") / F.size(w).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic (Gopher/C4-style gates, simplified):
+    rewards mid-length docs, stopword presence, plausible word lengths;
+    penalizes punctuation soup.  Weights are data, not learned."""
+    n_tokens = token_count_ws(col).cast("double")
+    len_score = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    sw = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    mwl = mean_word_len(col)
+    wordlen_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_penalty = F.least(punct_ratio(col) * 2.0, F.lit(1.0))
+    raw = 0.4 * len_score + 0.2 * sw + 0.2 * wordlen_score + 0.2 * (1.0 - punct_penalty)
+    return F.round(raw, 6)
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text.  The scalable dedup
+    key — exact dedup groups on this instead of shuffling full documents."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_rolling(col: Column) -> Column:
+    """61-bit polynomial rolling hash of the normalized text
+    (acc*131 + byte) mod ROLL_MOD — the streaming-friendly fingerprint
+    (supports incremental update over appended chunks, unlike md5)."""
+    norm = normalize_text(col)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(norm)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * 131 + F.ascii(F.substr(norm, i, F.lit(1)))) % F.lit(ROLL_MOD),
+    )
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text-analysis projection over a document table."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        lang_id(t).alias("lang_pred"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(mean_word_len(t), 6).alias("mean_word_len"),
+        quality_score(t).alias("quality"),
+        fingerprint_md5(t).alias("fp_md5"),
+        fingerprint_rolling(t).alias("fp_roll"),
+    )

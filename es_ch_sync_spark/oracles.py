@@ -1,0 +1,328 @@
+"""DuckDB oracle SQL generators for the training-data operators.
+
+These build ANSI-SQL strings that replicate the Spark operators *exactly* —
+same md5-based hash families, same normalization, same literal hyperplanes —
+so the driver's order-insensitive value-hash comparison holds bit-for-bit.
+Constants (stopword tables, shingle k, plane seeds) are imported from the
+operator modules: one source of truth, two engines.
+"""
+
+from __future__ import annotations
+
+from es_ch_sync_spark.operators.similarity import srp_planes
+from es_ch_sync_spark.operators.text import LANGS, ROLL_MOD, STOPWORDS, TOKEN_RE
+
+# normalized text + word list (DuckDB needs the 'g' flag; Spark's
+# regexp_replace is global by default)
+NORM = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+WORDS_CTE = f"""
+    WITH n AS (
+        SELECT doc_id, text, {NORM.format(col='text')} AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, text, nt, string_split(nt, ' ') AS ws FROM n
+    )
+"""
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _sw_hits(lang: str) -> str:
+    return f"len(list_filter(ws, x -> list_contains({_sw_list(lang)}, x)))"
+
+
+def _lang_case() -> str:
+    branches = []
+    for i, lang in enumerate(LANGS):
+        rest = [f"s_{l}" for l in LANGS[i + 1 :]]
+        cond = f"s_{lang} > 0"
+        if rest:
+            cond += f" AND s_{lang} >= greatest({', '.join(rest)})" if len(rest) > 1 else f" AND s_{lang} >= {rest[0]}"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+def text_analysis_sql() -> str:
+    sw_cols = ",\n            ".join(f"{_sw_hits(lang)} AS s_{lang}" for lang in LANGS)
+    token_re = TOKEN_RE
+    return f"""
+    {WORDS_CTE}
+    , feat AS (
+        SELECT doc_id, text, nt, ws,
+            {sw_cols},
+            len(ws) AS n_tokens_ws,
+            length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+            length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS punct,
+            list_sum(list_transform(ws, x -> length(x))) AS total_chars
+    FROM w
+    ), feat2 AS (
+        SELECT *,
+            CASE WHEN nonspace > 0 THEN punct::DOUBLE / nonspace::DOUBLE ELSE 0.0 END AS punct_ratio_raw,
+            CASE WHEN n_tokens_ws > 0 THEN ({' + '.join('s_' + l for l in LANGS)})::DOUBLE / n_tokens_ws::DOUBLE ELSE 0.0 END AS sw_ratio_raw,
+            CASE WHEN n_tokens_ws > 0 THEN total_chars::DOUBLE / n_tokens_ws::DOUBLE ELSE 0.0 END AS mwl_raw
+        FROM feat
+    )
+    SELECT doc_id,
+        n_tokens_ws,
+        len(regexp_extract_all(text, '{token_re}')) AS n_tokens_bpe,
+        {_lang_case()} AS lang_pred,
+        round(punct_ratio_raw, 6) AS punct_ratio,
+        round(sw_ratio_raw, 6) AS stopword_ratio,
+        round(mwl_raw, 6) AS mean_word_len,
+        round(
+            0.4 * least(n_tokens_ws::DOUBLE / 64.0, 1.0)
+          + 0.2 * least(sw_ratio_raw * 4.0, 1.0)
+          + 0.2 * (CASE WHEN mwl_raw >= 3.0 AND mwl_raw <= 10.0 THEN 1.0 ELSE 0.5 END)
+          + 0.2 * (1.0 - least(punct_ratio_raw * 2.0, 1.0)), 6) AS quality,
+        md5(nt) AS fp_md5,
+        list_reduce(
+            list_prepend(0::BIGINT,
+                list_transform(range(1, length(nt) + 1), i -> ascii(substr(nt, i, 1))::BIGINT)),
+            (a, b) -> (a * 131 + b) % {ROLL_MOD}
+        ) AS fp_roll
+    FROM feat2
+    """
+
+
+def exact_dedup_sql() -> str:
+    return f"""
+    SELECT md5({NORM.format(col='text')}) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """
+
+
+def _shingles_cte(k: int) -> str:
+    """CTE `sh(doc_id, shs)`: distinct word k-gram shingles, matching
+    operators.dedup.word_shingles (incl. the short-doc single-shingle rule)."""
+    return f"""
+    {WORDS_CTE}
+    , sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - {k - 1}, 1) + 1),
+                   i -> array_to_string(list_slice(ws, i, i + {k - 1}), ' ')
+               )) AS shs
+        FROM w
+    )
+    """
+
+
+def minhash_near_dup_sql(num_hashes: int = 8, bands: int = 4, k: int = 3, threshold: float = 0.7) -> str:
+    rows = num_hashes // bands
+    mh_cols = ",\n            ".join(
+        f"list_min(list_transform(shs, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_keys = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_keys.append(f"{{'band': {b}, 'key': md5({parts})}}")
+    return f"""
+    {_shingles_cte(k)}
+    , mh AS (
+        SELECT doc_id, shs,
+            {mh_cols}
+        FROM sh
+    ), buckets AS (
+        SELECT doc_id, u['band'] AS band, u['key'] AS key FROM (
+            SELECT doc_id, unnest([{', '.join(band_keys)}]) AS u FROM mh
+        )
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+        round(
+            len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))::DOUBLE
+            / (len(sa.shs) + len(sb.shs) - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))))::DOUBLE,
+        6) AS jaccard
+    FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id
+    WHERE round(
+            len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))::DOUBLE
+            / (len(sa.shs) + len(sb.shs) - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))))::DOUBLE,
+        6) >= {threshold}
+    """
+
+
+def ngram_jaccard_sql(k: int = 3, threshold: float = 0.3) -> str:
+    return f"""
+    {_shingles_cte(k)}
+    , e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) AS jaccard
+    FROM inter
+    JOIN (SELECT doc_id, len(shs) AS n FROM sh) sa ON id_a = sa.doc_id
+    JOIN (SELECT doc_id, len(shs) AS n FROM sh) sb ON id_b = sb.doc_id
+    WHERE round(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) > {threshold}
+    """
+
+
+HEX_PARSE_15 = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(range(1, 16), i -> (strpos('0123456789abcdef', substr({h}, i, 1)) - 1)::BIGINT)), "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+def simhash_near_dup_sql(max_hamming: int = 12, band_bits: int = 15, bits: int = 60) -> str:
+    h60 = HEX_PARSE_15.format(h="substr(md5(word), 1, 15)")
+    votes = ",\n            ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}" for i in range(bits)
+    )
+    packed = " + ".join(f"(CASE WHEN v_{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(bits))
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_rows = ", ".join(
+        f"{{'band': {b}, 'key': (sh >> {b * band_bits}) & {mask}}}" for b in range(n_bands)
+    )
+    return f"""
+    {WORDS_CTE}
+    , wordrows AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    wh AS (SELECT doc_id, {h60} AS h FROM wordrows),
+    votes AS (
+        SELECT doc_id,
+            {votes}
+        FROM wh GROUP BY doc_id
+    ), sim AS (
+        SELECT doc_id, {packed} AS sh FROM votes
+    ), buckets AS (
+        SELECT doc_id, sh, u['band'] AS band, u['key'] AS key FROM (
+            SELECT doc_id, sh, unnest([{band_rows}]) AS u FROM sim
+        )
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    d = f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    na = f"sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    nb = f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+    return f"CASE WHEN {na} > 0 AND {nb} > 0 THEN {d} / ({na} * {nb}) ELSE 0.0 END"
+
+
+def cosine_topk_sql(query_id: int = 0, k: int = 10) -> str:
+    cos = _cosine_sql("b.embedding", "q.embedding")
+    return f"""
+    SELECT b.vec_id, round({cos}, 6) AS cos_sim
+    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = {query_id}) q
+    WHERE b.vec_id != {query_id}
+    ORDER BY {cos} DESC, b.vec_id ASC
+    LIMIT {k}
+    """
+
+
+def knn_join_sql(k: int = 3) -> str:
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    SELECT id_a, id_b, round(c, 6) AS cos_sim, rn FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS c,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY {cos} DESC, b.vec_id ASC) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ) WHERE rn <= {k}
+    """
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def lsh_ann_topk_sql(
+    query_id: int = 0,
+    k: int = 10,
+    n_planes: int = 12,
+    bands: int = 3,
+    dim: int = 64,
+) -> str:
+    """Replicates lsh_ann_topk: same md5-derived hyperplane literals, the
+    query's signature computed in-SQL from the same planes."""
+    planes = srp_planes(dim, n_planes)
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v::DOUBLE[], {_plane_literal(p)}::DOUBLE[]) >= 0 "
+        f"THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = _cosine_sql("c.embedding", "q.embedding")
+    band_match = " OR ".join(
+        f"((c.sig >> {b * bits_per_band}) & {mask}) = ((q.sig >> {b * bits_per_band}) & {mask})"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {sig_terms.replace('v::', 'embedding::')} AS sig
+        FROM embeddings
+    )
+    SELECT c.vec_id, round({cos}, 6) AS cos_sim
+    FROM sigs c, (SELECT * FROM sigs WHERE vec_id = {query_id}) q
+    WHERE c.vec_id != {query_id} AND ({band_match})
+    ORDER BY {cos} DESC, c.vec_id ASC
+    LIMIT {k}
+    """
+
+
+def embedding_near_dup_sql(
+    threshold: float = 0.4, n_planes: int = 12, bands: int = 4, dim: int = 64
+) -> str:
+    planes = srp_planes(dim, n_planes)
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_literal(p)}::DOUBLE[]) >= 0 "
+        f"THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    band_rows = ", ".join(
+        f"{{'band': {b}, 'key': (sig >> {b * bits_per_band}) & {mask}}}" for b in range(bands)
+    )
+    cos = _cosine_sql("sa.embedding", "sb.embedding")
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {sig_terms} AS sig FROM embeddings
+    ), buckets AS (
+        SELECT vec_id, embedding, u['band'] AS band, u['key'] AS key FROM (
+            SELECT vec_id, embedding, unnest([{band_rows}]) AS u FROM sigs
+        )
+    ), pairs AS (
+        SELECT DISTINCT sa.vec_id AS id_a, sb.vec_id AS id_b, {cos} AS c
+        FROM buckets sa JOIN buckets sb
+          ON sa.band = sb.band AND sa.key = sb.key AND sa.vec_id < sb.vec_id
+    )
+    SELECT id_a, id_b, round(c, 6) AS cos_sim FROM pairs WHERE c >= {threshold}
+    """
+
+
+def multimodal_features_sql() -> str:
+    """Oracle for extract_features over media_from_documents: blob = UTF-8
+    bytes of text, md5 identical, 8 features from 4-hex-char slices of the
+    digest (float32-cast to match the Spark schema)."""
+    hex4 = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, 5), i -> (strpos('0123456789abcdef', substr(h, {off} + i, 1)) - 1)::BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+    feats = ", ".join(
+        f"(({hex4.format(off=i * 4)})::DOUBLE / 65535.0)::FLOAT" for i in range(8)
+    )
+    return f"""
+    WITH m AS (SELECT doc_id AS media_id, text, md5(text) AS h FROM documents)
+    SELECT media_id,
+           strlen(text)::BIGINT AS n_bytes,
+           h AS content_md5,
+           [{feats}] AS feature
+    FROM m
+    """

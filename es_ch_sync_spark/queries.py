@@ -284,6 +284,96 @@ _SYNC_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+from es_ch_sync_spark import oracles  # noqa: E402
+from es_ch_sync_spark.operators import dedup as dd  # noqa: E402
+from es_ch_sync_spark.operators import multimodal as mm  # noqa: E402
+from es_ch_sync_spark.operators import similarity as sim  # noqa: E402
+from es_ch_sync_spark.operators.text import analyze_documents  # noqa: E402
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, "embeddings")
+
+
+@register("text_analysis", oracles.text_analysis_sql())
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID, quality score, token counts, fingerprints — one map pass."""
+    return analyze_documents(_docs(spark, sf_dir))
+
+
+@register("dedup_exact", oracles.exact_dedup_sql())
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: only (md5, id) shuffles, never document bodies."""
+    return dd.exact_duplicate_groups(_docs(spark, sf_dir))
+
+
+@register("dedup_minhash_lsh", oracles.minhash_near_dup_sql(threshold=0.5))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified at ≥0.5."""
+    return dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register("dedup_simhash", oracles.simhash_near_dup_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (60-bit, 15-bit pigeonhole bands, Hamming ≤12)."""
+    return dd.simhash_near_duplicates(_docs(spark, sf_dir))
+
+
+@register("ngram_jaccard", oracles.ngram_jaccard_sql(threshold=0.3))
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs >0.3 via explode+equi-join (no cross join)."""
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+@register("embedding_near_dup", oracles.embedding_near_dup_sql(threshold=0.4))
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, SRP-LSH blocked."""
+    return sim.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _query_vec(sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Driver-side fetch of the query vector (one row, one footer read)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_pylist().index(vec_id)
+    return t.column("embedding").to_pylist()[idx]
+
+
+@register("ann_cosine_topk", oracles.cosine_topk_sql(query_id=0, k=10))
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to vec 0 — the exact ANN baseline."""
+    return sim.cosine_topk(_emb(spark, sf_dir), _query_vec(sf_dir), k=10, exclude_id=0)
+
+
+@register("ann_lsh_topk", oracles.lsh_ann_topk_sql(query_id=0, k=10))
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN top-10 — scores only band-matching candidates."""
+    return sim.lsh_ann_topk(_emb(spark, sf_dir), _query_vec(sf_dir), k=10, exclude_id=0)
+
+
+@register("knn_join", oracles.knn_join_sql(k=3))
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-NN for every vector (correctness baseline for ANN variants)."""
+    return sim.knn_join(_emb(spark, sf_dir), k=3)
+
+
+@register("multimodal_features", oracles.multimodal_features_sql())
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: blob → (n_bytes, md5, feature[8]) via
+    Arrow-batched mapInPandas; the only Pandas-UDF path in the engine."""
+    media = mm.media_from_documents(_docs(spark, sf_dir))
+    return mm.extract_features(media)
+
+
 @register("sync_pipeline", _SYNC_ORACLE)
 def q_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship — scan → unpivot → broadcast dim join → dedup, one plan.

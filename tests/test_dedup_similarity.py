@@ -1,0 +1,110 @@
+"""Semantics tests for the dedup/similarity/text/multimodal operator families
+(cross-engine parity is covered by tools/check_oracle.py; these test behavior)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.io.sources import read_parquet_table
+from es_ch_sync_spark.operators import dedup as dd
+from es_ch_sync_spark.operators import multimodal as mm
+from es_ch_sync_spark.operators import similarity as sim
+from es_ch_sync_spark.operators.text import analyze_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_parquet_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_parquet_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_exact_dedup_removes_planted_copies(spark, docs):
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    kept = dd.dedup_exact(doubled)
+    # every content group keeps exactly one representative (the min id — i.e.
+    # the original, not the +1M clone)
+    assert kept.count() == docs.count()
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, docs):
+    """LSH with 4 bands of 2 rows must catch essentially all J≈0.99 pairs;
+    verified pairs at ≥0.5 must equal the exact all-pairs answer."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert lsh == exact  # at J≈0.99 the 4-band LSH recall is ~1 - (1-.99²)⁴ ≈ 1
+    assert len(exact) > 0  # corpus has planted near-dups
+
+
+def test_simhash_symmetric_and_bounded(spark, docs):
+    pairs = dd.simhash_near_duplicates(docs.limit(100)).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert 0 <= r["hamming"] <= 12
+
+
+def test_lsh_ann_recall_against_exact(spark, emb, sf_dir):
+    """LSH top-10 for vec 0 should recover most of the exact top-10."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qv = t.column("embedding").to_pylist()[t.column("vec_id").to_pylist().index(0)]
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, qv, k=10, exclude_id=0).collect()]
+    # this corpus is near-uniform (no planted clusters), so neighbor cosines
+    # are only ~0.4 — use a recall-oriented band config (6 bands × 2 bits:
+    # P(candidate) ≈ 1-(1-p²)⁶ ≈ 0.95 at p = 1-θ/π ≈ 0.63) for the test
+    approx = [
+        r["vec_id"]
+        for r in sim.lsh_ann_topk(emb, qv, k=10, exclude_id=0, n_planes=12, bands=6).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall {recall} too low: {exact} vs {approx}"
+
+
+def test_knn_join_shape(spark, emb):
+    out = sim.knn_join(emb.limit(50), k=3)
+    rows = out.collect()
+    by_a: dict[int, int] = {}
+    for r in rows:
+        by_a[r["id_a"]] = by_a.get(r["id_a"], 0) + 1
+        assert -1.0 <= r["cos_sim"] <= 1.0
+    assert all(v == 3 for v in by_a.values())
+
+
+def test_text_analysis_ranges(spark, docs):
+    out = analyze_documents(docs.limit(100)).collect()
+    for r in out:
+        assert r["n_tokens_ws"] > 0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_pred"] in {"en", "es", "fr", "de", "zh", "und"}
+        assert len(r["fp_md5"]) == 32
+        assert 0 <= r["fp_roll"] < 70_000_000_000_000_003
+
+
+def test_multimodal_feature_extraction(spark, docs):
+    media = mm.media_from_documents(docs.limit(20))
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["content_md5"]) == 32
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= f <= 1.0 for f in r["feature"])
+
+
+def test_multimodal_stubs_gate_cleanly():
+    with pytest.raises(NotImplementedError):
+        mm.resize_image(b"xx", 10, 10)
+    with pytest.raises(NotImplementedError):
+        mm.sample_video_frames(b"xx", 1000)
