@@ -1,0 +1,155 @@
+"""General analytics operators on top of the tall-signal / star-schema data:
+as-of joins, sessionization, time-bucket resampling, top-k per group,
+last-value snapshots.
+
+These are the SURVEY.md Milestone-2 extensions: the reference's EAV signal
+model (§1.2) becomes genuinely queryable at scale with stock Spark SQL —
+zero custom Catalyst work, exactly as §4 concluded.
+
+Cross-engine determinism note (applies to every query in queries.py built on
+these): unordered SUM over doubles is association-order-dependent, so any
+aggregate the oracle checks is computed in DECIMAL (exact, order-free) and
+cast to double at the end — both engines produce bit-identical results.
+Window running sums are per-row sequential folds (deterministic) and may
+stay double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts for the same key (Spark has no native ASOF).
+
+    Implemented as a *composition of existing DataFrame ops* (the preferred
+    strategy for missing operators): tag + union + a single
+    last(_, ignorenulls) window pass per key.  One shuffle on (key, ts) —
+    same cost as the sort-merge join ASOF would need anyway; no cross
+    product, no per-row Python, scales with the union size.  Right rows
+    sort before left rows at equal timestamps, so same-instant matches are
+    included (ASOF >= semantics, matching DuckDB's ASOF JOIN).
+    """
+    rc = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    r_tagged = (
+        right.select(key, right_ts, *rc)
+        .withColumn("_side", F.lit(0))
+        .withColumn("_ats", F.col(right_ts))
+    )
+    combined = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = combined
+    matched_ts = F.last(F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True).over(w)
+    filled = filled.withColumn("_matched_ts", matched_ts)
+    for c in rc:
+        filled = filled.withColumn(
+            c, F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)
+        )
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        within = F.col("_matched_ts") >= (F.col("_ats") - F.expr(f"INTERVAL {tolerance_seconds} SECONDS"))
+        for c in rc:
+            out = out.withColumn(c, F.when(within, F.col(c)))
+        out = out.withColumn("_matched_ts", F.when(within, F.col("_matched_ts")))
+    return out.withColumnRenamed("_matched_ts", "matched_ts").drop("_side", "_ats")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 3600,
+) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap from the
+    previous event exceeds ``gap_seconds``.  Classic lag + running-count-of-
+    boundaries; one shuffle on key."""
+    w = W.partitionBy(key).orderBy(ts_col)
+    # microsecond arithmetic (unix_micros ≡ DuckDB epoch_us) — no truncation
+    gap = F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
+    return df.withColumn(
+        "session_id", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 3600,
+) -> DataFrame:
+    """Per-session bounds + event count (gap/session detection, SURVEY M2)."""
+    s = sessionize(df, key, ts_col, gap_seconds)
+    return s.groupBy(key, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def resample(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Time-bucketed rollup per key: count/min/max/sum per bucket.
+
+    ``date_trunc`` keeps bucketing a pure projection (partition-prunable when
+    the table is date-partitioned); sum goes through DECIMAL for exactness."""
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    vdec = F.col(value_col).cast("decimal(18,2)")
+    return df.groupBy(F.col(key), bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("v_min"),
+        F.max(value_col).alias("v_max"),
+        F.sum(vdec).cast("double").alias("v_sum"),
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group: str,
+    order: list[Column],
+    k: int = 3,
+) -> DataFrame:
+    """Top-k rows per group via row_number window (deterministic: callers
+    must include a unique tie-break in ``order``)."""
+    w = W.partitionBy(group).orderBy(*order)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def last_value_snapshot(
+    signals: DataFrame,
+    at_ts: str | None = None,
+    token_col: str = "token_id",
+    name_col: str = "name",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """As-of snapshot of the tall signal table: per (token, signal-name) the
+    most recent row at or before ``at_ts`` (the 'current vehicle state'
+    query the reference's destination table exists to serve)."""
+    base = signals if at_ts is None else signals.filter(F.col(ts_col) <= F.lit(at_ts))
+    w = W.partitionBy(token_col, name_col).orderBy(F.col(ts_col).desc())
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

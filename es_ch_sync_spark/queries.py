@@ -43,10 +43,17 @@ def register(name: str, oracle: str | None):
 
 
 def spark_queries() -> dict[str, QueryFn]:
+    _load_extra_registries()
     return {k: v[0] for k, v in _REGISTRY.items()}
 
 
+def _load_extra_registries() -> None:
+    """Import side-effect modules that call register() (idempotent)."""
+    import es_ch_sync_spark.queries_relational  # noqa: F401
+
+
 def oracle_queries() -> dict[str, str]:
+    _load_extra_registries()
     return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
 
 

@@ -1,0 +1,404 @@
+"""Relational + analytics query registry (SURVEY.md Milestone 2): TPC-H-style
+coverage, windows, rollup, pivot, set ops, semi/anti joins, as-of joins,
+sessionization, resampling — all stock Spark SQL, each with a DuckDB oracle.
+
+Determinism contract: every unordered SUM over doubles goes through
+DECIMAL(12,2) (exact, association-free) and is cast to double at the end on
+BOTH engines; window running sums are sequential per-row folds and stay
+double; every top-k carries a unique tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.catalog import EVENTS_CATALOG
+from es_ch_sync_spark.io.sources import read_parquet_table
+from es_ch_sync_spark.operators.analytics import (
+    asof_join,
+    last_value_snapshot,
+    resample,
+    session_stats,
+    topk_per_group,
+)
+from es_ch_sync_spark.operators.transform import unpivot_signals
+from es_ch_sync_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+_DEC = "decimal(12,2)"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style aggregation / joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+        sum(l_quantity::DECIMAL(12,2))::DOUBLE AS sum_qty,
+        sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS sum_base_price,
+        sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2)))::DOUBLE AS sum_disc_price,
+        sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2)) * (1::DECIMAL(12,2) + l_tax::DECIMAL(12,2)))::DOUBLE AS sum_charge,
+        round(sum(l_quantity::DECIMAL(12,2))::DOUBLE / count(*), 6) AS avg_qty,
+        round(sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / count(*), 6) AS avg_price,
+        round(sum(l_discount::DECIMAL(12,2))::DOUBLE / count(*), 6) AS avg_disc,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary — partial-agg (map-side combine) on 2 group keys;
+    DECIMAL sums for cross-engine exactness, DOUBLE at the surface."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    tax = F.col("l_tax").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.sum(price).cast("double") / n, 6).alias("avg_price"),
+        F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_top10",
+    """
+    SELECT l_orderkey,
+           sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2)))::DOUBLE AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10: broadcast the filtered customer dim, shuffle
+    only the orders⋈lineitem join; TakeOrderedAndProject for the limit."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2)))::DOUBLE AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style multi-join: all dims broadcast (the star-schema pattern — the
+    only shuffle is the fact-side aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "rollup_returns",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::DECIMAL(12,2))::DOUBLE AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregation (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "pivot_order_status",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (priority × status counts); coalesce(0) matches FILTER's empty
+    count on the oracle side."""
+    o = _t(spark, sf_dir, "orders")
+    p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("O"),
+        F.coalesce("F", F.lit(0)).alias("F"),
+        F.coalesce("P", F.lit(0)).alias("P"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins, set ops, distinct
+# ---------------------------------------------------------------------------
+
+@register(
+    "semi_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no recent orders (anti join against a filtered fact)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "set_ops_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'signup' AND value > 80
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT (both plan as aggregated joins)."""
+    e = _t(spark, sf_dir, "events")
+    purchasers = e.filter((F.col("event_type") == "purchase") & (F.col("value") > 90)).select("user_id")
+    errorers = e.filter(F.col("event_type") == "error").select("user_id")
+    signups = e.filter((F.col("event_type") == "signup") & (F.col("value") > 80)).select("user_id")
+    return purchasers.intersect(errorers).subtract(signups)
+
+
+@register(
+    "distinct_counts",
+    """
+    SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register("approx_distinct_users", None)  # HLL++ ≠ DuckDB's sketch → rows-only check
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB cardinality path; no SQL
+    oracle (sketch algorithms differ across engines by design)."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+
+
+# ---------------------------------------------------------------------------
+# Windows: top-k per group, running totals, sessions, resample, as-of
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_topk_per_user",
+    """
+    SELECT user_id, event_id, value, rn FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    out = topk_per_group(
+        e.select("user_id", "event_id", "value"),
+        "user_id",
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+    )
+    return out.select("user_id", "event_id", "value", "rn")
+
+
+@register(
+    "running_total_per_user",
+    """
+    SELECT user_id, event_id, ts,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+    FROM events WHERE user_id < 10
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum — sequential per-row fold, deterministic in both engines."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    return e.select(
+        "user_id", "event_id", "ts", F.round(F.sum("value").over(w), 6).alias("running_value")
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                             > 3600000000::BIGINT
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    ) GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1 h) — lag + running boundary count."""
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, key="user_id", ts_col="ts", gap_seconds=3600)
+
+
+@register(
+    "resample_daily",
+    """
+    SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS bucket, count(*) AS n,
+           min(value) AS v_min, max(value) AS v_max,
+           sum(value::DECIMAL(12,2))::DOUBLE AS v_sum
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily rollup — the time-bucket resample of the signal model."""
+    return resample(_t(spark, sf_dir, "events"), "user_id", "ts", "value", "day")
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT e.event_id, e.user_id, e.ts, p.ts AS matched_ts, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event matched to the user's latest prior
+    purchase — composed from union + one last(ignorenulls) window pass
+    (Spark has no native ASOF); semantics mirror DuckDB's ASOF JOIN."""
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(errors, purchases, key="user_id", left_ts="ts", right_ts="ts",
+                    right_cols=["purchase_value"])
+    return out.select("event_id", "user_id", "ts", "matched_ts", "purchase_value")
+
+
+@register(
+    "signal_last_value",
+    """
+    WITH tall AS (
+        SELECT user_id AS token_id, ts AS timestamp, 'value' AS name,
+               value AS value_number, CAST(NULL AS VARCHAR) AS value_string
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT user_id, ts, 'event_type', NULL, event_type FROM events
+    )
+    SELECT token_id, name, timestamp, value_number, value_string FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY token_id, name
+            ORDER BY timestamp DESC, value_number DESC NULLS LAST, value_string DESC NULLS LAST
+        ) AS rn
+        FROM tall
+    ) WHERE rn = 1
+    """,
+)
+def q_signal_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of snapshot of the tall signal table — 'current state per entity',
+    the headline read query the reference's destination table serves."""
+    from es_ch_sync_spark.catalog import SignalCatalog, SignalDef
+
+    cat = SignalCatalog(
+        [SignalDef("value", "value", "number"), SignalDef("event_type", "event_type", "string")]
+    )
+    e = _t(spark, sf_dir, "events").withColumn("src", F.lit("events"))
+    tall = unpivot_signals(e, cat, token_col="user_id", ts_col="ts", source_col="src")
+    w = W.partitionBy("token_id", "name").orderBy(
+        F.col("timestamp").desc(),
+        F.col("value_number").desc_nulls_last(),
+        F.col("value_string").desc_nulls_last(),
+    )
+    return (
+        tall.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("token_id", "name", "timestamp", "value_number", "value_string")
+    )
