@@ -1,0 +1,97 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "headline_suite_wall_sec", "value": <total>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is forced with .count() (full compute, no driver-side collect
+overhead).  The suite covers every operator family: reference sync surface,
+TPC-H-style relational, windows/sessions/as-of, dedup, similarity, text,
+multimodal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    # reference surface
+    "sync_pipeline",
+    "unpivot_signals",
+    "topk_scan",
+    "dim_join",
+    "resume_points",
+    "dedup_write",
+    # relational
+    "tpch_q1",
+    "tpch_q3_top10",
+    "revenue_by_nation",
+    "rollup_returns",
+    # windows / time
+    "window_topk_per_user",
+    "sessionize_events",
+    "resample_daily",
+    "asof_join_events",
+    "signal_last_value",
+    # training-data ops
+    "text_analysis",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from es_ch_sync_spark.queries import spark_queries
+    from es_ch_sync_spark.session import get_spark
+
+    spark = get_spark("bench", shuffle_partitions=int(cpus))
+    qs = spark_queries()
+
+    # warm the JVM + parquet footers with one tiny action (not timed)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

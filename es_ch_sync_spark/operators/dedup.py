@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from es_ch_sync_spark.operators.text import normalize_text, words
+from es_ch_sync_spark.operators.util import spread
 
 # ---------------------------------------------------------------------------
 # Shingling
@@ -50,13 +51,18 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Affine min-wise hash family over a 56-bit base hash: h_i(s) = (A_i·H(s)+B_i)
+# mod MINHASH_P, H(s) = first 14 hex chars of md5(s).  One md5 + one hex
+# parse per shingle, then H cheap multiply-adds — ~8× less hashing than H
+# independent md5 passes.  Bounds: H < 2^56, A ≤ 127 ⇒ A·H+B < 2^63.
+MINHASH_P = 72_057_594_037_927_931  # prime, 2^56 - 5
+MINHASH_A = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
+MINHASH_B = [101, 211, 307, 401, 503, 601, 701, 809, 907, 1009, 1103, 1201, 1301, 1409, 1499, 1601]
 
-def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
-    """H min-wise hashes: min over shingles of md5('<seed>:'||shingle)."""
-    return [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(num_hashes)
-    ]
+
+def _shingle_base_hash(s: Column) -> Column:
+    """First 56 bits of md5(shingle) as a bigint."""
+    return F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long")
 
 
 def with_minhash(
@@ -66,13 +72,23 @@ def with_minhash(
     num_hashes: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Project (id, mh_0..mh_{H-1}, shingles) — the map-side prep stage."""
-    sh = word_shingles(F.col(text_col), shingle_k)
-    sig = minhash_signature(sh, num_hashes)
-    return df.select(
-        F.col(id_col),
-        sh.alias("shingles"),
-        *[s.alias(f"mh_{i}") for i, s in enumerate(sig)],
+    """(id, mh_0..mh_{H-1}) signatures via explode + partial-aggregated mins.
+
+    explode(shingles) → md5 ONCE per (doc, shingle) → H affine mins as
+    grouped aggregates.  The groupBy is map-side combined (each partition
+    emits ≤ H longs per doc), so the shuffle is tiny; a projection-based
+    formulation would let Catalyst's CollapseProject re-inline the base
+    hash into all H columns and recompute the md5 H times."""
+    base = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s")
+    ).select(F.col(id_col), _shingle_base_hash(F.col("s")).alias("h"))
+    return base.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
+                f"mh_{i}"
+            )
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -101,7 +117,7 @@ def minhash_lsh_candidates(
     join only materializes within-bucket pairs.  Skewed buckets (boilerplate
     docs) are handled by AQE skew-join splitting; a production hardening is
     to cap bucket size and divert mega-buckets to a sampled pass."""
-    mh = with_minhash(df, text_col, id_col, num_hashes, shingle_k)
+    mh = with_minhash(spread(df), text_col, id_col, num_hashes, shingle_k)
     keys = lsh_band_keys(num_hashes, bands)
     bucketed = mh.select(
         F.col(id_col),
@@ -146,7 +162,7 @@ def minhash_near_duplicates(
     The verify join re-attaches shingle arrays only for candidate ids —
     at scale that's a tiny fraction of the corpus."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    sh = spread(df).select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
     out = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -232,12 +248,36 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
 
 
 def hamming60(a: Column, b: Column) -> Column:
-    """Hamming distance between two 60-bit simhashes (popcount of xor)."""
-    x = a.bitwiseXOR(b)
-    out: Column = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        out = out + F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("long")
-    return out
+    """Hamming distance between two simhashes — native popcount of xor
+    (one JVM instruction; matches DuckDB's bit_count(xor(a,b)))."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, sh) simhashes via explode + 60 partially-aggregated vote sums.
+
+    One md5 per (doc, word); the per-bit ±1 votes are plain grouped SUMs
+    (map-side combined, whole-stage codegen) — far cheaper than folding a
+    60-wide array per word, and the shuffle carries 60 longs per doc."""
+    wh = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("w")
+    ).select(F.col(id_col), _word_hash60(F.col("w")).alias("h"))
+    votes = wh.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"v_{i}")
+            for i in range(bits)
+        ]
+    )
+    packed: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed + F.when(F.col(f"v_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), packed.alias("sh"))
 
 
 def simhash_near_duplicates(
@@ -253,7 +293,7 @@ def simhash_near_duplicates(
     within Hamming ≤ 3·(bands-1) shares ≥1 exact band for distance ≤ 12 when
     ≤ 4 differing bits spread across bands — standard simhash blocking.
     Join happens per-band on 15-bit keys, never all-pairs."""
-    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    sh = simhash_table(spread(df), text_col, id_col)
     n_bands = SIMHASH_BITS // band_bits
     bucketed = sh.select(
         id_col,
@@ -273,7 +313,9 @@ def simhash_near_duplicates(
         ).alias("bk"),
     ).select(id_col, "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
+    # dedup pairs (with their scalar hashes) BEFORE the hamming filter so a
+    # pair colliding in several bands is scored once
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -283,11 +325,14 @@ def simhash_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            hamming60(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
+    return pairs.select(
+        "id_a", "id_b", hamming60(F.col("sh_a"), F.col("sh_b")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -308,8 +353,9 @@ def ngram_jaccard_pairs(
     dims; the scale path is minhash_near_duplicates.  Implemented via
     explode + equi-join on shingle (not a cross join): only pairs sharing
     ≥1 shingle are materialized, with partial-agg intersection counts."""
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"))
-    sizes = df.select(
+    src = spread(df)
+    sh = src.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"))
+    sizes = src.select(
         F.col(id_col), F.size(word_shingles(F.col(text_col), shingle_k)).alias("n")
     )
     a, b = sh.alias("a"), sh.alias("b")

@@ -27,6 +27,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from es_ch_sync_spark.operators.util import spread
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -80,14 +82,20 @@ def knn_join(
 
     Quadratic — the correctness baseline ANN variants are judged against.
     At scale, replace the cross join with lsh_knn_join (same output schema)."""
-    v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    v = spread(emb).select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
     a, b = v.alias("a"), v.alias("b")
     from pyspark.sql import Window as W
 
+    cos = F.when(
+        (F.col("a.nrm") > 0) & (F.col("b.nrm") > 0),
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+    ).otherwise(F.lit(0.0))
     scored = a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}")).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        cos.alias("cos_sim"),
     )
     w = W.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
     return (
@@ -189,20 +197,34 @@ def embedding_near_duplicates(
     n_planes: int = 12,
     bands: int = 4,
     dim: int = 64,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold, LSH-blocked.
 
     Same banding idea as minhash LSH: pairs must share ≥1 signature band,
-    so the join is per-band on small integer keys, never all-pairs."""
+    so the join is per-band on small integer keys, never all-pairs.
+
+    ``broadcast_vectors``: the candidate-pair table is usually much larger
+    than the vector table itself (n²/buckets vs n), so attaching vectors by
+    broadcast keeps the pair rows from shuffling twice.  Turn OFF when the
+    corpus is too big to broadcast (≳100M vectors) — the plan degrades to
+    two shuffle joins keyed by id, which is the correct 100 TB path
+    (pre-bucket the vector table by id to make them shuffle-free)."""
     planes = srp_planes(dim, n_planes)
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
-    v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).withColumn(
-        "sig", srp_signature(F.col("v"), planes)
+    # norm is per-vector: compute it once here, not once per candidate pair
+    v = (
+        spread(emb)
+        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("sig", srp_signature(F.col("v"), planes))
+        .withColumn("nrm", norm(F.col("v")))
     )
+    # band bucketing carries ONLY (id, band, key): the vectors rejoin after
+    # pair-dedup so each candidate pair is scored exactly once (a pair
+    # colliding in 3 bands must not cost 3 cosines)
     bucketed = v.select(
         id_col,
-        "v",
         F.explode(
             F.array(
                 *[
@@ -216,21 +238,33 @@ def embedding_near_duplicates(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
-        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    if broadcast_vectors:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    # the scoring stage is compute-bound (64-dim fold per pair) — keep it
+    # wide even though the pair table is only a few MB (AQE would coalesce)
+    pairs = spread(pairs)
+    cos = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+    ).otherwise(F.lit(0.0))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )

@@ -111,11 +111,20 @@ def _shingles_cte(k: int) -> str:
 
 
 def minhash_near_dup_sql(num_hashes: int = 8, bands: int = 4, k: int = 3, threshold: float = 0.7) -> str:
-    rows = num_hashes // bands
+    from es_ch_sync_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    # 56-bit base hash per shingle (first 14 hex chars of md5), then the
+    # same affine family as operators.dedup.with_minhash
+    base = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, 15), j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)::BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
     mh_cols = ",\n            ".join(
-        f"list_min(list_transform(shs, s -> md5('{i}:' || s))) AS mh_{i}"
+        f"list_min(list_transform(shs, s -> ({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P})) AS mh_{i}"
         for i in range(num_hashes)
     )
+    rows = num_hashes // bands
     band_keys = []
     for b in range(bands):
         parts = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))

@@ -340,10 +340,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
-@register("embedding_near_dup", oracles.embedding_near_dup_sql(threshold=0.4))
+@register("embedding_near_dup", oracles.embedding_near_dup_sql(threshold=0.4, n_planes=12, bands=3))
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, SRP-LSH blocked."""
-    return sim.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.4)
+    """Embedding-cosine near-dup pairs, SRP-LSH blocked (3×4-bit bands: 16
+    buckets/band keeps the candidate set ~n²/16 per band)."""
+    return sim.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.4, n_planes=12, bands=3)
 
 
 def _query_vec(sf_dir: str, vec_id: int = 0) -> list[float]:
