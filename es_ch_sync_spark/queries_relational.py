@@ -257,6 +257,69 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
 
 
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id, user_id,
+           json_extract(props, '$.k')::BIGINT AS k_val
+    FROM events
+    WHERE json_extract(props, '$.k')::BIGINT > 50
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: pull a field out of the JSON props column
+    (get_json_object ≙ DuckDB json_extract) and filter on it."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_id", "user_id", k.alias("k_val"))
+        .filter(F.col("k_val") > 50)
+    )
+
+
+@register("ann_ivf_topk", None)  # approximate by construction → rows-only check
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize by the label column (stand-in for
+    k-means cell ids), search only the query's cell.  The scale pattern for
+    clustered corpora: per-cell partition pruning replaces the full scan.
+    Approximate (cell boundaries lose neighbors) → rows-only check."""
+    import math
+
+    from es_ch_sync_spark.operators.similarity import cosine_topk
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    qv = _ivf_query_vec(sf_dir, 0)
+
+    # centroids computed IN Spark (posexplode → partial-aggregated avgs);
+    # the driver only collects the tiny (n_cells × dim) centroid table
+    cent_rows = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .collect()
+    )
+    cents: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        cents.setdefault(r["label"], {})[r["pos"]] = r["c"]
+    qn = math.sqrt(sum(x * x for x in qv))
+    best_lab, best_cos = None, -2.0
+    for lab, d in cents.items():
+        c = [d[i] for i in range(len(qv))]
+        cn = math.sqrt(sum(x * x for x in c))
+        cos = sum(a * b for a, b in zip(qv, c)) / (qn * cn) if cn > 0 else -2.0
+        if cos > best_cos:
+            best_lab, best_cos = lab, cos
+    cell = emb.filter(F.col("label") == best_lab)
+    return cosine_topk(cell, qv, k=10, exclude_id=0)
+
+
+def _ivf_query_vec(sf_dir: str, vec_id: int) -> list[float]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return t.column("embedding").to_pylist()[t.column("vec_id").to_pylist().index(vec_id)]
+
+
 # ---------------------------------------------------------------------------
 # Windows: top-k per group, running totals, sessions, resample, as-of
 # ---------------------------------------------------------------------------

@@ -1,0 +1,146 @@
+"""Shared-SQL query registry: each entry is ONE ANSI SQL string executed by
+BOTH engines — `spark.sql(...)` over temp views of the testdata tables, and
+DuckDB over the same parquet.  This exercises the engine's SQL API surface
+(Catalyst parses/plans the identical text) and makes parity structural.
+
+Only SQL that means the same thing in both dialects belongs here (ANSI
+core: CASE, HAVING, GROUPING SETS/CUBE, UNION, IN/EXISTS subqueries,
+correlated scalar subqueries, EXTRACT, INTERVAL arithmetic, LIKE, substr).
+Engine-specific function pairs (JSON access, regexp flavors) stay in
+queries_relational.py as explicit (spark_fn, oracle) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from es_ch_sync_spark.io.sources import read_parquet_table
+from es_ch_sync_spark.queries import register
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    for t in TABLES:
+        read_parquet_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+def register_shared_sql(name: str, sql: str) -> None:
+    register(name, sql)(lambda spark, sf_dir, _sql=sql: _run_sql(spark, sf_dir, _sql))
+
+
+register_shared_sql(
+    "sql_string_funcs",
+    """
+    SELECT doc_id,
+           upper(lang) AS lang_up,
+           substr(text, 1, 12) AS prefix,
+           length(text) AS n_chars,
+           concat(lang, '-', source) AS lang_src,
+           (text LIKE '%spark%') AS mentions_spark,
+           replace(lang, 'e', 'E') AS lang_repl,
+           trim(lang) AS lang_trim
+    FROM documents
+    """,
+)
+
+register_shared_sql(
+    "sql_date_funcs",
+    """
+    SELECT o_orderkey,
+           extract(year FROM o_orderdate) AS y,
+           extract(month FROM o_orderdate) AS m,
+           extract(day FROM o_orderdate) AS d,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders
+    WHERE extract(year FROM o_orderdate) = 1997
+    """,
+)
+
+register_shared_sql(
+    "sql_case_agg",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big,
+           sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+register_shared_sql(
+    "sql_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 12
+    """,
+)
+
+register_shared_sql(
+    "sql_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+
+register_shared_sql(
+    "sql_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+register_shared_sql(
+    "sql_union",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+
+register_shared_sql(
+    "sql_in_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      AND o_totalprice > 200000
+    """,
+)
+
+register_shared_sql(
+    "sql_corr_subquery",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT sum(c2.c_acctbal::DECIMAL(12,2))::DOUBLE / count(*)
+        FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+
+register_shared_sql(
+    "sql_exists_subquery",
+    """
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
+    )
+    """,
+)

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the custom/composed operators.
+
+Kept small (tiny tables, few examples) because every example runs Spark
+jobs; the properties target the operators whose semantics are hand-built
+rather than delegated to Catalyst: the as-of join composition, the unpivot
+row-count law, and dedup idempotency.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from es_ch_sync_spark.catalog import SignalCatalog, SignalDef
+from es_ch_sync_spark.io.sinks import dedup_signals
+from es_ch_sync_spark.operators.analytics import asof_join
+from es_ch_sync_spark.operators.transform import unpivot_signals
+
+BASE = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+CAT = SignalCatalog(
+    [
+        SignalDef("a", "a", "number"),
+        SignalDef("b", "b", "number", "ratio_to_percent"),
+        SignalDef("s", "s", "string"),
+    ]
+)
+
+WIDE_SCHEMA = T.StructType(
+    [
+        T.StructField("tok", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("a", T.DoubleType()),
+        T.StructField("b", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+    ]
+)
+
+row_strategy = st.tuples(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=50),
+    st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+    st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+    st.one_of(st.none(), st.text(alphabet="xyz", max_size=3)),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(row_strategy, min_size=0, max_size=12))
+def test_unpivot_row_count_law(spark, rows):
+    """|unpivot(df)| == Σ_rows #non-null catalog fields (T1 semantics:
+    a document yields exactly one signal per present field)."""
+    data = [(tok, BASE + timedelta(seconds=sec), "t", a, b, s) for tok, sec, a, b, s in rows]
+    df = spark.createDataFrame(data, WIDE_SCHEMA)
+    out = unpivot_signals(df, CAT, token_col="tok", ts_col="ts", source_col="src")
+    expected = sum((a is not None) + (b is not None) + (s is not None) for _, _, a, b, s in rows)
+    assert out.count() == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(row_strategy, min_size=1, max_size=12))
+def test_dedup_idempotent_and_keyed(spark, rows):
+    data = [(tok, BASE + timedelta(seconds=sec), "t", a, b, s) for tok, sec, a, b, s in rows]
+    df = spark.createDataFrame(data, WIDE_SCHEMA)
+    sig = unpivot_signals(df, CAT, token_col="tok", ts_col="ts", source_col="src")
+    once = dedup_signals(sig)
+    twice = dedup_signals(once)
+    n_once, n_twice = once.count(), twice.count()
+    assert n_once == n_twice
+    assert n_once == sig.select("token_id", "timestamp", "name").distinct().count()
+
+
+asof_left = st.lists(
+    st.tuples(st.integers(1, 2), st.integers(0, 30)), min_size=1, max_size=8
+)
+asof_right = st.lists(
+    st.tuples(st.integers(1, 2), st.integers(0, 30), st.integers(0, 100)),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_left, asof_right)
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
+    """asof_join == argmax_{r.ts <= l.ts, same key} r.ts, computed naively.
+
+    Covers: no match (null), exact-timestamp match (>= semantics), multiple
+    candidates, keys present on one side only."""
+    lschema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("ts", T.TimestampType()),
+         T.StructField("lid", T.LongType())]
+    )
+    rschema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("ts", T.TimestampType()),
+         T.StructField("val", T.LongType())]
+    )
+    left = [(k, BASE + timedelta(seconds=s), i) for i, (k, s) in enumerate(left_rows)]
+    # dedupe right on (k, ts): at equal (key, ts) the winning value is
+    # implementation-defined in both the operator and the brute force
+    seen = {}
+    for k, s, v in right_rows:
+        seen[(k, s)] = v
+    right = [(k, BASE + timedelta(seconds=s), v) for (k, s), v in seen.items()]
+
+    ldf = spark.createDataFrame(left, lschema)
+    rdf = spark.createDataFrame(right, rschema)
+    out = asof_join(ldf, rdf, key="k", left_ts="ts", right_ts="ts", right_cols=["val"])
+    got = {r["lid"]: r["val"] for r in out.collect()}
+
+    for k, ts, lid in left:
+        cands = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got.get(lid) == want, f"lid={lid} k={k} ts={ts}: {got.get(lid)} != {want}"
