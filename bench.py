@@ -34,6 +34,9 @@ HEADLINE = [
     "tpch_q3_top10",
     "revenue_by_nation",
     "rollup_returns",
+    "salted_join_events",
+    "range_join_events",
+    "json_extract_props",
     # windows / time
     "window_topk_per_user",
     "sessionize_events",

@@ -97,6 +97,11 @@ def split_quarantine(
     rather than recomputing.
     """
     if corrupt_col in df.columns:
+        # Spark disallows plans referencing ONLY the corrupt column over raw
+        # JSON (QUERY_ONLY_CORRUPT_RECORD_COLUMN); caching the parsed frame
+        # is the documented contract — and the right call anyway, since both
+        # split outputs share one parse of the source.
+        df = df.cache()
         bad = F.col(corrupt_col).isNotNull()
     elif "is_malformed" in df.columns:
         bad = F.col("is_malformed") == True  # noqa: E712

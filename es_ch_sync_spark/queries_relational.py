@@ -313,6 +313,50 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(cell, qv, k=10, exclude_id=0)
 
 
+@register(
+    "salted_join_events",
+    """
+    SELECT e.event_id, e.user_id, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted join — same rows as the plain equi-join (the
+    oracle), hot keys spread over `salt` reducers."""
+    from es_ch_sync_spark.operators.joins import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return salted_join(e, c, key="user_id", salt=8).select("event_id", "user_id", "c_name")
+
+
+@register(
+    "range_join_events",
+    """
+    SELECT l.event_id AS id_l, r.event_id AS id_r, l.user_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_id != r.event_id
+     AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 600 * 1000000::BIGINT
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (events of the same user within 10 min of each other)
+    via time-cell bucketing — an equi-join on (key, cell) instead of the
+    O(n·m) inequality join the oracle runs."""
+    from es_ch_sync_spark.operators.joins import range_join_buckets
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = range_join_buckets(e, e, key="user_id", max_gap_seconds=600)
+    return out.filter(F.col("l.event_id") != F.col("r.event_id")).select(
+        F.col("l.event_id").alias("id_l"),
+        F.col("r.event_id").alias("id_r"),
+        F.col("l.user_id").alias("user_id"),
+    )
+
+
 def _ivf_query_vec(sf_dir: str, vec_id: int) -> list[float]:
     import pyarrow.parquet as pq
 

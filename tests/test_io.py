@@ -1,0 +1,87 @@
+"""IO-layer tests: PERMISSIVE JSON quarantine (T3 at the source boundary)
+and the signal sink's partition layout + pruning."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from es_ch_sync_spark.io.sinks import read_signals, write_signals
+from es_ch_sync_spark.io.sources import CORRUPT_COL, read_status_json
+from es_ch_sync_spark.operators.transform import split_quarantine
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("subject", T.StringType()),
+        T.StructField("time", T.TimestampType()),
+        T.StructField("data_speed", T.LongType()),
+    ]
+)
+
+
+def test_permissive_json_quarantine(spark, tmp_path):
+    """Malformed JSON documents land in the corrupt-record column and are
+    split off, never failing the read (reference: log-drop-continue,
+    sync.go:192-204)."""
+    p = tmp_path / "docs.json"
+    lines = [
+        json.dumps({"subject": "1", "time": "2024-01-01T00:00:00Z", "data_speed": 42}),
+        '{"subject": "2", "time": "2024-01-01T00:00:01Z", "data_speed": }',  # broken
+        "not json at all",
+        json.dumps({"subject": "3", "time": "2024-01-01T00:00:02Z", "data_speed": 7}),
+    ]
+    p.write_text("\n".join(lines))
+
+    df = read_status_json(spark, str(p), SCHEMA)
+    clean, bad = split_quarantine(df, corrupt_col=CORRUPT_COL)
+    assert clean.count() == 2
+    assert bad.count() == 2
+    assert {r["subject"] for r in clean.collect()} == {"1", "3"}
+    # quarantined rows keep the raw text for forensics
+    assert all(r[CORRUPT_COL] for r in bad.collect())
+
+
+def test_signal_sink_layout_and_pruning(spark, tmp_path):
+    """write_signals produces event_date partitions; a date filter prunes
+    the scan to matching partitions (the S3 predicate's 100 TB path)."""
+    from datetime import datetime, timezone
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, tzinfo=timezone.utc), "speed", "s", 1.0, None),
+        (1, datetime(2024, 1, 2, 10, tzinfo=timezone.utc), "speed", "s", 2.0, None),
+        (2, datetime(2024, 1, 2, 11, tzinfo=timezone.utc), "speed", "s", 3.0, None),
+        # duplicate key — must be absorbed by dedup-on-write
+        (1, datetime(2024, 1, 1, 10, tzinfo=timezone.utc), "speed", "s", 1.0, None),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("token_id", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("value_number", T.DoubleType()),
+            T.StructField("value_string", T.StringType()),
+        ]
+    )
+    out = str(tmp_path / "signal")
+    write_signals(spark.createDataFrame(rows, schema), out, mode="overwrite")
+
+    back = read_signals(spark, out)
+    assert back.count() == 3  # dedup-on-write absorbed the duplicate
+
+    import os
+
+    parts = sorted(d for d in os.listdir(out) if d.startswith("event_date="))
+    assert parts == ["event_date=2024-01-01", "event_date=2024-01-02"]
+
+    pruned = back.filter(F.col("event_date") == "2024-01-02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (PartitionFilters), not a post-scan Filter
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    assert pruned.count() == 2
+
+    # idempotent re-append: anti-join against existing leaves the table unchanged
+    write_signals(spark.createDataFrame(rows, schema), out, existing=back)
+    assert read_signals(spark, out).count() == 3
