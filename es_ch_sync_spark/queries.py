@@ -383,6 +383,55 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+_INCR_ORACLE = """
+    WITH tall AS (
+        SELECT user_id AS token_id, ts AS timestamp, 'value' AS name,
+               'events' AS source, value AS value_number,
+               CAST(NULL AS VARCHAR) AS value_string
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT user_id, ts, 'value_pct', 'events', value * 100.0, NULL
+        FROM events WHERE value IS NOT NULL
+    ),
+    existing AS (
+        SELECT token_id, timestamp, name FROM tall
+        WHERE timestamp < TIMESTAMP '2024-01-20 00:00:00'
+    ),
+    incoming AS (
+        SELECT * FROM tall WHERE timestamp >= TIMESTAMP '2024-01-10 00:00:00'
+    )
+    SELECT i.token_id, i.timestamp, i.name, i.source, i.value_number, i.value_string
+    FROM incoming i
+    WHERE NOT EXISTS (
+        SELECT 1 FROM existing e
+        WHERE e.token_id = i.token_id AND e.timestamp = i.timestamp AND e.name = i.name
+    )
+"""
+
+
+@register("incremental_sync", _INCR_ORACLE)
+def q_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — resume semantics as a checkable query: an incoming window that
+    deliberately overlaps already-synced data (the reference's boundary
+    overlap, sync.go:128-137) emits only the not-yet-synced keys, via the
+    key-only anti-join that replaces ReplacingMergeTree absorption."""
+    from es_ch_sync_spark.catalog import SignalCatalog, SignalDef
+
+    cat = SignalCatalog(
+        [
+            SignalDef("value", "value", "number"),
+            SignalDef("value_pct", "value", "number", "ratio_to_percent"),
+        ]
+    )
+    e = _events(spark, sf_dir).withColumn("src", F.lit("events"))
+    tall = unpivot_signals(e, cat, token_col="user_id", ts_col="ts", source_col="src")
+    existing = tall.filter(F.col("timestamp") < F.lit("2024-01-20")).select(
+        "token_id", "timestamp", "name"
+    )
+    incoming = tall.filter(F.col("timestamp") >= F.lit("2024-01-10"))
+    return incoming.join(existing, on=["token_id", "timestamp", "name"], how="left_anti")
+
+
 @register("sync_pipeline", _SYNC_ORACLE)
 def q_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship — scan → unpivot → broadcast dim join → dedup, one plan.
