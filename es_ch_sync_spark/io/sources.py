@@ -51,6 +51,10 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp literals in queries parse in the session timezone; pin UTC so
+    # results are identical under any host/session default (parquet values
+    # are UTC-normalized; the DuckDB oracle is naive-UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

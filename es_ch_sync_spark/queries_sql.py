@@ -134,6 +134,24 @@ register_shared_sql(
 )
 
 register_shared_sql(
+    "sql_window_sampler",
+    """
+    SELECT event_id, user_id,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           lead(event_id)  OVER w AS next_id,
+           lag(event_id)   OVER w AS prev_id,
+           first_value(event_id) OVER w AS first_id,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM events
+    WHERE user_id < 5
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+
+register_shared_sql(
     "sql_exists_subquery",
     """
     SELECT p_partkey, p_name

@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the scale-relevant artifact is the plan
+shape, not sf0.01 timings — lock the strategies ARCHITECTURE.md documents.
+A refactor that silently turns the dim join into a sort-merge join or stops
+pushing the scan filters should fail here, not in a 100 TB deployment."""
+
+from __future__ import annotations
+
+import pytest
+
+from es_ch_sync_spark.queries import spark_queries
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = spark_queries()
+
+    def plan_of(name: str) -> str:
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_projection_prunes_scan(plans):
+    p = plans("project_prune")
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "event_id" in scan and "value" in scan
+    assert "event_type" not in scan and "props" not in scan  # pruned
+
+
+def test_filters_reach_scan(plans):
+    p = plans("scan_filter")
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "user_id" in scan and "DataFilters" in scan
+    assert "= 7" in scan  # subject predicate in the scan, not a post-filter
+
+
+def test_topk_plans_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans("topk_scan")
+    assert "TakeOrderedAndProject" in plans("tpch_q3_top10")
+
+
+def test_dim_join_broadcasts(plans):
+    p = plans("dim_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sync_pipeline_shape(plans):
+    p = plans("sync_pipeline")
+    assert "BroadcastHashJoin" in p  # dim never shuffles the fact side
+    assert "Generate explode" in p  # unpivot fused as a generator
+    assert "SortMergeJoin" not in p
+
+
+def test_agg_has_partial_stage(plans):
+    p = plans("tpch_q1")
+    assert "partial_sum" in p  # map-side combine before the exchange
+
+
+def test_no_cartesian_in_lsh(plans):
+    for q in ("dedup_minhash_lsh", "embedding_near_dup", "dedup_simhash"):
+        p = plans(q)
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+
+
+def test_range_join_is_equi(plans):
+    p = plans("range_join_events")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
