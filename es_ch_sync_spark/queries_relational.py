@@ -13,11 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from es_ch_sync_spark.catalog import EVENTS_CATALOG
 from es_ch_sync_spark.io.sources import read_parquet_table
 from es_ch_sync_spark.operators.analytics import (
     asof_join,
-    last_value_snapshot,
     resample,
     session_stats,
     topk_per_group,
@@ -389,6 +387,71 @@ def _ivf_query_vec(sf_dir: str, vec_id: int) -> list[float]:
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return t.column("embedding").to_pylist()[t.column("vec_id").to_pylist().index(vec_id)]
+
+
+_STREAM_ORACLE = """
+    SELECT DISTINCT user_id AS token_id, ts AS timestamp, 'value' AS name,
+           'events' AS source, value AS value_number,
+           CAST(NULL AS VARCHAR) AS value_string
+    FROM events WHERE value IS NOT NULL
+"""
+
+
+@register("streaming_unpivot", _STREAM_ORACLE)
+def q_streaming_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming driven through the checked surface: stream the
+    events parquet (AvailableNow), unpivot + watermark-dedup exactly like
+    the ingestion pipeline, drain to a memory sink, return the result —
+    which must equal the batch distinct unpivot (the oracle).  Exactly-once
+    + dedup semantics of the stream are thereby oracle-verified."""
+    import uuid
+
+    from es_ch_sync_spark.catalog import SignalCatalog, SignalDef
+    from es_ch_sync_spark.streaming.sync_stream import build_signal_stream
+
+    cat = SignalCatalog([SignalDef("value", "value", "number")])
+    # nanos-timestamp columns must be declared LONG for the stream reader
+    # (same legacy-conf path as the batch reader), then converted
+    from es_ch_sync_spark.io.sources import _nanos_ts_columns
+
+    path = f"{sf_dir}/events.parquet"
+    ns_cols = _nanos_ts_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = read_parquet_table(spark, sf_dir, "events").schema
+    import copy
+
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField(f.name, T.LongType() if f.name in ns_cols else copy.deepcopy(f.dataType))
+        for f in batch_schema.fields
+    ]
+    # the file stream source wants a directory: stream the sf dir with a
+    # glob filter selecting just the events table
+    stream = (
+        spark.readStream.schema(T.StructType(fields))
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    stream = stream.withColumn("src", F.lit("events"))
+    signals = build_signal_stream(
+        stream, cat, device_dim=None, subject_col="user_id", ts_col="ts", source_col="src",
+        watermark="365 days",
+    )
+    sink = f"stream_q_{uuid.uuid4().hex[:8]}"
+    q = (
+        signals.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
 
 
 # ---------------------------------------------------------------------------
