@@ -78,15 +78,25 @@ def plan_sync(
     subject_col: str = "subject",
     ts_col: str = "time",
     source_col: str = "source",
+    catalog_v2: SignalCatalog | None = None,
+    version_col: str = "dataschema",
 ) -> tuple[DataFrame, DataFrame]:
     """Build the full sync plan; returns (signals, quarantine).
 
     Lazily declared — nothing executes until the caller writes/collects, so
     Catalyst sees the whole pipeline and can push the time/token filters
     into the source scan beneath the unpivot.
+
+    Payload-version dispatch (T1, sync.go:190-204): documents with a
+    non-null ``version_col`` are v2 payloads converted through
+    ``catalog_v2``; null-version documents take the v1 path — the
+    reference's SignalsFromPayload → VersionError → SignalsFromV1Payload
+    fallback, expressed as two filtered unpivots unioned (both stay fused
+    narrow maps over the same scan).
     """
     start, stop = opts.resolved_window()
     cat = catalog.filtered(opts.signals)
+    cat_v2 = catalog_v2.filtered(opts.signals) if catalog_v2 is not None else None
 
     clean, quarantined = split_quarantine(status_df)
 
@@ -108,7 +118,18 @@ def plan_sync(
     if opts.token_ids:  # C1: config-driven token predicate
         wide = wide.filter(F.col(token_col).isin(opts.token_ids))
 
-    signals = unpivot_signals(wide, cat, token_col=token_col, ts_col=ts_col, source_col=source_col)
+    if cat_v2 is not None and version_col in wide.columns:
+        v1_rows = wide.filter(F.col(version_col).isNull())
+        v2_rows = wide.filter(F.col(version_col).isNotNull())
+        signals = unpivot_signals(
+            v1_rows, cat, token_col=token_col, ts_col=ts_col, source_col=source_col
+        ).unionByName(
+            unpivot_signals(
+                v2_rows, cat_v2, token_col=token_col, ts_col=ts_col, source_col=source_col
+            )
+        )
+    else:
+        signals = unpivot_signals(wide, cat, token_col=token_col, ts_col=ts_col, source_col=source_col)
     signals = dedup_signals(signals)
 
     if existing_signals is not None:

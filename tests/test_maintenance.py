@@ -1,0 +1,105 @@
+"""Tests for upsert (MERGE analog), compaction, and v2-payload dispatch."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from es_ch_sync_spark.io.maintenance import compact_partition, table_file_stats, upsert_signals
+from es_ch_sync_spark.io.sinks import write_signals
+
+SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("token_id", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("value_number", T.DoubleType()),
+        T.StructField("value_string", T.StringType()),
+    ]
+)
+
+D1 = datetime(2024, 1, 1, 10, tzinfo=timezone.utc)
+D2 = datetime(2024, 1, 2, 10, tzinfo=timezone.utc)
+
+
+def _sig(tok, ts, name, num):
+    return (tok, ts, name, "s", float(num), None)
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "sig")
+    base = [_sig(1, D1, "speed", 10), _sig(1, D2, "speed", 20), _sig(2, D2, "speed", 30)]
+    write_signals(spark.createDataFrame(base, SIG_SCHEMA), path, mode="overwrite")
+
+    updates = [
+        _sig(1, D2, "speed", 99),  # matched → update (same key, new value)
+        _sig(3, D2, "speed", 40),  # not matched → insert
+    ]
+    upsert_signals(spark, path, spark.createDataFrame(updates, SIG_SCHEMA))
+
+    got = spark.read.parquet(path)
+    assert got.count() == 4
+    updated = got.filter((F.col("token_id") == 1) & (F.col("timestamp") == D2)).collect()
+    assert len(updated) == 1 and updated[0]["value_number"] == 99.0
+    # untouched partition (D1) kept intact
+    assert got.filter(F.col("token_id") == 1).filter(F.col("value_number") == 10.0).count() == 1
+
+
+def test_upsert_touches_only_update_partitions(spark, tmp_path):
+    path = str(tmp_path / "sig")
+    base = [_sig(1, D1, "speed", 10), _sig(1, D2, "speed", 20)]
+    write_signals(spark.createDataFrame(base, SIG_SCHEMA), path, mode="overwrite")
+    import os
+
+    d1_dir = f"{path}/event_date=2024-01-01"
+    before = {f: os.path.getmtime(f"{d1_dir}/{f}") for f in os.listdir(d1_dir)}
+    upsert_signals(spark, path, spark.createDataFrame([_sig(9, D2, "speed", 1)], SIG_SCHEMA))
+    after = {f: os.path.getmtime(f"{d1_dir}/{f}") for f in os.listdir(d1_dir)}
+    assert before == after  # dynamic overwrite never rewrote the D1 partition
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "sig")
+    rows = [_sig(i % 5, D1 + timedelta(seconds=i), "speed", i) for i in range(200)]
+    df = spark.createDataFrame(rows, SIG_SCHEMA).withColumn("event_date", F.to_date("timestamp"))
+    # deliberately fragment: many small files in one partition
+    df.repartition(16).write.mode("overwrite").partitionBy("event_date").parquet(path)
+
+    stats = {r["event_date"].isoformat(): r["n_files"] for r in table_file_stats(spark, path).collect()}
+    assert stats["2024-01-01"] > 1
+
+    compact_partition(spark, path, "2024-01-01", target_files=1)
+    stats2 = table_file_stats(spark, path).collect()
+    assert stats2[0]["n_files"] == 1
+    assert stats2[0]["n_rows"] == 200  # lossless
+
+
+def test_v2_payload_dispatch(spark):
+    """Documents with a non-null dataschema take the v2 catalog path
+    (sync.go:190-204 dispatch), others the v1 path."""
+    from es_ch_sync_spark.catalog import SignalCatalog, SignalDef
+    from es_ch_sync_spark.job.sync import SyncOptions, plan_sync
+
+    schema = T.StructType(
+        [
+            T.StructField("subject", T.StringType()),
+            T.StructField("dataschema", T.StringType()),
+            T.StructField("time", T.TimestampType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("data_speed", T.LongType()),
+        ]
+    )
+    rows = [
+        ("1", None, D1, "s", 50),  # v1
+        ("1", "v2.0", D2, "s", 50),  # v2
+    ]
+    df = spark.createDataFrame(rows, schema)
+    v1 = SignalCatalog([SignalDef("speed", "data_speed", "number")])
+    v2 = SignalCatalog([SignalDef("speed_kmh", "data_speed", "number", "mph_to_kmh")])
+    opts = SyncOptions(start_time=D1 - timedelta(days=1), stop_time=D2 + timedelta(days=1))
+    signals, _ = plan_sync(df, v1, None, opts, catalog_v2=v2)
+    got = {(r["name"], round(r["value_number"], 3)) for r in signals.collect()}
+    assert got == {("speed", 50.0), ("speed_kmh", round(50 * 1.609344, 3))}
