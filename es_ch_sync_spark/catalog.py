@@ -92,6 +92,62 @@ class SignalCatalog:
     def __len__(self) -> int:
         return len(self.defs)
 
+    # -- YAML round-trip: the reference loads its signal definitions from a
+    # versioned YAML file (schema.LoadDefinitionFile(schema.DefinitionsYAML()),
+    # /root/reference/internal/sync/sync.go:240) [dep].  Same contract here:
+    # swapping catalogs is a data file, not a code change.
+
+    @classmethod
+    def from_yaml(cls, text: str) -> "SignalCatalog":
+        """Parse a definitions YAML:
+
+        signals:
+          - name: speed
+            source_field: data_speed
+            value_class: number        # optional, default number
+            conversion: identity       # optional, must be in CONVERSIONS
+        """
+        import yaml
+
+        doc = yaml.safe_load(text) or {}
+        defs = []
+        for entry in doc.get("signals", []):
+            conv = entry.get("conversion", "identity")
+            if conv not in CONVERSIONS:
+                raise ValueError(f"unknown conversion {conv!r} for signal {entry.get('name')!r}")
+            defs.append(
+                SignalDef(
+                    name=entry["name"],
+                    source_field=entry["source_field"],
+                    value_class=entry.get("value_class", "number"),
+                    conversion=conv,
+                )
+            )
+        return cls(defs)
+
+    @classmethod
+    def from_yaml_file(cls, path: str) -> "SignalCatalog":
+        with open(path, encoding="utf-8") as f:
+            return cls.from_yaml(f.read())
+
+    def to_yaml(self) -> str:
+        import yaml
+
+        return yaml.safe_dump(
+            {
+                "signals": [
+                    {
+                        "name": d.name,
+                        "source_field": d.source_field,
+                        "value_class": d.value_class,
+                        "conversion": d.conversion,
+                    }
+                    for d in self.defs
+                ]
+            },
+            sort_keys=False,
+        )
+
 
 # ---------------------------------------------------------------------------
 # Catalog for the reference-shaped fixture table (FIXTURES.md Table 1):

@@ -42,6 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--parallel", default=os.environ.get("PARALLEL"), help="ignored (Spark task scheduling)")
     p.add_argument("--streaming", action="store_true", help="run as AvailableNow stream (cron mode)")
     p.add_argument("--checkpoint", default=None, help="stream checkpoint dir (required with --streaming)")
+    p.add_argument("--catalog", default=None, help="signal-definitions YAML (default: built-in 18-signal catalog)")
     return p
 
 
@@ -51,11 +52,14 @@ def main(argv: list[str] | None = None) -> int:
         print("note: BATCH_SIZE/PARALLEL are handled by Spark (split sizing / scheduling); ignored",
               file=sys.stderr)
 
-    from es_ch_sync_spark.catalog import DEVICE_STATUS_CATALOG
+    from es_ch_sync_spark.catalog import DEVICE_STATUS_CATALOG, SignalCatalog
     from es_ch_sync_spark.fixtures import DEVICE_STATUS_SCHEMA
     from es_ch_sync_spark.job.sync import SyncOptions, plan_sync
     from es_ch_sync_spark.session import get_spark
 
+    catalog = (
+        SignalCatalog.from_yaml_file(args.catalog) if args.catalog else DEVICE_STATUS_CATALOG
+    )
     spark = get_spark("es_ch_sync_spark-job")
     opts = SyncOptions(
         start_time=_parse_time(args.start),
@@ -77,7 +81,7 @@ def main(argv: list[str] | None = None) -> int:
 
         stream = read_status_stream(spark, args.source, DEVICE_STATUS_SCHEMA)
         signals = build_signal_stream(
-            stream, DEVICE_STATUS_CATALOG.filtered(opts.signals or None), dim
+            stream, catalog.filtered(opts.signals or None), dim
         )
         q = start_signal_sink(signals, args.out, args.checkpoint, available_now=True)
         q.awaitTermination()
@@ -90,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         status = spark.read.parquet(args.source)
 
-    signals, quarantine = plan_sync(status, DEVICE_STATUS_CATALOG, dim, opts)
+    signals, quarantine = plan_sync(status, catalog, dim, opts)
     from es_ch_sync_spark.io.sinks import write_signals
 
     write_signals(signals, args.out)

@@ -141,6 +141,32 @@ def fingerprint_rolling(col: Column) -> Column:
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition gates: duplicate n-gram fraction and
+    top-n-gram mass per document.
+
+    Boilerplate/spam shows up as a few n-grams carrying most of the mass.
+    explode + per-(doc, gram) counts (map-side combined) — the same
+    shuffle-discipline as the dedup family: grams, not documents, move."""
+    w = words(F.col(text_col))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    grams = df.select(F.col(id_col), F.explode(ngrams).alias("g"))
+    counts = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.round(1.0 - F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6).alias(
+            "dup_ngram_frac"
+        ),
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias("top_ngram_frac"),
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text-analysis projection over a document table."""
     t = F.col(text_col)

@@ -317,6 +317,38 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_documents(_docs(spark, sf_dir))
 
 
+_REPETITION_ORACLE = """
+    WITH n AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents
+    ), w AS (
+        SELECT doc_id, string_split(nt, ' ') AS ws FROM n
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(ws) - 1, 1) + 1),
+            i -> array_to_string(list_slice(ws, i, i + 1), ' ')
+        )) AS g
+        FROM w
+    ), counts AS (
+        SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           sum(c) AS total_ngrams,
+           count(*) AS distinct_ngrams,
+           round(1.0 - count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS dup_ngram_frac,
+           round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_ngram_frac
+    FROM counts GROUP BY doc_id
+"""
+
+
+@register("text_repetition", _REPETITION_ORACLE)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates: duplicate-2-gram fraction + top-gram
+    mass per document."""
+    from es_ch_sync_spark.operators.text import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir))
+
+
 @register("dedup_exact", oracles.exact_dedup_sql())
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: only (md5, id) shuffles, never document bodies."""

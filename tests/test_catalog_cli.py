@@ -1,0 +1,60 @@
+"""Catalog YAML round-trip + CLI job in-process end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from es_ch_sync_spark.catalog import DEVICE_STATUS_CATALOG, SignalCatalog
+from es_ch_sync_spark.fixtures import device_dim_df, device_status_df
+
+
+def test_catalog_yaml_roundtrip():
+    text = DEVICE_STATUS_CATALOG.to_yaml()
+    back = SignalCatalog.from_yaml(text)
+    assert back.defs == DEVICE_STATUS_CATALOG.defs
+    assert len(back) == 18
+
+
+def test_catalog_yaml_rejects_unknown_conversion():
+    bad = """
+signals:
+  - name: x
+    source_field: data_x
+    conversion: furlongs_per_fortnight
+"""
+    with pytest.raises(ValueError, match="furlongs_per_fortnight"):
+        SignalCatalog.from_yaml(bad)
+
+
+def test_cli_job_end_to_end(spark, tmp_path):
+    """Drive job.main() in-process: custom YAML catalog, signal filter,
+    token filter, quarantine side-output."""
+    from es_ch_sync_spark.job.main import main
+
+    src = str(tmp_path / "status")
+    dim = str(tmp_path / "dim")
+    out = str(tmp_path / "signal")
+    quar = str(tmp_path / "quarantine")
+    cat_file = tmp_path / "cat.yaml"
+    cat_file.write_text(
+        SignalCatalog(
+            [d for d in DEVICE_STATUS_CATALOG.defs if d.name in ("speed", "make")]
+        ).to_yaml()
+    )
+
+    device_status_df(spark, subjects=4, rows_per_subject=50, malformed_every=90).write.parquet(src)
+    device_dim_df(spark, subjects=4).write.parquet(dim)
+
+    rc = main(
+        [
+            "--source", src, "--dim", dim, "--out", out, "--quarantine", quar,
+            "--start", "2020-01-01T00:00:00Z", "--stop", "2020-02-01T00:00:00Z",
+            "--tokens", " 1, 2,3 ,4,junk", "--catalog", str(cat_file),
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    n_bad = got.sparkSession.read.parquet(quar).filter("is_malformed").count()
+    assert n_bad == 2  # rows 90 and 180 of 200
+    assert got.count() == (200 - n_bad) * 2  # 2 signals per clean doc
+    assert {r["name"] for r in got.select("name").distinct().collect()} == {"speed", "make"}
