@@ -1,6 +1,13 @@
 """Deduplication family for training-data pipelines: exact, MinHash+LSH,
 SimHash, n-gram Jaccard, embedding-cosine near-dup.
 
+Algorithms follow the published formulations: min-wise hashing (Broder,
+"On the resemblance and containment of documents", 1997), LSH banding
+(Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3), SimHash
+(Charikar, "Similarity estimation techniques from rounding algorithms",
+STOC 2002; Manku et al., "Detecting near-duplicates for web crawling",
+WWW 2007 for the pigeonhole banding).
+
 Scale design (the point of each choice):
 
 - **Exact** dedup never shuffles document bodies: group on md5(normalized

@@ -1,5 +1,11 @@
 """Similarity search over embedding columns (`array<float>`).
 
+The approximate tiers follow the published formulations: signed random
+projections (Charikar, STOC 2002), LSH probing (Indyk/Motwani, STOC 1998;
+Gionis/Indyk/Motwani, VLDB 1999), and IVF-style coarse quantization
+(the inverted-file half of Jégou et al., "Product quantization for
+nearest neighbor search", TPAMI 2011) in queries_relational.q_ann_ivf_topk.
+
 Two tiers, same API:
 
 - **Brute-force cosine top-k** — the exact baseline.  Dot products are pure

@@ -389,6 +389,33 @@ def _ivf_query_vec(sf_dir: str, vec_id: int) -> list[float]:
     return t.column("embedding").to_pylist()[t.column("vec_id").to_pylist().index(vec_id)]
 
 
+def _profile_oracle() -> str:
+    cols = [("event_id", "bigint"), ("ts", "timestamp"), ("user_id", "bigint"),
+            ("event_type", "string"), ("value", "double"), ("props", "string")]
+    parts = [
+        f"""
+        SELECT '{c}' AS column, '{t}' AS dtype,
+               count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               min({c}::VARCHAR) AS min_str,
+               max({c}::VARCHAR) AS max_str
+        FROM events
+        """
+        for c, t in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_events", _profile_oracle())
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the events table (nulls,
+    cardinality, min/max) — one aggregation pass, #cols output rows."""
+    from es_ch_sync_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "events"))
+
+
 _STREAM_ORACLE = """
     SELECT DISTINCT user_id AS token_id, ts AS timestamp, 'value' AS name,
            'events' AS source, value AS value_number,
