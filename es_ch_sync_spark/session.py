@@ -61,3 +61,32 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(executor_cores: int = 5, executors: int = 1000) -> dict[str, str]:
+    """The conf this engine expects on a real 100 TB cluster (docs-as-code;
+    pass to get_spark(extra_conf=...) or spark-submit --conf).
+
+    Rationale per key — these are the scale knobs local[32] can't exercise:
+    """
+    total_cores = executor_cores * executors
+    return {
+        # shuffle width: start ~2x total cores and let AQE coalesce down —
+        # undersized shuffles spill, oversized ones are merged for free
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # ~128 MB input splits: big enough to amortize task launch, small
+        # enough that a task's working set fits executor memory at 100 TB
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # dims in this engine (device table, catalogs) are small; raise the
+        # auto-broadcast bar so Catalyst picks BHJ without hints at scale
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        # blob tables (multimodal): bytes-based splits matter more than rows
+        "spark.sql.parquet.compression.codec": "zstd",
+        # dynamic partition overwrite is what upsert_signals relies on
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
