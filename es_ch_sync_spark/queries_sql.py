@@ -134,6 +134,49 @@ register_shared_sql(
 )
 
 register_shared_sql(
+    "sql_min_per_group_corr",
+    """
+    SELECT p.p_brand, p.p_partkey, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (
+        SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+
+register_shared_sql(
+    "sql_order_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+
+register_shared_sql(
+    "sql_decile_spend",
+    """
+    SELECT decile, count(*) AS n_users,
+           round(min(spend), 2) AS min_spend, round(max(spend), 2) AS max_spend
+    FROM (
+        SELECT user_id, spend, ntile(10) OVER (ORDER BY spend DESC, user_id) AS decile
+        FROM (
+            SELECT user_id, sum(value::DECIMAL(12,2))::DOUBLE AS spend
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+    )
+    GROUP BY decile
+    """,
+)
+
+register_shared_sql(
     "sql_window_sampler",
     """
     SELECT event_id, user_id,
