@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "knn_join_blocked",
     "embedding_near_dup",
     "multimodal_features",
 ]

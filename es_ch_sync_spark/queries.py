@@ -407,6 +407,13 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_join(_emb(spark, sf_dir), k=3)
 
 
+@register("knn_join_blocked", oracles.knn_join_sql(k=3))
+def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-NN via blocked numpy matmul (vectorized Pandas UDF) — same
+    oracle as knn_join, ~2 orders faster arithmetic."""
+    return sim.knn_join_blocked(_emb(spark, sf_dir), k=3)
+
+
 @register("multimodal_features", oracles.multimodal_features_sql())
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: blob → (n_bytes, md5, feature[8]) via
