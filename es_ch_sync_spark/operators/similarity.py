@@ -326,21 +326,75 @@ def embedding_near_duplicates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
-    if broadcast_vectors:
-        va, vb = F.broadcast(va), F.broadcast(vb)
-    # the scoring stage is compute-bound (64-dim fold per pair) — keep it
-    # wide even though the pair table is only a few MB (AQE would coalesce)
     pairs = spread(pairs)
-    cos = F.when(
-        (F.col("n_a") > 0) & (F.col("n_b") > 0),
-        dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
-    ).otherwise(F.lit(0.0))
+    if broadcast_vectors:
+        # numpy scorer: pairs stay (long, long) rows end-to-end; vectors ride
+        # once as a broadcast matrix and each partition scores its pairs with
+        # one gather + einsum.  Chosen over the Column-expression fold because
+        # higher-order functions (zip_with/aggregate) execute interpreted,
+        # not codegen'd — at millions of candidate pairs that's the ceiling.
+        scored = _score_pairs_numpy(emb, pairs, id_col=id_col, vec_col=vec_col)
+    else:
+        # ≳100M-vector path: attach vectors by shuffle join (pre-bucket the
+        # vector table to make these shuffle-free) and fold JVM-side
+        va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+        vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+        cos = F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        ).otherwise(F.lit(0.0))
+        scored = (
+            pairs.join(va, "id_a").join(vb, "id_b").select("id_a", "id_b", cos.alias("cos_sim"))
+        )
     return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        scored.filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def _score_pairs_numpy(
+    emb: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """cos_sim for (id_a, id_b) pairs via a broadcast normalized matrix.
+
+    Exact semantics of dot/(|a||b|): computed as normalized-row dot (same
+    value up to final-ulp rounding; every consumer rounds to 6dp)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    pdf = emb.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    B = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+    norms = np.linalg.norm(B, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Bn = B / norms
+    index = {int(i): r for r, i in enumerate(ids)}
+    b_idx = spark.sparkContext.broadcast(index)
+    b_mat = spark.sparkContext.broadcast(Bn)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(blocks):
+        idx = b_idx.value
+        M = b_mat.value
+        for block in blocks:
+            if not len(block):
+                continue
+            ra = np.fromiter((idx[int(i)] for i in block["id_a"]), dtype=np.int64, count=len(block))
+            rb = np.fromiter((idx[int(i)] for i in block["id_b"]), dtype=np.int64, count=len(block))
+            cos = np.einsum("ij,ij->i", M[ra], M[rb])
+            yield pd.DataFrame(
+                {"id_a": block["id_a"], "id_b": block["id_b"], "cos_sim": cos}
+            )
+
+    return pairs.mapInPandas(score, out_schema)
