@@ -15,6 +15,44 @@ def test_catalog_yaml_roundtrip():
     assert len(back) == 18
 
 
+def test_every_conversion_applies_correctly(spark):
+    """Each CONVERSIONS entry produces the expected value through the
+    unpivot (the unit-conversion surface, T2)."""
+    from pyspark.sql import types as T
+
+    from es_ch_sync_spark.catalog import CONVERSIONS, SignalDef
+    from es_ch_sync_spark.operators.transform import unpivot_signals
+
+    schema = T.StructType(
+        [
+            T.StructField("tok", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("src", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("b", T.BooleanType()),
+        ]
+    )
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, tzinfo=timezone.utc), "s", 100.0, True)], schema
+    )
+    cat = SignalCatalog(
+        [SignalDef(f"sig_{name}", "b" if name == "bool_to_float" else "x", "number", name)
+         for name in CONVERSIONS]
+    )
+    got = {
+        r["name"]: r["value_number"]
+        for r in unpivot_signals(df, cat, token_col="tok", ts_col="ts", source_col="src").collect()
+    }
+    assert got["sig_identity"] == 100.0
+    assert got["sig_ratio_to_percent"] == 10000.0
+    assert abs(got["sig_kpa_to_psi"] - 14.50377377) < 1e-6
+    assert abs(got["sig_mph_to_kmh"] - 160.9344) < 1e-6
+    assert got["sig_celsius_to_kelvin"] == 373.15
+    assert got["sig_bool_to_float"] == 1.0
+
+
 def test_catalog_yaml_rejects_unknown_conversion():
     bad = """
 signals:
