@@ -389,6 +389,51 @@ def _ivf_query_vec(sf_dir: str, vec_id: int) -> list[float]:
     return t.column("embedding").to_pylist()[t.column("vec_id").to_pylist().index(vec_id)]
 
 
+@register(
+    "dedup_keep_one",
+    """
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id IN (
+        SELECT min(doc_id) FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    )
+    """,
+)
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full exact-dedup operation (not just the groups): keep one
+    representative per content fingerprint via broadcast semi-join."""
+    from es_ch_sync_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "source")
+
+
+@register(
+    "asof_join_tolerance",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN p.ts >= e.ts - INTERVAL 6 HOUR THEN p.ts END AS matched_ts,
+           CASE WHEN p.ts >= e.ts - INTERVAL 6 HOUR THEN p.value END AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 6h tolerance: matches older than the window are
+    nulled (pandas merge_asof-style tolerance semantics)."""
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        errors, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["purchase_value"], tolerance_seconds=6 * 3600,
+    )
+    return out.select("event_id", "user_id", "ts", "matched_ts", "purchase_value")
+
+
 def _profile_oracle() -> str:
     cols = [("event_id", "bigint"), ("ts", "timestamp"), ("user_id", "bigint"),
             ("event_type", "string"), ("value", "double"), ("props", "string")]

@@ -134,6 +134,19 @@ register_shared_sql(
 )
 
 register_shared_sql(
+    "sql_range_frame_window",
+    """
+    SELECT user_id, event_id, ts,
+           round(sum(value::DECIMAL(12,2))
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2)
+               AS trailing_7d_value
+    FROM events
+    WHERE user_id < 8
+    """,
+)
+
+register_shared_sql(
     "sql_min_per_group_corr",
     """
     SELECT p.p_brand, p.p_partkey, p.p_retailprice
