@@ -77,6 +77,74 @@ def compact_partition(
     )
 
 
+ROLLUP_KEY = ["token_id", "day", "name"]
+
+
+def build_daily_rollup(signals: DataFrame) -> DataFrame:
+    """Daily continuous-aggregate over the tall signal table:
+    (token, day, name) → count / min / max / sum — the 'hypertable rollup'
+    read-model for dashboard-style queries.
+
+    All aggregates here are decomposable (count/min/max/sum), which is what
+    makes INCREMENTAL maintenance possible: the rollup of (old ∪ delta)
+    equals the pairwise merge of their rollups."""
+    return signals.groupBy(
+        F.col("token_id"), F.to_date("timestamp").alias("day"), F.col("name")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value_number").alias("v_min"),
+        F.max("value_number").alias("v_max"),
+        F.sum(F.col("value_number").cast("decimal(18,4)")).cast("double").alias("v_sum"),
+    )
+
+
+def maintain_daily_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    signals_delta: DataFrame,
+) -> None:
+    """Incrementally fold a signal delta into a materialized daily rollup.
+
+    The continuous-aggregate pattern: aggregate ONLY the delta, merge with
+    the existing rollup rows for the touched (day) partitions, rewrite just
+    those partitions (dynamic overwrite).  Work scales with the delta's
+    day-span, not table history — the batch analog of a streaming windowed
+    aggregation with state in the table itself."""
+    delta = build_daily_rollup(signals_delta)
+
+    import os
+
+    if not os.path.exists(rollup_path):
+        (
+            delta.repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(rollup_path)
+        )
+        return
+
+    existing = spark.read.parquet(rollup_path)
+    touched = [r["day"] for r in delta.select("day").distinct().collect()]
+    merged = (
+        existing.filter(F.col("day").isin(touched))
+        .unionByName(delta)
+        .groupBy(*ROLLUP_KEY)
+        .agg(
+            F.sum("n").alias("n"),
+            F.min("v_min").alias("v_min"),
+            F.max("v_max").alias("v_max"),
+            F.sum("v_sum").alias("v_sum"),
+        )
+    )
+    (
+        merged.repartition("day")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(rollup_path)
+    )
+
+
 def table_file_stats(spark: SparkSession, table_path: str) -> DataFrame:
     """Files-per-partition + bytes profile — the compaction trigger signal."""
     df = spark.read.parquet(table_path)

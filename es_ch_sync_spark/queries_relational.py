@@ -434,6 +434,35 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "matched_ts", "purchase_value")
 
 
+@register(
+    "signal_daily_rollup",
+    """
+    WITH tall AS (
+        SELECT user_id AS token_id, ts AS timestamp, 'value' AS name,
+               value AS value_number
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT token_id, date_trunc('day', timestamp)::DATE AS day, name,
+           count(*) AS n,
+           min(value_number) AS v_min,
+           max(value_number) AS v_max,
+           sum(value_number::DECIMAL(18,4))::DOUBLE AS v_sum
+    FROM tall GROUP BY token_id, date_trunc('day', timestamp)::DATE, name
+    """,
+)
+def q_signal_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate read-model: daily (token, name) rollup over
+    the tall signal table (decomposable aggs → incrementally maintainable,
+    io/maintenance.py::maintain_daily_rollup)."""
+    from es_ch_sync_spark.catalog import SignalCatalog, SignalDef
+    from es_ch_sync_spark.io.maintenance import build_daily_rollup
+
+    cat = SignalCatalog([SignalDef("value", "value", "number")])
+    e = _t(spark, sf_dir, "events").withColumn("src", F.lit("events"))
+    tall = unpivot_signals(e, cat, token_col="user_id", ts_col="ts", source_col="src")
+    return build_daily_rollup(tall)
+
+
 def _profile_oracle() -> str:
     cols = [("event_id", "bigint"), ("ts", "timestamp"), ("user_id", "bigint"),
             ("event_type", "string"), ("value", "double"), ("props", "string")]

@@ -87,6 +87,10 @@ def cluster_conf(executor_cores: int = 5, executors: int = 1000) -> dict[str, st
         "spark.sql.parquet.compression.codec": "zstd",
         # dynamic partition overwrite is what upsert_signals relies on
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        # runtime bloom-filter join pruning: inject a bloom filter from the
+        # filtered dim side into the fact scan — the big-join analog of the
+        # reference's exists-disjunction pushdown (S7), free at this size
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
     }
