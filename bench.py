@@ -43,6 +43,7 @@ HEADLINE = [
     "resample_daily",
     "asof_join_events",
     "signal_last_value",
+    "signal_daily_rollup",
     # training-data ops
     "text_analysis",
     "dedup_exact",

@@ -168,8 +168,21 @@ def minhash_near_duplicates(
 
     The verify join re-attaches shingle arrays only for candidate ids —
     at scale that's a tiny fraction of the corpus."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
-    sh = spread(df).select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    # cache the (small) candidate pair set: it feeds both the id prefilter
+    # and the verify join — uncached, the whole LSH pipeline would run twice
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k).cache()
+    # shingle arrays are needed ONLY for candidate docs — prefilter with a
+    # broadcast semi-join on the (small) candidate id set so the verify
+    # stage shingles a fraction of the corpus, not all of it
+    cand_ids = F.broadcast(
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        spread(df.join(cand_ids, on=id_col, how="left_semi"))
+        .select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    )
     out = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
