@@ -41,6 +41,21 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _sql_double_array(xs: list[float]) -> str:
+    """Literal array<double> as SQL text.  repr() round-trips doubles
+    exactly; the D suffix keeps Spark from parsing them as DECIMAL."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+
+
+def _sql_dot(vec_sql: str, xs: list[float]) -> str:
+    """Left-to-right fold dot(vec, literal) as SQL text — one expr() parse
+    instead of ~len(xs) py4j calls, same fold order as dot() below."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_sql_double_array(xs)}, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -68,7 +83,7 @@ def cosine_topk(
 
     The query is a broadcast-free literal array folded into the projection;
     the plan is scan → map(score) → TakeOrderedAndProject(k)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.expr(_sql_double_array(query_vec))
     scored = emb.select(
         F.col(id_col),
         cosine(_as_double(F.col(vec_col)), q).alias("cos_sim"),
@@ -200,17 +215,17 @@ def srp_planes(dim: int, n_planes: int, seed: str = "srp") -> list[list[float]]:
     return planes
 
 
-def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit signature: bit p = [dot(vec, plane_p) >= 0], packed into a long."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit(1 << p).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
+def srp_signature(vec_sql: str, planes: list[list[float]]) -> Column:
+    """Bit signature: bit p = [dot(vec, plane_p) >= 0], packed into a long.
+
+    ``vec_sql`` is the vector column as SQL text; the whole signature is one
+    expr() parse (plane literals embedded) — building it as Column arithmetic
+    costs n_planes·dim py4j round-trips of pure plan-construction time."""
+    terms = [
+        f"if({_sql_dot(vec_sql, plane)} >= 0, {1 << p}L, 0L)"
         for p, plane in enumerate(planes)
     ]
-    out: Column = F.lit(0).cast("long")
-    for b in bits:
-        out = out + b
-    return out
+    return F.expr(" + ".join(terms))
 
 
 def lsh_ann_topk(
@@ -237,7 +252,7 @@ def lsh_ann_topk(
     mask = (1 << bits_per_band) - 1
 
     v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    sig = srp_signature(F.col("v"), planes)
+    sig = srp_signature("v", planes)
     bucketed = v.withColumn("sig", sig)
 
     # query signature computed driver-side with the same plane literals
@@ -253,7 +268,7 @@ def lsh_ann_topk(
             F.shiftright(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask)) == F.lit(qband)
         )
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.expr(_sql_double_array(query_vec))
     cands = bucketed.filter(band_match)
     if exclude_id is not None:
         cands = cands.filter(F.col(id_col) != exclude_id)
@@ -293,7 +308,7 @@ def embedding_near_duplicates(
     v = (
         spread(emb)
         .select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-        .withColumn("sig", srp_signature(F.col("v"), planes))
+        .withColumn("sig", srp_signature("v", planes))
         .withColumn("nrm", norm(F.col("v")))
     )
     # band bucketing carries ONLY (id, band, key): the vectors rejoin after
