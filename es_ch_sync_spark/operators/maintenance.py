@@ -60,3 +60,27 @@ def resume_points(
     return signals.groupBy(token_col).agg(
         F.min(ts_col).alias("min_ts"), F.max(ts_col).alias("max_ts")
     )
+
+
+def merge_resume_points(
+    summary: DataFrame | None,
+    batch_points: DataFrame,
+    token_col: str = "token_id",
+) -> DataFrame:
+    """CDC-style maintenance of the resume-point summary: fold one batch's
+    per-token (min_ts, max_ts) into the running summary.
+
+    min/max are decomposable, so summary(old ∪ batch) ≡ merge of the two
+    summaries — each ingest batch costs O(batch + |summary|) instead of a
+    full-table rescan (the reference re-queries ClickHouse per token per
+    run, clickhouse.go:65-87).  At 100 TB the summary is #tokens rows (tiny)
+    while the signal table is the 100 TB — recomputing resume_points from
+    scratch every batch would be the single most wasteful scan in the
+    system."""
+    if summary is None:
+        return batch_points
+    return (
+        summary.unionByName(batch_points)
+        .groupBy(token_col)
+        .agg(F.min("min_ts").alias("min_ts"), F.max("max_ts").alias("max_ts"))
+    )

@@ -263,6 +263,29 @@ def q_resume_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resume_points(_events(spark, sf_dir).withColumnRenamed("user_id", "token_id"), ts_col="ts")
 
 
+@register(
+    "resume_points_incremental",
+    """
+    SELECT user_id AS token_id, min(ts) AS min_ts, max(ts) AS max_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def q_resume_points_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 as CDC maintenance: the events table arrives as three disjoint
+    batches; the resume summary is folded batch-by-batch with
+    merge_resume_points instead of recomputed from the full table.  The
+    oracle is the full-table groupBy — the gate proves the incremental fold
+    converges to exactly the recomputed answer."""
+    from es_ch_sync_spark.operators.maintenance import merge_resume_points
+
+    ev = _events(spark, sf_dir).withColumnRenamed("user_id", "token_id")
+    summary = None
+    for chunk in range(3):
+        batch = ev.filter(F.col("token_id") % 3 == chunk)
+        summary = merge_resume_points(summary, resume_points(batch, ts_col="ts"))
+    return summary
+
+
 # ---------------------------------------------------------------------------
 # Flagship: the composed sync pipeline on the events table
 # ---------------------------------------------------------------------------

@@ -103,3 +103,26 @@ def test_v2_payload_dispatch(spark):
     signals, _ = plan_sync(df, v1, None, opts, catalog_v2=v2)
     got = {(r["name"], round(r["value_number"], 3)) for r in signals.collect()}
     assert got == {("speed", 50.0), ("speed_kmh", round(50 * 1.609344, 3))}
+
+
+def test_merge_resume_points_equals_recompute(spark):
+    """CDC summary maintenance: folding per-batch (min,max) summaries
+    batch-by-batch converges to the full-table recompute, regardless of
+    how rows are split into batches."""
+    from es_ch_sync_spark.operators.maintenance import merge_resume_points, resume_points
+
+    rows = [
+        _sig(t, D1 + timedelta(hours=h), "speed", h)
+        for t in (1, 2, 3)
+        for h in (0, 5, 2, 9, 7)
+    ]
+    full = spark.createDataFrame(rows, SIG_SCHEMA)
+
+    summary = None
+    for chunk in range(4):  # uneven batches; every token spans several
+        batch = full.filter((F.hour("timestamp") + F.col("token_id")) % 4 == chunk)
+        summary = merge_resume_points(summary, resume_points(batch))
+
+    expect = {(r["token_id"], r["min_ts"], r["max_ts"]) for r in resume_points(full).collect()}
+    got = {(r["token_id"], r["min_ts"], r["max_ts"]) for r in summary.collect()}
+    assert got == expect
