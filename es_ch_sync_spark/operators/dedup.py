@@ -193,6 +193,67 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (doc_id, cluster_id) with
+    cluster_id = min doc id reachable through the pair graph.
+
+    This is the step that turns pairwise near-dup evidence into a keep-one
+    policy (keep cluster_id, drop the rest).  Min-label propagation,
+    Pregel-style: each round every node adopts the smallest label among
+    itself and its neighbors; converged when no label changes.  Rounds =
+    graph diameter — near-dup clusters are shallow (boilerplate families),
+    so this terminates in a handful of rounds; for adversarially long
+    chains at 100 TB, switch to the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014), which contracts paths in O(log²) rounds with the same
+    join-shape per round.
+
+    Scale notes: the edge list is cached (reused every round);
+    localCheckpoint truncates the growing lineage each round (otherwise
+    round k replans k joins deep); the convergence probe piggybacks on the
+    labels action — one count per round, each O(|V|)."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("src"), F.col("label").alias("src_label")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("src_label").alias("nbr_label"))
+        )
+        new_labels = labels.join(nbr, "id", "left").select(
+            "id", F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label")
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
 

@@ -182,3 +182,49 @@ def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         fingerprint_md5(t).alias("fp_md5"),
         fingerprint_rolling(t).alias("fp_roll"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    Classic document fingerprinting for corpus exploration: tf = term count
+    in the doc, idf = ln(N/df) over the whole corpus.  Plan shape at scale:
+    explode → two partial-aggregated groupBys (per-(doc,term) and per-term)
+    → broadcast of the corpus size (1 row) → per-doc window top-k.  The
+    per-term document-frequency table is the only cross-doc state and is
+    |vocabulary| rows — small enough to broadcast-join back onto the tf
+    table at any corpus size.
+
+    Ranking happens on the ROUNDED score: ln() differs in the last ulp
+    between libm implementations (JVM vs DuckDB), so the 6dp round is
+    applied before the window sort in both engines to keep the oracle
+    comparison exact."""
+    from pyspark.sql import Window as W
+
+    w = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    win = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

@@ -157,6 +157,28 @@ def minhash_near_dup_sql(num_hashes: int = 8, bands: int = 4, k: int = 3, thresh
     """
 
 
+def dedup_clusters_sql(num_hashes: int = 8, bands: int = 4, k: int = 3, threshold: float = 0.5) -> str:
+    """Connected components over the minhash near-dup pairs: cluster_id =
+    min doc_id transitively reachable.  The recursive CTE enumerates
+    (node, reachable-label) — fine at oracle scale; the Spark side is the
+    iterative min-label propagation in operators.dedup.connected_components."""
+    pairs = minhash_near_dup_sql(num_hashes, bands, k, threshold)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+    )
+    SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+    """
+
+
 def ngram_jaccard_sql(k: int = 3, threshold: float = 0.3) -> str:
     return f"""
     {_shingles_cte(k)}
@@ -334,4 +356,80 @@ def multimodal_features_sql() -> str:
            h AS content_md5,
            [{feats}] AS feature
     FROM m
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (operators.sampling)
+# ---------------------------------------------------------------------------
+
+
+def _hash_bucket_sql(id_expr: str, seed: str) -> str:
+    """DuckDB mirror of sampling._hash_bucket: first 56 bits of
+    md5(seed:id) as bigint, mod SPLIT_BUCKETS (hex parsed by fold — DuckDB
+    has no conv())."""
+    from es_ch_sync_spark.operators.sampling import SPLIT_BUCKETS
+
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, 15), j -> "
+        f"(strpos('0123456789abcdef', substr(md5('{seed}:' || {id_expr}), j, 1)) - 1)::BIGINT)), "
+        f"(a, b) -> a * 16 + b) % {SPLIT_BUCKETS}"
+    )
+
+
+def train_test_split_sql(weights: dict[str, float] | None = None, seed: str = "split") -> str:
+    from es_ch_sync_spark.operators.sampling import SPLIT_BUCKETS
+
+    weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    b = _hash_bucket_sql("doc_id", seed)
+    names = list(weights)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += weights[name]
+        whens.append(f"WHEN {b} < {int(round(acc * SPLIT_BUCKETS))} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+def stratified_sample_sql(
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_expr: str = "event_id",
+    seed: str = "strat",
+) -> str:
+    from es_ch_sync_spark.operators.sampling import SPLIT_BUCKETS
+
+    b = _hash_bucket_sql(id_expr, seed)
+    whens = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN {float(f)!r}" for v, f in fractions.items()
+    )
+    frac = f"CASE {whens} ELSE {float(default_fraction)!r} END"
+    return f"""
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE {b} < CAST({frac} * {SPLIT_BUCKETS} AS BIGINT)
+    """
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    """Mirror of text.tfidf_top_terms: rank on the 6dp-rounded score (ln
+    last-ulp differences between libm implementations must not reorder)."""
+    return f"""
+    {WORDS_CTE}
+    , e AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               round(tf.tf::DOUBLE * ln(nd.n_docs::DOUBLE / dfreq.df::DOUBLE), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
     """

@@ -384,6 +384,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
 
 
+@register("dedup_clusters", oracles.dedup_clusters_sql(threshold=0.5))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified minhash
+    pairs (iterative min-label propagation; recursive CTE in the oracle).
+    cluster_id = min reachable doc_id — the keep-one representative."""
+    pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    return dd.connected_components(pairs)
+
+
 @register("dedup_simhash", oracles.simhash_near_dup_sql())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (60-bit, 15-bit pigeonhole bands, Hamming ≤12)."""
@@ -394,6 +403,45 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs >0.3 via explode+equi-join (no cross join)."""
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+@register("tfidf_top_terms", oracles.tfidf_top_terms_sql(k=3))
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf·ln(N/df); corpus stats via
+    two partial aggs + broadcast joins, per-doc window top-k."""
+    from es_ch_sync_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@register("train_test_split", oracles.train_test_split_sql())
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split by md5 hash-bucket of doc_id — stable
+    under reordering, repartitioning, and incremental appends (unlike
+    randomSplit), so membership never leaks across pipeline runs."""
+    from es_ch_sync_spark.operators.sampling import assign_split
+
+    return assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+_STRATA_FRACTIONS = {"click": 0.5, "view": 0.1, "error": 1.0}
+
+
+@register(
+    "stratified_sample",
+    oracles.stratified_sample_sql("event_type", _STRATA_FRACTIONS),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample (rebalance sources:
+    keep all errors, half the clicks, a tenth of the views)."""
+    from es_ch_sync_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _events(spark, sf_dir),
+        "event_type",
+        _STRATA_FRACTIONS,
+        id_col="event_id",
+    ).select("event_id", "ts", "user_id", "event_type")
 
 
 @register("embedding_near_dup", oracles.embedding_near_dup_sql(threshold=0.4, n_planes=12, bands=3))

@@ -108,3 +108,52 @@ def test_multimodal_stubs_gate_cleanly():
         mm.resize_image(b"xx", 10, 10)
     with pytest.raises(NotImplementedError):
         mm.sample_video_frames(b"xx", 1000)
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """Min-label propagation: a 4-chain (needs >1 round), a triangle, and
+    an isolated pair each collapse to their min id."""
+    from es_ch_sync_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(3, 9), (9, 5), (5, 7),      # chain 3-9-5-7 -> cluster 3
+         (10, 12), (12, 11), (10, 11),  # triangle -> cluster 10
+         (20, 21)],                     # pair -> cluster 20
+        "id_a long, id_b long",
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in connected_components(pairs).collect()}
+    assert got == {
+        (3, 3), (9, 3), (5, 3), (7, 3),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_assign_split_append_stable(spark, sf_dir):
+    """The defining property vs randomSplit: a document's split does not
+    depend on which other rows are present (append/reorder stability)."""
+    from es_ch_sync_spark.io.sources import read_parquet_table
+    from es_ch_sync_spark.operators.sampling import assign_split
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    full = {r["doc_id"]: r["split"] for r in assign_split(docs).select("doc_id", "split").collect()}
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    sub = {r["doc_id"]: r["split"] for r in assign_split(subset).select("doc_id", "split").collect()}
+    assert sub == {k: v for k, v in full.items() if k % 3 == 0}
+    # all three splits occupied with ~expected proportions at sf0.001 (50 docs)
+    from collections import Counter
+    c = Counter(full.values())
+    assert c["train"] > c["valid"] + c["test"]
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    from es_ch_sync_spark.io.sources import read_parquet_table
+    from es_ch_sync_spark.operators.sampling import stratified_sample
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    frac = {"click": 0.5, "view": 0.1}
+    s1 = stratified_sample(ev, "event_type", frac, id_col="event_id")
+    s2 = stratified_sample(ev, "event_type", frac, id_col="event_id")
+    assert s1.count() == s2.count()
+    kept = {r["event_type"] for r in s1.select("event_type").distinct().collect()}
+    assert kept <= {"click", "view"}  # default fraction 0 drops the rest
