@@ -179,8 +179,12 @@ def minhash_near_duplicates(
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # spread() the RAW scan, not the semi-joined frame: spread probes
+    # df.rdd for the partition count, and on a frame containing a broadcast
+    # join that probe plans AND executes the broadcast eagerly at
+    # plan-build time (measured: 7 s of "build" for this query at sf0.1)
     sh = (
-        spread(df.join(cand_ids, on=id_col, how="left_semi"))
+        spread(df).join(cand_ids, on=id_col, how="left_semi")
         .select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
     )
     out = (

@@ -341,7 +341,9 @@ def embedding_near_duplicates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    pairs = spread(pairs)
+    # no spread() here: pairs comes out of a shuffle (already cluster-wide),
+    # and spread's partition-count probe on a computed frame would plan and
+    # run the upstream pipeline eagerly at build time
     if broadcast_vectors:
         # numpy scorer: pairs stay (long, long) rows end-to-end; vectors ride
         # once as a broadcast matrix and each partition scores its pairs with

@@ -14,6 +14,12 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     costs little (input is small by construction — that's why it had few
     splits); on real 100 TB inputs the condition is false and this is a
     no-op.  min_partitions defaults to the scheduler's defaultParallelism.
+
+    ONLY call this on scan-stage frames.  The df.rdd partition-count probe
+    physically plans the frame, and if the plan contains a broadcast join
+    the broadcast (and everything under it) EXECUTES during the probe —
+    a computed frame's whole upstream pipeline can run at plan-build time.
+    Frames downstream of a shuffle are already cluster-wide anyway.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
