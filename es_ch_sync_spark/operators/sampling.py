@@ -85,3 +85,81 @@ def stratified_sample(
     for value, f in fractions.items():
         frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
     return df.filter(bucket < (frac * SPLIT_BUCKETS).cast("long"))
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 5,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    holdout: str = "test",
+) -> DataFrame:
+    """Train/holdout contamination report: training documents sharing at
+    least one word ``ngram_k``-gram with any holdout document.
+
+    The standard decontamination pass before pretraining (the n-gram
+    overlap check of GPT-3 appendix C / PaLM): any train doc that could
+    leak an eval answer is flagged (id, n_contaminated_grams).  Plan
+    shape at scale: shingle both sides, equi-join on the shingle string
+    (never doc×doc), aggregate per train doc.  The holdout side is tiny
+    (5% of corpus) — its shingle table broadcasts; the train side stays
+    partition-parallel and never shuffles full documents."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.dedup import word_shingles
+
+    split = assign_split(df, id_col=id_col, weights=weights, seed=seed)
+    grams = split.select(
+        F.col(id_col),
+        F.col("split"),
+        F.explode(word_shingles(F.col(text_col), ngram_k)).alias("gram"),
+    )
+    holdout_grams = grams.filter(F.col("split") == holdout).select("gram").distinct()
+    train_grams = grams.filter(F.col("split") == "train")
+    return (
+        train_grams.join(F.broadcast(holdout_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document a position
+    in a fixed-token-budget training stream.
+
+    The pretraining data layout step: documents are concatenated in a
+    deterministic order and the stream is chunked into ``budget``-token
+    sequences; a document's chunk is floor(start_offset / budget).  Packing
+    is per-shard (shard = id mod n_shards) so the cumulative sum is a
+    window over each shard, not one global serial scan — shards pack in
+    parallel, the plan is one shuffle by shard + one sorted window pass.
+    All-integer arithmetic end to end (no float drift for the oracle)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.text import token_count_ws
+
+    docs = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        token_count_ws(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    win = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return docs.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).alias("start_offset"),
+    ).withColumn("chunk", (F.col("start_offset") / budget).cast("long"))

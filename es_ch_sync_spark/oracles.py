@@ -433,3 +433,56 @@ def tfidf_top_terms_sql(k: int = 3) -> str:
         FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def decontaminate_sql(
+    ngram_k: int = 5,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    holdout: str = "test",
+) -> str:
+    """Mirror of sampling.decontaminate over the documents table."""
+    from es_ch_sync_spark.operators.sampling import SPLIT_BUCKETS
+
+    weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    b = _hash_bucket_sql("doc_id", seed)
+    names = list(weights)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += weights[name]
+        whens.append(f"WHEN {b} < {int(round(acc * SPLIT_BUCKETS))} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"""
+    {_shingles_cte(ngram_k)}
+    , labeled AS (
+        SELECT sh.doc_id, {case.replace('doc_id', 'sh.doc_id')} AS split, shs FROM sh
+    ), grams AS (
+        SELECT doc_id, split, unnest(shs) AS gram FROM labeled
+    ), hold AS (
+        SELECT DISTINCT gram FROM grams WHERE split = '{holdout}'
+    )
+    SELECT g.doc_id, count(DISTINCT g.gram) AS n_contaminated_grams
+    FROM grams g JOIN hold USING (gram)
+    WHERE g.split = 'train'
+    GROUP BY g.doc_id
+    """
+
+
+def pack_sequences_sql(budget: int = 512, n_shards: int = 32) -> str:
+    """Mirror of sampling.pack_sequences: shard-parallel exclusive cumsum
+    of whitespace token counts, chunk = start_offset div budget."""
+    return f"""
+    {WORDS_CTE}
+    , toks AS (
+        SELECT doc_id, doc_id % {n_shards} AS shard, len(ws)::BIGINT AS n_tokens FROM w
+    )
+    SELECT doc_id, shard, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {budget} AS chunk
+    FROM toks
+    """

@@ -424,6 +424,26 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+@register("decontaminate", oracles.decontaminate_sql(ngram_k=5))
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination report: train docs sharing ≥1 word 5-gram
+    with the held-out split (GPT-3-style n-gram decontamination).  Shingle
+    equi-join, never doc×doc; the 5% holdout gram table broadcasts."""
+    from es_ch_sync_spark.operators.sampling import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir), ngram_k=5)
+
+
+@register("pack_sequences", oracles.pack_sequences_sql(budget=512, n_shards=32))
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: per-shard token-offset assignment into
+    512-token training sequences (all-integer window cumsum, 32-way
+    shard-parallel)."""
+    from es_ch_sync_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=32)
+
+
 _STRATA_FRACTIONS = {"click": 0.5, "view": 0.1, "error": 1.0}
 
 

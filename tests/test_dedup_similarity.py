@@ -157,3 +157,42 @@ def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
     assert s1.count() == s2.count()
     kept = {r["event_type"] for r in s1.select("event_type").distinct().collect()}
     assert kept <= {"click", "view"}  # default fraction 0 drops the rest
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc sharing a 5-gram with a test doc is flagged; clean
+    train docs are not."""
+    from es_ch_sync_spark.operators.sampling import assign_split, decontaminate
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",     # shares 5-gram w/ doc 2
+        2: "alpha beta gamma delta epsilon eta",
+        3: "one two three four five six",             # unique
+        4: "seven eight nine ten eleven twelve",      # unique
+    }
+    df = spark.createDataFrame([(k, v) for k, v in texts.items()], "doc_id long, text string")
+    splits = {r["doc_id"]: r["split"] for r in assign_split(df).collect()}
+    got = {r["doc_id"]: r["n_contaminated_grams"] for r in decontaminate(df).collect()}
+    # only train docs overlapping a test doc's grams can appear
+    for doc_id, n in got.items():
+        assert splits[doc_id] == "train" and n >= 1
+    # planted pair: if 1/2 landed in train/test (either way), the train one is flagged
+    pair_splits = {splits[1], splits[2]}
+    if pair_splits == {"train", "test"}:
+        flagged = 1 if splits[1] == "train" else 2
+        assert flagged in got
+
+
+def test_pack_sequences_offsets(spark):
+    """Per-shard exclusive cumsum; chunk = start div budget."""
+    from es_ch_sync_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (2, "d e"), (4, "f g h i"), (1, "x y z w")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["shard"], r["start_offset"], r["chunk"])
+           for r in pack_sequences(df, budget=4, n_shards=2).collect()}
+    # shard 0: docs 0 (3 toks), 2 (2 toks), 4 (4 toks) -> starts 0, 3, 5
+    # shard 1: doc 1 (4 toks) -> start 0
+    assert got == {0: (0, 0, 0), 2: (0, 3, 0), 4: (0, 5, 1), 1: (1, 0, 0)}
