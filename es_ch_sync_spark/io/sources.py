@@ -38,6 +38,14 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
         return ()
 
 
+# (session id, path) → DataFrame.  A DataFrame is an immutable logical plan,
+# so handing the same object to every query is safe — and spark.read.parquet
+# re-lists the path and re-reads the footer on EVERY call (~0.3-0.8 s of
+# driver time), which across a 28-query suite was the single largest fixed
+# cost.  Testdata paths are immutable by contract (TESTDATA.md).
+_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (TESTDATA.md layout: ``{sf_dir}/{name}.parquet``).
 
@@ -45,9 +53,14 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     it reads them as epoch-nanos longs.  We convert back to TimestampType via
     integer division (``div 1000`` — truncation, matching DuckDB's ns→µs
     cast, and avoiding the double-precision loss of ``/``).  The footer probe
-    is one driver-side read per path, cached.
+    is one driver-side read per path, cached; the resulting DataFrame is
+    memoized per session.
     """
     path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -58,6 +71,7 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
