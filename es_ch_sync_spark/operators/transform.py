@@ -48,25 +48,23 @@ def unpivot_signals(
     if len(catalog) == 0:
         raise ValueError("empty signal catalog")
 
-    per_signal = []
-    for d in catalog.defs:
-        per_signal.append(
-            F.struct(
-                F.lit(d.name).alias("name"),
-                d.number_expr().alias("value_number"),
-                d.string_expr().alias("value_string"),
-            )
-        )
-
-    # explode(array(struct...)) — same fused-map plan shape as stack(), but
-    # composes with arbitrary Column expressions (stack's SQL form can't
-    # reference pre-built Column objects).  Catalyst plans this as
-    # Generate(explode) over a literal array: narrow, codegen'd, no shuffle.
+    # explode(array(named_struct...)) — same fused-map plan shape as
+    # stack(): Catalyst plans this as Generate(explode) over a literal
+    # array — narrow, codegen'd, no shuffle.  The whole array is rendered
+    # as SQL text and parsed in ONE expr() call: a wide catalog built
+    # Column-by-Column costs a py4j round-trip per operator (~1.5 ms each),
+    # which would dominate plan construction (catalog.CONVERSIONS_SQL).
+    per_signal = ", ".join(
+        f"named_struct('name', '{d.name}', "
+        f"'value_number', {d.number_sql()}, "
+        f"'value_string', {d.string_sql()})"
+        for d in catalog.defs
+    )
     exploded = df.select(
         F.col(token_col).cast("long").alias("token_id"),
         F.col(ts_col).alias("timestamp"),
         F.col(source_col).cast("string").alias("source"),
-        F.explode(F.array(*per_signal)).alias("sig"),
+        F.expr(f"explode(array({per_signal}))").alias("sig"),
     )
 
     return exploded.select(
