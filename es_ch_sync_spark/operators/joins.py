@@ -62,3 +62,38 @@ def range_join_buckets(
         .filter(F.abs(F.unix_micros(lts) - F.unix_micros(rts)) <= gap_us)
     )
     return out
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: list[tuple[str, object, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase skew-resistant aggregation: groupBy(key, salt) partials,
+    then combine per key.
+
+    Spark's hash aggregate already does map-side partial aggregation, but
+    that partial combine is DEFEATED when the map-side hash table spills
+    (very high key cardinality) or when a single reduce key receives a
+    disproportionate share of partials (extreme skew: one key = 30% of a
+    100 TB table lands on one reducer).  Salting splits each key's reduce
+    work over ``salt`` reducers; the second groupBy combines ``salt`` tiny
+    partial rows per key — negligible.  Same decomposition AQE's skew
+    handling cannot apply to aggregations (AQE splits skewed JOIN
+    partitions only).
+
+    ``aggs`` is a list of ``(fn, col, alias)`` with fn ∈ {count, sum, min,
+    max} — the decomposable subset (partial and final combine are the same
+    shape); avg must be requested as sum+count and divided by the caller.
+    """
+    decompose = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    partials, finals = [], []
+    for fn, col, alias in aggs:
+        if fn not in decompose:
+            raise ValueError(f"non-decomposable aggregate {fn!r}")
+        p = f"__p_{alias}"
+        partials.append((F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)).alias(p))
+        finals.append(decompose[fn](p).alias(alias))
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    return salted.groupBy(key, "_salt").agg(*partials).groupBy(key).agg(*finals)

@@ -358,6 +358,44 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_agg_events",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation — same result as the plain
+    GROUP BY (the oracle), hot keys' reduce work spread over 16 salts.
+    DECIMAL sum for cross-engine determinism (order-free)."""
+    from es_ch_sync_spark.operators.joins import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        "user_id",
+        [
+            ("count", None, "n_events"),
+            ("min", F.col("ts"), "first_ts"),
+            ("max", F.col("ts"), "last_ts"),
+            ("sum", F.col("value").cast(_DEC), "total_value"),
+        ],
+        salt=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "first_ts",
+        "last_ts",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "range_join_events",
     """
     SELECT l.event_id AS id_l, r.event_id AS id_r, l.user_id

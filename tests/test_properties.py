@@ -118,3 +118,48 @@ def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
         cands = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= ts]
         want = max(cands)[1] if cands else None
         assert got.get(lid) == want, f"lid={lid} k={k} ts={ts}: {got.get(lid)} != {want}"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # key (few → collisions)
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_salted_agg_matches_plain_groupby(spark, rows):
+    """Two-phase salted aggregation is the plain GROUP BY, exactly —
+    count/sum/min/max are decomposable, so the salt never changes values."""
+    from es_ch_sync_spark.operators.joins import salted_agg
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in salted_agg(
+            df,
+            "k",
+            [
+                ("count", None, "n"),
+                ("sum", F.col("v"), "s"),
+                ("min", F.col("v"), "lo"),
+                ("max", F.col("v"), "hi"),
+            ],
+            salt=4,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
