@@ -120,3 +120,40 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+def video_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a video media table from the documents fixture: text bytes
+    as the blob, duration derived deterministically from text length (10 ms
+    per character) — exercises the video-path plumbing without real files."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.length("text").cast("long") * 10).alias("duration_ms"),
+    )
+
+
+def plan_frame_samples(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Frame-sampling PLAN: one row per (media_id, frame_idx, frame_ts_ms)
+    to decode, at ``every_ms`` intervals across each video's duration.
+
+    This is the Spark-side half of frame sampling — the work list the
+    decode kernel (``sample_video_frames``, stubbed here) would consume via
+    mapInPandas exactly like ``extract_features``.  Planning from metadata
+    keeps the explode blob-free: Parquet column pruning drops ``content``
+    entirely, so a 100 TB video table plans its sampling schedule reading
+    only (media_id, duration_ms).  Frame indices are pure column arithmetic
+    (explode over sequence) — fully oracle-checkable."""
+    n = F.expr(f"duration_ms DIV {int(every_ms)}").cast("long")
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), n)).alias("frame_idx"),
+        )
+        .withColumn("frame_ts_ms", F.col("frame_idx") * F.lit(int(every_ms)))
+    )

@@ -513,6 +513,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+_FRAME_PLAN_ORACLE = """
+    WITH f AS (
+        SELECT doc_id AS media_id,
+               unnest(range(0, (length(text) * 10) // 500 + 1)) AS frame_idx
+        FROM documents
+    )
+    SELECT media_id, frame_idx, frame_idx * 500 AS frame_ts_ms FROM f
+"""
+
+
+@register("multimodal_frame_plan", _FRAME_PLAN_ORACLE)
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling schedule (1 frame / 500 ms) from metadata only —
+    the blob column is pruned at the scan; decode stays stubbed
+    (`sample_video_frames`), the plan is real and oracle-checked."""
+    media = mm.video_media_from_documents(_docs(spark, sf_dir))
+    return mm.plan_frame_samples(media, every_ms=500)
+
+
 _INCR_ORACLE = """
     WITH tall AS (
         SELECT user_id AS token_id, ts AS timestamp, 'value' AS name,
