@@ -218,3 +218,19 @@ register_shared_sql(
     )
     """,
 )
+
+register_shared_sql(
+    # Histogram/binning — the profiling primitive for numeric columns at
+    # scale: fixed-width bins via floor division (ANSI; DuckDB has no
+    # width_bucket).  One partial-aggregated groupBy; min/max are
+    # selection, not arithmetic, so results are bit-identical cross-engine.
+    "sql_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           count(*) AS n_events,
+           min(value) AS lo,
+           max(value) AS hi
+    FROM events
+    GROUP BY CAST(floor(value / 50.0) AS BIGINT)
+    """,
+)
