@@ -234,3 +234,29 @@ register_shared_sql(
     GROUP BY CAST(floor(value / 50.0) AS BIGINT)
     """,
 )
+
+register_shared_sql(
+    # ANSI conditional/comparison scalars over the orders table.
+    "sql_conditional_funcs",
+    """
+    SELECT o_orderkey,
+           least(o_totalprice, 100000.0) AS capped,
+           greatest(o_totalprice, 100000.0) AS floored,
+           coalesce(nullif(o_orderstatus, 'O'), '<open>') AS status_nz,
+           CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class
+    FROM orders
+    """,
+)
+
+register_shared_sql(
+    # ANSI set operations beyond UNION: INTERSECT/EXCEPT are DISTINCT-set
+    # semantics in both engines (planned as aggregated semi/anti joins).
+    "sql_intersect_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
