@@ -79,12 +79,19 @@ def stratified_sample(
 
     ``fractions`` maps stratum value → keep fraction; strata not listed
     keep ``default_fraction``.  The keep decision depends only on
-    (seed, id), so re-runs and appends are consistent."""
+    (seed, id), so re-runs and appends are consistent.
+
+    Cutoffs are precomputed driver-side as ``int(round(frac * buckets))``
+    and embedded as integer literals (the oracle embeds the same ints):
+    comparing against a float product would make the boundary depend on
+    each engine's float-rounding of ``frac * 10000`` (0.07 → 699.999…)."""
     bucket = _hash_bucket(F.col(id_col), seed)
-    frac: Column = F.lit(float(default_fraction))
+    cutoff: Column = F.lit(int(round(float(default_fraction) * SPLIT_BUCKETS)))
     for value, f in fractions.items():
-        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
-    return df.filter(bucket < (frac * SPLIT_BUCKETS).cast("long"))
+        cutoff = F.when(
+            F.col(strata_col) == value, F.lit(int(round(float(f) * SPLIT_BUCKETS)))
+        ).otherwise(cutoff)
+    return df.filter(bucket < cutoff)
 
 
 def decontaminate(
@@ -162,4 +169,4 @@ def pack_sequences(
         "shard",
         "n_tokens",
         F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).alias("start_offset"),
-    ).withColumn("chunk", (F.col("start_offset") / budget).cast("long"))
+    ).withColumn("chunk", F.expr(f"start_offset DIV {int(budget)}"))

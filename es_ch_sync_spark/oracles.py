@@ -340,22 +340,23 @@ def embedding_near_dup_sql(
 def multimodal_features_sql() -> str:
     """Oracle for extract_features over media_from_documents: blob = UTF-8
     bytes of text, md5 identical, 8 features from 4-hex-char slices of the
-    digest (float32-cast to match the Spark schema)."""
+    digest.  Emits one scalar row per (media_id, pos) — the driver's
+    canonicalizer can't hash array cells — float32-cast then widened and
+    rounded exactly like the Spark side."""
     hex4 = (
         "list_reduce(list_prepend(0::BIGINT, "
-        "list_transform(range(1, 5), i -> (strpos('0123456789abcdef', substr(h, {off} + i, 1)) - 1)::BIGINT)), "
+        "list_transform(range(1, 5), j -> "
+        "(strpos('0123456789abcdef', substr(h, pos * 4 + j, 1)) - 1)::BIGINT)), "
         "(a, b) -> a * 16 + b)"
-    )
-    feats = ", ".join(
-        f"(({hex4.format(off=i * 4)})::DOUBLE / 65535.0)::FLOAT" for i in range(8)
     )
     return f"""
     WITH m AS (SELECT doc_id AS media_id, text, md5(text) AS h FROM documents)
     SELECT media_id,
            strlen(text)::BIGINT AS n_bytes,
            h AS content_md5,
-           [{feats}] AS feature
-    FROM m
+           pos::INTEGER AS pos,
+           round((({hex4})::DOUBLE / 65535.0)::FLOAT::DOUBLE, 6) AS feature_value
+    FROM m, range(0, 8) t(pos)
     """
 
 
@@ -404,13 +405,14 @@ def stratified_sample_sql(
 
     b = _hash_bucket_sql(id_expr, seed)
     whens = " ".join(
-        f"WHEN {strata_col} = '{v}' THEN {float(f)!r}" for v, f in fractions.items()
+        f"WHEN {strata_col} = '{v}' THEN {int(round(float(f) * SPLIT_BUCKETS))}"
+        for v, f in fractions.items()
     )
-    frac = f"CASE {whens} ELSE {float(default_fraction)!r} END"
+    cut = f"CASE {whens} ELSE {int(round(float(default_fraction) * SPLIT_BUCKETS))} END"
     return f"""
     SELECT event_id, ts, user_id, event_type
     FROM events
-    WHERE {b} < CAST({frac} * {SPLIT_BUCKETS} AS BIGINT)
+    WHERE {b} < ({cut})
     """
 
 
@@ -480,9 +482,9 @@ def pack_sequences_sql(budget: int = 512, n_shards: int = 32) -> str:
     SELECT doc_id, shard, n_tokens,
            coalesce(sum(n_tokens) OVER (
                PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset,
-           coalesce(sum(n_tokens) OVER (
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset,
+           (coalesce(sum(n_tokens) OVER (
                PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {budget} AS chunk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {budget})::BIGINT AS chunk
     FROM toks
     """

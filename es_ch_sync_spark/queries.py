@@ -355,7 +355,7 @@ _REPETITION_ORACLE = """
         SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
     )
     SELECT doc_id,
-           sum(c) AS total_ngrams,
+           sum(c)::BIGINT AS total_ngrams,
            count(*) AS distinct_ngrams,
            round(1.0 - count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS dup_ngram_frac,
            round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_ngram_frac
@@ -508,9 +508,26 @@ def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_features", oracles.multimodal_features_sql())
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: blob → (n_bytes, md5, feature[8]) via
-    Arrow-batched mapInPandas; the only Pandas-UDF path in the engine."""
+    Arrow-batched mapInPandas; the only Pandas-UDF path in the engine.
+
+    The registered form posexplodes the feature vector to scalar
+    (pos, feature_value) rows — the driver's canonicalizer hashes scalar
+    cells only (array cells are unsortable in pandas); the operator itself
+    still returns array<float>."""
     media = mm.media_from_documents(_docs(spark, sf_dir))
-    return mm.extract_features(media)
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_md5",
+        F.posexplode("feature").alias("pos", "fv"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        "content_md5",
+        "pos",
+        F.round(F.col("fv").cast("double"), 6).alias("feature_value"),
+    )
 
 
 _FRAME_PLAN_ORACLE = """
