@@ -127,35 +127,60 @@ def knn_join(
     )
 
 
+def _normalized_matrix(cells) -> "object":
+    """Stack an iterable of array cells into a row-normalized f64 matrix.
+
+    Zero-norm rows divide by 1.0 (cos against them is 0 by convention) —
+    identical arithmetic on every scoring path so results are bit-equal."""
+    import numpy as np
+
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in cells])
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return M / norms
+
+
 def knn_join_blocked(
     emb: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 500_000,
+    rows_per_block: int = 8192,
 ) -> DataFrame:
     """Exact k-NN via blocked matrix multiplication (vectorized Pandas UDF).
 
-    Same output contract as knn_join, ~100× its arithmetic throughput: the
-    right-side matrix is broadcast once as a numpy array; each partition of
-    the left side computes ``A_block @ B.T`` (BLAS) and per-row top-k by
-    argpartition.  This is the right shape for the brute-force tier — the
-    expression-fold version exists as the all-JVM baseline; this one is
-    the documented "vectorized Pandas UDF where built-ins can't keep up"
-    exception (the per-pair fold can't batch across rows).
+    Same output contract as knn_join, ~100× its arithmetic throughput.
+    Two tiers, auto-switched on the corpus row count:
 
-    Scale bound: B must fit executor memory (n·d·8 bytes — 64-dim float64:
-    ~0.5 GB at 1M vectors).  Past that, block BOTH sides: cross-join block
-    ids, matmul per (i, j) block pair, union per-row top-k — same kernel,
-    one extra shuffle."""
+    - **small-B broadcast tier** (n ≤ ``max_broadcast_rows``): the right
+      side is gathered once and broadcast as a normalized numpy matrix;
+      each left partition computes ``A_block @ B.T`` (BLAS) and per-row
+      top-k.  Bound: n·d·8 bytes of executor memory (64-dim f64 ≈ 0.25 GB
+      at 500k vectors).
+    - **blocked-both-sides tier** (the 100 TB path): no driver collect
+      anywhere.  Both sides are hash-packed into ~``rows_per_block``-row
+      blocks (groupBy + collect_list), the nb×nb block-pair grid is an
+      intentional cross join of two nb-row frames, each grid cell runs one
+      normalized matmul and keeps a per-row top-k, and a final window
+      merges the per-block candidates into the exact global top-k.
+      Shuffle volume is 2·nb·|data| — linear in the block count, never
+      materializing n² pairs; arithmetic is identical to the broadcast
+      tier, so both produce the same bits."""
     import numpy as np
     import pandas as pd
+
+    n = emb.count()
+    if n > max_broadcast_rows:
+        return _knn_join_block_pairs(
+            emb, k=k, id_col=id_col, vec_col=vec_col, rows_per_block=rows_per_block
+        )
 
     spark = emb.sparkSession
     # gather B driver-side (only the two needed columns, Arrow path)
     pdf = emb.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
-    B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    Bn = _normalized_matrix(pdf[vec_col])
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(Bn)
 
@@ -174,8 +199,7 @@ def knn_join_blocked(
         for block in pdfs:
             if not len(block):
                 continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in block[vec_col]])
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            An = _normalized_matrix(block[vec_col])
             sims = An @ Bn_l.T  # (block, n)
             a_ids = block[id_col].to_numpy()
             recs = []
@@ -194,6 +218,81 @@ def knn_join_blocked(
             yield pd.DataFrame(recs, columns=["id_a", "id_b", "cos_sim", "rn"])
 
     return spread(emb).select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+def _knn_join_block_pairs(
+    emb: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    rows_per_block: int,
+) -> DataFrame:
+    """Blocked-both-sides exact k-NN: nb×nb grid of block-pair matmuls.
+
+    Fully distributed — the driver never sees a vector.  Each packed block
+    row holds ≈rows_per_block (id, vec) structs (64-dim f32 ≈ 2 MB at the
+    8192 default), so a grid cell's working set is two blocks + their
+    rows_per_block² score tile.  Per-cell top-k bounds the candidate set to
+    nb·k per query row before the exact window merge."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    n = emb.count()
+    nb = max(1, math.ceil(n / rows_per_block))
+    packed = (
+        emb.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).alias("blk"),
+            F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).alias("r"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list("r").alias("rows"))
+    )
+    grid = (
+        packed.select(F.col("rows").alias("a_rows"))
+        .crossJoin(packed.select(F.col("rows").alias("b_rows")))
+    )
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score_cells(pdfs):
+        for cell in pdfs:
+            for a_rows, b_rows in zip(cell["a_rows"], cell["b_rows"]):
+                a_ids = np.asarray([r["id"] for r in a_rows], dtype=np.int64)
+                b_ids = np.asarray([r["id"] for r in b_rows], dtype=np.int64)
+                An = _normalized_matrix([r["vec"] for r in a_rows])
+                Bn = _normalized_matrix([r["vec"] for r in b_rows])
+                sims = An @ Bn.T
+                recs = []
+                for r_i, aid in enumerate(a_ids):
+                    row = sims[r_i]
+                    order = np.lexsort((b_ids, -row))
+                    rank = 0
+                    for j in order:
+                        if b_ids[j] == aid:
+                            continue
+                        rank += 1
+                        recs.append((int(aid), int(b_ids[j]), float(row[j])))
+                        if rank == k:
+                            break
+                yield pd.DataFrame(recs, columns=["id_a", "id_b", "cos_sim"])
+
+    cand = grid.mapInPandas(score_cells, cand_schema)
+    w = W.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"), "rn")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -288,28 +387,36 @@ def embedding_near_duplicates(
     n_planes: int = 12,
     bands: int = 4,
     dim: int = 64,
-    broadcast_vectors: bool = True,
+    broadcast_vectors: bool | None = None,
+    max_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold, LSH-blocked.
 
     Same banding idea as minhash LSH: pairs must share ≥1 signature band,
     so the join is per-band on small integer keys, never all-pairs.
 
-    ``broadcast_vectors``: the candidate-pair table is usually much larger
-    than the vector table itself (n²/buckets vs n), so attaching vectors by
-    broadcast keeps the pair rows from shuffling twice.  Turn OFF when the
-    corpus is too big to broadcast (≳100M vectors) — the plan degrades to
-    two shuffle joins keyed by id, which is the correct 100 TB path
-    (pre-bucket the vector table by id to make them shuffle-free)."""
+    Scoring is two tiers, auto-switched on the corpus row count when
+    ``broadcast_vectors`` is None:
+
+    - **small-B broadcast tier** (n ≤ ``max_broadcast_rows``): one driver
+      gather + whole-matrix broadcast; pairs stay (long, long) rows
+      end-to-end and never shuffle twice.  Bound: n·d·8 bytes of driver
+      and executor memory (64-dim f64 ≈ 0.25 GB at 500k vectors).
+    - **scale tier** (the 100 TB path): candidate pairs re-attach their
+      vectors by two shuffle joins keyed on id, then an Arrow-batched
+      numpy kernel scores each batch — fully distributed, the driver never
+      holds a vector (pre-bucket the vector table by id to make the joins
+      shuffle-free).
+
+    Both tiers run the identical normalized-dot f64 arithmetic, so their
+    outputs are bit-equal."""
     planes = srp_planes(dim, n_planes)
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
-    # norm is per-vector: compute it once here, not once per candidate pair
     v = (
         spread(emb)
         .select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
         .withColumn("sig", srp_signature("v", planes))
-        .withColumn("nrm", norm(F.col("v")))
     )
     # band bucketing carries ONLY (id, band, key): the vectors rejoin after
     # pair-dedup so each candidate pair is scored exactly once (a pair
@@ -344,25 +451,19 @@ def embedding_near_duplicates(
     # no spread() here: pairs comes out of a shuffle (already cluster-wide),
     # and spread's partition-count probe on a computed frame would plan and
     # run the upstream pipeline eagerly at build time
+    if broadcast_vectors is None:
+        broadcast_vectors = emb.count() <= max_broadcast_rows
     if broadcast_vectors:
-        # numpy scorer: pairs stay (long, long) rows end-to-end; vectors ride
-        # once as a broadcast matrix and each partition scores its pairs with
-        # one gather + einsum.  Chosen over the Column-expression fold because
-        # higher-order functions (zip_with/aggregate) execute interpreted,
-        # not codegen'd — at millions of candidate pairs that's the ceiling.
+        # small-corpus tier: pairs stay (long, long) rows end-to-end; vectors
+        # ride once as a broadcast matrix and each partition scores its pairs
+        # with one gather + einsum.  Numpy over the Column-expression fold
+        # because higher-order functions (zip_with/aggregate) execute
+        # interpreted, not codegen'd — at millions of pairs that's the ceiling.
         scored = _score_pairs_numpy(emb, pairs, id_col=id_col, vec_col=vec_col)
     else:
-        # ≳100M-vector path: attach vectors by shuffle join (pre-bucket the
-        # vector table to make these shuffle-free) and fold JVM-side
-        va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
-        vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
-        cos = F.when(
-            (F.col("n_a") > 0) & (F.col("n_b") > 0),
-            dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
-        ).otherwise(F.lit(0.0))
-        scored = (
-            pairs.join(va, "id_a").join(vb, "id_b").select("id_a", "id_b", cos.alias("cos_sim"))
-        )
+        # default / scale tier: join-attach + Arrow-batched numpy, no driver
+        # collect and no whole-corpus broadcast anywhere
+        scored = _score_pairs_joined(v, pairs, id_col=id_col)
     return (
         scored.filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
@@ -385,10 +486,7 @@ def _score_pairs_numpy(
     spark = emb.sparkSession
     pdf = emb.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
-    B = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-    norms = np.linalg.norm(B, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    Bn = B / norms
+    Bn = _normalized_matrix(pdf[vec_col])
     index = {int(i): r for r, i in enumerate(ids)}
     b_idx = spark.sparkContext.broadcast(index)
     b_mat = spark.sparkContext.broadcast(Bn)
@@ -415,3 +513,45 @@ def _score_pairs_numpy(
             )
 
     return pairs.mapInPandas(score, out_schema)
+
+
+def _score_pairs_joined(
+    v: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """cos_sim for (id_a, id_b) pairs with vectors attached by shuffle join.
+
+    The fully-distributed scorer: two equi-joins key the pair rows back to
+    their f64 vectors (``v`` = (id, v) as produced by the caller), then an
+    Arrow-batched numpy kernel normalizes each batch side and dots row-wise.
+    No driver collect, no whole-corpus broadcast — the only state per task
+    is its own Arrow batch.  Uses the same ``_normalized_matrix`` + einsum
+    arithmetic as the broadcast tier, so scores are bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"))
+    attached = pairs.join(va, "id_a").join(vb, "id_b")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(blocks):
+        for block in blocks:
+            if not len(block):
+                continue
+            An = _normalized_matrix(block["v_a"])
+            Bn = _normalized_matrix(block["v_b"])
+            cos = np.einsum("ij,ij->i", An, Bn)
+            yield pd.DataFrame(
+                {"id_a": block["id_a"], "id_b": block["id_b"], "cos_sim": cos}
+            )
+
+    return attached.mapInPandas(score, out_schema)

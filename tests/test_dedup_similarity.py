@@ -82,6 +82,51 @@ def test_knn_join_shape(spark, emb):
     assert all(v == 3 for v in by_a.values())
 
 
+def test_knn_blocked_tiers_identical(spark, emb):
+    """The blocked-both-sides tier (no driver collect, forced via
+    max_broadcast_rows=0) must produce exactly the broadcast tier's rows —
+    same neighbors, same ranks, same 6dp scores."""
+    small = emb.limit(120)
+    bcast = {tuple(r) for r in sim.knn_join_blocked(small, k=3).collect()}
+    blocked = {
+        tuple(r)
+        for r in sim.knn_join_blocked(
+            small, k=3, max_broadcast_rows=0, rows_per_block=32
+        ).collect()
+    }
+    assert bcast == blocked
+    assert len({(a,) for a, *_ in bcast}) * 3 == len(bcast)
+
+
+def test_embedding_near_dup_scorer_tiers_identical(spark, emb):
+    """Scale-tier distributed join-attach scorer (what auto-switch picks
+    above max_broadcast_rows) ≡ small-B broadcast scorer."""
+    small = emb.limit(400)
+    dist = {
+        tuple(r)
+        for r in sim.embedding_near_duplicates(
+            small, threshold=0.3, broadcast_vectors=False
+        ).collect()
+    }
+    bcast = {
+        tuple(r)
+        for r in sim.embedding_near_duplicates(
+            small, threshold=0.3, broadcast_vectors=True
+        ).collect()
+    }
+    assert dist == bcast
+    assert len(dist) > 0
+    # auto-switch: a tiny corpus picks the broadcast tier, a forced-low
+    # threshold picks the distributed tier — same rows either way
+    auto_dist = {
+        tuple(r)
+        for r in sim.embedding_near_duplicates(
+            small, threshold=0.3, max_broadcast_rows=0
+        ).collect()
+    }
+    assert auto_dist == bcast
+
+
 def test_text_analysis_ranges(spark, docs):
     out = analyze_documents(docs.limit(100)).collect()
     for r in out:
