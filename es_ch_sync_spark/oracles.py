@@ -306,6 +306,44 @@ def lsh_ann_topk_sql(
     """
 
 
+def ann_ivf_topk_sql(query_id: int = 0, k: int = 10, dim: int = 64) -> str:
+    """Oracle for queries_relational.q_ann_ivf_topk: per-label centroids
+    (elementwise avg), argmax-cos cell vs the query vector (ties → smaller
+    label, matching the Spark side's sorted scan), then exact cos top-k
+    inside that cell.  ``dim`` is embedded as a literal (DuckDB's range()
+    can't take lateral column args); the Spark side posexplodes and works
+    for any dim."""
+    cos = _cosine_sql("b.embedding", "q.qv")
+    return f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_id}
+    ),
+    pe AS (
+        SELECT label, i::INTEGER AS pos, embedding[i + 1]::DOUBLE AS x
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) d
+    ),
+    cent AS (
+        SELECT label, list(c ORDER BY pos) AS cv FROM (
+            SELECT label, pos, avg(x) AS c FROM pe GROUP BY label, pos
+        ) GROUP BY label
+    ),
+    best AS (
+        SELECT cent.label
+        FROM cent, q
+        ORDER BY (CASE WHEN sqrt(list_dot_product(cv, cv)) > 0
+                  THEN list_dot_product(cv, qv)
+                       / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+                  ELSE -2.0 END) DESC, cent.label ASC
+        LIMIT 1
+    )
+    SELECT b.vec_id, round({cos}, 6) AS cos_sim
+    FROM embeddings b, q, best
+    WHERE b.label = best.label AND b.vec_id != {query_id}
+    ORDER BY {cos} DESC, b.vec_id ASC
+    LIMIT {k}
+    """
+
+
 def embedding_near_dup_sql(
     threshold: float = 0.4, n_planes: int = 12, bands: int = 4, dim: int = 64
 ) -> str:

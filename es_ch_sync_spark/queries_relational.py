@@ -21,6 +21,7 @@ from es_ch_sync_spark.operators.analytics import (
     topk_per_group,
 )
 from es_ch_sync_spark.operators.transform import unpivot_signals
+from es_ch_sync_spark import oracles
 from es_ch_sync_spark.queries import register
 
 
@@ -274,12 +275,36 @@ def q_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users", None)  # HLL++ ≠ DuckDB's sketch → rows-only check
+@register(
+    "approx_distinct_users",
+    """
+    SELECT count(DISTINCT user_id)::BIGINT AS n_users_exact, 1 AS within_tol
+    FROM events
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — the 100 TB cardinality path; no SQL
-    oracle (sketch algorithms differ across engines by design)."""
+    """approx_count_distinct (HLL++) — the 100 TB cardinality path.
+
+    Sketch values differ across engines by design, so the checked contract
+    is a bounded-error one: the query emits the exact distinct count plus
+    ``within_tol`` = 1 iff the HLL++ estimate (rsd=0.01) lands within 5%
+    relative error of it.  The oracle recomputes the exact count and
+    asserts within_tol=1 — a hash match certifies both the exact path and
+    the sketch's documented error bound."""
     e = _t(spark, sf_dir, "events")
-    return e.agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    agg = e.agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.01).alias("approx"),
+    )
+    return agg.select(
+        F.col("n_users_exact"),
+        (
+            F.abs(F.col("approx") - F.col("n_users_exact"))
+            <= F.col("n_users_exact") * F.lit(0.05)
+        )
+        .cast("int")
+        .alias("within_tol"),
+    )
 
 
 @register(
@@ -302,12 +327,13 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", None)  # approximate by construction → rows-only check
+@register("ann_ivf_topk", oracles.ann_ivf_topk_sql(query_id=0, k=10, dim=64))
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize by the label column (stand-in for
     k-means cell ids), search only the query's cell.  The scale pattern for
     clustered corpora: per-cell partition pruning replaces the full scan.
-    Approximate (cell boundaries lose neighbors) → rows-only check."""
+    Approximate vs exact kNN by construction, but fully deterministic —
+    the oracle replicates the centroid argmax + in-cell top-k exactly."""
     import math
 
     from es_ch_sync_spark.operators.similarity import cosine_topk
@@ -328,7 +354,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.setdefault(r["label"], {})[r["pos"]] = r["c"]
     qn = math.sqrt(sum(x * x for x in qv))
     best_lab, best_cos = None, -2.0
-    for lab, d in cents.items():
+    # sorted: exact-cos ties pick the smaller label, same as the oracle
+    for lab, d in sorted(cents.items()):
         c = [d[i] for i in range(len(qv))]
         cn = math.sqrt(sum(x * x for x in c))
         cos = sum(a * b for a, b in zip(qv, c)) / (qn * cn) if cn > 0 else -2.0
