@@ -6,21 +6,67 @@ continuous ingestion produces overlapping keys (upsert) and many small
 files per partition (compaction).  Delta/Iceberg provide these as table
 services; on plain Parquet they are two careful plan shapes:
 
-- **Upsert** rewrites ONLY the partitions the update batch touches
-  (``partitionOverwriteMode=dynamic``): read those partitions, anti-join
-  the old rows that are being replaced, union the updates, overwrite in
-  place.  Work scales with touched partitions, not table size.
+- **Upsert** rewrites ONLY the partitions the update batch touches:
+  read those partitions, anti-join the old rows that are being replaced,
+  union the updates, swap the rewritten partitions in.  Work scales with
+  touched partitions, not table size.
 - **Compaction** rewrites a partition's many small files into
   size-targeted files, preserving the (token_id, timestamp, name) sort
   that gives parquet row-group stats their pruning power.
+
+Write protocol (stage-and-swap): every rewrite materializes the merged
+output into a sibling staging directory FIRST, then swaps each touched
+partition directory into place with an atomic rename.  Two failure modes
+this removes vs. in-place dynamic overwrite:
+
+- *self-read-overwrite*: overwriting a path a plan is lazily reading is
+  outside Spark's contract (can raise AnalysisException or read torn
+  state).  Staging separates the read path from the write path entirely.
+- *mid-commit data loss*: a failure during in-place overwrite leaves
+  touched partitions deleted or half-written with no recovery.  With
+  staging, a crash before any swap loses nothing; a crash mid-swap leaves
+  every partition either fully-old or fully-new (per-partition renames
+  are atomic on POSIX) and the staging dir still holds the remainder for
+  manual recovery.  Atomicity is per-partition, not whole-table — for
+  multi-writer / object-store production use a transactional table format
+  (Delta/Iceberg), whose MERGE replaces this module wholesale.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from es_ch_sync_spark.io.sinks import DEDUP_KEY
+
+
+def _stage_and_swap(merged: DataFrame, table_path: str, partition_col: str) -> None:
+    """Materialize ``merged`` into a staging dir, then atomically swap each
+    staged ``<partition_col>=<value>`` directory into ``table_path``.
+
+    The swap never deletes before the replacement exists: old partition →
+    trash-rename, staged partition → final rename, trash removed last."""
+    staging = f"{table_path.rstrip('/')}__staging__{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    os.makedirs(table_path, exist_ok=True)
+    try:
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith(f"{partition_col}="):
+                continue
+            src = os.path.join(staging, entry)
+            dst = os.path.join(table_path, entry)
+            trash = f"{dst}.__old__{uuid.uuid4().hex[:8]}"
+            if os.path.exists(dst):
+                os.rename(dst, trash)
+            os.rename(src, dst)
+            if os.path.exists(trash):
+                shutil.rmtree(trash)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def upsert_signals(
@@ -33,7 +79,11 @@ def upsert_signals(
 
     Equivalent to ``MERGE INTO t USING u ON key WHEN MATCHED UPDATE WHEN
     NOT MATCHED INSERT``.  Only partitions present in ``updates`` are
-    rewritten; everything else is untouched (dynamic partition overwrite).
+    rewritten; everything else is untouched.  Idempotent: re-merging the
+    same batch is a no-op (the anti-join removes exactly the rows the
+    union re-adds) — the plain-Parquet analog of ReplacingMergeTree
+    absorption the reference relies on (sync.go:128-137).  The rewrite
+    goes through ``_stage_and_swap`` (see module docstring).
     """
     key = key or DEDUP_KEY
     up = updates.withColumn("event_date", F.to_date("timestamp")).dropDuplicates(key)
@@ -45,13 +95,10 @@ def upsert_signals(
     kept = existing_touched.join(up.select(*key), on=key, how="left_anti")
     merged = kept.unionByName(up.select(*kept.columns))
 
-    (
-        merged.repartition("event_date")
-        .sortWithinPartitions(*DEDUP_KEY)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("event_date")
-        .parquet(table_path)
+    _stage_and_swap(
+        merged.repartition("event_date").sortWithinPartitions(*DEDUP_KEY),
+        table_path,
+        "event_date",
     )
 
 
@@ -67,13 +114,10 @@ def compact_partition(
     Per-partition scope keeps the rewrite bounded and restartable; the sort
     restores row-group min/max locality for (token_id, timestamp) pruning."""
     df = spark.read.parquet(table_path).filter(F.col(partition_col) == partition_value)
-    (
-        df.repartition(target_files)
-        .sortWithinPartitions(*DEDUP_KEY)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(table_path)
+    _stage_and_swap(
+        df.repartition(target_files).sortWithinPartitions(*DEDUP_KEY),
+        table_path,
+        partition_col,
     )
 
 
@@ -112,8 +156,6 @@ def maintain_daily_rollup(
     aggregation with state in the table itself."""
     delta = build_daily_rollup(signals_delta)
 
-    import os
-
     if not os.path.exists(rollup_path):
         (
             delta.repartition("day")
@@ -136,12 +178,25 @@ def maintain_daily_rollup(
             F.sum("v_sum").alias("v_sum"),
         )
     )
-    (
-        merged.repartition("day")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
-        .parquet(rollup_path)
+    _stage_and_swap(merged.repartition("day"), rollup_path, "day")
+
+
+def audit_key_conflicts(
+    df: DataFrame,
+    key: list[str] | None = None,
+) -> DataFrame:
+    """Post-merge conflict audit: keys with more than one surviving row.
+
+    The invariant check behind ReplacingMergeTree semantics (and this
+    module's upsert): after any merge, ``(token_id, timestamp, name)`` must
+    be unique — a non-empty result means a merge bug or a writer racing the
+    swap.  One hash aggregation over narrow key columns; at 100 TB run it
+    per touched partition, not whole-table."""
+    key = key or DEDUP_KEY
+    return (
+        df.groupBy(*[F.col(k) for k in key])
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
     )
 
 

@@ -24,7 +24,7 @@ sizing / task scheduling and need no knobs here).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,8 +51,12 @@ class SyncOptions:
     signals: list[str] = field(default_factory=list)
 
     def resolved_window(self) -> tuple[datetime, datetime]:
+        # one CALENDAR month (28-31 days), matching the reference's
+        # StopTime.AddDate(0, -1, 0) (sync.go:59) — not a fixed 30 days
+        from dateutil.relativedelta import relativedelta
+
         stop = self.stop_time or datetime.now(timezone.utc)
-        start = self.start_time or (stop - timedelta(days=30))
+        start = self.start_time or (stop - relativedelta(months=1))
         return start, stop
 
     @staticmethod

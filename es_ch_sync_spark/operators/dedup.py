@@ -391,10 +391,16 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance, banded for scale.
 
-    Pigeonhole banding: split the 60-bit hash into 4×15-bit bands; any pair
-    within Hamming ≤ 3·(bands-1) shares ≥1 exact band for distance ≤ 12 when
-    ≤ 4 differing bits spread across bands — standard simhash blocking.
-    Join happens per-band on 15-bit keys, never all-pairs."""
+    Pigeonhole banding: split the 60-bit hash into 4×15-bit bands.  The
+    guaranteed-recall bound is Hamming ≤ bands−1 = 3 (with ≤3 differing
+    bits, one of the 4 bands must be untouched); pairs at distance 4-12 are
+    detected only probabilistically — when their differing bits happen not
+    to spread across all 4 bands.  Full recall at ``max_hamming`` would
+    need multiple permuted band sets (Manku et al., WWW 2007, §3);
+    single-set banding is the standard one-pass compromise.  Join happens
+    per-band on 15-bit keys, never all-pairs.  The oracle replicates the
+    same banding, so the checked contract is exactly this operator's
+    candidate generation, not idealized full recall."""
     sh = simhash_table(spread(df), text_col, id_col)
     n_bands = SIMHASH_BITS // band_bits
     bucketed = sh.select(

@@ -252,6 +252,35 @@ def q_dedup_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "conflict_audit",
+    """
+    WITH doubled AS (
+        SELECT user_id, ts, event_type FROM events
+        UNION ALL
+        SELECT user_id, ts, event_type FROM events
+    )
+    SELECT user_id AS token_id, ts AS timestamp, event_type AS name,
+           count(*)::BIGINT AS n_rows
+    FROM doubled GROUP BY 1, 2, 3 HAVING count(*) > 1
+    """,
+)
+def q_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 invariant check — the post-merge duplicate-key report backing
+    ReplacingMergeTree semantics (upsert must leave the signal key unique).
+    Run here against a deliberately doubled table so the audit provably
+    *finds* conflicts (each key reported with its surviving-row count);
+    tests assert it returns empty after upsert_signals."""
+    from es_ch_sync_spark.io.maintenance import audit_key_conflicts
+
+    sig = _events(spark, sf_dir).select(
+        F.col("user_id").alias("token_id"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("name"),
+    )
+    return audit_key_conflicts(sig.unionByName(sig))
+
+
+@register(
     "resume_points",
     """
     SELECT user_id AS token_id, min(ts) AS min_ts, max(ts) AS max_ts

@@ -61,6 +61,52 @@ def test_upsert_touches_only_update_partitions(spark, tmp_path):
     assert before == after  # dynamic overwrite never rewrote the D1 partition
 
 
+def test_upsert_idempotent_three_merges_and_audit_clean(spark, tmp_path):
+    """ReplacingMergeTree absorption property: re-merging the same batch is
+    a no-op.  Three consecutive merges must leave the table bit-identical,
+    with the conflict audit empty after each one."""
+    from es_ch_sync_spark.io.maintenance import audit_key_conflicts
+
+    path = str(tmp_path / "sig")
+    base = [_sig(1, D1, "speed", 10), _sig(1, D2, "speed", 20), _sig(2, D2, "speed", 30)]
+    write_signals(spark.createDataFrame(base, SIG_SCHEMA), path, mode="overwrite")
+    updates = spark.createDataFrame(
+        [_sig(1, D2, "speed", 99), _sig(3, D2, "speed", 40)], SIG_SCHEMA
+    )
+
+    def snapshot():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .drop("event_date")
+            .collect()
+        )
+
+    states = []
+    for _ in range(3):
+        upsert_signals(spark, path, updates)
+        states.append(snapshot())
+        assert audit_key_conflicts(spark.read.parquet(path)).count() == 0
+
+    assert states[0] == states[1] == states[2]
+    assert len(states[0]) == 4  # 2 kept + 1 updated + 1 inserted
+
+
+def test_stage_and_swap_leaves_no_staging_dirs(spark, tmp_path):
+    """After a successful upsert no staging/trash remnants survive next to
+    the table, and the table stays readable mid-workflow."""
+    import os
+
+    path = str(tmp_path / "sig")
+    base = [_sig(1, D1, "speed", 10), _sig(1, D2, "speed", 20)]
+    write_signals(spark.createDataFrame(base, SIG_SCHEMA), path, mode="overwrite")
+    upsert_signals(spark, path, spark.createDataFrame([_sig(9, D2, "speed", 1)], SIG_SCHEMA))
+    siblings = os.listdir(str(tmp_path))
+    assert not any("__staging__" in s for s in siblings)
+    assert not any("__old__" in e for e in os.listdir(path))
+    assert spark.read.parquet(path).count() == 3
+
+
 def test_compaction_reduces_files(spark, tmp_path):
     path = str(tmp_path / "sig")
     rows = [_sig(i % 5, D1 + timedelta(seconds=i), "speed", i) for i in range(200)]
