@@ -68,3 +68,44 @@ def test_range_join_is_equi(plans):
     p = plans("range_join_events")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The skew path the engine relies on at 100 TB: with AQE skew-join
+    enabled (session.py default), a sort-merge join whose fact side has a
+    hot key is re-planned at runtime — the final adaptive plan carries the
+    skew-split marker instead of sending the hot key to one reducer.
+    Thresholds are lowered so a local-scale hot key qualifies; the conf
+    restore keeps the shared session clean for other tests."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 400_000
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = fact.join(dim, "k")
+        # collect() drives THIS DataFrame's QueryExecution to its final
+        # adaptive plan (count() would plan+run a separate aggregation)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan or "skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

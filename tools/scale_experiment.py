@@ -1,0 +1,153 @@
+"""N× scale experiment for the heaviest operators (default 100×).
+
+Replicates the sf0.1 corpus ×N with content perturbations chosen so that
+TRUE-DUPLICATE DENSITY STAYS CONSTANT — the round-1 10× run showed that
+naive replication makes every replica a genuine near-dup and the output
+(pair count) explodes quadratically in N, measuring output size instead of
+operator throughput:
+
+- documents: every token is suffixed with the replica id, so replica
+  groups share no shingles; the corpus's intrinsic near-dup pairs
+  replicate ×N (output grows linearly with data).
+- embeddings: each replica circularly rotates the vector by (rep mod dim)
+  positions; rotated groups of random-ish vectors are near-orthogonal, so
+  near-dup pairs again replicate ×N.
+
+LSH banding is widened with log2(n) — at a fixed band width the expected
+bucket occupancy (and so the candidate-pair count) grows linearly with
+corpus size; keeping buckets/band ≈ n/16 holds per-bucket work constant,
+which is exactly the knob a 100 TB deployment turns.  This is reported,
+not hidden (BENCH.md).
+
+Results are recorded in BENCH.md.  Data is cached under
+``.scale_cache/`` (gitignored).
+
+Usage: python tools/scale_experiment.py [replicas] [op ...]
+       ops ⊆ {minhash, simhash, embdup, embdup_bcast, salted}
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CACHE = "/root/repo/.scale_cache"
+
+
+def build(spark, replicas: int) -> tuple[str, str]:
+    from es_ch_sync_spark.io.sources import read_parquet_table
+
+    docs_path = f"{CACHE}/r{replicas}_documents.parquet"
+    emb_path = f"{CACHE}/r{replicas}_embeddings.parquet"
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    if not os.path.exists(docs_path):
+        docs = read_parquet_table(spark, SF, "documents").select("doc_id", "text")
+        big = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"), F.lit(r"(\S+)"), F.concat(F.lit("$1x"), F.col("rep"))
+            ).alias("text"),
+        )
+        big.repartition(64).write.mode("overwrite").parquet(docs_path)
+    if not os.path.exists(emb_path):
+        emb = read_parquet_table(spark, SF, "embeddings").select("vec_id", "embedding")
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            # rotate by (rep mod 64); sign-flip the second rotation cycle so
+            # rep and rep+64 aren't identical vectors (cos −1, not +1)
+            F.expr(
+                "transform("
+                " concat(slice(embedding, pmod(rep, 64) + 1, 64 - pmod(rep, 64)),"
+                "        slice(embedding, 1, pmod(rep, 64))),"
+                " x -> x * cast(1 - 2 * pmod(rep div 64, 2) as float))"
+            ).alias("embedding"),
+        )
+        big.repartition(32).write.mode("overwrite").parquet(emb_path)
+    return docs_path, emb_path
+
+
+def timed(label: str, thunk) -> None:
+    t0 = time.time()
+    n = thunk()
+    print(f"{label}: {n} rows in {time.time() - t0:.1f}s", flush=True)
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    only = set(sys.argv[2:]) or {"minhash", "simhash", "embdup", "salted"}
+
+    from es_ch_sync_spark.operators import dedup as dd
+    from es_ch_sync_spark.operators import similarity as sim
+    from es_ch_sync_spark.operators.joins import salted_agg
+    from es_ch_sync_spark.session import get_spark
+
+    spark = get_spark("scale_experiment")
+    docs_path, emb_path = build(spark, replicas)
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+    n_docs, n_vecs = docs.count(), emb.count()
+    print(f"replicas={replicas}: {n_docs} docs, {n_vecs} vectors", flush=True)
+
+    # widen banding with corpus size: buckets/band ≈ n/16
+    bits = max(4, min(15, math.ceil(math.log2(max(n_vecs, 16) / 16))))
+    n_planes = 4 * bits
+    print(f"embedding banding: {n_planes} planes, 4 bands of {bits} bits", flush=True)
+
+    if "minhash" in only:
+        timed(
+            f"minhash_near_dup x{replicas}",
+            lambda: dd.minhash_near_duplicates(docs, threshold=0.5).count(),
+        )
+    if "simhash" in only:
+        timed(
+            f"simhash_near_dup x{replicas}",
+            lambda: dd.simhash_near_duplicates(docs).count(),
+        )
+    if "embdup" in only:
+        timed(
+            f"embedding_near_dup x{replicas} (scale tier, join-attach)",
+            lambda: sim.embedding_near_duplicates(
+                emb, threshold=0.4, n_planes=n_planes, bands=4,
+                broadcast_vectors=False,
+            ).count(),
+        )
+    if "embdup_bcast" in only:
+        timed(
+            f"embedding_near_dup x{replicas} (broadcast tier)",
+            lambda: sim.embedding_near_duplicates(
+                emb, threshold=0.4, n_planes=n_planes, bands=4,
+                broadcast_vectors=True,
+            ).count(),
+        )
+    if "salted" in only:
+        # skewed aggregation: one hot key holds ~40% of 10M rows
+        n = 10_000_000
+        skewed = spark.range(n).select(
+            F.when(F.col("id") % 5 < 2, F.lit(7)).otherwise(F.col("id") % 100_000).alias("k"),
+            (F.col("id") % 997).cast("double").alias("x"),
+        )
+        skewed = skewed.persist()
+        skewed.count()
+        timed(
+            "plain groupBy agg (skewed key)",
+            lambda: skewed.groupBy("k").agg(F.sum("x"), F.count(F.lit(1))).count(),
+        )
+        timed(
+            "salted_agg (skewed key)",
+            lambda: salted_agg(
+                skewed, "k", [("sum", "x", "sx"), ("count", "x", "n")], salt=16
+            ).count(),
+        )
+        skewed.unpersist()
+
+
+if __name__ == "__main__":
+    main()
