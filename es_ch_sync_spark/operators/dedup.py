@@ -116,14 +116,26 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
     Plan shape: map (shingle+hash) → explode B band keys → self-join on
     (band, key) → distinct pairs.  Shuffle volume is O(B·n) short keys; the
-    join only materializes within-bucket pairs.  Skewed buckets (boilerplate
-    docs) are handled by AQE skew-join splitting; a production hardening is
-    to cap bucket size and divert mega-buckets to a sampled pass."""
+    join only materializes within-bucket pairs.
+
+    ``bucket_cap`` is the mega-bucket hardening for boilerplate-heavy
+    corpora: a bucket of m docs emits m²/2 pairs, so one million-doc
+    template bucket means 5·10¹¹ pairs from a single reducer key.  With a
+    cap, buckets larger than ``bucket_cap`` are dropped from pair
+    generation (one extra count-aggregate + semi-join on the short
+    (band, key) keys — nothing touches documents).  Recall tradeoff is
+    explicit: an oversized bucket is near-certainly a shared template, and
+    its members' true near-dup pairs usually also collide in another,
+    smaller band bucket; exact-duplicate templates are the job of
+    exact_duplicate_groups, which handles them in O(n).  Default None
+    keeps candidate generation exhaustive (AQE skew splitting handles
+    moderate skew)."""
     mh = with_minhash(spread(df), text_col, id_col, num_hashes, shingle_k)
     keys = lsh_band_keys(num_hashes, bands)
     bucketed = mh.select(
@@ -132,6 +144,14 @@ def minhash_lsh_candidates(
             F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in enumerate(keys)])
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if bucket_cap is not None:
+        small_enough = (
+            bucketed.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= bucket_cap)
+            .select("band", "key")
+        )
+        bucketed = bucketed.join(small_enough, ["band", "key"], "left_semi")
 
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -163,14 +183,19 @@ def minhash_near_duplicates(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard ≥ threshold.
 
     The verify join re-attaches shingle arrays only for candidate ids —
-    at scale that's a tiny fraction of the corpus."""
+    at scale that's a tiny fraction of the corpus.  ``bucket_cap`` passes
+    through to candidate generation (mega-bucket hardening; see
+    minhash_lsh_candidates)."""
     # cache the (small) candidate pair set: it feeds both the id prefilter
     # and the verify join — uncached, the whole LSH pipeline would run twice
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k).cache()
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k, bucket_cap
+    ).cache()
     # shingle arrays are needed ONLY for candidate docs — prefilter with a
     # broadcast semi-join on the (small) candidate id set so the verify
     # stage shingles a fraction of the corpus, not all of it

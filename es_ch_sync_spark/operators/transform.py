@@ -106,3 +106,48 @@ def split_quarantine(
     else:
         return df, df.limit(0)
     return df.filter(~bad), df.filter(bad)
+
+
+def normalize_pseudo_arrays(
+    df: DataFrame,
+    base: str,
+    n: int,
+    out_col: str | None = None,
+    keep_slots: bool = False,
+) -> DataFrame:
+    """Fold indexed pseudo-array columns ``{base}_0 .. {base}_{n-1}`` into
+    one ``array<struct<slot:int, ...fields>>`` column (SURVEY §1.1 risk 4).
+
+    The source mapping stores arrays as numbered fields —
+    ``cell.details.cell_[0..3].{rssi, rsrq, physical_cell_id, ...}``
+    (/root/reference/internal/sync/test/status_mapping.json:38-110) — a
+    dynamic-mapping artifact the reference leaves flat and never converts
+    to signals.  Relationally the right shape is a single ArrayType column:
+    absent slots (documents report 0-4 cells) compact away instead of
+    rippling nullable columns through every downstream schema, and
+    per-element queries become ``explode``/higher-order functions instead
+    of N-way UNIONs.
+
+    Pure column expression (array + filter — no shuffle, fused with the
+    scan); each element keeps its original index in ``slot`` so ordinal
+    semantics survive the compaction.  ``keep_slots`` retains the flat
+    source columns alongside (default drops them)."""
+    out_col = out_col or base
+    slot_cols = [f"{base}_{i}" for i in range(n)]
+    missing = [c for c in slot_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"pseudo-array columns absent: {missing}")
+    entries = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.struct(F.lit(i).alias("slot"), F.col(c).alias("value")),
+        )
+        for i, c in enumerate(slot_cols)
+    ]
+    arr = F.filter(F.array(*entries), lambda s: s.isNotNull())
+    out = df.withColumn(out_col, arr)
+    if not keep_slots and out_col not in slot_cols:
+        out = out.drop(*slot_cols)
+    elif not keep_slots:
+        out = out.drop(*[c for c in slot_cols if c != out_col])
+    return out

@@ -72,6 +72,36 @@ def test_lsh_ann_recall_against_exact(spark, emb, sf_dir):
     assert recall >= 0.5, f"recall {recall} too low: {exact} vs {approx}"
 
 
+def test_minhash_bucket_cap_bounds_mega_buckets(spark, docs):
+    """A planted boilerplate group (200 identical docs) must be excluded
+    from pair generation under the cap, while ordinary small-bucket
+    candidates are untouched; default (no cap) is unchanged."""
+    template = spark.range(200).select(
+        (F.col("id") + 5_000_000).alias("doc_id"),
+        F.lit("the same boilerplate template text repeated across the corpus").alias("text"),
+    )
+    base = docs.limit(100).select("doc_id", "text")
+    corpus = base.unionByName(template)
+
+    uncapped = dd.minhash_lsh_candidates(corpus)
+    capped = dd.minhash_lsh_candidates(corpus, bucket_cap=50)
+
+    mega_pairs = 200 * 199 // 2
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    assert n_uncapped >= mega_pairs  # the mega bucket dominates uncapped
+    assert n_capped <= n_uncapped - mega_pairs  # every template pair dropped
+    # small-bucket candidates (within base docs) survive the cap
+    base_pairs_capped = capped.filter(F.col("id_a") < 5_000_000).filter(
+        F.col("id_b") < 5_000_000
+    )
+    base_pairs_uncapped = uncapped.filter(F.col("id_a") < 5_000_000).filter(
+        F.col("id_b") < 5_000_000
+    )
+    assert base_pairs_capped.count() == base_pairs_uncapped.count()
+    # a cap larger than every bucket is a no-op
+    assert dd.minhash_lsh_candidates(corpus, bucket_cap=10_000).count() == n_uncapped
+
+
 def test_knn_join_shape(spark, emb):
     out = sim.knn_join(emb.limit(50), k=3)
     rows = out.collect()

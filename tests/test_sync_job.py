@@ -121,3 +121,65 @@ def test_unresolved_subjects_quarantined(spark, dim_df):
 
 def test_token_id_parsing():
     assert SyncOptions.parse_token_ids(" 1, 2 ,x,,3 ") == [1, 2, 3]
+
+
+def test_normalize_pseudo_arrays_compacts_cell_slots(spark):
+    """cell_[0..3] pseudo-array fields (status_mapping.json:38-110) fold
+    into one compact array<struct<slot, value>> column: absent slots drop,
+    present slots keep their ordinal, flat columns are removed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from es_ch_sync_spark.operators.transform import normalize_pseudo_arrays
+
+    cell_t = T.StructType(
+        [T.StructField("rssi", T.IntegerType()), T.StructField("physical_cell_id", T.IntegerType())]
+    )
+    schema = T.StructType(
+        [T.StructField("subject", T.StringType())]
+        + [T.StructField(f"cell_{i}", cell_t) for i in range(4)]
+    )
+    rows = [
+        ("a", (-70, 101), (-80, 102), None, None),
+        ("b", None, None, (-90, 103), None),
+        ("c", None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = normalize_pseudo_arrays(df, "cell", 4)
+    assert set(out.columns) == {"subject", "cell"}
+    got = {r["subject"]: r["cell"] for r in out.collect()}
+    assert [(e["slot"], e["value"]["rssi"]) for e in got["a"]] == [(0, -70), (1, -80)]
+    assert [(e["slot"], e["value"]["physical_cell_id"]) for e in got["b"]] == [(2, 103)]
+    assert got["c"] == []
+    # per-element access is a plain explode, no N-way union
+    n_cells = out.select(F.explode("cell")).count()
+    assert n_cells == 3
+
+
+def test_observation_metrics_ride_the_job(spark, status_df, dim_df, tmp_path):
+    """Pipeline metrics via the Observation API: one write action populates
+    signal and quarantine counters with no extra pass; the exposition text
+    carries the numeric ones (main.go:108-123 analog)."""
+    from es_ch_sync_spark.job.metrics import (
+        observe_quarantine,
+        observe_signals,
+        prometheus_text,
+    )
+
+    opts = SyncOptions(start_time=BASE_TIME, stop_time=BASE_TIME + timedelta(days=1))
+    signals, quarantined = plan_sync(status_df, DEVICE_STATUS_CATALOG, dim_df, opts)
+    signals, s_obs = observe_signals(signals)
+    quarantined, q_obs = observe_quarantine(quarantined)
+
+    signals.write.mode("overwrite").parquet(str(tmp_path / "sig"))
+    quarantined.write.mode("overwrite").parquet(str(tmp_path / "quar"))
+
+    s = s_obs.get
+    assert s["n_signals"] > 0
+    assert s["n_numeric"] + s["n_string"] == s["n_signals"]
+    assert q_obs.get["n_quarantined"] > 0  # fixture injects malformed docs
+
+    text = prometheus_text({**s, **q_obs.get})
+    assert "es_ch_sync_spark_n_signals" in text
+    assert "# TYPE es_ch_sync_spark_n_quarantined gauge" in text
+    assert "min_ts" not in text  # non-numeric values stay out of exposition
