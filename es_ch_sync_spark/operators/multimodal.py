@@ -137,6 +137,52 @@ def video_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def audio_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize an audio media table from the documents fixture: text
+    bytes as the blob, duration 10 ms per character — exercises the
+    audio-path plumbing without real files."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.length("text").cast("long") * 10).alias("duration_ms"),
+    )
+
+
+def plan_audio_chunks(
+    media: DataFrame, chunk_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio chunking PLAN: overlapping ``chunk_ms`` windows every
+    ``hop_ms`` across each clip — the work list an ASR/feature kernel
+    would consume via mapInPandas (decode stays stubbed; the plan is real
+    and oracle-checked).
+
+    Like plan_frame_samples, this is metadata-only: the blob column is
+    pruned at the scan, so a 100 TB audio table plans its segmentation
+    reading only (media_id, duration_ms).  All-integer arithmetic; a clip
+    shorter than one chunk still yields its single (clamped) window."""
+    chunk, hop = int(chunk_ms), int(hop_ms)
+    last_idx = F.expr(f"greatest((duration_ms - {chunk}) DIV {hop}, 0)").cast("long")
+    start = F.col("chunk_idx") * F.lit(hop)
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            F.col("duration_ms"),
+            F.explode(F.sequence(F.lit(0).cast("long"), last_idx)).alias("chunk_idx"),
+        )
+        .select(
+            "media_id",
+            "chunk_idx",
+            start.alias("start_ms"),
+            F.least(start + F.lit(chunk), F.col("duration_ms")).alias("end_ms"),
+        )
+    )
+
+
 def plan_frame_samples(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Frame-sampling PLAN: one row per (media_id, frame_idx, frame_ts_ms)
     to decode, at ``every_ms`` intervals across each video's duration.

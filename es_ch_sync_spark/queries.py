@@ -578,6 +578,27 @@ def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.plan_frame_samples(media, every_ms=500)
 
 
+_AUDIO_CHUNK_ORACLE = """
+    WITH a AS (
+        SELECT doc_id AS media_id, length(text) * 10 AS dur,
+               unnest(range(0, greatest((length(text) * 10 - 1000) // 500, 0) + 1)) AS chunk_idx
+        FROM documents
+    )
+    SELECT media_id, chunk_idx, chunk_idx * 500 AS start_ms,
+           least(chunk_idx * 500 + 1000, dur) AS end_ms
+    FROM a
+"""
+
+
+@register("multimodal_audio_chunks", _AUDIO_CHUNK_ORACLE)
+def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation schedule (1000 ms windows, 500 ms hop) from
+    metadata only — the audio sibling of multimodal_frame_plan; blob column
+    pruned at the scan, decode stubbed, plan oracle-checked."""
+    media = mm.audio_media_from_documents(_docs(spark, sf_dir))
+    return mm.plan_audio_chunks(media, chunk_ms=1000, hop_ms=500)
+
+
 _INCR_ORACLE = """
     WITH tall AS (
         SELECT user_id AS token_id, ts AS timestamp, 'value' AS name,
