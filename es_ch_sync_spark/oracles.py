@@ -344,6 +344,46 @@ def ann_ivf_topk_sql(query_id: int = 0, k: int = 10, dim: int = 64) -> str:
     """
 
 
+def kmeans_cells_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Oracle for operators.clustering.kmeans_assign: the Lloyd iterations
+    unrolled as CTE pairs (dist_i → assign_i → cent_i).  Same deterministic
+    construction as the Spark side: seeds = k lowest vec_ids, cell = seed
+    id, every centroid component and distance rounded to 9dp, argmin ties
+    broken by struct-min on (d, cell)."""
+    ctes = [
+        f"""pe AS (
+        SELECT vec_id, i::INTEGER AS pos, embedding[i + 1]::DOUBLE AS x
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) dd
+    )""",
+        f"""cent0 AS (
+        SELECT vec_id AS cell, pos, round(x, 9) AS c FROM pe
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""dist{i} AS (
+        SELECT pe.vec_id, cent{i - 1}.cell,
+               round(sum((pe.x - cent{i - 1}.c) * (pe.x - cent{i - 1}.c)), 9) AS d
+        FROM pe JOIN cent{i - 1} USING (pos) GROUP BY pe.vec_id, cent{i - 1}.cell
+    )"""
+        )
+        ctes.append(
+            f"""assign{i} AS (
+        SELECT vec_id, min(struct_pack(d := d, cell := cell))['cell']::BIGINT AS cell
+        FROM dist{i} GROUP BY vec_id
+    )"""
+        )
+        if i < iters:
+            ctes.append(
+                f"""cent{i} AS (
+        SELECT a.cell, pe.pos, round(avg(pe.x), 9) AS c
+        FROM assign{i} a JOIN pe ON a.vec_id = pe.vec_id GROUP BY a.cell, pe.pos
+    )"""
+            )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT vec_id, cell FROM assign{iters}"
+
+
 def embedding_near_dup_sql(
     threshold: float = 0.4, n_planes: int = 12, bands: int = 4, dim: int = 64
 ) -> str:

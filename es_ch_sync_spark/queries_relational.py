@@ -409,6 +409,16 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kmeans_cells", oracles.kmeans_cells_sql(k=4, iters=2, dim=64))
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational k-means (Lloyd's) cell assignment — the real IVF coarse
+    quantizer, fit as pure DataFrame aggregations with no driver-side
+    vectors; oracle = the same iterations unrolled as CTEs."""
+    from es_ch_sync_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(read_parquet_table(spark, sf_dir, "embeddings"), k=4, iters=2)
+
+
 @register("ann_ivf_topk", oracles.ann_ivf_topk_sql(query_id=0, k=10, dim=64))
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize by the label column (stand-in for
@@ -645,21 +655,13 @@ _STREAM_ORACLE = """
 """
 
 
-@register("streaming_unpivot", _STREAM_ORACLE)
-def q_streaming_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming driven through the checked surface: stream the
-    events parquet (AvailableNow), unpivot + watermark-dedup exactly like
-    the ingestion pipeline, drain to a memory sink, return the result —
-    which must equal the batch distinct unpivot (the oracle).  Exactly-once
-    + dedup semantics of the stream are thereby oracle-verified."""
-    import uuid
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (AvailableNow callers),
+    with the same nanos-timestamp handling as the batch reader."""
+    import copy
 
-    from es_ch_sync_spark.catalog import SignalCatalog, SignalDef
-    from es_ch_sync_spark.streaming.sync_stream import build_signal_stream
+    from pyspark.sql import types as T
 
-    cat = SignalCatalog([SignalDef("value", "value", "number")])
-    # nanos-timestamp columns must be declared LONG for the stream reader
-    # (same legacy-conf path as the batch reader), then converted
     from es_ch_sync_spark.io.sources import _nanos_ts_columns
 
     path = f"{sf_dir}/events.parquet"
@@ -667,16 +669,10 @@ def q_streaming_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = read_parquet_table(spark, sf_dir, "events").schema
-    import copy
-
-    from pyspark.sql import types as T
-
     fields = [
         T.StructField(f.name, T.LongType() if f.name in ns_cols else copy.deepcopy(f.dataType))
         for f in batch_schema.fields
     ]
-    # the file stream source wants a directory: stream the sf dir with a
-    # glob filter selecting just the events table
     stream = (
         spark.readStream.schema(T.StructType(fields))
         .format("parquet")
@@ -685,21 +681,72 @@ def q_streaming_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for c in ns_cols:
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    stream = stream.withColumn("src", F.lit("events"))
-    signals = build_signal_stream(
-        stream, cat, device_dim=None, subject_col="user_id", ts_col="ts", source_col="src",
-        watermark="365 days",
-    )
+    return stream
+
+
+def _drain_to_memory(signals: DataFrame, output_mode: str) -> DataFrame:
+    """Run a finite stream to completion (AvailableNow) into a memory sink
+    and return the result table."""
+    import uuid
+
     sink = f"stream_q_{uuid.uuid4().hex[:8]}"
     q = (
         signals.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(sink)
+    return signals.sparkSession.table(sink)
+
+
+@register("streaming_unpivot", _STREAM_ORACLE)
+def q_streaming_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming driven through the checked surface: stream the
+    events parquet (AvailableNow), unpivot + watermark-dedup exactly like
+    the ingestion pipeline, drain to a memory sink, return the result —
+    which must equal the batch distinct unpivot (the oracle).  Exactly-once
+    + dedup semantics of the stream are thereby oracle-verified."""
+    from es_ch_sync_spark.catalog import SignalCatalog, SignalDef
+    from es_ch_sync_spark.streaming.sync_stream import build_signal_stream
+
+    cat = SignalCatalog([SignalDef("value", "value", "number")])
+    stream = _read_events_stream(spark, sf_dir).withColumn("src", F.lit("events"))
+    signals = build_signal_stream(
+        stream, cat, device_dim=None, subject_col="user_id", ts_col="ts", source_col="src",
+        watermark="365 days",
+    )
+    return _drain_to_memory(signals, "append")
+
+
+@register(
+    "streaming_windowed_counts",
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day_start, event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value)::DOUBLE, 4) AS v_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregation through the checked surface: tumbling
+    1-day event-time windows per event_type over the events stream
+    (AvailableNow), complete-mode drain — must equal the batch
+    date_trunc groupBy (the oracle).  Epoch-aligned windows ≙
+    date_trunc('day') under the UTC session timezone."""
+    stream = _read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value").cast("double"), 4).alias("v_sum"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"), "event_type", "n_events", "v_sum"
+        )
+    )
+    return _drain_to_memory(agg, "complete")
 
 
 # ---------------------------------------------------------------------------
