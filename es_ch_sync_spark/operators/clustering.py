@@ -80,3 +80,72 @@ def kmeans_assign(
                 .agg(F.round(F.avg("x"), 9).alias("c"))
             )
     return assign
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF ANN over REAL k-means cells, end-to-end relational: fit the
+    coarse quantizer (kmeans_assign), recompute final centroids, pick the
+    query's cell by max centroid cosine (ties → smaller cell id), brute
+    top-k inside that cell only.
+
+    Still no driver-side vectors: the best cell is a 1-row DataFrame
+    cross-joined into the cell filter.  Approximate vs exact kNN by cell
+    truncation, deterministic end-to-end — the oracle replicates every
+    stage (oracles.ivf_kmeans_topk_sql)."""
+    from es_ch_sync_spark.operators.similarity import _sql_double_array, cosine
+
+    assign = kmeans_assign(emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    pe = posexplode_vectors(emb, id_col, vec_col)
+    cent = (
+        assign.join(pe, id_col)
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), 9).alias("c"))
+    )
+    q = [float(x) for x in query_vec]
+    qn = sum(x * x for x in q) ** 0.5
+    # cos(centroid, q): join the k·d centroid rows with the query literal by
+    # position; one k-row aggregate, then a 1-row argmax (min struct over
+    # (-cos, cell) — negation gives max with smaller-cell tie-break)
+    qcol = F.expr(_sql_double_array(q))
+    cq = cent.withColumn("qx", F.element_at(qcol, F.col("pos") + 1))
+    cell_scores = cq.groupBy("cell").agg(
+        F.sum(F.col("c") * F.col("qx")).alias("dot"),
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"),
+    )
+    cos_c = F.when(F.col("cn") > 0, F.col("dot") / (F.col("cn") * F.lit(qn))).otherwise(
+        F.lit(-2.0)
+    )
+    best = (
+        cell_scores.select("cell", F.round(cos_c, 9).alias("ccos"))
+        .agg(
+            F.min(
+                F.struct((-F.col("ccos")).alias("nc"), F.col("cell").alias("cell"))
+            ).alias("m")
+        )
+        .select(F.col("m.cell").alias("best_cell"))
+    )
+    members = assign.join(F.broadcast(best), assign.cell == F.col("best_cell"), "inner").select(
+        id_col
+    )
+    cand = emb.join(members, id_col, "left_semi")
+    from es_ch_sync_spark.operators.similarity import _as_double
+
+    scored = cand.select(
+        F.col(id_col), cosine(_as_double(F.col(vec_col)), qcol).alias("cos_sim")
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("cos_sim", 6).alias("cos_sim"))
+    )

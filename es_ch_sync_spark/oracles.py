@@ -384,6 +384,44 @@ def kmeans_cells_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT vec_id, cell FROM assign{iters}"
 
 
+def ivf_kmeans_topk_sql(
+    query_id: int = 0, k: int = 10, n_cells: int = 4, iters: int = 2, dim: int = 64
+) -> str:
+    """Oracle for operators.clustering.ivf_topk: the kmeans_cells_sql CTE
+    chain, final centroids recomputed from the last assignment, query cell
+    by max centroid cosine (round 9dp; ties → smaller cell), brute cos
+    top-k among that cell's members."""
+    kmeans = kmeans_cells_sql(n_cells, iters, dim)
+    # strip the final SELECT — reuse the CTE chain
+    body = kmeans.rsplit("SELECT vec_id, cell FROM", 1)[0].rstrip().rstrip(",")
+    cos = _cosine_sql("b.embedding", "q.qv")
+    return f"""{body},
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_id}),
+    centf AS (
+        SELECT a.cell, pe.pos, round(avg(pe.x), 9) AS c
+        FROM assign{iters} a JOIN pe ON a.vec_id = pe.vec_id GROUP BY a.cell, pe.pos
+    ),
+    cellcos AS (
+        SELECT cell,
+               round(CASE WHEN sqrt(sum(c * c)) > 0
+                     THEN sum(c * qv[pos + 1]) / (sqrt(sum(c * c)) * sqrt(list_dot_product(any_value(qv), any_value(qv))))
+                     ELSE -2.0 END, 9) AS ccos
+        FROM centf, q GROUP BY cell
+    ),
+    best AS (
+        SELECT min(struct_pack(nc := -ccos, cell := cell))['cell']::BIGINT AS best_cell
+        FROM cellcos
+    )
+    SELECT b.vec_id, round({cos}, 6) AS cos_sim
+    FROM embeddings b
+    JOIN assign{iters} a ON b.vec_id = a.vec_id
+    JOIN best ON a.cell = best.best_cell, q
+    WHERE b.vec_id != {query_id}
+    ORDER BY {cos} DESC, b.vec_id ASC
+    LIMIT {k}
+    """
+
+
 def embedding_near_dup_sql(
     threshold: float = 0.4, n_planes: int = 12, bands: int = 4, dim: int = 64
 ) -> str:

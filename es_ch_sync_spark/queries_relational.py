@@ -419,6 +419,21 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(read_parquet_table(spark, sf_dir, "embeddings"), k=4, iters=2)
 
 
+@register(
+    "ann_ivf_kmeans_topk",
+    oracles.ivf_kmeans_topk_sql(query_id=0, k=10, n_cells=4, iters=2, dim=64),
+)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the REAL k-means coarse quantizer (kmeans_cells), not
+    the label stand-in: fit → final centroids → argmax cell → in-cell
+    top-k, all relational, no driver-side vectors; every stage replicated
+    in the oracle."""
+    from es_ch_sync_spark.operators.clustering import ivf_topk
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _ivf_query_vec(sf_dir, 0), k=10, n_cells=4, iters=2, exclude_id=0)
+
+
 @register("ann_ivf_topk", oracles.ann_ivf_topk_sql(query_id=0, k=10, dim=64))
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize by the label column (stand-in for
