@@ -72,6 +72,26 @@ def test_lsh_ann_recall_against_exact(spark, emb, sf_dir):
     assert recall >= 0.5, f"recall {recall} too low: {exact} vs {approx}"
 
 
+def test_star_cc_equals_propagation(spark, docs):
+    """large/small-star CC must produce exactly the propagation answer on
+    the real near-dup pair graph."""
+    pairs = dd.minhash_near_duplicates(docs, threshold=0.5).cache()
+    prop = {(r["doc_id"], r["cluster_id"]) for r in dd.connected_components(pairs).collect()}
+    star = {(r["doc_id"], r["cluster_id"]) for r in dd.connected_components_star(pairs).collect()}
+    assert star == prop and len(star) > 0
+
+
+def test_star_cc_contracts_long_chain(spark):
+    """An 80-node path graph: propagation needs ~80 rounds (diameter);
+    star alternation converges within its default O(log²) budget and
+    labels every node with the chain minimum."""
+    chain = spark.range(80).selectExpr("id AS id_a", "id + 1 AS id_b")
+    out = dd.connected_components_star(chain)
+    labels = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert len(labels) == 81
+    assert set(labels.values()) == {0}
+
+
 def test_minhash_bucket_cap_bounds_mega_buckets(spark, docs):
     """A planted boilerplate group (200 identical docs) must be excluded
     from pair generation under the cap, while ordinary small-bucket
