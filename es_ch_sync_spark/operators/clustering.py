@@ -82,6 +82,139 @@ def kmeans_assign(
     return assign
 
 
+def _pq_posexplode(
+    emb: DataFrame, sub_dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, sub, spos, x) — the tall form split into M subspaces: sub =
+    pos DIV sub_dim (which codebook), spos = pos % sub_dim (component
+    within the subvector).  Integer DIV/%, never float division."""
+    pe = posexplode_vectors(emb, id_col, vec_col)
+    return pe.select(
+        F.col(id_col),
+        F.expr(f"pos DIV {sub_dim}").alias("sub"),
+        F.expr(f"pos % {sub_dim}").alias("spos"),
+        "x",
+    )
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization fit (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 §II) — M independent k-means, one
+    per sub_dim-wide subspace, run SIMULTANEOUSLY by carrying ``sub`` in
+    every grouping key.  Returns (codes, codebook):
+
+    - codes:    (id, sub, code) — M rows per vector, each vector encoded
+                as M codeword ids (ksub^M distinct reproduction values
+                from only m·ksub centroids — the whole point of PQ);
+    - codebook: (sub, code, spos, c) — the FINAL per-subspace centroids
+                (recomputed from the last assignment), m·ksub·sub_dim rows.
+
+    Same determinism contract as kmeans_assign: seeds are the ksub lowest
+    ids (each seed vector donates one codeword per subspace, code = seed
+    id), 9dp rounding on centroid components and distances, argmin ties
+    break to the smaller code via struct-min — so the DuckDB oracle
+    (oracles.pq_codes_sql, iterations unrolled with ``sub`` in the keys)
+    reproduces codes bit-for-bit.
+
+    Scale: identical shuffle shape to kmeans_assign — per-iteration the
+    fact side moves (id, sub, code, partial-sum) through a map-side
+    combine; the codebook (m·ksub·sub_dim rows, e.g. 4·4·16 = 256) stays
+    broadcast.  Training at 100 TB runs on a sample; ENCODING (the last
+    assign) is the only full pass, and ADC scoring afterwards touches
+    codes + a per-query LUT, never raw vectors — an 8-byte-per-vector
+    scan replacing a 256-byte one."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    pe = _pq_posexplode(emb, sub_dim, id_col, vec_col)
+    seeds = emb.select(id_col).orderBy(id_col).limit(ksub)
+    cent = (
+        pe.join(F.broadcast(seeds), id_col)
+        .select("sub", F.col(id_col).alias("code"), "spos", F.round("x", 9).alias("c"))
+    )
+    assign = None
+    for i in range(iters):
+        diff = F.col("x") - F.col("c")
+        dist = (
+            pe.join(F.broadcast(cent), ["sub", "spos"])
+            .groupBy(id_col, "sub", "code")
+            .agg(F.round(F.sum(diff * diff), 9).alias("d"))
+        )
+        assign = (
+            dist.groupBy(id_col, "sub")
+            .agg(F.min(F.struct("d", "code")).alias("m"))
+            .select(F.col(id_col), F.col("sub"), F.col("m.code").alias("code"))
+        )
+        if i < iters - 1:
+            cent = (
+                assign.join(pe, [id_col, "sub"])
+                .groupBy("sub", "code", "spos")
+                .agg(F.round(F.avg("x"), 9).alias("c"))
+            )
+    codebook = (
+        assign.join(pe, [id_col, "sub"])
+        .groupBy("sub", "code", "spos")
+        .agg(F.round(F.avg("x"), 9).alias("c"))
+    )
+    return assign, codebook
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jégou 2011 §III.B): build
+    a per-query lookup table d(sub, code) = ||q_sub − codeword||², then
+    score every vector as the SUM of M table lookups — approximate squared
+    L2 distance without ever touching the stored vectors.
+
+    Relational ADC: LUT = codebook ⋈ query-literal (m·ksub rows,
+    broadcast); scores = codes ⋈ LUT → groupBy(id) sum.  The scoring scan
+    reads only the (id, sub, code) table — at 100 TB that is the entire
+    economics of PQ (codes are ~32× smaller than float32 vectors), and the
+    shuffle carries (id, partial-sum) pairs.  Deterministic: LUT entries
+    rounded 9dp, final distance 6dp, ties break on smaller id; the oracle
+    (oracles.pq_adc_topk_sql) replicates every stage."""
+    sub_dim = dim // m
+    codes, codebook = pq_fit(emb, m, ksub, iters, dim, id_col, vec_col)
+    from es_ch_sync_spark.operators.similarity import _sql_double_array
+
+    q = [float(x) for x in query_vec]
+    qcol = F.expr(_sql_double_array(q))
+    qx = F.element_at(
+        qcol, (F.col("sub") * sub_dim + F.col("spos") + 1).cast("int")
+    )
+    qdiff = qx - F.col("c")
+    lut = (
+        codebook.groupBy("sub", "code")
+        .agg(F.round(F.sum(qdiff * qdiff), 9).alias("d"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -384,6 +384,87 @@ def kmeans_cells_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT vec_id, cell FROM assign{iters}"
 
 
+def _pq_ctes(m: int, ksub: int, iters: int, dim: int) -> str:
+    """Shared CTE chain for the PQ oracles: the M simultaneous per-subspace
+    Lloyd iterations of operators.clustering.pq_fit unrolled, with ``sub``
+    carried in every grouping key, plus the final codebook ``centf``."""
+    sub_dim = dim // m
+    ctes = [
+        f"""pe AS (
+        SELECT vec_id, (i // {sub_dim})::INTEGER AS sub, (i % {sub_dim})::INTEGER AS spos,
+               embedding[i + 1]::DOUBLE AS x
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) dd
+    )""",
+        f"""cent0 AS (
+        SELECT sub, vec_id AS code, spos, round(x, 9) AS c FROM pe
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ksub})
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""dist{i} AS (
+        SELECT pe.vec_id, pe.sub, ct.code,
+               round(sum((pe.x - ct.c) * (pe.x - ct.c)), 9) AS d
+        FROM pe JOIN cent{i - 1} ct ON pe.sub = ct.sub AND pe.spos = ct.spos
+        GROUP BY pe.vec_id, pe.sub, ct.code
+    )"""
+        )
+        ctes.append(
+            f"""assign{i} AS (
+        SELECT vec_id, sub, min(struct_pack(d := d, code := code))['code']::BIGINT AS code
+        FROM dist{i} GROUP BY vec_id, sub
+    )"""
+        )
+        if i < iters:
+            ctes.append(
+                f"""cent{i} AS (
+        SELECT a.sub, a.code, pe.spos, round(avg(pe.x), 9) AS c
+        FROM assign{i} a JOIN pe ON a.vec_id = pe.vec_id AND a.sub = pe.sub
+        GROUP BY a.sub, a.code, pe.spos
+    )"""
+            )
+    ctes.append(
+        f"""centf AS (
+        SELECT a.sub, a.code, pe.spos, round(avg(pe.x), 9) AS c
+        FROM assign{iters} a JOIN pe ON a.vec_id = pe.vec_id AND a.sub = pe.sub
+        GROUP BY a.sub, a.code, pe.spos
+    )"""
+    )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def pq_codes_sql(m: int = 4, ksub: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Oracle for pq_fit's code table: (vec_id, sub, code)."""
+    return (
+        _pq_ctes(m, ksub, iters, dim)
+        + f"\n    SELECT vec_id, sub, code FROM assign{iters}"
+    )
+
+
+def pq_adc_topk_sql(
+    query_id: int = 0, k: int = 10, m: int = 4, ksub: int = 4, iters: int = 2, dim: int = 64
+) -> str:
+    """Oracle for pq_adc_topk: per-query LUT from the final codebook, score
+    by summed lookups over the code table, ascending-distance top-k."""
+    sub_dim = dim // m
+    return f"""{_pq_ctes(m, ksub, iters, dim)},
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_id}),
+    lut AS (
+        SELECT sub, code,
+               round(sum((qv[sub * {sub_dim} + spos + 1] - c) * (qv[sub * {sub_dim} + spos + 1] - c)), 9) AS d
+        FROM centf, q GROUP BY sub, code
+    ),
+    scores AS (
+        SELECT a.vec_id, round(sum(l.d), 6) AS adc_dist
+        FROM assign{iters} a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+        GROUP BY a.vec_id
+    )
+    SELECT vec_id, adc_dist FROM scores WHERE vec_id != {query_id}
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT {k}
+    """
+
+
 def ivf_kmeans_topk_sql(
     query_id: int = 0, k: int = 10, n_cells: int = 4, iters: int = 2, dim: int = 64
 ) -> str:

@@ -422,6 +422,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+@register("dedup_clusters_star", oracles.dedup_clusters_sql(threshold=0.5))
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via large/small-star alternation (Kiveris 2014) — the
+    O(log²)-round 100 TB path.  Output contract identical to propagation,
+    so the SAME recursive-CTE oracle checks it."""
+    pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    return dd.connected_components_star(pairs)
+
+
 @register("dedup_simhash", oracles.simhash_near_dup_sql())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (60-bit, 15-bit pigeonhole bands, Hamming ≤12)."""

@@ -434,6 +434,36 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _ivf_query_vec(sf_dir, 0), k=10, n_cells=4, iters=2, exclude_id=0)
 
 
+@register("pq_codes", oracles.pq_codes_sql(m=4, ksub=4, iters=2, dim=64))
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou 2011): 4 per-subspace k-means
+    run simultaneously (``sub`` in every grouping key); each vector becomes
+    4 codeword ids.  Oracle = the same iterations unrolled as CTEs."""
+    from es_ch_sync_spark.operators.clustering import pq_fit
+
+    codes, _ = pq_fit(
+        read_parquet_table(spark, sf_dir, "embeddings"), m=4, ksub=4, iters=2, dim=64
+    )
+    return codes
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracles.pq_adc_topk_sql(query_id=0, k=10, m=4, ksub=4, iters=2, dim=64),
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes: per-query LUT (m·ksub rows, broadcast)
+    joined to the code table, summed lookups ≈ squared L2 — the scoring
+    scan never touches raw vectors, which at 100 TB is the entire point
+    of PQ (codes ~32× smaller than float32 vectors)."""
+    from es_ch_sync_spark.operators.clustering import pq_adc_topk
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, _ivf_query_vec(sf_dir, 0), k=10, m=4, ksub=4, iters=2, dim=64, exclude_id=0
+    )
+
+
 @register("ann_ivf_topk", oracles.ann_ivf_topk_sql(query_id=0, k=10, dim=64))
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize by the label column (stand-in for

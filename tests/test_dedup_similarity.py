@@ -72,6 +72,31 @@ def test_lsh_ann_recall_against_exact(spark, emb, sf_dir):
     assert recall >= 0.5, f"recall {recall} too low: {exact} vs {approx}"
 
 
+def test_pq_codes_shape_and_adc_orders_distances(spark, emb, sf_dir):
+    """PQ encoding must emit exactly M codes per vector drawn from the seed
+    ids; ADC top-k must return ascending approximate distances and beat a
+    random baseline on exact-kNN recall (ADC is lossy — at 64d/4×4 codes a
+    loose bound is all the quantization error honestly supports)."""
+    import pyarrow.parquet as pq
+    from es_ch_sync_spark.operators.clustering import pq_adc_topk, pq_fit
+
+    codes, codebook = pq_fit(emb, m=4, ksub=4, iters=2, dim=64)
+    per_vec = codes.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [4]
+    assert {r["code"] for r in codes.select("code").distinct().collect()} <= {0, 1, 2, 3}
+    assert codebook.count() == 4 * 4 * 16
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qv = t.column("embedding").to_pylist()[t.column("vec_id").to_pylist().index(0)]
+    rows = pq_adc_topk(emb, qv, k=20, exclude_id=0).collect()
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists) and len(rows) == 20
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, qv, k=20, exclude_id=0).collect()]
+    recall = len(set(exact) & {r["vec_id"] for r in rows}) / 20
+    n = emb.count()
+    assert recall > 20 / n * 3, f"ADC recall {recall} no better than random"
+
+
 def test_star_cc_equals_propagation(spark, docs):
     """large/small-star CC must produce exactly the propagation answer on
     the real near-dup pair graph."""
