@@ -1,0 +1,111 @@
+"""Persistent IVF index — inverted lists as cell-partitioned parquet.
+
+The relational IVF path (operators.clustering.ivf_topk) re-fits the coarse
+quantizer per query; a real serving deployment fits ONCE and materializes
+the layout so each query reads only its probed cells.  Spark-native
+realization of Jégou et al.'s inverted file (TPAMI 2011 §III):
+
+- **build**: fit k-means (relational, no driver vectors), then write the
+  vector table ``partitionBy("cell")`` — each IVF inverted list becomes a
+  hive-style partition directory — plus the tiny (cells·dim) centroid
+  table next to it.
+- **search**: score the query against centroids (a few-hundred-row
+  relational aggregate), take the top ``nprobe`` cells, and scan only
+  those partition directories.  The `.filter(cell IN …)` lands as a
+  PartitionFilter — Spark never opens the other cells' files (pinned by
+  tests/test_ann_index.py).
+
+At 100 TB this converts ANN serving from a full-corpus scan to reading
+``nprobe / n_cells`` of the data — with n_cells in the thousands, a
+~1000× scan reduction per query, the same economics the reference gets
+from its primary-key index.  The only driver-side transfer is the probed
+cell-id list (``nprobe`` longs — bounded by a parameter, not by data).
+``nprobe`` is the standard IVF recall knob: 1 = fastest, n_cells = exact
+within the quantizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fit the coarse quantizer and materialize ``{path}/vectors``
+    (cell-partitioned inverted lists) + ``{path}/centroids``."""
+    from es_ch_sync_spark.operators.clustering import kmeans_assign, posexplode_vectors
+
+    assign = kmeans_assign(emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    pe = posexplode_vectors(emb, id_col, vec_col)
+    cent = (
+        assign.join(pe, id_col)
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), 9).alias("c"))
+    )
+    (
+        emb.join(assign, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def probe_cells(
+    spark: SparkSession, path: str, query_vec: list[float], nprobe: int = 1
+) -> list[int]:
+    """Top-``nprobe`` cells by centroid cosine (ties → smaller cell id).
+
+    Relational scoring over the centroid table; only the chosen cell ids
+    (``nprobe`` longs) ever reach the driver."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    q = [float(x) for x in query_vec]
+    qn = sum(x * x for x in q) ** 0.5
+    from es_ch_sync_spark.operators.similarity import _sql_double_array
+
+    qcol = F.expr(_sql_double_array(q))
+    cq = cent.withColumn("qx", F.element_at(qcol, (F.col("pos") + 1).cast("int")))
+    scores = cq.groupBy("cell").agg(
+        F.sum(F.col("c") * F.col("qx")).alias("dot"),
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"),
+    )
+    ccos = F.when(
+        F.col("cn") > 0, F.col("dot") / (F.col("cn") * F.lit(qn))
+    ).otherwise(F.lit(-2.0))
+    rows = (
+        scores.select("cell", F.round(ccos, 9).alias("ccos"))
+        .orderBy(F.col("ccos").desc(), F.col("cell").asc())
+        .limit(nprobe)
+        .collect()
+    )
+    return [r["cell"] for r in rows]
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k cosine among the ``nprobe`` probed cells only.
+
+    The cell filter is a partition filter — unprobed inverted lists are
+    never read."""
+    from es_ch_sync_spark.operators.similarity import cosine_topk
+
+    cells = probe_cells(spark, path, query_vec, nprobe)
+    vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(cells))
+    return cosine_topk(
+        vecs, query_vec, k=k, id_col=id_col, vec_col=vec_col, exclude_id=exclude_id
+    )
