@@ -132,6 +132,118 @@ def decontaminate(
     )
 
 
+def source_cap(
+    df: DataFrame,
+    cap: int = 50,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """Per-source document cap with hash-random within-source selection —
+    the CommonCrawl-style anti-boilerplate gate (cap each domain so no
+    single source dominates the corpus).
+
+    Selection order inside a source is md5(seed:id) — uniform-random but
+    deterministic and append-aware: adding documents to OTHER sources never
+    changes a source's kept set; adding to the same source perturbs only
+    hash-adjacent picks.  Plan: one shuffle by source + a per-source sorted
+    window — the skew concern (one mega-source) is the same as any
+    groupBy-key skew and AQE handles it; the window never sees more than
+    one source per partition group."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    win = W.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), F.col(strata_col), F.row_number().over(win).alias("rn"))
+        .filter(F.col("rn") <= cap)
+    )
+
+
+GLOBAL_SHUFFLE_BUCKETS = 64
+
+
+def global_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "shuf"
+) -> DataFrame:
+    """Deterministic global permutation — every document gets a unique
+    ``shuffle_pos`` in hash order, the reproducible replacement for a
+    training-data shuffle (same order on every run / cluster size).
+
+    Scale design: a naive row_number over a global ORDER BY collapses the
+    window into ONE partition.  Instead the permutation order is the
+    composite (bucket, md5, id) with bucket = hash mod B, computed in two
+    parallel phases:
+
+    1. per-bucket row_number (window partitioned by bucket — B-way
+       parallel, no global sort);
+    2. bucket start offsets = running count over the B-row bucket-size
+       table (tiny; single-partition window over B rows is free), broadcast
+       back.
+
+    ``shuffle_pos = offset[bucket] + rn − 1`` is exactly the rank in the
+    composite order, so the oracle can state it as one window over
+    (bucket, h, id) while the Spark plan stays fully parallel."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    rows = df.select(
+        F.col(id_col),
+        h.alias("h"),
+        (_hash_bucket(F.col(id_col), seed + "-b") % GLOBAL_SHUFFLE_BUCKETS).alias("bucket"),
+    )
+    win = W.partitionBy("bucket").orderBy(F.col("h").asc(), F.col(id_col).asc())
+    ranked = rows.select(id_col, "bucket", F.row_number().over(win).alias("rn"))
+    sizes = ranked.groupBy("bucket").agg(F.max("rn").alias("n"))
+    offw = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "bucket", F.coalesce(F.sum("n").over(offw), F.lit(0)).alias("off")
+    )
+    return ranked.join(F.broadcast(offsets), "bucket").select(
+        id_col, (F.col("off") + F.col("rn") - 1).alias("shuffle_pos")
+    )
+
+
+def quality_budget_select(
+    df: DataFrame,
+    budget_tokens: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget: rank
+    documents by quality (desc, id tie-break), keep the prefix whose
+    cumulative token count stays within ``budget_tokens``.
+
+    The data-mixing step of a pretraining pipeline ("take the best N
+    billion tokens").  The checkable form uses a cumulative-sum window
+    over the quality order; at 100 TB the equivalent plan is
+    threshold-refine: approx-quantile the quality distribution to locate
+    the cutoff score that lands the budget, filter (map-only), and
+    cumulative-sum only the boundary stratum — same selected set when
+    quality has a unique order, a bounded difference otherwise.  Integer
+    token arithmetic end to end."""
+    from pyspark.sql import Window as W
+
+    from es_ch_sync_spark.operators.text import quality_score, token_count_ws
+
+    t = F.col(text_col)
+    docs = df.select(
+        F.col(id_col),
+        quality_score(t).alias("quality"),
+        token_count_ws(t).cast("long").alias("n_tokens"),
+    )
+    win = (
+        W.orderBy(F.col("quality").desc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        docs.select(
+            id_col, "quality", "n_tokens", F.sum("n_tokens").over(win).alias("cum_tokens")
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 512,

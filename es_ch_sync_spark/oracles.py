@@ -668,6 +668,56 @@ def decontaminate_sql(
     """
 
 
+def source_cap_sql(cap: int = 50, seed: str = "cap") -> str:
+    """Mirror of sampling.source_cap: per-source row_number in
+    md5(seed:id) order, keep rn <= cap."""
+    return f"""
+    SELECT doc_id, source, rn FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY md5('{seed}:' || doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn <= {cap}
+    """
+
+
+def global_shuffle_sql(seed: str = "shuf") -> str:
+    """Mirror of sampling.global_shuffle: the two-phase bucketed rank
+    equals one row_number over the composite (bucket, h, id) order."""
+    from es_ch_sync_spark.operators.sampling import GLOBAL_SHUFFLE_BUCKETS
+
+    b = _hash_bucket_sql("doc_id", seed + "-b")
+    return f"""
+    WITH r AS (
+        SELECT doc_id,
+               md5('{seed}:' || doc_id::VARCHAR) AS h,
+               ({b}) % {GLOBAL_SHUFFLE_BUCKETS} AS bucket
+        FROM documents
+    )
+    SELECT doc_id,
+           (row_number() OVER (ORDER BY bucket ASC, h ASC, doc_id ASC) - 1)::BIGINT
+               AS shuffle_pos
+    FROM r
+    """
+
+
+def quality_budget_select_sql(budget_tokens: int = 100_000) -> str:
+    """Mirror of sampling.quality_budget_select: cumulative token sum over
+    the (quality desc, doc_id) order, keep the within-budget prefix.
+    Reuses the full text_analysis_sql pipeline as a CTE so the quality
+    definition can never drift between the two queries."""
+    return f"""
+    WITH ta AS ({text_analysis_sql()})
+    SELECT doc_id, quality, n_tokens, cum_tokens FROM (
+        SELECT doc_id, quality, n_tokens_ws::BIGINT AS n_tokens,
+               sum(n_tokens_ws) OVER (
+                   ORDER BY quality DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+        FROM ta
+    ) WHERE cum_tokens <= {budget_tokens}
+    """
+
+
 def pack_sequences_sql(budget: int = 512, n_shards: int = 32) -> str:
     """Mirror of sampling.pack_sequences: shard-parallel exclusive cumsum
     of whitespace token counts, chunk = start_offset div budget."""

@@ -482,6 +482,36 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=32)
 
 
+@register("source_cap", oracles.source_cap_sql(cap=50))
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (CommonCrawl-style anti-boilerplate gate):
+    keep ≤50 docs per source, hash-random within source, append-stable."""
+    from es_ch_sync_spark.operators.sampling import source_cap
+
+    return source_cap(_docs(spark, sf_dir), cap=50)
+
+
+@register("global_shuffle", oracles.global_shuffle_sql())
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-shuffle permutation: two-phase
+    bucketed rank (parallel windows + tiny offset table) that equals one
+    row_number over the composite (bucket, md5, id) order — no
+    single-partition global window."""
+    from es_ch_sync_spark.operators.sampling import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir))
+
+
+@register("quality_budget_select", oracles.quality_budget_select_sql(budget_tokens=100_000))
+def q_quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first corpus selection under a 100k-token budget (the
+    data-mixing step): cumulative tokens over the quality order, keep the
+    within-budget prefix."""
+    from es_ch_sync_spark.operators.sampling import quality_budget_select
+
+    return quality_budget_select(_docs(spark, sf_dir), budget_tokens=100_000)
+
+
 _STRATA_FRACTIONS = {"click": 0.5, "view": 0.1, "error": 1.0}
 
 

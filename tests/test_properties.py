@@ -163,3 +163,34 @@ def test_salted_agg_matches_plain_groupby(spark, rows):
         .collect()
     }
     assert got == want
+
+
+def test_global_shuffle_is_permutation(spark):
+    """shuffle_pos must be a bijection onto [0, n) and stable across runs
+    (same hash order) regardless of input partitioning."""
+    from es_ch_sync_spark.operators.sampling import global_shuffle
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["shuffle_pos"] for r in global_shuffle(df).collect()}
+    assert sorted(a.values()) == list(range(300))
+    b = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in global_shuffle(df.repartition(7)).collect()
+    }
+    assert a == b
+    # hash order, not identity order
+    assert [a[i] for i in range(300)] != list(range(300))
+
+
+def test_quality_budget_prefix_is_maximal(spark, sf_dir):
+    """The selected set must be a PREFIX of the quality order: every kept
+    doc's cum_tokens <= budget, and adding the next doc would exceed it."""
+    from es_ch_sync_spark.io.sources import read_parquet_table
+    from es_ch_sync_spark.operators.sampling import quality_budget_select
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    budget = 5_000
+    rows = quality_budget_select(docs, budget_tokens=budget).collect()
+    assert rows and max(r["cum_tokens"] for r in rows) <= budget
+    n_total = docs.count()
+    assert len(rows) < n_total  # budget actually binds at this SF
