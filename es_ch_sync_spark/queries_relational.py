@@ -1001,6 +1001,33 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(e, key="user_id", ts_col="ts", gap_seconds=3600)
 
 
+def _zorder_oracle() -> str:
+    from es_ch_sync_spark.operators.layout import zvalue_sql_duckdb
+
+    z = zvalue_sql_duckdb(
+        "user_id % 65536",
+        "date_diff('day', DATE '1970-01-01', ts::DATE) % 65536",
+    )
+    return f"SELECT event_id, ({z})::BIGINT AS z_key FROM events"
+
+
+@register("zorder_events", _zorder_oracle())
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-key over (user_id, day) — the multi-dimensional clustering
+    key (Delta OPTIMIZE ZORDER / ClickHouse mortonEncode analog).  Writing
+    the fact table range-partitioned by this key gives parquet files tight
+    min/max ranges in BOTH dimensions, so either predicate prunes; the
+    layout win is pinned quantitatively in tests/test_layout.py."""
+    from es_ch_sync_spark.operators.layout import zvalue
+
+    e = _t(spark, sf_dir, "events")
+    z = zvalue(
+        "user_id % 65536",
+        "datediff(cast(ts as date), date'1970-01-01') % 65536",
+    )
+    return e.select("event_id", z.cast("long").alias("z_key"))
+
+
 @register(
     "resample_daily",
     """
