@@ -136,6 +136,14 @@ def pq_fit(
     sub_dim = dim // m
     pe = _pq_posexplode(emb, sub_dim, id_col, vec_col)
     seeds = emb.select(id_col).orderBy(id_col).limit(ksub)
+    return _pq_fit_tall(pe, seeds, iters, id_col)
+
+
+def _pq_fit_tall(
+    pe: DataFrame, seeds: DataFrame, iters: int, id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame]:
+    """PQ Lloyd iterations over an already-tall (id, sub, spos, x) frame —
+    shared by pq_fit (raw components) and ivfpq_topk (residuals)."""
     cent = (
         pe.join(F.broadcast(seeds), id_col)
         .select("sub", F.col(id_col).alias("code"), "spos", F.round("x", 9).alias("c"))
@@ -207,6 +215,131 @@ def pq_adc_topk(
     )
     scored = (
         codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 4,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou 2011 §III.C — the FAISS IVF-PQ design): coarse
+    k-means cells + product quantization of the RESIDUAL x − centroid(x),
+    searched by probing the query's best cell and ADC-scoring only that
+    cell's codes.
+
+    Residual PQ is what makes the composition better than either part:
+    residuals are centered near 0, so the same ksub codewords per subspace
+    quantize them far more finely than raw vectors.  Everything stays
+    relational: residual = tall pe ⋈ assignment ⋈ broadcast centroids
+    (pure column subtraction), then the SAME _pq_fit_tall Lloyd loop runs
+    over the residual frame; at query time the LUT is built from the
+    query's residual against the probed cell.  Scoring joins only
+    (id, sub, code) rows of the probed cell with the broadcast LUT —
+    at 100 TB the scan is codes-only and cell-pruned (pair with
+    io/ann_index.py's partitioned layout for the storage half).
+
+    Deterministic end-to-end (9dp intermediates, 6dp distances, id
+    tie-breaks); the oracle (oracles.ivfpq_topk_sql) replicates every
+    stage: coarse chain, residual frame, PQ chain, best-cell argmax,
+    residual LUT, summed-lookup top-k."""
+    sub_dim = dim // m
+    # the coarse assignment and centroids are reused by three downstream
+    # branches (residuals, probe, members) — cache them once; both are
+    # small ((n, 2) and (cells·dim, 3)) so this is metadata, not data, at
+    # any scale
+    assign_c = kmeans_assign(
+        emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+    pe = posexplode_vectors(emb, id_col, vec_col)
+    centc = (
+        assign_c.join(pe, id_col)
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), 9).alias("cc"))
+    ).cache()
+    resid = (
+        pe.join(assign_c, id_col)
+        .join(F.broadcast(centc), ["cell", "pos"])
+        .select(
+            F.col(id_col),
+            F.expr(f"pos DIV {sub_dim}").alias("sub"),
+            F.expr(f"pos % {sub_dim}").alias("spos"),
+            (F.col("x") - F.col("cc")).alias("x"),
+        )
+    )
+    # the Lloyd loop re-reads the residual frame every iteration and the
+    # fitted codes/codebook feed two branches — cache the working set, the
+    # standard pattern for iterative fitting (at 100 TB training runs on a
+    # sample; encoding is one pass)
+    resid = resid.localCheckpoint()
+    seeds = emb.select(id_col).orderBy(id_col).limit(ksub)
+    codes, codebook = _pq_fit_tall(resid, seeds, iters, id_col)
+    codes, codebook = codes.localCheckpoint(), codebook.localCheckpoint()
+
+    from es_ch_sync_spark.operators.similarity import _sql_double_array
+
+    q = [float(x) for x in query_vec]
+    qn = sum(x * x for x in q) ** 0.5
+    qcol = F.expr(_sql_double_array(q))
+    # best cell by centroid cosine (ties → smaller cell id)
+    cq = centc.withColumn("qx", F.element_at(qcol, (F.col("pos") + 1).cast("int")))
+    cell_scores = cq.groupBy("cell").agg(
+        F.sum(F.col("cc") * F.col("qx")).alias("dot"),
+        F.sqrt(F.sum(F.col("cc") * F.col("cc"))).alias("cn"),
+    )
+    ccos = F.when(
+        F.col("cn") > 0, F.col("dot") / (F.col("cn") * F.lit(qn))
+    ).otherwise(F.lit(-2.0))
+    best = (
+        cell_scores.select("cell", F.round(ccos, 9).alias("ccos"))
+        .agg(
+            F.min(
+                F.struct((-F.col("ccos")).alias("nc"), F.col("cell").alias("cell"))
+            ).alias("m")
+        )
+        .select(F.col("m.cell").alias("best_cell"))
+    )
+    # query residual against the probed cell's centroid
+    qr = (
+        centc.join(F.broadcast(best), centc.cell == F.col("best_cell"))
+        .select(
+            "pos",
+            (
+                F.element_at(qcol, (F.col("pos") + 1).cast("int")) - F.col("cc")
+            ).alias("qr"),
+        )
+    )
+    lut = (
+        codebook.withColumn(
+            "pos", (F.col("sub") * sub_dim + F.col("spos")).cast("int")
+        )
+        .join(F.broadcast(qr), "pos")
+        .groupBy("sub", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("qr") - F.col("c")) * (F.col("qr") - F.col("c"))), 9
+            ).alias("d")
+        )
+    )
+    members = assign_c.join(
+        F.broadcast(best), assign_c.cell == F.col("best_cell")
+    ).select(id_col)
+    scored = (
+        codes.join(members, id_col, "left_semi")
+        .join(F.broadcast(lut), ["sub", "code"])
         .groupBy(id_col)
         .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
     )

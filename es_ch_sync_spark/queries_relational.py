@@ -602,6 +602,22 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivfpq_topk",
+    oracles.ivfpq_topk_sql(query_id=0, k=10, n_cells=4, m=4, ksub=4, iters=2, dim=64),
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (FAISS IVF-PQ): coarse cells + residual product quantization,
+    query scored by a residual LUT over the probed cell's codes only — the
+    full scale ladder's top rung, every stage oracle-replicated."""
+    from es_ch_sync_spark.operators.clustering import ivfpq_topk
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, _ivf_query_vec(sf_dir, 0), k=10, n_cells=4, m=4, ksub=4, iters=2, exclude_id=0
+    )
+
+
 @register("ann_ivf_topk", oracles.ann_ivf_topk_sql(query_id=0, k=10, dim=64))
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize by the label column (stand-in for
