@@ -109,3 +109,33 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q5_star_join_broadcasts_all_dims(plans):
+    """TPC-H Q5: every dimension join (customer/supplier/nation/region)
+    must be a broadcast join; no sort-merge join, no cartesian; the
+    orderdate band and region name must reach their scans as pushed
+    filters."""
+    p = plans("tpch_q5_local")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+    assert "GreaterThanOrEqual(o_orderdate" in p  # date band pushed to scan
+    assert "EqualTo(r_name,ASIA)" in p  # region filter pushed to scan
+
+
+def test_q19_disjunction_pushes_quantity_hull(plans):
+    """TPC-H Q19: the OR of band predicates must not defeat pushdown — the
+    derivable l_quantity hull [1, 30] reaches the lineitem scan."""
+    p = plans("tpch_q19_disjunctive")
+    scan = next(
+        l for l in p.splitlines() if "FileScan parquet" in l and "l_quantity" in l
+    )
+    # Catalyst pushes the whole per-column OR-of-bands into the scan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in scan
+
+
+def test_ivfpq_no_cartesian(plans):
+    """The composed IVFADC pipeline must stay cartesian-free: every join is
+    keyed (cells, sub/spos, codes) or a 1-row broadcast."""
+    p = plans("ann_ivfpq_topk")
+    assert "CartesianProduct" not in p
