@@ -109,6 +109,26 @@ def lsh_band_keys(num_hashes: int, bands: int) -> list[Column]:
     return keys
 
 
+def lsh_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band, key) bucket membership rows — the shared front half of
+    every LSH pairing strategy (full self-join, capped, incremental)."""
+    mh = with_minhash(spread(df), text_col, id_col, num_hashes, shingle_k)
+    keys = lsh_band_keys(num_hashes, bands)
+    return mh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in enumerate(keys)])
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -136,14 +156,7 @@ def minhash_lsh_candidates(
     exact_duplicate_groups, which handles them in O(n).  Default None
     keeps candidate generation exhaustive (AQE skew splitting handles
     moderate skew)."""
-    mh = with_minhash(spread(df), text_col, id_col, num_hashes, shingle_k)
-    keys = lsh_band_keys(num_hashes, bands)
-    bucketed = mh.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), k.alias("key")) for b, k in enumerate(keys)])
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bucketed = lsh_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
     if bucket_cap is not None:
         small_enough = (
             bucketed.groupBy("band", "key")
@@ -219,6 +232,69 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def minhash_incremental(
+    df: DataFrame,
+    new_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs between a NEW batch and the
+    existing INDEXED corpus only — the production ingest pattern.  A daily
+    batch must not re-pair the whole corpus against itself: index×index
+    pairs were already decided on previous days, so candidate generation
+    joins new-side buckets against index-side buckets and nothing else.
+
+    ``new_pred`` is a boolean column over ``df``'s columns marking batch
+    membership (ingest date, batch id, …).  Cost at 100 TB: the index side
+    contributes only its (id, band, key) bucket rows — 3 short columns,
+    re-derivable or (better) persisted as the signature index a real
+    deployment keeps; the join output is bounded by new-batch bucket
+    collisions, not corpus size.  Verification re-attaches shingles for
+    candidate ids only, exactly like minhash_near_duplicates.
+
+    Output: (id_new, id_index, jaccard ≥ threshold)."""
+    flags = df.select(F.col(id_col), new_pred.alias("_is_new"))
+    bucketed = lsh_buckets(df, text_col, id_col, num_hashes, bands, shingle_k).join(
+        flags, id_col
+    )
+    n = bucketed.filter(F.col("_is_new")).select(
+        F.col(id_col).alias("id_new"), "band", "key"
+    )
+    i = bucketed.filter(~F.col("_is_new")).select(
+        F.col(id_col).alias("id_index"), "band", "key"
+    )
+    cands = n.join(i, ["band", "key"]).select("id_new", "id_index").distinct().cache()
+    cand_ids = F.broadcast(
+        cands.select(F.col("id_new").alias(id_col))
+        .unionByName(cands.select(F.col("id_index").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        spread(df).join(cand_ids, on=id_col, how="left_semi")
+        .select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    )
+    return (
+        cands.join(
+            sh.withColumnRenamed(id_col, "id_new").withColumnRenamed("sh", "sh_n"),
+            "id_new",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_index").withColumnRenamed("sh", "sh_i"),
+            "id_index",
+        )
+        .select(
+            "id_new",
+            "id_index",
+            F.round(jaccard(F.col("sh_n"), F.col("sh_i")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

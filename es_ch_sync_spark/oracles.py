@@ -110,7 +110,9 @@ def _shingles_cte(k: int) -> str:
     """
 
 
-def minhash_near_dup_sql(num_hashes: int = 8, bands: int = 4, k: int = 3, threshold: float = 0.7) -> str:
+def _minhash_buckets_sql(num_hashes: int, bands: int, k: int) -> str:
+    """Shared CTE prefix `sh → mh → buckets` for every minhash pairing
+    strategy (full self-join, incremental new-vs-index)."""
     from es_ch_sync_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
     # 56-bit base hash per shingle (first 14 hex chars of md5), then the
@@ -139,7 +141,13 @@ def minhash_near_dup_sql(num_hashes: int = 8, bands: int = 4, k: int = 3, thresh
         SELECT doc_id, u['band'] AS band, u['key'] AS key FROM (
             SELECT doc_id, unnest([{', '.join(band_keys)}]) AS u FROM mh
         )
-    ), cand AS (
+    )"""
+
+
+def minhash_near_dup_sql(num_hashes: int = 8, bands: int = 4, k: int = 3, threshold: float = 0.7) -> str:
+    return f"""
+    {_minhash_buckets_sql(num_hashes, bands, k)}
+    , cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -153,6 +161,37 @@ def minhash_near_dup_sql(num_hashes: int = 8, bands: int = 4, k: int = 3, thresh
     WHERE round(
             len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))::DOUBLE
             / (len(sa.shs) + len(sb.shs) - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))))::DOUBLE,
+        6) >= {threshold}
+    """
+
+
+def minhash_incremental_sql(
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.7,
+    new_mod: int = 10,
+) -> str:
+    """Mirror of dedup.minhash_incremental with new-batch membership
+    doc_id % new_mod = 0: candidates are new-side × index-side bucket
+    collisions only, verified by exact shingle Jaccard."""
+    return f"""
+    {_minhash_buckets_sql(num_hashes, bands, k)}
+    , cand AS (
+        SELECT DISTINCT n.doc_id AS id_new, i.doc_id AS id_index
+        FROM buckets n JOIN buckets i
+          ON n.band = i.band AND n.key = i.key
+        WHERE n.doc_id % {new_mod} = 0 AND i.doc_id % {new_mod} != 0
+    )
+    SELECT id_new, id_index,
+        round(
+            len(list_filter(sn.shs, x -> list_contains(si.shs, x)))::DOUBLE
+            / (len(sn.shs) + len(si.shs) - len(list_filter(sn.shs, x -> list_contains(si.shs, x))))::DOUBLE,
+        6) AS jaccard
+    FROM cand JOIN sh sn ON cand.id_new = sn.doc_id JOIN sh si ON cand.id_index = si.doc_id
+    WHERE round(
+            len(list_filter(sn.shs, x -> list_contains(si.shs, x)))::DOUBLE
+            / (len(sn.shs) + len(si.shs) - len(list_filter(sn.shs, x -> list_contains(si.shs, x))))::DOUBLE,
         6) >= {threshold}
     """
 

@@ -422,6 +422,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+@register("dedup_incremental", oracles.minhash_incremental_sql(threshold=0.5, new_mod=10))
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the 10% "new batch" (doc_id % 10 = 0)
+    paired against the indexed 90% only — never index×index.  The daily
+    production pattern: candidate volume scales with the batch, not the
+    corpus."""
+    docs = _docs(spark, sf_dir)
+    return dd.minhash_incremental(
+        docs, F.col("doc_id") % 10 == 0, threshold=0.5
+    )
+
+
 @register("dedup_clusters_star", oracles.dedup_clusters_sql(threshold=0.5))
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clusters via large/small-star alternation (Kiveris 2014) — the

@@ -316,3 +316,25 @@ def test_pack_sequences_offsets(spark):
     # shard 0: docs 0 (3 toks), 2 (2 toks), 4 (4 toks) -> starts 0, 3, 5
     # shard 1: doc 1 (4 toks) -> start 0
     assert got == {0: (0, 0, 0), 2: (0, 3, 0), 4: (0, 5, 1), 1: (1, 0, 0)}
+
+
+def test_incremental_dedup_matches_full_restriction(spark, docs):
+    """Incremental (new-vs-index) pairs must equal the full near-dup pair
+    set restricted to (new, index) pairs — same banding, same verify —
+    and never contain new×new or index×index pairs."""
+    from pyspark.sql import functions as F
+
+    full = dd.minhash_near_duplicates(docs, threshold=0.5).collect()
+    want = set()
+    for r in full:
+        a_new, b_new = r["id_a"] % 10 == 0, r["id_b"] % 10 == 0
+        if a_new != b_new:
+            new, idx = (r["id_a"], r["id_b"]) if a_new else (r["id_b"], r["id_a"])
+            want.add((new, idx, r["jaccard"]))
+    got = {
+        (r["id_new"], r["id_index"], r["jaccard"])
+        for r in dd.minhash_incremental(
+            docs, F.col("doc_id") % 10 == 0, threshold=0.5
+        ).collect()
+    }
+    assert got == want and all(n % 10 == 0 and i % 10 != 0 for n, i, _ in got)
