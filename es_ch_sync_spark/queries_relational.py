@@ -469,6 +469,45 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           round(quantile_cont(value, 0.95), 6) AS p95_exact,
+           1 AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the 100 TB quantile
+    path: mergeable per-partition sketches, no global sort.
+
+    Like approx_distinct_users, the checked contract is bounded-error:
+    emit the exact interpolated percentiles plus ``within_tol`` = 1 iff
+    every sketch estimate lands within 5% relative (or 0.05 absolute) of
+    its exact value at accuracy=10000.  The oracle recomputes the exact
+    side and asserts within_tol."""
+    e = _t(spark, sf_dir, "events")
+    tol = lambda approx, exact: (  # noqa: E731
+        F.abs(approx - exact) <= F.greatest(F.abs(exact) * 0.05, F.lit(0.05))
+    )
+    agg = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.95)").alias("e95"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("a95"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("e50", 6).alias("p50_exact"),
+        F.round("e95", 6).alias("p95_exact"),
+        (tol(F.col("a50"), F.col("e50")) & tol(F.col("a95"), F.col("e95")))
+        .cast("int")
+        .alias("within_tol"),
+    )
+
+
+@register(
     "stats_percentiles",
     """
     SELECT l_returnflag,
