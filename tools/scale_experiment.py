@@ -127,6 +127,28 @@ def main() -> None:
                 broadcast_vectors=True,
             ).count(),
         )
+    if "inc" in only:
+        timed(
+            f"minhash_incremental x{replicas} (10% batch vs 90% index)",
+            lambda: dd.minhash_incremental(
+                docs, F.col("doc_id") % 10 == 0, threshold=0.5
+            ).count(),
+        )
+    if "cc_star" in only:
+        pairs = dd.minhash_near_duplicates(docs, threshold=0.5).cache()
+        pairs.count()
+        timed(
+            f"connected_components_star x{replicas}",
+            lambda: dd.connected_components_star(pairs).count(),
+        )
+        pairs.unpersist()
+    if "shuffle" in only:
+        from es_ch_sync_spark.operators.sampling import global_shuffle
+
+        timed(
+            f"global_shuffle x{replicas}",
+            lambda: global_shuffle(docs).count(),
+        )
     if "salted" in only:
         # skewed aggregation: one hot key holds ~40% of 10M rows
         n = 10_000_000
