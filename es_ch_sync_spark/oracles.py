@@ -94,11 +94,13 @@ def exact_dedup_sql() -> str:
     """
 
 
-def _shingles_cte(k: int) -> str:
+def _shingles_cte(k: int, src: str = "documents") -> str:
     """CTE `sh(doc_id, shs)`: distinct word k-gram shingles, matching
-    operators.dedup.word_shingles (incl. the short-doc single-shingle rule)."""
+    operators.dedup.word_shingles (incl. the short-doc single-shingle rule).
+    ``src`` lets composed oracles (corpus_pipeline_sql) run the chain over
+    a CTE instead of the raw table."""
     return f"""
-    {WORDS_CTE}
+    {WORDS_CTE.replace("FROM documents", f"FROM {src}")}
     , sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -110,7 +112,9 @@ def _shingles_cte(k: int) -> str:
     """
 
 
-def _minhash_buckets_sql(num_hashes: int, bands: int, k: int) -> str:
+def _minhash_buckets_sql(
+    num_hashes: int, bands: int, k: int, src: str = "documents"
+) -> str:
     """Shared CTE prefix `sh → mh → buckets` for every minhash pairing
     strategy (full self-join, incremental new-vs-index)."""
     from es_ch_sync_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
@@ -132,7 +136,7 @@ def _minhash_buckets_sql(num_hashes: int, bands: int, k: int) -> str:
         parts = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
         band_keys.append(f"{{'band': {b}, 'key': md5({parts})}}")
     return f"""
-    {_shingles_cte(k)}
+    {_shingles_cte(k, src)}
     , mh AS (
         SELECT doc_id, shs,
             {mh_cols}
@@ -144,9 +148,15 @@ def _minhash_buckets_sql(num_hashes: int, bands: int, k: int) -> str:
     )"""
 
 
-def minhash_near_dup_sql(num_hashes: int = 8, bands: int = 4, k: int = 3, threshold: float = 0.7) -> str:
+def minhash_near_dup_sql(
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.7,
+    src: str = "documents",
+) -> str:
     return f"""
-    {_minhash_buckets_sql(num_hashes, bands, k)}
+    {_minhash_buckets_sql(num_hashes, bands, k, src)}
     , cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b
@@ -715,19 +725,63 @@ def _hash_bucket_sql(id_expr: str, seed: str) -> str:
     )
 
 
-def train_test_split_sql(weights: dict[str, float] | None = None, seed: str = "split") -> str:
+def _split_case_sql(
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    id_expr: str = "doc_id",
+) -> str:
+    """CASE expression assigning doc_id a split name — shared by
+    train_test_split_sql and corpus_pipeline_sql."""
     from es_ch_sync_spark.operators.sampling import SPLIT_BUCKETS
 
     weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
-    b = _hash_bucket_sql("doc_id", seed)
+    b = _hash_bucket_sql(id_expr, seed)
     names = list(weights)
     acc = 0.0
     whens = []
     for name in names[:-1]:
         acc += weights[name]
         whens.append(f"WHEN {b} < {int(round(acc * SPLIT_BUCKETS))} THEN '{name}'")
-    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
-    return f"SELECT doc_id, {case} AS split FROM documents"
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+def train_test_split_sql(weights: dict[str, float] | None = None, seed: str = "split") -> str:
+    return f"SELECT doc_id, {_split_case_sql(weights, seed)} AS split FROM documents"
+
+
+def corpus_pipeline_sql(threshold: float = 0.5) -> str:
+    """Oracle for the end-to-end corpus pipeline: exact-dedup keep-one →
+    minhash near-dup clusters over the survivors → keep each cluster's
+    representative → split assignment.  The minhash/CC chain runs over the
+    ``kept`` CTE via the generators' src parameter."""
+    pairs = minhash_near_dup_sql(threshold=threshold, src="kept")
+    return f"""
+    WITH RECURSIVE kept AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (PARTITION BY md5({NORM.format(col='text')})) AS keep
+            FROM documents
+        ) WHERE doc_id = keep
+    ),
+    pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+    ),
+    clusters AS (
+        SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+    ),
+    nonreps AS (SELECT doc_id FROM clusters WHERE cluster_id != doc_id)
+    SELECT k.doc_id, {_split_case_sql(id_expr="k.doc_id")} AS split
+    FROM kept k LEFT JOIN nonreps nr ON k.doc_id = nr.doc_id
+    WHERE nr.doc_id IS NULL
+    """
 
 
 def stratified_sample_sql(
@@ -780,17 +834,7 @@ def decontaminate_sql(
     holdout: str = "test",
 ) -> str:
     """Mirror of sampling.decontaminate over the documents table."""
-    from es_ch_sync_spark.operators.sampling import SPLIT_BUCKETS
-
-    weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
-    b = _hash_bucket_sql("doc_id", seed)
-    names = list(weights)
-    acc = 0.0
-    whens = []
-    for name in names[:-1]:
-        acc += weights[name]
-        whens.append(f"WHEN {b} < {int(round(acc * SPLIT_BUCKETS))} THEN '{name}'")
-    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    case = _split_case_sql(weights, seed)
     return f"""
     {_shingles_cte(ngram_k)}
     , labeled AS (

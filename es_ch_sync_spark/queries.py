@@ -422,6 +422,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+@register("corpus_pipeline", oracles.corpus_pipeline_sql(threshold=0.5))
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining corpus pipeline in one plan: exact-dedup
+    keep-one → minhash near-dup clustering over the survivors → keep each
+    cluster's representative → append-stable split assignment.  Every
+    stage is an already-verified operator; this checks their COMPOSITION
+    (the thing a real pipeline actually runs) end to end."""
+    from es_ch_sync_spark.operators.sampling import assign_split
+
+    docs = _docs(spark, sf_dir)
+    kept = dd.dedup_exact(docs)
+    pairs = dd.minhash_near_duplicates(kept, threshold=0.5)
+    clusters = dd.connected_components(pairs)
+    nonreps = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    survivors = kept.join(nonreps, "doc_id", "left_anti")
+    return assign_split(survivors).select("doc_id", "split")
+
+
 @register("dedup_incremental", oracles.minhash_incremental_sql(threshold=0.5, new_mod=10))
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: the 10% "new batch" (doc_id % 10 = 0)
