@@ -1056,6 +1056,47 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(e, key="user_id", ts_col="ts", gap_seconds=3600)
 
 
+@register(
+    "sessionize_native",
+    """
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 1 HOUR AS session_end,
+           count(*) AS n_events
+    FROM (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= 3600000000::BIGINT
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    ) GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (the streaming-capable
+    form — the same call works under readStream with watermarked state).
+    Semantics differ subtly from the manual lag-based build: a new session
+    starts at gap ≥ 1 h (windows merge only on strict overlap) and
+    session_end = last event + gap; the oracle states exactly that, so the
+    two sessionizers' contracts are both pinned."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def _zorder_oracle() -> str:
     from es_ch_sync_spark.operators.layout import zvalue_sql_duckdb
 
