@@ -51,6 +51,32 @@ def zvalue(a_sql: str, b_sql: str, bits: int = 16) -> Column:
     return F.expr(zvalue_sql_spark(a_sql, b_sql, bits))
 
 
+def zvalue_normalized(
+    df: DataFrame, a_col: str, b_col: str, bits: int = 8
+) -> Column:
+    """Z-key with automatic per-dimension normalization: each dim is mapped
+    into 2^bits equal-width integer bins over its observed min/max before
+    interleaving.  Raw interleaving only balances dims of comparable
+    bit-width — with a 4-bit user range against a 12-bit day range, the
+    day bits dominate every split and the user dim never clusters.
+    Normalization (the analog of Delta's range-partition-id transform)
+    restores the alternation.
+
+    The min/max pass reduces to 4 scalars (one Spark job, driver transfer
+    is constant-size); the returned key is then a pure column expression
+    embedding them as literals."""
+    row = df.agg(
+        F.min(a_col).alias("a0"), F.max(a_col).alias("a1"),
+        F.min(b_col).alias("b0"), F.max(b_col).alias("b1"),
+    ).collect()[0]
+    n = 1 << bits
+    a_span = int(row["a1"]) - int(row["a0"]) + 1
+    b_span = int(row["b1"]) - int(row["b0"]) + 1
+    a_sql = f"({a_col} - {int(row['a0'])}) * {n} DIV {a_span}"
+    b_sql = f"({b_col} - {int(row['b0'])}) * {n} DIV {b_span}"
+    return zvalue(a_sql, b_sql, bits)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -52,13 +52,9 @@ def test_zorder_tightens_both_dimensions(spark, events, tmp_path):
     does with its range-partition-id transform) each dim is first
     normalized into 2⁴ equal-width bins over its observed min/max — the
     min/max are two scalars, the bucketing stays a pure column expr."""
-    lo = events.agg(
-        F.min("user_id"), F.max("user_id"), F.min("day"), F.max("day")
-    ).collect()[0]
-    umin, umax, dmin, dmax = lo
-    ub = f"(user_id - {umin}) * 16 DIV {umax - umin + 1}"
-    db = f"(day - {dmin}) * 16 DIV {dmax - dmin + 1}"
-    z = zvalue(ub, db, bits=4)
+    from es_ch_sync_spark.operators.layout import zvalue_normalized
+
+    z = zvalue_normalized(events, "user_id", "day", bits=4)
     zpath = str(tmp_path / "zorder")
     upath = str(tmp_path / "bysuer")
     write_zordered(events, zpath, z, n_files=16)
