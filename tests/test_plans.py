@@ -139,3 +139,45 @@ def test_ivfpq_no_cartesian(plans):
     keyed (cells, sub/spos, codes) or a 1-row broadcast."""
     p = plans("ann_ivfpq_topk")
     assert "CartesianProduct" not in p
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime semi-join reduction: with a selective dim filter and a
+    shuffle join, Spark must inject a bloom filter built from the dim keys
+    and apply it to the fact scan BEFORE the shuffle — at 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    the ~matching fraction.  Local thresholds are tuned (the application-
+    side default is 10 GB); the PLAN SHAPE is what's being pinned."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan and "l_orderkey" in plan.split("might_contain")[0][-200:] + plan.split("might_contain")[1][:200]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
