@@ -96,3 +96,42 @@ def read_status_json(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
+
+
+def read_es_export(
+    spark: SparkSession,
+    path: str,
+    source_schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """Read an Elasticsearch bulk-export NDJSON (the elasticdump / scroll-
+    dump hit format: one line per hit, the document under ``_source``,
+    ``_id``/``_index`` metadata alongside) — the file-based stand-in for
+    the reference's live scroll reads
+    (/root/reference/internal/service/elastic/elastic.go:46-108) when a
+    user migrates an index dump instead of connecting live.
+
+    Returns (docs, quarantine): docs has ``_source`` unwrapped to
+    top-level columns plus ``es_id``/``es_index``; schema-violating lines
+    go to quarantine with the raw text (same T3 contract as
+    read_status_json).  Explicit schema keeps the scan single-pass; at
+    100 TB the export is just another splittable JSON-lines table."""
+    envelope = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("_index", T.StringType()),
+            T.StructField("_source", source_schema),
+            T.StructField(CORRUPT_COL, T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(envelope)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    bad = F.col(CORRUPT_COL).isNotNull() | F.col("_source").isNull()
+    quarantine = raw.filter(bad).select(F.col(CORRUPT_COL).alias("raw"))
+    docs = raw.filter(~bad).select(
+        F.col("_id").alias("es_id"), F.col("_index").alias("es_index"), "_source.*"
+    )
+    return docs, quarantine

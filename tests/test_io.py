@@ -85,3 +85,29 @@ def test_signal_sink_layout_and_pruning(spark, tmp_path):
     # idempotent re-append: anti-join against existing leaves the table unchanged
     write_signals(spark.createDataFrame(rows, schema), out, existing=back)
     assert read_signals(spark, out).count() == 3
+
+
+def test_es_export_reader_unwraps_and_quarantines(spark, tmp_path):
+    """elasticdump-style NDJSON: _source unwrapped to columns, _id kept,
+    malformed lines quarantined (T3 contract at the export boundary)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from es_ch_sync_spark.io.sources import read_es_export
+
+    p = tmp_path / "export.ndjson"
+    lines = [
+        json.dumps({"_id": "a1", "_index": "status", "_source": {"subject": "v1", "speed": 12.5}}),
+        json.dumps({"_id": "a2", "_index": "status", "_source": {"subject": "v2", "speed": 33.0}}),
+        '{"_id": broken',
+    ]
+    p.write_text("\n".join(lines))
+    schema = T.StructType(
+        [T.StructField("subject", T.StringType()), T.StructField("speed", T.DoubleType())]
+    )
+    docs, quar = read_es_export(spark, str(p), schema)
+    rows = {r["es_id"]: (r["subject"], r["speed"]) for r in docs.collect()}
+    assert rows == {"a1": ("v1", 12.5), "a2": ("v2", 33.0)}
+    assert set(docs.columns) == {"es_id", "es_index", "subject", "speed"}
+    assert quar.count() == 1
