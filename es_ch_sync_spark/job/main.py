@@ -87,7 +87,15 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         return 0
 
-    if args.source.endswith(".json") or args.source.endswith("/json"):
+    es_quarantine = None
+    if args.source.endswith(".ndjson") or args.source.endswith("/es-export"):
+        # elasticdump-style index dump: _source-wrapped hits, one per line —
+        # the file-based migration path off a live ES cluster
+        from es_ch_sync_spark.io.sources import read_es_export
+
+        status, es_quarantine = read_es_export(spark, args.source, DEVICE_STATUS_SCHEMA)
+        status = status.drop("es_id", "es_index")
+    elif args.source.endswith(".json") or args.source.endswith("/json"):
         from es_ch_sync_spark.io.sources import read_status_json
 
         status = read_status_json(spark, args.source, DEVICE_STATUS_SCHEMA)
@@ -95,6 +103,8 @@ def main(argv: list[str] | None = None) -> int:
         status = spark.read.parquet(args.source)
 
     signals, quarantine = plan_sync(status, catalog, dim, opts)
+    if es_quarantine is not None and args.quarantine:
+        es_quarantine.write.mode("append").parquet(args.quarantine + "_es")
     from es_ch_sync_spark.io.sinks import write_signals
 
     write_signals(signals, args.out)

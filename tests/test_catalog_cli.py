@@ -96,3 +96,34 @@ def test_cli_job_end_to_end(spark, tmp_path):
     assert n_bad == 2  # rows 90 and 180 of 200
     assert got.count() == (200 - n_bad) * 2  # 2 signals per clean doc
     assert {r["name"] for r in got.select("name").distinct().collect()} == {"speed", "make"}
+
+
+def test_cli_job_reads_es_export(spark, tmp_path):
+    """The same job over an elasticdump-style NDJSON index dump: hits are
+    unwrapped from _source and flow through the identical sync plan."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.job.main import main
+
+    src = str(tmp_path / "es-export")
+    dim = str(tmp_path / "dim")
+    out = str(tmp_path / "signal")
+    df = device_status_df(spark, subjects=3, rows_per_subject=20)
+    wrapped = df.select(
+        F.col("subject").cast("string").alias("_id"),
+        F.lit("device-status").alias("_index"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("_source"),
+    )
+    wrapped.coalesce(1).write.json(src)
+    device_dim_df(spark, subjects=3).write.parquet(dim)
+
+    rc = main(
+        [
+            "--source", src, "--dim", dim, "--out", out,
+            "--start", "2020-01-01T00:00:00Z", "--stop", "2020-02-01T00:00:00Z",
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert {"token_id", "timestamp", "name"} <= set(got.columns)
