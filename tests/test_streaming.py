@@ -57,3 +57,51 @@ def test_streaming_sync_dedup_and_resume(spark, tmp_path):
     # fall inside the watermark → dropDuplicatesWithinWatermark absorbs them
     assert got2.select("token_id", "timestamp", "name").distinct().count() == S * R * K
     assert got2.count() == S * R * K
+
+
+def test_streaming_document_dedup(spark, tmp_path):
+    """Content-duplicate documents re-delivered across waves (different
+    ids, same text) must be absorbed by the streaming fingerprint dedup;
+    distinct contents all survive."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.streaming.dedup_stream import dedup_document_stream
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+
+    base = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body number "), (F.col("id") % 25).cast("string")).alias(
+            "text"
+        ),  # 25 distinct contents across 40 rows
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ingest_ts"),
+    )
+    base.coalesce(1).write.parquet(src)
+    # replay wave: same contents, new ids, 10 min later (inside watermark)
+    base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        "text",
+        (F.col("ingest_ts") + F.expr("INTERVAL 10 MINUTES")).alias("ingest_ts"),
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .format("parquet")
+        .load(src)
+    )
+    deduped = dedup_document_stream(stream, watermark="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.select("fp").distinct().count() == 25
+    assert got.count() == 25  # exactly one survivor per content
