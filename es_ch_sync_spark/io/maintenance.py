@@ -212,3 +212,34 @@ def table_file_stats(spark: SparkSession, table_path: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+def retention_vacuum(
+    table_path: str,
+    keep_min_value: str,
+    partition_col: str = "event_date",
+) -> list[str]:
+    """Retention enforcement: drop every ``<partition_col>=<value>``
+    directory whose value sorts below ``keep_min_value`` (ISO dates sort
+    lexically).  Returns the dropped partition values.
+
+    Partition-level deletion is the only retention shape that scales — a
+    row-level DELETE over a 100 TB table rewrites everything it keeps,
+    while dropping aged-out partition directories is O(partitions) pure
+    metadata.  The reference relies on ClickHouse TTL for this; here it is
+    an explicit, testable maintenance call (same local-FS scope and
+    caveats as _stage_and_swap; object-store production belongs to
+    Delta/Iceberg retention).  Readers racing the drop see the standard
+    dynamic-partition caveat documented on upsert_signals."""
+    dropped: list[str] = []
+    if not os.path.isdir(table_path):
+        return dropped
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(table_path)):
+        if not entry.startswith(prefix):
+            continue
+        value = entry[len(prefix):]
+        if value < keep_min_value:
+            shutil.rmtree(os.path.join(table_path, entry))
+            dropped.append(value)
+    return dropped

@@ -84,3 +84,51 @@ def merge_resume_points(
         .groupBy(token_col)
         .agg(F.min("min_ts").alias("min_ts"), F.max("max_ts").alias("max_ts"))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed CDC diff between two table snapshots: one row per key whose
+    state changed, labeled added / removed / updated.
+
+    One full-outer join on the key (the only shuffle, both sides keyed) +
+    a null-pattern CASE; unchanged keys are filtered out, so the output is
+    change-volume-sized, not table-sized.  At 100 TB both snapshots shuffle
+    once on the same key — co-partitioned (bucketed) snapshots make it
+    shuffle-free.  This is the feed a downstream incremental consumer
+    (rollup maintenance, index refresh, cache invalidation) reads instead
+    of re-scanning the table — the batch analog of a CDC change feed.
+
+    Output: key_cols + change_type + old_/new_ for each compare col."""
+    o = old.select(key_cols + compare_cols).withColumn("_in_old", F.lit(1))
+    n = new.select(key_cols + compare_cols).withColumn("_in_new", F.lit(1))
+    for c in compare_cols:
+        o = o.withColumnRenamed(c, f"old_{c}")
+        n = n.withColumnRenamed(c, f"new_{c}")
+    j = o.join(n, on=key_cols, how="full_outer")
+    # presence markers, not value-null checks — a legitimately NULL compare
+    # column must not read as an absent row
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change_type = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter((~in_old) | (~in_new) | changed)
+        .select(
+            *key_cols,
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

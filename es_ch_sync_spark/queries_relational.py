@@ -469,6 +469,42 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+        SELECT event_id, value FROM events WHERE event_id % 10 != 0
+    ), new AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'click' THEN round(value + 1.0, 6) ELSE value END AS value
+        FROM events
+    )
+    SELECT coalesce(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                ELSE 'updated' END AS change_type,
+           o.value AS old_value, n.value AS new_value
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL OR o.value != n.value
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed CDC diff between two snapshots (added/removed/updated feed) —
+    here old = 90% of events, new = all events with click values bumped;
+    the diff is exactly the adds + the click updates."""
+    from es_ch_sync_spark.operators.maintenance import snapshot_diff
+
+    e = _t(spark, sf_dir, "events")
+    old = e.filter(F.col("event_id") % 10 != 0).select("event_id", "value")
+    new = e.select(
+        "event_id",
+        F.when(
+            F.col("event_type") == "click", F.round(F.col("value") + 1.0, 6)
+        ).otherwise(F.col("value")).alias("value"),
+    )
+    return snapshot_diff(old, new, key_cols=["event_id"], compare_cols=["value"])
+
+
+@register(
     "approx_percentiles",
     """
     SELECT event_type,

@@ -172,3 +172,28 @@ def test_merge_resume_points_equals_recompute(spark):
     expect = {(r["token_id"], r["min_ts"], r["max_ts"]) for r in resume_points(full).collect()}
     got = {(r["token_id"], r["min_ts"], r["max_ts"]) for r in summary.collect()}
     assert got == expect
+
+
+def test_retention_vacuum_drops_only_aged_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.io.maintenance import retention_vacuum
+
+    path = str(tmp_path / "signals")
+    df = spark.range(100).select(
+        F.col("id").alias("v"),
+        F.concat(
+            F.lit("2020-01-0"), ((F.col("id") % 5) + 1).cast("string")
+        ).alias("event_date"),
+    )
+    df.write.partitionBy("event_date").parquet(path)
+    dropped = retention_vacuum(path, keep_min_value="2020-01-03")
+    assert dropped == ["2020-01-01", "2020-01-02"]
+    left = spark.read.parquet(path)
+    # partition values come back type-inferred as dates
+    assert {
+        str(r["event_date"]) for r in left.select("event_date").distinct().collect()
+    } == {"2020-01-03", "2020-01-04", "2020-01-05"}
+    assert left.count() == 60
+    # idempotent: nothing below the cutoff remains
+    assert retention_vacuum(path, keep_min_value="2020-01-03") == []
