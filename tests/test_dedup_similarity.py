@@ -338,3 +338,36 @@ def test_incremental_dedup_matches_full_restriction(spark, docs):
         ).collect()
     }
     assert got == want and all(n % 10 == 0 and i % 10 != 0 for n, i, _ in got)
+
+
+def test_stored_signature_index_matches_inline_incremental(spark, docs, tmp_path):
+    """dedup_against_index over a MATERIALIZED signature index must return
+    exactly what the inline minhash_incremental computes, and the index
+    scan must be band-partition-pruned when probing one band."""
+    from es_ch_sync_spark.io.signature_index import (
+        build_signature_index,
+        dedup_against_index,
+    )
+
+    index_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "sigidx")
+    build_signature_index(index_docs, path)
+
+    got = {
+        (r["id_new"], r["id_index"], r["jaccard"])
+        for r in dedup_against_index(
+            new_docs, path, corpus_docs=index_docs, threshold=0.5
+        ).collect()
+    }
+    want = {
+        (r["id_new"], r["id_index"], r["jaccard"])
+        for r in dd.minhash_incremental(
+            docs, F.col("doc_id") % 10 == 0, threshold=0.5
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    one_band = spark.read.parquet(path).filter(F.col("band") == 2)
+    plan = one_band._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band" in plan.split("PartitionFilters")[1][:120]
