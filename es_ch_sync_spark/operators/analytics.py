@@ -153,3 +153,115 @@ def last_value_snapshot(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Calendar gap-fill + last-observation-carried-forward per key.
+
+    The time-series densify step every signal dashboard needs: materialize
+    every day in each key's [min, max] span (sequence + explode — no
+    driver-side calendar), left-join the observed daily aggregate, then
+    LOCF-fill gaps with ``last(value, ignorenulls)`` over an unbounded
+    preceding row frame.  ``is_gap`` marks synthesized days (int, not bool,
+    for canonicalizer stability).
+
+    Daily value is sum(DECIMAL)/count — exact association-free arithmetic,
+    rounded AFTER the division on both engines.
+
+    Scale shape: the rollup is one map-side-combined aggregate; spans are a
+    second tiny aggregate per key; explode fans out to at most
+    keys × span-days rows (calendar rows, not data rows); the fill is one
+    window sort per key — the same single-shuffle discipline as
+    sessionize.  Nothing is ever collected to the driver."""
+    daily = df.groupBy(
+        F.col(key), F.date_trunc("day", F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            / F.count(value_col),
+            4,
+        ).alias("v_avg")
+    )
+    spans = daily.groupBy(key).agg(
+        F.min("bucket").alias("d0"), F.max("bucket").alias("d1")
+    )
+    cal = spans.select(
+        F.col(key),
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("bucket"),
+    )
+    joined = cal.join(daily, [key, "bucket"], "left")
+    win = (
+        W.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        F.col(key),
+        F.col("bucket"),
+        F.col("v_avg"),
+        F.last("v_avg", ignorenulls=True).over(win).alias("v_filled"),
+        F.when(F.col("v_avg").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )
+
+
+def linreg_trend(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    base_epoch: int = 1_704_067_200,  # 2024-01-01; keeps x small → exact int sums
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend of value over time, computed
+    from EXACT sufficient statistics — the one-pass distributed form of
+    regr_slope/regr_intercept/regr_r2.
+
+    Accumulation is association-order-free: x (seconds since base_epoch)
+    and x² sum as BIGINT, y and x·y through DECIMAL — so the map-side-
+    combined aggregate gives bit-identical stats on any partitioning and
+    in the DuckDB oracle.  Only the final slope/intercept/r² arithmetic
+    happens in doubles, on identical inputs, rounded at 6dp.
+
+    Scale: one aggregate, shuffle carries one stats row per key.  (The
+    BIGINT Σx² headroom is ~2^63/x_max² rows per key — at 10^12-row keys
+    move the two integer sums to DECIMAL(38,0); same plan.)"""
+    x = F.col(ts_col).cast("long") - F.lit(base_epoch)
+    y = F.col(value_col).cast("decimal(18,2)")
+    stats = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y).alias("sy"),
+            F.sum(y * y.cast("decimal(20,2)")).alias("syy"),
+            F.sum(y * x.cast("decimal(20,0)")).alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x > 0, cov_n / var_x).otherwise(F.lit(0.0))
+    return stats.select(
+        F.col(key),
+        F.col("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.when((var_x > 0) & (var_y > 0), (cov_n * cov_n) / (var_x * var_y)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -415,3 +415,59 @@ def ivf_topk(
         .limit(k)
         .select(id_col, F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def semantic_near_duplicates(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-cluster
+    the embedding space, then find exact-cosine near-duplicate pairs ONLY
+    within each cluster — pairwise comparison cost drops from n² to
+    sum(n_cell²), and with k grown ~n/const the per-cell population (and so
+    total cost) stays bounded at any corpus size.
+
+    Plan shape: the cell table from :func:`kmeans_assign` is (id, cell) —
+    tiny relative to vectors — and is self-joined per cell to produce the
+    candidate pair list; embedding arrays are attached to PAIRS only (two
+    hash joins on id), and the cosine is a fused zip_with/aggregate fold
+    per row, identical in evaluation order to DuckDB's list_dot_product so
+    the oracle matches bit-for-bit at 6dp.  Vectors never participate in
+    the pair-generation shuffle.
+
+    The comparison threshold applies to the ROUNDED cosine (same on both
+    engines) — the standard cross-engine ULP guard."""
+    cells = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cells = cells.localCheckpoint(eager=True)  # unrolled Lloyd plan; reused twice
+    pairs = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    from es_ch_sync_spark.operators.similarity import _as_double, cosine
+
+    va = emb.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "cell",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

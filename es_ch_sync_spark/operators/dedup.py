@@ -669,3 +669,44 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") > threshold)
     )
+
+
+def cross_doc_shingle_stats(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-corpus duplicate n-gram statistics — the exact-
+    substring dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): how much of each document's distinct
+    k-gram mass also appears in OTHER documents.  High ``shared_frac``
+    means the document is mostly boilerplate already present elsewhere in
+    the corpus and is a removal candidate even when no single near-dup
+    partner exists (the case MinHash pair-finding misses).
+
+    Plan shape: explode distinct shingles → corpus-wide doc-frequency
+    aggregate (map-side combined; shuffles (gram, partial-count), never
+    text) → shuffle equi-join back on the gram key → per-doc aggregate.
+    Both shuffles key on the gram/doc hash — at 100 TB this is the same
+    two-aggregate discipline as tf·idf, with no broadcast of the (large)
+    vocabulary table."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("g")
+    )
+    # word_shingles is per-doc distinct, so count(*) == doc frequency
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        grams.join(dfreq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_shared"),
+            F.round(
+                F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("shared_frac"),
+            F.max("ndocs").alias("max_gram_docs"),
+        )
+    )

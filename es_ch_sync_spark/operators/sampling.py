@@ -282,3 +282,50 @@ def pack_sequences(
         "n_tokens",
         F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).alias("start_offset"),
     ).withColumn("chunk", F.expr(f"start_offset DIV {int(budget)}"))
+
+
+def temperature_resample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    target_total: int = 200,
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened source resampling (the multilingual-LM
+    rebalance: sample source s proportionally to mass^alpha with
+    alpha = 0.5, so dominant sources shrink and the tail is amplified).
+
+    Everything after the per-source mass aggregate is INTEGER arithmetic,
+    so the DuckDB oracle reproduces the kept set bit-for-bit — no float
+    cutoffs to drift between engines:
+
+      w_s      = floor(sqrt(sum(weight)))          # alpha=0.5 in int domain
+      t_s      = target_total * w_s DIV sum(w_s)   # per-source doc budget
+      cutoff_s = t_s * SPLIT_BUCKETS DIV n_s       # hash-bucket threshold
+      keep d   iff md5-bucket(seed:id) < cutoff_s
+
+    (floor(sqrt(x)) on an int64 ≤ 2^53 is exact in both engines: IEEE-754
+    sqrt is correctly rounded, floor is deterministic.)
+
+    Scale shape: one map-side-combined aggregate over (source) — a handful
+    of rows — broadcast back onto the corpus as a semi-static rate table,
+    then a fused map filter.  No shuffle of document rows at any point; at
+    100 TB this is scan → broadcast-join(20 rows) → filter."""
+    per_src = df.groupBy(source_col).agg(
+        F.floor(F.sqrt(F.sum(F.col(weight_col)).cast("double"))).cast("long").alias("w"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    total = per_src.agg(F.sum("w").alias("w_total"))
+    rates = (
+        per_src.crossJoin(F.broadcast(total))
+        .withColumn("t", F.expr(f"({int(target_total)} * w) DIV w_total"))
+        .withColumn("cutoff", F.expr(f"(t * {SPLIT_BUCKETS}) DIV n_docs"))
+        .select(source_col, "cutoff")
+    )
+    bucket = _hash_bucket(F.col(id_col), seed)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket < F.col("cutoff"))
+        .select(F.col(id_col), F.col(source_col), F.col("cutoff"))
+    )

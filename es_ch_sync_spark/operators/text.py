@@ -141,6 +141,43 @@ def fingerprint_rolling(col: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII redaction — pre-training scrub pass (C4/RefinedWeb-style).
+# Patterns are deliberately ASCII-simple so the identical string compiles to
+# the same automaton in Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded repeats and \b only — no lookaround, no backrefs.
+# Replacement order matters: emails first (they contain dots and digits that
+# the IPv4 rule would otherwise chew on), then phones (dashed groups the
+# IPv4 \b-rule could clip), then bare IPv4s.
+# ---------------------------------------------------------------------------
+
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Chained global regexp_replace over PII_RULES — a narrow map fused
+    into the scan (one codegen stage, no shuffle, no UDF).  At 100 TB this
+    is the cheapest possible shape for a corpus-wide scrub: each executor
+    streams its input split once."""
+    out = col
+    for _name, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category match counts on the *unredacted* text (audit metric).
+    size(regexp_extract_all) rather than regexp_count so the DuckDB oracle
+    (len(regexp_extract_all(...))) is the literally identical expression."""
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(pat), 0)) for name, pat, _repl in PII_RULES
+    }
+
+
 def repetition_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
 ) -> DataFrame:

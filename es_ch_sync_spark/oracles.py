@@ -399,6 +399,13 @@ def kmeans_cells_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     construction as the Spark side: seeds = k lowest vec_ids, cell = seed
     id, every centroid component and distance rounded to 9dp, argmin ties
     broken by struct-min on (d, cell)."""
+    ctes = _kmeans_ctes(k, iters, dim)
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT vec_id, cell FROM assign{iters}"
+
+
+def _kmeans_ctes(k: int, iters: int, dim: int) -> list[str]:
+    """CTE chain pe → cent0 → (dist_i → assign_i → cent_i)* shared by
+    kmeans_cells_sql and the composed oracles built on cell assignments."""
     ctes = [
         f"""pe AS (
         SELECT vec_id, i::INTEGER AS pos, embedding[i + 1]::DOUBLE AS x
@@ -430,7 +437,32 @@ def kmeans_cells_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
         FROM assign{i} a JOIN pe ON a.vec_id = pe.vec_id GROUP BY a.cell, pe.pos
     )"""
             )
-    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT vec_id, cell FROM assign{iters}"
+    return ctes
+
+
+def semantic_near_dup_sql(
+    k: int = 4, iters: int = 2, threshold: float = 0.8, dim: int = 64
+) -> str:
+    """Oracle for clustering.semantic_near_duplicates: k-means cells (same
+    unrolled Lloyd chain as kmeans_cells_sql) → in-cell pairs → exact
+    cosine at 6dp.  list_dot_product folds in list order — the same
+    evaluation order as Spark's zip_with/aggregate fold, so the rounded
+    cosines agree bit-for-bit."""
+    cos = _cosine_sql("ea.embedding", "eb.embedding")
+    chain = ",\n    ".join(_kmeans_ctes(k, iters, dim))
+    return f"""
+    WITH {chain},
+    cells AS (SELECT vec_id, cell FROM assign{iters}),
+    pairs AS (
+        SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT cell, id_a, id_b, round({cos}, 6) AS cos_sim
+    FROM pairs
+    JOIN embeddings ea ON pairs.id_a = ea.vec_id
+    JOIN embeddings eb ON pairs.id_b = eb.vec_id
+    WHERE round({cos}, 6) >= {threshold}
+    """
 
 
 def _pq_ctes(m: int, ksub: int, iters: int, dim: int) -> str:

@@ -1,0 +1,259 @@
+"""Corpus-curation query registrations (round-2 batch 2): PII redaction,
+cross-document exact-substring statistics, temperature resampling,
+calendar gap-fill + LOCF, and semantic (embedding-cluster) dedup.
+
+Same contract as queries.py: every entry is a (Spark fn, DuckDB oracle)
+pair with identical column aliases and engine-stable arithmetic (integer
+cutoffs, DECIMAL sums, rounds applied on both sides before comparisons).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark import oracles
+from es_ch_sync_spark.io.sources import read_parquet_table
+from es_ch_sync_spark.queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, "documents")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction.  The synthetic corpus contains no PII, so the query plants
+# deterministic synthetic PII as part of the query itself — the SAME
+# augmentation expression in Spark and in the oracle — so the redaction
+# regexes are genuinely exercised and checked cross-engine (counts vary by
+# doc_id residue; the md5 of the redacted text pins the rewrite bytes).
+# ---------------------------------------------------------------------------
+
+_PII_AUG_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(' contact user', cast(doc_id AS string),"
+    "      '@mail.example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' from 192.0.', cast(doc_id % 254 + 1 AS string),"
+    "      '.7') ELSE '' END,"
+    " ' tel 555-', lpad(cast(doc_id % 1000 AS string), 3, '0'),"
+    " '-', lpad(cast(doc_id % 10000 AS string), 4, '0'))"
+)
+
+_PII_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    "      || '@mail.example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' from 192.0.' || CAST(doc_id % 254 + 1 AS VARCHAR)"
+    "      || '.7' ELSE '' END"
+    " || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _redact_oracle() -> str:
+    from es_ch_sync_spark.operators.text import PII_RULES
+
+    redacted = "aug"
+    for _name, pat, repl in PII_RULES:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(aug, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _repl in PII_RULES
+    )
+    return f"""
+    WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+    SELECT doc_id,
+           {counts},
+           md5({redacted}) AS redacted_md5,
+           length({redacted})::BIGINT AS redacted_len
+    FROM a
+    """
+
+
+@register("redact_pii", _redact_oracle())
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrub: email/phone/IPv4 redaction as chained global
+    regexp_replace — a narrow map fused into the scan (operators/text.py
+    PII_RULES).  Counts audit the unredacted text; md5 pins the rewrite."""
+    from es_ch_sync_spark.operators.text import pii_counts, redact_pii
+
+    aug = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_AUG_SPARK).alias("aug")
+    )
+    red = redact_pii(F.col("aug"))
+    cols = [F.col("doc_id")]
+    cols += [
+        c.cast("long").alias(f"n_{name}") for name, c in pii_counts(F.col("aug")).items()
+    ]
+    cols += [
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+    ]
+    return aug.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate n-grams (Lee et al. 2022 exact-substring signal)
+# ---------------------------------------------------------------------------
+
+def _cross_doc_oracle(k: int = 3) -> str:
+    return f"""
+    {oracles._shingles_cte(k)}
+    , grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+    dfreq AS (SELECT g, count(*) AS ndocs FROM grams GROUP BY g)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+           round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 6) AS shared_frac,
+           max(ndocs) AS max_gram_docs
+    FROM grams JOIN dfreq USING (g)
+    GROUP BY doc_id
+    """
+
+
+@register("cross_doc_ngrams", _cross_doc_oracle(3))
+def q_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-corpus duplicate 3-gram stats — the exact-substring
+    dedup signal: explode → doc-frequency agg → gram-key join back."""
+    from es_ch_sync_spark.operators.dedup import cross_doc_shingle_stats
+
+    return cross_doc_shingle_stats(_docs(spark, sf_dir), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling by source (alpha = 0.5 over char mass)
+# ---------------------------------------------------------------------------
+
+def _temperature_oracle(target_total: int, seed: str) -> str:
+    from es_ch_sync_spark.operators.sampling import SPLIT_BUCKETS
+
+    b = oracles._hash_bucket_sql("doc_id", seed)
+    return f"""
+    WITH per_src AS (
+        SELECT source, floor(sqrt(sum(n_chars)::DOUBLE))::BIGINT AS w,
+               count(*) AS n_docs
+        FROM documents GROUP BY source
+    ), tot AS (SELECT sum(w)::BIGINT AS w_total FROM per_src),
+    rates AS (
+        SELECT source, (({target_total} * w) // w_total * {SPLIT_BUCKETS}) // n_docs AS cutoff
+        FROM per_src CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source, r.cutoff
+    FROM documents d JOIN rates r USING (source)
+    WHERE {b} < r.cutoff
+    """
+
+
+@register("temperature_sample", _temperature_oracle(200, "temp"))
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature resampling across sources — integer cutoff
+    arithmetic end-to-end, so membership is bit-stable cross-engine."""
+    from es_ch_sync_spark.operators.sampling import temperature_resample
+
+    return temperature_resample(
+        _docs(spark, sf_dir), target_total=200, seed="temp"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill + LOCF
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS bucket,
+               round(sum(value::DECIMAL(18,2))::DOUBLE / count(value), 4) AS v_avg
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ), spans AS (
+        SELECT user_id, min(bucket) AS d0, max(bucket) AS d1 FROM daily GROUP BY user_id
+    ), cal AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::TIMESTAMP AS bucket
+        FROM spans
+    )
+    SELECT cal.user_id, cal.bucket, daily.v_avg,
+           last_value(daily.v_avg IGNORE NULLS) OVER (
+               PARTITION BY cal.user_id ORDER BY cal.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled,
+           CASE WHEN daily.v_avg IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM cal LEFT JOIN daily USING (user_id, bucket)
+"""
+
+
+@register("gapfill_locf", _GAPFILL_ORACLE)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily calendar densify + last-observation-carried-forward per user —
+    sequence/explode calendar, left join, one window pass (analytics.py)."""
+    from es_ch_sync_spark.operators.analytics import gapfill_locf
+
+    return gapfill_locf(_events(spark, sf_dir), "user_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): k-means cells + in-cell exact cosine pairs
+# ---------------------------------------------------------------------------
+
+@register("semantic_dedup", oracles.semantic_near_dup_sql(k=4, iters=2, threshold=0.3))
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster-then-pairwise semantic dedup: cosine >= 0.3 pairs
+    within k-means cells only (clustering.semantic_near_duplicates)."""
+    from es_ch_sync_spark.operators.clustering import semantic_near_duplicates
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return semantic_near_duplicates(emb, k=4, iters=2, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend from exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+_LINREG_ORACLE = """
+    WITH pts AS (
+        SELECT event_type,
+               epoch_us(ts)::BIGINT // 1000000 - 1704067200 AS x,
+               value::DECIMAL(18,2) AS y
+        FROM events WHERE value IS NOT NULL
+    ), s AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(x)::BIGINT AS sx,
+               sum(x * x)::BIGINT AS sxx,
+               sum(y) AS sy,
+               sum(y * y) AS syy,
+               sum(y * x) AS sxy
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+        round(CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+              THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+              ELSE 0.0 END, 6) AS slope,
+        round((sy::DOUBLE
+               - CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                 THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                 ELSE 0.0 END * sx::DOUBLE) / n::DOUBLE, 6) AS intercept,
+        round(CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                    AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+              THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+              ELSE 0.0 END, 6) AS r2
+    FROM s
+"""
+
+
+@register("linreg_trend", _LINREG_ORACLE)
+def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS value-vs-time trend (regr_slope/intercept/r2)
+    from exact integer/DECIMAL sufficient statistics — one aggregate,
+    association-order-free, final arithmetic in doubles at 6dp."""
+    from es_ch_sync_spark.operators.analytics import linreg_trend
+
+    return linreg_trend(_events(spark, sf_dir), "event_type", "ts", "value")

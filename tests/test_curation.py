@@ -1,0 +1,118 @@
+"""Tests for the round-2 curation batch: PII redaction, cross-doc n-gram
+stats, temperature resampling, gap-fill+LOCF, semantic dedup."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_redact_pii_rewrites_and_counts(spark):
+    from es_ch_sync_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@sub.example.co.uk today"),
+            (2, "call 555-867-5309 or visit 10.0.0.1 now"),
+            (3, "plain text, nothing to scrub 1.2.3"),
+        ],
+        ["id", "t"],
+    )
+    out = df.select(
+        "id",
+        redact_pii(F.col("t")).alias("red"),
+        *[c.alias(f"n_{n}") for n, c in pii_counts(F.col("t")).items()],
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    assert rows[1]["red"] == "write to <EMAIL> today"
+    assert rows[1]["n_email"] == 1 and rows[1]["n_ipv4"] == 0
+    assert rows[2]["red"] == "call <PHONE> or visit <IP> now"
+    assert rows[2]["n_phone"] == 1 and rows[2]["n_ipv4"] == 1
+    # 1.2.3 is not a full IPv4 — must survive
+    assert rows[3]["red"] == "plain text, nothing to scrub 1.2.3"
+    assert rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_ipv4"] == 0
+
+
+def test_cross_doc_shingle_stats_flags_shared_boilerplate(spark):
+    from es_ch_sync_spark.operators.dedup import cross_doc_shingle_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "the quick brown fox sleeps now"),
+            (3, "completely different words entirely here friend"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in cross_doc_shingle_stats(df, k=3).collect()}
+    # docs 1/2 share 'the quick brown' and 'quick brown fox' (2 of 4 shingles)
+    assert rows[1]["n_shingles"] == 4 and rows[1]["n_shared"] == 2
+    assert abs(rows[1]["shared_frac"] - 0.5) < 1e-9
+    assert rows[1]["max_gram_docs"] == 2
+    assert rows[3]["n_shared"] == 0 and rows[3]["max_gram_docs"] == 1
+
+
+def test_temperature_resample_budgets_and_determinism(spark):
+    from es_ch_sync_spark.operators.sampling import SPLIT_BUCKETS, temperature_resample
+
+    rows = [(i, "big" if i < 900 else "small", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = temperature_resample(df, target_total=100, seed="t").cache()
+    kept = {r["source"]: r for r in out.groupBy("source").count().collect()}
+    cut = {r["source"]: r["cutoff"] for r in out.select("source", "cutoff").distinct().collect()}
+    # integer budget math: w_big=floor(sqrt(90000))=300, w_small=100, W=400
+    # t_big = 100*300 DIV 400 = 75 → cutoff 75*10000 DIV 900 = 833
+    # t_small = 100*100 DIV 400 = 25 → cutoff 25*10000 DIV 100 = 2500
+    assert cut == {"big": 833, "small": 2500}
+    # kept counts concentrate near t_s (hash-uniform; wide tolerance)
+    assert 40 <= kept["big"]["count"] <= 110
+    assert 10 <= kept["small"]["count"] <= 45
+    # the small source is UPSAMPLED relative to its 10% share — the point
+    frac_small = kept["small"]["count"] / (kept["big"]["count"] + kept["small"]["count"])
+    assert frac_small > 0.15
+    # deterministic: same seed → same membership
+    again = temperature_resample(df, target_total=100, seed="t")
+    assert out.select("doc_id").subtract(again.select("doc_id")).count() == 0
+    assert cut["big"] < SPLIT_BUCKETS and cut["small"] < SPLIT_BUCKETS
+
+
+def test_gapfill_locf_fills_calendar_gaps(spark):
+    from es_ch_sync_spark.operators.analytics import gapfill_locf
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 5), 10.0),
+            (1, datetime(2024, 1, 1, 9), 20.0),
+            (1, datetime(2024, 1, 4, 1), 40.0),
+            (2, datetime(2024, 2, 1, 0), 7.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = gapfill_locf(df, "user_id", "ts", "value")
+    rows = {(r["user_id"], r["bucket"].day): r for r in out.collect()}
+    assert len(rows) == 5  # user 1: Jan 1-4 (4 days); user 2: 1 day
+    assert rows[(1, 1)]["v_avg"] == 15.0 and rows[(1, 1)]["is_gap"] == 0
+    # Jan 2 and 3 are synthesized and carry Jan 1's value forward
+    for day in (2, 3):
+        r = rows[(1, day)]
+        assert r["v_avg"] is None and r["is_gap"] == 1 and r["v_filled"] == 15.0
+    assert rows[(1, 4)]["v_filled"] == 40.0
+    assert rows[(2, 1)]["v_filled"] == 7.0
+
+
+def test_semantic_near_dup_pairs_stay_within_cells(spark, sf_dir):
+    from es_ch_sync_spark.io.sources import read_parquet_table
+    from es_ch_sync_spark.operators.clustering import kmeans_assign, semantic_near_duplicates
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    pairs = semantic_near_duplicates(emb, k=4, iters=2, threshold=0.2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = pairs.collect()
+    assert got, "expected at least one in-cell pair at threshold 0.2"
+    cells = {r["vec_id"]: r["cell"] for r in kmeans_assign(emb, k=4, iters=2).collect()}
+    for r in got:
+        assert cells[r["id_a"]] == cells[r["id_b"]] == r["cell"]
+        assert r["id_a"] < r["id_b"]
+        assert r["cos_sim"] >= 0.2
