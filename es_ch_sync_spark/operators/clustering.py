@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 def posexplode_vectors(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(id, pos, x float64) — the tall form every relational vector op uses."""
+    """(id, pos, x float64) — the tall form every relational vector op uses.
+    spread() first: the d-fold explode of a single-split parquet scan would
+    otherwise serialize every downstream aggregation on one core."""
+    from es_ch_sync_spark.operators.util import spread
+
+    emb = spread(emb)
     return emb.select(
         F.col(id_col),
         F.posexplode(F.transform(F.col(vec_col), lambda v: v.cast("double"))).alias(
@@ -433,16 +438,22 @@ def semantic_near_duplicates(
 
     Plan shape: the cell table from :func:`kmeans_assign` is (id, cell) —
     tiny relative to vectors — and is self-joined per cell to produce the
-    candidate pair list; embedding arrays are attached to PAIRS only (two
-    hash joins on id), and the cosine is a fused zip_with/aggregate fold
-    per row, identical in evaluation order to DuckDB's list_dot_product so
-    the oracle matches bit-for-bit at 6dp.  Vectors never participate in
-    the pair-generation shuffle.
+    candidate pair list; the pair stream is explicitly repartitioned so
+    the scoring map uses the whole cluster (spread() is off-limits here:
+    its partition probe would execute the broadcast subtrees of a computed
+    frame).  Vectors are pre-normalized ONCE PER VECTOR (n rows, not n²),
+    so per-pair scoring is a single unit-dot zip_with/aggregate fold —
+    without this, Catalyst re-evaluates the norm folds inside both the
+    join condition and the projection, 6 folds per pair.  The fold order
+    is identical to DuckDB's list_dot_product, and both engines divide by
+    the same correctly-rounded sqrt, so the rounded cosine matches
+    bit-for-bit at 6dp.
 
     The comparison threshold applies to the ROUNDED cosine (same on both
     engines) — the standard cross-engine ULP guard."""
     cells = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     cells = cells.localCheckpoint(eager=True)  # unrolled Lloyd plan; reused twice
+    par = emb.sparkSession.sparkContext.defaultParallelism
     pairs = (
         cells.alias("a")
         .join(
@@ -455,11 +466,17 @@ def semantic_near_duplicates(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
+        .repartition(par, "id_a", "id_b")
     )
-    from es_ch_sync_spark.operators.similarity import _as_double, cosine
+    from es_ch_sync_spark.operators.similarity import _as_double, dot, norm
 
-    va = emb.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    v = _as_double(F.col(vec_col))
+    nrm = norm(v)
+    unit = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(
+        F.transform(v, lambda x: x * F.lit(0.0))
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), unit.alias("ua"))
+    vb = emb.select(F.col(id_col).alias("id_b"), unit.alias("ub"))
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
@@ -467,7 +484,7 @@ def semantic_near_duplicates(
             "cell",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

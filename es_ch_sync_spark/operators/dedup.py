@@ -691,7 +691,7 @@ def cross_doc_shingle_stats(
     Both shuffles key on the gram/doc hash — at 100 TB this is the same
     two-aggregate discipline as tf·idf, with no broadcast of the (large)
     vocabulary table."""
-    grams = df.select(
+    grams = spread(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("g")
     )
     # word_shingles is per-doc distinct, so count(*) == doc frequency

@@ -444,11 +444,13 @@ def semantic_near_dup_sql(
     k: int = 4, iters: int = 2, threshold: float = 0.8, dim: int = 64
 ) -> str:
     """Oracle for clustering.semantic_near_duplicates: k-means cells (same
-    unrolled Lloyd chain as kmeans_cells_sql) → in-cell pairs → exact
-    cosine at 6dp.  list_dot_product folds in list order — the same
+    unrolled Lloyd chain as kmeans_cells_sql) → in-cell pairs → unit-dot
+    cosine at 6dp.  Mirrors the Spark side's once-per-vector
+    normalization: each component divides by the same correctly-rounded
+    sqrt norm, then list_dot_product folds in list order — the same
     evaluation order as Spark's zip_with/aggregate fold, so the rounded
     cosines agree bit-for-bit."""
-    cos = _cosine_sql("ea.embedding", "eb.embedding")
+    nrm = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
     chain = ",\n    ".join(_kmeans_ctes(k, iters, dim))
     return f"""
     WITH {chain},
@@ -456,12 +458,20 @@ def semantic_near_dup_sql(
     pairs AS (
         SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
         FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    units AS (
+        SELECT vec_id,
+               CASE WHEN {nrm} > 0
+                    THEN list_transform(embedding::DOUBLE[], x -> x / {nrm})
+                    ELSE list_transform(embedding::DOUBLE[], x -> x * 0.0)
+               END AS u
+        FROM embeddings
     )
-    SELECT cell, id_a, id_b, round({cos}, 6) AS cos_sim
+    SELECT cell, id_a, id_b, round(list_dot_product(ua.u, ub.u), 6) AS cos_sim
     FROM pairs
-    JOIN embeddings ea ON pairs.id_a = ea.vec_id
-    JOIN embeddings eb ON pairs.id_b = eb.vec_id
-    WHERE round({cos}, 6) >= {threshold}
+    JOIN units ua ON pairs.id_a = ua.vec_id
+    JOIN units ub ON pairs.id_b = ub.vec_id
+    WHERE round(list_dot_product(ua.u, ub.u), 6) >= {threshold}
     """
 
 
