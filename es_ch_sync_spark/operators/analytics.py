@@ -265,3 +265,109 @@ def linreg_trend(
             6,
         ).alias("r2"),
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    entity_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket item co-occurrence: for every unordered item pair,
+    how many entities exhibit both, plus each item's individual reach —
+    the inputs to support/lift association metrics.
+
+    Plan shape: distinct (entity, item) — one map-side-combined dedup —
+    then a self-equi-join ON ENTITY (never item×item broadcast of the
+    whole matrix) with it_a < it_b, then one pair-count aggregate.  The
+    join key is the entity id, so co-occurrence scales with
+    sum(basket_size²) per entity — bounded by the per-entity distinct-item
+    count, not the corpus; the classic a-priori counting shape.  Item
+    reach attaches by broadcast (|items| rows)."""
+    pairs_base = df.select(F.col(entity_col).alias("ent"), F.col(item_col).alias("it")).distinct()
+    a = pairs_base.select("ent", F.col("it").alias("it_a"))
+    b = pairs_base.select("ent", F.col("it").alias("it_b"))
+    pair_counts = (
+        a.join(b, "ent")
+        .filter(F.col("it_a") < F.col("it_b"))
+        .groupBy("it_a", "it_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_support)
+    )
+    reach = pairs_base.groupBy("it").agg(F.count(F.lit(1)).alias("n"))
+    total = pairs_base.select(F.countDistinct("ent").alias("n_entities"))
+    return (
+        pair_counts.join(
+            F.broadcast(reach.select(F.col("it").alias("it_a"), F.col("n").alias("n_a"))), "it_a"
+        )
+        .join(
+            F.broadcast(reach.select(F.col("it").alias("it_b"), F.col("n").alias("n_b"))), "it_b"
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "it_a",
+            "it_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double") * F.col("n_entities").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    id_col: str,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Events whose value deviates > z_cut standard deviations from their
+    group mean — the basic statistical-outlier gate.
+
+    Group moments come from EXACT DECIMAL sums (Σy, Σy²), so mean/std are
+    computed from identical inputs in both engines; the z-score itself is
+    double arithmetic rounded at 6dp, and the cut applies to the ROUNDED
+    value.  Population std (÷n), not sample.
+
+    Plan: one aggregate (stats per key, map-side combined) broadcast back
+    onto the stream — scan-shaped, no second shuffle of the fact rows."""
+    y = F.col(value_col).cast("decimal(18,2)")
+    stats = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).alias("sy"),
+            F.sum(y * y.cast("decimal(20,2)")).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    mean = sy / n
+    var = (n * syy - sy * sy) / (n * n)
+    enriched = stats.select(
+        F.col(key),
+        mean.alias("mu"),
+        F.sqrt(var).alias("sigma"),
+    )
+    z = F.when(
+        F.col("sigma") > 0,
+        (F.col(value_col).cast("double") - F.col("mu")) / F.col("sigma"),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(enriched), key)
+        .select(
+            F.col(id_col),
+            F.col(key),
+            F.col(value_col),
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > z_cut)
+    )

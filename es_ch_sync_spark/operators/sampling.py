@@ -329,3 +329,33 @@ def temperature_resample(
         .filter(bucket < F.col("cutoff"))
         .select(F.col(id_col), F.col(source_col), F.col("cutoff"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    m: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    A-Res): every row draws key = -ln(u)/w from a deterministic hash
+    uniform u, and the m SMALLEST keys win — inclusion probability is
+    proportional to weight, membership is reproducible (no RNG state) and
+    append-stable in expectation.
+
+    Distributed top-m on the key is TakeOrderedAndProject: per-partition
+    heap + m-row driver merge — no global sort, no shuffle of the corpus.
+    Cross-engine: u = (bucket+1)/(BUCKETS+1) ∈ (0,1] from the md5 bucket,
+    and the ln is rounded at 9dp BEFORE ranking with the id as tie-break —
+    the same round-before-rank discipline as tf·idf (libm last-ulp
+    differences cannot reorder the rounded keys)."""
+    bucket = _hash_bucket(F.col(id_col), seed)
+    u = (bucket + F.lit(1)).cast("double") / F.lit(float(SPLIT_BUCKETS + 1))
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), key.alias("skey"))
+        .orderBy(F.col("skey").asc(), F.col(id_col).asc())
+        .limit(m)
+    )

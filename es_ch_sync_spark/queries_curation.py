@@ -257,3 +257,146 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.analytics import linreg_trend
 
     return linreg_trend(_events(spark, sf_dir), "event_type", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence of event types per user
+# ---------------------------------------------------------------------------
+
+_COOCCUR_ORACLE = """
+    WITH base AS (SELECT DISTINCT user_id AS ent, event_type AS it FROM events),
+    pair_counts AS (
+        SELECT a.it AS it_a, b.it AS it_b, count(*) AS n_both
+        FROM base a JOIN base b ON a.ent = b.ent AND a.it < b.it
+        GROUP BY a.it, b.it HAVING count(*) >= 2
+    ),
+    reach AS (SELECT it, count(*) AS n FROM base GROUP BY it),
+    tot AS (SELECT count(DISTINCT ent) AS n_entities FROM base)
+    SELECT it_a, it_b, n_both, ra.n AS n_a, rb.n AS n_b,
+           round(n_both::DOUBLE * n_entities::DOUBLE / (ra.n::DOUBLE * rb.n::DOUBLE), 6) AS lift
+    FROM pair_counts
+    JOIN reach ra ON pair_counts.it_a = ra.it
+    JOIN reach rb ON pair_counts.it_b = rb.it
+    CROSS JOIN tot
+"""
+
+
+@register("cooccurrence_pairs", _COOCCUR_ORACLE)
+def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence with lift: distinct (user, type) self-join
+    on user (a-priori counting shape), reach/total attach by broadcast."""
+    from es_ch_sync_spark.operators.analytics import cooccurrence_pairs
+
+    return cooccurrence_pairs(_events(spark, sf_dir), "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Statistical outlier gate: |z| > cut from exact group moments
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+    WITH s AS (
+        SELECT event_type, count(*) AS n, sum(value::DECIMAL(18,2)) AS sy,
+               sum(value::DECIMAL(18,2) * value::DECIMAL(18,2)) AS syy
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), m AS (
+        SELECT event_type, sy::DOUBLE / n::DOUBLE AS mu,
+               sqrt((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                    / (n::DOUBLE * n::DOUBLE)) AS sigma
+        FROM s
+    )
+    SELECT event_id, e.event_type, value,
+           round(CASE WHEN sigma > 0 THEN (value - mu) / sigma ELSE 0.0 END, 6) AS zscore
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE value IS NOT NULL
+      AND abs(round(CASE WHEN sigma > 0 THEN (value - mu) / sigma ELSE 0.0 END, 6)) > 3.0
+"""
+
+
+@register("zscore_anomalies", _ZSCORE_ORACLE)
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 3) from exact DECIMAL
+    moments; one aggregate broadcast back onto the stream."""
+    from es_ch_sync_spark.operators.analytics import zscore_anomalies
+
+    return zscore_anomalies(_events(spark, sf_dir), "event_type", "value", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-Res)
+# ---------------------------------------------------------------------------
+
+def _weighted_sample_oracle(m: int, seed: str) -> str:
+    from es_ch_sync_spark.operators.sampling import SPLIT_BUCKETS
+
+    b = oracles._hash_bucket_sql("doc_id", seed)
+    return f"""
+    SELECT doc_id, n_chars,
+           round(-ln(({b} + 1)::DOUBLE / {float(SPLIT_BUCKETS + 1)})
+                 / n_chars::DOUBLE, 9) AS skey
+    FROM documents WHERE n_chars > 0
+    ORDER BY skey ASC, doc_id ASC
+    LIMIT {m}
+    """
+
+
+@register("weighted_sample", _weighted_sample_oracle(100, "wsample"))
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis A-Res weighted sample (m=100, weight=n_chars):
+    deterministic hash uniforms, round-before-rank keys, top-m as
+    TakeOrderedAndProject."""
+    from es_ch_sync_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), m=100, seed="wsample")
+
+
+# ---------------------------------------------------------------------------
+# Tall -> wide repivot (inverse of the reference's unpivot)
+# ---------------------------------------------------------------------------
+
+_REPIVOT_ORACLE = """
+    WITH tall AS (
+        SELECT user_id AS token_id, ts AS timestamp, 'value' AS name,
+               value AS value_number, CAST(NULL AS VARCHAR) AS value_string
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT user_id, ts, 'value_pct', value * 100.0, NULL
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT user_id, ts, 'event_type', NULL, event_type
+        FROM events WHERE event_type IS NOT NULL
+        UNION ALL
+        SELECT user_id, ts, 'props', NULL, props
+        FROM events WHERE props IS NOT NULL
+    )
+    SELECT token_id, timestamp,
+           max(CASE WHEN name = 'value' THEN value_number END) AS v_value,
+           max(CASE WHEN name = 'value_pct' THEN value_number END) AS v_value_pct,
+           max(CASE WHEN name = 'event_type' THEN value_string END) AS s_event_type,
+           max(CASE WHEN name = 'props' THEN value_string END) AS s_props
+    FROM tall GROUP BY token_id, timestamp
+"""
+
+
+@register("repivot_signals", _REPIVOT_ORACLE)
+def q_repivot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip of the reference's wide→tall unpivot: conditional-agg
+    pivot of the tall signal frame back to wide columns per (token, ts) —
+    one aggregate, no Spark .pivot() two-pass schema inference."""
+    from es_ch_sync_spark.catalog import EVENTS_CATALOG
+    from es_ch_sync_spark.operators.transform import unpivot_signals
+
+    df = _events(spark, sf_dir).withColumn("src", F.lit("events"))
+    tall = unpivot_signals(
+        df, EVENTS_CATALOG, token_col="user_id", ts_col="ts", source_col="src"
+    )
+    return tall.groupBy("token_id", "timestamp").agg(
+        F.max(F.when(F.col("name") == "value", F.col("value_number"))).alias("v_value"),
+        F.max(F.when(F.col("name") == "value_pct", F.col("value_number"))).alias(
+            "v_value_pct"
+        ),
+        F.max(F.when(F.col("name") == "event_type", F.col("value_string"))).alias(
+            "s_event_type"
+        ),
+        F.max(F.when(F.col("name") == "props", F.col("value_string"))).alias("s_props"),
+    )

@@ -116,3 +116,52 @@ def test_semantic_near_dup_pairs_stay_within_cells(spark, sf_dir):
         assert cells[r["id_a"]] == cells[r["id_b"]] == r["cell"]
         assert r["id_a"] < r["id_b"]
         assert r["cos_sim"] >= 0.2
+
+
+def test_cooccurrence_pairs_counts_and_lift(spark):
+    from es_ch_sync_spark.operators.analytics import cooccurrence_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),   # dup (1,b) must not double-count
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    out = {(r["it_a"], r["it_b"]): r for r in
+           cooccurrence_pairs(df, "user_id", "event_type", min_support=1).collect()}
+    ab = out[("a", "b")]
+    assert ab["n_both"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 3
+    # lift = (2 * 4 entities) / (3 * 3)
+    assert abs(ab["lift"] - round(8 / 9, 6)) < 1e-9
+    assert out[("a", "c")]["n_both"] == 1
+    assert ("b", "c") not in out  # never co-occur
+
+
+def test_zscore_anomalies_flags_outlier(spark):
+    from es_ch_sync_spark.operators.analytics import zscore_anomalies
+
+    rows = [(i, "t", 10.0) for i in range(20)] + [(99, "t", 1000.0)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = zscore_anomalies(df, "event_type", "value", "event_id", z_cut=3.0).collect()
+    assert [r["event_id"] for r in got] == [99]
+    assert got[0]["zscore"] > 3.0
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from es_ch_sync_spark.operators.sampling import weighted_sample
+
+    # 100 heavy docs (w=1000) + 900 light docs (w=10)
+    rows = [(i, 1000 if i < 100 else 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    out = weighted_sample(df, m=100, weight_col="n_chars", seed="w1")
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == len(set(got)) == 100
+    heavy = sum(1 for d in got if d < 100)
+    # heavy docs are 10% of rows but ~52% of total weight — expect far
+    # more than 10 of them in the sample (loose bound for hash noise)
+    assert heavy > 30
+    again = [r["doc_id"] for r in weighted_sample(df, m=100, weight_col="n_chars", seed="w1").collect()]
+    assert got == again
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
