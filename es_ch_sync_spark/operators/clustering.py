@@ -488,3 +488,88 @@ def semantic_near_duplicates(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_near_duplicates_incremental(
+    emb_base: DataFrame,
+    emb_new: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup ingest: fit cells on the BASE corpus once,
+    freeze the re-centered centroids, assign each NEW vector to its
+    nearest frozen centroid (the serving-time assignment path — one
+    broadcast join, no refit), and score only pairs touching the new
+    batch.  Cost per ingest batch is O(|new| · k · d) assignment +
+    in-cell pairs touching new ids — never a recluster or a full-corpus
+    pair sweep, which is what makes continuous corpus ingest tractable.
+
+    Same determinism contract as the batch operator: 9dp-rounded
+    centroids/distances with struct-min argmin tie-break, unit-dot cosine
+    rounded at 6dp."""
+    cells_base = kmeans_assign(
+        emb_base, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    pe = posexplode_vectors(emb_base, id_col, vec_col)
+    centf = (
+        cells_base.join(pe, id_col)
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), 9).alias("c"))
+    )
+    pen = posexplode_vectors(emb_new, id_col, vec_col)
+    diff = F.col("x") - F.col("c")
+    distn = (
+        pen.join(F.broadcast(centf), "pos")
+        .groupBy(id_col, "cell")
+        .agg(F.round(F.sum(diff * diff), 9).alias("d"))
+    )
+    cells_new = (
+        distn.groupBy(id_col)
+        .agg(F.min(F.struct("d", "cell")).alias("m"))
+        .select(F.col(id_col), F.col("m.cell").alias("cell"))
+    )
+    cells_all = (
+        cells_base.withColumn("is_new", F.lit(0))
+        .unionByName(cells_new.withColumn("is_new", F.lit(1)))
+        .localCheckpoint(eager=True)
+    )
+    par = emb_base.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        cells_all.alias("a")
+        .join(
+            cells_all.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & ((F.col("a.is_new") == 1) | (F.col("b.is_new") == 1)),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .repartition(par, "id_a", "id_b")
+    )
+    from es_ch_sync_spark.operators.similarity import _as_double, dot, norm
+
+    corpus = emb_base.unionByName(emb_new)
+    v = _as_double(F.col(vec_col))
+    nrm = norm(v)
+    unit = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(
+        F.transform(v, lambda x: x * F.lit(0.0))
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), unit.alias("ua"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), unit.alias("ub"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "cell",
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

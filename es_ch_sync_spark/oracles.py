@@ -403,17 +403,19 @@ def kmeans_cells_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT vec_id, cell FROM assign{iters}"
 
 
-def _kmeans_ctes(k: int, iters: int, dim: int) -> list[str]:
+def _kmeans_ctes(k: int, iters: int, dim: int, src: str = "embeddings") -> list[str]:
     """CTE chain pe → cent0 → (dist_i → assign_i → cent_i)* shared by
-    kmeans_cells_sql and the composed oracles built on cell assignments."""
+    kmeans_cells_sql and the composed oracles built on cell assignments.
+    ``src`` lets composed oracles fit on a CTE (e.g. the base split of an
+    incremental-ingest pairing) instead of the raw table."""
     ctes = [
         f"""pe AS (
         SELECT vec_id, i::INTEGER AS pos, embedding[i + 1]::DOUBLE AS x
-        FROM embeddings CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) dd
+        FROM {src} CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) dd
     )""",
         f"""cent0 AS (
         SELECT vec_id AS cell, pos, round(x, 9) AS c FROM pe
-        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+        WHERE vec_id IN (SELECT vec_id FROM {src} ORDER BY vec_id LIMIT {k})
     )""",
     ]
     for i in range(1, iters + 1):
@@ -458,6 +460,68 @@ def semantic_near_dup_sql(
     pairs AS (
         SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
         FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    units AS (
+        SELECT vec_id,
+               CASE WHEN {nrm} > 0
+                    THEN list_transform(embedding::DOUBLE[], x -> x / {nrm})
+                    ELSE list_transform(embedding::DOUBLE[], x -> x * 0.0)
+               END AS u
+        FROM embeddings
+    )
+    SELECT cell, id_a, id_b, round(list_dot_product(ua.u, ub.u), 6) AS cos_sim
+    FROM pairs
+    JOIN units ua ON pairs.id_a = ua.vec_id
+    JOIN units ub ON pairs.id_b = ub.vec_id
+    WHERE round(list_dot_product(ua.u, ub.u), 6) >= {threshold}
+    """
+
+
+def semantic_incremental_sql(
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.3,
+    dim: int = 64,
+    mod: int = 10,
+) -> str:
+    """Oracle for clustering.semantic_near_duplicates_incremental: fit
+    k-means on the base split (vec_id % mod != 0), re-center once from the
+    final assignment, assign the NEW split (% mod == 0) to those frozen
+    centroids by the same rounded-argmin rule, then pair only where at
+    least one side is new.  Unit-dot cosine as in semantic_near_dup_sql."""
+    nrm = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    chain = ",\n    ".join(_kmeans_ctes(k, iters, dim, src="base"))
+    return f"""
+    WITH base AS (SELECT * FROM embeddings WHERE vec_id % {mod} != 0),
+    {chain},
+    centf AS (
+        SELECT a.cell, pe.pos, round(avg(pe.x), 9) AS c
+        FROM assign{iters} a JOIN pe ON a.vec_id = pe.vec_id GROUP BY a.cell, pe.pos
+    ),
+    pen AS (
+        SELECT vec_id, i::INTEGER AS pos, embedding[i + 1]::DOUBLE AS x
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) dd
+        WHERE vec_id % {mod} = 0
+    ),
+    distn AS (
+        SELECT pen.vec_id, centf.cell,
+               round(sum((pen.x - centf.c) * (pen.x - centf.c)), 9) AS d
+        FROM pen JOIN centf USING (pos) GROUP BY pen.vec_id, centf.cell
+    ),
+    assignn AS (
+        SELECT vec_id, min(struct_pack(d := d, cell := cell))['cell']::BIGINT AS cell
+        FROM distn GROUP BY vec_id
+    ),
+    cells_all AS (
+        SELECT vec_id, cell, 0 AS is_new FROM assign{iters}
+        UNION ALL
+        SELECT vec_id, cell, 1 AS is_new FROM assignn
+    ),
+    pairs AS (
+        SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cells_all a JOIN cells_all b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+         AND (a.is_new = 1 OR b.is_new = 1)
     ),
     units AS (
         SELECT vec_id,

@@ -400,3 +400,24 @@ def q_repivot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(F.when(F.col("name") == "props", F.col("value_string"))).alias("s_props"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental semantic dedup: new batch vs frozen base-corpus cells
+# ---------------------------------------------------------------------------
+
+@register(
+    "semantic_dedup_incremental",
+    oracles.semantic_incremental_sql(k=4, iters=2, threshold=0.3, mod=10),
+)
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time semantic dedup: vec_id % 10 == 0 is the arriving batch;
+    cells fit on the base split only, new vectors assign to the frozen
+    re-centered centroids, and only pairs touching the batch are scored
+    (clustering.semantic_near_duplicates_incremental)."""
+    from es_ch_sync_spark.operators.clustering import semantic_near_duplicates_incremental
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    new = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    return semantic_near_duplicates_incremental(base, new, k=4, iters=2, threshold=0.3)

@@ -165,3 +165,24 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     assert got == again
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_incremental_only_pairs_touching_new_batch(spark, sf_dir):
+    from es_ch_sync_spark.io.sources import read_parquet_table
+    from es_ch_sync_spark.operators.clustering import semantic_near_duplicates_incremental
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    new = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    out = semantic_near_duplicates_incremental(base, new, k=4, iters=2, threshold=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = out.collect()
+    assert got, "expected pairs at threshold 0.1"
+    for r in got:
+        # at least one side must belong to the arriving batch
+        assert r["id_a"] % 10 == 0 or r["id_b"] % 10 == 0
+        assert r["id_a"] < r["id_b"]
+        assert r["cos_sim"] >= 0.1
+    # base-base pairs are excluded by construction
+    assert all(not (r["id_a"] % 10 and r["id_b"] % 10) for r in got)
