@@ -71,17 +71,24 @@ def main() -> None:
     # warm the JVM + parquet footers with one tiny action (not timed)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Fault-isolated: one broken query must never zero the round's perf
+    # evidence — errors are recorded per-query and the JSON always emits.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         best, n = None, 0
-        for _ in range(2):  # min-of-2: damps JVM/Python-worker warmup noise
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        try:
+            for _ in range(2):  # min-of-2: damps JVM/Python-worker warmup noise
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
+            print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -89,17 +96,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

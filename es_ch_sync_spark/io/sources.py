@@ -24,18 +24,31 @@ CORRUPT_COL = "_corrupt_record"
 
 
 @lru_cache(maxsize=256)
-def _nanos_ts_columns(path: str) -> tuple[str, ...]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — one footer read, driver-side."""
+def _ts_column_kinds(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """(nanos_cols, ntz_cols) — one parquet footer read, driver-side.
+
+    nanos: stored as TIMESTAMP(NANOS), which Spark 4 rejects outright.
+    ntz: stored with isAdjustedToUTC=false, which Spark 4 infers as
+    TIMESTAMP_NTZ — a type that forbids epoch math (unix_micros,
+    cast-to-long) and event-time watermarks.  Both get normalized to plain
+    TIMESTAMP in read_parquet_table.
+    """
     try:
         import pyarrow.parquet as pq
         import pyarrow.types as pat
 
         schema = pq.read_schema(path)
-        return tuple(
+        nanos = tuple(
             f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
         )
+        ntz = tuple(
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.tz is None and f.type.unit != "ns"
+        )
+        return nanos, ntz
     except Exception:  # noqa: BLE001 — fall back to plain read
-        return ()
+        return (), ()
 
 
 # (session id, path) → DataFrame.  A DataFrame is an immutable logical plan,
@@ -61,7 +74,7 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    ns_cols = _nanos_ts_columns(path)
+    ns_cols, ntz_cols = _ts_column_kinds(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamp literals in queries parse in the session timezone; pin UTC so
@@ -71,6 +84,11 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # TIMESTAMP_NTZ → TIMESTAMP: with session TZ pinned UTC the cast is
+    # wall-clock-preserving, epoch math and watermarks work again, and the
+    # DuckDB oracle (naive-UTC) keeps matching.
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 
@@ -96,6 +114,61 @@ def read_status_json(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
+
+
+def read_device_dim(
+    spark: SparkSession,
+    path: str,
+    subject_col: str = "subject",
+    token_col: str = "token_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the device dimension from a device-service dump
+    (``subjects.jsonl``: one JSON object per line, ``{"id": "<subject>",
+    "token_id": <int|null>}`` — the UserDevice response shape).
+
+    The reference resolves subject→tokenID live over gRPC with a 24 h
+    cache including NEGATIVE entries for not-found subjects
+    (/root/reference/internal/service/deviceapi/service.go:52-105).  In
+    the engine that service is a broadcast dim table
+    (operators/dimjoin.py); this loader is the missing adapter that turns
+    a service dump into that table:
+
+    - a ``token_id: null`` / absent token is kept as an explicit
+      negative-cache row — it left-joins to null and lands in the
+      unresolved quarantine, exactly the NotFoundError path
+      (service.go:75-78, "store missing tokenID so we don't keep
+      querying");
+    - malformed lines go to the returned quarantine frame (same T3
+      contract as read_status_json), never fatal;
+    - duplicate subjects collapse deterministically to max(token_id) —
+      non-null wins over a stale negative entry, mirroring
+      PrimeTokenIDCache overwriting a cached miss (service.go:109-113).
+
+    Returns ``(device_dim, quarantine)``; device_dim is
+    (subject, token_id) and small by construction — one row per device —
+    so downstream it broadcasts.  Scale: the dump is splittable JSON
+    lines; the dedup aggregate is map-side combined on subject."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("token_id", T.LongType()),
+            T.StructField(CORRUPT_COL, T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    bad = F.col(CORRUPT_COL).isNotNull() | F.col("id").isNull()
+    quarantine = raw.filter(bad).select(F.col(CORRUPT_COL).alias("raw"))
+    dim = (
+        raw.filter(~bad)
+        .groupBy(F.col("id").alias(subject_col))
+        .agg(F.max("token_id").alias(token_col))
+    )
+    return dim, quarantine
 
 
 def read_es_export(

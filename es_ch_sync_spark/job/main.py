@@ -67,7 +67,18 @@ def main(argv: list[str] | None = None) -> int:
         token_ids=SyncOptions.parse_token_ids(args.tokens),
         signals=[s.strip() for s in args.signals.split(",") if s.strip()],
     )
-    dim = spark.read.parquet(args.dim) if args.dim else None
+    dim = None
+    if args.dim:
+        if args.dim.endswith((".jsonl", ".json", ".ndjson")):
+            # device-service dump (subjects.jsonl) → broadcast dim, with
+            # malformed-line quarantine (deviceapi/service.go:52-105 parity)
+            from es_ch_sync_spark.io.sources import read_device_dim
+
+            dim, dim_quarantine = read_device_dim(spark, args.dim)
+            if args.quarantine:
+                dim_quarantine.write.mode("append").parquet(args.quarantine + "_dim")
+        else:
+            dim = spark.read.parquet(args.dim)
 
     if args.streaming:
         if not args.checkpoint:

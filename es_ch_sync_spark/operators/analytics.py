@@ -80,8 +80,10 @@ def sessionize(
     previous event exceeds ``gap_seconds``.  Classic lag + running-count-of-
     boundaries; one shuffle on key."""
     w = W.partitionBy(key).orderBy(ts_col)
-    # microsecond arithmetic (unix_micros ≡ DuckDB epoch_us) — no truncation
-    gap = F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    # microsecond arithmetic (unix_micros ≡ DuckDB epoch_us) — no truncation;
+    # cast("timestamp") first because unix_micros rejects TIMESTAMP_NTZ
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn(
         "session_id", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0))
@@ -229,7 +231,8 @@ def linreg_trend(
     Scale: one aggregate, shuffle carries one stats row per key.  (The
     BIGINT Σx² headroom is ~2^63/x_max² rows per key — at 10^12-row keys
     move the two integer sums to DECIMAL(38,0); same plan.)"""
-    x = F.col(ts_col).cast("long") - F.lit(base_epoch)
+    # NTZ-tolerant: TIMESTAMP_NTZ forbids a direct cast to BIGINT
+    x = F.col(ts_col).cast("timestamp").cast("long") - F.lit(base_epoch)
     y = F.col(value_col).cast("decimal(18,2)")
     stats = (
         df.filter(F.col(value_col).isNotNull())

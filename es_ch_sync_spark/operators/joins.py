@@ -50,12 +50,18 @@ def range_join_buckets(
     3-cell neighborhoods.  Standard interval-join technique; also how
     Structured Streaming bounds stream-stream join state."""
     gap_us = max_gap_seconds * 1_000_000
-    lcell = (F.unix_micros(F.col(left_ts)) / gap_us).cast("long")
+    # .cast("timestamp") first: unix_micros is LTZ-only and the source may
+    # carry TIMESTAMP_NTZ (session TZ is pinned UTC, so the cast is a no-op
+    # semantically)
+    lcell = (F.unix_micros(F.col(left_ts).cast("timestamp")) / gap_us).cast("long")
     l = left.withColumn(
         "_cell", F.explode(F.array(lcell - 1, lcell, lcell + 1))
     )
-    r = right.withColumn("_cell", (F.unix_micros(F.col(right_ts)) / gap_us).cast("long"))
-    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    r = right.withColumn(
+        "_cell", (F.unix_micros(F.col(right_ts).cast("timestamp")) / gap_us).cast("long")
+    )
+    lts = F.col(f"l.{left_ts}").cast("timestamp")
+    rts = F.col(f"r.{right_ts}").cast("timestamp")
     out = (
         l.alias("l")
         .join(r.alias("r"), (F.col(f"l.{key}") == F.col(f"r.{key}")) & (F.col("l._cell") == F.col("r._cell")))

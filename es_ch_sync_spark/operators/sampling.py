@@ -209,19 +209,34 @@ def quality_budget_select(
     budget_tokens: int = 100_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    small_corpus_rows: int = 100_000,
 ) -> DataFrame:
     """Greedy quality-first corpus selection under a token budget: rank
     documents by quality (desc, id tie-break), keep the prefix whose
     cumulative token count stays within ``budget_tokens``.
 
     The data-mixing step of a pretraining pipeline ("take the best N
-    billion tokens").  The checkable form uses a cumulative-sum window
-    over the quality order; at 100 TB the equivalent plan is
-    threshold-refine: approx-quantile the quality distribution to locate
-    the cutoff score that lands the budget, filter (map-only), and
-    cumulative-sum only the boundary stratum — same selected set when
-    quality has a unique order, a bounded difference otherwise.  Integer
-    token arithmetic end to end."""
+    billion tokens").  Two tiers, auto-switched on the corpus row count
+    (same discipline as knn_join_blocked / embedding_near_dup), both
+    producing bit-identical output:
+
+    - **small tier** (n ≤ ``small_corpus_rows``): one cumulative-sum
+      window over (quality desc, id asc) — a single-partition sort, fine
+      for small corpora, the direct statement of the semantics.
+    - **stratum tier** (the 100 TB path): NO global window over data
+      rows.  (1) per-quality token totals — one map-side-combined
+      aggregate, |distinct quality| output rows (quality_score is a
+      rounded ratio, cardinality is bounded, not corpus-sized);
+      (2) stratum start offsets via a running sum over that tiny
+      aggregate (single-partition window over the aggregate only — the
+      global_shuffle offset trick); strata whose offset already exceeds
+      the budget are pruned here, so the expensive phase never touches
+      documents that cannot be selected; (3) broadcast the surviving
+      offsets back and cumulative-sum WITHIN each quality stratum
+      (window partitioned by quality — parallel); a row's global
+      cum_tokens = stratum offset + within-stratum running sum, exactly
+      the rank the global window would produce since ties order by id in
+      both.  Integer token arithmetic end to end."""
     from pyspark.sql import Window as W
 
     from es_ch_sync_spark.operators.text import quality_score, token_count_ws
@@ -232,13 +247,34 @@ def quality_budget_select(
         quality_score(t).alias("quality"),
         token_count_ws(t).cast("long").alias("n_tokens"),
     )
-    win = (
-        W.orderBy(F.col("quality").desc(), F.col(id_col).asc())
+    if df.count() <= small_corpus_rows:
+        win = (
+            W.orderBy(F.col("quality").desc(), F.col(id_col).asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return (
+            docs.select(
+                id_col, "quality", "n_tokens", F.sum("n_tokens").over(win).alias("cum_tokens")
+            )
+            .filter(F.col("cum_tokens") <= budget_tokens)
+        )
+    sizes = docs.groupBy("quality").agg(F.sum("n_tokens").alias("_tok"))
+    offw = W.orderBy(F.col("quality").desc()).rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "quality", F.coalesce(F.sum("_tok").over(offw), F.lit(0)).alias("_off")
+    ).filter(F.col("_off") <= budget_tokens)  # prune: rows there can never fit
+    win_q = (
+        W.partitionBy("quality")
+        .orderBy(F.col(id_col).asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return (
-        docs.select(
-            id_col, "quality", "n_tokens", F.sum("n_tokens").over(win).alias("cum_tokens")
+        docs.join(F.broadcast(offsets), "quality")
+        .select(
+            id_col,
+            "quality",
+            "n_tokens",
+            (F.col("_off") + F.sum("n_tokens").over(win_q)).alias("cum_tokens"),
         )
         .filter(F.col("cum_tokens") <= budget_tokens)
     )

@@ -998,22 +998,29 @@ _STREAM_ORACLE = """
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (AvailableNow callers),
-    with the same nanos-timestamp handling as the batch reader."""
+    with the same nanos/NTZ-timestamp normalization as the batch reader:
+    the declared stream schema matches the file's physical types (long for
+    NANOS, TIMESTAMP_NTZ for no-tz annotations), then the same projection
+    casts restore plain TIMESTAMP — so watermarks and epoch math work."""
     import copy
 
     from pyspark.sql import types as T
 
-    from es_ch_sync_spark.io.sources import _nanos_ts_columns
+    from es_ch_sync_spark.io.sources import _ts_column_kinds
 
     path = f"{sf_dir}/events.parquet"
-    ns_cols = _nanos_ts_columns(path)
+    ns_cols, ntz_cols = _ts_column_kinds(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = read_parquet_table(spark, sf_dir, "events").schema
-    fields = [
-        T.StructField(f.name, T.LongType() if f.name in ns_cols else copy.deepcopy(f.dataType))
-        for f in batch_schema.fields
-    ]
+    fields = []
+    for f in batch_schema.fields:
+        if f.name in ns_cols:
+            fields.append(T.StructField(f.name, T.LongType()))
+        elif f.name in ntz_cols:
+            fields.append(T.StructField(f.name, T.TimestampNTZType()))
+        else:
+            fields.append(T.StructField(f.name, copy.deepcopy(f.dataType)))
     stream = (
         spark.readStream.schema(T.StructType(fields))
         .format("parquet")
@@ -1022,6 +1029,8 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for c in ns_cols:
         stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in ntz_cols:
+        stream = stream.withColumn(c, F.col(c).cast("timestamp"))
     return stream
 
 

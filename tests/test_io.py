@@ -111,3 +111,41 @@ def test_es_export_reader_unwraps_and_quarantines(spark, tmp_path):
     assert rows == {"a1": ("v1", 12.5), "a2": ("v2", 33.0)}
     assert set(docs.columns) == {"es_id", "es_index", "subject", "speed"}
     assert quar.count() == 1
+
+
+def test_device_dim_loader_golden(spark, tmp_path):
+    """subjects.jsonl → device_dim golden path: resolvable subjects join,
+    negative-cache entries (token_id null) and dump-absent subjects land in
+    the unresolved quarantine, malformed lines in the loader quarantine,
+    and a duplicate subject collapses with non-null token winning."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.io.sources import read_device_dim
+    from es_ch_sync_spark.operators.dimjoin import resolve_tokens
+
+    p = tmp_path / "subjects.jsonl"
+    lines = [
+        json.dumps({"id": "v1", "token_id": 101}),
+        json.dumps({"id": "v2", "token_id": None}),  # negative-cache entry
+        json.dumps({"id": "v3", "token_id": 103}),
+        json.dumps({"id": "v3"}),  # stale negative dup — non-null must win
+        '{"id": broken',  # malformed → loader quarantine
+    ]
+    p.write_text("\n".join(lines))
+
+    dim, quar = read_device_dim(spark, str(p))
+    got = {r["subject"]: r["token_id"] for r in dim.collect()}
+    assert got == {"v1": 101, "v2": None, "v3": 103}
+    assert quar.count() == 1
+
+    facts = spark.createDataFrame(
+        [("v1", 1.0), ("v2", 2.0), ("v3", 3.0), ("v9", 9.0)], ["subject", "speed"]
+    )
+    resolved, unresolved = resolve_tokens(facts, dim)
+    assert {r["subject"]: r["token_id"] for r in resolved.collect()} == {"v1": 101, "v3": 103}
+    # v2 = cached miss, v9 = never seen: both quarantined, neither fatal
+    assert {r["subject"] for r in unresolved.collect()} == {"v2", "v9"}
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -194,3 +194,29 @@ def test_quality_budget_prefix_is_maximal(spark, sf_dir):
     assert rows and max(r["cum_tokens"] for r in rows) <= budget
     n_total = docs.count()
     assert len(rows) < n_total  # budget actually binds at this SF
+
+
+def test_quality_budget_tiers_identical_and_scale_plan(spark, sf_dir):
+    """The stratum (100 TB) tier must select the exact same rows with the
+    exact same cum_tokens as the global-window tier, and its plan must not
+    contain a global (un-partitioned) window over the document rows — the
+    only un-partitioned window allowed is the per-quality offset pass over
+    the tiny stratum aggregate."""
+    from es_ch_sync_spark.io.sources import read_parquet_table
+    from es_ch_sync_spark.operators.sampling import quality_budget_select
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    budget = 5_000
+    small = quality_budget_select(docs, budget_tokens=budget)
+    big = quality_budget_select(docs, budget_tokens=budget, small_corpus_rows=0)
+
+    key = lambda r: (r["doc_id"], r["quality"], r["n_tokens"], r["cum_tokens"])  # noqa: E731
+    assert sorted(map(key, small.collect())) == sorted(map(key, big.collect()))
+
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    # every window over doc rows is partitioned by quality; the offset
+    # window runs on the post-aggregate side (sum(_tok) input), never raw
+    # n_tokens
+    for line in plan.splitlines():
+        if "Window [" in line and "partitionBy" not in line and "quality" not in line.split("windowspecdefinition")[0]:
+            assert "_tok" in line, f"global window over doc rows: {line}"
