@@ -68,6 +68,12 @@ def build_signal_stream(
     else:
         token_col = subject_col
     signals = unpivot_signals(wide, catalog, token_col=token_col, ts_col=ts_col, source_col=source_col)
+    # Event-time watermarks require TIMESTAMP (LTZ); sources may deliver
+    # TIMESTAMP_NTZ (the testdata parquet does).  The session TZ is pinned
+    # UTC so the cast is wall-clock-preserving, and it is a no-op when the
+    # column is already LTZ — type drift at the source can't break the
+    # watermark path.
+    signals = signals.withColumn("timestamp", F.col("timestamp").cast("timestamp"))
     return signals.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
         ["token_id", "timestamp", "name"]
     )

@@ -105,3 +105,41 @@ def test_streaming_document_dedup(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.select("fp").distinct().count() == 25
     assert got.count() == 25  # exactly one survivor per content
+
+
+def test_streaming_ntz_event_time(spark, tmp_path):
+    """Watermark path must survive TIMESTAMP_NTZ event time — the exact
+    type the driver testdata parquet carries.  The NTZ→LTZ normalization
+    happens inside build_signal_stream; the test supplies raw NTZ input
+    and asserts the stream runs and dedups without any casting help."""
+    from pyspark.sql import types as T
+
+    from es_ch_sync_spark.catalog import SignalCatalog, SignalDef
+
+    src = str(tmp_path / "ntz_src")
+    wide = spark.sql(
+        """
+        SELECT id AS subject,
+               timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS time,
+               double(id) AS speed,
+               'ntz' AS src
+        FROM range(20)
+        """
+    )
+    assert isinstance(wide.schema["time"].dataType, T.TimestampNTZType)
+    wide.coalesce(1).write.parquet(src)
+    # replay the same rows a second time: watermark dedup must absorb them
+    wide.coalesce(1).write.mode("append").parquet(src)
+
+    cat = SignalCatalog([SignalDef("speed", "speed", "number")])
+    stream = read_status_stream(spark, src, wide.schema)
+    signals = build_signal_stream(
+        stream, cat, device_dim=None, subject_col="subject", ts_col="time", source_col="src"
+    )
+    assert isinstance(signals.schema["timestamp"].dataType, T.TimestampType)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = start_signal_sink(signals, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 20  # replay deduped
