@@ -70,6 +70,76 @@ def asof_join(
     return out.withColumnRenamed("_matched_ts", "matched_ts").drop("_side", "_ats")
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    id_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int = 3600,
+) -> DataFrame:
+    """Tolerance-bounded as-of join without sorting either table globally —
+    the 100 TB alternative to ``asof_join``'s union+window plan.
+
+    ``asof_join`` shuffles left ∪ right once and SORTS (key, ts, side)
+    within every key — correct and single-shuffle, but the sort covers
+    both tables end to end and a hot key's whole history lands in one
+    task.  When a match tolerance exists (it almost always does in
+    telemetry: "the purchase within the last N hours"), the interval-
+    bucket trick from range_join_buckets applies: bucket time into
+    tolerance-sized cells, explode each left row into (cell-1, cell),
+    equi-join on (key, cell) with the in-window predicate as a join-level
+    filter, and reduce per left row with max(struct(right_ts, payload)) —
+    an ordinary decomposable aggregate (map-side combined), deterministic
+    tie-break by (ts, payload...).
+
+    Plan: two shuffles — (key, cell) for the join, then ``id_col`` for
+    the reduce — but NO per-key sort of either table, partitioning finer
+    than key (time cells split hot keys), and join state bounded by the
+    tolerance horizon.  LEFT semantics: unmatched left rows keep nulls,
+    matches older than the tolerance are out of window — exactly
+    ``asof_join(..., tolerance_seconds=...)``.
+
+    Reference parity: same role as asof_join (the reference's
+    latest-state lookups, clickhouse.go:113-130 read side); same output
+    contract, plan chosen for scale."""
+    rc = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    tol_us = tolerance_seconds * 1_000_000
+    lus = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rus = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    lcell = F.floor(lus / tol_us).cast("long")
+    # a right row in [l_ts - tol, l_ts] lives in the left row's cell or the
+    # one before it — two cells, not three (the +1 cell is strictly future)
+    l = left.withColumn("_cell", F.explode(F.array(lcell - 1, lcell)))
+    r = right.select(
+        F.col(key).alias("_rkey"),
+        F.col(right_ts).alias("_rts"),
+        F.floor(rus / tol_us).cast("long").alias("_cell"),
+        *[F.col(c) for c in rc],
+    )
+    rts_in_window = (F.col("_rts") <= F.col(left_ts)) & (
+        F.col("_rts") >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+    )
+    joined = l.join(
+        r,
+        (F.col(key) == F.col("_rkey")) & (l["_cell"] == r["_cell"]) & rts_in_window,
+        "left",
+    )
+    best = F.max(F.struct(F.col("_rts").alias("matched_ts"), *[F.col(c) for c in rc]))
+    left_carry = [c for c in left.columns if c != id_col]
+    agg = joined.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in left_carry], best.alias("_best")
+    )
+    return agg.select(
+        id_col,
+        *left_carry,
+        F.col("_best.matched_ts").alias("matched_ts"),
+        *[F.col(f"_best.{c}").alias(c) for c in rc],
+    )
+
+
 def sessionize(
     df: DataFrame,
     key: str = "user_id",

@@ -933,6 +933,41 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_bucketed",
+    """
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT e.event_id, p.ts AS matched_ts, p.value AS purchase_value,
+                  row_number() OVER (PARTITION BY e.event_id
+                                     ORDER BY p.ts DESC, p.value DESC) AS rn
+           FROM e JOIN p ON e.user_id = p.user_id
+             AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 6 HOUR
+         )
+    SELECT e.event_id, e.user_id, e.ts, m.matched_ts, m.purchase_value
+    FROM e LEFT JOIN m ON e.event_id = m.event_id AND m.rn = 1
+    """,
+)
+def q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of via interval cells + max(struct) reduce —
+    the no-global-sort scale plan; must equal asof_join_tolerance where
+    the tolerance binds (same 6h window)."""
+    from es_ch_sync_spark.operators.analytics import asof_join_bucketed
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join_bucketed(
+        errors, purchases, key="user_id", id_col="event_id",
+        left_ts="ts", right_ts="ts", right_cols=["purchase_value"],
+        tolerance_seconds=6 * 3600,
+    )
+    return out.select("event_id", "user_id", "ts", "matched_ts", "purchase_value")
+
+
+@register(
     "signal_daily_rollup",
     """
     WITH tall AS (

@@ -181,3 +181,13 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_asof_bucketed_is_equi_with_partial_agg(plans):
+    """The tolerance as-of scale plan: keyed (key, cell) equi-join — never
+    BNLJ/cartesian — and the per-left-row reduce is a decomposable
+    max(struct) with a map-side partial stage."""
+    p = plans("asof_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_max" in p
