@@ -710,3 +710,43 @@ def cross_doc_shingle_stats(
             F.max("ndocs").alias("max_gram_docs"),
         )
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-based representative selection over near-dup clusters —
+    among near-duplicates keep the HIGHEST-quality document, not the
+    min-id one (the curation policy real pretraining pipelines use: the
+    boilerplate-stripped copy of a page beats the raw scrape).
+
+    Chain: minhash near-dup pairs → connected components → join each
+    clustered doc's quality score → one decomposable aggregate per
+    cluster: min(struct(-quality, id)) picks quality DESC / id ASC
+    deterministically (map-side combined; no window, no sort).
+
+    Scale: the cluster table holds only documents that HAVE a duplicate
+    (a small fraction of the corpus); the quality join shuffles on doc_id
+    and the reduce shuffles one row per cluster.  All upstream stages are
+    the already-bounded LSH/CC operators."""
+    from es_ch_sync_spark.operators.text import quality_score
+
+    pairs = minhash_near_duplicates(docs, threshold=threshold)
+    clusters = connected_components(pairs)
+    scored = docs.select(F.col(id_col), quality_score(F.col(text_col)).alias("quality"))
+    member = clusters.join(scored, id_col)
+    best = member.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("quality")).alias("nq"), F.col(id_col).alias("kid"))
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return best.select(
+        "cluster_id",
+        F.col("b.kid").alias("keep_id"),
+        (-F.col("b.nq")).alias("quality"),
+        "n_members",
+    )

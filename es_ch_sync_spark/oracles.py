@@ -1024,3 +1024,34 @@ def pack_sequences_sql(budget: int = 512, n_shards: int = 32) -> str:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {budget})::BIGINT AS chunk
     FROM toks
     """
+
+
+def dedup_keep_best_sql(threshold: float = 0.5) -> str:
+    """Mirror of dedup.keep_best_per_cluster: CC clusters (recursive CTE)
+    joined to the text_analysis quality score, representative = quality
+    DESC / doc_id ASC per cluster."""
+    pairs = minhash_near_dup_sql(threshold=threshold)
+    ta = text_analysis_sql()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+    ),
+    clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+    ta AS ({ta}),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, ta.quality,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY ta.quality DESC, c.doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM clusters c JOIN ta ON c.doc_id = ta.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_id, quality, n_members FROM ranked WHERE rn = 1
+    """

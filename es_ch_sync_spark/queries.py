@@ -738,3 +738,10 @@ def q_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this source (verified at every SF), so this equals the oracle's 6-col
     # DISTINCT while hashing/comparing 3 narrow columns instead of 6
     return resolved.dropDuplicates(["token_id", "timestamp", "name"])
+
+
+@register("dedup_keep_best", oracles.dedup_keep_best_sql(threshold=0.5))
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster, keep the highest-quality member (quality DESC,
+    id ASC) — representative selection as one decomposable aggregate."""
+    return dd.keep_best_per_cluster(_docs(spark, sf_dir), threshold=0.5)
