@@ -258,23 +258,36 @@ def quality_budget_select(
             )
             .filter(F.col("cum_tokens") <= budget_tokens)
         )
-    sizes = docs.groupBy("quality").agg(F.sum("n_tokens").alias("_tok"))
-    offw = W.orderBy(F.col("quality").desc()).rowsBetween(W.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "quality", F.coalesce(F.sum("_tok").over(offw), F.lit(0)).alias("_off")
-    ).filter(F.col("_off") <= budget_tokens)  # prune: rows there can never fit
     win_q = (
         W.partitionBy("quality")
         .orderBy(F.col(id_col).asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    # The two passes (stratum totals, then emit) both consume the scored +
+    # within-stratum-cumulated projection.  It is persisted: 3 narrow
+    # columns (~1% of corpus bytes), so caching it is what a production
+    # pipeline does anyway — without it the text-scoring scan runs twice
+    # (AQE does not reliably reuse the exchange across the two branches).
+    # Lineage is kept (plain persist, not checkpoint), so executor loss
+    # recomputes instead of failing.
+    cum = docs.select(
+        F.col(id_col),
+        "quality",
+        "n_tokens",
+        F.sum("n_tokens").over(win_q).alias("_cum_within"),
+    ).persist()
+    sizes = cum.groupBy("quality").agg(F.max("_cum_within").alias("_tok"))
+    offw = W.orderBy(F.col("quality").desc()).rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "quality", F.coalesce(F.sum("_tok").over(offw), F.lit(0)).alias("_off")
+    ).filter(F.col("_off") <= budget_tokens)  # prune: rows there can never fit
     return (
-        docs.join(F.broadcast(offsets), "quality")
+        cum.join(F.broadcast(offsets), "quality")
         .select(
             id_col,
             "quality",
             "n_tokens",
-            (F.col("_off") + F.sum("n_tokens").over(win_q)).alias("cum_tokens"),
+            (F.col("_off") + F.col("_cum_within")).alias("cum_tokens"),
         )
         .filter(F.col("cum_tokens") <= budget_tokens)
     )

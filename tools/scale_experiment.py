@@ -149,6 +149,59 @@ def main() -> None:
             f"global_shuffle x{replicas}",
             lambda: global_shuffle(docs).count(),
         )
+    if "qbudget" in only:
+        from es_ch_sync_spark.operators.sampling import quality_budget_select
+
+        budget = 20_000 * replicas  # keep the selected fraction constant
+        timed(
+            f"quality_budget_select x{replicas} (global-window tier)",
+            lambda: quality_budget_select(
+                docs, budget_tokens=budget, small_corpus_rows=10**12
+            ).count(),
+        )
+        timed(
+            f"quality_budget_select x{replicas} (stratum tier)",
+            lambda: quality_budget_select(
+                docs, budget_tokens=budget, small_corpus_rows=0
+            ).count(),
+        )
+    if "asof" in only:
+        from es_ch_sync_spark.io.sources import read_parquet_table
+        from es_ch_sync_spark.operators.analytics import asof_join, asof_join_bucketed
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps2 = spark.range(replicas).select(F.col("id").alias("rep"))
+        big_ev = (
+            ev.crossJoin(reps2)
+            .select(
+                (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+                (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+                (F.col("ts") + F.expr("make_interval(0,0,0,0,0,0,rep)")).alias("ts"),
+                "event_type",
+                "value",
+            )
+            .persist()
+        )
+        big_ev.count()
+        errors = big_ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+        purch = big_ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("purchase_value")
+        )
+        timed(
+            f"asof_join union-window x{replicas}",
+            lambda: asof_join(
+                errors, purch, key="user_id", right_cols=["purchase_value"],
+                tolerance_seconds=6 * 3600,
+            ).count(),
+        )
+        timed(
+            f"asof_join_bucketed x{replicas}",
+            lambda: asof_join_bucketed(
+                errors, purch, key="user_id", id_col="event_id",
+                right_cols=["purchase_value"], tolerance_seconds=6 * 3600,
+            ).count(),
+        )
+        big_ev.unpersist()
     if "salted" in only:
         # skewed aggregation: one hot key holds ~40% of 10M rows
         n = 10_000_000
