@@ -745,3 +745,113 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per near-dup cluster, keep the highest-quality member (quality DESC,
     id ASC) — representative selection as one decomposable aggregate."""
     return dd.keep_best_per_cluster(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _ann_recall_oracle(query_id: int = 0, k: int = 10) -> str:
+    exact = oracles.cosine_topk_sql(query_id=query_id, k=k)
+    lsh = oracles.lsh_ann_topk_sql(query_id=query_id, k=k)
+    ivf = oracles.ann_ivf_topk_sql(query_id=query_id, k=k)
+    return f"""
+    WITH e AS ({exact}), a AS ({lsh}), i AS ({ivf})
+    SELECT 'lsh' AS method,
+           (SELECT count(*) FROM a JOIN e USING (vec_id))::DOUBLE / {k} AS recall_at_k
+    UNION ALL
+    SELECT 'ivf',
+           (SELECT count(*) FROM i JOIN e USING (vec_id))::DOUBLE / {k}
+    """
+
+
+@register("ann_recall", _ann_recall_oracle(query_id=0, k=10))
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the approximate ANN tiers against the exact cosine
+    baseline — the standard vector-search quality harness, run inside the
+    engine itself (each tier is already independently oracle-verified;
+    this checks their RELATIVE quality as one number per method).
+    Deterministic by construction: every input is a deterministic top-k."""
+    from es_ch_sync_spark.queries_relational import q_ann_ivf_topk
+
+    k = 10
+    exact = sim.cosine_topk(_emb(spark, sf_dir), _query_vec(sf_dir), k=k, exclude_id=0).select("vec_id")
+    lsh = sim.lsh_ann_topk(_emb(spark, sf_dir), _query_vec(sf_dir), k=k, exclude_id=0).select("vec_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    lsh_r = lsh.join(exact, "vec_id").agg(
+        (F.count(F.lit(1)).cast("double") / k).alias("recall_at_k")
+    ).select(F.lit("lsh").alias("method"), "recall_at_k")
+    ivf_r = ivf.join(exact, "vec_id").agg(
+        (F.count(F.lit(1)).cast("double") / k).alias("recall_at_k")
+    ).select(F.lit("ivf").alias("method"), "recall_at_k")
+    return lsh_r.unionByName(ivf_r)
+
+
+def _dedup_degrees_oracle(threshold: float = 0.5) -> str:
+    pairs = oracles.minhash_near_dup_sql(threshold=threshold)
+    return f"""
+    WITH pairs AS ({pairs}),
+    deg AS (
+        SELECT id, count(*) AS degree FROM (
+            SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+        ) GROUP BY id
+    )
+    SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
+    """
+
+
+@register("dedup_graph_degrees", _dedup_degrees_oracle(threshold=0.5))
+def q_dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup similarity graph — the corpus-
+    health dashboard number (how interconnected is the duplicate mass?).
+    Derived entirely from the verified pair table: union both endpoints,
+    two small aggregates; the pair table is already linear in true-dup
+    density, so this adds only |pairs|-scale work."""
+    pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    ends = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _corpus_mixture_oracle() -> str:
+    ta = oracles.text_analysis_sql()
+    return f"""
+    WITH ta AS ({ta}),
+    j AS (
+        SELECT d.source, ta.lang_pred, ta.n_tokens_ws
+        FROM documents d JOIN ta ON d.doc_id = ta.doc_id
+    ),
+    tot AS (SELECT sum(n_tokens_ws)::BIGINT AS total FROM j)
+    SELECT source, lang_pred,
+           count(*) AS n_docs,
+           sum(n_tokens_ws)::BIGINT AS n_tokens,
+           round(sum(n_tokens_ws)::DOUBLE / (SELECT total FROM tot), 6) AS token_share
+    FROM j GROUP BY source, lang_pred
+    """
+
+
+@register("corpus_mixture", _corpus_mixture_oracle())
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing report: per (source, predicted language) doc and
+    token counts plus each cell's share of total tokens — what a
+    pretraining-mixture dashboard reads.  One aggregate over the scored
+    scan + a 1-row broadcast total; integer token arithmetic, share
+    rounded once."""
+    from es_ch_sync_spark.operators.text import lang_id, token_count_ws
+
+    docs = _docs(spark, sf_dir)
+    j = docs.select(
+        "source",
+        lang_id(F.col("text")).alias("lang_pred"),
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
+    )
+    cells = j.groupBy("source", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_ws").alias("n_tokens"),
+    )
+    tot = cells.agg(F.sum("n_tokens").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang_pred",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias("token_share"),
+    )

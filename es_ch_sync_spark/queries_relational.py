@@ -1710,3 +1710,36 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "hopping_window_counts",
+    """
+    SELECT to_timestamp(ws)::TIMESTAMP AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(12,2))::DOUBLE, 4) AS v_sum
+    FROM (
+        SELECT e.*, (epoch(ts)::BIGINT // 21600) * 21600 - i.i * 21600 AS ws
+        FROM events e CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        WHERE epoch(ts) >= (epoch(ts)::BIGINT // 21600) * 21600 - i.i * 21600
+          AND epoch(ts) <  (epoch(ts)::BIGINT // 21600) * 21600 - i.i * 21600 + 86400
+    )
+    GROUP BY ws, event_type
+    """,
+)
+def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (1-day windows sliding every 6h): each
+    event lands in 4 overlapping windows — Spark's F.window(slide) plans
+    this as ONE generate + aggregate, no self-join; the oracle enumerates
+    the 4 hops per event explicitly.  The streaming-capable sliding
+    dashboard aggregation (works identically under readStream +
+    watermark)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 4).alias("v_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "v_sum")
+    )
