@@ -855,3 +855,30 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias("token_share"),
     )
+
+
+@register(
+    "media_dedup",
+    """
+    SELECT md5(text) AS content_md5,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies,
+           min(strlen(text))::BIGINT AS n_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media dedup: checksum every blob through the Arrow
+    mapInPandas feature extractor, then group on content_md5 — the
+    dedup-images-by-checksum pass every multimodal pipeline runs first.
+    Only (md5, id, n_bytes) shuffles; blobs never leave their scan
+    partitions (same discipline as text dedup_exact)."""
+    from es_ch_sync_spark.operators.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    feats = extract_features(media)
+    return feats.groupBy("content_md5").agg(
+        F.min("media_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_bytes").alias("n_bytes"),
+    )
