@@ -750,3 +750,51 @@ def keep_best_per_cluster(
         (-F.col("b.nq")).alias("quality"),
         "n_members",
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the (undirected) near-dup graph — ranks documents by
+    duplicate-graph centrality (a high-rank node is the hub of a template
+    family; useful for picking canonical pages and for corpus forensics).
+
+    Cross-engine determinism: unordered SUM over doubles is association-
+    order-dependent, so each iteration's neighbor contributions are
+    rounded at 12dp and summed in DECIMAL(28,12) (exact, order-free);
+    the damping update runs in doubles on identical inputs and is
+    rounded at 12dp again.  A FIXED iteration count (no convergence
+    probe) keeps the oracle an unrolled CTE chain.
+
+    Scale shape per iteration: one equi-join of edges with the rank
+    table (shuffle on src — same key every round, co-partitioned after
+    the first) + one map-side-combined aggregate on dst.  Degree table
+    computed once.  Every node in the pair graph has degree ≥ 1, so
+    there is no dangling mass and GROUP BY dst covers every node."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).cache()
+    n = deg.count()
+    base = (1.0 - damping) / n
+    p = deg.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("p"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(p.select(F.col("id").alias("src"), "p"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.round(F.col("p") / F.col("d"), 12).cast("decimal(28,12)").alias("c"),
+            )
+        )
+        p = contrib.groupBy("id").agg(
+            F.round(F.lit(base) + F.lit(damping) * F.sum("c").cast("double"), 12).alias("p")
+        )
+    return p.select(F.col("id").alias("doc_id"), F.col("p").alias("pagerank"))

@@ -882,3 +882,44 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.min("n_bytes").alias("n_bytes"),
     )
+
+
+def _pagerank_oracle(threshold: float = 0.5, iterations: int = 2, damping: float = 0.85) -> str:
+    pairs = oracles.minhash_near_dup_sql(threshold=threshold)
+    prev = "p0"
+    iters_sql = ""
+    for it in range(1, iterations + 1):
+        iters_sql += f"""
+    , p{it} AS (
+        SELECT e.dst AS id,
+               round(({1.0 - damping!r} / (SELECT n FROM nn))
+                     + {damping!r} * sum(round(p.p / deg.d, 12)::DECIMAL(28,12))::DOUBLE,
+                     12) AS p
+        FROM edges e
+        JOIN {prev} p ON e.src = p.id
+        JOIN deg ON e.src = deg.id
+        GROUP BY e.dst
+    )"""
+        prev = f"p{it}"
+    return f"""
+    WITH pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    p0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS p FROM deg)
+    {iters_sql}
+    SELECT id AS doc_id, p AS pagerank FROM {prev}
+    """
+
+
+@register("pagerank_dedup_graph", _pagerank_oracle(threshold=0.5, iterations=2))
+def q_pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration PageRank over the near-dup graph — iterative graph
+    algorithm beyond connected components, deterministic via
+    round-then-DECIMAL-sum per iteration (unrolled CTE oracle)."""
+    pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    return dd.pagerank(pairs, iterations=2)
