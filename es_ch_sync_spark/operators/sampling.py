@@ -408,3 +408,63 @@ def weighted_sample(
         .orderBy(F.col("skey").asc(), F.col(id_col).asc())
         .limit(m)
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    shard_tokens: int = 20_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> DataFrame:
+    """Token-balanced global shard layout: order documents by the
+    deterministic shuffle permutation (hash order — same construction as
+    global_shuffle) and cut the concatenated token stream into
+    ``shard_tokens``-sized shards — the final write-layout step of a
+    training pipeline (each shard ≈ one dataloader file, shards are
+    contiguous in shuffle order, so sequential reads ARE shuffled reads).
+
+    shard = floor(start_offset / shard_tokens) where start_offset is the
+    exclusive cumulative token count in the composite (bucket, h, id)
+    order.  The cumsum is the two-phase bucketed form: per-bucket windows
+    (parallel) + a B-row offset table broadcast back — no single-partition
+    window over data rows (global_shuffle's trick, reused).  The 4-column
+    scored projection is persisted across the two passes (same rationale
+    as quality_budget_select).  Integer arithmetic end to end."""
+    from pyspark.sql import Window as W
+
+    from es_ch_sync_spark.operators.text import token_count_ws
+
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    bucket = _hash_bucket(F.col(id_col), seed + "-b") % GLOBAL_SHUFFLE_BUCKETS
+    rows = df.select(
+        F.col(id_col),
+        h.alias("h"),
+        bucket.alias("bucket"),
+        token_count_ws(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).persist()
+    win = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("h").asc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = rows.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).alias("_within"),
+    )
+    sizes = rows.groupBy("bucket").agg(F.sum("n_tokens").alias("_t"))
+    offw = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "bucket", F.coalesce(F.sum("_t").over(offw), F.lit(0)).alias("_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_off") + F.col("_within")).alias("start_offset"),
+        )
+        .withColumn("shard", F.expr(f"start_offset DIV {int(shard_tokens)}"))
+    )

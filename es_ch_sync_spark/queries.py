@@ -923,3 +923,37 @@ def q_pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-then-DECIMAL-sum per iteration (unrolled CTE oracle)."""
     pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
     return dd.pagerank(pairs, iterations=2)
+
+
+def _assign_shards_oracle(shard_tokens: int = 20_000, seed: str = "shard") -> str:
+    from es_ch_sync_spark.operators.sampling import GLOBAL_SHUFFLE_BUCKETS
+
+    b = oracles._hash_bucket_sql("d.doc_id", seed + "-b")
+    return f"""
+    WITH ta AS ({oracles.text_analysis_sql()}),
+    r AS (
+        SELECT d.doc_id,
+               md5('{seed}:' || d.doc_id::VARCHAR) AS h,
+               ({b}) % {GLOBAL_SHUFFLE_BUCKETS} AS bucket,
+               ta.n_tokens_ws::BIGINT AS n_tokens
+        FROM documents d JOIN ta ON d.doc_id = ta.doc_id
+    )
+    SELECT doc_id, n_tokens, start_offset, start_offset // {shard_tokens} AS shard FROM (
+        SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   ORDER BY bucket ASC, h ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS start_offset
+        FROM r
+    )
+    """
+
+
+@register("assign_shards", _assign_shards_oracle(shard_tokens=20_000))
+def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced global shard layout in shuffle order — two-phase
+    bucketed cumsum, no single-partition window; the oracle states it as
+    one window over the composite order."""
+    from es_ch_sync_spark.operators.sampling import assign_shards
+
+    return assign_shards(_docs(spark, sf_dir), shard_tokens=20_000)

@@ -1743,3 +1743,24 @@ def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "v_sum")
     )
+
+
+@register(
+    "streaming_resume_points",
+    """
+    SELECT user_id AS token_id, min(ts) AS min_ts, max(ts) AS max_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_resume_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4's resume-point summary maintained BY THE STREAM: per-token
+    min/max event time as a streaming aggregate (complete mode,
+    AvailableNow) — state is one (min, max) pair per token, exactly the
+    incremental fold merge_resume_points does in batch; must equal the
+    batch groupBy (the oracle).  At scale this runs continuously and the
+    sync job reads its sink instead of rescanning history."""
+    stream = _read_events_stream(spark, sf_dir)
+    agg = stream.groupBy(F.col("user_id").alias("token_id")).agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+    return _drain_to_memory(agg, "complete")
