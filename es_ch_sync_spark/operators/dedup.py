@@ -798,3 +798,67 @@ def pagerank(
             F.round(F.lit(base) + F.lit(damping) * F.sum("c").cast("double"), 12).alias("p")
         )
     return p.select(F.col("id").alias("doc_id"), F.col("p").alias("pagerank"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Shingle CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold — the
+    asymmetric near-dup detector Jaccard misses (a short document quoted
+    wholesale inside a long one has tiny Jaccard but containment ≈ 1;
+    the quote-inclusion gate web-corpus pipelines run alongside minhash).
+
+    Same plan discipline as ngram_jaccard_pairs: explode + equi-join on
+    the shingle (only pairs sharing ≥1 shingle materialize), partial-agg
+    intersection counts, sizes attached by two keyed joins.  Exact-
+    verification tier; candidate generation at scale stays LSH."""
+    src = spread(df)
+    sh = src.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"))
+    sizes = src.select(
+        F.col(id_col), F.size(word_shingles(F.col(text_col), shingle_k)).alias("n")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    cont = F.round(
+        F.col("inter").cast("double") / F.least("n_a", "n_b").cast("double"), 6
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", "inter", "n_a", "n_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def top_duplicated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """The most-duplicated passages report (the table a Lee-et-al-style
+    dedup audit prints): word k-grams ranked by how many distinct
+    documents contain them.  word_shingles is per-doc distinct, so one
+    count(*) per gram IS the document frequency; top-k plans as
+    TakeOrderedAndProject (per-partition heap, k-row driver merge)."""
+    grams = spread(df).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
+        .limit(k)
+    )

@@ -957,3 +957,46 @@ def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.sampling import assign_shards
 
     return assign_shards(_docs(spark, sf_dir), shard_tokens=20_000)
+
+
+def _containment_oracle(k: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+    {oracles._shingles_cte(k)}
+    , e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+           round(inter::DOUBLE / least(sa.n, sb.n)::DOUBLE, 6) AS containment
+    FROM inter
+    JOIN (SELECT doc_id, len(shs) AS n FROM sh) sa ON id_a = sa.doc_id
+    JOIN (SELECT doc_id, len(shs) AS n FROM sh) sb ON id_b = sb.doc_id
+    WHERE round(inter::DOUBLE / least(sa.n, sb.n)::DOUBLE, 6) >= {threshold}
+    """
+
+
+@register("containment_pairs", _containment_oracle(k=3, threshold=0.5))
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle containment ≥ 0.5 (quote-inclusion
+    gate) — catches short-inside-long duplication Jaccard misses."""
+    return dd.containment_pairs(_docs(spark, sf_dir), shingle_k=3, threshold=0.5)
+
+
+def _top_passages_oracle(k_gram: int = 5, topk: int = 20) -> str:
+    return f"""
+    {oracles._shingles_cte(k_gram)}
+    , e AS (SELECT doc_id, unnest(shs) AS gram FROM sh)
+    SELECT gram, count(*) AS n_docs
+    FROM e GROUP BY gram HAVING count(*) >= 2
+    ORDER BY n_docs DESC, gram ASC
+    LIMIT {topk}
+    """
+
+
+@register("top_dup_passages", _top_passages_oracle(k_gram=5, topk=20))
+def q_top_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-duplicated 5-gram passages across the corpus (dedup audit
+    report) — doc-frequency ranked, TakeOrderedAndProject top-20."""
+    return dd.top_duplicated_passages(_docs(spark, sf_dir), shingle_k=5, k=20)

@@ -191,3 +191,31 @@ def test_asof_bucketed_is_equi_with_partial_agg(plans):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "partial_max" in p
+
+
+def test_q8_single_shuffle_join(plans):
+    """TPC-H Q8: lineitem⋈orders is the ONLY shuffle join; part, supplier,
+    customer, both nation roles and region all broadcast."""
+    p = plans("tpch_q8_mktshare")
+    assert p.count("BroadcastHashJoin") >= 6
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+    assert "Cartesian" not in p
+
+
+def test_q21_decorrelated_no_cartesian(plans):
+    """TPC-H Q21: the EXISTS/NOT-EXISTS pair must plan as keyed semi/anti
+    joins — no cartesian, no BNLJ."""
+    p = plans("tpch_q21_waiting")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_assign_shards_no_global_window(plans):
+    """The shard layout's cumsum must stay bucket-partitioned: every window
+    over data rows carries the bucket partition spec; only the B-row
+    offset table may use an un-partitioned window (its input is the
+    per-bucket totals, named _t)."""
+    p = plans("assign_shards")
+    for line in p.splitlines():
+        if "Window [" in line and "bucket" not in line:
+            assert "_t" in line, f"global window over doc rows: {line}"
