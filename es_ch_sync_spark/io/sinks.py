@@ -56,3 +56,51 @@ def write_signals(
 
 def read_signals(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_corpus_shards(
+    docs,
+    out_path: str,
+    shard_tokens: int = 20_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+):
+    """Export the corpus as token-balanced training shards + a manifest.
+
+    Layout: ``{out_path}/data/shard=N/...parquet`` — one partition dir per
+    shard, documents inside each shard ordered by their global
+    ``start_offset`` (a dataloader reading shard files sequentially reads
+    the deterministic global shuffle order).  ``{out_path}/manifest/`` is a
+    tiny parquet table (shard, n_docs, n_tokens, first_offset) — the
+    index a trainer consults to schedule epochs without listing data
+    files.
+
+    Scale: shard assignment is the two-phase bucketed cumsum
+    (sampling.assign_shards — no single-partition window); the write
+    repartitions by shard so each shard's rows land in one task, and
+    sortWithinPartitions keeps file order = stream order.  The manifest
+    is one tiny aggregate.  Returns (n_docs, n_shards)."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.sampling import assign_shards
+
+    assigned = assign_shards(
+        docs, shard_tokens=shard_tokens, text_col=text_col, id_col=id_col
+    )
+    rows = docs.join(assigned, id_col).repartition(F.col("shard")).sortWithinPartitions(
+        "start_offset"
+    )
+    rows.write.mode(mode).partitionBy("shard").parquet(f"{out_path}/data")
+    manifest = (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("start_offset").alias("first_offset"),
+        )
+    )
+    manifest.coalesce(1).write.mode(mode).parquet(f"{out_path}/manifest")
+    n_docs = docs.count()
+    n_shards = manifest.count()
+    return n_docs, n_shards
