@@ -220,3 +220,59 @@ def test_quality_budget_tiers_identical_and_scale_plan(spark, sf_dir):
     for line in plan.splitlines():
         if "Window [" in line and "partitionBy" not in line and "quality" not in line.split("windowspecdefinition")[0]:
             assert "_tok" in line, f"global window over doc rows: {line}"
+
+
+def test_pagerank_mass_and_positivity(spark, sf_dir):
+    """PageRank invariants on the near-dup graph: every rank positive and
+    the total mass stays ≈ 1 (exact up to the 12dp per-node rounding —
+    no dangling mass because every pair-graph node has degree ≥ 1)."""
+    from es_ch_sync_spark.operators.dedup import minhash_near_duplicates, pagerank
+    from es_ch_sync_spark.io.sources import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    ranks = pagerank(pairs, iterations=2).collect()
+    assert ranks and all(r["pagerank"] > 0 for r in ranks)
+    total = sum(r["pagerank"] for r in ranks)
+    assert abs(total - 1.0) < 1e-6 * len(ranks)
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """Structural law: containment ≥ Jaccard for every pair (the
+    denominator min(|A|,|B|) ≤ union), and containment ∈ (0, 1]."""
+    from es_ch_sync_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+    from es_ch_sync_spark.io.sources import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.0).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert cont and set(jac) == set(cont)
+    for k, c in cont.items():
+        assert 0 < c <= 1.0 + 1e-9
+        assert c >= jac[k] - 1e-9
+
+
+def test_assign_shards_partitions_token_stream(spark, sf_dir):
+    """Shard layout laws: offsets are a permutation of the exclusive token
+    cumsum (no gaps, no overlap), shards are contiguous offset ranges,
+    and every doc's shard equals floor(start/budget)."""
+    from es_ch_sync_spark.operators.sampling import assign_shards
+    from es_ch_sync_spark.io.sources import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    budget = 5_000
+    rows = sorted(
+        assign_shards(docs, shard_tokens=budget).collect(),
+        key=lambda r: r["start_offset"],
+    )
+    expect = 0
+    for r in rows:
+        assert r["start_offset"] == expect
+        assert r["shard"] == r["start_offset"] // budget
+        expect += r["n_tokens"]
