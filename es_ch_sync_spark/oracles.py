@@ -1055,3 +1055,46 @@ def dedup_keep_best_sql(threshold: float = 0.5) -> str:
     )
     SELECT cluster_id, doc_id AS keep_id, quality, n_members FROM ranked WHERE rn = 1
     """
+
+
+def corpus_pipeline_best_sql(threshold: float = 0.5) -> str:
+    """corpus_pipeline_sql with QUALITY-ranked cluster representatives
+    (keep_best_per_cluster policy) instead of min-id: the survivor of each
+    near-dup cluster is its highest-quality member (quality DESC, doc_id
+    ASC)."""
+    pairs = minhash_near_dup_sql(threshold=threshold, src="kept")
+    ta = text_analysis_sql()
+    return f"""
+    WITH RECURSIVE kept AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (PARTITION BY md5({NORM.format(col='text')})) AS keep
+            FROM documents
+        ) WHERE doc_id = keep
+    ),
+    pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+    ),
+    clusters AS (
+        SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+    ),
+    ta AS ({ta}),
+    ranked AS (
+        SELECT c.doc_id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY ta.quality DESC, c.doc_id ASC) AS rn
+        FROM clusters c JOIN ta ON c.doc_id = ta.doc_id
+    ),
+    nonreps AS (SELECT doc_id FROM ranked WHERE rn > 1)
+    SELECT k.doc_id, {_split_case_sql(id_expr="k.doc_id")} AS split
+    FROM kept k LEFT JOIN nonreps nr ON k.doc_id = nr.doc_id
+    WHERE nr.doc_id IS NULL
+    """

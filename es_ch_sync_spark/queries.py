@@ -1000,3 +1000,31 @@ def q_top_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-duplicated 5-gram passages across the corpus (dedup audit
     report) — doc-frequency ranked, TakeOrderedAndProject top-20."""
     return dd.top_duplicated_passages(_docs(spark, sf_dir), shingle_k=5, k=20)
+
+
+@register("corpus_pipeline_best", oracles.corpus_pipeline_best_sql(threshold=0.5))
+def q_corpus_pipeline_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus pipeline with the keep-BEST policy: exact-dedup keep-one
+    → minhash clusters over survivors → drop every cluster member except
+    its highest-quality doc → append-stable split assignment.  Checks the
+    quality-representative policy composed end to end (corpus_pipeline
+    keeps min-id instead)."""
+    from pyspark.sql import Window as W
+
+    from es_ch_sync_spark.operators.sampling import assign_split
+    from es_ch_sync_spark.operators.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    kept = dd.dedup_exact(docs)
+    pairs = dd.minhash_near_duplicates(kept, threshold=0.5)
+    clusters = dd.connected_components(pairs)
+    scored = kept.select(F.col("doc_id"), quality_score(F.col("text")).alias("quality"))
+    ranked = clusters.join(scored, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        ),
+    )
+    nonreps = ranked.filter(F.col("rn") > 1).select("doc_id")
+    survivors = kept.join(nonreps, "doc_id", "left_anti")
+    return assign_split(survivors).select("doc_id", "split")

@@ -1764,3 +1764,86 @@ def q_streaming_resume_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
     )
     return _drain_to_memory(agg, "complete")
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week::TIMESTAMP AS cohort_week, week_offset,
+           count(*) AS n_active
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week, counted
+    per week-offset of later activity — the product-analytics staple.
+    Plan: one aggregate for cohorts (map-side combined), broadcast back
+    onto the stream, distinct + count — the events table shuffles once on
+    user_id and once on the (cohort, offset) cell."""
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 'step1_view' AS step, count(*) AS n_users FROM v
+    UNION ALL SELECT 'step2_click', count(*) FROM c
+    UNION ALL SELECT 'step3_purchase', count(*) FROM p
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, strictly increasing
+    timestamps): each step = one filtered aggregate joined to the prior
+    step's per-user anchor time (broadcast — step tables are one row per
+    user).  The sequence-match analytics staple without any self-cross."""
+    e = _t(spark, sf_dir, "events")
+
+    def step(evt: str, prior: DataFrame | None) -> DataFrame:
+        s = e.filter(F.col("event_type") == evt)
+        if prior is not None:
+            s = s.join(F.broadcast(prior), "user_id").filter(F.col("ts") > F.col("t")).drop("t")
+        return s.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = step("view", None)
+    c = step("click", v)
+    p = step("purchase", c)
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("step1_view").alias("step"), "n_users")
+        .unionByName(c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("step2_click").alias("step"), "n_users"))
+        .unionByName(p.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("step3_purchase").alias("step"), "n_users"))
+    )
