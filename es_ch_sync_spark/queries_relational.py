@@ -1847,3 +1847,107 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("step2_click").alias("step"), "n_users"))
         .unionByName(p.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("step3_purchase").alias("step"), "n_users"))
     )
+
+
+@register(
+    "streaming_interval_join",
+    """
+    SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join through the checked surface: views ⋈
+    purchases within [view_ts, view_ts + 1h] per user, both sides
+    watermarked so join state expires (the watermark + the interval bound
+    is exactly what lets Spark drop old state — unbounded stream-stream
+    joins are rejected).  AvailableNow drain must equal the batch
+    interval join (the oracle).  At 100 TB this is continuous attribution
+    without re-scanning history."""
+    stream = _read_events_stream(spark, sf_dir)
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts"))
+        .withWatermark("ts", "30 days")
+        .alias("v")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "30 days")
+        .alias("p")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("p_ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return _drain_to_memory(joined, "append")
+
+
+@register(
+    "interarrival_stats",
+    """
+    WITH gaps AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))) AS gap_us
+        FROM events
+    ),
+    g AS (SELECT user_id, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+    ranked AS (
+        SELECT user_id, gap_us,
+               row_number() OVER (PARTITION BY user_id ORDER BY gap_us, user_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM g
+    )
+    SELECT user_id, n AS n_gaps,
+           max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS median_gap_us,
+           max(CASE WHEN rn = greatest(((n * 9) + 9) // 10, 1) THEN gap_us END) AS p90_gap_us,
+           min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+    FROM ranked GROUP BY user_id, n
+    """,
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user inter-arrival statistics: median/p90/min/max of the
+    microsecond gap between consecutive events — EXACT order statistics
+    (rank = ceil(q·n), lower-type quantile) in pure integer arithmetic,
+    so both engines agree bit-for-bit (no interpolation, no floats).
+    Plan: one shuffle on user_id feeds the lag, the rank, and the final
+    aggregate — the windows share the same partitioning."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    rw = W.partitionBy("user_id").orderBy("gap_us", "user_id")
+    cw = W.partitionBy("user_id")
+    ranked = gaps.select(
+        "user_id",
+        "gap_us",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    return (
+        ranked.groupBy("user_id", F.col("n").alias("n_gaps"))
+        .agg(
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("gap_us"))).alias("median_gap_us"),
+            F.max(
+                F.when(F.col("rn") == F.greatest(F.expr("((n * 9) + 9) DIV 10"), F.lit(1)), F.col("gap_us"))
+            ).alias("p90_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .select("user_id", "n_gaps", "median_gap_us", "p90_gap_us", "min_gap_us", "max_gap_us")
+    )
