@@ -1951,3 +1951,70 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_gaps", "median_gap_us", "p90_gap_us", "min_gap_us", "max_gap_us")
     )
+
+
+@register(
+    "validate_events",
+    """
+    WITH t AS (SELECT count(*) AS n FROM events)
+    SELECT 'event_id_unique' AS rule, (SELECT n FROM t) AS n_checked,
+           (SELECT count(*) - count(DISTINCT event_id) FROM events) AS n_violations
+    UNION ALL
+    SELECT 'ts_in_range', (SELECT n FROM t),
+           (SELECT count(*) FROM events
+            WHERE ts IS NULL OR ts < TIMESTAMP '2024-01-01 00:00:00'
+               OR ts >= TIMESTAMP '2030-01-01 00:00:00')
+    UNION ALL
+    SELECT 'value_nonnegative', (SELECT n FROM t),
+           (SELECT count(*) FROM events WHERE value < 0)
+    UNION ALL
+    SELECT 'event_type_in_domain', (SELECT n FROM t),
+           (SELECT count(*) FROM events WHERE event_type IS NULL
+             OR event_type NOT IN ('click','error','purchase','signup','view'))
+    UNION ALL
+    SELECT 'user_in_dim', (SELECT n FROM t),
+           (SELECT count(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+    """,
+)
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate report (the dbt-test/expectations pattern): five
+    rules — key uniqueness, timestamp range, value domain, categorical
+    domain, referential integrity against the dimension — each one
+    aggregate over the SAME scan (Spark plans the unioned rules as
+    parallel branches; the dim check is a broadcast anti join).  Output:
+    (rule, n_checked, n_violations); a CI gate fails on any
+    n_violations > 0."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    n = e.count()
+
+    def rule(name: str, violations: DataFrame) -> DataFrame:
+        return violations.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("rule"), F.lit(n).alias("n_checked"), "n_violations"
+        )
+
+    uniq = e.agg(
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n_violations")
+    ).select(F.lit("event_id_unique").alias("rule"), F.lit(n).alias("n_checked"), "n_violations")
+    ts_bad = rule(
+        "ts_in_range",
+        e.filter(
+            F.col("ts").isNull()
+            | (F.col("ts") < F.lit("2024-01-01"))
+            | (F.col("ts") >= F.lit("2030-01-01"))
+        ),
+    )
+    val_bad = rule("value_nonnegative", e.filter(F.col("value") < 0))
+    dom_bad = rule(
+        "event_type_in_domain",
+        e.filter(
+            F.col("event_type").isNull()
+            | ~F.col("event_type").isin("click", "error", "purchase", "signup", "view")
+        ),
+    )
+    ref_bad = rule(
+        "user_in_dim",
+        e.join(F.broadcast(c.select(F.col("c_custkey"))), e.user_id == F.col("c_custkey"), "left_anti"),
+    )
+    return uniq.unionByName(ts_bad).unionByName(val_bad).unionByName(dom_bad).unionByName(ref_bad)
