@@ -2018,3 +2018,85 @@ def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(c.select(F.col("c_custkey"))), e.user_id == F.col("c_custkey"), "left_anti"),
     )
     return uniq.unionByName(ts_bad).unionByName(val_bad).unionByName(dom_bad).unionByName(ref_bad)
+
+
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _corr_matrix_oracle() -> str:
+    cols = ",\n               ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS c_{t}" for t in _ETYPES
+    )
+    sums = ",\n            ".join(
+        f"sum(c_{t})::BIGINT AS s_{t}, sum(c_{t} * c_{t})::BIGINT AS ss_{t}" for t in _ETYPES
+    )
+    crosses = ",\n            ".join(
+        f"sum(c_{a} * c_{b})::BIGINT AS sx_{a}_{b}"
+        for i, a in enumerate(_ETYPES)
+        for b in _ETYPES[i + 1 :]
+    )
+    def corr(a: str, b: str) -> str:
+        return (
+            f"round((n * sx_{a}_{b} - s_{a} * s_{b})::DOUBLE / "
+            f"(sqrt((n * ss_{a} - s_{a} * s_{a})::DOUBLE) * "
+            f"sqrt((n * ss_{b} - s_{b} * s_{b})::DOUBLE)), 6)"
+        )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT '{a}' AS type_a, '{b}' AS type_b, {corr(a, b)} AS corr FROM s"
+        for i, a in enumerate(_ETYPES)
+        for b in _ETYPES[i + 1 :]
+    )
+    return f"""
+    WITH m AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               {cols}
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS n,
+            {sums},
+            {crosses}
+        FROM m
+    )
+    {rows}
+    """
+
+
+@register("signal_correlations", _corr_matrix_oracle())
+def q_signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of daily per-user event-type
+    counts — which behaviors co-move.  ONE aggregate computes every
+    sufficient statistic (n, Σx, Σx², Σxy for all 10 pairs) over the
+    pivoted (user, day) matrix; counts are integers so the stats are
+    exact in both engines and only the final corr is double arithmetic.
+    Plan: pivot = one conditional-sum aggregate; the stats aggregate
+    reduces everything to one row; 10 output rows are projections of that
+    row — scan-shaped at any scale."""
+    e = _t(spark, sf_dir, "events")
+    m = e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"c_{t}")
+            for t in _ETYPES
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for t in _ETYPES:
+        aggs.append(F.sum(f"c_{t}").alias(f"s_{t}"))
+        aggs.append(F.sum(F.col(f"c_{t}") * F.col(f"c_{t}")).alias(f"ss_{t}"))
+    for i, a in enumerate(_ETYPES):
+        for b in _ETYPES[i + 1 :]:
+            aggs.append(F.sum(F.col(f"c_{a}") * F.col(f"c_{b}")).alias(f"sx_{a}_{b}"))
+    s = m.agg(*aggs)
+    out = None
+    for i, a in enumerate(_ETYPES):
+        for b in _ETYPES[i + 1 :]:
+            num = F.col("n") * F.col(f"sx_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            da = F.sqrt((F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double"))
+            db = F.sqrt((F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double"))
+            row = s.select(
+                F.lit(a).alias("type_a"),
+                F.lit(b).alias("type_b"),
+                F.round(num.cast("double") / (da * db), 6).alias("corr"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
