@@ -1028,3 +1028,42 @@ def q_corpus_pipeline_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonreps = ranked.filter(F.col("rn") > 1).select("doc_id")
     survivors = kept.join(nonreps, "doc_id", "left_anti")
     return assign_split(survivors).select("doc_id", "split")
+
+
+def _dedup_recall_oracle(threshold: float = 0.5) -> str:
+    exact = oracles.ngram_jaccard_sql(k=3, threshold=0.0)
+    lsh = oracles.minhash_near_dup_sql(threshold=threshold)
+    return f"""
+    WITH ex0 AS ({exact}),
+    ex AS (SELECT id_a, id_b FROM ex0 WHERE jaccard >= {threshold}),
+    ap AS ({lsh})
+    SELECT (SELECT count(*) FROM ex) AS n_exact,
+           (SELECT count(*) FROM ap JOIN ex USING (id_a, id_b)) AS n_found,
+           round((SELECT count(*) FROM ap JOIN ex USING (id_a, id_b))::DOUBLE
+                 / (SELECT count(*) FROM ex), 6) AS recall
+    """
+
+
+@register("dedup_recall", _dedup_recall_oracle(threshold=0.5))
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash+LSH near-dup pairs against the exact shingle-
+    Jaccard ground truth (same shingles, same threshold) — the dedup
+    analog of ann_recall: the engine measures its own banding quality.
+    The exact side is the O(n²)-bounded verification tier; run at audit
+    scale, not corpus scale."""
+    th = 0.5
+    exact = dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.0).filter(
+        F.col("jaccard") >= th
+    ).select("id_a", "id_b")
+    approx = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=th).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.count()
+    found = approx.join(exact, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return found.select(
+        F.lit(n_exact).alias("n_exact"),
+        "n_found",
+        F.round(F.col("n_found").cast("double") / n_exact, 6).alias("recall"),
+    )
