@@ -2100,3 +2100,30 @@ def q_signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "streaming_dim_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC broadcast join through the checked surface: the
+    purchase stream enriched against the static customer dimension —
+    the dim is re-read per micro-batch (picks up new devices/customers)
+    and never shuffles the stream; AvailableNow drain equals the batch
+    join (the oracle).  This is exactly how build_signal_stream resolves
+    tokens continuously."""
+    stream = _read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    dim = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_name", "c_mktsegment"
+    )
+    return _drain_to_memory(joined, "append")
