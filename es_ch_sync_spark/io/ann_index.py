@@ -109,3 +109,29 @@ def search_ivf_index(
     return cosine_topk(
         vecs, query_vec, k=k, id_col=id_col, vec_col=vec_col, exclude_id=exclude_id
     )
+
+
+def add_to_ivf_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest: route new vectors to their nearest EXISTING
+    centroid and append them to that cell's partition directory — the
+    quantizer is not refit (standard served-IVF practice: assignment is
+    cheap and online, refit is an offline maintenance job — same
+    economics as the signature-index batch ingest).  Append touches only
+    the affected cell partitions; centroids stay unchanged so concurrent
+    searches keep probing correctly."""
+    from es_ch_sync_spark.operators.clustering import assign_to_centroids
+
+    spark = new_emb.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    assign = assign_to_centroids(new_emb, cent, id_col=id_col, vec_col=vec_col)
+    (
+        new_emb.join(assign, id_col)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )

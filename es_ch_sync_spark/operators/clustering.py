@@ -573,3 +573,29 @@ def semantic_near_duplicates_incremental(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    cent: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) nearest-centroid assignment against a FIXED centroid
+    table (cell, pos, c) — the ingest step of a served IVF index: new
+    vectors are routed to existing inverted lists without refitting the
+    quantizer (the standard IVF practice; refit happens offline).  Same
+    rounded-distance argmin as kmeans_assign's inner step, so assignment
+    is deterministic and engine-independent."""
+    pe = posexplode_vectors(emb, id_col, vec_col)
+    diff = F.col("x") - F.col("c")
+    dist = (
+        pe.join(F.broadcast(cent), "pos")
+        .groupBy(id_col, "cell")
+        .agg(F.round(F.sum(diff * diff), 9).alias("d"))
+    )
+    return (
+        dist.groupBy(id_col)
+        .agg(F.min(F.struct("d", "cell")).alias("m"))
+        .select(F.col(id_col), F.col("m.cell").alias("cell"))
+    )

@@ -64,3 +64,44 @@ def test_search_scan_is_partition_pruned(spark, qv, index_path):
 def test_probe_cells_bounded(spark, qv, index_path):
     cells = probe_cells(spark, index_path, qv, nprobe=2)
     assert len(cells) == 2 and len(set(cells)) == 2
+
+
+def test_ivf_incremental_add(spark, sf_dir, tmp_path):
+    """Incremental IVF ingest: build on 90% of vectors, add the 10% batch,
+    then (a) every vector is present exactly once, (b) each added vector
+    sits in its nearest-centroid cell, and (c) a full-probe search over
+    the updated index equals brute-force cosine over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.io.ann_index import add_to_ivf_index, build_ivf_index, search_ivf_index
+    from es_ch_sync_spark.io.sources import read_parquet_table
+    from es_ch_sync_spark.operators.clustering import assign_to_centroids
+    from es_ch_sync_spark.operators.similarity import cosine_topk
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_cells=4)
+    add_to_ivf_index(batch, path)
+
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.count() == emb.count()
+    assert vecs.select("vec_id").distinct().count() == emb.count()
+
+    cent = spark.read.parquet(f"{path}/centroids")
+    expected = {
+        r["vec_id"]: r["cell"] for r in assign_to_centroids(batch, cent).collect()
+    }
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in vecs.join(batch.select("vec_id"), "vec_id").select("vec_id", "cell").collect()
+    }
+    assert got == expected
+
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = cosine_topk(emb, qv, k=5, exclude_id=0).collect()
+    via_index = search_ivf_index(spark, path, qv, k=5, nprobe=4, exclude_id=0).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in exact] == [
+        (r["vec_id"], r["cos_sim"]) for r in via_index
+    ]
