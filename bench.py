@@ -90,7 +90,9 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # A partial suite must not masquerade as a (faster-looking) full-suite
+    # time: value is null and incomplete=true whenever any query errored.
+    total = round(sum(timings.values()), 3) if not errors else None
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -105,6 +107,8 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+        payload["incomplete"] = True
+        payload["partial_wall_sec"] = round(sum(timings.values()), 3)
     print(json.dumps(payload))
 
 

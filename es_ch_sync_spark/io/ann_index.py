@@ -123,14 +123,22 @@ def add_to_ivf_index(
     cheap and online, refit is an offline maintenance job — same
     economics as the signature-index batch ingest).  Append touches only
     the affected cell partitions; centroids stay unchanged so concurrent
-    searches keep probing correctly."""
+    searches keep probing correctly.
+
+    Idempotence: ids already present in the index are dropped (left-anti
+    join on the hashes-sized id projection) so a retried batch cannot
+    duplicate vectors in search results.  The append itself is not atomic
+    across cell partitions — a crash mid-write can leave a partial batch,
+    which the anti-join makes safe to re-run."""
     from es_ch_sync_spark.operators.clustering import assign_to_centroids
 
     spark = new_emb.sparkSession
     cent = spark.read.parquet(f"{path}/centroids")
-    assign = assign_to_centroids(new_emb, cent, id_col=id_col, vec_col=vec_col)
+    existing_ids = spark.read.parquet(f"{path}/vectors").select(id_col)
+    fresh = new_emb.join(existing_ids, id_col, "left_anti")
+    assign = assign_to_centroids(fresh, cent, id_col=id_col, vec_col=vec_col)
     (
-        new_emb.join(assign, id_col)
+        fresh.join(assign, id_col)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{path}/vectors")

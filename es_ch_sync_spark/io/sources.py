@@ -162,7 +162,14 @@ def read_device_dim(
         .json(path)
     )
     bad = F.col(CORRUPT_COL).isNotNull() | F.col("id").isNull()
-    quarantine = raw.filter(bad).select(F.col(CORRUPT_COL).alias("raw"))
+    # Well-formed lines with a null/absent id have CORRUPT_COL = NULL —
+    # reconstruct their content from the parsed columns so the quarantine
+    # stays inspectable for both failure shapes.
+    quarantine = raw.filter(bad).select(
+        F.coalesce(
+            F.col(CORRUPT_COL), F.to_json(F.struct("id", "token_id"))
+        ).alias("raw")
+    )
     dim = (
         raw.filter(~bad)
         .groupBy(F.col("id").alias(subject_col))

@@ -774,7 +774,11 @@ def pagerank(
     table (shuffle on src — same key every round, co-partitioned after
     the first) + one map-side-combined aggregate on dst.  Degree table
     computed once.  Every node in the pair graph has degree ≥ 1, so
-    there is no dangling mass and GROUP BY dst covers every node."""
+    there is no dangling mass and GROUP BY dst covers every node.
+
+    The edges/degree caches are attached to the result via
+    register_intermediate — call release_intermediates(result) after
+    materializing to reclaim the blocks in a long-lived session."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -797,7 +801,13 @@ def pagerank(
         p = contrib.groupBy("id").agg(
             F.round(F.lit(base) + F.lit(damping) * F.sum("c").cast("double"), 12).alias("p")
         )
-    return p.select(F.col("id").alias("doc_id"), F.col("p").alias("pagerank"))
+    from es_ch_sync_spark.operators.util import register_intermediate
+
+    return register_intermediate(
+        p.select(F.col("id").alias("doc_id"), F.col("p").alias("pagerank")),
+        edges,
+        deg,
+    )
 
 
 def containment_pairs(

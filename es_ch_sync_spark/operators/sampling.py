@@ -210,6 +210,7 @@ def quality_budget_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     small_corpus_rows: int = 100_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Greedy quality-first corpus selection under a token budget: rank
     documents by quality (desc, id tie-break), keep the prefix whose
@@ -236,10 +237,19 @@ def quality_budget_select(
       (window partitioned by quality — parallel); a row's global
       cum_tokens = stratum offset + within-stratum running sum, exactly
       the rank the global window would produce since ties order by id in
-      both.  Integer token arithmetic end to end."""
+      both.  Integer token arithmetic end to end.
+
+    ``n_rows``: optional row-count hint for tier selection — pass it when
+    the caller already knows the corpus size (a catalog stat, a prior
+    count) to skip the extra ``df.count()`` scan; at 100 TB that count is
+    a full pass worth avoiding.  The stratum tier persists a 3-col
+    intermediate; ownership of the cached blocks transfers to the caller
+    via register_intermediate — call release_intermediates(result) after
+    materializing (see operators/util.py)."""
     from pyspark.sql import Window as W
 
     from es_ch_sync_spark.operators.text import quality_score, token_count_ws
+    from es_ch_sync_spark.operators.util import register_intermediate
 
     t = F.col(text_col)
     docs = df.select(
@@ -247,7 +257,7 @@ def quality_budget_select(
         quality_score(t).alias("quality"),
         token_count_ws(t).cast("long").alias("n_tokens"),
     )
-    if df.count() <= small_corpus_rows:
+    if (n_rows if n_rows is not None else df.count()) <= small_corpus_rows:
         win = (
             W.orderBy(F.col("quality").desc(), F.col(id_col).asc())
             .rowsBetween(W.unboundedPreceding, 0)
@@ -281,7 +291,7 @@ def quality_budget_select(
     offsets = sizes.select(
         "quality", F.coalesce(F.sum("_tok").over(offw), F.lit(0)).alias("_off")
     ).filter(F.col("_off") <= budget_tokens)  # prune: rows there can never fit
-    return (
+    return register_intermediate(
         cum.join(F.broadcast(offsets), "quality")
         .select(
             id_col,
@@ -289,7 +299,8 @@ def quality_budget_select(
             "n_tokens",
             (F.col("_off") + F.col("_cum_within")).alias("cum_tokens"),
         )
-        .filter(F.col("cum_tokens") <= budget_tokens)
+        .filter(F.col("cum_tokens") <= budget_tokens),
+        cum,
     )
 
 
@@ -459,12 +470,15 @@ def assign_shards(
     offsets = sizes.select(
         "bucket", F.coalesce(F.sum("_t").over(offw), F.lit(0)).alias("_off")
     )
-    return (
+    from es_ch_sync_spark.operators.util import register_intermediate
+
+    return register_intermediate(
         ranked.join(F.broadcast(offsets), "bucket")
         .select(
             id_col,
             "n_tokens",
             (F.col("_off") + F.col("_within")).alias("start_offset"),
         )
-        .withColumn("shard", F.expr(f"start_offset DIV {int(shard_tokens)}"))
+        .withColumn("shard", F.expr(f"start_offset DIV {int(shard_tokens)}")),
+        rows,
     )

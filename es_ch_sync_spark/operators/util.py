@@ -4,6 +4,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Logical-plan node names that mean "this frame is downstream of a shuffle
+# or an executed subtree" — spread()'s df.rdd probe is unsafe/pointless on
+# such frames (the probe physically plans the frame; a broadcast join under
+# it would EXECUTE at plan-build time).
+_NON_SCAN_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Distinct",
+    "Deduplicate",
+    "RepartitionByExpression",
+    "Repartition",
+    "GlobalLimit",
+    "Union",
+)
+
+_INTERMEDIATES_ATTR = "_persisted_intermediates"
+
+
+def _is_scan_stage(df: DataFrame) -> bool:
+    """True iff the frame's analyzed LOGICAL plan is scan-shaped (relation +
+    narrow ops only: Project/Filter/Generate/...). Inspecting the logical
+    plan never triggers physical planning, so the check itself is free."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return not any(
+        line.lstrip().lstrip("+- :").startswith(node)
+        for line in plan.splitlines()
+        for node in _NON_SCAN_NODES
+    )
+
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure a compute-heavy map stage has enough partitions to use the
@@ -15,13 +46,46 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     splits); on real 100 TB inputs the condition is false and this is a
     no-op.  min_partitions defaults to the scheduler's defaultParallelism.
 
-    ONLY call this on scan-stage frames.  The df.rdd partition-count probe
-    physically plans the frame, and if the plan contains a broadcast join
-    the broadcast (and everything under it) EXECUTES during the probe —
-    a computed frame's whole upstream pipeline can run at plan-build time.
-    Frames downstream of a shuffle are already cluster-wide anyway.
+    The df.rdd partition-count probe physically plans the frame, and if
+    the plan contains a broadcast join the broadcast (and everything under
+    it) EXECUTES during the probe.  The contract is therefore ENFORCED,
+    not conventional: the analyzed logical plan is checked first, and a
+    non-scan-stage frame (join/aggregate/window/... anywhere in it) is
+    returned unchanged without probing — such frames come out of a shuffle
+    and are already cluster-wide, so widening them is a no-op anyway, and
+    skipping the probe removes the silent-execution hazard entirely.
     """
+    if not _is_scan_stage(df):
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def register_intermediate(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Attach persisted intermediates to ``result`` so long-lived sessions
+    can reclaim their cached blocks once the plan has been materialized.
+
+    Operators that persist() a scoring/projection pass (quality_budget_select,
+    assign_shards, pagerank) return LAZY plans over those intermediates —
+    unpersisting inside the operator would defeat the cache before the plan
+    ever runs.  Ownership therefore transfers to the caller: after
+    materializing the result, call :func:`release_intermediates` on it (a
+    no-op for frames with nothing attached)."""
+    existing = list(getattr(result, _INTERMEDIATES_ATTR, ()))
+    setattr(result, _INTERMEDIATES_ATTR, existing + list(cached))
+    return result
+
+
+def release_intermediates(df: DataFrame) -> int:
+    """Unpersist every intermediate attached by :func:`register_intermediate`
+    (lineage is kept — a re-run recomputes instead of failing).  Returns the
+    number of frames released; safe to call on any DataFrame."""
+    cached = getattr(df, _INTERMEDIATES_ATTR, ())
+    for c in cached:
+        c.unpersist()
+    n = len(cached)
+    if n:
+        setattr(df, _INTERMEDIATES_ATTR, [])
+    return n

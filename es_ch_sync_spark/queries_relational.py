@@ -2036,10 +2036,12 @@ def _corr_matrix_oracle() -> str:
         for b in _ETYPES[i + 1 :]
     )
     def corr(a: str, b: str) -> str:
+        # NULLIF guards zero variance (constant daily counts) so DuckDB's
+        # IEEE inf/NaN matches Spark's NULL on degenerate columns.
         return (
             f"round((n * sx_{a}_{b} - s_{a} * s_{b})::DOUBLE / "
-            f"(sqrt((n * ss_{a} - s_{a} * s_{a})::DOUBLE) * "
-            f"sqrt((n * ss_{b} - s_{b} * s_{b})::DOUBLE)), 6)"
+            f"NULLIF(sqrt((n * ss_{a} - s_{a} * s_{a})::DOUBLE) * "
+            f"sqrt((n * ss_{b} - s_{b} * s_{b})::DOUBLE), 0), 6)"
         )
     rows = "\n    UNION ALL ".join(
         f"SELECT '{a}' AS type_a, '{b}' AS type_b, {corr(a, b)} AS corr FROM s"
@@ -2093,10 +2095,15 @@ def q_signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
             num = F.col("n") * F.col(f"sx_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
             da = F.sqrt((F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double"))
             db = F.sqrt((F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double"))
+            den = da * db
             row = s.select(
                 F.lit(a).alias("type_a"),
                 F.lit(b).alias("type_b"),
-                F.round(num.cast("double") / (da * db), 6).alias("corr"),
+                # zero-variance guard: both engines agree on NULL for a
+                # constant column (see matching NULLIF in the oracle)
+                F.round(
+                    F.when(den > 0, num.cast("double") / den), 6
+                ).alias("corr"),
             )
             out = row if out is None else out.unionByName(row)
     return out

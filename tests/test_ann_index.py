@@ -105,3 +105,27 @@ def test_ivf_incremental_add(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["cos_sim"]) for r in exact] == [
         (r["vec_id"], r["cos_sim"]) for r in via_index
     ]
+
+
+def test_ivf_incremental_add_is_idempotent(spark, sf_dir, tmp_path):
+    """A retried/re-run ingest batch must NOT duplicate vectors: ids already
+    in the index are anti-joined away, so replaying the same batch (and an
+    overlapping superset batch) leaves each id present exactly once."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.io.ann_index import add_to_ivf_index, build_ivf_index
+    from es_ch_sync_spark.io.sources import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_cells=4)
+    add_to_ivf_index(batch, path)
+    add_to_ivf_index(batch, path)  # retry: must be a no-op
+    # overlapping superset (half the batch + some already-indexed base ids)
+    add_to_ivf_index(emb.filter(F.col("vec_id") % 5 == 0), path)
+
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.count() == emb.count()
+    assert vecs.select("vec_id").distinct().count() == emb.count()

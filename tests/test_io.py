@@ -132,13 +132,20 @@ def test_device_dim_loader_golden(spark, tmp_path):
         json.dumps({"id": "v3", "token_id": 103}),
         json.dumps({"id": "v3"}),  # stale negative dup — non-null must win
         '{"id": broken',  # malformed → loader quarantine
+        json.dumps({"id": None, "token_id": 999}),  # well-formed, null id
     ]
     p.write_text("\n".join(lines))
 
     dim, quar = read_device_dim(spark, str(p))
     got = {r["subject"]: r["token_id"] for r in dim.collect()}
     assert got == {"v1": 101, "v2": None, "v3": 103}
-    assert quar.count() == 1
+    # both failure shapes quarantined, and BOTH stay inspectable: the
+    # malformed line keeps its raw text, the null-id row is reconstructed
+    # from its parsed columns (not lost as a NULL _corrupt_record)
+    raws = [r["raw"] for r in quar.collect()]
+    assert len(raws) == 2 and all(r is not None for r in raws)
+    assert any("broken" in r for r in raws)
+    assert any("999" in r for r in raws)
 
     facts = spark.createDataFrame(
         [("v1", 1.0), ("v2", 2.0), ("v3", 3.0), ("v9", 9.0)], ["subject", "speed"]

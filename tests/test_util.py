@@ -1,0 +1,91 @@
+"""spread() contract enforcement + persisted-intermediate ownership."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.operators.util import (
+    _is_scan_stage,
+    release_intermediates,
+    spread,
+)
+
+
+def test_spread_widens_scan_frame(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = spread(df, min_partitions=8)
+    assert out.rdd.getNumPartitions() >= 8
+
+
+def test_spread_is_noop_on_non_scan_frame(spark, sf_dir):
+    """A frame containing a join/aggregate must be returned UNCHANGED with
+    no df.rdd probe — probing would execute the broadcast subtree at
+    plan-build time (the round-3 verdict's silent-execution hazard)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    agged = docs.groupBy("source").count()
+    assert spread(joined) is joined
+    assert spread(agged) is agged
+    assert spread(docs.select("doc_id").distinct()) is not None  # no crash
+
+
+def test_is_scan_stage_classifier(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _is_scan_stage(docs)
+    assert _is_scan_stage(docs.filter(F.col("doc_id") > 5).select("doc_id"))
+    assert _is_scan_stage(
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    )
+    assert not _is_scan_stage(docs.join(docs.select("doc_id"), "doc_id"))
+    assert not _is_scan_stage(docs.groupBy("source").count())
+    assert not _is_scan_stage(docs.select("doc_id").distinct())
+    assert not _is_scan_stage(docs.repartition(4))
+
+
+def test_quality_budget_select_releases_intermediates(spark, sf_dir):
+    """Stratum tier persists a scoring pass; after materialization the
+    caller reclaims it via release_intermediates (exactly one frame)."""
+    from es_ch_sync_spark.operators.sampling import quality_budget_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # force the stratum tier via the row-count hint (also proves the hint
+    # replaces the df.count() scan for tier selection)
+    out = quality_budget_select(docs, budget_tokens=5_000, n_rows=10**9)
+    out.count()
+    assert release_intermediates(out) == 1
+    assert release_intermediates(out) == 0  # second call is a no-op
+    # small tier persists nothing
+    small = quality_budget_select(docs, budget_tokens=5_000, n_rows=1)
+    small.count()
+    assert release_intermediates(small) == 0
+
+
+def test_budget_select_tiers_agree_via_hint(spark, sf_dir):
+    """The n_rows hint must not change results: both tiers bit-identical."""
+    from es_ch_sync_spark.operators.sampling import quality_budget_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    small = quality_budget_select(docs, budget_tokens=20_000, n_rows=1)
+    big = quality_budget_select(docs, budget_tokens=20_000, n_rows=10**9)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+    release_intermediates(big)
+
+
+def test_pagerank_releases_intermediates(spark):
+    from es_ch_sync_spark.operators.dedup import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], ["id_a", "id_b"]
+    )
+    pr = pagerank(pairs, iterations=2)
+    pr.count()
+    assert release_intermediates(pr) == 2  # edges + degree table
+
+
+def test_assign_shards_releases_intermediates(spark, sf_dir):
+    from es_ch_sync_spark.operators.sampling import assign_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = assign_shards(docs, shard_tokens=10_000)
+    out.count()
+    assert release_intermediates(out) == 1
