@@ -94,16 +94,32 @@ def cosine_topk(
     return out.select(id_col, F.round("cos_sim", 6).alias("cos_sim"))
 
 
+KNN_JOIN_MAX_ROWS = 50_000
+
+
 def knn_join(
     emb: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = KNN_JOIN_MAX_ROWS,
 ) -> DataFrame:
     """Exact k-NN for every vector (self-join + per-id window top-k).
 
     Quadratic — the correctness baseline ANN variants are judged against.
-    At scale, replace the cross join with lsh_knn_join (same output schema)."""
+    At scale, replace the cross join with knn_join_blocked / lsh_knn_join
+    (same output schema).  GUARDED: the O(n²) plan is refused outright
+    above ``max_rows`` input rows (same auto-switch discipline as the
+    embedding_near_dup tiers) so it can never be pointed at production
+    data by accident; the count is one cheap row-count scan, negligible
+    next to the n² join it gates."""
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"knn_join is the O(n²) exact baseline and refuses {n} rows "
+            f"(max_rows={max_rows}); use knn_join_blocked or lsh_knn_join "
+            "for corpora beyond toy scale."
+        )
     v = spread(emb).select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).withColumn(
         "nrm", norm(F.col("v"))
     )
@@ -389,11 +405,23 @@ def embedding_near_duplicates(
     dim: int = 64,
     broadcast_vectors: bool | None = None,
     max_broadcast_rows: int = 500_000,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold, LSH-blocked.
 
     Same banding idea as minhash LSH: pairs must share ≥1 signature band,
     so the join is per-band on small integer keys, never all-pairs.
+
+    ``bucket_cap`` is the mega-bucket hardening ported from
+    minhash_lsh_candidates: a degenerate corpus (many identical/near-zero
+    vectors) funnels into one hot (band, key) bucket whose m²/2 pairs all
+    land on a single reducer.  With a cap, buckets larger than
+    ``bucket_cap`` are dropped from pair generation via one extra
+    count-aggregate + semi-join on the short (band, key) keys — vectors
+    are untouched.  The recall tradeoff is the same as minhash's: an
+    oversized SRP bucket is near-certainly a mass-duplicate family, which
+    exact/checksum dedup already handles in O(n).  Default None keeps
+    candidate generation exhaustive.
 
     Scoring is two tiers, auto-switched on the corpus row count when
     ``broadcast_vectors`` is None:
@@ -437,6 +465,14 @@ def embedding_near_duplicates(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if bucket_cap is not None:
+        small_enough = (
+            bucketed.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= bucket_cap)
+            .select("band", "key")
+        )
+        bucketed = bucketed.join(small_enough, ["band", "key"], "left_semi")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = (
         a.join(

@@ -371,3 +371,50 @@ def test_stored_signature_index_matches_inline_incremental(spark, docs, tmp_path
     one_band = spark.read.parquet(path).filter(F.col("band") == 2)
     plan = one_band._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "band" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_knn_join_guard_refuses_large_corpus(spark, sf_dir):
+    """knn_join is the intentional O(n²) baseline — above max_rows it must
+    refuse loudly (pointing at the scale paths), not plan the cross join."""
+    import pytest
+
+    from es_ch_sync_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="knn_join_blocked"):
+        knn_join(emb, k=3, max_rows=5)
+    # below the guard it still works
+    assert knn_join(emb.limit(20), k=3, max_rows=100).count() == 60
+
+
+def test_srp_bucket_cap_bounds_degenerate_corpus(spark):
+    """1k identical vectors all collide into one (band, key) bucket per
+    band; with bucket_cap set, pair generation must drop those mega-buckets
+    entirely (0 candidate pairs ≤ cap² bound) instead of going quadratic.
+    A benign corpus with the cap above its bucket sizes is unaffected."""
+    from es_ch_sync_spark.operators import similarity as sim
+
+    ident = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(1000)], ["vec_id", "embedding"]
+    )
+    capped = sim.embedding_near_duplicates(
+        ident, threshold=0.9, dim=4, bucket_cap=32
+    )
+    # every bucket has 1000 > 32 members -> all dropped -> no pairs at all,
+    # and crucially nothing anywhere near the 10^6/2 uncapped pair count
+    assert capped.count() == 0
+
+    mixed = spark.createDataFrame(
+        [(i, [1.0 * i, 2.0, 3.0, 4.0]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"]) for r in
+        sim.embedding_near_duplicates(mixed, threshold=0.99, dim=4).collect()
+    }
+    roomy = {
+        (r["id_a"], r["id_b"]) for r in
+        sim.embedding_near_duplicates(
+            mixed, threshold=0.99, dim=4, bucket_cap=1000
+        ).collect()
+    }
+    assert roomy == uncapped
