@@ -1,0 +1,308 @@
+"""``es_status`` — a Spark 4 Python DataSource for Elasticsearch status
+exports, with real filter + projection pushdown and no JVM connector jars.
+
+The reference hands Elasticsearch a filtered, sorted, limited scan over the
+status index (/root/reference/internal/service/elastic/elastic.go:46-108):
+subject equality, time range [start, stop), existence disjunction — ES
+evaluates the predicates, the client only sees matching documents.  This
+module reproduces that *pushdown boundary* with the public
+``pyspark.sql.datasource`` API (Spark 4.1):
+
+- **filter pushdown** via ``DataSourceReader.pushFilters``: equality,
+  range, IN, and is-not-null predicates on top-level columns are applied
+  INSIDE the source (Arrow compute over the parsed batch, before rows
+  reach Spark) — the exact predicate set elastic.go builds into its bool
+  query.  Unsupported shapes are yielded back and Spark evaluates them
+  post-scan, so semantics never depend on what the source handles.
+- **projection pushdown** via the declared read schema: the Python DS API
+  has no column-prune hook yet, so projection rides on the schema the
+  caller declares (``read_es_status(..., schema=...)``) — the Arrow JSON
+  parser materializes ONLY declared ``_source`` fields
+  (``unexpected_field_behavior="ignore"``), which is byte-level projection
+  at parse time, the same economics as ES ``_source`` filtering.
+- **split planning**: one input partition per export file — an index dump
+  is many scroll-page files, so partition parallelism is file parallelism;
+  at 100 TB the same reader runs unchanged with files on a shared FS.
+
+Data shape: the elasticdump / scroll-export NDJSON hit format (one JSON
+hit per line, document under ``_source``, ``_id``/``_index`` alongside) —
+the same shape io/sources.py:read_es_export reads with the JVM JSON
+reader.  Malformed lines are skipped per-line (the reference's log-drop-
+continue, sync.go:192-204); a wholly unparseable file falls back from the
+vectorized Arrow parser to line-wise parsing rather than failing the scan.
+
+API gotcha, enforced by ``read_es_status``: Spark caches the reader
+instance inside a loaded DataFrame, so pushed-filter state STICKS to that
+frame — executing a filtered query and then reusing the same loaded frame
+for a different query would silently re-apply the first query's pushed
+filters.  ``read_es_status`` therefore performs a fresh ``load()`` per
+call (planning-only cost), and ``pushFilters`` uses assignment (not
+append) semantics so re-planning a frame never accumulates stale
+predicates.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+FORMAT_NAME = "es_status"
+
+# Default read schema: the reference's status-document surface (envelope +
+# the 18-signal payload the catalog converts; fixtures.DEVICE_STATUS_SCHEMA
+# minus the fixture-only is_malformed flag) wrapped in export metadata.
+DEFAULT_STATUS_DDL = (
+    "es_id string, es_index string, subject string, id string, source string, "
+    "specversion string, type string, dataschema string, time timestamp, "
+    "data_speed bigint, data_engineSpeed double, data_fuelPercentRemaining double, "
+    "data_odometer double, data_coolantTemp bigint, data_ambientTemp double, "
+    "data_batteryVoltage double, data_soc double, data_latitude double, "
+    "data_longitude double, data_altitude double, data_nsat bigint, "
+    "data_runTime bigint, data_throttlePosition double, data_engineLoad double, "
+    "data_make string, data_model string, data_year bigint"
+)
+
+_PUSHABLE = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+    IsNotNull,
+    StringStartsWith,
+)
+
+
+def _arrow_type(dt: T.DataType) -> "pa.DataType":
+    import pyarrow as pa
+
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    raise TypeError(f"es_status: unsupported column type {dt.simpleString()}")
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class EsStatusReader(DataSourceReader):
+    """One reader instance per scan; ``pushed`` is scan-local state set by
+    pushFilters (see the module docstring for the reuse gotcha)."""
+
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self.spark_schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("es_status requires .option('path', <file-or-dir>)")
+        self.pushed: list[Filter] = []
+
+    # -- pushdown ---------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        names = {f.name for f in self.spark_schema.fields}
+        pushed = []
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            if (
+                isinstance(flt, _PUSHABLE)
+                and attr is not None
+                and len(attr) == 1
+                and attr[0] in names
+            ):
+                pushed.append(flt)
+            else:
+                yield flt  # Spark evaluates post-scan
+        # assignment, NOT append: re-planning must replace, never accumulate
+        self.pushed = pushed
+
+    # -- split planning ---------------------------------------------------
+    def partitions(self) -> list[InputPartition]:
+        import os
+
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, p)
+                for p in os.listdir(self.path)
+                if p.endswith((".json", ".jsonl", ".ndjson"))
+            )
+        else:
+            files = [self.path]
+        if not files:
+            raise ValueError(f"es_status: no export files under {self.path}")
+        return [_FilePartition(p) for p in files]
+
+    # -- read -------------------------------------------------------------
+    def _parse_schema(self) -> "pa.Schema":
+        """Arrow schema for the hit envelope with _source restricted to the
+        DECLARED fields — undeclared payload fields are never materialized
+        (projection pushdown at parse time)."""
+        import pyarrow as pa
+
+        src_fields = [
+            pa.field(f.name, _arrow_type(f.dataType))
+            for f in self.spark_schema.fields
+            if f.name not in ("es_id", "es_index")
+        ]
+        return pa.schema(
+            [
+                pa.field("_id", pa.string()),
+                pa.field("_index", pa.string()),
+                pa.field("_source", pa.struct(src_fields)),
+            ]
+        )
+
+    def _parse_file(self, path: str) -> "pa.Table":
+        import pyarrow.json as pj
+
+        opts = pj.ParseOptions(
+            explicit_schema=self._parse_schema(), unexpected_field_behavior="ignore"
+        )
+        try:
+            return pj.read_json(path, parse_options=opts)
+        except Exception:  # noqa: BLE001 — fall back to line-wise skip-bad
+            return self._parse_lines(path, opts)
+
+    def _parse_lines(self, path: str, opts) -> "pa.Table":
+        """Line-wise fallback: parse each hit alone, skip malformed lines —
+        the reference's per-record error isolation (sync.go:192-204)."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.json as pj
+
+        good: list[pa.Table] = []
+        with open(path, "rb") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    good.append(pj.read_json(io.BytesIO(line), parse_options=opts))
+                except Exception:  # noqa: BLE001 — quarantine-by-skip
+                    continue
+        if not good:
+            return self._parse_schema().empty_table()
+        return pa.concat_tables(good)
+
+    def _apply_pushed(self, flat: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        mask = None
+        for flt in self.pushed:
+            col = pc.field(flt.attribute[0])
+            if isinstance(flt, EqualTo):
+                e = col == flt.value
+            elif isinstance(flt, GreaterThan):
+                e = col > flt.value
+            elif isinstance(flt, GreaterThanOrEqual):
+                e = col >= flt.value
+            elif isinstance(flt, LessThan):
+                e = col < flt.value
+            elif isinstance(flt, LessThanOrEqual):
+                e = col <= flt.value
+            elif isinstance(flt, In):
+                e = col.isin(list(flt.value))
+            elif isinstance(flt, IsNotNull):
+                e = ~col.is_null()
+            elif isinstance(flt, StringStartsWith):
+                import pyarrow.compute as _pc
+
+                e = _pc.starts_with(col, flt.value)
+            else:  # pragma: no cover — pushFilters only admits _PUSHABLE
+                continue
+            mask = e if mask is None else (mask & e)
+        return flat.filter(mask) if mask is not None else flat
+
+    def read(self, partition: InputPartition) -> Iterator:
+        import pyarrow as pa
+
+        tbl = self._parse_file(partition.path)
+        if tbl.num_rows == 0:
+            return
+        src = tbl.column("_source").combine_chunks()
+        cols = {}
+        for f in self.spark_schema.fields:
+            if f.name == "es_id":
+                cols[f.name] = tbl.column("_id").combine_chunks()
+            elif f.name == "es_index":
+                cols[f.name] = tbl.column("_index").combine_chunks()
+            else:
+                cols[f.name] = src.field(f.name)
+        flat = pa.table(cols).cast(
+            pa.schema(
+                [pa.field(f.name, _arrow_type(f.dataType)) for f in self.spark_schema.fields]
+            )
+        )
+        yield from self._apply_pushed(flat).to_batches()
+
+
+class EsStatusDataSource(DataSource):
+    """spark.read.format("es_status").option("path", dir).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        return DEFAULT_STATUS_DDL
+
+    def reader(self, schema: T.StructType) -> EsStatusReader:
+        return EsStatusReader(schema, dict(self.options))
+
+
+def register_es_status(spark: SparkSession) -> None:
+    """Idempotently register the format + enable Python filter pushdown.
+
+    The conf is LOAD-BEARING: with it off, Spark refuses to initialize any
+    reader that implements pushFilters (DATA_SOURCE_PUSHDOWN_DISABLED) —
+    a loud error, not a silent slow path (pinned in
+    tests/test_es_datasource.py)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(EsStatusDataSource)
+
+
+def read_es_status(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """Fresh ``load()`` per call — REQUIRED, not convenience: a loaded
+    es_status frame caches its reader, so pushed-filter state from one
+    executed query sticks to the frame (see module docstring).  Declaring
+    a narrow ``schema`` is the projection-pushdown path."""
+    register_es_status(spark)
+    r = spark.read.format(FORMAT_NAME).option("path", path)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load()

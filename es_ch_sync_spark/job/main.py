@@ -31,6 +31,13 @@ def _parse_time(s: str | None) -> datetime | None:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="es_ch_sync_spark sync job")
     p.add_argument("--source", required=True, help="status-doc table path (parquet or json)")
+    p.add_argument(
+        "--source-format",
+        default="auto",
+        choices=["auto", "parquet", "json", "es-export", "es_status"],
+        help="source reader; es_status = the Python DataSource connector "
+        "with filter/projection pushdown (file-based ES hit exports)",
+    )
     p.add_argument("--dim", default=None, help="device dimension path (subject,token_id)")
     p.add_argument("--out", required=True, help="signal table output path")
     p.add_argument("--quarantine", default=None, help="side-output path for bad records")
@@ -99,14 +106,27 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     es_quarantine = None
-    if args.source.endswith(".ndjson") or args.source.endswith("/es-export"):
+    if args.source_format == "es_status":
+        # the Python DataSource connector: subject/time/source predicates
+        # that plan_sync applies are PUSHED into the source (the reference's
+        # elastic.go:46-108 pushdown boundary, no jars required)
+        from es_ch_sync_spark.io.es_datasource import read_es_status
+
+        status = read_es_status(spark, args.source).drop("es_id", "es_index")
+    elif args.source_format == "es-export" or (
+        args.source_format == "auto"
+        and (args.source.endswith(".ndjson") or args.source.endswith("/es-export"))
+    ):
         # elasticdump-style index dump: _source-wrapped hits, one per line —
         # the file-based migration path off a live ES cluster
         from es_ch_sync_spark.io.sources import read_es_export
 
         status, es_quarantine = read_es_export(spark, args.source, DEVICE_STATUS_SCHEMA)
         status = status.drop("es_id", "es_index")
-    elif args.source.endswith(".json") or args.source.endswith("/json"):
+    elif args.source_format == "json" or (
+        args.source_format == "auto"
+        and (args.source.endswith(".json") or args.source.endswith("/json"))
+    ):
         from es_ch_sync_spark.io.sources import read_status_json
 
         status = read_status_json(spark, args.source, DEVICE_STATUS_SCHEMA)

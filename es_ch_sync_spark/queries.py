@@ -138,6 +138,80 @@ def q_exists_any(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1-S3 through the es_status Python DataSource connector (elastic.go:46-108:
+# the reference's ES pushdown boundary, reproduced with pushFilters — the
+# subject/type/time predicates below are applied INSIDE the source)
+# ---------------------------------------------------------------------------
+
+
+def _es_export_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic ES-hit-shaped NDJSON export of the events table, built
+    once per sf into a tmp dir (the file-based stand-in for a live index;
+    the export itself is a faithful full dump, so any query through the
+    connector must equal the same SQL on the parquet table)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"es_ch_sync_spark_export_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            _events(spark, sf_dir)
+            .select(
+                F.col("event_id").cast("string").alias("_id"),
+                F.lit("events").alias("_index"),
+                F.struct(
+                    F.col("user_id").cast("string").alias("subject"),
+                    F.col("ts"),
+                    F.col("event_type"),
+                    F.col("value"),
+                ).alias("_source"),
+            )
+            .write.mode("overwrite")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            .json(out)
+        )
+    return out
+
+
+@register(
+    "es_status_scan",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS es_id,
+           CAST(user_id AS VARCHAR) AS subject,
+           ts, event_type, value
+    FROM events
+    WHERE CAST(user_id AS VARCHAR) IN ('7', '11')
+      AND event_type IN ('purchase', 'view')
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+    """,
+)
+def q_es_status_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3 via the ``es_status`` Python DataSource (io/es_datasource.py):
+    the NDJSON export is read through ``format("es_status")`` with a narrow
+    declared schema (projection pushdown — undeclared _source fields are
+    never parsed) and the subject-equality + type-IN + time-range predicates
+    land in ``pushFilters`` (filter pushdown — applied Arrow-side inside the
+    source, the reference's elastic.go:46-108 boundary)."""
+    from datetime import datetime, timezone
+
+    from es_ch_sync_spark.io.es_datasource import read_es_status
+
+    path = _es_export_dir(spark, sf_dir)
+    df = read_es_status(
+        spark, path, "es_id string, subject string, ts timestamp, event_type string, value double"
+    )
+    return df.filter(
+        F.col("subject").isin("7", "11")
+        & F.col("event_type").isin("purchase", "view")
+        & (F.col("ts") >= F.lit(datetime(2024, 1, 8, tzinfo=timezone.utc)))
+        & (F.col("ts") < F.lit(datetime(2024, 2, 1, tzinfo=timezone.utc)))
+    ).select("es_id", "subject", "ts", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
 # T1/T2 — wide→tall unpivot (sync.go:187-208)
 # ---------------------------------------------------------------------------
 

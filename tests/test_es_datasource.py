@@ -1,0 +1,171 @@
+"""es_status Python DataSource: pushdown, projection, quarantine-by-skip,
+reader-state isolation, and end-to-end sync-job parity.
+
+The connector reproduces the reference's ES pushdown boundary
+(/root/reference/internal/service/elastic/elastic.go:46-108) with the
+public pyspark.sql.datasource API — no jars."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.io.es_datasource import read_es_status
+
+NARROW = "es_id string, subject string, time timestamp, data_speed bigint, data_odometer double"
+
+
+@pytest.fixture(scope="module")
+def export_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("es_export")
+    with open(d / "p0.ndjson", "w") as f:
+        for i in range(30):
+            f.write(
+                json.dumps(
+                    {
+                        "_id": f"e{i}",
+                        "_index": "device-status",
+                        "_source": {
+                            "subject": str(i % 3),
+                            "time": f"2020-01-01T00:00:{i:02d}.{i:06d}Z",
+                            "source": "dimo/integration/x",
+                            "data_speed": i,
+                            "data_odometer": i * 10.5,
+                            "data_make": "Ford",
+                            "undeclared_payload_field": "x" * 64,
+                        },
+                    }
+                )
+                + "\n"
+            )
+        f.write("NOT JSON AT ALL {{{ \n")  # malformed: skipped, never fatal
+    return str(d)
+
+
+def test_filters_are_pushed_into_source(spark, export_dir):
+    """Subject equality + time range must vanish from the Spark-side plan:
+    the source absorbed them via pushFilters (the elastic.go boundary)."""
+    q = read_es_status(spark, export_dir, NARROW).filter(
+        (F.col("subject") == "1")
+        & (F.col("time") >= F.lit(datetime(2020, 1, 1, 0, 0, 10, tzinfo=timezone.utc)))
+    )
+    rows = q.collect()
+    assert {r["es_id"] for r in rows} == {f"e{i}" for i in range(10, 30) if i % 3 == 1}
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan es_status" in plan
+    # no post-scan Filter NODE survives — every predicate (incl. the
+    # implied IsNotNulls) was accepted by pushFilters ("RuntimeFilters: []"
+    # on the scan line is unrelated DSv2 boilerplate)
+    assert "Filter (" not in plan, plan
+
+
+def test_results_match_jvm_json_reader(spark, export_dir):
+    """Connector output must equal the plain JVM NDJSON reader's on the
+    same export (same filter, engine-level equivalence)."""
+    got = {
+        (r["es_id"], r["subject"], r["time"], r["data_speed"], r["data_odometer"])
+        for r in read_es_status(spark, export_dir, NARROW)
+        .filter(F.col("subject") == "2")
+        .collect()
+    }
+    envelope = (
+        "`_id` string, `_index` string, _source struct<subject string, "
+        "time timestamp, data_speed bigint, data_odometer double>"
+    )
+    jvm = (
+        spark.read.schema(envelope)
+        .option("mode", "DROPMALFORMED")
+        .json(export_dir)
+        .select(
+            F.col("_id").alias("es_id"),
+            "_source.subject",
+            "_source.time",
+            "_source.data_speed",
+            "_source.data_odometer",
+        )
+        .filter(F.col("subject") == "2")
+    )
+    want = {
+        (r["es_id"], r["subject"], r["time"], r["data_speed"], r["data_odometer"])
+        for r in jvm.collect()
+    }
+    assert got == want and len(got) == 10
+
+
+def test_malformed_line_skipped_not_fatal(spark, export_dir):
+    assert read_es_status(spark, export_dir, NARROW).count() == 30
+
+
+def test_projection_via_declared_schema(spark, export_dir):
+    """Undeclared _source fields are never parsed or surfaced — the
+    declared schema IS the projection pushdown."""
+    df = read_es_status(spark, export_dir, "es_id string, subject string")
+    assert df.columns == ["es_id", "subject"]
+    assert df.count() == 30
+
+
+def test_fresh_load_isolates_pushed_state(spark, export_dir):
+    """The API gotcha read_es_status exists for: after a filtered query
+    executes, a FRESH load must see the full data (stale pushed filters on
+    a reused frame would silently shrink it)."""
+    filtered = read_es_status(spark, export_dir, NARROW).filter(F.col("subject") == "0")
+    assert filtered.count() == 10
+    assert read_es_status(spark, export_dir, NARROW).count() == 30
+
+
+def test_pushdown_conf_off_fails_loudly(spark, export_dir):
+    """Spark REFUSES to initialize a pushFilters-implementing reader when
+    spark.sql.python.filterPushdown.enabled=false — a loud, named error,
+    not silent wrong results.  register_es_status turning the conf on is
+    therefore load-bearing, and this pins the failure mode if it ever
+    regresses."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        df = read_es_status(spark, export_dir, NARROW)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        with pytest.raises(AnalysisException, match="PUSHDOWN_DISABLED"):
+            df.filter(F.col("subject") == "1").count()
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def test_sync_job_end_to_end_via_es_status(spark, tmp_path):
+    """format("es_status") feeds plan_sync end to end and produces exactly
+    the signals the in-memory fixture path produces (job/main.py
+    --source-format es_status wiring)."""
+    from es_ch_sync_spark.catalog import DEVICE_STATUS_CATALOG
+    from es_ch_sync_spark.fixtures import device_status_df
+    from es_ch_sync_spark.job.sync import SyncOptions, plan_sync
+
+    wide = device_status_df(spark, subjects=2, rows_per_subject=40, malformed_every=0)
+    export = str(tmp_path / "status_export")
+    (
+        wide.drop("is_malformed")
+        .select(
+            F.col("id").alias("_id"),
+            F.lit("device-status").alias("_index"),
+            F.struct(*[F.col(c) for c in wide.columns if c != "is_malformed"]).alias(
+                "_source"
+            ),
+        )
+        .write.mode("overwrite")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(export)
+    )
+
+    opts = SyncOptions(
+        start_time=datetime(2019, 1, 1, tzinfo=timezone.utc),
+        stop_time=datetime(2021, 1, 1, tzinfo=timezone.utc),
+    )
+    via_ds = read_es_status(spark, export).drop("es_id", "es_index")
+    got, _ = plan_sync(via_ds, DEVICE_STATUS_CATALOG, None, opts)
+    want, _ = plan_sync(wide.drop("is_malformed"), DEVICE_STATUS_CATALOG, None, opts)
+    key = ["token_id", "timestamp", "name"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, want.select(*key).collect())
+    )
+    assert got.count() == want.count() > 0
