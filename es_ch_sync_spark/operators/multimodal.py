@@ -1,13 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched Pandas UDFs.
 
-The decode/resample kernels themselves are STUBBED (the image/audio
-libraries aren't in this container — see ``try_import_*``): each stub either
-raises NotImplementedError (real-decode path) or produces a deterministic
-fake (testable path).  Everything Spark-side is real and tested: the schema
-contract, the `mapInPandas` batch shape, partition sizing, and the metadata
-projection — swapping a stub for `PIL.Image.open` changes one function body,
-not the plan.
+Decode support is two-tier, honestly split by what pure numpy can do:
+
+- **UNCOMPRESSED formats are decoded for real** — BMP (24-bpp) and PPM
+  (P6) images, and RIFF/WAV PCM-16 audio — with lib-free numpy codecs in
+  this module (parse → pixel/sample arrays → stats/resize/chunk).  The
+  pixel-stat and PCM-chunk operators are oracle-checked end to end: the
+  DuckDB oracle recomputes the same statistics from the generating
+  formula, so encode→decode→compute must round-trip exactly.
+- **Codec formats stay gated** — JPEG/PNG/MP4 need Pillow/pyav (not in
+  this container); those paths raise NotImplementedError (job-level
+  kernels) or emit a per-row ``error`` column (row-level kernels), never
+  silently fake pixels.  Swapping the gate for `PIL.Image.open` changes
+  one function body, not the plan.
+
+Everything Spark-side is real and tested either way: the schema contract,
+the `mapInPandas` batch shape, partition sizing, and the metadata
+projection.
 
 Scale posture for binary columns:
 - keep blobs in their own column so Parquet column pruning skips them for
@@ -59,6 +69,170 @@ def try_import_pillow():
         return None
 
 
+# ---------------------------------------------------------------------------
+# Lib-free codecs for UNCOMPRESSED formats (pure numpy, no Pillow/pyav).
+# BMP: Windows BITMAPINFOHEADER, 24-bpp, bottom-up, BGR, 4-byte row padding.
+# PPM: P6 binary RGB.  WAV: RIFF canonical PCM-16 little-endian.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bpp BMP bytes."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += a[y, :, ::-1].tobytes()  # RGB → BGR
+        body += b"\x00" * pad
+    img_size = len(body)
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def decode_bmp(blob: bytes):
+    """24-bpp uncompressed BMP → (H, W, 3) uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}: only 24-bpp uncompressed")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(blob, dtype=np.uint8, count=h * stride, offset=offset)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_ppm(arr) -> bytes:
+    """(H, W, 3) uint8 RGB → binary P6 PPM."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(blob: bytes):
+    """Binary P6 PPM → (H, W, 3) uint8 RGB."""
+    import numpy as np
+
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":  # comment to EOL
+            while i < len(blob) and blob[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        fields.append(int(blob[i:j]))
+        i = j
+    i += 1  # the single whitespace before the raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM")
+    return (
+        np.frombuffer(blob, dtype=np.uint8, count=h * w * 3, offset=i)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """1-D int16 mono samples → canonical RIFF/WAV PCM bytes."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_pcm16(blob: bytes):
+    """RIFF/WAV PCM-16 mono → (samples int16 ndarray, sample_rate).  Walks
+    the chunk list (tolerates LIST/fact/etc. between fmt and data)."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", blob, body
+            )
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError(
+                    f"WAV fmt={audio_fmt} bits={bits} ch={channels}: only PCM-16 mono"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(blob, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return data, rate
+
+
+def decode_image(blob: bytes):
+    """Magic-dispatched real decode: BMP/PPM in pure numpy; codec formats
+    (JPEG/PNG/GIF/WebP) raise until an image library is present."""
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    if blob[:2] == b"P6":
+        return decode_ppm(blob)
+    for magic, name in ((b"\xff\xd8", "JPEG"), (b"\x89PN", "PNG"), (b"GIF8", "GIF"), (b"RIFF", "WebP/RIFF-image")):
+        if blob[: len(magic)] == magic:
+            raise NotImplementedError(f"{name} decode requires Pillow/libvips (not in this container)")
+    raise ValueError("unrecognized image format")
+
+
+def nn_resize(arr, width: int, height: int):
+    """Nearest-neighbor resize (H, W, 3) → (height, width, 3), index map
+    floor(i·src/dst) — deterministic, no interpolation arithmetic."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return arr[ys][:, xs]
+
+
 def decode_image_stub(blob: bytes) -> dict:
     """Deterministic fake decode: derives pseudo-pixel stats from the bytes.
 
@@ -75,11 +249,10 @@ def decode_image_stub(blob: bytes) -> dict:
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
-    """Real image resize — requires an image library."""
-    pil = try_import_pillow()
-    if pil is None:
-        raise NotImplementedError("image resize requires Pillow/libvips (not in this container)")
-    raise NotImplementedError("wire PIL resize here when the library is available")
+    """Real image resize for uncompressed formats: decode (BMP/PPM, pure
+    numpy) → nearest-neighbor → re-encode BMP.  Codec formats raise from
+    decode_image until Pillow/libvips is present."""
+    return encode_bmp(nn_resize(decode_image(blob), width, height))
 
 
 def sample_video_frames(blob: bytes, every_ms: int) -> list[bytes]:
@@ -105,6 +278,185 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "n_bytes", "content_md5", "feature"])
 
     return media.select("media_id", "content").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def extract_pixel_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL decode → per-channel pixel means via mapInPandas.
+
+    Uncompressed blobs (BMP/PPM) decode in pure numpy; codec blobs land in
+    the per-row ``error`` column with null stats — row-level isolation,
+    same contract as the quarantine operators (a bad blob never fails the
+    job).  Output rows are tiny (7 scalars), so downstream shuffles move
+    stats, not pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    px = decode_image(bytes(blob))
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    out.append(
+                        (mid, px.shape[1], px.shape[0],
+                         round(float(m[0]), 4), round(float(m[1]), 4),
+                         round(float(m[2]), 4), None)
+                    )
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    out.append((mid, None, None, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b", "error"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Distributed image resize: decode → NN-resample → re-encode BMP, per
+    row inside Arrow batches; codec formats go to ``error``.  Blobs stay on
+    executors end to end."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    out.append((mid, resize_image(bytes(blob), width, height),
+                                width, height, None))
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    out.append((mid, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "content", "width", "height", "error"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+WAV_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("chunk_idx", T.LongType(), True),
+        T.StructField("start_ms", T.LongType(), True),
+        T.StructField("end_ms", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def chunk_wav(media: DataFrame, chunk_ms: int = 100) -> DataFrame:
+    """REAL PCM chunking: parse RIFF/WAV, split the sample stream into
+    ``chunk_ms`` windows, emit per-chunk RMS — the compute-bearing half
+    plan_audio_chunks only planned.  Integer sample math; RMS is
+    sqrt(mean(v²)) over int16 values (exact in double at these sizes),
+    rounded 4dp for cross-engine hashing.  Non-WAV/codec blobs produce one
+    ``error`` row each."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    samples, rate = decode_wav_pcm16(bytes(blob))
+                    per = max(1, (rate * chunk_ms) // 1000)
+                    n = len(samples)
+                    for ci in range(0, max((n + per - 1) // per, 1)):
+                        seg = samples[ci * per : (ci + 1) * per].astype(np.float64)
+                        rms = float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+                        out.append(
+                            (mid, ci, ci * per * 1000 // rate,
+                             min((ci + 1) * per, n) * 1000 // rate,
+                             len(seg), round(rms, 4), None)
+                        )
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    out.append((mid, None, None, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "chunk_idx", "start_ms", "end_ms", "n_samples", "rms", "error"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(batches, WAV_CHUNK_SCHEMA)
+
+
+# -- deterministic synthetic blobs (closed-form pixels/samples, so a SQL
+#    oracle can recompute the decoded statistics from the generating
+#    formula — encode→decode must round-trip exactly to match) -------------
+
+SYNTH_W, SYNTH_H = 8, 6
+SYNTH_RATE = 8000
+
+
+def synth_bmp_blob(media_id: int) -> bytes:
+    """pixel(c, x, y) = (media_id + 3x + 5y + 85c) mod 256 for c ∈ {r,g,b}."""
+    import numpy as np
+
+    x = np.arange(SYNTH_W)[None, :, None]
+    y = np.arange(SYNTH_H)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return encode_bmp((media_id + 3 * x + 5 * y + 85 * c) % 256)
+
+
+def synth_wav_blob(media_id: int) -> bytes:
+    """n = (media_id mod 20 + 5)·80 samples @ 8 kHz;
+    sample(i) = ((media_id·31 + 7i) mod 4096) − 2048."""
+    import numpy as np
+
+    n = (media_id % 20 + 5) * 80
+    i = np.arange(n, dtype=np.int64)
+    return encode_wav_pcm16(((media_id * 31 + 7 * i) % 4096) - 2048, SYNTH_RATE)
+
+
+def synth_media(docs: DataFrame, kind: str) -> DataFrame:
+    """(media_id, kind, content) with real encoded BMP/WAV blobs derived
+    from doc_id — generated executor-side in Arrow batches (the driver
+    never holds a blob)."""
+    maker = synth_bmp_blob if kind == "image" else synth_wav_blob
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": kind,
+                    "content": [maker(int(m)) for m in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

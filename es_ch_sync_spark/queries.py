@@ -743,6 +743,99 @@ def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.plan_audio_chunks(media, chunk_ms=1000, hop_ms=500)
 
 
+# -- REAL lib-free decode: the oracle recomputes each statistic from the
+#    closed-form generating formula, so the Spark side's encode → parse →
+#    decode → numpy pipeline must round-trip bit-exactly to match --------
+
+_PIXEL_STATS_ORACLE = """
+    WITH px AS (
+        SELECT doc_id AS media_id,
+               unnest(range(0, 48)) AS p
+        FROM documents
+    )
+    SELECT media_id, 8 AS width, 6 AS height,
+           round(avg(CAST((media_id + 3 * (p % 8) + 5 * (p // 8)) % 256 AS DOUBLE)), 4) AS mean_r,
+           round(avg(CAST((media_id + 3 * (p % 8) + 5 * (p // 8) + 85) % 256 AS DOUBLE)), 4) AS mean_g,
+           round(avg(CAST((media_id + 3 * (p % 8) + 5 * (p // 8) + 170) % 256 AS DOUBLE)), 4) AS mean_b
+    FROM px GROUP BY media_id
+"""
+
+
+@register("multimodal_pixel_stats", _PIXEL_STATS_ORACLE)
+def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no image library: deterministic 8×6 24-bpp BMP
+    blobs (pixel = (id + 3x + 5y + 85c) mod 256) are encoded executor-side,
+    then extract_pixel_features parses the BMP container and computes
+    per-channel means in numpy.  The oracle recomputes the means from the
+    generating formula — a value-hash match proves the whole
+    encode→decode→stats round trip, not just the plumbing."""
+    media = mm.synth_media(_docs(spark, sf_dir), "image")
+    return mm.extract_pixel_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
+_WAV_RMS_ORACLE = """
+    WITH s AS (
+        SELECT doc_id AS media_id, (doc_id % 20 + 5) * 80 AS n,
+               unnest(range(0, (doc_id % 20 + 5) * 80)) AS i
+        FROM documents WHERE doc_id < 2000
+    )
+    SELECT media_id,
+           i // 800 AS chunk_idx,
+           (i // 800) * 100 AS start_ms,
+           least((i // 800 + 1) * 800, n) // 8 AS end_ms,
+           count(*) AS n_samples,
+           round(sqrt(avg(CAST((((media_id * 31 + 7 * i) % 4096) - 2048)
+                              * (((media_id * 31 + 7 * i) % 4096) - 2048) AS DOUBLE))), 4) AS rms
+    FROM s GROUP BY media_id, n, i // 800
+"""
+
+
+@register("multimodal_wav_rms", _WAV_RMS_ORACLE)
+def q_multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM chunking, no audio library: deterministic PCM-16 mono
+    RIFF blobs (8 kHz, sample(i) = ((31·id + 7i) mod 4096) − 2048) are
+    encoded executor-side, then chunk_wav walks the RIFF chunk list, splits
+    the sample stream into 100 ms windows and computes per-chunk RMS.  The
+    oracle recomputes every window's RMS from the generating formula."""
+    media = mm.synth_media(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 2000), "audio"
+    )
+    return mm.chunk_wav(media, chunk_ms=100).select(
+        "media_id", "chunk_idx", "start_ms", "end_ms", "n_samples", "rms"
+    )
+
+
+_RESIZE_STATS_ORACLE = """
+    WITH px AS (
+        SELECT doc_id AS media_id,
+               unnest(range(0, 12)) AS p
+        FROM documents
+    )
+    SELECT media_id, 4 AS width, 3 AS height,
+           round(avg(CAST((media_id + 6 * (p % 4) + 10 * (p // 4)) % 256 AS DOUBLE)), 4) AS mean_r,
+           round(avg(CAST((media_id + 6 * (p % 4) + 10 * (p // 4) + 85) % 256 AS DOUBLE)), 4) AS mean_g,
+           round(avg(CAST((media_id + 6 * (p % 4) + 10 * (p // 4) + 170) % 256 AS DOUBLE)), 4) AS mean_b
+    FROM px GROUP BY media_id
+"""
+
+
+@register("multimodal_resize_stats", _RESIZE_STATS_ORACLE)
+def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed resize verified end to end: synth BMP → resize_media
+    (decode → 2× nearest-neighbor downsample → re-encode BMP) →
+    extract_pixel_features on the RESIZED blobs.  NN with the exact 2×
+    ratio picks source pixel (2x', 2y'), so the resized gradient has the
+    closed form (id + 6x' + 10y' + 85c) mod 256 — which is what the oracle
+    computes.  Two full encode/decode cycles must round-trip to match."""
+    media = mm.synth_media(_docs(spark, sf_dir), "image")
+    resized = mm.resize_media(media, width=4, height=3)
+    return mm.extract_pixel_features(resized).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 _INCR_ORACLE = """
     WITH tall AS (
         SELECT user_id AS token_id, ts AS timestamp, 'value' AS name,

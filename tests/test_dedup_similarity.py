@@ -223,11 +223,48 @@ def test_multimodal_feature_extraction(spark, docs):
         assert all(0.0 <= f <= 1.0 for f in r["feature"])
 
 
-def test_multimodal_stubs_gate_cleanly():
-    with pytest.raises(NotImplementedError):
+def test_multimodal_codec_formats_gate_cleanly():
+    """Codec formats still raise (no Pillow/pyav in this container);
+    unrecognized bytes are a ValueError, uncompressed formats decode."""
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        mm.resize_image(b"\xff\xd8\xff\xe0 jpeg bytes", 10, 10)
+    with pytest.raises(NotImplementedError, match="PNG"):
+        mm.decode_image(b"\x89PNG\r\n fake")
+    with pytest.raises(ValueError):
         mm.resize_image(b"xx", 10, 10)
     with pytest.raises(NotImplementedError):
         mm.sample_video_frames(b"xx", 1000)
+
+
+def test_multimodal_numpy_codecs_roundtrip():
+    """BMP/PPM/WAV lib-free codecs: encode→decode is identity; resize is
+    exact nearest-neighbor; non-4-multiple widths exercise BMP row pad."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)  # width 5: pad=1
+    assert (mm.decode_bmp(mm.encode_bmp(img)) == img).all()
+    assert (mm.decode_ppm(mm.encode_ppm(img)) == img).all()
+    assert (mm.decode_image(mm.encode_bmp(img)) == img).all()
+    got = mm.decode_bmp(mm.resize_image(mm.encode_ppm(img), 3, 2))
+    assert (got == mm.nn_resize(img, 3, 2)).all()
+    s = rng.integers(-32768, 32767, 999).astype(np.int16)
+    d, rate = mm.decode_wav_pcm16(mm.encode_wav_pcm16(s, 16000))
+    assert rate == 16000 and (d == s).all()
+
+
+def test_pixel_features_isolate_bad_blobs(spark):
+    """A codec blob yields an error row (nulls + message), never a job
+    failure — per-row isolation, same T3 contract as the quarantines."""
+    rows = [
+        (1, "image", bytearray(mm.synth_bmp_blob(1))),
+        (2, "image", bytearray(b"\xff\xd8\xff\xe0 jpeg")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    got = {r["media_id"]: r for r in mm.extract_pixel_features(media).collect()}
+    assert got[1]["error"] is None and got[1]["width"] == 8 and got[1]["height"] == 6
+    assert got[2]["error"] is not None and "JPEG" in got[2]["error"]
+    assert got[2]["mean_r"] is None
 
 
 def test_connected_components_chain_and_triangle(spark):
