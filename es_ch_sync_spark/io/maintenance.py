@@ -27,15 +27,37 @@ this removes vs. in-place dynamic overwrite:
   staging, a crash before any swap loses nothing; a crash mid-swap leaves
   every partition either fully-old or fully-new (per-partition renames
   are atomic on POSIX) and the staging dir still holds the remainder for
-  manual recovery.  Atomicity is per-partition, not whole-table — for
-  multi-writer / object-store production use a transactional table format
-  (Delta/Iceberg), whose MERGE replaces this module wholesale.
+  manual recovery.  Atomicity is per-partition, not whole-table.
+
+Writer protocol (lock + epoch manifest): stage-and-swap is single-writer
+by design; the protocol makes violations DETECTED rather than silently
+interleaved (the robustness the reference gets for free from
+ReplacingMergeTree absorbing racing inserts):
+
+- ``_WRITER_LOCK`` is acquired O_CREAT|O_EXCL before any work — a second
+  concurrent writer fails immediately with ConcurrentWriteError naming
+  the holder.  The lock is re-verified immediately before the first
+  destructive rename (fencing: a force-recovered/stolen lock aborts the
+  swap instead of interleaving with the new owner's writes).
+- ``_MANIFEST.json`` records the table's write epoch and state.  The
+  state flips committed → staging → committed around the swap window; a
+  crash anywhere in that window leaves state=staging (and the lock
+  behind), so the NEXT writer raises and points at
+  ``recover_interrupted_write`` instead of building on a torn table.
+  Both files are underscore-prefixed, so Spark's parquet reader ignores
+  them.
+
+For multi-writer / object-store production use a transactional table
+format (Delta/Iceberg), whose MERGE replaces this module wholesale.
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,17 +65,134 @@ from pyspark.sql import functions as F
 
 from es_ch_sync_spark.io.sinks import DEDUP_KEY
 
+MANIFEST_FILE = "_MANIFEST.json"
+LOCK_FILE = "_WRITER_LOCK"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer, or the debris of an interrupted one, was detected."""
+
+
+def _read_manifest(table_path: str) -> dict:
+    p = os.path.join(table_path, MANIFEST_FILE)
+    if not os.path.exists(p):
+        return {"epoch": 0, "state": "committed"}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(table_path: str, manifest: dict) -> None:
+    p = os.path.join(table_path, MANIFEST_FILE)
+    tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, p)  # atomic on POSIX
+
+
+def _acquire_lock(table_path: str, writer_id: str) -> None:
+    os.makedirs(table_path, exist_ok=True)
+    path = os.path.join(table_path, LOCK_FILE)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        holder = "<unreadable>"
+        try:
+            with open(path) as f:
+                holder = f.read()
+        except OSError:
+            pass
+        raise ConcurrentWriteError(
+            f"another writer holds {path} ({holder}); if it crashed, run "
+            "recover_interrupted_write(table_path) after inspecting the table"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        json.dump({"writer": writer_id, "ts": time.time()}, f)
+
+
+def _verify_lock(table_path: str, writer_id: str) -> None:
+    """Fencing check before the first destructive rename: we must STILL be
+    the lock holder (a force-recovery while we staged would have removed
+    or re-issued it)."""
+    path = os.path.join(table_path, LOCK_FILE)
+    try:
+        with open(path) as f:
+            holder = json.load(f).get("writer")
+    except (OSError, ValueError):
+        holder = None
+    if holder != writer_id:
+        raise ConcurrentWriteError(
+            f"writer lock for {table_path} was lost before the swap "
+            f"(held by {holder!r}); aborting without touching the table"
+        )
+
+
+def _release_lock(table_path: str, writer_id: str) -> None:
+    path = os.path.join(table_path, LOCK_FILE)
+    try:
+        with open(path) as f:
+            if json.load(f).get("writer") != writer_id:
+                return  # not ours anymore — never remove someone else's lock
+        os.remove(path)
+    except (OSError, ValueError):
+        pass
+
+
+def recover_interrupted_write(table_path: str) -> dict:
+    """Clean up after a crashed writer: remove staging/trash debris and the
+    stale lock, and reset the manifest to committed.
+
+    Safe because the swap never deletes before the replacement exists — an
+    interrupted run leaves every partition either fully-old or fully-new;
+    removing the debris yields a consistent (possibly partially-advanced)
+    table.  Returns a summary of what was removed.  Run audit_key_conflicts
+    on the touched partitions afterwards if the interrupted batch was not
+    idempotent."""
+    removed = {"staging_dirs": [], "trash_dirs": [], "lock": False}
+    for d in glob.glob(f"{table_path.rstrip('/')}__staging__*"):
+        shutil.rmtree(d, ignore_errors=True)
+        removed["staging_dirs"].append(d)
+    for d in glob.glob(os.path.join(table_path, "*.__old__*")):
+        shutil.rmtree(d, ignore_errors=True)
+        removed["trash_dirs"].append(d)
+    lock = os.path.join(table_path, LOCK_FILE)
+    if os.path.exists(lock):
+        os.remove(lock)
+        removed["lock"] = True
+    manifest = _read_manifest(table_path)
+    if manifest.get("state") != "committed":
+        manifest["state"] = "committed"
+        manifest["recovered"] = True
+        _write_manifest(table_path, manifest)
+        removed["manifest_reset"] = True
+    return removed
+
 
 def _stage_and_swap(merged: DataFrame, table_path: str, partition_col: str) -> None:
     """Materialize ``merged`` into a staging dir, then atomically swap each
-    staged ``<partition_col>=<value>`` directory into ``table_path``.
+    staged ``<partition_col>=<value>`` directory into ``table_path``,
+    under the writer lock + epoch manifest protocol (module docstring).
 
     The swap never deletes before the replacement exists: old partition →
     trash-rename, staged partition → final rename, trash removed last."""
+    writer_id = uuid.uuid4().hex
+    _acquire_lock(table_path, writer_id)
     staging = f"{table_path.rstrip('/')}__staging__{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-    os.makedirs(table_path, exist_ok=True)
     try:
+        manifest = _read_manifest(table_path)
+        if manifest.get("state") != "committed":
+            raise ConcurrentWriteError(
+                f"{table_path} manifest state is {manifest.get('state')!r} "
+                f"(epoch {manifest.get('epoch')}): a previous write was "
+                "interrupted mid-swap; inspect and run "
+                "recover_interrupted_write(table_path) first"
+            )
+        epoch = int(manifest.get("epoch", 0)) + 1
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        _write_manifest(
+            table_path,
+            {"epoch": epoch, "state": "staging", "writer": writer_id, "staging": staging},
+        )
+        _verify_lock(table_path, writer_id)  # fence before first rename
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith(f"{partition_col}="):
                 continue
@@ -65,8 +204,10 @@ def _stage_and_swap(merged: DataFrame, table_path: str, partition_col: str) -> N
             os.rename(src, dst)
             if os.path.exists(trash):
                 shutil.rmtree(trash)
+        _write_manifest(table_path, {"epoch": epoch, "state": "committed", "writer": writer_id})
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+        _release_lock(table_path, writer_id)
 
 
 def upsert_signals(

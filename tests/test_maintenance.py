@@ -197,3 +197,92 @@ def test_retention_vacuum_drops_only_aged_partitions(spark, tmp_path):
     assert left.count() == 60
     # idempotent: nothing below the cutoff remains
     assert retention_vacuum(path, keep_min_value="2020-01-03") == []
+
+
+def test_second_writer_detected(spark, tmp_path):
+    """While writer A holds the lock, writer B must fail loudly naming the
+    holder — never interleave with A's swap."""
+    import pytest
+
+    from es_ch_sync_spark.io import maintenance as M
+
+    path = str(tmp_path / "sig")
+    write_signals(
+        spark.createDataFrame([_sig(1, D1, "speed", 10)], SIG_SCHEMA), path, mode="overwrite"
+    )
+    M._acquire_lock(path, "writer-A")
+    updates = spark.createDataFrame([_sig(1, D1, "speed", 99)], SIG_SCHEMA)
+    with pytest.raises(M.ConcurrentWriteError, match="another writer holds"):
+        upsert_signals(spark, path, updates)
+    # table untouched by the refused writer
+    assert spark.read.parquet(path).collect()[0]["value_number"] == 10.0
+    M._release_lock(path, "writer-A")
+    upsert_signals(spark, path, updates)
+    assert spark.read.parquet(path).collect()[0]["value_number"] == 99.0
+
+
+def test_crash_between_stage_and_swap_detected_and_recovered(spark, tmp_path, monkeypatch):
+    """A crash after staging but before the swap leaves manifest
+    state=staging; the next writer refuses to build on the torn table,
+    recover_interrupted_write cleans the debris, and a re-run converges
+    with a conflict-free audit and an advanced epoch."""
+    import os as _os
+
+    import pytest
+
+    from es_ch_sync_spark.io import maintenance as M
+    from es_ch_sync_spark.io.maintenance import audit_key_conflicts, recover_interrupted_write
+
+    path = str(tmp_path / "sig")
+    base = [_sig(1, D1, "speed", 10), _sig(1, D2, "speed", 20)]
+    write_signals(spark.createDataFrame(base, SIG_SCHEMA), path, mode="overwrite")
+
+    updates = spark.createDataFrame([_sig(1, D2, "speed", 99)], SIG_SCHEMA)
+    real_rename = _os.rename
+
+    def crash_on_swap(src, dst):  # first destructive rename = the crash point
+        raise OSError("simulated crash mid-swap")
+
+    monkeypatch.setattr(_os, "rename", crash_on_swap)
+    with pytest.raises(OSError, match="simulated crash"):
+        upsert_signals(spark, path, updates)
+    monkeypatch.setattr(_os, "rename", real_rename)
+
+    # old data fully intact (the swap never deletes before replacing)
+    got = {(r["token_id"], r["timestamp"].replace(tzinfo=timezone.utc)): r["value_number"]
+           for r in spark.read.parquet(path).collect()}
+    assert got[(1, D2)] == 20.0
+    assert M._read_manifest(path)["state"] == "staging"
+
+    # next writer refuses the torn table
+    with pytest.raises(M.ConcurrentWriteError, match="recover_interrupted_write"):
+        upsert_signals(spark, path, updates)
+
+    summary = recover_interrupted_write(path)
+    assert summary["manifest_reset"] is True
+    assert not _os.path.exists(_os.path.join(path, M.LOCK_FILE))
+
+    upsert_signals(spark, path, updates)
+    final = spark.read.parquet(path)
+    assert {
+        (r["token_id"], r["timestamp"].replace(tzinfo=timezone.utc)): r["value_number"]
+        for r in final.collect()
+    }[(1, D2)] == 99.0
+    assert audit_key_conflicts(final).count() == 0
+    m = M._read_manifest(path)
+    assert m["state"] == "committed" and m["epoch"] >= 2
+
+
+def test_epoch_advances_per_commit(spark, tmp_path):
+    from es_ch_sync_spark.io import maintenance as M
+
+    path = str(tmp_path / "sig")
+    write_signals(
+        spark.createDataFrame([_sig(1, D1, "speed", 10)], SIG_SCHEMA), path, mode="overwrite"
+    )
+    for i in range(1, 3):
+        upsert_signals(
+            spark, path, spark.createDataFrame([_sig(1, D1, "speed", i)], SIG_SCHEMA)
+        )
+        m = M._read_manifest(path)
+        assert m == {"epoch": i, "state": "committed", "writer": m["writer"]}
