@@ -1,0 +1,274 @@
+"""Deterministic, mergeable sketch operators: KMV distinct-count, KMV set
+operations, and Count-Min frequency sketches.
+
+The reference engine's analytics role (distinct device counts, hot-key
+frequency — cf. ``/root/reference/internal/service/clickhouse/clickhouse.go``
+uniq/count surfaces) needs cardinality and frequency answers that stay cheap
+at 100 TB.  Spark's built-in ``approx_count_distinct`` (HyperLogLog++) covers
+the simple case but its register layout is not reproducible in an external
+oracle, so these operators implement the *deterministic* sketch family
+instead:
+
+- **KMV (k-minimum-values)** [Bar-Yossef et al. 2002; Beyer et al. 2007]:
+  keep the k smallest 56-bit hashes of the key; the kth minimum estimates
+  cardinality as ``(k-1) / (h_k / 2^56)``.  Exact for groups with < k
+  distinct keys, mergeable by "union then re-truncate", and — because the
+  hash is md5-derived — bit-identical between Spark and DuckDB.
+- **KMV set algebra**: union sketches merge losslessly; intersections come
+  from inclusion–exclusion on the union estimate, giving distinct-union /
+  distinct-intersection / Jaccard between any two groups without re-scanning
+  the fact table.
+- **Count-Min** [Cormode & Muthukrishnan 2005]: a d×w counter grid; every
+  key increments one bucket per hash row (independent md5 per row), point
+  estimate = min over rows.  Always an over-estimate, fixed memory,
+  map-side combinable.
+
+Scale design (100 TB):
+- The KMV build first reduces the fact table to DISTINCT (group, hash)
+  pairs — a shuffle on the *composite* key, so hot groups don't funnel to
+  one reducer.  The bottom-k step is a per-group window; for low-group-count
+  / high-cardinality shapes the adaptive pre-filter tier uses a per-group
+  HLL estimate to discard hashes that cannot be in the bottom-k (threshold
+  ``slack·k/ND_g`` of the hash space), then *verifies* survivor counts and
+  falls back to the unfiltered path for any group the filter starved — the
+  result is bit-identical to the exact bottom-k by construction.
+- The CMS build pre-aggregates exact per-key counts FIRST (partial-agg
+  shrinks 100 TB of rows to |keys| rows), then fans each key out d times
+  into the (row, bucket) grid — the sketch shuffle moves d·|keys| tiny
+  rows, never the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 56-bit hash space: first 14 hex chars of md5. Matches the family used by
+# operators.dedup / operators.sampling so oracles share one hex-parse helper.
+HASH_BITS = 56
+HASH_SPACE = float(1 << HASH_BITS)
+
+
+def hash56(*cols: Column | str, seed: str = "kmv") -> Column:
+    """Deterministic uniform 56-bit hash of ':'-joined column values
+    (md5-derived, oracle-reproducible). Seeded so independent sketch rows
+    decorrelate; multi-column form gives per-row-independent CMS hashes."""
+    parts: list[Column] = [F.lit(seed)]
+    for c in cols:
+        col = F.col(c) if isinstance(c, str) else c
+        parts.extend([F.lit(":"), col.cast("string")])
+    return F.conv(F.substring(F.md5(F.concat(*parts)), 1, 14), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+    seed: str = "kmv",
+    prefilter_slack: int | None = None,
+) -> DataFrame:
+    """Per-group bottom-k hash sketch: one row per (group, h) with the k
+    smallest distinct hashes of ``key_col``.
+
+    ``prefilter_slack`` enables the adaptive scale tier (see module doc);
+    leave None for the plain exact path (right answer when |distinct| per
+    group is moderate or group count is high)."""
+    hashed = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, hash56(key_col, seed=seed).alias("h"))
+        .distinct()
+    )
+    if prefilter_slack is not None:
+        hashed = _prefiltered_hashes(hashed, group_cols, k, prefilter_slack)
+    rank = F.row_number().over(Window.partitionBy(*group_cols).orderBy("h"))
+    return (
+        hashed.withColumn("rank", rank).where(F.col("rank") <= k).drop("rank")
+    )
+
+
+def _prefiltered_hashes(
+    hashed: DataFrame, group_cols: list[str], k: int, slack: int
+) -> DataFrame:
+    """Adaptive bottom-k pre-filter: keep only hashes that can plausibly be
+    in the bottom-k (threshold from a per-group HLL cardinality estimate),
+    then verify each group kept ≥ min(k, exact distinct) survivors and
+    re-admit all hashes for any starved group. Exactness: the true bottom-k
+    hashes of a group all lie below any threshold that keeps ≥ k
+    survivors."""
+    max_h = F.lit(int(HASH_SPACE - 1))
+    nd = hashed.groupBy(*group_cols).agg(
+        F.approx_count_distinct("h").alias("_nd"), F.count("h").alias("_n_exact")
+    )
+    tau = nd.withColumn(
+        "_tau",
+        F.least(
+            max_h,
+            (
+                F.lit(float(slack * k))
+                / F.greatest(F.col("_nd"), F.lit(1)).cast("double")
+                * F.lit(HASH_SPACE)
+            ).cast("long"),
+        ),
+    )
+    cand = hashed.join(F.broadcast(tau), group_cols).where(F.col("h") <= F.col("_tau"))
+    kept = cand.groupBy(*group_cols).agg(F.count("h").alias("_kept"))
+    audit = (
+        tau.join(kept, group_cols, "left")
+        .withColumn("_kept", F.coalesce("_kept", F.lit(0)))
+        .where(
+            (F.col("_kept") < F.least(F.lit(k), F.col("_n_exact")))
+            & (F.col("_tau") < max_h)
+        )
+        .select(*group_cols)
+    )
+    starved = audit.collect()  # O(#groups) scalars; empty unless HLL was >slack× off
+    if not starved:
+        return cand.select(*group_cols, "h")
+    starved_df = F.broadcast(hashed.sparkSession.createDataFrame(starved, audit.schema))
+    readmitted = hashed.join(starved_df, group_cols, "left_semi")
+    filtered_ok = cand.select(*group_cols, "h").join(starved_df, group_cols, "left_anti")
+    return filtered_ok.unionByName(readmitted)
+
+
+def _estimate_expr(n_col: str, hmax_col: str, k: int) -> Column:
+    """KMV estimator: exact when the sketch didn't fill, else (k-1)/fraction
+    of hash space covered by the kth minimum."""
+    return F.when(F.col(n_col) < k, F.col(n_col).cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col(hmax_col).cast("double") / F.lit(HASH_SPACE))
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Collapse a bottom-k sketch to per-group distinct estimates (round(4)
+    for cross-engine float stability)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("h").alias("n_kept"), F.max("h").alias("h_max")
+    )
+    return agg.select(
+        *group_cols, "n_kept", F.round(_estimate_expr("n_kept", "h_max", k), 4).alias("est_distinct")
+    )
+
+
+def kmv_set_ops(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Pairwise set algebra between per-group KMV sketches: for every group
+    pair (a < b) estimate |A|, |B|, |A∪B| (merge = union of the two hash
+    sets, re-truncate to bottom-k), |A∩B| by inclusion–exclusion (clamped
+    ≥ 0), and Jaccard.  The merge never touches the fact table — sketches
+    are sufficient statistics, which is the point of mergeability at
+    100 TB (sketch size: k rows per group)."""
+    sk = sketch.select(F.col(group_col).alias("g"), "h")
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .join(groups.select(F.col("g").alias("gb")), F.col("ga") < F.col("gb"))
+    )
+    # Attach each pair's two sketches and merge: (pairs ⋈ sketch) twice,
+    # both joins broadcast — every frame here is O(k·|groups|²) small.
+    merged = (
+        pairs.join(F.broadcast(sk), F.col("ga") == F.col("g"))
+        .select("ga", "gb", "h")
+        .unionByName(
+            pairs.join(F.broadcast(sk), F.col("gb") == F.col("g")).select("ga", "gb", "h")
+        )
+        .distinct()
+    )
+    rank = F.row_number().over(Window.partitionBy("ga", "gb").orderBy("h"))
+    union_est = (
+        merged.withColumn("rank", rank)
+        .where(F.col("rank") <= k)
+        .groupBy("ga", "gb")
+        .agg(F.count("h").alias("nu"), F.max("h").alias("hu"))
+        .select("ga", "gb", _estimate_expr("nu", "hu", k).alias("est_union_raw"))
+    )
+    per = kmv_estimate(sketch, [group_col], k=k)
+    out = (
+        union_est.join(
+            F.broadcast(
+                per.select(F.col(group_col).alias("ga"), F.col("est_distinct").alias("est_a"))
+            ),
+            "ga",
+        )
+        .join(
+            F.broadcast(
+                per.select(F.col(group_col).alias("gb"), F.col("est_distinct").alias("est_b"))
+            ),
+            "gb",
+        )
+    )
+    inter = F.greatest(F.col("est_a") + F.col("est_b") - F.col("est_union_raw"), F.lit(0.0))
+    return out.select(
+        "ga",
+        "gb",
+        F.round("est_a", 4).alias("est_a"),
+        F.round("est_b", 4).alias("est_b"),
+        F.round("est_union_raw", 4).alias("est_union"),
+        F.round(inter, 4).alias("est_intersect"),
+        F.round(inter / F.col("est_union_raw"), 4).alias("est_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    seed: str = "cms",
+) -> DataFrame:
+    """Build a d×w Count-Min sketch of ``key_col`` frequencies.
+
+    Plan: exact per-key counts first (partial-agg shrinks the fact table to
+    |keys| rows), THEN fan each key out ``depth`` times into (row, bucket)
+    cells.  Each row uses an independent md5 (seed:row:key) so two keys
+    colliding in one row are independent in the others — the CMS guarantee.
+    Returns the sparse grid (row, bucket, cnt); absent cells are zero."""
+    per_key = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    fanned = per_key.select(
+        F.col(key_col).alias("key"),
+        "cnt",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
+    )
+    bucket = hash56("row", "key", seed=seed) % F.lit(width)
+    cells = fanned.select("row", bucket.alias("bucket"), "cnt")
+    return cells.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    seed: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: estimate = min over
+    the d rows of the key's bucket count (0 if a cell is absent). The
+    sketch is tiny (≤ d·w cells) and broadcast to the probe side."""
+    probes = (
+        keys.select(F.col(key_col).alias("key"))
+        .distinct()
+        .select(
+            "key", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+        )
+    )
+    bucket = hash56("row", "key", seed=seed) % F.lit(width)
+    probes = probes.select("key", "row", bucket.alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left").withColumn(
+        "cnt", F.coalesce("cnt", F.lit(0))
+    )
+    return joined.groupBy("key").agg(F.min("cnt").alias("cms_est"))

@@ -1,0 +1,208 @@
+"""Round-4 advanced-operator registry: deterministic sketches (KMV, CMS),
+graph analytics, and corpus-quality scoring — each with a DuckDB oracle.
+
+Same determinism contract as queries.py: md5-derived hashes (bit-identical
+across engines), round(4) on any double surface, explicit tie-breaks on
+every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.io.sources import read_parquet_table
+from es_ch_sync_spark.operators.sketches import (
+    cms_build,
+    cms_point_estimates,
+    kmv_estimate,
+    kmv_set_ops,
+    kmv_sketch,
+)
+from es_ch_sync_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# DuckDB mirror of operators.sketches.hash56: fold the first 14 hex chars of
+# md5 into a 56-bit BIGINT (DuckDB has no conv()).
+def _h56(s: str) -> str:
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, 15), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({s}), i, 1)) - 1)::BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+_SPACE = "72057594037927936.0"  # 2^56 as double
+
+# Shared KMV CTEs over events.user_id grouped by event_type (k = 64).
+_KMV_CTE = f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type, {_h56("'kmv:' || user_id::VARCHAR")} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM hashed
+    ),
+    sk AS (SELECT event_type AS g, h FROM ranked WHERE rk <= 64),
+    per AS (SELECT g, count(*) AS n_kept, max(h) AS h_max FROM sk GROUP BY g),
+    pest AS (
+        SELECT g, n_kept,
+               round(CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                     ELSE 63.0 / (h_max::DOUBLE / {_SPACE}) END, 4) AS est
+        FROM per
+    )
+"""
+
+
+@register(
+    "kmv_distinct_users",
+    _KMV_CTE
+    + """
+    , ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT p.g AS event_type, p.n_kept, p.est AS est_distinct, ex.exact_distinct,
+           round(abs(p.est - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+    FROM pest p JOIN ex ON p.g = ex.event_type
+    """,
+)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type, checked
+    against the exact distinct count. Deterministic md5 hashing makes the
+    sketch — not just its error bound — reproducible in the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    est = kmv_estimate(sk, ["event_type"], k=64)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_kept",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+@register(
+    "kmv_set_ops",
+    _KMV_CTE
+    + f"""
+    , pairs AS (
+        SELECT a.g AS ga, b.g AS gb
+        FROM (SELECT DISTINCT g FROM sk) a JOIN (SELECT DISTINCT g FROM sk) b
+          ON a.g < b.g
+    ),
+    merged AS (
+        SELECT DISTINCT ga, gb, h FROM (
+            SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.ga
+            UNION ALL
+            SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.gb
+        )
+    ),
+    mr AS (
+        SELECT ga, gb, h,
+               row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+        FROM merged
+    ),
+    un AS (
+        SELECT ga, gb, count(*) AS nu, max(h) AS hu
+        FROM mr WHERE rk <= 64 GROUP BY ga, gb
+    ),
+    uest AS (
+        SELECT ga, gb,
+               CASE WHEN nu < 64 THEN nu::DOUBLE
+                    ELSE 63.0 / (hu::DOUBLE / {_SPACE}) END AS est_union_raw
+        FROM un
+    )
+    SELECT u.ga, u.gb,
+           round(a.est, 4) AS est_a,
+           round(b.est, 4) AS est_b,
+           round(u.est_union_raw, 4) AS est_union,
+           round(greatest(a.est + b.est - u.est_union_raw, 0.0), 4) AS est_intersect,
+           round(greatest(a.est + b.est - u.est_union_raw, 0.0) / u.est_union_raw, 4)
+               AS est_jaccard
+    FROM uest u JOIN pest a ON u.ga = a.g JOIN pest b ON u.gb = b.g
+    """,
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: distinct-union (merge + re-truncate),
+    distinct-intersection (inclusion–exclusion), and Jaccard for every pair
+    of event types — computed from the sketches alone, never re-scanning
+    the fact table (the mergeability property that matters at 100 TB)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    return kmv_set_ops(sk, "event_type", k=64)
+
+
+@register(
+    "cms_frequency",
+    f"""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS cnt
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    fanned AS (
+        SELECT p.user_id AS key, p.cnt, r.rw
+        FROM per_key p, (SELECT unnest(range(0, 4)) AS rw) r
+    ),
+    grid AS (
+        SELECT rw, {_h56("'cms:' || rw::VARCHAR || ':' || key::VARCHAR")} % 64 AS bucket,
+               sum(cnt)::BIGINT AS cnt
+        FROM fanned GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT user_id, cnt AS exact_cnt FROM per_key
+        ORDER BY cnt DESC, user_id LIMIT 20
+    ),
+    probes AS (
+        SELECT t.user_id, r.rw,
+               {_h56("'cms:' || r.rw::VARCHAR || ':' || t.user_id::VARCHAR")} % 64 AS bucket
+        FROM top t, (SELECT unnest(range(0, 4)) AS rw) r
+    ),
+    est AS (
+        SELECT p.user_id, min(coalesce(g.cnt, 0))::BIGINT AS cms_est
+        FROM probes p LEFT JOIN grid g ON g.rw = p.rw AND g.bucket = p.bucket
+        GROUP BY p.user_id
+    )
+    SELECT t.user_id, t.exact_cnt, e.cms_est,
+           e.cms_est - t.exact_cnt AS overcount
+    FROM top t JOIN est e USING (user_id)
+    """,
+)
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (d=4, w=64) of per-user event counts,
+    point-queried for the 20 heaviest users vs their exact counts. The CMS
+    estimate is provably ≥ exact; `overcount` surfaces the collision
+    error. Build pre-aggregates per-key counts so the sketch shuffle moves
+    d·|keys| rows, not the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(20)
+    sketch = cms_build(ev, "user_id", depth=4, width=64)
+    est = cms_point_estimates(sketch, top, "user_id", depth=4, width=64)
+    return top.join(est, top["user_id"] == est["key"]).select(
+        "user_id",
+        "exact_cnt",
+        F.col("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )

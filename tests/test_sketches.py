@@ -1,0 +1,106 @@
+"""Operator-level guarantees of the deterministic sketch family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.io.sources import read_parquet_table
+from es_ch_sync_spark.operators.sketches import (
+    cms_build,
+    cms_point_estimates,
+    kmv_estimate,
+    kmv_set_ops,
+    kmv_sketch,
+)
+
+
+def _events(spark, sf_dir):
+    return read_parquet_table(spark, sf_dir, "events")
+
+
+def test_kmv_exact_below_k(spark, sf_dir):
+    """Groups with fewer than k distinct keys get the EXACT count."""
+    ev = _events(spark, sf_dir)
+    sk = kmv_sketch(ev, "user_id", ["event_type"], k=1024)
+    est = kmv_estimate(sk, ["event_type"], k=1024)
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    )
+    got = {r["event_type"]: r["est_distinct"] for r in est.collect()}
+    for r in exact:
+        assert got[r["event_type"]] == float(r["x"])
+
+
+def test_kmv_prefilter_tier_bit_identical(spark, sf_dir):
+    """The adaptive pre-filter tier must return exactly the same bottom-k
+    sketch as the plain path (it only discards hashes provably outside
+    the bottom-k, with survivor verification)."""
+    ev = _events(spark, sf_dir)
+    plain = kmv_sketch(ev, "event_id", ["event_type"], k=32)
+    fast = kmv_sketch(ev, "event_id", ["event_type"], k=32, prefilter_slack=4)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert a == b
+
+
+def test_kmv_prefilter_starved_fallback(spark, sf_dir):
+    """Even with an absurdly tight slack the verification pass must repair
+    any starved group — output stays bit-identical."""
+    ev = _events(spark, sf_dir)
+    plain = kmv_sketch(ev, "event_id", ["event_type"], k=64)
+    # slack=1 keeps ~k expected survivors: underflow is likely, forcing the
+    # re-admit path for at least some groups.
+    tight = kmv_sketch(ev, "event_id", ["event_type"], k=64, prefilter_slack=1)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, tight.collect()))
+
+
+def test_kmv_estimate_reasonable(spark, sf_dir):
+    """Filled sketches estimate within the KMV error envelope (~1/sqrt(k))
+    on the event_id domain (high cardinality)."""
+    ev = _events(spark, sf_dir)
+    k = 64
+    sk = kmv_sketch(ev, "event_id", [], k=k)
+    est = kmv_estimate(sk.withColumn("_g", F.lit(1)), ["_g"], k=k).collect()[0]
+    exact = ev.select("event_id").distinct().count()
+    if est["n_kept"] == k:
+        assert abs(est["est_distinct"] - exact) / exact < 0.5  # 4σ at k=64
+    else:
+        assert est["est_distinct"] == float(exact)
+
+
+def test_kmv_set_ops_invariants(spark, sf_dir):
+    """Union ≥ max side, intersection ≤ min side, jaccard in [0, 1]."""
+    ev = _events(spark, sf_dir)
+    sk = kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    for r in kmv_set_ops(sk, "event_type", k=64).collect():
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-6
+        assert r["est_intersect"] <= min(r["est_a"], r["est_b"]) + 1e-6
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """CMS point estimates are ≥ exact counts for EVERY key (the one-sided
+    error guarantee), and equal when the grid is wide enough to avoid
+    collisions."""
+    ev = _events(spark, sf_dir)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    sketch = cms_build(ev, "user_id", depth=4, width=64)
+    est = cms_point_estimates(sketch, exact, "user_id", depth=4, width=64)
+    joined = exact.join(est, exact["user_id"] == est["key"]).collect()
+    assert joined
+    for r in joined:
+        assert r["cms_est"] >= r["x"]
+    # Huge width ⇒ no collisions ⇒ exact.
+    wide = cms_build(ev, "user_id", depth=2, width=1 << 20)
+    est_w = cms_point_estimates(wide, exact, "user_id", depth=2, width=1 << 20)
+    for r in exact.join(est_w, exact["user_id"] == est_w["key"]).collect():
+        assert r["cms_est"] == r["x"]
+
+
+def test_cms_grid_bounded(spark, sf_dir):
+    """The sketch itself never exceeds d·w cells regardless of input size —
+    the fixed-memory property."""
+    ev = _events(spark, sf_dir)
+    assert cms_build(ev, "event_id", depth=4, width=32).count() <= 4 * 32
