@@ -206,3 +206,80 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est"),
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (operators.graph)
+# ---------------------------------------------------------------------------
+
+_COACTIVITY_EDGES_CTE = """
+    WITH ub AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS b FROM events
+    ),
+    e AS (
+        SELECT a.user_id AS src, b.user_id AS dst, count(*)::BIGINT AS shared
+        FROM ub a JOIN ub b ON a.b = b.b AND a.user_id < b.user_id
+        GROUP BY 1, 2 HAVING count(*) >= 10
+    )
+"""
+
+
+@register(
+    "coactivity_edges",
+    _COACTIVITY_EDGES_CTE + "SELECT src, dst, shared FROM e",
+)
+def q_coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection: the user–user co-activity graph (edge iff two
+    users were active in ≥ 10 common hour buckets). The equi-join on the
+    bucket column is shuffle-partitionable; hot buckets are the documented
+    skew risk, guarded by project_bipartite's bucket_cap at scale."""
+    from es_ch_sync_spark.operators.graph import project_bipartite
+
+    ev = _t(spark, sf_dir, "events")
+    inc = ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("hb"))
+    return project_bipartite(inc, "user_id", "hb", min_shared=10)
+
+
+@register(
+    "triangle_coactivity",
+    _COACTIVITY_EDGES_CTE
+    + """
+    , deg AS (
+        SELECT node, count(*)::BIGINT AS deg FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+        ) GROUP BY 1
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1
+        JOIN e e2 ON e2.src = e1.dst
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    tn AS (
+        SELECT node, count(*)::BIGINT AS tri_cnt FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b AS node FROM tri
+            UNION ALL SELECT c AS node FROM tri
+        ) GROUP BY 1
+    )
+    SELECT d.node AS user_id, d.deg,
+           coalesce(tn.tri_cnt, 0)::BIGINT AS tri_cnt,
+           round(CASE WHEN d.deg >= 2
+                 THEN 2.0 * coalesce(tn.tri_cnt, 0) / (d.deg * (d.deg - 1))
+                 ELSE 0.0 END, 4) AS clustering
+    FROM deg d LEFT JOIN tn ON tn.node = d.node
+    """,
+)
+def q_triangle_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient per user over the
+    co-activity graph, via degree-ordered orientation (each triangle
+    generated exactly once from its lowest-order vertex; hub wedge
+    explosion bounded by arboricity). The oracle uses the naive triple
+    join — same set, different algorithm — making this a cross-algorithm
+    equivalence check, not a reimplementation echo."""
+    from es_ch_sync_spark.operators.graph import clustering_coefficients, project_bipartite
+
+    ev = _t(spark, sf_dir, "events")
+    inc = ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("hb"))
+    edges = project_bipartite(inc, "user_id", "hb", min_shared=10)
+    return clustering_coefficients(edges).withColumnRenamed("node", "user_id")

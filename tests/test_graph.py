@@ -1,0 +1,79 @@
+"""Operator-level checks for graph analytics (projection, triangles,
+clustering coefficients)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.operators.graph import (
+    clustering_coefficients,
+    degrees,
+    project_bipartite,
+    triangle_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([(a, b) for a, b in pairs], "src long, dst long")
+
+
+def test_triangles_known_graph(spark):
+    """K4 plus a pendant: K4 has 4 triangles, each K4-node is in 3, the
+    pendant in 0 (absent from output)."""
+    k4 = list(combinations(range(4), 2)) + [(3, 9)]
+    got = {r["node"]: r["tri_cnt"] for r in triangle_counts(_edges(spark, k4)).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_match_bruteforce(spark, sf_dir):
+    """Degree-ordered orientation equals brute-force triple enumeration on
+    the co-activity graph."""
+    from es_ch_sync_spark.io.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    inc = ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("hb"))
+    edges = project_bipartite(inc, "user_id", "hb", min_shared=2)
+    e = {(r["src"], r["dst"]) for r in edges.collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # Count triangles exactly: for each edge (a,b) with a<b, common
+    # neighbors c with b<c — each triangle counted once at its smallest edge.
+    tri_nodes: dict[int, int] = {}
+    for a, b in e:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                for n in (a, b, c):
+                    tri_nodes[n] = tri_nodes.get(n, 0) + 1
+    got = {r["node"]: r["tri_cnt"] for r in triangle_counts(edges).collect()}
+    assert got == tri_nodes
+
+
+def test_clustering_coefficient_bounds(spark):
+    """Coefficient is 1.0 inside a clique, 0 for a star center."""
+    k3 = [(0, 1), (0, 2), (1, 2)]
+    star = [(10, 11), (10, 12), (10, 13)]
+    rows = clustering_coefficients(_edges(spark, k3 + star)).collect()
+    got = {r["node"]: r for r in rows}
+    assert got[0]["clustering"] == 1.0
+    assert got[10]["clustering"] == 0.0
+    assert got[10]["deg"] == 3
+
+
+def test_bucket_cap_excludes_hot_buckets(spark):
+    """A bucket above the cap contributes no edges."""
+    rows = [(i, "hot") for i in range(10)] + [(0, "a"), (1, "a"), (0, "b"), (1, "b")]
+    inc = spark.createDataFrame(rows, "e long, b string")
+    capped = project_bipartite(inc, "e", "b", min_shared=1, bucket_cap=5)
+    assert [(r["src"], r["dst"]) for r in capped.collect()] == [(0, 1)]
+    # Without the cap the hot bucket alone contributes all 45 pairs ((0,1)
+    # is one of them, with shared=3).
+    assert project_bipartite(inc, "e", "b", min_shared=1).count() == 45
+
+
+def test_degrees(spark):
+    got = {r["node"]: r["deg"] for r in degrees(_edges(spark, [(0, 1), (1, 2)])).collect()}
+    assert got == {0: 1, 1: 2, 2: 1}
