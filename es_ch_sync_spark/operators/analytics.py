@@ -444,3 +444,43 @@ def zscore_anomalies(
         )
         .filter(F.abs(F.col("zscore")) > z_cut)
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier detection: |x − median| > k · 1.4826 · MAD per group
+    (the Hampel filter — median/MAD instead of mean/stddev, so the
+    threshold itself is not dragged by the outliers it must catch; the
+    z-score gate in ``zscore_anomalies`` is the non-robust comparison
+    point).
+
+    Exact medians via percentile() — two grouped aggregates + two broadcast
+    joins of the tiny per-group stats; median and MAD are rounded(6) BEFORE
+    thresholding so the flag decision is bit-identical cross-engine.
+    Returns the outlier rows: (*id_cols, *group_cols, value, score) with
+    score = |x − med| / (1.4826 · MAD), rounded(4). Zero-MAD groups are
+    excluded (score undefined; a constant group has no robust scale)."""
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_cols)
+    mad = dev.groupBy(*group_cols).agg(
+        F.round(F.expr(f"percentile(abs({value_col} - _med), 0.5)"), 6).alias("_mad")
+    )
+    scored = dev.join(F.broadcast(mad), group_cols).where(F.col("_mad") > 0)
+    adev = F.abs(v - F.col("_med"))
+    return (
+        scored.where(adev > F.lit(k) * F.lit(1.4826) * F.col("_mad"))
+        .select(
+            *id_cols,
+            *group_cols,
+            v.alias("value"),
+            F.round(adev / (F.lit(1.4826) * F.col("_mad")), 4).alias("score"),
+        )
+    )

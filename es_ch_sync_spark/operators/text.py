@@ -265,3 +265,87 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def char_trigrams(nt_col: str) -> Column:
+    """Array of character trigrams of an (already normalized) text column.
+    Pure Column expr — guards the len<3 case explicitly because Spark's
+    sequence(1, 0) would generate a DESCENDING sequence, not an empty one."""
+    return F.when(
+        F.length(F.col(nt_col)) >= 3,
+        F.expr(f"transform(sequence(1, length({nt_col}) - 2), i -> substring({nt_col}, i, 3))"),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus character-trigram language
+    model with add-one smoothing — the CCNet-style LM quality filter
+    [Wenzek et al. 2020], self-trained on the corpus instead of an external
+    KenLM (no model files in the container; the *pipeline shape* is the
+    same: build model → score every doc → gate on the score).
+
+    p(t) = (count(t) + 1) / (N + V); xent(doc) = −mean_t ln p(t).
+
+    Scale: the model is a groupBy over trigrams — at most |charset|³
+    distinct keys regardless of corpus size, so the scoring join broadcasts
+    the model and the whole pass is two map-side-combinable aggregates.
+    Returns (id, n_tri, xent) with xent rounded(4)."""
+    nt = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("nt"))
+    tris = nt.select(id_col, F.explode(char_trigrams("nt")).alias("tri"))
+    model = tris.groupBy("tri").agg(F.count("*").alias("cnt"))
+    tot = model.agg(
+        F.sum("cnt").alias("n_total"), F.count("*").alias("v_size")
+    )
+    logp = F.log(
+        (F.col("cnt") + F.lit(1)).cast("double")
+        / (F.col("n_total") + F.col("v_size")).cast("double")
+    )
+    scored = tris.join(F.broadcast(model), "tri").crossJoin(F.broadcast(tot))
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tri"),
+        F.round(-F.avg(logp), 4).alias("xent"),
+    )
+
+
+def fuzzy_duplicate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    prefix_len: int = 12,
+    head_len: int = 60,
+    max_dist: int = 10,
+) -> DataFrame:
+    """Record-linkage style fuzzy join: block on (block_cols, normalized
+    prefix), verify candidates with Levenshtein distance over the head of
+    the text.  The classic blocking+verify shape [Fellegi–Sunter]: the
+    equi-join on the block key replaces the quadratic all-pairs compare,
+    and the O(head_len²) edit-distance DP runs only on within-block
+    candidates.  Returns (id_a, id_b, dist), id_a < id_b.
+
+    Scale: block-key fan-out is the skew knob — a degenerate corpus (many
+    docs sharing one prefix) concentrates pairs in one block; lengthen
+    prefix_len or add block_cols to re-shard, same discipline as the LSH
+    band joins."""
+    nt = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        normalize_text(F.col(text_col)).alias("nt"),
+    ).select(
+        "id",
+        *block_cols,
+        F.substring("nt", 1, prefix_len).alias("pfx"),
+        F.substring("nt", 1, head_len).alias("head"),
+    )
+    a, b = nt.alias("a"), nt.alias("b")
+    on = (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.id") < F.col("b.id"))
+    for c in block_cols:
+        on = on & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = a.join(b, on).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.levenshtein(F.col("a.head"), F.col("b.head")).alias("dist"),
+    )
+    return cand.where(F.col("dist") <= max_dist)

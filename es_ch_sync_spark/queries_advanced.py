@@ -283,3 +283,100 @@ def q_triangle_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("hb"))
     edges = project_bipartite(inc, "user_id", "hb", min_shared=10)
     return clustering_coefficients(edges).withColumnRenamed("node", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-quality scoring / record linkage / robust outliers
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "trigram_perplexity",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(nt) - 1, 1)),
+                                     i -> substr(nt, i, 3))) AS tri
+        FROM d WHERE len(nt) >= 3
+    ),
+    model AS (SELECT tri, count(*) AS cnt FROM tri GROUP BY 1),
+    tot AS (SELECT sum(cnt)::BIGINT AS n_total, count(*)::BIGINT AS v_size FROM model)
+    SELECT t.doc_id, count(*)::BIGINT AS n_tri,
+           round(-avg(ln((m.cnt + 1)::DOUBLE / (tot.n_total + tot.v_size)::DOUBLE)), 4)
+               AS xent
+    FROM tri t JOIN model m USING (tri), tot
+    GROUP BY t.doc_id
+    """,
+)
+def q_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained character-trigram LM cross-entropy per document (the
+    CCNet-style quality gate, self-trained). Model is bounded by |charset|³
+    keys → broadcast scoring join; both aggregates map-side combine."""
+    from es_ch_sync_spark.operators.text import trigram_lm_score
+
+    return trigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "fuzzy_blocked_join",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang, {_NORM_SQL} AS nt FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang, substr(nt, 1, 12) AS pfx, substr(nt, 1, 60) AS head
+        FROM d
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           levenshtein(a.head, c.head)::INTEGER AS dist
+    FROM b a JOIN b c
+      ON a.pfx = c.pfx AND a.lang = c.lang AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.head, c.head) <= 10
+    """,
+)
+def q_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy self-join on documents: block on (lang,
+    12-char normalized prefix), verify with Levenshtein ≤ 10 over the
+    60-char head — blocking replaces the all-pairs quadratic; the edit-
+    distance DP runs only inside blocks."""
+    from es_ch_sync_spark.operators.text import fuzzy_duplicate_pairs
+
+    pairs = fuzzy_duplicate_pairs(_t(spark, sf_dir, "documents"))
+    return pairs.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
+    "robust_outliers_mad",
+    """
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           round(d.adev / (1.4826 * m.mad), 4) AS score
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND d.adev > 3.0 * 1.4826 * m.mad
+    """,
+)
+def q_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter: per-event-type median/MAD outliers — robust to the
+    heavy-tailed value distribution that drags a mean/stddev gate.
+    Median and MAD rounded(6) before thresholding on both engines."""
+    from es_ch_sync_spark.operators.analytics import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, "value", ["event_type"], ["event_id"]).select(
+        "event_id", "event_type", "value", "score"
+    )

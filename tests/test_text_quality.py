@@ -1,0 +1,68 @@
+"""Operator tests: trigram LM scoring, fuzzy blocked join, MAD outliers."""
+
+from __future__ import annotations
+
+import math
+
+from es_ch_sync_spark.operators.analytics import mad_outliers
+from es_ch_sync_spark.operators.text import fuzzy_duplicate_pairs, trigram_lm_score
+
+
+def test_trigram_lm_handchecked(spark):
+    """Two docs, one shared pattern: verify the exact smoothed
+    cross-entropy for a doc whose trigrams all occur twice."""
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "abcd")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in trigram_lm_score(docs).collect()}
+    # trigrams per doc: abc, bcd → model counts: each 2; N=4, V=2.
+    # p = (2+1)/(4+2) = 0.5 → xent = -ln(0.5)
+    expect = round(-math.log(0.5), 4)
+    assert rows[1]["n_tri"] == 2
+    assert rows[1]["xent"] == expect == rows[2]["xent"]
+
+
+def test_trigram_lm_rare_doc_scores_worse(spark):
+    """A doc made of corpus-rare trigrams gets higher cross-entropy than a
+    doc made of the corpus-dominant pattern."""
+    common = [(i, "the cat sat on the mat") for i in range(20)]
+    docs = spark.createDataFrame(
+        common + [(100, "zqxj wvkp qzzx")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["xent"] for r in trigram_lm_score(docs).collect()}
+    assert rows[100] > rows[0]
+
+
+def test_trigram_short_text_empty(spark):
+    """len<3 docs produce no trigram rows (and no descending-sequence
+    blowup from Spark's sequence())."""
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "abcdef")], "doc_id long, text string"
+    )
+    assert [r["doc_id"] for r in trigram_lm_score(docs).collect()] == [2]
+
+
+def test_fuzzy_pairs_match_and_reject(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "The quick brown fox jumps over the lazy dog tonight"),
+            (2, "en", "The quick brown fox jumps over the lazy cat tonight"),
+            (3, "en", "A completely different sentence about something else"),
+            (4, "de", "The quick brown fox jumps over the lazy dog tonight"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in fuzzy_duplicate_pairs(docs).collect()}
+    # 1-2 share prefix+lang and differ by one word; 4 shares text with 1
+    # but is blocked away by lang.
+    assert got == {(1, 2)}
+
+
+def test_mad_outliers_planted(spark):
+    rows = [(i, "a", 10.0 + (i % 3)) for i in range(30)] + [(99, "a", 500.0)]
+    # constant group: MAD = 0 → excluded entirely
+    rows += [(200 + i, "b", 7.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = mad_outliers(df, "value", ["event_type"], ["event_id"]).collect()
+    assert [r["event_id"] for r in got] == [99]
+    assert got[0]["score"] > 3.0
