@@ -482,3 +482,60 @@ def assign_shards(
         .withColumn("shard", F.expr(f"start_offset DIV {int(shard_tokens)}")),
         rows,
     )
+
+
+def decontaminate_fuzzy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    holdout: str = "test",
+) -> DataFrame:
+    """Fuzzy decontamination: train documents NEAR-duplicating any holdout
+    document (shingle Jaccard ≥ threshold), not just sharing an exact
+    n-gram — the MinHash-LSH analog of ``decontaminate`` for paraphrased /
+    lightly-edited eval leakage (the fuzzy pass of Llama/GPT-4-style
+    decontamination reports).
+
+    Plan: band-bucket join between the train side and the (tiny, ~5%)
+    holdout side — the holdout bucket table broadcasts, so the pass adds
+    no wide shuffle beyond the minhash build itself; Jaccard verify runs
+    only on cross-split candidates.  Returns (id, holdout_id, jaccard)."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.dedup import jaccard, lsh_buckets, word_shingles
+
+    split = assign_split(df, id_col=id_col, weights=weights, seed=seed)
+    train = split.filter(F.col("split") == "train")
+    hold = split.filter(F.col("split") == holdout)
+    bt = lsh_buckets(train, text_col, id_col, num_hashes, bands, shingle_k)
+    bh = lsh_buckets(hold, text_col, id_col, num_hashes, bands, shingle_k)
+    cand = (
+        bt.join(
+            F.broadcast(bh.withColumnRenamed(id_col, "holdout_id")), ["band", "key"]
+        )
+        .select(id_col, "holdout_id")
+        .distinct()
+    )
+    sh_t = train.join(
+        F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi"
+    ).select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh_a"))
+    sh_h = hold.select(
+        F.col(id_col).alias("holdout_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh_b"),
+    )
+    return (
+        cand.join(sh_t, id_col)
+        .join(F.broadcast(sh_h), "holdout_id")
+        .select(
+            id_col,
+            "holdout_id",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

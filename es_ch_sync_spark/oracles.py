@@ -1098,3 +1098,44 @@ def corpus_pipeline_best_sql(threshold: float = 0.5) -> str:
     FROM kept k LEFT JOIN nonreps nr ON k.doc_id = nr.doc_id
     WHERE nr.doc_id IS NULL
     """
+
+
+def decontaminate_fuzzy_sql(
+    threshold: float = 0.3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    holdout: str = "test",
+) -> str:
+    """Mirror of sampling.decontaminate_fuzzy: per-doc minhash bucket keys
+    are split-independent, so the oracle buckets ALL docs once and filters
+    by split at the join."""
+    case = _split_case_sql(weights, seed)
+    return f"""
+    {_minhash_buckets_sql(num_hashes, bands, k)}
+    , labeled AS (SELECT doc_id, {case} AS split FROM documents),
+    bt AS (
+        SELECT b.doc_id, b.band, b.key FROM buckets b
+        JOIN labeled l USING (doc_id) WHERE l.split = 'train'
+    ),
+    bh AS (
+        SELECT b.doc_id AS holdout_id, b.band, b.key FROM buckets b
+        JOIN labeled l USING (doc_id) WHERE l.split = '{holdout}'
+    ),
+    cand AS (
+        SELECT DISTINCT bt.doc_id, bh.holdout_id
+        FROM bt JOIN bh ON bt.band = bh.band AND bt.key = bh.key
+    )
+    SELECT c.doc_id, c.holdout_id,
+        round(
+            len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))::DOUBLE
+            / (len(sa.shs) + len(sb.shs) - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))))::DOUBLE,
+        6) AS jaccard
+    FROM cand c JOIN sh sa ON c.doc_id = sa.doc_id JOIN sh sb ON c.holdout_id = sb.doc_id
+    WHERE round(
+            len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))::DOUBLE
+            / (len(sa.shs) + len(sb.shs) - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))))::DOUBLE,
+        6) >= {threshold}
+    """

@@ -380,3 +380,17 @@ def q_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(ev, "value", ["event_type"], ["event_id"]).select(
         "event_id", "event_type", "value", "score"
     )
+
+
+from es_ch_sync_spark import oracles as _o  # noqa: E402
+
+
+@register("decontaminate_fuzzy", _o.decontaminate_fuzzy_sql(threshold=0.3))
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH fuzzy decontamination: train docs near-duplicating any
+    holdout doc (Jaccard ≥ 0.3) — catches paraphrased eval leakage the
+    exact n-gram pass (`decontaminate`) misses. Holdout bucket table
+    broadcasts (~5% of corpus); verify only on cross-split candidates."""
+    from es_ch_sync_spark.operators.sampling import decontaminate_fuzzy
+
+    return decontaminate_fuzzy(_t(spark, sf_dir, "documents"), threshold=0.3)
