@@ -591,3 +591,73 @@ def _score_pairs_joined(
             )
 
     return attached.mapInPandas(score, out_schema)
+
+
+def sq8_stats(emb: DataFrame, vec_col: str = "embedding") -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — the SQ8 codebook. One
+    posexplode + partial-aggregated min/max; the driver collects only
+    O(dim) scalars (same convention as the IVF centroid table)."""
+    rows = (
+        emb.select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in rows}
+    mn = [by_pos[i][0] for i in range(len(by_pos))]
+    mx = [by_pos[i][1] for i in range(len(by_pos))]
+    return mn, mx
+
+
+def _sq8_decoded_sql(vec_col: str, mn: list[float], mx: list[float]) -> str:
+    """SQL text decoding a vector through SQ8: code = clamp(floor((x−mn)/
+    (mx−mn)·256), 255), decoded = mn + (code+0.5)·(mx−mn)/256 — the
+    reconstruction midpoint.  Constant-dimension stats are literal arrays
+    (same plan shape as the SRP hyperplanes: no join, pure codegen)."""
+    mns, mxs = _sql_double_array(mn), _sql_double_array(mx)
+    lo = f"element_at({mns}, i + 1)"
+    hi = f"element_at({mxs}, i + 1)"
+    code = f"least(floor((cast(x as double) - {lo}) / ({hi} - {lo}) * 256.0), 255L)"
+    return (
+        f"transform({vec_col}, (x, i) -> "
+        f"CASE WHEN {hi} > {lo} "
+        f"THEN {lo} + (({code}) + 0.5D) * ({hi} - {lo}) / 256.0 "
+        f"ELSE {lo} END)"
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN: score int8-decoded vectors, take the
+    top ``rerank`` candidates, then re-rank them with exact cosine — the
+    FAISS SQ8 tier between raw floats and PQ (4× smaller vectors, near-
+    lossless recall; PQ is 32×, lossier).
+
+    At 100 TB the scan reads codes instead of floats; here the decode is
+    an in-plan transform so the *plan shape* (scan → map(score) →
+    TakeOrderedAndProject(rerank) → exact rerank over ≤rerank rows) is the
+    one that matters.  Candidate cut ranks on round(approx, 6) with an id
+    tie-break so the rerank set is reproducible cross-engine."""
+    mn, mx = sq8_stats(emb, vec_col)
+    dv = F.expr(_sq8_decoded_sql(vec_col, mn, mx))
+    q = F.expr(_sql_double_array(query_vec))
+    scored = emb.select(
+        F.col(id_col), F.round(cosine(dv, q), 6).alias("acos")
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    cand = (
+        scored.orderBy(F.col("acos").desc(), F.col(id_col).asc())
+        .limit(rerank)
+        .select(id_col)
+    )
+    survivors = emb.join(F.broadcast(cand), id_col, "left_semi")
+    return cosine_topk(survivors, query_vec, k=k, id_col=id_col, vec_col=vec_col,
+                       exclude_id=exclude_id)

@@ -1139,3 +1139,43 @@ def decontaminate_fuzzy_sql(
             / (len(sa.shs) + len(sb.shs) - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))))::DOUBLE,
         6) >= {threshold}
     """
+
+
+def sq8_topk_sql(query_id: int = 0, k: int = 10, rerank: int = 50, dim: int = 64) -> str:
+    """Mirror of similarity.sq8_topk: per-dim min/max codebook from the
+    corpus, midpoint decode, rounded-approx candidate cut, exact-cosine
+    rerank."""
+    lo = "sarr.mns[i]"
+    hi = "sarr.mxs[i]"
+    code = f"least(floor((embedding[i]::DOUBLE - {lo}) / ({hi} - {lo}) * 256.0), 255.0)"
+    decode = (
+        f"CASE WHEN {hi} > {lo} "
+        f"THEN {lo} + (({code}) + 0.5) * ({hi} - {lo}) / 256.0 "
+        f"ELSE {lo} END"
+    )
+    acos = _cosine_sql("dec.dv", "q.qv")
+    final_cos = _cosine_sql("b.embedding", "q.qv")
+    return f"""
+    WITH dims AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+    stats AS (
+        SELECT pos, min(embedding[pos]::DOUBLE) AS mn, max(embedding[pos]::DOUBLE) AS mx
+        FROM embeddings, dims GROUP BY pos
+    ),
+    sarr AS (
+        SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_id}),
+    dec AS (
+        SELECT vec_id,
+               list_transform(range(1, {dim + 1}), i -> {decode}) AS dv
+        FROM embeddings, sarr WHERE vec_id != {query_id}
+    ),
+    approx AS (
+        SELECT dec.vec_id, round({acos}, 6) AS acos FROM dec, q
+    ),
+    cand AS (SELECT vec_id FROM approx ORDER BY acos DESC, vec_id ASC LIMIT {rerank})
+    SELECT b.vec_id, round({final_cos}, 6) AS cos_sim
+    FROM embeddings b JOIN cand USING (vec_id), q
+    ORDER BY {final_cos} DESC, b.vec_id ASC
+    LIMIT {k}
+    """

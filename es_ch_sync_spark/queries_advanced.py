@@ -394,3 +394,15 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.sampling import decontaminate_fuzzy
 
     return decontaminate_fuzzy(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+@register("ann_sq8_topk", _o.sq8_topk_sql(query_id=0, k=10, rerank=50, dim=64))
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN: int8 decode scoring (4× smaller vectors)
+    → top-50 candidates → exact-cosine rerank → top-10. Completes the
+    quantization ladder (floats → SQ8 → PQ → IVF-PQ)."""
+    from es_ch_sync_spark.operators.similarity import sq8_topk
+    from es_ch_sync_spark.queries_relational import _ivf_query_vec
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, _ivf_query_vec(sf_dir, 0), k=10, rerank=50, exclude_id=0)

@@ -455,3 +455,17 @@ def test_srp_bucket_cap_bounds_degenerate_corpus(spark):
         ).collect()
     }
     assert roomy == uncapped
+
+
+def test_sq8_topk_recall_vs_exact(spark, sf_dir):
+    """SQ8 with exact rerank should recover nearly all of the exact
+    top-10 (8-bit quantization is near-lossless for candidate cuts)."""
+    from es_ch_sync_spark.io.sources import read_parquet_table
+    from es_ch_sync_spark.operators.similarity import cosine_topk, sq8_topk
+    from es_ch_sync_spark.queries_relational import _ivf_query_vec
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    qv = _ivf_query_vec(sf_dir, 0)
+    exact = [r["vec_id"] for r in cosine_topk(emb, qv, k=10, exclude_id=0).collect()]
+    sq8 = [r["vec_id"] for r in sq8_topk(emb, qv, k=10, rerank=50, exclude_id=0).collect()]
+    assert len(set(exact) & set(sq8)) >= 8
