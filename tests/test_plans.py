@@ -219,3 +219,42 @@ def test_assign_shards_no_global_window(plans):
     for line in p.splitlines():
         if "Window [" in line and "bucket" not in line:
             assert "_t" in line, f"global window over doc rows: {line}"
+
+
+def test_sketch_plans_no_cartesian(plans):
+    """KMV/CMS sketches: composite-key shuffles and broadcast probes only."""
+    for q in ("kmv_distinct_users", "cms_frequency"):
+        p = plans(q)
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+    # CMS probe joins the tiny grid broadcast-side.
+    assert "BroadcastHashJoin" in plans("cms_frequency")
+
+
+def test_triangle_plan_equi_joins_only(plans):
+    """Degree-ordered triangle counting must stay pure equi-join — a
+    cartesian here is the difference between arboricity-bounded and n²."""
+    p = plans("triangle_coactivity")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fuzzy_join_blocked_not_nested_loop(plans):
+    """The Levenshtein verify must ride on the block-key equi-join (hash or
+    merge), never demote it to a nested-loop over all pairs."""
+    p = plans("fuzzy_blocked_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_trigram_model_join_broadcasts(plans):
+    """The |charset|^3-bounded LM model must broadcast to the scoring side."""
+    assert "BroadcastHashJoin" in plans("trigram_perplexity")
+
+
+def test_sq8_candidate_cut_take_ordered(plans):
+    """SQ8's approx cut plans TakeOrderedAndProject (per-partition top-k),
+    not a global sort."""
+    p = plans("ann_sq8_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

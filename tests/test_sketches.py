@@ -104,3 +104,29 @@ def test_cms_grid_bounded(spark, sf_dir):
     the fixed-memory property."""
     ev = _events(spark, sf_dir)
     assert cms_build(ev, "event_id", depth=4, width=32).count() <= 4 * 32
+
+
+def test_kmv_mergeable_across_days(spark, sf_dir):
+    """Mergeability: per-day bottom-k sketches, merged (union of hash sets,
+    re-truncate) equal the single-pass corpus sketch BIT-FOR-BIT — the
+    property that lets 100 TB be sketched per-partition and combined."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from es_ch_sync_spark.io.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    k = 32
+    single = kmv_sketch(ev, "user_id", [], k=k)
+    daily = kmv_sketch(
+        ev.withColumn("day", F.to_date("ts")), "user_id", ["day"], k=k
+    )
+    merged = (
+        daily.select("h").distinct()
+        .withColumn("rank", F.row_number().over(Window.orderBy("h")))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+    assert sorted(r["h"] for r in single.collect()) == sorted(
+        r["h"] for r in merged.collect()
+    )
