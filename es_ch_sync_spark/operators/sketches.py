@@ -272,3 +272,86 @@ def cms_point_estimates(
         "cnt", F.coalesce("cnt", F.lit(0))
     )
     return joined.groupBy("key").agg(F.min("cnt").alias("cms_est"))
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def histogram_bins(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    bins: int = 64,
+    edges: tuple[float, float] | None = None,
+) -> tuple[DataFrame, float, float]:
+    """Mergeable equi-width histogram: global [min, max] edges (two driver
+    scalars), per-(group, bin) integer counts. The grid is the sufficient
+    statistic — grids built against the SAME edges sum cell-wise, which is
+    what makes the quantile path below a one-scan mergeable summary at
+    100 TB (the fixed-bin sibling of a t-digest, chosen because its merge
+    and its estimates are bit-deterministic). Pass ``edges`` to pin the
+    bin layout across batches/partitions (the merge contract); default
+    derives them from the input."""
+    if edges is None:
+        row = df.agg(
+            F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
+        ).collect()[0]
+        mn, mx = float(row["mn"]), float(row["mx"])
+    else:
+        mn, mx = float(edges[0]), float(edges[1])
+    span = mx - mn
+    bin_idx = F.least(
+        F.floor((F.col(value_col) - F.lit(mn)) / F.lit(span) * F.lit(float(bins))),
+        F.lit(bins - 1).cast("long"),
+    )
+    grid = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bin_idx.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return grid, mn, mx
+
+
+def histogram_quantile_estimates(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: list[float],
+    bins: int = 64,
+) -> DataFrame:
+    """Per-group quantile estimates by linear interpolation inside the
+    histogram bin where the cumulative count crosses q·N.  Output one row
+    per (group, q): (*group_cols, q, est_q) rounded(6).
+
+    The per-group window runs over ≤ ``bins`` rows per group (the grid,
+    not the data) — the wide work is all in the mergeable grid build."""
+    grid, mn, mx = histogram_bins(df, value_col, group_cols, bins)
+    w = float(mx - mn) / float(bins)
+    win = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = grid.withColumn("cum", F.sum("cnt").over(win)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    totals = grid.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    qdf = cum.join(F.broadcast(totals), list(group_cols))
+    out = None
+    for q in qs:
+        target = F.lit(float(q)) * F.col("n").cast("double")
+        hit = qdf.where(
+            (F.col("cum").cast("double") >= target)
+            & (F.col("cum_prev").cast("double") < target)
+        )
+        est = (
+            F.lit(mn)
+            + F.col("bin").cast("double") * F.lit(w)
+            + (target - F.col("cum_prev").cast("double"))
+            / F.col("cnt").cast("double")
+            * F.lit(w)
+        )
+        rows = hit.select(
+            *group_cols, F.lit(float(q)).alias("q"), F.round(est, 6).alias("est_q")
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out

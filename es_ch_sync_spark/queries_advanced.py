@@ -406,3 +406,112 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return sq8_topk(emb, _ivf_query_vec(sf_dir, 0), k=10, rerank=50, exclude_id=0)
+
+
+@register(
+    "histogram_quantiles",
+    """
+    WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    b AS (
+        SELECT event_type,
+               least(floor((value - s.mn) / (s.mx - s.mn) * 64.0), 63.0)::BIGINT AS bin
+        FROM events, s WHERE value IS NOT NULL
+    ),
+    grid AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+        SELECT event_type, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        FROM grid
+    ),
+    tot AS (SELECT event_type, sum(cnt)::BIGINT AS n FROM grid GROUP BY 1),
+    qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q),
+    hit AS (
+        SELECT c.event_type, q.q, c.bin, c.cnt, c.cum - c.cnt AS cum_prev, t.n
+        FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs q
+        WHERE c.cum::DOUBLE >= q.q * t.n::DOUBLE
+          AND (c.cum - c.cnt)::DOUBLE < q.q * t.n::DOUBLE
+    ),
+    est AS (
+        SELECT event_type, q,
+               round(s.mn + bin::DOUBLE * ((s.mx - s.mn) / 64.0)
+                     + (q * n::DOUBLE - cum_prev::DOUBLE) / cnt::DOUBLE
+                       * ((s.mx - s.mn) / 64.0), 6) AS est_q
+        FROM hit, s
+    ),
+    ex AS (
+        SELECT event_type,
+               unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q,
+               unnest([round(quantile_cont(value, 0.5), 6),
+                       round(quantile_cont(value, 0.95), 6)]) AS exact_q
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.q, e.est_q, x.exact_q,
+           round(abs(e.est_q - x.exact_q), 6) AS abs_err
+    FROM est e JOIN ex x ON e.event_type = x.event_type AND e.q = x.q
+    """,
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch (the fixed-bin,
+    bit-deterministic sibling of a t-digest): per-(group, bin) integer
+    counts are the sufficient statistic; p50/p95 estimated by in-bin
+    linear interpolation and compared against the exact interpolated
+    percentiles. Completes the sketch triad: cardinality (KMV),
+    frequency (CMS), quantiles (histogram)."""
+    from es_ch_sync_spark.operators.sketches import histogram_quantile_estimates
+
+    ev = _t(spark, sf_dir, "events")
+    est = histogram_quantile_estimates(ev, "value", ["event_type"], [0.5, 0.95], bins=64)
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("e50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("e95"),
+    )
+    exact_tall = exact.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0.5).alias("q"), F.col("e50").alias("exact_q")),
+                F.struct(F.lit(0.95).alias("q"), F.col("e95").alias("exact_q")),
+            )
+        ).alias("x"),
+    ).select("event_type", F.col("x.q").alias("q"), F.col("x.exact_q").alias("exact_q"))
+    return est.join(exact_tall, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "est_q",
+        "exact_q",
+        F.round(F.abs(F.col("est_q") - F.col("exact_q")), 6).alias("abs_err"),
+    )
+
+
+@register(
+    "streaming_kmv_distinct",
+    _KMV_CTE + "SELECT g AS event_type, n_kept, est AS est_distinct FROM pest",
+)
+def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch as a STREAMING aggregate: the bottom-k hash
+    set per event type maintained across micro-batches (AvailableNow
+    drain, complete mode) — order-insensitive by construction, so the
+    drained result equals the batch sketch (the oracle). State per group
+    is the distinct-hash set; for unbounded key domains the batch
+    prefilter tier / a bounded-state applyInPandasWithState variant is
+    the scale path (documented trade)."""
+    from es_ch_sync_spark.operators.sketches import HASH_SPACE, hash56
+    from es_ch_sync_spark.queries_relational import _drain_to_memory, _read_events_stream
+
+    stream = _read_events_stream(spark, sf_dir)
+    hashed = stream.where(F.col("user_id").isNotNull()).select(
+        "event_type", hash56("user_id", seed="kmv").alias("h")
+    )
+    agg = hashed.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, 64).alias("hs")
+    )
+    n = F.size("hs")
+    est = F.when(n < 64, n.cast("double")).otherwise(
+        F.lit(63.0) / (F.element_at("hs", 64).cast("double") / F.lit(HASH_SPACE))
+    )
+    out = agg.select(
+        "event_type",
+        n.cast("long").alias("n_kept"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+    return _drain_to_memory(out, "complete")

@@ -130,3 +130,49 @@ def test_kmv_mergeable_across_days(spark, sf_dir):
     assert sorted(r["h"] for r in single.collect()) == sorted(
         r["h"] for r in merged.collect()
     )
+
+
+def test_histogram_quantile_within_bin_width(spark, sf_dir):
+    """Histogram quantile estimates land within one bin width of the exact
+    interpolated percentile (the sketch's error bound)."""
+    from es_ch_sync_spark.operators.sketches import histogram_quantile_estimates
+
+    ev = _events(spark, sf_dir)
+    bins = 64
+    row = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx")).collect()[0]
+    width = (row["mx"] - row["mn"]) / bins
+    est = {
+        (r["event_type"], r["q"]): r["est_q"]
+        for r in histogram_quantile_estimates(
+            ev, "value", ["event_type"], [0.5, 0.95], bins=bins
+        ).collect()
+    }
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.95)").alias("e95"),
+    )
+    for r in exact.collect():
+        assert abs(est[(r["event_type"], 0.5)] - r["e50"]) <= width
+        assert abs(est[(r["event_type"], 0.95)] - r["e95"]) <= width
+
+
+def test_histogram_grid_mergeable(spark, sf_dir):
+    """Grids built on disjoint halves AGAINST THE SAME EDGES sum cell-wise
+    to the full grid — the mergeability contract (edges pinned via the
+    ``edges`` parameter, exactly how per-day batches share a layout)."""
+    from es_ch_sync_spark.operators.sketches import histogram_bins
+
+    ev = _events(spark, sf_dir).cache()
+    full, mn, mx = histogram_bins(ev, "value", ["event_type"], bins=32)
+    lo = ev.where(F.col("event_id") % 2 == 0)
+    hi = ev.where(F.col("event_id") % 2 == 1)
+    g_lo, _, _ = histogram_bins(lo, "value", ["event_type"], bins=32, edges=(mn, mx))
+    g_hi, _, _ = histogram_bins(hi, "value", ["event_type"], bins=32, edges=(mn, mx))
+    merged = (
+        g_lo.unionByName(g_hi)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    f = {(r["event_type"], r["bin"]): r["cnt"] for r in full.collect()}
+    m = {(r["event_type"], r["bin"]): r["cnt"] for r in merged.collect()}
+    assert f == m
