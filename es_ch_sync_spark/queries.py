@@ -51,6 +51,7 @@ def _load_extra_registries() -> None:
     """Import side-effect modules that call register() (idempotent)."""
     import es_ch_sync_spark.queries_advanced  # noqa: F401
     import es_ch_sync_spark.queries_curation  # noqa: F401
+    import es_ch_sync_spark.queries_pipeline  # noqa: F401
     import es_ch_sync_spark.queries_relational  # noqa: F401
     import es_ch_sync_spark.queries_sql  # noqa: F401
 

@@ -1,0 +1,387 @@
+"""Round-4 pipeline-feature registry: token-window chunking, bloom-filter
+runtime semi-join, embedding corpus diagnostics, SCD2 point-in-time join,
+and Zipf corpus-health fit — each with a DuckDB oracle.
+
+Same determinism contract as queries.py: md5-derived hashes, round(4-6) on
+any double surface, explicit tie-breaks, scalar cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.io.sources import read_parquet_table
+from es_ch_sync_spark.operators.features import (
+    bloom_semijoin_audit,
+    centroid_drift,
+    chunk_documents,
+    embedding_gram,
+    scd2_join,
+    scd2_versions,
+    zipf_fit,
+)
+from es_ch_sync_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# DuckDB mirror of operators.sketches.hash56 (56-bit md5 fold).
+def _h56(s: str) -> str:
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, 15), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({s}), i, 1)) - 1)::BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(list_distinct(list_transform(
+                   range(0, CASE WHEN n <= {_CHUNK_W} THEN 0
+                             ELSE ceil((n - {_CHUNK_W}) / {_CHUNK_S}.0)::BIGINT
+                         END + 1),
+                   i -> least(i * {_CHUNK_S}, greatest(n - {_CHUNK_W}, 0))
+               ))) AS start
+        FROM t
+    )
+    SELECT doc_id, start::INTEGER AS start_tok,
+           len(toks[start + 1 : start + {_CHUNK_W}])::INTEGER AS n_tok,
+           md5(array_to_string(toks[start + 1 : start + {_CHUNK_W}], ' '))
+               AS chunk_md5
+    FROM s
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 24, last window
+    clamped to the final token) — the LLM-training prep step that turns
+    documents into model-ready sequences. Single Generate, zero shuffles."""
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), window=_CHUNK_W, stride=_CHUNK_S
+    )
+
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    seeded = f"'bloom{j}:' || {key}::VARCHAR"
+    return f"{_h56(seeded)} % {_BLOOM_M}"
+
+
+@register(
+    "bloom_semijoin",
+    f"""
+    WITH pos AS (
+        SELECT DISTINCT p FROM (
+            SELECT unnest([{_bloom_pos_sql('c_custkey', 0)},
+                           {_bloom_pos_sql('c_custkey', 1)},
+                           {_bloom_pos_sql('c_custkey', 2)}]) AS p
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+    ),
+    pass_rows AS (
+        SELECT o_orderpriority FROM orders
+        WHERE {_bloom_pos_sql('o_custkey', 0)} IN (SELECT p FROM pos)
+          AND {_bloom_pos_sql('o_custkey', 1)} IN (SELECT p FROM pos)
+          AND {_bloom_pos_sql('o_custkey', 2)} IN (SELECT p FROM pos)
+    ),
+    exact_rows AS (
+        SELECT o_orderpriority FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    ),
+    pc AS (SELECT o_orderpriority, count(*) AS bloom_pass
+           FROM pass_rows GROUP BY 1),
+    ec AS (SELECT o_orderpriority, count(*) AS exact_match
+           FROM exact_rows GROUP BY 1)
+    SELECT coalesce(pc.o_orderpriority, ec.o_orderpriority) AS o_orderpriority,
+           coalesce(bloom_pass, 0) AS bloom_pass,
+           coalesce(exact_match, 0) AS exact_match,
+           coalesce(bloom_pass, 0) - coalesce(exact_match, 0) AS false_pos
+    FROM pc FULL OUTER JOIN ec USING (o_orderpriority)
+    """,
+)
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime semi-join audit: BUILDING-segment customers
+    compressed into a ≤{m}-bucket occupied set (broadcast KBs however big
+    the build side), probed by orders; exact semi-join counts the false
+    positives per order priority. The production pattern behind Spark's
+    InjectRuntimeFilter."""
+    return bloom_semijoin_audit(
+        _t(spark, sf_dir, "customer").where(
+            F.col("c_mktsegment") == "BUILDING"
+        ),
+        _t(spark, sf_dir, "orders"),
+        build_key="c_custkey",
+        probe_key="o_custkey",
+        probe_id="o_orderkey",
+        group_col="o_orderpriority",
+        m=_BLOOM_M,
+        k=_BLOOM_K,
+    )
+
+
+@register(
+    "embedding_centroid_drift",
+    """
+    WITH pe AS (
+        SELECT vec_id, label, i::INTEGER AS pos, embedding[i + 1]::DOUBLE AS x
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) d
+    ),
+    grp AS (SELECT label, pos, round(avg(x), 6) AS c FROM pe GROUP BY 1, 2),
+    gl AS (SELECT pos, round(avg(x), 6) AS g FROM pe GROUP BY 1),
+    n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1)
+    SELECT grp.label, any_value(n.n_vectors) AS n_vectors,
+           round(sqrt(sum((grp.c - gl.g) * (grp.c - gl.g))), 4) AS drift
+    FROM grp JOIN gl USING (pos) JOIN n ON n.label = grp.label
+    GROUP BY grp.label
+    """,
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distance from the global centroid — the corpus
+    mixture-drift monitor. Dim means rounded(6) pre-distance on both
+    engines so summation order can't leak."""
+    return centroid_drift(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_gram",
+    """
+    WITH pe AS (
+        SELECT vec_id, i::INTEGER AS i, embedding[i + 1]::DOUBLE AS x
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) d
+    )
+    SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 4) AS gram
+    FROM pe a JOIN pe b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix of the embedding corpus (PCA/whitening
+    sufficient statistic) via per-partition numpy fold — the shuffle moves
+    O(partitions·d²) partials, never O(n·d²) exploded rows."""
+    return embedding_gram(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+@register(
+    "scd2_dim_join",
+    """
+    WITH v AS (
+        SELECT user_id, event_id AS version_id,
+               round(value, 4) AS version_value, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+    )
+    SELECT p.event_id, p.user_id, v.version_id, v.version_value
+    FROM events p JOIN v ON p.user_id = v.user_id
+    WHERE p.event_type = 'purchase'
+      AND p.ts >= v.valid_from
+      AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+    """,
+)
+def q_scd2_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 point-in-time join: click events version each user's
+    state over [ts, next_ts); each purchase picks the version active at
+    its timestamp. Equi-join on user + interval filter — never a range
+    join; the lead() window is per-key."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("version_id"),
+        F.round("value", 4).alias("version_value"),
+    )
+    versions = scd2_versions(
+        clicks, key_col="user_id", ts_col="ts", tiebreak_col="version_id"
+    ).select("user_id", "version_id", "version_value", "valid_from", "valid_to")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("fact_ts")
+    )
+    return scd2_join(
+        purchases, versions, key_col="user_id", fact_ts_col="fact_ts"
+    ).select("event_id", "user_id", "version_id", "version_value")
+
+
+@register(
+    "zipf_fit",
+    """
+    WITH wc AS (
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY 1 ORDER BY cnt DESC, word LIMIT 100
+    ),
+    r AS (
+        SELECT ln((row_number() OVER (ORDER BY cnt DESC, word))::DOUBLE) AS lx,
+               ln(cnt::DOUBLE) AS ly
+        FROM wc
+    ),
+    s AS (
+        SELECT count(*)::DOUBLE AS n, sum(lx) AS sx, sum(ly) AS sy,
+               sum(lx * ly) AS sxy, sum(lx * lx) AS sxx, sum(ly * ly) AS syy
+        FROM r
+    )
+    SELECT n::BIGINT AS n_words,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS zipf_slope,
+           round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n,
+                 4) AS intercept,
+           round(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS r2
+    FROM s
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS over the top-100 corpus words — corpus-health
+    diagnostic (natural text ≈ slope −1). Distributed TakeOrdered truncates
+    to ≤100 rows before the only serial window."""
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_n=100)
+
+
+from es_ch_sync_spark.oracles import WORDS_CTE as _WORDS_CTE  # noqa: E402
+
+
+@register(
+    "winsorized_stats",
+    """
+    WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    q AS (
+        SELECT event_type, round(quantile_cont(value, 0.05), 6) AS q_lo,
+               round(quantile_cont(value, 0.95), 6) AS q_hi
+        FROM e GROUP BY 1
+    ),
+    c AS (
+        SELECT e.event_type, least(greatest(e.value, q.q_lo), q.q_hi) AS v,
+               q.q_lo, q.q_hi
+        FROM e JOIN q USING (event_type)
+    )
+    SELECT event_type, count(*) AS n, any_value(q_lo) AS q_lo,
+           any_value(q_hi) AS q_hi, round(avg(v), 4) AS wins_mean,
+           round(stddev_samp(v), 4) AS wins_std
+    FROM c GROUP BY event_type
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/std per event type: clip at the exact interpolated
+    [p05, p95] (rounded(6) pre-clip on both engines), then aggregate —
+    heavy-tail-robust score calibration."""
+    from es_ch_sync_spark.operators.features import winsorized_stats
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return winsorized_stats(ev, "value", ["event_type"], lo=0.05, hi=0.95)
+
+
+@register(
+    "fingerprint_nn",
+    _WORDS_CTE
+    + """
+    , e AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf::DOUBLE * ln(nd.n_docs::DOUBLE / dfreq.df::DOUBLE),
+                     6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    fp AS (
+        SELECT doc_id, term, tfidf FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored)
+        WHERE rank <= 4
+    ),
+    nrm AS (SELECT doc_id, round(sqrt(sum(tfidf * tfidf)), 6) AS nrm
+            FROM fp GROUP BY 1),
+    wt AS (
+        SELECT fp.doc_id AS doc, term, tfidf / nrm AS w
+        FROM fp JOIN nrm USING (doc_id) WHERE nrm > 0
+    ),
+    pairs AS (
+        SELECT a.doc AS doc_id, b.doc AS nbr_id,
+               round(sum(a.w * b.w), 4) AS sim
+        FROM wt a JOIN wt b USING (term)
+        WHERE a.doc != b.doc GROUP BY 1, 2
+    )
+    SELECT doc_id, nbr_id, sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY sim DESC, nbr_id) AS rk
+        FROM pairs)
+    WHERE rk = 1
+    """,
+)
+def q_fingerprint_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf·idf-fingerprint nearest neighbor through a term inverted
+    index — the sparse counterpart of the dense embedding near-dup join;
+    candidate cost scales with fingerprint df², not corpus df²."""
+    from es_ch_sync_spark.operators.features import fingerprint_nearest_neighbor
+
+    return fingerprint_nearest_neighbor(_t(spark, sf_dir, "documents"), k_terms=4)
+
+
+_SCD2_CUTOFF = "2024-01-16 00:00:00"
+
+
+@register(
+    "scd2_upsert",
+    f"""
+    WITH v AS (
+        SELECT user_id, event_id AS version_id, round(value, 4) AS version_value,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+    )
+    SELECT user_id, version_id, version_value, valid_from,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_open
+    FROM v
+    """,
+)
+def q_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 upsert: the stored dimension (versions from clicks
+    before {cutoff}) plus the post-cutoff change batch, merged touching only
+    batch keys — checked against the oracle's FULL recompute, which is the
+    incremental path's correctness invariant."""
+    from es_ch_sync_spark.operators.features import scd2_upsert, scd2_versions
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("version_id"),
+        F.round("value", 4).alias("version_value"),
+    )
+    cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    hist = clicks.where(F.col("ts") < cutoff)
+    batch = clicks.where(F.col("ts") >= cutoff)
+    stored = scd2_versions(
+        hist, key_col="user_id", ts_col="ts", tiebreak_col="version_id"
+    ).select("user_id", "version_id", "version_value", "valid_from", "valid_to")
+    merged = scd2_upsert(
+        stored, batch, key_col="user_id", ts_col="ts", tiebreak_col="version_id"
+    )
+    return merged.select(
+        "user_id",
+        "version_id",
+        "version_value",
+        "valid_from",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_open"),
+    )

@@ -1,0 +1,218 @@
+"""Unit + plan tests for operators/features.py (round-4 pipeline batch)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.operators.features import (
+    bloom_semijoin_audit,
+    chunk_documents,
+    embedding_gram,
+    scd2_join,
+    scd2_versions,
+)
+from es_ch_sync_spark.queries import spark_queries
+
+
+def test_chunk_covers_every_token_no_short_tails(spark):
+    # 70 tokens, window 32, stride 24 → starts 0, 24, 38 (clamped from 48)
+    text = " ".join(f"w{i}" for i in range(70))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, window=32, stride=24).collect(),
+        key=lambda r: r.start_tok,
+    )
+    assert [r.start_tok for r in rows] == [0, 24, 38]
+    assert all(r.n_tok == 32 for r in rows)  # clamp, never a short tail
+    # last chunk ends exactly at the last token
+    assert rows[-1].start_tok + rows[-1].n_tok == 70
+
+
+def test_chunk_short_doc_single_whole_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = chunk_documents(df, window=32, stride=24).collect()
+    assert len(rows) == 1
+    assert rows[0].start_tok == 0 and rows[0].n_tok == 3
+
+
+def test_chunk_exact_multiple_no_duplicate_start(spark):
+    # n - window divisible by stride: clamped last == regular last start
+    text = " ".join(f"w{i}" for i in range(56))  # 56-32 = 24 = stride
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, window=32, stride=24).collect()
+    assert sorted(r.start_tok for r in rows) == [0, 24]
+
+
+def test_chunk_plan_has_no_shuffle(spark, sf_dir):
+    from es_ch_sync_spark.io.sources import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    plan = (
+        chunk_documents(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_bloom_no_false_negatives_and_broadcast(spark):
+    build = spark.range(0, 50).select(F.col("id").alias("k"))
+    probe = spark.range(0, 500).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 100).alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    out = bloom_semijoin_audit(
+        build, probe, "k", "k", "pid", "g", m=256, k=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # probe-side joins broadcast the tiny occupied-set / build-key frames;
+    # the final full-outer merge of two count frames may be SMJ (full outer
+    # cannot broadcast) — that join moves O(groups) rows, which is fine.
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    agg = out.agg(
+        F.sum("false_pos").alias("fp"),
+        F.sum("exact_match").alias("ex"),
+        F.sum("bloom_pass").alias("bp"),
+    ).collect()[0]
+    assert agg.ex == 250  # ids with k < 50: 5 of every 10
+    assert agg.bp >= agg.ex  # a bloom filter never drops a true match
+    assert agg.fp == agg.bp - agg.ex >= 0
+
+
+def test_gram_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    got = {
+        (r.i, r.j): r.gram
+        for r in embedding_gram(df, dim=8).collect()
+    }
+    want = vecs.astype("float64").T @ vecs.astype("float64")
+    assert len(got) == 8 * 9 // 2
+    for (i, j), v in got.items():
+        assert v == pytest.approx(want[i, j], abs=2e-4)
+
+
+def test_scd2_versions_intervals_tile_timeline(spark):
+    ev = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 30, 102), (2, 15, 200)],
+        "user long, t long, eid long",
+    )
+    v = scd2_versions(ev, "user", "t", "eid").collect()
+    by_eid = {r.eid: r for r in v}
+    assert by_eid[100].valid_to == 20 and by_eid[101].valid_to == 30
+    assert by_eid[102].valid_to is None and by_eid[200].valid_to is None
+
+
+def test_scd2_join_picks_active_version(spark):
+    ev = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101)], "user long, t long, eid long"
+    )
+    versions = scd2_versions(ev, "user", "t", "eid")
+    facts = spark.createDataFrame(
+        [(1, 9, 900), (1, 10, 901), (1, 19, 902), (1, 20, 903), (1, 99, 904)],
+        "user long, ft long, fid long",
+    )
+    out = scd2_join(facts, versions, "user", "ft").select("fid", "eid")
+    got = {r.fid: r.eid for r in out.collect()}
+    # fact at t=9 predates every version; boundary t=20 belongs to the new one
+    assert got == {901: 100, 902: 100, 903: 101, 904: 101}
+
+
+def test_zipf_slope_is_negative_on_corpus(spark, sf_dir):
+    qs = spark_queries()
+    row = qs["zipf_fit"](spark, sf_dir).collect()[0]
+    assert 2 <= row.n_words <= 100  # synthetic corpus vocab is small
+    assert row.zipf_slope < 0
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_centroid_drift_zero_for_single_group(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], 0) for i in range(6)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    from es_ch_sync_spark.operators.features import centroid_drift
+
+    rows = centroid_drift(df).collect()
+    assert len(rows) == 1 and rows[0].drift == 0.0 and rows[0].n_vectors == 6
+
+
+def test_winsorized_mean_within_clip_bounds(spark, sf_dir):
+    from es_ch_sync_spark.io.sources import read_parquet_table
+    from es_ch_sync_spark.operators.features import winsorized_stats
+
+    ev = read_parquet_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    for r in winsorized_stats(ev, "value", ["event_type"]).collect():
+        assert r.q_lo <= r.wins_mean <= r.q_hi
+        assert r.wins_std >= 0
+
+
+def test_scd2_upsert_equals_full_recompute(spark):
+    rows = [
+        # user 1: history + batch changes; user 2: history only (untouched);
+        # user 3: appears only in the batch (new key)
+        (1, 10, 100, 1.0), (1, 20, 101, 2.0), (1, 35, 102, 3.0),
+        (2, 12, 200, 4.0),
+        (3, 40, 300, 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "user long, t long, eid long, v double")
+    from es_ch_sync_spark.operators.features import scd2_upsert, scd2_versions
+
+    hist = ev.where(F.col("t") < 30)
+    batch = ev.where(F.col("t") >= 30)
+    stored = scd2_versions(hist, "user", "t", "eid")
+    got = scd2_upsert(stored, batch, "user", "t", "eid")
+    want = scd2_versions(ev, "user", "t", "eid")
+    k = lambda r: (r.user, r.eid)  # noqa: E731
+    gs, ws = sorted(got.collect(), key=k), sorted(want.collect(), key=k)
+    assert [
+        (r.user, r.eid, r.valid_from, r.valid_to) for r in gs
+    ] == [(r.user, r.eid, r.valid_from, r.valid_to) for r in ws]
+
+
+def test_fingerprint_nn_identical_docs_are_mutual_neighbors(spark):
+    from es_ch_sync_spark.operators.features import fingerprint_nearest_neighbor
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zeta eta theta iota"),
+            (4, "zeta eta theta kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    nn = {r.doc_id: (r.nbr_id, r.sim) for r in
+          fingerprint_nearest_neighbor(docs, k_terms=4).collect()}
+    assert nn[1] == (2, 1.0) and nn[2] == (1, 1.0)
+    assert nn[3][0] == 4 and nn[4][0] == 3
+    assert nn[3][1] < 1.0
+
+
+def test_fingerprint_nn_plan_no_cartesian(spark, sf_dir):
+    qs = spark_queries()
+    plan = (
+        qs["fingerprint_nn"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the doc×doc pair join must go through the term inverted index (an
+    # equi-join on term), never an all-pairs join; the only BNLJ in the
+    # plan is the broadcast-of-one-row n_docs total inside tfidf scoring.
+    assert "Join [term" in plan
