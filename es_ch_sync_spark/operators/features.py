@@ -503,3 +503,83 @@ def fingerprint_nearest_neighbor(
         .where(F.col("rk") == 1)
         .select("doc_id", "nbr_id", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key lag / rolling features (ML feature generation)
+# ---------------------------------------------------------------------------
+
+
+def lag_features(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    roll_n: int = 3,
+) -> DataFrame:
+    """Classic per-entity time-series features: previous value, gap since
+    the previous event, and a trailing ``roll_n``-row mean — the standard
+    tabular-ML feature block.
+
+    All windows partition by the entity key and order by (ts, tiebreak):
+    per-key history is bounded, so no global sort ever happens; one shuffle
+    on the key serves every feature (Catalyst reuses the sort)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    wr = w.rowsBetween(-(roll_n - 1), 0)
+    # epoch micros for timestamps (truncation-exact in both engines), raw
+    # numeric difference otherwise
+    if df.schema[ts_col].dataType.typeName() == "timestamp":
+        ts_num = F.unix_micros(F.col(ts_col))
+    else:
+        ts_num = F.col(ts_col).cast("long")
+    return df.select(
+        F.col(key_col),
+        F.col(tiebreak_col),
+        F.round(F.col(value_col), 4).alias("value"),
+        F.round(F.lag(value_col).over(w), 4).alias("prev_value"),
+        (ts_num - F.lag(ts_num).over(w)).alias("gap_us"),
+        F.round(F.avg(value_col).over(wr), 4).alias("roll_mean"),
+        F.count(F.lit(1)).over(wr).cast("int").alias("roll_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics
+# ---------------------------------------------------------------------------
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Shuffle-key skew diagnostics: row count, distinct keys, the heaviest
+    key's share, the top-``top_n`` share, and the Herfindahl index (sum of
+    squared key shares — 1/HHI is the effective number of keys).
+
+    This is the measurement that justifies salting/AQE-skew handling before
+    a groupBy/join on ``key_col``. Everything is aggregation + one
+    TakeOrdered over the per-key count table — no global sort, no window —
+    so the report itself is safe to run on the 100 TB input it measures."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col(key_col)).limit(top_n)
+    tot = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+    )
+    topsum = top.agg(F.sum("cnt").alias("top_cnt"))
+    return (
+        tot.crossJoin(F.broadcast(topsum))
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.round(F.col("max_cnt") / F.col("n_rows"), 6).alias("max_share"),
+            F.round(F.col("top_cnt") / F.col("n_rows"), 6).alias(
+                f"top{top_n}_share"
+            ),
+            F.round(
+                F.col("sum_sq") / (F.col("n_rows") * F.col("n_rows")), 8
+            ).alias("hhi"),
+        )
+    )

@@ -385,3 +385,63 @@ def q_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_open"),
     )
+
+
+@register(
+    "lag_features",
+    """
+    SELECT user_id, event_id, round(value, 4) AS value,
+           round(lag(value) OVER w, 4) AS prev_value,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_mean,
+           (count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::INTEGER AS roll_n
+    FROM events WHERE user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag/gap/rolling-mean feature block — the tabular-ML feature
+    generator. Every window partitions by the entity key; one shuffle
+    serves all five features."""
+    from es_ch_sync_spark.operators.features import lag_features
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return lag_features(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", roll_n=3,
+    )
+
+
+@register(
+    "key_skew_report",
+    """
+    WITH c AS (
+        SELECT user_id, count(*) AS cnt FROM events
+        WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    t AS (
+        SELECT sum(cnt) AS top_cnt FROM (
+            SELECT cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)
+    ),
+    s AS (
+        SELECT sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt,
+               sum(cnt * cnt) AS sum_sq
+        FROM c
+    )
+    SELECT n_rows::BIGINT AS n_rows, n_keys::BIGINT AS n_keys,
+           round(max_cnt / n_rows::DOUBLE, 6) AS max_share,
+           round(top_cnt / n_rows::DOUBLE, 6) AS top10_share,
+           round(sum_sq / (n_rows::DOUBLE * n_rows::DOUBLE), 8) AS hhi
+    FROM s, t
+    """,
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics over events.user_id (max/top-10 share,
+    Herfindahl index) — the measurement that justifies salting or AQE skew
+    handling before keying a join on this column."""
+    from es_ch_sync_spark.operators.features import key_skew_report
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return key_skew_report(ev, "user_id", top_n=10)

@@ -216,3 +216,33 @@ def test_fingerprint_nn_plan_no_cartesian(spark, sf_dir):
     # equi-join on term), never an all-pairs join; the only BNLJ in the
     # plan is the broadcast-of-one-row n_docs total inside tfidf scoring.
     assert "Join [term" in plan
+
+
+def test_lag_features_window_semantics(spark):
+    from es_ch_sync_spark.operators.features import lag_features
+
+    df = spark.createDataFrame(
+        [(1, 100, 10, 1.0), (1, 200, 11, 3.0), (1, 300, 12, 5.0),
+         (2, 150, 20, 7.0)],
+        "user long, t long, eid long, v double",
+    )
+    rows = {r.eid: r for r in
+            lag_features(df, "user", "t", "v", "eid", roll_n=3).collect()}
+    assert rows[10].prev_value is None and rows[10].gap_us is None
+    assert rows[11].prev_value == 1.0 and rows[11].gap_us == 100
+    assert rows[12].roll_mean == 3.0 and rows[12].roll_n == 3
+    assert rows[20].roll_n == 1
+
+
+def test_key_skew_report_uniform_vs_hot(spark):
+    from es_ch_sync_spark.operators.features import key_skew_report
+
+    uniform = spark.range(0, 1000).select((F.col("id") % 100).alias("k"))
+    hot = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    u = key_skew_report(uniform, "k").collect()[0]
+    h = key_skew_report(hot, "k").collect()[0]
+    assert u.max_share == pytest.approx(0.01)
+    assert h.max_share == pytest.approx(0.9)
+    assert h.hhi > u.hhi  # the hot key dominates the Herfindahl index
