@@ -222,6 +222,59 @@ def main() -> None:
             ).count(),
         )
         skewed.unpersist()
+    if "chunk" in only:
+        from es_ch_sync_spark.operators.features import chunk_documents
+
+        timed(
+            f"chunk_documents x{replicas}",
+            lambda: chunk_documents(docs).count(),
+        )
+    if "gram" in only:
+        from es_ch_sync_spark.operators.features import embedding_gram
+
+        timed(
+            f"embedding_gram x{replicas} ({n_vecs} vectors)",
+            lambda: embedding_gram(emb, dim=64).count(),
+        )
+    if "fingerprint" in only:
+        from es_ch_sync_spark.operators.features import (
+            fingerprint_nearest_neighbor,
+        )
+
+        # replica token-suffixing keeps vocabularies disjoint across
+        # replicas, so inverted-index blocks stay replica-local and the
+        # candidate count grows linearly with the corpus
+        timed(
+            f"fingerprint_nn x{replicas}",
+            lambda: fingerprint_nearest_neighbor(docs, k_terms=4).count(),
+        )
+    if "bloom" in only:
+        from es_ch_sync_spark.io.sources import read_parquet_table
+        from es_ch_sync_spark.operators.features import bloom_semijoin_audit
+
+        reps3 = spark.range(replicas).select(F.col("id").alias("rep"))
+        cust = read_parquet_table(spark, SF, "customer")
+        orders = read_parquet_table(spark, SF, "orders")
+        big_orders = orders.crossJoin(reps3).select(
+            (F.col("o_orderkey") + F.col("rep") * 1_000_000_000).alias(
+                "o_orderkey"
+            ),
+            "o_custkey",
+            "o_orderpriority",
+        ).persist()
+        big_orders.count()
+        timed(
+            f"bloom_semijoin_audit x{replicas} (probe side x{replicas})",
+            lambda: bloom_semijoin_audit(
+                cust.filter(F.col("c_mktsegment") == "BUILDING"),
+                big_orders,
+                build_key="c_custkey",
+                probe_key="o_custkey",
+                probe_id="o_orderkey",
+                group_col="o_orderpriority",
+            ).count(),
+        )
+        big_orders.unpersist()
 
 
 if __name__ == "__main__":
