@@ -250,10 +250,12 @@ def gapfill_locf(
     keys × span-days rows (calendar rows, not data rows); the fill is one
     window sort per key — the same single-shuffle discipline as
     sessionize.  Nothing is ever collected to the driver."""
+    from es_ch_sync_spark.operators.util import round_half_up
+
     daily = df.groupBy(
         F.col(key), F.date_trunc("day", F.col(ts_col)).alias("bucket")
     ).agg(
-        F.round(
+        round_half_up(
             F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
             / F.count(value_col),
             4,

@@ -89,3 +89,20 @@ def release_intermediates(df: DataFrame) -> int:
     if n:
         setattr(df, _INTERMEDIATES_ATTR, [])
     return n
+
+
+def round_half_up(col, scale: int):
+    """Engine-portable half-up rounding: ``floor(x·10^s + 0.5) / 10^s``.
+
+    Spark's ``round()`` goes through BigDecimal on the double's
+    shortest-decimal representation; DuckDB's scales in floating point —
+    on exact .5 boundaries they can disagree by one unit in the last
+    rounded digit (first observed at sf0.1: gapfill_locf 67.49125 →
+    67.4913 vs 67.4912).  This formula is pure IEEE multiply/add/floor,
+    so identical inputs give bit-identical results in both engines; the
+    SQL mirror is ``floor(x * 10^s + 0.5) / 10^s``.  Half-up is toward
+    +inf for negatives (same in both engines — that's the point)."""
+    from pyspark.sql import functions as F
+
+    p = float(10**scale)
+    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)

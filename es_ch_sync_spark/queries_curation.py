@@ -167,7 +167,8 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAPFILL_ORACLE = """
     WITH daily AS (
         SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS bucket,
-               round(sum(value::DECIMAL(18,2))::DOUBLE / count(value), 4) AS v_avg
+               floor(sum(value::DECIMAL(18,2))::DOUBLE / count(value)
+                     * 10000 + 0.5) / 10000 AS v_avg
         FROM events GROUP BY user_id, date_trunc('day', ts)
     ), spans AS (
         SELECT user_id, min(bucket) AS d0, max(bucket) AS d1 FROM daily GROUP BY user_id

@@ -1717,12 +1717,17 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT to_timestamp(ws)::TIMESTAMP AS window_start, event_type,
            count(*) AS n_events,
-           round(sum(value::DECIMAL(12,2))::DOUBLE, 4) AS v_sum
+           floor(sum(value::DECIMAL(12,2))::DOUBLE * 10000 + 0.5) / 10000
+               AS v_sum
     FROM (
-        SELECT e.*, (epoch(ts)::BIGINT // 21600) * 21600 - i.i * 21600 AS ws
+        -- floor(epoch), not ::BIGINT: the cast ROUNDS fractional seconds,
+        -- shifting events within 0.5 s below a hop boundary into the wrong
+        -- base window (first seen at sf0.1); Spark's F.window truncates
+        SELECT e.*,
+               (floor(epoch(ts))::BIGINT // 21600) * 21600 - i.i * 21600 AS ws
         FROM events e CROSS JOIN (SELECT unnest(range(4)) AS i) i
-        WHERE epoch(ts) >= (epoch(ts)::BIGINT // 21600) * 21600 - i.i * 21600
-          AND epoch(ts) <  (epoch(ts)::BIGINT // 21600) * 21600 - i.i * 21600 + 86400
+        WHERE epoch(ts) >= (floor(epoch(ts))::BIGINT // 21600) * 21600 - i.i * 21600
+          AND epoch(ts) <  (floor(epoch(ts))::BIGINT // 21600) * 21600 - i.i * 21600 + 86400
     )
     GROUP BY ws, event_type
     """,
@@ -1734,12 +1739,16 @@ def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4 hops per event explicitly.  The streaming-capable sliding
     dashboard aggregation (works identically under readStream +
     watermark)."""
+    from es_ch_sync_spark.operators.util import round_half_up
+
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 4).alias("v_sum"),
+            round_half_up(
+                F.sum(F.col("value").cast(_DEC)).cast("double"), 4
+            ).alias("v_sum"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "v_sum")
     )
