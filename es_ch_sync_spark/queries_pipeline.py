@@ -445,3 +445,54 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     return key_skew_report(ev, "user_id", top_n=10)
+
+
+@register(
+    "media_dhash_groups",
+    """
+    WITH cells AS (
+        SELECT doc_id AS media_id, x.x AS x, y.y AS y
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(0, 7)) AS x) x
+        CROSS JOIN (SELECT unnest(range(0, 6)) AS y) y
+    ),
+    g AS (
+        SELECT media_id, x, y,
+               ((media_id + 3 * x + 5 * y) % 256
+                + (media_id + 3 * x + 5 * y + 85) % 256
+                + (media_id + 3 * x + 5 * y + 170) % 256) AS g1,
+               ((media_id + 3 * (x + 1) + 5 * y) % 256
+                + (media_id + 3 * (x + 1) + 5 * y + 85) % 256
+                + (media_id + 3 * (x + 1) + 5 * y + 170) % 256) AS g2
+        FROM cells
+    ),
+    h AS (
+        SELECT media_id,
+               sum(CASE WHEN g1 > g2 THEN (1::BIGINT << (y * 7 + x))
+                   ELSE 0 END)::BIGINT AS dhash
+        FROM g GROUP BY media_id
+    )
+    SELECT media_id, dhash,
+           (count(*) OVER (PARTITION BY dhash))::BIGINT AS n_same
+    FROM h
+    """,
+)
+def q_media_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup via dHash through REAL BMP decode: synth
+    gradient blobs → numpy decode → adjacent-pixel difference bits packed
+    into a 42-bit hash → hash-equality group sizes. The oracle recomputes
+    every bit from the pixel generating formula, so a value match proves
+    the full encode→decode→hash round trip. Near-dup extension is
+    hamming-banded blocking exactly as in simhash_near_duplicates."""
+    from pyspark.sql import Window as W
+
+    from es_ch_sync_spark.operators import multimodal as mm
+    from es_ch_sync_spark.operators.text import normalize_text  # noqa: F401
+
+    media = mm.synth_media(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "image"
+    )
+    hashed = mm.dhash_features(media).select("media_id", "dhash")
+    return hashed.withColumn(
+        "n_same", F.count("*").over(W.partitionBy("dhash")).cast("long")
+    )

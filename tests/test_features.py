@@ -246,3 +246,27 @@ def test_key_skew_report_uniform_vs_hot(spark):
     assert u.max_share == pytest.approx(0.01)
     assert h.max_share == pytest.approx(0.9)
     assert h.hhi > u.hhi  # the hot key dominates the Herfindahl index
+
+
+def test_dhash_matches_formula_and_groups_identical_images(spark):
+    from es_ch_sync_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (256, "c")],  # 256 ≡ 0 mod 256 → same pixels as 0
+        "doc_id long, text string",
+    )
+    media = mm.synth_media(docs, "image")
+    got = {r.media_id: r.dhash for r in mm.dhash_features(media).collect()}
+
+    def expected(mid: int) -> int:
+        h = 0
+        for y in range(6):
+            for x in range(7):
+                g1 = sum((mid + 3 * x + 5 * y + 85 * c) % 256 for c in range(3))
+                g2 = sum((mid + 3 * (x + 1) + 5 * y + 85 * c) % 256 for c in range(3))
+                if g1 > g2:
+                    h |= 1 << (y * 7 + x)
+        return h
+
+    assert got == {m: expected(m) for m in (0, 1, 256)}
+    assert got[0] == got[256]  # perceptually identical → same hash
