@@ -496,3 +496,74 @@ def q_media_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.withColumn(
         "n_same", F.count("*").over(W.partitionBy("dhash")).cast("long")
     )
+
+
+@register(
+    "array_ops",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0))::INTEGER AS n_pos,
+           round(list_sum(list_transform(embedding, x -> abs(x::DOUBLE))), 4)
+               AS l1_norm,
+           round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 6)
+               AS max_abs,
+           CASE WHEN len(list_filter(embedding, x -> x > 0.2)) > 0
+                THEN 1 ELSE 0 END AS has_large
+    FROM embeddings
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/transform/aggregate/exists)
+    over the embedding column — whole-stage-codegen'd lambda expressions,
+    no UDF, no explode; DuckDB mirrors with list_* lambdas. Per-row arrays
+    are processed in array order in both engines, so the fold is
+    bit-identical before the round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x_abs = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(x_abs, F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("l1_norm"),
+        F.round(F.array_max(x_abs), 6).alias("max_abs"),
+        F.exists(F.col("embedding"), lambda x: x > 0.2)
+        .cast("int")
+        .alias("has_large"),
+    )
+
+
+@register(
+    "user_entropy",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n FROM events
+        WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.user_id, any_value(t.tot)::BIGINT AS n_events,
+           count(*)::INTEGER AS n_types,
+           round(-sum((c.n::DOUBLE / t.tot) * ln(c.n::DOUBLE / t.tot)), 4)
+               AS entropy
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over event types (-sum p ln p) — the
+    diversity gate behaviour-analytics pipelines use to separate bots
+    (entropy ~ 0) from organic users. Two map-side-combined aggregates
+    and a broadcast-size totals join."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("tot").cast("long").alias("n_events"),
+            F.count("*").cast("int").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        )
+    )
