@@ -567,3 +567,58 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
         )
     )
+
+
+@register(
+    "chunk_dedup_stats",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(list_distinct(list_transform(
+                   range(0, CASE WHEN n <= {_CHUNK_W} THEN 0
+                             ELSE ceil((n - {_CHUNK_W}) / {_CHUNK_S}.0)::BIGINT
+                         END + 1),
+                   i -> least(i * {_CHUNK_S}, greatest(n - {_CHUNK_W}, 0))
+               ))) AS start
+        FROM t
+    ),
+    ch AS (
+        SELECT doc_id,
+               md5(array_to_string(toks[start + 1 : start + {_CHUNK_W}], ' '))
+                   AS chunk_md5
+        FROM s
+    ),
+    freq AS (SELECT chunk_md5, count(*) AS n_occ FROM ch GROUP BY 1)
+    SELECT ch.doc_id, count(*)::INTEGER AS n_chunks,
+           sum(CASE WHEN freq.n_occ > 1 THEN 1 ELSE 0 END)::INTEGER
+               AS n_dup_chunks,
+           round(sum(CASE WHEN freq.n_occ > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS dup_ratio
+    FROM ch JOIN freq USING (chunk_md5)
+    GROUP BY ch.doc_id
+    """,
+)
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity boilerplate signal: fraction of each doc's token
+    windows whose fingerprint recurs anywhere in the corpus — the
+    composition chunk_documents → corpus chunk-frequency → per-doc ratio.
+    Only 32-byte hashes shuffle; never chunk text."""
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), window=_CHUNK_W, stride=_CHUNK_S
+    ).select("doc_id", "chunk_md5")
+    freq = chunks.groupBy("chunk_md5").agg(F.count("*").alias("n_occ"))
+    dup = F.when(F.col("n_occ") > 1, 1).otherwise(0)
+    return (
+        chunks.join(freq, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum(dup).cast("int").alias("n_dup_chunks"),
+            F.round(F.sum(dup) / F.count("*"), 4).alias("dup_ratio"),
+        )
+    )
