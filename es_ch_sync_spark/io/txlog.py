@@ -1,0 +1,256 @@
+"""Mini log-structured table format: atomic commits, snapshot isolation,
+time travel, optimistic concurrency, and vacuum.
+
+The reference leans on ClickHouse's MergeTree machinery for atomic batch
+visibility (`/root/reference/internal/service/clickhouse/clickhouse.go`
+PrepareBatch/Send — a batch becomes visible as one part).  On a data lake
+the public equivalent is a transaction log over immutable files (the
+Delta-Lake-style protocol): each commit is one atomically-created JSON
+file listing add/remove actions against immutable parquet data files.
+
+Guarantees (and how):
+
+- **Atomic commits** — data files are written first, then a single log
+  entry ``_txlog/<version>.json`` is created with ``O_CREAT|O_EXCL``.
+  A crash before the log write leaves orphan data files that no reader
+  ever sees (and ``vacuum_orphans`` reclaims).
+- **Snapshot isolation** — readers resolve the file list from the log
+  once, then read only immutable files; a concurrent writer can only add
+  a NEW log version, never mutate files a snapshot references.
+- **Optimistic concurrency** — two writers racing to version N: exactly
+  one ``O_EXCL`` create succeeds; the loser re-reads the log and retries
+  (append) or raises (overwrite), mirroring Delta's conflict rules.
+- **Time travel** — ``read_table(..., version=v)`` replays the log up to
+  ``v``; ``table_history`` lists commits.
+- **Vacuum** — ``vacuum(keep_versions=k)`` deletes files unreferenced by
+  the retained version range and records a ``truncate`` action so older
+  time travel fails loudly instead of returning partial data.
+
+Scale notes: the log is O(commits) tiny JSON files, data is immutable
+parquet — the same shape Delta/Iceberg ship at petabyte scale; log
+replay cost is bounded by checkpointing in those systems (out of scope
+here, the replay is a few hundred entries at most in tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_txlog"
+DATA_DIR = "data"
+
+
+class TxConflictError(RuntimeError):
+    """Another writer committed the version this writer raced for."""
+
+
+class TxVersionError(ValueError):
+    """Requested version does not exist or was vacuum-truncated."""
+
+
+def _log_path(table: str) -> str:
+    return os.path.join(table, LOG_DIR)
+
+
+def _entry_path(table: str, version: int) -> str:
+    return os.path.join(_log_path(table), f"{version:08d}.json")
+
+
+def _versions(table: str) -> list[int]:
+    d = _log_path(table)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+    )
+
+
+def current_version(table: str) -> int | None:
+    vs = _versions(table)
+    return vs[-1] if vs else None
+
+
+def _read_entry(table: str, version: int) -> dict:
+    with open(_entry_path(table, version)) as f:
+        return json.load(f)
+
+
+def _write_data_files(df: DataFrame, table: str) -> list[str]:
+    """Write df as immutable parquet files under data/<uuid>/ and return
+    their table-relative paths.  The directory name is fresh per commit,
+    so a crashed writer can never collide with a committed one."""
+    sub = os.path.join(DATA_DIR, uuid.uuid4().hex)
+    out = os.path.join(table, sub)
+    df.write.mode("error").parquet(out)
+    return [
+        os.path.join(sub, f)
+        for f in sorted(os.listdir(out))
+        if f.endswith(".parquet")
+    ]
+
+
+def _try_commit(table: str, version: int, entry: dict) -> bool:
+    """Atomically create the log entry for ``version``; False if another
+    writer won the race (the O_EXCL create is the whole commit protocol)."""
+    os.makedirs(_log_path(table), exist_ok=True)
+    path = _entry_path(table, version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        json.dump(entry, f)
+    return True
+
+
+def txlog_append(df: DataFrame, table: str, max_retries: int = 10) -> int:
+    """Append ``df`` as a new commit; returns the committed version.
+    Append never conflicts semantically, so a lost race just retries at
+    the next version number."""
+    files = _write_data_files(df, table)
+    for _ in range(max_retries):
+        cur = current_version(table)
+        v = 0 if cur is None else cur + 1
+        if _try_commit(table, v, {"op": "append", "add": files, "remove": []}):
+            return v
+    raise TxConflictError(
+        f"append to {table} lost the commit race {max_retries} times"
+    )
+
+
+def txlog_overwrite(
+    df: DataFrame, table: str, expected_base: int | None = None
+) -> int:
+    """Replace the table contents in one commit.  Overwrite conflicts are
+    NOT retried: if another writer committed since this writer read its
+    base snapshot, the right outcome is an error (the caller must
+    re-derive its output from the new state) — the Delta
+    'WriteSerializable' rule.  Pass ``expected_base`` (the version the
+    overwrite was computed FROM) to pin the read snapshot; by default the
+    current version at call time is used."""
+    base = expected_base if expected_base is not None else current_version(table)
+    removed: list[str] = snapshot_files(table, base) if base is not None else []
+    files = _write_data_files(df, table)
+    v = (base + 1) if base is not None else 0
+    if not _try_commit(
+        table, v, {"op": "overwrite", "add": files, "remove": removed}
+    ):
+        raise TxConflictError(
+            f"overwrite of {table} raced another commit at version {v}; "
+            "re-read the table and recompute"
+        )
+    return v
+
+
+def snapshot_files(table: str, version: int | None = None) -> list[str]:
+    """Replay the log to the file list visible at ``version`` (default:
+    latest).  Raises TxVersionError for unknown or vacuum-truncated
+    versions."""
+    vs = _versions(table)
+    if not vs:
+        raise TxVersionError(f"{table} has no committed versions")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise TxVersionError(f"version {v} does not exist in {table}")
+    entries = {ver: _read_entry(table, ver) for ver in vs}
+    # truncate markers anywhere in the log bound time travel — they must be
+    # honored even when the requested version precedes the marker's commit
+    truncated_through = max(
+        (e["through"] for e in entries.values() if e["op"] == "truncate"),
+        default=None,
+    )
+    if truncated_through is not None and v <= truncated_through:
+        raise TxVersionError(
+            f"version {v} of {table} was vacuum-truncated (history starts "
+            f"after {truncated_through})"
+        )
+    live: list[str] = []
+    for ver in vs:
+        if ver > v:
+            break
+        e = entries[ver]
+        if e["op"] == "truncate":
+            continue
+        for r in e.get("remove", []):
+            if r in live:
+                live.remove(r)
+        live.extend(e.get("add", []))
+    return live
+
+
+def read_table(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    files = snapshot_files(table, version)
+    if not files:
+        raise TxVersionError(f"{table} is empty at version {version}")
+    return spark.read.parquet(*[os.path.join(table, f) for f in files])
+
+
+def table_history(table: str) -> list[dict]:
+    return [
+        {
+            "version": v,
+            "op": (e := _read_entry(table, v))["op"],
+            "n_added": len(e.get("add", [])),
+            "n_removed": len(e.get("remove", [])),
+        }
+        for v in _versions(table)
+    ]
+
+
+def vacuum(table: str, keep_versions: int = 1) -> dict:
+    """Delete data files unreferenced by the newest ``keep_versions``
+    snapshots, and commit a ``truncate`` marker so time travel below the
+    horizon fails loudly.  Returns {'deleted': n, 'horizon': v}."""
+    vs = _versions(table)
+    if not vs:
+        return {"deleted": 0, "horizon": None}
+    horizon = vs[max(0, len(vs) - keep_versions)]
+    keep: set[str] = set()
+    for v in vs:
+        if v >= horizon:
+            try:
+                keep.update(snapshot_files(table, v))
+            except TxVersionError:
+                continue
+    deleted = 0
+    for root, _dirs, files in os.walk(os.path.join(table, DATA_DIR)):
+        for f in files:
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, table)
+            if f.endswith(".parquet") and rel not in keep:
+                os.remove(full)
+                deleted += 1
+    if horizon > vs[0]:
+        v_new = vs[-1] + 1
+        if not _try_commit(
+            table, v_new, {"op": "truncate", "through": horizon - 1}
+        ):
+            raise TxConflictError(f"vacuum of {table} raced another commit")
+    return {"deleted": deleted, "horizon": horizon}
+
+
+def vacuum_orphans(table: str) -> int:
+    """Remove data files referenced by NO log version — the residue of a
+    writer that crashed between writing data and committing the log.
+    Safe concurrently: a file becomes referenced only by a commit, and
+    commits happen strictly after data files are fully written."""
+    referenced: set[str] = set()
+    for v in _versions(table):
+        e = _read_entry(table, v)
+        referenced.update(e.get("add", []))
+    removed = 0
+    data_root = os.path.join(table, DATA_DIR)
+    for root, _dirs, files in os.walk(data_root):
+        for f in files:
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, table)
+            if f.endswith(".parquet") and rel not in referenced:
+                os.remove(full)
+                removed += 1
+    return removed

@@ -1,0 +1,99 @@
+"""Tests for io/txlog.py — the mini log-structured table format."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from es_ch_sync_spark.io import txlog as tx
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS x")
+
+
+def _ids(spark, table, version=None):
+    return sorted(
+        r.id for r in tx.read_table(spark, table, version).collect()
+    )
+
+
+def test_append_and_read(spark, tmp_path):
+    t = str(tmp_path / "t")
+    assert tx.txlog_append(_df(spark, 0, 5), t) == 0
+    assert tx.txlog_append(_df(spark, 5, 8), t) == 1
+    assert _ids(spark, t) == list(range(8))
+    assert _ids(spark, t, version=0) == list(range(5))  # time travel
+
+
+def test_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 0, 5), t)
+    v = tx.txlog_overwrite(_df(spark, 100, 103), t)
+    assert v == 1
+    assert _ids(spark, t) == [100, 101, 102]
+    assert _ids(spark, t, version=0) == list(range(5))
+    hist = tx.table_history(t)
+    assert [h["op"] for h in hist] == ["append", "overwrite"]
+    assert hist[1]["n_removed"] > 0
+
+
+def test_overwrite_conflict_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 0, 5), t)
+    base = tx.current_version(t)  # this writer derives its output from v0
+    # a second writer commits v1 after that base snapshot was read
+    assert tx._try_commit(t, 1, {"op": "append", "add": [], "remove": []})
+    with pytest.raises(tx.TxConflictError):
+        tx.txlog_overwrite(_df(spark, 100, 103), t, expected_base=base)
+    # the loser's data files are orphans, invisible to readers...
+    assert _ids(spark, t) == list(range(5))
+    # ...and reclaimable
+    assert tx.vacuum_orphans(t) > 0
+    assert _ids(spark, t) == list(range(5))
+
+
+def test_append_retries_past_conflict(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 0, 3), t)
+    assert tx._try_commit(t, 1, {"op": "append", "add": [], "remove": []})
+    # append loses the race for v1 but retries and lands at v2
+    assert tx.txlog_append(_df(spark, 3, 6), t) == 2
+    assert _ids(spark, t) == list(range(6))
+
+
+def test_crash_before_commit_is_invisible(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 0, 4), t)
+    # simulate a writer that crashed after writing data, before the log
+    tx._write_data_files(_df(spark, 900, 950), t)
+    assert _ids(spark, t) == list(range(4))
+    removed = tx.vacuum_orphans(t)
+    assert removed >= 1
+    assert _ids(spark, t) == list(range(4))
+
+
+def test_vacuum_truncates_history_loudly(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 0, 4), t)        # v0
+    tx.txlog_overwrite(_df(spark, 10, 14), t)   # v1
+    tx.txlog_overwrite(_df(spark, 20, 24), t)   # v2
+    res = tx.vacuum(t, keep_versions=1)
+    assert res["horizon"] == 2 and res["deleted"] > 0
+    assert _ids(spark, t) == [20, 21, 22, 23]   # latest unaffected
+    with pytest.raises(tx.TxVersionError):
+        tx.read_table(spark, t, version=0)      # truncated, fails loudly
+    with pytest.raises(tx.TxVersionError):
+        tx.read_table(spark, t, version=1)
+
+
+def test_snapshot_isolation_under_concurrent_append(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 0, 5), t)
+    pinned = tx.snapshot_files(t, 0)
+    tx.txlog_append(_df(spark, 5, 9), t)  # concurrent writer commits
+    # the pinned snapshot still resolves to the same immutable files
+    assert tx.snapshot_files(t, 0) == pinned
+    assert all(os.path.exists(os.path.join(t, f)) for f in pinned)
+    assert _ids(spark, t, version=0) == list(range(5))
