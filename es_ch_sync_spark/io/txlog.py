@@ -107,15 +107,24 @@ def _try_commit(table: str, version: int, entry: dict) -> bool:
     return True
 
 
-def txlog_append(df: DataFrame, table: str, max_retries: int = 10) -> int:
+def txlog_append(
+    df: DataFrame,
+    table: str,
+    max_retries: int = 10,
+    meta: dict | None = None,
+) -> int:
     """Append ``df`` as a new commit; returns the committed version.
     Append never conflicts semantically, so a lost race just retries at
-    the next version number."""
+    the next version number.  ``meta`` is recorded verbatim in the log
+    entry (e.g. a streaming batch id for exactly-once sinks)."""
     files = _write_data_files(df, table)
+    entry = {"op": "append", "add": files, "remove": []}
+    if meta:
+        entry["meta"] = meta
     for _ in range(max_retries):
         cur = current_version(table)
         v = 0 if cur is None else cur + 1
-        if _try_commit(table, v, {"op": "append", "add": files, "remove": []}):
+        if _try_commit(table, v, entry):
             return v
     raise TxConflictError(
         f"append to {table} lost the commit race {max_retries} times"
@@ -254,3 +263,41 @@ def vacuum_orphans(table: str) -> int:
                 os.remove(full)
                 removed += 1
     return removed
+
+
+def last_committed_meta(table: str, key: str) -> int | None:
+    """Largest integer ``meta[key]`` across all commits, or None.  The
+    idempotence watermark for exactly-once streaming sinks: a replayed
+    micro-batch with ``meta[key] <= last_committed_meta`` has already
+    landed and must be skipped."""
+    best: int | None = None
+    for v in _versions(table):
+        m = _read_entry(table, v).get("meta", {})
+        if key in m and (best is None or m[key] > best):
+            best = m[key]
+    return best
+
+
+def txlog_stream_writer(table: str):
+    """foreachBatch function for an exactly-once txlog sink.
+
+    Structured Streaming guarantees batch ids are monotone and that a
+    failed batch is redelivered WITH THE SAME id; committing the id in the
+    log entry makes the sink idempotent — the replayed batch is detected
+    and skipped, so rows land exactly once even across crash/restart.
+    (The same mechanism Delta's streaming sink uses: txn appId/version.)
+
+    Usage::
+
+        q = (df.writeStream.foreachBatch(txlog_stream_writer(path))
+               .option("checkpointLocation", ckpt)
+               .trigger(availableNow=True).start())
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        seen = last_committed_meta(table, "batch_id")
+        if seen is not None and batch_id <= seen:
+            return  # redelivered batch — already committed, exactly-once
+        txlog_append(batch_df, table, meta={"batch_id": batch_id})
+
+    return write_batch

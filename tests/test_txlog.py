@@ -97,3 +97,48 @@ def test_snapshot_isolation_under_concurrent_append(spark, tmp_path):
     assert tx.snapshot_files(t, 0) == pinned
     assert all(os.path.exists(os.path.join(t, f)) for f in pinned)
     assert _ids(spark, t, version=0) == list(range(5))
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path):
+    t = str(tmp_path / "t")
+    writer = tx.txlog_stream_writer(t)
+    # simulate the engine delivering batches 0 and 1, then redelivering 1
+    # (post-crash replay with the same batch id — the streaming contract)
+    writer(_df(spark, 0, 3), 0)
+    writer(_df(spark, 3, 6), 1)
+    writer(_df(spark, 3, 6), 1)  # replay: must be a no-op
+    assert _ids(spark, t) == list(range(6))
+    assert tx.last_committed_meta(t, "batch_id") == 1
+    hist = tx.table_history(t)
+    assert len(hist) == 2  # the replayed batch added no commit
+
+
+def test_streaming_sink_end_to_end(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS x").write.parquet(src)
+    stream = (
+        spark.readStream.schema("id long, x long").parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(tx.txlog_stream_writer(t))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _ids(spark, t) == list(range(10))
+    # restart from the same checkpoint with no new data: no new commits
+    n_before = len(tx.table_history(t))
+    q2 = (
+        stream.writeStream.foreachBatch(tx.txlog_stream_writer(t))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert len(tx.table_history(t)) == n_before
+    assert _ids(spark, t) == list(range(10))
