@@ -622,3 +622,46 @@ def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup) / F.count("*"), 4).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "udtf_top_terms",
+    """
+    WITH e AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    c AS (SELECT doc_id, term, count(*)::INTEGER AS cnt FROM e GROUP BY 1, 2)
+    SELECT doc_id, term, cnt FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY cnt DESC, term) AS rk
+        FROM c)
+    WHERE rk <= 3
+    """,
+)
+def q_udtf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined table function) emitting each
+    doc's top-3 terms — the API-surface demonstration of arbitrary
+    one-row→many-rows Python logic callable from SQL via LATERAL.
+    NOTE: a UDTF is row-at-a-time Python (the slow path); the vectorized
+    equivalent for production is tfidf_top_terms / explode+groupBy —
+    this entry exists to pin the API's correctness, not as the scale
+    path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term string, cnt int")
+    class TopTerms:
+        def eval(self, text: str, k: int):
+            from collections import Counter
+
+            for term, cnt in sorted(
+                Counter(text.split(" ")).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:k]:
+                yield term, cnt
+
+    spark.udtf.register("pipeline_top_terms", TopTerms)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.term, t.cnt "
+        "FROM _udtf_docs d, LATERAL pipeline_top_terms(d.text, 3) t"
+    )
