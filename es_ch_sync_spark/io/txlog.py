@@ -301,3 +301,45 @@ def txlog_stream_writer(table: str):
         txlog_append(batch_df, table, meta={"batch_id": batch_id})
 
     return write_batch
+
+
+def txlog_merge(
+    updates: DataFrame,
+    table: str,
+    key_cols: list[str],
+    expected_base: int | None = None,
+) -> int:
+    """Keyed MERGE (upsert): rows in ``updates`` replace same-key rows in
+    the current snapshot; new keys append.  Implemented as read-snapshot →
+    anti-join → union → overwrite pinned to the snapshot's version, so a
+    concurrent commit between read and write raises ``TxConflictError``
+    instead of silently losing one writer's rows (the lost-update anomaly
+    optimistic concurrency exists to prevent)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    spark = updates.sparkSession
+    base = expected_base if expected_base is not None else current_version(table)
+    if base is None:
+        return txlog_append(updates, table)
+    current = read_table(spark, table, base)
+    kept = current.join(
+        updates.select(*key_cols).distinct(), key_cols, "leftanti"
+    )
+    merged = kept.unionByName(updates)
+    return txlog_overwrite(merged, table, expected_base=base)
+
+
+def read_table_merged_schema(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read with schema evolution: commits may add columns over
+    time (immutable files keep their original schema); ``mergeSchema``
+    unions the per-file schemas, nulling absent columns — the reader-side
+    half of additive schema evolution."""
+    files = snapshot_files(table, version)
+    if not files:
+        raise TxVersionError(f"{table} is empty at version {version}")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(table, f) for f in files])
+    )

@@ -142,3 +142,32 @@ def test_streaming_sink_end_to_end(spark, tmp_path):
     q2.awaitTermination(120)
     assert len(tx.table_history(t)) == n_before
     assert _ids(spark, t) == list(range(10))
+
+
+def test_merge_upsert_and_lost_update_protection(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 0, 5), t)  # x = id * 2
+    updates = spark.createDataFrame(
+        [(3, 999), (4, 888), (100, 777)], "id long, x long"
+    )
+    tx.txlog_merge(updates, t, ["id"])
+    got = {r.id: r.x for r in tx.read_table(spark, t).collect()}
+    assert got == {0: 0, 1: 2, 2: 4, 3: 999, 4: 888, 100: 777}
+    # lost-update protection: interloper commits between read and write
+    base = tx.current_version(t)
+    assert tx._try_commit(
+        t, base + 1, {"op": "append", "add": [], "remove": []}
+    )
+    with pytest.raises(tx.TxConflictError):
+        tx.txlog_merge(updates, t, ["id"], expected_base=base)
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 0, 3), t)  # (id, x)
+    wide = spark.createDataFrame([(10, 20, "new")], "id long, x long, tag string")
+    tx.txlog_append(wide, t)
+    df = tx.read_table_merged_schema(spark, t)
+    assert set(df.columns) == {"id", "x", "tag"}
+    rows = {r.id: r.tag for r in df.collect()}
+    assert rows[10] == "new" and rows[0] is None
