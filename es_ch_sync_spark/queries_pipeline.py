@@ -665,3 +665,112 @@ def q_udtf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.term, t.cnt "
         "FROM _udtf_docs d, LATERAL pipeline_top_terms(d.text, 3) t"
     )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    c AS (
+        SELECT prev_type, event_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.prev_type, c.event_type, c.n,
+           round(c.n::DOUBLE / t.tot, 4) AS p
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence (lag per key, count, row-normalize) — the sequence-mining
+    primitive behind next-action prediction and anomalous-flow detection.
+    One key shuffle for the lag, two combined aggregates after."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return c.join(t, "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 4).alias("p"),
+    )
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH rfm AS (
+        SELECT user_id,
+               max(epoch_us(ts)) AS last_us,
+               count(*) AS freq,
+               round(sum(value::DECIMAL(18,2))::DOUBLE, 4) AS monetary
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        GROUP BY 1
+    ),
+    b AS (
+        SELECT round(quantile_cont(freq, 0.5), 6) AS f_med,
+               round(quantile_cont(monetary, 0.5), 6) AS m_med,
+               round(quantile_cont(last_us, 0.5), 6) AS r_med
+        FROM rfm
+    )
+    SELECT CASE WHEN last_us >= r_med THEN 1 ELSE 0 END AS recent,
+           CASE WHEN freq > f_med THEN 1 ELSE 0 END AS frequent,
+           CASE WHEN monetary > m_med THEN 1 ELSE 0 END AS high_value,
+           count(*) AS n_users,
+           round(avg(freq), 4) AS avg_freq,
+           round(avg(monetary), 4) AS avg_monetary
+    FROM rfm CROSS JOIN b
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: users bucketed by median splits of recency /
+    frequency / monetary over purchase events — exact interpolated
+    medians (rounded(6) pre-comparison), broadcast of the 1-row
+    boundary frame, then one aggregate per segment. No global sort."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & (F.col("event_type") == "purchase")
+    )
+    rfm = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count("*").alias("freq"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+        ).alias("monetary"),
+    )
+    b = rfm.agg(
+        F.round(F.percentile("freq", F.lit(0.5)), 6).alias("f_med"),
+        F.round(F.percentile("monetary", F.lit(0.5)), 6).alias("m_med"),
+        F.round(F.percentile("last_us", F.lit(0.5)), 6).alias("r_med"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(b))
+        .select(
+            F.when(F.col("last_us") >= F.col("r_med"), 1).otherwise(0).alias("recent"),
+            F.when(F.col("freq") > F.col("f_med"), 1).otherwise(0).alias("frequent"),
+            F.when(F.col("monetary") > F.col("m_med"), 1)
+            .otherwise(0)
+            .alias("high_value"),
+            "freq",
+            "monetary",
+        )
+        .groupBy("recent", "frequent", "high_value")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("freq"), 4).alias("avg_freq"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        )
+    )
