@@ -40,6 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--dim", default=None, help="device dimension path (subject,token_id)")
     p.add_argument("--out", required=True, help="signal table output path")
+    p.add_argument(
+        "--out-format",
+        default="parquet",
+        choices=["parquet", "txlog"],
+        help="parquet = date-partitioned layout (default); txlog = the "
+        "transaction-log table (atomic commit, snapshot isolation, time "
+        "travel; streaming mode commits each micro-batch exactly-once)",
+    )
     p.add_argument("--quarantine", default=None, help="side-output path for bad records")
     p.add_argument("--start", default=os.environ.get("START_TIME"), help="RFC3339; default stop-30d")
     p.add_argument("--stop", default=os.environ.get("STOP_TIME"), help="RFC3339; default now")
@@ -101,7 +109,17 @@ def main(argv: list[str] | None = None) -> int:
         signals = build_signal_stream(
             stream, catalog.filtered(opts.signals or None), dim
         )
-        q = start_signal_sink(signals, args.out, args.checkpoint, available_now=True)
+        if args.out_format == "txlog":
+            from es_ch_sync_spark.io.txlog import txlog_stream_writer
+
+            q = (
+                signals.writeStream.foreachBatch(txlog_stream_writer(args.out))
+                .option("checkpointLocation", args.checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            q = start_signal_sink(signals, args.out, args.checkpoint, available_now=True)
         q.awaitTermination()
         return 0
 
@@ -136,12 +154,21 @@ def main(argv: list[str] | None = None) -> int:
     signals, quarantine = plan_sync(status, catalog, dim, opts)
     if es_quarantine is not None and args.quarantine:
         es_quarantine.write.mode("append").parquet(args.quarantine + "_es")
-    from es_ch_sync_spark.io.sinks import write_signals
+    if args.out_format == "txlog":
+        from es_ch_sync_spark.io.sinks import dedup_signals
+        from es_ch_sync_spark.io.txlog import read_table, txlog_append
 
-    write_signals(signals, args.out)
-    if args.quarantine:
-        quarantine.write.mode("append").parquet(args.quarantine)
-    n = spark.read.parquet(args.out).count()
+        txlog_append(dedup_signals(signals), args.out)
+        if args.quarantine:
+            quarantine.write.mode("append").parquet(args.quarantine)
+        n = read_table(spark, args.out).count()
+    else:
+        from es_ch_sync_spark.io.sinks import write_signals
+
+        write_signals(signals, args.out)
+        if args.quarantine:
+            quarantine.write.mode("append").parquet(args.quarantine)
+        n = spark.read.parquet(args.out).count()
     print(f"synced: {n} signal rows at {args.out}")
     return 0
 

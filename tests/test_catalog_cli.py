@@ -127,3 +127,28 @@ def test_cli_job_reads_es_export(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() > 0
     assert {"token_id", "timestamp", "name"} <= set(got.columns)
+
+
+def test_cli_job_txlog_out_mode(spark, tmp_path):
+    """--out-format txlog: the sync job lands its output as one atomic
+    transaction-log commit; a re-run appends a second version and time
+    travel still shows the first."""
+    from es_ch_sync_spark.io import txlog as tx
+    from es_ch_sync_spark.job.main import main
+
+    src = str(tmp_path / "status")
+    out = str(tmp_path / "signal_tx")
+    device_status_df(spark, subjects=3, rows_per_subject=20).write.parquet(src)
+
+    args = [
+        "--source", src, "--out", out, "--out-format", "txlog",
+        "--start", "2020-01-01T00:00:00Z", "--stop", "2020-02-01T00:00:00Z",
+    ]
+    assert main(args) == 0
+    v0 = tx.current_version(out)
+    assert v0 == 0
+    n0 = tx.read_table(spark, out).count()
+    assert n0 > 0
+    assert main(args) == 0  # second run = second atomic commit
+    assert tx.current_version(out) == 1
+    assert tx.read_table(spark, out, version=0).count() == n0
