@@ -774,3 +774,37 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("monetary"), 4).alias("avg_monetary"),
         )
     )
+
+
+from es_ch_sync_spark.oracles import _shingles_cte as _sh_cte  # noqa: E402
+
+
+@register(
+    "ppjoin_pairs",
+    _sh_cte(3)
+    + """
+    , e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, i::INTEGER AS inter,
+           round(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) AS jaccard
+    FROM inter
+    JOIN (SELECT doc_id, len(shs) AS n FROM sh) sa ON id_a = sa.doc_id
+    JOIN (SELECT doc_id, len(shs) AS n FROM sh) sb ON id_b = sb.doc_id
+    WHERE round(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) >= 0.6
+    """,
+)
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.6 self-join via prefix filtering (PPJoin/All-Pairs
+    family) — candidates only from rarest-token prefixes, verified with
+    true intersections. The oracle is BRUTE FORCE all-shared-token pairs:
+    a value match proves the prefix filter is lossless (recall exactly 1),
+    which is the property that separates this from MinHash."""
+    from es_ch_sync_spark.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.6
+    )
