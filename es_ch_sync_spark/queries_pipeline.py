@@ -808,3 +808,57 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_pairs(
         _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.6
     )
+
+
+@register(
+    "grouped_ols_pandas",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
+               AS slope,
+           round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4)
+               AS intercept
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_grouped_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fitting through applyInPandas: each event type's
+    value ~ time OLS fit in one numpy lstsq per group (Arrow batch, whole
+    group in memory — valid when groups are bounded categories; the
+    unbounded-key alternative is the exact-sufficient-statistics JVM path
+    `linreg_trend`). Oracle is DuckDB's regr_slope/intercept — two
+    independent formulations of least squares agreeing to 4dp."""
+    import pandas as pd
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(86400000000.0)).alias("t_days"),
+            "value",
+        )
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = pdf["t_days"].to_numpy(dtype="float64")
+        y = pdf["value"].to_numpy(dtype="float64")
+        xc = x - x.mean()
+        slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+        intercept = float(y.mean() - slope * x.mean())
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "slope": [round(slope, 4)],
+                "intercept": [round(intercept, 4)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        fit, schema="event_type string, n long, slope double, intercept double"
+    )
