@@ -258,3 +258,36 @@ def test_sq8_candidate_cut_take_ordered(plans):
     p = plans("ann_sq8_topk")
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_lag_features_single_exchange(plans):
+    # one hash exchange on the entity key serves every window feature
+    p = plans("lag_features")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" in p
+
+
+def test_scd2_join_no_cartesian(plans):
+    p = plans("scd2_dim_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # versions join facts through an equi-join on the entity key
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_ppjoin_candidates_equi_join_only(plans):
+    p = plans("ppjoin_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_event_transitions_partial_agg(plans):
+    p = plans("event_transitions")
+    assert "partial_count" in p  # map-side combine on the transition counts
+    assert "CartesianProduct" not in p
+
+
+def test_bloom_semijoin_broadcasts_occupied_set(plans):
+    p = plans("bloom_semijoin")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
