@@ -276,3 +276,62 @@ def test_assign_shards_partitions_token_stream(spark, sf_dir):
         assert r["start_offset"] == expect
         assert r["shard"] == r["start_offset"] // budget
         expect += r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents invariants
+# ---------------------------------------------------------------------------
+
+
+@given(
+    n_toks=st.integers(min_value=1, max_value=200),
+    window=st.integers(min_value=2, max_value=50),
+    stride=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_invariants(spark, n_toks, window, stride):
+    """Every window is exactly min(window, n) tokens (the clamp
+    guarantees no short tails) and starts are unique; full coverage of
+    every token additionally requires stride <= window (stride > window
+    is deliberate subsampling and leaves inter-window gaps)."""
+    from es_ch_sync_spark.operators.features import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(n_toks))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, window=window, stride=stride).collect()
+    starts = sorted(r.start_tok for r in rows)
+    assert len(starts) == len(set(starts))
+    want_len = min(window, n_toks)
+    assert all(r.n_tok == want_len for r in rows)
+    covered = set()
+    for st_ in starts:
+        covered.update(range(st_, st_ + want_len))
+    if stride <= window:
+        assert covered == set(range(n_toks))
+    else:
+        assert max(covered) == n_toks - 1  # the clamp still reaches the end
+
+
+# ---------------------------------------------------------------------------
+# txlog commit-protocol race
+# ---------------------------------------------------------------------------
+
+
+def test_txlog_threaded_appends_all_land(spark, tmp_path):
+    """8 writers racing the O_EXCL commit protocol: every append lands at
+    a distinct version and no rows are lost."""
+    import concurrent.futures as cf
+
+    from es_ch_sync_spark.io import txlog as tx
+
+    t = str(tmp_path / "t")
+
+    def one(i: int) -> int:
+        df = spark.range(i * 10, i * 10 + 10).selectExpr("id")
+        return tx.txlog_append(df, t, max_retries=50)
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(one, range(8)))
+    assert sorted(versions) == list(range(8))  # distinct, contiguous
+    assert tx.read_table(spark, t).count() == 80
