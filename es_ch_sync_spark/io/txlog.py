@@ -65,7 +65,9 @@ def _versions(table: str) -> list[int]:
     if not os.path.isdir(d):
         return []
     return sorted(
-        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        int(f[:-5])
+        for f in os.listdir(d)
+        if f.endswith(".json") and f[:-5].isdigit()
     )
 
 
@@ -343,3 +345,82 @@ def read_table_merged_schema(
         spark.read.option("mergeSchema", "true")
         .parquet(*[os.path.join(table, f) for f in files])
     )
+
+
+CHECKPOINT_EVERY = 16
+
+
+def write_checkpoint(table: str) -> int | None:
+    """Consolidate the current snapshot into ``_txlog/<v>.checkpoint.json``
+    (the Delta checkpoint pattern): readers start replay from the latest
+    checkpoint instead of version 0, bounding log-replay cost at
+    O(CHECKPOINT_EVERY) entries regardless of table age.  Idempotent and
+    race-free: the checkpoint is derived purely from committed entries
+    ≤ v, so two writers checkpointing v write identical content."""
+    v = current_version(table)
+    if v is None:
+        return None
+    payload = {
+        "version": v,
+        "files": snapshot_files(table, v),
+        "truncated_through": _truncated_through(table),
+    }
+    path = os.path.join(_log_path(table), f"{v:08d}.checkpoint.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+    return v
+
+
+def _truncated_through(table: str) -> int | None:
+    best: int | None = None
+    for v in _versions(table):
+        e = _read_entry(table, v)
+        if e["op"] == "truncate" and (best is None or e["through"] > best):
+            best = e["through"]
+    return best
+
+
+def _latest_checkpoint(table: str) -> dict | None:
+    d = _log_path(table)
+    if not os.path.isdir(d):
+        return None
+    cps = sorted(f for f in os.listdir(d) if f.endswith(".checkpoint.json"))
+    if not cps:
+        return None
+    with open(os.path.join(d, cps[-1])) as f:
+        return json.load(f)
+
+
+def snapshot_files_fast(table: str, version: int | None = None) -> list[str]:
+    """snapshot_files, but replay starts from the newest checkpoint at or
+    below the requested version.  Bit-identical result to the full replay
+    (pinned by test); use for long-lived tables."""
+    vs = _versions(table)
+    if not vs:
+        raise TxVersionError(f"{table} has no committed versions")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise TxVersionError(f"version {v} does not exist in {table}")
+    cp = _latest_checkpoint(table)
+    if cp is None or cp["version"] > v:
+        return snapshot_files(table, v)
+    tt = _truncated_through(table)
+    if tt is not None and v <= tt:
+        raise TxVersionError(
+            f"version {v} of {table} was vacuum-truncated (history starts "
+            f"after {tt})"
+        )
+    live = list(cp["files"])
+    for ver in vs:
+        if ver <= cp["version"] or ver > v:
+            continue
+        e = _read_entry(table, ver)
+        if e["op"] == "truncate":
+            continue
+        for r in e.get("remove", []):
+            if r in live:
+                live.remove(r)
+        live.extend(e.get("add", []))
+    return live

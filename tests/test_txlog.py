@@ -171,3 +171,22 @@ def test_schema_evolution_merged_read(spark, tmp_path):
     assert set(df.columns) == {"id", "x", "tag"}
     rows = {r.id: r.tag for r in df.collect()}
     assert rows[10] == "new" and rows[0] is None
+
+
+def test_checkpoint_replay_bit_identical(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 0, 3), t)
+    tx.txlog_append(_df(spark, 3, 6), t)
+    cp_v = tx.write_checkpoint(t)          # checkpoint at v1
+    tx.txlog_append(_df(spark, 6, 9), t)   # commits after the checkpoint
+    tx.txlog_overwrite(_df(spark, 50, 53), t)
+    assert cp_v == 1
+    for v in (1, 2, 3, None):
+        assert tx.snapshot_files_fast(t, v) == tx.snapshot_files(t, v)
+    # a version below the checkpoint falls back to the full replay
+    assert tx.snapshot_files_fast(t, 0) == tx.snapshot_files(t, 0)
+    # checkpoint + truncate interact correctly
+    tx.vacuum(t, keep_versions=1)
+    tx.write_checkpoint(t)
+    with pytest.raises(tx.TxVersionError):
+        tx.snapshot_files_fast(t, 1)
