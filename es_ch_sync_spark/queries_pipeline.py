@@ -862,3 +862,57 @@ def q_grouped_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         fit, schema="event_type string, n long, slope double, intercept double"
     )
+
+
+@register(
+    "streaming_chunk_documents",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(list_distinct(list_transform(
+                   range(0, CASE WHEN n <= {_CHUNK_W} THEN 0
+                             ELSE ceil((n - {_CHUNK_W}) / {_CHUNK_S}.0)::BIGINT
+                         END + 1),
+                   i -> least(i * {_CHUNK_S}, greatest(n - {_CHUNK_W}, 0))
+               ))) AS start
+        FROM t
+    )
+    SELECT doc_id, start::INTEGER AS start_tok,
+           len(toks[start + 1 : start + {_CHUNK_W}])::INTEGER AS n_tok,
+           md5(array_to_string(toks[start + 1 : start + {_CHUNK_W}], ' '))
+               AS chunk_md5
+    FROM s
+    """,
+)
+def q_streaming_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_documents applied to a documents STREAM (AvailableNow drain
+    to a memory sink): the chunker is a stateless narrow transform, so it
+    is streaming-safe by construction — and this query proves it by
+    matching the batch oracle exactly. The shape a continuous
+    training-data ingestion pipeline runs."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    chunks = chunk_documents(stream, window=_CHUNK_W, stride=_CHUNK_S)
+    from es_ch_sync_spark.queries_relational import _drain_to_memory
+
+    return _drain_to_memory(chunks, "append")

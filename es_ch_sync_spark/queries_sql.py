@@ -260,3 +260,19 @@ register_shared_sql(
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
 )
+
+
+register_shared_sql(
+    "sql_null_semantics",
+    """
+    SELECT event_id,
+           coalesce(user_id, -1) AS uid_or_default,
+           CASE WHEN value IS NULL THEN 1 ELSE 0 END AS value_missing,
+           nullif(event_type, 'error') AS type_or_null,
+           CASE WHEN user_id IS DISTINCT FROM event_id THEN 1 ELSE 0 END
+               AS id_mismatch,
+           CASE WHEN value IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END
+               AS value_is_null_strict
+    FROM events
+    """,
+)
