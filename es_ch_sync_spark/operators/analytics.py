@@ -486,3 +486,55 @@ def mad_outliers(
             F.round(adev / (F.lit(1.4826) * F.col("_mad")), 4).alias("score"),
         )
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row with
+    right_ts >= left_ts for the same key — the "next event after" lookup
+    (time-to-resolution, next purchase after an error, label joining for
+    forecasting where the label must come strictly from the future).
+
+    Mirror image of :func:`asof_join`: same tag + union + one window pass
+    per key, but with ``first(_, ignorenulls)`` over the FOLLOWING frame,
+    right rows sorting after left rows at equal timestamps so same-instant
+    matches are still included (>= semantics).  One shuffle, no range
+    join, no cross product."""
+    rc = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    l_tagged = left.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(left_ts))
+    r_tagged = (
+        right.select(key, right_ts, *rc)
+        .withColumn("_side", F.lit(1))
+        .withColumn("_ats", F.col(right_ts))
+    )
+    combined = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    filled = combined.withColumn(
+        "_matched_ts",
+        F.first(F.when(F.col("_side") == 1, F.col("_ats")), ignorenulls=True).over(w),
+    )
+    for c in rc:
+        filled = filled.withColumn(
+            c,
+            F.first(F.when(F.col("_side") == 1, F.col(c)), ignorenulls=True).over(w),
+        )
+    out = filled.filter(F.col("_side") == 0)
+    if tolerance_seconds is not None:
+        within = F.col("_matched_ts") <= (
+            F.col("_ats") + F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        )
+        for c in rc:
+            out = out.withColumn(c, F.when(within, F.col(c)))
+        out = out.withColumn("_matched_ts", F.when(within, F.col("_matched_ts")))
+    return out.withColumnRenamed("_matched_ts", "matched_ts").drop("_side", "_ats")

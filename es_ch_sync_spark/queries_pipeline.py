@@ -916,3 +916,52 @@ def q_streaming_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.queries_relational import _drain_to_memory
 
     return _drain_to_memory(chunks, "append")
+
+
+@register(
+    "asof_join_forward",
+    """
+    WITH err AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'error' AND user_id IS NOT NULL
+    ),
+    pur AS (
+        SELECT user_id, ts, max(value) AS pv FROM events
+        WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    nxt AS (
+        SELECT e.event_id, e.user_id, min(p.ts) AS matched_ts
+        FROM err e LEFT JOIN pur p
+          ON p.user_id = e.user_id AND p.ts >= e.ts
+        GROUP BY 1, 2
+    )
+    SELECT n.event_id, n.user_id, n.matched_ts,
+           round(p2.pv, 4) AS purchase_value
+    FROM nxt n LEFT JOIN pur p2
+      ON p2.user_id = n.user_id AND p2.ts = n.matched_ts
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each error event matched to the user's EARLIEST
+    subsequent purchase (time-to-resolution shape). Right side is
+    pre-aggregated to one row per (user, ts) so same-instant ties are
+    deterministic in both engines; the operator is the mirror-image
+    union+window composition of the backward as-of (one shuffle)."""
+    from es_ch_sync_spark.operators.analytics import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.where(
+        (F.col("event_type") == "error") & F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", "ts")
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+    )
+    out = asof_join_forward(err, pur, key="user_id", right_cols=["pv"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "matched_ts",
+        F.round("pv", 4).alias("purchase_value"),
+    )
