@@ -276,3 +276,21 @@ register_shared_sql(
     FROM events
     """,
 )
+
+
+register_shared_sql(
+    "sql_recursive_calendar",
+    """
+    WITH RECURSIVE days(d) AS (
+        SELECT DATE '2024-01-01'
+        UNION ALL
+        SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '2024-01-30'
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT days.d, coalesce(daily.n, 0) AS n_events
+    FROM days LEFT JOIN daily ON days.d = daily.d
+    """,
+)
