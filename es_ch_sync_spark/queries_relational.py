@@ -2143,3 +2143,315 @@ def q_streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "c_name", "c_mktsegment"
     )
     return _drain_to_memory(joined, "append")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: Q2 / Q9 / Q11 / Q16 / Q20 over a lineitem-derived
+# partsupp surrogate (the testdata has no partsupp table; supplycost :=
+# min extended price per (part, supplier) pair, availqty := total shipped
+# quantity — both DECIMAL-exact so every comparison is bit-identical
+# across engines).  With these, all 22 TPC-H query SHAPES are covered.
+# ---------------------------------------------------------------------------
+
+_PS_CTE = """
+    partsupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice::DECIMAL(12,2)) AS ps_supplycost,
+               sum(l_quantity::DECIMAL(12,2)) AS ps_availqty
+        FROM lineitem GROUP BY 1, 2
+    )
+"""
+
+
+def _partsupp(li: DataFrame) -> DataFrame:
+    """The partsupp surrogate: one shuffle on (partkey, suppkey) with
+    map-side partial min/sum — at 100 TB this is the same pair-grained
+    aggregation the dedup-on-write path does, and it reuses exchange when
+    a query needs it twice."""
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice").cast(_DEC)).alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("ps_availqty"),
+    )
+
+
+@register(
+    "tpch_q2_mincost",
+    f"""
+    WITH {_PS_CTE},
+    eligible AS (
+        SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ps_supplycost::DOUBLE AS supplycost
+    FROM part JOIN eligible ON p_partkey = ps_partkey
+    WHERE p_size <= 15 AND p_type = 'ECONOMY'
+      AND ps_supplycost = (SELECT min(e2.ps_supplycost) FROM eligible e2
+                           WHERE e2.ps_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier; the correlated-scalar-subquery
+    query): decorrelated the way Catalyst would — the per-part MIN over
+    region-eligible pairs is computed once and joined back on
+    (partkey, cost), with cost equality exact in DECIMAL.  Supplier,
+    nation, region are broadcast; the only shuffle is the partsupp
+    grouping, whose exchange is reused by both branches."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+    )
+    eligible = (
+        _partsupp(li)
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_profit",
+    f"""
+    WITH {_PS_CTE}
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           sum(l_extendedprice::DECIMAL(12,2)
+                   * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))
+               - ps_supplycost * l_quantity::DECIMAL(12,2))::DOUBLE AS sum_profit
+    FROM lineitem
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY nation ASC, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit; the 6-way join query): part filter
+    pushes to the scan and broadcasts, supplier/nation broadcast, and the
+    two big inputs (lineitem, orders) shuffle once each; profit terms stay
+    DECIMAL end-to-end so the unordered SUM is association-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    one = F.lit(1).cast(_DEC)
+    amount = (
+        F.col("l_extendedprice").cast(_DEC) * (one - F.col("l_discount").cast(_DEC))
+        - F.col("ps_supplycost") * F.col("l_quantity").cast(_DEC)
+    )
+    return (
+        li.join(
+            _partsupp(li),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q11_important",
+    f"""
+    WITH {_PS_CTE},
+    natps AS (
+        SELECT ps_partkey, ps_supplycost * ps_availqty AS val
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT ps_partkey, sum(val)::DOUBLE AS part_value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING sum(val)::DOUBLE * (SELECT count(DISTINCT ps_partkey) FROM natps)
+         > (SELECT sum(val)::DOUBLE FROM natps) * 2
+    ORDER BY part_value DESC, ps_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock; global-aggregate scalar subquery in
+    HAVING): parts holding more than 2x the average per-part value — a
+    scale-invariant threshold (the spec's fixed fraction goes empty as SF
+    grows).  The global total is a 1-row broadcast; the per-part and
+    global aggregates reuse the same partsupp exchange.  The threshold is
+    compared in DOUBLE on both engines (exact DECIMAL sums cast once), so
+    no decimal-division semantics can diverge."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    natps = (
+        _partsupp(li)
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("val"),
+        )
+    )
+    per_part = natps.groupBy("ps_partkey").agg(
+        F.sum("val").cast("double").alias("part_value")
+    )
+    globals_ = natps.agg(
+        F.sum("val").cast("double").alias("total"),
+        F.countDistinct("ps_partkey").alias("nparts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(globals_))
+        .filter(F.col("part_value") * F.col("nparts") > F.col("total") * 2)
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q16_suppcnt",
+    f"""
+    WITH {_PS_CTE}
+    SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_suppkey % 7 = 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier relationship; NOT IN anti-join + DISTINCT
+    count): the complaint-supplier exclusion (surrogate: every 7th key)
+    is a broadcast LEFT ANTI — legal because s_suppkey is non-null, the
+    one case where NOT IN and anti-join agree; countDistinct plans as a
+    two-phase partial/final, no pre-DISTINCT shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    excl = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 7 == 0).select(
+        "s_suppkey"
+    )
+    return (
+        _partsupp(li)
+        .join(F.broadcast(excl), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20_promo",
+    f"""
+    WITH {_PS_CTE},
+    shipped AS (
+        SELECT l_partkey AS sh_partkey, l_suppkey AS sh_suppkey,
+               sum(l_quantity::DECIMAL(12,2)) AS qty_1996
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey
+        FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        JOIN shipped ON sh_partkey = ps_partkey AND sh_suppkey = ps_suppkey
+        WHERE p_name LIKE '%bolt%' AND qty_1996 * 2 > ps_availqty
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion; the nested-IN-subqueries
+    query): suppliers who moved more than half their all-time volume of a
+    part family inside 1996.  Both inner aggregates shuffle on the same
+    (partkey, suppkey) key, so the join between them is co-partitioned
+    (no extra exchange); the outer IN becomes a LEFT SEMI onto supplier;
+    the qty comparison is DECIMAL-exact (x2 is an exact integer scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sh_partkey"),
+            F.col("l_suppkey").alias("sh_suppkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty_1996"))
+    )
+    promo_supps = (
+        _partsupp(li)
+        .join(
+            shipped,
+            (F.col("sh_partkey") == F.col("ps_partkey"))
+            & (F.col("sh_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .filter(F.col("qty_1996") * 2 > F.col("ps_availqty"))
+        .select("ps_suppkey")
+    )
+    return (
+        s.join(promo_supps, s.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )

@@ -291,3 +291,40 @@ def test_bloom_semijoin_broadcasts_occupied_set(plans):
     p = plans("bloom_semijoin")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_q2_broadcast_dims_decimal_min(plans):
+    """TPC-H Q2: supplier/nation/region/part all broadcast; the only
+    shuffles are the partsupp grouping and its per-part MIN — no
+    cartesian from the decorrelated scalar subquery."""
+    p = plans("tpch_q2_mincost")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_min" in p  # map-side combine on the surrogate cost
+
+
+def test_q9_single_big_shuffle_join(plans):
+    """TPC-H Q9: part/supplier/nation broadcast; shuffle joins only for
+    lineitem⋈partsupp and ⋈orders."""
+    p = plans("tpch_q9_profit")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q16_anti_join_and_two_phase_distinct(plans):
+    """TPC-H Q16: NOT IN plans as a broadcast anti join; countDistinct
+    is two-phase (partial_count after the dedup expand)."""
+    p = plans("tpch_q16_suppcnt")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q20_semi_join_coparitioned_inner(plans):
+    """TPC-H Q20: the IN-subquery is a LEFT SEMI; partsupp and shipped
+    share the (partkey, suppkey) clustering so their join adds no
+    third exchange."""
+    p = plans("tpch_q20_promo")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
