@@ -355,3 +355,66 @@ def histogram_quantile_estimates(
         )
         out = rows if out is None else out.unionByName(rows)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (candidate pruning + exact verification)
+# ---------------------------------------------------------------------------
+
+def misra_gries_candidates(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """Per-partition mergeable Misra-Gries summaries [Misra & Gries 1982;
+    Agarwal et al. 2013 mergeable-summaries batch merge]: each partition
+    keeps at most ``k`` (key, residual-count) entries; when a merge
+    overflows, the (k+1)-th largest residual is subtracted from every
+    entry and non-positive entries drop — the subtraction destroys
+    ≥ (k+1)·δ mass, so total subtraction per partition is ≤ n_p/(k+1),
+    and every key with local frequency > n_p/(k+1) survives.  By
+    pigeonhole, any key with GLOBAL frequency > N/(k+1) is local-heavy in
+    at least one partition, so the union of partition summaries is a
+    superset of the true heavy hitters.
+
+    Scale: the pass is a single mapInPandas scan emitting ≤ k rows per
+    partition (k·P total) with NO shuffle; batches fold in vectorized via
+    pandas value_counts.  This is the hot-key detector that feeds skew
+    salting (cf. key_skew_report) without a groupBy over the full key
+    space."""
+    import pandas as pd
+
+    def summarize(batches):
+        summary: dict = {}
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            for key, cnt in vc.items():
+                summary[key] = summary.get(key, 0) + int(cnt)
+            if len(summary) > k:
+                # subtract the (k+1)-th largest count from all entries
+                cuts = sorted(summary.values(), reverse=True)
+                delta = cuts[k]
+                summary = {key: c - delta for key, c in summary.items() if c > delta}
+        if summary:
+            yield pd.DataFrame(
+                {key_col: list(summary.keys()), "mg_residual": list(summary.values())}
+            )
+
+    return df.select(key_col).mapInPandas(
+        summarize, schema=f"{key_col} string, mg_residual long"
+    )
+
+
+def heavy_hitters_exact(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """Exact heavy hitters {key : freq > N/(k+1)} at one-candidate-set cost:
+    MG candidates (≤ k per partition, shuffle-free) → broadcast LEFT SEMI
+    prune of the fact table → exact counts over the pruned set → threshold
+    against the 1-row total.  The result is EXACT (the sketch only prunes;
+    its one-sided guarantee means no true heavy hitter is lost), so the
+    oracle is plain SQL with no sketch replication needed."""
+    cands = misra_gries_candidates(df, key_col, k).select(key_col).distinct()
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * (k + 1) > F.col("n_total"))
+        .select(key_col, "freq", "n_total")
+    )

@@ -515,3 +515,68 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 4).alias("est_distinct"),
     )
     return _drain_to_memory(out, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (operators.sketches)
+# ---------------------------------------------------------------------------
+
+# Deterministic skewed key for hot-key detection: 3/4 of the event mass
+# lands on the 5 'hot:<type>' keys, the rest spreads over per-event-unique
+# 'cold:' keys — vocab >> MG capacity, so the summary actually decrements.
+_HH_KEY_SQL = (
+    "CASE WHEN event_id % 4 < 3 THEN 'hot:' || event_type "
+    "ELSE 'cold:' || user_id::VARCHAR || ':' || event_id::VARCHAR END"
+)
+
+
+@register(
+    "heavy_hitters",
+    f"""
+    WITH keyed AS (
+        SELECT {_HH_KEY_SQL} AS key
+        FROM events
+        WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS n_total FROM keyed)
+    SELECT key, count(*) AS freq, (SELECT n_total FROM tot) AS n_total
+    FROM keyed
+    GROUP BY key
+    HAVING count(*) * 65 > (SELECT n_total FROM tot)
+    ORDER BY freq DESC, key
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters {key: freq > N/65} found the 100 TB way: a
+    shuffle-free Misra-Gries candidate pass (≤64 rows per partition,
+    superset guarantee by pigeonhole over partitions) followed by a
+    broadcast-semi-join exact count of candidates only — the full key
+    space (here dominated by per-event-unique cold keys) is never
+    grouped.  The oracle is the plain exact SQL; the sketch only prunes,
+    so the outputs agree bit-for-bit."""
+    from es_ch_sync_spark.operators.sketches import heavy_hitters_exact
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    keyed = ev.select(
+        F.when(
+            F.col("event_id") % 4 < 3,
+            F.concat(F.lit("hot:"), F.col("event_type")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("cold:"),
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        .alias("key")
+    )
+    return heavy_hitters_exact(keyed, "key", k=64).orderBy(
+        F.desc("freq"), F.asc("key")
+    )

@@ -176,3 +176,47 @@ def test_histogram_grid_mergeable(spark, sf_dir):
     f = {(r["event_type"], r["bin"]): r["cnt"] for r in full.collect()}
     m = {(r["event_type"], r["bin"]): r["cnt"] for r in merged.collect()}
     assert f == m
+
+
+def test_mg_candidates_superset_of_heavy_hitters(spark):
+    """Misra-Gries one-sided guarantee on an adversarial layout: every key
+    with freq > N/(k+1) appears in the candidate union, for a stream
+    whose heavy keys are front-loaded into one partition and whose cold
+    tail floods the summary with unique keys."""
+    from es_ch_sync_spark.operators.sketches import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    rows = (
+        [("hh_a",)] * 900
+        + [("hh_b",)] * 400
+        + [(f"cold_{i}",) for i in range(4000)]
+        + [("hh_a",)] * 600
+    )
+    df = spark.createDataFrame(rows, "key string").repartition(7)
+    k = 16
+    n = len(rows)
+    exact = {
+        r["key"]
+        for r in df.groupBy("key").count().where(F.col("count") * (k + 1) > n).collect()
+    }
+    assert "hh_a" in exact  # 1500 > 5900/17
+    cands = {r["key"] for r in misra_gries_candidates(df, "key", k).collect()}
+    assert exact <= cands
+    got = heavy_hitters_exact(df, "key", k)
+    assert {r["key"] for r in got.collect()} == exact
+    # exact counts, not residuals
+    freqs = {r["key"]: r["freq"] for r in got.collect()}
+    assert freqs.get("hh_a") == 1500
+
+
+def test_mg_summary_bounded_per_partition(spark):
+    """The candidate pass emits at most k rows per partition."""
+    from es_ch_sync_spark.operators.sketches import misra_gries_candidates
+
+    df = spark.createDataFrame(
+        [(f"k{i % 997}",) for i in range(20000)], "key string"
+    ).repartition(5)
+    out = misra_gries_candidates(df, "key", k=32)
+    assert out.count() <= 32 * 5
