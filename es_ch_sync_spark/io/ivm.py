@@ -1,0 +1,170 @@
+"""Incremental materialized-view maintenance (IVM) over the txlog.
+
+The reference's continuous mode re-derives destination state from scratch
+per vehicle on every run and leans on ReplacingMergeTree to absorb the
+overlap (`/root/reference/internal/sync/sync.go:109-137`).  The warehouse
+equivalent — and the only shape that survives 100 TB facts — is
+delta-based view maintenance: a rollup view is refreshed by aggregating
+ONLY the log segments committed since the view's recorded base version
+and merging those partials into the stored view state, never rescanning
+history.
+
+Design (the Delta/Materialize pattern, all public):
+
+- The view table stores **mergeable partials** (``n_rows``, ``sum_*`` in
+  DECIMAL), not finalized values — merging is a plain groupBy-SUM of
+  old-state ∪ delta-partials, associative by construction, so an
+  incremental refresh is bit-identical to a full recompute (pinned by
+  test and by the registered query's plain-SQL oracle).
+- Each view commit records ``meta.fact_version``; refresh reads it,
+  aggregates fact log entries ``(base, current]``, and overwrites the
+  view pinned at ``expected_base`` — a concurrent refresher loses the
+  O_EXCL race and raises instead of double-applying a delta.
+- The delta path is only sound for **append-only** ranges: any
+  overwrite/merge/truncate entry in the range voids the view's base
+  state, so ``added_files_between`` refuses (NonAppendDeltaError) and the
+  caller falls back to a full rebuild — correctness never depends on
+  guessing what a remove meant.
+
+Scale: refresh cost is O(new data) + O(|view|) regardless of fact-table
+age; the O(|view|) merge term is itself a keyed shuffle that AQE can
+coalesce, and the view is typically orders of magnitude smaller than the
+fact table (group keys, not rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.io.txlog import (
+    _read_entry,
+    _versions,
+    current_version,
+    last_committed_meta,
+    read_table,
+    snapshot_files_fast,
+    txlog_overwrite,
+)
+
+_DEC = "decimal(24,4)"
+
+
+class NonAppendDeltaError(RuntimeError):
+    """The requested log range contains a non-append commit; the delta is
+    not expressible as added files only — rebuild the view instead."""
+
+
+def added_files_between(table: str, after_version: int, version: int) -> list[str]:
+    """Data files added by commits in ``(after_version, version]``.
+    Raises NonAppendDeltaError if any commit in the range is not a plain
+    append (overwrite/merge/truncate invalidate previously-seen rows)."""
+    files: list[str] = []
+    for v in _versions(table):
+        if v <= after_version or v > version:
+            continue
+        e = _read_entry(table, v)
+        if e["op"] != "append" or e.get("remove"):
+            raise NonAppendDeltaError(
+                f"{table} commit {v} is op={e['op']!r} with "
+                f"{len(e.get('remove', []))} removes — delta maintenance "
+                "requires an append-only range"
+            )
+        files.extend(e["add"])
+    return files
+
+
+def _partials(df: DataFrame, group_cols: list[str], sum_col: str) -> DataFrame:
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(sum_col).cast(_DEC)).alias("sum_value"),
+    )
+
+
+def _merge(parts: DataFrame, group_cols: list[str]) -> DataFrame:
+    return parts.groupBy(*group_cols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_value").cast(_DEC).alias("sum_value"),
+    )
+
+
+def refresh_rollup_view(
+    spark: SparkSession,
+    fact_table: str,
+    view_table: str,
+    group_cols: list[str],
+    sum_col: str,
+) -> dict:
+    """Bring the rollup view up to the fact table's current version.
+
+    Returns ``{"mode": "noop"|"delta"|"full", "fact_version": v,
+    "view_version": v'}``.  ``delta`` reads only the appended files;
+    ``full`` rebuilds from the current snapshot (first refresh, or a
+    non-append commit in the range)."""
+    fact_v = current_version(fact_table)
+    if fact_v is None:
+        raise ValueError(f"{fact_table} has no committed versions")
+    base_v = last_committed_meta(view_table, "fact_version")
+    if base_v is not None and base_v >= fact_v:
+        return {
+            "mode": "noop",
+            "fact_version": fact_v,
+            "view_version": current_version(view_table),
+        }
+
+    view_base = current_version(view_table) if base_v is not None else None
+    mode = "delta"
+    delta_files: list[str] | None = None
+    if base_v is not None:
+        try:
+            delta_files = added_files_between(fact_table, base_v, fact_v)
+        except NonAppendDeltaError:
+            mode = "full"
+    else:
+        mode = "full"
+
+    if mode == "delta" and delta_files is not None:
+        if delta_files:
+            delta = spark.read.parquet(
+                *[os.path.join(fact_table, f) for f in delta_files]
+            )
+            new_parts = _partials(delta, group_cols, sum_col)
+            old = read_table(spark, view_table).select(
+                *group_cols, "n_rows", "sum_value"
+            )
+            merged = _merge(old.unionByName(new_parts), group_cols)
+        else:
+            merged = read_table(spark, view_table).select(
+                *group_cols, "n_rows", "sum_value"
+            )
+    else:
+        snap_files = snapshot_files_fast(fact_table, fact_v)
+        snap = spark.read.parquet(
+            *[os.path.join(fact_table, f) for f in snap_files]
+        )
+        merged = _partials(snap, group_cols, sum_col)
+
+    view_v = txlog_overwrite(
+        merged,
+        view_table,
+        expected_base=view_base,
+        meta={"fact_version": fact_v},
+    )
+    return {"mode": mode, "fact_version": fact_v, "view_version": view_v}
+
+
+def read_rollup_view(spark: SparkSession, view_table: str) -> DataFrame:
+    """Finalize the stored partials: count, exact DECIMAL sum (surfaced as
+    double), and the derived mean — computed at read time so the stored
+    state stays mergeable."""
+    v = read_table(spark, view_table)
+    return v.select(
+        *[c for c in v.columns if c not in ("n_rows", "sum_value")],
+        F.col("n_rows"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.round(F.col("sum_value").cast("double") / F.col("n_rows"), 6).alias(
+            "avg_value"
+        ),
+    )

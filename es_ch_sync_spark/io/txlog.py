@@ -134,7 +134,10 @@ def txlog_append(
 
 
 def txlog_overwrite(
-    df: DataFrame, table: str, expected_base: int | None = None
+    df: DataFrame,
+    table: str,
+    expected_base: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Replace the table contents in one commit.  Overwrite conflicts are
     NOT retried: if another writer committed since this writer read its
@@ -147,9 +150,10 @@ def txlog_overwrite(
     removed: list[str] = snapshot_files(table, base) if base is not None else []
     files = _write_data_files(df, table)
     v = (base + 1) if base is not None else 0
-    if not _try_commit(
-        table, v, {"op": "overwrite", "add": files, "remove": removed}
-    ):
+    entry: dict = {"op": "overwrite", "add": files, "remove": removed}
+    if meta:
+        entry["meta"] = meta
+    if not _try_commit(table, v, entry):
         raise TxConflictError(
             f"overwrite of {table} raced another commit at version {v}; "
             "re-read the table and recompute"

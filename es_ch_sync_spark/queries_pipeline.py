@@ -965,3 +965,54 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_ts",
         F.round("pv", 4).alias("purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (io.ivm over io.txlog)
+# ---------------------------------------------------------------------------
+
+@register(
+    "incremental_rollup_view",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           sum(value::DECIMAL(24,4))::DOUBLE AS sum_value,
+           round(sum(value::DECIMAL(24,4))::DOUBLE / count(*), 6) AS avg_value
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_incremental_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained rollup: the events table lands in a txlog fact
+    table as three appends, and after each commit the view is refreshed
+    by aggregating ONLY that commit's files and merging the partials into
+    stored view state (io/ivm.py) — never rescanning history.  The
+    refresh chain (full, delta, delta) must equal the oracle's one-shot
+    GROUP BY because the stored partials are associative (count +
+    DECIMAL sum); finalization (double surface, mean) happens at read
+    time."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io.ivm import read_rollup_view, refresh_rollup_view
+    from es_ch_sync_spark.io.txlog import txlog_append
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    root = tempfile.mkdtemp(prefix=f"ivm_{uuid.uuid4().hex[:8]}_")
+    fact = f"{root}/fact"
+    view = f"{root}/view"
+    for part in range(3):
+        txlog_append(
+            ev.filter(F.col("event_id") % 3 == part).select(
+                "event_id", "event_type", "value"
+            ),
+            fact,
+        )
+        info = refresh_rollup_view(
+            spark, fact, view, group_cols=["event_type"], sum_col="value"
+        )
+        assert info["mode"] == ("full" if part == 0 else "delta"), info
+    return read_rollup_view(spark, view)

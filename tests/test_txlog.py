@@ -190,3 +190,88 @@ def test_checkpoint_replay_bit_identical(spark, tmp_path):
     tx.write_checkpoint(t)
     with pytest.raises(tx.TxVersionError):
         tx.snapshot_files_fast(t, 1)
+
+
+# ---------------------------------------------------------------------------
+# io/ivm.py — incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from es_ch_sync_spark.io import ivm  # noqa: E402
+
+
+def _vals(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS grp", "CAST(id AS DOUBLE) / 7 AS v"
+    )
+
+
+def _finalized(spark, view):
+    return {
+        r["grp"]: (r["n_rows"], r["sum_value"], r["avg_value"])
+        for r in ivm.read_rollup_view(spark, view).collect()
+    }
+
+
+def test_ivm_delta_equals_full_recompute(spark, tmp_path):
+    fact = str(tmp_path / "fact")
+    view = str(tmp_path / "view")
+    ranges = [(0, 40), (40, 90), (90, 91), (91, 200)]
+    modes = []
+    for lo, hi in ranges:
+        tx.txlog_append(_vals(spark, lo, hi), fact)
+        modes.append(
+            ivm.refresh_rollup_view(spark, fact, view, ["grp"], "v")["mode"]
+        )
+    assert modes == ["full", "delta", "delta", "delta"]
+    # bit-identical to a one-shot rebuild of the same snapshot
+    fresh = str(tmp_path / "view_fresh")
+    ivm.refresh_rollup_view(spark, fact, fresh, ["grp"], "v")
+    assert _finalized(spark, view) == _finalized(spark, fresh)
+
+
+def test_ivm_noop_when_current(spark, tmp_path):
+    fact = str(tmp_path / "fact")
+    view = str(tmp_path / "view")
+    tx.txlog_append(_vals(spark, 0, 10), fact)
+    ivm.refresh_rollup_view(spark, fact, view, ["grp"], "v")
+    v_before = tx.current_version(view)
+    info = ivm.refresh_rollup_view(spark, fact, view, ["grp"], "v")
+    assert info["mode"] == "noop"
+    assert tx.current_version(view) == v_before  # no empty commit
+
+
+def test_ivm_non_append_range_falls_back_to_full(spark, tmp_path):
+    fact = str(tmp_path / "fact")
+    view = str(tmp_path / "view")
+    tx.txlog_append(_vals(spark, 0, 50), fact)
+    ivm.refresh_rollup_view(spark, fact, view, ["grp"], "v")
+    # an overwrite invalidates the view's base state — delta must refuse
+    tx.txlog_overwrite(_vals(spark, 1000, 1020), fact)
+    with pytest.raises(ivm.NonAppendDeltaError):
+        ivm.added_files_between(fact, 0, tx.current_version(fact))
+    info = ivm.refresh_rollup_view(spark, fact, view, ["grp"], "v")
+    assert info["mode"] == "full"
+    fresh = str(tmp_path / "view_fresh")
+    ivm.refresh_rollup_view(spark, fact, fresh, ["grp"], "v")
+    assert _finalized(spark, view) == _finalized(spark, fresh)
+
+
+def test_ivm_stale_refresher_conflicts(spark, tmp_path):
+    """A refresher racing a committed view overwrite must raise, not
+    double-apply its delta (WriteSerializable via expected_base)."""
+    fact = str(tmp_path / "fact")
+    view = str(tmp_path / "view")
+    tx.txlog_append(_vals(spark, 0, 30), fact)
+    ivm.refresh_rollup_view(spark, fact, view, ["grp"], "v")
+    tx.txlog_append(_vals(spark, 30, 60), fact)
+    # another maintainer lands first
+    ivm.refresh_rollup_view(spark, fact, view, ["grp"], "v")
+    # replay the same refresh from the pre-race view version
+    with pytest.raises(tx.TxConflictError):
+        tx.txlog_overwrite(
+            _vals(spark, 0, 1).selectExpr("grp", "id AS n_rows", "CAST(v AS DECIMAL(24,4)) AS sum_value"),
+            view,
+            expected_base=0,
+        )
