@@ -580,3 +580,156 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(keyed, "key", k=64).orderBy(
         F.desc("freq"), F.asc("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Geospatial (operators.geo) — the reference's latitude/longitude telemetry
+# (status_mapping.json data.latitude/longitude) made queryable
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic pings: md5-derived uniform positions in a
+# 1°x1° band (lat 40..41, lon -75..-74) keyed by event_id — bit-identical
+# in both engines (same hash, same IEEE division).
+_PTS_CTE = f"""
+    pts AS (
+        SELECT event_id, user_id, ts,
+               40.0  + {_h56("'lat:' || event_id::VARCHAR")} / {_SPACE} AS lat,
+               -75.0 + {_h56("'lon:' || event_id::VARCHAR")} / {_SPACE} AS lon
+        FROM events WHERE event_id IS NOT NULL
+    )
+"""
+
+_HAV_SQL = (
+    "2.0 * 6371.0 * asin(sqrt("
+    "sin(radians({lat2} - {lat1}) / 2) * sin(radians({lat2} - {lat1}) / 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * sin(radians({lon2} - {lon1}) / 2) * sin(radians({lon2} - {lon1}) / 2)))"
+)
+
+_LANDMARKS = [
+    (0, 40.1, -74.9),
+    (1, 40.3, -74.5),
+    (2, 40.5, -74.2),
+    (3, 40.7, -74.7),
+    (4, 40.9, -74.1),
+]
+
+
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from es_ch_sync_spark.operators.sketches import HASH_SPACE, hash56
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.lit(40.0) + hash56("event_id", seed="lat") / F.lit(HASH_SPACE)).alias("lat"),
+        (F.lit(-75.0) + hash56("event_id", seed="lon") / F.lit(HASH_SPACE)).alias("lon"),
+    )
+
+
+@register(
+    "geo_cell_counts",
+    f"""
+    WITH {_PTS_CTE}
+    SELECT floor(lat / 0.01)::BIGINT AS cell_y,
+           floor(lon / 0.01)::BIGINT AS cell_x,
+           count(*) AS n_points,
+           round(sum(lat::DECIMAL(18,9))::DOUBLE / count(*), 6) AS mean_lat,
+           round(sum(lon::DECIMAL(18,9))::DOUBLE / count(*), 6) AS mean_lon
+    FROM pts
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY n_points DESC, cell_y, cell_x
+    LIMIT 200
+    """,
+)
+def q_geo_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vehicle-density grid (~1.1 km cells): integer floor-division cell
+    ids, one partial-agg shuffle, DECIMAL centroid sums.  The cell id is
+    the same key zorder_write would lay files out by, so at 100 TB the
+    grid query prunes to the touched cells."""
+    from es_ch_sync_spark.operators.geo import grid_aggregate
+
+    return (
+        grid_aggregate(_pts(spark, sf_dir), cell_deg=0.01)
+        .filter(F.col("n_points") >= 2)
+        .orderBy(F.desc("n_points"), "cell_y", "cell_x")
+        .limit(200)
+    )
+
+
+@register(
+    "geo_radius_join",
+    f"""
+    WITH {_PTS_CTE},
+    landmarks (landmark_id, q_lat, q_lon) AS (
+        VALUES {", ".join(f"({i}, {la}, {lo})" for i, la, lo in _LANDMARKS)}
+    )
+    SELECT landmark_id, event_id,
+           round({_HAV_SQL.format(lat1="lat", lon1="lon", lat2="q_lat", lon2="q_lon")}, 4)
+               AS dist_km
+    FROM pts, landmarks
+    WHERE {_HAV_SQL.format(lat1="lat", lon1="lon", lat2="q_lat", lon2="q_lon")} < 10.0
+    ORDER BY landmark_id, event_id
+    """,
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search (pings within 10 km of 5 landmarks) the grid-file
+    way: points bucket into radius-covering cells, each landmark fans out
+    to its 3x3 neighbor block (15-row broadcast), the cell-id hash join
+    yields candidates and exact haversine verifies — never a cross join
+    against the ping table (the oracle IS the brute-force cross join,
+    proving the cover loses nothing)."""
+    from es_ch_sync_spark.operators.geo import radius_join
+
+    lm = spark.createDataFrame(
+        _LANDMARKS, "landmark_id int, q_lat double, q_lon double"
+    )
+    return (
+        radius_join(_pts(spark, sf_dir), lm, radius_km=10.0)
+        .select(
+            "landmark_id",
+            "event_id",
+            F.round("dist_km", 4).alias("dist_km"),
+        )
+        .orderBy("landmark_id", "event_id")
+    )
+
+
+@register(
+    "geo_trajectory",
+    f"""
+    WITH {_PTS_CTE},
+    hops AS (
+        SELECT user_id, lat, lon,
+               lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    steps AS (
+        SELECT user_id,
+               {_HAV_SQL.format(lat1="plat", lon1="plon", lat2="lat", lon2="lon")} AS step
+        FROM hops
+    )
+    SELECT user_id, count(*) AS n_pings,
+           round(sum(step::DECIMAL(18,9))::DOUBLE, 4) AS path_km,
+           round(max(step), 4) AS max_hop_km
+    FROM steps
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_geo_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vehicle travel summary: window lags on (ts, event_id) give
+    consecutive-ping hops (one shuffle on user_id, no self-join); the
+    path sum is DECIMAL so hop ordering can't change the double."""
+    from es_ch_sync_spark.operators.geo import trajectory_stats
+
+    return trajectory_stats(
+        _pts(spark, sf_dir).withColumn(
+            "ord", F.struct(F.col("ts"), F.col("event_id"))
+        ),
+        key_col="user_id",
+        ts_col="ord",
+    ).orderBy("user_id")
