@@ -349,3 +349,100 @@ def fuzzy_duplicate_pairs(
         F.levenshtein(F.col("a.head"), F.col("b.head")).alias("dist"),
     )
     return cand.where(F.col("dist") <= max_dist)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (iterative pair-merge)
+# ---------------------------------------------------------------------------
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The classic BPE reduction [Sennrich et al. 2016]: training never
+    touches the corpus again after this one scan — it runs on the
+    (distinct word, frequency) table, whose size is Heaps-law-bounded
+    (vocab grows ~sqrt of corpus), not corpus-sized."""
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of one (left, right) symbol pair inside
+    a symbol array — a pure fold (F.aggregate), no UDF.  Greedy-left is
+    the standard BPE application order; the fold's last-element compare
+    reproduces it exactly (verified against overlapping runs: 'aaaa'
+    under (a,a) → [aa, aa])."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> list[dict]:
+    """Byte-pair-encoding merge table: ``n_merges`` iterations of
+    (count adjacent symbol pairs weighted by word frequency → take the
+    most frequent pair, ties broken lexicographically → rewrite every
+    word's symbol array greedily).
+
+    Distribution: each iteration is one groupBy over the cached word
+    table plus a 1-row collect (the argmax — O(scalars), same discipline
+    as the k-means/pagerank loops); the rewrite is a codegen'd fold, so
+    no Python ever sees a word.  Production-scale note: merge depth grows
+    the expression tree linearly — checkpoint the word table every ~50
+    merges to reset lineage."""
+    base = bpe_word_counts(docs, text_col).withColumn(
+        "syms", F.split(F.col("word"), "")
+    )
+    wc = base.persist()
+    try:
+        merges: list[dict] = []
+        for rank in range(1, n_merges + 1):
+            pairs = wc.select(
+                F.col("cnt"),
+                F.explode(
+                    F.transform(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        lambda s, i: F.struct(
+                            s.alias("a"),
+                            F.element_at(F.col("syms"), i + F.lit(2)).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
+            merges.append(
+                {"rank": rank, "left": a, "right": b, "pair_count": int(c)}
+            )
+            wc = wc.withColumn("syms", _merge_pair(F.col("syms"), a, b))
+        return merges
+    finally:
+        base.unpersist()
+
+
+def bpe_apply(syms: Column, merges: list[dict]) -> Column:
+    """Encode: apply a learned merge table to a symbol array in rank
+    order (each merge is one greedy fold — the same _merge_pair the
+    trainer used, so train-then-encode round-trips exactly)."""
+    out = syms
+    for m in sorted(merges, key=lambda m: m["rank"]):
+        out = _merge_pair(out, m["left"], m["right"])
+    return out

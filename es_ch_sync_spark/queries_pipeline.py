@@ -1016,3 +1016,109 @@ def q_incremental_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assert info["mode"] == ("full" if part == 0 else "delta"), info
     return read_rollup_view(spark, view)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators.text.bpe_train)
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB replica of the iterative BPE loop: each merge round
+    is one (pairs → top-1 → greedy-rewrite) CTE triple; generated
+    programmatically so the oracle covers exactly n_merges rounds."""
+    ctes = [
+        """
+    words0 AS (
+        SELECT word, count(*) AS cnt,
+               list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE word <> ''
+        GROUP BY word
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"""
+    pairs{i} AS (
+        SELECT t.p[1] AS a, t.p[2] AS b, sum(t.cnt) AS c
+        FROM (SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p,
+                     cnt
+              FROM words{p}) t
+        GROUP BY 1, 2
+    ),
+    top{i} AS (SELECT a, b, c FROM pairs{i} ORDER BY c DESC, a, b LIMIT 1),
+    words{i} AS (
+        SELECT word, cnt,
+               list_reduce(
+                   list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])),
+                   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = a
+                                     AND x[1] = b
+                               THEN acc[1:len(acc)-1] || [a || b]
+                               ELSE acc || x END) AS syms
+        FROM words{p}, top{i}
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rank, a AS lhs, b AS rhs, c AS pair_count FROM top{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(ctes) + f" SELECT * FROM ({finals}) ORDER BY rank"
+
+
+_BPE_MERGES = 6
+
+
+@register("bpe_merges", _bpe_oracle_sql(_BPE_MERGES))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First rounds of BPE tokenizer training [Sennrich et al. 2016] run
+    distributed: one corpus scan builds the Heaps-bounded (word, freq)
+    table; each merge round is a groupBy over it plus a 1-row argmax
+    collect, with the greedy pair rewrite as a codegen'd array fold (no
+    UDF).  The oracle unrolls the same rounds in pure SQL (list_reduce
+    fold), so the merge table — order, ties, counts — matches exactly."""
+    from es_ch_sync_spark.operators.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["pair_count"]) for m in merges],
+        "rank int, lhs string, rhs string, pair_count bigint",
+    ).orderBy("rank")
+
+
+@register(
+    "bpe_token_freqs",
+    _bpe_oracle_sql(_BPE_MERGES).rsplit(" SELECT * FROM ", 1)[0]
+    + f"""
+    SELECT tok, sum(cnt) AS freq
+    FROM (SELECT unnest(syms) AS tok, cnt FROM words{_BPE_MERGES})
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 50
+    """,
+)
+def q_bpe_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies AFTER applying the learned BPE merges —
+    the encode path: train (6 rounds), then re-encode the word table with
+    the merge list as successive codegen'd folds and explode weighted by
+    word frequency.  The oracle re-derives the same state from its
+    unrolled words6 CTE, so trainer and encoder must agree exactly."""
+    from es_ch_sync_spark.operators.text import (
+        bpe_apply,
+        bpe_train,
+        bpe_word_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    wc = bpe_word_counts(docs).withColumn("syms", F.split(F.col("word"), ""))
+    encoded = wc.withColumn("syms", bpe_apply(F.col("syms"), merges))
+    return (
+        encoded.select(F.explode("syms").alias("tok"), "cnt")
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(50)
+    )

@@ -66,3 +66,89 @@ def test_mad_outliers_planted(spark):
     got = mad_outliers(df, "value", ["event_type"], ["event_id"]).collect()
     assert [r["event_id"] for r in got] == [99]
     assert got[0]["score"] > 3.0
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+def test_bpe_merge_pair_greedy_overlap(spark):
+    """Greedy left-to-right application on overlapping runs: 'aaaa' under
+    (a,a) must become [aa, aa], 'aaab' → [aa, a, b]."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.text import _merge_pair
+
+    df = spark.createDataFrame([("aaaa",), ("aaab",)], "w string")
+    out = df.select(
+        "w", _merge_pair(F.split("w", ""), "a", "a").alias("m")
+    ).collect()
+    got = {r["w"]: r["m"] for r in out}
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaab"] == ["aa", "a", "b"]
+
+
+def test_bpe_train_matches_reference_python(spark):
+    """The distributed trainer must equal a straightforward single-process
+    BPE reference on the same tiny corpus (ranks, pairs, counts)."""
+    corpus = ["low low low lower lowest", "new newer newest low", "wider new"]
+
+    # reference implementation (pure python, word-frequency BPE)
+    from collections import Counter
+
+    wc = Counter(w for line in corpus for w in line.lower().split())
+    vocab = {w: list(w) for w in wc}
+    expected = []
+    for rank in range(1, 6):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        # max count, ties lexicographic
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, a, b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    from es_ch_sync_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = [
+        (m["rank"], m["left"], m["right"], m["pair_count"])
+        for m in bpe_train(docs, n_merges=5)
+    ]
+    assert got == expected
+
+
+def test_bpe_apply_roundtrips_training_state(spark):
+    """Encoding the training corpus with the learned merges must
+    reproduce tokens whose concatenation restores each word."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.text import (
+        bpe_apply,
+        bpe_train,
+        bpe_word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the cat ran",)], "text string"
+    )
+    merges = bpe_train(docs, n_merges=4)
+    assert len(merges) == 4
+    wc = bpe_word_counts(docs).withColumn("syms", F.split("word", ""))
+    enc = wc.select(
+        "word", bpe_apply(F.col("syms"), merges).alias("toks")
+    ).collect()
+    for r in enc:
+        assert "".join(r["toks"]) == r["word"]
