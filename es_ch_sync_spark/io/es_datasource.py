@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -60,6 +61,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
+    WriterCommitMessage,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -282,6 +284,9 @@ class EsStatusDataSource(DataSource):
     def reader(self, schema: T.StructType) -> EsStatusReader:
         return EsStatusReader(schema, dict(self.options))
 
+    def writer(self, schema: T.StructType, overwrite: bool) -> "EsStatusWriter":
+        return EsStatusWriter(schema, dict(self.options), overwrite)
+
 
 def register_es_status(spark: SparkSession) -> None:
     """Idempotently register the format + enable Python filter pushdown.
@@ -306,3 +311,143 @@ def read_es_status(
     if schema is not None:
         r = r.schema(schema)
     return r.load()
+
+
+# ---------------------------------------------------------------------------
+# Writer side: the reference's batched-insert sink boundary
+# (clickhouse.go:113-130 PrepareBatch/Send — a batch becomes visible
+# atomically) re-expressed through Spark 4's Python DataSource writer
+# protocol, emitting the SAME hit-export NDJSON shape the reader scans, so
+# the connector round-trips df → save → load without a JVM jar.
+# ---------------------------------------------------------------------------
+
+
+class _EsWriteCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, final_name: str, n_rows: int) -> None:
+        self.tmp_path = tmp_path
+        self.final_name = final_name
+        self.n_rows = n_rows
+
+
+class EsStatusWriter(DataSourceArrowWriter):
+    """Task protocol: each executor serializes its Arrow batches to hit
+    NDJSON under a task-unique ``_tmp_`` name (a speculative or retried
+    task attempt can never collide with a committed file), returns the
+    temp path as its commit message, and the driver makes the WHOLE job
+    visible atomically: rename every temp into place, then O_EXCL-create
+    the ``_ES_COMMIT`` manifest listing exactly the committed files.
+    Readers that honor the manifest see all-or-nothing (the PrepareBatch/
+    Send batch-visibility analog); ``abort`` removes the temps, so a
+    failed job leaves no partial batch behind."""
+
+    def __init__(self, schema: T.StructType, options: dict, overwrite: bool) -> None:
+        self.spark_schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("es_status writer requires .option('path', <dir>)")
+        self.index = options.get("index", "events")
+        self.id_col = options.get("idcolumn", "es_id")
+        self.overwrite = overwrite
+
+    @staticmethod
+    def _jsonify(v):
+        """JSON-encode the Arrow-to-Python values Spark hands the task:
+        timestamps → ISO-8601, Decimal → float, bytes → base64."""
+        import base64
+        import decimal
+
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, (bytes, bytearray)):
+            return base64.b64encode(bytes(v)).decode("ascii")
+        raise TypeError(f"es_status writer: unsupported value type {type(v)}")
+
+    def write(self, iterator) -> _EsWriteCommit:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        tc = TaskContext.get()
+        tag = f"{tc.partitionId()}-{tc.attemptNumber()}-{uuid.uuid4().hex[:8]}"
+        final_name = f"part-{tc.partitionId():05d}-{tag}.ndjson"
+        tmp = os.path.join(self.path, f"_tmp_{tag}.ndjson")
+        n = 0
+        with open(tmp, "w") as f:
+            for batch in iterator:
+                for rec in batch.to_pylist():
+                    doc_id = rec.pop(self.id_col, None)
+                    hit = {
+                        "_id": str(doc_id) if doc_id is not None else f"{tag}:{n}",
+                        "_index": self.index,
+                        "_source": rec,
+                    }
+                    f.write(
+                        json.dumps(
+                            hit, separators=(",", ":"), default=self._jsonify
+                        )
+                        + "\n"
+                    )
+                    n += 1
+        return _EsWriteCommit(tmp, final_name, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        committed = []
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
+            committed.append(m.final_name)
+            total += m.n_rows
+        manifest = {"files": sorted(committed), "n_rows": total}
+        mpath = os.path.join(self.path, "_ES_COMMIT")
+        if self.overwrite:
+            with open(mpath, "w") as f:
+                json.dump(manifest, f)
+        else:
+            # append mode must not clobber a previous job's manifest: merge
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    prev = json.load(f)
+                manifest["files"] = sorted(prev["files"] + manifest["files"])
+                manifest["n_rows"] += prev["n_rows"]
+            with open(mpath, "w") as f:
+                json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+def committed_files(path: str) -> list[str]:
+    """The manifest-honoring file list (all-or-nothing read boundary)."""
+    import json
+    import os
+
+    mpath = os.path.join(path, "_ES_COMMIT")
+    if not os.path.exists(mpath):
+        return []
+    with open(mpath) as f:
+        return [os.path.join(path, p) for p in json.load(f)["files"]]
+
+
+def write_es_status(df: DataFrame, path: str, mode: str = "append", **opts) -> None:
+    """``df.write.format("es_status")`` with the id column surfaced: any
+    column named by ``idcolumn`` (default es_id) becomes the hit ``_id``;
+    everything else lands under ``_source``."""
+    register_es_status(df.sparkSession)
+    w = df.write.format(FORMAT_NAME).mode(mode).option("path", path)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save()

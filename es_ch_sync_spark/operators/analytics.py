@@ -538,3 +538,36 @@ def asof_join_forward(
             out = out.withColumn(c, F.when(within, F.col(c)))
         out = out.withColumn("_matched_ts", F.when(within, F.col("_matched_ts")))
     return out.withColumnRenamed("_matched_ts", "matched_ts").drop("_side", "_ats")
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Final EWMA state per key: ewma_n = α·x_n + (1-α)·ewma_{n-1},
+    seeded with the first value.
+
+    The recursion is inherently sequential, so it runs as ONE left fold
+    per key over the time-sorted value list (sort_array of a
+    (order, value) struct + F.aggregate) — exact IEEE recursion, no UDF,
+    one shuffle on the key.  The closed-form trick (sum of x_i/(1-α)^i)
+    is deliberately avoided: its weights overflow double past ~800 rows.
+    Memory is O(series length) per key; for unbounded streams the same
+    recursion lives in applyInPandasWithState (streaming/ module)."""
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(value_col).alias("_v")
+    )
+    seq = F.sort_array(F.collect_list(order_struct))
+    vals = F.transform(seq, lambda s: s.getField("_v"))
+    ew = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(ew, 6).alias("ewma"),
+    )

@@ -1239,3 +1239,49 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_found",
         F.round(F.col("n_found").cast("double") / n_exact, 6).alias("recall"),
     )
+
+
+@register(
+    "es_sink_roundtrip",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(value::DECIMAL(12,2))::DOUBLE AS v_sum
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_es_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 through the full connector loop: events go OUT through the
+    es_status DataSource writer (task-temp NDJSON + rename + O_EXCL
+    manifest = job-level atomic visibility, the PrepareBatch/Send analog
+    of clickhouse.go:113-130) and come BACK IN through the pushdown
+    reader; the aggregate over the round-tripped rows must equal the
+    oracle's aggregate over the original table — any row lost, doubled,
+    or type-mangled by the sink breaks the hash."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io.es_datasource import read_es_status, write_es_status
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    out = tempfile.mkdtemp(prefix=f"es_sink_{uuid.uuid4().hex[:8]}_")
+    write_es_status(
+        ev.select(
+            F.col("event_id").cast("string").alias("es_id"),
+            F.col("event_type"),
+            F.col("value"),
+        ),
+        out,
+        mode="overwrite",
+        index="events",
+    )
+    back = read_es_status(
+        spark, out, schema="es_id string, event_type string, value double"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v_sum"),
+    )

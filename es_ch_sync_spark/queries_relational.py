@@ -2455,3 +2455,34 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "ewma_smooth",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vs
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, len(vs) AS n_obs,
+           round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+    FROM seq
+    ORDER BY user_id
+    """,
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α=0.3), final
+    state: a sequential recursion run as a sorted left fold per key —
+    both engines execute the identical IEEE operation chain, so no
+    rounding slack is needed beyond the surface round(6)."""
+    from es_ch_sync_spark.operators.analytics import ewma_last
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return ewma_last(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.3
+    ).orderBy("user_id")

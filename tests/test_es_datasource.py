@@ -169,3 +169,86 @@ def test_sync_job_end_to_end_via_es_status(spark, tmp_path):
         map(tuple, want.select(*key).collect())
     )
     assert got.count() == want.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Writer side: batched sink with job-level atomic visibility
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402
+
+from es_ch_sync_spark.io.es_datasource import (  # noqa: E402
+    committed_files,
+    write_es_status,
+)
+
+
+def _sink_df(spark, n=20):
+    return spark.range(n).selectExpr(
+        "CAST(id AS STRING) AS es_id",
+        "CAST(id % 4 AS STRING) AS subject",
+        "timestamp'2021-06-01 12:00:00' + make_interval(0,0,0,0,0,0,id) AS time",
+        "id * 3 AS data_speed",
+        "id * 2.5 AS data_odometer",
+    ).repartition(3)
+
+
+def test_writer_roundtrips_through_reader(spark, tmp_path):
+    """df → es_status save → es_status load must be lossless (same hit
+    NDJSON shape both directions)."""
+    out = str(tmp_path / "sink")
+    df = _sink_df(spark)
+    write_es_status(df, out, mode="append", index="device-status")
+    assert len(committed_files(out)) == 3  # one file per partition
+    back = read_es_status(
+        spark,
+        out,
+        schema="es_id string, subject string, time timestamp, "
+        "data_speed bigint, data_odometer double",
+    )
+    want = {tuple(r) for r in df.collect()}
+    got = {tuple(r) for r in back.select(*df.columns).collect()}
+    assert got == want
+
+
+def test_writer_append_merges_manifest_overwrite_replaces(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    write_es_status(_sink_df(spark, 10), out, mode="append")
+    write_es_status(_sink_df(spark, 10), out, mode="append")
+    files_after_append = committed_files(out)
+    assert len(files_after_append) == 6
+    n = read_es_status(spark, out, schema=NARROW).count()
+    assert n == 20  # duplicate ids are the DESTINATION's dedup job (K2)
+    write_es_status(_sink_df(spark, 4).coalesce(1), out, mode="overwrite")
+    assert len(committed_files(out)) == 1
+
+
+def test_failed_job_commits_nothing(spark, tmp_path):
+    """A task failure must leave no manifest and no committed data files
+    (the PrepareBatch/Send all-or-nothing analog); temp files from
+    completed sibling tasks are aborted away."""
+    out = str(tmp_path / "sink")
+
+    @F.udf("string")
+    def boom(s):
+        raise RuntimeError("poison row")
+
+    bad = _sink_df(spark).withColumn("subject", boom("subject"))
+    with pytest.raises(Exception, match="poison"):
+        write_es_status(bad, out, mode="append")
+    assert committed_files(out) == []
+    leftovers = [
+        p
+        for p in (os.listdir(out) if os.path.isdir(out) else [])
+        if not p.startswith("_tmp_")
+    ]
+    assert leftovers == []  # nothing visible was committed
+
+
+def test_committed_files_ignores_strays(spark, tmp_path):
+    """Readers honoring the manifest never see files a crashed job left."""
+    out = str(tmp_path / "sink")
+    write_es_status(_sink_df(spark, 6).coalesce(1), out, mode="append")
+    with open(os.path.join(out, "part-99999-stray.ndjson"), "w") as f:
+        f.write('{"_id":"zz","_index":"x","_source":{"subject":"9"}}\n')
+    assert not any("stray" in p for p in committed_files(out))
