@@ -275,6 +275,126 @@ def main() -> None:
             ).count(),
         )
         big_orders.unpersist()
+    if "heavy" in only:
+        from es_ch_sync_spark.operators.sketches import heavy_hitters_exact
+
+        # skewed key stream: 5 hot keys carry 3/4 of N x replicas rows,
+        # cold tail is per-row unique (the full key space is never grouped)
+        n = 100_000 * replicas
+        keyed = spark.range(n).select(
+            F.when(
+                F.col("id") % 4 < 3, F.concat(F.lit("hot:"), (F.col("id") % 5))
+            )
+            .otherwise(F.concat(F.lit("cold:"), F.col("id")))
+            .alias("key")
+        )
+        timed(
+            f"heavy_hitters x{replicas} ({n} rows, ~{n // 4 + 5} distinct keys)",
+            lambda: heavy_hitters_exact(keyed, "key", k=64).count(),
+        )
+    if "geo" in only:
+        from es_ch_sync_spark.io.sources import read_parquet_table
+        from es_ch_sync_spark.operators.geo import radius_join, trajectory_stats
+        from es_ch_sync_spark.operators.sketches import HASH_SPACE, hash56
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps2 = spark.range(replicas).select(F.col("id").alias("rep"))
+        pts = (
+            ev.crossJoin(reps2)
+            .select(
+                (F.col("event_id") + F.col("rep") * 100_000_000).alias("pid"),
+                (F.col("user_id") + F.col("rep") * 1_000_000).alias("uid"),
+                "ts",
+                (F.lit(40.0) + hash56(F.col("event_id") + F.col("rep") * 100_000_000, seed="lat") / F.lit(HASH_SPACE) * 2).alias("lat"),
+                (F.lit(-75.0) + hash56(F.col("event_id") + F.col("rep") * 100_000_000, seed="lon") / F.lit(HASH_SPACE) * 2).alias("lon"),
+            )
+            .persist()
+        )
+        npts = pts.count()
+        qs = spark.createDataFrame(
+            [(i, 40.0 + (i % 20) * 0.1, -75.0 + (i // 20) * 0.1) for i in range(100)],
+            "qid int, q_lat double, q_lon double",
+        )
+        timed(
+            f"geo_radius_join x{replicas} ({npts} pts, 100 landmarks, 5km)",
+            lambda: radius_join(pts, qs, radius_km=5.0).count(),
+        )
+        timed(
+            f"geo_trajectory x{replicas} ({npts} pts)",
+            lambda: trajectory_stats(pts, "uid", "ts").count(),
+        )
+        pts.unpersist()
+    if "bpe" in only:
+        from es_ch_sync_spark.operators.text import bpe_train
+
+        # replica-suffixed tokens multiply the vocab x replicas — the
+        # worst case for the word-table loop (natural corpora grow vocab
+        # by Heaps' law, far slower)
+        timed(
+            f"bpe_train x{replicas} (8 merges, {n_docs} docs)",
+            lambda: len(bpe_train(docs, n_merges=8)),
+        )
+    if "ewma" in only:
+        from es_ch_sync_spark.io.sources import read_parquet_table
+        from es_ch_sync_spark.operators.analytics import ewma_last
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps2 = spark.range(replicas).select(F.col("id").alias("rep"))
+        big_ev = ev.crossJoin(reps2).select(
+            (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+            (F.col("ts") + F.expr("make_interval(0,0,0,0,0,0,rep)")).alias("ts"),
+            "event_id",
+            "value",
+        )
+        timed(
+            f"ewma_last x{replicas} (per-user sorted folds)",
+            lambda: ewma_last(
+                big_ev.filter(F.col("value").isNotNull()),
+                "user_id",
+                ["ts", "event_id"],
+                "value",
+                alpha=0.3,
+            ).count(),
+        )
+    if "ivm" in only:
+        import shutil
+        import tempfile
+
+        from es_ch_sync_spark.io.ivm import refresh_rollup_view
+        from es_ch_sync_spark.io.txlog import txlog_append
+
+        root = tempfile.mkdtemp(prefix="ivm_scale_")
+        fact, view = f"{root}/fact", f"{root}/view"
+        # seed: replicas x events already in the fact table + maintained view
+        from es_ch_sync_spark.io.sources import read_parquet_table
+
+        ev = read_parquet_table(spark, SF, "events").select(
+            "event_id", "event_type", "value"
+        )
+        reps2 = spark.range(replicas).select(F.col("id").alias("rep"))
+        seed = ev.crossJoin(reps2).select(
+            (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+            "event_type",
+            "value",
+        )
+        txlog_append(seed, fact)
+        timed(
+            f"ivm initial full build x{replicas}",
+            lambda: refresh_rollup_view(spark, fact, view, ["event_type"], "value")[
+                "fact_version"
+            ]
+            + 1,
+        )
+        # delta: ONE sf0.1 batch appended to the x{replicas} fact
+        txlog_append(ev, fact)
+        timed(
+            "ivm delta refresh (1 batch onto the big fact)",
+            lambda: refresh_rollup_view(spark, fact, view, ["event_type"], "value")[
+                "fact_version"
+            ]
+            + 1,
+        )
+        shutil.rmtree(root)
 
 
 if __name__ == "__main__":
