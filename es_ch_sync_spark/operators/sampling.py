@@ -539,3 +539,69 @@ def decontaminate_fuzzy(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    seed: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (adds ``fold`` in
+    [0, k)).
+
+    With ``group_col``, the fold is hashed from the GROUP, not the row —
+    grouped k-fold: every row of a group (all docs of one source, all
+    events of one user) lands in the same fold, the standard leakage
+    guard when groups correlate.  Pure hash arithmetic: no shuffle, no
+    state, append-stable (new rows never move old rows between folds)."""
+    key = F.col(group_col) if group_col else F.col(id_col)
+    return df.withColumn("fold", (_hash_bucket(key, seed) % k).cast("int"))
+
+
+def oversample_balance(
+    df: DataFrame,
+    class_col: str,
+    id_col: str = "doc_id",
+    max_factor: int = 20,
+    seed: str = "bal",
+) -> DataFrame:
+    """Class-balanced oversampling: minority classes are replicated
+    toward the majority count (deterministic, no RNG state).
+
+    Each class gets a base replication factor ``floor(max_cnt / cnt)``
+    (capped at ``max_factor``) applied to ALL its rows via a codegen'd
+    ``explode(sequence(...))`` — no Python, no join back to the fact —
+    plus a deterministic hash-selected remainder fraction getting one
+    extra copy, so every class's expected post-balance count is
+    ``max_cnt`` (exact when cnt divides max_cnt).  Output carries
+    ``copy_id`` so downstream global_shuffle / pack_sequences can keep
+    replicas apart.
+
+    Scale: class counts are a 1-row-per-class broadcast; the explode
+    multiplies rows map-side on the fact's existing partitioning —
+    the only data-sized cost is writing the extra rows, which is the
+    point of oversampling."""
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    mx = counts.agg(F.max("_cnt").alias("_max"))
+    stats = counts.crossJoin(F.broadcast(mx)).select(
+        class_col,
+        F.least(
+            F.floor(F.col("_max") / F.col("_cnt")), F.lit(max_factor)
+        ).cast("int").alias("_base"),
+        # fraction of rows that get one extra copy, in hash buckets
+        (
+            ((F.col("_max") % F.col("_cnt")) * SPLIT_BUCKETS / F.col("_cnt"))
+        ).cast("long").alias("_extra_cut"),
+    )
+    bucket = _hash_bucket(F.col(id_col), seed)
+    n_copies = F.when(
+        (F.col("_base") < max_factor) & (bucket < F.col("_extra_cut")),
+        F.col("_base") + 1,
+    ).otherwise(F.col("_base"))
+    return (
+        df.join(F.broadcast(stats), class_col)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), n_copies)))
+        .drop("_base", "_extra_cut")
+    )

@@ -422,3 +422,84 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
     new = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
     return semantic_near_duplicates_incremental(base, new, k=4, iters=2, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Grouped k-fold CV + class-balanced oversampling (operators.sampling)
+# ---------------------------------------------------------------------------
+
+def _kfold_oracle() -> str:
+    b = oracles._hash_bucket_sql("source", "fold")
+    return f"""
+    SELECT fold, source, count(*) AS n_docs
+    FROM (SELECT source, ({b}) % 5 AS fold
+          FROM documents WHERE source IS NOT NULL)
+    GROUP BY fold, source
+    ORDER BY fold, source
+    """
+
+
+@register("kfold_groups", _kfold_oracle())
+def q_kfold_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 5-fold CV assignment: the fold hashes from the GROUP
+    (source), so all docs of a source share a fold — the leakage guard
+    for correlated groups.  Shuffle-free hash arithmetic; the per-
+    (fold, source) census proves no group ever straddles folds (each
+    source appears under exactly one fold)."""
+    from es_ch_sync_spark.operators.sampling import kfold_assign
+
+    docs = _docs(spark, sf_dir).filter(F.col("source").isNotNull())
+    return (
+        kfold_assign(docs, k=5, group_col="source")
+        .groupBy("fold", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("fold", "source")
+    )
+
+
+def _oversample_oracle(max_factor: int = 20) -> str:
+    from es_ch_sync_spark.operators.sampling import SPLIT_BUCKETS
+
+    b = oracles._hash_bucket_sql("doc_id", "bal")
+    return f"""
+    WITH cnt AS (
+        SELECT lang, count(*) AS c FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    mx AS (SELECT max(c) AS m FROM cnt),
+    stats AS (
+        SELECT lang, least(m // c, {max_factor}) AS base,
+               ((m % c) * {SPLIT_BUCKETS} / c)::BIGINT AS extra_cut
+        FROM cnt, mx
+    )
+    SELECT d.lang,
+           sum(CASE WHEN base < {max_factor} AND ({b}) < extra_cut
+                    THEN base + 1 ELSE base END) AS n_rows,
+           count(*) AS n_unique
+    FROM documents d JOIN stats USING (lang)
+    WHERE d.lang IS NOT NULL
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+@register("oversample_balance", _oversample_oracle())
+def q_oversample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced oversampling by language: minority classes
+    replicate toward the majority count via a map-side
+    explode(sequence()) with a deterministic hash-selected remainder —
+    no RNG, no join back to the fact, class stats a broadcast.  The
+    census (post-balance rows + distinct docs per class) pins the exact
+    replication arithmetic."""
+    from es_ch_sync_spark.operators.sampling import oversample_balance
+
+    docs = _docs(spark, sf_dir).filter(F.col("lang").isNotNull())
+    return (
+        oversample_balance(docs, class_col="lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_unique"),
+        )
+        .orderBy("lang")
+    )

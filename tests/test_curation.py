@@ -217,3 +217,55 @@ def test_decontaminate_fuzzy_catches_paraphrase(spark):
     pair = {100, 101}
     assert any(set(p) == pair for p in flagged)
     assert all(set(p) == pair for p in flagged)
+
+
+def test_kfold_grouped_no_leakage(spark):
+    """Grouped k-fold: every group maps to exactly one fold; plain k-fold
+    spreads rows of a group across folds."""
+    from es_ch_sync_spark.operators.sampling import kfold_assign
+
+    df = spark.range(2000).selectExpr("id AS doc_id", "CAST(id % 37 AS STRING) AS grp")
+    grouped = kfold_assign(df, k=5, group_col="grp")
+    per_group = grouped.groupBy("grp").agg(F.countDistinct("fold").alias("nf"))
+    assert per_group.filter(F.col("nf") > 1).count() == 0
+    plain = kfold_assign(df, k=5)
+    assert plain.groupBy("grp").agg(
+        F.countDistinct("fold").alias("nf")
+    ).filter(F.col("nf") > 1).count() > 0
+    # folds roughly balanced (37 groups over 5 folds)
+    sizes = [r["n"] for r in grouped.groupBy("fold").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 5
+
+
+def test_oversample_balance_reaches_majority_count(spark):
+    """Exact parity when counts divide; within one copy-per-row otherwise;
+    majority class never replicated."""
+    from es_ch_sync_spark.operators.sampling import oversample_balance
+
+    rows = (
+        [(i, "big") for i in range(600)]
+        + [(600 + i, "half") for i in range(300)]
+        + [(900 + i, "rare") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, cls string")
+    out = oversample_balance(df, class_col="cls", max_factor=200)
+    got = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert got["big"] == 600        # majority untouched
+    assert got["half"] == 600       # exact: 300 * 2
+    assert 7 * 85 <= got["rare"] <= 600 + 7  # 600/7 = 85.7 → mix of 85x and 86x
+    # deterministic: same input, same output
+    again = {r["cls"]: r["n"] for r in oversample_balance(df, class_col="cls", max_factor=200)
+             .groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert again == got
+
+
+def test_oversample_factor_cap_bounds_blowup(spark):
+    """max_factor caps replication of ultra-rare classes (no 10^6-row
+    explosion from a 1-row class)."""
+    from es_ch_sync_spark.operators.sampling import oversample_balance
+
+    rows = [(i, "big") for i in range(10_000)] + [(10_000, "one")]
+    df = spark.createDataFrame(rows, "doc_id long, cls string")
+    out = oversample_balance(df, class_col="cls", max_factor=20)
+    got = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert got["one"] == 20
