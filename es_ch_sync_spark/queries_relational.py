@@ -2486,3 +2486,43 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_last(
         ev, "user_id", ["ts", "event_id"], "value", alpha=0.3
     ).orderBy("user_id")
+
+
+@register(
+    "streaming_ewma",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vs
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, len(vs) AS n_obs,
+           round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+    FROM seq
+    ORDER BY user_id
+    """,
+)
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming smoothing through the checked surface: the
+    events stream folds per-key EWMA state across micro-batches
+    (applyInPandasWithState, streaming/ewma_stream.py); the AvailableNow
+    drain's final state per key (argmax n_obs — n is monotone) must be
+    bit-identical to the batch fold the oracle replays, because both
+    execute the same IEEE recursion in the same (ts, event_id) order."""
+    from pyspark.sql import Window as W2
+
+    from es_ch_sync_spark.streaming.ewma_stream import ewma_stream
+
+    stream = _read_events_stream(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    drained = _drain_to_memory(ewma_stream(stream), "append")
+    w = W2.partitionBy("user_id").orderBy(F.desc("n_obs"))
+    return (
+        drained.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "n_obs", F.round("ewma", 6).alias("ewma"))
+        .orderBy("user_id")
+    )
