@@ -571,3 +571,64 @@ def ewma_last(
         F.count(F.lit(1)).alias("n_obs"),
         F.round(ew, 6).alias("ewma"),
     )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Peak concurrent intervals per time bucket, by distributed
+    sweep-line.
+
+    The textbook sweep (sort all ±1 boundary events, running-sum, max)
+    needs a GLOBAL ordered prefix sum — a single-partition window at
+    scale.  Because time buckets partition the global order into
+    contiguous runs, the prefix sum decomposes exactly: an in-bucket
+    running sum (window partitioned by bucket) plus a carry-in offset
+    (cumulative total of all earlier buckets — computed on the tiny
+    one-row-per-bucket table, the same meta-table-window exemption
+    assign_shards uses).  Bit-equal to the global sweep by construction.
+
+    Boundary semantics: intervals are closed [start, end]; at equal
+    timestamps starts order before ends (delta DESC), so a session
+    touching an instant counts at that instant and back-to-back
+    intervals double-count only while truly overlapping.  A zero-delta
+    sentinel at each bucket's start makes the bucket-start concurrency
+    (intervals straddling the boundary, no event inside the bucket yet)
+    participate in the max — without it a day whose only events are
+    session ENDS would under-report its midnight plateau."""
+    starts = intervals.select(
+        F.col(start_col).alias("t"), F.lit(1).alias("d")
+    )
+    ends = intervals.select(F.col(end_col).alias("t"), F.lit(-1).alias("d"))
+    deltas = starts.unionByName(ends).withColumn(
+        "bucket", F.date_trunc(bucket, F.col("t"))
+    )
+    sentinels = deltas.select("bucket").distinct().select(
+        F.col("bucket").alias("t"), F.lit(0).alias("d"), "bucket"
+    )
+    deltas = deltas.unionByName(sentinels)
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("t").asc(), F.col("d").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = deltas.withColumn("c_in", F.sum("d").over(w_in))
+    per_bucket = run.groupBy("bucket").agg(
+        F.max("c_in").alias("max_in"),
+        F.sum("d").alias("tot"),
+    )
+    w_carry = (
+        W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        per_bucket.withColumn(
+            "carry", F.coalesce(F.sum("tot").over(w_carry), F.lit(0))
+        )
+        .select(
+            "bucket",
+            (F.col("max_in") + F.col("carry")).cast("long").alias("peak_concurrent"),
+        )
+    )

@@ -2526,3 +2526,68 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_obs", F.round("ewma", 6).alias("ewma"))
         .orderBy("user_id")
     )
+
+
+_SESS_CTE = """
+    sess AS (
+        SELECT user_id, session_id, min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > 3600000000::BIGINT
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS is_new
+                FROM events
+            )
+        ) GROUP BY user_id, session_id
+    )
+"""
+
+
+@register(
+    "peak_concurrency",
+    f"""
+    WITH {_SESS_CTE},
+    deltas0 AS (
+        SELECT session_start AS t, 1 AS d FROM sess
+        UNION ALL
+        SELECT session_end AS t, -1 AS d FROM sess
+    ),
+    deltas AS (
+        SELECT * FROM deltas0
+        UNION ALL
+        -- zero-delta sentinel at each day start: the midnight plateau of
+        -- boundary-straddling sessions must participate in the day max
+        SELECT DISTINCT date_trunc('day', t)::TIMESTAMP AS t, 0 AS d FROM deltas0
+    ),
+    run AS (
+        SELECT t, d,
+               sum(d) OVER (ORDER BY t ASC, d DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM deltas
+    )
+    SELECT date_trunc('day', t)::TIMESTAMP AS bucket, max(c) AS peak_concurrent
+    FROM run
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous user sessions per day: sessionize (1 h gap),
+    then a DISTRIBUTED sweep-line — per-day windowed prefix sums plus a
+    carry-in offset from the tiny per-day totals table, which decomposes
+    the global running sum exactly (days are contiguous in time order).
+    The oracle runs the single-partition global sweep; matching it proves
+    the decomposition."""
+    from es_ch_sync_spark.operators.analytics import interval_concurrency
+
+    e = _t(spark, sf_dir, "events")
+    sess = session_stats(e, key="user_id", ts_col="ts", gap_seconds=3600)
+    return interval_concurrency(
+        sess, "session_start", "session_end", bucket="day"
+    ).orderBy("bucket")

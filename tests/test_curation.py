@@ -269,3 +269,35 @@ def test_oversample_factor_cap_bounds_blowup(spark):
     out = oversample_balance(df, class_col="cls", max_factor=20)
     got = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
     assert got["one"] == 20
+
+
+def test_interval_concurrency_decomposition_vs_brute(spark):
+    """The bucketed sweep must equal a brute-force per-instant count,
+    including intervals spanning bucket boundaries (carry-in)."""
+    from datetime import datetime, timedelta
+
+    from es_ch_sync_spark.operators.analytics import interval_concurrency
+
+    B = datetime(2024, 5, 1)
+    ivs = [
+        (B + timedelta(hours=h), B + timedelta(hours=h + d))
+        for h, d in [(0, 2), (1, 2), (1, 50), (26, 1), (47, 5), (30, 0)]
+    ]
+    df = spark.createDataFrame(ivs, "s timestamp, e timestamp")
+    got = {
+        r["bucket"]: r["peak_concurrent"]
+        for r in interval_concurrency(df, "s", "e").collect()
+    }
+    # brute force: concurrency at every boundary instant AND every day
+    # start (midnight plateaus of straddling intervals), closed intervals
+    boundaries = {t for iv in ivs for t in iv}
+    midnights = {
+        t.replace(hour=0, minute=0, second=0, microsecond=0) for t in boundaries
+    }
+    events = sorted(boundaries | midnights)
+    peak = {}
+    for t in events:
+        c = sum(1 for s, e in ivs if s <= t <= e)
+        day = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        peak[day] = max(peak.get(day, 0), c)
+    assert {k: v for k, v in got.items()} == peak
