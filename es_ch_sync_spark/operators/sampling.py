@@ -605,3 +605,107 @@ def oversample_balance(
         .withColumn("copy_id", F.explode(F.sequence(F.lit(1), n_copies)))
         .drop("_base", "_extra_cut")
     )
+
+
+def contamination_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 5,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    holdout: str = "test",
+) -> DataFrame:
+    """Holdout-side contamination report: for each held-out document, the
+    fraction of its distinct word n-grams that also occur in ANY train
+    document — the per-eval-doc "dirtiness" percentage (GPT-3 appendix C)
+    used to bucket eval results into clean/dirty, complementing
+    ``decontaminate`` (which flags the train side).
+
+    Plan shape at scale: shingle both splits in one pass over the corpus,
+    reduce the train side to a distinct-gram set (partial-aggregated),
+    equi-join holdout grams against it on the gram string (never doc×doc),
+    aggregate per holdout doc.  Both shuffles are keyed on the gram; work
+    scales with token count, not corpus².  The train gram set is the large
+    side and stays partition-parallel; the holdout side (~5%) rides the
+    same hash partitioning."""
+    from es_ch_sync_spark.operators.dedup import word_shingles
+    from es_ch_sync_spark.operators.util import round_half_up
+
+    split = assign_split(df, id_col=id_col, weights=weights, seed=seed)
+    grams = split.select(
+        F.col(id_col),
+        F.col("split"),
+        F.explode(word_shingles(F.col(text_col), ngram_k)).alias("gram"),
+    )
+    train_grams = (
+        grams.filter(F.col("split") == "train")
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hold = grams.filter(F.col("split") == holdout).select(id_col, "gram")
+    joined = hold.join(train_grams, "gram", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_dirty"),
+        )
+        .withColumn(
+            "dirty_ratio",
+            round_half_up(
+                F.col("n_dirty").cast("double") / F.col("n_grams").cast("double"), 6
+            ),
+        )
+    )
+
+
+def negative_sample_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    attr_col: str = "source",
+    k: int = 4,
+    anchor_every: int = 50,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    for each anchor document, draw ``k`` pseudo-random negatives from the
+    corpus by hashing (seed, anchor, slot) into [0, N) — the in-batch /
+    uniform negative mining step of a contrastive-pair pipeline, made
+    reproducible (same corpus → same pairs, no RNG state).
+
+    Plan shape at scale: anchors × k rows are generated by an explode of a
+    literal sequence (no shuffle), the corpus size N is a 1-row broadcast,
+    and the only shuffle is the equi-join of negatives onto the corpus by
+    id to fetch attributes.  A hash collision with the anchor itself is
+    deflected to (h+1) mod N, so a pair is never (a, a)."""
+    n_row = df.agg(F.count(F.lit(1)).alias("n"))
+    anchors = df.filter((F.col(id_col) % anchor_every) == 0).select(
+        F.col(id_col).alias("anchor_id")
+    )
+    slots = anchors.select(
+        "anchor_id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(seed), F.col("anchor_id"), F.col("slot"))
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    raw = h % F.col("n")
+    hashed = slots.crossJoin(F.broadcast(n_row)).withColumn(
+        "neg_id",
+        F.when(raw == F.col("anchor_id"), (raw + 1) % F.col("n")).otherwise(raw),
+    )
+    negs = df.select(
+        F.col(id_col).alias("neg_id"), F.col(attr_col).alias("neg_" + attr_col)
+    )
+    return hashed.join(negs, "neg_id").select(
+        "anchor_id", "slot", "neg_id", "neg_" + attr_col
+    )

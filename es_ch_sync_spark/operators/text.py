@@ -446,3 +446,68 @@ def bpe_apply(syms: Column, merges: list[dict]) -> Column:
     for m in sorted(merges, key=lambda m: m["rank"]):
         out = _merge_pair(out, m["left"], m["right"])
     return out
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against a fixed query
+    term set, return the top-k (Robertson/Spärck Jones; the +1 idf variant
+    used by Lucene, which is non-negative for any df).
+
+    The retrieval analog of the reference's filtered scans
+    (internal/service/elastic/elastic.go:46-108 issues ES queries; BM25 is
+    ES's default relevance function) re-expressed as a Spark plan:
+
+      tokenize → explode FILTERED to the query terms (the filter lands
+      before the groupBy, so the per-(doc,term) tf table holds only
+      matching postings — |docs|·|query| rows max, not |corpus tokens|)
+      → broadcast the 1-row corpus stats (N, avgdl) and the |query|-row
+      df table → per-doc sum → TakeOrderedAndProject top-k.
+
+    Nothing in the plan grows with vocabulary; the only shuffles are the
+    two keyed partial aggregations.  Determinism: each per-term component
+    is half-up rounded to 6dp, scaled to an exact integer, and summed as
+    BIGINT so the cross-engine sum is order-independent."""
+    from es_ch_sync_spark.operators.util import round_half_up
+
+    base = df.select(
+        F.col(id_col), F.size(words(F.col(text_col))).alias("dl"),
+        words(F.col(text_col)).alias("ws"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select(F.col(id_col), "dl", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    comp = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("c6", round_half_up(comp, 6))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        (F.sum(F.round(F.col("c6") * 1e6).cast("long")) / F.lit(1e6)).alias("bm25"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    return per_doc.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)

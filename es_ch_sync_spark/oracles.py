@@ -1179,3 +1179,94 @@ def sq8_topk_sql(query_id: int = 0, k: int = 10, rerank: int = 50, dim: int = 64
     ORDER BY {final_cos} DESC, b.vec_id ASC
     LIMIT {k}
     """
+
+
+def bm25_topk_sql(
+    terms: list[str], k: int = 15, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirror of text.bm25_topk: Lucene-variant Okapi BM25 over the
+    whitespace-normalized token stream; per-term component half-up rounded
+    to 6dp then summed as exact scaled integers (order-independent)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    {WORDS_CTE}
+    , base AS (SELECT doc_id, len(ws) AS dl, ws FROM w)
+    , stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM base)
+    , tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM base)
+    , tf AS (
+        SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        FROM tok WHERE term IN ({tl}) GROUP BY doc_id, dl, term
+    )
+    , dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+    , comp AS (
+        SELECT tf.doc_id,
+               floor(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * {k1 + 1.0}) / (tf + {k1} * ({1.0 - b} + {b} * dl / avgdl))
+                 * 1e6 + 0.5
+               ) / 1e6 AS c6
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           sum(round(c6 * 1e6)::BIGINT) / 1e6 AS bm25,
+           count(*)::BIGINT AS n_matched
+    FROM comp GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT {k}
+    """
+
+
+def contamination_report_sql(
+    ngram_k: int = 5,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    holdout: str = "test",
+) -> str:
+    """Mirror of sampling.contamination_report (holdout-side dirtiness)."""
+    case = _split_case_sql(weights, seed)
+    return f"""
+    {_shingles_cte(ngram_k)}
+    , labeled AS (
+        SELECT sh.doc_id, {case.replace('doc_id', 'sh.doc_id')} AS split, shs FROM sh
+    ), grams AS (
+        SELECT doc_id, split, unnest(shs) AS gram FROM labeled
+    ), train AS (
+        SELECT DISTINCT gram FROM grams WHERE split = 'train'
+    )
+    SELECT g.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dirty,
+           floor(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS dirty_ratio
+    FROM grams g LEFT JOIN train t ON g.gram = t.gram
+    WHERE g.split = '{holdout}'
+    GROUP BY g.doc_id
+    """
+
+
+def negative_sample_pairs_sql(
+    k: int = 4, anchor_every: int = 50, seed: str = "neg"
+) -> str:
+    """Mirror of sampling.negative_sample_pairs: 56-bit md5 fold of
+    seed:anchor:slot mod corpus size, anchor-collision deflected to +1."""
+    h = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, 15), j -> "
+        f"(strpos('0123456789abcdef', substr(md5('{seed}:' || anchor_id::VARCHAR || ':' || slot::VARCHAR), j, 1)) - 1)::BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+    return f"""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id % {anchor_every} = 0),
+    s AS (SELECT anchor_id, unnest(range(0, {k})) AS slot FROM a),
+    hashed AS (
+        SELECT anchor_id, slot, {h} % n AS raw, n
+        FROM s CROSS JOIN nn
+    ),
+    p AS (
+        SELECT anchor_id, slot,
+               CASE WHEN raw = anchor_id THEN (raw + 1) % n ELSE raw END AS neg_id
+        FROM hashed
+    )
+    SELECT p.anchor_id, p.slot, p.neg_id, d.source AS neg_source
+    FROM p JOIN documents d ON d.doc_id = p.neg_id
+    """

@@ -1122,3 +1122,42 @@ def q_bpe_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval + contamination + contrastive sampling (round-4 session 4)
+# ---------------------------------------------------------------------------
+
+from es_ch_sync_spark import oracles as _o
+
+_BM25_TERMS = ["spark", "merge", "stream"]
+
+
+@register("bm25_topk", _o.bm25_topk_sql(_BM25_TERMS, k=15))
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 against a fixed 3-term query — the relevance
+    function behind the reference's ES source (elastic.go issues ES
+    queries; BM25 is ES's default scorer) as a pure Spark plan: filtered
+    explode → two partial-aggregated groupBys → broadcast stats →
+    TakeOrderedAndProject."""
+    from es_ch_sync_spark.operators.text import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=15)
+
+
+@register("contamination_report", _o.contamination_report_sql(ngram_k=5))
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-holdout-doc n-gram dirtiness ratio (GPT-3 appendix-C style),
+    the holdout-side complement of `decontaminate`."""
+    from es_ch_sync_spark.operators.sampling import contamination_report
+
+    return contamination_report(_t(spark, sf_dir, "documents"), ngram_k=5)
+
+
+@register("negative_sample_pairs", _o.negative_sample_pairs_sql(k=4))
+def q_negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative mining for contrastive pairs:
+    hash(seed, anchor, slot) mod N with self-collision deflection."""
+    from es_ch_sync_spark.operators.sampling import negative_sample_pairs
+
+    return negative_sample_pairs(_t(spark, sf_dir, "documents"), k=4)

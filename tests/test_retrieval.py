@@ -1,0 +1,113 @@
+"""Operator tests: BM25 retrieval, holdout contamination report, and
+deterministic contrastive negative sampling (round-4 session 4)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.operators.sampling import (
+    contamination_report,
+    negative_sample_pairs,
+)
+from es_ch_sync_spark.operators.text import bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_handchecked(spark):
+    """Single-term query over two docs of equal length: the doc with the
+    higher tf must score higher, and the exact Lucene-variant formula is
+    verified against a hand computation."""
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark spark flink"),  # tf=3, dl=4
+            (2, "spark beam storm samza"),  # tf=1, dl=4
+            (3, "duck goose swan heron"),  # no match
+        ],
+    )
+    rows = {r["doc_id"]: r for r in bm25_topk(docs, ["spark"], k=10).collect()}
+    assert set(rows) == {1, 2}  # doc 3 never surfaces
+    assert rows[1]["bm25"] > rows[2]["bm25"]
+    # hand computation: N=3, df=2, avgdl=4, dl=4 → len norm term = k1
+    k1, b = 1.2, 0.75
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    for tf, doc in ((3, 1), (1, 2)):
+        comp = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * 4 / 4.0))
+        expect = math.floor(comp * 1e6 + 0.5) / 1e6
+        assert abs(rows[doc]["bm25"] - expect) < 1e-9
+        assert rows[doc]["n_matched"] == 1
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    """A doc matching only a rare term outranks a doc matching only a
+    ubiquitous term at equal tf/dl — the idf ordering property."""
+    rows = [(i, "common filler words here") for i in range(10)]
+    rows += [(100, "common rareword filler pad"), (101, "common other filler pad")]
+    docs = _docs(spark, rows)
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(docs, ["rareword", "common"], k=20).collect()
+    }
+    assert got[100] > got[101]
+
+
+def test_contamination_report_bounds(spark):
+    """A holdout doc whose text replicates a train doc verbatim has
+    dirty_ratio 1.0; one with a disjoint vocabulary has 0.0."""
+    # find ids landing in train vs test under the default split
+    base = [(i, "alpha beta gamma delta epsilon zeta eta") for i in range(400)]
+    df = _docs(spark, base)
+    from es_ch_sync_spark.operators.sampling import assign_split
+
+    splits = {r["doc_id"]: r["split"] for r in assign_split(df).collect()}
+    test_ids = [i for i, s in splits.items() if s == "test"]
+    assert test_ids, "default split produced no test docs in 400"
+    dirty_id, clean_id = test_ids[0], test_ids[1]
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta eta")
+        for i in range(400)
+        if i not in (dirty_id, clean_id)
+    ]
+    rows += [(dirty_id, "alpha beta gamma delta epsilon zeta eta")]
+    rows += [(clean_id, "one two three four five six seven")]
+    rep = {
+        r["doc_id"]: r
+        for r in contamination_report(_docs(spark, rows), ngram_k=5).collect()
+    }
+    assert rep[dirty_id]["dirty_ratio"] == 1.0
+    assert rep[clean_id]["dirty_ratio"] == 0.0
+    assert rep[clean_id]["n_grams"] == 3  # 7 words → 3 distinct 5-grams
+
+
+def test_negative_sampling_contract(spark):
+    """Exactly k negatives per anchor, never the anchor itself, all ids in
+    [0, N), and bit-identical across two runs (no RNG state)."""
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(200)], "doc_id long, source string"
+    )
+    out1 = negative_sample_pairs(docs, k=4, anchor_every=50).collect()
+    out2 = negative_sample_pairs(docs, k=4, anchor_every=50).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    per_anchor = {}
+    for r in out1:
+        assert r["neg_id"] != r["anchor_id"]
+        assert 0 <= r["neg_id"] < 200
+        assert r["neg_source"] == f"src{r['neg_id'] % 3}"
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["slot"])
+    assert set(per_anchor) == {0, 50, 100, 150}
+    assert all(slots == {0, 1, 2, 3} for slots in per_anchor.values())
+
+
+def test_negative_sampling_collision_deflects(spark):
+    """With a 1-row corpus every hash collides with the anchor; the
+    deflection rule (h+1) mod N maps back to 0 — documented degenerate
+    case: the guard prevents (a,a) only when N > 1."""
+    docs = spark.createDataFrame([(0, "s"), (1, "t")], "doc_id long, source string")
+    out = negative_sample_pairs(docs, k=8, anchor_every=1).collect()
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"]
