@@ -679,7 +679,13 @@ def negative_sample_pairs(
     literal sequence (no shuffle), the corpus size N is a 1-row broadcast,
     and the only shuffle is the equi-join of negatives onto the corpus by
     id to fetch attributes.  A hash collision with the anchor itself is
-    deflected to (h+1) mod N, so a pair is never (a, a)."""
+    deflected to (h+1) mod N, so a pair is never (a, a).
+
+    CONTRACT: ``id_col`` must be dense in [0, N) (true for the documents
+    table); with a sparse id space h mod N lands on missing ids and the
+    attach join silently drops those slots — re-index sparse corpora
+    first (zorder/global_shuffle emit dense ranks, or row_number over a
+    range-partitioned sort)."""
     n_row = df.agg(F.count(F.lit(1)).alias("n"))
     anchors = df.filter((F.col(id_col) % anchor_every) == 0).select(
         F.col(id_col).alias("anchor_id")

@@ -328,3 +328,29 @@ def test_q20_semi_join_coparitioned_inner(plans):
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bm25_shape(plans):
+    """BM25: stats and df tables broadcast, final top-k is
+    TakeOrderedAndProject, and no plan node ever joins doc×doc."""
+    p = plans("bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" not in p or p.count("BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_negative_sampling_shape(plans):
+    """Negative sampling: the corpus count is a 1-row broadcast (never a
+    shuffled join); the only real join is the keyed attach of negatives."""
+    p = plans("negative_sample_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_contamination_gram_keyed_join(plans):
+    """Contamination report joins on the gram key only — no doc×doc pair
+    surface anywhere in the plan."""
+    p = plans("contamination_report")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

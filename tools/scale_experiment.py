@@ -395,6 +395,94 @@ def main() -> None:
             + 1,
         )
         shutil.rmtree(root)
+    if "peak" in only:
+        from es_ch_sync_spark.io.sources import read_parquet_table
+        from es_ch_sync_spark.operators.analytics import interval_concurrency
+
+        ev = read_parquet_table(spark, SF, "events").filter(
+            F.col("value").isNotNull()
+        )
+        reps2 = spark.range(replicas).select(F.col("id").alias("rep"))
+        iv = ev.crossJoin(reps2).select(
+            (F.col("ts") + F.expr("make_interval(0,0,0,0,0,0,rep)")).alias("s"),
+            (
+                F.col("ts")
+                + F.expr("make_interval(0,0,0,0,0,0,rep)")
+                + F.expr("make_interval(0,0,0,0,0,cast(value as int) % 120,0)")
+            ).alias("e"),
+        )
+        timed(
+            f"interval_concurrency x{replicas} (sweep-line, day buckets)",
+            lambda: interval_concurrency(iv, "s", "e", bucket="day").count(),
+        )
+    if "kfold" in only:
+        from es_ch_sync_spark.operators.sampling import kfold_assign
+
+        timed(
+            f"kfold_assign x{replicas} (grouped by doc_id%1000)",
+            lambda: kfold_assign(
+                docs.withColumn("grp", F.col("doc_id") % 1000),
+                k=5,
+                group_col="grp",
+            ).count(),
+        )
+    if "oversample" in only:
+        from es_ch_sync_spark.operators.sampling import oversample_balance
+
+        # skewed classes: 80% majority, 7 minorities sharing the rest
+        classed = docs.withColumn(
+            "cls",
+            F.when(F.col("doc_id") % 10 < 8, F.lit("major")).otherwise(
+                F.concat(F.lit("min"), F.col("doc_id") % 7)
+            ),
+        )
+        timed(
+            f"oversample_balance x{replicas}",
+            lambda: oversample_balance(classed, "cls").count(),
+        )
+    if "ppjoin" in only:
+        from es_ch_sync_spark.operators.dedup import prefix_filter_pairs
+
+        # replica-suffixed tokens keep shingle vocabularies disjoint, so
+        # prefix blocks stay replica-local: candidates grow linearly
+        timed(
+            f"ppjoin_pairs x{replicas} (exact Jaccard>=0.6)",
+            lambda: prefix_filter_pairs(docs, shingle_k=3, threshold=0.6).count(),
+        )
+    if "bm25" in only:
+        from es_ch_sync_spark.operators.text import bm25_topk
+
+        # query terms carry replica-0's suffix; cost is dominated by the
+        # corpus-wide tokenize+filtered-explode, which is the scale path
+        timed(
+            f"bm25_topk x{replicas}",
+            lambda: bm25_topk(
+                docs, ["sparkx0", "mergex0", "streamx0"], k=15
+            ).count(),
+        )
+    if "contam" in only:
+        from es_ch_sync_spark.operators.sampling import contamination_report
+
+        timed(
+            f"contamination_report x{replicas} (5-grams)",
+            lambda: contamination_report(docs, ngram_k=5).count(),
+        )
+    if "negsample" in only:
+        from es_ch_sync_spark.operators.sampling import negative_sample_pairs
+
+        # the operator's contract is a DENSE id space [0, N); the replica
+        # scheme (orig + rep*1e6) is sparse, so re-index to
+        # orig*replicas + rep, which is dense when the base ids are
+        dense = docs.select(
+            (
+                (F.col("doc_id") % 1_000_000) * replicas
+                + (F.col("doc_id") / 1_000_000).cast("long")
+            ).alias("doc_id"),
+        ).withColumn("source", (F.col("doc_id") % 7).cast("string"))
+        timed(
+            f"negative_sample_pairs x{replicas} (k=4, dense ids)",
+            lambda: negative_sample_pairs(dense, k=4).count(),
+        )
 
 
 if __name__ == "__main__":
