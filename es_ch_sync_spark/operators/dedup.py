@@ -958,3 +958,86 @@ def prefix_filter_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-substring removal at token k-gram granularity —
+    the ExactSubstr deduplication of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") re-expressed for Spark:
+    any token k-gram occurring more than once in the corpus marks a
+    duplicated region; overlapping/adjacent regions merge into maximal
+    spans; spans are cut from the document.
+
+    The suffix-array formulation is inherently sequential (one global
+    sorted index); the k-gram formulation decomposes into keyed shuffles
+    only, at the cost of missing duplicates shorter than k tokens —
+    which is exactly the knob Lee et al. expose (their min-match length).
+
+    Plan shape at scale:
+      positions+grams per doc (one Generate, no shuffle) →
+      gram-keyed count to find corpus-duplicated grams (partial-agg) →
+      join hit positions back on the gram key →
+      per-doc island merge (window over positions WITHIN each doc —
+      bounded by doc length, never corpus size) →
+      per-doc span aggregation + one keyed join onto the corpus to cut
+      tokens with a codegen'd filter/transform (no Python).
+
+    Returns only affected docs: (id, n_spans, n_dup_tokens, clean_text);
+    a fully-duplicated doc yields clean_text = ''."""
+    from pyspark.sql import Window as W
+
+    src = df.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
+    hits = src.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(ws) >= {k} THEN "
+                f"transform(sequence(1, size(ws) - {k - 1}), "
+                f"i -> struct(i AS s, concat_ws(' ', slice(ws, i, {k})) AS g)) "
+                f"ELSE array() END"
+            )
+        ).alias("h"),
+    ).select(F.col(id_col), F.col("h.s").alias("s"), F.col("h.g").alias("g"))
+    dup_grams = (
+        hits.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).select("g")
+    )
+    dup_hits = hits.join(dup_grams, "g").select(id_col, "s")
+    w_prev = (
+        W.partitionBy(id_col).orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("s") + k).over(w_prev)
+    flagged = dup_hits.withColumn(
+        "flag",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("flag").over(W.partitionBy(id_col).orderBy("s"))
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.min("s").alias("ss"), (F.max("s") + k).alias("se")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("se") - F.col("ss")).alias("n_dup_tokens"),
+        F.sort_array(F.collect_list(F.struct("ss", "se"))).alias("spans"),
+    )
+    return (
+        src.join(per_doc, id_col)
+        .withColumn(
+            "clean_text",
+            F.expr(
+                "concat_ws(' ', transform("
+                "filter(sequence(1, size(ws)), "
+                "i -> NOT exists(spans, sp -> i >= sp.ss AND i < sp.se)), "
+                "i -> element_at(ws, i)))"
+            ),
+        )
+        .select(id_col, "n_spans", "n_dup_tokens", "clean_text")
+    )

@@ -1161,3 +1161,75 @@ def q_negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.sampling import negative_sample_pairs
 
     return negative_sample_pairs(_t(spark, sf_dir, "documents"), k=4)
+
+
+_DSK = 8  # dup-span min-match length (tokens)
+
+
+@register(
+    "dup_span_removal",
+    f"""
+    {_o.WORDS_CTE}
+    , h0 AS (
+        SELECT doc_id, ws,
+               unnest(CASE WHEN len(ws) >= {_DSK}
+                      THEN range(1, len(ws) - {_DSK} + 2) ELSE [] END) AS s
+        FROM w
+    ), h AS (
+        SELECT doc_id, s,
+               array_to_string(list_slice(ws, s, s + {_DSK} - 1), ' ') AS g
+        FROM h0
+    ), dupg AS (
+        SELECT g FROM h GROUP BY g HAVING count(*) > 1
+    ), dh AS (
+        SELECT doc_id, s FROM h JOIN dupg USING (g)
+    ), isl AS (
+        SELECT doc_id, s,
+               CASE WHEN max(s + {_DSK}) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR s > max(s + {_DSK}) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS flag
+        FROM dh
+    ), isl2 AS (
+        SELECT doc_id, s,
+               sum(flag) OVER (PARTITION BY doc_id ORDER BY s) AS island
+        FROM isl
+    ), spans AS (
+        SELECT doc_id, island, min(s) AS ss, max(s) + {_DSK} AS se
+        FROM isl2 GROUP BY doc_id, island
+    ), agg AS (
+        SELECT doc_id, count(*)::BIGINT AS n_spans,
+               sum(se - ss)::BIGINT AS n_dup_tokens
+        FROM spans GROUP BY doc_id
+    ), pos AS (
+        SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS i
+        FROM w
+    ), kept AS (
+        SELECT p.doc_id, p.i, p.tok
+        FROM pos p JOIN agg USING (doc_id)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans sp
+            WHERE sp.doc_id = p.doc_id AND p.i >= sp.ss AND p.i < sp.se
+        )
+    ), clean AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_spans, a.n_dup_tokens,
+           coalesce(c.clean_text, '') AS clean_text
+    FROM agg a LEFT JOIN clean c USING (doc_id)
+    """,
+)
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022) at token 8-gram granularity:
+    corpus-duplicated k-grams merged to maximal per-doc spans and cut
+    from the text — the suffix-array formulation decomposed into keyed
+    shuffles (gram count + join) plus per-doc windows bounded by doc
+    length. Oracle recomputes every span and the cleaned text."""
+    from es_ch_sync_spark.operators.dedup import remove_dup_spans
+
+    return remove_dup_spans(_t(spark, sf_dir, "documents"), k=_DSK)

@@ -354,3 +354,12 @@ def test_contamination_gram_keyed_join(plans):
     p = plans("contamination_report")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dup_span_keyed_joins_only(plans):
+    """ExactSubstr dedup: gram-count join and span-attach join are keyed
+    equi-joins; the per-doc island windows never become a corpus-wide
+    single-partition sort (Window is partitioned by doc_id)."""
+    p = plans("dup_span_removal")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -111,3 +111,63 @@ def test_negative_sampling_collision_deflects(spark):
     out = negative_sample_pairs(docs, k=8, anchor_every=1).collect()
     for r in out:
         assert r["neg_id"] != r["anchor_id"]
+
+
+def test_dup_span_merging_handchecked(spark):
+    """Two docs share an 8-token run embedded at different offsets:
+    overlapping duplicated 3-grams must merge into ONE maximal span per
+    doc, and clean_text keeps exactly the non-shared tokens in order."""
+    from es_ch_sync_spark.operators.dedup import remove_dup_spans
+
+    shared = "q w e r t y u i"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b {shared} c d"),
+            (2, f"x {shared} y z"),
+            (3, "totally distinct words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in remove_dup_spans(docs, k=3).collect()}
+    assert 3 not in rows
+    # shared run = 8 tokens -> six 3-gram hits merge into one span of 8
+    assert rows[1]["n_spans"] == 1 and rows[1]["n_dup_tokens"] == 8
+    assert rows[2]["n_spans"] == 1 and rows[2]["n_dup_tokens"] == 8
+    assert rows[1]["clean_text"] == "a b c d"
+    assert rows[2]["clean_text"] == "x y z"
+
+
+def test_dup_span_within_doc_repetition(spark):
+    """A doc repeating its own k-gram is self-duplicated (corpus count
+    > 1 includes within-doc repeats); a fully-duplicated doc cleans to
+    the empty string."""
+    from es_ch_sync_spark.operators.dedup import remove_dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "p q r p q r"), (2, "m n o unique tail words")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in remove_dup_spans(docs, k=3).collect()}
+    # "p q r" occurs at positions 1 and 4 -> spans [1,4) and [4,7) merge
+    assert rows[1]["n_spans"] == 1
+    assert rows[1]["n_dup_tokens"] == 6
+    assert rows[1]["clean_text"] == ""
+    assert 2 not in rows
+
+
+def test_dup_span_disjoint_spans_stay_separate(spark):
+    """Two duplicated regions separated by unique tokens produce two
+    spans, and the gap tokens survive."""
+    from es_ch_sync_spark.operators.dedup import remove_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 GAPX b1 b2 b3"),
+            (2, "a1 a2 a3 OTHER b1 b2 b3"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in remove_dup_spans(docs, k=3).collect()}
+    assert rows[1]["n_spans"] == 2 and rows[1]["n_dup_tokens"] == 6
+    assert rows[1]["clean_text"] == "gapx"  # normalize_text lowercases
+    assert rows[2]["clean_text"] == "other"

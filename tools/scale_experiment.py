@@ -467,6 +467,15 @@ def main() -> None:
             f"contamination_report x{replicas} (5-grams)",
             lambda: contamination_report(docs, ngram_k=5).count(),
         )
+    if "dupspan" in only:
+        from es_ch_sync_spark.operators.dedup import remove_dup_spans
+
+        # replica-suffixed tokens keep k-grams replica-local: the
+        # duplicated-gram table and span output replicate linearly
+        timed(
+            f"remove_dup_spans x{replicas} (k=8)",
+            lambda: remove_dup_spans(docs, k=8).count(),
+        )
     if "negsample" in only:
         from es_ch_sync_spark.operators.sampling import negative_sample_pairs
 
