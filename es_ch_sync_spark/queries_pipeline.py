@@ -1233,3 +1233,47 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.dedup import remove_dup_spans
 
     return remove_dup_spans(_t(spark, sf_dir, "documents"), k=_DSK)
+
+
+@register(
+    "streaming_dedup_docs",
+    """
+    SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup (streaming/dedup_stream.py) driven through
+    its checked surface: stream the documents parquet (AvailableNow),
+    fingerprint + dropDuplicatesWithinWatermark, project to the
+    fingerprint SET — which row survives per fingerprint is
+    arrival-order dependent, but the set of surviving fingerprints is
+    exactly the batch distinct, so the oracle is deterministic."""
+    from pyspark.sql import types as T
+
+    from es_ch_sync_spark.streaming.dedup_stream import dedup_document_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .withColumn(
+            "ingest_ts",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double")),
+        )
+    )
+    deduped = dedup_document_stream(stream, ts_col="ingest_ts").select("fp")
+    from es_ch_sync_spark.queries_relational import _drain_to_memory
+
+    return _drain_to_memory(deduped, "append")
