@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -271,6 +272,72 @@ class EsStatusReader(DataSourceReader):
         yield from self._apply_pushed(flat).to_batches()
 
 
+class EsStatusStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming over an append-only ES export directory —
+    the continuous-sync analog of the reference's poll loop (the sync job
+    repeatedly asks ES for documents after its watermark,
+    internal/app/sync.go): each micro-batch consumes the export files
+    that arrived since the last committed offset.
+
+    Offset model: ``{"last": <greatest consumed file name>}``.  Scroll
+    exports number their page files monotonically (part-00001…), so
+    "name greater than the committed high-water mark" IS the arrival
+    order — the same keyset-pagination trick the reference uses on
+    (timestamp, id).  CONTRACT (documented, not assumed): files are
+    immutable once visible and later files sort lexicographically after
+    earlier ones; out-of-order names would be skipped, exactly like a
+    late document behind the reference's watermark.
+
+    Each new file is one input partition (same split planning as the
+    batch reader); parsing is delegated to EsStatusReader, so the
+    NDJSON→Arrow path (projection at parse time, per-line malformed-row
+    drop, vectorized-then-linewise fallback) is byte-identical between
+    batch and streaming.  No filter pushdown in the stream path — Spark
+    4's Python DS API only wires pushFilters into batch scans; stream
+    predicates are evaluated post-scan, semantics unchanged."""
+
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self._delegate = EsStatusReader(schema, options)
+        self.path = self._delegate.path
+
+    def _files(self) -> list[str]:
+        import os
+
+        if os.path.isdir(self.path):
+            return sorted(
+                p
+                for p in os.listdir(self.path)
+                if p.endswith((".json", ".jsonl", ".ndjson"))
+            )
+        return [os.path.basename(self.path)]
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        files = self._files()
+        return {"last": files[-1] if files else ""}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        import os
+
+        lo, hi = start.get("last", ""), end.get("last", "")
+        base = self.path if os.path.isdir(self.path) else os.path.dirname(self.path)
+        return [
+            _FilePartition(os.path.join(base, f))
+            for f in self._files()
+            if lo < f <= hi
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        return self._delegate.read(partition)
+
+    def commit(self, end: dict) -> None:
+        # offsets are tracked by the streaming engine's checkpoint; the
+        # source keeps no state to clean up (files are immutable)
+        pass
+
+
 class EsStatusDataSource(DataSource):
     """spark.read.format("es_status").option("path", dir).load()"""
 
@@ -283,6 +350,9 @@ class EsStatusDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> EsStatusReader:
         return EsStatusReader(schema, dict(self.options))
+
+    def streamReader(self, schema: T.StructType) -> EsStatusStreamReader:
+        return EsStatusStreamReader(schema, dict(self.options))
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "EsStatusWriter":
         return EsStatusWriter(schema, dict(self.options), overwrite)
@@ -308,6 +378,19 @@ def read_es_status(
     a narrow ``schema`` is the projection-pushdown path."""
     register_es_status(spark)
     r = spark.read.format(FORMAT_NAME).option("path", path)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load()
+
+
+def read_es_status_stream(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """Streaming twin of read_es_status: ``readStream`` through the same
+    format; micro-batches consume export files newer (by name) than the
+    checkpointed offset, so a restart resumes exactly where it left off."""
+    register_es_status(spark)
+    r = spark.readStream.format(FORMAT_NAME).option("path", path)
     if schema is not None:
         r = r.schema(schema)
     return r.load()

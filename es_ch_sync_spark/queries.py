@@ -1285,3 +1285,35 @@ def q_es_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v_sum"),
     )
+
+
+@register(
+    "es_status_stream_scan",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS es_id,
+           CAST(user_id AS VARCHAR) AS subject,
+           ts, event_type, value
+    FROM events
+    WHERE event_type IN ('purchase', 'view')
+    """,
+)
+def q_es_status_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The es_status connector's STREAMING path (io/es_datasource.py::
+    EsStatusStreamReader): micro-batch consumption of the export dir
+    through readStream.format("es_status"), drained AvailableNow — the
+    reference's continuous poll loop (internal/app/sync.go) as a
+    Structured Streaming source with checkpointable file offsets.
+    Parsing is the same delegate as the batch reader, and this query
+    proves it against the parquet-table oracle."""
+    from es_ch_sync_spark.io.es_datasource import read_es_status_stream
+    from es_ch_sync_spark.queries_relational import _drain_to_memory
+
+    path = _es_export_dir(spark, sf_dir)
+    stream = read_es_status_stream(
+        spark,
+        path,
+        "es_id string, subject string, ts timestamp, event_type string, value double",
+    )
+    return _drain_to_memory(
+        stream.filter(F.col("event_type").isin("purchase", "view")), "append"
+    )
