@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -354,6 +355,9 @@ class EsStatusDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> EsStatusStreamReader:
         return EsStatusStreamReader(schema, dict(self.options))
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> "EsStatusStreamWriter":
+        return EsStatusStreamWriter(schema, dict(self.options), overwrite)
+
     def writer(self, schema: T.StructType, overwrite: bool) -> "EsStatusWriter":
         return EsStatusWriter(schema, dict(self.options), overwrite)
 
@@ -511,6 +515,68 @@ class EsStatusWriter(DataSourceArrowWriter):
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+
+
+class EsStatusStreamWriter(DataSourceStreamArrowWriter, EsStatusWriter):
+    """Streaming sink: the batch writer's task protocol (task-unique temp
+    file → driver rename → manifest), made EXACTLY-ONCE per micro-batch
+    by epoch-keyed manifests.
+
+    Structured Streaming may replay a micro-batch after a driver crash
+    (the checkpoint records the offsets, not the sink commit).  The
+    guard is the reference's insert-dedup analog in one O_EXCL syscall:
+    ``commit(messages, batchId)`` first creates ``_ES_COMMIT_e<batchId>``
+    with O_EXCL — if the file already exists this epoch was committed by
+    a previous incarnation, so the temps are discarded and the global
+    manifest is left untouched (a replayed batch writes NOTHING twice).
+    Otherwise temps are renamed into place and merged into the same
+    ``_ES_COMMIT`` manifest batch readers honor — so a directory fed by
+    the stream is indistinguishable from one fed by batch appends."""
+
+    # the MRO resolves `write` to the stream base's ABSTRACT method before
+    # reaching EsStatusWriter's concrete one — alias it explicitly (the
+    # task protocol is deliberately identical between batch and stream)
+    write = EsStatusWriter.write
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import json
+        import os
+
+        epoch_path = os.path.join(self.path, f"_ES_COMMIT_e{batchId}")
+        try:
+            fd = os.open(epoch_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # replayed epoch: already visible — drop the duplicate temps
+            EsStatusWriter.abort(self, messages)
+            return
+        try:
+            committed = []
+            total = 0
+            for m in messages:
+                if m is None:
+                    continue
+                os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
+                committed.append(m.final_name)
+                total += m.n_rows
+            os.write(
+                fd,
+                json.dumps({"files": sorted(committed), "n_rows": total}).encode(),
+            )
+        finally:
+            os.close(fd)
+        # merge into the global manifest (same append semantics as batch)
+        mpath = os.path.join(self.path, "_ES_COMMIT")
+        manifest = {"files": sorted(committed), "n_rows": total}
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                prev = json.load(f)
+            manifest["files"] = sorted(prev["files"] + manifest["files"])
+            manifest["n_rows"] += prev["n_rows"]
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        EsStatusWriter.abort(self, messages)
 
 
 def committed_files(path: str) -> list[str]:

@@ -1317,3 +1317,55 @@ def q_es_status_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(
         stream.filter(F.col("event_type").isin("purchase", "view")), "append"
     )
+
+
+@register(
+    "es_stream_roundtrip",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(value::DECIMAL(12,2))::DOUBLE AS v_sum
+    FROM events
+    WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_es_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-sync loop through the connector on BOTH ends:
+    readStream es_status (file-offset micro-batches) → writeStream
+    es_status (epoch-committed exactly-once sink) → batch read-back.
+    The aggregate over the round-tripped rows must equal the table
+    oracle — a row lost to offset tracking or doubled by an epoch
+    replay breaks the hash."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io.es_datasource import (
+        read_es_status,
+        read_es_status_stream,
+    )
+
+    src = _es_export_dir(spark, sf_dir)
+    tag = uuid.uuid4().hex[:8]
+    out = tempfile.mkdtemp(prefix=f"es_stream_sink_{tag}_")
+    ckpt = tempfile.mkdtemp(prefix=f"es_stream_ck_{tag}_")
+    stream = read_es_status_stream(
+        spark,
+        src,
+        "es_id string, event_type string, value double",
+    ).filter(F.col("event_type").isin("purchase", "view") & F.col("value").isNotNull())
+    q = (
+        stream.writeStream.format("es_status")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = read_es_status(
+        spark, out, schema="es_id string, event_type string, value double"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v_sum"),
+    )

@@ -345,3 +345,65 @@ def test_stream_matches_batch_reader(spark, tmp_path):
     got = _drain(spark, src, str(tmp_path / "ck"), str(tmp_path / "sink"))
     want = read_es_status(spark, src, _STREAM_SCHEMA).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+# ---------------------------------------------------------------------------
+# Streaming writer: epoch-committed exactly-once sink
+# ---------------------------------------------------------------------------
+
+
+def test_stream_writer_roundtrip(spark, tmp_path):
+    """stream-read an export dir, stream-write through the es_status sink
+    (AvailableNow + checkpoint), read the sink back with the batch
+    reader: same rows — the continuous ES→CH sync shape end to end
+    through the custom connector on BOTH ends."""
+    src = str(tmp_path / "export")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+    _write_wave(src, "part-00001.ndjson", range(0, 12))
+    q = (
+        read_es_status_stream(spark, src, _STREAM_SCHEMA)
+        .writeStream.format("es_status")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(committed_files(sink)) >= 1
+    back = read_es_status(spark, sink, _STREAM_SCHEMA).collect()
+    assert sorted(int(r["data_speed"]) for r in back) == list(range(12))
+
+
+def test_stream_writer_replayed_epoch_is_noop(spark, tmp_path):
+    """Replaying a committed epoch (driver crash between sink commit and
+    checkpoint write) must not duplicate data: the O_EXCL epoch marker
+    makes the second commit discard its temps."""
+    import json as _json
+
+    from es_ch_sync_spark.io.es_datasource import (
+        EsStatusStreamWriter,
+        _EsWriteCommit,
+    )
+    from pyspark.sql import types as T
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    schema = T.StructType.fromDDL(_STREAM_SCHEMA)
+    w = EsStatusStreamWriter(schema, {"path": sink}, overwrite=False)
+
+    def make_msg(tag):
+        tmp = os.path.join(sink, f"_tmp_{tag}.ndjson")
+        with open(tmp, "w") as f:
+            f.write('{"_id":"a","_index":"x","_source":{"subject":"1"}}\n')
+        return _EsWriteCommit(tmp, f"part-00000-{tag}.ndjson", 1)
+
+    w.commit([make_msg("first")], batchId=7)
+    files_once = committed_files(sink)
+    # replay: same epoch arrives again with a fresh task attempt
+    w.commit([make_msg("replay")], batchId=7)
+    assert committed_files(sink) == files_once  # nothing new visible
+    assert not any(p.startswith("_tmp_") for p in os.listdir(sink))
+    with open(os.path.join(sink, "_ES_COMMIT")) as f:
+        assert _json.load(f)["n_rows"] == 1
