@@ -583,3 +583,82 @@ def key_skew_report(
             ).alias("hhi"),
         )
     )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) second-moment matrix
+    by power iteration — the spectral statistic behind PCA whitening /
+    anisotropy diagnostics of an embedding corpus (all-but-the-top
+    post-processing; the dominant direction is what it removes).
+
+    Split of labor at scale:
+    - The DATA-SIZED work is one distributed pass: the d×d Gram matrix
+      via explode → map-side partial aggregation (the shuffle carries
+      d² = 4096 cells per partition, never O(n) rows).
+    - The iteration is an O(d²)-sized reduction (16 KB at d=64), far
+      below the driver-collect exemption every other kernel here uses
+      (k-means centroids, BPE pair argmax): 8 matrix-vector rounds in
+      plain Python floats.
+
+    Cross-engine exactness (the interesting part): every sum that could
+    depend on association order is quantized — gram cells accumulate
+    floor(x_i·x_j·1e6 + 0.5) as BIGINT, each mat-vec component
+    accumulates floor(G_ij·v_j·1e12 + 0.5) as BIGINT — so Python floats
+    here, Spark doubles, and DuckDB doubles walk the identical IEEE
+    path and the oracle (an unrolled CTE chain, see
+    oracles.pca_top_component_sql) reproduces every bit.  Magnitudes:
+    |G| ≤ max|x|² after the /n normalization, so the 1e12-scaled sums
+    stay ≪ 2^53 at any corpus size.
+
+    Returns (dim_idx, loading, eigval): the unit top eigenvector
+    (half-up 6dp) and ‖G·v‖ from the final round (the Rayleigh
+    eigenvalue estimate for a converged v)."""
+    import math
+
+    spark = emb.sparkSession
+    n = emb.count()
+    pairs = emb.select(F.posexplode(vec_col).alias("i", "xi"), F.col(vec_col))
+    trip = pairs.select(
+        "i",
+        F.col("xi").cast("double").alias("xi"),
+        F.posexplode(vec_col).alias("j", "xj"),
+    )
+    gint = (
+        trip.groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("xi") * F.col("xj").cast("double") * F.lit(1e6) + F.lit(0.5)
+                ).cast("long")
+            ).alias("gint")
+        )
+        .collect()
+    )
+    g = [[0.0] * dim for _ in range(dim)]
+    for r in gint:
+        g[r["i"]][r["j"]] = (r["gint"] / 1e6) / n
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    norm = 0.0
+    for _ in range(iters):
+        s = [
+            sum(math.floor(g[i][j] * v[j] * 1e12 + 0.5) for j in range(dim))
+            for i in range(dim)
+        ]
+        w = [si / 1e12 for si in s]
+        ns = sum(math.floor(wi * wi * 1e12 + 0.5) for wi in w)
+        norm = math.sqrt(ns / 1e12)
+        v = [wi / norm for wi in w]
+
+    lam = math.floor(norm * 1e6 + 0.5) / 1e6
+    rows = [
+        (i, math.floor(v[i] * 1e6 + 0.5) / 1e6, lam) for i in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "dim_idx int, loading double, eigval double"
+    )

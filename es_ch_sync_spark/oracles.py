@@ -1270,3 +1270,56 @@ def negative_sample_pairs_sql(
     SELECT p.anchor_id, p.slot, p.neg_id, d.source AS neg_source
     FROM p JOIN documents d ON d.doc_id = p.neg_id
     """
+
+
+def pca_top_component_sql(dim: int = 64, iters: int = 8) -> str:
+    """Mirror of features.pca_top_component: the quantized Gram build and
+    the power iteration unrolled into one CTE per round — every
+    association-order-dependent sum accumulates floor-quantized BIGINTs,
+    so DuckDB walks the identical IEEE path as the Python driver loop."""
+    ctes = [
+        f"nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM embeddings)",
+        f"""g AS MATERIALIZED (
+        SELECT ii.i AS i, jj.j AS j,
+               (CAST(sum(floor(embedding[ii.i + 1]::DOUBLE
+                               * embedding[jj.j + 1]::DOUBLE
+                               * 1e6 + 0.5)::BIGINT) AS BIGINT)::DOUBLE
+                / 1e6) / (SELECT n FROM nn) AS val
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) ii
+        CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) jj
+        GROUP BY 1, 2
+    )""",
+        f"v0 AS MATERIALIZED (SELECT unnest(range(0, {dim}))::INTEGER AS i, 1.0 / sqrt({dim}.0) AS v)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+        SELECT g.i,
+               CAST(sum(floor(g.val * v{t - 1}.v * 1e12 + 0.5)::BIGINT) AS BIGINT) AS s
+        FROM g JOIN v{t - 1} ON g.j = v{t - 1}.i GROUP BY g.i
+    )"""
+        )
+        ctes.append(
+            f"""n{t} AS MATERIALIZED (
+        SELECT sqrt(CAST(sum(floor((s::DOUBLE / 1e12) * (s::DOUBLE / 1e12)
+                                   * 1e12 + 0.5)::BIGINT) AS BIGINT)::DOUBLE
+                    / 1e12) AS nrm
+        FROM w{t}
+    )"""
+        )
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (
+        SELECT i, (s::DOUBLE / 1e12) / (SELECT nrm FROM n{t}) AS v FROM w{t}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v{iters}.i AS dim_idx,
+           floor(v{iters}.v * 1e6 + 0.5) / 1e6 AS loading,
+           (SELECT floor(nrm * 1e6 + 0.5) / 1e6 FROM n{iters}) AS eigval
+    FROM v{iters}
+    """
+    )

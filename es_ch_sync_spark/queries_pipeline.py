@@ -1277,3 +1277,16 @@ def q_streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.queries_relational import _drain_to_memory
 
     return _drain_to_memory(deduped, "append")
+
+
+@register("pca_top_component", _o.pca_top_component_sql(dim=64, iters=8))
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by power iteration:
+    ONE distributed corpus pass builds the quantized d×d Gram
+    (partial-aggregated explode), then 8 O(d²) mat-vec rounds under the
+    driver-collect exemption. The oracle unrolls the identical
+    quantized iteration in SQL — a value match proves cross-engine
+    bit-equality of an iterative spectral method."""
+    from es_ch_sync_spark.operators.features import pca_top_component
+
+    return pca_top_component(_t(spark, sf_dir, "embeddings"), dim=64, iters=8)

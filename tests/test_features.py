@@ -270,3 +270,46 @@ def test_dhash_matches_formula_and_groups_identical_images(spark):
 
     assert got == {m: expected(m) for m in (0, 1, 256)}
     assert got[0] == got[256]  # perceptually identical → same hash
+
+
+def test_pca_top_component_matches_numpy(spark):
+    """The quantized power iteration converges to numpy's top eigenvector
+    of the uncentered second-moment matrix (up to sign) on a corpus with
+    a planted dominant direction, and eigval approximates its
+    eigenvalue."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.features import pca_top_component
+
+    rng = np.random.RandomState(7)
+    d, n = 16, 400
+    direction = np.zeros(d)
+    direction[3] = 1.0
+    x = rng.normal(0, 0.05, size=(n, d)) + rng.normal(0, 1.0, size=(n, 1)) * direction
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pca_top_component(emb, dim=d, iters=12).collect()
+    v = np.zeros(d)
+    for r in got:
+        v[r["dim_idx"]] = r["loading"]
+    # numpy ground truth on the SAME float32-cast data
+    x32 = x.astype(np.float32).astype(np.float64)
+    g = x32.T @ x32 / n
+    evals, evecs = np.linalg.eigh(g)
+    top = evecs[:, -1]
+    if np.dot(top, v) < 0:
+        top = -top
+    assert np.allclose(v, top, atol=1e-3)
+    assert abs(got[0]["eigval"] - evals[-1]) < 1e-3
+
+
+def test_pca_deterministic_across_runs(spark, sf_dir):
+    """Two invocations over the same corpus return identical rows (no RNG,
+    no order dependence — every sum is quantized)."""
+    from es_ch_sync_spark.io.sources import read_parquet_table
+    from es_ch_sync_spark.operators.features import pca_top_component
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, pca_top_component(emb).collect()))
+    b = sorted(map(tuple, pca_top_component(emb).collect()))
+    assert a == b
