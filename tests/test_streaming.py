@@ -143,3 +143,41 @@ def test_streaming_ntz_event_time(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out)
     assert got.count() == 20  # replay deduped
+
+
+def test_streaming_sync_through_es_status_connector(spark, tmp_path):
+    """The reference's FULL continuous loop through the custom connector:
+    status docs exported as ES hit NDJSON → readStream
+    format("es_status") (file-offset micro-batches) → dim join + unpivot
+    + watermark dedup → parquet sink; the result must equal the batch
+    transform over the same documents."""
+    from es_ch_sync_spark.fixtures import device_dim_df, device_status_df
+    from es_ch_sync_spark.io.es_datasource import write_es_status
+    from es_ch_sync_spark.io.es_datasource import read_es_status_stream
+    from es_ch_sync_spark.operators.dimjoin import resolve_tokens
+    from es_ch_sync_spark.operators.transform import unpivot_signals
+
+    src = str(tmp_path / "es_export")
+    out = str(tmp_path / "signals")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = device_status_df(
+        spark, subjects=S, rows_per_subject=20, malformed_every=0, seed=3
+    ).drop("is_malformed")
+    write_es_status(docs.withColumn("es_id", docs["id"]), src, mode="overwrite")
+
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in docs.schema.fields)
+    dim = device_dim_df(spark, subjects=S)
+    stream = read_es_status_stream(spark, src, ddl)
+    signals = build_signal_stream(stream, DEVICE_STATUS_CATALOG, dim)
+    q = start_signal_sink(signals, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).drop("event_date")
+    resolved, _ = resolve_tokens(docs, dim)
+    want = unpivot_signals(
+        resolved, DEVICE_STATUS_CATALOG, token_col="token_id",
+        ts_col="time", source_col="source",
+    ).dropDuplicates(["token_id", "timestamp", "name"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
