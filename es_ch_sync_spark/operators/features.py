@@ -662,3 +662,47 @@ def pca_top_component(
     return spark.createDataFrame(
         rows, "dim_idx int, loading double, eigval double"
     )
+
+
+def embedding_anisotropy(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    iters: int = 8,
+) -> DataFrame:
+    """Per-vector energy fraction along the corpus's top principal
+    direction — the anisotropy diagnostic behind all-but-the-top
+    post-processing (a corpus whose vectors all lean on one dominant
+    direction has inflated cosine similarities; this measures how much).
+
+    Composes with pca_top_component: the 6dp-rounded top eigenvector is
+    a d-row broadcast; the per-vector pass is explode → broadcast join →
+    quantized BIGINT sums (dot and squared norm), so the fraction is
+    bit-identical cross-engine.  Work is one linear pass, shuffle keyed
+    on the vector id."""
+    from es_ch_sync_spark.operators.util import round_half_up
+
+    top = pca_top_component(emb, vec_col=vec_col, dim=dim, iters=iters).select(
+        F.col("dim_idx").alias("i"), F.col("loading")
+    )
+    parts = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("i", "xi")
+    ).withColumn("xi", F.col("xi").cast("double"))
+    joined = parts.join(F.broadcast(top), "i")
+    sums = joined.groupBy(id_col).agg(
+        F.sum(
+            F.floor(F.col("xi") * F.col("loading") * F.lit(1e9) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("dq"),
+        F.sum(
+            F.floor(F.col("xi") * F.col("xi") * F.lit(1e9) + F.lit(0.5)).cast("long")
+        ).alias("nq"),
+    )
+    dot = F.col("dq") / F.lit(1e9)
+    nsq = F.col("nq") / F.lit(1e9)
+    return sums.select(
+        id_col,
+        round_half_up(dot * dot / nsq, 6).alias("top_energy_frac"),
+    )

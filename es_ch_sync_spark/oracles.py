@@ -1323,3 +1323,34 @@ def pca_top_component_sql(dim: int = 64, iters: int = 8) -> str:
     FROM v{iters}
     """
     )
+
+
+def embedding_anisotropy_sql(dim: int = 64, iters: int = 8) -> str:
+    """Mirror of features.embedding_anisotropy: the pca CTE chain plus a
+    quantized per-vector dot/norm pass against the 6dp-rounded v."""
+    pca = pca_top_component_sql(dim, iters)
+    head = pca[: pca.index(f"SELECT v{iters}.i AS dim_idx")]
+    return (
+        head
+        + f""", vr AS MATERIALIZED (
+        SELECT v{iters}.i AS i, floor(v{iters}.v * 1e6 + 0.5) / 1e6 AS loading
+        FROM v{iters}
+    ),
+    parts AS (
+        SELECT vec_id, ii.i AS i, embedding[ii.i + 1]::DOUBLE AS xi
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) ii
+    ),
+    sums AS (
+        SELECT p.vec_id,
+               CAST(sum(floor(p.xi * vr.loading * 1e9 + 0.5)::BIGINT) AS BIGINT) AS dq,
+               CAST(sum(floor(p.xi * p.xi * 1e9 + 0.5)::BIGINT) AS BIGINT) AS nq
+        FROM parts p JOIN vr ON p.i = vr.i
+        GROUP BY p.vec_id
+    )
+    SELECT vec_id,
+           floor((dq / 1e9) * (dq / 1e9) / (nq / 1e9) * 1e6 + 0.5) / 1e6
+               AS top_energy_frac
+    FROM sums
+    """
+    )

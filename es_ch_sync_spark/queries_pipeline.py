@@ -1290,3 +1290,13 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.features import pca_top_component
 
     return pca_top_component(_t(spark, sf_dir, "embeddings"), dim=64, iters=8)
+
+
+@register("embedding_anisotropy", _o.embedding_anisotropy_sql(dim=64, iters=8))
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top diagnostic: per-vector energy fraction along the
+    corpus top principal direction (composes pca_top_component with a
+    quantized linear pass)."""
+    from es_ch_sync_spark.operators.features import embedding_anisotropy
+
+    return embedding_anisotropy(_t(spark, sf_dir, "embeddings"))
