@@ -168,3 +168,96 @@ def read_rollup_view(spark: SparkSession, view_table: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+def refresh_gram_view(
+    spark: SparkSession,
+    fact_table: str,
+    view_table: str,
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally maintain the quantized Gram matrix of an embedding
+    fact table (the sufficient statistic for PCA/whitening/anisotropy).
+
+    Same version protocol as refresh_rollup_view, but the partials are
+    EXACT integers — gram cells sum floor-quantized BIGINTs, so the
+    incremental view is bit-identical to a full recompute (not just
+    associative-up-to-DECIMAL): appending batches and delta-refreshing,
+    then power-iterating from the view, yields the same eigenvector to
+    the last bit as one pass over the whole corpus (pinned by the
+    pca_incremental query, whose oracle IS the full-corpus oracle).
+
+    Refresh cost: O(new vectors · d²/partitions) map-side + a d²-row
+    merge — independent of fact-table age; exactly the shape a 100 TB
+    embedding store needs to keep spectral diagnostics current."""
+    from es_ch_sync_spark.operators.features import quantized_gram_cells
+
+    fact_v = current_version(fact_table)
+    if fact_v is None:
+        raise ValueError(f"{fact_table} has no committed versions")
+    base_v = last_committed_meta(view_table, "fact_version")
+    if base_v is not None and base_v >= fact_v:
+        return {
+            "mode": "noop",
+            "fact_version": fact_v,
+            "view_version": current_version(view_table),
+        }
+
+    view_base = current_version(view_table) if base_v is not None else None
+    mode = "delta"
+    delta_files: list[str] | None = None
+    if base_v is not None:
+        try:
+            delta_files = added_files_between(fact_table, base_v, fact_v)
+        except NonAppendDeltaError:
+            mode = "full"
+    else:
+        mode = "full"
+
+    if mode == "delta" and delta_files is not None:
+        if delta_files:
+            delta = spark.read.parquet(
+                *[os.path.join(fact_table, f) for f in delta_files]
+            )
+            new_parts = quantized_gram_cells(delta, vec_col=vec_col)
+            old = read_table(spark, view_table).select(
+                "i", "j", "gint", "n_rows"
+            )
+            merged = old.unionByName(new_parts).groupBy("i", "j").agg(
+                F.sum("gint").alias("gint"), F.sum("n_rows").alias("n_rows")
+            )
+        else:
+            merged = read_table(spark, view_table).select(
+                "i", "j", "gint", "n_rows"
+            )
+    else:
+        snap_files = snapshot_files_fast(fact_table, fact_v)
+        snap = spark.read.parquet(
+            *[os.path.join(fact_table, f) for f in snap_files]
+        )
+        merged = quantized_gram_cells(snap, vec_col=vec_col)
+
+    view_v = txlog_overwrite(
+        merged,
+        view_table,
+        expected_base=view_base,
+        meta={"fact_version": fact_v},
+    )
+    return {"mode": mode, "fact_version": fact_v, "view_version": view_v}
+
+
+def pca_from_gram_view(
+    spark: SparkSession, view_table: str, dim: int = 64, iters: int = 8
+) -> DataFrame:
+    """Power-iterate from the maintained gram view (no corpus pass): the
+    d² cells collect to the driver, n comes from any cell's n_rows (every
+    vector contributes to every cell)."""
+    from es_ch_sync_spark.operators.features import _power_iterate
+
+    rows = read_table(spark, view_table).select("i", "j", "gint", "n_rows").collect()
+    if not rows:
+        raise ValueError(f"{view_table} is empty")
+    n = rows[0]["n_rows"]
+    cells = [(r["i"], r["j"], r["gint"]) for r in rows]
+    out = _power_iterate(cells, n, dim, iters)
+    return spark.createDataFrame(out, "dim_idx int, loading double, eigval double")

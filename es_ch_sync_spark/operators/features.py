@@ -618,30 +618,48 @@ def pca_top_component(
     Returns (dim_idx, loading, eigval): the unit top eigenvector
     (half-up 6dp) and ‖G·v‖ from the final round (the Rayleigh
     eigenvalue estimate for a converged v)."""
-    import math
-
     spark = emb.sparkSession
     n = emb.count()
+    gint = quantized_gram_cells(emb, vec_col=vec_col).collect()
+    rows = _power_iterate(
+        [(r["i"], r["j"], r["gint"]) for r in gint], n, dim, iters
+    )
+    return spark.createDataFrame(
+        rows, "dim_idx int, loading double, eigval double"
+    )
+
+
+def quantized_gram_cells(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The distributed half of pca_top_component: (i, j, gint) cells where
+    gint = Σ floor(x_i·x_j·1e6 + 0.5) as BIGINT — an EXACT integer-additive
+    statistic (a disjoint union of corpora sums cell-wise), which is what
+    makes it incrementally maintainable (io/ivm.py::refresh_gram_view)."""
     pairs = emb.select(F.posexplode(vec_col).alias("i", "xi"), F.col(vec_col))
     trip = pairs.select(
         "i",
         F.col("xi").cast("double").alias("xi"),
         F.posexplode(vec_col).alias("j", "xj"),
     )
-    gint = (
-        trip.groupBy("i", "j")
-        .agg(
-            F.sum(
-                F.floor(
-                    F.col("xi") * F.col("xj").cast("double") * F.lit(1e6) + F.lit(0.5)
-                ).cast("long")
-            ).alias("gint")
-        )
-        .collect()
+    return trip.groupBy("i", "j").agg(
+        F.sum(
+            F.floor(
+                F.col("xi") * F.col("xj").cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long")
+        ).alias("gint"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def _power_iterate(
+    cells: list[tuple[int, int, int]], n: int, dim: int, iters: int
+) -> list[tuple[int, float, float]]:
+    """The O(d²) driver half: quantized power iteration over collected
+    gram cells (IEEE-identical to the unrolled SQL oracle)."""
+    import math
+
     g = [[0.0] * dim for _ in range(dim)]
-    for r in gint:
-        g[r["i"]][r["j"]] = (r["gint"] / 1e6) / n
+    for i, j, gint in cells:
+        g[i][j] = (gint / 1e6) / n
 
     v = [1.0 / math.sqrt(dim)] * dim
     norm = 0.0
@@ -656,12 +674,7 @@ def pca_top_component(
         v = [wi / norm for wi in w]
 
     lam = math.floor(norm * 1e6 + 0.5) / 1e6
-    rows = [
-        (i, math.floor(v[i] * 1e6 + 0.5) / 1e6, lam) for i in range(dim)
-    ]
-    return spark.createDataFrame(
-        rows, "dim_idx int, loading double, eigval double"
-    )
+    return [(i, math.floor(v[i] * 1e6 + 0.5) / 1e6, lam) for i in range(dim)]
 
 
 def embedding_anisotropy(

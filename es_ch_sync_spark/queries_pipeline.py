@@ -1300,3 +1300,30 @@ def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.features import embedding_anisotropy
 
     return embedding_anisotropy(_t(spark, sf_dir, "embeddings"))
+
+
+@register("pca_incremental", _o.pca_top_component_sql(dim=64, iters=8))
+def q_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained spectral statistic: the corpus arrives as
+    two txlog appends, the quantized Gram view is delta-refreshed (cost
+    O(new batch), never a history rescan), and the eigenvector is
+    iterated from the VIEW. The oracle is the FULL-CORPUS pca oracle —
+    a value-hash match proves incremental maintenance is bit-identical
+    to recomputation, which holds because the gram cells are exact
+    integer sums (io/ivm.py::refresh_gram_view)."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io.ivm import pca_from_gram_view, refresh_gram_view
+    from es_ch_sync_spark.io.txlog import txlog_append
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix=f"pca_ivm_{uuid.uuid4().hex[:8]}_")
+    fact, view = f"{root}/fact", f"{root}/view"
+    txlog_append(emb.filter(F.col("vec_id") % 2 == 0), fact)
+    r1 = refresh_gram_view(spark, fact, view)
+    assert r1["mode"] == "full"
+    txlog_append(emb.filter(F.col("vec_id") % 2 == 1), fact)
+    r2 = refresh_gram_view(spark, fact, view)
+    assert r2["mode"] == "delta", r2
+    return pca_from_gram_view(spark, view, dim=64, iters=8)

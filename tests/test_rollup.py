@@ -58,3 +58,37 @@ def test_incremental_rollup_equals_full_rebuild(spark, tmp_path):
     assert got_rows == want_rows
     # day-0 rows were NOT rewritten by wave 2 (untouched partition)
     assert got.filter(F.col("day") == "2024-01-01").count() == 2
+
+
+def test_gram_view_incremental_bit_identical(spark, tmp_path):
+    """Three txlog appends, delta-refreshed gram view: the eigenvector
+    from the view is BIT-identical to pca_top_component over the union
+    (integer-additive cells), and a non-append commit falls back to a
+    full rebuild that still matches."""
+    import numpy as np
+
+    from es_ch_sync_spark.io import ivm
+    from es_ch_sync_spark.io.txlog import txlog_append, txlog_overwrite
+    from es_ch_sync_spark.operators.features import pca_top_component
+
+    rng = np.random.RandomState(11)
+    d, n = 8, 90
+    rows = [(i, [float(v) for v in rng.normal(0, 1, d)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fact, view = str(tmp_path / "fact"), str(tmp_path / "view")
+
+    for k in range(3):
+        txlog_append(emb.filter(F.col("vec_id") % 3 == k), fact)
+        r = ivm.refresh_gram_view(spark, fact, view)
+        assert r["mode"] == ("full" if k == 0 else "delta")
+
+    got = sorted(map(tuple, ivm.pca_from_gram_view(spark, view, dim=d).collect()))
+    want = sorted(map(tuple, pca_top_component(emb, dim=d).collect()))
+    assert got == want  # bit-identical, not approximately
+
+    # a non-append commit voids the delta path: full rebuild, same answer
+    txlog_overwrite(emb, fact)
+    r = ivm.refresh_gram_view(spark, fact, view)
+    assert r["mode"] == "full"
+    got2 = sorted(map(tuple, ivm.pca_from_gram_view(spark, view, dim=d).collect()))
+    assert got2 == want
