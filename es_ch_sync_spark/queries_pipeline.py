@@ -1327,3 +1327,33 @@ def q_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = refresh_gram_view(spark, fact, view)
     assert r2["mode"] == "delta", r2
     return pca_from_gram_view(spark, view, dim=64, iters=8)
+
+
+@register(
+    "bloom_point_lookup",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE event_id = 777
+    """,
+)
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a non-sort high-cardinality key through the
+    persistent file-level Bloom index (io/bloom_index.py — the
+    Delta/Iceberg per-file bloom analog): the table is laid out as many
+    range-clustered files, the index is built in one distributed pass,
+    and the scan is planned over only the candidate files. Matching the
+    full-scan oracle proves the index never loses a row (no false
+    negatives by construction; false positives cost IO, never rows)."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io.bloom_index import build_bloom_index, point_lookup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix=f"bloomidx_{uuid.uuid4().hex[:8]}_")
+    table, index = f"{root}/t", f"{root}/idx"
+    ev.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(table)
+    build_bloom_index(spark, table, index, "event_id")
+    return point_lookup(spark, table, index, "event_id", 777)
