@@ -294,3 +294,23 @@ register_shared_sql(
     FROM days LEFT JOIN daily ON days.d = daily.d
     """,
 )
+
+
+# LATERAL correlated derived table (ANSI; Spark 4 + DuckDB both support):
+# per-nation top-2 customers by balance — the "top-k per group as a join"
+# formulation (the window formulation is window_topk_per_user; LATERAL is
+# the decorrelation surface Catalyst rewrites into a ranked join).
+register_shared_sql(
+    "sql_lateral_topk",
+    """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c.c_name, round(c.c_acctbal, 2) AS c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+        LIMIT 2
+    ) t
+    """,
+)

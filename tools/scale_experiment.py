@@ -476,6 +476,39 @@ def main() -> None:
             f"remove_dup_spans x{replicas} (k=8)",
             lambda: remove_dup_spans(docs, k=8).count(),
         )
+    if "bloomidx" in only:
+        import shutil
+        import tempfile
+
+        from es_ch_sync_spark.io.bloom_index import (
+            build_bloom_index,
+            candidate_files,
+            point_lookup,
+        )
+
+        root = tempfile.mkdtemp(prefix="bloom_scale_")
+        table, index = f"{root}/t", f"{root}/idx"
+        n = 100_000 * replicas
+        spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 997).alias("payload")
+        ).repartitionByRange(64, "k").write.mode("overwrite").parquet(table)
+        # size the filter to the keys-per-file: 10M/64 = 156k keys needs
+        # m = 2^21 bits (32 KB/file) for ~0.3% FPR — the knob a real
+        # deployment turns with file size
+        m = 1 << 21
+        timed(
+            f"bloom_index build x{replicas} ({n} keys, 64 files, m=2^21)",
+            lambda: build_bloom_index(spark, table, index, "k", bits_per_file=m),
+        )
+        t0 = time.time()
+        cands = candidate_files(spark, index, 777_777, bits_per_file=m)
+        got = point_lookup(spark, table, index, "k", 777_777, bits_per_file=m).count()
+        print(
+            f"bloom point lookup: {got} row via {len(cands)}/64 files "
+            f"in {time.time() - t0:.1f}s",
+            flush=True,
+        )
+        shutil.rmtree(root)
     if "negsample" in only:
         from es_ch_sync_spark.operators.sampling import negative_sample_pairs
 
