@@ -632,3 +632,60 @@ def interval_concurrency(
             (F.col("max_in") + F.col("carry")).cast("long").alias("peak_concurrent"),
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative pmf, k = 0..5); weights
+# are capped at 6 — P(w > 6) < 1e-4, negligible for SE estimation.
+_POISSON1_CUM = [
+    0.367879441171442,
+    0.735758882342885,
+    0.919698602928606,
+    0.981011843123846,
+    0.996340153172656,
+    0.999405815182418,
+]
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    replicates: int = 32,
+    seed: str = "bs",
+) -> DataFrame:
+    """Deterministic Poisson bootstrap of the mean — the standard way to
+    put an uncertainty estimate on a statistic when the data is too big
+    to resample multinomially: each replicate gives every row an
+    independent Poisson(1) weight, a single-pass approximation of
+    sampling n rows with replacement.  The spread of the replicate means
+    IS the standard error.
+
+    Spark-first shape: replicate ids explode map-side (rows × B never
+    shuffles wide — the groupBy carries B rows per partition after
+    partial aggregation); weights come from the md5 hash family
+    (seed:b:id), so runs are reproducible and the DuckDB oracle
+    replicates every replicate exactly.  Sums are quantized to BIGINT
+    (value pre-quantized to 1e6) so the replicate mean is
+    association-order independent."""
+    from es_ch_sync_spark.operators.sketches import HASH_SPACE, hash56
+    from es_ch_sync_spark.operators.util import round_half_up
+
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("replicate")
+    u = hash56(F.col("replicate"), F.col(id_col), seed=seed) / F.lit(HASH_SPACE)
+    w = F.lit(len(_POISSON1_CUM))
+    for k in range(len(_POISSON1_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CUM[k]), F.lit(k)).otherwise(w)
+    vq = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    weighted = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col), vq.alias("vq"), b
+    ).withColumn("w", w.cast("long"))
+    agg = weighted.groupBy("replicate").agg(
+        F.sum(F.col("w") * F.col("vq")).alias("swv"),
+        F.sum("w").alias("sw"),
+    )
+    return agg.select(
+        "replicate",
+        round_half_up(
+            (F.col("swv") / F.lit(1e6)) / F.col("sw").cast("double"), 6
+        ).alias("boot_mean"),
+    )

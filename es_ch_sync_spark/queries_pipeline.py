@@ -1357,3 +1357,46 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(table)
     build_bloom_index(spark, table, index, "event_id")
     return point_lookup(spark, table, index, "event_id", 777)
+
+
+def _poisson_w_sql(u: str) -> str:
+    from es_ch_sync_spark.operators.analytics import _POISSON1_CUM
+
+    whens = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CUM)
+    )
+    return f"CASE {whens} ELSE {len(_POISSON1_CUM)} END"
+
+
+@register(
+    "bootstrap_means",
+    f"""
+    WITH b AS (
+        SELECT event_id, value, unnest(range(0, 32)) AS replicate
+        FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+        SELECT replicate,
+               floor(value * 1e6 + 0.5)::BIGINT AS vq,
+               ({_h56("'bs:' || replicate::VARCHAR || ':' || event_id::VARCHAR")})::DOUBLE
+                   / 72057594037927936.0 AS u
+        FROM b
+    ),
+    w AS (SELECT replicate, vq, ({_poisson_w_sql('u')})::BIGINT AS w FROM h)
+    SELECT replicate::INTEGER AS replicate,
+           floor((CAST(sum(w * vq) AS BIGINT)::DOUBLE / 1e6)
+                 / CAST(sum(w) AS BIGINT)::DOUBLE * 1e6 + 0.5) / 1e6
+               AS boot_mean
+    FROM w GROUP BY replicate
+    """,
+)
+def q_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of mean(events.value): 32 deterministic
+    replicate means whose spread is the standard error — single-pass
+    uncertainty estimation at any scale (each row draws a hash-derived
+    Poisson(1) weight per replicate; no resampled copies of the data
+    ever exist)."""
+    from es_ch_sync_spark.operators.analytics import poisson_bootstrap_means
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_means(ev, "value", "event_id", replicates=32)

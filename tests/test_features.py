@@ -313,3 +313,30 @@ def test_pca_deterministic_across_runs(spark, sf_dir):
     a = sorted(map(tuple, pca_top_component(emb).collect()))
     b = sorted(map(tuple, pca_top_component(emb).collect()))
     assert a == b
+
+
+def test_poisson_bootstrap_statistics(spark):
+    """Replicate means center on the true mean with spread ≈ the
+    analytic SE (σ/√n — Poisson bootstrap weights have unit variance),
+    and the replicate set is deterministic across runs."""
+    import math
+    import statistics
+
+    from es_ch_sync_spark.operators.analytics import poisson_bootstrap_means
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("rid"), (F.col("id") % 100).cast("double").alias("x")
+    )
+    out = {r["replicate"]: r["boot_mean"]
+           for r in poisson_bootstrap_means(df, "x", "rid", replicates=32).collect()}
+    assert len(out) == 32
+    true_mean = (n - 1) % 100 / 2 if False else sum(i % 100 for i in range(n)) / n
+    boot = list(out.values())
+    assert abs(statistics.mean(boot) - true_mean) < 1.0
+    sd = statistics.pstdev(boot)
+    analytic_se = statistics.pstdev([i % 100 for i in range(n)]) / math.sqrt(n)
+    assert 0.4 * analytic_se < sd < 2.5 * analytic_se
+    again = {r["replicate"]: r["boot_mean"]
+             for r in poisson_bootstrap_means(df, "x", "rid", replicates=32).collect()}
+    assert again == out
