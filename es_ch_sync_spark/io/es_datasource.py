@@ -546,32 +546,62 @@ class EsStatusStreamWriter(DataSourceStreamArrowWriter, EsStatusWriter):
         try:
             fd = os.open(epoch_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            # replayed epoch: already visible — drop the duplicate temps
+            # Replayed epoch: the data is already visible — drop the
+            # duplicate temps, then HEAL the global manifest: a crash in
+            # the (epoch marker → manifest merge) window leaves the
+            # epoch's files committed but unlisted, and this replay is
+            # exactly when we can repair that idempotently.
             EsStatusWriter.abort(self, messages)
+            self._merge_into_manifest(epoch_path)
             return
         try:
             committed = []
+            per_file = {}
             total = 0
             for m in messages:
                 if m is None:
                     continue
                 os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
                 committed.append(m.final_name)
+                per_file[m.final_name] = m.n_rows
                 total += m.n_rows
             os.write(
                 fd,
-                json.dumps({"files": sorted(committed), "n_rows": total}).encode(),
+                json.dumps(
+                    {
+                        "files": sorted(committed),
+                        "n_rows": total,
+                        "per_file": per_file,
+                    }
+                ).encode(),
             )
         finally:
             os.close(fd)
         # merge into the global manifest (same append semantics as batch)
+        self._merge_into_manifest(epoch_path)
+
+    def _merge_into_manifest(self, epoch_path: str) -> None:
+        """Idempotently fold an epoch manifest into the global one —
+        files already listed are not double-counted, so calling this on
+        every replay is safe and repairs a torn marker→manifest crash."""
+        import json
+        import os
+
+        with open(epoch_path) as f:
+            epoch = json.load(f)
         mpath = os.path.join(self.path, "_ES_COMMIT")
-        manifest = {"files": sorted(committed), "n_rows": total}
+        prev = {"files": [], "n_rows": 0}
         if os.path.exists(mpath):
             with open(mpath) as f:
                 prev = json.load(f)
-            manifest["files"] = sorted(prev["files"] + manifest["files"])
-            manifest["n_rows"] += prev["n_rows"]
+        missing = [p for p in epoch["files"] if p not in set(prev["files"])]
+        if not missing and os.path.exists(mpath):
+            return
+        counts = epoch.get("per_file", {})
+        manifest = {
+            "files": sorted(prev["files"] + missing),
+            "n_rows": prev["n_rows"] + sum(counts.get(p, 0) for p in missing),
+        }
         with open(mpath, "w") as f:
             json.dump(manifest, f)
 

@@ -407,3 +407,43 @@ def test_stream_writer_replayed_epoch_is_noop(spark, tmp_path):
     assert not any(p.startswith("_tmp_") for p in os.listdir(sink))
     with open(os.path.join(sink, "_ES_COMMIT")) as f:
         assert _json.load(f)["n_rows"] == 1
+
+
+def test_stream_writer_heals_torn_manifest(spark, tmp_path):
+    """Crash window between the epoch marker and the global-manifest
+    merge: the files are visible but unlisted. The replayed epoch must
+    repair the manifest idempotently (exact per-file row counts, no
+    double count)."""
+    import json as _json
+
+    from es_ch_sync_spark.io.es_datasource import (
+        EsStatusStreamWriter,
+        _EsWriteCommit,
+    )
+    from pyspark.sql import types as T
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    schema = T.StructType.fromDDL(_STREAM_SCHEMA)
+    w = EsStatusStreamWriter(schema, {"path": sink}, overwrite=False)
+
+    def make_msg(tag, n):
+        tmp = os.path.join(sink, f"_tmp_{tag}.ndjson")
+        with open(tmp, "w") as f:
+            for i in range(n):
+                f.write('{"_id":"a%d","_index":"x","_source":{"subject":"1"}}\n' % i)
+        return _EsWriteCommit(tmp, f"part-00000-{tag}.ndjson", n)
+
+    w.commit([make_msg("e0", 3)], batchId=0)
+    # simulate the torn state: epoch 0 committed, manifest lost
+    os.remove(os.path.join(sink, "_ES_COMMIT"))
+    # replay of epoch 0 heals it
+    w.commit([make_msg("replay", 3)], batchId=0)
+    with open(os.path.join(sink, "_ES_COMMIT")) as f:
+        m = _json.load(f)
+    assert m["files"] == ["part-00000-e0.ndjson"]
+    assert m["n_rows"] == 3
+    # healing again is a no-op
+    w.commit([make_msg("replay2", 3)], batchId=0)
+    with open(os.path.join(sink, "_ES_COMMIT")) as f:
+        assert _json.load(f) == m
