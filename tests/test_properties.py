@@ -335,3 +335,71 @@ def test_txlog_threaded_appends_all_land(spark, tmp_path):
         versions = list(ex.map(one, range(8)))
     assert sorted(versions) == list(range(8))  # distinct, contiguous
     assert tx.read_table(spark, t).count() == 80
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_dup_span_removal_invariants(spark, docs):
+    """For any corpus: (1) cleaned text contains NO k-gram that was
+    duplicated in the corpus, (2) removed token count == original −
+    kept, (3) docs without duplicated grams are untouched (absent from
+    the output)."""
+    from collections import Counter
+
+    from es_ch_sync_spark.operators.dedup import remove_dup_spans
+
+    k = 3
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_dup_spans(df, k=k).collect()}
+
+    grams = Counter()
+    for toks in docs:
+        for i in range(len(toks) - k + 1):
+            grams[" ".join(toks[i : i + k])] += 1
+    dup = {g for g, c in grams.items() if c > 1}
+
+    for doc_id, toks in enumerate(docs):
+        has_dup_hit = any(
+            " ".join(toks[i : i + k]) in dup for i in range(len(toks) - k + 1)
+        )
+        if not has_dup_hit:
+            assert doc_id not in out
+            continue
+        r = out[doc_id]
+        # full reference model: recompute hit starts → merged spans →
+        # kept positions, and demand exact equality of every output col
+        starts = [
+            i
+            for i in range(len(toks) - k + 1)
+            if " ".join(toks[i : i + k]) in dup
+        ]
+        spans = []
+        for i in starts:
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + k)
+            else:
+                spans.append([i, i + k])
+        covered = set(p for a, b in spans for p in range(a, b))
+        expect_clean = " ".join(
+            t for p, t in enumerate(toks) if p not in covered
+        )
+        assert r["n_spans"] == len(spans)
+        assert r["n_dup_tokens"] == len(covered)
+        assert r["clean_text"] == expect_clean
