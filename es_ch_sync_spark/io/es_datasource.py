@@ -167,7 +167,64 @@ class EsStatusReader(DataSourceReader):
             files = [self.path]
         if not files:
             raise ValueError(f"es_status: no export files under {self.path}")
+        files = self._prune_by_stats(files)
         return [_FilePartition(p) for p in files]
+
+    def _prune_by_stats(self, files: list[str]) -> list[str]:
+        """File-level skip from manifest min/max stats — the connector
+        analog of ES shard routing / parquet row-group pruning: the
+        WRITER records per-file [min, max] of its stats columns in the
+        manifest; if a pushed predicate on such a column cannot match a
+        file's range, the file never becomes a partition.
+
+        Conservative by construction: files without recorded stats (hand
+        -written exports, older writers) are always read, and only
+        predicate shapes with obvious range semantics prune (equality,
+        </<=/>/>=, IN).  Values compare as ISO/plain strings — the same
+        total order the writer recorded."""
+        import json
+        import os
+
+        mpath = os.path.join(
+            self.path if os.path.isdir(self.path) else os.path.dirname(self.path),
+            "_ES_COMMIT",
+        )
+        if not self.pushed or not os.path.exists(mpath):
+            return files
+        try:
+            with open(mpath) as f:
+                stats = json.load(f).get("stats", {})
+        except (OSError, ValueError):
+            return files
+        if not stats:
+            return files
+
+        def may_match(fname: str) -> bool:
+            fstats = stats.get(os.path.basename(fname))
+            if not fstats:
+                return True
+            for flt in self.pushed:
+                attr = getattr(flt, "attribute", None)
+                if attr is None or len(attr) != 1 or attr[0] not in fstats:
+                    continue
+                lo, hi = fstats[attr[0]]
+                if isinstance(flt, EqualTo):
+                    v = _stats_str(flt.value)
+                    if v < lo or v > hi:
+                        return False
+                elif isinstance(flt, In):
+                    vs = [_stats_str(v) for v in flt.values]
+                    if all(v < lo or v > hi for v in vs):
+                        return False
+                elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
+                    if _stats_str(flt.value) > hi:
+                        return False
+                elif isinstance(flt, (LessThan, LessThanOrEqual)):
+                    if _stats_str(flt.value) < lo:
+                        return False
+            return True
+
+        return [f for f in files if may_match(f)]
 
     # -- read -------------------------------------------------------------
     def _parse_schema(self) -> "pa.Schema":
@@ -409,11 +466,23 @@ def read_es_status_stream(
 # ---------------------------------------------------------------------------
 
 
+def _stats_str(v) -> str:
+    """Canonical string form for manifest stats comparison: timestamps →
+    ISO-8601 (lexicographic order == chronological), everything else →
+    str().  Matches what the writer records."""
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
 class _EsWriteCommit(WriterCommitMessage):
-    def __init__(self, tmp_path: str, final_name: str, n_rows: int) -> None:
+    def __init__(
+        self, tmp_path: str, final_name: str, n_rows: int, stats: dict | None = None
+    ) -> None:
         self.tmp_path = tmp_path
         self.final_name = final_name
         self.n_rows = n_rows
+        self.stats = stats or {}
 
 
 class EsStatusWriter(DataSourceArrowWriter):
@@ -435,6 +504,13 @@ class EsStatusWriter(DataSourceArrowWriter):
         self.index = options.get("index", "events")
         self.id_col = options.get("idcolumn", "es_id")
         self.overwrite = overwrite
+        # per-file [min, max] of these columns is recorded in the manifest
+        # → the reader's split planner skips files outside a pushed range
+        self.stats_cols = [
+            c.strip()
+            for c in options.get("statscolumns", "").split(",")
+            if c.strip()
+        ]
 
     @staticmethod
     def _jsonify(v):
@@ -464,9 +540,23 @@ class EsStatusWriter(DataSourceArrowWriter):
         final_name = f"part-{tc.partitionId():05d}-{tag}.ndjson"
         tmp = os.path.join(self.path, f"_tmp_{tag}.ndjson")
         n = 0
+        stats: dict[str, list[str]] = {}
         with open(tmp, "w") as f:
             for batch in iterator:
                 for rec in batch.to_pylist():
+                    for c in self.stats_cols:
+                        v = rec.get(c)
+                        if v is None:
+                            continue
+                        sv = _stats_str(v)
+                        cur = stats.get(c)
+                        if cur is None:
+                            stats[c] = [sv, sv]
+                        else:
+                            if sv < cur[0]:
+                                cur[0] = sv
+                            if sv > cur[1]:
+                                cur[1] = sv
                     doc_id = rec.pop(self.id_col, None)
                     hit = {
                         "_id": str(doc_id) if doc_id is not None else f"{tag}:{n}",
@@ -480,7 +570,7 @@ class EsStatusWriter(DataSourceArrowWriter):
                         + "\n"
                     )
                     n += 1
-        return _EsWriteCommit(tmp, final_name, n)
+        return _EsWriteCommit(tmp, final_name, n, stats)
 
     def commit(self, messages) -> None:
         import json
@@ -488,13 +578,16 @@ class EsStatusWriter(DataSourceArrowWriter):
 
         committed = []
         total = 0
+        fstats: dict[str, dict] = {}
         for m in messages:
             if m is None:
                 continue
             os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
             committed.append(m.final_name)
             total += m.n_rows
-        manifest = {"files": sorted(committed), "n_rows": total}
+            if getattr(m, "stats", None):
+                fstats[m.final_name] = m.stats
+        manifest = {"files": sorted(committed), "n_rows": total, "stats": fstats}
         mpath = os.path.join(self.path, "_ES_COMMIT")
         if self.overwrite:
             with open(mpath, "w") as f:
@@ -506,6 +599,7 @@ class EsStatusWriter(DataSourceArrowWriter):
                     prev = json.load(f)
                 manifest["files"] = sorted(prev["files"] + manifest["files"])
                 manifest["n_rows"] += prev["n_rows"]
+                manifest["stats"] = {**prev.get("stats", {}), **fstats}
             with open(mpath, "w") as f:
                 json.dump(manifest, f)
 
@@ -557,6 +651,7 @@ class EsStatusStreamWriter(DataSourceStreamArrowWriter, EsStatusWriter):
         try:
             committed = []
             per_file = {}
+            fstats = {}
             total = 0
             for m in messages:
                 if m is None:
@@ -565,6 +660,8 @@ class EsStatusStreamWriter(DataSourceStreamArrowWriter, EsStatusWriter):
                 committed.append(m.final_name)
                 per_file[m.final_name] = m.n_rows
                 total += m.n_rows
+                if getattr(m, "stats", None):
+                    fstats[m.final_name] = m.stats
             os.write(
                 fd,
                 json.dumps(
@@ -572,6 +669,7 @@ class EsStatusStreamWriter(DataSourceStreamArrowWriter, EsStatusWriter):
                         "files": sorted(committed),
                         "n_rows": total,
                         "per_file": per_file,
+                        "stats": fstats,
                     }
                 ).encode(),
             )
@@ -601,6 +699,7 @@ class EsStatusStreamWriter(DataSourceStreamArrowWriter, EsStatusWriter):
         manifest = {
             "files": sorted(prev["files"] + missing),
             "n_rows": prev["n_rows"] + sum(counts.get(p, 0) for p in missing),
+            "stats": {**prev.get("stats", {}), **epoch.get("stats", {})},
         }
         with open(mpath, "w") as f:
             json.dump(manifest, f)

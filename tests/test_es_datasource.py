@@ -447,3 +447,61 @@ def test_stream_writer_heals_torn_manifest(spark, tmp_path):
     w.commit([make_msg("replay2", 3)], batchId=0)
     with open(os.path.join(sink, "_ES_COMMIT")) as f:
         assert _json.load(f) == m
+
+
+# ---------------------------------------------------------------------------
+# Manifest-stats file pruning: split planning skips out-of-range files
+# ---------------------------------------------------------------------------
+
+from es_ch_sync_spark.io.es_datasource import EsStatusReader  # noqa: E402
+from pyspark.sql.datasource import EqualTo as _Eq  # noqa: E402
+from pyspark.sql import types as _T  # noqa: E402
+
+
+def _range_sink(spark, sink):
+    """Three committed files with disjoint subject ranges (a*, b*, c*)."""
+    for prefix in ("a", "b", "c"):
+        df = spark.createDataFrame(
+            [(f"{prefix}{i}", f"{prefix}-sub-{i}", i) for i in range(10)],
+            "es_id string, subject string, data_speed long",
+        ).coalesce(1)
+        write_es_status(df, sink, mode="append", statscolumns="subject")
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    """A pushed subject-equality predicate plans ONLY the file whose
+    recorded [min, max] range can contain it; unparseable or stats-less
+    files are never skipped."""
+    sink = str(tmp_path / "sink")
+    _range_sink(spark, sink)
+    schema = _T.StructType.fromDDL("es_id string, subject string, data_speed long")
+    r = EsStatusReader(schema, {"path": sink})
+    list(r.pushFilters([_Eq(("subject",), "b-sub-3")]))
+    parts = r.partitions()
+    assert len(parts) == 1  # 2 of 3 files pruned by manifest stats
+    # a stats-less file is conservatively kept
+    with open(os.path.join(sink, "part-99999-nostats.ndjson"), "w") as f:
+        f.write('{"_id":"z","_index":"x","_source":{"subject":"zz"}}\n')
+    r2 = EsStatusReader(schema, {"path": sink})
+    list(r2.pushFilters([_Eq(("subject",), "b-sub-3")]))
+    assert len(r2.partitions()) == 2
+
+
+def test_stats_pruning_end_to_end_correct(spark, tmp_path):
+    """Query results with pruning == results from the raw JVM reader:
+    pruning may only skip files that cannot match."""
+    sink = str(tmp_path / "sink")
+    _range_sink(spark, sink)
+    got = (
+        read_es_status(spark, sink, "es_id string, subject string, data_speed long")
+        .filter(F.col("subject") == "c-sub-7")
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["es_id"] == "c7"
+    # range predicate prunes too and stays correct
+    got2 = (
+        read_es_status(spark, sink, "es_id string, subject string, data_speed long")
+        .filter(F.col("subject") >= "c")
+        .collect()
+    )
+    assert sorted(r["es_id"] for r in got2) == [f"c{i}" for i in range(10)]
