@@ -509,6 +509,36 @@ def main() -> None:
             flush=True,
         )
         shutil.rmtree(root)
+    if "spectral" in only:
+        from es_ch_sync_spark.operators.features import (
+            embedding_anisotropy,
+            pca_top_component,
+        )
+
+        timed(
+            f"pca_top_component x{replicas} ({n_vecs} vectors)",
+            lambda: pca_top_component(emb).count(),
+        )
+        timed(
+            f"embedding_anisotropy x{replicas} ({n_vecs} vectors)",
+            lambda: embedding_anisotropy(emb).count(),
+        )
+    if "bootstrap" in only:
+        from es_ch_sync_spark.io.sources import read_parquet_table
+        from es_ch_sync_spark.operators.analytics import poisson_bootstrap_means
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps2 = spark.range(replicas).select(F.col("id").alias("rep"))
+        big = ev.crossJoin(reps2).select(
+            (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+            "value",
+        )
+        timed(
+            f"poisson_bootstrap x{replicas} (32 replicates over {replicas}x events)",
+            lambda: poisson_bootstrap_means(
+                big, "value", "event_id", replicates=32
+            ).count(),
+        )
     if "negsample" in only:
         from es_ch_sync_spark.operators.sampling import negative_sample_pairs
 
