@@ -511,3 +511,51 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_matched"),
     )
     return per_doc.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def source_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source KL divergence from the corpus word distribution —
+    the mixture-health diagnostic for a pretraining blend: a source
+    whose unigram distribution drifts far from the corpus (high KL)
+    is over-contributing its idiosyncrasies; near-zero KL means the
+    source is distributionally redundant.
+
+    KL(p_s ‖ q) = Σ_w p_s(w) · ln(p_s(w)/q(w)) over the source's own
+    support (p > 0 ⇒ q > 0, so every term is finite).
+
+    Plan shape at scale: one explode → three partial-aggregated counts
+    (per (source, word), per source, per word) — all keyed shuffles; the
+    per-word corpus table joins back on the word key; the final per-source
+    sum quantizes each term to a BIGINT so the cross-engine reduction is
+    order-independent.  Nothing grows with corpus size except the keyed
+    aggregations."""
+    w = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(words(F.col(text_col))).alias("word"),
+    )
+    sw = w.groupBy("src", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    s_tot = sw.groupBy("src").agg(F.sum("c_sw").alias("c_s"))
+    w_tot = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    n_tot = sw.agg(F.sum("c_sw").alias("c_n"))
+    p = F.col("c_sw").cast("double") / F.col("c_s").cast("double")
+    q = F.col("c_w").cast("double") / F.col("c_n").cast("double")
+    term = p * F.log(p / q)
+    joined = (
+        sw.join(F.broadcast(s_tot), "src")
+        .join(w_tot, "word")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return (
+        joined.groupBy("src")
+        .agg(
+            (
+                F.sum(F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")) / F.lit(1e9)
+            ).alias("kl_nats"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .select(F.col("src").alias(source_col), "kl_nats", "n_words")
+    )

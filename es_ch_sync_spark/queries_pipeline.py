@@ -1400,3 +1400,35 @@ def q_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return poisson_bootstrap_means(ev, "value", "event_id", replicates=32)
+
+
+@register(
+    "source_divergence",
+    f"""
+    {_o.WORDS_CTE.replace("SELECT doc_id, text,", "SELECT doc_id, text, source,").replace("SELECT doc_id, text FROM documents", "SELECT doc_id, text, source FROM documents")}
+    , tok AS (
+        SELECT source AS src, unnest(ws) AS word FROM (
+            SELECT d.source, w.ws FROM w JOIN documents d USING (doc_id)
+        )
+    ),
+    sw AS (SELECT src, word, count(*)::BIGINT AS c_sw FROM tok GROUP BY 1, 2),
+    s_tot AS (SELECT src, sum(c_sw)::BIGINT AS c_s FROM sw GROUP BY 1),
+    w_tot AS (SELECT word, sum(c_sw)::BIGINT AS c_w FROM sw GROUP BY 1),
+    n_tot AS (SELECT sum(c_sw)::BIGINT AS c_n FROM sw)
+    SELECT sw.src AS source,
+           CAST(sum(floor(
+               (c_sw::DOUBLE / c_s::DOUBLE)
+               * ln((c_sw::DOUBLE / c_s::DOUBLE) / (c_w::DOUBLE / c_n::DOUBLE))
+               * 1e9 + 0.5)::BIGINT) AS BIGINT)::DOUBLE / 1e9 AS kl_nats,
+           count(*)::BIGINT AS n_words
+    FROM sw
+    JOIN s_tot USING (src) JOIN w_tot USING (word) CROSS JOIN n_tot
+    GROUP BY sw.src
+    """,
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix health: per-source unigram KL from the corpus
+    distribution, quantized-sum deterministic."""
+    from es_ch_sync_spark.operators.text import source_divergence
+
+    return source_divergence(_t(spark, sf_dir, "documents"))
