@@ -539,6 +539,16 @@ def main() -> None:
                 big, "value", "event_id", replicates=32
             ).count(),
         )
+    if "kldiv" in only:
+        from es_ch_sync_spark.operators.text import source_divergence
+
+        classed = docs.withColumn(
+            "source", F.concat(F.lit("src"), F.col("doc_id") % 20)
+        )
+        timed(
+            f"source_divergence x{replicas} (20 sources)",
+            lambda: source_divergence(classed).count(),
+        )
     if "negsample" in only:
         from es_ch_sync_spark.operators.sampling import negative_sample_pairs
 
