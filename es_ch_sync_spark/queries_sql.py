@@ -314,3 +314,25 @@ register_shared_sql(
     ) t
     """,
 )
+
+
+# time-based sliding window frame: RANGE BETWEEN INTERVAL ... PRECEDING —
+# the "rolling 1-hour sum per user" shape (ANSI frame semantics; both
+# engines order by the timestamp and bound the frame by event time, so
+# gaps and bursts are handled by TIME, not row counts).
+register_shared_sql(
+    "sql_time_range_window",
+    """
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 4) AS rolling_1h,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS n_1h
+    FROM events
+    WHERE value IS NOT NULL AND user_id IS NOT NULL
+    """,
+)
