@@ -25,20 +25,45 @@ DEDUP_KEY = ["token_id", "timestamp", "name"]
 
 
 def dedup_signals(signals: DataFrame, key: list[str] | None = None) -> DataFrame:
-    """K2 — last-write-wins dedup on the signal key (ReplacingMergeTree analog).
+    """K2 — keep-one-row-per-key dedup on the signal key (ReplacingMergeTree
+    analog), formulated to plan WITHOUT a Sort.
 
-    Same keep-one-row-per-key semantics as ``dropDuplicates(key)``, spelled
-    as an explicit first() aggregate: both plan a SortAggregate (string
-    payload columns rule out hash aggregation), but the explicit form
-    measured ~18% faster at sf0.1 (0.58 s vs 0.71 s on the sync pipeline's
-    dedup stage) — dropDuplicates routes the key columns through the
-    aggregate buffer as first() expressions too, the explicit form only
-    aggregates the payload."""
+    ``array_min(collect_list(struct(payload...)))``: collect_list is a
+    TypedImperativeAggregate, so Spark plans **ObjectHashAggregate** — the
+    only aggregate exec that hash-aggregates variable-length buffers.  Every
+    direct alternative (first(), max_by(), max(struct), any_value(),
+    dropDuplicates) plans **SortAggregate** the moment any payload column is
+    a string (measured on Spark 4.1.2 — HashAggregateExec requires
+    fixed-width mutable buffers), putting a full Sort in the engine's
+    hottest path.  This form removes that Sort and is additionally
+    *deterministic*: the kept row is the lexicographically smallest payload
+    struct, independent of shuffle arrival order (first() kept whichever row
+    happened to arrive first).  Row atomicity is exact — the winner is one
+    whole source row, never a column-wise mix.
+
+    Buffer contract: the per-key list holds all duplicate rows' payloads;
+    the sync overlap that creates duplicates re-reads identical documents,
+    so lists are tiny (1-2 entries).  ObjectHashAggregate falls back to
+    sort-based aggregation after ``spark.sql.objectHashAggregate.sortBased.
+    fallbackThreshold`` distinct keys per task — session.py raises it from
+    the 128 default (load-bearing: at the default, every realistic task
+    falls straight back to the old SortAggregate behavior).
+
+    sf0.1 medians on the sync-pipeline dedup stage: 0.63 s (this form,
+    0 sorts) vs 0.58-0.75 s (first(), 2 sorts) vs 0.53-0.60 s
+    (dropDuplicates, 2 sorts) — flat at this scale; at 100 TB the removed
+    O(n log n) sort + its spill is the win."""
     key = key or DEDUP_KEY
     others = [c for c in signals.columns if c not in key]
-    return signals.groupBy(*key).agg(
-        *[F.first(c).alias(c) for c in others]
-    ).select(*signals.columns)
+    winner = F.array_min(
+        F.collect_list(F.struct(*[F.col(c) for c in others]))
+    ).alias("_payload")
+    return (
+        signals.groupBy(*key)
+        .agg(winner)
+        .select(*key, *[F.col(f"_payload.{c}").alias(c) for c in others])
+        .select(*signals.columns)
+    )
 
 
 def write_signals(

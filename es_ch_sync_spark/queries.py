@@ -906,7 +906,7 @@ def q_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup on the signal key only: (token_id, timestamp, name) is unique in
     # this source (verified at every SF), so this equals the oracle's 6-col
     # DISTINCT while hashing/comparing 3 narrow columns instead of 6;
-    # dedup_signals' explicit first() form beats dropDuplicates ~18% here
+    # dedup_signals plans ObjectHashAggregate (no Sort) — see io/sinks.py
     from es_ch_sync_spark.io.sinks import dedup_signals
 
     return dedup_signals(resolved, ["token_id", "timestamp", "name"])

@@ -53,6 +53,12 @@ def get_spark(
         # signal catalog) are tiny — but leave autoBroadcast at default and
         # use explicit broadcast() hints where we *know* the side is small.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # dedup_signals' ObjectHashAggregate (collect_list winner) must not
+        # fall back to sort-based aggregation at the 128-key default — the
+        # whole point of the formulation is removing the Sort.  Buffer
+        # entries are one tiny payload struct per duplicate row, so a large
+        # map is cheap (io/sinks.py::dedup_signals).
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
@@ -87,6 +93,9 @@ def cluster_conf(executor_cores: int = 5, executors: int = 1000) -> dict[str, st
         "spark.sql.parquet.compression.codec": "zstd",
         # dynamic partition overwrite is what upsert_signals relies on
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        # keep dedup_signals on ObjectHashAggregate (no Sort) at real key
+        # cardinalities; see get_spark for rationale
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "10000000",
         # runtime bloom-filter join pruning: inject a bloom filter from the
         # filtered dim side into the fact scan — the big-join analog of the
         # reference's exists-disjunction pushdown (S7), free at this size

@@ -52,6 +52,16 @@ def test_sync_pipeline_shape(plans):
     assert "SortMergeJoin" not in p
 
 
+def test_sync_dedup_is_sortless(plans):
+    # dedup_signals' collect_list winner must plan ObjectHashAggregate —
+    # any regression to first()/max_by/dropDuplicates reintroduces a full
+    # Sort (SortAggregate) in the engine's hottest path (io/sinks.py)
+    p = plans("sync_pipeline")
+    assert "ObjectHashAggregate" in p
+    assert "SortAggregate" not in p
+    assert "Sort [" not in p
+
+
 def test_agg_has_partial_stage(plans):
     p = plans("tpch_q1")
     assert "partial_sum" in p  # map-side combine before the exchange
