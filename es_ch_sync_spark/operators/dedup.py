@@ -1002,11 +1002,23 @@ def remove_dup_spans(
                 f"ELSE array() END"
             )
         ).alias("h"),
-    ).select(F.col(id_col), F.col("h.s").alias("s"), F.col("h.g").alias("g"))
-    dup_grams = (
-        hits.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).select("g")
+    ).select(
+        F.col(id_col),
+        F.col("h.s").alias("s"),
+        # shuffle economics: every downstream step keys on the gram, so hash
+        # it to 64 bits HERE and never move the raw k-gram text (~8 words per
+        # position) through an exchange — the gram-count shuffle and the
+        # join-back shuffle both carry one BIGINT per position instead.
+        # Collision bound: a false dup needs two distinct single-occurrence
+        # grams on the same xxhash64 value — P ≈ G²/2⁶⁵ for G distinct grams
+        # (at G = 10¹² that is ~3·10⁻²⁰ per pair); dup-span verification is
+        # positional, so a collision can only ADD a span, never corrupt one.
+        F.xxhash64("h.g").alias("gh"),
     )
-    dup_hits = hits.join(dup_grams, "g").select(id_col, "s")
+    dup_grams = (
+        hits.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).select("gh")
+    )
+    dup_hits = hits.join(dup_grams, "gh").select(id_col, "s")
     w_prev = (
         W.partitionBy(id_col).orderBy("s").rowsBetween(W.unboundedPreceding, -1)
     )

@@ -670,6 +670,13 @@ def _power_iterate(
         ]
         w = [si / 1e12 for si in s]
         ns = sum(math.floor(wi * wi * 1e12 + 0.5) for wi in w)
+        if ns == 0:
+            # degenerate gram matrix (all-zero / sub-quantization corpus):
+            # no principal direction exists — return the zero vector with
+            # eigenvalue 0 instead of dividing by zero, so downstream
+            # consumers (pca_from_gram_view, embedding_anisotropy) see a
+            # well-defined "no dominant direction" answer
+            return [(i, 0.0, 0.0) for i in range(dim)]
         norm = math.sqrt(ns / 1e12)
         v = [wi / norm for wi in w]
 

@@ -303,6 +303,21 @@ def test_pca_top_component_matches_numpy(spark):
     assert abs(got[0]["eigval"] - evals[-1]) < 1e-3
 
 
+def test_pca_all_zero_corpus_returns_zero_component(spark):
+    """Degenerate corpus (all-zero embeddings → all-zero gram matrix): no
+    principal direction exists; the quantized power iteration must return
+    the zero vector with eigenvalue 0, not raise ZeroDivisionError
+    (ADVICE r4: features.py _power_iterate divided by an unguarded norm)."""
+    from es_ch_sync_spark.operators.features import pca_top_component
+
+    d = 8
+    rows = [(i, [0.0] * d) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pca_top_component(emb, dim=d, iters=6).collect()
+    assert len(got) == d
+    assert all(r["loading"] == 0.0 and r["eigval"] == 0.0 for r in got)
+
+
 def test_pca_deterministic_across_runs(spark, sf_dir):
     """Two invocations over the same corpus return identical rows (no RNG,
     no order dependence — every sum is quantized)."""
