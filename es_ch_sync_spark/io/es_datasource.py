@@ -158,10 +158,13 @@ class EsStatusReader(DataSourceReader):
         import os
 
         if os.path.isdir(self.path):
+            # skip _/.-prefixed names (Hadoop convention): in-flight task
+            # temps (_tmp_*.ndjson) and manifests must never become splits
             files = sorted(
                 os.path.join(self.path, p)
                 for p in os.listdir(self.path)
                 if p.endswith((".json", ".jsonl", ".ndjson"))
+                and not p.startswith(("_", "."))
             )
         else:
             files = [self.path]
@@ -180,8 +183,15 @@ class EsStatusReader(DataSourceReader):
         Conservative by construction: files without recorded stats (hand
         -written exports, older writers) are always read, and only
         predicate shapes with obvious range semantics prune (equality,
-        </<=/>/>=, IN).  Values compare as ISO/plain strings — the same
-        total order the writer recorded."""
+        </<=/>/>=, IN).  Comparison is TYPED, keyed on the declared
+        column type (ADVICE r4: lexicographic string compare is the
+        wrong order for numbers — '20' > '150' — and a naive pushed
+        timestamp literal never string-equals the writer's tz-aware
+        isoformat): recorded strings and pushed literals are both
+        decoded to native values first (int/Decimal/float for numerics,
+        UTC-canonicalized datetimes for timestamps, plain str for
+        strings), and any value either side fails to decode disables
+        pruning for that predicate rather than risking a wrong skip."""
         import json
         import os
 
@@ -198,6 +208,7 @@ class EsStatusReader(DataSourceReader):
             return files
         if not stats:
             return files
+        dtypes = {f.name: f.dataType for f in self.spark_schema.fields}
 
         def may_match(fname: str) -> bool:
             fstats = stats.get(os.path.basename(fname))
@@ -207,20 +218,30 @@ class EsStatusReader(DataSourceReader):
                 attr = getattr(flt, "attribute", None)
                 if attr is None or len(attr) != 1 or attr[0] not in fstats:
                     continue
-                lo, hi = fstats[attr[0]]
+                dt = dtypes.get(attr[0])
+                if dt is None:
+                    continue
+                lo = _typed_stat(dt, fstats[attr[0]][0])
+                hi = _typed_stat(dt, fstats[attr[0]][1])
+                if lo is None or hi is None:
+                    continue
                 if isinstance(flt, EqualTo):
-                    v = _stats_str(flt.value)
-                    if v < lo or v > hi:
+                    v = _typed_literal(dt, flt.value)
+                    if v is not None and (v < lo or v > hi):
                         return False
                 elif isinstance(flt, In):
-                    vs = [_stats_str(v) for v in flt.values]
-                    if all(v < lo or v > hi for v in vs):
+                    vs = [_typed_literal(dt, v) for v in flt.values]
+                    if all(v is not None for v in vs) and all(
+                        v < lo or v > hi for v in vs
+                    ):
                         return False
                 elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
-                    if _stats_str(flt.value) > hi:
+                    v = _typed_literal(dt, flt.value)
+                    if v is not None and v > hi:
                         return False
                 elif isinstance(flt, (LessThan, LessThanOrEqual)):
-                    if _stats_str(flt.value) < lo:
+                    v = _typed_literal(dt, flt.value)
+                    if v is not None and v < lo:
                         return False
             return True
 
@@ -337,14 +358,24 @@ class EsStatusStreamReader(DataSourceStreamReader):
     internal/app/sync.go): each micro-batch consumes the export files
     that arrived since the last committed offset.
 
-    Offset model: ``{"last": <greatest consumed file name>}``.  Scroll
-    exports number their page files monotonically (part-00001…), so
-    "name greater than the committed high-water mark" IS the arrival
-    order — the same keyset-pagination trick the reference uses on
-    (timestamp, id).  CONTRACT (documented, not assumed): files are
-    immutable once visible and later files sort lexicographically after
-    earlier ones; out-of-order names would be skipped, exactly like a
-    late document behind the reference's watermark.
+    Offset model: ``{"seen": [<consumed file names>]}`` — the consumed-
+    file SET, the same design as Spark's own FileStreamSource.  An
+    earlier revision used a single greatest-name watermark, which
+    silently skipped any late file sorting below it — a contract this
+    framework's OWN writers violate (part-<pid>-<uuid>.ndjson names are
+    not monotonic; ADVICE r4).  With the set, arrival order and naming
+    are irrelevant: a micro-batch is exactly (files now listed) minus
+    (files in the committed offset).  Old ``{"last": ...}`` checkpoints
+    are still honored: a legacy start offset is expanded to "every file
+    sorting at or below the watermark" — the files that offset model had
+    actually consumed.
+
+    Offset size: one name per consumed file, stored in the checkpoint
+    log.  That is the honest price of not losing late files; production
+    deployments bound it the way FileStreamSource does (age out names
+    older than a retention horizon during manifest compaction) — with
+    128 MB export files, 100 TB is ~800k names ≈ tens of MB, well within
+    checkpoint-log scale.
 
     Each new file is one input partition (same split planning as the
     batch reader); parsing is delegated to EsStatusReader, so the
@@ -366,25 +397,40 @@ class EsStatusStreamReader(DataSourceStreamReader):
                 p
                 for p in os.listdir(self.path)
                 if p.endswith((".json", ".jsonl", ".ndjson"))
+                and not p.startswith(("_", "."))
             )
         return [os.path.basename(self.path)]
 
     def initialOffset(self) -> dict:
-        return {"last": ""}
+        return {"seen": []}
 
     def latestOffset(self) -> dict:
-        files = self._files()
-        return {"last": files[-1] if files else ""}
+        return {"seen": self._files()}
+
+    @staticmethod
+    def _seen(offset: dict, universe: list[str]) -> set:
+        """Consumed set for an offset: native form, or the legacy
+        greatest-name watermark expanded against the given universe."""
+        if "seen" in offset:
+            return set(offset["seen"])
+        last = offset.get("last", "")
+        return {f for f in universe if f <= last}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         import os
 
-        lo, hi = start.get("last", ""), end.get("last", "")
+        # deterministic replay: derive everything from the two offsets —
+        # the live listing is only consulted to expand a LEGACY watermark
+        end_files = (
+            list(end["seen"]) if "seen" in end
+            else [f for f in self._files() if f <= end.get("last", "")]
+        )
+        consumed = self._seen(start, end_files)
         base = self.path if os.path.isdir(self.path) else os.path.dirname(self.path)
         return [
             _FilePartition(os.path.join(base, f))
-            for f in self._files()
-            if lo < f <= hi
+            for f in sorted(end_files)
+            if f not in consumed
         ]
 
     def read(self, partition: InputPartition) -> Iterator:
@@ -467,12 +513,73 @@ def read_es_status_stream(
 
 
 def _stats_str(v) -> str:
-    """Canonical string form for manifest stats comparison: timestamps →
-    ISO-8601 (lexicographic order == chronological), everything else →
-    str().  Matches what the writer records."""
+    """Canonical string form the WRITER records in the manifest: timestamps
+    → ISO-8601, everything else → str().  The READER never compares these
+    strings directly — it decodes them back to typed values with
+    _typed_stat/_typed_literal (string order is wrong for numbers and
+    fragile for timestamps)."""
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
+
+
+_INTEGRAL_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+_FLOAT_TYPES = (T.DoubleType, T.FloatType)
+
+
+def _utc_dt(s: str):
+    """ISO string → UTC-aware datetime; naive input is taken as UTC (the
+    engine's session timezone), so '…T05:00:00' == '…T05:00:00+00:00'."""
+    import datetime
+
+    d = datetime.datetime.fromisoformat(s)
+    if d.tzinfo is None:
+        return d.replace(tzinfo=datetime.timezone.utc)
+    return d.astimezone(datetime.timezone.utc)
+
+
+def _typed_stat(dt: T.DataType, s: str):
+    """Decode a recorded manifest stats string to a comparable native value
+    for the column's declared type; None = not decodable → don't prune."""
+    import decimal
+
+    try:
+        if isinstance(dt, T.StringType):
+            return s
+        if isinstance(dt, _INTEGRAL_TYPES):
+            return int(s)
+        if isinstance(dt, _FLOAT_TYPES):
+            return float(s)
+        if isinstance(dt, T.DecimalType):
+            return decimal.Decimal(s)
+        if isinstance(dt, (T.TimestampType, T.DateType)):
+            return _utc_dt(s)
+    except (TypeError, ValueError, ArithmeticError):
+        return None
+    return None
+
+
+def _typed_literal(dt: T.DataType, v):
+    """Decode a pushed-filter literal the same way; None → don't prune."""
+    import decimal
+
+    try:
+        if isinstance(dt, T.StringType):
+            return v if isinstance(v, str) else None
+        if isinstance(dt, _INTEGRAL_TYPES):
+            return int(v)
+        if isinstance(dt, _FLOAT_TYPES):
+            return float(v)
+        if isinstance(dt, T.DecimalType):
+            return decimal.Decimal(str(v))
+        if isinstance(dt, (T.TimestampType, T.DateType)):
+            if isinstance(v, str):
+                return _utc_dt(v)
+            if hasattr(v, "isoformat"):
+                return _utc_dt(v.isoformat())
+    except (TypeError, ValueError, ArithmeticError):
+        return None
+    return None
 
 
 class _EsWriteCommit(WriterCommitMessage):
@@ -618,75 +725,135 @@ class EsStatusStreamWriter(DataSourceStreamArrowWriter, EsStatusWriter):
 
     Structured Streaming may replay a micro-batch after a driver crash
     (the checkpoint records the offsets, not the sink commit).  The
-    guard is the reference's insert-dedup analog in one O_EXCL syscall:
-    ``commit(messages, batchId)`` first creates ``_ES_COMMIT_e<batchId>``
-    with O_EXCL — if the file already exists this epoch was committed by
-    a previous incarnation, so the temps are discarded and the global
-    manifest is left untouched (a replayed batch writes NOTHING twice).
-    Otherwise temps are renamed into place and merged into the same
-    ``_ES_COMMIT`` manifest batch readers honor — so a directory fed by
-    the stream is indistinguishable from one fed by batch appends."""
+    guard is an epoch manifest ``_ES_COMMIT_e<batchId>`` published
+    ATOMICALLY, body and all: the manifest (including the full
+    temp→final rename plan) is staged to a side file, fsynced, and
+    linked into place with ``os.link`` — an exclusive, all-or-nothing
+    publish.  Only a fully-written marker can ever exist under the
+    epoch name, so "marker present" is unambiguous evidence of a
+    committed epoch (an earlier revision O_EXCL-created the marker
+    BEFORE writing its body and before the renames; a crash in that
+    window left a torn empty marker that wedged every replay — ADVICE
+    r4).  Data-file renames happen strictly AFTER the marker is
+    published, and the marker records them, so a replay (or the next
+    commit) can idempotently finish any rename the crash interrupted —
+    no file is ever duplicated or lost, whatever the crash point:
+
+    - crash before publish → no marker; replay re-commits from its own
+      temps (the dead incarnation's ``_tmp_`` files are invisible to
+      readers — reclaim them with ``vacuum_es_status``, never inline:
+      a blind sweep could race a live task's in-flight temp);
+    - crash after publish, during renames → replay completes the
+      recorded renames and merges the manifest;
+    - crash after renames, before the global-manifest merge → replay
+      merges (idempotent: already-listed files are never re-counted).
+
+    The merged ``_ES_COMMIT`` is the same manifest batch readers honor,
+    so a directory fed by the stream is indistinguishable from one fed
+    by batch appends."""
 
     # the MRO resolves `write` to the stream base's ABSTRACT method before
     # reaching EsStatusWriter's concrete one — alias it explicitly (the
     # task protocol is deliberately identical between batch and stream)
     write = EsStatusWriter.write
 
-    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+    def _read_epoch(self, epoch_path: str) -> dict | None:
+        """Parse an epoch marker; None = absent OR torn (pre-fix crash
+        artifact) — both mean 'this epoch never committed'."""
         import json
         import os
 
-        epoch_path = os.path.join(self.path, f"_ES_COMMIT_e{batchId}")
+        if not os.path.exists(epoch_path):
+            return None
         try:
-            fd = os.open(epoch_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # Replayed epoch: the data is already visible — drop the
-            # duplicate temps, then HEAL the global manifest: a crash in
-            # the (epoch marker → manifest merge) window leaves the
-            # epoch's files committed but unlisted, and this replay is
-            # exactly when we can repair that idempotently.
-            EsStatusWriter.abort(self, messages)
-            self._merge_into_manifest(epoch_path)
-            return
-        try:
-            committed = []
-            per_file = {}
-            fstats = {}
-            total = 0
-            for m in messages:
-                if m is None:
-                    continue
-                os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
-                committed.append(m.final_name)
-                per_file[m.final_name] = m.n_rows
-                total += m.n_rows
-                if getattr(m, "stats", None):
-                    fstats[m.final_name] = m.stats
-            os.write(
-                fd,
-                json.dumps(
-                    {
-                        "files": sorted(committed),
-                        "n_rows": total,
-                        "per_file": per_file,
-                        "stats": fstats,
-                    }
-                ).encode(),
-            )
-        finally:
-            os.close(fd)
-        # merge into the global manifest (same append semantics as batch)
-        self._merge_into_manifest(epoch_path)
+            with open(epoch_path) as f:
+                epoch = json.load(f)
+            if not isinstance(epoch, dict) or "files" not in epoch:
+                return None
+            return epoch
+        except (OSError, ValueError):
+            return None
 
-    def _merge_into_manifest(self, epoch_path: str) -> None:
+    def _complete_epoch(self, epoch: dict) -> None:
+        """Finish a published epoch idempotently: apply any rename the
+        crash interrupted (temp still present → move it into place;
+        temp gone → already renamed), then fold into the global
+        manifest."""
+        import os
+
+        for tmp_name, final_name in epoch.get("renames", {}).items():
+            tmp_p = os.path.join(self.path, tmp_name)
+            if os.path.exists(tmp_p):
+                os.replace(tmp_p, os.path.join(self.path, final_name))
+        self._merge_into_manifest(epoch)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import json
+        import os
+        import uuid
+
+        epoch_path = os.path.join(self.path, f"_ES_COMMIT_e{batchId}")
+        epoch = self._read_epoch(epoch_path)
+        if epoch is not None:
+            # Replayed epoch: drop this incarnation's duplicate temps and
+            # idempotently finish whatever the committed incarnation left
+            # undone (renames and/or the global-manifest merge).
+            EsStatusWriter.abort(self, messages)
+            self._complete_epoch(epoch)
+            return
+        if os.path.exists(epoch_path):
+            # torn marker from a pre-fix crash: provably not committed
+            # (a published marker is atomic) — clear it and commit fresh
+            os.remove(epoch_path)
+
+        committed, per_file, fstats, renames = [], {}, {}, {}
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            committed.append(m.final_name)
+            renames[os.path.basename(m.tmp_path)] = m.final_name
+            per_file[m.final_name] = m.n_rows
+            total += m.n_rows
+            if getattr(m, "stats", None):
+                fstats[m.final_name] = m.stats
+        epoch = {
+            "files": sorted(committed),
+            "n_rows": total,
+            "per_file": per_file,
+            "stats": fstats,
+            "renames": renames,
+        }
+        # stage the full manifest body, fsync, then publish atomically:
+        # os.link fails (FileExistsError) if another incarnation won the
+        # race, and a crash at ANY point leaves either no marker or a
+        # complete one — never a torn marker under the epoch name
+        staged = epoch_path + f".stage-{uuid.uuid4().hex[:8]}"
+        with open(staged, "w") as f:
+            json.dump(epoch, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(staged, epoch_path)
+        except FileExistsError:
+            # concurrent incarnation committed first — defer to its marker
+            os.remove(staged)
+            EsStatusWriter.abort(self, messages)
+            winner = self._read_epoch(epoch_path)
+            if winner is not None:
+                self._complete_epoch(winner)
+            return
+        os.remove(staged)
+        # marker is live: now make the data visible and index it
+        self._complete_epoch(epoch)
+
+    def _merge_into_manifest(self, epoch: dict) -> None:
         """Idempotently fold an epoch manifest into the global one —
         files already listed are not double-counted, so calling this on
         every replay is safe and repairs a torn marker→manifest crash."""
         import json
         import os
 
-        with open(epoch_path) as f:
-            epoch = json.load(f)
         mpath = os.path.join(self.path, "_ES_COMMIT")
         prev = {"files": [], "n_rows": 0}
         if os.path.exists(mpath):
@@ -706,6 +873,33 @@ class EsStatusStreamWriter(DataSourceStreamArrowWriter, EsStatusWriter):
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         EsStatusWriter.abort(self, messages)
+
+
+def vacuum_es_status(path: str, older_than_sec: float = 86400.0) -> list[str]:
+    """Reclaim crash orphans: ``_tmp_`` task files and ``.stage-`` marker
+    stages older than the age guard.  Age-guarded because a live writer's
+    in-flight temp is indistinguishable from an orphan by name alone —
+    the guard (default 24 h) makes racing an active job impossible in
+    practice; both kinds are invisible to readers meanwhile.  Returns the
+    removed names (manifest and committed data files are never touched)."""
+    import os
+    import time
+
+    removed = []
+    now = time.time()
+    if not os.path.isdir(path):
+        return removed
+    for p in os.listdir(path):
+        if not (p.startswith("_tmp_") or ".stage-" in p):
+            continue
+        full = os.path.join(path, p)
+        try:
+            if now - os.path.getmtime(full) >= older_than_sec:
+                os.remove(full)
+                removed.append(p)
+        except OSError:
+            continue
+    return removed
 
 
 def committed_files(path: str) -> list[str]:

@@ -505,3 +505,196 @@ def test_stats_pruning_end_to_end_correct(spark, tmp_path):
         .collect()
     )
     assert sorted(r["es_id"] for r in got2) == [f"c{i}" for i in range(10)]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 regressions: typed stats pruning, atomic epoch markers,
+# out-of-order stream file names
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import GreaterThan as _Gt  # noqa: E402
+
+
+def test_stats_pruning_numeric_is_typed(spark, tmp_path):
+    """Numeric stats must compare as numbers: a file with data_speed in
+    [100, 150] satisfies `data_speed > 20` (lexicographically '20' >
+    '150' — the r4 bug pruned it and silently dropped rows)."""
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(f"n{i}", str(i), 100 + i) for i in range(51)],
+        "es_id string, subject string, data_speed long",
+    ).coalesce(1)
+    write_es_status(df, sink, mode="append", statscolumns="data_speed")
+    schema = _T.StructType.fromDDL("es_id string, subject string, data_speed long")
+
+    r = EsStatusReader(schema, {"path": sink})
+    list(r.pushFilters([_Gt(("data_speed",), 20)]))
+    assert len(r.partitions()) == 1  # kept: 20 < 150 numerically
+
+    r2 = EsStatusReader(schema, {"path": sink})
+    list(r2.pushFilters([_Gt(("data_speed",), 200)]))
+    assert len(r2.partitions()) == 0  # pruned: 200 > max 150
+
+    r3 = EsStatusReader(schema, {"path": sink})
+    list(r3.pushFilters([_Eq(("data_speed",), 99)]))
+    assert len(r3.partitions()) == 0  # pruned: below min 100
+
+    # end-to-end: rows actually come back through the pruned scan
+    got = (
+        read_es_status(spark, sink, "es_id string, subject string, data_speed long")
+        .filter(F.col("data_speed") > 20)
+        .count()
+    )
+    assert got == 51
+
+
+def test_stats_pruning_timestamp_naive_literal_matches(spark, tmp_path):
+    """A pushed naive timestamp literal must compare equal to the
+    writer's tz-aware isoformat stats (the r4 bug string-compared
+    '…T05:00:00' to '…T05:00:00+00:00' and pruned the file)."""
+    import datetime
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [("t1", datetime.datetime(2024, 3, 1, 5, 0, 0))],
+        "es_id string, time timestamp",
+    ).coalesce(1)
+    write_es_status(df, sink, mode="append", statscolumns="time")
+    schema = _T.StructType.fromDDL("es_id string, time timestamp")
+
+    r = EsStatusReader(schema, {"path": sink})
+    list(r.pushFilters([_Eq(("time",), datetime.datetime(2024, 3, 1, 5, 0, 0))]))
+    assert len(r.partitions()) == 1  # single-value file must be kept
+
+    r2 = EsStatusReader(schema, {"path": sink})
+    list(r2.pushFilters([_Gt(("time",), datetime.datetime(2024, 3, 2))]))
+    assert len(r2.partitions()) == 0  # genuinely out of range → pruned
+
+
+def test_stream_writer_torn_marker_is_not_committed(spark, tmp_path):
+    """An empty/partial epoch marker (crash inside the old marker-then-
+    body window) must read as NOT committed: the commit clears it and
+    publishes normally instead of wedging every replay (r4 ADVICE: the
+    old code raised JSONDecodeError forever)."""
+    import json as _json
+
+    from es_ch_sync_spark.io.es_datasource import (
+        EsStatusStreamWriter,
+        _EsWriteCommit,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    with open(os.path.join(sink, "_ES_COMMIT_e3"), "w"):
+        pass  # zero-byte torn marker
+    schema = _T.StructType.fromDDL(_STREAM_SCHEMA)
+    w = EsStatusStreamWriter(schema, {"path": sink}, overwrite=False)
+    tmp = os.path.join(sink, "_tmp_t0.ndjson")
+    with open(tmp, "w") as f:
+        f.write('{"_id":"a","_index":"x","_source":{"subject":"1"}}\n')
+    w.commit([_EsWriteCommit(tmp, "part-00000-t0.ndjson", 1)], batchId=3)
+    assert committed_files(sink) == [os.path.join(sink, "part-00000-t0.ndjson")]
+    with open(os.path.join(sink, "_ES_COMMIT_e3")) as f:
+        marker = _json.load(f)  # marker is now complete, body and all
+    assert marker["files"] == ["part-00000-t0.ndjson"]
+    assert marker["renames"] == {"_tmp_t0.ndjson": "part-00000-t0.ndjson"}
+
+
+def test_stream_writer_crash_before_renames_heals_on_replay(spark, tmp_path):
+    """Crash after the marker published but before the data renames: the
+    replay must complete the recorded renames idempotently — no lost
+    files, no duplicates."""
+    import json as _json
+
+    from es_ch_sync_spark.io.es_datasource import (
+        EsStatusStreamWriter,
+        _EsWriteCommit,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    # the crashed incarnation's temp, still unrenamed
+    tmp = os.path.join(sink, "_tmp_dead.ndjson")
+    with open(tmp, "w") as f:
+        f.write('{"_id":"a","_index":"x","_source":{"subject":"1"}}\n')
+        f.write('{"_id":"b","_index":"x","_source":{"subject":"2"}}\n')
+    # its published marker (atomic, full body) — renames not yet applied
+    with open(os.path.join(sink, "_ES_COMMIT_e9"), "w") as f:
+        _json.dump(
+            {
+                "files": ["part-00000-dead.ndjson"],
+                "n_rows": 2,
+                "per_file": {"part-00000-dead.ndjson": 2},
+                "stats": {},
+                "renames": {"_tmp_dead.ndjson": "part-00000-dead.ndjson"},
+            },
+            f,
+        )
+    schema = _T.StructType.fromDDL(_STREAM_SCHEMA)
+    w = EsStatusStreamWriter(schema, {"path": sink}, overwrite=False)
+    # replay arrives with its own fresh temp
+    tmp2 = os.path.join(sink, "_tmp_replay.ndjson")
+    with open(tmp2, "w") as f:
+        f.write('{"_id":"c","_index":"x","_source":{"subject":"3"}}\n')
+    w.commit([_EsWriteCommit(tmp2, "part-00000-replay.ndjson", 1)], batchId=9)
+    assert committed_files(sink) == [os.path.join(sink, "part-00000-dead.ndjson")]
+    assert not os.path.exists(tmp) and not os.path.exists(tmp2)
+    with open(os.path.join(sink, "_ES_COMMIT")) as f:
+        assert _json.load(f)["n_rows"] == 2
+    # rows are actually readable through the healed manifest path
+    got = read_es_status(spark, sink, _STREAM_SCHEMA).collect()
+    assert sorted(r["es_id"] for r in got) == ["a", "b"]
+
+
+def test_stream_reader_out_of_order_names_not_lost(spark, tmp_path):
+    """A late file that sorts BELOW already-consumed names must still be
+    read (the r4 watermark model silently skipped it): the consumed-set
+    offset makes arrival order and naming irrelevant."""
+    src = str(tmp_path / "export")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_wave(src, "part-00900.ndjson", range(0, 5))
+    sink = str(tmp_path / "sink")
+    assert len(_drain(spark, src, ckpt, sink)) == 5
+    # late arrival sorting lexicographically BEFORE the consumed file
+    _write_wave(src, "part-00100.ndjson", range(5, 8))
+    late = _drain(spark, src, ckpt, sink)
+    assert sorted(int(r["data_speed"]) for r in late) == [5, 6, 7]
+
+
+def test_stream_reader_legacy_watermark_offset_upgrade(tmp_path):
+    """Old {'last': name} checkpoints are honored: the legacy start is
+    expanded to 'files at or below the watermark', and only genuinely
+    new files become partitions."""
+    from es_ch_sync_spark.io.es_datasource import EsStatusStreamReader
+
+    src = str(tmp_path / "export")
+    os.makedirs(src)
+    for name in ("part-00001.ndjson", "part-00002.ndjson", "part-00003.ndjson"):
+        _write_wave(src, name, range(0, 1))
+    schema = _T.StructType.fromDDL(_STREAM_SCHEMA)
+    r = EsStatusStreamReader(schema, {"path": src})
+    parts = r.partitions({"last": "part-00002.ndjson"}, r.latestOffset())
+    assert [os.path.basename(p.path) for p in parts] == ["part-00003.ndjson"]
+
+
+def test_vacuum_reclaims_orphans_age_guarded(tmp_path):
+    """vacuum_es_status removes only aged _tmp_/stage orphans and never
+    touches committed data or manifests."""
+    from es_ch_sync_spark.io.es_datasource import vacuum_es_status
+
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    for name in (
+        "_tmp_dead.ndjson",
+        "_ES_COMMIT_e1.stage-abcd1234",
+        "part-00000-live.ndjson",
+        "_ES_COMMIT",
+    ):
+        with open(os.path.join(d, name), "w") as f:
+            f.write("x")
+    # fresh files survive the default age guard
+    assert vacuum_es_status(d) == []
+    removed = vacuum_es_status(d, older_than_sec=0.0)
+    assert sorted(removed) == ["_ES_COMMIT_e1.stage-abcd1234", "_tmp_dead.ndjson"]
+    assert sorted(os.listdir(d)) == ["_ES_COMMIT", "part-00000-live.ndjson"]
