@@ -5,6 +5,13 @@ JSON line:
     {"metric": "headline_suite_wall_sec", "value": <total>, "unit": "sec",
      "queries": {"<name>": <sec>, ...}, "sf": <sf>}
 
+Noise discipline (r4 lesson: a single-pass artifact once read 27% hot on a
+noisy host and had to be adjudicated by hand): the whole suite runs THREE
+times in one JVM; each query's reported time is its MEDIAN across passes
+and ``spread`` records the per-query [min, max], so the artifact is
+self-adjudicating — a plan regression moves the median, a noisy host only
+widens the spread.  ``value`` is the sum of medians.
+
 Each query is forced with .count() (full compute, no driver-side collect
 overhead).  The suite covers every operator family: reference sync surface,
 TPC-H-style relational, windows/sessions/as-of, dedup, similarity, text,
@@ -20,6 +27,8 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+PASSES = 3
 
 HEADLINE = [
     # reference surface
@@ -73,22 +82,32 @@ def main() -> None:
 
     # Fault-isolated: one broken query must never zero the round's perf
     # evidence — errors are recorded per-query and the JSON always emits.
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        best, n = None, 0
-        try:
-            for _ in range(2):  # min-of-2: damps JVM/Python-worker warmup noise
+    for pass_no in range(PASSES):
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            try:
                 t0 = time.time()
-                n = fn(spark, sf_dir).count()
+                n = qs[name](spark, sf_dir).count()
                 dt = time.time() - t0
-                best = dt if best is None or dt < best else best
-            timings[name] = round(best, 3)
-            print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                samples[name].append(dt)
+                print(
+                    f"# pass {pass_no + 1}/{PASSES} {name}: {n} rows in {dt:.3f}s",
+                    file=sys.stderr,
+                )
+            except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name, ts in samples.items():
+        if not ts:
+            continue
+        timings[name] = round(sorted(ts)[len(ts) // 2], 3)
+        spread[name] = [round(min(ts), 3), round(max(ts), 3)]
 
     # A partial suite must not masquerade as a (faster-looking) full-suite
     # time: value is null and incomplete=true whenever any query errored.
@@ -104,6 +123,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "passes": PASSES,
+        "aggregation": "per-query median across passes; value = sum of medians",
+        "spread": spread,
     }
     if errors:
         payload["errors"] = errors
