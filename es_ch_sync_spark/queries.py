@@ -42,9 +42,51 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# Names the driver's 50-query correctness sample has already covered in
+# rounds 1-4 (union of CORRECTNESS_r01..r04).  The driver samples the FIRST
+# 50 registry entries, and the registry order was static, so the same 50
+# were re-verified every round while 136 queries rested solely on the
+# builder's sweep harness.  spark_queries() therefore orders never-sampled
+# queries first: each round the driver's sample now accumulates coverage of
+# queries it has not independently checked before (judge directive r4 #3).
+_DRIVER_SAMPLED_R1_R4 = frozenset({
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_recall",
+    "anti_join_customers", "approx_distinct_users", "assign_shards",
+    "conflict_audit", "containment_pairs", "cooccurrence_pairs",
+    "corpus_mixture", "corpus_pipeline", "cross_doc_ngrams", "decontaminate",
+    "dedup_clusters", "dedup_clusters_star", "dedup_exact",
+    "dedup_graph_degrees", "dedup_incremental", "dedup_keep_best",
+    "dedup_keep_one", "dedup_minhash_lsh", "dedup_simhash", "dedup_write",
+    "dim_join", "dim_join_unresolved", "distinct_counts", "distinct_tokens",
+    "embedding_near_dup", "es_status_scan", "exists_any", "gapfill_locf",
+    "global_shuffle", "incremental_sync", "json_extract_props", "knn_join",
+    "knn_join_blocked", "linreg_trend", "media_dedup",
+    "multimodal_audio_chunks", "multimodal_features", "multimodal_frame_plan",
+    "multimodal_pixel_stats", "multimodal_resize_stats", "multimodal_wav_rms",
+    "ngram_jaccard", "oldest_signal", "pack_sequences", "pagerank_dedup_graph",
+    "pivot_order_status", "project_prune", "quality_budget_select",
+    "range_join_events", "redact_pii", "resume_points",
+    "resume_points_incremental", "revenue_by_nation", "rollup_returns",
+    "salted_agg_events", "salted_join_events", "scan_filter", "semantic_dedup",
+    "semi_join_customers", "set_ops_users", "source_cap", "stats_percentiles",
+    "stratified_sample", "sync_pipeline", "temperature_sample",
+    "text_analysis", "text_repetition", "tfidf_top_terms", "top_dup_passages",
+    "topk_scan", "tpch_q1", "tpch_q3_top10", "train_test_split",
+    "unpivot_signals", "weighted_sample", "zscore_anomalies",
+})
+
+
+def _rotated(names) -> list[str]:
+    """Registry order with never-driver-sampled names first (stable within
+    each group) — pure reordering, the name→query mapping is unchanged."""
+    fresh = [n for n in names if n not in _DRIVER_SAMPLED_R1_R4]
+    seen = [n for n in names if n in _DRIVER_SAMPLED_R1_R4]
+    return fresh + seen
+
+
 def spark_queries() -> dict[str, QueryFn]:
     _load_extra_registries()
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    return {k: _REGISTRY[k][0] for k in _rotated(_REGISTRY)}
 
 
 def _load_extra_registries() -> None:
@@ -58,7 +100,9 @@ def _load_extra_registries() -> None:
 
 def oracle_queries() -> dict[str, str]:
     _load_extra_registries()
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    return {
+        k: _REGISTRY[k][1] for k in _rotated(_REGISTRY) if _REGISTRY[k][1] is not None
+    }
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
