@@ -675,23 +675,47 @@ def negative_sample_pairs(
     uniform negative mining step of a contrastive-pair pipeline, made
     reproducible (same corpus → same pairs, no RNG state).
 
-    Plan shape at scale: anchors × k rows are generated by an explode of a
-    literal sequence (no shuffle), the corpus size N is a 1-row broadcast,
-    and the only shuffle is the equi-join of negatives onto the corpus by
-    id to fetch attributes.  A hash collision with the anchor itself is
-    deflected to (h+1) mod N, so a pair is never (a, a).
+    Works for ANY id space — sparse, negative, or string (the r4 version
+    required ids dense in [0, N): hashes landed on missing ids and the
+    attach join silently dropped those slots).  The corpus is first given
+    a dense position in [0, N) by the same two-phase bucketed rank
+    global_shuffle uses (per-bucket row_number + broadcast bucket offsets
+    — NO single-partition window), ordered by (hash-bucket, id); hashes
+    then index POSITIONS, which are dense by construction, and the result
+    reports the original ids.
 
-    CONTRACT: ``id_col`` must be dense in [0, N) (true for the documents
-    table); with a sparse id space h mod N lands on missing ids and the
-    attach join silently drops those slots — re-index sparse corpora
-    first (zorder/global_shuffle emit dense ranks, or row_number over a
-    range-partitioned sort)."""
+    Plan shape at scale: one shuffle to rank (B-way-parallel window), a
+    broadcast of the B-row offset table and the 1-row corpus size, one
+    explode for anchors × k (no shuffle), and one narrow equi-join of
+    negatives onto the position index.  A hash collision with the anchor
+    itself is deflected to (h+1) mod N, so a pair is never (a, a)."""
+    from pyspark.sql import Window as W
+
+    bucket = (
+        _hash_bucket(F.col(id_col), seed + "-b") % GLOBAL_SHUFFLE_BUCKETS
+    ).alias("bucket")
+    rows = df.select(F.col(id_col), F.col(attr_col), bucket)
+    win = W.partitionBy("bucket").orderBy(F.col(id_col).asc())
+    ranked = rows.select(
+        id_col, attr_col, "bucket", F.row_number().over(win).alias("rn")
+    )
+    sizes = ranked.groupBy("bucket").agg(F.max("rn").alias("bn"))
+    offw = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "bucket", F.coalesce(F.sum("bn").over(offw), F.lit(0)).alias("off")
+    )
+    index = ranked.join(F.broadcast(offsets), "bucket").select(
+        id_col, attr_col, (F.col("off") + F.col("rn") - 1).alias("pos")
+    )
+
     n_row = df.agg(F.count(F.lit(1)).alias("n"))
-    anchors = df.filter((F.col(id_col) % anchor_every) == 0).select(
-        F.col(id_col).alias("anchor_id")
+    anchors = index.filter((F.col("pos") % anchor_every) == 0).select(
+        F.col(id_col).alias("anchor_id"), F.col("pos").alias("anchor_pos")
     )
     slots = anchors.select(
-        "anchor_id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot")
+        "anchor_id",
+        "anchor_pos",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
     )
     h = F.conv(
         F.substring(
@@ -706,12 +730,14 @@ def negative_sample_pairs(
     ).cast("long")
     raw = h % F.col("n")
     hashed = slots.crossJoin(F.broadcast(n_row)).withColumn(
-        "neg_id",
-        F.when(raw == F.col("anchor_id"), (raw + 1) % F.col("n")).otherwise(raw),
+        "neg_pos",
+        F.when(raw == F.col("anchor_pos"), (raw + 1) % F.col("n")).otherwise(raw),
     )
-    negs = df.select(
-        F.col(id_col).alias("neg_id"), F.col(attr_col).alias("neg_" + attr_col)
+    negs = index.select(
+        F.col("pos").alias("neg_pos"),
+        F.col(id_col).alias("neg_id"),
+        F.col(attr_col).alias("neg_" + attr_col),
     )
-    return hashed.join(negs, "neg_id").select(
+    return hashed.join(negs, "neg_pos").select(
         "anchor_id", "slot", "neg_id", "neg_" + attr_col
     )

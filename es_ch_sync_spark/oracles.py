@@ -1246,8 +1246,13 @@ def contamination_report_sql(
 def negative_sample_pairs_sql(
     k: int = 4, anchor_every: int = 50, seed: str = "neg"
 ) -> str:
-    """Mirror of sampling.negative_sample_pairs: 56-bit md5 fold of
-    seed:anchor:slot mod corpus size, anchor-collision deflected to +1."""
+    """Mirror of sampling.negative_sample_pairs: dense positions via one
+    row_number over the composite (hash-bucket, id) order (== the engine's
+    two-phase bucketed rank), then the 56-bit md5 fold of seed:anchor:slot
+    mod corpus size indexes POSITIONS, anchor-collision deflected to +1."""
+    from es_ch_sync_spark.operators.sampling import GLOBAL_SHUFFLE_BUCKETS
+
+    b = _hash_bucket_sql("doc_id", seed + "-b")
     h = (
         "list_reduce(list_prepend(0::BIGINT, "
         "list_transform(range(1, 15), j -> "
@@ -1256,19 +1261,27 @@ def negative_sample_pairs_sql(
     )
     return f"""
     WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
-    a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id % {anchor_every} = 0),
-    s AS (SELECT anchor_id, unnest(range(0, {k})) AS slot FROM a),
+    idx AS (
+        SELECT doc_id, source,
+               (row_number() OVER (
+                   ORDER BY ({b}) % {GLOBAL_SHUFFLE_BUCKETS} ASC, doc_id ASC
+               ) - 1)::BIGINT AS pos
+        FROM documents
+    ),
+    a AS (SELECT doc_id AS anchor_id, pos AS anchor_pos
+          FROM idx WHERE pos % {anchor_every} = 0),
+    s AS (SELECT anchor_id, anchor_pos, unnest(range(0, {k})) AS slot FROM a),
     hashed AS (
-        SELECT anchor_id, slot, {h} % n AS raw, n
+        SELECT anchor_id, anchor_pos, slot, {h} % n AS raw, n
         FROM s CROSS JOIN nn
     ),
     p AS (
         SELECT anchor_id, slot,
-               CASE WHEN raw = anchor_id THEN (raw + 1) % n ELSE raw END AS neg_id
+               CASE WHEN raw = anchor_pos THEN (raw + 1) % n ELSE raw END AS neg_pos
         FROM hashed
     )
-    SELECT p.anchor_id, p.slot, p.neg_id, d.source AS neg_source
-    FROM p JOIN documents d ON d.doc_id = p.neg_id
+    SELECT p.anchor_id, p.slot, i.doc_id AS neg_id, i.source AS neg_source
+    FROM p JOIN idx i ON i.pos = p.neg_pos
     """
 
 

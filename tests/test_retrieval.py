@@ -99,8 +99,43 @@ def test_negative_sampling_contract(spark):
         assert 0 <= r["neg_id"] < 200
         assert r["neg_source"] == f"src{r['neg_id'] % 3}"
         per_anchor.setdefault(r["anchor_id"], set()).add(r["slot"])
-    assert set(per_anchor) == {0, 50, 100, 150}
+    # anchors are every 50th POSITION in the dense (bucket, id) order:
+    # exactly N/anchor_every of them, ids arbitrary
+    assert len(per_anchor) == 4
     assert all(slots == {0, 1, 2, 3} for slots in per_anchor.values())
+
+
+def test_negative_sampling_sparse_and_string_ids(spark):
+    """The r4 dense-id contract is gone: sparse numeric ids and string ids
+    both yield exactly k negatives per anchor with no dropped slots (the
+    old h-mod-N scheme landed on missing ids and silently lost pairs)."""
+    sparse = spark.createDataFrame(
+        [(i * 97 + 13, f"s{i % 4}") for i in range(120)],
+        "doc_id long, source string",
+    )
+    ids = {r["doc_id"] for r in sparse.select("doc_id").collect()}
+    out = negative_sample_pairs(sparse, k=3, anchor_every=40).collect()
+    per_anchor = {}
+    for r in out:
+        assert r["neg_id"] in ids and r["neg_id"] != r["anchor_id"]
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["slot"])
+    assert len(per_anchor) == 3  # 120 positions / 40
+    assert all(slots == {0, 1, 2} for slots in per_anchor.values())
+
+    strs = spark.createDataFrame(
+        [(f"doc-{i:04d}", f"s{i % 2}") for i in range(60)],
+        "doc_id string, source string",
+    )
+    sout = negative_sample_pairs(strs, k=2, anchor_every=20).collect()
+    sper = {}
+    for r in sout:
+        assert r["neg_id"].startswith("doc-") and r["neg_id"] != r["anchor_id"]
+        sper.setdefault(r["anchor_id"], set()).add(r["slot"])
+    assert len(sper) == 3 and all(s == {0, 1} for s in sper.values())
+    # determinism holds for string ids too
+    assert sorted(map(tuple, sout)) == sorted(
+        map(tuple, negative_sample_pairs(strs, k=2, anchor_every=20).collect())
+    )
 
 
 def test_negative_sampling_collision_deflects(spark):
