@@ -84,15 +84,91 @@ def _read_entry(table: str, version: int) -> dict:
 def _write_data_files(df: DataFrame, table: str) -> list[str]:
     """Write df as immutable parquet files under data/<uuid>/ and return
     their table-relative paths.  The directory name is fresh per commit,
-    so a crashed writer can never collide with a committed one."""
-    sub = os.path.join(DATA_DIR, uuid.uuid4().hex)
-    out = os.path.join(table, sub)
-    df.write.mode("error").parquet(out)
+    so a crashed writer can never collide with a committed one.
+
+    Timestamps are written as TIMESTAMP_MICROS, not INT96: INT96 columns
+    carry NO parquet footer statistics, which would silently disable both
+    this log's manifest-stats pruning and Spark's own row-group skipping
+    on time predicates — the engine's dominant predicate shape (S3)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        sub = os.path.join(DATA_DIR, uuid.uuid4().hex)
+        out = os.path.join(table, sub)
+        df.write.mode("error").parquet(out)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
     return [
         os.path.join(sub, f)
         for f in sorted(os.listdir(out))
         if f.endswith(".parquet")
     ]
+
+
+def _json_stat(v):
+    """Footer stat → JSON-safe form: numbers/strings native, datetimes →
+    UTC isoformat; None = unrepresentable (drop the column's stats)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return v.astimezone(datetime.timezone.utc).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _collect_file_stats(
+    table: str, files: list[str], stats_cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``stats_cols`` read from parquet FOOTERS —
+    no data pages are touched, so commit cost is O(files), not O(rows).
+    A column missing statistics in any row group of a file is dropped for
+    that file (pruning stays conservative)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    want = set(stats_cols)
+    for rel in files:
+        try:
+            md = pq.ParquetFile(os.path.join(table, rel)).metadata
+        except Exception:  # noqa: BLE001 — stats are best-effort metadata
+            continue
+        per_col: dict[str, list] = {}
+        ok = set(want)
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                if name not in ok:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    ok.discard(name)
+                    per_col.pop(name, None)
+                    continue
+                lo, hi = _json_stat(st.min), _json_stat(st.max)
+                if lo is None or hi is None:
+                    ok.discard(name)
+                    per_col.pop(name, None)
+                    continue
+                cur = per_col.get(name)
+                if cur is None:
+                    per_col[name] = [lo, hi]
+                else:
+                    cur[0] = min(cur[0], lo)
+                    cur[1] = max(cur[1], hi)
+        if per_col:
+            out[rel] = per_col
+    return out
 
 
 def _try_commit(table: str, version: int, entry: dict) -> bool:
@@ -114,13 +190,22 @@ def txlog_append(
     table: str,
     max_retries: int = 10,
     meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append ``df`` as a new commit; returns the committed version.
     Append never conflicts semantically, so a lost race just retries at
     the next version number.  ``meta`` is recorded verbatim in the log
-    entry (e.g. a streaming batch id for exactly-once sinks)."""
+    entry (e.g. a streaming batch id for exactly-once sinks).
+    ``stats_cols`` records per-file [min, max] footer stats in the entry;
+    ``read_table(..., where=...)`` then skips files a bounded predicate
+    cannot match — including at old versions (time travel), which plain
+    directory-partition pruning cannot serve."""
     files = _write_data_files(df, table)
     entry = {"op": "append", "add": files, "remove": []}
+    if stats_cols:
+        st = _collect_file_stats(table, files, stats_cols)
+        if st:
+            entry["stats"] = st
     if meta:
         entry["meta"] = meta
     for _ in range(max_retries):
@@ -138,6 +223,7 @@ def txlog_overwrite(
     table: str,
     expected_base: int | None = None,
     meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Replace the table contents in one commit.  Overwrite conflicts are
     NOT retried: if another writer committed since this writer read its
@@ -151,6 +237,10 @@ def txlog_overwrite(
     files = _write_data_files(df, table)
     v = (base + 1) if base is not None else 0
     entry: dict = {"op": "overwrite", "add": files, "remove": removed}
+    if stats_cols:
+        st = _collect_file_stats(table, files, stats_cols)
+        if st:
+            entry["stats"] = st
     if meta:
         entry["meta"] = meta
     if not _try_commit(table, v, entry):
@@ -197,12 +287,124 @@ def snapshot_files(table: str, version: int | None = None) -> list[str]:
     return live
 
 
+def snapshot_stats(table: str, version: int | None = None) -> dict[str, dict]:
+    """Per-file stats visible at ``version``: replay the log collecting
+    each entry's recorded footer stats (stats travel with the add action,
+    so time travel sees exactly the stats its files were committed with)."""
+    vs = _versions(table)
+    if not vs:
+        return {}
+    v = vs[-1] if version is None else version
+    out: dict[str, dict] = {}
+    for ver in vs:
+        if ver > v:
+            break
+        e = _read_entry(table, ver)
+        for rel, st in e.get("stats", {}).items():
+            out[rel] = st
+    return out
+
+
+def _stat_native(recorded, like):
+    """Decode a recorded stat bound into the query value's domain; None =
+    not comparable → keep the file (same conservative rule as the
+    es_status connector's typed pruning)."""
+    import datetime
+
+    try:
+        if isinstance(like, bool):
+            return None
+        if isinstance(like, (int, float)):
+            return recorded if isinstance(recorded, (int, float)) else None
+        if isinstance(like, (datetime.datetime, datetime.date)) or hasattr(
+            like, "isoformat"
+        ):
+            if not isinstance(recorded, str):
+                return None
+            d = datetime.datetime.fromisoformat(recorded)
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=datetime.timezone.utc)
+            return d.astimezone(datetime.timezone.utc)
+        if isinstance(like, str):
+            return recorded if isinstance(recorded, str) else None
+    except (TypeError, ValueError):
+        return None
+    return None
+
+
+def _norm_query_value(v):
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            return v.replace(tzinfo=datetime.timezone.utc)
+        return v.astimezone(datetime.timezone.utc)
+    if isinstance(v, datetime.date):
+        return datetime.datetime(
+            v.year, v.month, v.day, tzinfo=datetime.timezone.utc
+        )
+    return v
+
+
+def prune_snapshot_files(
+    table: str,
+    files: list[str],
+    where: list[tuple],
+    version: int | None = None,
+) -> list[str]:
+    """Drop files whose recorded [min, max] provably cannot satisfy every
+    ``(col, op, value)`` conjunct (op ∈ ==, <, <=, >, >=).  Files without
+    stats for a referenced column are always kept — pruning returns a
+    SUPERSET of the matching files; callers still apply the real filter."""
+    stats = snapshot_stats(table, version)
+    if not stats:
+        return files
+
+    def may_match(rel: str) -> bool:
+        fstats = stats.get(rel)
+        if not fstats:
+            return True
+        for col, op, value in where:
+            if col not in fstats:
+                continue
+            q = _norm_query_value(value)
+            lo = _stat_native(fstats[col][0], q)
+            hi = _stat_native(fstats[col][1], q)
+            if lo is None or hi is None:
+                continue
+            if op == "==" and (q < lo or q > hi):
+                return False
+            if op in (">", ">=") and q > hi:
+                return False
+            if op in ("<", "<=") and q < lo:
+                return False
+        return True
+
+    return [f for f in files if may_match(f)]
+
+
 def read_table(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
+    """Snapshot read; ``where=[("ts", ">=", lo), ("ts", "<", hi)]`` prunes
+    files via commit-recorded footer stats BEFORE Spark plans the scan —
+    the manifest-pruning analog of Delta data skipping, and it works at
+    any time-travel version.  Pruning is a superset guarantee only: apply
+    the same predicate with ``.filter`` for exact semantics."""
     files = snapshot_files(table, version)
     if not files:
         raise TxVersionError(f"{table} is empty at version {version}")
+    if where:
+        files = prune_snapshot_files(table, files, where, version)
+        if not files:
+            # every file provably out of range: empty frame, correct schema
+            all_files = snapshot_files(table, version)
+            return (
+                spark.read.parquet(os.path.join(table, all_files[0])).limit(0)
+            )
     return spark.read.parquet(*[os.path.join(table, f) for f in files])
 
 

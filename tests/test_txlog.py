@@ -275,3 +275,90 @@ def test_ivm_stale_refresher_conflicts(spark, tmp_path):
             view,
             expected_base=0,
         )
+
+
+# ---------------------------------------------------------------------------
+# Commit-recorded footer stats + manifest pruning on the read path (r4 #7)
+# ---------------------------------------------------------------------------
+
+
+def _ts_df(spark, day_lo, day_hi):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(day_lo * 10, day_hi * 10)
+        .selectExpr("id")
+        .withColumn(
+            "ts",
+            F.to_timestamp(
+                F.concat(
+                    F.lit("2024-01-"),
+                    F.lpad((F.col("id") / 10).cast("int").cast("string"), 2, "0"),
+                    F.lit(" 06:00:00"),
+                )
+            ),
+        )
+    )
+
+
+def test_stats_recorded_at_commit_and_pruned_read(spark, tmp_path):
+    """Three commits with disjoint time ranges: a bounded-time read opens
+    ONLY the in-range files — including at an old version (time travel),
+    which directory-partition pruning cannot serve."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    tx.txlog_append(_ts_df(spark, 1, 4), t, stats_cols=["ts", "id"])
+    tx.txlog_append(_ts_df(spark, 4, 7), t, stats_cols=["ts", "id"])
+    tx.txlog_append(_ts_df(spark, 7, 9), t, stats_cols=["ts", "id"])
+
+    all_files = tx.snapshot_files(t)
+    stats = tx.snapshot_stats(t)
+    assert stats, "commit must record footer stats"
+    assert all(any(f in stats for f in e) for e in [all_files])
+
+    lo = datetime.datetime(2024, 1, 4)
+    hi = datetime.datetime(2024, 1, 7)
+    where = [("ts", ">=", lo), ("ts", "<", hi)]
+    pruned = tx.read_table(spark, t, where=where)
+    assert len(pruned.inputFiles()) < len(all_files)
+    # correctness: pruned read + real filter == unpruned read + real filter
+    from pyspark.sql import functions as F
+
+    cond = (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    want = sorted(r.id for r in tx.read_table(spark, t).filter(cond).collect())
+    got = sorted(r.id for r in pruned.filter(cond).collect())
+    assert got == want and len(got) == 30
+
+    # time travel honors the stats its version was committed with
+    old = tx.read_table(spark, t, version=1, where=[("ts", "<", lo)])
+    assert len(old.inputFiles()) < len(tx.snapshot_files(t, 1))
+    got_old = sorted(r.id for r in old.filter(F.col("ts") < F.lit(lo)).collect())
+    assert got_old == list(range(10, 40))
+
+
+def test_stats_pruning_numeric_and_empty_result(spark, tmp_path):
+    """Numeric bounds prune typed (not lexicographic); a predicate outside
+    every file's range yields an empty frame with the right schema."""
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 100, 200), t, stats_cols=["id"])
+    tx.txlog_append(_df(spark, 200, 300), t, stats_cols=["id"])
+    # '20' > '150' lexicographically — typed compare must keep both files
+    full = tx.read_table(spark, t, where=[("id", ">", 20)])
+    assert len(full.inputFiles()) == len(tx.snapshot_files(t))
+    sub = tx.read_table(spark, t, where=[("id", ">=", 250)])
+    assert len(sub.inputFiles()) < len(full.inputFiles())
+    empty = tx.read_table(spark, t, where=[("id", ">", 10_000)])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "x"}
+
+
+def test_stats_absent_files_are_kept(spark, tmp_path):
+    """Commits made without stats_cols are never pruned (conservative):
+    mixing stats-less and stats-bearing commits stays correct."""
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 0, 50), t)  # no stats recorded
+    tx.txlog_append(_df(spark, 50, 100), t, stats_cols=["id"])
+    got = tx.read_table(spark, t, where=[("id", "<", 10)])
+    # the stats-less commit's files must all still be open
+    assert sorted(r.id for r in got.filter("id < 10").collect()) == list(range(10))
