@@ -100,6 +100,15 @@ def cluster_conf(executor_cores: int = 5, executors: int = 1000) -> dict[str, st
         # filtered dim side into the fact scan — the big-join analog of the
         # reference's exists-disjunction pushdown (S7), free at this size
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # stateful streaming (sessionize/ewma) at 100 TB key cardinality:
+        # RocksDB keeps per-executor state off-heap with incremental
+        # checkpoints; the default HDFSBackedStateStore holds every key in
+        # executor heap.  Pair with the operators' idle_timeout_seconds —
+        # eviction bounds state, RocksDB makes what remains cheap.
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
     }

@@ -54,11 +54,27 @@ def ewma_stream(
     id_col: str = "event_id",
     value_col: str = "value",
     alpha: float = 0.3,
+    idle_timeout_seconds: int | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
-    """Per-key streaming EWMA; state persists across micro-batches."""
+    """Per-key streaming EWMA; state persists across micro-batches.
+
+    ``idle_timeout_seconds`` arms an event-time timeout that EVICTS a
+    key's state once the watermark passes its last event plus the
+    timeout — safe to drop because the running (ewma, n_obs) was already
+    emitted in the batch that last updated it (every batch emits the
+    key's current state), so eviction loses nothing downstream; it only
+    bounds the state store to keys active within the horizon.  A key
+    reappearing after eviction restarts its recursion — the documented
+    semantic of the horizon (same as the reference restarting a device's
+    running aggregate after a retention gap)."""
+    timeout_ms = None if idle_timeout_seconds is None else idle_timeout_seconds * 1000
 
     def fold(key_t: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (user_id,) = key_t
+        if timeout_ms is not None and state.hasTimedOut:
+            state.remove()  # final value already emitted; just evict
+            return
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
         if state.exists:
@@ -70,21 +86,26 @@ def ewma_stream(
             ew = x if ew is None else alpha * x + (1.0 - alpha) * ew
             n += 1
         state.update((ew, n))
+        if timeout_ms is not None and len(rows):
+            last_ms = int(pd.to_datetime(rows["ts"]).max().value // 1_000_000)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms + timeout_ms, wm + 1))
         yield pd.DataFrame({"user_id": [user_id], "n_obs": [n], "ewma": [ew]})
 
-    return (
-        events.selectExpr(
-            f"{key} AS user_id",
-            f"{ts_col} AS ts",
-            f"{id_col} AS event_id",
-            f"{value_col} AS value",
-        )
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fold,
-            outputStructType=EWMA_SCHEMA,
-            stateStructType=EWMA_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    stream = events.selectExpr(
+        f"{key} AS user_id",
+        f"{ts_col} AS ts",
+        f"{id_col} AS event_id",
+        f"{value_col} AS value",
+    )
+    conf = GroupStateTimeout.NoTimeout
+    if timeout_ms is not None:
+        stream = stream.withWatermark("ts", watermark_delay)
+        conf = GroupStateTimeout.EventTimeTimeout
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=conf,
     )

@@ -91,3 +91,54 @@ def test_ewma_stream_emits_monotone_counts(spark, tmp_path):
     # one state row per key per batch; n_obs equals rows seen so far
     assert {r["user_id"] for r in out.collect()} == {0, 1, 2}
     assert all(r["n_obs"] == 10 for r in out.collect())
+
+
+def _drain_t(spark, src, ckpt, sink):
+    stream = spark.readStream.schema(SCHEMA).format("parquet").load(src)
+    q = (
+        ewma_stream(stream, idle_timeout_seconds=3600)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_idle_timeout_evicts_ewma_state(spark, tmp_path):
+    """r4 directive #8: an idle key's state is evicted once the watermark
+    passes last_event + timeout; the key restarts its recursion on
+    reappearance (n_obs back to 1) instead of extending a fold kept
+    forever."""
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "ewma")
+
+    def w(rows, mode="append"):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(mode).parquet(src)
+
+    # user 1 observes twice at T; then only user 2 traffic far later
+    w(
+        [(1, BASE, 0, 1.0), (1, BASE + timedelta(minutes=1), 1, 2.0)],
+        mode="overwrite",
+    )
+    _drain_t(spark, src, ckpt, sink)
+    w([(2, BASE + timedelta(hours=10), 2, 5.0)])
+    _drain_t(spark, src, ckpt, sink)  # watermark advances past T+1h1m
+    w([(2, BASE + timedelta(hours=10, minutes=1), 3, 5.0)])
+    _drain_t(spark, src, ckpt, sink)  # user 1 times out here (evicted)
+
+    # user 1 reappears: evicted state ⇒ the recursion restarts at n_obs=1
+    w([(1, BASE + timedelta(hours=20), 4, 9.0)])
+    _drain_t(spark, src, ckpt, sink)
+    rows = [
+        r
+        for r in spark.read.parquet(sink).collect()
+        if r["user_id"] == 1
+    ]
+    by_obs = sorted(r["n_obs"] for r in rows)
+    assert by_obs == [1, 2]  # pre-eviction fold (n=2), restarted fold (n=1)
+    restarted = [r for r in rows if r["n_obs"] == 1]
+    assert restarted[-1]["ewma"] == 9.0  # fresh recursion seeds from x
