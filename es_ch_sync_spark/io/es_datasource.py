@@ -875,6 +875,88 @@ class EsStatusStreamWriter(DataSourceStreamArrowWriter, EsStatusWriter):
         EsStatusWriter.abort(self, messages)
 
 
+def manifest_min_max(path: str, col: str, dt: T.DataType):
+    """(min, max) of ``col`` answered from the commit manifest ALONE — no
+    data file is opened.  Returns None (caller must scan) unless the
+    answer is provably exact:
+
+    - every data file visible in the directory is listed in the manifest
+      (a stray hand-dropped export would make stats-only answers wrong);
+    - every listed file carries recorded [min, max] for ``col``;
+    - every recorded bound decodes in the column's declared type.
+
+    Stats are exact per-file extremes recorded by the writer, so under
+    those conditions min-of-mins / max-of-maxes IS the aggregate — the
+    Python-DataSource analog of SupportsPushDownAggregates, mirroring the
+    reference pushing GetOldestTimestamp / min() down to the store
+    (clickhouse.go:65-110)."""
+    import json
+    import os
+
+    mpath = os.path.join(path, "_ES_COMMIT")
+    if not os.path.isdir(path) or not os.path.exists(mpath):
+        return None
+    try:
+        with open(mpath) as f:
+            manifest = json.load(f)
+    except (OSError, ValueError):
+        return None
+    listed = set(manifest.get("files", []))
+    visible = {
+        p
+        for p in os.listdir(path)
+        if p.endswith((".json", ".jsonl", ".ndjson")) and not p.startswith(("_", "."))
+    }
+    if visible - listed:
+        return None  # stray files the stats don't cover
+    stats = manifest.get("stats", {})
+    los, his = [], []
+    for fname in visible:
+        fstats = stats.get(fname, {})
+        if col not in fstats:
+            return None
+        lo = _typed_stat(dt, fstats[col][0])
+        hi = _typed_stat(dt, fstats[col][1])
+        if lo is None or hi is None:
+            return None
+        los.append(lo)
+        his.append(hi)
+    if not los:
+        return None
+    return min(los), max(his)
+
+
+def read_es_status_agg(
+    spark: SparkSession, path: str, col: str, agg: str = "min",
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """min/max of one column over an export dir, served from manifest
+    stats when exact (1-row local relation, ZERO files read — pinned by
+    test on the absence of any scan) and falling back to a real
+    pushed-projection scan otherwise.  The resume-point query shape
+    (oldest timestamp per sync state, maintenance.py) at connector level."""
+    if agg not in ("min", "max"):
+        raise ValueError(f"read_es_status_agg supports min/max, got {agg!r}")
+    st = (
+        T.StructType.fromDDL(schema)
+        if isinstance(schema, str)
+        else (schema or T.StructType.fromDDL(DEFAULT_STATUS_DDL))
+    )
+    dt = next((f.dataType for f in st.fields if f.name == col), None)
+    if dt is None:
+        raise ValueError(f"column {col!r} not in the declared schema")
+    bounds = manifest_min_max(path, col, dt)
+    out_schema = T.StructType([T.StructField(f"{agg}_{col}", dt)])
+    if bounds is not None:
+        val = bounds[0] if agg == "min" else bounds[1]
+        return spark.createDataFrame([(val,)], out_schema)
+    from pyspark.sql import functions as F
+
+    narrow = T.StructType([next(f for f in st.fields if f.name == col)])
+    fn = F.min if agg == "min" else F.max
+    return read_es_status(spark, path, narrow).agg(fn(col).alias(f"{agg}_{col}"))
+
+
 def vacuum_es_status(path: str, older_than_sec: float = 86400.0) -> list[str]:
     """Reclaim crash orphans: ``_tmp_`` task files and ``.stage-`` marker
     stages older than the age guard.  Age-guarded because a live writer's

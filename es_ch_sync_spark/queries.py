@@ -1332,6 +1332,51 @@ def q_es_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_status_agg_pushdown",
+    "SELECT min(ts) AS min_time FROM events",
+)
+def q_es_status_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown at the connector boundary (r4 stretch #9,
+    mirroring the reference pushing GetOldestTimestamp down to the store,
+    clickhouse.go:65-110): events are exported through the es_status
+    writer with time stats recorded per file; min(time) is then answered
+    from the manifest ALONE — the query asserts zero data files were
+    scanned (local 1-row relation) and the oracle proves the stats-only
+    answer equals a real min over the source table."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io.es_datasource import (
+        manifest_min_max,
+        read_es_status_agg,
+        write_es_status,
+    )
+    from pyspark.sql import types as T
+
+    ev = _events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix=f"es_agg_{uuid.uuid4().hex[:8]}_")
+    write_es_status(
+        ev.select(
+            F.col("event_id").cast("string").alias("es_id"),
+            F.col("ts").alias("time"),
+        ),
+        out,
+        mode="overwrite",
+        index="events",
+        statscolumns="time",
+    )
+    assert (
+        manifest_min_max(out, "time", T.TimestampType()) is not None
+    ), "manifest stats must fully cover the export"
+    df = read_es_status_agg(
+        spark, out, "time", agg="min", schema="es_id string, time timestamp"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "PythonDataSource" not in plan, plan
+    return df.select(F.col("min_time"))
+
+
+@register(
     "es_status_stream_scan",
     """
     SELECT CAST(event_id AS VARCHAR) AS es_id,

@@ -698,3 +698,51 @@ def test_vacuum_reclaims_orphans_age_guarded(tmp_path):
     removed = vacuum_es_status(d, older_than_sec=0.0)
     assert sorted(removed) == ["_ES_COMMIT_e1.stage-abcd1234", "_tmp_dead.ndjson"]
     assert sorted(os.listdir(d)) == ["_ES_COMMIT", "part-00000-live.ndjson"]
+
+
+# ---------------------------------------------------------------------------
+# Aggregate pushdown from manifest stats (r4 stretch #9)
+# ---------------------------------------------------------------------------
+
+
+def test_agg_pushdown_stats_only_and_fallbacks(spark, tmp_path):
+    """min/max served from the manifest with zero files read when stats
+    are exact; any coverage gap (stray file, stats-less commit) falls
+    back to a real scan with the same answer."""
+    from es_ch_sync_spark.io.es_datasource import (
+        manifest_min_max,
+        read_es_status_agg,
+    )
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(f"e{i}", 100 + i) for i in range(40)],
+        "es_id string, data_speed long",
+    ).repartition(4)
+    write_es_status(df, sink, mode="append", statscolumns="data_speed")
+
+    lt = _T.LongType()
+    assert manifest_min_max(sink, "data_speed", lt) == (100, 139)
+    got = read_es_status_agg(
+        spark, sink, "data_speed", "min", "es_id string, data_speed long"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "PythonDataSource" not in plan
+    assert got.collect()[0]["min_data_speed"] == 100
+    mx = read_es_status_agg(
+        spark, sink, "data_speed", "max", "es_id string, data_speed long"
+    )
+    assert mx.collect()[0]["max_data_speed"] == 139
+
+    # a stray (unmanifested) file disables the stats-only path but the
+    # fallback scan still answers correctly, including the stray's rows
+    with open(os.path.join(sink, "part-zzz-stray.ndjson"), "w") as f:
+        f.write('{"_id":"s","_index":"x","_source":{"data_speed":7}}\n')
+    assert manifest_min_max(sink, "data_speed", lt) is None
+    fb = read_es_status_agg(
+        spark, sink, "data_speed", "min", "es_id string, data_speed long"
+    )
+    assert fb.collect()[0]["min_data_speed"] == 7
+
+    # a column without recorded stats → scan fallback too
+    assert manifest_min_max(sink, "es_id", _T.StringType()) is None
