@@ -1061,3 +1061,81 @@ def remove_dup_spans(
         )
         .select(id_col, "n_spans", "n_dup_tokens", "clean_text")
     )
+
+
+def remove_boilerplate_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the CCNet/RefinedWeb
+    paragraph-dedup step [Wenzek et al. 2020] at token-chunk granularity:
+    a chunk whose exact content appears in ≥ ``min_docs`` DISTINCT
+    documents is boilerplate (headers, footers, licenses, templated
+    navigation) and is cut from every document carrying it.
+
+    Differs from remove_dup_spans (any >1 occurrence, within- or
+    cross-doc, maximal spans) by thresholding on DOCUMENT frequency —
+    the signature of boilerplate is breadth across documents, not mere
+    repetition; min_docs is the knob separating boilerplate from quoted
+    text.
+
+    Plan shape at scale (all exchanges keyed, no pair surface):
+      chunk per doc (one Generate, no shuffle) →
+      56-bit md5 chunk fingerprint (BIGINT through every exchange; the
+      2⁻⁵⁶-collision fold DuckDB reproduces, same as sampling's buckets) →
+      distinct (doc, chunk-hash) + count ≥ min_docs (partial-agg) →
+      join boiler hashes back, per-doc index set (ints only) →
+      one keyed join onto the corpus, codegen'd token filter.
+
+    Returns every document: (id, n_chunks, n_boiler_chunks, clean_text);
+    a fully-templated doc yields clean_text = ''."""
+    c = chunk_tokens
+    src = df.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
+    chunks = src.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(ws) / {c}.0) AS int) - 1), "
+                f"ci -> struct(ci AS ci, "
+                f"concat_ws(' ', slice(ws, ci * {c} + 1, {c})) AS ctext))"
+            )
+        ).alias("ch"),
+    )
+    hashed = chunks.select(
+        F.col(id_col),
+        F.col("ch.ci").alias("ci"),
+        F.conv(F.substring(F.md5(F.col("ch.ctext")), 1, 14), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    boiler = (
+        hashed.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .filter(F.col("df_docs") >= min_docs)
+        .select("h")
+    )
+    bchunks = (
+        hashed.join(boiler, "h")
+        .groupBy(id_col)
+        .agg(F.collect_set("ci").alias("bci"))
+    )
+    return (
+        src.join(bchunks, id_col, "left")
+        .withColumn("bci", F.coalesce(F.col("bci"), F.expr("array()")))
+        .select(
+            F.col(id_col),
+            F.ceil(F.size("ws") / F.lit(float(c))).cast("int").alias("n_chunks"),
+            F.size("bci").alias("n_boiler_chunks"),
+            F.expr(
+                f"concat_ws(' ', transform("
+                f"filter(sequence(1, size(ws)), "
+                f"i -> NOT array_contains(bci, cast((i - 1) div {c} AS int))), "
+                f"i -> element_at(ws, i)))"
+            ).alias("clean_text"),
+        )
+    )

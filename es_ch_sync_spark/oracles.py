@@ -1367,3 +1367,51 @@ def embedding_anisotropy_sql(dim: int = 64, iters: int = 8) -> str:
     FROM sums
     """
     )
+
+
+def boilerplate_chunks_sql(chunk_tokens: int = 4, min_docs: int = 2) -> str:
+    """Mirror of dedup.remove_boilerplate_chunks: token chunks of c words,
+    56-bit md5 chunk fingerprints, document-frequency >= min_docs marks
+    boilerplate, kept tokens reassembled in order."""
+    c = chunk_tokens
+    fold = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, 15), j -> "
+        "(strpos('0123456789abcdef', substr(md5(ctext), j, 1)) - 1)::BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+    return f"""
+    {WORDS_CTE},
+    ch AS (
+        SELECT doc_id, ci,
+               array_to_string(ws[ci * {c} + 1 : ci * {c} + {c}], ' ') AS ctext
+        FROM w, unnest(range(0, cast(ceil(len(ws) / {c}.0) AS int))) AS t(ci)
+    ),
+    hh AS (SELECT doc_id, ci, {fold} AS h FROM ch),
+    b AS (
+        SELECT h FROM (
+            SELECT h, count(DISTINCT doc_id) AS d FROM hh GROUP BY h
+        ) WHERE d >= {min_docs}
+    ),
+    bset AS (SELECT DISTINCT hh.doc_id, hh.ci FROM hh JOIN b USING (h)),
+    tokidx AS (
+        SELECT doc_id, i, ws[i] AS tok
+        FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+    ),
+    kept AS (
+        SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.i) AS clean_text
+        FROM tokidx tk
+        LEFT JOIN bset
+          ON bset.doc_id = tk.doc_id AND bset.ci = ((tk.i - 1) // {c})
+        WHERE bset.ci IS NULL
+        GROUP BY tk.doc_id
+    ),
+    nb AS (SELECT doc_id, count(*) AS nb FROM bset GROUP BY doc_id)
+    SELECT w.doc_id,
+           cast(ceil(len(ws) / {c}.0) AS int) AS n_chunks,
+           coalesce(nb.nb, 0)::INT AS n_boiler_chunks,
+           coalesce(kept.clean_text, '') AS clean_text
+    FROM w
+    LEFT JOIN nb USING (doc_id)
+    LEFT JOIN kept USING (doc_id)
+    """

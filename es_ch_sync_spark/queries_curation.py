@@ -503,3 +503,20 @@ def q_oversample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate removal (CCNet-style paragraph dedup at
+# token-chunk granularity; dedup.remove_boilerplate_chunks)
+# ---------------------------------------------------------------------------
+
+@register("boilerplate_chunks", oracles.boilerplate_chunks_sql(chunk_tokens=4, min_docs=2))
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks whose exact content occurs in >= 2 distinct documents are
+    cut from every document carrying them — DF-thresholded boilerplate
+    (breadth across docs), distinct from dup-span removal (any repeat)."""
+    from es_ch_sync_spark.operators.dedup import remove_boilerplate_chunks
+
+    return remove_boilerplate_chunks(
+        _docs(spark, sf_dir), chunk_tokens=4, min_docs=2
+    )

@@ -373,3 +373,11 @@ def test_dup_span_keyed_joins_only(plans):
     p = plans("dup_span_removal")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_boilerplate_chunks_keyed_joins_only(plans):
+    """Boilerplate removal joins on the chunk hash and the doc id only —
+    no pair surface, no cartesian, BIGINT chunk keys through exchanges."""
+    p = plans("boilerplate_chunks")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

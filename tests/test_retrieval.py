@@ -206,3 +206,38 @@ def test_dup_span_disjoint_spans_stay_separate(spark):
     assert rows[1]["n_spans"] == 2 and rows[1]["n_dup_tokens"] == 6
     assert rows[1]["clean_text"] == "gapx"  # normalize_text lowercases
     assert rows[2]["clean_text"] == "other"
+
+
+def test_boilerplate_chunks_handchecked(spark):
+    """Planted boilerplate: a 4-token footer shared by three docs is cut
+    from all of them; doc-unique chunks survive; a doc made ENTIRELY of
+    the footer empties out; repetition within one doc does NOT count
+    toward document frequency."""
+    from es_ch_sync_spark.operators.dedup import remove_boilerplate_chunks
+
+    footer = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta " + footer),
+            (1, "epsilon zeta eta theta " + footer),
+            (2, footer),
+            # the same 4-gram repeated twice WITHIN one doc only:
+            (3, "iota kappa lambda mu iota kappa lambda mu"),
+            (4, "unique words entirely here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_chunks(
+            docs, chunk_tokens=4, min_docs=2
+        ).collect()
+    }
+    assert rows[0]["clean_text"] == "alpha beta gamma delta"
+    assert rows[0]["n_boiler_chunks"] == 1 and rows[0]["n_chunks"] == 2
+    assert rows[1]["clean_text"] == "epsilon zeta eta theta"
+    assert rows[2]["clean_text"] == ""  # fully-templated doc empties out
+    # within-doc repetition is NOT boilerplate (df = 1 doc)
+    assert rows[3]["n_boiler_chunks"] == 0
+    assert rows[3]["clean_text"] == "iota kappa lambda mu iota kappa lambda mu"
+    assert rows[4]["n_boiler_chunks"] == 0
