@@ -528,6 +528,23 @@ def main() -> None:
             lambda: prefix_filter_pairs(heaps, shingle_k=3, threshold=0.6).count(),
         )
         heaps.unpersist()
+    if "boiler" in only:
+        from es_ch_sync_spark.operators.dedup import remove_boilerplate_chunks
+
+        # replica corpus: token suffixes make replicas chunk-disjoint, so
+        # boilerplate frequency reflects the base corpus's real repeats ×N.
+        # plain count() would let Catalyst ELIMINATE the unique-key left
+        # join and prune clean_text entirely — aggregate over the real
+        # outputs to force the full pipeline
+        timed(
+            f"boilerplate_chunks x{replicas} (c=4, min_docs=2)",
+            lambda: remove_boilerplate_chunks(docs, chunk_tokens=4, min_docs=2)
+            .agg(
+                F.sum(F.length("clean_text")).alias("bytes"),
+                F.sum("n_boiler_chunks").alias("b"),
+            )
+            .collect()[0]["b"],
+        )
     if "bm25" in only:
         from es_ch_sync_spark.operators.text import bm25_topk
 
