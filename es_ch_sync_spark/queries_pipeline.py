@@ -1478,3 +1478,64 @@ def q_txlog_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_open = len(pruned.inputFiles())
     assert n_open < n_all, f"stats pruning inert: opened {n_open}/{n_all} files"
     return pruned.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning over the date-partitioned signal layout
+# ---------------------------------------------------------------------------
+
+@register(
+    "dpp_partitioned_scan",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(value::DECIMAL(12,2))::DOUBLE AS v_sum
+    FROM events
+    WHERE day(ts) BETWEEN 10 AND 12
+      AND event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_dpp_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning on the engine's own storage layout: the
+    fact table is written date-partitioned (the sinks' layout, io/sinks),
+    the dim side is a stored date table filtered at query time, and the
+    fact scan must carry a ``dynamicpruning`` partition filter — at
+    100 TB this is what turns a month-long table scan into reading only
+    the dim-selected days, without any static literal in the fact query.
+    The plan shape is asserted inside the query (and the oracle proves
+    the pruned result equals the plain range scan)."""
+    import tempfile
+    import uuid
+
+    root = tempfile.mkdtemp(prefix=f"dpp_{uuid.uuid4().hex[:8]}_")
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(f"{root}/fact")
+    )
+    (
+        ev.select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .withColumn("dom", F.dayofmonth("event_date"))
+        .write.mode("overwrite")
+        .parquet(f"{root}/dates")
+    )
+    fact = spark.read.parquet(f"{root}/fact")
+    dim = spark.read.parquet(f"{root}/dates").filter(
+        F.col("dom").between(10, 12)
+    )
+    out = (
+        fact.join(dim, "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v_sum"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), f"DPP missing from plan:\n{plan[:2000]}"
+    return out
