@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from es_ch_sync_spark.catalog import EVENTS_CATALOG
 from es_ch_sync_spark.io.sources import read_parquet_table
 from es_ch_sync_spark.operators.features import (
     bloom_semijoin_audit,
@@ -1539,3 +1540,121 @@ def q_dpp_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), f"DPP missing from plan:\n{plan[:2000]}"
     return out
+
+
+# ---------------------------------------------------------------------------
+# T3 / C1 boundary queries — driver-checkable forms of the two process
+# boundaries the r4 verdict listed as "untested by driver"
+# ---------------------------------------------------------------------------
+
+@register(
+    "quarantine_split",
+    """
+    SELECT 'clean' AS side, count(*) AS n,
+           sum(value::DECIMAL(12,2))::DOUBLE AS v_sum
+    FROM events WHERE event_id < 210 AND event_id % 7 <> 0
+    UNION ALL
+    SELECT 'quarantined', count(*), CAST(NULL AS DOUBLE)
+    FROM events WHERE event_id < 210 AND event_id % 7 = 0
+    """,
+)
+def q_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 driver-green: malformed records quarantine, never fail.  The
+    query PLANTS corruption deterministically (every 7th event of a
+    bounded slice is serialized as broken JSON — the same planted-fixture
+    pattern redact_pii uses), reads the file PERMISSIVE, and splits; the
+    oracle recomputes both sides from the clean source table, so a parser
+    that dropped, failed on, or mis-routed a record breaks the hash."""
+    import json as _json
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.operators.transform import split_quarantine
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 210)
+        .select("event_id", "value")
+        .collect()
+    )
+    path = tempfile.mkdtemp(prefix=f"quar_{uuid.uuid4().hex[:8]}_") + "/in.json"
+    with open(path, "w") as f:
+        for r in rows:
+            if r["event_id"] % 7 == 0:
+                f.write('{"event_id": %d, "value": BROKEN\n' % r["event_id"])
+            else:
+                f.write(
+                    _json.dumps({"event_id": r["event_id"], "value": r["value"]})
+                    + "\n"
+                )
+    raw = (
+        spark.read.schema("event_id long, value double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    clean, bad = split_quarantine(raw)
+    return clean.agg(
+        F.lit("clean").alias("side"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v_sum"),
+    ).unionByName(
+        bad.agg(
+            F.lit("quarantined").alias("side"),
+            F.count(F.lit(1)).alias("n"),
+            F.lit(None).cast("double").alias("v_sum"),
+        )
+    )
+
+
+@register(
+    "config_driven_sync",
+    """
+    WITH tall AS (
+        SELECT user_id AS token_id, ts AS timestamp, 'value' AS name,
+               'events' AS source, value AS value_number,
+               CAST(NULL AS VARCHAR) AS value_string
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT user_id, ts, 'value_pct', 'events', value * 100.0, NULL
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT DISTINCT token_id, timestamp, name, source, value_number, value_string
+    FROM tall
+    WHERE token_id IN (7, 11, 23)
+      AND timestamp >= TIMESTAMP '2024-01-10'
+      AND timestamp <  TIMESTAMP '2024-01-20'
+    """,
+)
+def q_config_driven_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 driver-green: the job's config boundary end to end — messy
+    comma-list configs (whitespace, empties, unparseable entries dropped
+    without error, sync.go:223-231) become the token/signal predicate
+    lists, and the WHOLE plan runs through plan_sync (time window,
+    token IN-list, catalog-filtered unpivot, dedup).  The oracle states
+    the cleaned-up predicates directly."""
+    import datetime
+
+    from es_ch_sync_spark.job.sync import SyncOptions, plan_sync
+
+    opts = SyncOptions(
+        start_time=datetime.datetime(2024, 1, 10),
+        stop_time=datetime.datetime(2024, 1, 20),
+        token_ids=SyncOptions.parse_token_ids(" 7,  11,, bogus, 23 ,"),
+        signals=[
+            s.strip()
+            for s in "value , value_pct,,unknown_signal".split(",")
+            if s.strip()
+        ],
+    )
+    ev = _t(spark, sf_dir, "events").withColumn("src", F.lit("events"))
+    signals, _quarantine = plan_sync(
+        ev,
+        EVENTS_CATALOG,
+        device_dim=None,
+        opts=opts,
+        subject_col="user_id",
+        ts_col="ts",
+        source_col="src",
+    )
+    return signals
