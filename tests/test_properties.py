@@ -403,3 +403,60 @@ def test_dup_span_removal_invariants(spark, docs):
         assert r["n_spans"] == len(spans)
         assert r["n_dup_tokens"] == len(covered)
         assert r["clean_text"] == expect_clean
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-chunk removal vs exact Python model
+# ---------------------------------------------------------------------------
+
+_bp_doc = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=13
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_bp_doc, min_size=1, max_size=10), st.integers(2, 3))
+def test_boilerplate_chunks_matches_python_model(spark, docs_tokens, min_docs):
+    """remove_boilerplate_chunks equals the direct Python statement of the
+    semantics (chunk by c tokens, DF >= min_docs is boilerplate, cut) on
+    random tiny-alphabet corpora — the regime where chunk collisions
+    across docs are dense and every branch (full-doc cut, partial tail
+    chunk, within-doc-only repeats) is exercised."""
+    from es_ch_sync_spark.operators.dedup import remove_boilerplate_chunks
+
+    c = 2
+    texts = [" ".join(toks) for toks in docs_tokens]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_boiler_chunks"], r["clean_text"])
+        for r in remove_boilerplate_chunks(
+            df, chunk_tokens=c, min_docs=min_docs
+        ).collect()
+    }
+
+    # python model (normalization is trivial here: single-space lowercase)
+    chunks_of = {
+        i: [toks[j : j + c] for j in range(0, len(toks), c)]
+        for i, toks in enumerate(docs_tokens)
+    }
+    docs_with = {}
+    for i, chs in chunks_of.items():
+        for ch in chs:
+            docs_with.setdefault(tuple(ch), set()).add(i)
+    for i, toks in enumerate(docs_tokens):
+        boiler = {
+            ci
+            for ci, ch in enumerate(chunks_of[i])
+            if len(docs_with[tuple(ch)]) >= min_docs
+        }
+        kept = [
+            t
+            for j, t in enumerate(toks)
+            if (j // c) not in boiler
+        ]
+        assert got[i] == (len(chunks_of[i]), len(boiler), " ".join(kept)), (
+            i,
+            texts,
+        )

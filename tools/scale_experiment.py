@@ -648,18 +648,15 @@ def main() -> None:
     if "negsample" in only:
         from es_ch_sync_spark.operators.sampling import negative_sample_pairs
 
-        # the operator's contract is a DENSE id space [0, N); the replica
-        # scheme (orig + rep*1e6) is sparse, so re-index to
-        # orig*replicas + rep, which is dense when the base ids are
-        dense = docs.select(
-            (
-                (F.col("doc_id") % 1_000_000) * replicas
-                + (F.col("doc_id") / 1_000_000).cast("long")
-            ).alias("doc_id"),
-        ).withColumn("source", (F.col("doc_id") % 7).cast("string"))
+        # r5: the dense-id contract is gone — run DIRECTLY on the sparse
+        # replica ids (orig + rep*1e6); the operator dense-ranks them with
+        # the two-phase bucketed rank internally
+        sparse = docs.select("doc_id").withColumn(
+            "source", (F.col("doc_id") % 7).cast("string")
+        )
         timed(
-            f"negative_sample_pairs x{replicas} (k=4, dense ids)",
-            lambda: negative_sample_pairs(dense, k=4).count(),
+            f"negative_sample_pairs x{replicas} (k=4, sparse ids)",
+            lambda: negative_sample_pairs(sparse, k=4).count(),
         )
 
 
