@@ -967,36 +967,55 @@ def _ann_recall_oracle(query_id: int = 0, k: int = 10) -> str:
     exact = oracles.cosine_topk_sql(query_id=query_id, k=k)
     lsh = oracles.lsh_ann_topk_sql(query_id=query_id, k=k)
     ivf = oracles.ann_ivf_topk_sql(query_id=query_id, k=k)
+    sq8 = oracles.sq8_topk_sql(query_id=query_id, k=k, rerank=50, dim=64)
+    ivfpq = oracles.ivfpq_topk_sql(
+        query_id=query_id, k=k, n_cells=4, m=4, ksub=4, iters=2, dim=64
+    )
     return f"""
-    WITH e AS ({exact}), a AS ({lsh}), i AS ({ivf})
+    WITH e AS ({exact}), a AS ({lsh}), i AS ({ivf}),
+         s AS ({sq8}), p AS ({ivfpq})
     SELECT 'lsh' AS method,
            (SELECT count(*) FROM a JOIN e USING (vec_id))::DOUBLE / {k} AS recall_at_k
     UNION ALL
     SELECT 'ivf',
            (SELECT count(*) FROM i JOIN e USING (vec_id))::DOUBLE / {k}
+    UNION ALL
+    SELECT 'sq8',
+           (SELECT count(*) FROM s JOIN e USING (vec_id))::DOUBLE / {k}
+    UNION ALL
+    SELECT 'ivfpq',
+           (SELECT count(*) FROM p JOIN e USING (vec_id))::DOUBLE / {k}
     """
 
 
 @register("ann_recall", _ann_recall_oracle(query_id=0, k=10))
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the approximate ANN tiers against the exact cosine
-    baseline — the standard vector-search quality harness, run inside the
-    engine itself (each tier is already independently oracle-verified;
-    this checks their RELATIVE quality as one number per method).
-    Deterministic by construction: every input is a deterministic top-k."""
-    from es_ch_sync_spark.queries_relational import q_ann_ivf_topk
+    """Recall@10 of ALL FOUR approximate ANN tiers (LSH, IVF, SQ8 rerank,
+    IVF-PQ/ADC) against the exact cosine baseline — the standard
+    vector-search quality harness, run inside the engine itself (each
+    tier is already independently oracle-verified; this checks their
+    RELATIVE quality as one number per method).  Deterministic by
+    construction: every input is a deterministic top-k."""
+    from es_ch_sync_spark.queries_advanced import q_ann_sq8_topk
+    from es_ch_sync_spark.queries_relational import q_ann_ivf_topk, q_ann_ivfpq
 
     k = 10
     exact = sim.cosine_topk(_emb(spark, sf_dir), _query_vec(sf_dir), k=k, exclude_id=0).select("vec_id")
-    lsh = sim.lsh_ann_topk(_emb(spark, sf_dir), _query_vec(sf_dir), k=k, exclude_id=0).select("vec_id")
-    ivf = q_ann_ivf_topk(spark, sf_dir).select("vec_id")
-    lsh_r = lsh.join(exact, "vec_id").agg(
-        (F.count(F.lit(1)).cast("double") / k).alias("recall_at_k")
-    ).select(F.lit("lsh").alias("method"), "recall_at_k")
-    ivf_r = ivf.join(exact, "vec_id").agg(
-        (F.count(F.lit(1)).cast("double") / k).alias("recall_at_k")
-    ).select(F.lit("ivf").alias("method"), "recall_at_k")
-    return lsh_r.unionByName(ivf_r)
+    tiers = {
+        "lsh": sim.lsh_ann_topk(
+            _emb(spark, sf_dir), _query_vec(sf_dir), k=k, exclude_id=0
+        ).select("vec_id"),
+        "ivf": q_ann_ivf_topk(spark, sf_dir).select("vec_id"),
+        "sq8": q_ann_sq8_topk(spark, sf_dir).select("vec_id"),
+        "ivfpq": q_ann_ivfpq(spark, sf_dir).select("vec_id"),
+    }
+    out = None
+    for name, approx in tiers.items():
+        r = approx.join(exact, "vec_id").agg(
+            (F.count(F.lit(1)).cast("double") / k).alias("recall_at_k")
+        ).select(F.lit(name).alias("method"), "recall_at_k")
+        out = r if out is None else out.unionByName(r)
+    return out
 
 
 def _dedup_degrees_oracle(threshold: float = 0.5) -> str:
