@@ -929,13 +929,18 @@ def prefix_filter_pairs(
         ),
     )
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    prefix = ranked.where(F.col("rn") <= prefix_len).select(id_col, "tok")
+    prefix = ranked.where(F.col("rn") <= prefix_len).select(id_col, "tok", "n")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # size filter (lossless, standard All-Pairs/PPJoin): J(x,y) ≥ t forces
+    # t·|x| ≤ |y| and t·|y| ≤ |x| — applied IN the candidate join so
+    # size-incompatible prefix collisions never become distinct-pair rows
     cand = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.n") >= F.ceil(F.lit(threshold) * F.col("a.n")))
+            & (F.col("a.n") >= F.ceil(F.lit(threshold) * F.col("b.n"))),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
