@@ -51,6 +51,8 @@ def canon_rows(cols, rows):
 
 
 def main() -> int:
+    import os
+
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -59,7 +61,22 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("check_oracle", shuffle_partitions=16)
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver replica mode: a PLAIN SparkSession, none of the engine's
+        # session confs — every conf a query needs must be set at runtime
+        # by the readers/operators themselves (the driver builds its own
+        # session exactly like this)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("check_oracle_vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark("check_oracle", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
