@@ -538,15 +538,28 @@ def txlog_merge(
 
 
 def read_table_merged_schema(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read with schema evolution: commits may add columns over
     time (immutable files keep their original schema); ``mergeSchema``
     unions the per-file schemas, nulling absent columns — the reader-side
-    half of additive schema evolution."""
+    half of additive schema evolution.  ``where`` prunes via commit stats
+    exactly like read_table (superset guarantee; stats-less files kept)."""
     files = snapshot_files(table, version)
     if not files:
         raise TxVersionError(f"{table} is empty at version {version}")
+    if where:
+        files = prune_snapshot_files(table, files, where, version)
+        if not files:
+            all_files = snapshot_files(table, version)
+            return (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(table, f) for f in all_files])
+                .limit(0)
+            )
     return (
         spark.read.option("mergeSchema", "true")
         .parquet(*[os.path.join(table, f) for f in files])
