@@ -559,3 +559,38 @@ def source_divergence(
         )
         .select(F.col("src").alias(source_col), "kl_nats", "n_words")
     )
+
+
+def language_mixture(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus language balance: per predicted language, document count,
+    token total, and the corpus token share — the mixture report a
+    multilingual pretraining pipeline monitors (and rebalances with
+    temperature_sample / source_cap, which compose directly on the
+    ``lang`` column).
+
+    One map pass (lang_id + token count are pure column expressions), one
+    partial-aggregated groupBy on the tiny language key, and the corpus
+    total attached as a 1-row broadcast — no data-sized shuffle."""
+    base = df.select(
+        lang_id(F.col(text_col)).alias("lang"),
+        token_count_ws(F.col(text_col)).alias("n_tok"),
+    )
+    tot = base.agg(F.sum("n_tok").alias("_t"))
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("_t"), 6).alias(
+                "token_share"
+            ),
+        )
+    )

@@ -1415,3 +1415,22 @@ def boilerplate_chunks_sql(chunk_tokens: int = 4, min_docs: int = 2) -> str:
     LEFT JOIN nb USING (doc_id)
     LEFT JOIN kept USING (doc_id)
     """
+
+
+def language_mixture_sql() -> str:
+    """Mirror of text.language_mixture: stopword-argmax language per doc,
+    then per-language doc counts, token totals, and corpus token share."""
+    sw_cols = ",\n            ".join(
+        f"{_sw_hits(lang)} AS s_{lang}" for lang in LANGS
+    )
+    return f"""
+    {WORDS_CTE}
+    , feat AS (
+        SELECT doc_id, len(ws) AS n_tok, {sw_cols} FROM w
+    ),
+    l AS (SELECT doc_id, n_tok, {_lang_case()} AS lang FROM feat),
+    tot AS (SELECT sum(n_tok)::BIGINT AS t FROM l)
+    SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+           round(sum(n_tok)::DOUBLE / (SELECT t FROM tot), 6) AS token_share
+    FROM l GROUP BY lang
+    """

@@ -520,3 +520,12 @@ def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_chunks(
         _docs(spark, sf_dir), chunk_tokens=4, min_docs=2
     )
+
+
+@register("language_mixture", oracles.language_mixture_sql())
+def q_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language-balance report (argmax-stopword lang id): the
+    mixture a multilingual pretraining pipeline monitors."""
+    from es_ch_sync_spark.operators.text import language_mixture
+
+    return language_mixture(_docs(spark, sf_dir))
