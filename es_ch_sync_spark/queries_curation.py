@@ -529,3 +529,98 @@ def q_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.text import language_mixture
 
     return language_mixture(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_length_histogram",
+    f"""
+    WITH n AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    l AS (SELECT len(string_split(nt, ' ')) AS n_tok FROM n),
+    b AS (SELECT CASE WHEN n_tok <= 0 THEN 0
+                      ELSE cast(floor(log2(n_tok)) AS int) + 1 END AS bucket,
+                 n_tok FROM l)
+    SELECT bucket,
+           power(2, bucket - 1)::BIGINT AS bucket_lo,
+           count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens
+    FROM b GROUP BY bucket
+    """,
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution in power-of-two buckets — the diagnostic
+    that sizes pack_sequences' budget and flags truncation exposure
+    (docs above the training context length).  Pure map + tiny-key
+    aggregate; no data-sized shuffle."""
+    from es_ch_sync_spark.operators.text import token_count_ws
+
+    n_tok = token_count_ws(F.col("text"))
+    bucket = F.when(n_tok <= 0, F.lit(0)).otherwise(
+        F.floor(F.log2(n_tok)).cast("int") + 1
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(bucket.alias("bucket"), n_tok.alias("n_tok"))
+        .groupBy("bucket")
+        .agg(
+            F.pow(F.lit(2.0), F.col("bucket") - 1).cast("long").alias("bucket_lo"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select("bucket", "bucket_lo", "n_docs", "n_tokens")
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    """
+    WITH corpus AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'mirror', text FROM documents WHERE doc_id % 40 = 0
+    ),
+    fp AS (
+        SELECT source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM corpus
+    ),
+    sf AS (SELECT DISTINCT source, fp FROM fp)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_docs
+    FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-content overlap: for every source pair, how many
+    normalized-text fingerprints appear in BOTH — the leakage matrix that
+    catches one feed republishing another (and train/eval cross-bleed
+    when sources map to splits).  The synthetic corpus has disjoint
+    sources, so the query PLANTS a republishing feed deterministically
+    (every 40th doc mirrored under source 'mirror' — the same
+    planted-fixture pattern redact_pii uses) and the oracle replicates
+    the planting.  Fingerprint-keyed self-join on distinct (source, fp):
+    shuffles 32-byte hashes, never documents; the pair surface is
+    per-fingerprint source lists, bounded by source count."""
+    from es_ch_sync_spark.operators.text import fingerprint_md5
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select("source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            F.lit("mirror").alias("source"), "text"
+        )
+    )
+    sf = corpus.select(
+        "source", fingerprint_md5(F.col("text")).alias("fp")
+    ).distinct()
+    a, b = sf.alias("a"), sf.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_docs"))
+    )
