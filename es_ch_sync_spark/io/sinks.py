@@ -82,13 +82,24 @@ def write_signals(
     if existing is not None:
         out = out.join(existing.select(*DEDUP_KEY), on=DEDUP_KEY, how="left_anti")
     out = out.withColumn("event_date", F.to_date("timestamp"))
-    (
-        out.repartition("event_date")
-        .sortWithinPartitions("token_id", "timestamp", "name")
-        .write.mode(mode)
-        .partitionBy("event_date")
-        .parquet(path)
-    )
+    # TIMESTAMP_MICROS, not the INT96 default: INT96 parquet columns carry
+    # NO min/max statistics, which silently voids this sink's whole
+    # row-group-skipping story for time predicates (the docstring's
+    # ORDER BY analog).  Set at runtime so it holds under vanilla sessions.
+    spark = signals.sparkSession
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        (
+            out.repartition("event_date")
+            .sortWithinPartitions("token_id", "timestamp", "name")
+            .write.mode(mode)
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
 
 
 def read_signals(spark: SparkSession, path: str) -> DataFrame:

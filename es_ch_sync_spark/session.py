@@ -53,6 +53,11 @@ def get_spark(
         # signal catalog) are tiny — but leave autoBroadcast at default and
         # use explicit broadcast() hints where we *know* the side is small.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the default) writes timestamps with NO parquet min/max
+        # stats — row-group skipping on time predicates (the engine's
+        # dominant predicate, S3) silently does nothing.  MICROS restores
+        # stats; modern engines (Iceberg/Delta/DuckDB) read it natively.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # dedup_signals' ObjectHashAggregate (collect_list winner) must not
         # fall back to sort-based aggregation at the 128-key default — the
         # whole point of the formulation is removing the Sort.  Buffer
@@ -91,6 +96,9 @@ def cluster_conf(executor_cores: int = 5, executors: int = 1000) -> dict[str, st
         "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
         # blob tables (multimodal): bytes-based splits matter more than rows
         "spark.sql.parquet.compression.codec": "zstd",
+        # timestamps must carry footer stats (INT96 has none) or time-
+        # range row-group skipping is silently inert — see get_spark
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         # dynamic partition overwrite is what upsert_signals relies on
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         # keep dedup_signals on ObjectHashAggregate (no Sort) at real key

@@ -189,3 +189,44 @@ def test_corpus_shard_export(spark, sf_dir, tmp_path):
     # every shard's first offset lies inside its token span
     for s, r in man.items():
         assert r["first_offset"] // budget == s
+
+
+def test_signal_sink_timestamps_carry_footer_stats(spark, tmp_path):
+    """The sink's row-group-skipping claim is only real if timestamp
+    columns carry parquet min/max statistics — INT96 (Spark's default
+    output type) has NONE.  Pin that written files use TIMESTAMP_MICROS
+    with populated stats (r5; same reason the txlog writer switched)."""
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from es_ch_sync_spark.io.sinks import write_signals
+
+    sig = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 2, 1 + i % 3, 6 + i), "speed", "s", float(i), None)
+            for i in range(12)
+        ],
+        "token_id long, timestamp timestamp, name string, source string, "
+        "value_number double, value_string string",
+    )
+    path = str(tmp_path / "signals")
+    write_signals(sig, path, mode="overwrite")
+    files = glob.glob(f"{path}/event_date=*/**/*.parquet", recursive=True) or glob.glob(
+        f"{path}/event_date=*/*.parquet"
+    )
+    assert files
+    checked = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                if col.path_in_schema == "timestamp":
+                    assert col.physical_type == "INT64", col.physical_type
+                    st = col.statistics
+                    assert st is not None and st.has_min_max
+                    checked += 1
+    assert checked > 0
