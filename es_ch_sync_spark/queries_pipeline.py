@@ -1695,3 +1695,58 @@ def q_variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming materialized-view maintenance (streaming/rollup_stream.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_rollup_maintenance",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           sum(value::DECIMAL(24,4))::DOUBLE AS sum_value,
+           round(sum(value::DECIMAL(24,4))::DOUBLE / count(*), 6) AS avg_value
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full continuous loop — stream in, serving
+    aggregate kept current: events arrive as a stream (AvailableNow over
+    two file waves), each micro-batch lands in a txlog fact table
+    exactly-once and delta-refreshes the rollup view; the maintained
+    view must equal the oracle's one-shot GROUP BY over everything the
+    stream delivered."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io.ivm import read_rollup_view
+    from es_ch_sync_spark.streaming.rollup_stream import rollup_stream_writer
+
+    root = tempfile.mkdtemp(prefix=f"srm_{uuid.uuid4().hex[:8]}_")
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+    fact, view = f"{root}/fact", f"{root}/view"
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select("event_id", "event_type", "value")
+    # two arrival waves → at least two micro-batch commits through the loop
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{src}/w0")
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/w1")
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "8")
+        .parquet(f"{src}/w*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            rollup_stream_writer(fact, view, ["event_type"], "value")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return read_rollup_view(spark, view)
