@@ -590,10 +590,14 @@ def oversample_balance(
         F.least(
             F.floor(F.col("_max") / F.col("_cnt")), F.lit(max_factor)
         ).cast("int").alias("_base"),
-        # fraction of rows that get one extra copy, in hash buckets
-        (
-            ((F.col("_max") % F.col("_cnt")) * SPLIT_BUCKETS / F.col("_cnt"))
-        ).cast("long").alias("_extra_cut"),
+        # fraction of rows that get one extra copy, in hash buckets.
+        # Exact integer arithmetic (div), NOT a fractional-double cast:
+        # double->long casts round in DuckDB but truncate in Spark, so a
+        # boundary bucket (e.g. (m%c)*10000/c = 1142.857) would disagree
+        # across engines.  div((m%c)*B, c) is identical on both.
+        F.expr(f"div((_max % _cnt) * {SPLIT_BUCKETS}, _cnt)")
+        .cast("long")
+        .alias("_extra_cut"),
     )
     bucket = _hash_bucket(F.col(id_col), seed)
     n_copies = F.when(

@@ -42,12 +42,12 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-# Names the driver's 50-query correctness sample has already covered in
-# rounds 1-4 (union of CORRECTNESS_r01..r04).  The driver samples the FIRST
-# 50 registry entries, and the registry order was static, so the same 50
-# were re-verified every round while 136 queries rested solely on the
+# Names the driver's 50-query correctness sample has already covered
+# (union of CORRECTNESS_r01..r05).  The driver samples the FIRST 50
+# registry entries, and the registry order was static, so the same 50
+# were re-verified every round while the rest rested solely on the
 # builder's sweep harness.  spark_queries() therefore orders never-sampled
-# queries first: each round the driver's sample now accumulates coverage of
+# queries first: each round the driver's sample accumulates coverage of
 # queries it has not independently checked before (judge directive r4 #3).
 _DRIVER_SAMPLED_R1_R4 = frozenset({
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_recall",
@@ -75,13 +75,54 @@ _DRIVER_SAMPLED_R1_R4 = frozenset({
     "unpivot_signals", "weighted_sample", "zscore_anomalies",
 })
 
+# Round-5 sample (CORRECTNESS_r05.json keys — all 50 were first-time checks).
+_DRIVER_SAMPLED_R5 = frozenset({
+    "ann_sq8_topk", "array_ops", "bloom_semijoin", "boilerplate_chunks",
+    "chunk_dedup_stats", "chunk_documents", "cms_frequency",
+    "coactivity_edges", "corpus_pipeline_best", "decontaminate_fuzzy",
+    "dedup_recall", "doc_length_histogram", "embedding_centroid_drift",
+    "embedding_gram", "es_sink_roundtrip", "es_status_agg_pushdown",
+    "es_status_stream_scan", "es_stream_roundtrip", "event_transitions",
+    "fingerprint_nn", "fuzzy_blocked_join", "geo_cell_counts",
+    "geo_radius_join", "geo_trajectory", "grouped_ols_pandas",
+    "heavy_hitters", "histogram_quantiles", "key_skew_report",
+    "kfold_groups", "kmv_distinct_users", "kmv_set_ops", "lag_features",
+    "language_mixture", "media_dhash_groups", "oversample_balance",
+    "ppjoin_pairs", "repivot_signals", "rfm_segments",
+    "robust_outliers_mad", "scd2_dim_join", "scd2_upsert",
+    "semantic_dedup_incremental", "source_overlap_matrix",
+    "streaming_kmv_distinct", "triangle_coactivity", "trigram_perplexity",
+    "udtf_top_terms", "user_entropy", "winsorized_stats", "zipf_fit",
+})
+
+_DRIVER_SAMPLED = _DRIVER_SAMPLED_R1_R4 | _DRIVER_SAMPLED_R5
+
+# Queries whose LATEST driver row is red for a since-fixed reason and must
+# be re-sampled to flip green (judge directive r5 #2): the stale r1/r2 trio
+# (r1 "no_oracle" before the oracles existed; an r2 exception fixed in r2 —
+# re-verified green locally every round since) plus oversample_balance,
+# whose r5 truncate-vs-round cast seam is fixed this round on both the
+# engine and oracle sides.  Ordered FIRST so the driver's next 50-row
+# sample re-checks them before continuing through the never-sampled group
+# (97 never-sampled names remain > one 50-row sample, so green-flipping
+# red rows outranks pure coverage accumulation this round).
+_RED_LATEST = (
+    "ann_ivf_topk", "approx_distinct_users", "linreg_trend",
+    "oversample_balance",
+)
+
 
 def _rotated(names) -> list[str]:
-    """Registry order with never-driver-sampled names first (stable within
-    each group) — pure reordering, the name→query mapping is unchanged."""
-    fresh = [n for n in names if n not in _DRIVER_SAMPLED_R1_R4]
-    seen = [n for n in names if n in _DRIVER_SAMPLED_R1_R4]
-    return fresh + seen
+    """Registry order: red-latest rows first, then never-driver-sampled
+    names, then everything else (stable within each group) — pure
+    reordering, the name→query mapping is unchanged."""
+    red = [n for n in names if n in _RED_LATEST]
+    fresh = [n for n in names if n not in _DRIVER_SAMPLED]
+    seen = [
+        n for n in names
+        if n in _DRIVER_SAMPLED and n not in _RED_LATEST
+    ]
+    return red + fresh + seen
 
 
 def spark_queries() -> dict[str, QueryFn]:

@@ -469,7 +469,11 @@ def _oversample_oracle(max_factor: int = 20) -> str:
     mx AS (SELECT max(c) AS m FROM cnt),
     stats AS (
         SELECT lang, least(m // c, {max_factor}) AS base,
-               ((m % c) * {SPLIT_BUCKETS} / c)::BIGINT AS extra_cut
+               -- exact integer division: ::BIGINT on a fractional double
+               -- ROUNDS in DuckDB (truncates in Spark), and the rounding
+               -- mode itself changed between DuckDB versions.  `//` on
+               -- BIGINTs is version-independent and matches Spark's div().
+               ((m % c) * {SPLIT_BUCKETS}) // c AS extra_cut
         FROM cnt, mx
     )
     SELECT d.lang,

@@ -61,6 +61,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Pin the oracle environment in every log: cast/rounding semantics
+    # changed between DuckDB versions (r5's oversample_balance seam), so
+    # a sweep log is only interpretable alongside the engine versions.
+    import pyspark
+
+    print(f"# duckdb={duckdb.__version__} pyspark={pyspark.__version__} "
+          f"sf_dir={sf_dir}")
+
     if os.environ.get("SPARK_GRAFT_VANILLA"):
         # driver replica mode: a PLAIN SparkSession, none of the engine's
         # session confs — every conf a query needs must be set at runtime
