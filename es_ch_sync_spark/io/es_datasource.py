@@ -371,11 +371,20 @@ class EsStatusStreamReader(DataSourceStreamReader):
     actually consumed.
 
     Offset size: one name per consumed file, stored in the checkpoint
-    log.  That is the honest price of not losing late files; production
-    deployments bound it the way FileStreamSource does (age out names
-    older than a retention horizon during manifest compaction) — with
-    128 MB export files, 100 TB is ~800k names ≈ tens of MB, well within
-    checkpoint-log scale.
+    log.  That is the honest price of not losing late files; bound it
+    with ``option("maxFileAgeSec", N)`` the way FileStreamSource's
+    maxFileAge does: files whose mtime falls behind the (monotonic)
+    ``now - N`` horizon are aged out of the offset AND out of the
+    listing universe in the same offset, so a consumed-then-aged name
+    can never be mistaken for a new file (mtime is immutable and the
+    horizon only advances → once excluded, always excluded;
+    deterministic replay is untouched because partitions() still derives
+    purely from the two offsets).  Like FileStreamSource, a file that
+    first appears already older than the horizon is IGNORED — retention
+    trades that documented edge for O(retention-window) instead of
+    O(lifetime) offset entries.  Unset (the default) keeps the unbounded
+    exact set: with 128 MB export files, 100 TB is ~800k names ≈ tens of
+    MB, well within checkpoint-log scale.
 
     Each new file is one input partition (same split planning as the
     batch reader); parsing is delegated to EsStatusReader, so the
@@ -388,6 +397,8 @@ class EsStatusStreamReader(DataSourceStreamReader):
     def __init__(self, schema: T.StructType, options: dict) -> None:
         self._delegate = EsStatusReader(schema, options)
         self.path = self._delegate.path
+        self._max_age = float(options.get("maxfileagesec", "0") or "0")
+        self._horizon = 0.0  # monotonic; only meaningful with retention
 
     def _files(self) -> list[str]:
         import os
@@ -405,7 +416,24 @@ class EsStatusStreamReader(DataSourceStreamReader):
         return {"seen": []}
 
     def latestOffset(self) -> dict:
-        return {"seen": self._files()}
+        files = self._files()
+        if self._max_age <= 0:
+            return {"seen": files}
+        import os
+        import time
+
+        # the horizon never retreats: a wall-clock step backwards must not
+        # resurrect names already aged out of an earlier offset
+        self._horizon = max(self._horizon, time.time() - self._max_age)
+        base = self.path if os.path.isdir(self.path) else os.path.dirname(self.path)
+        kept = []
+        for f in files:
+            try:
+                if os.path.getmtime(os.path.join(base, f)) >= self._horizon:
+                    kept.append(f)
+            except OSError:
+                continue  # listed then deleted: treat as aged out
+        return {"seen": kept, "horizon": self._horizon}
 
     @staticmethod
     def _seen(offset: dict, universe: list[str]) -> set:
@@ -848,28 +876,7 @@ class EsStatusStreamWriter(DataSourceStreamArrowWriter, EsStatusWriter):
         self._complete_epoch(epoch)
 
     def _merge_into_manifest(self, epoch: dict) -> None:
-        """Idempotently fold an epoch manifest into the global one —
-        files already listed are not double-counted, so calling this on
-        every replay is safe and repairs a torn marker→manifest crash."""
-        import json
-        import os
-
-        mpath = os.path.join(self.path, "_ES_COMMIT")
-        prev = {"files": [], "n_rows": 0}
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                prev = json.load(f)
-        missing = [p for p in epoch["files"] if p not in set(prev["files"])]
-        if not missing and os.path.exists(mpath):
-            return
-        counts = epoch.get("per_file", {})
-        manifest = {
-            "files": sorted(prev["files"] + missing),
-            "n_rows": prev["n_rows"] + sum(counts.get(p, 0) for p in missing),
-            "stats": {**prev.get("stats", {}), **epoch.get("stats", {})},
-        }
-        with open(mpath, "w") as f:
-            json.dump(manifest, f)
+        _merge_epoch_into_manifest(self.path, epoch)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         EsStatusWriter.abort(self, messages)
@@ -957,13 +964,50 @@ def read_es_status_agg(
     return read_es_status(spark, path, narrow).agg(fn(col).alias(f"{agg}_{col}"))
 
 
+def _merge_epoch_into_manifest(path: str, epoch: dict) -> None:
+    """Idempotently fold an epoch manifest into the global one —
+    files already listed are not double-counted, so calling this on
+    every replay is safe and repairs a torn marker→manifest crash."""
+    import json
+    import os
+
+    mpath = os.path.join(path, "_ES_COMMIT")
+    prev = {"files": [], "n_rows": 0}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prev = json.load(f)
+    missing = [p for p in epoch["files"] if p not in set(prev["files"])]
+    if not missing and os.path.exists(mpath):
+        return
+    counts = epoch.get("per_file", {})
+    manifest = {
+        "files": sorted(prev["files"] + missing),
+        "n_rows": prev["n_rows"] + sum(counts.get(p, 0) for p in missing),
+        "stats": {**prev.get("stats", {}), **epoch.get("stats", {})},
+    }
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+
 def vacuum_es_status(path: str, older_than_sec: float = 86400.0) -> list[str]:
     """Reclaim crash orphans: ``_tmp_`` task files and ``.stage-`` marker
     stages older than the age guard.  Age-guarded because a live writer's
     in-flight temp is indistinguishable from an orphan by name alone —
     the guard (default 24 h) makes racing an active job impossible in
-    practice; both kinds are invisible to readers meanwhile.  Returns the
-    removed names (manifest and committed data files are never touched)."""
+    practice; both kinds are invisible to readers meanwhile.
+
+    A temp referenced by a PUBLISHED epoch marker's rename plan is NOT an
+    orphan: the committing incarnation crashed between publishing the
+    marker and applying its renames.  Deleting it by name would silently
+    lose the epoch's rows — the next replay's ``_complete_epoch`` would
+    see "temp gone" and merge a manifest listing a final file that never
+    materialized (ADVICE r5).  Vacuum therefore completes those epochs
+    first (apply the recorded renames, fold into the global manifest) —
+    the crash-repair path a decommissioned job would otherwise never run —
+    and only then sweeps the remaining, genuinely orphaned temps.  Returns
+    the removed names (manifest and committed data files are never
+    touched)."""
+    import json
     import os
     import time
 
@@ -971,6 +1015,22 @@ def vacuum_es_status(path: str, older_than_sec: float = 86400.0) -> list[str]:
     now = time.time()
     if not os.path.isdir(path):
         return removed
+    # complete published-but-unapplied epochs before any deletion
+    for p in sorted(os.listdir(path)):
+        if not p.startswith("_ES_COMMIT_e") or ".stage-" in p:
+            continue
+        try:
+            with open(os.path.join(path, p)) as f:
+                epoch = json.load(f)
+        except (OSError, ValueError):
+            continue  # torn pre-fix marker: provably never committed
+        if not isinstance(epoch, dict) or "files" not in epoch:
+            continue
+        for tmp_name, final_name in epoch.get("renames", {}).items():
+            tmp_p = os.path.join(path, tmp_name)
+            if os.path.exists(tmp_p):
+                os.replace(tmp_p, os.path.join(path, final_name))
+        _merge_epoch_into_manifest(path, epoch)
     for p in os.listdir(path):
         if not (p.startswith("_tmp_") or ".stage-" in p):
             continue

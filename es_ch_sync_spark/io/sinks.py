@@ -100,6 +100,10 @@ def write_signals(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        else:
+            # never explicitly set before this call: unset rather than
+            # pinning MICROS as a permanent session side effect (ADVICE r5)
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
 
 
 def read_signals(spark: SparkSession, path: str) -> DataFrame:

@@ -100,6 +100,10 @@ def _write_data_files(df: DataFrame, table: str) -> list[str]:
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        else:
+            # never explicitly set before this call: unset rather than
+            # pinning MICROS as a permanent session side effect (ADVICE r5)
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
     return [
         os.path.join(sub, f)
         for f in sorted(os.listdir(out))
@@ -326,7 +330,21 @@ def _stat_native(recorded, like):
                 d = d.replace(tzinfo=datetime.timezone.utc)
             return d.astimezone(datetime.timezone.utc)
         if isinstance(like, str):
-            return recorded if isinstance(recorded, str) else None
+            if not isinstance(recorded, str):
+                return None
+            # If the recorded stat is an ISO datetime (timestamp-typed
+            # column) but the caller passed a string predicate value, the
+            # two can carry DIFFERENT textual formats ('2024-01-10
+            # 23:59:59' vs '2024-01-10T00:00:00+00:00') and a
+            # lexicographic compare would wrongly prune a matching file
+            # (' ' < 'T') — silent row loss (ADVICE r5).  Refuse to prune
+            # instead: pruning must stay a superset guarantee, and
+            # callers pass datetime values for exact timestamp pruning.
+            try:
+                datetime.datetime.fromisoformat(recorded)
+            except ValueError:
+                return recorded  # genuinely a string column
+            return None
     except (TypeError, ValueError):
         return None
     return None

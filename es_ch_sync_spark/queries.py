@@ -1510,7 +1510,9 @@ def q_es_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    from es_ch_sync_spark.streaming.util import drain
+
+    drain(q, 300)
     back = read_es_status(
         spark, out, schema="es_id string, event_type string, value double"
     )

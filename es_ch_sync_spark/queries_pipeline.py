@@ -1748,5 +1748,7 @@ def q_streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    from es_ch_sync_spark.streaming.util import drain
+
+    drain(q, 180)
     return read_rollup_view(spark, view)

@@ -1082,7 +1082,9 @@ def _drain_to_memory(signals: DataFrame, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    from es_ch_sync_spark.streaming.util import drain
+
+    drain(q, 300)
     return signals.sparkSession.table(sink)
 
 

@@ -176,6 +176,7 @@ def test_sync_job_end_to_end_via_es_status(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 import os  # noqa: E402
+import time  # noqa: E402
 
 from es_ch_sync_spark.io.es_datasource import (  # noqa: E402
     committed_files,
@@ -746,3 +747,85 @@ def test_agg_pushdown_stats_only_and_fallbacks(spark, tmp_path):
 
     # a column without recorded stats → scan fallback too
     assert manifest_min_max(sink, "es_id", _T.StringType()) is None
+
+
+def test_vacuum_completes_published_epoch_before_sweeping(tmp_path):
+    """A temp referenced by a PUBLISHED epoch marker's rename plan is not
+    an orphan: the writer crashed between publishing the marker and
+    applying its renames.  Vacuum must complete those renames (and fold
+    the epoch into the global manifest) instead of deleting the temp —
+    deleting it would make _complete_epoch treat the missing temp as
+    'already renamed' and merge a manifest listing a file that never
+    materialized (ADVICE r5, silent row loss)."""
+    import json
+
+    from es_ch_sync_spark.io.es_datasource import (
+        committed_files,
+        vacuum_es_status,
+    )
+
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    with open(os.path.join(d, "_tmp_task7.ndjson"), "w") as f:
+        f.write('{"_id": "a", "_source": {"v": 1}}\n')
+    with open(os.path.join(d, "_tmp_orphan.ndjson"), "w") as f:
+        f.write("dead incarnation\n")
+    epoch = {
+        "files": ["part-e5-00007.ndjson"],
+        "n_rows": 1,
+        "per_file": {"part-e5-00007.ndjson": 1},
+        "stats": {},
+        "renames": {"_tmp_task7.ndjson": "part-e5-00007.ndjson"},
+    }
+    with open(os.path.join(d, "_ES_COMMIT_e5"), "w") as f:
+        json.dump(epoch, f)
+
+    removed = vacuum_es_status(d, older_than_sec=0.0)
+    # the referenced temp was renamed into place, not removed
+    assert removed == ["_tmp_orphan.ndjson"]
+    assert os.path.exists(os.path.join(d, "part-e5-00007.ndjson"))
+    assert not os.path.exists(os.path.join(d, "_tmp_task7.ndjson"))
+    # and the epoch is now reader-visible via the global manifest
+    assert committed_files(d) == [os.path.join(d, "part-e5-00007.ndjson")]
+    with open(os.path.join(d, "_ES_COMMIT")) as f:
+        assert json.load(f)["n_rows"] == 1
+    # idempotent: a second vacuum changes nothing
+    assert vacuum_es_status(d, older_than_sec=0.0) == []
+
+
+def test_stream_reader_offset_retention_horizon(spark, tmp_path):
+    """With maxFileAgeSec, consumed names age out of the offset (bounding
+    checkpoint growth at O(retention-window)) while the same horizon
+    excludes aged files from the listing universe — so an aged-out name
+    can never be re-consumed, and the horizon never retreats (ADVICE r5)."""
+    from es_ch_sync_spark.io.es_datasource import EsStatusStreamReader
+
+    src = str(tmp_path / "export")
+    os.makedirs(src)
+    for name in ("part-old.ndjson", "part-new.ndjson"):
+        _write_wave(src, name, range(0, 1))
+    old_p = os.path.join(src, "part-old.ndjson")
+    os.utime(old_p, (time.time() - 3600, time.time() - 3600))
+
+    schema = _T.StructType.fromDDL(_STREAM_SCHEMA)
+    r = EsStatusStreamReader(schema, {"path": src, "maxfileagesec": "600"})
+    end = r.latestOffset()
+    # the hour-old file is outside the horizon: not in the offset...
+    assert end["seen"] == ["part-new.ndjson"] and "horizon" in end
+    # ...and not in any micro-batch (FileStreamSource maxFileAge semantics)
+    parts = r.partitions(r.initialOffset(), end)
+    assert [os.path.basename(p.path) for p in parts] == ["part-new.ndjson"]
+    # a consumed file ages out of later offsets without being re-consumed
+    os.utime(os.path.join(src, "part-new.ndjson"),
+             (time.time() - 3600, time.time() - 3600))
+    _write_wave(src, "part-newer.ndjson", range(1, 2))
+    end2 = r.latestOffset()
+    assert end2["seen"] == ["part-newer.ndjson"]
+    parts2 = r.partitions(end, end2)
+    assert [os.path.basename(p.path) for p in parts2] == ["part-newer.ndjson"]
+    # monotonic horizon
+    assert end2["horizon"] >= end["horizon"]
+    # retention off (default) keeps the exact unbounded set
+    r0 = EsStatusStreamReader(schema, {"path": src})
+    assert sorted(r0.latestOffset()["seen"]) == [
+        "part-new.ndjson", "part-newer.ndjson", "part-old.ndjson"]

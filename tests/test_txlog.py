@@ -387,3 +387,25 @@ def test_concurrent_appends_serialize_without_loss(spark, tmp_path):
     got = sorted(r.id for r in tx.read_table(spark, t).collect())
     assert got == list(range(240))  # no commit lost, no rows doubled
     assert [h["op"] for h in tx.table_history(t)] == ["append"] * 24
+
+
+def test_stats_pruning_refuses_string_value_on_timestamp_column(spark, tmp_path):
+    """A STRING predicate value against timestamp-recorded stats must not
+    prune: the two sides can carry different textual formats ('2024-01-04
+    23:59:59' vs '2024-01-04T00:00:00+00:00') and a lexicographic compare
+    would wrongly drop a matching file (' ' < 'T') — ADVICE r5.  Pruning
+    stays a superset guarantee: every file is kept for string-typed time
+    predicates, while genuine string columns still prune."""
+    t = str(tmp_path / "t")
+    tx.txlog_append(_ts_df(spark, 1, 4), t, stats_cols=["ts", "id"])
+    tx.txlog_append(_ts_df(spark, 4, 7), t, stats_cols=["ts", "id"])
+    n = len(tx.snapshot_files(t))
+    # mixed-format string vs recorded ISO timestamps: refuse to prune
+    kept = tx.prune_snapshot_files(
+        t, tx.snapshot_files(t), [("ts", "<", "2024-01-04 23:59:59")]
+    )
+    assert len(kept) == n
+    kept2 = tx.prune_snapshot_files(
+        t, tx.snapshot_files(t), [("ts", ">", "2024-01-09")]
+    )
+    assert len(kept2) == n
