@@ -65,6 +65,15 @@ HEADLINE = [
     "multimodal_features",
 ]
 
+# Post-headline extended rows (r5 directive #5): perf evidence for the last
+# two reference boundaries, WITHOUT perturbing the r1-comparable 28-query
+# headline artifact.  Timed identically (3-pass medians, same JVM) and
+# reported under "extended" — never summed into "value".
+EXTENDED = [
+    "quarantine_split",
+    "config_driven_sync",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,10 +91,12 @@ def main() -> None:
 
     # Fault-isolated: one broken query must never zero the round's perf
     # evidence — errors are recorded per-query and the JSON always emits.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {
+        name: [] for name in HEADLINE + EXTENDED
+    }
     errors: dict[str, str] = {}
     for pass_no in range(PASSES):
-        for name in HEADLINE:
+        for name in HEADLINE + EXTENDED:
             if name in errors:
                 continue
             try:
@@ -102,16 +113,21 @@ def main() -> None:
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    extended: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, ts in samples.items():
         if not ts:
             continue
-        timings[name] = round(sorted(ts)[len(ts) // 2], 3)
+        med = round(sorted(ts)[len(ts) // 2], 3)
+        (extended if name in EXTENDED else timings)[name] = med
         spread[name] = [round(min(ts), 3), round(max(ts), 3)]
 
     # A partial suite must not masquerade as a (faster-looking) full-suite
-    # time: value is null and incomplete=true whenever any query errored.
-    total = round(sum(timings.values()), 3) if not errors else None
+    # time: value is null and incomplete=true whenever a HEADLINE query
+    # errored (extended-row errors are recorded but don't void the
+    # r1-comparable artifact).
+    headline_errors = {k: v for k, v in errors.items() if k in HEADLINE}
+    total = round(sum(timings.values()), 3) if not headline_errors else None
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -126,11 +142,13 @@ def main() -> None:
         "passes": PASSES,
         "aggregation": "per-query median across passes; value = sum of medians",
         "spread": spread,
+        "extended": extended,
     }
     if errors:
         payload["errors"] = errors
-        payload["incomplete"] = True
         payload["partial_wall_sec"] = round(sum(timings.values()), 3)
+    if headline_errors:
+        payload["incomplete"] = True
     print(json.dumps(payload))
 
 
