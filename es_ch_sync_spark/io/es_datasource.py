@@ -705,6 +705,13 @@ class EsStatusWriter(DataSourceArrowWriter):
                         + "\n"
                     )
                     n += 1
+        if n > 0:
+            # every hit in this file carries _index == self.index, so the
+            # file is single-valued on es_index by construction — record it
+            # as an exact [v, v] stat.  This is what lets grouped/filtered
+            # aggregates (min per index, the reference's QueryOldestSignal
+            # shape) be answered from the manifest alone.
+            stats.setdefault("es_index", [self.index, self.index])
         return _EsWriteCommit(tmp, final_name, n, stats)
 
     def commit(self, messages) -> None:
@@ -714,15 +721,22 @@ class EsStatusWriter(DataSourceArrowWriter):
         committed = []
         total = 0
         fstats: dict[str, dict] = {}
+        per_file: dict[str, int] = {}
         for m in messages:
             if m is None:
                 continue
             os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
             committed.append(m.final_name)
             total += m.n_rows
+            per_file[m.final_name] = m.n_rows
             if getattr(m, "stats", None):
                 fstats[m.final_name] = m.stats
-        manifest = {"files": sorted(committed), "n_rows": total, "stats": fstats}
+        manifest = {
+            "files": sorted(committed),
+            "n_rows": total,
+            "per_file": per_file,
+            "stats": fstats,
+        }
         mpath = os.path.join(self.path, "_ES_COMMIT")
         if self.overwrite:
             with open(mpath, "w") as f:
@@ -734,6 +748,9 @@ class EsStatusWriter(DataSourceArrowWriter):
                     prev = json.load(f)
                 manifest["files"] = sorted(prev["files"] + manifest["files"])
                 manifest["n_rows"] += prev["n_rows"]
+                manifest["per_file"] = {
+                    **prev.get("per_file", {}), **per_file
+                }
                 manifest["stats"] = {**prev.get("stats", {}), **fstats}
             with open(mpath, "w") as f:
                 json.dump(manifest, f)
@@ -897,6 +914,32 @@ def manifest_min_max(path: str, col: str, dt: T.DataType):
     Python-DataSource analog of SupportsPushDownAggregates, mirroring the
     reference pushing GetOldestTimestamp / min() down to the store
     (clickhouse.go:65-110)."""
+    cov = _covered_manifest(path)
+    if cov is None:
+        return None
+    manifest, visible = cov
+    stats = manifest.get("stats", {})
+    los, his = [], []
+    for fname in visible:
+        fstats = stats.get(fname, {})
+        if col not in fstats:
+            return None
+        lo = _typed_stat(dt, fstats[col][0])
+        hi = _typed_stat(dt, fstats[col][1])
+        if lo is None or hi is None:
+            return None
+        los.append(lo)
+        his.append(hi)
+    if not los:
+        return None
+    return min(los), max(his)
+
+
+def _covered_manifest(path: str):
+    """(manifest, visible data files) when the manifest provably covers
+    the directory — every data file visible on disk is listed — else
+    None (a stray hand-dropped export would make stats-only answers
+    wrong).  The shared precondition of every stats-only aggregate."""
     import json
     import os
 
@@ -916,39 +959,114 @@ def manifest_min_max(path: str, col: str, dt: T.DataType):
     }
     if visible - listed:
         return None  # stray files the stats don't cover
+    return manifest, visible
+
+
+def manifest_count(path: str) -> int | None:
+    """Row count answered from the manifest ALONE, or None when not
+    provably exact (coverage gap, or a listed file missing from disk with
+    no per-file counts to subtract).  The SupportsPushDownAggregates
+    COUNT(*) analog of manifest_min_max."""
+    cov = _covered_manifest(path)
+    if cov is None:
+        return None
+    manifest, visible = cov
+    per_file = manifest.get("per_file")
+    if per_file is not None:
+        if any(f not in per_file for f in visible):
+            return None
+        return sum(per_file[f] for f in visible)
+    # legacy manifest without per-file counts: the global n_rows is only
+    # exact when every listed file is still on disk
+    if set(manifest.get("files", [])) != visible:
+        return None
+    return manifest.get("n_rows")
+
+
+def manifest_grouped_agg(
+    path: str,
+    col: str,
+    dt: T.DataType,
+    group_col: str,
+    group_dt: T.DataType,
+):
+    """Per-group (min, max, count) of ``col`` answered from the manifest
+    ALONE — the grouped/filtered form of manifest_min_max, mirroring the
+    reference's QueryOldestSignal with a name filter (min(timestamp)
+    WHERE token_id = ? AND name IN (...), clickhouse.go:65-88): group
+    extremes are exact when every file is SINGLE-VALUED on the group
+    column (its recorded [min, max] coincide), because then min-of-mins
+    within a group IS the group minimum.  A file spanning several groups
+    makes stats-only grouping unprovable → None, caller scans.  Count
+    additionally requires per-file counts (absent → counts are None)."""
+    cov = _covered_manifest(path)
+    if cov is None:
+        return None
+    manifest, visible = cov
     stats = manifest.get("stats", {})
-    los, his = [], []
+    per_file = manifest.get("per_file", {})
+    out: dict = {}
+    have_counts = True
     for fname in visible:
         fstats = stats.get(fname, {})
-        if col not in fstats:
+        if col not in fstats or group_col not in fstats:
             return None
+        glo = _typed_stat(group_dt, fstats[group_col][0])
+        ghi = _typed_stat(group_dt, fstats[group_col][1])
+        if glo is None or ghi is None or glo != ghi:
+            return None  # multi-group file: grouping unprovable
         lo = _typed_stat(dt, fstats[col][0])
         hi = _typed_stat(dt, fstats[col][1])
         if lo is None or hi is None:
             return None
-        los.append(lo)
-        his.append(hi)
-    if not los:
+        n = per_file.get(fname)
+        if n is None:
+            have_counts = False
+        cur = out.get(glo)
+        if cur is None:
+            out[glo] = [lo, hi, n]
+        else:
+            cur[0] = min(cur[0], lo)
+            cur[1] = max(cur[1], hi)
+            cur[2] = (cur[2] + n) if (cur[2] is not None and n is not None) else None
+    if not out:
         return None
-    return min(los), max(his)
+    if not have_counts:
+        for v in out.values():
+            v[2] = None
+    return {g: tuple(v) for g, v in out.items()}
 
 
 def read_es_status_agg(
     spark: SparkSession, path: str, col: str, agg: str = "min",
     schema: T.StructType | str | None = None,
 ) -> DataFrame:
-    """min/max of one column over an export dir, served from manifest
-    stats when exact (1-row local relation, ZERO files read — pinned by
-    test on the absence of any scan) and falling back to a real
+    """min/max/count of one column over an export dir, served from
+    manifest stats when exact (1-row local relation, ZERO files read —
+    pinned by test on the absence of any scan) and falling back to a real
     pushed-projection scan otherwise.  The resume-point query shape
-    (oldest timestamp per sync state, maintenance.py) at connector level."""
-    if agg not in ("min", "max"):
-        raise ValueError(f"read_es_status_agg supports min/max, got {agg!r}")
+    (oldest timestamp per sync state, maintenance.py) at connector level;
+    ``count`` answers COUNT(*) from the manifest's per-file counts."""
+    if agg not in ("min", "max", "count"):
+        raise ValueError(
+            f"read_es_status_agg supports min/max/count, got {agg!r}"
+        )
     st = (
         T.StructType.fromDDL(schema)
         if isinstance(schema, str)
         else (schema or T.StructType.fromDDL(DEFAULT_STATUS_DDL))
     )
+    from pyspark.sql import functions as F
+
+    if agg == "count":
+        n = manifest_count(path)
+        out_schema = T.StructType([T.StructField("n_rows", T.LongType())])
+        if n is not None:
+            return spark.createDataFrame([(n,)], out_schema)
+        narrow = T.StructType([st.fields[0]])
+        return read_es_status(spark, path, narrow).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
     dt = next((f.dataType for f in st.fields if f.name == col), None)
     if dt is None:
         raise ValueError(f"column {col!r} not in the declared schema")
@@ -957,11 +1075,67 @@ def read_es_status_agg(
     if bounds is not None:
         val = bounds[0] if agg == "min" else bounds[1]
         return spark.createDataFrame([(val,)], out_schema)
-    from pyspark.sql import functions as F
-
     narrow = T.StructType([next(f for f in st.fields if f.name == col)])
     fn = F.min if agg == "min" else F.max
     return read_es_status(spark, path, narrow).agg(fn(col).alias(f"{agg}_{col}"))
+
+
+def read_es_status_agg_grouped(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    agg: str = "min",
+    group_col: str = "es_index",
+    groups: list | None = None,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Per-group min/max of ``col`` (plus exact per-group counts when the
+    manifest carries them), optionally restricted to ``groups`` — the
+    reference's filtered-oldest-signal shape (QueryOldestSignal with a
+    name filter, clickhouse.go:65-88) answered from manifest stats when
+    every file is single-valued on the group column, else a real grouped
+    scan.  Stats-only result is a local relation: ZERO files read."""
+    if agg not in ("min", "max"):
+        raise ValueError(f"grouped agg supports min/max, got {agg!r}")
+    st = (
+        T.StructType.fromDDL(schema)
+        if isinstance(schema, str)
+        else (schema or T.StructType.fromDDL(DEFAULT_STATUS_DDL))
+    )
+    dt = next((f.dataType for f in st.fields if f.name == col), None)
+    gdt = next((f.dataType for f in st.fields if f.name == group_col), None)
+    if dt is None or gdt is None:
+        raise ValueError(
+            f"columns {col!r}/{group_col!r} not in the declared schema"
+        )
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, gdt),
+            T.StructField(f"{agg}_{col}", dt),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
+    per_group = manifest_grouped_agg(path, col, dt, group_col, gdt)
+    if per_group is not None:
+        rows = [
+            (g, lo if agg == "min" else hi, n)
+            for g, (lo, hi, n) in sorted(per_group.items())
+            if groups is None or g in set(groups)
+        ]
+        return spark.createDataFrame(rows, out_schema)
+    narrow = T.StructType(
+        [f for f in st.fields if f.name in (col, group_col)]
+    )
+    df = read_es_status(spark, path, narrow)
+    if groups is not None:
+        df = df.filter(F.col(group_col).isin(list(groups)))
+    fn = F.min if agg == "min" else F.max
+    return df.groupBy(group_col).agg(
+        fn(col).alias(f"{agg}_{col}"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
 
 
 def _merge_epoch_into_manifest(path: str, epoch: dict) -> None:
@@ -983,6 +1157,10 @@ def _merge_epoch_into_manifest(path: str, epoch: dict) -> None:
     manifest = {
         "files": sorted(prev["files"] + missing),
         "n_rows": prev["n_rows"] + sum(counts.get(p, 0) for p in missing),
+        "per_file": {
+            **prev.get("per_file", {}),
+            **{p: counts[p] for p in missing if p in counts},
+        },
         "stats": {**prev.get("stats", {}), **epoch.get("stats", {})},
     }
     with open(mpath, "w") as f:

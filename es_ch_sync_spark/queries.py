@@ -1437,6 +1437,57 @@ def q_es_status_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_status_grouped_agg_pushdown",
+    """
+    SELECT 'events_even' AS es_index, min(ts) AS min_time,
+           count(*) AS n_rows
+    FROM events WHERE user_id % 2 = 0
+    """,
+)
+def q_es_status_grouped_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FILTERED oldest-signal shape (QueryOldestSignal
+    with a name filter: min(timestamp) WHERE token_id = ? AND name IN
+    (...), clickhouse.go:65-88) at connector level: events exported under
+    two ES indexes, then min(time) + exact row count for ONE index
+    answered from the manifest ALONE — every export file is single-valued
+    on es_index (recorded as an exact [v, v] stat by the writer), so
+    min-of-mins within the group IS the group minimum, and per-file
+    counts sum to the group count.  The plan assertion pins the
+    stats-only path: a local relation, zero files opened."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io.es_datasource import (
+        read_es_status_agg_grouped,
+        write_es_status,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix=f"es_gagg_{uuid.uuid4().hex[:8]}_")
+    base = ev.select(
+        F.col("event_id").cast("string").alias("es_id"),
+        F.col("user_id"),
+        F.col("ts").alias("time"),
+    )
+    write_es_status(
+        base.filter(F.col("user_id") % 2 == 0).drop("user_id"),
+        out, mode="overwrite", index="events_even", statscolumns="time",
+    )
+    write_es_status(
+        base.filter(F.col("user_id") % 2 == 1).drop("user_id"),
+        out, mode="append", index="events_odd", statscolumns="time",
+    )
+    df = read_es_status_agg_grouped(
+        spark, out, "time", agg="min",
+        groups=["events_even"],
+        schema="es_id string, es_index string, time timestamp",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "PythonDataSource" not in plan, plan
+    return df.select("es_index", "min_time", "n_rows")
+
+
+@register(
     "es_status_stream_scan",
     """
     SELECT CAST(event_id AS VARCHAR) AS es_id,

@@ -829,3 +829,92 @@ def test_stream_reader_offset_retention_horizon(spark, tmp_path):
     r0 = EsStatusStreamReader(schema, {"path": src})
     assert sorted(r0.latestOffset()["seen"]) == [
         "part-new.ndjson", "part-newer.ndjson", "part-old.ndjson"]
+
+
+def test_count_and_grouped_agg_pushdown(spark, tmp_path):
+    """COUNT(*) from per-file manifest counts and per-group min/max from
+    single-valued es_index file stats (the reference's filtered
+    QueryOldestSignal shape) — both zero-scan when provable, both falling
+    back to a real scan when a file straddles groups or a stray file
+    breaks coverage (r5 stretch #7)."""
+    from es_ch_sync_spark.io.es_datasource import (
+        manifest_count,
+        manifest_grouped_agg,
+        read_es_status_agg,
+        read_es_status_agg_grouped,
+    )
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(f"e{i}", 100 + i) for i in range(30)],
+        "es_id string, data_speed long",
+    ).repartition(3)
+    write_es_status(
+        df, sink, mode="append", index="idx_a", statscolumns="data_speed"
+    )
+    df2 = spark.createDataFrame(
+        [(f"f{i}", 500 + i) for i in range(10)],
+        "es_id string, data_speed long",
+    ).coalesce(1)
+    write_es_status(
+        df2, sink, mode="append", index="idx_b", statscolumns="data_speed"
+    )
+
+    # count: manifest-only, zero files read
+    assert manifest_count(sink) == 40
+    cnt = read_es_status_agg(
+        spark, sink, "es_id", "count", "es_id string, data_speed long"
+    )
+    plan = cnt._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "PythonDataSource" not in plan
+    assert cnt.collect()[0]["n_rows"] == 40
+
+    # grouped min/max + exact group counts, stats-only
+    lt = _T.LongType()
+    g = manifest_grouped_agg(sink, "data_speed", lt, "es_index", _T.StringType())
+    assert g == {"idx_a": (100, 129, 30), "idx_b": (500, 509, 10)}
+    got = read_es_status_agg_grouped(
+        spark, sink, "data_speed", "min",
+        schema="es_id string, es_index string, data_speed long",
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "PythonDataSource" not in plan
+    rows = {r["es_index"]: (r["min_data_speed"], r["n_rows"]) for r in got.collect()}
+    assert rows == {"idx_a": (100, 30), "idx_b": (500, 10)}
+    # the groups filter (name-IN analog) restricts the local relation
+    one = read_es_status_agg_grouped(
+        spark, sink, "data_speed", "max", groups=["idx_b"],
+        schema="es_id string, es_index string, data_speed long",
+    ).collect()
+    assert len(one) == 1 and one[0]["max_data_speed"] == 509
+
+    # a multi-group file (hand-dropped, listed via a fresh manifest edit)
+    # makes stats-only grouping unprovable -> scan fallback, same answer
+    import json
+
+    stray = "part-zzz-mixed.ndjson"
+    with open(os.path.join(sink, stray), "w") as f:
+        f.write('{"_id":"s1","_index":"idx_a","_source":{"data_speed":1}}\n')
+        f.write('{"_id":"s2","_index":"idx_b","_source":{"data_speed":999}}\n')
+    mpath = os.path.join(sink, "_ES_COMMIT")
+    with open(mpath) as f:
+        man = json.load(f)
+    man["files"].append(stray)
+    man["n_rows"] += 2
+    man["per_file"][stray] = 2
+    man["stats"][stray] = {
+        "data_speed": ["1", "999"], "es_index": ["idx_a", "idx_b"]
+    }
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+    assert manifest_grouped_agg(
+        sink, "data_speed", lt, "es_index", _T.StringType()
+    ) is None
+    fb = read_es_status_agg_grouped(
+        spark, sink, "data_speed", "min",
+        schema="es_id string, es_index string, data_speed long",
+    )
+    rows = {r["es_index"]: (r["min_data_speed"], r["n_rows"]) for r in fb.collect()}
+    assert rows == {"idx_a": (1, 31), "idx_b": (500, 11)}
+    # count stays provable (per-file counts cover the new file)
+    assert manifest_count(sink) == 42
