@@ -134,12 +134,66 @@ def add_to_ivf_index(
 
     spark = new_emb.sparkSession
     cent = spark.read.parquet(f"{path}/centroids")
-    existing_ids = spark.read.parquet(f"{path}/vectors").select(id_col)
-    fresh = new_emb.join(existing_ids, id_col, "left_anti")
+    existing = spark.read.parquet(f"{path}/vectors")
+    # align the batch's vector element type to the stored layout: appending
+    # array<double> rows into an array<float> index would corrupt every
+    # subsequent read of the touched partitions (parquet type mismatch)
+    stored_vec_dt = next(
+        f.dataType for f in existing.schema.fields if f.name == vec_col
+    )
+    new_emb = new_emb.withColumn(vec_col, F.col(vec_col).cast(stored_vec_dt))
+    fresh = new_emb.join(existing.select(id_col), id_col, "left_anti")
     assign = assign_to_centroids(fresh, cent, id_col=id_col, vec_col=vec_col)
     (
         fresh.join(assign, id_col)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
+    )
+
+
+def ivf_drift_report(
+    spark: SparkSession,
+    path: str,
+    refit_threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantizer-staleness report: per cell, the L2 distance between the
+    STORED centroid and the CURRENT mean of the cell's vectors, with
+    ``needs_refit`` flagged when drift exceeds the threshold — the
+    maintenance trigger that completes the incremental-ingest story
+    (r5 stretch #8): appends route to frozen centroids, so sustained
+    distribution shift degrades cell balance/recall until an offline
+    refit; this report is how a pipeline decides WHEN.
+
+    Fully relational: per-cell means are one partial-aggregable groupBy
+    over (cell, pos) — no vectors ever reach the driver; the output is
+    n_cells rows.  Same economics as embedding_centroid_drift
+    (features.centroid_drift), specialized to the index layout."""
+    from es_ch_sync_spark.operators.util import spread
+
+    vecs = spark.read.parquet(f"{path}/vectors")
+    cent = spark.read.parquet(f"{path}/centroids")
+    # explode in place, carrying the partition column — no join-back
+    pe = spread(vecs.select("cell", vec_col)).select(
+        "cell",
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        ).alias("pos", "x"),
+    )
+    cur = pe.groupBy("cell", "pos").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    joined = cur.join(cent, ["cell", "pos"])
+    return (
+        joined.groupBy("cell")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("m") - F.col("c")) * (F.col("m") - F.col("c")))), 9
+            ).alias("drift"),
+            F.max("n").alias("n_vectors"),
+        )
+        .withColumn("needs_refit", F.col("drift") > F.lit(refit_threshold))
+        .orderBy("cell")
     )

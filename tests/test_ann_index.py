@@ -129,3 +129,42 @@ def test_ivf_incremental_add_is_idempotent(spark, sf_dir, tmp_path):
     vecs = spark.read.parquet(f"{path}/vectors")
     assert vecs.count() == emb.count()
     assert vecs.select("vec_id").distinct().count() == emb.count()
+
+
+def test_ivf_drift_report_triggers_refit(spark, sf_dir, tmp_path):
+    """Quantizer-staleness maintenance (r5 stretch #8): freshly built index
+    reports ~zero drift everywhere; after appending a shifted batch the
+    affected cells' current means move away from the frozen centroids and
+    cross the refit threshold — the signal a pipeline uses to schedule the
+    offline refit.  Also pins that drift is computed over the index layout
+    itself (n_vectors sums to the full post-append corpus)."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.io.ann_index import (
+        add_to_ivf_index,
+        build_ivf_index,
+        ivf_drift_report,
+    )
+    from es_ch_sync_spark.io.sources import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_cells=4)
+
+    fresh = ivf_drift_report(spark, path, refit_threshold=0.05)
+    rows = fresh.collect()
+    assert len(rows) == 4
+    # k-means assignment means the stored centroid IS the cell mean
+    assert all(r["drift"] < 1e-6 and not r["needs_refit"] for r in rows)
+    assert sum(r["n_vectors"] for r in rows) == emb.count()
+
+    # distribution shift: append a strongly offset copy of the corpus
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(5.0)).alias("embedding"),
+    )
+    add_to_ivf_index(shifted, path)
+    after = ivf_drift_report(spark, path, refit_threshold=0.05)
+    rows2 = after.collect()
+    assert sum(r["n_vectors"] for r in rows2) == 2 * emb.count()
+    assert any(r["needs_refit"] for r in rows2), rows2
