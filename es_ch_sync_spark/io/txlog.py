@@ -438,6 +438,84 @@ def table_history(table: str) -> list[dict]:
     ]
 
 
+def txlog_compact(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+    stats_cols: list[str] | None = None,
+    expected_base: int | None = None,
+) -> dict:
+    """OPTIMIZE: bin-pack the snapshot's small data files into
+    ~``target_file_bytes`` files in ONE serializable commit — the answer
+    to the small-file problem every streaming/micro-batch ingest creates
+    (a 100 TB table fed by per-batch appends accumulates millions of tiny
+    files; scan planning, footer reads, and shuffle-fetch all degrade
+    linearly in file COUNT, not bytes).  Modeled on Delta OPTIMIZE
+    (public docs/whitepaper), expressed as this log's native remove+add
+    entry, which the snapshot replay already understands — so:
+
+    - readers at the CURRENT version see the same rows through fewer,
+      right-sized files (compaction rewrites bytes, never row content);
+    - TIME TRAVEL below the compaction still replays the original small
+      files (they stay on disk until ``vacuum``);
+    - per-file [min, max] stats are recomputed for the packed files
+      (``stats_cols``), so bounded-read pruning keeps working;
+    - conflict rule: strict WriteSerializable like txlog_overwrite — the
+      commit is pinned at ``expected_base``+1 (default: the version the
+      file listing was read at) and a lost race raises; the caller simply
+      re-runs compaction against the new snapshot.  Appends composing
+      with in-flight compaction is future work Delta solves with
+      conflict re-checks; strict-and-retry is the honest simple rule.
+
+    Files at or above ``small_file_bytes`` (default: target/2) are left
+    untouched — re-writing already-right-sized files is wasted IO.
+    Returns {'version', 'compacted_files', 'new_files', 'bytes'};
+    a no-op (0 or 1 small file) commits nothing."""
+    base = expected_base if expected_base is not None else current_version(table)
+    if base is None:
+        return {"version": None, "compacted_files": 0, "new_files": 0, "bytes": 0}
+    cutoff = small_file_bytes if small_file_bytes is not None else target_file_bytes // 2
+    small: list[str] = []
+    total = 0
+    for rel in snapshot_files(table, base):
+        try:
+            sz = os.path.getsize(os.path.join(table, rel))
+        except OSError:
+            continue
+        if sz < cutoff:
+            small.append(rel)
+            total += sz
+    if len(small) <= 1:
+        return {"version": base, "compacted_files": 0, "new_files": 0, "bytes": 0}
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(*[os.path.join(table, f) for f in small])
+    files = _write_data_files(df.repartition(n_out), table)
+    entry: dict = {"op": "compact", "add": files, "remove": small}
+    if stats_cols:
+        st = _collect_file_stats(table, files, stats_cols)
+        if st:
+            entry["stats"] = st
+    if not _try_commit(table, base + 1, entry):
+        # lost the race: remove the freshly written (uncommitted) files so
+        # they don't linger as orphans, then let the caller re-run
+        for rel in files:
+            try:
+                os.remove(os.path.join(table, rel))
+            except OSError:
+                pass
+        raise TxConflictError(
+            f"compaction of {table} raced another commit at version "
+            f"{base + 1}; re-run against the new snapshot"
+        )
+    return {
+        "version": base + 1,
+        "compacted_files": len(small),
+        "new_files": len(files),
+        "bytes": total,
+    }
+
+
 def vacuum(table: str, keep_versions: int = 1) -> dict:
     """Delete data files unreferenced by the newest ``keep_versions``
     snapshots, and commit a ``truncate`` marker so time travel below the

@@ -1481,6 +1481,69 @@ def q_txlog_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
 
 
+@register(
+    "txlog_compacted_scan",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_events,
+           min(ts) AS ts_min, max(ts) AS ts_max,
+           sum(value::DECIMAL(14,2))::DOUBLE AS v_sum
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def q_txlog_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE end-to-end on the engine's own table format: a micro-batch
+    ingest pattern (ten small appends — the small-file problem every
+    streaming sink creates at 100 TB) followed by ``txlog_compact``
+    bin-packing the snapshot into right-sized files in one serializable
+    commit.  The query asserts the file count collapsed and that the scan
+    now opens ONLY the packed files, then proves row-level fidelity by
+    aggregating the compacted table against the source-of-truth oracle —
+    compaction rewrites bytes, never rows.  Time travel to the
+    pre-compaction version is also exercised (same row count through the
+    original small files)."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io import txlog as tx
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    fact = tempfile.mkdtemp(prefix=f"txcompact_{uuid.uuid4().hex[:8]}_") + "/fact"
+    for b in range(10):
+        tx.txlog_append(
+            ev.filter(F.col("event_id") % 10 == b).coalesce(1),
+            fact,
+            stats_cols=["ts"],
+        )
+    n_small = len(tx.snapshot_files(fact))
+    pre_version = tx.current_version(fact)
+    res = tx.txlog_compact(
+        spark, fact, target_file_bytes=1 << 30, stats_cols=["ts"]
+    )
+    assert res["compacted_files"] == n_small, res
+    packed = tx.snapshot_files(fact)
+    assert len(packed) < n_small, (len(packed), n_small)
+    df = tx.read_table(spark, fact)
+    opened = {p.rsplit("/", 1)[-1] for p in df.inputFiles()}
+    assert opened == {p.rsplit("/", 1)[-1] for p in packed}, opened
+    # time travel below the compaction replays the small files, same rows
+    assert (
+        tx.read_table(spark, fact, version=pre_version).count() == df.count()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_events"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("v_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dynamic partition pruning over the date-partitioned signal layout
 # ---------------------------------------------------------------------------

@@ -409,3 +409,71 @@ def test_stats_pruning_refuses_string_value_on_timestamp_column(spark, tmp_path)
         t, tx.snapshot_files(t), [("ts", ">", "2024-01-09")]
     )
     assert len(kept2) == n
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    """OPTIMIZE bin-packing: N small appends -> one compact commit with
+    fewer files and bit-identical rows; time travel below the compaction
+    still replays the original small files; recomputed stats keep
+    bounded-read pruning working on the packed layout."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    for d in range(1, 6):
+        tx.txlog_append(_ts_df(spark, d, d + 1), t, stats_cols=["ts", "id"])
+    pre_files = tx.snapshot_files(t)
+    pre_ids = _ids(spark, t)
+    assert len(pre_files) >= 5
+
+    res = tx.txlog_compact(spark, t, target_file_bytes=1 << 30,
+                           stats_cols=["ts", "id"])
+    assert res["compacted_files"] == len(pre_files) and res["new_files"] >= 1
+    post_files = tx.snapshot_files(t)
+    assert len(post_files) < len(pre_files)
+    assert _ids(spark, t) == pre_ids
+    # fast (checkpointed) replay agrees on the compacted snapshot
+    assert sorted(tx.snapshot_files_fast(t)) == sorted(post_files)
+
+    # time travel: the pre-compaction version replays the small files
+    assert sorted(tx.snapshot_files(t, res["version"] - 1)) == sorted(pre_files)
+    assert _ids(spark, t, res["version"] - 1) == pre_ids
+
+    # stats pruning still effective on the packed files
+    lo = datetime.datetime(2024, 1, 3)
+    pruned = tx.prune_snapshot_files(t, post_files, [("ts", "<", lo)])
+    # all rows < Jan 3 live in a subset of the packed files only when the
+    # pack produced >1 file; with one packed file pruning keeps it — the
+    # invariant under test is SUPERSET correctness, not selectivity
+    from pyspark.sql import functions as F
+
+    want = sorted(
+        r.id for r in tx.read_table(spark, t).filter(F.col("ts") < F.lit(lo)).collect()
+    )
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*[os.path.join(t, f) for f in pruned])
+        .filter(F.col("ts") < F.lit(lo))
+        .collect()
+    )
+    assert got == want
+
+    # already-compacted table: everything right-sized -> no-op, no commit
+    v = tx.current_version(t)
+    res2 = tx.txlog_compact(spark, t, target_file_bytes=1 << 30)
+    assert res2["compacted_files"] == 0 and tx.current_version(t) == v
+
+
+def test_compaction_conflict_is_loud_and_clean(spark, tmp_path):
+    """A compaction computed against a stale base must raise (strict
+    WriteSerializable, same rule as overwrite) AND remove its own
+    uncommitted packed files — no orphan residue."""
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 0, 5), t)
+    tx.txlog_append(_df(spark, 5, 9), t)
+    base = tx.current_version(t)
+    tx.txlog_append(_df(spark, 9, 12), t)  # another writer wins the race
+    with pytest.raises(tx.TxConflictError):
+        tx.txlog_compact(spark, t, target_file_bytes=1 << 30,
+                         expected_base=base)
+    assert tx.vacuum_orphans(t) == 0  # loser cleaned up after itself
+    assert _ids(spark, t) == list(range(12))
