@@ -745,3 +745,102 @@ def negative_sample_pairs(
     return hashed.join(negs, "neg_pos").select(
         "anchor_id", "slot", "neg_id", "neg_" + attr_col
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    n_select: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS
+    2023): score every raw document by the log importance ratio
+    log p_target(x) − log p_raw(x) under bag-of-hashed-ngrams models
+    (unigrams + bigrams hashed into ``n_buckets``, add-one smoothing)
+    fit on the ``target`` subset vs the whole corpus, and keep the
+    ``n_select`` highest-scoring documents — the published recipe for
+    picking pretraining data that "looks like" a trusted target corpus
+    without training a classifier.
+
+    Plan shape at scale: one explode of (unigrams ++ bigrams) → a
+    B-row bucket census (partial-aggregable, counts both models in one
+    pass via a conditional sum) → the B-row log-ratio table broadcast
+    back onto per-(doc, bucket) counts → per-doc quantized-BIGINT sum
+    (order-independent across engines) → global top-n.  Nothing but the
+    keyed aggregations scales with the corpus; the model itself is B
+    rows.  Deterministic: hashing is the md5-fold construction shared
+    with the split/minhash oracles, no RNG anywhere."""
+    from es_ch_sync_spark.operators.text import words
+
+    ws = words(F.col(text_col))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.when(target, 1).otherwise(0).alias("_t"),
+        ws.alias("_ws"),
+    )
+    bigrams = F.when(
+        F.size("_ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_ws") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_ws"), i + 1),
+                F.element_at(F.col("_ws"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        id_col, "_t", F.explode(F.concat(F.col("_ws"), bigrams)).alias("g")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("g"))), 1, 14
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    gb = grams.select(id_col, "_t", bucket.alias("b"))
+    census = gb.groupBy("b").agg(
+        F.sum("_t").alias("c_t"), F.count(F.lit(1)).alias("c_r")
+    )
+    tot = census.agg(
+        F.sum("c_t").alias("_T"), F.sum("c_r").alias("_R")
+    )
+    delta = census.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log(
+                (F.col("c_t") + 1).cast("double")
+                / (F.col("_T") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("c_r") + 1).cast("double")
+                / (F.col("_R") + n_buckets).cast("double")
+            )
+        ).alias("d"),
+    )
+    db = gb.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c_db"))
+    scored = (
+        db.join(F.broadcast(delta), "b")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("c_db").cast("double") * F.col("d") * F.lit(1e9)
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / F.lit(1e9)
+            ).alias("dsir_score")
+        )
+    )
+    return scored.orderBy(
+        F.col("dsir_score").desc(), F.col(id_col).asc()
+    ).limit(n_select)

@@ -661,3 +661,59 @@ def sq8_topk(
     survivors = emb.join(F.broadcast(cand), id_col, "left_semi")
     return cosine_topk(survivors, query_vec, k=k, id_col=id_col, vec_col=vec_col,
                        exclude_id=exclude_id)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    score_a: str,
+    score_b: str,
+    id_col: str = "doc_id",
+    k0: int = 60,
+    n_out: int = 15,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009): fuse two
+    retrievers' result lists by summing 1/(k0 + rank) — the standard
+    hybrid-retrieval combiner (ES/OpenSearch use exactly this for
+    lexical+dense fusion) that needs no score calibration between
+    heterogeneous scorers.
+
+    Inputs are each retriever's ALREADY-TRUNCATED top-k frame (bounded —
+    tens of rows), so the rank windows and the full-outer fusion join are
+    driver-scale trivia no matter the corpus size; all the data-sized work
+    happened inside the retrievers.  Ranks are assigned on (score desc,
+    id asc) so ties are deterministic cross-engine; each 1/(k0+rank) term
+    is an exactly-rounded IEEE division, identical in both engines."""
+    from pyspark.sql import Window as W
+
+    ra = ranked_a.select(
+        F.col(id_col),
+        F.row_number()
+        .over(W.orderBy(F.col(score_a).desc(), F.col(id_col).asc()))
+        .alias("rank_a"),
+    )
+    rb = ranked_b.select(
+        F.col(id_col),
+        F.row_number()
+        .over(W.orderBy(F.col(score_b).desc(), F.col(id_col).asc()))
+        .alias("rank_b"),
+    )
+    fused = ra.join(rb, id_col, "full_outer").select(
+        id_col,
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("rank_b")), F.lit(0.0))
+        ).alias("_rrf"),
+        "rank_a",
+        "rank_b",
+    )
+    return (
+        fused.orderBy(F.col("_rrf").desc(), F.col(id_col).asc())
+        .limit(n_out)
+        .select(
+            id_col,
+            F.round("_rrf", 9).alias("rrf_score"),
+            "rank_a",
+            "rank_b",
+        )
+    )

@@ -1434,3 +1434,40 @@ def language_mixture_sql() -> str:
            round(sum(n_tok)::DOUBLE / (SELECT t FROM tot), 6) AS token_share
     FROM l GROUP BY lang
     """
+
+
+def rrf_hybrid_sql(
+    terms: list[str],
+    query_id: int = 0,
+    k_each: int = 20,
+    k0: int = 60,
+    n_out: int = 15,
+) -> str:
+    """Mirror of similarity.rrf_fuse over (bm25_topk, cosine_topk):
+    reciprocal-rank fusion of the lexical and dense top-k lists, ranks
+    assigned on (score desc, id asc), 1/(k0+rank) summed as exactly-
+    rounded IEEE divisions (identical in both engines)."""
+    lex = bm25_topk_sql(terms, k=k_each)
+    den = cosine_topk_sql(query_id=query_id, k=k_each)
+    return f"""
+    WITH lex AS MATERIALIZED ({lex}),
+    den AS MATERIALIZED ({den}),
+    lr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_a
+        FROM lex
+    ),
+    dr AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank_b
+        FROM den
+    )
+    SELECT doc_id,
+           round(coalesce(1.0 / ({k0} + rank_a), 0.0)
+               + coalesce(1.0 / ({k0} + rank_b), 0.0), 9) AS rrf_score,
+           rank_a, rank_b
+    FROM lr FULL OUTER JOIN dr USING (doc_id)
+    ORDER BY coalesce(1.0 / ({k0} + rank_a), 0.0)
+           + coalesce(1.0 / ({k0} + rank_b), 0.0) DESC, doc_id ASC
+    LIMIT {n_out}
+    """

@@ -628,3 +628,69 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+def _dsir_oracle(n_buckets: int = 512, n_select: int = 100) -> str:
+    fold = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, 15), j -> "
+        "(strpos('0123456789abcdef', substr(md5('dsir:' || g), j, 1)) - 1)::BIGINT)), "
+        f"(a, b) -> a * 16 + b) % {n_buckets}"
+    )
+    return f"""
+    WITH n AS (
+        SELECT doc_id, lang, {oracles.NORM.format(col='text')} AS nt
+        FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (SELECT doc_id, lang, string_split(nt, ' ') AS ws FROM n),
+    g AS (
+        SELECT doc_id, lang, unnest(ws) AS g FROM w
+        UNION ALL
+        SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+        FROM w, unnest(range(1, len(ws))) AS t(i)
+    ),
+    gb AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+               {fold} AS b
+        FROM g
+    ),
+    census AS (
+        SELECT b, sum(t)::BIGINT AS c_t, count(*)::BIGINT AS c_r
+        FROM gb GROUP BY b
+    ),
+    tot AS (SELECT sum(c_t)::BIGINT AS ct, sum(c_r)::BIGINT AS cr FROM census),
+    delta AS (
+        SELECT b,
+               ln((c_t + 1)::DOUBLE / (ct + {n_buckets})::DOUBLE)
+             - ln((c_r + 1)::DOUBLE / (cr + {n_buckets})::DOUBLE) AS d
+        FROM census, tot
+    ),
+    db AS (SELECT doc_id, b, count(*)::BIGINT AS c_db FROM gb GROUP BY 1, 2),
+    score AS (
+        SELECT db.doc_id,
+               CAST(sum(floor(c_db::DOUBLE * d * 1e9 + 0.5)::BIGINT)
+                    AS BIGINT)::DOUBLE / 1e9 AS dsir_score
+        FROM db JOIN delta USING (b)
+        GROUP BY db.doc_id
+    )
+    SELECT doc_id, dsir_score FROM score
+    ORDER BY dsir_score DESC, doc_id ASC
+    LIMIT {n_select}
+    """
+
+
+@register("dsir_select", _dsir_oracle())
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling: rank the raw corpus by
+    log p_target − log p_raw under hashed-ngram bag models fit on the
+    'en' subset vs everything, keep the top 100 — the published
+    target-matching curation recipe, fully relational (B-row model,
+    broadcast log-ratio join, quantized order-independent doc sums)."""
+    from es_ch_sync_spark.operators.sampling import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(docs, target=F.col("lang") == "en", n_select=100)

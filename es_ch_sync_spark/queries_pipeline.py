@@ -1815,3 +1815,23 @@ def q_streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
     drain(q, 180)
     return read_rollup_view(spark, view)
+
+
+@register("hybrid_rrf_retrieval", _o.rrf_hybrid_sql(_BM25_TERMS, query_id=0))
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 + exact dense cosine top-20
+    (doc_id and vec_id share an id space in the corpus) fused with
+    Reciprocal Rank Fusion — the calibration-free lexical+dense combiner
+    ES/OpenSearch ship for exactly this shape.  All data-sized work lives
+    in the two retrievers (filtered-explode BM25, scan+TakeOrdered
+    cosine); fusion itself ranks and joins two ≤20-row frames."""
+    from es_ch_sync_spark.operators.similarity import cosine_topk, rrf_fuse
+    from es_ch_sync_spark.operators.text import bm25_topk
+    from es_ch_sync_spark.queries import _query_vec
+
+    lex = bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+    den = cosine_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _query_vec(sf_dir), k=20, exclude_id=0,
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse(lex, den, "bm25", "cos_sim", id_col="doc_id", n_out=15)

@@ -301,3 +301,53 @@ def test_interval_concurrency_decomposition_vs_brute(spark):
         day = t.replace(hour=0, minute=0, second=0, microsecond=0)
         peak[day] = max(peak.get(day, 0), c)
     assert {k: v for k, v in got.items()} == peak
+
+
+def test_dsir_select_prefers_target_like_docs(spark, sf_dir):
+    """DSIR importance ranking: scoring against an 'en' target model must
+    rank English documents above the rest (the method's defining
+    property), deterministically across runs."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.sampling import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sel = dsir_select(docs, target=F.col("lang") == "en", n_select=50)
+    rows = sel.collect()
+    assert len(rows) == 50
+    picked = {r["doc_id"] for r in rows}
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in docs.filter(F.col("doc_id").isin(list(picked))).collect()
+    }
+    en_share = sum(1 for v in langs.values() if v == "en") / len(langs)
+    corpus_en = (
+        docs.filter(F.col("lang") == "en").count() / docs.count()
+    )
+    assert en_share >= corpus_en, (en_share, corpus_en)
+    # deterministic: same ranking on a second run
+    again = dsir_select(docs, target=F.col("lang") == "en", n_select=50)
+    assert [tuple(r) for r in again.collect()] == [tuple(r) for r in rows]
+
+
+def test_rrf_fuse_combines_rank_lists(spark):
+    """RRF: a doc present in both lists outscores single-list docs of
+    similar rank; scores are 1/(60+r) sums with full-outer semantics."""
+    from es_ch_sync_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, s1 double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (4, 0.8), (5, 0.7)], "doc_id long, s2 double"
+    )
+    got = {r["doc_id"]: r for r in rrf_fuse(a, b, "s1", "s2", n_out=5).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # doc 3: rank 3 lexical + rank 1 dense
+    assert got[3]["rank_a"] == 3 and got[3]["rank_b"] == 1
+    assert abs(got[3]["rrf_score"] - (1 / 63 + 1 / 61)) < 1e-9
+    # single-list docs carry one term only, and doc 3 beats them all
+    assert got[1]["rank_b"] is None
+    assert got[3]["rrf_score"] > max(
+        got[i]["rrf_score"] for i in (1, 2, 4, 5)
+    )
