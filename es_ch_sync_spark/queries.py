@@ -298,6 +298,68 @@ def q_es_status_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("es_id", "subject", "ts", "event_type", "value")
 
 
+@register(
+    "es_dsl_scan",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS es_id,
+           CAST(user_id AS VARCHAR) AS subject,
+           ts, event_type, value
+    FROM events
+    WHERE CAST(user_id AS VARCHAR) = '7'
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+      AND value IS NOT NULL
+    ORDER BY ts DESC, es_id ASC
+    LIMIT 100
+    """,
+)
+def q_es_dsl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's GetRecordsSince REQUEST, replayed verbatim as a
+    DSL document (elastic.go:46-80: bool.filter = [match(subject),
+    range(time, gte/lt as stringified UnixMilli)], bool.should =
+    [exists(field)] with minimum_should_match=1, _source.includes
+    projection, sort desc, size) and translated into one declarative
+    Spark plan by operators/es_dsl.py.  Every DSL clause lowers to an
+    ordinary Catalyst construct, so the match/range/exists predicates
+    push into the es_status source (asserted: no post-scan Filter node)
+    and sort+size lower to TakeOrderedAndProject.  The only deliberate
+    addition over the reference's request is the es_id sort tie-break,
+    which both engines need for a deterministic top-100."""
+    from datetime import datetime, timezone
+
+    from es_ch_sync_spark.io.es_datasource import read_es_status
+    from es_ch_sync_spark.operators.es_dsl import apply_es_dsl
+
+    def ms(*a) -> str:  # the reference sends strconv.Itoa(UnixMilli)
+        return str(int(datetime(*a, tzinfo=timezone.utc).timestamp() * 1000))
+
+    request = {
+        "query": {
+            "bool": {
+                "filter": [
+                    {"match": {"subject": {"query": "7"}}},
+                    {"range": {"ts": {"gte": ms(2024, 1, 8), "lt": ms(2024, 1, 20)}}},
+                ],
+                "should": [{"exists": {"field": "value"}}],
+                "minimum_should_match": 1,
+            }
+        },
+        "_source": {"includes": ["es_id", "subject", "ts", "event_type", "value"]},
+        "sort": [{"ts": {"order": "desc"}}, {"es_id": {"order": "asc"}}],
+        "size": 100,
+    }
+    path = _es_export_dir(spark, sf_dir)
+    df = read_es_status(
+        spark, path,
+        "es_id string, subject string, ts timestamp, event_type string, value double",
+    )
+    out = apply_es_dsl(df, request)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Filter (" not in plan, plan  # every clause pushed into the source
+    return out
+
+
 # ---------------------------------------------------------------------------
 # T1/T2 — wide→tall unpivot (sync.go:187-208)
 # ---------------------------------------------------------------------------
