@@ -594,3 +594,90 @@ def language_mixture(
             ),
         )
     )
+
+
+_LR_PUNCT_CLASS = "[!-/:-@\\[-`{-~]"
+
+
+def _lr_features(df: DataFrame, text_col: str, label: Column):
+    """(doc_id, y, x1..x4) — bias, log-length, punct ratio, digit ratio.
+    Every feature is a closed-form column expression both engines state
+    identically, so the whole training loop is cross-engine exact."""
+    t = F.col(text_col)
+    ln = F.length(t)
+    punct = ln - F.length(F.regexp_replace(t, _LR_PUNCT_CLASS, ""))
+    digit = ln - F.length(F.regexp_replace(t, "[0-9]", ""))
+    return df.select(
+        F.col("doc_id"),
+        F.when(label, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        F.lit(1.0).alias("x1"),
+        (F.log(F.lit(1.0) + ln.cast("double")) / F.lit(10.0)).alias("x2"),
+        (punct.cast("double") / (ln + F.lit(1)).cast("double")).alias("x3"),
+        (digit.cast("double") / (ln + F.lit(1)).cast("double")).alias("x4"),
+    )
+
+
+def quality_lr_scores(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    iters: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Trained quality classifier — the fasttext/logistic filter step of
+    published pretraining pipelines (GPT-3's WebText-similarity LR,
+    LLaMA/CCNet's fasttext gate), as batch-gradient logistic regression
+    trained relationally and scored in the same plan.
+
+    Split of labor (the pca_top_component recipe applied to GD):
+    - each iteration's DATA-SIZED work is one distributed aggregate:
+      per-doc residual (y − σ(w·x)) times each feature, quantized
+      floor(r·x_i·1e9 + 0.5) and summed as BIGINT — order-independent,
+      so Spark's partial aggregation and DuckDB's sum walk the same
+      integers;
+    - the driver update is O(dims): w_i ← half-up-9dp(w_i + lr·g_i/n),
+      identical double arithmetic to the oracle's unrolled CTE chain
+      (oracles.quality_lr_sql), and the quantized weights are what every
+      next iteration's σ sees — bit-stable end to end.
+
+    Returns (doc_id, y, p_quality 6dp, pred) for every labeled doc; the
+    classifier itself is the 4-weight vector, never materialized wider
+    than O(dims) anywhere."""
+    import math
+
+    feats = _lr_features(
+        df.filter(F.col(text_col).isNotNull()), text_col, label
+    )
+    feats.cache()
+    n = feats.count()
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = ["x1", "x2", "x3", "x4"]
+    for _ in range(iters):
+        z = sum(F.lit(w[i]) * F.col(xs[i]) for i in range(4))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = F.col("y") - p
+        gints = feats.agg(
+            *[
+                F.sum(
+                    F.floor(r * F.col(xs[i]) * F.lit(1e9) + F.lit(0.5)).cast("long")
+                ).alias(f"g{i}")
+                for i in range(4)
+            ]
+        ).collect()[0]
+        w = [
+            math.floor(
+                (w[i] + lr * (gints[f"g{i}"] / 1e9) / n) * 1e9 + 0.5
+            )
+            / 1e9
+            for i in range(4)
+        ]
+    z = sum(F.lit(w[i]) * F.col(xs[i]) for i in range(4))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    out = feats.select(
+        "doc_id",
+        F.col("y").cast("long").alias("y"),
+        (F.floor(p * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("p_quality"),
+        (p >= F.lit(0.5)).cast("int").alias("pred"),
+    )
+    feats.unpersist()
+    return out

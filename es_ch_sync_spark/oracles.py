@@ -1471,3 +1471,55 @@ def rrf_hybrid_sql(
            + coalesce(1.0 / ({k0} + rank_b), 0.0) DESC, doc_id ASC
     LIMIT {n_out}
     """
+
+
+def quality_lr_sql(iters: int = 3, lr: float = 1.0) -> str:
+    """Mirror of text.quality_lr_scores: batch-GD logistic regression
+    unrolled as a CTE chain (the pca_top_component_sql recipe) — each
+    iteration's gradient is a quantized-BIGINT sum, each weight update
+    the identical half-up-9dp double arithmetic the Spark driver does."""
+    punct = "[!-/:-@\\[-`{-~]"
+    feats = f"""
+    feats AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               1.0 AS x1,
+               ln(1.0 + length(text)::DOUBLE) / 10.0 AS x2,
+               (length(text) - length(regexp_replace(text, '{punct}', '', 'g')))::DOUBLE
+                   / (length(text) + 1)::DOUBLE AS x3,
+               (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                   / (length(text) + 1)::DOUBLE AS x4
+        FROM documents WHERE text IS NOT NULL
+    ),
+    nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM feats)"""
+    ctes = [feats]
+    w_cols = "w1, w2, w3, w4"
+    prev = "w0"
+    ctes.append("w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)")
+    for t in range(1, iters + 1):
+        z = " + ".join(f"{prev}.w{i} * x{i}" for i in range(1, 5))
+        gsel = ", ".join(
+            f"CAST(sum(floor((y - 1.0 / (1.0 + exp(-({z})))) * x{i} "
+            f"* 1e9 + 0.5)::BIGINT) AS BIGINT) AS g{i}"
+            for i in range(1, 5)
+        )
+        ctes.append(
+            f"g{t} AS MATERIALIZED (SELECT {gsel} FROM feats, {prev})"
+        )
+        wsel = ", ".join(
+            f"floor(({prev}.w{i} + {lr} * (g{t}.g{i}::DOUBLE / 1e9) / nn.n)"
+            f" * 1e9 + 0.5) / 1e9 AS w{i}"
+            for i in range(1, 5)
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT {wsel} FROM {prev}, g{t}, nn)"
+        )
+        prev = f"w{t}"
+    z = " + ".join(f"{prev}.w{i} * x{i}" for i in range(1, 5))
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT doc_id, y::BIGINT AS y,
+           floor(1.0 / (1.0 + exp(-({z}))) * 1e6 + 0.5) / 1e6 AS p_quality,
+           CASE WHEN 1.0 / (1.0 + exp(-({z}))) >= 0.5 THEN 1 ELSE 0 END AS pred
+    FROM feats, {prev}
+    """

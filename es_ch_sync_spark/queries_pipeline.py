@@ -1835,3 +1835,17 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _query_vec(sf_dir), k=20, exclude_id=0,
     ).withColumnRenamed("vec_id", "doc_id")
     return rrf_fuse(lex, den, "bm25", "cos_sim", id_col="doc_id", n_out=15)
+
+
+@register("quality_lr_scores", _o.quality_lr_sql(iters=3))
+def q_quality_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained logistic-regression quality classifier (the fasttext/LR
+    gate of GPT-3/CCNet-style pipelines): 3 batch-GD iterations over
+    closed-form text features, each iteration one distributed
+    quantized-BIGINT gradient aggregate + an O(dims) driver update
+    identical to the oracle's unrolled CTE chain; scores every doc in
+    the same plan."""
+    from es_ch_sync_spark.operators.text import quality_lr_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)

@@ -152,3 +152,22 @@ def test_bpe_apply_roundtrips_training_state(spark):
     ).collect()
     for r in enc:
         assert "".join(r["toks"]) == r["word"]
+
+
+def test_quality_lr_training_moves_weights_and_is_deterministic(spark, sf_dir):
+    """3 GD iterations must move the decision away from the w=0 start
+    (where every score is exactly 0.5) and produce identical output on a
+    re-run — the bit-stability contract the oracle chain relies on."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.text import quality_lr_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)
+    rows = out.collect()
+    assert len(rows) == docs.filter(F.col("text").isNotNull()).count()
+    assert all(0.0 <= r["p_quality"] <= 1.0 for r in rows)
+    # trained: scores are not the untrained constant 0.5
+    assert any(abs(r["p_quality"] - 0.5) > 1e-3 for r in rows)
+    again = quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
