@@ -844,3 +844,54 @@ def dsir_select(
     return scored.orderBy(
         F.col("dsir_score").desc(), F.col(id_col).asc()
     ).limit(n_select)
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights_permille: dict[str, int],
+    token_budget: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pretraining-mix planner: given target mixture weights (permille)
+    and a total token budget, emit per-source sampling plans — target
+    tokens, full epochs over the source, and the sampled fraction of the
+    final pass — the "epochs per source" table every published
+    pretraining recipe states (LLaMA Table 1, GPT-3 Table 2.2) computed
+    from the corpus itself.
+
+    All integer arithmetic (permille weights, floor-div splits), so the
+    plan is bit-identical cross-engine; per-source token totals are one
+    map pass + a source-keyed partial aggregate."""
+    from es_ch_sync_spark.operators.text import token_count_ws
+
+    w_tot = sum(weights_permille.values())
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights_permille.items() for x in kv]
+    )
+    per_src = (
+        df.filter(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            token_count_ws(F.col(text_col)).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .withColumn("w", wmap[F.col("source")])
+        .filter(F.col("w").isNotNull())
+    )
+    target = F.expr(f"div({token_budget} * w, {w_tot})")
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        target.alias("target_tokens"),
+        F.expr(f"div(div({token_budget} * w, {w_tot}), n_tokens)").alias(
+            "full_epochs"
+        ),
+        F.round(
+            (target % F.col("n_tokens")).cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("final_pass_frac"),
+    ).orderBy("source")

@@ -681,3 +681,41 @@ def quality_lr_scores(
     )
     feats.unpersist()
     return out
+
+
+def tokenizer_fertility(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language tokenizer fertility report — tokens-per-word and
+    bytes-per-token under the BPE-ish regex tokenizer vs whitespace
+    words.  Fertility is THE cross-lingual tokenizer-health metric a
+    multilingual pretraining pipeline tracks (a language whose fertility
+    runs hot pays more compute per word and starves in a token-budgeted
+    mix; the standard argument for tokenizer rebalancing).
+
+    One map pass (both token counts are pure column expressions over the
+    scan) and one partial-aggregated groupBy on the tiny language key —
+    the same shape as language_mixture, trivially 100 TB-safe."""
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(lang_col).isNotNull()
+    ).select(
+        F.col(lang_col).alias("lang"),
+        token_count_ws(F.col(text_col)).alias("n_ws"),
+        token_count_bpe(F.col(text_col)).alias("n_bpe"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("n_words"),
+            F.sum("n_bpe").alias("n_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_bpe").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

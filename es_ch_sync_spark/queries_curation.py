@@ -694,3 +694,42 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return dsir_select(docs, target=F.col("lang") == "en", n_select=100)
+
+
+_MIX_WEIGHTS = {"src1": 400, "src2": 300, "src3": 200, "src4": 100}
+_MIX_BUDGET = 1_000_000
+
+
+def _mixture_plan_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
+    )
+    w_tot = sum(_MIX_WEIGHTS.values())
+    b = _MIX_BUDGET
+    return f"""
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len(string_split({oracles.NORM.format(col='text')}, ' ')))::BIGINT
+                   AS n_tokens,
+               CASE source {cases} ELSE NULL END AS w
+        FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL
+        GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           ({b} * w) // {w_tot} AS target_tokens,
+           (({b} * w) // {w_tot}) // n_tokens AS full_epochs,
+           round(((({b} * w) // {w_tot}) % n_tokens)::DOUBLE
+                 / n_tokens::DOUBLE, 6) AS final_pass_frac
+    FROM per_src WHERE w IS NOT NULL ORDER BY source
+    """
+
+
+@register("mixture_plan", _mixture_plan_oracle())
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture planning: per-source target tokens, full
+    epochs, and final-pass sampling fraction from permille weights —
+    all-integer arithmetic, bit-identical cross-engine."""
+    from es_ch_sync_spark.operators.sampling import mixture_plan
+
+    return mixture_plan(_docs(spark, sf_dir), _MIX_WEIGHTS, _MIX_BUDGET)

@@ -1849,3 +1849,30 @@ def q_quality_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)
+
+
+@register(
+    "tokenizer_fertility",
+    f"""
+    WITH base AS (
+        SELECT lang,
+               len(string_split({_o.NORM.format(col='text')}, ' ')) AS n_ws,
+               len(regexp_extract_all(text, '{_o.TOKEN_RE}')) AS n_bpe,
+               length(text) AS n_chars
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_ws)::BIGINT AS n_words,
+           sum(n_bpe)::BIGINT AS n_tokens,
+           round(sum(n_bpe)::DOUBLE / sum(n_ws)::DOUBLE, 6) AS fertility,
+           round(sum(n_chars)::DOUBLE / sum(n_bpe)::DOUBLE, 6) AS chars_per_token
+    FROM base GROUP BY lang ORDER BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (tokens/word, chars/token) — the
+    cross-lingual tokenizer-health report a token-budgeted multilingual
+    mix monitors; one map pass + a language-keyed partial aggregate."""
+    from es_ch_sync_spark.operators.text import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
