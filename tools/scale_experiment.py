@@ -659,6 +659,55 @@ def main() -> None:
             lambda: negative_sample_pairs(sparse, k=4).count(),
         )
 
+    if "dsir" in only:
+        from es_ch_sync_spark.operators.sampling import dsir_select
+
+        timed(
+            f"dsir_select x{replicas} (B=4096 hashed-ngram model)",
+            lambda: dsir_select(
+                docs, target=F.col("doc_id") % 7 == 0,
+                n_select=100 * replicas, n_buckets=4096,
+            ).count(),
+        )
+    if "lr" in only:
+        from es_ch_sync_spark.operators.text import quality_lr_scores
+
+        timed(
+            f"quality_lr_scores x{replicas} (3 GD iters + full scoring)",
+            lambda: quality_lr_scores(
+                docs, label=F.col("doc_id") % 7 == 0, iters=3
+            ).count(),
+        )
+    if "compact" in only:
+        import shutil
+        import tempfile
+
+        from es_ch_sync_spark.io import txlog as tx
+        from es_ch_sync_spark.io.sources import read_parquet_table
+
+        ev = read_parquet_table(spark, SF, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        t = tempfile.mkdtemp(prefix="scale_compact_") + "/fact"
+        n_commits = 64
+        t0 = time.time()
+        for b in range(n_commits):
+            tx.txlog_append(
+                ev.filter(F.col("event_id") % n_commits == b).coalesce(1),
+                t, stats_cols=["ts"],
+            )
+        print(f"  {n_commits} micro-appends: {time.time()-t0:.1f}s "
+              f"({len(tx.snapshot_files(t))} files)", flush=True)
+        timed(
+            f"txlog_compact {n_commits} files -> packed",
+            lambda: tx.txlog_compact(
+                spark, t, target_file_bytes=128 * 1024 * 1024,
+                stats_cols=["ts"],
+            )["new_files"],
+        )
+        print(f"  post-compact files: {len(tx.snapshot_files(t))}", flush=True)
+        shutil.rmtree(os.path.dirname(t), ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
