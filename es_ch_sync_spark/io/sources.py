@@ -215,3 +215,39 @@ def read_es_export(
         F.col("_id").alias("es_id"), F.col("_index").alias("es_index"), "_source.*"
     )
     return docs, quarantine
+
+
+def write_read_csv(
+    df: DataFrame, path: str, schema: str, mode: str = "overwrite"
+) -> DataFrame:
+    """CSV round-trip with the engine's quarantine contract: write with
+    header + explicit timestamp format, read back PERMISSIVE with an
+    explicit schema (never inferSchema — schema inference is a full
+    extra pass at 100 TB and type-unstable across files) and the corrupt
+    column retained, so a mangled line quarantines instead of failing the
+    job — the same per-record error isolation as the JSON path."""
+    (
+        df.write.mode(mode)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    full = T.StructType.fromDDL(schema).add(CORRUPT_COL, T.StringType())
+    return (
+        df.sparkSession.read.schema(full)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def write_read_orc(df: DataFrame, path: str, mode: str = "overwrite") -> DataFrame:
+    """ORC round-trip — the columnar alternative the Spark/Hive ecosystem
+    ships natively.  ORC scans support the same predicate pushdown and
+    column pruning as parquet (PushedFilters on the scan line), so a
+    deployment standardized on ORC keeps every pruning property this
+    engine's plans rely on."""
+    df.write.mode(mode).orc(path)
+    return df.sparkSession.read.orc(path)

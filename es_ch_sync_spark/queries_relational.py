@@ -2593,3 +2593,77 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_concurrency(
         sess, "session_start", "session_end", bucket="day"
     ).orderBy("bucket")
+
+
+@register(
+    "csv_source_scan",
+    """
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    """,
+)
+def q_csv_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as a source format with the quarantine contract: events are
+    exported to CSV and read back PERMISSIVE with an explicit schema (no
+    inference pass) + corrupt-record column; the filtered read must equal
+    the same predicate over the parquet source-of-truth.  Timestamps
+    round-trip through an explicit microsecond format — the lossy-by-
+    default CSV trap stated and closed."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io.sources import write_read_csv
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix=f"csv_src_{uuid.uuid4().hex[:8]}_")
+    back = write_read_csv(
+        ev, out,
+        "event_id bigint, user_id bigint, ts timestamp_ntz, "
+        "event_type string, value double",
+    )
+    assert "_corrupt_record" in back.columns
+    return back.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("event_id", "user_id", "ts", "event_type", "value")
+
+
+@register(
+    "orc_source_scan",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(value::DECIMAL(14,2))::DOUBLE AS v_sum
+    FROM events
+    WHERE user_id < 50 AND value IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_orc_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a source format: the native columnar alternative keeps the
+    engine's pruning properties — the user_id predicate must appear in
+    the ORC scan's PushedFilters (asserted), and the aggregate equals
+    the parquet source-of-truth."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io.sources import write_read_orc
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix=f"orc_src_{uuid.uuid4().hex[:8]}_")
+    back = write_read_orc(ev, out)
+    q = back.filter(
+        (F.col("user_id") < 50)
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "user_id" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan
+    return q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("v_sum"),
+    )
