@@ -717,3 +717,84 @@ def rrf_fuse(
             "rank_b",
         )
     )
+
+
+def margin_knn_mine(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk, ACL 2019 — the bitext
+    mining scorer behind CCMatrix/LASER): a pair (x, y) matches when its
+    cosine stands OUT of both neighborhoods — margin = cos(x,y) divided by
+    the mean of x's top-k cosines into B and y's top-k into A.  Absolute-
+    cosine thresholds miss hubness (some vectors are near everything);
+    the ratio margin normalizes it away, which is why it's the published
+    default for cross-corpus alignment mining.
+
+    Scoring is the broadcast cross-score of two SIDES (A×B, not corpus²)
+    with both neighborhood means reduced per-id; at scale the same margin
+    is computed over ANN candidate lists instead (compose with
+    ivf/lsh candidates — the scorer is this same column arithmetic).
+    Determinism: cosines are 6dp half-even like every similarity op, the
+    top-k means accumulate exact scaled integers (order-independent), and
+    the best-match argmax tie-breaks on id."""
+    from pyspark.sql import Window as W
+
+    pa = a.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    pb = b.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    pairs = pa.crossJoin(F.broadcast(pb)).select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+    )
+    ci = F.round(F.col("cos_sim") * 1e6).cast("long")
+    wa = W.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
+    fwd = (
+        pairs.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= k)
+        .groupBy("id_a")
+        .agg(
+            (
+                F.sum(ci).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1e6)).cast("double")
+            ).alias("fwd")
+        )
+    )
+    wb = W.partitionBy("id_b").orderBy(F.col("cos_sim").desc(), F.col("id_a").asc())
+    bwd = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= k)
+        .groupBy("id_b")
+        .agg(
+            (
+                F.sum(ci).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1e6)).cast("double")
+            ).alias("bwd")
+        )
+    )
+    margins = (
+        pairs.join(F.broadcast(fwd), "id_a")
+        .join(F.broadcast(bwd), "id_b")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cos_sim")
+                / ((F.col("fwd") + F.col("bwd")) / F.lit(2.0)),
+                6,
+            ),
+        )
+    )
+    best = W.partitionBy("id_a").orderBy(
+        F.col("margin").desc(), F.col("id_b").asc()
+    )
+    return (
+        margins.withColumn("rn", F.row_number().over(best))
+        .filter((F.col("rn") == 1) & (F.col("margin") > threshold))
+        .select("id_a", "id_b", "cos_sim", "margin")
+    )

@@ -1876,3 +1876,62 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.text import tokenizer_fertility
 
     return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+def _margin_mine_oracle(k: int = 4, threshold: float = 1.05) -> str:
+    cos = _o._cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH pa AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 2 = 0 AND vec_id < 2000),
+    pb AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 2 = 1 AND vec_id < 2000),
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({cos}, 6) AS cos_sim
+        FROM pa a CROSS JOIN pb b
+    ),
+    fwd AS (
+        SELECT id_a, CAST(sum(round(cos_sim * 1e6)::BIGINT) AS BIGINT)::DOUBLE
+                     / (count(*) * 1e6) AS fwd
+        FROM (SELECT id_a, cos_sim,
+                     row_number() OVER (PARTITION BY id_a
+                         ORDER BY cos_sim DESC, id_b ASC) AS rn
+              FROM pairs) WHERE rn <= {k} GROUP BY id_a
+    ),
+    bwd AS (
+        SELECT id_b, CAST(sum(round(cos_sim * 1e6)::BIGINT) AS BIGINT)::DOUBLE
+                     / (count(*) * 1e6) AS bwd
+        FROM (SELECT id_b, cos_sim,
+                     row_number() OVER (PARTITION BY id_b
+                         ORDER BY cos_sim DESC, id_a ASC) AS rn
+              FROM pairs) WHERE rn <= {k} GROUP BY id_b
+    ),
+    margins AS (
+        SELECT id_a, id_b, cos_sim,
+               round(cos_sim / ((fwd + bwd) / 2.0), 6) AS margin
+        FROM pairs JOIN fwd USING (id_a) JOIN bwd USING (id_b)
+    )
+    SELECT id_a, id_b, cos_sim, margin FROM (
+        SELECT *, row_number() OVER (PARTITION BY id_a
+                      ORDER BY margin DESC, id_b ASC) AS rn
+        FROM margins
+    ) WHERE rn = 1 AND margin > {threshold}
+    """
+
+
+@register("margin_knn_mine", _margin_mine_oracle())
+def q_margin_knn_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk bitext scorer): best
+    hubness-normalized match per even-id vector into the odd-id side.
+    Sides are capped at vec_id < 2000 — the demo keeps the exact A×B
+    cross-score bounded; the production path feeds the same margin
+    arithmetic with ANN candidate lists."""
+    from es_ch_sync_spark.operators.similarity import margin_knn_mine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 2000
+    )
+    return margin_knn_mine(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
