@@ -1882,9 +1882,9 @@ def _margin_mine_oracle(k: int = 4, threshold: float = 1.05) -> str:
     cos = _o._cosine_sql("a.embedding", "b.embedding")
     return f"""
     WITH pa AS (SELECT vec_id, embedding FROM embeddings
-                WHERE vec_id % 2 = 0 AND vec_id < 2000),
+                WHERE vec_id % 2 = 0 AND vec_id < 1200),
     pb AS (SELECT vec_id, embedding FROM embeddings
-           WHERE vec_id % 2 = 1 AND vec_id < 2000),
+           WHERE vec_id % 2 = 1 AND vec_id < 1200),
     pairs AS MATERIALIZED (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round({cos}, 6) AS cos_sim
@@ -1923,13 +1923,13 @@ def _margin_mine_oracle(k: int = 4, threshold: float = 1.05) -> str:
 def q_margin_knn_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based pair mining (Artetxe & Schwenk bitext scorer): best
     hubness-normalized match per even-id vector into the odd-id side.
-    Sides are capped at vec_id < 2000 — the demo keeps the exact A×B
+    Sides are capped at vec_id < 1200 — the demo keeps the exact A×B
     cross-score bounded; the production path feeds the same margin
     arithmetic with ANN candidate lists."""
     from es_ch_sync_spark.operators.similarity import margin_knn_mine
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
-        F.col("vec_id") < 2000
+        F.col("vec_id") < 1200
     )
     return margin_knn_mine(
         emb.filter(F.col("vec_id") % 2 == 0),
