@@ -445,6 +445,7 @@ def txlog_compact(
     small_file_bytes: int | None = None,
     stats_cols: list[str] | None = None,
     expected_base: int | None = None,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE: bin-pack the snapshot's small data files into
     ~``target_file_bytes`` files in ONE serializable commit — the answer
@@ -470,8 +471,14 @@ def txlog_compact(
 
     Files at or above ``small_file_bytes`` (default: target/2) are left
     untouched — re-writing already-right-sized files is wasted IO.
-    Returns {'version', 'compacted_files', 'new_files', 'bytes'};
-    a no-op (0 or 1 small file) commits nothing."""
+    ``sort_by`` additionally RANGE-CLUSTERS the packed output (Delta
+    "OPTIMIZE ... ZORDER BY" for the 1-D case): rows are range-
+    partitioned and sorted on the given columns, so each packed file
+    covers a disjoint slice and the recomputed [min, max] stats become
+    maximally selective — compaction that repairs small files AND data
+    layout in the same commit.  Returns {'version', 'compacted_files',
+    'new_files', 'bytes'}; a no-op (0 or 1 small file) commits
+    nothing."""
     base = expected_base if expected_base is not None else current_version(table)
     if base is None:
         return {"version": None, "compacted_files": 0, "new_files": 0, "bytes": 0}
@@ -490,7 +497,11 @@ def txlog_compact(
         return {"version": base, "compacted_files": 0, "new_files": 0, "bytes": 0}
     n_out = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(*[os.path.join(table, f) for f in small])
-    files = _write_data_files(df.repartition(n_out), table)
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_out)
+    files = _write_data_files(df, table)
     entry: dict = {"op": "compact", "add": files, "remove": small}
     if stats_cols:
         st = _collect_file_stats(table, files, stats_cols)

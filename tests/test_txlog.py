@@ -477,3 +477,38 @@ def test_compaction_conflict_is_loud_and_clean(spark, tmp_path):
                          expected_base=base)
     assert tx.vacuum_orphans(t) == 0  # loser cleaned up after itself
     assert _ids(spark, t) == list(range(12))
+
+
+def test_compaction_with_sort_by_clusters_for_pruning(spark, tmp_path):
+    """sort_by compaction range-clusters the packed files, so each covers
+    a disjoint time slice and a bounded read opens ONLY the in-range
+    packed file — the OPTIMIZE+cluster layout repair in one commit."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    # interleaved commits: every small file spans the whole time range,
+    # so pre-compaction stats pruning is useless by construction
+    for m in range(3):
+        tx.txlog_append(
+            _ts_df(spark, 1, 9).filter(f"id % 3 = {m}").coalesce(1), t,
+            stats_cols=["ts"],
+        )
+    lo = datetime.datetime(2024, 1, 3)
+    where = [("ts", "<", lo)]
+    assert len(tx.prune_snapshot_files(t, tx.snapshot_files(t), where)) == 3
+
+    res = tx.txlog_compact(
+        spark, t, target_file_bytes=2_000, small_file_bytes=1 << 20,
+        stats_cols=["ts"], sort_by=["ts"],
+    )
+    assert res["new_files"] >= 2
+    pruned = tx.prune_snapshot_files(t, tx.snapshot_files(t), where)
+    assert len(pruned) < res["new_files"], (len(pruned), res["new_files"])
+    # rows unchanged
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        r.id for r in tx.read_table(spark, t, where=where)
+        .filter(F.col("ts") < F.lit(lo)).collect()
+    )
+    assert got == list(range(10, 30))
