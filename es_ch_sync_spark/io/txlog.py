@@ -527,6 +527,89 @@ def txlog_compact(
     }
 
 
+_WHERE_OPS = {
+    "==": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _where_column(where: list[tuple]):
+    from pyspark.sql import functions as F
+
+    out = None
+    for col, op, value in where:
+        c = _WHERE_OPS[op](F.col(col), F.lit(value))
+        out = c if out is None else (out & c)
+    return out
+
+
+def txlog_delete(
+    spark: SparkSession,
+    table: str,
+    where: list[tuple],
+    stats_cols: list[str] | None = None,
+    expected_base: int | None = None,
+) -> dict:
+    """Row-level DELETE as copy-on-write (the Delta DELETE algorithm,
+    public docs/whitepaper): files whose recorded stats PROVABLY contain
+    no matching row are left untouched — only the pruned superset is
+    rewritten without the matching rows, in one serializable remove+add
+    commit.  The GDPR-erasure shape at 100 TB: deleting one user's rows
+    from a stats-clustered table rewrites the handful of files that can
+    contain them, not the table.
+
+    ``where`` is the same (col, op, value) conjunction list read_table
+    takes — op ∈ ==, <, <=, >, >=; all conjuncts must hold for a row to
+    be DELETED.  Time travel below the delete still sees the rows (the
+    original files stay until vacuum).  Conflict rule: strict
+    WriteSerializable like overwrite/compact; a lost race cleans up its
+    own files and raises.  Returns {'version', 'rewritten_files',
+    'new_files', 'deleted_rows'} — a provably-no-match delete commits
+    nothing."""
+    base = expected_base if expected_base is not None else current_version(table)
+    if base is None:
+        raise TxVersionError(f"{table} has no committed versions")
+    files = snapshot_files(table, base)
+    affected = prune_snapshot_files(table, files, where, base)
+    if not affected:
+        return {
+            "version": base, "rewritten_files": 0, "new_files": 0,
+            "deleted_rows": 0,
+        }
+    pred = _where_column(where)
+    df = spark.read.parquet(*[os.path.join(table, f) for f in affected])
+    keep = df.filter(~pred | pred.isNull())
+    n_before = df.count()
+    n_after = keep.count()
+    new_files: list[str] = []
+    if n_after > 0:
+        new_files = _write_data_files(keep, table)
+    entry: dict = {"op": "delete", "add": new_files, "remove": affected}
+    if stats_cols and new_files:
+        st = _collect_file_stats(table, new_files, stats_cols)
+        if st:
+            entry["stats"] = st
+    if not _try_commit(table, base + 1, entry):
+        for rel in new_files:
+            try:
+                os.remove(os.path.join(table, rel))
+            except OSError:
+                pass
+        raise TxConflictError(
+            f"delete from {table} raced another commit at version "
+            f"{base + 1}; re-run against the new snapshot"
+        )
+    return {
+        "version": base + 1,
+        "rewritten_files": len(affected),
+        "new_files": len(new_files),
+        "deleted_rows": n_before - n_after,
+    }
+
+
 def vacuum(table: str, keep_versions: int = 1) -> dict:
     """Delete data files unreferenced by the newest ``keep_versions``
     snapshots, and commit a ``truncate`` marker so time travel below the

@@ -1935,3 +1935,54 @@ def q_margin_knn_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
     )
+
+
+@register(
+    "txlog_delete_scan",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users,
+           sum(value::DECIMAL(14,2))::DOUBLE AS v_sum
+    FROM events
+    WHERE value IS NOT NULL AND NOT (user_id >= 10 AND user_id < 20)
+    """,
+)
+def q_txlog_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE end-to-end (the GDPR-erasure shape): events
+    land in user-range commits with id stats, then one user band is
+    deleted — the stats-disjoint files must survive as the same physical
+    paths (asserted) while only the matching band's files are rewritten;
+    the oracle proves row-exact erasure against the source of truth."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io import txlog as tx
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    fact = tempfile.mkdtemp(prefix=f"txdel_{uuid.uuid4().hex[:8]}_") + "/fact"
+    for b in range(5):
+        tx.txlog_append(
+            ev.filter((F.col("user_id") % 50).between(b * 10, b * 10 + 9)),
+            fact,
+            stats_cols=["user_id"],
+        )
+    before = set(tx.snapshot_files(fact))
+    res = tx.txlog_delete(
+        spark, fact, [("user_id", ">=", 10), ("user_id", "<", 20)],
+        stats_cols=["user_id"],
+    )
+    assert res["deleted_rows"] > 0, res
+    after = set(tx.snapshot_files(fact))
+    untouched = before & after
+    assert len(untouched) > 0 and len(before - after) < len(before), (
+        len(untouched), len(before), len(after)
+    )
+    return tx.read_table(spark, fact).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("v_sum"),
+    )

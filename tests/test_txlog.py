@@ -512,3 +512,55 @@ def test_compaction_with_sort_by_clusters_for_pruning(spark, tmp_path):
         .filter(F.col("ts") < F.lit(lo)).collect()
     )
     assert got == list(range(10, 30))
+
+
+def test_delete_rewrites_only_pruned_files(spark, tmp_path):
+    """Copy-on-write DELETE: stats-disjoint files survive untouched (same
+    physical paths), only the pruned superset is rewritten minus the
+    matching rows; time travel still sees the deleted rows; a provably-
+    no-match delete commits nothing; a stale-base delete raises and
+    cleans up."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    for d in (1, 4, 7):
+        tx.txlog_append(
+            _ts_df(spark, d, d + 3).coalesce(1), t, stats_cols=["ts", "id"]
+        )
+    before_files = set(tx.snapshot_files(t))
+    all_ids = _ids(spark, t)
+
+    lo = datetime.datetime(2024, 1, 4)
+    hi = datetime.datetime(2024, 1, 7)
+    res = tx.txlog_delete(
+        spark, t, [("ts", ">=", lo), ("ts", "<", hi)], stats_cols=["ts", "id"]
+    )
+    assert res["rewritten_files"] == 1 and res["deleted_rows"] == 30
+    after_files = set(tx.snapshot_files(t))
+    # the two disjoint files are the SAME physical files (not rewritten)
+    assert len(before_files & after_files) == 2
+    assert _ids(spark, t) == [i for i in all_ids if not (40 <= i < 70)]
+    # time travel below the delete sees everything
+    assert _ids(spark, t, res["version"] - 1) == all_ids
+
+    # no file can contain 2023 rows: no-op, no commit
+    v = tx.current_version(t)
+    res2 = tx.txlog_delete(
+        spark, t, [("ts", "<", datetime.datetime(2023, 1, 1))]
+    )
+    assert res2["rewritten_files"] == 0 and tx.current_version(t) == v
+
+    # stale base: loud conflict, no orphan residue
+    base = tx.current_version(t)
+    tx.txlog_append(_ts_df(spark, 20, 21).coalesce(1), t, stats_cols=["ts"])
+    with pytest.raises(tx.TxConflictError):
+        tx.txlog_delete(spark, t, [("id", ">=", 0)], expected_base=base)
+    assert tx.vacuum_orphans(t) == 0
+
+
+def test_delete_whole_table_leaves_empty_snapshot(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx.txlog_append(_df(spark, 0, 5).coalesce(1), t, stats_cols=["id"])
+    res = tx.txlog_delete(spark, t, [("id", ">=", 0)])
+    assert res["deleted_rows"] == 5 and res["new_files"] == 0
+    assert tx.snapshot_files(t) == []
