@@ -610,6 +610,63 @@ def txlog_delete(
     }
 
 
+def txlog_update(
+    spark: SparkSession,
+    table: str,
+    where: list[tuple],
+    set_exprs: dict[str, str],
+    stats_cols: list[str] | None = None,
+    expected_base: int | None = None,
+) -> dict:
+    """Predicate UPDATE as copy-on-write — completes the DML triad next
+    to ``txlog_delete`` (predicate) and ``txlog_merge`` (by-key upsert).
+    Same pruning contract as DELETE: only files whose stats can contain a
+    matching row are rewritten; inside them, matching rows get
+    ``set_exprs`` (column → SQL expression over the row, e.g.
+    {'value': 'value * 1.1'}) and non-matching rows are copied byte-
+    for-byte.  Serializable commit, loud conflict, self-cleanup."""
+    from pyspark.sql import functions as F
+
+    base = expected_base if expected_base is not None else current_version(table)
+    if base is None:
+        raise TxVersionError(f"{table} has no committed versions")
+    files = snapshot_files(table, base)
+    affected = prune_snapshot_files(table, files, where, base)
+    if not affected:
+        return {
+            "version": base, "rewritten_files": 0, "new_files": 0,
+            "updated_rows": 0,
+        }
+    pred = _where_column(where)
+    df = spark.read.parquet(*[os.path.join(table, f) for f in affected])
+    n_updated = df.filter(pred).count()
+    updated = df.withColumns(
+        {c: F.when(pred, F.expr(e)).otherwise(F.col(c)) for c, e in set_exprs.items()}
+    )
+    new_files = _write_data_files(updated, table)
+    entry: dict = {"op": "update", "add": new_files, "remove": affected}
+    if stats_cols:
+        st = _collect_file_stats(table, new_files, stats_cols)
+        if st:
+            entry["stats"] = st
+    if not _try_commit(table, base + 1, entry):
+        for rel in new_files:
+            try:
+                os.remove(os.path.join(table, rel))
+            except OSError:
+                pass
+        raise TxConflictError(
+            f"update of {table} raced another commit at version "
+            f"{base + 1}; re-run against the new snapshot"
+        )
+    return {
+        "version": base + 1,
+        "rewritten_files": len(affected),
+        "new_files": len(new_files),
+        "updated_rows": n_updated,
+    }
+
+
 def vacuum(table: str, keep_versions: int = 1) -> dict:
     """Delete data files unreferenced by the newest ``keep_versions``
     snapshots, and commit a ``truncate`` marker so time travel below the

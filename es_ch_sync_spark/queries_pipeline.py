@@ -1986,3 +1986,48 @@ def q_txlog_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("v_sum"),
     )
+
+
+@register(
+    "txlog_update_scan",
+    """
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN user_id >= 10 AND user_id < 20
+                    THEN (value + 100)::DECIMAL(14,2)
+                    ELSE value::DECIMAL(14,2) END)::DOUBLE AS v_sum
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def q_txlog_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE end-to-end: a user band's values are bumped
+    in place; stats-disjoint files survive as the same physical paths
+    (asserted) and the oracle recomputes the update over the source."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io import txlog as tx
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    fact = tempfile.mkdtemp(prefix=f"txupd_{uuid.uuid4().hex[:8]}_") + "/fact"
+    for b in range(5):
+        tx.txlog_append(
+            ev.filter((F.col("user_id") % 50).between(b * 10, b * 10 + 9)),
+            fact,
+            stats_cols=["user_id"],
+        )
+    before = set(tx.snapshot_files(fact))
+    res = tx.txlog_update(
+        spark, fact, [("user_id", ">=", 10), ("user_id", "<", 20)],
+        {"value": "value + 100.0"}, stats_cols=["user_id"],
+    )
+    assert res["updated_rows"] > 0, res
+    after = set(tx.snapshot_files(fact))
+    assert len(before & after) > 0, "disjoint files must survive untouched"
+    return tx.read_table(spark, fact).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("v_sum"),
+    )

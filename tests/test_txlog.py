@@ -564,3 +564,28 @@ def test_delete_whole_table_leaves_empty_snapshot(spark, tmp_path):
     res = tx.txlog_delete(spark, t, [("id", ">=", 0)])
     assert res["deleted_rows"] == 5 and res["new_files"] == 0
     assert tx.snapshot_files(t) == []
+
+
+def test_update_rewrites_only_pruned_files(spark, tmp_path):
+    """Copy-on-write UPDATE: disjoint files untouched, matching rows get
+    the set-expression, others copied verbatim; time travel sees the
+    pre-update values."""
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        tx.txlog_append(
+            _df(spark, lo, lo + 50).coalesce(1), t, stats_cols=["id"]
+        )
+    before = set(tx.snapshot_files(t))
+    res = tx.txlog_update(
+        spark, t, [("id", ">=", 100), ("id", "<", 110)],
+        {"x": "x + 1000"}, stats_cols=["id"],
+    )
+    assert res["rewritten_files"] == 1 and res["updated_rows"] == 10
+    after = set(tx.snapshot_files(t))
+    assert len(before & after) == 2
+    got = {r.id: r.x for r in tx.read_table(spark, t).collect()}
+    assert got[100] == 1200 and got[105] == 1210 and got[110] == 220
+    assert got[0] == 0 and got[249] == 498
+    old = {r.id: r.x for r in
+           tx.read_table(spark, t, version=res["version"] - 1).collect()}
+    assert old[100] == 200  # pre-update value still served by time travel
