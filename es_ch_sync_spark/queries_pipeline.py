@@ -2031,3 +2031,72 @@ def q_txlog_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("v_sum"),
     )
+
+
+@register(
+    "ngram_diversity",
+    f"""
+    WITH n AS (
+        SELECT doc_id, source, {_o.NORM.format(col='text')} AS nt
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    w AS (SELECT doc_id, source, string_split(nt, ' ') AS ws FROM n),
+    uni AS (SELECT source, unnest(ws) AS g FROM w),
+    bi AS (
+        SELECT source, ws[i] || ' ' || ws[i + 1] AS g
+        FROM w, unnest(range(1, len(ws))) AS t(i)
+    )
+    SELECT u.source,
+           count(*) AS n_tokens,
+           count(DISTINCT u.g) AS n_types,
+           round(count(DISTINCT u.g)::DOUBLE / count(*)::DOUBLE, 6)
+               AS distinct_1,
+           any_value(b.d2) AS distinct_2
+    FROM uni u JOIN (
+        SELECT source,
+               round(count(DISTINCT g)::DOUBLE / count(*)::DOUBLE, 6) AS d2
+        FROM bi GROUP BY source
+    ) b USING (source)
+    GROUP BY u.source ORDER BY u.source
+    """,
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity (distinct-1 / distinct-2, the Li et
+    al. diversity metrics LLM data reports quote): type-token ratios for
+    unigrams and bigrams — a template-heavy or low-diversity source
+    shows up as a distinct-n collapse long before perplexity moves.
+    Two keyed distinct-aggregations; nothing wider than (source, gram)
+    ever shuffles."""
+    from es_ch_sync_spark.operators.text import words
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    ws = words(F.col("text"))
+    base = docs.select("doc_id", "source", ws.alias("_ws"))
+    uni = base.select("source", F.explode("_ws").alias("g"))
+    bigrams = F.when(
+        F.size("_ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_ws") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_ws"), i + 1),
+                F.element_at(F.col("_ws"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = base.select("source", F.explode(bigrams).alias("g"))
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("g").alias("n_types"),
+        F.round(
+            F.countDistinct("g").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("distinct_1"),
+    )
+    b = bi.groupBy("source").agg(
+        F.round(
+            F.countDistinct("g").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("distinct_2")
+    )
+    return u.join(b, "source").orderBy("source")

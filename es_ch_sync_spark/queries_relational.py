@@ -2667,3 +2667,53 @@ def q_orc_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("v_sum"),
     )
+
+
+@register(
+    "streaming_funnel",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT
+        count(*) AS n_users,
+        sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+        sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                 THEN 1 ELSE 0 END) AS n_click_after_view,
+        sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                      AND t_purchase >= t_click
+                 THEN 1 ELSE 0 END) AS n_completed
+    FROM per_user
+    """,
+)
+def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel progression maintained as STREAMING state: per-user
+    first-touch timestamps per stage are min() aggregates — commutative,
+    so the drained complete-mode state is identical under ANY micro-batch
+    order/partitioning (the same order-insensitivity argument as the
+    streaming KMV sketch; a lag/sequence formulation would NOT survive
+    out-of-order batches).  Spark only allows one streaming aggregation,
+    so the stage census runs as a batch query over the drained per-user
+    state — exactly how a serving layer would read this state store."""
+    stream = _read_events_stream(spark, sf_dir)
+    per_user = stream.filter(F.col("user_id").isNotNull()).groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    state = _drain_to_memory(per_user, "complete")
+    reached_click = F.col("t_view").isNotNull() & (
+        F.col("t_click") >= F.col("t_view")
+    )
+    return state.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_view"),
+        F.sum(reached_click.cast("long")).alias("n_click_after_view"),
+        F.sum(
+            (reached_click & (F.col("t_purchase") >= F.col("t_click"))).cast("long")
+        ).alias("n_completed"),
+    )
