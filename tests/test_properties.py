@@ -460,3 +460,86 @@ def test_boilerplate_chunks_matches_python_model(spark, docs_tokens, min_docs):
             i,
             texts,
         )
+
+
+# ---------------------------------------------------------------------------
+# txlog DML model check: random append/delete/update/compact sequences vs a
+# plain-Python dict model — every interleaving must agree row-for-row, and
+# time travel must reproduce every historical snapshot.
+# ---------------------------------------------------------------------------
+
+_DML_OP = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 4)),
+    st.tuples(st.just("delete"), st.integers(0, 300)),
+    st.tuples(st.just("update"), st.integers(0, 300)),
+    st.tuples(st.just("compact"), st.just(0)),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(_DML_OP, min_size=3, max_size=7), data=st.data())
+def test_txlog_dml_sequences_match_model(spark, tmp_path_factory, ops, data):
+    from es_ch_sync_spark.io import txlog as tx
+
+    t = str(tmp_path_factory.mktemp("dml") / "t")
+    next_id = 0
+
+    def mk(n):
+        nonlocal next_id
+        rows = [(next_id + i, (next_id + i) * 2) for i in range(n)]
+        next_id += n
+        return rows
+
+    model: dict[int, int] = {}
+    history: list[dict[int, int]] = []
+    seeded = mk(6)
+    model.update(dict(seeded))
+    tx.txlog_append(
+        spark.createDataFrame(seeded, "id long, x long").coalesce(1),
+        t, stats_cols=["id"],
+    )
+    history.append(dict(model))
+
+    for op, arg in ops:
+        if op == "append":
+            rows = mk(arg + 1)
+            tx.txlog_append(
+                spark.createDataFrame(rows, "id long, x long").coalesce(1),
+                t, stats_cols=["id"],
+            )
+            model.update(dict(rows))
+        elif op == "delete":
+            res = tx.txlog_delete(
+                spark, t, [("id", ">=", arg), ("id", "<", arg + 4)],
+                stats_cols=["id"],
+            )
+            doomed = [k for k in model if arg <= k < arg + 4]
+            for k in doomed:
+                del model[k]
+            if res["version"] == len(history) - 1:
+                continue  # provably-no-match: no commit, no history entry
+        elif op == "update":
+            res = tx.txlog_update(
+                spark, t, [("id", ">=", arg), ("id", "<", arg + 4)],
+                {"x": "x + 1"}, stats_cols=["id"],
+            )
+            for k in list(model):
+                if arg <= k < arg + 4:
+                    model[k] += 1
+            if res["version"] == len(history) - 1:
+                continue  # pruned-to-nothing: no commit
+        else:
+            res = tx.txlog_compact(
+                spark, t, target_file_bytes=1 << 30, stats_cols=["id"]
+            )
+            if res["compacted_files"] == 0:
+                continue  # no-op commits nothing
+        history.append(dict(model))
+
+    got = {r.id: r.x for r in tx.read_table(spark, t).collect()}
+    assert got == model
+    # every historical version replays exactly
+    for v, snap in enumerate(history):
+        if snap:
+            at_v = {r.id: r.x for r in tx.read_table(spark, t, version=v).collect()}
+            assert at_v == snap, f"version {v} diverged"
