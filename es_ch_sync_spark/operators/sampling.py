@@ -895,3 +895,118 @@ def mixture_plan(
             6,
         ).alias("final_pass_frac"),
     ).orderBy("source")
+
+
+def dsir_fit(
+    df: DataFrame,
+    target: Column,
+    path: str,
+    text_col: str = "text",
+    n_buckets: int = 512,
+    seed: str = "dsir",
+) -> None:
+    """Fit the DSIR hashed-ngram importance model ONCE and persist it —
+    a B-row (bucket, log-ratio) parquet table.  The serving shape: the
+    model is fit on the full raw/target corpora offline, then every
+    incoming ingestion batch is scored against the frozen model with
+    ``dsir_apply`` (no refit per batch — the same fit/apply split as the
+    IVF quantizer and the LSH signature index)."""
+    gb = _dsir_grams(df, target, text_col, n_buckets, seed)
+    census = gb.groupBy("b").agg(
+        F.sum("_t").alias("c_t"), F.count(F.lit(1)).alias("c_r")
+    )
+    tot = census.agg(F.sum("c_t").alias("_T"), F.sum("c_r").alias("_R"))
+    delta = census.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log(
+                (F.col("c_t") + 1).cast("double")
+                / (F.col("_T") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("c_r") + 1).cast("double")
+                / (F.col("_R") + n_buckets).cast("double")
+            )
+        ).alias("d"),
+    )
+    delta.write.mode("overwrite").parquet(path)
+
+
+def dsir_apply(
+    df: DataFrame,
+    model_path: str,
+    n_select: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Score a (new) document batch against a persisted DSIR model: the
+    frozen B-row log-ratio table broadcasts onto the batch's per-(doc,
+    bucket) counts — scoring cost is one explode + one keyed aggregate
+    over the BATCH only, independent of the corpus the model was fit on.
+    Buckets unseen at fit time carry log-ratio 0 (both models saw them
+    the same smoothed number of times: never)."""
+    spark = df.sparkSession
+    delta = spark.read.parquet(model_path)
+    gb = _dsir_grams(df, F.lit(False), text_col, n_buckets, seed)
+    db = gb.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c_db"))
+    scored = (
+        db.join(F.broadcast(delta), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("c_db").cast("double")
+                        * F.coalesce(F.col("d"), F.lit(0.0))
+                        * F.lit(1e9)
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / F.lit(1e9)
+            ).alias("dsir_score")
+        )
+    )
+    out = scored.orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
+    return out.limit(n_select) if n_select else out
+
+
+def _dsir_grams(
+    df: DataFrame, target: Column, text_col: str, n_buckets: int, seed: str
+) -> DataFrame:
+    """(doc_id, _t, b) — the shared explode/hash front half of fit and
+    apply (and of the one-shot dsir_select)."""
+    from es_ch_sync_spark.operators.text import words
+
+    ws = words(F.col(text_col))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col("doc_id"),
+        F.when(target, 1).otherwise(0).alias("_t"),
+        ws.alias("_ws"),
+    )
+    bigrams = F.when(
+        F.size("_ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_ws") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_ws"), i + 1),
+                F.element_at(F.col("_ws"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "doc_id", "_t", F.explode(F.concat(F.col("_ws"), bigrams)).alias("g")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("g"))), 1, 14
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    return grams.select("doc_id", "_t", bucket.alias("b"))

@@ -733,3 +733,74 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.sampling import mixture_plan
 
     return mixture_plan(_docs(spark, sf_dir), _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+def _dsir_apply_oracle(n_buckets: int = 512, n_select: int = 50) -> str:
+    fold = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, 15), j -> "
+        "(strpos('0123456789abcdef', substr(md5('dsir:' || g), j, 1)) - 1)::BIGINT)), "
+        f"(a, b) -> a * 16 + b) % {n_buckets}"
+    )
+    return f"""
+    WITH n AS (
+        SELECT doc_id, lang, {oracles.NORM.format(col='text')} AS nt
+        FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (SELECT doc_id, lang, string_split(nt, ' ') AS ws FROM n),
+    g AS (
+        SELECT doc_id, lang, unnest(ws) AS g FROM w
+        UNION ALL
+        SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+        FROM w, unnest(range(1, len(ws))) AS t(i)
+    ),
+    gb AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+               {fold} AS b
+        FROM g
+    ),
+    census AS (
+        SELECT b, sum(t)::BIGINT AS c_t, count(*)::BIGINT AS c_r
+        FROM gb GROUP BY b
+    ),
+    tot AS (SELECT sum(c_t)::BIGINT AS ct, sum(c_r)::BIGINT AS cr FROM census),
+    delta AS (
+        SELECT b,
+               ln((c_t + 1)::DOUBLE / (ct + {n_buckets})::DOUBLE)
+             - ln((c_r + 1)::DOUBLE / (cr + {n_buckets})::DOUBLE) AS d
+        FROM census, tot
+    ),
+    db AS (
+        SELECT doc_id, b, count(*)::BIGINT AS c_db FROM gb
+        WHERE doc_id % 3 = 0 GROUP BY 1, 2
+    ),
+    score AS (
+        SELECT db.doc_id,
+               CAST(sum(floor(c_db::DOUBLE * coalesce(d, 0.0) * 1e9 + 0.5)::BIGINT)
+                    AS BIGINT)::DOUBLE / 1e9 AS dsir_score
+        FROM db LEFT JOIN delta USING (b)
+        GROUP BY db.doc_id
+    )
+    SELECT doc_id, dsir_score FROM score
+    ORDER BY dsir_score DESC, doc_id ASC
+    LIMIT {n_select}
+    """
+
+
+@register("dsir_apply_batch", _dsir_apply_oracle())
+def q_dsir_apply_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR in its SERVING shape: the hashed-ngram importance model is
+    fit ONCE on the full corpus and persisted (B-row parquet), then an
+    incoming batch (doc_id % 3 = 0) is scored against the frozen model —
+    scoring cost depends on the batch alone, the fit/apply split every
+    persisted index here follows (IVF quantizer, LSH signatures)."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.operators.sampling import dsir_apply, dsir_fit
+
+    docs = _docs(spark, sf_dir)
+    model = tempfile.mkdtemp(prefix=f"dsir_{uuid.uuid4().hex[:8]}_") + "/model"
+    dsir_fit(docs, target=F.col("lang") == "en", path=model)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return dsir_apply(batch, model, n_select=50)
