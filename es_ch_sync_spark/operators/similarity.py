@@ -798,3 +798,122 @@ def margin_knn_mine(
         .filter((F.col("rn") == 1) & (F.col("margin") > threshold))
         .select("id_a", "id_b", "cos_sim", "margin")
     )
+
+
+def margin_mine_ann(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """margin_knn_mine's 100 TB path: the ratio-margin scorer fed by SRP
+    candidate pairs instead of the exact A×B cross-score.  Candidates are
+    cross-side pairs sharing ≥1 signature band (the embedding_near_dup
+    blocking, never all-pairs); each end's top-k neighborhood mean is
+    computed over its CANDIDATE list — the standard ANN-margin
+    approximation (CCMatrix mines margins over faiss candidate lists the
+    same way; a vector's top-k cosines and its top-k-among-candidates
+    coincide whenever banding recalls the true neighbors).
+
+    Deterministic end to end: the hyperplanes are md5-derived literals,
+    so the candidate SET — not just the scores — is reproducible in the
+    DuckDB oracle.  Plan shape: band-key equi-joins on small integers,
+    pair-dedup before scoring, exact scaled-integer neighborhood sums,
+    per-id windows — every stage keyed, nothing data-sized crosses the
+    driver."""
+    from pyspark.sql import Window as W
+
+    from es_ch_sync_spark.operators.util import spread
+
+    planes = srp_planes(dim, n_planes)
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        v = (
+            spread(df)
+            .select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+            .withColumn("sig", srp_signature("v", planes))
+        )
+        return v.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col("v").alias(f"v_{side}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bb).alias("band"),
+                            F.shiftright(F.col("sig"), bb * bits_per_band)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("key"),
+                        )
+                        for bb in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            f"id_{side}", f"v_{side}",
+            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        )
+
+    ba = prep(a, "a")
+    bb_ = prep(b, "b")
+    pairs = (
+        ba.join(bb_, ["band", "key"])
+        .select("id_a", "id_b", "v_a", "v_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+        )
+    )
+    ci = F.round(F.col("cos_sim") * 1e6).cast("long")
+    wa = W.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
+    fwd = (
+        pairs.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= k)
+        .groupBy("id_a")
+        .agg(
+            (
+                F.sum(ci).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1e6)).cast("double")
+            ).alias("fwd")
+        )
+    )
+    wb = W.partitionBy("id_b").orderBy(F.col("cos_sim").desc(), F.col("id_a").asc())
+    bwd = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= k)
+        .groupBy("id_b")
+        .agg(
+            (
+                F.sum(ci).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1e6)).cast("double")
+            ).alias("bwd")
+        )
+    )
+    margins = (
+        pairs.join(fwd, "id_a")
+        .join(bwd, "id_b")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cos_sim")
+                / ((F.col("fwd") + F.col("bwd")) / F.lit(2.0)),
+                6,
+            ),
+        )
+    )
+    best = W.partitionBy("id_a").orderBy(
+        F.col("margin").desc(), F.col("id_b").asc()
+    )
+    return (
+        margins.withColumn("rn", F.row_number().over(best))
+        .filter((F.col("rn") == 1) & (F.col("margin") > threshold))
+        .select("id_a", "id_b", "cos_sim", "margin")
+    )

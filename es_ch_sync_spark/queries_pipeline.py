@@ -2100,3 +2100,83 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("distinct_2")
     )
     return u.join(b, "source").orderBy("source")
+
+
+def _margin_ann_oracle(
+    k: int = 4, threshold: float = 1.05,
+    n_planes: int = 12, bands: int = 4, dim: int = 64,
+) -> str:
+    from es_ch_sync_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(dim, n_planes)
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_o._plane_literal(p)}::DOUBLE[]) >= 0 "
+        f"THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    band_rows = ", ".join(
+        f"{{'band': {b}, 'key': (sig >> {b * bits_per_band}) & {mask}}}"
+        for b in range(bands)
+    )
+    cos = _o._cosine_sql("sa.embedding", "sb.embedding")
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {sig_terms} AS sig FROM embeddings
+    ), buckets AS (
+        SELECT vec_id, embedding, u['band'] AS band, u['key'] AS key FROM (
+            SELECT vec_id, embedding, unnest([{band_rows}]) AS u FROM sigs
+        )
+    ), pairs AS MATERIALIZED (
+        SELECT id_a, id_b, round(any_value(c), 6) AS cos_sim FROM (
+            SELECT sa.vec_id AS id_a, sb.vec_id AS id_b, {cos} AS c
+            FROM buckets sa JOIN buckets sb
+              ON sa.band = sb.band AND sa.key = sb.key
+            WHERE sa.vec_id % 2 = 0 AND sb.vec_id % 2 = 1
+        ) GROUP BY id_a, id_b
+    ),
+    fwd AS (
+        SELECT id_a, CAST(sum(round(cos_sim * 1e6)::BIGINT) AS BIGINT)::DOUBLE
+                     / (count(*) * 1e6) AS fwd
+        FROM (SELECT id_a, cos_sim,
+                     row_number() OVER (PARTITION BY id_a
+                         ORDER BY cos_sim DESC, id_b ASC) AS rn
+              FROM pairs) WHERE rn <= {k} GROUP BY id_a
+    ),
+    bwd AS (
+        SELECT id_b, CAST(sum(round(cos_sim * 1e6)::BIGINT) AS BIGINT)::DOUBLE
+                     / (count(*) * 1e6) AS bwd
+        FROM (SELECT id_b, cos_sim,
+                     row_number() OVER (PARTITION BY id_b
+                         ORDER BY cos_sim DESC, id_a ASC) AS rn
+              FROM pairs) WHERE rn <= {k} GROUP BY id_b
+    ),
+    margins AS (
+        SELECT id_a, id_b, cos_sim,
+               round(cos_sim / ((fwd + bwd) / 2.0), 6) AS margin
+        FROM pairs JOIN fwd USING (id_a) JOIN bwd USING (id_b)
+    )
+    SELECT id_a, id_b, cos_sim, margin FROM (
+        SELECT *, row_number() OVER (PARTITION BY id_a
+                      ORDER BY margin DESC, id_b ASC) AS rn
+        FROM margins
+    ) WHERE rn = 1 AND margin > {threshold}
+    """
+
+
+@register("margin_mine_ann", _margin_ann_oracle())
+def q_margin_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The margin miner's SCALE path over the FULL corpus (no row cap):
+    SRP band-blocked candidate pairs replace the exact cross-score, each
+    end's neighborhood mean is taken over its candidate list (the
+    CCMatrix-over-faiss-candidates approximation) — and because the
+    hyperplanes are md5-derived literals, the candidate SET itself is
+    deterministic and the oracle reproduces it bit-for-bit."""
+    from es_ch_sync_spark.operators.similarity import margin_mine_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return margin_mine_ann(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
