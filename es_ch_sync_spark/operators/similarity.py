@@ -834,15 +834,19 @@ def margin_mine_ann(
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
 
-    def prep(df: DataFrame, side: str) -> DataFrame:
+    def prep(df: DataFrame, side: str):
         v = (
             spread(df)
             .select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
             .withColumn("sig", srp_signature("v", planes))
         )
-        return v.select(
+        # band bucketing carries ONLY (id, band, key): pair-dedup happens
+        # on bare long ids (HashAggregate-able — attaching the array
+        # column first would force SortAggregate through the dedup, the
+        # r4 sortless-dedup lesson) and the vectors rejoin afterwards so
+        # each candidate pair is scored exactly once
+        bucketed = v.select(
             F.col(id_col).alias(f"id_{side}"),
-            F.col("v").alias(f"v_{side}"),
             F.explode(
                 F.array(
                     *[
@@ -857,16 +861,25 @@ def margin_mine_ann(
                 )
             ).alias("bk"),
         ).select(
-            f"id_{side}", f"v_{side}",
-            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+            f"id_{side}",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
         )
+        vecs = v.select(
+            F.col(id_col).alias(f"id_{side}"), F.col("v").alias(f"v_{side}")
+        )
+        return bucketed, vecs
 
-    ba = prep(a, "a")
-    bb_ = prep(b, "b")
-    pairs = (
+    ba, va = prep(a, "a")
+    bb_, vb = prep(b, "b")
+    cand = (
         ba.join(bb_, ["band", "key"])
-        .select("id_a", "id_b", "v_a", "v_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a", "id_b",
             F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),

@@ -678,6 +678,18 @@ def main() -> None:
                 docs, label=F.col("doc_id") % 7 == 0, iters=3
             ).count(),
         )
+    if "margin" in only:
+        from es_ch_sync_spark.operators.similarity import margin_mine_ann
+
+        bits2 = max(4, min(15, math.ceil(math.log2(max(n_vecs, 16) / 16))))
+        timed(
+            f"margin_mine_ann x{replicas} ({4 * bits2} planes, 4 bands)",
+            lambda: margin_mine_ann(
+                emb.filter(F.col("vec_id") % 2 == 0),
+                emb.filter(F.col("vec_id") % 2 == 1),
+                n_planes=4 * bits2, bands=4,
+            ).count(),
+        )
     if "compact" in only:
         import shutil
         import tempfile
