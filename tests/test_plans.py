@@ -381,3 +381,23 @@ def test_boilerplate_chunks_keyed_joins_only(plans):
     p = plans("boilerplate_chunks")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_margin_mine_ann_hash_only_dedup(plans):
+    # candidate pair-dedup must run on bare long ids (HashAggregate) with
+    # vectors rejoined AFTER — dragging the array columns through
+    # dropDuplicates planned six SortAggregates (r6 finding); and banding
+    # must never degenerate to an all-pairs product
+    p = plans("margin_mine_ann")
+    assert "SortAggregate" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dsir_keyed_joins_only(plans):
+    # the B-row log-ratio model must broadcast; the doc-bucket join is the
+    # only data-sized join and it is keyed — never a product
+    p = plans("dsir_select")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
