@@ -753,42 +753,41 @@ def margin_knn_mine(
     pairs = pa.crossJoin(F.broadcast(pb)).select(
         "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
     )
+    return _margin_score(pairs, k, threshold)
+
+
+def _margin_score(pairs: DataFrame, k: int, threshold: float) -> DataFrame:
+    """(id_a, id_b, cos_sim) → best hubness-normalized match per id_a —
+    the shared scoring half of margin_knn_mine / margin_mine_ann.
+
+    Single-lineage by design: both neighborhood means are attached as
+    conditional WINDOW sums (sum(ci) where rank ≤ k over each side's
+    partition) instead of two groupBy branches joined back — the naive
+    three-branch formulation recomputed the whole candidate pipeline
+    three times (29 exchanges at sf0.01; this shape plans 5).  The means
+    accumulate exact scaled integers, so they stay order-independent
+    cross-engine."""
+    from pyspark.sql import Window as W
+
     ci = F.round(F.col("cos_sim") * 1e6).cast("long")
     wa = W.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
-    fwd = (
-        pairs.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= k)
-        .groupBy("id_a")
-        .agg(
-            (
-                F.sum(ci).cast("double")
-                / (F.count(F.lit(1)) * F.lit(1e6)).cast("double")
-            ).alias("fwd")
-        )
-    )
     wb = W.partitionBy("id_b").orderBy(F.col("cos_sim").desc(), F.col("id_a").asc())
-    bwd = (
-        pairs.withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= k)
-        .groupBy("id_b")
-        .agg(
-            (
-                F.sum(ci).cast("double")
-                / (F.count(F.lit(1)) * F.lit(1e6)).cast("double")
-            ).alias("bwd")
-        )
+    ranked = pairs.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_b", F.row_number().over(wb)
     )
-    margins = (
-        pairs.join(F.broadcast(fwd), "id_a")
-        .join(F.broadcast(bwd), "id_b")
-        .withColumn(
-            "margin",
-            F.round(
-                F.col("cos_sim")
-                / ((F.col("fwd") + F.col("bwd")) / F.lit(2.0)),
-                6,
-            ),
-        )
+    pa_all = W.partitionBy("id_a")
+    pb_all = W.partitionBy("id_b")
+    top_a = F.when(F.col("rn_a") <= k, ci)
+    top_b = F.when(F.col("rn_b") <= k, ci)
+    fwd = F.sum(top_a).over(pa_all).cast("double") / (
+        F.count(top_a).over(pa_all) * F.lit(1e6)
+    ).cast("double")
+    bwd = F.sum(top_b).over(pb_all).cast("double") / (
+        F.count(top_b).over(pb_all) * F.lit(1e6)
+    ).cast("double")
+    margins = ranked.withColumn(
+        "margin",
+        F.round(F.col("cos_sim") / ((fwd + bwd) / F.lit(2.0)), 6),
     )
     best = W.partitionBy("id_a").orderBy(
         F.col("margin").desc(), F.col("id_b").asc()
@@ -885,48 +884,4 @@ def margin_mine_ann(
             F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
         )
     )
-    ci = F.round(F.col("cos_sim") * 1e6).cast("long")
-    wa = W.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
-    fwd = (
-        pairs.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= k)
-        .groupBy("id_a")
-        .agg(
-            (
-                F.sum(ci).cast("double")
-                / (F.count(F.lit(1)) * F.lit(1e6)).cast("double")
-            ).alias("fwd")
-        )
-    )
-    wb = W.partitionBy("id_b").orderBy(F.col("cos_sim").desc(), F.col("id_a").asc())
-    bwd = (
-        pairs.withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= k)
-        .groupBy("id_b")
-        .agg(
-            (
-                F.sum(ci).cast("double")
-                / (F.count(F.lit(1)) * F.lit(1e6)).cast("double")
-            ).alias("bwd")
-        )
-    )
-    margins = (
-        pairs.join(fwd, "id_a")
-        .join(bwd, "id_b")
-        .withColumn(
-            "margin",
-            F.round(
-                F.col("cos_sim")
-                / ((F.col("fwd") + F.col("bwd")) / F.lit(2.0)),
-                6,
-            ),
-        )
-    )
-    best = W.partitionBy("id_a").orderBy(
-        F.col("margin").desc(), F.col("id_b").asc()
-    )
-    return (
-        margins.withColumn("rn", F.row_number().over(best))
-        .filter((F.col("rn") == 1) & (F.col("margin") > threshold))
-        .select("id_a", "id_b", "cos_sim", "margin")
-    )
+    return _margin_score(pairs, k, threshold)
