@@ -60,20 +60,35 @@ def project_bipartite(
 
 
 def degrees(edges: DataFrame) -> DataFrame:
-    """Node degrees of an undirected (src, dst) edge list → (node, deg)."""
-    ends = edges.select(F.col("src").alias("node")).unionAll(
-        edges.select(F.col("dst").alias("node"))
+    """Node degrees of an undirected (src, dst) edge list → (node, deg).
+    One pass over the edges (explode both endpoints), not a self-union —
+    a union reads the upstream edge pipeline twice."""
+    ends = edges.select(
+        F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
     )
     return ends.groupBy("node").agg(F.count("*").alias("deg"))
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, _pre_truncated: bool = False) -> DataFrame:
     """Per-node triangle participation counts via degree-ordered
     orientation. Input: undirected edges (src, dst), src < dst, no
     duplicates. Output: (node, tri_cnt) for nodes in ≥ 1 triangle.
 
     Each triangle {a,b,c} with π(a) < π(b) < π(c) (π = (degree, id) order)
-    appears exactly once as wedge a→b, a→c closed by b→c."""
+    appears exactly once as wedge a→b, a→c closed by b→c.
+
+    Lineage truncation is LOAD-BEARING here: the DAG references ``edges``
+    (via deg/with_deg) and ``oriented`` (wedge sides + closing edge)
+    several times each, and Spark replays the full upstream pipeline per
+    reference — before truncation the co-activity query planned 238
+    exchanges because every reference re-derived the bipartite
+    projection join.  ``localCheckpoint`` materializes each frame once
+    (the standard GraphFrames/GraphX move for multi-reference graph
+    DAGs); executor-local storage is GC-owned, no unpersist bookkeeping.
+    On a real cluster prefer a reliable ``checkpoint`` dir for
+    fault-tolerance — same call site, same semantics."""
+    if not _pre_truncated:
+        edges = edges.localCheckpoint(eager=True)
     deg = degrees(edges)
     d_src = deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))
     d_dst = deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_dst"))
@@ -85,7 +100,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
         F.when(lower_first, F.col("deg_dst")).otherwise(F.col("deg_src")).alias("deg_v"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("dv1"))
     e2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("dv2"))
     wedges = e1.join(e2, "u").where(
@@ -104,9 +119,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 def clustering_coefficients(edges: DataFrame) -> DataFrame:
     """Local clustering coefficient per node: 2·tri / (deg·(deg−1)), 0 for
-    degree-<2 nodes; (node, deg, tri_cnt, clustering) for every node."""
+    degree-<2 nodes; (node, deg, tri_cnt, clustering) for every node.
+    Truncates the edge lineage once so degrees and triangle_counts share
+    the materialized edge list instead of re-deriving it."""
+    edges = edges.localCheckpoint(eager=True)
     deg = degrees(edges)
-    tri = triangle_counts(edges)
+    tri = triangle_counts(edges, _pre_truncated=True)
     out = deg.join(tri, "node", "left").withColumn(
         "tri_cnt", F.coalesce("tri_cnt", F.lit(0))
     )
