@@ -2180,3 +2180,57 @@ def q_margin_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
     )
+
+
+@register(
+    "reverse_sync_export",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT user_id) AS n_users,
+           sum(value::DECIMAL(14,2))::DOUBLE AS v_sum
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def q_reverse_sync_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse sync end-to-end (job/export.py): the warehouse table of
+    record (txlog, fed in three commits) is drained INTO the es_status
+    sink incrementally by VERSION DIFF — each export reads exactly the
+    files the new commits added, never a timestamp over-read — and a
+    simulated crash-retry re-exports the last range.  Reading the export
+    back with ES upsert-by-_id semantics must reproduce the source
+    exactly: the duplicate physical rows from the retry collapse to one
+    doc per _id, proving the idempotence story without any distributed
+    transaction at the sink."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io import txlog as tx
+    from es_ch_sync_spark.job.export import (
+        export_new_versions,
+        read_exported,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    root = tempfile.mkdtemp(prefix=f"revsync_{uuid.uuid4().hex[:8]}_")
+    table, es_dir = f"{root}/fact", f"{root}/es"
+    for b in range(3):
+        tx.txlog_append(ev.filter(F.col("event_id") % 3 == b), table)
+    # first export covers versions <= 1; the incremental covers only v2
+    v1 = export_new_versions(spark, table, es_dir, "event_id", None, 1)
+    v2 = export_new_versions(spark, table, es_dir, "event_id", v1)
+    assert v2 == 2, v2
+    # crash-retry: re-export the SAME range — duplicates under same _ids
+    export_new_versions(spark, table, es_dir, "event_id", v1, v2)
+    back = read_exported(
+        spark, es_dir,
+        "es_id string, user_id bigint, ts timestamp, value double",
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("v_sum"),
+    )

@@ -183,3 +183,37 @@ def test_observation_metrics_ride_the_job(spark, status_df, dim_df, tmp_path):
     assert "es_ch_sync_spark_n_signals" in text
     assert "# TYPE es_ch_sync_spark_n_quarantined gauge" in text
     assert "min_ts" not in text  # non-numeric values stay out of exposition
+
+
+def test_reverse_sync_version_diff_and_idempotence(spark, tmp_path):
+    """job/export.py: version-diff export reads ONLY the new commits'
+    files; a retried range collapses at read time to one doc per _id."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.io import txlog as tx
+    from es_ch_sync_spark.job.export import (
+        export_new_versions,
+        new_files_between,
+        read_exported,
+    )
+
+    table = str(tmp_path / "fact")
+    es_dir = str(tmp_path / "es")
+    for lo in (0, 50, 100):
+        tx.txlog_append(
+            spark.range(lo, lo + 50).selectExpr(
+                "id AS event_id", "id * 1.5 AS value"
+            ).coalesce(1),
+            table,
+        )
+    # incremental read set = exactly v2's file(s)
+    inc = new_files_between(table, 1, 2)
+    assert len(inc) == 1
+    v = export_new_versions(spark, table, es_dir, "event_id", None, 1)
+    export_new_versions(spark, table, es_dir, "event_id", v)
+    export_new_versions(spark, table, es_dir, "event_id", v, 2)  # retry
+    back = read_exported(spark, es_dir, "es_id string, value double")
+    assert back.count() == 150
+    assert back.agg(F.sum("value")).collect()[0][0] == sum(
+        i * 1.5 for i in range(150)
+    )
