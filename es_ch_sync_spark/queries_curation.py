@@ -478,7 +478,7 @@ def _oversample_oracle(max_factor: int = 20) -> str:
     )
     SELECT d.lang,
            sum(CASE WHEN base < {max_factor} AND ({b}) < extra_cut
-                    THEN base + 1 ELSE base END) AS n_rows,
+                    THEN base + 1 ELSE base END)::BIGINT AS n_rows,
            count(*) AS n_unique
     FROM documents d JOIN stats USING (lang)
     WHERE d.lang IS NOT NULL

@@ -1043,7 +1043,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         ctes.append(
             f"""
     pairs{i} AS (
-        SELECT t.p[1] AS a, t.p[2] AS b, sum(t.cnt) AS c
+        SELECT t.p[1] AS a, t.p[2] AS b, sum(t.cnt)::BIGINT AS c
         FROM (SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p,
                      cnt
               FROM words{p}) t
@@ -1093,7 +1093,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_token_freqs",
     _bpe_oracle_sql(_BPE_MERGES).rsplit(" SELECT * FROM ", 1)[0]
     + f"""
-    SELECT tok, sum(cnt) AS freq
+    SELECT tok, sum(cnt)::BIGINT AS freq
     FROM (SELECT unnest(syms) AS tok, cnt FROM words{_BPE_MERGES})
     GROUP BY tok
     ORDER BY freq DESC, tok

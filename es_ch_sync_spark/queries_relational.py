@@ -1182,7 +1182,8 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sessionize_events",
     """
-    SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+    SELECT user_id, session_id::BIGINT AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events
     FROM (
         SELECT user_id, ts,
@@ -1494,7 +1495,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_late",
     """
     SELECT o_orderpriority,
-           sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late_count,
+           sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END)::BIGINT AS late_count,
            count(*) AS n_lines
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2573,7 +2574,8 @@ _SESS_CTE = """
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
         FROM deltas
     )
-    SELECT date_trunc('day', t)::TIMESTAMP AS bucket, max(c) AS peak_concurrent
+    SELECT date_trunc('day', t)::TIMESTAMP AS bucket,
+           max(c)::BIGINT AS peak_concurrent
     FROM run
     GROUP BY 1
     ORDER BY 1
@@ -2681,12 +2683,12 @@ def q_orc_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
         count(*) AS n_users,
-        sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+        sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_view,
         sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
-                 THEN 1 ELSE 0 END) AS n_click_after_view,
+                 THEN 1 ELSE 0 END)::BIGINT AS n_click_after_view,
         sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
                       AND t_purchase >= t_click
-                 THEN 1 ELSE 0 END) AS n_completed
+                 THEN 1 ELSE 0 END)::BIGINT AS n_completed
     FROM per_user
     """,
 )

@@ -65,8 +65,8 @@ register_shared_sql(
     "sql_case_agg",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big,
-           sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+           sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::BIGINT AS n_big,
+           sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_discounted,
            count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -137,9 +137,13 @@ register_shared_sql(
     "sql_range_frame_window",
     """
     SELECT user_id, event_id, ts,
-           round(sum(value::DECIMAL(12,2))
+           -- DOUBLE surface: a DECIMAL output column converts to pandas
+           -- version-dependently (Decimal objects vs float64) across
+           -- DuckDB releases; the exact sum stays DECIMAL internally.
+           CAST(round(sum(CAST(value AS DECIMAL(12,2)))
                  OVER (PARTITION BY user_id ORDER BY ts
                        RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE)
                AS trailing_7d_value
     FROM events
     WHERE user_id < 8
