@@ -221,8 +221,7 @@ class EsStatusReader(DataSourceReader):
                 dt = dtypes.get(attr[0])
                 if dt is None:
                     continue
-                lo = _typed_stat(dt, fstats[attr[0]][0])
-                hi = _typed_stat(dt, fstats[attr[0]][1])
+                lo, hi = _typed_bounds(dt, fstats[attr[0]])
                 if lo is None or hi is None:
                     continue
                 if isinstance(flt, EqualTo):
@@ -447,6 +446,13 @@ class EsStatusStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         import os
 
+        # horizon monotonicity must survive RESTARTS, not just live in
+        # self._horizon (ADVICE r6): re-seed it from whatever the engine
+        # hands back out of the checkpoint, so a wall-clock step backwards
+        # across a restart cannot lower the effective horizon.
+        start_h = float(start.get("horizon", 0.0) or 0.0)
+        end_h = float(end.get("horizon", 0.0) or 0.0)
+        self._horizon = max(self._horizon, start_h, end_h)
         # deterministic replay: derive everything from the two offsets —
         # the live listing is only consulted to expand a LEGACY watermark
         end_files = (
@@ -455,19 +461,34 @@ class EsStatusStreamReader(DataSourceStreamReader):
         )
         consumed = self._seen(start, end_files)
         base = self.path if os.path.isdir(self.path) else os.path.dirname(self.path)
-        return [
-            _FilePartition(os.path.join(base, f))
-            for f in sorted(end_files)
-            if f not in consumed
-        ]
+        names = [f for f in sorted(end_files) if f not in consumed]
+        if self._max_age > 0 and end_h < start_h:
+            # the end offset was computed by a restarted reader before it
+            # saw the committed horizon (clock stepped back): any name it
+            # re-listed with mtime below the committed horizon was already
+            # aged out of an earlier offset — processing it again would be
+            # the exact duplicate the monotonic-horizon contract forbids.
+            # Replay stays deterministic: the decision derives from the
+            # two offsets' recorded horizons plus immutable mtimes.
+            kept = []
+            for f in names:
+                try:
+                    if os.path.getmtime(os.path.join(base, f)) >= start_h:
+                        kept.append(f)
+                except OSError:
+                    continue
+            names = kept
+        return [_FilePartition(os.path.join(base, f)) for f in names]
 
     def read(self, partition: InputPartition) -> Iterator:
         return self._delegate.read(partition)
 
     def commit(self, end: dict) -> None:
-        # offsets are tracked by the streaming engine's checkpoint; the
-        # source keeps no state to clean up (files are immutable)
-        pass
+        # offsets are tracked by the streaming engine's checkpoint (files
+        # are immutable; nothing to clean up) — but fold the committed
+        # offset's horizon into the in-memory floor so a later
+        # latestOffset() on a retreated wall clock cannot resurrect names
+        self._horizon = max(self._horizon, float(end.get("horizon", 0.0) or 0.0))
 
 
 class EsStatusDataSource(DataSource):
@@ -587,6 +608,19 @@ def _typed_stat(dt: T.DataType, s: str):
     return None
 
 
+def _typed_bounds(dt: T.DataType, pair):
+    """Decode a manifest [lo, hi] stats pair; (None, None) when either
+    side is undecodable OR the decoded bounds are inverted (lo > hi — a
+    manifest written by a pre-fix lexicographic writer, or corruption):
+    callers treat that as "no stats" and fall back to scanning rather
+    than pruning on bad bounds."""
+    lo = _typed_stat(dt, pair[0])
+    hi = _typed_stat(dt, pair[1])
+    if lo is None or hi is None or lo > hi:
+        return None, None
+    return lo, hi
+
+
 def _typed_literal(dt: T.DataType, v):
     """Decode a pushed-filter literal the same way; None → don't prune."""
     import decimal
@@ -675,23 +709,31 @@ class EsStatusWriter(DataSourceArrowWriter):
         final_name = f"part-{tc.partitionId():05d}-{tag}.ndjson"
         tmp = os.path.join(self.path, f"_tmp_{tag}.ndjson")
         n = 0
-        stats: dict[str, list[str]] = {}
+        # min/max accumulate on the NATIVE value — string comparison is
+        # wrong for numerics crossing a digit-count boundary (99 vs 100
+        # would record bounds ['100','99']) and the decoded lo/hi would be
+        # inverted, silently breaking zero-scan stats aggregates.  A
+        # column with incomparable mixed types gets no stats at all.
+        raw: dict[str, list] = {}
+        poisoned: set[str] = set()
         with open(tmp, "w") as f:
             for batch in iterator:
                 for rec in batch.to_pylist():
                     for c in self.stats_cols:
                         v = rec.get(c)
-                        if v is None:
+                        if v is None or c in poisoned:
                             continue
-                        sv = _stats_str(v)
-                        cur = stats.get(c)
+                        cur = raw.get(c)
                         if cur is None:
-                            stats[c] = [sv, sv]
+                            raw[c] = [v, v]
                         else:
-                            if sv < cur[0]:
-                                cur[0] = sv
-                            if sv > cur[1]:
-                                cur[1] = sv
+                            try:
+                                if v < cur[0]:
+                                    cur[0] = v
+                                if v > cur[1]:
+                                    cur[1] = v
+                            except TypeError:
+                                poisoned.add(c)
                     doc_id = rec.pop(self.id_col, None)
                     hit = {
                         "_id": str(doc_id) if doc_id is not None else f"{tag}:{n}",
@@ -705,6 +747,11 @@ class EsStatusWriter(DataSourceArrowWriter):
                         + "\n"
                     )
                     n += 1
+        stats: dict[str, list[str]] = {
+            c: [_stats_str(lo), _stats_str(hi)]
+            for c, (lo, hi) in raw.items()
+            if c not in poisoned
+        }
         if n > 0:
             # every hit in this file carries _index == self.index, so the
             # file is single-valued on es_index by construction — record it
@@ -924,8 +971,7 @@ def manifest_min_max(path: str, col: str, dt: T.DataType):
         fstats = stats.get(fname, {})
         if col not in fstats:
             return None
-        lo = _typed_stat(dt, fstats[col][0])
-        hi = _typed_stat(dt, fstats[col][1])
+        lo, hi = _typed_bounds(dt, fstats[col])
         if lo is None or hi is None:
             return None
         los.append(lo)
@@ -1011,12 +1057,10 @@ def manifest_grouped_agg(
         fstats = stats.get(fname, {})
         if col not in fstats or group_col not in fstats:
             return None
-        glo = _typed_stat(group_dt, fstats[group_col][0])
-        ghi = _typed_stat(group_dt, fstats[group_col][1])
+        glo, ghi = _typed_bounds(group_dt, fstats[group_col])
         if glo is None or ghi is None or glo != ghi:
             return None  # multi-group file: grouping unprovable
-        lo = _typed_stat(dt, fstats[col][0])
-        hi = _typed_stat(dt, fstats[col][1])
+        lo, hi = _typed_bounds(dt, fstats[col])
         if lo is None or hi is None:
             return None
         n = per_file.get(fname)

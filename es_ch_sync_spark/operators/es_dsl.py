@@ -105,7 +105,9 @@ def _clause_to_column(clause: dict, schema: T.StructType) -> Column:
             out = out & c
         return out
     if kind == "exists":
-        return F.col(body["field"]).isNotNull()
+        field = body["field"]
+        _field_type(schema, field)  # unknown field → loud EsDslError, like every other clause
+        return F.col(field).isNotNull()
     if kind == "bool":
         return _bool_to_column(body, schema)
     raise EsDslError(f"unsupported ES-DSL clause {kind!r}")
@@ -124,7 +126,11 @@ def _bool_to_column(body: dict, schema: T.StructType) -> Column:
     for c in body.get("must_not", []):
         conds.append(~_clause_to_column(c, schema))
     should = body.get("should", [])
-    msm = body.get("minimum_should_match", 0 if (conds or not should) else 1)
+    # ES defaults minimum_should_match to 1 whenever the bool has NO
+    # must/filter clause — must_not does NOT count (a bool with only
+    # must_not + should still requires one should to match).
+    has_positive = bool(body.get("filter") or body.get("must"))
+    msm = body.get("minimum_should_match", 0 if (has_positive or not should) else 1)
     if should and msm:
         if int(msm) != 1:
             raise EsDslError("only minimum_should_match 0/1 is supported")

@@ -949,7 +949,7 @@ def dsir_apply(
     the same smoothed number of times: never)."""
     spark = df.sparkSession
     delta = spark.read.parquet(model_path)
-    gb = _dsir_grams(df, F.lit(False), text_col, n_buckets, seed)
+    gb = _dsir_grams(df, F.lit(False), text_col, n_buckets, seed, id_col=id_col)
     db = gb.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c_db"))
     scored = (
         db.join(F.broadcast(delta), "b", "left")
@@ -973,15 +973,21 @@ def dsir_apply(
 
 
 def _dsir_grams(
-    df: DataFrame, target: Column, text_col: str, n_buckets: int, seed: str
+    df: DataFrame,
+    target: Column,
+    text_col: str,
+    n_buckets: int,
+    seed: str,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, _t, b) — the shared explode/hash front half of fit and
-    apply (and of the one-shot dsir_select)."""
+    """(id_col, _t, b) — the shared explode/hash front half of fit and
+    apply (and of the one-shot dsir_select).  id_col is threaded from the
+    caller (ADVICE r6: a hardcoded doc_id broke any other id column)."""
     from es_ch_sync_spark.operators.text import words
 
     ws = words(F.col(text_col))
     base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col("doc_id"),
+        F.col(id_col),
         F.when(target, 1).otherwise(0).alias("_t"),
         ws.alias("_ws"),
     )
@@ -997,7 +1003,7 @@ def _dsir_grams(
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = base.select(
-        "doc_id", "_t", F.explode(F.concat(F.col("_ws"), bigrams)).alias("g")
+        id_col, "_t", F.explode(F.concat(F.col("_ws"), bigrams)).alias("g")
     )
     bucket = (
         F.conv(
@@ -1009,4 +1015,4 @@ def _dsir_grams(
         ).cast("long")
         % n_buckets
     )
-    return grams.select("doc_id", "_t", bucket.alias("b"))
+    return grams.select(id_col, "_t", bucket.alias("b"))

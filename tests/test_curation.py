@@ -330,6 +330,31 @@ def test_dsir_select_prefers_target_like_docs(spark, sf_dir):
     assert [tuple(r) for r in again.collect()] == [tuple(r) for r in rows]
 
 
+def test_dsir_apply_honors_id_col(spark, sf_dir, tmp_path):
+    """ADVICE r6: dsir_apply advertised id_col but _dsir_grams hardcoded
+    doc_id — a renamed id column must score identically, and a frame
+    that ALSO carries an unrelated doc_id column must group by the
+    requested id, not silently by doc_id."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.sampling import dsir_apply, dsir_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    model = str(tmp_path / "dsir_model")
+    dsir_fit(docs, target=F.col("lang") == "en", path=model)
+
+    base = dsir_apply(docs, model).collect()
+    renamed = docs.withColumnRenamed("doc_id", "my_id")
+    got = dsir_apply(renamed, model, id_col="my_id").collect()
+    assert {(r["my_id"], r["dsir_score"]) for r in got} == {
+        (r["doc_id"], r["dsir_score"]) for r in base
+    }
+    # a decoy doc_id column must NOT hijack the grouping
+    decoy = renamed.withColumn("doc_id", F.lit("same-for-all"))
+    got2 = dsir_apply(decoy, model, id_col="my_id")
+    assert got2.count() == len(base)
+
+
 def test_rrf_fuse_combines_rank_lists(spark):
     """RRF: a doc present in both lists outscores single-list docs of
     similar rank; scores are 1/(60+r) sums with full-outer semantics."""

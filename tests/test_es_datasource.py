@@ -749,6 +749,60 @@ def test_agg_pushdown_stats_only_and_fallbacks(spark, tmp_path):
     assert manifest_min_max(sink, "es_id", _T.StringType()) is None
 
 
+def test_stats_accumulate_natively_across_digit_boundary(spark, tmp_path):
+    """Writer min/max must accumulate on the NATIVE value: a file whose
+    numeric column crosses a digit-count boundary (99 vs 100) would be
+    recorded as bounds ['100','99'] under lexicographic accumulation
+    (ADVICE r6), inverting the decoded lo/hi and corrupting zero-scan
+    aggregates.  Also: a manifest that DOES carry inverted bounds (old
+    writer / corruption) must disable pruning and stats-only aggs rather
+    than serve wrong answers."""
+    from es_ch_sync_spark.io.es_datasource import (
+        manifest_min_max,
+        read_es_status_agg,
+    )
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(f"e{i}", v) for i, v in enumerate([99, 100, 101, 150, 9])],
+        "es_id string, data_speed long",
+    ).coalesce(1)
+    write_es_status(df, sink, mode="append", statscolumns="data_speed")
+
+    lt = _T.LongType()
+    assert manifest_min_max(sink, "data_speed", lt) == (9, 150)
+    got = read_es_status_agg(
+        spark, sink, "data_speed", "max", "es_id string, data_speed long"
+    )
+    assert got.collect()[0]["max_data_speed"] == 150
+    # the file must NOT be pruned for a predicate inside the true range
+    r = EsStatusReader(
+        _T.StructType.fromDDL("es_id string, data_speed long"), {"path": sink}
+    )
+    list(r.pushFilters([_Gt(("data_speed",), 120)]))
+    assert len(r.partitions()) == 1
+
+    # hand-invert the manifest bounds: consumers must fall back, not prune
+    mpath = os.path.join(sink, "_ES_COMMIT")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    for fstats in manifest["stats"].values():
+        if "data_speed" in fstats:
+            fstats["data_speed"] = ["100", "99"]  # lo > hi numerically
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    assert manifest_min_max(sink, "data_speed", lt) is None
+    fb = read_es_status_agg(
+        spark, sink, "data_speed", "min", "es_id string, data_speed long"
+    )
+    assert fb.collect()[0]["min_data_speed"] == 9  # scan fallback, right answer
+    r2 = EsStatusReader(
+        _T.StructType.fromDDL("es_id string, data_speed long"), {"path": sink}
+    )
+    list(r2.pushFilters([_Gt(("data_speed",), 120)]))
+    assert len(r2.partitions()) == 1  # inverted bounds never prune
+
+
 def test_vacuum_completes_published_epoch_before_sweeping(tmp_path):
     """A temp referenced by a PUBLISHED epoch marker's rename plan is not
     an orphan: the writer crashed between publishing the marker and
@@ -829,6 +883,49 @@ def test_stream_reader_offset_retention_horizon(spark, tmp_path):
     r0 = EsStatusStreamReader(schema, {"path": src})
     assert sorted(r0.latestOffset()["seen"]) == [
         "part-new.ndjson", "part-newer.ndjson", "part-old.ndjson"]
+
+
+def test_stream_reader_horizon_survives_restart(spark, tmp_path):
+    """ADVICE r6: the horizon floor must be restored from checkpointed
+    offsets, not live only in self._horizon — a RESTARTED reader whose
+    wall clock stepped backwards would otherwise re-list (and re-process)
+    names already aged out of an earlier committed offset."""
+    from es_ch_sync_spark.io.es_datasource import EsStatusStreamReader
+
+    src = str(tmp_path / "export")
+    os.makedirs(src)
+    _write_wave(src, "part-a.ndjson", range(0, 1))
+    schema = _T.StructType.fromDDL(_STREAM_SCHEMA)
+
+    r = EsStatusStreamReader(schema, {"path": src, "maxfileagesec": "600"})
+    end = r.latestOffset()
+    assert end["seen"] == ["part-a.ndjson"]
+    # consume + age the file out of later offsets
+    os.utime(os.path.join(src, "part-a.ndjson"),
+             (time.time() - 3600, time.time() - 3600))
+    end2 = r.latestOffset()
+    assert end2["seen"] == []
+
+    # restart: a fresh reader (empty in-memory horizon) on a retreated
+    # clock produces an end offset whose horizon is BELOW the committed
+    # one and re-lists the aged file...
+    r2 = EsStatusStreamReader(schema, {"path": src, "maxfileagesec": "600"})
+    retreated = {"seen": ["part-a.ndjson"], "horizon": end2["horizon"] - 7200}
+    # ...partitions() must refuse to resurrect it against the committed
+    # start offset (its mtime is below the committed horizon)
+    parts = r2.partitions(end2, retreated)
+    assert parts == []
+    # and the restored horizon becomes the in-memory floor again
+    assert r2._horizon >= end2["horizon"]
+    # commit() alone also restores the floor
+    r3 = EsStatusStreamReader(schema, {"path": src, "maxfileagesec": "600"})
+    r3.commit(end2)
+    assert r3._horizon >= end2["horizon"]
+    # a genuinely new file (mtime above the committed horizon) still flows
+    _write_wave(src, "part-b.ndjson", range(1, 2))
+    end3 = r2.latestOffset()
+    parts3 = r2.partitions(end2, end3)
+    assert [os.path.basename(p.path) for p in parts3] == ["part-b.ndjson"]
 
 
 def test_count_and_grouped_agg_pushdown(spark, tmp_path):

@@ -103,6 +103,33 @@ def test_match_all_and_iso_range(df):
     assert apply_es_dsl(df, req).count() == 3
 
 
+def test_must_not_plus_should_still_requires_a_should(df):
+    """ADVICE r6: ES defaults minimum_should_match=1 whenever no
+    must/filter clause exists — must_not alone does NOT demote the
+    should list to optional."""
+    req = {
+        "query": {
+            "bool": {
+                "must_not": [{"term": {"event_type": "purchase"}}],
+                "should": [
+                    {"term": {"es_id": "a"}},
+                    {"term": {"es_id": "b"}},
+                ],
+            }
+        }
+    }
+    # b is a purchase (excluded by must_not); c/d match neither should
+    got = {r["es_id"] for r in apply_es_dsl(df, req).collect()}
+    assert got == {"a"}
+
+
+def test_exists_on_unknown_field_raises(df):
+    """ADVICE r6: exists validates the field like every other clause —
+    a typo'd field is a loud EsDslError, not an AnalysisException."""
+    with pytest.raises(EsDslError):
+        apply_es_dsl(df, {"query": {"exists": {"field": "no_such_col"}}})
+
+
 def test_unsupported_constructs_raise(df):
     with pytest.raises(EsDslError):
         apply_es_dsl(df, {"query": {"wildcard": {"subject": "7*"}}})

@@ -217,3 +217,57 @@ def test_reverse_sync_version_diff_and_idempotence(spark, tmp_path):
     assert back.agg(F.sum("value")).collect()[0][0] == sum(
         i * 1.5 for i in range(150)
     )
+
+
+def test_reverse_sync_update_delete_tombstones(spark, tmp_path):
+    """ADVICE r6: the export must carry txlog UPDATE and DELETE through
+    to the sink — updated rows win deterministically by export version
+    (not an arbitrary dropDuplicates survivor) and deleted rows emit
+    tombstones that remove the doc at read time."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.io import txlog as tx
+    from es_ch_sync_spark.job.export import (
+        ExportHistoryError,
+        export_new_versions,
+        read_exported,
+    )
+
+    table = str(tmp_path / "fact")
+    es_dir = str(tmp_path / "es")
+    tx.txlog_append(
+        spark.range(0, 100)
+        .selectExpr("id AS event_id", "id * 1.0 AS value")
+        .coalesce(1),
+        table,
+    )
+    v = export_new_versions(spark, table, es_dir, "event_id", None)
+
+    # UPDATE: rows 0..9 get value 999; DELETE: rows 90..99 vanish
+    tx.txlog_update(
+        spark, table, [("event_id", "<", 10)], {"value": "999.0"}
+    )
+    tx.txlog_delete(spark, table, [("event_id", ">=", 90)])
+    v2 = export_new_versions(spark, table, es_dir, "event_id", v)
+
+    back = read_exported(spark, es_dir, "es_id string, value double")
+    assert back.count() == 90  # deletes applied
+    got = {r["es_id"]: r["value"] for r in back.collect()}
+    assert got["0"] == 999.0 and got["5"] == 999.0  # updates win
+    assert got["50"] == 50.0  # untouched rows survive
+    assert "95" not in got
+
+    # retry of the same DML range is idempotent
+    export_new_versions(spark, table, es_dir, "event_id", v, v2)
+    again = read_exported(spark, es_dir, "es_id string, value double")
+    assert again.count() == 90
+    assert again.agg(F.sum("value")).collect()[0][0] == (
+        999.0 * 10 + sum(range(10, 90))
+    )
+
+    # history truncated inside the range → loud failure, not silent loss
+    import pytest as _pytest
+
+    tx.vacuum(table, keep_versions=1)
+    with _pytest.raises(ExportHistoryError):
+        export_new_versions(spark, table, es_dir, "event_id", 0, None)
