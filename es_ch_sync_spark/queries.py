@@ -95,20 +95,39 @@ _DRIVER_SAMPLED_R5 = frozenset({
     "udtf_top_terms", "user_entropy", "winsorized_stats", "zipf_fit",
 })
 
-_DRIVER_SAMPLED = _DRIVER_SAMPLED_R1_R4 | _DRIVER_SAMPLED_R5
+# Round-6 sample (CORRECTNESS_r06.json keys, verbatim).
+_DRIVER_SAMPLED_R6 = frozenset({
+    "ann_ivf_topk", "approx_distinct_users", "approx_percentiles",
+    "asof_join_forward", "bloom_point_lookup", "bm25_topk",
+    "bootstrap_means", "bpe_merges", "bpe_token_freqs",
+    "config_driven_sync", "contamination_report", "dpp_partitioned_scan",
+    "dsir_apply_batch", "dsir_select", "dup_span_removal",
+    "embedding_anisotropy", "es_dsl_scan", "es_status_grouped_agg_pushdown",
+    "hybrid_rrf_retrieval", "incremental_rollup_view", "kmeans_cells",
+    "linreg_trend", "margin_knn_mine", "margin_mine_ann", "mixture_plan",
+    "negative_sample_pairs", "ngram_diversity", "oversample_balance",
+    "pca_incremental", "pca_top_component", "quality_lr_scores",
+    "quarantine_split", "reverse_sync_export", "snapshot_diff",
+    "source_divergence", "streaming_chunk_documents",
+    "streaming_dedup_docs", "streaming_rollup_maintenance",
+    "tokenizer_fertility", "tpch_q10_returned", "tpch_q14_promo_share",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive", "tpch_q5_local",
+    "tpch_q7_volume", "txlog_compacted_scan", "txlog_delete_scan",
+    "txlog_pruned_scan", "txlog_update_scan", "variant_extract_props",
+})
+
+_DRIVER_SAMPLED = _DRIVER_SAMPLED_R1_R4 | _DRIVER_SAMPLED_R5 | _DRIVER_SAMPLED_R6
 
 # Queries whose LATEST driver row is red for a since-fixed reason and must
-# be re-sampled to flip green (judge directive r5 #2): the stale r1/r2 trio
-# (r1 "no_oracle" before the oracles existed; an r2 exception fixed in r2 —
-# re-verified green locally every round since) plus oversample_balance,
-# whose r5 truncate-vs-round cast seam is fixed this round on both the
-# engine and oracle sides.  Ordered FIRST so the driver's next 50-row
-# sample re-checks them before continuing through the never-sampled group
-# (97 never-sampled names remain > one 50-row sample, so green-flipping
-# red rows outranks pure coverage accumulation this round).
+# be re-sampled to flip green: CORRECTNESS_r06's three hash mismatches, all
+# one root cause — the oracle emitted a HUGEINT column (DuckDB promotes
+# sum() over integers to INT128, whose pandas conversion is DuckDB-version-
+# dependent; local 1.0.0 masked it).  Fixed this round by BIGINT-casting
+# every such column, with tools/audit_oracle_types.py now scanning all
+# oracles' result types so the class is closed, not just these instances.
+# The r5 trio (ann_ivf_topk etc.) flipped green in r06 and left this list.
 _RED_LATEST = (
-    "ann_ivf_topk", "approx_distinct_users", "linreg_trend",
-    "oversample_balance",
+    "oversample_balance", "bpe_merges", "bpe_token_freqs",
 )
 
 
