@@ -1,0 +1,176 @@
+"""Web-corpus URL curation: canonicalization, registered-domain
+extraction, and per-domain caps — the C4 / RefinedWeb / Gopher-style
+front half of a crawl-derived training-data pipeline (the reference
+engine stops at signal records, `internal/service/elastic/elastic.go`;
+a 100 TB LLM corpus adds a URL axis the same way it adds a text axis).
+
+Everything here is codegen'd column expressions — regexp_extract,
+array_sort, filter — no Python in the hot path.  URL semantics follow
+the public WHATWG/RFC 3986 normalization rules that C4's and
+RefinedWeb's published pipelines apply: lowercase scheme/host, strip
+default ports and fragments, drop known tracking parameters, sort the
+surviving query string, collapse the www. prefix, trim trailing
+slashes.  Registered-domain extraction is the public-suffix TWO-LEVEL
+heuristic (last label, plus one more when the tail matches a known
+second-level suffix like co.uk) — the full PSL is a broadcast lookup
+table in production; the heuristic keeps the operator dependency-free
+and the plan shape identical.
+
+At 100 TB: every operator is a narrow projection (no shuffle) except
+the per-domain cap, which is one hash-partitioned window keyed on the
+registered domain — the same skew profile as any groupBy(domain), and
+domains ARE skewed (a crawl's head domain can be 1%+ of the corpus), so
+``cap_per_domain`` ranks by a uniform hash rather than sorting payloads,
+keeping the per-key state one counter wide."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tracking parameters dropped during canonicalization (public lists:
+# C4 pipeline, uBlock "AdGuard URL tracking" — the stable core).
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref", "ref_src",
+)
+
+# Known second-level public suffixes (heuristic core; full PSL is a
+# broadcast dim table in production).
+SECOND_LEVEL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "co.za", "com.tr", "com.ar", "com.sg",
+)
+
+
+def url_parts(url: Column) -> Column:
+    """Struct(scheme, host, port, path, query) parsed with the RFC 3986
+    component regexes — one pass, no UDF.  Fragment is discarded here
+    (normalization always drops it)."""
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    path = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    return F.struct(
+        scheme.alias("scheme"),
+        host.alias("host"),
+        port.alias("port"),
+        path.alias("path"),
+        query.alias("query"),
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL string: lowercase scheme+host, www. stripped,
+    default ports (http:80 / https:443) stripped, fragment dropped,
+    tracking params dropped, surviving query params byte-sorted, path
+    trailing slash trimmed (root path becomes empty).  Deterministic and
+    engine-portable — the DuckDB oracle mirrors it function-for-function
+    (tests/test_web.py pins a canon table)."""
+    p = url_parts(url)
+    host = F.regexp_replace(p["host"], r"^www\.", "")
+    default_port = (
+        ((p["scheme"] == "http") & (p["port"] == "80"))
+        | ((p["scheme"] == "https") & (p["port"] == "443"))
+        | (p["port"] == "")
+    )
+    portpart = F.when(default_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), p["port"])
+    )
+    path = F.regexp_replace(p["path"], r"/+$", "")
+    drop = F.array(*[F.lit(t) for t in TRACKING_PARAMS])
+    kept = F.array_sort(
+        F.filter(
+            F.split(p["query"], "&"),
+            lambda kv: (kv != "")
+            & ~F.arrays_overlap(
+                F.array(F.regexp_extract(kv, r"^([^=]*)", 1)), drop
+            ),
+        )
+    )
+    querypart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        p["scheme"], F.lit("://"), host, portpart, path, querypart
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 by the two-level-suffix heuristic: last two labels, or the
+    last three when the two-label tail is a known second-level public
+    suffix (co.uk et al.).  Pure array arithmetic on the split host."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    tail2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    take = F.when(
+        (n >= 3) & tail2.isin(*SECOND_LEVEL_SUFFIXES), F.lit(3)
+    ).otherwise(F.least(n, F.lit(2)))
+    return F.concat_ws(".", F.slice(labels, n - take + 1, take))
+
+
+def domain_of_url(url: Column) -> Column:
+    """Registered domain straight from a raw URL (www. collapsed first,
+    matching normalize_url's host treatment)."""
+    return registered_domain(
+        F.regexp_replace(url_parts(url)["host"], r"^www\.", "")
+    )
+
+
+def domain_report(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registered-domain census over the corpus: docs, distinct
+    canonical URLs (dup-collapsed), and the domain's share of the corpus
+    — the first report any crawl-curation run prints, and the input to
+    cap decisions.  One hash aggregate keyed on the domain."""
+    total = df.count()
+    return (
+        df.select(
+            domain_of_url(F.col(url_col)).alias("domain"),
+            normalize_url(F.col(url_col)).alias("_canon"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_canon").alias("n_urls"),
+        )
+        .withColumn(
+            "share",
+            F.round(F.col("n_docs").cast("double") / F.lit(float(total)), 6),
+        )
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per registered domain, selected by
+    a deterministic uniform hash of the doc id (NOT arrival order — a
+    crawl's within-domain order is correlated with page type, and a
+    hash pick is reproducible across runs and engines).  The C4-style
+    guard against a single host dominating the mixture.
+
+    Plan: one window (rank over md5-hash within domain) on a
+    domain-hash-partitioned shuffle; payload columns ride along, state
+    per key is one counter.  Skewed head domains are bounded by the cap
+    itself — output per domain is O(cap) regardless of input skew."""
+    dom = domain_of_url(F.col(url_col))
+    rank_key = F.md5(F.concat(F.lit("domcap:"), F.col(id_col).cast("string")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_domain").orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_domain", dom)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+        .withColumnRenamed("_domain", "domain")
+    )

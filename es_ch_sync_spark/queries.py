@@ -156,6 +156,7 @@ def _load_extra_registries() -> None:
     import es_ch_sync_spark.queries_pipeline  # noqa: F401
     import es_ch_sync_spark.queries_relational  # noqa: F401
     import es_ch_sync_spark.queries_sql  # noqa: F401
+    import es_ch_sync_spark.queries_web  # noqa: F401
 
 
 def oracle_queries() -> dict[str, str]:

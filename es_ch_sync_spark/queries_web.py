@@ -1,0 +1,193 @@
+"""Web-corpus URL curation queries (operators/web.py): canonicalization
+groups, registered-domain census, and the per-domain cap — the crawl
+front half of an LLM data pipeline (C4 §2.1 / RefinedWeb §3 publish the
+same three steps; the reference engine has no URL axis, so these extend
+SURVEY §2's pipeline families rather than mirroring a reference file).
+
+The documents table carries no URL, so each query constructs one
+DETERMINISTICALLY from doc_id with the same SQL expression on both
+engines (the established planted-input pattern, see queries_curation's
+PII augmentation): five decorated variants per 5-doc group — bare,
+www+trailing-slash, uppercase-scheme+default-port+tracking-params,
+reordered-params, userinfo+port-80+fragment — so the canonicalizer's
+every rule is load-bearing in the cross-engine check."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.io.sources import read_parquet_table
+from es_ch_sync_spark.operators.web import (
+    SECOND_LEVEL_SUFFIXES,
+    TRACKING_PARAMS,
+    cap_per_domain,
+    domain_of_url,
+    domain_report,
+    normalize_url,
+)
+from es_ch_sync_spark.queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, "documents")
+
+
+# Shared Spark-SQL/DuckDB URL construction (identical semantics: || concat,
+# CASE, floor-division base).
+_BASE = "CAST(floor(doc_id / 5.0) AS BIGINT)"
+_HOST = (
+    f"'d' || CAST({_BASE} % 37 AS STRING) || "
+    f"CASE CAST({_BASE} % 3 AS INT) WHEN 0 THEN '.example.com' "
+    "WHEN 1 THEN '.co.uk' ELSE '.com.au' END"
+)
+_URL_EXPR = f"""CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN 'https://' || {_HOST} || '/p/' || CAST({_BASE} AS STRING)
+  WHEN 1 THEN 'https://www.' || {_HOST} || '/p/' || CAST({_BASE} AS STRING) || '/'
+  WHEN 2 THEN 'HTTPS://' || {_HOST} || ':443/p/' || CAST({_BASE} AS STRING)
+       || '?utm_source=feed&gclid=g' || CAST(doc_id AS STRING)
+  WHEN 3 THEN 'https://' || {_HOST} || '/p/' || CAST({_BASE} AS STRING)
+       || '?b=2&a=1&fbclid=z'
+  ELSE 'http://crawler@' || {_HOST} || ':80/p/' || CAST({_BASE} AS STRING) || '#frag'
+END"""
+
+# DuckDB mirror of operators.web.normalize_url, function for function.
+_TRACK_LIST = "[" + ", ".join(f"'{t}'" for t in TRACKING_PARAMS) + "]"
+_SLS_LIST = "[" + ", ".join(f"'{s}'" for s in SECOND_LEVEL_SUFFIXES) + "]"
+
+_CANON_CTE = f"""
+    u AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
+    p AS (
+        SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+        FROM u
+    ),
+    c AS (
+        SELECT doc_id, url,
+            lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(
+                regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+            regexp_extract(
+                regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                ':(\\d+)$', 1) AS port,
+            regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+            regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
+        FROM p
+    ),
+    canon AS (
+        SELECT doc_id, url,
+            regexp_replace(host, '^www\\.', '') AS host2,
+            scheme || '://' || regexp_replace(host, '^www\\.', '')
+            || CASE WHEN (scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443')
+                      OR port = '' THEN '' ELSE ':' || port END
+            || regexp_replace(path, '/+$', '')
+            || CASE WHEN len(kept) > 0
+                    THEN '?' || array_to_string(kept, '&') ELSE '' END
+            AS canon_url
+        FROM (
+            SELECT *, list_sort(list_filter(string_split(query, '&'),
+                x -> x <> '' AND NOT list_contains({_TRACK_LIST},
+                                   regexp_extract(x, '^([^=]*)', 1)))) AS kept
+            FROM c
+        )
+    ),
+    dom AS (
+        SELECT doc_id, url, canon_url,
+            CASE WHEN n >= 3 AND list_contains({_SLS_LIST},
+                     labels[n - 1] || '.' || labels[n])
+                 THEN array_to_string(labels[n - 2:n], '.')
+                 ELSE array_to_string(labels[greatest(n - 1, 1):n], '.')
+            END AS domain
+        FROM (
+            SELECT *, string_split(host2, '.') AS labels,
+                   len(string_split(host2, '.')) AS n
+            FROM canon
+        )
+    )"""
+
+
+def _with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_URL_EXPR).alias("url")
+    )
+
+
+@register(
+    "url_canonical_groups",
+    f"""
+    WITH {_CANON_CTE}
+    SELECT canon_url, count(*) AS n_raw
+    FROM dom GROUP BY canon_url
+    ORDER BY n_raw DESC, canon_url LIMIT 50
+    """,
+)
+def q_url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization as a dedup key: the five decorated variants
+    of each page collapse to {bare+www+tracking → one, reordered-params
+    → one, http+userinfo → one}, pinning every normalization rule
+    (scheme/host case, default ports, fragment, tracking params, param
+    sort, trailing slash, www, userinfo) against an independent DuckDB
+    reimplementation.  Plan: narrow projection + one hash aggregate —
+    no UDF, no extra shuffle beyond the groupBy."""
+    u = _with_url(spark, sf_dir)
+    return (
+        u.withColumn("canon_url", normalize_url(F.col("url")))
+        .groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+        .orderBy(F.desc("n_raw"), F.asc("canon_url"))
+        .limit(50)
+    )
+
+
+@register(
+    "domain_report_top",
+    f"""
+    WITH {_CANON_CTE}
+    SELECT domain,
+           count(*) AS n_docs,
+           count(DISTINCT canon_url) AS n_urls,
+           round(count(*) / (SELECT count(*)::DOUBLE FROM documents), 6) AS share
+    FROM dom GROUP BY domain
+    ORDER BY n_docs DESC, domain LIMIT 20
+    """,
+)
+def q_domain_report_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain census (eTLD+1 by the two-level-suffix
+    heuristic): subdomains of example.com fold into one registered
+    domain while d*.co.uk stay distinct — exactly the asymmetry the
+    public-suffix rules exist for, cross-checked against the oracle's
+    independent label arithmetic.  The head-domain share is the input
+    to cap decisions at 100 TB (a crawl's top domain can carry >1% of
+    all docs)."""
+    return (
+        domain_report(_with_url(spark, sf_dir), url_col="url")
+        .orderBy(F.desc("n_docs"), F.asc("domain"))
+        .limit(20)
+    )
+
+
+@register(
+    "cap_per_domain_kept",
+    f"""
+    WITH {_CANON_CTE}
+    SELECT domain, doc_id FROM (
+        SELECT domain, doc_id,
+               row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY md5('domcap:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM dom
+    ) WHERE rk <= 3
+    ORDER BY domain, doc_id
+    """,
+)
+def q_cap_per_domain_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain cap: at most 3 docs per registered domain,
+    selected by a deterministic md5 rank (reproducible across runs AND
+    engines — the oracle re-derives the identical kept set, not just
+    the counts).  The mega-domain (example.com, ~1/3 of the corpus)
+    exercises the skew-bounded path: output per domain is O(cap)
+    however large the input group."""
+    capped = cap_per_domain(_with_url(spark, sf_dir), cap=3, url_col="url")
+    return capped.select("domain", "doc_id").orderBy("domain", "doc_id")

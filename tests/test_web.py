@@ -1,0 +1,81 @@
+"""URL curation operators (operators/web.py): canonicalization rule
+table, registered-domain heuristic cases, and the per-domain cap's
+determinism + skew bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from es_ch_sync_spark.operators.web import (
+    cap_per_domain,
+    domain_of_url,
+    normalize_url,
+    registered_domain,
+)
+
+# (raw, canonical) — one row per normalization rule
+_CANON_TABLE = [
+    ("https://Example.COM/a", "https://example.com/a"),
+    ("HTTPS://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://www.example.com/a/", "https://example.com/a"),
+    ("https://example.com/a#frag", "https://example.com/a"),
+    ("https://user:pw@example.com/a", "https://example.com/a"),
+    ("https://example.com/a?utm_source=x&gclid=1", "https://example.com/a"),
+    ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+    ("https://example.com/a?b=2&utm_medium=m&a=1", "https://example.com/a?a=1&b=2"),
+    ("https://example.com/", "https://example.com"),
+    ("https://example.com", "https://example.com"),
+    # a param whose NAME merely contains a tracking name survives
+    ("https://example.com/a?refresh=1", "https://example.com/a?refresh=1"),
+]
+
+_DOMAIN_TABLE = [
+    ("a.b.example.com", "example.com"),
+    ("example.com", "example.com"),
+    ("news.bbc.co.uk", "bbc.co.uk"),
+    ("bbc.co.uk", "bbc.co.uk"),
+    ("shop.foo.com.au", "foo.com.au"),
+    ("localhost", "localhost"),
+]
+
+
+def test_normalize_url_rule_table(spark):
+    df = spark.createDataFrame([(r,) for r, _ in _CANON_TABLE], "url string")
+    got = [r["c"] for r in df.select(normalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [c for _, c in _CANON_TABLE]
+
+
+def test_registered_domain_cases(spark):
+    df = spark.createDataFrame([(h,) for h, _ in _DOMAIN_TABLE], "host string")
+    got = [
+        r["d"] for r in df.select(registered_domain(F.col("host")).alias("d")).collect()
+    ]
+    assert got == [d for _, d in _DOMAIN_TABLE]
+
+
+def test_cap_per_domain_bounds_and_determinism(spark):
+    rows = [(i, f"https://sub{i % 7}.mega.com/p/{i}") for i in range(200)] + [
+        (1000 + i, f"https://tiny{i}.org/x") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    capped = cap_per_domain(df, cap=3)
+    per = {
+        r["domain"]: r["n"]
+        for r in capped.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per["mega.com"] == 3  # 200-row skew bounded at the cap
+    assert all(v <= 3 for v in per.values())
+    assert sum(per.values()) == 3 + 5  # tiny domains keep their single doc
+    # deterministic: the same kept set on a re-run
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in cap_per_domain(df, cap=3).collect())
+    assert a == b
+
+
+def test_domain_of_url_strips_www_and_userinfo(spark):
+    df = spark.createDataFrame(
+        [("https://crawler@www.news.bbc.co.uk:8443/x?a=1#f",)], "url string"
+    )
+    assert df.select(domain_of_url(F.col("url")).alias("d")).collect()[0]["d"] == "bbc.co.uk"
