@@ -719,3 +719,94 @@ def tokenizer_fertility(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style greedy longest-match tokenizer (Wu et al. 2016, BERT's
+# inference tokenizer; Song et al. 2021 "Fast WordPiece").  Complements
+# bpe_train: BPE covers the merge-training algorithm, this covers the
+# other dominant public scheme — a frequency-seeded substring vocabulary
+# plus deterministic longest-match-first encoding.  Everything is
+# INTEGER/STRING arithmetic (no float argmax), so the DuckDB oracle
+# reproduces the segmentation exactly, token for token.
+# ---------------------------------------------------------------------------
+
+
+def wordpiece_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 120,
+    max_len: int = 6,
+) -> DataFrame:
+    """(tok, freq) vocabulary: the corpus's full single-character
+    alphabet (so greedy matching can never dead-end) plus the top
+    ``vocab_size`` multi-character substrings (length 2..max_len) by
+    corpus frequency, ties broken by token text.  Like bpe_train, all
+    heavy work happens on the Heaps-law-bounded (word, cnt) table — one
+    corpus scan, then substring explosion over distinct words only."""
+    wc = bpe_word_counts(docs, text_col)
+    subs = wc.select(
+        F.col("cnt"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.length("word"), F.lit(max_len))
+                    ),
+                    lambda l: F.transform(
+                        F.sequence(F.lit(1), F.length("word") - l + 1),
+                        lambda i: F.col("word").substr(i, l),
+                    ),
+                )
+            )
+        ).alias("tok"),
+    )
+    freqs = subs.groupBy("tok").agg(F.sum("cnt").alias("freq"))
+    chars = freqs.filter(F.length("tok") == 1)
+    multi = (
+        freqs.filter(F.length("tok") >= 2)
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(vocab_size)
+    )
+    return chars.unionByName(multi)
+
+
+def wordpiece_encode(word: Column, vocab: list[str], max_len: int = 6) -> Column:
+    """Greedy longest-match-first segmentation of ``word`` against a
+    vocabulary list → array<string> of tokens.  One codegen'd fold
+    (F.aggregate) over character positions; each step takes the longest
+    vocab substring at the cursor (an unrolled max_len..1 CASE chain —
+    single characters are always in a wordpiece_vocab, so the cursor
+    always advances).  The vocab rides into the plan as a literal array
+    (vocab_size + alphabet entries, broadcast-by-construction) — at
+    100 TB the encode runs over the distinct-word table, never the
+    corpus, and rejoins by word."""
+    vl = F.array(*[F.lit(v) for v in vocab])
+
+    def step_len(pos: Column) -> Column:
+        # built ascending so the LONGEST length ends up outermost in the
+        # CASE chain — longest-match-first priority
+        out = F.lit(1)
+        for l in range(2, max_len + 1):
+            out = F.when(
+                F.array_contains(vl, word.substr(pos, F.lit(l))), F.lit(l)
+            ).otherwise(out)
+        return out
+
+    init = F.struct(
+        F.lit(1).alias("pos"), F.array().cast("array<string>").alias("toks")
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        init,
+        lambda acc, _: F.when(acc["pos"] > F.length(word), acc).otherwise(
+            F.struct(
+                (acc["pos"] + step_len(acc["pos"])).alias("pos"),
+                F.concat(
+                    acc["toks"],
+                    F.array(word.substr(acc["pos"], step_len(acc["pos"]))),
+                ).alias("toks"),
+            )
+        ),
+        lambda acc: acc["toks"],
+    )

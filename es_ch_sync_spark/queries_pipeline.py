@@ -2234,3 +2234,180 @@ def q_reverse_sync_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("v_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy tokenizer (operators.text.wordpiece_vocab/encode)
+# ---------------------------------------------------------------------------
+
+_WP_V, _WP_MAXLEN = 120, 6
+
+
+def _wp_oracle_prefix() -> str:
+    """Shared CTE chain: word counts → substring census → alphabet ∪
+    top-V multi-char vocab → greedy longest-match fold over each word.
+    The fold's step length is the same unrolled longest-first CASE chain
+    the engine builds (integer/string ops only — exact cross-engine)."""
+
+    def length_case(pos: str) -> str:
+        whens = " ".join(
+            f"WHEN list_contains(vl.l, substr(word, {pos}, {l})) THEN {l}"
+            for l in range(_WP_MAXLEN, 1, -1)
+        )
+        return f"CASE {whens} ELSE 1 END"
+
+    # The greedy cursor loop is a RECURSIVE CTE, not list_reduce:
+    # DuckDB 1.0.0's list_reduce corrupts accumulators whose lambda
+    # captures outer columns (struct state returns empties, list state
+    # returns other rows' substrings — both verified in-session), and an
+    # oracle must not lean on version-sensitive constructs.  Recursion
+    # depth is bounded by the longest word; every step advances the
+    # cursor by >= 1.
+    L = length_case("pos")
+    return f"""
+    wc AS (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    subs AS (
+        SELECT tok, sum(cnt)::BIGINT AS freq FROM (
+            SELECT cnt,
+                   unnest(flatten(list_transform(
+                       range(1, least(length(word), {_WP_MAXLEN}) + 1),
+                       l -> list_transform(range(1, length(word) - l + 2),
+                                           i -> substr(word, i, l))))) AS tok
+            FROM wc
+        ) GROUP BY tok
+    ),
+    vocab AS (
+        SELECT tok, freq FROM subs WHERE length(tok) = 1
+        UNION ALL
+        SELECT tok, freq FROM (
+            SELECT tok, freq FROM subs WHERE length(tok) >= 2
+            ORDER BY freq DESC, tok LIMIT {_WP_V}
+        )
+    ),
+    vl AS (SELECT list(tok) AS l FROM vocab),
+    enc_rec AS (
+        SELECT word, cnt, 1::BIGINT AS pos, []::VARCHAR[] AS toks FROM wc
+        UNION ALL
+        SELECT word, cnt, pos + stepl, list_append(toks, substr(word, pos, stepl))
+        FROM (
+            SELECT word, cnt, pos, toks, ({L})::BIGINT AS stepl
+            FROM enc_rec, vl
+            WHERE pos <= length(word)
+        )
+    ),
+    enc AS (
+        SELECT word, cnt, toks FROM enc_rec WHERE pos > length(word)
+    )"""
+
+
+def _wp_vocab_spark(spark: SparkSession, sf_dir: str):
+    from es_ch_sync_spark.operators.text import wordpiece_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs, wordpiece_vocab(docs, vocab_size=_WP_V, max_len=_WP_MAXLEN)
+
+
+@register(
+    "wordpiece_vocab_top",
+    "WITH RECURSIVE "
+    + _wp_oracle_prefix()
+    + """
+    SELECT tok, freq FROM vocab ORDER BY freq DESC, tok LIMIT 40
+    """,
+)
+def q_wordpiece_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-seeded WordPiece vocabulary [Wu et al. 2016]: the
+    corpus alphabet plus the top-V substrings of the Heaps-bounded word
+    table — one corpus scan, substring explosion over DISTINCT words
+    only, a single hash aggregate on the substring."""
+    _, vocab = _wp_vocab_spark(spark, sf_dir)
+    return vocab.orderBy(F.desc("freq"), F.asc("tok")).limit(40)
+
+
+@register(
+    "wordpiece_token_freqs",
+    "WITH RECURSIVE "
+    + _wp_oracle_prefix()
+    + """
+    SELECT tok, sum(cnt)::BIGINT AS freq
+    FROM (SELECT unnest(toks) AS tok, cnt FROM enc)
+    GROUP BY tok
+    ORDER BY freq DESC, tok LIMIT 50
+    """,
+)
+def q_wordpiece_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies under greedy longest-match-first
+    segmentation — BERT's inference tokenizer as a codegen'd fold, no
+    UDF, no float tie-break (integer/string ops only, so the oracle's
+    independent fold must agree token for token).  Encode runs over the
+    distinct-word table and re-weights by word count: corpus-sized work
+    happens exactly once, in the word-count scan."""
+    from es_ch_sync_spark.operators.text import (
+        bpe_word_counts,
+        wordpiece_encode,
+    )
+
+    docs, vocab = _wp_vocab_spark(spark, sf_dir)
+    toks = [r["tok"] for r in vocab.collect()]
+    wc = bpe_word_counts(docs)
+    enc = wc.withColumn(
+        "toks", wordpiece_encode(F.col("word"), toks, max_len=_WP_MAXLEN)
+    )
+    return (
+        enc.select(F.explode("toks").alias("tok"), "cnt")
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+@register(
+    "wordpiece_fertility",
+    "WITH RECURSIVE "
+    + _wp_oracle_prefix()
+    + """
+    SELECT count(*) AS n_words,
+           sum(cnt * len(toks))::BIGINT AS n_tokens,
+           round(sum(cnt * len(toks)) / sum(cnt)::DOUBLE, 6) AS tokens_per_word,
+           round(sum(cnt * length(word)) / sum(cnt * len(toks))::DOUBLE, 6)
+               AS chars_per_token
+    FROM enc
+    """,
+)
+def q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility under the WordPiece vocab (the BPE
+    counterpart already exists as tokenizer_fertility): corpus-weighted
+    tokens/word and chars/token — the quality number a tokenizer change
+    is judged by before a 100 TB re-encode."""
+    from es_ch_sync_spark.operators.text import (
+        bpe_word_counts,
+        wordpiece_encode,
+    )
+
+    docs, vocab = _wp_vocab_spark(spark, sf_dir)
+    toks = [r["tok"] for r in vocab.collect()]
+    wc = bpe_word_counts(docs)
+    enc = wc.withColumn(
+        "toks", wordpiece_encode(F.col("word"), toks, max_len=_WP_MAXLEN)
+    )
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("cnt") * F.size("toks")).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("cnt") * F.size("toks")).cast("double")
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("tokens_per_word"),
+        F.round(
+            F.sum(F.col("cnt") * F.length("word")).cast("double")
+            / F.sum(F.col("cnt") * F.size("toks")).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from es_ch_sync_spark.operators.analytics import mad_outliers
 from es_ch_sync_spark.operators.text import fuzzy_duplicate_pairs, trigram_lm_score
 
@@ -171,3 +173,44 @@ def test_quality_lr_training_moves_weights_and_is_deterministic(spark, sf_dir):
     assert any(abs(r["p_quality"] - 0.5) > 1e-3 for r in rows)
     again = quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_wordpiece_longest_match_and_fallback(spark):
+    """Greedy longest-match-first: at each cursor the longest vocab
+    substring wins; characters outside the multi-char vocab fall back to
+    single-char tokens (the alphabet is always in a wordpiece_vocab)."""
+    from es_ch_sync_spark.operators.text import wordpiece_encode
+
+    df = spark.createDataFrame(
+        [("unhappy",), ("zzgo",), ("a",)], "word string"
+    )
+    vocab = ["un", "happy", "happ", "go", "a", "h", "n", "p", "u", "y", "z", "g", "o"]
+    got = {
+        r["word"]: list(r["toks"])
+        for r in df.select(
+            "word", wordpiece_encode(F.col("word"), vocab).alias("toks")
+        ).collect()
+    }
+    assert got["unhappy"] == ["un", "happy"]  # happy beats happ
+    assert got["zzgo"] == ["z", "z", "go"]  # char fallback then longest
+    assert got["a"] == ["a"]
+
+
+def test_wordpiece_vocab_contains_alphabet(spark, sf_dir):
+    """Every single character of the corpus is in the vocab (no
+    dead-ends), and the multi-char tail respects the top-V cut."""
+    from es_ch_sync_spark.operators.text import (
+        bpe_word_counts,
+        wordpiece_vocab,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = wordpiece_vocab(docs, vocab_size=50)
+    toks = {r["tok"] for r in v.collect()}
+    chars = {
+        c
+        for r in bpe_word_counts(docs).select("word").collect()
+        for c in r["word"]
+    }
+    assert chars <= toks
+    assert sum(1 for t in toks if len(t) >= 2) == 50
