@@ -689,3 +689,90 @@ def poisson_bootstrap_means(
             (F.col("swv") / F.lit(1e6)) / F.col("sw").cast("double"), 6
         ).alias("boot_mean"),
     )
+
+
+
+
+def seasonal_decompose(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str = "day",
+    value_col: str = "y",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method STL generalizes; Cleveland et al. 1990 §2 is the public
+    reference): y = trend + seasonal + remainder, per series key.
+
+    - trend: centered ``period``-point moving average, defined only
+      where the window is FULL (edges stay null, like statsmodels);
+    - seasonal: per-phase mean of the detrended series (phase =
+      days-since-epoch mod period — engine-stable integer arithmetic,
+      unlike locale-dependent dayofweek), centered so phases sum ~0;
+    - remainder: what's left wherever trend exists.
+
+    Numeric discipline: the whole pipeline runs in MICRO-UNIT (1e-6)
+    fixed point — longs end to end, every mean an integer div — so two
+    engines can never drift by an ulp from float addition order; the
+    single final division by 1e6 is one correctly-rounded op.  Plan
+    shape at 100 TB: input is one row per (key, day); each step is a
+    window or aggregate keyed on the series — thousands of independent
+    series decompose in parallel, no global sort, no driver loop."""
+    mu = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    half = period // 2
+    w = W.partitionBy(key_col).orderBy(day_col).rowsBetween(-half, half)
+    base = daily.select(
+        key_col,
+        day_col,
+        mu.alias("_ymu"),
+        (F.datediff(F.col(day_col), F.lit("2024-01-01")) % period).alias("_phase"),
+    )
+    with_trend = base.select(
+        key_col,
+        day_col,
+        "_ymu",
+        "_phase",
+        F.when(
+            F.count(F.lit(1)).over(w) == period,
+            _int_div(F.sum("_ymu").over(w), F.lit(period)),
+        ).alias("_tmu"),
+    )
+    det = with_trend.withColumn("_dmu", F.col("_ymu") - F.col("_tmu"))
+    phase_means = det.groupBy(key_col, "_phase").agg(
+        _int_div(F.sum("_dmu"), F.count("_dmu")).alias("_pmu")
+    )
+    wk = W.partitionBy(key_col)
+    centered = phase_means.withColumn(
+        "_pmu_all", _int_div(F.sum("_pmu").over(wk), F.count("_pmu").over(wk))
+    ).select(
+        key_col, "_phase", (F.col("_pmu") - F.col("_pmu_all")).alias("_smu")
+    )
+    out = det.join(F.broadcast(centered), [key_col, "_phase"])
+
+    def to_d(c: str) -> Column:
+        return F.col(c).cast("double") / F.lit(1000000.0)
+
+    return out.select(
+        key_col,
+        day_col,
+        to_d("_ymu").alias("y"),
+        to_d("_tmu").alias("trend"),
+        to_d("_smu").alias("seasonal"),
+        F.when(
+            F.col("_tmu").isNotNull(),
+            (F.col("_ymu") - F.col("_tmu") - F.col("_smu")).cast("double")
+            / F.lit(1000000.0),
+        ).alias("remainder"),
+    )
+
+
+def _int_div(a: Column, b: Column) -> Column:
+    """Engine-portable floor division for the micro-unit means:
+    floor(a / b) computed through ONE double division.  Spark `div` and
+    DuckDB `//` disagree on negative operands (truncate vs floor), so
+    both sides use this exact formulation — the double quotient is the
+    same correctly-rounded value in both engines, hence the floor is
+    bit-identical, which is the property the oracle needs (the oracle
+    mirrors it as CAST(floor(a / b) AS BIGINT), DuckDB's int/int `/`
+    already being double division)."""
+    return F.floor(a.cast("double") / b.cast("double")).cast("long")

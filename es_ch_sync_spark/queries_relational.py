@@ -2719,3 +2719,70 @@ def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (reached_click & (F.col("t_purchase") >= F.col("t_click"))).cast("long")
         ).alias("n_completed"),
     )
+
+
+@register(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               count(*) AS y
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    mu AS (
+        SELECT event_type, day,
+               CAST(y::DECIMAL(24,6) * 1000000 AS BIGINT) AS ymu,
+               date_diff('day', DATE '2024-01-01', day) % 7 AS phase
+        FROM daily
+    ),
+    tr AS (
+        SELECT *, CASE WHEN count(*) OVER w = 7
+                       THEN CAST(floor((sum(ymu) OVER w) / 7) AS BIGINT)
+                  END AS tmu
+        FROM mu
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (SELECT *, ymu - tmu AS dmu FROM tr),
+    pm AS (
+        SELECT event_type, phase,
+               CAST(floor(sum(dmu) / count(dmu)) AS BIGINT) AS pmu
+        FROM det GROUP BY 1, 2
+    ),
+    cen AS (
+        SELECT event_type, phase,
+               pmu - CAST(floor(sum(pmu) OVER (PARTITION BY event_type)
+                       / count(pmu) OVER (PARTITION BY event_type)) AS BIGINT)
+                   AS smu
+        FROM pm
+    )
+    SELECT d.event_type, d.day,
+           d.ymu / 1000000.0 AS y,
+           d.tmu / 1000000.0 AS trend,
+           c.smu / 1000000.0 AS seasonal,
+           CASE WHEN d.tmu IS NOT NULL
+                THEN (d.ymu - d.tmu - c.smu) / 1000000.0 END AS remainder
+    FROM det d JOIN cen c USING (event_type, phase)
+    ORDER BY event_type, day
+    """,
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the per-type daily event
+    counts (trend = centered 7-day moving average, seasonal = centered
+    per-phase mean of the detrended series, remainder the rest) — the
+    anomaly-detection baseline that sits upstream of zscore_anomalies
+    at 100 TB.  The operator runs in micro-unit fixed point end to end,
+    so the oracle's independent integer pipeline matches exactly — no
+    float-addition-order tolerance anywhere."""
+    from es_ch_sync_spark.operators.analytics import seasonal_decompose
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return seasonal_decompose(
+        daily, key_col="event_type", day_col="day", value_col="y", period=7
+    ).orderBy("event_type", "day")

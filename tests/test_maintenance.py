@@ -286,3 +286,32 @@ def test_epoch_advances_per_commit(spark, tmp_path):
         )
         m = M._read_manifest(path)
         assert m == {"epoch": i, "state": "committed", "writer": m["writer"]}
+
+
+def test_seasonal_decompose_identity_and_edges(spark):
+    """y = trend + seasonal + remainder wherever trend exists; the
+    centered 7-point trend is null on the 3-row edges; a pure weekly
+    signal lands (almost) entirely in the seasonal component."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.analytics import seasonal_decompose
+
+    rows = []
+    for i in range(28):
+        day = datetime.date(2024, 1, 1) + datetime.timedelta(days=i)
+        rows.append(("s", day, 100 + (10 if i % 7 == 0 else 0)))
+    df = spark.createDataFrame(rows, "k string, day date, y long")
+    out = seasonal_decompose(df, key_col="k", value_col="y").orderBy("day")
+    got = out.collect()
+    assert len(got) == 28
+    # edges: first/last 3 days have no full window
+    assert all(r["trend"] is None for r in got[:3] + got[-3:])
+    for r in got:
+        if r["trend"] is not None:
+            assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["remainder"])) < 1e-9
+    # the spike phase carries the dominant positive seasonal
+    spike = [r for r in got if r["day"].toordinal() % 7 == datetime.date(2024, 1, 1).toordinal() % 7]
+    flat = [r for r in got if r not in spike]
+    assert spike[0]["seasonal"] > max(r["seasonal"] for r in flat)
