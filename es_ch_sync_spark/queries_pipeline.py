@@ -2411,3 +2411,109 @@ def q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations by pointwise mutual information (Church & Hanks
+# 1990) — the classic collocation detector over the word stream.
+# ---------------------------------------------------------------------------
+
+@register(
+    "collocations_pmi",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+        SELECT w, count(*)::BIGINT AS c
+        FROM (SELECT unnest(ws) AS w FROM toks) WHERE w <> '' GROUP BY w
+    ),
+    bi AS (
+        SELECT a, b, count(*)::BIGINT AS c_ab
+        FROM (
+            SELECT unnest(ws[1:len(ws)-1]) AS a, unnest(ws[2:len(ws)]) AS b
+            FROM toks
+        )
+        WHERE a <> '' AND b <> ''
+        GROUP BY a, b
+    ),
+    tot AS (
+        SELECT (SELECT sum(c)::BIGINT FROM uni) AS n_uni,
+               (SELECT sum(c_ab)::BIGINT FROM bi) AS n_bi
+    )
+    SELECT a, b, c_ab,
+           round(ln((c_ab::DOUBLE / n_bi)
+                    / ((ua.c::DOUBLE / n_uni) * (ub.c::DOUBLE / n_uni))), 6)
+               AS pmi
+    FROM bi JOIN uni ua ON bi.a = ua.w
+            JOIN uni ub ON bi.b = ub.w
+            CROSS JOIN tot
+    WHERE c_ab * 1000 >= n_bi
+    ORDER BY pmi DESC, a, b
+    LIMIT 40
+    """,
+)
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI of adjacent word pairs [Church & Hanks
+    1990] with a RELATIVE support floor (>= 0.1% of all bigrams — scale-invariant, so every SF keeps a result set; rare pairs have unstable PMI).
+    Plan at 100 TB: one corpus scan explodes unigrams and bigrams; the
+    PMI join is bigram-table × two BROADCAST unigram censuses (the
+    unigram table is Heaps-bounded — vocab-sized, not corpus-sized);
+    one ln per surviving pair, rounded on both engines."""
+    from es_ch_sync_spark.operators.text import words
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(
+                        F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))
+                    ).alias("l"),
+                    F.slice(
+                        F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))
+                    ).alias("r"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.l").alias("a"), F.col("p.r").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = bi.agg(F.sum("c_ab").alias("n_bi"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    return (
+        bi.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .filter(F.col("c_ab") * 1000 >= F.col("n_bi"))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("c_a").cast("double") / F.col("n_uni"))
+                        * (F.col("c_b").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(40)
+    )
