@@ -776,3 +776,141 @@ def _int_div(a: Column, b: Column) -> Column:
     mirrors it as CAST(floor(a / b) AS BIGINT), DuckDB's int/int `/`
     already being double division)."""
     return F.floor(a.cast("double") / b.cast("double")).cast("long")
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window: int = 14,
+) -> DataFrame:
+    """Rolling Pearson correlation of two series per key over the last
+    ``window`` rows — computed from EXACT fixed-point co-moment sums
+    (milli-unit longs, squares widened to DECIMAL; n·Σxy − Σx·Σy form), with floats appearing only
+    in the final covariance/σ ratio.  Built-in corr() would be a
+    one-liner, but its incremental float accumulation is engine- and
+    order-dependent — this formulation makes the oracle exact.  Null
+    where the window is short or either variance is zero.
+
+    Scale: one windowed aggregate per co-moment, all over the same
+    (key, order) window frame — Catalyst collapses them into a single
+    Window node, one shuffle on the key."""
+    xm = (F.col(x_col).cast("decimal(24,3)") * F.lit(1000)).cast("long")
+    ym = (F.col(y_col).cast("decimal(24,3)") * F.lit(1000)).cast("long")
+    # squared terms through DECIMAL(38,0): milli-unit longs squared can
+    # exceed BIGINT; 38-digit exact integers cannot (21 digits suffice
+    # for the n·Σxy − Σx·Σy co-moments at any realistic magnitude)
+    xd = xm.cast("decimal(19,0)")
+    yd = ym.cast("decimal(19,0)")
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    base = df.select(
+        key_col,
+        order_col,
+        xm.alias("_x"),
+        ym.alias("_y"),
+        (xd * xd).alias("_xx"),
+        (yd * yd).alias("_yy"),
+        (xd * yd).alias("_xy"),
+    )
+    agg = base.select(
+        key_col,
+        order_col,
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.sum("_x").over(w).alias("_sx"),
+        F.sum("_y").over(w).alias("_sy"),
+        F.sum("_xx").over(w).alias("_sxx"),
+        F.sum("_yy").over(w).alias("_syy"),
+        F.sum("_xy").over(w).alias("_sxy"),
+    )
+    sxd = F.col("_sx").cast("decimal(19,0)")
+    syd = F.col("_sy").cast("decimal(19,0)")
+    nd = F.col("_n").cast("decimal(19,0)")
+    cov = nd * F.col("_sxy") - sxd * syd
+    vx = nd * F.col("_sxx") - sxd * sxd
+    vy = nd * F.col("_syy") - syd * syd
+    return agg.select(
+        key_col,
+        order_col,
+        F.when(
+            (F.col("_n") == window) & (vx > 0) & (vy > 0),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            ),
+        ).alias("corr"),
+    )
+
+
+def ab_welch_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Two-sample Welch t statistic between two arms (the A/B readout;
+    Welch 1947, the unequal-variance form every experimentation platform
+    publishes).  Per-arm n/mean/variance come from exact micro-unit
+    sums; mean, sample variance (n−1), the t statistic and Welch–
+    Satterthwaite df appear as single float expressions over those exact
+    sums — deterministic cross-engine.  One hash aggregate over the two
+    arms; no window, no sort."""
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    vd = vm.cast("decimal(19,0)")
+    per = (
+        df.filter(F.col(group_col).isin(arm_a, arm_b))
+        .select(F.col(group_col).alias("arm"), vm.alias("_v"), (vd * vd).alias("_vv"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_v").alias("_s"),
+            F.sum("_vv").alias("_ss"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s").cast("double") / n / 1e6
+    # sample variance in original units: (n·Σv² − (Σv)²) / (n·(n−1)) / 1e12
+    var = (
+        (
+            F.col("n").cast("decimal(19,0)") * F.col("_ss")
+            - F.col("_s").cast("decimal(19,0)") * F.col("_s").cast("decimal(19,0)")
+        ).cast("double")
+        / (n * (n - 1))
+        / 1e12
+    )
+    stats = per.select(
+        "arm",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("var"),
+        (var / n).alias("_vn"),
+    )
+    a = stats.filter(F.col("arm") == arm_a).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"), F.col("_vn").alias("_vn_a"),
+    )
+    b = stats.filter(F.col("arm") == arm_b).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"), F.col("_vn").alias("_vn_b"),
+    )
+    out = a.crossJoin(F.broadcast(b))
+    se = F.sqrt(F.col("_vn_a") + F.col("_vn_b"))
+    dof = (
+        (F.col("_vn_a") + F.col("_vn_b")) * (F.col("_vn_a") + F.col("_vn_b"))
+        / (
+            F.col("_vn_a") * F.col("_vn_a") / (F.col("n_a").cast("double") - 1)
+            + F.col("_vn_b") * F.col("_vn_b") / (F.col("n_b").cast("double") - 1)
+        )
+    )
+    return out.select(
+        "n_a", "mean_a", "var_a", "n_b", "mean_b", "var_b",
+        F.round((F.col("mean_a") - F.col("mean_b")) / se, 6).alias("t_stat"),
+        F.round(dof, 4).alias("welch_df"),
+    )

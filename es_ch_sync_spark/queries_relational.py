@@ -2786,3 +2786,118 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(
         daily, key_col="event_type", day_col="day", value_col="y", period=7
     ).orderBy("event_type", "day")
+
+
+@register(
+    "rolling_corr_daily",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               count(*) AS x,
+               sum(value::DECIMAL(14,2))::DOUBLE AS yv
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    mu AS (
+        SELECT event_type, day,
+               CAST(x::DECIMAL(24,3) * 1000 AS BIGINT) AS xm,
+               CAST(yv::DECIMAL(24,3) * 1000 AS BIGINT) AS ym
+        FROM daily
+    ),
+    ws AS (
+        SELECT event_type, day,
+               count(*) OVER w AS n,
+               sum(xm) OVER w AS sx, sum(ym) OVER w AS sy,
+               sum(xm::DECIMAL(19,0) * xm) OVER w AS sxx,
+               sum(ym::DECIMAL(19,0) * ym) OVER w AS syy,
+               sum(xm::DECIMAL(19,0) * ym) OVER w AS sxy
+        FROM mu
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           CASE WHEN n = 14
+                 AND n::DECIMAL(19,0) * sxx - sx::DECIMAL(19,0) * sx > 0
+                 AND n::DECIMAL(19,0) * syy - sy::DECIMAL(19,0) * sy > 0
+                THEN round(
+                    (n::DECIMAL(19,0) * sxy - sx::DECIMAL(19,0) * sy)::DOUBLE
+                    / sqrt((n::DECIMAL(19,0) * sxx - sx::DECIMAL(19,0) * sx)::DOUBLE
+                         * (n::DECIMAL(19,0) * syy - sy::DECIMAL(19,0) * sy)::DOUBLE),
+                    6)
+           END AS corr
+    FROM ws
+    ORDER BY event_type, day
+    """,
+)
+def q_rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between daily event volume and
+    daily value sum, per event type — the drift/health signal pair a
+    monitoring pipeline tracks.  Exact fixed-point co-moments (the
+    operator never lets a float accumulate), one Window node per key.
+    Null rows (short window / zero variance) stay in the frame, like
+    pandas.rolling().corr()."""
+    from es_ch_sync_spark.operators.analytics import rolling_corr
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("yv"),
+        )
+    )
+    return rolling_corr(
+        daily, key_col="event_type", order_col="day", x_col="x", y_col="yv"
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "ab_welch_ttest",
+    """
+    WITH vm AS (
+        SELECT event_type AS arm,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events
+        WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ),
+    per AS (
+        SELECT arm, count(*) AS n,
+               sum(v)::BIGINT AS s,
+               sum(v::DECIMAL(19,0) * v) AS ss
+        FROM vm GROUP BY arm
+    ),
+    stats AS (
+        SELECT arm, n,
+               round(s::DOUBLE / n / 1e6, 6) AS mean,
+               round((n::DECIMAL(19,0) * ss - s::DECIMAL(19,0) * s)::DOUBLE
+                     / (n::DOUBLE * (n - 1)) / 1e12, 6) AS var,
+               ((n::DECIMAL(19,0) * ss - s::DECIMAL(19,0) * s)::DOUBLE
+                     / (n::DOUBLE * (n - 1)) / 1e12) / n AS vn
+        FROM per
+    )
+    SELECT a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+           b.n AS n_b, b.mean AS mean_b, b.var AS var_b,
+           round((a.mean - b.mean) / sqrt(a.vn + b.vn), 6) AS t_stat,
+           round((a.vn + b.vn) * (a.vn + b.vn)
+                 / (a.vn * a.vn / (a.n - 1) + b.vn * b.vn / (b.n - 1)), 4)
+               AS welch_df
+    FROM (SELECT * FROM stats WHERE arm = 'view') a,
+         (SELECT * FROM stats WHERE arm = 'purchase') b
+    """,
+)
+def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic between the 'view' and
+    'purchase' arms' value distributions — the A/B experiment readout
+    [Welch 1947].  Per-arm moments are exact integer sums (one hash
+    aggregate over two groups); mean/variance/t/df are single float
+    expressions over those exact sums, so both engines agree to the
+    printed digit."""
+    from es_ch_sync_spark.operators.analytics import ab_welch_report
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ab_welch_report(
+        ev, group_col="event_type", value_col="value",
+        arm_a="view", arm_b="purchase",
+    )

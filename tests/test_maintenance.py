@@ -315,3 +315,63 @@ def test_seasonal_decompose_identity_and_edges(spark):
     spike = [r for r in got if r["day"].toordinal() % 7 == datetime.date(2024, 1, 1).toordinal() % 7]
     flat = [r for r in got if r not in spike]
     assert spike[0]["seasonal"] > max(r["seasonal"] for r in flat)
+
+
+def test_rolling_corr_perfect_anti_and_null_edges(spark):
+    """A perfectly linear pair gives corr == 1.0 (and -1.0 when one side
+    is negated) once the window is full; rows before that are null, as is
+    any window where either series is constant (zero variance)."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import rolling_corr
+
+    rows = []
+    for i in range(20):
+        day = datetime.date(2024, 3, 1) + datetime.timedelta(days=i)
+        rows.append(("up", day, float(i + 1), 2.0 * (i + 1) + 3.0))
+        rows.append(("down", day, float(i + 1), -1.5 * (i + 1) + 40.0))
+        rows.append(("flat", day, float(i + 1), 7.0))
+    df = spark.createDataFrame(rows, "k string, day date, x double, y double")
+    out = rolling_corr(df, key_col="k", order_col="day", x_col="x", y_col="y", window=14)
+    got = {(r["k"], r["day"]): r["corr"] for r in out.collect()}
+    d0 = datetime.date(2024, 3, 1)
+    for i in range(20):
+        day = d0 + datetime.timedelta(days=i)
+        if i < 13:
+            assert got[("up", day)] is None
+        else:
+            assert got[("up", day)] == 1.0
+            assert got[("down", day)] == -1.0
+        assert got[("flat", day)] is None  # zero variance in y
+
+
+def test_ab_welch_matches_closed_form(spark):
+    """Welch t / df from the operator equal the float closed form computed
+    directly over the same samples."""
+    import math
+
+    from es_ch_sync_spark.operators.analytics import ab_welch_report
+
+    a = [10.5, 11.0, 9.75, 12.25, 10.0, 11.5]
+    b = [8.0, 9.5, 7.25, 8.75]
+    rows = [("A", v) for v in a] + [("B", v) for v in b] + [("C", 99.0)]
+    df = spark.createDataFrame(rows, "arm string, value double")
+    out = ab_welch_report(df, group_col="arm", value_col="value", arm_a="A", arm_b="B")
+    r = out.collect()[0]
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        var = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, var
+
+    na, ma, va = mv(a)
+    nb, mb, vb = mv(b)
+    vn_a, vn_b = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(vn_a + vn_b)
+    dof = (vn_a + vn_b) ** 2 / (vn_a**2 / (na - 1) + vn_b**2 / (nb - 1))
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert abs(r["mean_a"] - round(ma, 6)) < 1e-9
+    assert abs(r["var_b"] - round(vb, 6)) < 1e-6
+    assert abs(r["t_stat"] - round(t, 6)) < 1e-5
+    assert abs(r["welch_df"] - round(dof, 4)) < 1e-3

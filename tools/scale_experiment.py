@@ -720,6 +720,98 @@ def main() -> None:
         print(f"  post-compact files: {len(tx.snapshot_files(t))}", flush=True)
         shutil.rmtree(os.path.dirname(t), ignore_errors=True)
 
+    if "web" in only:
+        from es_ch_sync_spark.operators.web import (
+            cap_per_domain,
+            domain_report,
+            normalize_url,
+        )
+
+        # synthesize a URL per doc the same way queries_web does (five
+        # decorated variants per 5-doc group), over the xN corpus
+        from es_ch_sync_spark.queries_web import _URL_EXPR
+
+        urls = docs.select("doc_id", F.expr(_URL_EXPR).alias("url")).persist()
+        urls.count()
+        timed(
+            f"url_canonical_groups x{replicas}",
+            lambda: urls.select(normalize_url(F.col("url")).alias("c"))
+            .groupBy("c").count().count(),
+        )
+        timed(
+            f"domain_report x{replicas}",
+            lambda: domain_report(urls).count(),
+        )
+        timed(
+            f"cap_per_domain x{replicas} (cap=100)",
+            lambda: cap_per_domain(urls, cap=100).count(),
+        )
+        urls.unpersist()
+    if "wordpiece" in only:
+        from es_ch_sync_spark.operators.text import (
+            bpe_word_counts,
+            wordpiece_encode,
+            wordpiece_vocab,
+        )
+
+        timed(
+            f"wordpiece_vocab x{replicas}",
+            lambda: wordpiece_vocab(docs).count(),
+        )
+        toks = [r["tok"] for r in wordpiece_vocab(docs).collect()]
+        print(f"  vocab size {len(toks)}", flush=True)
+        timed(
+            f"wordpiece_encode_token_freqs x{replicas}",
+            lambda: bpe_word_counts(docs)
+            .withColumn("toks", wordpiece_encode(F.col("word"), toks))
+            .select(F.explode("toks").alias("tok"), "cnt")
+            .groupBy("tok").agg(F.sum("cnt")).count(),
+        )
+    if "seasonal" in only:
+        from es_ch_sync_spark.io.sources import read_parquet_table
+        from es_ch_sync_spark.operators.analytics import seasonal_decompose
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps3 = spark.range(replicas).select(F.col("id").alias("rep"))
+        series = (
+            ev.crossJoin(reps3)
+            .groupBy(
+                F.concat(F.col("event_type"), F.lit("#"), F.col("rep")).alias("k"),
+                F.to_date("ts").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias("y"))
+            .persist()
+        )
+        n_series = series.select("k").distinct().count()
+        print(f"  {n_series} series x ~{series.count() // max(n_series,1)} days", flush=True)
+        timed(
+            f"seasonal_decompose x{replicas} ({n_series} series)",
+            lambda: seasonal_decompose(series, key_col="k").count(),
+        )
+        series.unpersist()
+    if "pmi" in only:
+        from es_ch_sync_spark.operators.text import words as _words
+
+        toks = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+        uni = (
+            toks.select(F.explode("ws").alias("w")).filter(F.col("w") != "")
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        )
+        bi = (
+            toks.select(
+                F.explode(F.arrays_zip(
+                    F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))).alias("l"),
+                    F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))).alias("r"),
+                )).alias("p"))
+            .select(F.col("p.l").alias("a"), F.col("p.r").alias("b"))
+            .filter((F.col("a") != "") & (F.col("b") != ""))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+        )
+        timed(
+            f"collocations_pmi x{replicas} (uni+bi census)",
+            lambda: bi.join(F.broadcast(uni.withColumnRenamed("w", "a")), "a").count(),
+        )
+
 
 if __name__ == "__main__":
     main()
