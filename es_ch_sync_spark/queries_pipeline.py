@@ -1114,7 +1114,14 @@ def q_bpe_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=_BPE_MERGES)
-    wc = bpe_word_counts(docs).withColumn("syms", F.split(F.col("word"), ""))
+    # barrier for the same InferFiltersFromGenerate pushdown as
+    # wordpiece_token_freqs: without it the 6 chained merge folds are
+    # re-evaluated per corpus token occurrence below the word-count agg
+    wc = (
+        bpe_word_counts(docs)
+        .localCheckpoint(eager=False)
+        .withColumn("syms", F.split(F.col("word"), ""))
+    )
     encoded = wc.withColumn("syms", bpe_apply(F.col("syms"), merges))
     return (
         encoded.select(F.explode("syms").alias("tok"), "cnt")
@@ -2355,7 +2362,14 @@ def q_wordpiece_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs, vocab = _wp_vocab_spark(spark, sf_dir)
     toks = [r["tok"] for r in vocab.collect()]
-    wc = bpe_word_counts(docs)
+    # localCheckpoint = optimizer barrier, not a cache-for-reuse: explode
+    # over a fold makes InferFiltersFromGenerate add size(fold)>0, and
+    # because the fold is a pure function of the grouping key, predicate
+    # pushdown drives that filter THROUGH the word-count aggregate onto
+    # the raw corpus token stream — the encode then runs once per corpus
+    # occurrence instead of once per distinct word (measured 62 s → 2 s
+    # at ×100).  The barrier pins the Heaps-law-bounded word table.
+    wc = bpe_word_counts(docs).localCheckpoint(eager=False)
     enc = wc.withColumn(
         "toks", wordpiece_encode(F.col("word"), toks, max_len=_WP_MAXLEN)
     )

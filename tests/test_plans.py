@@ -401,3 +401,21 @@ def test_dsir_keyed_joins_only(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_wordpiece_bpe_encode_fold_not_pushed_below_word_agg(plans):
+    """The encode folds must run on the distinct-word table, never the raw
+    corpus token stream: InferFiltersFromGenerate derives size(fold)>0
+    from the explode, and (the fold being a pure function of the grouping
+    key) predicate pushdown would drive it through the word-count
+    aggregate onto every corpus occurrence — measured 30× at ×100.  The
+    localCheckpoint barrier pins it; a Filter evaluating aggregate(...) on
+    the scan side of the plan means the barrier was lost."""
+    for q in ("wordpiece_token_freqs", "bpe_token_freqs"):
+        p = plans(q)
+        # the barrier manifests as a scan of the checkpointed word RDD;
+        # a FileScan in the same plan would mean the encode subtree still
+        # reaches the corpus (the inferred size(fold)>0 filter ABOVE the
+        # barrier is fine — once per distinct word)
+        assert "Scan ExistingRDD" in p, q
+        assert "FileScan" not in p, f"{q}: corpus scan below the encode fold"

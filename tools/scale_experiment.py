@@ -763,6 +763,7 @@ def main() -> None:
         timed(
             f"wordpiece_encode_token_freqs x{replicas}",
             lambda: bpe_word_counts(docs)
+            .localCheckpoint(eager=False)  # barrier, see q_wordpiece_token_freqs
             .withColumn("toks", wordpiece_encode(F.col("word"), toks))
             .select(F.explode("toks").alias("tok"), "cnt")
             .groupBy("tok").agg(F.sum("cnt")).count(),
