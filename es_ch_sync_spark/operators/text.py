@@ -810,3 +810,108 @@ def wordpiece_encode(word: Column, vocab: list[str], max_len: int = 6) -> Column
         ),
         lambda acc: acc["toks"],
     )
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Multinomial Naive Bayes trainer [McCallum & Nigam 1998] over the
+    whitespace token stream: returns ``(model, priors)`` where model is
+    (label, tok, logp_m) — logp_m = round(ln((cnt+α)/(T_l+αV))·1e6) as a
+    micro-unit BIGINT — and priors is (label, logprior_m, unseen_m).
+
+    The micro-quantization is the determinism contract: per-doc scores
+    are SUMS OF LONGS (one ln per (label, token) model cell, identical
+    input doubles on both engines), so classification is exact
+    cross-engine — no float accumulation order can flip an argmax.
+
+    Scale: one corpus scan for the (label, token) census (map-side
+    partial aggs); the model is |V|·|labels| rows — Heaps-law-bounded,
+    broadcast at classify time."""
+    toks = docs.select(
+        F.col(label_col).alias("label"), F.explode(words(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab_n = cnt.select("tok").distinct().count()
+    totals = cnt.groupBy("label").agg(F.sum("cnt").alias("t_l"))
+    n_docs = docs.count()
+    doc_n = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+
+    def _logm(expr) -> Column:
+        return F.round(F.log(expr) * F.lit(1000000.0), 0).cast("long")
+
+    model = (
+        cnt.join(totals, "label")
+        .select(
+            "label",
+            "tok",
+            _logm(
+                (F.col("cnt") + F.lit(alpha)).cast("double")
+                / (F.col("t_l") + F.lit(alpha) * F.lit(vocab_n)).cast("double")
+            ).alias("logp_m"),
+        )
+    )
+    priors = totals.join(doc_n, "label").select(
+        "label",
+        _logm(F.col("n_l").cast("double") / F.lit(float(n_docs))).alias("logprior_m"),
+        _logm(
+            F.lit(float(alpha))
+            / (F.col("t_l") + F.lit(alpha) * F.lit(vocab_n)).cast("double")
+        ).alias("unseen_m"),
+    )
+    return model, priors
+
+
+def nb_classify(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against every label and pick the argmax:
+    (id, pred_label, score_m).  Ties (possible only at exact micro-unit
+    equality) break to the lexicographically smallest label.
+
+    Plan: per-doc token counts (one Generate + hash agg) broadcast-join
+    the model on tok — every token row fans out to |labels| scored rows,
+    partial-aggregated back to (doc, label) before the per-doc argmax
+    window.  Unseen tokens take the label's unseen_m cell, so the
+    operator is total over new text."""
+    from pyspark.sql import Window as W
+
+    dt = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(words(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    labels = priors.select("label", "unseen_m")
+    scored = (
+        dt.crossJoin(F.broadcast(labels))
+        .join(F.broadcast(model), ["label", "tok"], "left")
+        .select(
+            "_id",
+            "label",
+            (F.col("n") * F.coalesce(F.col("logp_m"), F.col("unseen_m"))).alias("_s"),
+        )
+        .groupBy("_id", "label")
+        .agg(F.sum("_s").alias("_s"))
+        .join(F.broadcast(priors.select("label", "logprior_m")), "label")
+        .select("_id", "label", (F.col("_s") + F.col("logprior_m")).alias("score_m"))
+    )
+    w = W.partitionBy("_id").orderBy(F.desc("score_m"), F.asc("label"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("label").alias("pred_label"),
+            "score_m",
+        )
+    )

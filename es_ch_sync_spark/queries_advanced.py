@@ -733,3 +733,76 @@ def q_geo_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="user_id",
         ts_col="ord",
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes (round 7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "nb_lang_confusion",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_NORM_SQL} AS nt FROM documents),
+    tk AS (
+        SELECT doc_id, lang, unnest(string_split(nt, ' ')) AS tok FROM d
+    ),
+    tk2 AS (SELECT * FROM tk WHERE tok <> ''),
+    cnt AS (SELECT lang AS label, tok, count(*) AS cnt FROM tk2 GROUP BY 1, 2),
+    v AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+    tot AS (SELECT label, sum(cnt)::BIGINT AS t_l FROM cnt GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM d),
+    dn AS (SELECT lang AS label, count(*) AS n_l FROM d GROUP BY 1),
+    model AS (
+        SELECT c.label, c.tok,
+               CAST(round(ln((c.cnt + 1)::DOUBLE / (t.t_l + v.v)::DOUBLE) * 1e6)
+                    AS BIGINT) AS logp_m
+        FROM cnt c JOIN tot t USING (label), v
+    ),
+    priors AS (
+        SELECT t.label,
+               CAST(round(ln(dn.n_l::DOUBLE / nd.n::DOUBLE) * 1e6) AS BIGINT)
+                   AS logprior_m
+        FROM tot t JOIN dn ON t.label = dn.label, nd
+    ),
+    dt AS (SELECT doc_id, tok, count(*) AS n FROM tk2 GROUP BY 1, 2),
+    scored AS (
+        SELECT dt.doc_id, m.label, sum(dt.n * m.logp_m)::BIGINT AS s
+        FROM dt JOIN model m USING (tok)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT s.doc_id, s.label,
+               row_number() OVER (PARTITION BY s.doc_id
+                                  ORDER BY s.s + p.logprior_m DESC, s.label)
+                   AS rn
+        FROM scored s JOIN priors p USING (label)
+    )
+    SELECT d.lang AS true_lang, r.label AS pred_lang,
+           count(*)::BIGINT AS n_docs
+    FROM ranked r JOIN d USING (doc_id)
+    WHERE r.rn = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes self-train + self-classify on the lang
+    label, reported as a confusion matrix.  Model cells carry micro-
+    quantized log-probabilities (one ln per cell, summed as BIGINTs), so
+    the argmax is exact on both engines — no float-order seam.  On this
+    synthetic corpus the vocabulary is shared by all five langs, so the
+    matrix mostly reflects the priors; the operator contract (exact
+    agreement, not accuracy) is what's under test.  Plan: corpus scanned
+    twice (census + classify), model/prior joins broadcast, argmax is a
+    5-row-per-doc window."""
+    from es_ch_sync_spark.operators.text import nb_classify, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    model, priors = nb_train(docs, label_col="lang")
+    pred = nb_classify(docs, model, priors)
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"), F.col("pred_label").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

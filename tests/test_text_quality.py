@@ -214,3 +214,31 @@ def test_wordpiece_vocab_contains_alphabet(spark, sf_dir):
     }
     assert chars <= toks
     assert sum(1 for t in toks if len(t) >= 2) == 50
+
+
+def test_nb_separable_corpus_and_unseen_tokens(spark):
+    """On a cleanly separable corpus NB recovers the labels; a doc of
+    never-seen tokens falls back to the unseen cell + prior (majority
+    class wins)."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.text import nb_classify, nb_train
+
+    rows = [
+        (1, "spam spam buy pills now", "spam"),
+        (2, "buy spam pills cheap now", "spam"),
+        (3, "meeting notes agenda minutes", "ham"),
+        (4, "agenda for the meeting notes", "ham"),
+        (5, "pills spam buy", "spam"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model, priors = nb_train(docs, label_col="lang")
+    pred = {r["doc_id"]: r["pred_label"] for r in nb_classify(docs, model, priors).collect()}
+    assert pred == {1: "spam", 2: "spam", 3: "ham", 4: "ham", 5: "spam"}
+
+    new = spark.createDataFrame([(9, "zzz qqq www")], "doc_id long, text string")
+    got = nb_classify(new, model, priors).collect()[0]
+    # all tokens unseen: score = 3·unseen_m + prior.  ham's smaller
+    # corpus (T_l=8 vs 14) makes its unseen cell ln(1/(T_l+V)) LARGER by
+    # 3·ln(22/16) ≈ 0.96, beating spam's prior edge ln(3/2) ≈ 0.41
+    assert got["pred_label"] == "ham"
