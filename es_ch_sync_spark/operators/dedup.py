@@ -1144,3 +1144,71 @@ def remove_boilerplate_chunks(
             ).alias("clean_text"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 4,
+    block_chars: int = 2,
+    key_chars: int = 24,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation [Hernández & Stolfo 1995]
+    verified with exact token-set Jaccard: sort records by a sliding key
+    (first ``key_chars`` of the normalized text), pair each record with
+    its ``window−1`` successors in sort order, keep pairs whose Jaccard
+    clears ``threshold``.  The third classic blocking family next to
+    LSH banding and SimHash pigeonholes — it catches prefix-stable edits
+    that shingle-hash blocking can miss, at O(n·w) candidates.
+
+    Distributed formulation: the sort is per ``block_chars``-prefix
+    block (the standard parallel SNM — Kolb et al., "Multi-pass sorted
+    neighborhood blocking with MapReduce", 2012), so ranking is a
+    per-block window, not a global single-partition sort; pairs never
+    cross a block boundary.  Production runs do multiple passes with
+    different keys to cover boundary losses — here one pass is the
+    operator's contract.  Candidate fan-out is an explode of the
+    window-offset array joined back on (block, rank+off): one equi-join
+    keyed by small ints, no inequality join, no cartesian."""
+    from pyspark.sql import Window as W
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("nt"),
+    ).withColumn("skey", F.substring("nt", 1, key_chars)).withColumn(
+        "block", F.substring("nt", 1, block_chars)
+    )
+    ranked = base.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("block").orderBy("skey", "id")),
+    ).select("id", "nt", "block", "rn")
+
+    offs = F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("off")
+    left = ranked.select("id", "nt", "block", "rn", offs).withColumn(
+        "rn2", F.col("rn") + F.col("off")
+    )
+    right = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("nt").alias("nt_b"),
+        "block",
+        F.col("rn").alias("rn2"),
+    )
+    # each unordered pair arises exactly once (one rank per id, offsets
+    # distinct), so no pair-dedup shuffle is needed
+    cand = left.join(right, ["block", "rn2"]).select(
+        F.least(F.col("id"), F.col("id_b")).alias("id_a"),
+        F.greatest(F.col("id"), F.col("id_b")).alias("id_b"),
+        F.col("nt").alias("nt_a"),
+        F.col("nt_b"),
+    )
+    ta = F.array_distinct(F.split(F.col("nt_a"), " "))
+    tb = F.array_distinct(F.split(F.col("nt_b"), " "))
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        cand.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

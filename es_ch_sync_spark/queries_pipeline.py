@@ -2531,3 +2531,57 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup blocking (round 7)
+# ---------------------------------------------------------------------------
+
+_SNM_JAC = (
+    "round(len(list_intersect(list_distinct(string_split(nt_a,' ')), "
+    "list_distinct(string_split(nt_b,' '))))::DOUBLE / "
+    "(len(list_distinct(string_split(nt_a,' '))) + "
+    "len(list_distinct(string_split(nt_b,' '))) - "
+    "len(list_intersect(list_distinct(string_split(nt_a,' ')), "
+    "list_distinct(string_split(nt_b,' ')))))::DOUBLE, 6)"
+)
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    f"""
+    WITH d AS (
+        SELECT doc_id AS id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    b AS (SELECT id, nt, substr(nt, 1, 24) AS skey, substr(nt, 1, 2) AS block
+          FROM d),
+    r AS (SELECT id, nt, block,
+                 row_number() OVER (PARTITION BY block ORDER BY skey, id) AS rn
+          FROM b),
+    cand AS (
+        SELECT least(a.id, c.id) AS id_a, greatest(a.id, c.id) AS id_b,
+               a.nt AS nt_a, c.nt AS nt_b
+        FROM r a JOIN r c
+          ON a.block = c.block AND c.rn BETWEEN a.rn + 1 AND a.rn + 3
+    )
+    SELECT id_a, id_b, {_SNM_JAC} AS jaccard
+    FROM cand
+    WHERE {_SNM_JAC} >= 0.75
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third classic near-dup blocking family (after LSH bands and
+    SimHash pigeonholes): per-block sorted neighborhood with window 4
+    over the 24-char normalized-prefix sliding key, verified by exact
+    token-set Jaccard ≥ 0.75.  Candidates are O(n·w) via an equi-join on
+    (block, rank+offset) — the oracle's BETWEEN range join is expressed
+    in Spark as an offsets explode, so no inequality join appears in the
+    plan."""
+    from es_ch_sync_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"), window=4, threshold=0.75
+    ).orderBy("id_a", "id_b")

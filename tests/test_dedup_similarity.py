@@ -469,3 +469,27 @@ def test_sq8_topk_recall_vs_exact(spark, sf_dir):
     exact = [r["vec_id"] for r in cosine_topk(emb, qv, k=10, exclude_id=0).collect()]
     sq8 = [r["vec_id"] for r in sq8_topk(emb, qv, k=10, rerank=50, exclude_id=0).collect()]
     assert len(set(exact) & set(sq8)) >= 8
+
+
+def test_sorted_neighborhood_window_and_blocks(spark):
+    """Pairs only arise between rows within `window` in sort order AND in
+    the same block; jaccard is the exact token-set value."""
+    from es_ch_sync_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta epsilon"),   # neighbor of 1
+        (3, "alpha beta zeta eta"),              # same block 'al'
+        (4, "omega psi chi"),                    # different block 'om'
+        (5, "omega psi chi phi"),                # neighbor of 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted_neighborhood_pairs(docs, window=2, threshold=0.0)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    # window=2 → only adjacent-in-sort pairs, never across the al|om block split
+    assert set(pairs) == {(1, 2), (2, 3), (4, 5)}
+    assert pairs[(1, 2)] == 0.8   # 4 common / 5 union
+    assert pairs[(4, 5)] == 0.75  # 3 common / 4 union
+    # plan shape: candidates come from an equi-join, not a range/cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
