@@ -914,3 +914,65 @@ def ab_welch_report(
         F.round((F.col("mean_a") - F.col("mean_b")) / se, 6).alias("t_stat"),
         F.round(dof, 4).alias("welch_df"),
     )
+
+
+def burst_detection(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    count_col: str,
+    trail_days: int = 7,
+    z: int = 3,
+    min_lift: int = 2,
+) -> DataFrame:
+    """Per-key activity bursts against a trailing baseline (Kleinberg-
+    style burst flagging reduced to its batch form): a day is a burst
+    when its count exceeds the trailing ``trail_days`` mean by ``z``
+    population standard deviations AND by an absolute ``min_lift``
+    (which also covers the flat-baseline case where σ = 0).
+
+    The predicate is PURE INTEGER arithmetic — with n, s = Σc, ss = Σc²
+    over the trailing RANGE frame (calendar days, gaps excluded from the
+    frame by value, not by row position):
+
+        burst  ⟺  n·c − s ≥ n·min_lift  ∧  (n·c − s)² > z²·(n·ss − s²)
+
+    both sides exact in BIGINT, so the flag can never straddle a float
+    rounding seam.  The reported z_score is the only float (display,
+    round 4; null when σ = 0).  One shuffle on the key; the frame is a
+    range window over day number."""
+    dnum = F.datediff(F.col(day_col), F.lit("1970-01-01"))
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(dnum)
+        .rangeBetween(-trail_days, -1)
+    )
+    c = F.col(count_col)
+    agg = daily.select(
+        key_col,
+        day_col,
+        count_col,
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.sum(c).over(w).alias("_s"),
+        F.sum(c * c).over(w).alias("_ss"),
+    )
+    n, s, ss = F.col("_n"), F.col("_s"), F.col("_ss")
+    lift = n * c - s
+    var_n2 = n * ss - s * s  # n²·σ² (population)
+    is_burst = (
+        (n >= 3)
+        & (lift >= n * F.lit(min_lift))
+        & (lift * lift > F.lit(z * z) * var_n2)
+    )
+    return agg.filter(is_burst).select(
+        key_col,
+        day_col,
+        count_col,
+        F.round(s.cast("double") / n.cast("double"), 4).alias("base_mean"),
+        F.when(
+            var_n2 > 0,
+            F.round(
+                lift.cast("double") / F.sqrt(var_n2.cast("double")), 4
+            ),
+        ).alias("z_score"),
+    )

@@ -806,3 +806,48 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@register(
+    "burst_days",
+    """
+    WITH dc AS (
+        SELECT user_id, date_trunc('day', ts)::DATE AS day, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT user_id, day, c,
+               count(*) OVER win AS n,
+               sum(c) OVER win AS s,
+               sum(c * c) OVER win AS ss
+        FROM dc
+        WINDOW win AS (PARTITION BY user_id ORDER BY day
+                       RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, day, c AS n_events,
+           round(s::DOUBLE / n::DOUBLE, 4) AS base_mean,
+           CASE WHEN n * ss - s * s > 0
+                THEN round((n * c - s)::DOUBLE / sqrt((n * ss - s * s)::DOUBLE), 4)
+           END AS z_score
+    FROM w
+    WHERE n >= 3 AND (n * c - s) >= 2 * n
+      AND (n * c - s) * (n * c - s) > 9 * (n * ss - s * s)
+    ORDER BY user_id, day
+    """,
+)
+def q_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-burst days vs the trailing-week baseline — the
+    anomaly feed a sync monitor raises alerts from.  The burst flag is
+    exact integer arithmetic ((n·c−s)² > 9·(n·ss−s²), lift ≥ 2/day), so
+    no float-rounding seam can flip membership; z_score is display-only.
+    One shuffle on user_id; the trailing frame is a calendar-day RANGE
+    window, robust to gap days."""
+    from es_ch_sync_spark.operators.analytics import burst_detection
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return burst_detection(
+        daily, key_col="user_id", day_col="day", count_col="n_events"
+    ).orderBy("user_id", "day")

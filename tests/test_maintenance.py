@@ -375,3 +375,28 @@ def test_ab_welch_matches_closed_form(spark):
     assert abs(r["var_b"] - round(vb, 6)) < 1e-6
     assert abs(r["t_stat"] - round(t, 6)) < 1e-5
     assert abs(r["welch_df"] - round(dof, 4)) < 1e-3
+
+
+def test_burst_detection_integer_predicate_and_gaps(spark):
+    """Flat baseline then a spike → burst (σ=0 path via min_lift); the
+    trailing frame is calendar days, so a gap day does not slide stale
+    counts into the window; modest wiggle below 3σ is not flagged."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import burst_detection
+
+    d0 = datetime.date(2024, 5, 1)
+    rows = []
+    # user 1: 5,5,5 then spike 50 (σ=0, lift 45) → burst on day 3
+    for i, c in enumerate([5, 5, 5, 50]):
+        rows.append((1, d0 + datetime.timedelta(days=i), c))
+    # user 2: noisy 4..6 then 7 (z < 3) → never flagged
+    for i, c in enumerate([4, 6, 5, 7]):
+        rows.append((2, d0 + datetime.timedelta(days=i), c))
+    # user 3: 9-day gap before the spike → trailing frame empty (n<3)
+    for i, c in [(0, 5), (1, 5), (2, 5), (11, 50)]:
+        rows.append((3, d0 + datetime.timedelta(days=i), c))
+    daily = spark.createDataFrame(rows, "user_id long, day date, c long")
+    out = burst_detection(daily, key_col="user_id", day_col="day", count_col="c")
+    got = [(r["user_id"], r["day"], r["z_score"]) for r in out.collect()]
+    assert got == [(1, d0 + datetime.timedelta(days=3), None)]
