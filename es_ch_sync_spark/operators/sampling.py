@@ -1016,3 +1016,80 @@ def _dsir_grams(
         % n_buckets
     )
     return grams.select(id_col, "_t", bucket.alias("b"))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    grid: int = 100,
+) -> DataFrame:
+    """Quantile-normalize each group's score distribution onto the GLOBAL
+    distribution (the microarray-style method [Bolstad et al. 2003],
+    grid form): a row at within-group percentile p is assigned the
+    global order statistic at percentile round(p·grid)/grid.  Removes
+    per-source score-scale drift before cross-source quality budgeting.
+
+    Everything is integer arithmetic — within-group percentile
+    pr_m = (rank−1)·1e6 div (n_g−1) (midpoint for singleton groups),
+    grid cell g = (pr_m·grid + 5e5) div 1e6, reference rank
+    1 + (g·(N−1)) div grid — and the normalized value is an actual
+    global score, so there is no float anywhere in the operator.
+
+    Scale: one shuffle on the group for the rank window; the reference
+    grid is built from the per-value count table (bounded by the score's
+    distinct values — quantize heavy-tailed scores first), collected
+    O(distinct values) to the driver, and rejoined as a broadcast
+    (grid+1)-row literal — the SQ8-codebook pattern."""
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.col(score_col).cast("long").alias("_v"),
+    )
+    wg = W.partitionBy("_g").orderBy("_v", "_id")
+    ranked = base.select(
+        "_id",
+        "_g",
+        "_v",
+        F.row_number().over(wg).alias("_rk"),
+        F.count(F.lit(1)).over(W.partitionBy("_g")).alias("_ng"),
+    )
+    pr_m = F.when(F.col("_ng") > 1, F.expr("div((_rk - 1) * 1000000, _ng - 1)")).otherwise(
+        F.lit(500000)
+    )
+    cell = ranked.withColumn("_prm", pr_m).withColumn(
+        "_cell", F.expr(f"div(_prm * {grid} + 500000, 1000000)")
+    )
+
+    # reference grid from the per-value count table (bounded collect)
+    counts = sorted(
+        (r["_v"], r["c"])
+        for r in base.groupBy("_v").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    n_total = sum(c for _, c in counts)
+    cum = []
+    run = 0
+    for v, c in counts:
+        cum.append((v, run + 1, run + c))  # value covers global ranks [lo, hi]
+        run += c
+    def _stat(rank: int) -> int:
+        for v, lo, hi in cum:
+            if lo <= rank <= hi:
+                return v
+        return cum[-1][0]
+    grid_rows = [
+        (g, _stat(1 + (g * (n_total - 1)) // grid)) for g in range(grid + 1)
+    ]
+    ref = df.sparkSession.createDataFrame(grid_rows, "_cell long, _norm long")
+    return (
+        cell.join(F.broadcast(ref), "_cell")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_g").alias(group_col),
+            F.col("_v").alias(score_col),
+            F.col("_norm").alias("norm_" + score_col),
+        )
+    )

@@ -804,3 +804,56 @@ def q_dsir_apply_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsir_fit(docs, target=F.col("lang") == "en", path=model)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     return dsir_apply(batch, model, n_select=50)
+
+
+@register(
+    "quantile_normalize_chars",
+    """
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+                   AS rk,
+               count(*) OVER (PARTITION BY source) AS ng
+        FROM d
+    ),
+    cells AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN ng > 1 THEN (rk - 1) * 1000000 // (ng - 1)
+                    ELSE 500000 END AS prm
+        FROM ranked
+    ),
+    cells2 AS (
+        SELECT doc_id, source, n_chars,
+               (prm * 100 + 500000) // 1000000 AS cell
+        FROM cells
+    ),
+    gstat AS (
+        SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM d
+    ),
+    nt AS (SELECT count(*) AS n FROM d),
+    ref AS (
+        SELECT g.g AS cell, gl.v AS norm
+        FROM (SELECT unnest(range(0, 101)) AS g) g
+        CROSS JOIN nt
+        JOIN gstat gl ON gl.rn = 1 + (g.g * (nt.n - 1)) // 100
+    )
+    SELECT c.doc_id, c.source, c.n_chars, r.norm AS norm_n_chars
+    FROM cells2 c JOIN ref r ON c.cell = r.cell
+    ORDER BY c.doc_id
+    """,
+)
+def q_quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize per-source document lengths onto the global
+    length distribution (Bolstad et al. 2003, 101-point grid form) — the
+    cross-source calibration step before a single quality budget is
+    applied to heterogeneous sources.  Integer-only arithmetic end to
+    end: the normalized value is an actual global order statistic, never
+    an interpolated float."""
+    from es_ch_sync_spark.operators.sampling import quantile_normalize
+
+    docs = _docs(spark, sf_dir)
+    return quantile_normalize(
+        docs, group_col="source", score_col="n_chars", id_col="doc_id"
+    ).orderBy("doc_id")

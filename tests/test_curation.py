@@ -376,3 +376,28 @@ def test_rrf_fuse_combines_rank_lists(spark):
     assert got[3]["rrf_score"] > max(
         got[i]["rrf_score"] for i in (1, 2, 4, 5)
     )
+
+
+def test_quantile_normalize_pulls_groups_onto_global(spark):
+    """A low-scale group and a high-scale group with identical shapes map
+    onto the same global reference values; extremes map to global
+    min/max; output is always an actual global score value."""
+    from es_ch_sync_spark.operators.sampling import quantile_normalize
+
+    rows = [("lo", i, v) for i, v in enumerate([10, 20, 30, 40, 50])]
+    rows += [("hi", 100 + i, v) for i, v in enumerate([1010, 1020, 1030, 1040, 1050])]
+    df = spark.createDataFrame(rows, "src string, id long, score long")
+    out = quantile_normalize(df, group_col="src", score_col="score", id_col="id")
+    got = {r["id"]: r["norm_score"] for r in out.collect()}
+    allvals = sorted([10, 20, 30, 40, 50, 1010, 1020, 1030, 1040, 1050])
+    # same within-group rank → same normalized value, drawn from the pool
+    for k in range(5):
+        assert got[k] == got[100 + k]
+        assert got[k] in allvals
+    assert got[0] == allvals[0] and got[4] == allvals[-1]
+    # singleton group lands at the global median cell
+    one = spark.createDataFrame([("a", 1, 7), ("b", 2, 1), ("b", 3, 99)],
+                                "src string, id long, score long")
+    o2 = {r["id"]: r["norm_score"] for r in
+          quantile_normalize(one, group_col="src", score_col="score", id_col="id").collect()}
+    assert o2[1] == 7  # pr=0.5 → rank 2 of [1,7,99] → 7
