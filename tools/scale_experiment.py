@@ -813,6 +813,62 @@ def main() -> None:
             lambda: bi.join(F.broadcast(uni.withColumnRenamed("w", "a")), "a").count(),
         )
 
+    _r7b_sections(spark, docs, replicas, only)
+
+
+
+
+
+def _r7b_sections(spark, docs, replicas, only):
+    from es_ch_sync_spark.io.sources import read_parquet_table
+
+    if "nb" in only:
+        from es_ch_sync_spark.operators.text import nb_classify, nb_train
+
+        model, priors = nb_train(docs.withColumn(
+            "lang", F.concat(F.lit("l"), (F.col("doc_id") % 5).cast("string"))
+        ))
+        timed(
+            f"nb_classify x{replicas}",
+            lambda: nb_classify(docs, model, priors).groupBy("pred_label").count().count(),
+        )
+    if "snm" in only:
+        from es_ch_sync_spark.operators.dedup import sorted_neighborhood_pairs
+
+        timed(
+            f"sorted_neighborhood x{replicas} (w=4, thr=0.75)",
+            lambda: sorted_neighborhood_pairs(docs, window=4, threshold=0.75).count(),
+        )
+    if "burst" in only:
+        from es_ch_sync_spark.operators.analytics import burst_detection
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        daily = (
+            ev.crossJoin(reps)
+            .groupBy(
+                F.concat(F.col("user_id"), F.lit("#"), F.col("rep")).alias("u"),
+                F.to_date("ts").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        timed(
+            f"burst_detection x{replicas}",
+            lambda: burst_detection(daily, key_col="u", day_col="day", count_col="c").count(),
+        )
+    if "qnorm" in only:
+        from es_ch_sync_spark.operators.sampling import quantile_normalize
+
+        src = docs.withColumn(
+            "source", F.concat(F.lit("s"), (F.col("doc_id") % 2000).cast("string"))
+        ).withColumn("n_chars", F.length("text"))
+        timed(
+            f"quantile_normalize x{replicas} (2000 sources)",
+            lambda: quantile_normalize(
+                src, group_col="source", score_col="n_chars", id_col="doc_id"
+            ).groupBy("norm_n_chars").count().count(),
+        )
+
 
 if __name__ == "__main__":
     main()
