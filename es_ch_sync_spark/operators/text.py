@@ -915,3 +915,38 @@ def nb_classify(
             "score_m",
         )
     )
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted-index postings: one (tok, id, pos) row per
+    token occurrence (pos is 0-based within the normalized token
+    stream).  posexplode is a single Generate — the corpus is touched
+    once; at 100 TB the output is the classic postings table, naturally
+    partitioned by tok for retrieval or by id for phrase joins."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+
+
+def phrase_match(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact phrase occurrences from positional postings: anchor on the
+    first term and equi-join each subsequent term at (id, pos+i) — the
+    standard positional-index phrase algorithm [Manning/Raghavan/Schütze
+    IR ch. 2].  k−1 equi-joins keyed by (id, pos): each one shuffles
+    only the (shrinking) candidate positions of the phrase terms, never
+    the corpus.  Returns (id, n_matches)."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    cur = (
+        postings.filter(F.col("tok") == phrase[0])
+        .select("id", F.col("pos").alias("p0"))
+    )
+    for i, w in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("tok") == w).select(
+            "id", (F.col("pos") - i).alias("p0")
+        )
+        cur = cur.join(nxt, ["id", "p0"])
+    return cur.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))

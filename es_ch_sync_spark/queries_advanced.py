@@ -851,3 +851,41 @@ def q_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burst_detection(
         daily, key_col="user_id", day_col="day", count_col="n_events"
     ).orderBy("user_id", "day")
+
+
+@register(
+    "phrase_search",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    w AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM d),
+    p AS (
+        SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws
+        FROM w
+    ),
+    post AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS tok FROM p WHERE ws[i] <> ''
+    ),
+    a AS (SELECT doc_id, pos FROM post WHERE tok = 'table'),
+    b AS (SELECT doc_id, pos - 1 AS pos FROM post WHERE tok = 'hash')
+    SELECT a.doc_id AS doc_id, count(*)::BIGINT AS n_matches
+    FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
+    GROUP BY 1
+    ORDER BY n_matches DESC, a.doc_id
+    LIMIT 25
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ("table hash") over a positional inverted
+    index — the retrieval primitive BM25 can't express.  Postings are
+    one posexplode of the corpus; the phrase is k−1 equi-joins on
+    (doc, pos+i) touching only the phrase terms' positions.  Top-25
+    docs by occurrence count, ties by doc_id."""
+    from es_ch_sync_spark.operators.text import build_postings, phrase_match
+
+    post = build_postings(_t(spark, sf_dir, "documents"))
+    return (
+        phrase_match(post, ["table", "hash"])
+        .select(F.col("id").alias("doc_id"), "n_matches")
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(25)
+    )

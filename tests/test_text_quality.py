@@ -242,3 +242,19 @@ def test_nb_separable_corpus_and_unseen_tokens(spark):
     # corpus (T_l=8 vs 14) makes its unseen cell ln(1/(T_l+V)) LARGER by
     # 3·ln(22/16) ≈ 0.96, beating spam's prior edge ln(3/2) ≈ 0.41
     assert got["pred_label"] == "ham"
+
+
+def test_phrase_match_positions_and_overlaps(spark):
+    """Adjacent-position joins: 'a b a' in 'a b a b a' matches twice
+    (overlapping occurrences count); phrase absent → no row; postings
+    positions are 0-based over normalized tokens."""
+    from es_ch_sync_spark.operators.text import build_postings, phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a  B a"), (3, "b b b")],
+        "doc_id long, text string",
+    )
+    post = build_postings(docs)
+    assert post.filter("id = 2").orderBy("pos").collect()[1]["tok"] == "b"
+    got = {r["id"]: r["n_matches"] for r in phrase_match(post, ["a", "b", "a"]).collect()}
+    assert got == {1: 2, 2: 1}
