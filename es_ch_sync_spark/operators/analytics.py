@@ -976,3 +976,51 @@ def burst_detection(
             ),
         ).alias("z_score"),
     )
+
+
+def cusum_changepoints(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    slack: int = 1,
+    threshold: int = 3,
+) -> DataFrame:
+    """One-sided CUSUM level-shift detection per key [Page 1954]: flag
+    days where S_t = max(0, S_{t−1} + (x_t − μ − k)) exceeds h.  The
+    recursion is eliminated with the prefix identity
+    S_t = P_t − min(0, min_{j≤t} P_j) where P_t = Σ(x_i − μ − k), so the
+    whole operator is two running windows (sum, then min) — no fold, no
+    collect_list, one shuffle on the key.
+
+    Exactness: multiplying through by n (the per-key day count) turns
+    μ = s/n into integers — P′_t = Σ(n·x_i − s − n·k), flag iff
+    P′_t − min(0, min P′) > n·h — the entire decision in BIGINT.
+    The reported cusum value (S_t in original units) is display-only
+    (round 4).  Complements burst_detection: CUSUM accumulates small
+    sustained shifts that never clear a single-day z gate."""
+    base = daily.select(
+        F.col(key_col).alias("_k"),
+        F.col(day_col).alias("_d"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    per = base.groupBy("_k").agg(
+        F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    j = base.join(per, "_k")
+    d = F.col("_n") * F.col("_x") - F.col("_s") - F.col("_n") * F.lit(slack)
+    wrun = W.partitionBy("_k").orderBy("_d").rowsBetween(W.unboundedPreceding, 0)
+    pf = j.withColumn("_p", F.sum(d).over(wrun))
+    m = pf.withColumn("_mn", F.min("_p").over(wrun))
+    s_scaled = F.col("_p") - F.least(F.col("_mn"), F.lit(0).cast("long"))
+    return (
+        m.filter(s_scaled > F.col("_n") * F.lit(threshold))
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_d").alias(day_col),
+            F.col("_x").alias(value_col),
+            F.round(
+                s_scaled.cast("double") / F.col("_n").cast("double"), 4
+            ).alias("cusum"),
+        )
+    )

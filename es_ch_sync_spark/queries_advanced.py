@@ -889,3 +889,48 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_matches"), F.asc("doc_id"))
         .limit(25)
     )
+
+
+@register(
+    "cusum_shifts",
+    """
+    WITH dc AS (
+        SELECT user_id, date_trunc('day', ts)::DATE AS day, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (SELECT user_id, sum(c)::BIGINT AS s, count(*) AS n FROM dc GROUP BY 1),
+    j AS (SELECT dc.user_id, day, c, s, n FROM dc JOIN base USING (user_id)),
+    pf AS (
+        SELECT user_id, day, c, n,
+               sum(n * c - s - n * 1) OVER (PARTITION BY user_id ORDER BY day
+                                            ROWS UNBOUNDED PRECEDING) AS p
+        FROM j
+    ),
+    m AS (
+        SELECT user_id, day, c, n, p,
+               min(p) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS mn
+        FROM pf
+    )
+    SELECT user_id, day, c AS n_events,
+           round((p - least(mn, 0))::DOUBLE / n::DOUBLE, 4) AS cusum
+    FROM m
+    WHERE p - least(mn, 0) > n * 3
+    ORDER BY user_id, day
+    """,
+)
+def q_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained level shifts in per-user daily activity via one-sided
+    CUSUM (k=1, h=3) — the slow-drift complement to burst_days' spike
+    gate.  Prefix-sum identity turns Page's recursion into two running
+    windows; the flag decision is exact BIGINT arithmetic (scaled by the
+    per-key day count), so membership can't straddle a rounding seam."""
+    from es_ch_sync_spark.operators.analytics import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return cusum_changepoints(
+        daily, key_col="user_id", day_col="day", value_col="n_events"
+    ).orderBy("user_id", "day")

@@ -400,3 +400,28 @@ def test_burst_detection_integer_predicate_and_gaps(spark):
     out = burst_detection(daily, key_col="user_id", day_col="day", count_col="c")
     got = [(r["user_id"], r["day"], r["z_score"]) for r in out.collect()]
     assert got == [(1, d0 + datetime.timedelta(days=3), None)]
+
+
+def test_cusum_prefix_identity_matches_recursion(spark):
+    """The window formulation must equal Page's recursion computed in
+    plain Python on the same series — including reset-to-zero stretches."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import cusum_changepoints
+
+    series = [5, 5, 4, 6, 5, 9, 9, 9, 9, 2, 2, 9, 9]
+    d0 = datetime.date(2024, 6, 1)
+    rows = [(1, d0 + datetime.timedelta(days=i), c) for i, c in enumerate(series)]
+    daily = spark.createDataFrame(rows, "k long, day date, c long")
+    out = cusum_changepoints(daily, key_col="k", day_col="day", value_col="c",
+                             slack=1, threshold=3)
+    got = {r["day"]: r["cusum"] for r in out.collect()}
+
+    n = len(series)
+    mu = sum(series) / n
+    s, expect = 0.0, {}
+    for i, x in enumerate(series):
+        s = max(0.0, s + (x - mu - 1))
+        if s > 3:
+            expect[d0 + datetime.timedelta(days=i)] = round(s, 4)
+    assert got == expect and len(expect) > 0
