@@ -856,6 +856,33 @@ def _r7b_sections(spark, docs, replicas, only):
             f"burst_detection x{replicas}",
             lambda: burst_detection(daily, key_col="u", day_col="day", count_col="c").count(),
         )
+    if "cusum" in only:
+        from es_ch_sync_spark.operators.analytics import cusum_changepoints
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        daily = (
+            ev.crossJoin(reps)
+            .groupBy(
+                F.concat(F.col("user_id"), F.lit("#"), F.col("rep")).alias("u"),
+                F.to_date("ts").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        timed(
+            f"cusum_changepoints x{replicas}",
+            lambda: cusum_changepoints(daily, key_col="u", day_col="day", value_col="c").count(),
+        )
+    if "phrase" in only:
+        from es_ch_sync_spark.operators.text import build_postings, phrase_match
+
+        post = build_postings(docs)
+        # x100 corpus suffixes every token with the replica id, so the
+        # phrase must carry a replica's suffix to exist; use rep 0's
+        timed(
+            f"phrase_match x{replicas} ('tablex0 hashx0')",
+            lambda: phrase_match(post, ["tablex0", "hashx0"]).count(),
+        )
     if "qnorm" in only:
         from es_ch_sync_spark.operators.sampling import quantile_normalize
 
