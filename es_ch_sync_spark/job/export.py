@@ -125,7 +125,18 @@ def export_new_versions(
     (from_version, to_version] to the es_status sink, ``id_col`` becoming
     the stable ``_id``.  Returns the version exported through (the
     caller's next from_version).  Re-running the same range is safe:
-    same rows, same _ids, same ``_export_ver`` → read-time upsert."""
+    same rows, same _ids, same ``_export_ver`` → read-time upsert.
+
+    A full export (``from_version=None``) emits NO tombstones — it only
+    knows the live snapshot, not what used to exist — so it MUST land in
+    a FRESH sink directory: re-exporting into a sink that already holds
+    older versions would resurrect previously exported, since-deleted
+    docs (their old rows stay newest-for-_id with no superseding delete).
+
+    Ordering: the tombstone set (and with it the truncate/vacuum history
+    check) is computed and VALIDATED before any data file is written, so
+    an export whose range crosses a truncate raises before it has dirtied
+    the sink — not after a partial write at the new ``_export_ver``."""
     import os
 
     from es_ch_sync_spark.io import txlog as tx
@@ -134,6 +145,16 @@ def export_new_versions(
     if to_version is None:
         to_version = tx.current_version(table)
     files = new_files_between(table, from_version, to_version)
+    tombs = None
+    if from_version is not None:
+        # May raise ExportHistoryError — deliberately BEFORE the data write.
+        tombs = deleted_ids_between(
+            spark, table, id_col, from_version, to_version
+        ).select(
+            F.col(id_col).cast("string").alias("es_id"),
+            F.lit(to_version).cast("long").alias("_export_ver"),
+            F.lit(True).alias("_export_deleted"),
+        )
     if files:
         df = spark.read.parquet(*[os.path.join(table, f) for f in files])
         write_es_status(
@@ -144,15 +165,11 @@ def export_new_versions(
             mode="append",
             index=index,
         )
-    if from_version is not None:
-        tombs = deleted_ids_between(spark, table, id_col, from_version, to_version)
-        tombs = tombs.select(
-            F.col(id_col).cast("string").alias("es_id"),
-            F.lit(to_version).cast("long").alias("_export_ver"),
-            F.lit(True).alias("_export_deleted"),
-        )
-        if tombs.limit(1).count() > 0:
-            write_es_status(tombs, es_dir, mode="append", index=index)
+    if tombs is not None:
+        # Written unconditionally: an empty write is a no-op for the sink,
+        # and probing emptiness first (limit(1).count()) would materialize
+        # the removed/added-file anti-join twice per incremental export.
+        write_es_status(tombs, es_dir, mode="append", index=index)
     return to_version
 
 

@@ -725,7 +725,13 @@ def seasonal_decompose(
         key_col,
         day_col,
         mu.alias("_ymu"),
-        (F.datediff(F.col(day_col), F.lit("2024-01-01")) % period).alias("_phase"),
+        # pmod, not %: for days before the anchor both engines return a
+        # NEGATIVE remainder, splitting one weekday into two phase groups
+        # (e.g. -3 and 4) — cross-engine consistent, so only pmod keeps
+        # the seasonal estimate correct for pre-anchor data (r7 ADVICE).
+        F.pmod(F.datediff(F.col(day_col), F.lit("2024-01-01")), F.lit(period)).alias(
+            "_phase"
+        ),
     )
     with_trend = base.select(
         key_col,

@@ -830,23 +830,32 @@ def nb_train(
 
     Scale: one corpus scan for the (label, token) census (map-side
     partial aggs); the model is |V|·|labels| rows — Heaps-law-bounded,
-    broadcast at classify time."""
+    broadcast at classify time.  The census is ``localCheckpoint``-ed so
+    its three consumers (vocab_n, totals, model) read one materialization
+    instead of replaying the corpus tokenization per branch, and the
+    per-label doc counts are likewise checkpointed so n_docs is derived
+    from them without a second corpus scan (r7 exchange-audit remedy:
+    nb_lang_confusion dropped from Exchange×20 to single-digit)."""
     toks = docs.select(
         F.col(label_col).alias("label"), F.explode(words(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
-    cnt = toks.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # Heaps-law-bounded (|labels|·|V| rows): safe to materialize eagerly.
+    cnt = toks.groupBy("label", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=True)
     vocab_n = cnt.select("tok").distinct().count()
     totals = cnt.groupBy("label").agg(F.sum("cnt").alias("t_l"))
-    n_docs = docs.count()
+    # |labels| rows: one docs scan feeds both doc_n and n_docs.
     doc_n = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_l")
-    )
+    ).localCheckpoint(eager=True)
+    n_docs = doc_n.agg(F.sum("n_l")).first()[0]
 
     def _logm(expr) -> Column:
         return F.round(F.log(expr) * F.lit(1000000.0), 0).cast("long")
 
     model = (
-        cnt.join(totals, "label")
+        cnt.join(F.broadcast(totals), "label")
         .select(
             "label",
             "tok",

@@ -118,17 +118,34 @@ _DRIVER_SAMPLED_R6 = frozenset({
 
 _DRIVER_SAMPLED = _DRIVER_SAMPLED_R1_R4 | _DRIVER_SAMPLED_R5 | _DRIVER_SAMPLED_R6
 
+# Round-7 sample (CORRECTNESS_r07.json keys, verbatim — 50/50 green,
+# including the three r6 reds that flipped after the HUGEINT fix).
+_DRIVER_SAMPLED_R7 = frozenset({
+    "ann_ivf_kmeans_topk", "ann_ivfpq_topk", "ann_pq_adc_topk",
+    "asof_join_bucketed", "asof_join_events", "asof_join_tolerance",
+    "bpe_merges", "bpe_token_freqs", "burst_days", "cohort_retention",
+    "collocations_pmi", "cusum_shifts", "dedup_sorted_neighborhood",
+    "funnel_conversion", "hopping_window_counts", "interarrival_stats",
+    "nb_lang_confusion", "oversample_balance", "phrase_search", "pq_codes",
+    "profile_events", "quantile_normalize_chars", "resample_daily",
+    "running_total_per_user", "sessionize_events", "sessionize_native",
+    "signal_correlations", "signal_daily_rollup", "signal_last_value",
+    "streaming_dim_join", "streaming_interval_join",
+    "streaming_resume_points", "streaming_unpivot",
+    "streaming_windowed_counts", "tpch_q12_late", "tpch_q13_custdist",
+    "tpch_q15_top_supplier", "tpch_q17_small_qty", "tpch_q21_waiting",
+    "tpch_q22_idle_rich", "tpch_q2_mincost", "tpch_q4_exists",
+    "tpch_q6_revenue", "tpch_q8_mktshare", "validate_events",
+    "window_topk_per_user", "wordpiece_fertility", "wordpiece_token_freqs",
+    "wordpiece_vocab_top", "zorder_events",
+})
+
+_DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R7
+
 # Queries whose LATEST driver row is red for a since-fixed reason and must
-# be re-sampled to flip green: CORRECTNESS_r06's three hash mismatches, all
-# one root cause — the oracle emitted a HUGEINT column (DuckDB promotes
-# sum() over integers to INT128, whose pandas conversion is DuckDB-version-
-# dependent; local 1.0.0 masked it).  Fixed this round by BIGINT-casting
-# every such column, with tools/audit_oracle_types.py now scanning all
-# oracles' result types so the class is closed, not just these instances.
-# The r5 trio (ann_ivf_topk etc.) flipped green in r06 and left this list.
-_RED_LATEST = (
-    "oversample_balance", "bpe_merges", "bpe_token_freqs",
-)
+# be re-sampled to flip green.  Empty after r7: the driver's 50-row sample
+# came back 50/50, so no registry name is currently red.
+_RED_LATEST: tuple[str, ...] = ()
 
 
 def _rotated(names) -> list[str]:

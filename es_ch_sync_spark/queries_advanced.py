@@ -761,13 +761,17 @@ def q_geo_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     priors AS (
         SELECT t.label,
                CAST(round(ln(dn.n_l::DOUBLE / nd.n::DOUBLE) * 1e6) AS BIGINT)
-                   AS logprior_m
-        FROM tot t JOIN dn ON t.label = dn.label, nd
+                   AS logprior_m,
+               CAST(round(ln(1.0 / (t.t_l + v.v)::DOUBLE) * 1e6) AS BIGINT)
+                   AS unseen_m
+        FROM tot t JOIN dn ON t.label = dn.label, nd, v
     ),
     dt AS (SELECT doc_id, tok, count(*) AS n FROM tk2 GROUP BY 1, 2),
     scored AS (
-        SELECT dt.doc_id, m.label, sum(dt.n * m.logp_m)::BIGINT AS s
-        FROM dt JOIN model m USING (tok)
+        SELECT dt.doc_id, p.label,
+               sum(dt.n * COALESCE(m.logp_m, p.unseen_m))::BIGINT AS s
+        FROM dt CROSS JOIN priors p
+        LEFT JOIN model m ON m.label = p.label AND m.tok = dt.tok
         GROUP BY 1, 2
     ),
     ranked AS (
@@ -789,11 +793,13 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes self-train + self-classify on the lang
     label, reported as a confusion matrix.  Model cells carry micro-
     quantized log-probabilities (one ln per cell, summed as BIGINTs), so
-    the argmax is exact on both engines — no float-order seam.  On this
-    synthetic corpus the vocabulary is shared by all five langs, so the
-    matrix mostly reflects the priors; the operator contract (exact
-    agreement, not accuracy) is what's under test.  Plan: corpus scanned
-    twice (census + classify), model/prior joins broadcast, argmax is a
+    the argmax is exact on both engines — no float-order seam.  The
+    oracle mirrors the engine's unseen-token handling exactly (cross join
+    labels, LEFT JOIN model, COALESCE to the per-label smoothed unseen_m
+    cell — r7 ADVICE), so label-exclusive vocabulary cannot diverge the
+    two argmaxes.  Plan: corpus scanned twice (census + classify); the
+    census is localCheckpoint-ed inside nb_train so its three consumers
+    share one materialization; model/prior joins broadcast; argmax is a
     5-row-per-doc window."""
     from es_ch_sync_spark.operators.text import nb_classify, nb_train
 

@@ -2733,7 +2733,7 @@ def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu AS (
         SELECT event_type, day,
                CAST(y::DECIMAL(24,6) * 1000000 AS BIGINT) AS ymu,
-               date_diff('day', DATE '2024-01-01', day) % 7 AS phase
+               ((date_diff('day', DATE '2024-01-01', day) % 7) + 7) % 7 AS phase
         FROM daily
     ),
     tr AS (
