@@ -1212,3 +1212,83 @@ def sorted_neighborhood_pairs(
         cand.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _snm_pass_pairs(
+    keyed: DataFrame, window: int, block_chars: int, key_chars: int
+) -> DataFrame:
+    """One sorted-neighborhood pass over a NARROW (id, sortsrc) frame:
+    rank by the ``key_chars`` prefix of sortsrc within its ``block_chars``
+    prefix block, pair each record with its window−1 successors via the
+    (block, rank+offset) equi-join.  Returns unordered (id_a, id_b)
+    candidate pairs only — texts are re-attached once, after the
+    cross-pass pair-dedup, so candidate generation never shuffles
+    document payloads."""
+    from pyspark.sql import Window as W
+
+    ranked = keyed.select(
+        "id",
+        F.substring("sortsrc", 1, key_chars).alias("skey"),
+        F.substring("sortsrc", 1, block_chars).alias("block"),
+    ).withColumn(
+        "rn", F.row_number().over(W.partitionBy("block").orderBy("skey", "id"))
+    )
+    offs = F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("off")
+    left = ranked.select("id", "block", "rn", offs).withColumn(
+        "rn2", F.col("rn") + F.col("off")
+    )
+    right = ranked.select(
+        F.col("id").alias("id_b"), "block", F.col("rn").alias("rn2")
+    )
+    return left.join(right, ["block", "rn2"]).select(
+        F.least(F.col("id"), F.col("id_b")).alias("id_a"),
+        F.greatest(F.col("id"), F.col("id_b")).alias("id_b"),
+    )
+
+
+def sorted_neighborhood_multipass(
+    docs: DataFrame,
+    window: int = 4,
+    block_chars: int = 2,
+    key_chars: int = 24,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-pass sorted neighborhood — Kolb et al.'s actual contract
+    (single-pass SNM loses pairs that straddle a sort-key boundary; the
+    standard remedy is additional passes under INDEPENDENT keys, pair
+    sets unioned).  Pass 1 sorts by the normalized-text prefix (as
+    ``sorted_neighborhood_pairs``); pass 2 by the REVERSED-text prefix,
+    which neighbors records by their endings — a prefix edit that breaks
+    pass 1's blocking leaves pass 2's key (and block) intact.
+
+    Scale shape: each pass is the same O(n·w) narrow-column machinery
+    (rank + offset equi-join on (block, rank) ints); the cross-pass union
+    dedups on the bare (id_a, id_b) pair — document text is joined back
+    exactly once, AFTER dedup, so a pair found by both passes is scored
+    once and payloads never ride the candidate shuffles."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("nt"),
+    )
+    p1 = _snm_pass_pairs(
+        base.select("id", F.col("nt").alias("sortsrc")),
+        window, block_chars, key_chars,
+    )
+    p2 = _snm_pass_pairs(
+        base.select("id", F.reverse(F.col("nt")).alias("sortsrc")),
+        window, block_chars, key_chars,
+    )
+    cand = p1.union(p2).distinct()
+    ta = F.array_distinct(F.split(F.col("nt_a"), " "))
+    tb = F.array_distinct(F.split(F.col("nt_b"), " "))
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("nt").alias("nt_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("nt").alias("nt_b")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -2585,3 +2585,59 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         _t(spark, sf_dir, "documents"), window=4, threshold=0.75
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_snm_multipass",
+    f"""
+    WITH d AS (
+        SELECT doc_id AS id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    r1 AS (SELECT id,
+                  row_number() OVER (
+                      PARTITION BY substr(nt, 1, 2)
+                      ORDER BY substr(nt, 1, 24), id) AS rn,
+                  substr(nt, 1, 2) AS block
+           FROM d),
+    r2 AS (SELECT id,
+                  row_number() OVER (
+                      PARTITION BY substr(reverse(nt), 1, 2)
+                      ORDER BY substr(reverse(nt), 1, 24), id) AS rn,
+                  substr(reverse(nt), 1, 2) AS block
+           FROM d),
+    cand AS (
+        SELECT DISTINCT least(a.id, c.id) AS id_a,
+                        greatest(a.id, c.id) AS id_b
+        FROM r1 a JOIN r1 c
+          ON a.block = c.block AND c.rn BETWEEN a.rn + 1 AND a.rn + 3
+        UNION
+        SELECT DISTINCT least(a.id, c.id), greatest(a.id, c.id)
+        FROM r2 a JOIN r2 c
+          ON a.block = c.block AND c.rn BETWEEN a.rn + 1 AND a.rn + 3
+    ),
+    scored AS (
+        SELECT cand.id_a, cand.id_b, da.nt AS nt_a, db.nt AS nt_b
+        FROM cand JOIN d da ON cand.id_a = da.id
+                  JOIN d db ON cand.id_b = db.id
+    )
+    SELECT id_a, id_b, {_SNM_JAC} AS jaccard
+    FROM scored
+    WHERE {_SNM_JAC} >= 0.75
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass sorted neighborhood (Kolb et al.'s multi-pass contract):
+    pass 1 keys on the normalized-text prefix, pass 2 on the REVERSED-
+    text prefix (neighboring records by their endings), pair sets
+    unioned and deduped on the bare id pair BEFORE document text is
+    joined back for the exact-Jaccard verify — a prefix edit that
+    crosses pass 1's block boundary is recovered by pass 2 (planted-
+    boundary-pair test in tests/test_dedup.py)."""
+    from es_ch_sync_spark.operators.dedup import sorted_neighborhood_multipass
+
+    return sorted_neighborhood_multipass(
+        _t(spark, sf_dir, "documents"), window=4, threshold=0.75
+    ).orderBy("id_a", "id_b")

@@ -493,3 +493,40 @@ def test_sorted_neighborhood_window_and_blocks(spark):
     # plan shape: candidates come from an equi-join, not a range/cartesian
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_snm_multipass_recovers_boundary_pairs(spark):
+    """A prefix edit moves a near-duplicate into a different pass-1
+    block, so single-pass SNM misses the pair; the reversed-text pass
+    keys on the (shared) ending and recovers it — Kolb et al.'s
+    multi-pass contract.  Multipass output is still pair-deduped: a
+    pair found by both passes appears once."""
+    from es_ch_sync_spark.operators.dedup import (
+        sorted_neighborhood_multipass,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        # near-dups differing ONLY in the first token → pass-1 blocks
+        # 'al' vs 'br' never meet; reversed text shares its prefix
+        (1, "alpha common tail words here again today"),  # jac 6/8 = 0.75
+        (2, "bravo common tail words here again today"),
+        # an unrelated doc per block so blocks aren't singletons
+        (3, "almost nothing shared xyz"),
+        (4, "brackets nothing shared qrs"),
+        # a same-block near-dup pair both passes find (dedup check)
+        (5, "omega psi chi phi"),
+        (6, "omega psi chi phi rho"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(docs, window=2, threshold=0.7).collect()
+    }
+    assert (1, 2) not in single  # the planted boundary loss
+    multi = sorted_neighborhood_multipass(docs, window=2, threshold=0.7)
+    got = [(r["id_a"], r["id_b"]) for r in multi.collect()]
+    assert (1, 2) in got and (5, 6) in got
+    assert len(got) == len(set(got))  # cross-pass pair-dedup held
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -867,6 +867,15 @@ def _r7b_sections(spark, docs, replicas, only):
             f"sorted_neighborhood x{replicas} (w=4, thr=0.75)",
             lambda: sorted_neighborhood_pairs(docs, window=4, threshold=0.75).count(),
         )
+    if "snm2" in only:
+        from es_ch_sync_spark.operators.dedup import sorted_neighborhood_multipass
+
+        timed(
+            f"snm_multipass x{replicas} (2 passes, w=4, thr=0.75)",
+            lambda: sorted_neighborhood_multipass(
+                docs, window=4, threshold=0.75
+            ).count(),
+        )
     if "burst" in only:
         from es_ch_sync_spark.operators.analytics import burst_detection
 
