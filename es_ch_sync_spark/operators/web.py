@@ -115,6 +115,55 @@ def registered_domain(host: Column) -> Column:
     return F.concat_ws(".", F.slice(labels, n - take + 1, take))
 
 
+def registered_domain_psl(
+    df: DataFrame,
+    host_col: str,
+    suffix_df: DataFrame,
+    out_col: str = "domain",
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """eTLD+1 against a USER-SUPPLIED public-suffix table (one string
+    column ``suffix``) — production fidelity is a data swap, exactly like
+    the signal catalog: ship the real PSL as a DataFrame and the operator
+    honors it; the two-level heuristic in ``registered_domain`` remains
+    the dependency-free default.
+
+    PSL semantics implemented: the LONGEST suffix in the table that
+    matches a tail of the host wins, and the registered domain is that
+    suffix plus one preceding label; hosts matching no table entry fall
+    back to the PSL's implicit ``*`` rule (last label is the suffix →
+    registered domain = last two labels, i.e. the base heuristic without
+    its second-level list).
+
+    Plan shape: one LEFT BroadcastHashJoin per candidate tail length
+    (1..max_suffix_labels) against the ~10k-row suffix table — no
+    explode, no shuffle, no window; longest-match resolution is a
+    coalesce over the join results in the same codegen stage."""
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    out = df
+    for i in range(1, max_suffix_labels + 1):
+        # tail of i labels, defined only when ≥1 label precedes it
+        tail_i = F.when(
+            n >= i + 1, F.concat_ws(".", F.slice(labels, n - i + 1, i))
+        )
+        sfx_i = suffix_df.select(F.col("suffix").alias(f"_m{i}"))
+        out = out.withColumn(f"_t{i}", tail_i).join(
+            F.broadcast(sfx_i), F.col(f"_t{i}") == F.col(f"_m{i}"), "left"
+        )
+    # longest matching suffix wins: take suffix + 1 label; no match →
+    # implicit "*" rule (last two labels)
+    dom = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), F.lit(2)))
+    for i in range(1, max_suffix_labels + 1):
+        dom = F.when(
+            F.col(f"_m{i}").isNotNull(),
+            F.concat_ws(".", F.slice(labels, n - i, i + 1)),
+        ).otherwise(dom)
+    out = out.withColumn(out_col, dom)
+    drop = [c for i in range(1, max_suffix_labels + 1) for c in (f"_t{i}", f"_m{i}")]
+    return out.drop(*drop)
+
+
 def domain_of_url(url: Column) -> Column:
     """Registered domain straight from a raw URL (www. collapsed first,
     matching normalize_url's host treatment)."""

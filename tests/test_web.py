@@ -79,3 +79,41 @@ def test_domain_of_url_strips_www_and_userinfo(spark):
         [("https://crawler@www.news.bbc.co.uk:8443/x?a=1#f",)], "url string"
     )
     assert df.select(domain_of_url(F.col("url")).alias("d")).collect()[0]["d"] == "bbc.co.uk"
+
+
+def test_registered_domain_psl_suffix_table(spark):
+    """A user-supplied suffix table overrides the two-level heuristic:
+    the LONGEST matching suffix wins (3-level city.kawasaki.jp — a case
+    the heuristic gets wrong), unmatched hosts fall back to the implicit
+    '*' rule, and the plan is broadcast joins only (no shuffle)."""
+    from es_ch_sync_spark.operators.web import registered_domain_psl
+
+    suffixes = spark.createDataFrame(
+        [("jp",), ("kawasaki.jp",), ("city.kawasaki.jp",), ("co.uk",), ("com",)],
+        "suffix string",
+    )
+    hosts = spark.createDataFrame(
+        [
+            ("foo.city.kawasaki.jp",),   # 3-level suffix + 1
+            ("bar.kawasaki.jp",),        # 2-level suffix + 1
+            ("shop.example.co.uk",),     # classic 2-level
+            ("a.b.example.com",),        # 1-level suffix, deep host
+            ("weird.zz",),               # no match -> implicit '*' rule
+        ],
+        "host string",
+    )
+    out = registered_domain_psl(hosts, "host", suffixes)
+    got = {r["host"]: r["domain"] for r in out.collect()}
+    assert got["foo.city.kawasaki.jp"] == "foo.city.kawasaki.jp"
+    assert got["bar.kawasaki.jp"] == "bar.kawasaki.jp"
+    assert got["shop.example.co.uk"] == "example.co.uk"
+    assert got["a.b.example.com"] == "example.com"
+    assert got["weird.zz"] == "weird.zz"
+    # the heuristic DOES get the planted case wrong (motivates the table)
+    from es_ch_sync_spark.operators.web import registered_domain
+
+    heur = hosts.select(registered_domain(F.col("host")).alias("d")).collect()
+    assert "kawasaki.jp" in {r["d"] for r in heur}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
