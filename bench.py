@@ -65,13 +65,17 @@ HEADLINE = [
     "multimodal_features",
 ]
 
-# Post-headline extended rows (r5 directive #5): perf evidence for the last
-# two reference boundaries, WITHOUT perturbing the r1-comparable 28-query
-# headline artifact.  Timed identically (3-pass medians, same JVM) and
-# reported under "extended" — never summed into "value".
+# Post-headline extended rows (r5 directive #5): perf evidence for
+# reference boundaries and newer operator families, WITHOUT perturbing the
+# r1-comparable 28-query headline artifact.  Timed identically (3-pass
+# medians, same JVM) and reported under "extended" — never summed into
+# "value".  r7-family representatives added per r7 judge directive #6.
 EXTENDED = [
     "quarantine_split",
     "config_driven_sync",
+    "dedup_sorted_neighborhood",
+    "cusum_shifts",
+    "nb_lang_confusion",
 ]
 
 
