@@ -221,10 +221,14 @@ def minhash_near_duplicates(
     # df.rdd for the partition count, and on a frame containing a broadcast
     # join that probe plans AND executes the broadcast eagerly at
     # plan-build time (measured: 7 s of "build" for this query at sf0.1)
+    # cache the candidate-only shingle table: it is referenced for BOTH
+    # pair sides, and uncached each reference is a full corpus read (the
+    # semi-join prunes shingling, not the parquet scan) — cached, the
+    # verify phase reads the corpus once
     sh = (
         spread(df).join(cand_ids, on=id_col, how="left_semi")
         .select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
-    )
+    ).cache()
     out = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -275,10 +279,14 @@ def minhash_incremental(
         .unionByName(cands.select(F.col("id_index").alias(id_col)))
         .distinct()
     )
+    # cache the candidate-only shingle table: it is referenced for BOTH
+    # pair sides, and uncached each reference is a full corpus read (the
+    # semi-join prunes shingling, not the parquet scan) — cached, the
+    # verify phase reads the corpus once
     sh = (
         spread(df).join(cand_ids, on=id_col, how="left_semi")
         .select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
-    )
+    ).cache()
     return (
         cands.join(
             sh.withColumnRenamed(id_col, "id_new").withColumnRenamed("sh", "sh_n"),

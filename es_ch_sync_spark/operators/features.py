@@ -475,7 +475,14 @@ def fingerprint_nearest_neighbor(
     """
     from es_ch_sync_spark.operators.text import tfidf_top_terms
 
-    fp = tfidf_top_terms(docs, k=k_terms, text_col=text_col, id_col=id_col)
+    # localCheckpoint the fingerprint table (O(n·k_terms) NARROW rows):
+    # it feeds norm, and the w self-join references it twice more — with
+    # live lineage each reference replays the whole tf·idf pipeline
+    # (corpus tokenized ~4×; the r6/r7 exchange audits' disease).  One
+    # bounded materialization serves all four consumers.
+    fp = tfidf_top_terms(
+        docs, k=k_terms, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     norm = fp.groupBy(id_col).agg(
         F.round(F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))), 6).alias("nrm")
     )
