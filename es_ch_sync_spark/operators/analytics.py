@@ -1030,3 +1030,212 @@ def cusum_changepoints(
             ).alias("cusum"),
         )
     )
+
+
+def mann_kendall_sen(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str = "day",
+    value_col: str = "y",
+) -> DataFrame:
+    """Mann-Kendall trend test with Sen's slope per series key — the
+    standard nonparametric monotone-trend readout [Mann 1945; Kendall
+    1975; Sen 1968] a monitoring pipeline runs after seasonal_decompose.
+
+    Integer-exact by construction: S = Σ_{i<j} sign(y_j − y_i) is a sum
+    of {−1,0,1}; the tie-corrected variance numerator
+    n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) is pure BIGINT; Sen's slope is the
+    LOWER MEDIAN of the micro-quantized pairwise slopes
+    round((y_j−y_i)·1e6/Δdays) — a selection over longs, so no float
+    ever accumulates and both engines agree bit-for-bit.  z applies the
+    standard ±1 continuity correction; |z| > 1.96 labels the trend.
+
+    Scale shape: the pairwise stage is a per-key equi-join with an
+    inequality FILTER (never a cartesian) — O(n_days²) per key, bounded
+    by the series length (a few thousand days), embarrassingly parallel
+    across keys; everything after is one hash aggregate per key plus a
+    narrow median window over n_days²/2 longs per key."""
+    base = daily.select(
+        F.col(key_col).alias("_k"),
+        F.col(day_col).alias("_d"),
+        F.col(value_col).cast("long").alias("_y"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a._k") == F.col("b._k")) & (F.col("a._d") < F.col("b._d"))
+    ).select(
+        F.col("a._k").alias("_k"),
+        F.signum((F.col("b._y") - F.col("a._y")).cast("double"))
+        .cast("long")
+        .alias("_sgn"),
+        F.round(
+            (F.col("b._y") - F.col("a._y")).cast("double")
+            * F.lit(1000000.0)
+            / F.datediff(F.col("b._d"), F.col("a._d")).cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("_slope_m"),
+    )
+    s_stat = pairs.groupBy("_k").agg(
+        F.sum("_sgn").alias("s_stat"), F.count(F.lit(1)).alias("_np")
+    )
+    # lower median of pairwise slopes: element at rank (m+1) div 2
+    wm = W.partitionBy("_k").orderBy("_slope_m")
+    med = (
+        pairs.withColumn("_rn", F.row_number().over(wm))
+        .withColumn("_cnt", F.count(F.lit(1)).over(W.partitionBy("_k")))
+        .filter(F.col("_rn") == F.floor((F.col("_cnt") + 1) / 2))
+        .select("_k", F.col("_slope_m").alias("_sen_m"))
+    )
+    n_days = base.groupBy("_k").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        base.groupBy("_k", "_y")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("_k")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie_term")
+        )
+    )
+    joined = (
+        s_stat.join(med, "_k")
+        .join(n_days, "_k")
+        .join(ties, "_k")
+        .withColumn(
+            "_var18",
+            F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+            - F.col("_tie_term"),
+        )
+    )
+    z = F.when(
+        (F.col("_var18") > 0) & (F.col("s_stat") != 0),
+        F.round(
+            (
+                F.col("s_stat").cast("double")
+                - F.signum(F.col("s_stat").cast("double"))
+            )
+            / F.sqrt(F.col("_var18").cast("double") / F.lit(18.0)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col("_k").alias(key_col),
+        "n_days",
+        "s_stat",
+        (F.col("_sen_m").cast("double") / F.lit(1000000.0)).alias("sen_slope"),
+        z.alias("z_score"),
+        F.when(z > 1.96, F.lit("increasing"))
+        .when(z < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+def spearman_by_key(
+    daily: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation between two series per key, exact under
+    ties: the tie-averaged rank (lo+hi)/2 is carried as the INTEGER
+    double-rank 2·rank_min + t − 1, so the Pearson-on-ranks co-moments
+    are exact BIGINT sums and ρ is one float expression over them —
+    engine-portable to the printed digit [Spearman 1904].
+
+    Scale: two rank windows + one hash aggregate, all partitioned by the
+    series key; no global sort, no driver loop."""
+    base = daily.select(
+        F.col(key_col).alias("_k"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+
+    def rank2(col: str) -> Column:
+        rmin = F.rank().over(W.partitionBy("_k").orderBy(col))
+        t = F.count(F.lit(1)).over(W.partitionBy("_k", col))
+        return (2 * rmin + t - 1).cast("long")
+
+    r = base.select("_k", rank2("_x").alias("_rx"), rank2("_y").alias("_ry"))
+    agg = r.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+    )
+    num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(
+            num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")), 6
+        ),
+    )
+    return agg.select(F.col("_k").alias(key_col), "n", rho.alias("spearman_rho"))
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns [Pearson 1900], from one contingency hash-aggregate.  The
+    per-cell contribution (O·N − R·C)²/(N·R·C) is ONE float expression
+    over exact BIGINT counts, micro-quantized to a long before the final
+    sum — so the statistic is bit-identical cross-engine regardless of
+    cell iteration order.  Output: one row (chi2, dof, n).
+
+    Scale: the contingency table is |A|·|B| cells (tiny for real
+    categorical columns); row/col totals broadcast back onto it.  The
+    grid is DENSIFIED (distinct(A) × distinct(B), unobserved cells O=0)
+    — a groupBy alone would silently drop zero cells, understating the
+    statistic exactly when dependence is strongest."""
+    obs = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    dense = obs.select("_a").distinct().crossJoin(
+        F.broadcast(obs.select("_b").distinct())
+    )
+    cells = dense.join(obs, ["_a", "_b"], "left").withColumn(
+        "_o", F.coalesce(F.col("_o"), F.lit(0)).cast("long")
+    )
+    row_t = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    col_t = cells.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    n_total = cells.agg(F.sum("_o").alias("_n"))
+    j = (
+        cells.join(F.broadcast(row_t), "_a")
+        .join(F.broadcast(col_t), "_b")
+        .crossJoin(F.broadcast(n_total))
+    )
+    dev = (
+        F.col("_o").cast("double") * F.col("_n").cast("double")
+        - F.col("_ra").cast("double") * F.col("_cb").cast("double")
+    )
+    contrib_m = F.round(
+        dev
+        * dev
+        / (
+            F.col("_n").cast("double")
+            * F.col("_ra").cast("double")
+            * F.col("_cb").cast("double")
+        )
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    per = j.agg(
+        F.sum(contrib_m).alias("_chi2_m"),
+        F.count_distinct(F.col("_a")).alias("_na"),
+        F.count_distinct(F.col("_b")).alias("_nb"),
+        F.max("_n").alias("_nn"),
+    )
+    return per.select(
+        (F.col("_chi2_m").cast("double") / F.lit(1000000.0)).alias("chi2"),
+        ((F.col("_na") - 1) * (F.col("_nb") - 1)).cast("long").alias("dof"),
+        F.col("_nn").cast("long").alias("n"),
+    )

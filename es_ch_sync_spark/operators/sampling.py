@@ -1109,3 +1109,35 @@ def quantile_normalize(
             F.col("_norm").alias("norm_" + score_col),
         )
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit [Sweeney 2002; Machanavajjhala
+    2007] over a quasi-identifier combination: one hash aggregate
+    producing, per equivalence class, its size and the number of
+    distinct sensitive values, flagged against the k and l floors —
+    the privacy gate a training-data release runs before shipping
+    user-derived tables.
+
+    Output: one row per VIOLATING class (n < k or l_div < l) with both
+    measures — compliant classes are omitted so the result is
+    O(violations), not O(classes).  Scale: a single groupBy on the
+    quasi columns; count_distinct is exact (the release decision can't
+    ride an approximation)."""
+    agg = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(sensitive_col)).alias("l_div"),
+    )
+    return agg.filter((F.col("n") < k) | (F.col("l_div") < l)).select(
+        *quasi_cols,
+        "n",
+        "l_div",
+        (F.col("n") < k).alias("violates_k"),
+        (F.col("l_div") < l).alias("violates_l"),
+    )

@@ -885,3 +885,57 @@ def margin_mine_ann(
         )
     )
     return _margin_score(pairs, k, threshold)
+
+
+def inner_product_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by raw INNER PRODUCT (MIPS) to a literal query vector
+    — the retrieval scoring used by un-normalized embedding models,
+    where cosine top-k is the wrong answer (a long vector can dominate
+    despite a worse angle).  Plan: scan → map(dot) →
+    TakeOrderedAndProject(k), same shape as cosine_topk."""
+    q = F.expr(_sql_double_array(query_vec))
+    scored = emb.select(
+        F.col(id_col),
+        dot(_as_double(F.col(vec_col)), q).alias("ip"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    out = scored.orderBy(F.col("ip").desc(), F.col(id_col).asc()).limit(k)
+    return out.select(id_col, F.round("ip", 6).alias("ip"))
+
+
+def augment_for_mips(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "aug",
+) -> tuple[DataFrame, float]:
+    """The MIPS→cosine reduction [Bachrach et al., RecSys 2014 /
+    Shrivastava & Li 2014]: append sqrt(M² − ‖x‖²) to every vector,
+    where M = max ‖x‖ over the corpus.  Every augmented vector then has
+    norm exactly M, so cosine (and SRP-LSH / IVF bucketing) ordering
+    against a 0-padded query equals raw inner-product ordering — the
+    whole approximate-cosine serving stack (lsh_ann_topk, ivf_topk)
+    becomes a MIPS index with NO new infrastructure.
+
+    Returns (augmented DataFrame, M).  M is one scalar aggregate
+    (collected; O(1) driver traffic); the augmentation itself is a
+    per-row expression."""
+    v = _as_double(F.col(vec_col))
+    m2 = (
+        emb.select(F.max(dot(v, v)).alias("m2")).collect()[0]["m2"]
+    )
+    aug = emb.select(
+        F.col(id_col),
+        F.concat(
+            v, F.array(F.sqrt(F.greatest(F.lit(float(m2)) - dot(v, v), F.lit(0.0))))
+        ).alias(out_col),
+    )
+    return aug, float(m2) ** 0.5

@@ -305,6 +305,17 @@ def cosine_topk_sql(query_id: int = 0, k: int = 10) -> str:
     """
 
 
+def inner_product_topk_sql(query_id: int = 0, k: int = 10) -> str:
+    ip = "list_dot_product(b.embedding::DOUBLE[], q.embedding::DOUBLE[])"
+    return f"""
+    SELECT b.vec_id, round({ip}, 6) AS ip
+    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = {query_id}) q
+    WHERE b.vec_id != {query_id}
+    ORDER BY {ip} DESC, b.vec_id ASC
+    LIMIT {k}
+    """
+
+
 def knn_join_sql(k: int = 3) -> str:
     cos = _cosine_sql("a.embedding", "b.embedding")
     return f"""

@@ -845,6 +845,20 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(_emb(spark, sf_dir), _query_vec(sf_dir), k=10, exclude_id=0)
 
 
+@register("mips_topk", oracles.inner_product_topk_sql(query_id=0, k=10))
+def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 by raw INNER PRODUCT to vec 0 (MIPS) — the retrieval
+    scoring for un-normalized embedding models, where cosine top-k is the
+    wrong answer.  The Bachrach-et-al norm-augmentation reduction (append
+    sqrt(M²−‖x‖²); every augmented vector has norm M) makes the existing
+    cosine LSH/IVF stack serve MIPS unchanged — order-equivalence is
+    pinned in tests/test_dedup_similarity.py; this query is the exact
+    baseline those indexes are judged against."""
+    return sim.inner_product_topk(
+        _emb(spark, sf_dir), _query_vec(sf_dir), k=10, exclude_id=0
+    )
+
+
 @register("ann_lsh_topk", oracles.lsh_ann_topk_sql(query_id=0, k=10))
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN top-10 — scores only band-matching candidates."""

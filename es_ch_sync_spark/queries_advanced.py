@@ -940,3 +940,49 @@ def q_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(
         daily, key_col="user_id", day_col="day", value_col="n_events"
     ).orderBy("user_id", "day")
+
+
+@register(
+    "chi2_lang_digit",
+    """
+    WITH obs AS (
+        SELECT lang AS a, (text ~ '.*[0-9].*') AS b, count(*)::BIGINT AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT av.a, bv.b, coalesce(obs.o, 0)::BIGINT AS o
+        FROM (SELECT DISTINCT a FROM obs) av
+        CROSS JOIN (SELECT DISTINCT b FROM obs) bv
+        LEFT JOIN obs ON obs.a = av.a AND obs.b = bv.b
+    ),
+    rt AS (SELECT a, sum(o)::BIGINT AS ra FROM cells GROUP BY 1),
+    ct AS (SELECT b, sum(o)::BIGINT AS cb FROM cells GROUP BY 1),
+    nt AS (SELECT sum(o)::BIGINT AS n FROM cells),
+    contrib AS (
+        SELECT CAST(round(
+                   (o::DOUBLE * n::DOUBLE - ra::DOUBLE * cb::DOUBLE)
+                   * (o::DOUBLE * n::DOUBLE - ra::DOUBLE * cb::DOUBLE)
+                   / (n::DOUBLE * ra::DOUBLE * cb::DOUBLE) * 1000000.0
+               ) AS BIGINT) AS m,
+               a, b, n
+        FROM cells JOIN rt USING (a) JOIN ct USING (b), nt
+    )
+    SELECT sum(m)::DOUBLE / 1000000.0 AS chi2,
+           ((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1))::BIGINT AS dof,
+           max(n)::BIGINT AS n
+    FROM contrib
+    """,
+)
+def q_chi2_lang_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test between a document's
+    language label and whether its text contains a digit — the
+    is-this-feature-label-confounded audit a corpus-balance pass runs.
+    One contingency hash-aggregate; each cell's (O·N−R·C)²/(N·R·C)
+    contribution is micro-quantized to a long before the final exact
+    sum, so the statistic is iteration-order-free on both engines."""
+    from es_ch_sync_spark.operators.analytics import chi2_independence
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.col("text").rlike("[0-9]").alias("has_digit")
+    )
+    return chi2_independence(docs, "lang", "has_digit")

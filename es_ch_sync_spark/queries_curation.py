@@ -857,3 +857,36 @@ def q_quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize(
         docs, group_col="source", score_col="n_chars", id_col="doc_id"
     ).orderBy("doc_id")
+
+
+@register(
+    "k_anonymity_violations",
+    """
+    SELECT c_nationkey, c_mktsegment, n, l_div,
+           (n < 8) AS violates_k, (l_div < 6) AS violates_l
+    FROM (
+        SELECT c_nationkey, c_mktsegment,
+               count(*)::BIGINT AS n,
+               count(DISTINCT c_acctbal)::BIGINT AS l_div
+        FROM customer GROUP BY 1, 2
+    )
+    WHERE n < 8 OR l_div < 6
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q_k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the (nation, segment)
+    quasi-identifier with account balance as the sensitive attribute:
+    equivalence classes smaller than k=8 or with fewer than l=6
+    distinct sensitive values are reported — the privacy gate a
+    user-derived training table passes before release.  One exact hash
+    aggregate; output is O(violations)."""
+    from es_ch_sync_spark.operators.sampling import k_anonymity_report
+
+    return k_anonymity_report(
+        read_parquet_table(spark, sf_dir, "customer"),
+        quasi_cols=["c_nationkey", "c_mktsegment"],
+        sensitive_col="c_acctbal",
+        k=8,
+        l=6,
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -2901,3 +2901,147 @@ def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, group_col="event_type", value_col="value",
         arm_a="view", arm_b="purchase",
     )
+
+
+@register(
+    "mann_kendall_trend",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               count(*)::BIGINT AS y
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               sign(b.y - a.y)::BIGINT AS sgn,
+               CAST(round((b.y - a.y)::DOUBLE * 1000000
+                          / date_diff('day', a.day, b.day)) AS BIGINT)
+                   AS slope_m
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    s AS (SELECT event_type, sum(sgn)::BIGINT AS s_stat, count(*) AS np
+          FROM pairs GROUP BY 1),
+    med AS (
+        SELECT event_type, slope_m AS sen_m FROM (
+            SELECT event_type, slope_m,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY slope_m) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM pairs
+        ) WHERE rn = (cnt + 1) // 2
+    ),
+    nd AS (SELECT event_type, count(*)::BIGINT AS n_days FROM daily GROUP BY 1),
+    ties AS (
+        SELECT event_type,
+               sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+        FROM (SELECT event_type, y, count(*)::BIGINT AS t
+              FROM daily GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT s.event_type, nd.n_days, s.s_stat, med.sen_m,
+               nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                   - ties.tie_term AS var18
+        FROM s JOIN med USING (event_type)
+               JOIN nd ON s.event_type = nd.event_type
+               JOIN ties ON s.event_type = ties.event_type
+    ),
+    z AS (
+        SELECT *,
+               CASE WHEN var18 > 0 AND s_stat != 0
+                    THEN round((s_stat::DOUBLE - sign(s_stat))
+                               / sqrt(var18::DOUBLE / 18.0), 6)
+                    ELSE 0.0 END AS z_score
+        FROM j
+    )
+    SELECT event_type, n_days, s_stat,
+           sen_m / 1000000.0 AS sen_slope, z_score,
+           CASE WHEN z_score > 1.96 THEN 'increasing'
+                WHEN z_score < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM z
+    ORDER BY event_type
+    """,
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Sen's slope on each event
+    type's daily volume series — the nonparametric is-this-metric-
+    drifting readout.  S, the tie-corrected variance numerator, and the
+    lower-median Sen slope are all integer-exact (pairwise stage is a
+    per-key equi-join with an inequality filter, bounded by series
+    length); z and the trend label are single float expressions over
+    those integers."""
+    from es_ch_sync_spark.operators.analytics import mann_kendall_sen
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return mann_kendall_sen(
+        daily, key_col="event_type", day_col="day", value_col="y"
+    ).orderBy("event_type")
+
+
+@register(
+    "spearman_daily",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               count(*)::BIGINT AS x,
+               CAST(sum(value::DECIMAL(14,2)) * 100 AS BIGINT) AS y
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type, date_trunc('day', ts)::DATE
+    ),
+    r AS (
+        SELECT event_type,
+               (2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                + count(*) OVER (PARTITION BY event_type, x) - 1)::BIGINT AS rx,
+               (2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                + count(*) OVER (PARTITION BY event_type, y) - 1)::BIGINT AS ry
+        FROM daily
+    ),
+    agg AS (
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
+               sum(rx * rx)::BIGINT AS sxx, sum(ry * ry)::BIGINT AS syy,
+               sum(rx * ry)::BIGINT AS sxy
+        FROM r GROUP BY 1
+    )
+    SELECT event_type, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round((n * sxy - sx * sy)::DOUBLE
+                           / sqrt((n * sxx - sx * sx)::DOUBLE
+                                  * (n * syy - sy * sy)::DOUBLE), 6)
+           END AS spearman_rho
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between each event type's daily volume
+    and daily value sum — the robust (monotone, outlier-insensitive)
+    companion to rolling_corr_daily's Pearson.  Tie-averaged ranks are
+    carried as integer double-ranks, so the co-moments are exact BIGINT
+    sums and ρ is one float expression — engines agree to the printed
+    digit."""
+    from es_ch_sync_spark.operators.analytics import spearman_by_key
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    return spearman_by_key(
+        daily, key_col="event_type", x_col="x", y_col="y"
+    ).orderBy("event_type")

@@ -530,3 +530,86 @@ def test_snm_multipass_recovers_boundary_pairs(spark):
     assert len(got) == len(set(got))  # cross-pass pair-dedup held
     plan = multi._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_mips_augmentation_preserves_inner_product_order(spark):
+    """The norm-augmentation reduction: cosine top-k over augmented
+    vectors (query 0-padded) returns exactly the inner-product top-k —
+    so the approximate-cosine serving stack (SRP-LSH, IVF) doubles as a
+    MIPS index.  Also pins that cosine and MIPS DISAGREE on this input
+    (the reduction is doing real work)."""
+    from es_ch_sync_spark.operators.similarity import (
+        augment_for_mips,
+        cosine_topk,
+        inner_product_topk,
+    )
+
+    # long-but-misaligned vs short-but-aligned vectors: cosine and inner
+    # product rank them differently
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),                # query
+        (1, [0.9, 0.1, 0.0, 0.0]),                # well aligned, short
+        (2, [5.0, 4.0, 0.0, 0.0]),                # long, less aligned
+        (3, [0.5, 0.0, 0.1, 0.0]),
+        (4, [3.0, -2.0, 1.0, 0.0]),
+        (5, [0.0, 1.0, 0.0, 0.0]),                # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    ip = [r["vec_id"] for r in inner_product_topk(emb, q, k=5, exclude_id=0).collect()]
+    cos = [r["vec_id"] for r in cosine_topk(emb, q, k=5, exclude_id=0).collect()]
+    assert ip[0] == 2 and cos[0] == 1      # the orderings genuinely differ
+    aug, m = augment_for_mips(emb)
+    assert abs(m - (41.0) ** 0.5) < 1e-9   # max norm = |(5,4,0,0)|
+    aug_cos = [
+        r["vec_id"]
+        for r in cosine_topk(
+            aug, q + [0.0], k=5, vec_col="aug", exclude_id=0
+        ).collect()
+    ]
+    assert aug_cos == ip                   # reduction preserves MIPS order
+
+
+def test_mann_kendall_and_spearman_known_values(spark):
+    """Hand-checkable series: strictly increasing daily counts give
+    S = n(n-1)/2, Sen slope = the common step, Spearman rho = 1; a
+    constant series gives S = 0, var 0, z 0, no_trend."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import (
+        mann_kendall_sen,
+        spearman_by_key,
+    )
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = [("up", d0 + datetime.timedelta(days=i), 10 + 2 * i) for i in range(10)]
+    rows += [("flat", d0 + datetime.timedelta(days=i), 7) for i in range(10)]
+    daily = spark.createDataFrame(rows, "k string, day date, y long")
+    mk = {r["k"]: r for r in mann_kendall_sen(daily, key_col="k").collect()}
+    assert mk["up"]["s_stat"] == 45           # all 45 pairs increasing
+    assert abs(mk["up"]["sen_slope"] - 2.0) < 1e-9
+    assert mk["up"]["trend"] == "increasing"
+    assert mk["flat"]["s_stat"] == 0
+    assert mk["flat"]["z_score"] == 0.0 and mk["flat"]["trend"] == "no_trend"
+
+    sp_rows = [("a", i, 10 + 2 * i, 100 - 3 * i) for i in range(10)]
+    sp = spark.createDataFrame(sp_rows, "k string, day int, x long, y long")
+    got = spearman_by_key(sp, key_col="k", x_col="x", y_col="y").collect()[0]
+    assert got["spearman_rho"] == -1.0        # perfectly anti-monotone
+
+
+def test_chi2_independence_zero_for_independent_table(spark):
+    """A perfectly independent 2x2 contingency gives chi2 = 0; a fully
+    dependent one gives chi2 = n."""
+    from es_ch_sync_spark.operators.analytics import chi2_independence
+
+    indep = [("x", "p")] * 20 + [("x", "q")] * 20 + [("y", "p")] * 10 + [("y", "q")] * 10
+    df = spark.createDataFrame(indep, "a string, b string")
+    got = chi2_independence(df, "a", "b").collect()[0]
+    assert got["chi2"] == 0.0 and got["dof"] == 1 and got["n"] == 60
+
+    dep = [("x", "p")] * 30 + [("y", "q")] * 30
+    got2 = chi2_independence(
+        spark.createDataFrame(dep, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert abs(got2["chi2"] - 60.0) < 1e-6

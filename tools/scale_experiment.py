@@ -876,6 +876,26 @@ def _r7b_sections(spark, docs, replicas, only):
                 docs, window=4, threshold=0.75
             ).count(),
         )
+    if "mktrend" in only:
+        from es_ch_sync_spark.io.sources import read_parquet_table
+        from es_ch_sync_spark.operators.analytics import mann_kendall_sen
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps2 = spark.range(replicas).select(F.col("id").alias("rep"))
+        # x{replicas} distinct user keys, each keeping its full daily series
+        # — stresses the per-key pairwise stage across millions of series
+        daily = (
+            ev.crossJoin(reps2)
+            .groupBy(
+                (F.col("user_id") + F.col("rep") * 1_000_000).alias("uid"),
+                F.to_date("ts").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias("y"))
+        )
+        timed(
+            f"mann_kendall_sen x{replicas} (per-user daily series)",
+            lambda: mann_kendall_sen(daily, key_col="uid").count(),
+        )
     if "burst" in only:
         from es_ch_sync_spark.operators.analytics import burst_detection
 
