@@ -418,3 +418,74 @@ def heavy_hitters_exact(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
         .filter(F.col("freq") * (k + 1) > F.col("n_total"))
         .select(key_col, "freq", "n_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+
+HLL_P = 7                 # 2^7 = 128 registers
+HLL_M = 1 << HLL_P
+HLL_W_BITS = HASH_BITS - HLL_P   # 49 value bits per hash
+
+
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    seed: str = "hll",
+) -> DataFrame:
+    """HyperLogLog registers per group [Flajolet et al. 2007]: bucket =
+    top ``HLL_P`` bits of the 56-bit md5 hash, register = max over keys
+    of rho(w) = (leading zeros of the remaining 49 bits) + 1.
+
+    rho is computed from the BINARY STRING LENGTH of w (``bin()`` in
+    both engines) — never floor(log2(w)), whose double rounding at exact
+    powers of two is engine-undefined.  One row per (group, bucket),
+    ≤ 128 rows per group; the register table is mergeable by max, which
+    is the property that matters at 100 TB (shard → max-merge, never
+    re-scan)."""
+    h = hash56(F.col(key_col), seed=seed)
+    # integer shift, never double division: h spans 56 bits > the 53-bit
+    # double mantissa, so h/2^49 could round UP across a bucket boundary
+    bucket = F.shiftright(h, HLL_W_BITS)
+    w = h % F.lit(1 << HLL_W_BITS)
+    rho = F.when(
+        w > 0, F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    ).otherwise(F.lit(HLL_W_BITS + 1))
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.max(rho).alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Distinct-count estimate from HLL registers, integer-exact up to
+    one final float expression: the harmonic sum Σ 2^(−reg) is carried
+    as BIGINT Σ 2^(W−reg) (exact powers of two summed exactly — a raw
+    double sum of 128 powers spans > 53 mantissa bits and would be
+    association-order-dependent), absent buckets contribute 2^W each,
+    and the small-range linear-counting correction applies below 2.5·m
+    with V = zero registers.  round(est, 4) is the oracle surface."""
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    # scale by 2^(W+1), not 2^W: rho reaches W+1 (all-zero value bits), and
+    # 2^((W+1)-rho) must stay a non-negative integer power
+    scale = alpha * HLL_M * HLL_M * float(1 << (HLL_W_BITS + 1))
+    agg = registers.groupBy(*group_cols).agg(
+        # SQL shiftleft: the PySpark wrapper only takes a literal shift
+        F.sum(
+            F.expr(f"shiftleft(1L, cast({HLL_W_BITS + 1} - reg as int))")
+        ).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    s_total = F.col("_s_present") + (F.lit(HLL_M) - F.col("_n_present")) * F.lit(
+        1 << (HLL_W_BITS + 1)
+    )
+    v_zero = F.lit(HLL_M) - F.col("_n_present")
+    raw = F.lit(scale) / s_total.cast("double")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))

@@ -986,3 +986,79 @@ def q_chi2_lang_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.col("text").rlike("[0-9]").alias("has_digit")
     )
     return chi2_independence(docs, "lang", "has_digit")
+
+
+@register(
+    "hll_distinct_users",
+    f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type, {_h56("'hll:' || user_id::VARCHAR")} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+        SELECT event_type, h >> 49 AS bucket,
+               max(CASE WHEN h % 562949953421312 > 0
+                        THEN 50 - length(bin(h % 562949953421312))
+                        ELSE 50 END)::BIGINT AS reg
+        FROM hashed GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT event_type,
+               sum(1::BIGINT << (50 - reg)::INT)::BIGINT AS s_present,
+               count(*)::BIGINT AS n_present
+        FROM regs GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type,
+               round(CASE WHEN 1.319441173271359e+19
+                          / (s_present + (128 - n_present) * 1125899906842624)::DOUBLE
+                          <= 320.0 AND (128 - n_present) > 0
+                     THEN 128.0 * ln(128.0 / (128 - n_present)::DOUBLE)
+                     ELSE 1.319441173271359e+19
+                          / (s_present + (128 - n_present) * 1125899906842624)::DOUBLE
+                     END, 4) AS est_distinct
+        FROM per
+    ),
+    ex AS (
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type, e.est_distinct, x.exact_distinct,
+           round(abs(e.est_distinct - x.exact_distinct)
+                 / x.exact_distinct, 4) AS rel_err
+    FROM est e JOIN ex x USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type vs the exact count —
+    the fixed-memory (128-register) counterpart to kmv_distinct_users,
+    mergeable by register max (shard → merge, never re-scan — the
+    100 TB property).  Determinism contract: md5-derived hashes, rho
+    from binary string length (never floor(log2)), and the harmonic sum
+    carried as exact BIGINT powers of two, so the oracle reproduces the
+    ESTIMATE itself, not just its error bound."""
+    from es_ch_sync_spark.operators.sketches import hll_estimate, hll_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_sketch(ev, "user_id", ["event_type"])
+    est = hll_estimate(regs, ["event_type"])
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
