@@ -251,3 +251,43 @@ def write_read_orc(df: DataFrame, path: str, mode: str = "overwrite") -> DataFra
     engine's plans rely on."""
     df.write.mode(mode).orc(path)
     return df.sparkSession.read.orc(path)
+
+
+def write_read_jsonl(
+    df: DataFrame, path: str, schema: str, mode: str = "overwrite"
+) -> DataFrame:
+    """JSON-lines round-trip with the quarantine contract: write with an
+    explicit microsecond timestamp format, read back PERMISSIVE with an
+    explicit schema (never inference — a full extra pass at 100 TB,
+    type-unstable across files) and the corrupt-record column retained —
+    the text-interchange counterpart of write_read_csv, and the format
+    most crawled/LLM corpora actually arrive in."""
+    (
+        df.write.mode(mode)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(path)
+    )
+    full = T.StructType.fromDDL(schema).add(CORRUPT_COL, T.StringType())
+    return (
+        df.sparkSession.read.schema(full)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def read_avro_table(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source — honestly gated: the spark-avro module is an external
+    jar not bundled with the pip distribution, so this raises with the
+    exact deploy instruction instead of a cryptic classpath error.  The
+    option surface (format name, path) is the real one; production
+    enablement is a --packages flag, not a code change."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - jar-dependent
+        raise NotImplementedError(
+            "avro requires the external spark-avro module: submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
+            f"(underlying: {type(exc).__name__})"
+        ) from exc

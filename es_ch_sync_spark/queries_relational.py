@@ -3045,3 +3045,37 @@ def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_by_key(
         daily, key_col="event_type", x_col="x", y_col="y"
     ).orderBy("event_type")
+
+
+@register(
+    "jsonl_source_scan",
+    """
+    SELECT event_id, user_id, ts, event_type, value FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    """,
+)
+def q_jsonl_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as a source format — what crawled/LLM corpora actually
+    arrive as — with the quarantine contract: events round-trip through
+    JSONL and are read back PERMISSIVE with an explicit schema (no
+    inference pass) + corrupt-record column; the filtered read must
+    equal the same predicate over the parquet source-of-truth.
+    Timestamps round-trip through an explicit microsecond format."""
+    import tempfile
+    import uuid
+
+    from es_ch_sync_spark.io.sources import write_read_jsonl
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix=f"jsonl_src_{uuid.uuid4().hex[:8]}_")
+    back = write_read_jsonl(
+        ev, out,
+        "event_id bigint, user_id bigint, ts timestamp_ntz, "
+        "event_type string, value double",
+    )
+    assert "_corrupt_record" in back.columns
+    return back.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("event_id", "user_id", "ts", "event_type", "value")

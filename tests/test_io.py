@@ -230,3 +230,52 @@ def test_signal_sink_timestamps_carry_footer_stats(spark, tmp_path):
                     assert st is not None and st.has_min_max
                     checked += 1
     assert checked > 0
+
+
+def test_jsonl_roundtrip_quarantines_corrupt_lines(spark, tmp_path):
+    """A mangled JSONL line lands in the corrupt column with every typed
+    field null — per-record isolation, never a job failure; clean rows
+    round-trip exactly."""
+    from es_ch_sync_spark.io.sources import write_read_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id bigint, name string, v double"
+    )
+    path = str(tmp_path / "jl")
+    write_read_jsonl(df, path, "id bigint, name string, v double")
+    # plant a corrupt line as its OWN file (appending to a part file would
+    # trip hadoop's .crc checksum sidecar, which is itself a nice property)
+    with open(f"{path}/extra-corrupt.json", "w") as fh:
+        fh.write('{"id": 3, "name": "c", "v": not-json}\n')
+    back = (
+        spark.read.schema("id bigint, name string, v double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    rows = back.collect()
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    ok = [r for r in rows if r["_corrupt_record"] is None]
+    assert len(bad) == 1 and bad[0]["id"] is None
+    assert sorted((r["id"], r["name"], r["v"]) for r in ok) == [
+        (1, "a", 1.5), (2, "b", None)
+    ]
+
+
+def test_avro_reader_gated_with_deploy_instruction(spark, tmp_path):
+    """Without the external spark-avro jar the reader raises
+    NotImplementedError naming the --packages coordinate (honest gate,
+    like the JPEG/MP4 codecs) — or, if a jar IS present, reads fine."""
+    import pytest
+
+    from es_ch_sync_spark.io.sources import read_avro_table
+
+    try:
+        spark.range(3).write.format("avro").mode("overwrite").save(
+            str(tmp_path / "av")
+        )
+    except Exception:
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            read_avro_table(spark, str(tmp_path / "missing"))
+        return
+    assert read_avro_table(spark, str(tmp_path / "av")).count() == 3
