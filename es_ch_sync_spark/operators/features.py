@@ -459,6 +459,7 @@ def fingerprint_nearest_neighbor(
     k_terms: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_term_df: int | None = None,
 ) -> DataFrame:
     """Each document's most-similar neighbor by sparse tf·idf-fingerprint
     cosine — the inverted-index ("block on shared term") similarity join,
@@ -472,6 +473,15 @@ def fingerprint_nearest_neighbor(
     terms stop dominating because most docs don't fingerprint on them.
     Output is one row per doc (its argmax neighbor, sim desc / id asc
     tie-break on the rounded score), so result size is n, not n².
+
+    ``max_term_df`` is the mega-posting hardening (same contract as
+    minhash's ``bucket_cap``): terms whose FINGERPRINT posting list
+    exceeds the cap are dropped from pair generation, bounding candidate
+    cost at Σ min(df_fp, cap)² — the registered scale path when a corpus
+    shares fingerprint vocabulary pathologically (weights stay normalized
+    over the FULL fingerprint, so surviving-term similarities are
+    unchanged; a doc whose every term is capped simply reports no
+    neighbor, the recall tradeoff stated).  None = exhaustive.
     """
     from es_ch_sync_spark.operators.text import tfidf_top_terms
 
@@ -495,6 +505,14 @@ def fingerprint_nearest_neighbor(
             (F.col("tfidf") / F.col("nrm")).alias("w"),
         )
     )
+    if max_term_df is not None:
+        ok_terms = (
+            w.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_dfp"))
+            .filter(F.col("_dfp") <= max_term_df)
+            .select("term")
+        )
+        w = w.join(ok_terms, "term", "left_semi")
     pairs = (
         w.alias("a")
         .join(w.alias("b"), "term")

@@ -336,6 +336,63 @@ def q_fingerprint_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_nearest_neighbor(_t(spark, sf_dir, "documents"), k_terms=4)
 
 
+@register(
+    "fingerprint_nn_capped",
+    _WORDS_CTE
+    + """
+    , e AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf::DOUBLE * ln(nd.n_docs::DOUBLE / dfreq.df::DOUBLE),
+                     6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    fp AS (
+        SELECT doc_id, term, tfidf FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored)
+        WHERE rank <= 4
+    ),
+    nrm AS (SELECT doc_id, round(sqrt(sum(tfidf * tfidf)), 6) AS nrm
+            FROM fp GROUP BY 1),
+    wt0 AS (
+        SELECT fp.doc_id AS doc, term, tfidf / nrm AS w
+        FROM fp JOIN nrm USING (doc_id) WHERE nrm > 0
+    ),
+    ok AS (SELECT term FROM (SELECT term, count(*) AS dfp FROM wt0 GROUP BY 1)
+           WHERE dfp <= 32),
+    wt AS (SELECT wt0.* FROM wt0 JOIN ok USING (term)),
+    pairs AS (
+        SELECT a.doc AS doc_id, b.doc AS nbr_id,
+               round(sum(a.w * b.w), 4) AS sim
+        FROM wt a JOIN wt b USING (term)
+        WHERE a.doc != b.doc GROUP BY 1, 2
+    )
+    SELECT doc_id, nbr_id, sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY sim DESC, nbr_id ASC) AS rk
+        FROM pairs)
+    WHERE rk = 1
+    """,
+)
+def q_fingerprint_nn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fingerprint_nn's registered SCALE PATH (same contract as
+    knn_join → knn_join_blocked): fingerprint postings longer than 32
+    are dropped from pair generation, bounding candidate cost at
+    Σ min(df_fp, 32)² — the mega-posting analog of minhash's bucket_cap.
+    Weights stay normalized over the full fingerprint, so surviving-term
+    similarities are identical to the exhaustive operator's."""
+    from es_ch_sync_spark.operators.features import fingerprint_nearest_neighbor
+
+    return fingerprint_nearest_neighbor(
+        _t(spark, sf_dir, "documents"), k_terms=4, max_term_df=32
+    )
+
+
 _SCD2_CUTOFF = "2024-01-16 00:00:00"
 
 
