@@ -1239,3 +1239,72 @@ def chi2_independence(
         ((F.col("_na") - 1) * (F.col("_nb") - 1)).cast("long").alias("dof"),
         F.col("_nn").cast("long").alias("n"),
     )
+
+
+def ab_mann_whitney(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Mann-Whitney U test between two arms [Mann & Whitney 1947] — the
+    nonparametric companion to ab_welch_report for skewed metrics
+    (revenue, latency) where the t-test's mean is the wrong summary.
+
+    Integer discipline: values micro-quantize to longs; tie-averaged
+    pooled ranks are carried as integer DOUBLE-RANKS (2·rank_min + t − 1,
+    as in spearman_by_key), so the rank sum is an exact BIGINT and
+    U_a·2 = ΣR₂(a) − n_a(n_a+1) is exact; the tie term Σ(t³−t) is exact.
+    z (tie-corrected normal approximation) and the rank-biserial effect
+    size are single float expressions over those integers — both engines
+    agree to the printed digit.
+
+    Plan: one pooled rank window (global orderBy over the two arms'
+    values — the arms are a filtered slice, and the window is over the
+    micro-long value, narrow), then one hash aggregate."""
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    pool = df.filter(F.col(group_col).isin(arm_a, arm_b)).select(
+        F.col(group_col).alias("_arm"), vm.alias("_v")
+    )
+    rmin = F.rank().over(W.orderBy("_v"))
+    t = F.count(F.lit(1)).over(W.partitionBy("_v"))
+    ranked = pool.select(
+        "_arm", "_v", (2 * rmin + t - 1).cast("long").alias("_r2")
+    )
+    per = ranked.groupBy("_arm").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_r2").alias("_rs2")
+    )
+    ties = (
+        pool.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .agg(
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).alias("_tie3")
+        )
+    )
+    a = per.filter(F.col("_arm") == arm_a).select(
+        F.col("_n").alias("n_a"), F.col("_rs2").alias("_rs2a")
+    )
+    b = per.filter(F.col("_arm") == arm_b).select(
+        F.col("_n").alias("n_b")
+    )
+    j = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(ties))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    # U_a in double-rank units: 2·U_a = ΣR₂(a) − n_a(n_a+1)
+    u2 = F.col("_rs2a") - F.col("n_a") * (F.col("n_a") + 1)
+    u = u2.cast("double") / 2.0
+    var_u = (
+        na * nb / 12.0
+        * ((nn + 1.0) - F.col("_tie3").cast("double") / (nn * (nn - 1.0)))
+    )
+    z = F.when(var_u > 0, F.round((u - na * nb / 2.0) / F.sqrt(var_u), 6))
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(u, 1).alias("u_stat"),
+        z.alias("z_score"),
+        F.round(2.0 * u / (na * nb) - 1.0, 6).alias("rank_biserial"),
+    )

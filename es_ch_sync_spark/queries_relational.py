@@ -3079,3 +3079,56 @@ def q_jsonl_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     ).select("event_id", "user_id", "ts", "event_type", "value")
+
+
+@register(
+    "ab_mann_whitney",
+    """
+    WITH vm AS (
+        SELECT event_type AS arm,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events
+        WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ),
+    r AS (
+        SELECT arm,
+               (2 * rank() OVER (ORDER BY v)
+                + count(*) OVER (PARTITION BY v) - 1)::BIGINT AS r2
+        FROM vm
+    ),
+    per AS (SELECT arm, count(*)::BIGINT AS n, sum(r2)::BIGINT AS rs2
+            FROM r GROUP BY 1),
+    ties AS (SELECT sum(t * t * t - t)::BIGINT AS tie3
+             FROM (SELECT v, count(*)::BIGINT AS t FROM vm GROUP BY 1)),
+    j AS (
+        SELECT a.n AS n_a, a.rs2 AS rs2a, b.n AS n_b, ties.tie3,
+               (a.rs2 - a.n * (a.n + 1))::DOUBLE / 2.0 AS u,
+               a.n::DOUBLE * b.n / 12.0
+               * ((a.n + b.n + 1.0)
+                  - ties.tie3::DOUBLE
+                    / ((a.n + b.n)::DOUBLE * (a.n + b.n - 1.0))) AS var_u
+        FROM (SELECT * FROM per WHERE arm = 'view') a,
+             (SELECT * FROM per WHERE arm = 'purchase') b, ties
+    )
+    SELECT n_a, n_b, round(u, 1) AS u_stat,
+           CASE WHEN var_u > 0
+                THEN round((u - n_a::DOUBLE * n_b / 2.0) / sqrt(var_u), 6)
+           END AS z_score,
+           round(2.0 * u / (n_a::DOUBLE * n_b) - 1.0, 6) AS rank_biserial
+    FROM j
+    """,
+)
+def q_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the 'view' and 'purchase' arms' value
+    distributions — the nonparametric A/B readout for skewed metrics,
+    next to ab_welch_ttest's t.  Pooled tie-averaged ranks ride as
+    integer double-ranks, so the rank sum, U, and the tie term are
+    exact; z and the rank-biserial effect size are single float
+    expressions over them."""
+    from es_ch_sync_spark.operators.analytics import ab_mann_whitney
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ab_mann_whitney(
+        ev, group_col="event_type", value_col="value",
+        arm_a="view", arm_b="purchase",
+    )
