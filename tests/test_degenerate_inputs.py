@@ -111,3 +111,45 @@ def test_analytics_degenerate(spark):
         const, key="user_id", value_col="value", id_col="event_id"
     ).collect()
     assert rows == [] or all(not r["is_anomaly"] for r in rows)
+
+
+def test_mann_kendall_singleton_and_empty_series(spark):
+    """A key with one day has no pairs — it drops out of the result (S is
+    undefined, matching R's Kendall on n<2) rather than emitting junk;
+    an empty frame yields an empty result with the right schema."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import mann_kendall_sen
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = [("solo", d0, 5)] + [
+        ("pair", d0 + datetime.timedelta(days=i), 5 + i) for i in range(2)
+    ]
+    daily = spark.createDataFrame(rows, "k string, day date, y long")
+    got = {r["k"]: r for r in mann_kendall_sen(daily, key_col="k").collect()}
+    assert "solo" not in got and got["pair"]["s_stat"] == 1
+    empty = spark.createDataFrame([], "k string, day date, y long")
+    out = mann_kendall_sen(empty, key_col="k")
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "n_days", "s_stat", "sen_slope", "z_score", "trend"}
+
+
+def test_spearman_constant_series_yields_null_rho(spark):
+    """Zero variance in either series → rho is NULL (undefined), never a
+    division-by-zero or a fabricated 0."""
+    from es_ch_sync_spark.operators.analytics import spearman_by_key
+
+    rows = [("k", i, 7, 100 - i) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, day int, x long, y long")
+    got = spearman_by_key(df, key_col="k", x_col="x", y_col="y").collect()[0]
+    assert got["spearman_rho"] is None and got["n"] == 5
+
+
+def test_k_anonymity_empty_when_compliant(spark):
+    """A table whose every class clears both floors reports nothing."""
+    from es_ch_sync_spark.operators.sampling import k_anonymity_report
+
+    rows = [("g", i % 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "q string, s long")
+    out = k_anonymity_report(df, ["q"], "s", k=5, l=2)
+    assert out.count() == 0

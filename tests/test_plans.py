@@ -419,3 +419,40 @@ def test_wordpiece_bpe_encode_fold_not_pushed_below_word_agg(plans):
         # barrier is fine — once per distinct word)
         assert "Scan ExistingRDD" in p, q
         assert "FileScan" not in p, f"{q}: corpus scan below the encode fold"
+
+
+def test_cap_per_domain_sorts_only_narrow_columns(plans):
+    """The skew-safe two-phase cap: every Sort in the plan covers only
+    the narrow (_domain, _salt, _rk, _cid) projection — document payload
+    (text/url) must never enter a domain-keyed sort, or a crawl's head
+    domain becomes a ~1 TB single-task sort at 100 TB."""
+    import re
+
+    p = plans("cap_per_domain_kept")
+    # the final presentation orderBy is allowed; audit only partial sorts
+    # feeding windows (those inside exchanges, marked by _domain)
+    for m in re.finditer(r"Sort \[([^\]]*)\]", p):
+        cols = m.group(1)
+        if "_domain" in cols:
+            assert "text" not in cols and "url" not in cols, cols
+    assert "CartesianProduct" not in p
+
+
+def test_mann_kendall_pairwise_is_keyed_join(plans):
+    """The O(days²) pairwise stage must be an equi-join on the series key
+    with the day inequality as a FILTER — a nested-loop/cartesian here
+    would be quadratic in the TABLE, not the series."""
+    p = plans("mann_kendall_trend")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_nb_census_not_replayed(plans):
+    """nb_train localCheckpoints the (label, tok) census: the confusion
+    query's plan must read the checkpointed RDD and keep the corpus
+    parquet scan count at 2 (classify tokenize + label re-join) — the
+    r7 plan had the census lineage replayed ~4x (Exchange x20)."""
+    p = plans("nb_lang_confusion")
+    assert "Scan ExistingRDD" in p
+    assert p.count("Scan parquet") <= 2, p.count("Scan parquet")
