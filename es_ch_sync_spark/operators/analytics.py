@@ -1253,44 +1253,50 @@ def ab_mann_whitney(
     (revenue, latency) where the t-test's mean is the wrong summary.
 
     Integer discipline: values micro-quantize to longs; tie-averaged
-    pooled ranks are carried as integer DOUBLE-RANKS (2·rank_min + t − 1,
-    as in spearman_by_key), so the rank sum is an exact BIGINT and
-    U_a·2 = ΣR₂(a) − n_a(n_a+1) is exact; the tie term Σ(t³−t) is exact.
-    z (tie-corrected normal approximation) and the rank-biserial effect
-    size are single float expressions over those integers — both engines
-    agree to the printed digit.
+    pooled ranks are carried as integer DOUBLE-RANKS, so the rank sum is
+    an exact BIGINT and U_a·2 = ΣR₂(a) − n_a(n_a+1) is exact; the tie
+    term Σ(t³−t) is exact.  z (tie-corrected normal approximation) and
+    the rank-biserial effect size are single float expressions over
+    those integers — both engines agree to the printed digit.
 
-    Plan: one pooled rank window (global orderBy over the two arms'
-    values — the arms are a filtered slice, and the window is over the
-    micro-long value, narrow), then one hash aggregate."""
+    Scale shape: rows are NEVER individually ranked (a pooled rank
+    window would be a single-task global sort).  Instead one hash
+    aggregate reduces the pool to per-VALUE counts (n_a, n_b per
+    distinct value — the same bounded-distinct posture as
+    quantile_normalize; quantize heavy-tailed metrics first), a window
+    over that small table computes running totals, and
+    ΣR₂(a) = Σ_v n_a(v)·(2·cum_below(v) + t(v) + 1) exactly equals the
+    per-row tie-averaged rank sum."""
     vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
     pool = df.filter(F.col(group_col).isin(arm_a, arm_b)).select(
         F.col(group_col).alias("_arm"), vm.alias("_v")
     )
-    rmin = F.rank().over(W.orderBy("_v"))
-    t = F.count(F.lit(1)).over(W.partitionBy("_v"))
-    ranked = pool.select(
-        "_arm", "_v", (2 * rmin + t - 1).cast("long").alias("_r2")
+    # per-distinct-value arm counts: the only pass over the data
+    pv = pool.groupBy("_v").agg(
+        F.sum(F.when(F.col("_arm") == arm_a, 1).otherwise(0)).alias("_na_v"),
+        F.sum(F.when(F.col("_arm") == arm_b, 1).otherwise(0)).alias("_nb_v"),
     )
-    per = ranked.groupBy("_arm").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_r2").alias("_rs2")
+    t_v = (F.col("_na_v") + F.col("_nb_v")).alias("_t")
+    wv = W.orderBy("_v").rowsBetween(W.unboundedPreceding, -1)
+    ranked_v = pv.select(
+        "_v", "_na_v", "_nb_v", t_v,
+        F.coalesce(F.sum(F.col("_na_v") + F.col("_nb_v")).over(wv), F.lit(0)).alias(
+            "_cum_below"
+        ),
     )
-    ties = (
-        pool.groupBy("_v")
-        .agg(F.count(F.lit(1)).alias("_t"))
-        .agg(
-            F.sum(
-                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
-            ).alias("_tie3")
-        )
+    # ΣR₂(a), n_a, n_b, and the tie term, all from the value table
+    agg = ranked_v.agg(
+        F.sum(
+            F.col("_na_v") * (2 * F.col("_cum_below") + F.col("_t") + 1)
+        ).alias("_rs2a"),
+        F.sum("_na_v").alias("n_a"),
+        F.sum("_nb_v").alias("n_b"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias("_tie3"),
     )
-    a = per.filter(F.col("_arm") == arm_a).select(
-        F.col("_n").alias("n_a"), F.col("_rs2").alias("_rs2a")
+    a = agg.select(
+        F.col("n_a"), F.col("n_b"), F.col("_rs2a"), F.col("_tie3")
     )
-    b = per.filter(F.col("_arm") == arm_b).select(
-        F.col("_n").alias("n_b")
-    )
-    j = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(ties))
+    j = a
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     nn = na + nb
     # U_a in double-rank units: 2·U_a = ΣR₂(a) − n_a(n_a+1)

@@ -613,3 +613,19 @@ def test_chi2_independence_zero_for_independent_table(spark):
         spark.createDataFrame(dep, "a string, b string"), "a", "b"
     ).collect()[0]
     assert abs(got2["chi2"] - 60.0) < 1e-6
+
+
+def test_mann_whitney_hand_computed_with_ties(spark):
+    """A=[1,2,2,5], B=[2,3,3]: tie-averaged ranks give R_a=14, U_a=4,
+    rank-biserial = 2·4/12 − 1 = −1/3 — checked to the printed digit;
+    the plan never ranks individual rows (no per-row global sort)."""
+    from es_ch_sync_spark.operators.analytics import ab_mann_whitney
+
+    rows = [("A", v) for v in (1.0, 2.0, 2.0, 5.0)] + [
+        ("B", v) for v in (2.0, 3.0, 3.0)
+    ]
+    df = spark.createDataFrame(rows, "arm string, value double")
+    got = ab_mann_whitney(df, "arm", "value", "A", "B").collect()[0]
+    assert got["n_a"] == 4 and got["n_b"] == 3
+    assert got["u_stat"] == 4.0
+    assert abs(got["rank_biserial"] - (-0.333333)) < 1e-6
