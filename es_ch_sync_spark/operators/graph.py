@@ -133,3 +133,46 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
         F.lit(2.0) * F.col("tri_cnt") / (F.col("deg") * (F.col("deg") - F.lit(1))),
     ).otherwise(F.lit(0.0))
     return out.select("node", "deg", "tri_cnt", F.round(coef, 4).alias("clustering"))
+
+
+def bfs_depths(
+    pairs: DataFrame,
+    seed: int | None = None,
+    max_depth: int = 5,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Bounded breadth-first search over an undirected pair graph:
+    (id, depth) for every node within ``max_depth`` hops of ``seed``
+    (default: the smallest node id — deterministic).  The Pregel-lite
+    driver loop every distributed BFS uses: ``max_depth`` rounds, each a
+    frontier ⋈ edges equi-join + anti-join against the visited set; both
+    frames localCheckpoint per round so lineage stays O(1) instead of
+    O(depth) (the connected-components discipline).  Matches the SQL
+    WITH RECURSIVE formulation (the oracle) with min-depth semantics:
+    a node first reached at depth d keeps d."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).localCheckpoint(eager=True)
+    if seed is None:
+        seed = edges.agg(F.min("src")).first()[0]
+    spark = pairs.sparkSession
+    visited = spark.createDataFrame([(int(seed), 0)], "id long, depth int")
+    frontier = visited.select("id")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("depth", F.lit(d))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -1684,3 +1684,44 @@ def q_es_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v_sum"),
     )
+
+
+def _bfs_oracle(threshold: float = 0.5, max_depth: int = 5) -> str:
+    pairs = oracles.minhash_near_dup_sql(threshold=threshold)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    seed AS (SELECT min(src) AS s FROM edges),
+    walk AS (
+        SELECT s AS id, 0 AS depth FROM seed
+        UNION
+        SELECT e.dst, w.depth + 1
+        FROM walk w JOIN edges e ON e.src = w.id
+        WHERE w.depth < {max_depth}
+    )
+    SELECT id AS doc_id, min(depth)::INT AS depth
+    FROM walk GROUP BY id ORDER BY depth, doc_id
+    """
+
+
+@register("graph_bfs_depths", _bfs_oracle(threshold=0.5, max_depth=5))
+def q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS from the smallest node of the near-dup graph — hop
+    distance for impact analysis ("everything within 5 edits of this
+    document").  The Spark side is the Pregel-lite driver loop
+    (frontier ⋈ edges per round, localCheckpoint'd so lineage stays
+    O(1)); the oracle is the equivalent SQL WITH RECURSIVE with
+    min-depth semantics — the iterative-vs-recursive parity check next
+    to pagerank's unrolled CTE."""
+    from es_ch_sync_spark.operators.graph import bfs_depths
+
+    pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    return (
+        bfs_depths(pairs, max_depth=5)
+        .select(F.col("id").alias("doc_id"), F.col("depth"))
+        .orderBy("depth", "doc_id")
+    )

@@ -3132,3 +3132,47 @@ def q_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, group_col="event_type", value_col="value",
         arm_a="view", arm_b="purchase",
     )
+
+
+@register(
+    "sliding_distinct_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    expanded AS (
+        SELECT ud.user_id, ud.day + (g.i || ' days')::INTERVAL AS day_out
+        FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) g
+    ),
+    wau AS (
+        SELECT day_out::DATE AS day, count(DISTINCT user_id)::BIGINT AS wau
+        FROM expanded GROUP BY 1
+    )
+    SELECT d.day, w.wau
+    FROM days d JOIN wau w ON d.day = w.day
+    ORDER BY d.day
+    """,
+)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users (WAU per day) — the telemetry
+    staple Spark windows can't express directly (COUNT(DISTINCT) over a
+    RANGE frame is unsupported).  Scale-right formulation: dedup to
+    (user, day) once, EXPLODE each user-day into the ≤7 future window
+    ends it contributes to, then one exact distinct-count per day —
+    shuffle volume O(7·user-days), no self-join of the fact table, no
+    per-day rescan.  Output is restricted to days present in the data."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day_out"),
+    )
+    wau = expanded.groupBy(F.col("day_out").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return days.join(wau, "day").orderBy("day")

@@ -77,3 +77,20 @@ def test_bucket_cap_excludes_hot_buckets(spark):
 def test_degrees(spark):
     got = {r["node"]: r["deg"] for r in degrees(_edges(spark, [(0, 1), (1, 2)])).collect()}
     assert got == {0: 1, 1: 2, 2: 1}
+
+
+def test_bfs_depths_chain_and_min_depth(spark):
+    """A path graph 0-1-2-...-8 from seed 0: depth = node index, capped
+    at max_depth; a shortcut edge (0,5) must pull node 5 (and its tail)
+    to the SHORTER depth — min-depth semantics, not last-write."""
+    from es_ch_sync_spark.operators.graph import bfs_depths
+
+    chain = [(i, i + 1) for i in range(8)]
+    edges = spark.createDataFrame(chain + [(0, 5)], "id_a long, id_b long")
+    got = {r["id"]: r["depth"] for r in bfs_depths(edges, max_depth=3).collect()}
+    assert got[0] == 0 and got[1] == 1 and got[2] == 2 and got[3] == 3
+    assert got[5] == 1 and got[6] == 2 and got[7] == 3  # via the shortcut
+    assert 8 not in got  # beyond max_depth
+    # early termination: a 2-node graph stops after one round
+    tiny = spark.createDataFrame([(10, 11)], "id_a long, id_b long")
+    assert {r["id"]: r["depth"] for r in bfs_depths(tiny).collect()} == {10: 0, 11: 1}
