@@ -76,6 +76,10 @@ EXTENDED = [
     "dedup_sorted_neighborhood",
     "cusum_shifts",
     "nb_lang_confusion",
+    # round-8 family representatives (r7 VERDICT directive #6 pattern)
+    "mann_kendall_trend",
+    "hll_distinct_users",
+    "dedup_snm_multipass",
 ]
 
 

@@ -1314,3 +1314,322 @@ def ab_mann_whitney(
         z.alias("z_score"),
         F.round(2.0 * u / (na * nb) - 1.0, 6).alias("rank_biserial"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between two arms [Kolmogorov 1933;
+    Smirnov 1948] — the distribution-shape companion to ab_welch_report
+    (means) and ab_mann_whitney (location shift): D reacts to ANY ECDF
+    divergence, which is the readout that catches a variance-only or
+    tail-only treatment effect both other tests miss.
+
+    Integer discipline: values micro-quantize to longs;
+    D = max_v |F_a(v) − F_b(v)| is carried as the exact BIGINT numerator
+    max_v |n_b·cum_a(v) − n_a·cum_b(v)| over the common denominator
+    n_a·n_b, so the max is decided in integers and both engines agree
+    exactly.  d_stat and the scaled statistic sqrt(n_a·n_b/(n_a+n_b))·D
+    are single float expressions over those integers.
+
+    Scale shape: same bounded-distinct posture as ab_mann_whitney — one
+    hash aggregate reduces the pool to per-distinct-value arm counts,
+    and the running ECDFs are a window over that small table (quantize
+    heavy-tailed metrics first); rows are never individually sorted."""
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    pool = df.filter(F.col(group_col).isin(arm_a, arm_b)).select(
+        F.col(group_col).alias("_arm"), vm.alias("_v")
+    )
+    # bounded (distinct values): one materialization feeds both the ECDF
+    # window and the arm totals instead of two pool scans
+    pv = pool.groupBy("_v").agg(
+        F.sum(F.when(F.col("_arm") == arm_a, 1).otherwise(0)).alias("_na_v"),
+        F.sum(F.when(F.col("_arm") == arm_b, 1).otherwise(0)).alias("_nb_v"),
+    ).localCheckpoint(eager=True)
+    wv = W.orderBy("_v").rowsBetween(W.unboundedPreceding, 0)
+    cum = pv.select(
+        F.sum("_na_v").over(wv).alias("_ca"),
+        F.sum("_nb_v").over(wv).alias("_cb"),
+    )
+    # D's numerator needs the arm totals inside the per-value scan:
+    # broadcast the two scalars back, then take the max in a bounded agg.
+    totals = pv.agg(
+        F.sum("_na_v").cast("long").alias("n_a"),
+        F.sum("_nb_v").cast("long").alias("n_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("n_b") * F.col("_ca") - F.col("n_a") * F.col("_cb")
+            ).cast("long").alias("_num"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("_num").alias("d_num"))
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    dd = F.col("d_num").cast("double") / (na * nb)
+    return d.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        F.round(dd, 6).alias("d_stat"),
+        F.round(dd * F.sqrt(na * nb / (na + nb)), 6).alias("ks_scaled"),
+    )
+
+
+def acf_daily(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of a per-key daily count series at lags
+    1..max_lag [Box & Jenkins 1970, the standard biased estimator
+    r_k = Σ_{t}(y_t−ȳ)(y_{t+k}−ȳ) / Σ_t(y_t−ȳ)²] — the seasonality /
+    momentum readout next to seasonal_decompose (which assumes a period)
+    and rolling_corr (which correlates two series).
+
+    Integer discipline: center at c_t = N·y_t − S (both exact BIGINTs;
+    the N² factor cancels in the ratio), so every product and sum is an
+    exact integer and r_k is ONE float division both engines agree on.
+    Overflow bound: |c_t| ≤ N·max_dev, so Σc² ≤ N³·dev² — safe through
+    N≈1000 days × per-day deviation ≈ 10⁵.
+
+    Gap-correct: lag pairs align on calendar day (an equi-join on
+    day + k), never on row position, so missing days shorten the overlap
+    instead of silently misaligning it.
+
+    Plan: one hash aggregate to the (key, day) table, a broadcast stats
+    join, then a lag explode (max_lag copies of a bounded table) and one
+    (key, day) equi-join — all downstream of the only data-sized
+    shuffle."""
+    d = daily.select(
+        F.col(key_col).alias("_k"),
+        F.col(day_col).alias("_day"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    stats = d.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_s"),
+    )
+    # bounded (one row per key·day): materialize once so the three
+    # consumers (denominator, lag-left, lag-right) never replay the
+    # upstream daily aggregation (r7 exchange-audit remedy, as nb_train)
+    c = d.join(F.broadcast(stats), "_k").select(
+        "_k",
+        "_day",
+        (F.col("_n") * F.col("_y") - F.col("_s")).cast("long").alias("_c"),
+    ).localCheckpoint(eager=True)
+    denom = c.groupBy("_k").agg(
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_den"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    lags = F.array([F.lit(i) for i in range(1, max_lag + 1)])
+    left = c.select("_k", "_day", "_c", F.explode(lags).alias("lag"))
+    right = c.select(
+        F.col("_k").alias("_k2"),
+        F.col("_day").alias("_day2"),
+        F.col("_c").alias("_c2"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("_k") == F.col("_k2"))
+        & (F.date_add(F.col("_day"), F.col("lag")) == F.col("_day2")),
+    )
+    num = pairs.groupBy("_k", "lag").agg(
+        F.sum(F.col("_c") * F.col("_c2")).cast("long").alias("_num"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    out = num.join(F.broadcast(denom), "_k")
+    return out.select(
+        F.col("_k").alias(key_col),
+        F.col("lag").cast("int").alias("lag"),
+        "n_days",
+        "n_pairs",
+        F.when(
+            F.col("_den") > 0,
+            F.round(F.col("_num").cast("double") / F.col("_den").cast("double"), 6),
+        ).alias("acf"),
+    )
+
+
+def kendall_tau_pairs(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall tau-b between every unordered pair of keys' daily series
+    [Kendall 1938; tau-b tie correction per Kendall 1945] — the
+    concordance-based dependence readout next to spearman (rank-Pearson)
+    and signal_correlations (moment-Pearson): tau is the probability
+    scale (P[concordant] − P[discordant]) and is robust to any monotone
+    transform of either series.
+
+    Integer discipline: S = Σ sign(Δx)·sign(Δy), the pair count n0 =
+    n(n−1)/2, and the tie terms n1 = Σ_x t(t−1)/2, n2 = Σ_y t(t−1)/2 are
+    all exact BIGINTs; tau_b = S / sqrt((n0−n1)(n0−n2)) is one float
+    expression.  NULL when either series is constant (denominator 0).
+
+    Scale shape: the day-pair self-join is over the AGGREGATED daily
+    table only (days² · key-pairs rows, never event rows) — the same
+    bounded-pairwise posture as mann_kendall; the one data-sized shuffle
+    is the upstream daily aggregate."""
+    d = daily.select(
+        F.col(key_col).alias("_k"),
+        F.col(day_col).alias("_day"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    # align the two series on day: one row per (key_a < key_b, day)
+    wide = (
+        d.alias("p")
+        .join(d.alias("q"), F.col("p._day") == F.col("q._day"))
+        .filter(F.col("p._k") < F.col("q._k"))
+        .select(
+            F.col("p._k").alias("_ka"),
+            F.col("q._k").alias("_kb"),
+            F.col("p._day").alias("_day"),
+            F.col("p._y").alias("_x"),
+            F.col("q._y").alias("_yy"),
+        )
+        # bounded (days · key-pairs): one materialization feeds the four
+        # consumers (S, n, x-ties, y-ties) instead of four replays of the
+        # upstream daily aggregation (r7 exchange-audit remedy)
+        .localCheckpoint(eager=True)
+    )
+    pp = (
+        wide.alias("i")
+        .join(
+            wide.alias("j"),
+            (F.col("i._ka") == F.col("j._ka"))
+            & (F.col("i._kb") == F.col("j._kb")),
+        )
+        .filter(F.col("i._day") < F.col("j._day"))
+        .select(
+            F.col("i._ka").alias("_ka"),
+            F.col("i._kb").alias("_kb"),
+            (
+                F.signum(F.col("j._x") - F.col("i._x")).cast("long")
+                * F.signum(F.col("j._yy") - F.col("i._yy")).cast("long")
+            ).alias("_cd"),
+        )
+    )
+    s = pp.groupBy("_ka", "_kb").agg(F.sum("_cd").cast("long").alias("s_stat"))
+    n = wide.groupBy("_ka", "_kb").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    tx = (
+        wide.groupBy("_ka", "_kb", "_x")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("_ka", "_kb")
+        .agg((F.sum(F.col("_t") * (F.col("_t") - 1)) / 2).cast("long").alias("_n1"))
+    )
+    ty = (
+        wide.groupBy("_ka", "_kb", "_yy")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("_ka", "_kb")
+        .agg((F.sum(F.col("_t") * (F.col("_t") - 1)) / 2).cast("long").alias("_n2"))
+    )
+    out = (
+        s.join(n, ["_ka", "_kb"]).join(tx, ["_ka", "_kb"]).join(ty, ["_ka", "_kb"])
+    )
+    n0 = (F.col("_n") * (F.col("_n") - 1) / 2).cast("long")
+    den = (n0 - F.col("_n1")).cast("double") * (n0 - F.col("_n2")).cast("double")
+    return out.select(
+        F.col("_ka").alias("key_a"),
+        F.col("_kb").alias("key_b"),
+        F.col("_n").alias("n_days"),
+        "s_stat",
+        F.when(
+            den > 0,
+            F.round(F.col("s_stat").cast("double") / F.sqrt(den), 6),
+        ).alias("tau_b"),
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9, frozen as
+# decimal literals so Spark and the DuckDB oracle parse the IDENTICAL
+# double (never recomputed via each engine's libm log).
+BENFORD_P = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+
+def benford_report(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive amount column
+    against Benford's law [Newcomb 1881; Benford 1938] — the classic
+    fabricated-/synthetic-data audit for financial columns (here the
+    order-book), next to chi2_independence (which tests two observed
+    columns against each other rather than a fixed law).
+
+    Determinism: the digit is the first character of the integer part's
+    STRING form (never floor(log10(x)), whose libm rounding can disagree
+    across engines at powers of ten); expected probabilities are frozen
+    decimal literals (module constant BENFORD_P); each digit's χ²
+    contribution (obs − N·p)²/(N·p) is micro-quantized to a BIGINT
+    before the 9-row total, so the sum is order-free and exact.
+
+    Plan: one hash aggregate to 9 digit rows; everything after is
+    arithmetic on that bounded table (the total is a 9-row window)."""
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(F.col(value_col) >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    # densify: every digit 1..9 appears even with zero observations
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    grid = spark.createDataFrame(
+        [(d, p) for d, p in zip(range(1, 10), BENFORD_P)], "digit int, p double"
+    )
+    n_total = counts.agg(F.sum("n_obs").cast("long").alias("_n"))
+    g = (
+        grid.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            "p",
+            "_n",
+        )
+    )
+    exp = F.col("_n").cast("double") * F.col("p")
+    dev = F.col("n_obs").cast("double") - exp
+    term_m = F.round(dev * dev / exp * 1000000.0).cast("long")
+    g2 = g.select(
+        "digit",
+        "n_obs",
+        F.round(exp, 6).alias("expected"),
+        term_m.alias("chisq_term_m"),
+    )
+    wtot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return g2.select(
+        "digit",
+        "n_obs",
+        "expected",
+        F.round(F.col("chisq_term_m").cast("double") / 1000000.0, 6).alias(
+            "chisq_term"
+        ),
+        F.round(
+            F.sum("chisq_term_m").over(wtot).cast("double") / 1000000.0, 6
+        ).alias("chisq_total"),
+    ).orderBy("digit")

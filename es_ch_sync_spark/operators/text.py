@@ -959,3 +959,59 @@ def phrase_match(postings: DataFrame, phrase: list[str]) -> DataFrame:
         )
         cur = cur.join(nxt, ["id", "p0"])
     return cur.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def readability_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per source [Flesch 1948;
+    Kincaid et al. 1975] — the classic pedagogical-difficulty quality
+    signal for pretraining curation, next to text_analysis's
+    length/punct/stopword gates: a source whose pooled grade level is
+    implausibly low (listicles, SEO spam) or high (OCR noise, code
+    mistagged as prose) is a curation flag.
+
+    Determinism: the three per-doc counts are pure integers — words
+    (non-empty whitespace splits), sentences (runs of [.!?], floored at
+    1 per doc), syllables (vowel-group runs [aeiouy]+ over the lowered
+    text, the standard lexicon-free heuristic) — summed per source as
+    exact BIGINTs; the two scores are single float expressions over the
+    pooled sums (micro-averaged, never an average of per-doc floats,
+    which would be order-dependent), so both engines agree to the
+    printed digit.
+
+    Plan: one projection computes the counts inside codegen (regexp on
+    the document body, no explode — the body never shuffles), then one
+    hash aggregate to the source table."""
+    txt = F.col(text_col)
+    n_words = F.size(F.filter(F.split(txt, "\\s+"), lambda x: x != ""))
+    n_sent = F.greatest(F.regexp_count(txt, F.lit("[.!?]+")), F.lit(1))
+    n_syll = F.size(F.regexp_extract_all(F.lower(txt), F.lit("[aeiouy]+"), 0))
+    per = df.select(
+        F.col(source_col).alias("source"),
+        n_words.cast("long").alias("_w"),
+        n_sent.cast("long").alias("_s"),
+        n_syll.cast("long").alias("_y"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_w").cast("long").alias("sum_words"),
+        F.sum("_s").cast("long").alias("sum_sentences"),
+        F.sum("_y").cast("long").alias("sum_syllables"),
+    )
+    w = F.col("sum_words").cast("double")
+    s = F.col("sum_sentences").cast("double")
+    y = F.col("sum_syllables").cast("double")
+    wps = w / s
+    ypw = y / F.when(F.col("sum_words") > 0, w)
+    return agg.select(
+        "source",
+        "n_docs",
+        "sum_words",
+        "sum_sentences",
+        "sum_syllables",
+        F.round(206.835 - 1.015 * wps - 84.6 * ypw, 6).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * ypw - 15.59, 6).alias("fk_grade"),
+    )

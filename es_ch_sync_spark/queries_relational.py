@@ -3176,3 +3176,251 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("wau")
     )
     return days.join(wau, "day").orderBy("day")
+
+
+@register(
+    "ks_ab_test",
+    """
+    WITH vm AS (
+        SELECT event_type AS arm,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events
+        WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ),
+    pv AS (
+        SELECT v,
+               sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END)::BIGINT AS na_v,
+               sum(CASE WHEN arm = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb_v
+        FROM vm GROUP BY 1
+    ),
+    cum AS (
+        SELECT sum(na_v) OVER (ORDER BY v)::BIGINT AS ca,
+               sum(nb_v) OVER (ORDER BY v)::BIGINT AS cb
+        FROM pv
+    ),
+    tot AS (SELECT sum(na_v)::BIGINT AS n_a, sum(nb_v)::BIGINT AS n_b FROM pv),
+    d AS (
+        SELECT n_a, n_b, max(abs(n_b * ca - n_a * cb))::BIGINT AS d_num
+        FROM cum, tot GROUP BY 1, 2
+    )
+    SELECT n_a, n_b, d_num,
+           round(d_num::DOUBLE / (n_a::DOUBLE * n_b), 6) AS d_stat,
+           round(d_num::DOUBLE / (n_a::DOUBLE * n_b)
+                 * sqrt(n_a::DOUBLE * n_b / (n_a + n_b)), 6) AS ks_scaled
+    FROM d
+    """,
+)
+def q_ks_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the 'view' and 'purchase'
+    arms' value distributions — completes the A/B readout triple
+    (ab_welch_ttest: means; ab_mann_whitney: location; KS: any ECDF
+    divergence).  D rides as an exact BIGINT numerator over n_a·n_b;
+    the ECDFs are a window over the bounded distinct-value table."""
+    from es_ch_sync_spark.operators.analytics import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ks_two_sample(
+        ev, group_col="event_type", value_col="value",
+        arm_a="view", arm_b="purchase",
+    )
+
+
+@register(
+    "acf_lags",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               count(*)::BIGINT AS y
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+        FROM daily GROUP BY 1
+    ),
+    c AS (
+        SELECT d.event_type, d.day, (st.n * d.y - st.s)::BIGINT AS c
+        FROM daily d JOIN stats st USING (event_type)
+    ),
+    den AS (
+        SELECT event_type, sum(c * c)::BIGINT AS den,
+               count(*)::BIGINT AS n_days
+        FROM c GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 8))::INT AS lag_d),
+    pairs AS (
+        SELECT a.event_type, l.lag_d, sum(a.c * b.c)::BIGINT AS num,
+               count(*)::BIGINT AS n_pairs
+        FROM c a CROSS JOIN lags l
+        JOIN c b ON b.event_type = a.event_type AND b.day = a.day + l.lag_d
+        GROUP BY 1, 2
+    )
+    SELECT p.event_type, p.lag_d, d.n_days, p.n_pairs,
+           CASE WHEN d.den > 0
+                THEN round(p.num::DOUBLE / d.den::DOUBLE, 6) END AS acf
+    FROM pairs p JOIN den d USING (event_type)
+    """,
+)
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's daily count series at lags
+    1..7 — seasonality/momentum detection without assuming a period
+    (seasonal_decompose's prerequisite check).  Centering at N·y − S
+    keeps every sum an exact BIGINT; lag pairs align on calendar day, so
+    gaps shorten the overlap instead of misaligning it."""
+    from es_ch_sync_spark.operators.analytics import acf_daily
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    out = acf_daily(daily, "event_type", "day", "y", max_lag=7)
+    return out.withColumnRenamed("lag", "lag_d")
+
+
+@register(
+    "kendall_tau_daily",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               count(*)::BIGINT AS y
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT p.event_type AS ka, q.event_type AS kb, p.day,
+               p.y AS x, q.y AS yy
+        FROM daily p JOIN daily q
+          ON p.day = q.day AND p.event_type < q.event_type
+    ),
+    pp AS (
+        SELECT i.ka, i.kb,
+               (sign(j.x - i.x) * sign(j.yy - i.yy))::BIGINT AS cd
+        FROM wide i JOIN wide j
+          ON i.ka = j.ka AND i.kb = j.kb AND i.day < j.day
+    ),
+    s AS (SELECT ka, kb, sum(cd)::BIGINT AS s_stat FROM pp GROUP BY 1, 2),
+    n AS (SELECT ka, kb, count(*)::BIGINT AS n FROM wide GROUP BY 1, 2),
+    tx AS (
+        SELECT ka, kb, ((sum(t * (t - 1))) // 2)::BIGINT AS n1
+        FROM (SELECT ka, kb, x, count(*)::BIGINT AS t
+              FROM wide GROUP BY 1, 2, 3)
+        GROUP BY 1, 2
+    ),
+    ty AS (
+        SELECT ka, kb, ((sum(t * (t - 1))) // 2)::BIGINT AS n2
+        FROM (SELECT ka, kb, yy, count(*)::BIGINT AS t
+              FROM wide GROUP BY 1, 2, 3)
+        GROUP BY 1, 2
+    )
+    SELECT s.ka AS key_a, s.kb AS key_b, n.n AS n_days, s.s_stat,
+           CASE WHEN ((n.n * (n.n - 1)) // 2 - tx.n1)::DOUBLE
+                     * ((n.n * (n.n - 1)) // 2 - ty.n2)::DOUBLE > 0
+                THEN round(s.s_stat::DOUBLE
+                           / sqrt(((n.n * (n.n - 1)) // 2 - tx.n1)::DOUBLE
+                                  * ((n.n * (n.n - 1)) // 2 - ty.n2)::DOUBLE),
+                           6)
+           END AS tau_b
+    FROM s JOIN n USING (ka, kb) JOIN tx USING (ka, kb) JOIN ty USING (ka, kb)
+    """,
+)
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between every pair of event types' daily series —
+    the concordance-scale dependence readout next to spearman_daily and
+    signal_correlations.  S and both tie terms are exact BIGINTs over
+    the aggregated daily table; the day-pair self-join never touches
+    event rows."""
+    from es_ch_sync_spark.operators.analytics import kendall_tau_pairs
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return kendall_tau_pairs(daily, "event_type", "day", "y")
+
+
+@register(
+    "benford_digits",
+    """
+    WITH src AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (SELECT digit, count(*)::BIGINT AS n_obs FROM src GROUP BY 1),
+    grid AS (
+        SELECT unnest(range(1, 10))::INT AS digit,
+               unnest([0.3010299956639812, 0.17609125905568124,
+                       0.12493873660829992, 0.09691001300805642,
+                       0.07918124604762482, 0.06694678963061322,
+                       0.05799194697768673, 0.05115252244738129,
+                       0.04575749056067514]) AS p
+    ),
+    tot AS (SELECT sum(n_obs)::BIGINT AS n FROM counts),
+    g AS (
+        SELECT grid.digit, coalesce(counts.n_obs, 0)::BIGINT AS n_obs,
+               grid.p, tot.n
+        FROM grid LEFT JOIN counts USING (digit), tot
+    ),
+    t AS (
+        SELECT digit, n_obs, round(n::DOUBLE * p, 6) AS expected,
+               CAST(round((n_obs::DOUBLE - n::DOUBLE * p)
+                          * (n_obs::DOUBLE - n::DOUBLE * p)
+                          / (n::DOUBLE * p) * 1000000.0) AS BIGINT) AS term_m
+        FROM g
+    )
+    SELECT digit, n_obs, expected,
+           round(term_m::DOUBLE / 1000000.0, 6) AS chisq_term,
+           round((sum(term_m) OVER ())::DOUBLE / 1000000.0, 6) AS chisq_total
+    FROM t ORDER BY digit
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit audit of order totals against Benford's
+    law with a χ² distance — the fabricated-data screen for financial
+    columns.  The digit comes from the integer part's string form
+    (never floor(log10)); expected probabilities are frozen literals;
+    χ² terms micro-quantize to BIGINT before the 9-row total."""
+    from es_ch_sync_spark.operators.analytics import benford_report
+
+    return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@register(
+    "readability_sources",
+    r"""
+    WITH per AS (
+        SELECT source,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> ''))::BIGINT AS w,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS y
+        FROM documents
+    ),
+    agg AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(w)::BIGINT AS sum_words,
+               sum(s)::BIGINT AS sum_sentences,
+               sum(y)::BIGINT AS sum_syllables
+        FROM per GROUP BY 1
+    )
+    SELECT source, n_docs, sum_words, sum_sentences, sum_syllables,
+           round(206.835
+                 - 1.015 * (sum_words::DOUBLE / sum_sentences)
+                 - 84.6 * (sum_syllables::DOUBLE
+                           / (CASE WHEN sum_words > 0 THEN sum_words END)),
+                 6) AS flesch_ease,
+           round(0.39 * (sum_words::DOUBLE / sum_sentences)
+                 + 11.8 * (sum_syllables::DOUBLE
+                           / (CASE WHEN sum_words > 0 THEN sum_words END))
+                 - 15.59, 6) AS fk_grade
+    FROM agg
+    """,
+)
+def q_readability_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + FK grade per source, micro-averaged from
+    pooled integer counts (words / sentence-runs / vowel-group
+    syllables) — the pedagogical-difficulty curation signal next to
+    text_analysis's length/punct gates."""
+    from es_ch_sync_spark.operators.text import readability_by_source
+
+    return readability_by_source(_t(spark, sf_dir, "documents"))

@@ -629,3 +629,113 @@ def test_mann_whitney_hand_computed_with_ties(spark):
     assert got["n_a"] == 4 and got["n_b"] == 3
     assert got["u_stat"] == 4.0
     assert abs(got["rank_biserial"] - (-0.333333)) < 1e-6
+
+
+def test_ks_two_sample_hand_computed(spark):
+    """A=[1,2,2,5], B=[2,3,3]: ECDF gap peaks at v=2 with
+    |3·3 − 4·1| = 5 over n_a·n_b = 12 → D = 5/12 ≈ 0.416667."""
+    from es_ch_sync_spark.operators.analytics import ks_two_sample
+
+    rows = [("A", v) for v in (1.0, 2.0, 2.0, 5.0)] + [
+        ("B", v) for v in (2.0, 3.0, 3.0)
+    ]
+    df = spark.createDataFrame(rows, "arm string, value double")
+    got = ks_two_sample(df, "arm", "value", "A", "B").collect()[0]
+    assert got["n_a"] == 4 and got["n_b"] == 3
+    assert got["d_num"] == 5
+    assert abs(got["d_stat"] - 0.416667) < 1e-6
+
+
+def test_acf_daily_hand_computed_and_gap_correct(spark):
+    """y=[1,2,3,4] on consecutive days: centered c = 4y−10 = [−6,−2,2,6],
+    r₁ = 20/80 = 0.25, r₂ = −24/80 = −0.3.  A missing day drops only the
+    pairs that straddle it (calendar-day alignment, not row position)."""
+    import datetime as dt
+
+    from es_ch_sync_spark.operators.analytics import acf_daily
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [("k", d0 + dt.timedelta(days=i), float(i + 1)) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, day date, y double")
+    got = {r["lag"]: r for r in acf_daily(df, "k", "day", "y", 3).collect()}
+    assert got[1]["n_pairs"] == 3 and abs(got[1]["acf"] - 0.25) < 1e-6
+    assert got[2]["n_pairs"] == 2 and abs(got[2]["acf"] - (-0.3)) < 1e-6
+
+    # drop day 2 (y=3): lag-1 pairs are only (d0,d1) — day alignment
+    gap = spark.createDataFrame(
+        [rows[0], rows[1], rows[3]], "k string, day date, y double"
+    )
+    g1 = {r["lag"]: r for r in acf_daily(gap, "k", "day", "y", 2).collect()}
+    assert g1[1]["n_pairs"] == 1
+    assert g1[2]["n_pairs"] == 1  # (d1, d3)
+
+
+def test_kendall_tau_hand_computed_with_ties(spark):
+    """Series x=[1,1,2,3] vs y=[1,2,2,3] on shared days: S = 4,
+    n1 = n2 = 1 tie pair each, tau_b = 4/√(5·5) = 0.8."""
+    import datetime as dt
+
+    from es_ch_sync_spark.operators.analytics import kendall_tau_pairs
+
+    d0 = dt.date(2024, 1, 1)
+    xs, ys = [1, 1, 2, 3], [1, 2, 2, 3]
+    rows = [("a", d0 + dt.timedelta(days=i), xs[i]) for i in range(4)] + [
+        ("b", d0 + dt.timedelta(days=i), ys[i]) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, y long")
+    got = kendall_tau_pairs(df, "k", "day", "y").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["key_a"] == "a" and r["key_b"] == "b"
+    assert r["s_stat"] == 4
+    assert abs(r["tau_b"] - 0.8) < 1e-6
+
+
+def test_kendall_tau_constant_series_is_null(spark):
+    import datetime as dt
+
+    from es_ch_sync_spark.operators.analytics import kendall_tau_pairs
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [("a", d0 + dt.timedelta(days=i), 7) for i in range(3)] + [
+        ("b", d0 + dt.timedelta(days=i), i) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, y long")
+    r = kendall_tau_pairs(df, "k", "day", "y").collect()[0]
+    assert r["tau_b"] is None and r["s_stat"] == 0
+
+
+def test_benford_uniform_digits_reject(spark):
+    """900 amounts with uniform first digits 1..9 (100 each): Benford
+    expects ~271 ones, so χ² is large; digits absent from the data still
+    appear with n_obs = 0 via the densified grid."""
+    from es_ch_sync_spark.operators.analytics import benford_report
+
+    rows = [(float(d) * 10.0,) for d in range(1, 10) for _ in range(100)]
+    df = spark.createDataFrame(rows, "amt double")
+    got = benford_report(df, "amt").collect()
+    assert [r["digit"] for r in got] == list(range(1, 10))
+    assert all(r["n_obs"] == 100 for r in got)
+    assert got[0]["chisq_total"] > 100.0  # wildly non-Benford
+
+    only1 = benford_report(
+        spark.createDataFrame([(1.5,), (19.0,)], "amt double"), "amt"
+    ).collect()
+    assert {r["digit"]: r["n_obs"] for r in only1}[2] == 0
+
+
+def test_readability_pooled_counts(spark):
+    """'the cat sat. it ran!' → 5 words, 2 sentence runs; syllables are
+    vowel-group runs; pooled per source, never an average of floats."""
+    from es_ch_sync_spark.operators.text import readability_by_source
+
+    df = spark.createDataFrame(
+        [("s1", "the cat sat. it ran!"), ("s1", "a dog")],
+        "source string, text string",
+    )
+    r = readability_by_source(df).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["sum_words"] == 7
+    assert r["sum_sentences"] == 3  # 2 runs + floor(1) for 'a dog'
+    # vowel runs: the(1) cat(1) sat(1) it(1) ran(1) =5; a(1) dog(1) =2
+    assert r["sum_syllables"] == 7
