@@ -1374,7 +1374,11 @@ def ks_two_sample(
         .agg(F.max("_num").alias("d_num"))
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    dd = F.col("d_num").cast("double") / (na * nb)
+    # one-arm / empty pools: D is undefined -> NULL (ANSI-safe, no 0-div)
+    dd = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("d_num").cast("double") / (na * nb),
+    )
     return d.select(
         "n_a",
         "n_b",

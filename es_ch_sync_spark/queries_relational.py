@@ -3204,9 +3204,13 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cum, tot GROUP BY 1, 2
     )
     SELECT n_a, n_b, d_num,
-           round(d_num::DOUBLE / (n_a::DOUBLE * n_b), 6) AS d_stat,
-           round(d_num::DOUBLE / (n_a::DOUBLE * n_b)
-                 * sqrt(n_a::DOUBLE * n_b / (n_a + n_b)), 6) AS ks_scaled
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN round(d_num::DOUBLE / (n_a::DOUBLE * n_b), 6)
+           END AS d_stat,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN round(d_num::DOUBLE / (n_a::DOUBLE * n_b)
+                           * sqrt(n_a::DOUBLE * n_b / (n_a + n_b)), 6)
+           END AS ks_scaled
     FROM d
     """,
 )

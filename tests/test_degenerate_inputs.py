@@ -153,3 +153,57 @@ def test_k_anonymity_empty_when_compliant(spark):
     df = spark.createDataFrame(rows, "q string, s long")
     out = k_anonymity_report(df, ["q"], "s", k=5, l=2)
     assert out.count() == 0
+
+
+def test_stats_family_degenerate(spark):
+    """Empty pools, one-arm-only pools, constant series: every statistic
+    must return an empty frame or NULL, never divide by zero."""
+    import datetime as dt
+
+    from es_ch_sync_spark.operators.analytics import (
+        acf_daily,
+        benford_report,
+        kendall_tau_pairs,
+        ks_two_sample,
+    )
+
+    empty = spark.createDataFrame([], "arm string, value double")
+    assert ks_two_sample(empty, "arm", "value", "A", "B").count() == 0
+
+    one_arm = spark.createDataFrame([("A", 1.0), ("A", 2.0)], "arm string, value double")
+    r = ks_two_sample(one_arm, "arm", "value", "A", "B").collect()[0]
+    assert r["n_b"] == 0 and r["d_stat"] is None  # 0/0 -> NULL, no crash
+
+    d0 = dt.date(2024, 1, 1)
+    const = spark.createDataFrame(
+        [("k", d0 + dt.timedelta(days=i), 5.0) for i in range(4)],
+        "k string, day date, y double",
+    )
+    # constant series: denominator 0 -> acf NULL on every lag
+    assert all(x["acf"] is None for x in acf_daily(const, "k", "day", "y", 2).collect())
+    single = spark.createDataFrame([("k", d0, 1.0)], "k string, day date, y double")
+    assert acf_daily(single, "k", "day", "y", 2).count() == 0  # no lag pairs
+
+    lone = spark.createDataFrame(
+        [("a", d0 + dt.timedelta(days=i), i) for i in range(3)],
+        "k string, day date, y long",
+    )
+    assert kendall_tau_pairs(lone, "k", "day", "y").count() == 0  # one key, no pairs
+
+    no_rows = spark.createDataFrame([], "amt double")
+    grid = benford_report(no_rows, "amt").collect()
+    assert len(grid) == 9 and all(g["n_obs"] == 0 for g in grid)
+    assert all(g["chisq_term"] is None for g in grid)  # N=0 -> NULL terms
+
+
+def test_readability_degenerate(spark):
+    """Whitespace-only and empty docs: zero words must yield NULL scores
+    (never a division by zero) while counts stay exact."""
+    from es_ch_sync_spark.operators.text import readability_by_source
+
+    df = spark.createDataFrame(
+        [("s", ""), ("s", "   ")], "source string, text string"
+    )
+    r = readability_by_source(df).collect()[0]
+    assert r["sum_words"] == 0
+    assert r["flesch_ease"] is None and r["fk_grade"] is None

@@ -953,6 +953,90 @@ def _r7b_sections(spark, docs, replicas, only):
             ).groupBy("norm_n_chars").count().count(),
         )
 
+    if "acf" in only:
+        from es_ch_sync_spark.operators.analytics import acf_daily
+        from es_ch_sync_spark.io.sources import read_parquet_table
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        daily = (
+            ev.crossJoin(reps)
+            .groupBy(
+                F.concat(F.col("user_id"), F.lit("#"), F.col("rep")).alias("u"),
+                F.to_date("ts").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        timed(
+            f"acf_daily x{replicas} (lags 1..7 per user series)",
+            lambda: acf_daily(daily, "u", "day", "c", max_lag=7).count(),
+        )
+    if "kendall" in only:
+        from es_ch_sync_spark.operators.analytics import kendall_tau_pairs
+        from es_ch_sync_spark.io.sources import read_parquet_table
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        # keys = event_type#rep: 5*replicas series -> C(5N,2) pairwise
+        # taus over 30-day series; documents the key-set is the knob
+        daily = (
+            ev.crossJoin(reps)
+            .groupBy(
+                F.concat(F.col("event_type"), F.lit("#"), F.col("rep")).alias(
+                    "k"
+                ),
+                F.to_date("ts").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        timed(
+            f"kendall_tau_pairs x{replicas} (C(5N,2) series pairs)",
+            lambda: kendall_tau_pairs(daily, "k", "day", "c").count(),
+        )
+    if "ks" in only:
+        from es_ch_sync_spark.operators.analytics import ks_two_sample
+        from es_ch_sync_spark.io.sources import read_parquet_table
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        # per-replica micro-jitter inflates the distinct-value table xN
+        # (the operator's only scale-sensitive structure)
+        pool = ev.crossJoin(reps).select(
+            "event_type",
+            (F.col("value") + F.col("rep") * 0.000001).alias("value"),
+        )
+        timed(
+            f"ks_two_sample x{replicas} (distinct values xN)",
+            lambda: ks_two_sample(
+                pool.filter(F.col("value").isNotNull()),
+                "event_type", "value", "view", "purchase",
+            ).count(),
+        )
+    if "benford" in only:
+        from es_ch_sync_spark.operators.analytics import benford_report
+        from es_ch_sync_spark.io.sources import read_parquet_table
+
+        orders = read_parquet_table(spark, SF, "orders")
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        big = orders.crossJoin(reps).select(
+            (F.col("o_totalprice") + F.col("rep")).alias("amt")
+        )
+        timed(
+            f"benford_report x{replicas}",
+            lambda: benford_report(big, "amt").count(),
+        )
+    if "readability" in only:
+        from es_ch_sync_spark.operators.text import readability_by_source
+
+        src_docs = docs.withColumn(
+            "source",
+            F.concat(F.lit("s"), (F.col("doc_id") % 2000).cast("string")),
+        )
+        timed(
+            f"readability_by_source x{replicas} (2000 sources)",
+            lambda: readability_by_source(src_docs).count(),
+        )
+
 
 if __name__ == "__main__":
     main()
