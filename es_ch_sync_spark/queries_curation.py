@@ -890,3 +890,72 @@ def q_k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=8,
         l=6,
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+@register(
+    "t_closeness_audit",
+    """
+    WITH s AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 100) AS BIGINT) AS bin
+        FROM customer
+    ),
+    gdist AS (SELECT bin, count(*)::BIGINT AS cg FROM s GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS nn,
+                   count(DISTINCT bin)::BIGINT AS m FROM s),
+    per AS (
+        SELECT c_nationkey, c_mktsegment, bin, count(*)::BIGINT AS cc
+        FROM s GROUP BY 1, 2, 3
+    ),
+    sizes AS (
+        SELECT c_nationkey, c_mktsegment, sum(cc)::BIGINT AS nc
+        FROM per GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT z.c_nationkey, z.c_mktsegment, g.bin, z.nc, g.cg,
+               coalesce(p.cc, 0)::BIGINT AS cc
+        FROM sizes z CROSS JOIN gdist g
+        LEFT JOIN per p ON p.c_nationkey = z.c_nationkey
+                       AND p.c_mktsegment = z.c_mktsegment
+                       AND p.bin = g.bin
+    ),
+    cum AS (
+        SELECT c_nationkey, c_mktsegment, nc, tot.nn, tot.m,
+               sum(cc * tot.nn - cg * nc) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment ORDER BY bin
+               )::BIGINT AS cum
+        FROM grid, tot
+    ),
+    emd AS (
+        SELECT c_nationkey, c_mktsegment, nc, nn, m,
+               sum(abs(cum))::BIGINT AS emd_num
+        FROM cum GROUP BY c_nationkey, c_mktsegment, nc, nn, m
+    )
+    SELECT c_nationkey, c_mktsegment, nc AS n,
+           round(CASE WHEN m > 1
+                 THEN emd_num::DOUBLE
+                      / (nc::DOUBLE * nn::DOUBLE * (m - 1)::DOUBLE)
+                 ELSE 0.0 END, 6) AS t_emd,
+           (CASE WHEN m > 1
+                 THEN emd_num::DOUBLE
+                      / (nc::DOUBLE * nn::DOUBLE * (m - 1)::DOUBLE)
+                 ELSE 0.0 END) > 0.2 AS violates_t
+    FROM emd
+    """,
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over the (nation, segment) quasi-identifier with
+    account balance as the ordered sensitive attribute — the third leg
+    of the release-privacy triad next to k_anonymity_violations: flags
+    classes whose sensitive DISTRIBUTION diverges from the global one
+    (ordered EMD > t) even when they are k-large and l-diverse.  EMD
+    numerators are exact BIGINTs over the densified class×bin grid."""
+    from es_ch_sync_spark.operators.sampling import t_closeness_report
+
+    return t_closeness_report(
+        read_parquet_table(spark, sf_dir, "customer"),
+        quasi_cols=["c_nationkey", "c_mktsegment"],
+        sensitive_col="c_acctbal",
+        bin_width=100,
+        t_max=0.2,
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -427,3 +427,33 @@ def test_quantile_normalize_guards_high_cardinality_scores(spark):
         max_distinct_values=500,
     )
     assert ok.count() == 500
+
+
+def test_t_closeness_hand_computed(spark):
+    """Two classes with disjoint single-bin distributions against a
+    50/50 global: ordered EMD = |2·4 − 2·2| / (2·4·(2−1)) = 0.5 for
+    both — far over t=0.2; a class that mirrors the global distribution
+    scores exactly 0."""
+    from es_ch_sync_spark.operators.sampling import t_closeness_report
+
+    rows = [("A", 10.0), ("A", 20.0), ("B", 110.0), ("B", 120.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        r["grp"]: r
+        for r in t_closeness_report(
+            df, ["grp"], "v", bin_width=100, t_max=0.2
+        ).collect()
+    }
+    assert abs(got["A"]["t_emd"] - 0.5) < 1e-6 and got["A"]["violates_t"]
+    assert abs(got["B"]["t_emd"] - 0.5) < 1e-6
+
+    mirror = spark.createDataFrame(
+        [("A", 10.0), ("A", 110.0), ("B", 20.0), ("B", 120.0)],
+        "grp string, v double",
+    )
+    m = t_closeness_report(mirror, ["grp"], "v", 100, 0.2).collect()
+    assert all(abs(r["t_emd"]) < 1e-9 and not r["violates_t"] for r in m)
+
+    # single global bin (m = 1): t defined as 0, never 0/0
+    one = spark.createDataFrame([("A", 1.0), ("B", 2.0)], "grp string, v double")
+    assert all(r["t_emd"] == 0.0 for r in t_closeness_report(one, ["grp"], "v").collect())

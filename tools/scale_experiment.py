@@ -1038,5 +1038,23 @@ def _r7b_sections(spark, docs, replicas, only):
         )
 
 
+    if "tclose" in only:
+        from es_ch_sync_spark.operators.sampling import t_closeness_report
+        from es_ch_sync_spark.io.sources import read_parquet_table
+
+        cust = read_parquet_table(spark, SF, "customer")
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        big = cust.crossJoin(reps).select(
+            "c_nationkey", "c_mktsegment",
+            (F.col("c_acctbal") + F.col("rep")).alias("bal"),
+        )
+        timed(
+            f"t_closeness x{replicas} (125 classes, binned)",
+            lambda: t_closeness_report(
+                big, ["c_nationkey", "c_mktsegment"], "bal", 100, 0.2
+            ).count(),
+        )
+
+
 if __name__ == "__main__":
     main()
