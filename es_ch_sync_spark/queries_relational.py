@@ -3428,3 +3428,203 @@ def q_readability_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.text import readability_by_source
 
     return readability_by_source(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ab_cuped_ttest",
+    """
+    WITH vm AS (
+        SELECT user_id,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v,
+               date_trunc('day', ts)::DATE AS day
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    pu AS (
+        SELECT user_id,
+               CASE WHEN substr(md5('cuped:' || user_id), 32, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+                    THEN 'treat' ELSE 'control' END AS arm,
+               sum(CASE WHEN day < DATE '2024-01-16' THEN v ELSE 0 END)
+                   ::BIGINT AS x,
+               sum(CASE WHEN day >= DATE '2024-01-16' THEN v ELSE 0 END)
+                   ::BIGINT AS y
+        FROM vm GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT arm, count(*)::BIGINT AS n,
+               sum(x::DECIMAL(38,0))::DECIMAL(38,0) AS sx,
+               sum(y::DECIMAL(38,0))::DECIMAL(38,0) AS sy,
+               sum(x::DECIMAL(38,0) * y::DECIMAL(38,0))::DECIMAL(38,0) AS sxy,
+               sum(x::DECIMAL(38,0) * x::DECIMAL(38,0))::DECIMAL(38,0) AS sxx,
+               sum(y::DECIMAL(38,0) * y::DECIMAL(38,0))::DECIMAL(38,0) AS syy
+        FROM pu GROUP BY 1
+    ),
+    j AS (
+        SELECT a.n AS na, a.sx::DOUBLE AS sxa, a.sy::DOUBLE AS sya,
+               a.sxy::DOUBLE AS sxya, a.sxx::DOUBLE AS sxxa,
+               a.syy::DOUBLE AS syya,
+               b.n AS nb, b.sx::DOUBLE AS sxb, b.sy::DOUBLE AS syb,
+               b.sxy::DOUBLE AS sxyb, b.sxx::DOUBLE AS sxxb,
+               b.syy::DOUBLE AS syyb
+        FROM (SELECT * FROM per WHERE arm = 'treat') a,
+             (SELECT * FROM per WHERE arm = 'control') b
+    ),
+    th AS (
+        SELECT *,
+               na::DOUBLE + nb AS n, sxa + sxb AS sx, sya + syb AS sy,
+               sxya + sxyb AS sxy, sxxa + sxxb AS sxx
+        FROM j
+    ),
+    th2 AS (
+        SELECT *,
+               CASE WHEN n * sxx - sx * sx > 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    ELSE 0.0 END AS c,
+               sx / n AS xbar
+        FROM th
+    ),
+    adj AS (
+        SELECT *, c * xbar AS d,
+               sya - c * sxa + na * (c * xbar) AS asuma,
+               syya + c*c*sxxa + na*(c*xbar)*(c*xbar) - 2*c*sxya
+                    + 2*(c*xbar)*sya - 2*c*(c*xbar)*sxa AS assqa,
+               syb - c * sxb + nb * (c * xbar) AS asumb,
+               syyb + c*c*sxxb + nb*(c*xbar)*(c*xbar) - 2*c*sxyb
+                    + 2*(c*xbar)*syb - 2*c*(c*xbar)*sxb AS assqb,
+               (syya - sya*sya/na) / (na - 1) AS vra,
+               (syyb - syb*syb/nb) / (nb - 1) AS vrb
+        FROM th2
+    ),
+    fin AS (
+        SELECT *,
+               (assqa - asuma*asuma/na) / (na - 1) AS vca,
+               (assqb - asumb*asumb/nb) / (nb - 1) AS vcb
+        FROM adj
+    )
+    SELECT na AS n_a, nb AS n_b, round(c, 6) AS theta,
+           CASE WHEN vra/na + vrb/nb > 0
+                THEN round((sya/na - syb/nb) / sqrt(vra/na + vrb/nb), 6)
+           END AS t_raw,
+           CASE WHEN vca/na + vcb/nb > 0
+                THEN round((asuma/na - asumb/nb) / sqrt(vca/na + vcb/nb), 6)
+           END AS t_cuped,
+           CASE WHEN vra*(na-1) + vrb*(nb-1) > 0
+                THEN round((vca*(na-1) + vcb*(nb-1))
+                           / (vra*(na-1) + vrb*(nb-1)), 6)
+           END AS var_ratio
+    FROM fin
+    """,
+)
+def q_ab_cuped_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout on user purchase value:
+    pre-period (Jan 1-15) per-user value is the covariate for the
+    post-period (Jan 16-30) metric; arms assigned by md5 parity of the
+    user id (append-stable, the split-assignment convention).  Every
+    float is scalar algebra over exact DECIMAL moment sums."""
+    from es_ch_sync_spark.operators.analytics import ab_cuped
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    vm = (F.col("value").cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    day = F.to_date("ts")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(day < F.lit("2024-01-16"), vm).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(day >= F.lit("2024-01-16"), vm).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))),
+                32,
+                1,
+            ).isin(*list("01234567")),
+            F.lit("treat"),
+        ).otherwise(F.lit("control")),
+    )
+    return ab_cuped(pu, "arm", "x", "y", "treat", "control")
+
+
+@register(
+    "fdr_bh_trends",
+    """
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts)::DATE AS day,
+               count(*)::BIGINT AS y
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.user_id, sign(b.y - a.y)::BIGINT AS sgn
+        FROM daily a JOIN daily b
+          ON a.user_id = b.user_id AND a.day < b.day
+    ),
+    s AS (SELECT user_id, sum(sgn)::BIGINT AS s_stat FROM pairs GROUP BY 1),
+    nd AS (SELECT user_id, count(*)::BIGINT AS n_days FROM daily GROUP BY 1),
+    ties AS (
+        SELECT user_id,
+               sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+        FROM (SELECT user_id, y, count(*)::BIGINT AS t
+              FROM daily GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    z AS (
+        SELECT s.user_id,
+               CASE WHEN nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                         - ties.tie_term > 0 AND s.s_stat != 0
+                    THEN round((s.s_stat::DOUBLE - sign(s.s_stat))
+                               / sqrt((nd.n_days * (nd.n_days - 1)
+                                       * (2 * nd.n_days + 5)
+                                       - ties.tie_term)::DOUBLE / 18.0), 6)
+                    ELSE 0.0 END AS z_score
+        FROM s JOIN nd USING (user_id) JOIN ties USING (user_id)
+    ),
+    p AS (
+        SELECT user_id, z_score,
+               CAST(round(
+                   tt * (0.254829592 + tt * (-0.284496736
+                        + tt * (1.421413741 + tt * (-1.453152027
+                        + tt * 1.061405429))))
+                   * exp(-(px * px)) * 1000000.0) AS BIGINT) AS pm
+        FROM (SELECT user_id, z_score,
+                     abs(z_score) / sqrt(2.0) AS px,
+                     1.0 / (1.0 + 0.3275911 * (abs(z_score) / sqrt(2.0)))
+                         AS tt
+              FROM z)
+    ),
+    ranked AS (
+        SELECT user_id, z_score, pm,
+               row_number() OVER (ORDER BY pm, user_id) AS bh_rank,
+               count(*) OVER () AS m
+        FROM p
+    ),
+    ks AS (
+        SELECT max(CASE WHEN pm * m <= bh_rank * 50000
+                        THEN bh_rank ELSE 0 END) AS kstar
+        FROM ranked
+    )
+    SELECT user_id, z_score, round(pm / 1000000.0, 6) AS p_value, bh_rank,
+           bh_rank <= ks.kstar AS significant
+    FROM ranked, ks
+    """,
+)
+def q_fdr_bh_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over per-user Mann-Kendall daily-activity
+    trends — the multiple-comparisons gate after running thousands of
+    trend tests: flags the BH-significant user set at alpha = 0.05 with a
+    pure-integer step-up decision (p micro-quantized; erfc via the
+    frozen A&S polynomial on both engines)."""
+    from es_ch_sync_spark.operators.analytics import fdr_bh, mann_kendall_sen
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    mk = mann_kendall_sen(daily, "user_id", "day", "y")
+    return fdr_bh(mk, "user_id", "z_score").withColumnRenamed(
+        "rank", "bh_rank"
+    )

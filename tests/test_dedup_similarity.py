@@ -739,3 +739,39 @@ def test_readability_pooled_counts(spark):
     assert r["sum_sentences"] == 3  # 2 runs + floor(1) for 'a dog'
     # vowel runs: the(1) cat(1) sat(1) it(1) ran(1) =5; a(1) dog(1) =2
     assert r["sum_syllables"] == 7
+
+
+def test_ab_cuped_perfect_covariate(spark):
+    """Y = X + arm-effect exactly: theta = 1, the adjusted metric is
+    constant within arms (var_ratio = 0, t_cuped undefined -> NULL),
+    while t_raw = 10/sqrt(50) — CUPED removed ALL covariate variance."""
+    from es_ch_sync_spark.operators.analytics import ab_cuped
+
+    rows = [
+        ("t", 10, 25), ("t", 20, 35),   # y = x + 15
+        ("c", 10, 15), ("c", 20, 25),   # y = x + 5
+    ]
+    df = spark.createDataFrame(rows, "arm string, x long, y long")
+    r = ab_cuped(df, "arm", "x", "y", "t", "c").collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert abs(r["theta"] - 1.0) < 1e-6
+    assert r["var_ratio"] == 0.0
+    assert r["t_cuped"] is None          # within-arm variance fully removed
+    assert abs(r["t_raw"] - round(10 / 50**0.5, 6)) < 1e-6
+
+
+def test_fdr_bh_step_up(spark):
+    """z = [2.576, 2.326, 2.054, 0.1] at alpha=0.05, m=4: BH thresholds
+    flag ranks 1-2 (p(3) = 0.03998 > 3/4·0.05) — the step-up rule, not a
+    per-test Bonferroni."""
+    from es_ch_sync_spark.operators.analytics import fdr_bh
+
+    df = spark.createDataFrame(
+        [("a", 2.576), ("b", 2.326), ("c", 2.054), ("d", 0.1)],
+        "k string, z double",
+    )
+    got = {r["k"]: r for r in fdr_bh(df, "k", "z").collect()}
+    assert got["a"]["significant"] and got["b"]["significant"]
+    assert not got["c"]["significant"] and not got["d"]["significant"]
+    assert got["d"]["rank"] == 4
+    assert abs(got["a"]["p_value"] - 0.009995) < 2e-6  # A&S poly ≤1.5e-7
