@@ -1790,12 +1790,16 @@ def fdr_bh(
         "_key",
         "_z",
         "_pm",
-        F.row_number().over(wr).alias("rank"),
+        F.row_number().over(wr).cast("long").alias("rank"),
         F.count(F.lit(1)).over(wall).alias("_m"),
     )
+    # rank·alpha_m in LONG: row_number is 32-bit and overflows past
+    # rank ≈ 2³¹/alpha_m ≈ 43k tests (found by the ×100 run at 150k)
     kstar = F.max(
-        F.when(F.col("_pm") * F.col("_m") <= F.col("rank") * alpha_m, F.col("rank"))
-        .otherwise(0)
+        F.when(
+            F.col("_pm") * F.col("_m") <= F.col("rank") * F.lit(alpha_m).cast("long"),
+            F.col("rank"),
+        ).otherwise(F.lit(0).cast("long"))
     ).over(wall)
     return ranked.select(
         F.col("_key").alias(key_col),
@@ -1804,3 +1808,107 @@ def fdr_bh(
         "rank",
         (F.col("rank") <= kstar).alias("significant"),
     )
+
+
+def roc_auc_brier(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact distributed ROC-AUC + Brier score for a probabilistic
+    classifier — the evaluation half of the quality-LR gate: AUC is the
+    Mann-Whitney identity AUC = U/(n₊·n₋) [Hanley & McNeil 1982], so it
+    reuses the tie-averaged double-rank machinery over the BOUNDED
+    distinct-score table (scores arrive 6dp-quantized, so ≤10⁶+1
+    distinct values no matter the corpus size — rows are never
+    individually ranked); the Brier score Σ(p−y)² rides as the exact
+    BIGINT Σ(p_m − y·10⁶)² over n·10¹².
+
+    Output: one row (n_pos, n_neg, auc, gini, brier), every statistic a
+    single float expression over exact integers."""
+    pm = F.round(F.col(score_col).cast("double") * 1000000.0).cast("long")
+    y = F.col(label_col).cast("int")
+    base = df.select(pm.alias("_pm"), y.alias("_y"))
+    pv = base.groupBy("_pm").agg(
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("_np_v"),
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("_nn_v"),
+        F.sum(
+            (F.col("_pm") - F.col("_y").cast("long") * 1000000)
+            * (F.col("_pm") - F.col("_y").cast("long") * 1000000)
+        ).cast("decimal(38,0)").alias("_sq"),
+    ).localCheckpoint(eager=True)
+    t_v = (F.col("_np_v") + F.col("_nn_v")).alias("_t")
+    wv = W.orderBy("_pm").rowsBetween(W.unboundedPreceding, -1)
+    ranked = pv.select(
+        "_np_v",
+        "_nn_v",
+        t_v,
+        "_sq",
+        F.coalesce(
+            F.sum(F.col("_np_v") + F.col("_nn_v")).over(wv), F.lit(0)
+        ).alias("_cum_below"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("_np_v") * (2 * F.col("_cum_below") + F.col("_t") + 1)
+        ).alias("_rs2p"),
+        F.sum("_np_v").cast("long").alias("n_pos"),
+        F.sum("_nn_v").cast("long").alias("n_neg"),
+        F.sum("_sq").cast("decimal(38,0)").alias("_sqsum"),
+    )
+    np_, nn_ = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    u2 = F.col("_rs2p") - F.col("n_pos") * (F.col("n_pos") + 1)  # 2·U
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        u2.cast("double") / (2.0 * np_ * nn_),
+    )
+    brier = F.when(
+        F.col("n_pos") + F.col("n_neg") > 0,
+        F.col("_sqsum").cast("double") / ((np_ + nn_) * 1e12),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+        F.round(brier, 6).alias("brier"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: fixed-width
+    probability bins (deterministic — never rank-deciles, whose edges
+    would depend on tie-break order), each reporting its size, mean
+    predicted probability, and observed positive rate; the calibration
+    gap is their difference.  All three ride on exact integer sums
+    (scores 6dp-micro-quantized), one hash aggregate total."""
+    pm = F.round(F.col(score_col).cast("double") * 1000000.0).cast("long")
+    y = F.col(label_col).cast("long")
+    b = F.least(
+        F.floor(pm / (1000000 / n_bins)).cast("int"), F.lit(n_bins - 1)
+    )
+    g = df.select(b.alias("bin"), pm.alias("_pm"), y.alias("_y")).groupBy(
+        "bin"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_pm").cast("long").alias("_spm"),
+        F.sum("_y").cast("long").alias("_sy"),
+    )
+    return g.select(
+        "bin",
+        "n",
+        F.round(F.col("_spm").cast("double") / (F.col("n") * 1000000.0), 6).alias(
+            "mean_pred"
+        ),
+        F.round(F.col("_sy").cast("double") / F.col("n"), 6).alias("frac_pos"),
+        F.round(
+            F.col("_spm").cast("double") / (F.col("n") * 1000000.0)
+            - F.col("_sy").cast("double") / F.col("n"),
+            6,
+        ).alias("gap"),
+    ).orderBy("bin")

@@ -2698,3 +2698,95 @@ def q_dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_multipass(
         _t(spark, sf_dir, "documents"), window=4, threshold=0.75
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "lr_auc_brier",
+    f"""
+    WITH scores AS (
+        SELECT y, p_quality FROM ({_o.quality_lr_sql(iters=3)}) s
+    ),
+    pv AS (
+        SELECT CAST(round(p_quality * 1000000) AS BIGINT) AS pm,
+               sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS np_v,
+               sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS nn_v,
+               sum((CAST(round(p_quality * 1000000) AS BIGINT) - y * 1000000)
+                   * (CAST(round(p_quality * 1000000) AS BIGINT) - y * 1000000))
+                   ::DECIMAL(38,0) AS sq
+        FROM scores GROUP BY 1
+    ),
+    ranked AS (
+        SELECT np_v, nn_v, np_v + nn_v AS t, sq,
+               coalesce(sum(np_v + nn_v) OVER (
+                   ORDER BY pm ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0)::BIGINT AS cum_below
+        FROM pv
+    ),
+    agg AS (
+        SELECT sum(np_v * (2 * cum_below + t + 1))::BIGINT AS rs2p,
+               sum(np_v)::BIGINT AS n_pos, sum(nn_v)::BIGINT AS n_neg,
+               sum(sq)::DECIMAL(38,0) AS sqsum
+        FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round((rs2p - n_pos * (n_pos + 1))::DOUBLE
+                           / (2.0 * n_pos::DOUBLE * n_neg), 6)
+           END AS auc,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round((rs2p - n_pos * (n_pos + 1))::DOUBLE
+                           / (n_pos::DOUBLE * n_neg) - 1.0, 6)
+           END AS gini,
+           CASE WHEN n_pos + n_neg > 0
+                THEN round(sqsum::DOUBLE
+                           / ((n_pos::DOUBLE + n_neg) * 1e12), 6)
+           END AS brier
+    FROM agg
+    """,
+)
+def q_lr_auc_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney identity over the bounded
+    distinct-score table), Gini, and Brier score for the trained LR
+    quality gate — the evaluation step a curation pipeline runs before
+    trusting the filter.  Every statistic is one float expression over
+    exact BIGINT/DECIMAL sums."""
+    from es_ch_sync_spark.operators.analytics import roc_auc_brier
+    from es_ch_sync_spark.operators.text import quality_lr_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)
+    return roc_auc_brier(scored, "y", "p_quality")
+
+
+@register(
+    "lr_calibration",
+    f"""
+    WITH scores AS (
+        SELECT y, p_quality FROM ({_o.quality_lr_sql(iters=3)}) s
+    ),
+    g AS (
+        SELECT least((CAST(round(p_quality * 1000000) AS BIGINT)
+                      // 100000)::INT, 9) AS bin,
+               count(*)::BIGINT AS n,
+               sum(CAST(round(p_quality * 1000000) AS BIGINT))::BIGINT AS spm,
+               sum(y)::BIGINT AS sy
+        FROM scores GROUP BY 1
+    )
+    SELECT bin, n,
+           round(spm::DOUBLE / (n * 1000000.0), 6) AS mean_pred,
+           round(sy::DOUBLE / n, 6) AS frac_pos,
+           round(spm::DOUBLE / (n * 1000000.0) - sy::DOUBLE / n, 6) AS gap
+    FROM g ORDER BY bin
+    """,
+)
+def q_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the LR quality gate: fixed-width
+    probability deciles with mean predicted vs observed positive rate —
+    the calibration check next to lr_auc_brier's discrimination check.
+    Deterministic bin edges (never rank-deciles); exact integer sums."""
+    from es_ch_sync_spark.operators.analytics import calibration_bins
+    from es_ch_sync_spark.operators.text import quality_lr_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)
+    return calibration_bins(scored, "y", "p_quality", n_bins=10)

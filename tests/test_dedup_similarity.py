@@ -775,3 +775,43 @@ def test_fdr_bh_step_up(spark):
     assert not got["c"]["significant"] and not got["d"]["significant"]
     assert got["d"]["rank"] == 4
     assert abs(got["a"]["p_value"] - 0.009995) < 2e-6  # A&S poly ≤1.5e-7
+
+
+def test_roc_auc_brier_hand_computed_with_tie(spark):
+    """pos=[0.9, 0.5], neg=[0.5, 0.1]: tie-averaged ranks give
+    R(pos) = 4 + 2.5, U = 3.5, AUC = 0.875; Brier =
+    (0.01 + 0.25 + 0.25 + 0.01)/4 = 0.13."""
+    from es_ch_sync_spark.operators.analytics import roc_auc_brier
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (1, 0.5), (0, 0.5), (0, 0.1)], "y int, p double"
+    )
+    r = roc_auc_brier(df, "y", "p").collect()[0]
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+    assert abs(r["auc"] - 0.875) < 1e-6
+    assert abs(r["gini"] - 0.75) < 1e-6
+    assert abs(r["brier"] - 0.13) < 1e-6
+
+    # perfect separation -> AUC exactly 1; one-class input -> NULL
+    perfect = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], "y int, p double"
+    )
+    assert roc_auc_brier(perfect, "y", "p").collect()[0]["auc"] == 1.0
+    onec = spark.createDataFrame([(1, 0.9)], "y int, p double")
+    assert roc_auc_brier(onec, "y", "p").collect()[0]["auc"] is None
+
+
+def test_calibration_bins_edges(spark):
+    """p=0.05 (bin 0) and p=0.95 (bin 9); p=1.0 clamps into bin 9 via
+    least() instead of spilling into a phantom bin 10."""
+    from es_ch_sync_spark.operators.analytics import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0, 0.05), (0, 0.05), (1, 0.95), (1, 1.0)], "y int, p double"
+    )
+    got = {r["bin"]: r for r in calibration_bins(df, "y", "p").collect()}
+    assert set(got) == {0, 9}
+    assert got[0]["n"] == 2 and got[0]["frac_pos"] == 0.0
+    assert abs(got[0]["mean_pred"] - 0.05) < 1e-6
+    assert got[9]["n"] == 2 and got[9]["frac_pos"] == 1.0
+    assert abs(got[9]["gap"] - (0.975 - 1.0)) < 1e-6

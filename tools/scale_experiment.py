@@ -1056,5 +1056,84 @@ def _r7b_sections(spark, docs, replicas, only):
         )
 
 
+    if "cuped" in only:
+        from es_ch_sync_spark.operators.analytics import ab_cuped
+        from es_ch_sync_spark.io.sources import read_parquet_table
+
+        ev = read_parquet_table(spark, SF, "events").filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        vm = (F.col("value").cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+        day = F.to_date("ts")
+        pu = (
+            ev.crossJoin(reps)
+            .groupBy(
+                F.concat(F.col("user_id"), F.lit("#"), F.col("rep")).alias("u")
+            )
+            .agg(
+                F.sum(F.when(day < F.lit("2024-01-16"), vm).otherwise(0))
+                .cast("long").alias("x"),
+                F.sum(F.when(day >= F.lit("2024-01-16"), vm).otherwise(0))
+                .cast("long").alias("y"),
+            )
+            .withColumn(
+                "arm",
+                F.when(
+                    F.substring(F.md5(F.concat(F.lit("cuped:"), F.col("u"))), 32, 1)
+                    .isin(*list("01234567")),
+                    F.lit("treat"),
+                ).otherwise(F.lit("control")),
+            )
+        )
+        timed(
+            f"ab_cuped x{replicas} (per-user moments)",
+            lambda: ab_cuped(pu, "arm", "x", "y", "treat", "control").count(),
+        )
+    if "fdr" in only:
+        from es_ch_sync_spark.operators.analytics import fdr_bh, mann_kendall_sen
+        from es_ch_sync_spark.io.sources import read_parquet_table
+
+        ev = read_parquet_table(spark, SF, "events").filter(
+            F.col("user_id").isNotNull()
+        )
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        daily = (
+            ev.crossJoin(reps)
+            .groupBy(
+                F.concat(F.col("user_id"), F.lit("#"), F.col("rep")).alias("u"),
+                F.to_date("ts").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).alias("y"))
+        )
+        mk = mann_kendall_sen(daily, "u", "day", "y")
+        timed(
+            f"fdr_bh x{replicas} (150k-series family)",
+            lambda: fdr_bh(mk, "u", "z_score").filter("significant").count(),
+        )
+
+
+    if "auceval" in only:
+        from es_ch_sync_spark.operators.analytics import (
+            calibration_bins,
+            roc_auc_brier,
+        )
+        from es_ch_sync_spark.operators.text import quality_lr_scores
+
+        scored = quality_lr_scores(
+            docs.withColumn("lang", F.when(F.col("doc_id") % 3 == 0, "en")),
+            label=F.col("lang") == "en",
+            iters=3,
+        )
+        timed(
+            f"roc_auc_brier x{replicas} (LR-scored corpus)",
+            lambda: roc_auc_brier(scored, "y", "p_quality").count(),
+        )
+        timed(
+            f"calibration_bins x{replicas}",
+            lambda: calibration_bins(scored, "y", "p_quality").count(),
+        )
+
+
 if __name__ == "__main__":
     main()
