@@ -1912,3 +1912,120 @@ def calibration_bins(
             6,
         ).alias("gap"),
     ).orderBy("bin")
+
+
+def ab_proportions_ztest(
+    per_unit: DataFrame,
+    arm_col: str,
+    converted_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Two-proportion z-test (pooled standard error) — the conversion-
+    rate A/B readout that completes the family (Welch/CUPED: means;
+    Mann-Whitney/KS: distributions; this: binomial rates).  Four exact
+    BIGINT counts in one hash aggregate; rates, lift, and z are single
+    float expressions over them."""
+    d = per_unit.filter(F.col(arm_col).isin(arm_a, arm_b)).select(
+        F.col(arm_col).alias("_arm"),
+        F.col(converted_col).cast("int").alias("_c"),
+    )
+    agg = d.agg(
+        F.sum(F.when(F.col("_arm") == arm_a, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when((F.col("_arm") == arm_a) & (F.col("_c") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(F.col("_arm") == arm_b, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when((F.col("_arm") == arm_b) & (F.col("_c") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    pa, pb = xa / na, xb / nb
+    pp = (xa + xb) / (na + nb)
+    se2 = pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)
+    z = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (se2 > 0),
+               F.round((pa - pb) / F.sqrt(se2), 6))
+    return agg.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        z.alias("z_score"),
+    )
+
+
+def kaplan_meier(
+    per_unit: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator [Kaplan & Meier 1958] with right
+    censoring — the time-to-churn / retention curve a product pipeline
+    reads next to cohort_retention (which needs fixed cohort windows;
+    KM uses every unit's full observation span and handles censoring
+    correctly).
+
+    S(t) = Π_{s ≤ t, d_s > 0} (1 − d_s/n_s) over distinct event times.
+    Determinism: d_s and the at-risk counts n_s are exact BIGINTs
+    (n_s = N − #{units with duration < s}, one cumulative window over
+    the distinct-duration table); the product is carried as the running
+    BIGINT sum of round(ln((n_s − d_s)/n_s)·10⁶) — the nb_train
+    log-quantization precedent — and exponentiated once per row, so
+    both engines print identical curves.  A time where d_s = n_s drops
+    survival to exactly 0 via a −10¹² micro term (exp underflows to
+    +0.0 on both engines).
+
+    Scale shape: one hash aggregate per unit (upstream), one to the
+    distinct-duration table, one window over it — the curve's length is
+    bounded by distinct durations, never by units."""
+    d = per_unit.select(
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(event_col).cast("int").alias("_e"),
+    )
+    per_t = d.groupBy("_t").agg(
+        F.sum(F.when(F.col("_e") == 1, 1).otherwise(0)).cast("long").alias("d_events"),
+        F.sum(F.when(F.col("_e") == 0, 1).otherwise(0)).cast("long").alias("c_censored"),
+    )
+    wb = W.orderBy("_t").rowsBetween(W.unboundedPreceding, -1)
+    wc = W.orderBy("_t").rowsBetween(W.unboundedPreceding, 0)
+    tot = per_t.agg(F.sum(F.col("d_events") + F.col("c_censored")).alias("_n"))
+    staged = per_t.crossJoin(F.broadcast(tot)).select(
+        "_t",
+        "d_events",
+        "c_censored",
+        (
+            F.col("_n")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(wb), F.lit(0)
+            )
+        ).cast("long").alias("n_risk"),
+    )
+    term = F.when(F.col("d_events") == 0, F.lit(0)).when(
+        F.col("d_events") < F.col("n_risk"),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1000000.0
+        ).cast("long"),
+    ).otherwise(F.lit(-1000000000000))
+    out = staged.select(
+        F.col("_t").alias("t"),
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.sum(term).over(wc).alias("_ls"),
+    )
+    return out.select(
+        "t",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.round(F.exp(F.col("_ls").cast("double") / 1000000.0), 6).alias("survival"),
+    ).orderBy("t")

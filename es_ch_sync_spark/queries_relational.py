@@ -3628,3 +3628,141 @@ def q_fdr_bh_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fdr_bh(mk, "user_id", "z_score").withColumnRenamed(
         "rank", "bh_rank"
     )
+
+
+@register(
+    "ab_conversion_ztest",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               CASE WHEN substr(md5('conv:' || user_id), 32, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+                    THEN 'treat' ELSE 'control' END AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT sum(CASE WHEN arm = 'treat' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN arm = 'treat' AND converted = 1
+                        THEN 1 ELSE 0 END)::BIGINT AS x_a,
+               sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+               sum(CASE WHEN arm = 'control' AND converted = 1
+                        THEN 1 ELSE 0 END)::BIGINT AS x_b
+        FROM pu
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           round(x_a::DOUBLE / n_a, 6) AS rate_a,
+           round(x_b::DOUBLE / n_b, 6) AS rate_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                 AND ((x_a + x_b)::DOUBLE / (n_a + n_b))
+                     * (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b) > 0
+                THEN round((x_a::DOUBLE / n_a - x_b::DOUBLE / n_b)
+                           / sqrt(((x_a + x_b)::DOUBLE / (n_a + n_b))
+                                  * (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b))
+                                  * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z_score
+    FROM agg
+    """,
+)
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion between md5-parity
+    arms — the binomial-rate leg of the A/B readout family.  Four exact
+    counts in one aggregate; rates and z are single float expressions."""
+    from es_ch_sync_spark.operators.analytics import ab_proportions_ztest
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    pu = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("conv:"), F.col("user_id").cast("string"))),
+                32,
+                1,
+            ).isin(*list("01234567")),
+            F.lit("treat"),
+        ).otherwise(F.lit("control")),
+    )
+    return ab_proportions_ztest(pu, "arm", "converted", "treat", "control")
+
+
+@register(
+    "kaplan_meier_conversion",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               min(date_trunc('day', ts)::DATE) AS f,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN date_trunc('day', ts)::DATE END) AS p
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1
+    ),
+    mx AS (SELECT max(date_trunc('day', ts)::DATE) AS m FROM events
+           WHERE user_id IS NOT NULL),
+    du AS (
+        SELECT CASE WHEN p IS NOT NULL
+                    THEN date_diff('day', f, p)
+                    ELSE date_diff('day', f, m) END::BIGINT AS t,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM pu, mx
+    ),
+    per_t AS (
+        SELECT t,
+               sum(CASE WHEN e = 1 THEN 1 ELSE 0 END)::BIGINT AS d_events,
+               sum(CASE WHEN e = 0 THEN 1 ELSE 0 END)::BIGINT AS c_censored
+        FROM du GROUP BY 1
+    ),
+    tot AS (SELECT sum(d_events + c_censored)::BIGINT AS n FROM per_t),
+    staged AS (
+        SELECT t, d_events, c_censored,
+               (tot.n - coalesce(sum(d_events + c_censored) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0))::BIGINT AS n_risk
+        FROM per_t, tot
+    ),
+    terms AS (
+        SELECT *,
+               CASE WHEN d_events = 0 THEN 0
+                    WHEN d_events < n_risk
+                    THEN CAST(round(ln((n_risk - d_events)::DOUBLE
+                                       / n_risk::DOUBLE) * 1000000.0)
+                              AS BIGINT)
+                    ELSE -1000000000000 END AS term
+        FROM staged
+    )
+    SELECT t, n_risk, d_events, c_censored,
+           round(exp((sum(term) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW))::DOUBLE / 1000000.0), 6) AS survival
+    FROM terms ORDER BY t
+    """,
+)
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase: the conversion-lag survival
+    curve (event = first purchase day, right-censored at the corpus
+    horizon for never-purchasers) — the correct-under-censoring
+    companion to funnel_conversion's fixed-window rates.  Survival
+    rides the log-quantized running product, so both engines print the
+    identical curve."""
+    from es_ch_sync_spark.operators.analytics import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.to_date("ts")
+    pu = ev.groupBy("user_id").agg(
+        F.min(day).alias("f"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias("p"),
+    )
+    mx = ev.agg(F.max(day).alias("m"))
+    j = pu.crossJoin(F.broadcast(mx))
+    event = F.col("p").isNotNull().cast("int")
+    dur = F.when(event == 1, F.datediff(F.col("p"), F.col("f"))).otherwise(
+        F.datediff(F.col("m"), F.col("f"))
+    )
+    per_unit = j.select(dur.alias("dur"), event.alias("converted"))
+    return kaplan_meier(per_unit, "dur", "converted")

@@ -815,3 +815,35 @@ def test_calibration_bins_edges(spark):
     assert abs(got[0]["mean_pred"] - 0.05) < 1e-6
     assert got[9]["n"] == 2 and got[9]["frac_pos"] == 1.0
     assert abs(got[9]["gap"] - (0.975 - 1.0)) < 1e-6
+
+
+def test_ab_proportions_ztest_hand_computed(spark):
+    """t: 2/4 vs c: 1/4, pooled 3/8: z = 0.25/sqrt(0.375·0.625·0.5)
+    = 0.730297."""
+    from es_ch_sync_spark.operators.analytics import ab_proportions_ztest
+
+    rows = [("t", 1), ("t", 1), ("t", 0), ("t", 0),
+            ("c", 1), ("c", 0), ("c", 0), ("c", 0)]
+    df = spark.createDataFrame(rows, "arm string, conv int")
+    r = ab_proportions_ztest(df, "arm", "conv", "t", "c").collect()[0]
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (4, 2, 4, 1)
+    assert abs(r["z_score"] - 0.730297) < 1e-6
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """Durations (1,event),(2,censor),(3,event),(3,event),(5,censor):
+    S(1) = 4/5 = 0.8; censoring at 2 leaves S unchanged; S(3) =
+    0.8·(1/3) = 0.266667; a terminal time with d = n drives S to
+    exactly 0.0 (the −10¹² log term)."""
+    from es_ch_sync_spark.operators.analytics import kaplan_meier
+
+    rows = [(1, 1), (2, 0), (3, 1), (3, 1), (5, 0)]
+    df = spark.createDataFrame(rows, "dur long, e int")
+    got = {r["t"]: r for r in kaplan_meier(df, "dur", "e").collect()}
+    assert got[1]["n_risk"] == 5 and abs(got[1]["survival"] - 0.8) < 1e-6
+    assert got[2]["c_censored"] == 1 and abs(got[2]["survival"] - 0.8) < 1e-6
+    assert got[3]["n_risk"] == 3 and abs(got[3]["survival"] - 0.266667) < 1e-6
+    assert got[5]["survival"] == got[3]["survival"]
+
+    allend = spark.createDataFrame([(2, 1), (2, 1)], "dur long, e int")
+    assert kaplan_meier(allend, "dur", "e").collect()[0]["survival"] == 0.0

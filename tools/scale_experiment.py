@@ -1135,5 +1135,58 @@ def _r7b_sections(spark, docs, replicas, only):
         )
 
 
+    if "km" in only:
+        from es_ch_sync_spark.operators.analytics import (
+            ab_proportions_ztest,
+            kaplan_meier,
+        )
+        from es_ch_sync_spark.io.sources import read_parquet_table
+
+        ev = read_parquet_table(spark, SF, "events").filter(
+            F.col("user_id").isNotNull()
+        )
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        day = F.to_date("ts")
+        pu = (
+            ev.crossJoin(reps)
+            .groupBy(
+                F.concat(F.col("user_id"), F.lit("#"), F.col("rep")).alias("u")
+            )
+            .agg(
+                F.min(day).alias("f"),
+                F.min(
+                    F.when(F.col("event_type") == "purchase", day)
+                ).alias("p"),
+                F.max(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).alias("converted"),
+            )
+            .withColumn(
+                "arm",
+                F.when(
+                    F.substring(F.md5(F.concat(F.lit("conv:"), F.col("u"))), 32, 1)
+                    .isin(*list("01234567")),
+                    F.lit("treat"),
+                ).otherwise(F.lit("control")),
+            )
+        )
+        dur = F.when(
+            F.col("p").isNotNull(), F.datediff(F.col("p"), F.col("f"))
+        ).otherwise(F.lit(29))
+        per_unit = pu.select(
+            dur.alias("dur"), F.col("converted").alias("e"), "arm", "converted"
+        )
+        timed(
+            f"kaplan_meier x{replicas} (150k units)",
+            lambda: kaplan_meier(per_unit, "dur", "e").count(),
+        )
+        timed(
+            f"ab_proportions_ztest x{replicas}",
+            lambda: ab_proportions_ztest(
+                per_unit, "arm", "converted", "treat", "control"
+            ).count(),
+        )
+
+
 if __name__ == "__main__":
     main()
