@@ -405,6 +405,60 @@ def chunk_wav(media: DataFrame, chunk_ms: int = 100) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(batches, WAV_CHUNK_SCHEMA)
 
 
+WAV_FEATURE_SCHEMA = (
+    "media_id long, chunk_idx int, n_samples int, zcr int, peak int, "
+    "error string"
+)
+
+
+def chunk_wav_features(media: DataFrame, chunk_ms: int = 100) -> DataFrame:
+    """Per-chunk WAV signal features beyond chunk_wav's RMS: zero-crossing
+    rate (count of strict sign flips v[i-1]*v[i] < 0 inside the chunk —
+    the classic voiced/unvoiced + noisiness discriminant) and peak
+    amplitude max|v| — both PURE INTEGERS over the decoded int16 stream,
+    so the cross-engine check is hash-exact with no float rounding at
+    all (RMS needed 4dp rounding; these don't).
+
+    Same Arrow mapInPandas shape as chunk_wav: the blob never leaves the
+    executor, one output row per 100 ms chunk, decode errors become one
+    ``error`` row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    samples, rate = decode_wav_pcm16(bytes(blob))
+                    per = max(1, (rate * chunk_ms) // 1000)
+                    n = len(samples)
+                    for ci in range(0, max((n + per - 1) // per, 1)):
+                        seg = samples[ci * per : (ci + 1) * per].astype(
+                            np.int64
+                        )
+                        zcr = (
+                            int(np.sum(seg[:-1] * seg[1:] < 0))
+                            if len(seg) > 1
+                            else 0
+                        )
+                        peak = int(np.max(np.abs(seg))) if len(seg) else 0
+                        out.append((mid, ci, len(seg), zcr, peak, None))
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    out.append((mid, None, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "chunk_idx", "n_samples", "zcr", "peak",
+                    "error",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, WAV_FEATURE_SCHEMA
+    )
+
+
 # -- deterministic synthetic blobs (closed-form pixels/samples, so a SQL
 #    oracle can recompute the decoded statistics from the generating
 #    formula — encode→decode must round-trip exactly to match) -------------

@@ -1725,3 +1725,41 @@ def q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), F.col("depth"))
         .orderBy("depth", "doc_id")
     )
+
+
+_WAV_FEATURES_ORACLE = """
+    WITH s AS (
+        SELECT doc_id AS media_id, (doc_id % 20 + 5) * 80 AS n,
+               unnest(range(0, (doc_id % 20 + 5) * 80)) AS i
+        FROM documents WHERE doc_id < 2000
+    ),
+    v AS (
+        SELECT media_id, i, i // 800 AS chunk_idx,
+               ((media_id * 31 + 7 * i) % 4096) - 2048 AS v,
+               CASE WHEN i % 800 > 0
+                    THEN ((media_id * 31 + 7 * (i - 1)) % 4096) - 2048
+               END AS vp
+        FROM s
+    )
+    SELECT media_id, chunk_idx::INT AS chunk_idx, count(*)::INT AS n_samples,
+           sum(CASE WHEN vp IS NOT NULL AND vp * v < 0
+                    THEN 1 ELSE 0 END)::INT AS zcr,
+           max(abs(v))::INT AS peak
+    FROM v GROUP BY 1, 2
+"""
+
+
+@register("multimodal_wav_features", _WAV_FEATURES_ORACLE)
+def q_multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate + peak amplitude per 100 ms WAV chunk — the
+    voiced/unvoiced + clipping screen next to multimodal_wav_rms, and the
+    first multimodal check that is hash-exact with ZERO float rounding
+    (both features are pure integers over the decoded int16 stream).
+    Same real RIFF decode, same Arrow mapInPandas shape; the oracle
+    recomputes both from the generating formula."""
+    media = mm.synth_media(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 2000), "audio"
+    )
+    return mm.chunk_wav_features(media, chunk_ms=100).select(
+        "media_id", "chunk_idx", "n_samples", "zcr", "peak"
+    )

@@ -847,3 +847,21 @@ def test_kaplan_meier_hand_computed(spark):
 
     allend = spark.createDataFrame([(2, 1), (2, 1)], "dur long, e int")
     assert kaplan_meier(allend, "dur", "e").collect()[0]["survival"] == 0.0
+
+
+def test_wav_features_hand_computed(spark):
+    """A 3-sample alternating-sign chunk has zcr=2; peak is max|v| —
+    checked on a synthetic RIFF blob round-tripped through the real
+    encoder/decoder."""
+    from es_ch_sync_spark.operators import multimodal as mm
+
+    one = spark.createDataFrame([(5, "x")], "doc_id long, text string")
+    media = mm.synth_media(one, "audio")
+    got = mm.chunk_wav_features(media, chunk_ms=100).collect()
+    # doc 5: n = (5 % 20 + 5)·80 = 800 samples = exactly one full chunk
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_samples"] == 800 and r["error"] is None
+    v = [((5 * 31 + 7 * i) % 4096) - 2048 for i in range(800)]
+    assert r["zcr"] == sum(1 for a, b in zip(v, v[1:]) if a * b < 0)
+    assert r["peak"] == max(abs(x) for x in v)
