@@ -148,12 +148,36 @@ _DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R7
 _RED_LATEST: tuple[str, ...] = ()
 
 
+# The 38 names that entered round 8 as the LAST never-driver-sampled group
+# (VERDICT r7 directive #1: finishing these completes full-registry driver
+# coverage).  They outrank round-8's newly registered queries in the sample
+# rotation so the milestone closes even though new names joined the fresh
+# group this round.
+_SAMPLE_FIRST = frozenset({
+    "ab_welch_ttest", "rolling_corr_daily", "seasonal_decompose_daily",
+    "url_canonical_groups", "cap_per_domain_kept", "domain_report_top",
+    "ewma_smooth", "peak_concurrency", "csv_source_scan", "orc_source_scan",
+    "streaming_ewma", "streaming_funnel",
+    "tpch_q9_profit", "tpch_q11_important", "tpch_q16_suppcnt",
+    "tpch_q20_promo",
+    "sql_case_agg", "sql_conditional_funcs", "sql_corr_subquery", "sql_cube",
+    "sql_date_funcs", "sql_decile_spend", "sql_exists_subquery",
+    "sql_grouping_sets", "sql_having", "sql_histogram", "sql_in_subquery",
+    "sql_intersect_except", "sql_lateral_topk", "sql_min_per_group_corr",
+    "sql_null_semantics", "sql_order_priority_check",
+    "sql_range_frame_window", "sql_recursive_calendar", "sql_string_funcs",
+    "sql_time_range_window", "sql_union", "sql_window_sampler",
+})
+
+
 def _rotated(names) -> list[str]:
     """Registry order: red-latest rows first, then never-driver-sampled
-    names, then everything else (stable within each group) — pure
-    reordering, the name→query mapping is unchanged."""
+    names (the pre-r8 backlog in _SAMPLE_FIRST ahead of round-8's new
+    registrations), then everything else (stable within each group) —
+    pure reordering, the name→query mapping is unchanged."""
     red = [n for n in names if n in _RED_LATEST]
     fresh = [n for n in names if n not in _DRIVER_SAMPLED]
+    fresh.sort(key=lambda n: n not in _SAMPLE_FIRST)
     seen = [
         n for n in names
         if n in _DRIVER_SAMPLED and n not in _RED_LATEST
