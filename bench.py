@@ -80,6 +80,8 @@ EXTENDED = [
     "mann_kendall_trend",
     "hll_distinct_users",
     "dedup_snm_multipass",
+    "fdr_bh_trends",
+    "t_closeness_audit",
 ]
 
 
