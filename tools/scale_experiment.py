@@ -842,8 +842,106 @@ def main() -> None:
         )
 
     _r7b_sections(spark, docs, replicas, only)
+    _r8c_sections(spark, docs, replicas, only)
 
 
+def _r8c_sections(spark, docs, replicas, only):
+    """Round-8 batch 9: the five r8 registrations without ×N evidence yet
+    (wav features, bounded BFS, 7-day rolling WAU, HLL sketch, JSONL
+    source round-trip)."""
+    from es_ch_sync_spark.io.sources import read_parquet_table
+
+    if "wavscale" in only:
+        from es_ch_sync_spark.operators import multimodal as mm
+
+        # mirror queries.py's per-replica clip census: doc_id % 1e6 < 2000
+        # keeps 2000 clips per replica (the sparse replica-id contract),
+        # so the decoded-sample volume grows linearly with N
+        clips = docs.filter((F.col("doc_id") % 1_000_000) < 2000).select(
+            "doc_id"
+        )
+        media = mm.synth_media(clips, "audio")
+        timed(
+            f"chunk_wav_features x{replicas} ({replicas * 2000} clips)",
+            lambda: mm.chunk_wav_features(media, chunk_ms=100).count(),
+        )
+    if "bfs" in only:
+        from es_ch_sync_spark.operators import dedup as dd
+        from es_ch_sync_spark.operators.graph import bfs_depths
+
+        pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+        pairs = pairs.localCheckpoint(eager=True)  # time BFS, not LSH
+        n_edges = pairs.count()
+        timed(
+            f"bfs_depths x{replicas} ({n_edges} near-dup edges, 5 rounds)",
+            lambda: bfs_depths(pairs, max_depth=5).count(),
+        )
+    if "sliding" in only or "hllscale" in only:
+        ev = read_parquet_table(spark, SF, "events").filter(
+            F.col("user_id").isNotNull()
+        )
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        # user-id remap: same calendar days, N× distinct users — WAU
+        # output stays O(days), distinct-count input grows linearly
+        big = ev.crossJoin(reps).select(
+            (F.col("user_id") + F.col("rep") * 1_000_000_000).alias("user_id"),
+            "ts",
+            "event_type",
+        )
+    if "sliding" in only:
+        ud = big.select("user_id", F.to_date("ts").alias("day")).distinct()
+        expanded = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day_out"),
+        )
+        timed(
+            f"sliding_distinct_wau x{replicas} (explode<=7, exact distinct)",
+            lambda: expanded.groupBy(F.col("day_out").alias("day"))
+            .agg(F.countDistinct("user_id").alias("wau"))
+            .count(),
+        )
+    if "hllscale" in only:
+        from es_ch_sync_spark.operators.sketches import hll_estimate, hll_sketch
+
+        timed(
+            f"hll_distinct x{replicas} (128 regs x event_type)",
+            lambda: hll_estimate(
+                hll_sketch(big, "user_id", ["event_type"]), ["event_type"]
+            ).count(),
+        )
+    if "jsonl" in only:
+        import shutil
+        import tempfile
+
+        from es_ch_sync_spark.io.sources import write_read_jsonl
+
+        # source-format round-trip over ×N_w events (capped at 10 replicas
+        # so the one-time WRITE doesn't dominate the timed READ)
+        n_w = min(replicas, 10)
+        ev = read_parquet_table(spark, SF, "events").select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        reps_w = spark.range(n_w).select(F.col("id").alias("rep"))
+        big_ev = ev.crossJoin(reps_w).select(
+            (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+            "user_id", "ts", "event_type", "value",
+        )
+        t = tempfile.mkdtemp(prefix="scale_jsonl_")
+        back = write_read_jsonl(
+            big_ev, t,
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "event_type string, value double",
+        )
+        timed(
+            f"jsonl_source_scan x{n_w} (PERMISSIVE read + filter)",
+            lambda: back.filter(
+                (F.col("event_type") == "purchase")
+                & F.col("value").isNotNull()
+            ).count(),
+        )
+        shutil.rmtree(t, ignore_errors=True)
 
 
 
