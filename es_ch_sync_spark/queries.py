@@ -142,31 +142,45 @@ _DRIVER_SAMPLED_R7 = frozenset({
 
 _DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R7
 
-# Queries whose LATEST driver row is red for a since-fixed reason and must
-# be re-sampled to flip green.  Empty after r7: the driver's 50-row sample
-# came back 50/50, so no registry name is currently red.
-_RED_LATEST: tuple[str, ...] = ()
-
-
-# The 38 names that entered round 8 as the LAST never-driver-sampled group
-# (VERDICT r7 directive #1: finishing these completes full-registry driver
-# coverage).  They outrank round-8's newly registered queries in the sample
-# rotation so the milestone closes even though new names joined the fresh
-# group this round.
-_SAMPLE_FIRST = frozenset({
-    "ab_welch_ttest", "rolling_corr_daily", "seasonal_decompose_daily",
-    "url_canonical_groups", "cap_per_domain_kept", "domain_report_top",
-    "ewma_smooth", "peak_concurrency", "csv_source_scan", "orc_source_scan",
-    "streaming_ewma", "streaming_funnel",
-    "tpch_q9_profit", "tpch_q11_important", "tpch_q16_suppcnt",
-    "tpch_q20_promo",
-    "sql_case_agg", "sql_conditional_funcs", "sql_corr_subquery", "sql_cube",
+# Round-8 sample (CORRECTNESS_r08.json keys, verbatim — 50/50 green).
+_DRIVER_SAMPLED_R8 = frozenset({
+    "ab_welch_ttest", "cap_per_domain_kept", "chi2_lang_digit",
+    "csv_source_scan", "dedup_snm_multipass", "domain_report_top",
+    "ewma_smooth", "fingerprint_nn_capped", "graph_bfs_depths",
+    "hll_distinct_users", "k_anonymity_violations", "lr_auc_brier",
+    "lr_calibration", "mann_kendall_trend", "mips_topk",
+    "multimodal_wav_features", "orc_source_scan", "peak_concurrency",
+    "rolling_corr_daily", "seasonal_decompose_daily", "sql_case_agg",
+    "sql_conditional_funcs", "sql_corr_subquery", "sql_cube",
     "sql_date_funcs", "sql_decile_spend", "sql_exists_subquery",
     "sql_grouping_sets", "sql_having", "sql_histogram", "sql_in_subquery",
     "sql_intersect_except", "sql_lateral_topk", "sql_min_per_group_corr",
     "sql_null_semantics", "sql_order_priority_check",
     "sql_range_frame_window", "sql_recursive_calendar", "sql_string_funcs",
     "sql_time_range_window", "sql_union", "sql_window_sampler",
+    "streaming_ewma", "streaming_funnel", "t_closeness_audit",
+    "tpch_q11_important", "tpch_q16_suppcnt", "tpch_q20_promo",
+    "tpch_q9_profit", "url_canonical_groups",
+})
+
+_DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R8
+
+# Queries whose LATEST driver row is red for a since-fixed reason and must
+# be re-sampled to flip green.  Empty after r8: the driver's 50-row sample
+# came back 50/50, so no registry name is currently red.
+_RED_LATEST: tuple[str, ...] = ()
+
+
+# The 13 names that entered round 9 as the LAST never-driver-sampled group
+# (VERDICT r8 directive #1: finishing these completes full-registry driver
+# coverage — every one is already green in the builder's sweeps).  They
+# outrank round-9's newly registered queries in the sample rotation so the
+# milestone closes even though new names join the fresh group this round.
+_SAMPLE_FIRST = frozenset({
+    "spearman_daily", "jsonl_source_scan", "ab_mann_whitney",
+    "sliding_distinct_users", "ks_ab_test", "acf_lags", "kendall_tau_daily",
+    "benford_digits", "readability_sources", "ab_cuped_ttest",
+    "fdr_bh_trends", "ab_conversion_ztest", "kaplan_meier_conversion",
 })
 
 
