@@ -128,40 +128,98 @@ def registered_domain_psl(
     honors it; the two-level heuristic in ``registered_domain`` remains
     the dependency-free default.
 
-    PSL semantics implemented: the LONGEST suffix in the table that
-    matches a tail of the host wins, and the registered domain is that
-    suffix plus one preceding label; hosts matching no table entry fall
-    back to the PSL's implicit ``*`` rule (last label is the suffix →
-    registered domain = last two labels, i.e. the base heuristic without
-    its second-level list).
+    PSL semantics implemented (publicsuffix.org/list/ algorithm):
 
-    Plan shape: one LEFT BroadcastHashJoin per candidate tail length
-    (1..max_suffix_labels) against the ~10k-row suffix table — no
-    explode, no shuffle, no window; longest-match resolution is a
-    coalesce over the join results in the same codegen stage."""
+    - plain rule ``co.uk``: the LONGEST matching suffix wins and the
+      registered domain is that suffix plus one preceding label;
+    - wildcard rule ``*.ck``: ``*`` matches exactly one host label, so
+      the rule is a suffix of (1 + literal labels) — ``foo.bar.ck``
+      matches with public suffix ``bar.ck`` → registered domain
+      ``foo.bar.ck``;
+    - exception rule ``!www.ck``: overrides every other match; the
+      public suffix is the rule minus its leftmost label, so the
+      registered domain IS the matched tail (``www.ck`` for both
+      ``www.ck`` and ``foo.www.ck``);
+    - no match → the PSL's implicit ``*`` rule (last label is the
+      suffix → registered domain = last two labels);
+    - a host that IS exactly a (plain or wildcard) public suffix has no
+      registered domain under the strict algorithm; this operator keeps
+      the implicit-rule fallback for such hosts so the column stays
+      total — callers that need strict-null semantics filter on
+      ``host != domain``.
+
+    Comment (``//``) and blank lines from a raw PSL file are ignored.
+
+    Plan shape: per candidate tail length, one LEFT BroadcastHashJoin
+    each against the plain / wildcard-literal / exception slices of the
+    ~10k-row suffix table — no explode, no shuffle, no window;
+    longest-match + exception-precedence resolution is a when-chain over
+    the join results in the same codegen stage."""
     labels = F.split(F.col(host_col), r"\.")
     n = F.size(labels)
+    rules = suffix_df.select(F.col("suffix").cast("string").alias("suffix")).filter(
+        F.col("suffix").isNotNull()
+        & (F.length(F.trim(F.col("suffix"))) > 0)
+        & ~F.col("suffix").startswith("//")
+    )
+    plain = rules.filter(
+        ~F.col("suffix").startswith("*.") & ~F.col("suffix").startswith("!")
+    )
+    wild = rules.filter(F.col("suffix").startswith("*.")).select(
+        F.expr("substring(suffix, 3)").alias("_wlit")
+    )
+    exc = rules.filter(F.col("suffix").startswith("!")).select(
+        F.expr("substring(suffix, 2)").alias("_xlit")
+    )
     out = df
     for i in range(1, max_suffix_labels + 1):
-        # tail of i labels, defined only when ≥1 label precedes it
+        # plain rule of i labels: tail of i labels, ≥1 label preceding it
         tail_i = F.when(
             n >= i + 1, F.concat_ws(".", F.slice(labels, n - i + 1, i))
         )
-        sfx_i = suffix_df.select(F.col("suffix").alias(f"_m{i}"))
+        sfx_i = plain.select(F.col("suffix").alias(f"_m{i}"))
         out = out.withColumn(f"_t{i}", tail_i).join(
             F.broadcast(sfx_i), F.col(f"_t{i}") == F.col(f"_m{i}"), "left"
         )
-    # longest matching suffix wins: take suffix + 1 label; no match →
-    # implicit "*" rule (last two labels)
+        if i >= 2:
+            # wildcard rule of i labels total (* + i-1 literals): the
+            # (i-1)-label tail must equal the literal part AND the host
+            # must still have a label left for the registered domain
+            wtail_i = F.when(
+                n >= i + 1, F.concat_ws(".", F.slice(labels, n - i + 2, i - 1))
+            )
+            wild_i = wild.select(F.col("_wlit").alias(f"_w{i}"))
+            out = out.withColumn(f"_wt{i}", wtail_i).join(
+                F.broadcast(wild_i), F.col(f"_wt{i}") == F.col(f"_w{i}"), "left"
+            )
+        # exception rule of i labels: the host may EQUAL the rule (n >= i)
+        xtail_i = F.when(n >= i, F.concat_ws(".", F.slice(labels, n - i + 1, i)))
+        exc_i = exc.select(F.col("_xlit").alias(f"_x{i}"))
+        out = out.withColumn(f"_xt{i}", xtail_i).join(
+            F.broadcast(exc_i), F.col(f"_xt{i}") == F.col(f"_x{i}"), "left"
+        )
+    # precedence, inner→outer: implicit "*" rule < plain/wildcard by
+    # ascending label count (longest wins) < exception rules (always win)
     dom = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), F.lit(2)))
     for i in range(1, max_suffix_labels + 1):
+        if i >= 2:
+            dom = F.when(
+                F.col(f"_w{i}").isNotNull(),
+                F.concat_ws(".", F.slice(labels, n - i, i + 1)),
+            ).otherwise(dom)
         dom = F.when(
             F.col(f"_m{i}").isNotNull(),
             F.concat_ws(".", F.slice(labels, n - i, i + 1)),
         ).otherwise(dom)
+    for i in range(1, max_suffix_labels + 1):
+        dom = F.when(F.col(f"_x{i}").isNotNull(), F.col(f"_xt{i}")).otherwise(dom)
     out = out.withColumn(out_col, dom)
-    drop = [c for i in range(1, max_suffix_labels + 1) for c in (f"_t{i}", f"_m{i}")]
-    return out.drop(*drop)
+    drop = [
+        c
+        for i in range(1, max_suffix_labels + 1)
+        for c in (f"_t{i}", f"_m{i}", f"_wt{i}", f"_w{i}", f"_xt{i}", f"_x{i}")
+    ]
+    return out.drop(*[c for c in drop if c in out.columns])
 
 
 def domain_of_url(url: Column) -> Column:

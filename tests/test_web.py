@@ -117,3 +117,45 @@ def test_registered_domain_psl_suffix_table(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_registered_domain_psl_wildcard_and_exception(spark):
+    """Full PSL rule semantics (publicsuffix.org algorithm): '*.ck'
+    makes every <label>.ck a public suffix, '!www.ck' overrides it so
+    www.ck is a registrable domain — the real ck/kawasaki.jp shape the
+    plain-suffix path can't express."""
+    from es_ch_sync_spark.operators.web import registered_domain_psl
+
+    suffixes = spark.createDataFrame(
+        [
+            ("ck",), ("*.ck",), ("!www.ck",),
+            ("jp",), ("*.kawasaki.jp",), ("!city.kawasaki.jp",),
+            ("com",),
+            ("// comment line",), ("",),  # raw-PSL-file noise is ignored
+        ],
+        "suffix string",
+    )
+    hosts = spark.createDataFrame(
+        [
+            ("foo.bar.ck",),          # *.ck: suffix bar.ck -> foo.bar.ck
+            ("baz.foo.bar.ck",),      # deeper host, same suffix -> foo.bar.ck
+            ("www.ck",),              # !www.ck wins over *.ck -> www.ck
+            ("foo.www.ck",),          # exception tail match -> www.ck
+            ("x.sub.kawasaki.jp",),   # *.kawasaki.jp -> x.sub.kawasaki.jp
+            ("a.city.kawasaki.jp",),  # !city.kawasaki.jp -> city.kawasaki.jp
+            ("a.b.example.com",),     # plain rule unchanged
+        ],
+        "host string",
+    )
+    out = registered_domain_psl(hosts, "host", suffixes)
+    got = {r["host"]: r["domain"] for r in out.collect()}
+    assert got["foo.bar.ck"] == "foo.bar.ck"
+    assert got["baz.foo.bar.ck"] == "foo.bar.ck"
+    assert got["www.ck"] == "www.ck"
+    assert got["foo.www.ck"] == "www.ck"
+    assert got["x.sub.kawasaki.jp"] == "x.sub.kawasaki.jp"
+    assert got["a.city.kawasaki.jp"] == "city.kawasaki.jp"
+    assert got["a.b.example.com"] == "example.com"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
