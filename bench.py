@@ -160,6 +160,18 @@ def main() -> None:
     if headline_errors:
         payload["incomplete"] = True
     print(json.dumps(payload))
+    # Trailing short line: the driver's capture keeps only the LAST ~2000
+    # chars of stdout (BENCH_r08.json lost the big line's head, including
+    # "value").  This line is short enough to always survive whole and
+    # self-describing enough to stand alone; consumers with the full
+    # stream use the complete line above.
+    print(json.dumps({
+        "metric": "headline_suite_wall_sec",
+        "headline_wall_sec": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "incomplete": bool(headline_errors),
+    }))
 
 
 if __name__ == "__main__":

