@@ -1015,3 +1015,49 @@ def readability_by_source(
         F.round(206.835 - 1.015 * wps - 84.6 * ypw, 6).alias("flesch_ease"),
         F.round(0.39 * wps + 11.8 * ypw - 15.59, 6).alias("fk_grade"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon character entropy in nats [Shannon 1948] — the
+    standard cheap gibberish/repetition quality-filter input next to
+    readability and text_analysis: near-zero entropy flags
+    single-character spam and template padding; implausibly high entropy
+    flags binary-in-text and encryption artifacts.
+
+    Determinism (the nb_train micro-quantized-ln contract): with exact
+    per-(doc, char) BIGINT counts, H = ln(n) − (Σ cnt·ln(cnt))/n is
+    carried as the exact integer n·lnm(n) − Σ cnt·lnm(cnt) over micro-unit
+    lnm(x) = round(ln(x)·1e6), then ONE float division — both engines
+    agree to the printed digit, no float accumulation order anywhere.
+
+    Scale: the char explosion never leaves the map side whole — partial
+    aggregation reduces it to (doc, distinct-char) rows before the one
+    doc-keyed shuffle; the second agg is doc-keyed too, so AQE coalesces
+    them.  Output is one narrow row per non-empty doc."""
+    chars = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("_ch"),
+    ).filter(F.col("_ch") != "")
+    cc = chars.groupBy("_id", "_ch").agg(F.count(F.lit(1)).alias("_cnt"))
+    lnm = F.round(F.log(F.col("_cnt").cast("double")) * 1000000.0, 0).cast("long")
+    agg = cc.groupBy("_id").agg(
+        F.sum("_cnt").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("_cnt") * lnm).cast("long").alias("_slnm"),
+    )
+    ln_n_m = F.round(F.log(F.col("n_chars").cast("double")) * 1000000.0, 0).cast(
+        "long"
+    )
+    ent = (F.col("n_chars") * ln_n_m - F.col("_slnm")).cast("double") / (
+        F.col("n_chars").cast("double") * 1000000.0
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_chars",
+        "n_distinct",
+        F.round(ent, 6).alias("entropy_nats"),
+    )

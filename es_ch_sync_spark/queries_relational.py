@@ -3431,6 +3431,40 @@ def q_readability_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "char_entropy_docs",
+    """
+    WITH cc AS (
+        SELECT doc_id, ch, count(*)::BIGINT AS cnt FROM (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+        ) WHERE ch <> '' GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT doc_id,
+               sum(cnt)::BIGINT AS n_chars,
+               count(*)::BIGINT AS n_distinct,
+               sum(cnt * CAST(round(ln(cnt) * 1000000, 0) AS BIGINT))::BIGINT
+                   AS slnm
+        FROM cc GROUP BY 1
+    )
+    SELECT doc_id, n_chars, n_distinct,
+           round((n_chars * CAST(round(ln(n_chars) * 1000000, 0) AS BIGINT)
+                  - slnm)::DOUBLE / (n_chars::DOUBLE * 1000000), 6)
+               AS entropy_nats
+    FROM agg
+    """,
+)
+def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (nats) — the cheap
+    gibberish/repetition quality signal (r8 judge directive #8): exact
+    integer (doc, char) census, micro-quantized ln fold, one float
+    division at the end.  One doc-keyed shuffle after map-side partials."""
+    from es_ch_sync_spark.operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "ab_cuped_ttest",
     """
     WITH vm AS (

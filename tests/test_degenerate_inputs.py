@@ -196,6 +196,22 @@ def test_stats_family_degenerate(spark):
     assert all(g["chisq_term"] is None for g in grid)  # N=0 -> NULL terms
 
 
+def test_char_entropy_degenerate(spark):
+    """Empty docs drop out (no characters); a constant doc has exactly
+    zero entropy; a uniform two-char doc has ln(2) nats."""
+    import math
+
+    from es_ch_sync_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "aaaa"), (3, "abab")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert 1 not in got
+    assert got[2]["entropy_nats"] == 0.0 and got[2]["n_distinct"] == 1
+    assert abs(got[3]["entropy_nats"] - math.log(2)) < 1e-5
+
+
 def test_mann_whitney_degenerate_pools_emit_zero_rows(spark):
     """Empty or one-arm pools emit ZERO rows — matching the SQL oracle's
     cross join of per-arm subqueries — instead of one NULL/0 row from the
