@@ -94,3 +94,27 @@ def test_bfs_depths_chain_and_min_depth(spark):
     # early termination: a 2-node graph stops after one round
     tiny = spark.createDataFrame([(10, 11)], "id_a long, id_b long")
     assert {r["id"]: r["depth"] for r in bfs_depths(tiny).collect()} == {10: 0, 11: 1}
+
+
+def test_pagerank_fixed_integer_exact(spark):
+    """Hand-computed one-iteration check on the path graph 1—2—3
+    (symmetric edges), unit=1000: r0 = 333 each, base = 50;
+    r1(2) = 50 + 85·(333+333)//100 = 616, r1(1) = r1(3) =
+    50 + 85·(333//2)//100 = 191.  Pure integer ops — the exact values
+    the oracle's unrolled CTE must reproduce."""
+    from es_ch_sync_spark.operators.graph import pagerank_fixed
+
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["rank_m"]
+        for r in pagerank_fixed(
+            edges, iterations=1, unit=1000, damping_num=85, damping_den=100
+        ).collect()
+    }
+    assert got == {1: 191, 2: 616, 3: 191}
+
+    # empty graph: empty result, right schema
+    none = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_fixed(none, iterations=2)
+    assert out.count() == 0 and set(out.columns) == {"id", "rank_m"}
