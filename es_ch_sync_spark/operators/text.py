@@ -1061,3 +1061,216 @@ def char_entropy(
         "n_distinct",
         F.round(ent, 6).alias("entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model tokenizer (SentencePiece flavor, Kudo 2018)
+# ---------------------------------------------------------------------------
+
+# Micro-unit log-prob charged to out-of-vocab pieces inside the Viterbi DP
+# (never wins against any in-vocab path; keeps the fold total over words
+# whose characters fell out of vocabulary between EM rounds).
+UNIGRAM_UNK_M = -1_000_000_000_000
+# Offset that shifts every accumulated score positive before the
+# (score, piece-length) pair is packed into one BIGINT: valid for words up
+# to ~900 all-unknown characters, far beyond any whitespace token.
+_UNI_ENC_OFF = 1_000_000_000_000_000
+# Sentinel for structurally invalid candidates (piece longer than prefix).
+_UNI_NEG_INF = -100_000_000_000_000_000
+
+
+def unigram_viterbi_tokens(
+    word: Column,
+    toks: list[str],
+    logps_m: list[int],
+    max_len: int = 6,
+) -> Column:
+    """Maximum-likelihood segmentation of ``word`` under a unigram piece
+    model [Kudo 2018] → array<string>.  One codegen'd forward fold over
+    character positions (the wordpiece_encode discipline) followed by one
+    backtracking fold; NO UDF, no float anywhere in the DP:
+
+    - the model rides in as a literal map tok → logp_m (micro-unit
+      BIGINT log-probs, the nb_train quantization contract);
+    - each position's best (score, piece-length) pair is packed into a
+      single BIGINT via shiftleft(score + OFF, 3) + len, so the argmax
+      (ties → LONGEST piece) is one integer ``greatest`` — exactly
+      reproducible by the oracle's ``(s + OFF) * 8 + l`` arithmetic;
+    - decode is shiftright/bitwiseAND — pure integer ops both engines.
+    """
+    m = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in toks]),
+        F.array(*[F.lit(int(v)).cast("long") for v in logps_m]),
+    )
+    off = F.lit(_UNI_ENC_OFF).cast("long")
+    unk = F.lit(UNIGRAM_UNK_M).cast("long")
+    neg = F.lit(_UNI_NEG_INF).cast("long")
+
+    def enc_cand(acc, i, l: int):
+        prev = F.element_at(acc["best"], i - F.lit(l) + F.lit(1))
+        cost = F.coalesce(
+            F.try_element_at(m, word.substr(i - F.lit(l) + F.lit(1), F.lit(l))),
+            unk,
+        )
+        return F.when(
+            i >= F.lit(l), F.shiftleft(prev + cost + off, 3) + F.lit(l)
+        ).otherwise(neg)
+
+    def step(acc, i):
+        best_enc = F.greatest(
+            *[enc_cand(acc, i, l) for l in range(1, max_len + 1)]
+        )
+        return F.struct(
+            F.concat(
+                acc["best"], F.array(F.shiftright(best_enc, 3) - off)
+            ).alias("best"),
+            F.concat(
+                acc["bp"], F.array(best_enc.bitwiseAND(F.lit(7)).cast("int"))
+            ).alias("bp"),
+        )
+
+    init = F.struct(
+        F.array(F.lit(0).cast("long")).alias("best"),
+        F.array(F.lit(0).cast("int")).alias("bp"),
+    )
+    dp = F.aggregate(F.sequence(F.lit(1), F.length(word)), init, step)
+
+    def back_step(a, _):
+        l = F.element_at(a["bp"], a["pos"] + F.lit(1))
+        return F.when(a["pos"] <= F.lit(0), a).otherwise(
+            F.struct(
+                a["bp"].alias("bp"),
+                (a["pos"] - l).alias("pos"),
+                F.concat(
+                    a["toks"],
+                    F.array(word.substr(a["pos"] - l + F.lit(1), l)),
+                ).alias("toks"),
+            )
+        )
+
+    back_init = F.struct(
+        dp["bp"].alias("bp"),
+        F.length(word).cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("toks"),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        back_init,
+        back_step,
+        lambda a: F.reverse(a["toks"]),
+    )
+
+
+def _unigram_substring_census(wc: DataFrame, max_len: int) -> DataFrame:
+    """(tok, freq) over every substring occurrence (length 1..max_len,
+    overlaps counted) of the distinct-word table, corpus-weighted — the
+    wordpiece_vocab census, shared seed for the unigram model."""
+    subs = wc.select(
+        F.col("cnt"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.least(F.length("word"), F.lit(max_len))),
+                    lambda l: F.transform(
+                        F.sequence(F.lit(1), F.length("word") - l + 1),
+                        lambda i: F.col("word").substr(i, l),
+                    ),
+                )
+            )
+        ).alias("tok"),
+    )
+    return subs.groupBy("tok").agg(F.sum("cnt").cast("long").alias("freq"))
+
+
+def _unigram_logp(kept: DataFrame, weight_col: str) -> DataFrame:
+    """(tok, <weight>, logp_m): micro-quantized ln(weight / Σ weight) —
+    the ln runs in Spark SQL (nb_train contract), never in Python."""
+    total = kept.agg(F.sum(weight_col)).first()[0]
+    return kept.select(
+        "tok",
+        weight_col,
+        F.round(
+            F.log(F.col(weight_col).cast("double") / F.lit(float(total)))
+            * 1000000.0,
+            0,
+        ).cast("long").alias("logp_m"),
+    )
+
+
+def unigram_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 120,
+    max_len: int = 6,
+    em_rounds: int = 2,
+    seed_multiplier: int = 3,
+) -> DataFrame:
+    """Unigram-LM tokenizer trainer [Kudo 2018] — the third mainstream
+    tokenizer family next to bpe_train and wordpiece_vocab: seed a large
+    candidate inventory from the substring census, then ``em_rounds`` of
+    (Viterbi-segment every distinct word under the current model →
+    corpus-weighted piece usage → prune to the alphabet plus the top
+    ``vocab_size`` multi-char pieces → re-estimate log-probs).  Returns
+    (tok, usage, logp_m).
+
+    Distribution (the bpe_train loop discipline): every heavy step runs
+    on the Heaps-law-bounded (word, cnt) table — the corpus is scanned
+    once, by bpe_word_counts; each EM round is one codegen'd fold over
+    distinct words plus one hash aggregate, with the bounded vocab
+    collected to the driver and re-embedded as a literal map (the
+    wordpiece_encode broadcast-by-construction pattern).  Alphabet
+    pieces carry +1 usage smoothing so no character ever becomes
+    unreachable between rounds."""
+    wc = bpe_word_counts(docs, text_col).localCheckpoint(eager=False)
+    census = _unigram_substring_census(wc, max_len).localCheckpoint(eager=True)
+    chars = census.filter(F.length("tok") == 1)
+    alphabet = chars.select("tok")
+    seed = chars.unionByName(
+        census.filter(F.length("tok") >= 2)
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(seed_multiplier * vocab_size)
+    )
+    vocab = _unigram_logp(seed, "freq").withColumnRenamed("freq", "usage")
+    for _ in range(em_rounds):
+        rows = vocab.select("tok", "logp_m").collect()
+        usage = unigram_usage(
+            wc,
+            [r["tok"] for r in rows],
+            [r["logp_m"] for r in rows],
+            max_len,
+        )
+        kept = (
+            alphabet.join(usage, "tok", "left")
+            .select(
+                "tok",
+                (F.coalesce(F.col("usage"), F.lit(0)) + 1).cast("long").alias(
+                    "usage"
+                ),
+            )
+            .unionByName(
+                usage.filter(F.length("tok") >= 2)
+                .orderBy(F.desc("usage"), F.asc("tok"))
+                .limit(vocab_size)
+            )
+            .localCheckpoint(eager=True)
+        )
+        vocab = _unigram_logp(kept, "usage")
+    return vocab
+
+
+def unigram_usage(
+    wc: DataFrame,
+    toks: list[str],
+    logps_m: list[int],
+    max_len: int = 6,
+) -> DataFrame:
+    """Corpus-weighted piece usage under one Viterbi segmentation pass of
+    the distinct-word table: (tok, usage)."""
+    seg = wc.withColumn(
+        "toks", unigram_viterbi_tokens(F.col("word"), toks, logps_m, max_len)
+    )
+    return (
+        seg.select(F.explode("toks").alias("tok"), "cnt")
+        .groupBy("tok")
+        .agg(F.sum("cnt").cast("long").alias("usage"))
+    )

@@ -2336,7 +2336,7 @@ def _wp_oracle_prefix() -> str:
         WHERE word <> ''
         GROUP BY word
     ),
-    subs AS (
+    subs AS MATERIALIZED (
         SELECT tok, sum(cnt)::BIGINT AS freq FROM (
             SELECT cnt,
                    unnest(flatten(list_transform(
@@ -2790,3 +2790,192 @@ def q_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     scored = quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)
     return calibration_bins(scored, "y", "p_quality", n_bins=10)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer [Kudo 2018] — r8 directive #5
+# ---------------------------------------------------------------------------
+
+_UNI_V, _UNI_MAXLEN, _UNI_ROUNDS, _UNI_SEEDX = 120, 6, 2, 3
+_UNI_UNK = -1_000_000_000_000
+_UNI_OFF = 1_000_000_000_000_000
+_UNI_NEG = -100_000_000_000_000_000
+
+
+def _uni_round_sql(r: int) -> str:
+    """One EM round: Viterbi DP (recursive CTE carrying the growing
+    best/backpointer lists; candidate scores packed as (s+OFF)*8+len so
+    the argmax is one integer ``greatest`` — the engine's shiftleft
+    encoding verbatim), backtracking walk, corpus-weighted usage, then
+    prune (alphabet +1-smoothed ∪ top-V multi-char) and re-estimate."""
+    cands = ", ".join(
+        f"CASE WHEN i + 1 >= {l} THEN "
+        f"(best[i + 2 - {l}] + coalesce("
+        f"map_extract(vm{r}.m, substr(word, i + 2 - {l}, {l}))[1], {_UNI_UNK}"
+        f") + {_UNI_OFF}) * 8 + {l} ELSE {_UNI_NEG} END"
+        for l in range(1, _UNI_MAXLEN + 1)
+    )
+    return f"""
+    , vm{r} AS MATERIALIZED (
+        SELECT map(list(tok ORDER BY tok), list(logp_m ORDER BY tok)) AS m
+        FROM v{r}
+    ),
+    dp{r} AS (
+        SELECT word, cnt, 0 AS i, [0::BIGINT] AS best, [0::BIGINT] AS bp
+        FROM wc
+        UNION ALL
+        SELECT word, cnt, i + 1,
+               list_append(best, e // 8 - {_UNI_OFF}),
+               list_append(bp, e % 8)
+        FROM (
+            SELECT word, cnt, i, best, bp, greatest({cands}) AS e
+            FROM dp{r}, vm{r}
+            WHERE i < length(word)
+        )
+    ),
+    done{r} AS MATERIALIZED (SELECT word, cnt, bp FROM dp{r} WHERE i = length(word)),
+    walk{r} AS (
+        SELECT word, cnt, length(word)::BIGINT AS pos, NULL::VARCHAR AS tok
+        FROM done{r}
+        UNION ALL
+        SELECT word, cnt, pos - l, substr(word, (pos - l + 1)::INT, l::INT)
+        FROM (
+            SELECT w.word, w.cnt, w.pos, d.bp[(w.pos + 1)::INT] AS l
+            FROM walk{r} w JOIN done{r} d ON w.word = d.word
+            WHERE w.pos > 0
+        )
+    ),
+    usage{r} AS MATERIALIZED (
+        SELECT tok, sum(cnt)::BIGINT AS usage
+        FROM walk{r} WHERE tok IS NOT NULL GROUP BY tok
+    ),
+    kept{r + 1} AS MATERIALIZED (
+        SELECT a.tok, (coalesce(u.usage, 0) + 1)::BIGINT AS usage
+        FROM alphabet a LEFT JOIN usage{r} u ON a.tok = u.tok
+        UNION ALL
+        SELECT tok, usage FROM (
+            SELECT tok, usage FROM usage{r} WHERE length(tok) >= 2
+            ORDER BY usage DESC, tok LIMIT {_UNI_V}
+        )
+    ),
+    tot{r + 1} AS MATERIALIZED (SELECT sum(usage)::BIGINT AS total FROM kept{r + 1}),
+    v{r + 1} AS MATERIALIZED (
+        SELECT tok, usage,
+               CAST(round(ln(usage::DOUBLE / (SELECT total FROM tot{r + 1}))
+                          * 1000000, 0) AS BIGINT) AS logp_m
+        FROM kept{r + 1}
+    )"""
+
+
+def _unigram_oracle_prefix(rounds: int) -> str:
+    """Seed inventory (alphabet ∪ top seed-multiplier·V substrings by the
+    overlapping-occurrence census) with ln-quantized probs, then
+    ``rounds`` unrolled EM rounds ending at v{rounds}."""
+    body = "".join(_uni_round_sql(r) for r in range(rounds))
+    return f"""
+    wc AS MATERIALIZED (
+        SELECT word, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    subs AS MATERIALIZED (
+        SELECT tok, sum(cnt)::BIGINT AS freq FROM (
+            SELECT cnt,
+                   unnest(flatten(list_transform(
+                       range(1, least(length(word), {_UNI_MAXLEN}) + 1),
+                       l -> list_transform(range(1, length(word) - l + 2),
+                                           i -> substr(word, i, l))))) AS tok
+            FROM wc
+        ) GROUP BY tok
+    ),
+    alphabet AS MATERIALIZED (SELECT tok FROM subs WHERE length(tok) = 1),
+    seed AS MATERIALIZED (
+        SELECT tok, freq FROM subs WHERE length(tok) = 1
+        UNION ALL
+        SELECT tok, freq FROM (
+            SELECT tok, freq FROM subs WHERE length(tok) >= 2
+            ORDER BY freq DESC, tok LIMIT {_UNI_SEEDX * _UNI_V}
+        )
+    ),
+    tot0 AS MATERIALIZED (SELECT sum(freq)::BIGINT AS total FROM seed),
+    v0 AS MATERIALIZED (
+        SELECT tok, freq AS usage,
+               CAST(round(ln(freq::DOUBLE / (SELECT total FROM tot0))
+                          * 1000000, 0) AS BIGINT) AS logp_m
+        FROM seed
+    )
+    {body}"""
+
+
+@register(
+    "unigram_vocab",
+    "WITH RECURSIVE "
+    + _unigram_oracle_prefix(_UNI_ROUNDS)
+    + f"""
+    SELECT tok, usage, logp_m FROM v{_UNI_ROUNDS}
+    ORDER BY usage DESC, tok LIMIT 40
+    """,
+)
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer vocabulary after 2 EM prune/re-estimate
+    rounds [Kudo 2018] — completes the BPE/WordPiece/Unigram triad.
+    Every EM round is one codegen'd Viterbi fold over the Heaps-bounded
+    distinct-word table (integer-packed (score, len) argmax, micro-
+    quantized ln probs) + one hash aggregate; the oracle re-derives the
+    identical model through unrolled recursive-CTE rounds."""
+    from es_ch_sync_spark.operators.text import unigram_train
+
+    v = unigram_train(
+        _t(spark, sf_dir, "documents"),
+        vocab_size=_UNI_V,
+        max_len=_UNI_MAXLEN,
+        em_rounds=_UNI_ROUNDS,
+        seed_multiplier=_UNI_SEEDX,
+    )
+    return v.orderBy(F.desc("usage"), F.asc("tok")).limit(40)
+
+
+@register(
+    "unigram_token_freqs",
+    "WITH RECURSIVE "
+    + _unigram_oracle_prefix(_UNI_ROUNDS + 1)
+    + f"""
+    SELECT tok, usage AS freq FROM usage{_UNI_ROUNDS}
+    ORDER BY freq DESC, tok LIMIT 50
+    """,
+)
+def q_unigram_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies under the trained unigram model's
+    maximum-likelihood segmentation — encode runs once per DISTINCT word
+    (re-weighted by word count), so corpus-sized work stays in the one
+    word-count scan; the final vocab rides into the fold as a literal
+    map (broadcast-by-construction, the wordpiece_encode pattern)."""
+    from es_ch_sync_spark.operators.text import (
+        bpe_word_counts,
+        unigram_train,
+        unigram_usage,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        docs,
+        vocab_size=_UNI_V,
+        max_len=_UNI_MAXLEN,
+        em_rounds=_UNI_ROUNDS,
+        seed_multiplier=_UNI_SEEDX,
+    )
+    rows = vocab.select("tok", "logp_m").collect()
+    wc = bpe_word_counts(docs).localCheckpoint(eager=False)
+    usage = unigram_usage(
+        wc,
+        [r["tok"] for r in rows],
+        [int(r["logp_m"]) for r in rows],
+        _UNI_MAXLEN,
+    )
+    return (
+        usage.select("tok", F.col("usage").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(50)
+    )

@@ -411,7 +411,7 @@ def test_wordpiece_bpe_encode_fold_not_pushed_below_word_agg(plans):
     aggregate onto every corpus occurrence — measured 30× at ×100.  The
     localCheckpoint barrier pins it; a Filter evaluating aggregate(...) on
     the scan side of the plan means the barrier was lost."""
-    for q in ("wordpiece_token_freqs", "bpe_token_freqs"):
+    for q in ("wordpiece_token_freqs", "bpe_token_freqs", "unigram_token_freqs"):
         p = plans(q)
         # the barrier manifests as a scan of the checkpointed word RDD;
         # a FileScan in the same plan would mean the encode subtree still

@@ -258,3 +258,45 @@ def test_phrase_match_positions_and_overlaps(spark):
     assert post.filter("id = 2").orderBy("pos").collect()[1]["tok"] == "b"
     got = {r["id"]: r["n_matches"] for r in phrase_match(post, ["a", "b", "a"]).collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_unigram_viterbi_is_max_likelihood_not_greedy(spark):
+    """Discriminates Viterbi from longest-match-first: under
+    a=-1, bc=-1, ab=-10, c=-10 the greedy segmentation of 'abc' is
+    [ab, c] (score -20) but the max-likelihood one is [a, bc] (-2).
+    Ties prefer the longer piece (packed (score, len) argmax)."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.text import unigram_viterbi_tokens
+
+    toks = ["a", "b", "c", "ab", "bc"]
+    lps = [-1, -5, -10, -10, -1]
+    df = spark.createDataFrame([("abc",), ("bb",), ("q",)], "w string")
+    got = {
+        r["w"]: r["t"]
+        for r in df.select(
+            "w", unigram_viterbi_tokens(F.col("w"), toks, lps).alias("t")
+        ).collect()
+    }
+    assert got["abc"] == ["a", "bc"]
+    assert got["bb"] == ["b", "b"]
+    assert got["q"] == ["q"]  # out-of-vocab char still segments (UNK cost)
+
+
+def test_unigram_train_keeps_alphabet_and_probabilities_sum(spark):
+    """The trained vocab always contains the corpus's full alphabet
+    (smoothed usage >= 1), every multi-char piece has usage >= 1, and
+    log-probs are negative micro-units."""
+    from es_ch_sync_spark.operators.text import unigram_train
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    v = unigram_train(docs, vocab_size=10, em_rounds=2).collect()
+    toks = {r["tok"] for r in v}
+    for ch in "thecasonm ":
+        if ch.strip():
+            assert ch in toks, ch
+    assert all(r["usage"] >= 1 for r in v)
+    assert all(r["logp_m"] < 0 for r in v)
