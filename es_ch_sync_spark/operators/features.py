@@ -479,9 +479,19 @@ def fingerprint_nearest_neighbor(
     exceeds the cap are dropped from pair generation, bounding candidate
     cost at Σ min(df_fp, cap)² — the registered scale path when a corpus
     shares fingerprint vocabulary pathologically (weights stay normalized
-    over the FULL fingerprint, so surviving-term similarities are
-    unchanged; a doc whose every term is capped simply reports no
-    neighbor, the recall tradeoff stated).  None = exhaustive.
+    over the FULL fingerprint; a pair that loses a shared term to the cap
+    keeps a LOWER sim; a doc whose every term is capped reports no
+    neighbor).  None = exhaustive.
+
+    MEASURED recall tradeoff (tools/fingerprint_recall.py, full table in
+    BENCH.md round-9 batch 1): recall tracks the fraction of the df_fp
+    distribution under the cap — cap ≈ p90(df_fp) retained ~0.7 argmax
+    recall at the ×100 corpus (1024 vs df p90 ≈ 968), while caps below
+    the df floor zero the candidate set (recall 0, no_neighbor → 1).
+    Knob rule: probe the df_fp distribution (one GROUP BY), set the cap
+    ≥ p90(df_fp); if the WHOLE distribution exceeds an affordable cap,
+    fingerprint blocking is the wrong tool — use minhash/simhash or the
+    ANN ladder, which are df-insensitive.
     """
     from es_ch_sync_spark.operators.text import tfidf_top_terms
 
