@@ -62,6 +62,9 @@ HEADLINE = [
     "readability_sources", "t_closeness_audit", "ab_cuped_ttest",
     "fdr_bh_trends", "lr_auc_brier", "kaplan_meier_conversion",
     "ab_conversion_ztest",
+    # round 9
+    "char_entropy_docs", "domain_pagerank", "unigram_vocab",
+    "unigram_token_freqs",
 ]
 
 MARKERS = [

@@ -843,6 +843,72 @@ def main() -> None:
 
     _r7b_sections(spark, docs, replicas, only)
     _r8c_sections(spark, docs, replicas, only)
+    _r9_sections(spark, docs, replicas, only)
+
+
+def _r9_sections(spark, docs, replicas, only):
+    """Round-9 registrations: host PageRank, unigram-LM tokenizer,
+    per-doc char entropy."""
+    if "pagerank" in only:
+        from es_ch_sync_spark.operators import dedup as dd
+        from es_ch_sync_spark.operators.graph import pagerank_fixed
+
+        # ×100 near-dup pair set projected onto a synthetic host axis
+        # (the queries_web host expression widened to the replica id so
+        # the host graph grows with the corpus instead of saturating)
+        pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+        pairs = pairs.localCheckpoint(eager=True)  # time PageRank, not LSH
+        host = "('h' || CAST({c} % 9973 AS STRING))"
+        he = pairs.select(
+            F.expr(host.format(c="id_a")).alias("ha"),
+            F.expr(host.format(c="id_b")).alias("hb"),
+        ).filter(F.col("ha") != F.col("hb"))
+        edges = (
+            he.select(F.col("ha").alias("src"), F.col("hb").alias("dst"))
+            .unionByName(
+                he.select(F.col("hb").alias("src"), F.col("ha").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_edges = edges.count()
+        timed(
+            f"pagerank_fixed x{replicas} ({n_edges} host edges, 3 rounds)",
+            lambda: pagerank_fixed(edges, iterations=3).count(),
+        )
+    if "unigram" in only:
+        from es_ch_sync_spark.operators.text import (
+            bpe_word_counts,
+            unigram_train,
+            unigram_usage,
+        )
+
+        state: dict = {}
+
+        def _train() -> int:
+            state["rows"] = unigram_train(
+                docs, vocab_size=120, em_rounds=2
+            ).collect()
+            return len(state["rows"])
+
+        timed(f"unigram_train x{replicas} (2 EM rounds)", _train)
+        rows = state["rows"]
+        wc = bpe_word_counts(docs).localCheckpoint(eager=False)
+        timed(
+            f"unigram_token_freqs x{replicas} (encode distinct words)",
+            lambda: unigram_usage(
+                wc,
+                [r["tok"] for r in rows],
+                [int(r["logp_m"]) for r in rows],
+            ).count(),
+        )
+    if "entropy" in only:
+        from es_ch_sync_spark.operators.text import char_entropy
+
+        timed(
+            f"char_entropy x{replicas}",
+            lambda: char_entropy(docs).count(),
+        )
 
 
 def _r8c_sections(spark, docs, replicas, only):
