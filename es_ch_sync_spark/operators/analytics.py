@@ -2056,3 +2056,88 @@ def kaplan_meier(
         "c_censored",
         F.round(F.exp(F.col("_ls").cast("double") / 1000000.0), 6).alias("survival"),
     ).orderBy("t")
+
+
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query ranking-quality metrics — MRR, recall@k, nDCG@k
+    [Järvelin & Kekäläinen 2002] — the retrieval leg of the model-eval
+    family (roc_auc_brier scores a classifier; this scores a ranker such
+    as bm25_topk / hybrid_rrf before its output curates training data).
+
+    ``run`` is (query, doc, rank) with rank 1-based within query; ``qrels``
+    is (query, doc, rel) with graded integer relevance ≥ 1.
+
+    Integer discipline: discount weights w(r) = round(1e6 / log2(r+1))
+    are micro-unit BIGINTs over SMALL INTEGER ranks (identical in both
+    engines), so DCG and ideal-DCG are exact integer sums; the reciprocal
+    rank is round(1e6 / first_rel_rank); each final metric is ONE float
+    division of exact integers.  NULL when a query has no relevant docs
+    (0/0 never fabricated).
+
+    Scale: one broadcast-sized join run⋈qrels (both are O(queries·k)),
+    one window over qrels per query for the ideal ordering — nothing here
+    grows with the corpus; corpus-sized work lives in the upstream
+    retriever."""
+    w_of = lambda r: F.round(F.lit(1000000.0) / F.log2(r + F.lit(1.0)), 0).cast(
+        "long"
+    )
+    r = run.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_rk"),
+    ).filter(F.col("_rk") <= k)
+    qr = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rel_col).cast("long").alias("_rel"),
+    ).filter(F.col("_rel") > 0)
+    j = r.join(qr, ["_q", "_d"], "left").select(
+        "_q", "_rk", F.coalesce("_rel", F.lit(0)).alias("_rel")
+    )
+    per = j.groupBy("_q").agg(
+        F.sum(F.col("_rel") * w_of(F.col("_rk"))).cast("long").alias("_dcg_m"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rk"))).alias("_frr"),
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_rel_ret"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_ret"),
+    )
+    wq = W.partitionBy("_q").orderBy(F.desc("_rel"), F.asc("_d"))
+    ideal = (
+        qr.withColumn("_irk", F.row_number().over(wq))
+        .filter(F.col("_irk") <= k)
+        .groupBy("_q")
+        .agg(
+            F.sum(F.col("_rel") * w_of(F.col("_irk"))).cast("long").alias(
+                "_idcg_m"
+            )
+        )
+    )
+    totals = qr.groupBy("_q").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    out = per.join(ideal, "_q", "left").join(totals, "_q", "left")
+    rr_m = F.round(F.lit(1000000.0) / F.col("_frr"), 0).cast("long")
+    return out.select(
+        F.col("_q").alias(query_col),
+        "n_ret",
+        F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+        "n_rel_ret",
+        F.round(rr_m.cast("double") / 1000000.0, 6).alias("mrr"),
+        F.round(
+            F.col("n_rel_ret").cast("double")
+            / F.when(F.col("n_rel") > 0, F.col("n_rel").cast("double")),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.col("_dcg_m").cast("double")
+            / F.when(F.col("_idcg_m") > 0, F.col("_idcg_m").cast("double")),
+            6,
+        ).alias("ndcg_at_k"),
+    )

@@ -14,6 +14,8 @@ normalized text + 61-bit polynomial rolling hash).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1273,4 +1275,71 @@ def unigram_usage(
         seg.select(F.explode("toks").alias("tok"), "cnt")
         .groupBy("tok")
         .agg(F.sum("cnt").cast("long").alias("usage"))
+    )
+
+
+def source_jsd(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source Jensen-Shannon divergence between the source's unigram
+    distribution p and the REST-of-corpus distribution q [Lin 1991] —
+    the symmetric, bounded (≤ ln 2) companion to source_divergence's KL:
+    JSD treats over- and under-representation alike and never saturates,
+    which makes it the mixture-dedup signal (two sources with tiny JSD
+    are distributionally interchangeable).
+
+    Support algebra keeps the join on the SOURCE'S OWN vocabulary: for
+    words outside V_s, m = q/2 exactly, so their total contribution is
+    ln 2 · (1 − Σ_{w∈V_s} q(w)) — one closed-form float term instead of
+    a |sources|·|V| blow-up.  Per-word terms quantize to nano-unit
+    BIGINTs (the source_divergence contract) so the cross-engine sum is
+    order-independent; q-side terms for source-exclusive words (q = 0)
+    are exactly 0.  NULL for a single-source corpus (no rest)."""
+    w = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(words(F.col(text_col))).alias("word"),
+    )
+    sw = w.groupBy("src", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    s_tot = sw.groupBy("src").agg(F.sum("c_sw").alias("c_s"))
+    w_tot = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    n_tot = sw.agg(F.sum("c_sw").alias("c_n"))
+    joined = (
+        sw.join(F.broadcast(s_tot), "src")
+        .join(w_tot, "word")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    p = F.col("c_sw").cast("double") / F.col("c_s").cast("double")
+    rest = (F.col("c_n") - F.col("c_s")).cast("double")
+    # single-source corpus: no rest-distribution — q stays NULL so every
+    # downstream term (and the final guarded jsd) is NULL, never a
+    # NaN-to-BIGINT cast (ANSI) or a fabricated 0
+    q = F.when(
+        rest > 0, (F.col("c_w") - F.col("c_sw")).cast("double") / rest
+    )
+    m = (p + q) / F.lit(2.0)
+    term_p = p * F.log(p / m)
+    term_q = F.when(F.col("c_w") > F.col("c_sw"), q * F.log(q / m)).otherwise(
+        F.lit(0.0)
+    )
+    nano = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")
+    agg = joined.groupBy("src").agg(
+        F.sum(nano(term_p)).alias("_tp"),
+        F.sum(nano(term_q)).alias("_tq"),
+        F.sum(nano(q)).alias("_qs"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.first("c_s").alias("_c_s"),
+        F.first("c_n").alias("_c_n"),
+    )
+    ln2 = float(math.log(2.0))
+    jsd = (
+        F.col("_tp").cast("double")
+        + F.col("_tq").cast("double")
+        + F.lit(ln2) * (F.lit(1e9) - F.col("_qs").cast("double"))
+    ) / F.lit(2e9)
+    return agg.select(
+        F.col("src").alias(source_col),
+        F.when(F.col("_c_n") > F.col("_c_s"), F.round(jsd, 6)).alias("jsd_nats"),
+        "n_words",
     )

@@ -2979,3 +2979,188 @@ def q_unigram_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality eval: MRR / recall@k / nDCG@k over a BM25 run
+# ---------------------------------------------------------------------------
+
+_RANKEVAL_QUERIES: dict[int, list[str]] = {
+    0: ["spark", "merge"],
+    1: ["table", "scan"],
+    2: ["sort", "window"],
+}
+_RANKEVAL_K = 10
+
+
+def _rankeval_oracle() -> str:
+    k = _RANKEVAL_K
+    wcte_body = _o.WORDS_CTE.strip()[len("WITH"):]
+    runs = "\n        UNION ALL\n".join(
+        f"""        SELECT {qid} AS query_id, doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM ( {_o.bm25_topk_sql(terms, k=k)} )"""
+        for qid, terms in _RANKEVAL_QUERIES.items()
+    )
+    qt_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _RANKEVAL_QUERIES.items() for t in ts
+    )
+    all_terms = ", ".join(
+        f"'{t}'"
+        for t in sorted({t for ts in _RANKEVAL_QUERIES.values() for t in ts})
+    )
+    return f"""
+    WITH {wcte_body},
+    run AS (
+{runs}
+    ),
+    qt(query_id, term) AS (VALUES {qt_vals}),
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+        WHERE term IN ({all_terms}) GROUP BY 1, 2
+    ),
+    qrels AS (
+        SELECT qt.query_id, tf.doc_id, count(*)::BIGINT AS rel
+        FROM tf JOIN qt USING (term) WHERE tf.tf >= 2
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel
+        FROM run r LEFT JOIN qrels q
+          ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+        WHERE r.rank <= {k}
+    ),
+    per AS (
+        SELECT query_id,
+               sum(rel * CAST(round(1000000.0 / log2(rank + 1.0), 0)
+                              AS BIGINT))::BIGINT AS dcg_m,
+               min(CASE WHEN rel > 0 THEN rank END) AS frr,
+               sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rel_ret,
+               count(*)::BIGINT AS n_ret
+        FROM j GROUP BY 1
+    ),
+    ideal AS (
+        SELECT query_id,
+               sum(rel * CAST(round(1000000.0 / log2(irk + 1.0), 0)
+                              AS BIGINT))::BIGINT AS idcg_m
+        FROM (
+            SELECT query_id, rel,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY rel DESC, doc_id
+                   ) AS irk
+            FROM qrels
+        ) WHERE irk <= {k} GROUP BY 1
+    ),
+    totals AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qrels GROUP BY 1)
+    SELECT p.query_id, p.n_ret, coalesce(t.n_rel, 0) AS n_rel, p.n_rel_ret,
+           round(CAST(round(1000000.0 / p.frr, 0) AS BIGINT) / 1000000.0, 6)
+               AS mrr,
+           round(p.n_rel_ret::DOUBLE
+                 / (CASE WHEN t.n_rel > 0 THEN t.n_rel::DOUBLE END), 6)
+               AS recall_at_k,
+           round(p.dcg_m::DOUBLE
+                 / (CASE WHEN i.idcg_m > 0 THEN i.idcg_m::DOUBLE END), 6)
+               AS ndcg_at_k
+    FROM per p LEFT JOIN ideal i USING (query_id)
+    LEFT JOIN totals t USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@register("retrieval_ranking_eval", _rankeval_oracle())
+def q_retrieval_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / recall@10 / nDCG@10 of three BM25 runs against graded
+    term-frequency qrels (rel = how many of the query's terms appear ≥2×
+    in the doc) — the ranker-quality leg of the model-eval family:
+    retrieval that curates training data gets scored before its output
+    ships.  Discount weights and reciprocal ranks are micro-unit BIGINTs
+    over small integer ranks; each metric is one float division of exact
+    integers.  All metric work is O(queries·k); corpus-sized work stays
+    in the BM25 scans."""
+    from pyspark.sql import Window
+
+    from es_ch_sync_spark.operators.analytics import ranking_metrics
+    from es_ch_sync_spark.operators.text import bm25_topk, words
+
+    docs = _t(spark, sf_dir, "documents")
+    runs = []
+    for qid, terms in _RANKEVAL_QUERIES.items():
+        topk = bm25_topk(docs, terms, k=_RANKEVAL_K)
+        wq = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        runs.append(
+            topk.select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                F.row_number().over(wq).alias("rank"),
+            )
+        )
+    run = runs[0].unionByName(runs[1]).unionByName(runs[2])
+    all_terms = sorted({t for ts in _RANKEVAL_QUERIES.values() for t in ts})
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in _RANKEVAL_QUERIES.items() for t in ts],
+        "query_id int, term string",
+    )
+    qrels = (
+        tf.filter(F.col("tf") >= 2)
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("rel"))
+    )
+    return ranking_metrics(run, qrels, k=_RANKEVAL_K).orderBy("query_id")
+
+
+@register(
+    "source_jsd",
+    f"""
+    {_o.WORDS_CTE}
+    , tok AS (
+        SELECT source AS src, unnest(ws) AS word FROM (
+            SELECT d.source, w.ws FROM w JOIN documents d USING (doc_id)
+        )
+    ),
+    sw AS (SELECT src, word, count(*)::BIGINT AS c_sw FROM tok GROUP BY 1, 2),
+    s_tot AS (SELECT src, sum(c_sw)::BIGINT AS c_s FROM sw GROUP BY 1),
+    w_tot AS (SELECT word, sum(c_sw)::BIGINT AS c_w FROM sw GROUP BY 1),
+    n_tot AS (SELECT sum(c_sw)::BIGINT AS c_n FROM sw),
+    terms AS (
+        SELECT sw.src, c_s, c_n,
+               floor((c_sw::DOUBLE / c_s)
+                     * ln((c_sw::DOUBLE / c_s)
+                          / (((c_sw::DOUBLE / c_s)
+                              + ((c_w - c_sw)::DOUBLE / (c_n - c_s))) / 2.0))
+                     * 1e9 + 0.5)::BIGINT AS tp,
+               CASE WHEN c_w > c_sw THEN
+                   floor(((c_w - c_sw)::DOUBLE / (c_n - c_s))
+                         * ln(((c_w - c_sw)::DOUBLE / (c_n - c_s))
+                              / (((c_sw::DOUBLE / c_s)
+                                  + ((c_w - c_sw)::DOUBLE / (c_n - c_s))) / 2.0))
+                         * 1e9 + 0.5)::BIGINT
+               ELSE 0 END AS tq,
+               floor(((c_w - c_sw)::DOUBLE / (c_n - c_s)) * 1e9 + 0.5)::BIGINT
+                   AS qn
+        FROM sw JOIN s_tot USING (src) JOIN w_tot USING (word) CROSS JOIN n_tot
+    )
+    SELECT src AS source,
+           CASE WHEN any_value(c_n) > any_value(c_s) THEN
+               round((sum(tp)::DOUBLE + sum(tq)::DOUBLE
+                      + 0.6931471805599453 * (1e9 - sum(qn)::DOUBLE)) / 2e9, 6)
+           END AS jsd_nats,
+           count(*)::BIGINT AS n_words
+    FROM terms GROUP BY src
+    """,
+)
+def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence vs the rest of the corpus —
+    the symmetric bounded mixture-redundancy signal next to
+    source_divergence's KL; closed-form ln2 tail keeps the join on the
+    source's own vocabulary (never |sources|·|V|)."""
+    from es_ch_sync_spark.operators.text import source_jsd
+
+    return source_jsd(_t(spark, sf_dir, "documents"))

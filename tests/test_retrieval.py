@@ -241,3 +241,33 @@ def test_boilerplate_chunks_handchecked(spark):
     assert rows[3]["n_boiler_chunks"] == 0
     assert rows[3]["clean_text"] == "iota kappa lambda mu iota kappa lambda mu"
     assert rows[4]["n_boiler_chunks"] == 0
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """k=3, one query: run = [miss, rel-2 doc, rel-1 doc], qrels has a
+    third relevant doc never retrieved.  MRR = 1/2; recall@3 = 2/3;
+    nDCG = (2·w(2) + 1·w(3)) / (2·w(1) + 1·w(2) + 1·w(3)) with
+    w(r) = round(1e6/log2(r+1)) — integer weights, one float division."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from es_ch_sync_spark.operators.analytics import ranking_metrics
+
+    run = spark.createDataFrame(
+        [(1, "X", 1), (1, "A", 2), (1, "B", 3)],
+        "query_id int, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "A", 2), (1, "B", 1), (1, "C", 1)],
+        "query_id int, doc_id string, rel int",
+    )
+    r = ranking_metrics(run, qrels, k=3).collect()[0]
+    w1, w2, w3 = 1000000, 630930, 500000
+    assert r["n_ret"] == 3 and r["n_rel"] == 3 and r["n_rel_ret"] == 2
+    assert r["mrr"] == 0.5
+    assert r["recall_at_k"] == round(2 / 3, 6)
+    assert r["ndcg_at_k"] == round((2 * w2 + w3) / (2 * w1 + w2 + w3), 6)
+
+    # no relevant docs for the query -> NULL metrics, never 0/0
+    none = spark.createDataFrame([(9, "Z", 5)], "query_id int, doc_id string, rel int")
+    r2 = ranking_metrics(run, none.filter("rel < 0"), k=3).collect()[0]
+    assert r2["mrr"] is None and r2["recall_at_k"] is None and r2["ndcg_at_k"] is None

@@ -300,3 +300,27 @@ def test_unigram_train_keeps_alphabet_and_probabilities_sum(spark):
             assert ch in toks, ch
     assert all(r["usage"] >= 1 for r in v)
     assert all(r["logp_m"] < 0 for r in v)
+
+
+def test_source_jsd_bounds(spark):
+    """Identical distributions -> JSD 0; disjoint vocabularies -> ln 2;
+    single-source corpus -> NULL (no rest-of-corpus)."""
+    import math
+
+    from es_ch_sync_spark.operators.text import source_jsd
+
+    same = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], "source string, text string"
+    )
+    got = {r["source"]: r["jsd_nats"] for r in source_jsd(same).collect()}
+    assert got["a"] == 0.0 and got["b"] == 0.0
+
+    disjoint = spark.createDataFrame(
+        [("a", "x x y"), ("b", "p q q")], "source string, text string"
+    )
+    got = {r["source"]: r["jsd_nats"] for r in source_jsd(disjoint).collect()}
+    assert abs(got["a"] - math.log(2)) < 1e-6
+    assert abs(got["b"] - math.log(2)) < 1e-6
+
+    solo = spark.createDataFrame([("a", "x y")], "source string, text string")
+    assert source_jsd(solo).collect()[0]["jsd_nats"] is None
