@@ -2141,3 +2141,57 @@ def ranking_metrics(
             6,
         ).alias("ndcg_at_k"),
     )
+
+
+def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa between two label columns [Cohen 1960] — the
+    chance-corrected agreement score every labeled-training-data QA pass
+    reports (annotator vs annotator, or declared label vs model
+    prediction).  NULL-labeled rows (abstentions) are excluded.
+
+    Integer discipline: the label×label contingency table is exact
+    BIGINT; with N = total, D = diagonal, RC = Σ_label row·col,
+    kappa = (N·D − RC) / (N² − RC) — products ride as DECIMAL(38,0)
+    (HUGEINT in the oracle) so nothing overflows, and each of po, pe,
+    kappa is ONE float division of exact integers.  NULL when pe = 1
+    (both raters constant — agreement is undefined, never 0/0).
+
+    Scale: one hash aggregate to the bounded label×label table; rows /
+    cols / diagonal all derive from it."""
+    pairs = df.select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b")).filter(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    )
+    ct = (
+        pairs.groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = ct.agg(
+        F.sum("c").cast("decimal(38,0)").alias("_n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("c")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("_d"),
+    )
+    rows = ct.groupBy("_a").agg(F.sum("c").cast("decimal(38,0)").alias("_r"))
+    cols = ct.groupBy("_b").agg(F.sum("c").cast("decimal(38,0)").alias("_cc"))
+    rc = (
+        rows.join(cols, rows["_a"] == cols["_b"])
+        .agg(F.coalesce(F.sum(F.col("_r") * F.col("_cc")), F.lit(0)).cast(
+            "decimal(38,0)"
+        ).alias("_rc"))
+    )
+    out = tot.crossJoin(F.broadcast(rc))
+    n, d, rcv = F.col("_n"), F.col("_d"), F.col("_rc")
+    nn = (n * n).cast("decimal(38,0)")
+    kappa = F.when(
+        nn > rcv,
+        ((n * d).cast("decimal(38,0)") - rcv).cast("double")
+        / (nn - rcv).cast("double"),
+    )
+    return out.filter(n > 0).select(
+        n.cast("long").alias("n"),
+        d.cast("long").alias("n_agree"),
+        F.round(d.cast("double") / n.cast("double"), 6).alias("po"),
+        F.round(rcv.cast("double") / nn.cast("double"), 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -1226,3 +1226,57 @@ def t_closeness_report(
         F.round(t, 6).alias("t_emd"),
         (t > t_max).alias("violates_t"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Per-group counts released through the Laplace mechanism
+    [Dwork et al. 2006]: count + Lap(1/ε) noise for the sensitivity-1
+    COUNT query — the release side of the privacy family (k-anonymity /
+    l-diversity / t-closeness audit the table; this perturbs the
+    aggregate).
+
+    The noise draw here is SEEDED (inverse-CDF over the md5 hash of
+    seed:group — the _hash_bucket uniform), so runs and engines agree
+    exactly and the mechanism is testable cross-engine.  Production DP
+    requires unpredictable randomness: swap the uniform for a true RNG
+    at deployment — the sensitivity analysis, ε knob, and release shape
+    (never the raw count) are what this operator fixes.
+
+    u ∈ [1e-6, 1 − 1e-6] strictly (no ln(0)); noise =
+    −(1/ε)·sign(u−½)·ln(1−2|u−½|); released = round(count + noise, 6).
+    One hash aggregate; the noise is a pure expression over the group
+    key."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed), F.lit(":"), F.col(group_col).cast("string")
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = ((h % 999999) + 1).cast("double") / F.lit(1000000.0)
+    s = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(s)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(s))
+    )
+    return (
+        df.groupBy(F.col(group_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .select(
+            group_col,
+            "true_count",
+            F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        )
+    )

@@ -959,3 +959,91 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=100,
         t_max=0.2,
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Label-agreement QA (Cohen's kappa) + Laplace-mechanism count release
+# ---------------------------------------------------------------------------
+
+@register(
+    "label_agreement_kappa",
+    f"""
+    WITH ta AS ({oracles.text_analysis_sql()}),
+    pairs AS (
+        SELECT d.lang AS a, ta.lang_pred AS b
+        FROM documents d JOIN ta ON d.doc_id = ta.doc_id
+        WHERE d.lang IS NOT NULL AND ta.lang_pred IS NOT NULL
+    ),
+    ct AS (SELECT a, b, count(*)::BIGINT AS c FROM pairs GROUP BY 1, 2),
+    tot AS (
+        SELECT sum(c)::HUGEINT AS n,
+               sum(CASE WHEN a = b THEN c ELSE 0 END)::HUGEINT AS d
+        FROM ct
+    ),
+    r AS (SELECT a, sum(c)::HUGEINT AS rr FROM ct GROUP BY 1),
+    cc AS (SELECT b, sum(c)::HUGEINT AS cv FROM ct GROUP BY 1),
+    rc AS (
+        SELECT coalesce(sum(rr * cv), 0)::HUGEINT AS rc
+        FROM r JOIN cc ON r.a = cc.b
+    )
+    SELECT n::BIGINT AS n, d::BIGINT AS n_agree,
+           round(d::DOUBLE / n::DOUBLE, 6) AS po,
+           round(rc::DOUBLE / (n * n)::DOUBLE, 6) AS pe,
+           round(CASE WHEN n * n > rc
+                      THEN (n * d - rc)::DOUBLE / (n * n - rc)::DOUBLE END, 6)
+               AS kappa
+    FROM tot CROSS JOIN rc WHERE n > 0
+    """,
+)
+def q_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the documents' declared lang label and the
+    stopword-heuristic lang_id prediction — the chance-corrected
+    label-vs-model agreement QA every labeled corpus gets before the
+    labels train anything.  Exact BIGINT contingency, HUGEINT/DECIMAL
+    products, three single float divisions."""
+    from es_ch_sync_spark.operators.analytics import cohen_kappa
+    from es_ch_sync_spark.operators.text import lang_id
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", lang_id(F.col("text")).alias("pred")
+    )
+    return cohen_kappa(docs, "lang", "pred")
+
+
+_DP_HASH_FOLD = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(range(1, 15), j -> "
+    "(strpos('0123456789abcdef', substr(md5('dp:' || event_type), j, 1)) - 1)"
+    "::BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "dp_event_counts",
+    f"""
+    WITH g AS (
+        SELECT event_type, count(*)::BIGINT AS true_count
+        FROM events GROUP BY 1
+    ),
+    u AS (
+        SELECT event_type, true_count,
+               (({_DP_HASH_FOLD}) % 999999 + 1)::DOUBLE / 1000000.0 AS uu
+        FROM g
+    )
+    SELECT event_type, true_count,
+           round(true_count
+                 + (-1.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)),
+                 6) AS noisy_count
+    FROM u
+    """,
+)
+def q_dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism release of per-event-type counts (ε = 1,
+    sensitivity-1 COUNT) — the privacy family's release side next to the
+    k-anonymity/l-diversity/t-closeness audits.  Noise is seeded
+    (md5-uniform inverse CDF) so the mechanism is exactly testable
+    cross-engine; production swaps in a true RNG (docstring contract in
+    operators.sampling.dp_noisy_counts)."""
+    from es_ch_sync_spark.operators.sampling import dp_noisy_counts
+
+    return dp_noisy_counts(_events(spark, sf_dir), "event_type", epsilon=1.0)

@@ -267,3 +267,51 @@ def test_readability_degenerate(spark):
     r = readability_by_source(df).collect()[0]
     assert r["sum_words"] == 0
     assert r["flesch_ease"] is None and r["fk_grade"] is None
+
+
+def test_cohen_kappa_hand_computed(spark):
+    """Textbook 2×2 table (20/5/10/15): po = 0.7, pe = 0.5, kappa = 0.4
+    exactly; constant raters -> pe = 1 -> NULL kappa; NULL labels
+    (abstentions) are excluded from N."""
+    from es_ch_sync_spark.operators.analytics import cohen_kappa
+
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10
+        + [("n", "n")] * 15 + [(None, "y")] * 3
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 50 and r["n_agree"] == 35
+    assert r["po"] == 0.7 and r["pe"] == 0.5 and r["kappa"] == 0.4
+
+    const = spark.createDataFrame([("y", "y")] * 9, "a string, b string")
+    rc = cohen_kappa(const, "a", "b").collect()[0]
+    assert rc["po"] == 1.0 and rc["kappa"] is None  # pe = 1, undefined
+
+    empty = spark.createDataFrame([], "a string, b string")
+    assert cohen_kappa(empty, "a", "b").count() == 0
+
+
+def test_dp_noisy_counts_seeded_and_exact_base(spark):
+    """The seeded Laplace release is deterministic across runs, keeps the
+    exact true_count column, and the noise magnitude is ln-bounded by the
+    uniform's 1e-6 floor (|noise| <= ln(5e5)/eps)."""
+    import math
+
+    from es_ch_sync_spark.operators.sampling import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3, "g string"
+    )
+    r1 = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=1.0).collect()}
+    r2 = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=1.0).collect()}
+    assert r1["a"]["true_count"] == 7 and r1["b"]["true_count"] == 3
+    for g in ("a", "b"):
+        assert r1[g]["noisy_count"] == r2[g]["noisy_count"]  # seeded
+        assert abs(r1[g]["noisy_count"] - r1[g]["true_count"]) <= math.log(5e5)
+    # higher epsilon -> strictly smaller noise magnitude
+    tight = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=10.0).collect()}
+    for g in ("a", "b"):
+        assert abs(tight[g]["noisy_count"] - tight[g]["true_count"]) < abs(
+            r1[g]["noisy_count"] - r1[g]["true_count"]
+        ) + 1e-9
