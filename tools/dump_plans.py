@@ -64,7 +64,8 @@ HEADLINE = [
     "ab_conversion_ztest",
     # round 9
     "char_entropy_docs", "domain_pagerank", "unigram_vocab",
-    "unigram_token_freqs",
+    "unigram_token_freqs", "retrieval_ranking_eval", "source_jsd",
+    "label_agreement_kappa", "dp_event_counts",
 ]
 
 MARKERS = [
