@@ -909,6 +909,84 @@ def _r9_sections(spark, docs, replicas, only):
             f"char_entropy x{replicas}",
             lambda: char_entropy(docs).count(),
         )
+    if "jsd" in only:
+        from es_ch_sync_spark.operators.text import source_jsd
+
+        # synthetic source axis: 2000 sources over the ×N corpus
+        d = docs.withColumn(
+            "source", F.concat(F.lit("s"), (F.col("doc_id") % 2000).cast("string"))
+        )
+        timed(
+            f"source_jsd x{replicas} (2000 sources)",
+            lambda: source_jsd(d).count(),
+        )
+    if "kappa" in only:
+        from es_ch_sync_spark.operators.analytics import cohen_kappa
+        from es_ch_sync_spark.operators.text import lang_id
+
+        d = docs.select(
+            F.concat(F.lit("l"), (F.col("doc_id") % 5).cast("string")).alias(
+                "lang"
+            ),
+            lang_id(F.col("text")).alias("pred"),
+        )
+        timed(
+            f"cohen_kappa x{replicas} (declared vs lang_id over {replicas}00k docs)",
+            lambda: cohen_kappa(d, "lang", "pred").count(),
+        )
+    if "dp" in only:
+        from es_ch_sync_spark.io.sources import read_parquet_table
+        from es_ch_sync_spark.operators.sampling import dp_noisy_counts
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        big = ev.crossJoin(reps).select(
+            F.concat(F.col("event_type"), F.lit("#"), F.col("rep")).alias(
+                "event_type"
+            )
+        )
+        timed(
+            f"dp_noisy_counts x{replicas} ({replicas * 5} released groups)",
+            lambda: dp_noisy_counts(big, "event_type").count(),
+        )
+    if "rankeval" in only:
+        from pyspark.sql import Window as _W
+
+        from es_ch_sync_spark.operators.analytics import ranking_metrics
+        from es_ch_sync_spark.operators.text import bm25_topk, words
+
+        # ×N corpus suffixes every token with the replica id; query one
+        # replica's vocabulary so tf/df stay realistic while the BM25
+        # scans cover the whole corpus
+        qsets = {0: ["sparkx7", "mergex7"], 1: ["tablex7", "scanx7"],
+                 2: ["sortx7", "windowx7"]}
+        runs = []
+        for qid, terms in qsets.items():
+            topk = bm25_topk(docs, terms, k=10)
+            wq = _W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            runs.append(topk.select(
+                F.lit(qid).alias("query_id"), "doc_id",
+                F.row_number().over(wq).alias("rank")))
+        run = runs[0].unionByName(runs[1]).unionByName(runs[2])
+        allt = sorted({t for ts in qsets.values() for t in ts})
+        tf = (
+            docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+            .filter(F.col("term").isin(allt))
+            .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        )
+        qt = spark.createDataFrame(
+            [(q, t) for q, ts in qsets.items() for t in ts],
+            "query_id int, term string",
+        )
+        qrels = (
+            tf.filter(F.col("tf") >= 2).join(F.broadcast(qt), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("rel"))
+        )
+        timed(
+            f"ranking_metrics x{replicas} (3 BM25 runs over the full corpus)",
+            lambda: ranking_metrics(run, qrels, k=10).count(),
+        )
 
 
 def _r8c_sections(spark, docs, replicas, only):
