@@ -543,3 +543,85 @@ def test_txlog_dml_sequences_match_model(spark, tmp_path_factory, ops, data):
         if snap:
             at_v = {r.id: r.x for r in tx.read_table(spark, t, version=v).collect()}
             assert at_v == snap, f"version {v} diverged"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_unigram_viterbi_reconstruction_law(spark, words_in, vocab_in):
+    """For ANY word and ANY vocab, the Viterbi segmentation concatenates
+    back to the word exactly (out-of-vocab pieces ride the UNK cost, so
+    the DP is total) — the invariant that makes token counts meaningful."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.text import unigram_viterbi_tokens
+
+    toks = sorted(set(vocab_in))
+    lps = [-100 * (i + 1) for i in range(len(toks))]
+    df = spark.createDataFrame([(w,) for w in set(words_in)], "w string")
+    out = df.select(
+        "w",
+        F.concat_ws(
+            "", unigram_viterbi_tokens(F.col("w"), toks, lps, max_len=4)
+        ).alias("back"),
+    ).collect()
+    for r in out:
+        assert r["back"] == r["w"], (r["w"], r["back"])
+
+
+def test_pagerank_fixed_mass_bound_and_positivity(spark):
+    """Integer PageRank: every rank positive, and total mass never
+    exceeds the unit (floors only ever drop mass)."""
+    from es_ch_sync_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 7) for i in range(7)] + [(0, 3), (5, 2)],
+        "src long, dst long",
+    ).filter("src <> dst")
+    ranks = pagerank_fixed(edges, iterations=4, unit=1_000_000_000).collect()
+    total = sum(r["rank_m"] for r in ranks)
+    assert all(r["rank_m"] > 0 for r in ranks)
+    assert total <= 1_000_000_000
+
+
+def test_ranking_metrics_bounds(spark):
+    """nDCG, recall, MRR all in (0, 1] whenever a relevant doc is
+    retrieved; never negative."""
+    from es_ch_sync_spark.operators.analytics import ranking_metrics
+
+    run = spark.createDataFrame(
+        [(q, f"d{q}_{r}", r) for q in range(3) for r in range(1, 6)],
+        "query_id int, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(q, f"d{q}_{r}", (r % 3) + 1) for q in range(3) for r in (2, 4, 7)],
+        "query_id int, doc_id string, rel int",
+    )
+    for r in ranking_metrics(run, qrels, k=5).collect():
+        for m in ("mrr", "recall_at_k", "ndcg_at_k"):
+            assert r[m] is None or 0.0 < r[m] <= 1.0, (m, r[m])
+
+
+def test_char_entropy_upper_bound(spark):
+    """H <= ln(n_distinct) (uniform maximizes entropy), with equality on
+    a perfectly uniform doc."""
+    import math
+
+    from es_ch_sync_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "abcd" * 25), (2, "aabbbbcccccccc")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert abs(got[1]["entropy_nats"] - math.log(4)) < 1e-5
+    assert got[2]["entropy_nats"] < math.log(got[2]["n_distinct"])
