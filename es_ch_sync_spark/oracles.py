@@ -18,7 +18,7 @@ NORM = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
 WORDS_CTE = f"""
     WITH n AS (
         SELECT doc_id, text, {NORM.format(col='text')} AS nt FROM documents
-    ), w AS (
+    ), w AS MATERIALIZED (
         SELECT doc_id, text, nt, string_split(nt, ' ') AS ws FROM n
     )
 """
@@ -101,7 +101,7 @@ def _shingles_cte(k: int, src: str = "documents") -> str:
     a CTE instead of the raw table."""
     return f"""
     {WORDS_CTE.replace("FROM documents", f"FROM {src}")}
-    , sh AS (
+    , sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(list_transform(
                    range(1, greatest(len(ws) - {k - 1}, 1) + 1),
@@ -137,11 +137,11 @@ def _minhash_buckets_sql(
         band_keys.append(f"{{'band': {b}, 'key': md5({parts})}}")
     return f"""
     {_shingles_cte(k, src)}
-    , mh AS (
+    , mh AS MATERIALIZED (
         SELECT doc_id, shs,
             {mh_cols}
         FROM sh
-    ), buckets AS (
+    ), buckets AS MATERIALIZED (
         SELECT doc_id, u['band'] AS band, u['key'] AS key FROM (
             SELECT doc_id, unnest([{', '.join(band_keys)}]) AS u FROM mh
         )
@@ -213,8 +213,8 @@ def dedup_clusters_sql(num_hashes: int = 8, bands: int = 4, k: int = 3, threshol
     iterative min-label propagation in operators.dedup.connected_components."""
     pairs = minhash_near_dup_sql(num_hashes, bands, k, threshold)
     return f"""
-    WITH RECURSIVE pairs AS ({pairs}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs}),
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs
@@ -785,9 +785,9 @@ def embedding_near_dup_sql(
     )
     cos = _cosine_sql("sa.embedding", "sb.embedding")
     return f"""
-    WITH sigs AS (
+    WITH sigs AS MATERIALIZED (
         SELECT vec_id, embedding, {sig_terms} AS sig FROM embeddings
-    ), buckets AS (
+    ), buckets AS MATERIALIZED (
         SELECT vec_id, embedding, u['band'] AS band, u['key'] AS key FROM (
             SELECT vec_id, embedding, unnest([{band_rows}]) AS u FROM sigs
         )
@@ -1044,8 +1044,8 @@ def dedup_keep_best_sql(threshold: float = 0.5) -> str:
     pairs = minhash_near_dup_sql(threshold=threshold)
     ta = text_analysis_sql()
     return f"""
-    WITH RECURSIVE pairs AS ({pairs}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs}),
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs
@@ -1055,8 +1055,8 @@ def dedup_keep_best_sql(threshold: float = 0.5) -> str:
         UNION
         SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
     ),
-    clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
-    ta AS ({ta}),
+    clusters AS MATERIALIZED (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+    ta AS MATERIALIZED ({ta}),
     ranked AS (
         SELECT c.cluster_id, c.doc_id, ta.quality,
                row_number() OVER (PARTITION BY c.cluster_id

@@ -1213,7 +1213,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_degrees_oracle(threshold: float = 0.5) -> str:
     pairs = oracles.minhash_near_dup_sql(threshold=threshold)
     return f"""
-    WITH pairs AS ({pairs}),
+    WITH pairs AS MATERIALIZED ({pairs}),
     deg AS (
         SELECT id, count(*) AS degree FROM (
             SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
@@ -1317,7 +1317,7 @@ def _pagerank_oracle(threshold: float = 0.5, iterations: int = 2, damping: float
     iters_sql = ""
     for it in range(1, iterations + 1):
         iters_sql += f"""
-    , p{it} AS (
+    , p{it} AS MATERIALIZED (
         SELECT e.dst AS id,
                round(({1.0 - damping!r} / (SELECT n FROM nn))
                      + {damping!r} * sum(round(p.p / deg.d, 12)::DECIMAL(28,12))::DOUBLE,
@@ -1329,15 +1329,15 @@ def _pagerank_oracle(threshold: float = 0.5, iterations: int = 2, damping: float
     )"""
         prev = f"p{it}"
     return f"""
-    WITH pairs AS ({pairs}),
-    edges AS (
+    WITH pairs AS MATERIALIZED ({pairs}),
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs
     ),
-    deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
-    nn AS (SELECT count(*) AS n FROM deg),
-    p0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS p FROM deg)
+    deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+    p0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS p FROM deg)
     {iters_sql}
     SELECT id AS doc_id, p AS pagerank FROM {prev}
     """
@@ -1461,9 +1461,9 @@ def _dedup_recall_oracle(threshold: float = 0.5) -> str:
     exact = oracles.ngram_jaccard_sql(k=3, threshold=0.0)
     lsh = oracles.minhash_near_dup_sql(threshold=threshold)
     return f"""
-    WITH ex0 AS ({exact}),
-    ex AS (SELECT id_a, id_b FROM ex0 WHERE jaccard >= {threshold}),
-    ap AS ({lsh})
+    WITH ex0 AS MATERIALIZED ({exact}),
+    ex AS MATERIALIZED (SELECT id_a, id_b FROM ex0 WHERE jaccard >= {threshold}),
+    ap AS MATERIALIZED ({lsh})
     SELECT (SELECT count(*) FROM ex) AS n_exact,
            (SELECT count(*) FROM ap JOIN ex USING (id_a, id_b)) AS n_found,
            round((SELECT count(*) FROM ap JOIN ex USING (id_a, id_b))::DOUBLE
@@ -1727,8 +1727,8 @@ def q_es_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bfs_oracle(threshold: float = 0.5, max_depth: int = 5) -> str:
     pairs = oracles.minhash_near_dup_sql(threshold=threshold)
     return f"""
-    WITH RECURSIVE pairs AS ({pairs}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs}),
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs

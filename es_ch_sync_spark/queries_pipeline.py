@@ -2186,9 +2186,9 @@ def _margin_ann_oracle(
     )
     cos = _o._cosine_sql("sa.embedding", "sb.embedding")
     return f"""
-    WITH sigs AS (
+    WITH sigs AS MATERIALIZED (
         SELECT vec_id, embedding, {sig_terms} AS sig FROM embeddings
-    ), buckets AS (
+    ), buckets AS MATERIALIZED (
         SELECT vec_id, embedding, u['band'] AS band, u['key'] AS key FROM (
             SELECT vec_id, embedding, unnest([{band_rows}]) AS u FROM sigs
         )

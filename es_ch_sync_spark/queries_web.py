@@ -225,8 +225,8 @@ def _domain_pagerank_oracle() -> str:
     )"""
         prev = f"r{it}"
     return f"""
-    WITH pairs AS ({pairs}),
-    he AS (
+    WITH pairs AS MATERIALIZED ({pairs}),
+    he AS MATERIALIZED (
         SELECT ha, hb FROM (
             SELECT {host_a} AS ha, {host_b} AS hb FROM pairs
         ) WHERE ha <> hb
