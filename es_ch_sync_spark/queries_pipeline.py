@@ -2995,7 +2995,13 @@ _RANKEVAL_K = 10
 
 def _rankeval_oracle() -> str:
     k = _RANKEVAL_K
-    wcte_body = _o.WORDS_CTE.strip()[len("WITH"):]
+    # own-named words CTEs: the embedded bm25 subqueries carry their own
+    # nested WITH n/w, and DuckDB's binder rejects a MATERIALIZED outer
+    # CTE shadowed by a nested one of the same name
+    norm = _o.NORM.format(col="text")
+    wcte_body = f""" rk_w AS (
+        SELECT doc_id, string_split({norm}, ' ') AS ws FROM documents
+    )"""
     runs = "\n        UNION ALL\n".join(
         f"""        SELECT {qid} AS query_id, doc_id,
                row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
@@ -3015,7 +3021,7 @@ def _rankeval_oracle() -> str:
 {runs}
     ),
     qt(query_id, term) AS (VALUES {qt_vals}),
-    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM rk_w),
     tf AS (
         SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
         WHERE term IN ({all_terms}) GROUP BY 1, 2
