@@ -1505,8 +1505,16 @@ def kendall_tau_pairs(
         F.col(y_col).cast("long").alias("_y"),
     )
     # GUARDED key-count probe: at most max_keys+1 narrow rows move, so an
-    # over-wide key column fails loudly before any pair is formed.
-    n_keys = d.select("_k").distinct().limit(max_keys + 1).count()
+    # over-wide key column fails loudly before any pair is formed.  NULL
+    # keys never pair (the _k < _k join drops NULL comparisons), so they
+    # don't count toward the ceiling.
+    n_keys = (
+        d.filter(F.col("_k").isNotNull())
+        .select("_k")
+        .distinct()
+        .limit(max_keys + 1)
+        .count()
+    )
     if n_keys > max_keys:
         raise ValueError(
             f"kendall_tau_pairs: key column {key_col!r} has more than "
@@ -2080,7 +2088,9 @@ def ranking_metrics(
     engines), so DCG and ideal-DCG are exact integer sums; the reciprocal
     rank is round(1e6 / first_rel_rank); each final metric is ONE float
     division of exact integers.  NULL when a query has no relevant docs
-    (0/0 never fabricated).
+    (0/0 never fabricated); a query WITH relevant docs that retrieves
+    none in the top-k scores mrr = 0.0 and recall = 0.0 (the trec_eval
+    convention — NULL there would silently inflate averaged MRR).
 
     Scale: one broadcast-sized join run⋈qrels (both are O(queries·k)),
     one window over qrels per query for the ideal ordering — nothing here
@@ -2124,12 +2134,16 @@ def ranking_metrics(
     totals = qr.groupBy("_q").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
     out = per.join(ideal, "_q", "left").join(totals, "_q", "left")
     rr_m = F.round(F.lit(1000000.0) / F.col("_frr"), 0).cast("long")
+    mrr = F.when(
+        F.col("n_rel") > 0,
+        F.coalesce(rr_m.cast("double") / 1000000.0, F.lit(0.0)),
+    )
     return out.select(
         F.col("_q").alias(query_col),
         "n_ret",
         F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
         "n_rel_ret",
-        F.round(rr_m.cast("double") / 1000000.0, 6).alias("mrr"),
+        F.round(mrr, 6).alias("mrr"),
         F.round(
             F.col("n_rel_ret").cast("double")
             / F.when(F.col("n_rel") > 0, F.col("n_rel").cast("double")),

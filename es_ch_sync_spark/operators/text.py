@@ -1100,10 +1100,16 @@ def unigram_viterbi_tokens(
       reproducible by the oracle's ``(s + OFF) * 8 + l`` arithmetic;
     - decode is shiftright/bitwiseAND — pure integer ops both engines.
     """
-    m = F.map_from_arrays(
-        F.array(*[F.lit(t) for t in toks]),
-        F.array(*[F.lit(int(v)).cast("long") for v in logps_m]),
-    )
+    if toks:
+        m = F.map_from_arrays(
+            F.array(*[F.lit(t) for t in toks]),
+            F.array(*[F.lit(int(v)).cast("long") for v in logps_m]),
+        )
+    else:
+        # empty model (empty-corpus training): every piece is UNK-costed
+        m = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<long>")
+        )
     off = F.lit(_UNI_ENC_OFF).cast("long")
     unk = F.lit(UNIGRAM_UNK_M).cast("long")
     neg = F.lit(_UNI_NEG_INF).cast("long")
@@ -1188,6 +1194,12 @@ def _unigram_logp(kept: DataFrame, weight_col: str) -> DataFrame:
     """(tok, <weight>, logp_m): micro-quantized ln(weight / Σ weight) —
     the ln runs in Spark SQL (nb_train contract), never in Python."""
     total = kept.agg(F.sum(weight_col)).first()[0]
+    if total is None:
+        # empty corpus: zero-row model with the right schema — the
+        # oracle's unrolled CTE chain likewise yields no rows
+        return kept.select(
+            "tok", weight_col, F.lit(None).cast("long").alias("logp_m")
+        )
     return kept.select(
         "tok",
         weight_col,
@@ -1206,6 +1218,7 @@ def unigram_train(
     max_len: int = 6,
     em_rounds: int = 2,
     seed_multiplier: int = 3,
+    wc: DataFrame | None = None,
 ) -> DataFrame:
     """Unigram-LM tokenizer trainer [Kudo 2018] — the third mainstream
     tokenizer family next to bpe_train and wordpiece_vocab: seed a large
@@ -1222,8 +1235,11 @@ def unigram_train(
     collected to the driver and re-embedded as a literal map (the
     wordpiece_encode broadcast-by-construction pattern).  Alphabet
     pieces carry +1 usage smoothing so no character ever becomes
-    unreachable between rounds."""
-    wc = bpe_word_counts(docs, text_col).localCheckpoint(eager=False)
+    unreachable between rounds.  Pass a precomputed ``wc`` (the
+    checkpointed (word, cnt) table) to share the one corpus scan with a
+    downstream encode pass."""
+    if wc is None:
+        wc = bpe_word_counts(docs, text_col).localCheckpoint(eager=False)
     census = _unigram_substring_census(wc, max_len).localCheckpoint(eager=True)
     chars = census.filter(F.length("tok") == 1)
     alphabet = chars.select("tok")

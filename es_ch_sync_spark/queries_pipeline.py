@@ -2797,9 +2797,13 @@ def q_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _UNI_V, _UNI_MAXLEN, _UNI_ROUNDS, _UNI_SEEDX = 120, 6, 2, 3
-_UNI_UNK = -1_000_000_000_000
-_UNI_OFF = 1_000_000_000_000_000
-_UNI_NEG = -100_000_000_000_000_000
+# the ORACLE's packing constants are the ENGINE's, imported — retuning
+# text.py can never silently drift the cross-engine arithmetic
+from es_ch_sync_spark.operators.text import (  # noqa: E402
+    UNIGRAM_UNK_M as _UNI_UNK,
+    _UNI_ENC_OFF as _UNI_OFF,
+    _UNI_NEG_INF as _UNI_NEG,
+)
 
 
 def _uni_round_sql(r: int) -> str:
@@ -2959,15 +2963,18 @@ def q_unigram_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # ONE corpus scan: the checkpointed word table feeds both training
+    # and the final encode pass
+    wc = bpe_word_counts(docs).localCheckpoint(eager=False)
     vocab = unigram_train(
         docs,
         vocab_size=_UNI_V,
         max_len=_UNI_MAXLEN,
         em_rounds=_UNI_ROUNDS,
         seed_multiplier=_UNI_SEEDX,
+        wc=wc,
     )
     rows = vocab.select("tok", "logp_m").collect()
-    wc = bpe_word_counts(docs).localCheckpoint(eager=False)
     usage = unigram_usage(
         wc,
         [r["tok"] for r in rows],
@@ -3060,8 +3067,9 @@ def _rankeval_oracle() -> str:
     ),
     totals AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qrels GROUP BY 1)
     SELECT p.query_id, p.n_ret, coalesce(t.n_rel, 0) AS n_rel, p.n_rel_ret,
-           round(CAST(round(1000000.0 / p.frr, 0) AS BIGINT) / 1000000.0, 6)
-               AS mrr,
+           round(CASE WHEN t.n_rel > 0 THEN coalesce(
+               CAST(round(1000000.0 / p.frr, 0) AS BIGINT) / 1000000.0, 0.0)
+           END, 6) AS mrr,
            round(p.n_rel_ret::DOUBLE
                  / (CASE WHEN t.n_rel > 0 THEN t.n_rel::DOUBLE END), 6)
                AS recall_at_k,

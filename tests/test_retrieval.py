@@ -271,3 +271,21 @@ def test_ranking_metrics_hand_computed(spark):
     none = spark.createDataFrame([(9, "Z", 5)], "query_id int, doc_id string, rel int")
     r2 = ranking_metrics(run, none.filter("rel < 0"), k=3).collect()[0]
     assert r2["mrr"] is None and r2["recall_at_k"] is None and r2["ndcg_at_k"] is None
+
+
+def test_ranking_metrics_zero_recall_query_scores_mrr_zero(spark):
+    """A query WITH relevant docs that retrieves none in the top-k gets
+    mrr = 0.0 and recall = 0.0 (trec_eval convention) — NULL there would
+    inflate averaged MRR; a query with NO relevant docs stays NULL."""
+    from es_ch_sync_spark.operators.analytics import ranking_metrics
+
+    run = spark.createDataFrame(
+        [(1, "X", 1), (1, "Y", 2)], "query_id int, doc_id string, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(1, "A", 1)], "query_id int, doc_id string, rel int"
+    )
+    r = ranking_metrics(run, qrels, k=2).collect()[0]
+    assert r["n_rel"] == 1 and r["n_rel_ret"] == 0
+    assert r["mrr"] == 0.0 and r["recall_at_k"] == 0.0
+    assert r["ndcg_at_k"] == 0.0

@@ -324,3 +324,21 @@ def test_source_jsd_bounds(spark):
 
     solo = spark.createDataFrame([("a", "x y")], "source string, text string")
     assert source_jsd(solo).collect()[0]["jsd_nats"] is None
+
+
+def test_unigram_train_empty_corpus(spark):
+    """An empty (or all-whitespace) corpus trains to an empty model —
+    zero rows with the right schema, never a float(None) crash — and the
+    empty model still segments (UNK-costed)."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.text import unigram_train, unigram_viterbi_tokens
+
+    empty = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    v = unigram_train(empty, vocab_size=10, em_rounds=1)
+    assert v.count() == 0
+    assert set(v.columns) == {"tok", "usage", "logp_m"}
+    df = spark.createDataFrame([("ab",)], "w string")
+    got = df.select(unigram_viterbi_tokens(F.col("w"), [], []).alias("t")).collect()
+    # uniform UNK cost: Viterbi minimizes piece count -> one 2-char piece
+    assert got[0]["t"] == ["ab"]

@@ -104,7 +104,7 @@ def _marker_counts(plan: str) -> dict[str, int]:
         # a ReusedExchange line repeats the reused exchange's description
         # text — it is NOT a materialized shuffle
         if "ReusedExchange" not in line
-        and re.search(r"\bExchange (hash|range|Single|round)", line)
+        and re.search(r"\bExchange (hash|range|Single|Round|round)", line)
     )
     if n_exch:
         counts["Exchange(shuffle)"] = n_exch

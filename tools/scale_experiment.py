@@ -884,16 +884,16 @@ def _r9_sections(spark, docs, replicas, only):
         )
 
         state: dict = {}
+        wc = bpe_word_counts(docs).localCheckpoint(eager=False)
 
         def _train() -> int:
             state["rows"] = unigram_train(
-                docs, vocab_size=120, em_rounds=2
+                docs, vocab_size=120, em_rounds=2, wc=wc
             ).collect()
             return len(state["rows"])
 
         timed(f"unigram_train x{replicas} (2 EM rounds)", _train)
         rows = state["rows"]
-        wc = bpe_word_counts(docs).localCheckpoint(eager=False)
         timed(
             f"unigram_token_freqs x{replicas} (encode distinct words)",
             lambda: unigram_usage(
