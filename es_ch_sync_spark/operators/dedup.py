@@ -1300,3 +1300,47 @@ def sorted_neighborhood_multipass(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's distinct word
+    k-shingles whose FIRST corpus occurrence (by ascending doc id — the
+    ingestion-order proxy) is this document.  The marginal-contribution
+    curve of a growing corpus: bulk-crawled near-copies score ~0, fresh
+    material ~1 — the dedup-adjacent signal curriculum and
+    freshness-weighted sampling read (Lee et al. 2022 measure the same
+    quantity corpus-wide; this is its per-doc decomposition).
+
+    Scale shape: one shingle explode → one shingle-keyed hash aggregate
+    (min doc id = the first-occurrence index, the ExactSubstr posture) →
+    one equi-join back on the shingle → one doc-keyed aggregate.  All
+    shuffles keyed; output one narrow row per doc with ≥1 shingle."""
+    e = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    )
+    first = e.groupBy("s").agg(F.min(id_col).alias("_first"))
+    j = e.join(first, "s")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_first") == F.col(id_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -1359,3 +1359,51 @@ def source_jsd(
         F.when(F.col("_c_n") > F.col("_c_s"), F.round(jsd, 6)).alias("jsd_nats"),
         "n_words",
     )
+
+
+# Unicode script classes for the script-mix census: Java regex (Spark) and
+# RE2 (DuckDB) both accept the \x{hhhh} range syntax, so the identical
+# pattern string compiles on both engines.  BMP ranges only — both engines
+# count BMP codepoints identically.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("cjk", "[\\x{4e00}-\\x{9fff}]"),
+    ("cyrillic", "[\\x{0400}-\\x{04ff}]"),
+    ("space", "\\s"),
+]
+
+
+def script_ratios(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-class mix (Latin / digit / CJK / Cyrillic /
+    whitespace / other) — the multilingual curation signal next to
+    lang_id: a doc whose declared language disagrees with its dominant
+    script (or whose 'other' mass is high — control bytes, mojibake,
+    binary-in-text) is a routing/quarantine flag.
+
+    Each count is length(text) − length(regexp_replace(text, class, ''))
+    — a narrow map fused into the scan, no explode, no shuffle; ratios
+    are single float divisions over exact integer counts, NULL for empty
+    docs (never 0/0)."""
+    txt = F.col(text_col)
+    n = F.length(txt).cast("long")
+    counts = {
+        name: (F.length(txt) - F.length(F.regexp_replace(txt, pat, ""))).cast(
+            "long"
+        )
+        for name, pat in SCRIPT_CLASSES
+    }
+    other = n - sum(counts.values(), F.lit(0).cast("long"))
+    ratio = lambda c: F.round(
+        F.when(n > 0, c.cast("double") / n.cast("double")), 6
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        *[ratio(counts[name]).alias(f"{name}_ratio") for name, _ in SCRIPT_CLASSES],
+        ratio(other).alias("other_ratio"),
+    )

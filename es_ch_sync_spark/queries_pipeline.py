@@ -3178,3 +3178,62 @@ def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.text import source_jsd
 
     return source_jsd(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "shingle_novelty_docs",
+    f"""
+    {_o._shingles_cte(3)}
+    , e AS MATERIALIZED (SELECT doc_id, unnest(shs) AS s FROM sh),
+    f AS MATERIALIZED (SELECT s, min(doc_id) AS first FROM e GROUP BY s)
+    SELECT e.doc_id, count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN f.first = e.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+           round(sum(CASE WHEN f.first = e.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 6) AS novelty
+    FROM e JOIN f USING (s) GROUP BY e.doc_id
+    """,
+)
+def q_shingle_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc marginal-contribution novelty: the fraction of the doc's
+    distinct 3-shingles first seen (by ascending id) in this doc — ~0 for
+    bulk near-copies, ~1 for fresh material; the per-doc decomposition of
+    Lee et al.'s corpus novelty curve.  Two keyed shuffles (shingle
+    first-occurrence index, doc re-aggregate)."""
+    from es_ch_sync_spark.operators.dedup import shingle_novelty
+
+    return shingle_novelty(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _script_ratio_oracle() -> str:
+    from es_ch_sync_spark.operators.text import SCRIPT_CLASSES
+
+    cnt = {
+        name: f"(length(text) - length(regexp_replace(text, '{pat}', '', 'g')))::BIGINT"
+        for name, pat in SCRIPT_CLASSES
+    }
+    total_named = " + ".join(cnt.values())
+    ratios = ",\n           ".join(
+        f"round(CASE WHEN length(text) > 0 THEN ({c})::DOUBLE / length(text) END, 6) AS {name}_ratio"
+        for name, c in cnt.items()
+    )
+    return f"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           {ratios},
+           round(CASE WHEN length(text) > 0 THEN
+               (length(text) - ({total_named}))::DOUBLE / length(text) END, 6)
+               AS other_ratio
+    FROM documents
+    """
+
+
+@register("script_ratios_docs", _script_ratio_oracle())
+def q_script_ratios_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Unicode script mix (Latin/digit/CJK/Cyrillic/space/other)
+    — the multilingual routing signal next to lang_id; counts via
+    length-minus-replaced inside codegen (no explode, no shuffle), the
+    identical \\x{{hhhh}} class strings compiling on both engines."""
+    from es_ch_sync_spark.operators.text import script_ratios
+
+    return script_ratios(_t(spark, sf_dir, "documents"))
