@@ -165,33 +165,44 @@ _DRIVER_SAMPLED_R8 = frozenset({
 
 _DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R8
 
+# Round-9 sample (CORRECTNESS_r09.json keys, verbatim — 50/50 green).
+# With this fold the union of r1–r9 driver rows covers all 296 registry
+# names: full driver coverage is COMPLETE (VERDICT r9).  From r10 on the
+# rotation's only job is keeping NEW registrations at the front.
+_DRIVER_SAMPLED_R9 = frozenset({
+    "ab_conversion_ztest", "ab_cuped_ttest", "ab_mann_whitney",
+    "acf_lags", "benford_digits", "char_entropy_docs", "conflict_audit",
+    "corpus_pipeline", "dedup_clusters", "dedup_clusters_star",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_write", "dim_join", "dim_join_unresolved",
+    "distinct_tokens", "domain_pagerank", "dp_event_counts",
+    "es_dsl_scan", "es_status_scan", "exists_any", "fdr_bh_trends",
+    "jsonl_source_scan", "kaplan_meier_conversion", "kendall_tau_daily",
+    "ks_ab_test", "label_agreement_kappa", "ngram_jaccard",
+    "oldest_signal", "project_prune", "readability_sources",
+    "resume_points", "resume_points_incremental",
+    "retrieval_ranking_eval", "scan_filter", "script_ratios_docs",
+    "shingle_novelty_docs", "sliding_distinct_users", "source_jsd",
+    "spearman_daily", "text_analysis", "text_repetition",
+    "tfidf_top_terms", "topk_scan", "train_test_split",
+    "unigram_token_freqs", "unigram_vocab", "unpivot_signals",
+})
+
+_DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R9
+
 # Queries whose LATEST driver row is red for a since-fixed reason and must
-# be re-sampled to flip green.  Empty after r8: the driver's 50-row sample
+# be re-sampled to flip green.  Empty after r9: the driver's 50-row sample
 # came back 50/50, so no registry name is currently red.
 _RED_LATEST: tuple[str, ...] = ()
 
 
-# The 13 names that entered round 9 as the LAST never-driver-sampled group
-# (VERDICT r8 directive #1: finishing these completes full-registry driver
-# coverage — every one is already green in the builder's sweeps).  They
-# outrank round-9's newly registered queries in the sample rotation so the
-# milestone closes even though new names join the fresh group this round.
-_SAMPLE_FIRST = frozenset({
-    "spearman_daily", "jsonl_source_scan", "ab_mann_whitney",
-    "sliding_distinct_users", "ks_ab_test", "acf_lags", "kendall_tau_daily",
-    "benford_digits", "readability_sources", "ab_cuped_ttest",
-    "fdr_bh_trends", "ab_conversion_ztest", "kaplan_meier_conversion",
-})
-
-
 def _rotated(names) -> list[str]:
     """Registry order: red-latest rows first, then never-driver-sampled
-    names (the pre-r8 backlog in _SAMPLE_FIRST ahead of round-8's new
-    registrations), then everything else (stable within each group) —
-    pure reordering, the name→query mapping is unchanged."""
+    names (i.e. registrations newer than the last folded CORRECTNESS
+    round), then everything else (stable within each group) — pure
+    reordering, the name→query mapping is unchanged."""
     red = [n for n in names if n in _RED_LATEST]
     fresh = [n for n in names if n not in _DRIVER_SAMPLED]
-    fresh.sort(key=lambda n: n not in _SAMPLE_FIRST)
     seen = [
         n for n in names
         if n in _DRIVER_SAMPLED and n not in _RED_LATEST
