@@ -2089,8 +2089,10 @@ def ranking_metrics(
     rank is round(1e6 / first_rel_rank); each final metric is ONE float
     division of exact integers.  NULL when a query has no relevant docs
     (0/0 never fabricated); a query WITH relevant docs that retrieves
-    none in the top-k scores mrr = 0.0 and recall = 0.0 (the trec_eval
-    convention — NULL there would silently inflate averaged MRR).
+    none in the top-k — or no run rows at all (output keys are the FULL
+    OUTER union of run and qrels queries, r9 ADVICE #1) — scores
+    mrr = 0.0, recall = 0.0, ndcg = 0.0 (the trec_eval convention — NULL
+    or a silently dropped row there would inflate averaged MRR).
 
     Scale: one broadcast-sized join run⋈qrels (both are O(queries·k)),
     one window over qrels per query for the ideal ordering — nothing here
@@ -2132,25 +2134,32 @@ def ranking_metrics(
         )
     )
     totals = qr.groupBy("_q").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
-    out = per.join(ideal, "_q", "left").join(totals, "_q", "left")
-    rr_m = F.round(F.lit(1000000.0) / F.col("_frr"), 0).cast("long")
-    mrr = F.when(
-        F.col("n_rel") > 0,
-        F.coalesce(rr_m.cast("double") / 1000000.0, F.lit(0.0)),
+    # FULL outer from per to totals/ideal: a query that has relevant qrels
+    # but retrieved ZERO rows must still appear and score mrr = recall =
+    # ndcg = 0.0 — deriving output keys from run rows alone would drop it,
+    # which is exactly the averaged-MRR inflation the trec_eval convention
+    # exists to avoid (r9 ADVICE #1).  Keys are run ∪ qrels queries.
+    out = per.join(ideal, "_q", "full").join(totals, "_q", "full")
+    n_ret = F.coalesce("n_ret", F.lit(0))
+    n_rel_ret = F.coalesce("n_rel_ret", F.lit(0))
+    dcg_m = F.coalesce("_dcg_m", F.lit(0))
+    rr_m = F.coalesce(
+        F.round(F.lit(1000000.0) / F.col("_frr"), 0).cast("long"), F.lit(0)
     )
+    mrr = F.when(F.col("n_rel") > 0, rr_m.cast("double") / 1000000.0)
     return out.select(
         F.col("_q").alias(query_col),
-        "n_ret",
+        n_ret.alias("n_ret"),
         F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
-        "n_rel_ret",
+        n_rel_ret.alias("n_rel_ret"),
         F.round(mrr, 6).alias("mrr"),
         F.round(
-            F.col("n_rel_ret").cast("double")
+            n_rel_ret.cast("double")
             / F.when(F.col("n_rel") > 0, F.col("n_rel").cast("double")),
             6,
         ).alias("recall_at_k"),
         F.round(
-            F.col("_dcg_m").cast("double")
+            dcg_m.cast("double")
             / F.when(F.col("_idcg_m") > 0, F.col("_idcg_m").cast("double")),
             6,
         ).alias("ndcg_at_k"),

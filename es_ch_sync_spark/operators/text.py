@@ -492,6 +492,27 @@ def bm25_topk(
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _bm25_score_postings(tf, stats, k=k, k1=k1, b=b, id_col=id_col)
+
+
+def _bm25_score_postings(
+    tf: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Score a per-(doc, term) tf table against 1-row corpus stats and
+    return the top-k: the shared back half of bm25_topk and
+    bm25_topk_from_postings.  ``tf`` is (id_col, dl, term, tf) already
+    filtered to the query's terms; df-per-term is derived here (document
+    frequency is a property of the term, identical whichever query asked),
+    broadcast alongside the stats row, and each per-term component is
+    half-up rounded to 6dp and summed as BIGINT micro-units so the
+    cross-engine sum is order-independent."""
+    from es_ch_sync_spark.operators.util import round_half_up
+
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -513,6 +534,73 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_matched"),
     )
     return per_doc.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_posting_table(
+    df: DataFrame,
+    all_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE corpus tokenize pass serving every BM25 run over a term
+    universe: returns ``(posting, stats)`` where ``posting`` is the
+    (id_col, dl, term, tf) table filtered to ``all_terms`` and ``stats``
+    is the 1-row (n_docs, avgdl) corpus census — both derived from the
+    same scan (VERDICT r9 #1: the multi-run eval previously rebuilt the
+    tokenize → tf subplan per run, 11 corpus FileScans; the reference
+    analog is S6's read-once projection pushdown,
+    internal/service/elastic/elastic.go:46-108).
+
+    The trick that keeps it to one scan: the token array is FILTERED to
+    the term universe before an ``explode_outer``, so a doc with zero
+    matching terms survives as a single NULL-term row carrying its dl —
+    corpus stats (n_docs, avgdl over ALL docs) then derive from the
+    posting table itself instead of a second scan.  ``checkpoint``
+    materializes the posting table (localCheckpoint, the nb-census
+    precedent at nb_lang) so N downstream consumers read the
+    O(|docs|·|terms|)-bounded postings, never the corpus.
+
+    Callers pass ``posting.filter(term IS NOT NULL)`` semantics via
+    bm25_topk_from_postings; the NULL rows exist only for the census."""
+    base = df.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
+    universe = F.array(*[F.lit(t) for t in all_terms])
+    tok = base.select(
+        F.col(id_col),
+        F.size("ws").alias("dl"),
+        F.explode_outer(
+            F.filter("ws", lambda t: F.array_contains(universe, t))
+        ).alias("term"),
+    )
+    posting = tok.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    if checkpoint:
+        posting = posting.localCheckpoint(eager=True)
+    stats = (
+        posting.select(F.col(id_col), "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+    return posting.filter(F.col("term").isNotNull()), stats
+
+
+def bm25_topk_from_postings(
+    posting: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k for one query over a shared posting table built by
+    bm25_posting_table — value-identical to bm25_topk(df, query_terms)
+    (same df-per-term, same n_docs/avgdl, same 6dp micro-unit rounding)
+    but reading the materialized postings instead of re-scanning the
+    corpus."""
+    tf = posting.filter(F.col("term").isin(query_terms))
+    return _bm25_score_postings(tf, stats, k=k, k1=k1, b=b, id_col=id_col)
 
 
 def source_divergence(

@@ -289,3 +289,61 @@ def test_ranking_metrics_zero_recall_query_scores_mrr_zero(spark):
     assert r["n_rel"] == 1 and r["n_rel_ret"] == 0
     assert r["mrr"] == 0.0 and r["recall_at_k"] == 0.0
     assert r["ndcg_at_k"] == 0.0
+
+
+def test_ranking_metrics_qrels_only_query_not_dropped(spark):
+    """A query that has relevant qrels but ZERO rows in the run must
+    still appear in the output with mrr = recall = ndcg = 0.0 (output
+    keys are run ∪ qrels queries, full-outer — r9 ADVICE #1): deriving
+    keys from run rows alone would silently drop it and inflate
+    averaged MRR, the exact failure the trec_eval convention targets."""
+    from es_ch_sync_spark.operators.analytics import ranking_metrics
+
+    run = spark.createDataFrame(
+        [(1, "A", 1)], "query_id int, doc_id string, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(1, "A", 1), (2, "B", 2)], "query_id int, doc_id string, rel int"
+    )
+    rows = {r["query_id"]: r for r in ranking_metrics(run, qrels, k=3).collect()}
+    assert set(rows) == {1, 2}  # query 2 has no run rows yet survives
+    r2 = rows[2]
+    assert r2["n_ret"] == 0 and r2["n_rel"] == 1 and r2["n_rel_ret"] == 0
+    assert r2["mrr"] == 0.0 and r2["recall_at_k"] == 0.0
+    assert r2["ndcg_at_k"] == 0.0
+    # the retrieving query is unaffected
+    assert rows[1]["mrr"] == 1.0 and rows[1]["recall_at_k"] == 1.0
+
+
+def test_bm25_from_postings_matches_bm25_topk(spark):
+    """bm25_topk_from_postings over a shared bm25_posting_table is
+    value-identical to bm25_topk per query: same df-per-term, same
+    n_docs/avgdl census (docs with zero matching terms still count via
+    the NULL-term census row), same micro-unit rounding."""
+    from es_ch_sync_spark.operators.text import (
+        bm25_posting_table,
+        bm25_topk,
+        bm25_topk_from_postings,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark spark flink"),
+            (2, "spark beam storm samza"),
+            (3, "duck goose swan heron"),  # matches neither query
+            (4, "flink flink beam beam beam"),
+        ],
+    )
+    queries = [["spark"], ["flink", "beam"]]
+    all_terms = sorted({t for q in queries for t in q})
+    posting, stats = bm25_posting_table(docs, all_terms, checkpoint=False)
+    for terms in queries:
+        got = sorted(
+            bm25_topk_from_postings(posting, stats, terms, k=10).collect()
+        )
+        want = sorted(bm25_topk(docs, terms, k=10).collect())
+        assert got == want
+    # the census row kept doc 3: n_docs/avgdl cover the WHOLE corpus
+    s = stats.collect()[0]
+    assert s["n_docs"] == 4 and abs(s["avgdl"] - 17 / 4) < 1e-12
