@@ -865,3 +865,31 @@ def test_wav_features_hand_computed(spark):
     v = [((5 * 31 + 7 * i) % 4096) - 2048 for i in range(800)]
     assert r["zcr"] == sum(1 for a, b in zip(v, v[1:]) if a * b < 0)
     assert r["peak"] == max(abs(x) for x in v)
+
+
+def test_shingle_novelty_laws(spark):
+    """Pin the novelty laws (r9 post-gate registration, VERDICT r10 #3):
+    the corpus-first doc scores 1.0; an exact duplicate of an earlier doc
+    scores 0.0; a doc shorter than k words still appears (word_shingles
+    emits its single joined form, never an empty signature); a half-novel
+    doc scores its exact distinct-shingle fraction."""
+    from es_ch_sync_spark.operators.dedup import shingle_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # first: novelty 1.0
+            (2, "alpha beta gamma delta"),        # exact dup of 1: 0.0
+            (3, "alpha beta gamma epsilon zeta"), # shares 1 of 3 shingles
+            (4, "tiny doc"),                      # < k words: 1 joined form
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in shingle_novelty(docs, k=3).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["novelty"] == 1.0 and rows[1]["n_shingles"] == 2
+    assert rows[2]["novelty"] == 0.0 and rows[2]["n_novel"] == 0
+    # doc 3 shingles: {alpha beta gamma, beta gamma epsilon, gamma epsilon
+    # zeta} — only the first occurred before (doc 1)
+    assert rows[3]["n_shingles"] == 3 and rows[3]["n_novel"] == 2
+    assert rows[3]["novelty"] == round(2 / 3, 6)
+    assert rows[4]["n_shingles"] == 1 and rows[4]["novelty"] == 1.0

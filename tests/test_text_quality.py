@@ -342,3 +342,41 @@ def test_unigram_train_empty_corpus(spark):
     got = df.select(unigram_viterbi_tokens(F.col("w"), [], []).alias("t")).collect()
     # uniform UNK cost: Viterbi minimizes piece count -> one 2-char piece
     assert got[0]["t"] == ["ab"]
+
+
+def test_script_ratios_pins(spark):
+    """Pin script_ratios' contract (r9 post-gate registration, VERDICT
+    r10 #3): pure-Latin doc → latin_ratio 1.0 and every other class 0;
+    empty doc → n_chars 0 with ALL ratios NULL (never 0/0); a CJK+Latin
+    mix counts each class exactly; a non-BMP emoji is ONE codepoint in
+    n_chars that no BMP class pattern claims, so it lands in other_ratio
+    (the documented BMP-codepoint contract)."""
+    from es_ch_sync_spark.operators.text import script_ratios
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Latin"),
+            (2, ""),
+            (3, "ab 中文 12"),  # 2 latin, 2 CJK, 2 digit, 2 space
+            (4, "hi\U0001f600"),        # 2 latin + 1 non-BMP emoji
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in script_ratios(docs).collect()}
+    r1 = rows[1]
+    assert r1["latin_ratio"] == 1.0
+    for c in ("digit", "cjk", "cyrillic", "space", "other"):
+        assert r1[f"{c}_ratio"] == 0.0
+    r2 = rows[2]
+    assert r2["n_chars"] == 0
+    for c in ("latin", "digit", "cjk", "cyrillic", "space", "other"):
+        assert r2[f"{c}_ratio"] is None
+    r3 = rows[3]
+    assert r3["n_chars"] == 8
+    assert r3["latin_ratio"] == 0.25 and r3["cjk_ratio"] == 0.25
+    assert r3["digit_ratio"] == 0.25 and r3["space_ratio"] == 0.25
+    assert r3["other_ratio"] == 0.0
+    r4 = rows[4]
+    assert r4["n_chars"] == 3  # the emoji is one codepoint, not two units
+    assert r4["latin_ratio"] == round(2 / 3, 6)
+    assert r4["other_ratio"] == round(1 / 3, 6)
