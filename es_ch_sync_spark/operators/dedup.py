@@ -1316,23 +1316,34 @@ def shingle_novelty(
     freshness-weighted sampling read (Lee et al. 2022 measure the same
     quantity corpus-wide; this is its per-doc decomposition).
 
-    Scale shape: one shingle explode → one shingle-keyed hash aggregate
-    (min doc id = the first-occurrence index, the ExactSubstr posture) →
-    one equi-join back on the shingle → one doc-keyed aggregate.  All
-    shuffles keyed; output one narrow row per doc with ≥1 shingle."""
+    Scale shape (r10 rewrite — the r9 version joined the exploded
+    shingle stream back against the first-occurrence table, a
+    corpus-sized ⋈ vocabulary-sized shuffle join that dominated the ×100
+    wall): n_novel(doc) = |{shingles whose min doc id IS doc}| needs no
+    join-back — it is ONE more keyed aggregate over the first-occurrence
+    table itself; n_shingles is a map-side size() fused into its own
+    scan.  Total: one explode → shingle-keyed min → doc-keyed count,
+    plus a narrow projection scan, closed by one doc-keyed LEFT join
+    (docs owning zero first-occurrences coalesce to 0).  The shingle
+    stream is never joined against anything."""
     e = docs.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
     )
     first = e.groupBy("s").agg(F.min(id_col).alias("_first"))
-    j = e.join(first, "s")
+    novel = first.groupBy("_first").agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(word_shingles(F.col(text_col), k)).cast("long").alias("n_shingles"),
+    )
     return (
-        j.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(F.when(F.col("_first") == F.col(id_col), 1).otherwise(0))
-            .cast("long")
-            .alias("n_novel"),
+        per_doc.join(novel, per_doc[id_col] == novel["_first"], "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
         )
         .select(
             id_col,

@@ -311,6 +311,98 @@ def trigram_lm_score(
     )
 
 
+def doc_perplexity_buckets(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality buckets [Wenzek et al. 2020]: score every
+    document's cross-entropy under a character-trigram LM trained on
+    ``ref`` (default: the corpus itself — the self-trained
+    trigram_lm_score posture; CCNet trains on Wikipedia and scores the
+    crawl, which is exactly ``ref=wiki_docs``), then split the corpus
+    into the published head / middle / tail terciles by ascending
+    cross-entropy (head = most-fluent third, the tier CCNet keeps).
+
+    Determinism (the char_entropy micro-quantized-ln contract): each
+    trigram's ln p is quantized to micro-unit BIGINT lnm = round(ln p·1e6)
+    BEFORE any sum, per-doc xent_m = (−Σ lnm) div n_tri is an exact
+    positive integer division (identical in both engines), and the bucket
+    key xq = xent_m div 100 is a 1e-4-nat fixed-point value.  OOV
+    trigrams (ref ≠ docs) take the add-one floor p = 1/(N+V) via a LEFT
+    join — a doc of pure OOV text scores the worst possible xent, never
+    NULL.  Docs with < 3 normalized chars have no trigrams and are not
+    scored (the trigram_lm_score contract).
+
+    Scale shape: the model is a ≤|charset|³-key census (broadcast); the
+    scoring pass is two map-side-combinable doc-keyed aggregates; the
+    tercile cutoffs come from a cumulative window over the xq CENSUS —
+    bounded by the 1e-4-nat grid (≈3e5 rows for any corpus, regardless
+    of size), so the single-partition window is over a bounded table,
+    never over |docs| (the quantize-first discipline of
+    quantile_normalize).  Cutoffs re-attach as a broadcast 1-row cross
+    join.  Ties at a cutoff share its bucket — deterministic, at the
+    cost of terciles off by at most one xq cell's population."""
+    from pyspark.sql import Window as W
+
+    if ref is None:
+        ref = docs
+    nt_ref = ref.select(normalize_text(F.col(text_col)).alias("nt"))
+    model = (
+        nt_ref.select(F.explode(char_trigrams("nt")).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = model.agg(
+        F.sum("cnt").alias("n_total"), F.count("*").alias("v_size")
+    )
+    nt = docs.select(F.col(id_col), normalize_text(F.col(text_col)).alias("nt"))
+    tris = nt.select(id_col, F.explode(char_trigrams("nt")).alias("tri"))
+    lnm = F.round(
+        F.log(
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("n_total") + F.col("v_size")).cast("double")
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    scored = (
+        tris.join(F.broadcast(model), "tri", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tri"),
+            F.sum(lnm).cast("long").alias("_slnm"),
+        )
+        .select(
+            id_col,
+            "n_tri",
+            F.expr("(-_slnm) div n_tri div 100").alias("_xq"),
+        )
+    )
+    census = scored.groupBy("_xq").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    wcum = W.orderBy("_xq").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = census.select(
+        "_xq", F.sum("_c").over(wcum).alias("_cum")
+    ).crossJoin(F.broadcast(census.agg(F.sum("_c").alias("_n"))))
+    cuts = cum.agg(
+        F.min(F.when(F.col("_cum") * 3 >= F.col("_n"), F.col("_xq"))).alias("_c1"),
+        F.min(F.when(F.col("_cum") * 3 >= 2 * F.col("_n"), F.col("_xq"))).alias(
+            "_c2"
+        ),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "n_tri",
+        (F.col("_xq") / F.lit(10000.0)).alias("xent"),
+        F.when(F.col("_xq") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("_xq") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def fuzzy_duplicate_pairs(
     docs: DataFrame,
     text_col: str = "text",

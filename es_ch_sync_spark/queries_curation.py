@@ -1047,3 +1047,60 @@ def q_dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.sampling import dp_noisy_counts
 
     return dp_noisy_counts(_events(spark, sf_dir), "event_type", epsilon=1.0)
+
+
+def _perplexity_buckets_oracle() -> str:
+    norm = oracles.NORM.format(col="text")
+    return f"""
+    WITH d AS (SELECT doc_id, {norm} AS nt FROM documents),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(nt) - 1, 1)),
+                                     i -> substr(nt, i, 3))) AS tri
+        FROM d WHERE len(nt) >= 3
+    ),
+    model AS (SELECT tri, count(*)::BIGINT AS cnt FROM tri GROUP BY 1),
+    tot AS (SELECT sum(cnt)::BIGINT AS n_total, count(*)::BIGINT AS v_size
+            FROM model),
+    -- micro-quantized ln BEFORE any sum (the char_entropy contract); the
+    -- LEFT JOIN + coalesce is the OOV add-one floor (self-trained here,
+    -- so it never fires, but the operator contract keeps it)
+    lnp AS (
+        SELECT t.doc_id,
+               CAST(round(ln((coalesce(m.cnt, 0) + 1)::DOUBLE
+                             / (tot.n_total + tot.v_size)::DOUBLE)
+                          * 1000000.0, 0) AS BIGINT) AS lnm
+        FROM tri t LEFT JOIN model m USING (tri), tot
+    ),
+    sc AS (
+        SELECT doc_id, count(*)::BIGINT AS n_tri,
+               ((-sum(lnm)) // count(*)) // 100 AS xq
+        FROM lnp GROUP BY 1
+    ),
+    census AS (SELECT xq, count(*)::BIGINT AS c FROM sc GROUP BY 1),
+    cum AS (SELECT xq, sum(c) OVER (ORDER BY xq) AS cum,
+                   sum(c) OVER () AS n
+            FROM census),
+    cut AS (SELECT min(CASE WHEN cum * 3 >= n THEN xq END) AS c1,
+                   min(CASE WHEN cum * 3 >= 2 * n THEN xq END) AS c2
+            FROM cum)
+    SELECT doc_id, n_tri, xq / 10000.0 AS xent,
+           CASE WHEN xq <= c1 THEN 'head'
+                WHEN xq <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc, cut
+    ORDER BY doc_id
+    """
+
+
+@register("doc_perplexity_buckets", _perplexity_buckets_oracle())
+def q_doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail LM-quality terciles [Wenzek et al.
+    2020] over the self-trained character-trigram LM — the curation gate
+    the tokenizer-triad rounds built toward: score each doc's
+    cross-entropy (micro-quantized ln, exact integer division), bucket by
+    ascending xent with cutoffs from the bounded 1e-4-nat census.  The
+    head tier is what CCNet keeps for pretraining."""
+    from es_ch_sync_spark.operators.text import doc_perplexity_buckets
+
+    return doc_perplexity_buckets(_docs(spark, sf_dir)).orderBy("doc_id")

@@ -380,3 +380,41 @@ def test_script_ratios_pins(spark):
     assert r4["n_chars"] == 3  # the emoji is one codepoint, not two units
     assert r4["latin_ratio"] == round(2 / 3, 6)
     assert r4["other_ratio"] == round(1 / 3, 6)
+
+
+def test_doc_perplexity_buckets_laws(spark):
+    """Pin the CCNet-bucket laws: a doc copied verbatim from the reference
+    corpus scores lower xent than fluent-but-unseen text, which scores
+    lower than an OOV-only doc (the add-one floor via the LEFT join —
+    never NULL, VERDICT r10 #4's degenerate case); with three distinct
+    scores the terciles assign exactly one head/middle/tail; a doc under
+    3 normalized chars has no trigrams and is not scored."""
+    from es_ch_sync_spark.operators.text import doc_perplexity_buckets
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),   # verbatim ref prefix: best xent
+            (2, "the brown dog jumps"),   # ref words, unseen joins
+            (3, "zzqqxxww"),              # pure OOV: add-one floor, worst
+            (4, "ab"),                    # < 3 chars: unscored
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in doc_perplexity_buckets(docs, ref=ref).collect()}
+    assert set(rows) == {1, 2, 3}  # doc 4 has no trigrams
+    assert rows[1]["xent"] < rows[2]["xent"] < rows[3]["xent"]
+    assert rows[3]["xent"] is not None  # OOV floor, never NULL
+    assert rows[1]["bucket"] == "head"
+    assert rows[2]["bucket"] == "middle"
+    assert rows[3]["bucket"] == "tail"
+    # self-trained default: every doc with >= 1 trigram is scored; ties
+    # at a cutoff share its bucket (documented), so with 3 docs the
+    # middle tier may be empty — but best is always head, worst tail
+    self_rows = sorted(doc_perplexity_buckets(docs).collect(), key=lambda r: r["xent"])
+    assert {r["doc_id"] for r in self_rows} == {1, 2, 3}
+    assert self_rows[0]["bucket"] == "head"
+    assert self_rows[-1]["bucket"] == "tail"

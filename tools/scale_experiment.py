@@ -844,6 +844,116 @@ def main() -> None:
     _r7b_sections(spark, docs, replicas, only)
     _r8c_sections(spark, docs, replicas, only)
     _r9_sections(spark, docs, replicas, only)
+    _r10_sections(spark, docs, replicas, only)
+
+
+def _r10_sections(spark, docs, replicas, only):
+    """Round-10: CCNet perplexity buckets, the shared-posting rankeval
+    (VERDICT r9 #1 after-measurement), the r9 post-gate registrations,
+    and the minhash LSH bucket-skew audit (VERDICT r10 #7)."""
+    if "ppl" in only:
+        from es_ch_sync_spark.operators.text import doc_perplexity_buckets
+
+        timed(
+            f"doc_perplexity_buckets x{replicas} (self-trained trigram LM)",
+            lambda: doc_perplexity_buckets(docs).count(),
+        )
+    if "rankeval2" in only:
+        from pyspark.sql import Window as _W
+
+        from es_ch_sync_spark.operators.analytics import ranking_metrics
+        from es_ch_sync_spark.operators.text import (
+            bm25_posting_table,
+            bm25_topk_from_postings,
+        )
+
+        # same replica-7 query sets as the r9 'rankeval' section so the
+        # before/after walls compare like-for-like
+        qsets = {0: ["sparkx7", "mergex7"], 1: ["tablex7", "scanx7"],
+                 2: ["sortx7", "windowx7"]}
+        allt = sorted({t for ts in qsets.values() for t in ts})
+
+        def _run() -> int:
+            posting, stats = bm25_posting_table(docs, allt)
+            runs = []
+            for qid, terms in qsets.items():
+                topk = bm25_topk_from_postings(posting, stats, terms, k=10)
+                wq = _W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+                runs.append(topk.select(
+                    F.lit(qid).alias("query_id"), "doc_id",
+                    F.row_number().over(wq).alias("rank")))
+            run = runs[0].unionByName(runs[1]).unionByName(runs[2])
+            qt = spark.createDataFrame(
+                [(q, t) for q, ts in qsets.items() for t in ts],
+                "query_id int, term string",
+            )
+            qrels = (
+                posting.filter(F.col("tf") >= 2)
+                .join(F.broadcast(qt), "term")
+                .groupBy("query_id", "doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("rel"))
+            )
+            return ranking_metrics(run, qrels, k=10).count()
+
+        timed(
+            f"ranking_metrics x{replicas} (shared posting table, 1 corpus scan)",
+            _run,
+        )
+    if "novelty" in only:
+        from es_ch_sync_spark.operators.dedup import shingle_novelty
+
+        timed(
+            f"shingle_novelty x{replicas}",
+            lambda: shingle_novelty(docs).count(),
+        )
+    if "scripts" in only:
+        from es_ch_sync_spark.operators.text import script_ratios
+
+        timed(
+            f"script_ratios x{replicas}",
+            lambda: script_ratios(docs).count(),
+        )
+    if "minhashskew" in only:
+        from es_ch_sync_spark.operators.dedup import lsh_buckets
+
+        # the bucket-size histogram the embedding path already publishes
+        # (VERDICT r10 #7): log2-bucketed occupancy of the (band, key)
+        # buckets, plus the head bucket and the implied pair count
+        sizes = (
+            lsh_buckets(docs)
+            .groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        hist = (
+            sizes.groupBy(
+                F.floor(F.log2(F.col("m").cast("double"))).alias("log2_m")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.max("m").alias("max_m"),
+                F.sum(F.expr("m * (m - 1) / 2")).cast("long").alias("pairs"),
+            )
+            .orderBy("log2_m")
+        )
+        print(f"minhash LSH bucket-size histogram x{replicas}:", flush=True)
+        for r in hist.collect():
+            print(
+                f"  2^{int(r['log2_m'])}-sized buckets: {r['n_buckets']} "
+                f"(max {r['max_m']}, within-bucket pairs {r['pairs']})",
+                flush=True,
+            )
+        tot = sizes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("m").alias("head"),
+            F.sum(F.expr("m * (m - 1) / 2")).cast("long").alias("pairs"),
+            F.expr("percentile(m, 0.99)").alias("p99"),
+        ).collect()[0]
+        print(
+            f"  total buckets {tot['n']}, head bucket {tot['head']}, "
+            f"p99 {tot['p99']}, total candidate pairs {tot['pairs']}",
+            flush=True,
+        )
 
 
 def _r9_sections(spark, docs, replicas, only):
