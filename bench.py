@@ -105,6 +105,26 @@ def main() -> None:
         name: [] for name in HEADLINE + EXTENDED
     }
     errors: dict[str, str] = {}
+
+    # One UNTIMED warmup execution of the whole suite before the timed
+    # passes (r9 VERDICT #6): pass-1 used to carry all the JIT/codegen
+    # compilation and cold page-cache reads, so a loaded host produced
+    # 19.3 s-style artifacts (r7, r9) whose medians the judge had to
+    # adjudicate against the spread minima.  Warmup errors are recorded
+    # (and the query skipped in timed passes) exactly like timed-pass
+    # errors.
+    for name in HEADLINE + EXTENDED:
+        try:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            print(
+                f"# warmup {name}: {time.time() - t0:.3f}s (untimed)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+
     for pass_no in range(PASSES):
         for name in HEADLINE + EXTENDED:
             if name in errors:
@@ -150,7 +170,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "passes": PASSES,
-        "aggregation": "per-query median across passes; value = sum of medians",
+        "aggregation": "untimed warmup pass, then per-query median across "
+        "passes; value = sum of medians",
         "spread": spread,
         "extended": extended,
     }

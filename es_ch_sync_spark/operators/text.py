@@ -1259,6 +1259,14 @@ UNIGRAM_UNK_M = -1_000_000_000_000
 _UNI_ENC_OFF = 1_000_000_000_000_000
 # Sentinel for structurally invalid candidates (piece longer than prefix).
 _UNI_NEG_INF = -100_000_000_000_000_000
+# Packed-score envelope GUARD (r9 ADVICE #3): past ~900 consecutive
+# all-UNK characters the accumulated cost drives (score + OFF) below 0,
+# the sentinel wins the greatest(), its low 3 bits decode to piece length
+# 0, and backtracking silently emits garbage.  Words longer than this
+# (a base64 blob in whitespace-free web text) pass through UNSEGMENTED as
+# a single token instead of entering the fold.  900 · |UNIGRAM_UNK_M|
+# = 9e14 < _UNI_ENC_OFF, so every in-envelope word stays exact.
+UNIGRAM_MAX_WORD_LEN = 900
 
 
 def unigram_viterbi_tokens(
@@ -1341,12 +1349,17 @@ def unigram_viterbi_tokens(
         F.length(word).cast("int").alias("pos"),
         F.array().cast("array<string>").alias("toks"),
     )
-    return F.aggregate(
+    segmented = F.aggregate(
         F.sequence(F.lit(1), F.length(word)),
         back_init,
         back_step,
         lambda a: F.reverse(a["toks"]),
     )
+    # envelope guard (r9 ADVICE #3): out-of-envelope words bypass the
+    # fold entirely and come back as one unsegmented token
+    return F.when(
+        F.length(word) <= F.lit(UNIGRAM_MAX_WORD_LEN), segmented
+    ).otherwise(F.array(word))
 
 
 def _unigram_substring_census(wc: DataFrame, max_len: int) -> DataFrame:

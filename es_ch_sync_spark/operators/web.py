@@ -142,13 +142,22 @@ def registered_domain_psl(
       ``www.ck`` and ``foo.www.ck``);
     - no match → the PSL's implicit ``*`` rule (last label is the
       suffix → registered domain = last two labels);
-    - a host that IS exactly a (plain or wildcard) public suffix has no
-      registered domain under the strict algorithm; this operator keeps
-      the implicit-rule fallback for such hosts so the column stays
-      total — callers that need strict-null semantics filter on
-      ``host != domain``.
+    - a host that IS exactly a public suffix has no registered domain
+      under the strict algorithm; this operator keeps the column total
+      by emitting the HOST ITSELF for such hosts — plain-suffix hosts
+      via their PSL parent rule (the list always carries parents:
+      ``co.uk`` resolves through ``uk``), wildcard-suffix hosts via an
+      explicit n == rule-span match (``sub.kawasaki.jp`` under
+      ``*.kawasaki.jp`` emits ``sub.kawasaki.jp``, r9 ADVICE #4).
+      ``host == domain`` is therefore a NECESSARY condition for "host
+      is a public suffix" (it also holds for a registrable host with no
+      subdomain); callers needing strict PSL nulls filter
+      ``host != domain`` for the cheap pass and check survivors'
+      ``domain`` against the rule table for exactness.
 
-    Comment (``//``) and blank lines from a raw PSL file are ignored.
+    Comment (``//``) and blank lines from a raw PSL file are ignored,
+    and rule keys are normalized (trim + inline-comment strip), so a
+    raw CRLF file matches identically to a clean one.
 
     Plan shape: per candidate tail length, one LEFT BroadcastHashJoin
     each against the plain / wildcard-literal / exception slices of the
@@ -157,10 +166,21 @@ def registered_domain_psl(
     the join results in the same codegen stage."""
     labels = F.split(F.col(host_col), r"\.")
     n = F.size(labels)
-    rules = suffix_df.select(F.col("suffix").cast("string").alias("suffix")).filter(
-        F.col("suffix").isNotNull()
-        & (F.length(F.trim(F.col("suffix"))) > 0)
-        & ~F.col("suffix").startswith("//")
+    # Normalize the rule KEY, not just the blank-line filter (r9 ADVICE
+    # #2): a raw PSL file arrives with CRLF line endings, trailing
+    # whitespace, or an inline '  // note' — an untrimmed key silently
+    # never matches any host and every affected suffix degrades to the
+    # implicit fallback.  Strip the comment tail first (a full-comment
+    # line trims to '' and is dropped), then trim.
+    rules = (
+        suffix_df.select(
+            F.trim(
+                F.regexp_replace(
+                    F.col("suffix").cast("string"), r"\s*(//.*)?\s*$", ""
+                )
+            ).alias("suffix")
+        )
+        .filter(F.col("suffix").isNotNull() & (F.length(F.col("suffix")) > 0))
     )
     plain = rules.filter(
         ~F.col("suffix").startswith("*.") & ~F.col("suffix").startswith("!")
@@ -183,10 +203,16 @@ def registered_domain_psl(
         )
         if i >= 2:
             # wildcard rule of i labels total (* + i-1 literals): the
-            # (i-1)-label tail must equal the literal part AND the host
-            # must still have a label left for the registered domain
+            # (i-1)-label tail must equal the literal part.  n >= i + 1
+            # is the normal match (a label precedes the suffix for the
+            # registered domain); n == i means the host IS the wildcard
+            # public suffix — matched too (r9 ADVICE #4), emitting the
+            # host itself below, so the strict-null workaround
+            # ``host != domain`` identifies suffix-hosts uniformly
+            # (plain-suffix hosts already emit themselves via their PSL
+            # parent rule)
             wtail_i = F.when(
-                n >= i + 1, F.concat_ws(".", F.slice(labels, n - i + 2, i - 1))
+                n >= i, F.concat_ws(".", F.slice(labels, n - i + 2, i - 1))
             )
             wild_i = wild.select(F.col("_wlit").alias(f"_w{i}"))
             out = out.withColumn(f"_wt{i}", wtail_i).join(
@@ -205,7 +231,11 @@ def registered_domain_psl(
         if i >= 2:
             dom = F.when(
                 F.col(f"_w{i}").isNotNull(),
-                F.concat_ws(".", F.slice(labels, n - i, i + 1)),
+                # n == i: the host IS the wildcard public suffix — emit
+                # it verbatim (slice(labels, 0, …) would be invalid)
+                F.when(
+                    n >= i + 1, F.concat_ws(".", F.slice(labels, n - i, i + 1))
+                ).otherwise(F.col(host_col)),
             ).otherwise(dom)
         dom = F.when(
             F.col(f"_m{i}").isNotNull(),

@@ -2800,6 +2800,7 @@ _UNI_V, _UNI_MAXLEN, _UNI_ROUNDS, _UNI_SEEDX = 120, 6, 2, 3
 # the ORACLE's packing constants are the ENGINE's, imported — retuning
 # text.py can never silently drift the cross-engine arithmetic
 from es_ch_sync_spark.operators.text import (  # noqa: E402
+    UNIGRAM_MAX_WORD_LEN as _UNI_MAXWORD,
     UNIGRAM_UNK_M as _UNI_UNK,
     _UNI_ENC_OFF as _UNI_OFF,
     _UNI_NEG_INF as _UNI_NEG,
@@ -2825,8 +2826,10 @@ def _uni_round_sql(r: int) -> str:
         FROM v{r}
     ),
     dp{r} AS (
+        -- envelope guard (engine's UNIGRAM_MAX_WORD_LEN): out-of-envelope
+        -- words never enter the fold; they rejoin usage{r} unsegmented
         SELECT word, cnt, 0 AS i, [0::BIGINT] AS best, [0::BIGINT] AS bp
-        FROM wc
+        FROM wc WHERE length(word) <= {_UNI_MAXWORD}
         UNION ALL
         SELECT word, cnt, i + 1,
                list_append(best, e // 8 - {_UNI_OFF}),
@@ -2850,8 +2853,11 @@ def _uni_round_sql(r: int) -> str:
         )
     ),
     usage{r} AS MATERIALIZED (
-        SELECT tok, sum(cnt)::BIGINT AS usage
-        FROM walk{r} WHERE tok IS NOT NULL GROUP BY tok
+        SELECT tok, sum(cnt)::BIGINT AS usage FROM (
+            SELECT tok, cnt FROM walk{r} WHERE tok IS NOT NULL
+            UNION ALL
+            SELECT word AS tok, cnt FROM wc WHERE length(word) > {_UNI_MAXWORD}
+        ) GROUP BY tok
     ),
     kept{r + 1} AS MATERIALIZED (
         SELECT a.tok, (coalesce(u.usage, 0) + 1)::BIGINT AS usage

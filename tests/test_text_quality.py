@@ -418,3 +418,34 @@ def test_doc_perplexity_buckets_laws(spark):
     assert {r["doc_id"] for r in self_rows} == {1, 2, 3}
     assert self_rows[0]["bucket"] == "head"
     assert self_rows[-1]["bucket"] == "tail"
+
+
+def test_unigram_viterbi_envelope_guard(spark):
+    """r9 ADVICE #3: a word past UNIGRAM_MAX_WORD_LEN would overflow the
+    packed-score envelope (the sentinel would win the greatest() and
+    backtracking would emit garbage) — it must come back UNSEGMENTED as
+    a single token, while in-envelope words segment normally."""
+    from es_ch_sync_spark.operators.text import (
+        UNIGRAM_MAX_WORD_LEN,
+        unigram_viterbi_tokens,
+    )
+
+    long_word = "z" * (UNIGRAM_MAX_WORD_LEN + 50)  # all-UNK base64-blob shape
+    df = spark.createDataFrame([("ab",), (long_word,)], "word string")
+    toks, logps = ["a", "b", "ab"], [-100, -200, -50]
+    out = {
+        r["word"]: r["t"]
+        for r in df.select(
+            "word", unigram_viterbi_tokens(F.col("word"), toks, logps).alias("t")
+        ).collect()
+    }
+    assert out["ab"] == ["ab"]  # ML segmentation still runs in-envelope
+    assert out[long_word] == [long_word]  # passthrough, not garbage
+    # boundary: exactly at the limit still segments exactly
+    edge = "a" * UNIGRAM_MAX_WORD_LEN
+    got = (
+        spark.createDataFrame([(edge,)], "word string")
+        .select(unigram_viterbi_tokens(F.col("word"), toks, logps).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == ["a"] * UNIGRAM_MAX_WORD_LEN

@@ -159,3 +159,47 @@ def test_registered_domain_psl_wildcard_and_exception(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_registered_domain_psl_raw_file_noise_and_suffix_hosts(spark):
+    """r9 ADVICE #2/#4: rule KEYS are normalized (CRLF tails, trailing
+    whitespace, inline '// note' comments all match like a clean file),
+    and a host that IS a wildcard public suffix emits ITSELF — so the
+    strict-null workaround `host != domain` identifies suffix-hosts
+    uniformly (plain-suffix hosts already self-emit via their parent
+    rule)."""
+    from es_ch_sync_spark.operators.web import registered_domain_psl
+
+    suffixes = spark.createDataFrame(
+        [
+            ("jp\r",),                       # CRLF line ending
+            ("co.uk  // UK SLD",),           # inline comment
+            ("  com  ",),                    # stray whitespace
+            ("*.kawasaki.jp\r",),            # wildcard with CRLF
+            ("// pure comment",), ("   ",),  # dropped entirely
+        ],
+        "suffix string",
+    )
+    hosts = spark.createDataFrame(
+        [
+            ("shop.example.co.uk",),  # dirty 'co.uk' rule must still match
+            ("a.example.com",),       # dirty 'com' rule must still match
+            ("x.sub.kawasaki.jp",),   # wildcard + 1 -> x.sub.kawasaki.jp
+            ("sub.kawasaki.jp",),     # host IS the wildcard suffix -> itself
+            ("kawasaki.jp",),         # NOT a suffix: plain 'jp' rule + 1
+        ],
+        "host string",
+    )
+    out = registered_domain_psl(hosts, "host", suffixes)
+    got = {r["host"]: r["domain"] for r in out.collect()}
+    assert got["shop.example.co.uk"] == "example.co.uk"
+    assert got["a.example.com"] == "example.com"
+    assert got["x.sub.kawasaki.jp"] == "x.sub.kawasaki.jp"
+    assert got["sub.kawasaki.jp"] == "sub.kawasaki.jp"  # host == domain
+    assert got["kawasaki.jp"] == "kawasaki.jp"
+    # host == domain is the documented NECESSARY condition for "host is
+    # a public suffix" — both suffix-hosts satisfy it (a registrable
+    # host with no subdomain, like x.sub.kawasaki.jp here, also does;
+    # truly strict callers additionally check the rule table)
+    self_emitting = {h for h, d in got.items() if h == d}
+    assert {"sub.kawasaki.jp", "kawasaki.jp"} <= self_emitting
