@@ -1600,3 +1600,152 @@ def script_ratios(
         *[ratio(counts[name]).alias(f"{name}_ratio") for name, _ in SCRIPT_CLASSES],
         ratio(other).alias("other_ratio"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_ranks: int = 500,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve [Zipf 1949]:
+    OLS slope/intercept of ln(freq) on ln(rank) over the top
+    ``top_ranks`` words — the classic corpus-health diagnostic (natural
+    text sits near slope −1; template/boilerplate-heavy corpora flatten
+    the head, mixed-domain blends kink it), cheap to track per crawl
+    snapshot next to ngram_diversity.
+
+    Integer discipline (the kendall/kappa contract): word counts are
+    exact BIGINTs; x = round(ln rank·1e6) and y = round(ln freq·1e6) are
+    micro-unit BIGINTs, so Σx, Σy, Σxy, Σx² are exact integer sums;
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) rides as DECIMAL(38,0)
+    products and each of slope / intercept / r² is one or two float
+    operations over exact integers — identical to the printed digit in
+    both engines.
+
+    Scale: the word table is Heaps-bounded (one corpus scan); the
+    rank window runs over the top_ranks-row head ONLY (orderBy-limit
+    first), so the single-partition window is over a constant-size
+    table.  Ties in frequency rank by word for determinism."""
+    from pyspark.sql import Window as W
+
+    wc = bpe_word_counts(docs, text_col)
+    head = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(top_ranks)
+    w = W.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = head.select(
+        F.row_number().over(w).alias("rk"), F.col("cnt")
+    )
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
+    pts = ranked.select(
+        lnm(F.col("rk")).alias("x"), lnm(F.col("cnt")).alias("y")
+    )
+    d38 = "decimal(38,0)"
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).cast(d38).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).cast(d38).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38)).cast(d38).alias("syy"),
+    )
+    n = F.col("n").cast(d38)
+    num = n * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy").cast(d38)
+    den = n * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx").cast(d38)
+    deny = n * F.col("syy") - F.col("sy").cast(d38) * F.col("sy").cast(d38)
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / (F.col("n").cast("double") * 1000000.0)
+    r2 = (num.cast("double") * num.cast("double")) / (
+        den.cast("double") * deny.cast("double")
+    )
+    return agg.select(
+        F.col("n").alias("n_ranks"),
+        F.round(F.when(den > 0, slope), 6).alias("slope"),
+        F.round(F.when(den > 0, intercept), 6).alias("intercept_ln"),
+        F.round(F.when((den > 0) & (deny > 0), r2), 6).alias("r2"),
+    )
+
+
+def good_turing_unseen(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    max_r: int = 5,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies estimates [Good 1953] over
+    the corpus's word k-shingles: the unseen-mass estimate p₀ ≈ N₁/N
+    (the probability the NEXT k-gram is novel — the forward-looking
+    companion to shingle_novelty's retrospective per-doc curve, and the
+    OOV-mass forecast a dedup/contamination budget reads) and the
+    discounted counts r* = (r+1)·N_{r+1}/N_r for r = 1..max_r.
+    Shingles, not words, because a template-vocabulary corpus has no
+    rare WORDS (sf0.01 floor frequency 26) while its k-gram spectrum is
+    textbook Zipf-tail (N₁ ≈ 9.4k at sf0.01).
+
+    Everything derives from the frequency-of-frequencies census: one
+    shingle explode → one keyed count (the minhash shingle posture) →
+    one hash aggregate to (r, N_r), a table bounded by the distinct
+    frequency values; every output is ONE float division of exact
+    BIGINTs.  Only r values present in the census appear (a spectrum
+    gap shows as a missing row; the row below it reads N_{r+1} = 0 →
+    r* = 0); the r = 0 row is the unseen-mass estimate p₀ = N₁/N in
+    ``r_star``.  Shingle occurrences are counted with repeats (this is
+    a token census, unlike word_shingles' per-doc distinct signature);
+    docs shorter than k words contribute their single joined form."""
+    w = words(F.col(text_col))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+    wc = (
+        docs.select(F.explode(ngrams).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    fof = wc.groupBy(F.col("cnt").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    tot = wc.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    base = fof.filter(F.col("r") <= max_r + 1).crossJoin(F.broadcast(tot))
+    nxt = base.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    out = (
+        base.filter(F.col("r") <= max_r)
+        .join(nxt, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.coalesce("n_r1", F.lit(0)).alias("n_r_plus_1"),
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.when(
+                    F.col("n_r") > 0,
+                    ((F.col("r") + 1) * F.coalesce("n_r1", F.lit(0))).cast(
+                        "double"
+                    )
+                    / F.col("n_r").cast("double"),
+                ),
+                6,
+            ).alias("r_star"),
+        )
+    )
+    p0 = (
+        fof.filter(F.col("r") == 1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("long").alias("n_r"),
+            F.col("n_r").alias("n_r_plus_1"),
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_r").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("r_star"),
+        )
+    )
+    return p0.unionByName(out).orderBy("r")

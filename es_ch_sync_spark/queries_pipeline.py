@@ -3251,3 +3251,127 @@ def q_script_ratios_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.text import script_ratios
 
     return script_ratios(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: Zipf rank-frequency fit + Good-Turing unseen mass (r10)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 500
+# bpe_word_counts tokenization, verbatim (lower + \s+ split, '' dropped)
+_WC_SQL = """
+    wc AS MATERIALIZED (
+        SELECT word, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE word <> ''
+        GROUP BY word
+    )"""
+
+
+@register(
+    "zipf_rank_frequency",
+    f"""
+    WITH {_WC_SQL},
+    head AS (
+        SELECT cnt FROM wc ORDER BY cnt DESC, word LIMIT {_ZIPF_TOP}
+    ),
+    pts AS (
+        SELECT CAST(round(ln(row_number() OVER (ORDER BY cnt DESC)) * 1000000.0,
+                          0) AS BIGINT) AS x,
+               CAST(round(ln(cnt) * 1000000.0, 0) AS BIGINT) AS y
+        FROM head
+    ),
+    s AS (
+        SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+               sum(y)::HUGEINT AS sy,
+               sum(x::HUGEINT * y::HUGEINT)::HUGEINT AS sxy,
+               sum(x::HUGEINT * x::HUGEINT)::HUGEINT AS sxx,
+               sum(y::HUGEINT * y::HUGEINT)::HUGEINT AS syy
+        FROM pts
+    )
+    SELECT n::BIGINT AS n_ranks,
+           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+               (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+           END, 6) AS slope,
+           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+               (sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                              / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+               / (n::DOUBLE * 1000000.0)
+           END, 6) AS intercept_ln,
+           round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               ((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)
+               / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
+           END, 6) AS r2
+    FROM s
+    """,
+)
+def q_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit (slope/intercept/r² of ln freq on ln rank,
+    top-500 ranks) — corpus-health diagnostic: natural text ~ slope −1;
+    boilerplate flattens the head.  Micro-quantized ln coordinates,
+    DECIMAL(38,0)/HUGEINT moment sums, float only in the final three
+    divisions; the rank window runs over the constant-size head only."""
+    from es_ch_sync_spark.operators.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_ranks=_ZIPF_TOP)
+
+
+_GT_MAX_R = 5
+_GT_K = 3
+# word k-shingle census WITH repeats (token census, not the per-doc
+# distinct signature): normalized words, shingles via inclusive list
+# slice; docs under k words contribute their single joined form
+_GT_SHINGLE_WC = f"""
+    wc AS MATERIALIZED (
+        SELECT s, count(*)::BIGINT AS cnt FROM (
+            SELECT unnest(list_transform(
+                range(1, greatest(len(ws) - {_GT_K - 1}, 1) + 1),
+                i -> array_to_string(ws[i:i+{_GT_K - 1}], ' '))) AS s
+            FROM (SELECT string_split(
+                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS ws
+                  FROM documents)
+        ) GROUP BY s
+    )"""
+
+
+@register(
+    "good_turing_unseen",
+    f"""
+    WITH {_GT_SHINGLE_WC},
+    fof AS MATERIALIZED (
+        SELECT cnt AS r, count(*)::BIGINT AS n_r FROM wc GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types
+            FROM wc),
+    base AS (SELECT f.r, f.n_r, t.n_tokens, t.n_types
+             FROM fof f, tot t WHERE f.r <= {_GT_MAX_R + 1}),
+    nxt AS (SELECT r - 1 AS r, n_r AS n_r1 FROM base)
+    SELECT 0::BIGINT AS r, 0::BIGINT AS n_r, b.n_r AS n_r_plus_1,
+           b.n_tokens, b.n_types,
+           round(b.n_r::DOUBLE / b.n_tokens::DOUBLE, 6) AS r_star
+    FROM base b WHERE b.r = 1
+    UNION ALL
+    SELECT b.r::BIGINT, b.n_r, coalesce(x.n_r1, 0) AS n_r_plus_1,
+           b.n_tokens, b.n_types,
+           round(CASE WHEN b.n_r > 0 THEN
+               ((b.r + 1) * coalesce(x.n_r1, 0))::DOUBLE / b.n_r::DOUBLE
+           END, 6) AS r_star
+    FROM base b LEFT JOIN nxt x USING (r)
+    WHERE b.r <= {_GT_MAX_R}
+    ORDER BY r
+    """,
+)
+def q_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass estimate p₀ = N₁/N over the word
+    3-shingle census (the probability the next k-gram is NOVEL — the
+    forward-looking companion to shingle_novelty) and discounted counts
+    r* = (r+1)·N_{{r+1}}/N_r for r ≤ 5.  One shingle explode → one keyed
+    count → one bounded frequency-of-frequencies census; every metric is
+    one float division of exact BIGINTs."""
+    from es_ch_sync_spark.operators.text import good_turing_unseen
+
+    return good_turing_unseen(
+        _t(spark, sf_dir, "documents"), k=_GT_K, max_r=_GT_MAX_R
+    ).orderBy("r")

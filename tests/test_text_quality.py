@@ -449,3 +449,52 @@ def test_unigram_viterbi_envelope_guard(spark):
         .collect()[0]["t"]
     )
     assert got == ["a"] * UNIGRAM_MAX_WORD_LEN
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """A corpus planted as an exact power law freq(rank) = C·rank^s must
+    recover slope ≈ s with r² ≈ 1; a 2-word corpus (degenerate but
+    den > 0) still emits a finite fit."""
+    from es_ch_sync_spark.operators.text import zipf_fit
+
+    # freq = 1000 * rank^-1 for ranks 1..8, realized as repeated words
+    rows = []
+    for rk in range(1, 9):
+        freq = round(1000 / rk)
+        rows.extend([(f"w{rk:02d}",)] * freq)
+    docs = spark.createDataFrame(
+        [(" ".join(w for (w,) in rows),)], "text string"
+    )
+    r = zipf_fit(docs, top_ranks=8).collect()[0]
+    assert r["n_ranks"] == 8
+    assert abs(r["slope"] - (-1.0)) < 0.01  # rounding of round(1000/rk)
+    assert r["r2"] > 0.999
+    # intercept_ln ≈ ln(1000)
+    import math
+
+    assert abs(r["intercept_ln"] - math.log(1000)) < 0.02
+
+
+def test_good_turing_laws(spark):
+    """Planted shingle spectrum: docs built so the 3-shingle census has
+    known N_r values; pin p0 = N1/N, r* = (r+1)N_{r+1}/N_r, and the
+    missing-row contract for spectrum gaps."""
+    from es_ch_sync_spark.operators.text import good_turing_unseen
+
+    # 3-word docs each contribute exactly ONE 3-shingle; repeat doc
+    # texts to plant counts: 3 shingles once, 1 shingle twice
+    texts = ["a b c", "d e f", "g h i"] + ["x y z"] * 2
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = {r["r"]: r for r in good_turing_unseen(docs, k=3, max_r=5).collect()}
+    # census: N1 = 3, N2 = 1, N = 5 occurrences, 4 types
+    assert rows[0]["r_star"] == round(3 / 5, 6)  # p0 = N1/N
+    assert rows[0]["n_tokens"] == 5 and rows[0]["n_types"] == 4
+    assert rows[1]["n_r"] == 3 and rows[1]["n_r_plus_1"] == 1
+    assert rows[1]["r_star"] == round(2 * 1 / 3, 6)
+    assert rows[2]["n_r"] == 1 and rows[2]["n_r_plus_1"] == 0
+    assert rows[2]["r_star"] == 0.0  # gap above: N3 = 0
+    assert set(rows) == {0, 1, 2}  # r = 3..5 absent from the census
+    # short doc contributes its single joined form
+    short = spark.createDataFrame([("one two",)], "text string")
+    srows = good_turing_unseen(short, k=3).collect()
+    assert {r["r"] for r in srows} == {0, 1}
