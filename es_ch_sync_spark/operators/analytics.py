@@ -2218,3 +2218,73 @@ def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(rcv.cast("double") / nn.cast("double"), 6).alias("pe"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-label precision / recall / F1 [van Rijsbergen 1979] — the
+    per-class companion to cohen_kappa's single agreement score and
+    nb_lang_confusion's raw matrix: the labeled-data QA view that shows
+    WHICH classes a router/classifier loses before its output routes
+    training data.  NULL-labeled rows (abstentions) are excluded, as in
+    cohen_kappa.
+
+    Integer discipline: everything derives from the exact BIGINT
+    label×label contingency table (one hash aggregate, bounded by the
+    label alphabet squared); per label tp = diagonal cell,
+    n_true = row sum, n_pred = column sum, and each metric is ONE float
+    division of exact integers — F1 = 2·tp / (n_true + n_pred), never
+    the float combination 2pr/(p+r).  precision is NULL when the label
+    is never predicted, recall NULL when it never occurs (0/0 never
+    fabricated); F1's denominator is positive for every emitted label.
+
+    Output one row per label in the union of true and predicted
+    alphabets, ordered by label."""
+    pairs = df.select(
+        F.col(true_col).alias("_t"), F.col(pred_col).alias("_p")
+    ).filter(F.col("_t").isNotNull() & F.col("_p").isNotNull())
+    ct = pairs.groupBy("_t", "_p").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ct = ct.localCheckpoint(eager=True)  # label-alphabet-bounded census
+    rows = ct.groupBy(F.col("_t").alias("label")).agg(
+        F.sum("c").cast("long").alias("n_true")
+    )
+    cols = ct.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("c").cast("long").alias("n_pred")
+    )
+    diag = ct.filter(F.col("_t") == F.col("_p")).select(
+        F.col("_t").alias("label"), F.col("c").alias("tp")
+    )
+    base = (
+        rows.join(cols, "label", "full")
+        .join(diag, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    return base.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(
+            F.col("tp").cast("double")
+            / F.when(F.col("n_pred") > 0, F.col("n_pred").cast("double")),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.when(F.col("n_true") > 0, F.col("n_true").cast("double")),
+            6,
+        ).alias("recall"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (F.col("n_true") + F.col("n_pred")).cast("double"),
+            6,
+        ).alias("f1"),
+    ).orderBy("label")

@@ -1104,3 +1104,48 @@ def q_doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.text import doc_perplexity_buckets
 
     return doc_perplexity_buckets(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "lang_classification_report",
+    f"""
+    WITH ta AS ({oracles.text_analysis_sql()}),
+    pairs AS (
+        SELECT d.lang AS t, ta.lang_pred AS p
+        FROM documents d JOIN ta ON d.doc_id = ta.doc_id
+        WHERE d.lang IS NOT NULL AND ta.lang_pred IS NOT NULL
+    ),
+    ct AS (SELECT t, p, count(*)::BIGINT AS c FROM pairs GROUP BY 1, 2),
+    r AS (SELECT t AS label, sum(c)::BIGINT AS n_true FROM ct GROUP BY 1),
+    cc AS (SELECT p AS label, sum(c)::BIGINT AS n_pred FROM ct GROUP BY 1),
+    dg AS (SELECT t AS label, c AS tp FROM ct WHERE t = p),
+    base AS (
+        SELECT label, coalesce(n_true, 0) AS n_true,
+               coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp
+        FROM r FULL JOIN cc USING (label) LEFT JOIN dg USING (label)
+    )
+    SELECT label, n_true, n_pred, tp,
+           round(tp::DOUBLE
+                 / (CASE WHEN n_pred > 0 THEN n_pred::DOUBLE END), 6)
+               AS precision,
+           round(tp::DOUBLE
+                 / (CASE WHEN n_true > 0 THEN n_true::DOUBLE END), 6)
+               AS recall,
+           round((2 * tp)::DOUBLE / (n_true + n_pred)::DOUBLE, 6) AS f1
+    FROM base ORDER BY label
+    """,
+)
+def q_lang_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision / recall / F1 of the stopword-heuristic
+    lang_id against the declared labels — the per-class view next to
+    label_agreement_kappa's single score: shows WHICH languages the
+    router loses.  One bounded label×label contingency aggregate;
+    F1 = 2·tp/(n_true + n_pred) — every metric one float division of
+    exact BIGINTs."""
+    from es_ch_sync_spark.operators.analytics import classification_report
+    from es_ch_sync_spark.operators.text import lang_id
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", lang_id(F.col("text")).alias("pred")
+    )
+    return classification_report(docs, "lang", "pred")

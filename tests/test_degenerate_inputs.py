@@ -315,3 +315,33 @@ def test_dp_noisy_counts_seeded_and_exact_base(spark):
         assert abs(tight[g]["noisy_count"] - tight[g]["true_count"]) < abs(
             r1[g]["noisy_count"] - r1[g]["true_count"]
         ) + 1e-9
+
+
+def test_classification_report_hand_computed(spark):
+    """Hand confusion: 3 labels; 'c' is never predicted (precision NULL,
+    recall 0), 'd' never occurs as truth (recall NULL); F1 is always
+    2tp/(n_true+n_pred) — one exact-integer division; NULL-labeled rows
+    excluded."""
+    from es_ch_sync_spark.operators.analytics import classification_report
+
+    rows = (
+        [("a", "a")] * 3 + [("a", "b")] * 1   # a: tp=3, fn=1
+        + [("b", "b")] * 2 + [("b", "d")] * 2 # b: tp=2, fn=2
+        + [("c", "a")] * 1                    # c: never predicted
+        + [(None, "a"), ("a", None)]          # abstentions excluded
+    )
+    df = spark.createDataFrame(rows, "t string, p string")
+    got = {r["label"]: r for r in classification_report(df, "t", "p").collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    a = got["a"]
+    assert (a["n_true"], a["n_pred"], a["tp"]) == (4, 4, 3)
+    assert a["precision"] == 0.75 and a["recall"] == 0.75
+    assert a["f1"] == 0.75
+    b = got["b"]
+    assert (b["n_true"], b["n_pred"], b["tp"]) == (4, 3, 2)
+    assert b["precision"] == round(2 / 3, 6) and b["recall"] == 0.5
+    assert b["f1"] == round(4 / 7, 6)
+    c = got["c"]
+    assert c["precision"] is None and c["recall"] == 0.0 and c["f1"] == 0.0
+    d = got["d"]
+    assert d["recall"] is None and d["precision"] == 0.0 and d["f1"] == 0.0
