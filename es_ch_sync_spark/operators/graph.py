@@ -246,3 +246,103 @@ def pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits_fixed(
+    edges: DataFrame,
+    iterations: int = 2,
+    unit: int = 1_000_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS [Kleinberg 1999] over a directed edge list —
+    hubs point at good authorities, authorities are pointed at by good
+    hubs; next to pagerank_fixed this is the second classical link
+    centrality, and on a mirror graph directed by ingestion order it
+    separates copy SOURCES (hubs) from copy SINKS (authorities).
+
+    Carried entirely in quantized BIGINT score units (the pagerank_fixed
+    contract — integer arithmetic only, exact cross-engine):
+
+        h₀(v)  = unit div N
+        aᵣ(v)  = L1-normalize_to_unit( Σ_{u→v} hᵣ₋₁(u) )
+        hᵣ(v)  = L1-normalize_to_unit( Σ_{v→w} aᵣ(w) )
+
+    where normalize_to_unit(x) = (x · unit) div Σx with the product
+    riding as DECIMAL(38,0) (HUGEINT in the oracle) so nothing
+    overflows.  Nodes with no in-edges score authority 0; no out-edges
+    → hub 0.  Requires N ≤ unit (h₀ > 0), which a 1e9 unit grants any
+    realistic host graph.
+
+    Scale shape: identical to pagerank_fixed — edges and nodes
+    localCheckpoint once; each half-step is one equi-join + hash
+    aggregate on the node key plus a 1-row total broadcast back;
+    score frames checkpoint per round so lineage stays O(1); K fixed."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "id",
+            F.lit(0).cast("long").alias("auth_m"),
+            F.lit(0).cast("long").alias("hub_m"),
+        )
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        """(id, col) → all-nodes frame L1-normalized to ``unit``."""
+        tot = raw.agg(
+            F.sum(F.col(col).cast("decimal(38,0)")).cast("decimal(38,0)").alias(
+                "_t"
+            )
+        )
+        return (
+            nodes.join(raw, "id", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "id",
+                F.coalesce(
+                    F.expr(
+                        f"CAST(CAST({col} AS DECIMAL(38,0)) * {unit} AS "
+                        f"DECIMAL(38,0)) div _t"
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hubs = nodes.withColumn("h", F.lit(unit // n).cast("long"))
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["id"])
+            .select(F.col("dst").alias("id"), F.col("h"))
+            .groupBy("id")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        auths = _norm(a_raw, "a")
+        h_raw = (
+            e.join(auths, e["dst"] == auths["id"])
+            .select(F.col("src").alias("id"), F.col("a"))
+            .groupBy("id")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        hubs = _norm(h_raw, "h")
+    return (
+        nodes.join(auths, "id", "left")
+        .join(hubs.withColumnRenamed("h", "_h"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("a", F.lit(0)).cast("long").alias("auth_m"),
+            F.coalesce("_h", F.lit(0)).cast("long").alias("hub_m"),
+        )
+    )

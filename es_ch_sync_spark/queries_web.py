@@ -285,3 +285,93 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("id").alias("host"), "rank_m").orderBy(
         F.desc("rank_m"), F.asc("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration HITS over the DIRECTED mirror graph (r10)
+# ---------------------------------------------------------------------------
+
+_HITS_UNIT, _HITS_ITERS = 1_000_000_000, 2
+
+
+def _host_hits_oracle() -> str:
+    from es_ch_sync_spark import oracles
+
+    pairs = oracles.minhash_near_dup_sql(threshold=0.5)
+    host_a = _HOST.replace("doc_id", "id_a")
+    host_b = _HOST.replace("doc_id", "id_b")
+    prev = "h0"
+    iters_sql = ""
+    for it in range(1, _HITS_ITERS + 1):
+        iters_sql += f"""
+    , araw{it} AS MATERIALIZED (
+        SELECT e.dst AS id, sum(h.h)::HUGEINT AS s
+        FROM edges e JOIN {prev} h ON e.src = h.id GROUP BY 1
+    ),
+    ta{it} AS (SELECT sum(s)::HUGEINT AS t FROM araw{it}),
+    a{it} AS MATERIALIZED (
+        SELECT n.id,
+               coalesce((r.s * {_HITS_UNIT}) // (SELECT t FROM ta{it}),
+                        0)::BIGINT AS a
+        FROM nodes n LEFT JOIN araw{it} r ON n.id = r.id
+    ),
+    hraw{it} AS MATERIALIZED (
+        SELECT e.src AS id, sum(a.a)::HUGEINT AS s
+        FROM edges e JOIN a{it} a ON e.dst = a.id GROUP BY 1
+    ),
+    th{it} AS (SELECT sum(s)::HUGEINT AS t FROM hraw{it}),
+    h{it} AS MATERIALIZED (
+        SELECT n.id,
+               coalesce((r.s * {_HITS_UNIT}) // (SELECT t FROM th{it}),
+                        0)::BIGINT AS h
+        FROM nodes n LEFT JOIN hraw{it} r ON n.id = r.id
+    )"""
+        prev = f"h{it}"
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    he AS MATERIALIZED (
+        SELECT ha, hb FROM (
+            SELECT {host_a} AS ha, {host_b} AS hb FROM pairs
+        ) WHERE ha <> hb
+    ),
+    edges AS MATERIALIZED (SELECT DISTINCT ha AS src, hb AS dst FROM he),
+    nodes AS MATERIALIZED (
+        SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    h0 AS MATERIALIZED (
+        SELECT id, ({_HITS_UNIT} // (SELECT n FROM nn))::BIGINT AS h
+        FROM nodes
+    )
+    {iters_sql}
+    SELECT a{_HITS_ITERS}.id AS host, a{_HITS_ITERS}.a AS auth_m,
+           h{_HITS_ITERS}.h AS hub_m
+    FROM a{_HITS_ITERS} JOIN h{_HITS_ITERS} USING (id)
+    ORDER BY auth_m DESC, hub_m DESC, host
+    """
+
+
+@register("host_hits", _host_hits_oracle())
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (K=2) HITS over the DIRECTED host mirror graph:
+    near-dup pairs point from the earlier doc's host to the later one's
+    (ingestion order — id_a < id_b), so hubs are copy SOURCES and
+    authorities copy SINKS, the directional complement to
+    domain_pagerank's symmetric centrality.  Scores ride as quantized
+    BIGINT units, each L1-normalization an exact
+    (x · unit) div total with DECIMAL(38,0)/HUGEINT products
+    (operators.graph.hits_fixed vs the unrolled-CTE oracle).  The
+    data-sized work is the near-dup mining; each half-step is one
+    equi-join + hash agg over the host-bounded graph."""
+    from es_ch_sync_spark.operators.dedup import minhash_near_duplicates
+    from es_ch_sync_spark.operators.graph import hits_fixed
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    edges = pairs.select(
+        F.expr(_HOST.replace("doc_id", "id_a")).alias("src"),
+        F.expr(_HOST.replace("doc_id", "id_b")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    out = hits_fixed(edges, iterations=_HITS_ITERS, unit=_HITS_UNIT)
+    return out.select(F.col("id").alias("host"), "auth_m", "hub_m").orderBy(
+        F.desc("auth_m"), F.desc("hub_m"), F.asc("host")
+    )

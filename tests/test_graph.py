@@ -118,3 +118,40 @@ def test_pagerank_fixed_integer_exact(spark):
     none = spark.createDataFrame([], "src long, dst long")
     out = pagerank_fixed(none, iterations=2)
     assert out.count() == 0 and set(out.columns) == {"id", "rank_m"}
+
+
+def test_hits_fixed_matches_integer_reference(spark):
+    """hits_fixed equals a straightforward Python reference running the
+    SAME quantized-integer half-steps (h0 = unit div N, L1-normalize to
+    unit via (x*unit)//total) on a hand graph; sink/source nodes score
+    0 on the side they lack."""
+    from es_ch_sync_spark.operators.graph import hits_fixed
+
+    E = [("a", "c"), ("b", "c"), ("c", "d")]
+    unit, iters = 1_000_000_000, 2
+    nodes = sorted({x for e in E for x in e})
+    h = {v: unit // len(nodes) for v in nodes}
+    a = {}
+    for _ in range(iters):
+        raw_a = {v: 0 for v in nodes}
+        for s, d in E:
+            raw_a[d] += h[s]
+        ta = sum(raw_a.values())
+        a = {v: (raw_a[v] * unit) // ta if ta else 0 for v in nodes}
+        raw_h = {v: 0 for v in nodes}
+        for s, d in E:
+            raw_h[s] += a[d]
+        th = sum(raw_h.values())
+        h = {v: (raw_h[v] * unit) // th if th else 0 for v in nodes}
+
+    edges = spark.createDataFrame(E, "src string, dst string")
+    got = {r["id"]: r for r in hits_fixed(edges, iterations=iters).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v]["auth_m"] == a[v], (v, got[v]["auth_m"], a[v])
+        assert got[v]["hub_m"] == h[v], (v, got[v]["hub_m"], h[v])
+    # structural zeros: a/b have no in-edges, d has no out-edges
+    assert got["a"]["auth_m"] == 0 and got["b"]["auth_m"] == 0
+    assert got["d"]["hub_m"] == 0
+    # c is the sole authority-heavy node
+    assert got["c"]["auth_m"] > got["d"]["auth_m"] > 0
