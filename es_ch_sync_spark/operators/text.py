@@ -1749,3 +1749,70 @@ def good_turing_unseen(
         )
     )
     return p0.unionByName(out).orderBy("r")
+
+
+def rm3_expansion(
+    docs: DataFrame,
+    query_terms: list[str],
+    k_docs: int = 10,
+    k_terms: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RM3-style pseudo-relevance-feedback query expansion [Lavrenko &
+    Croft 2001; Abdul-Jaleel et al. 2004]: run BM25, treat the top
+    ``k_docs`` as relevant, and estimate the relevance model
+    p(w|R) ∝ Σ_d p(w|d)·score(d) — the expansion-term miner every
+    retrieval-based curation loop runs after the first pass (mine docs →
+    grow the query → mine again).
+
+    Integer discipline: bm25 scores are already micro-unit exact
+    (bm25_topk sums 6dp-rounded components as BIGINTs), so
+    bm25_m = round(bm25·1e6) reconstructs the exact integer; each
+    per-doc term weight is the integer tf·bm25_m div dl, and the final
+    per-term weight is their exact BIGINT sum — deterministic rank,
+    ties by term.  Original query terms are flagged, not dropped
+    (callers interpolate per RM3's λ).
+
+    Scale: the retrieval pass is bm25_topk's scan; the feedback pass
+    tokenizes only the k_docs selected docs (broadcast semi-join on the
+    k-row id list — the corpus is NOT rescanned at fan-out; column
+    pruning keeps the second scan to (id, text))."""
+    topk = bm25_topk(docs, query_terms, k=k_docs, text_col=text_col, id_col=id_col)
+    sel = topk.select(
+        F.col(id_col),
+        F.round(F.col("bm25") * 1e6).cast("long").alias("_bm"),
+    )
+    fb = docs.select(F.col(id_col), words(F.col(text_col)).alias("_ws")).join(
+        F.broadcast(sel), id_col
+    )
+    tf = (
+        fb.select(
+            F.col(id_col),
+            "_bm",
+            F.size("_ws").alias("_dl"),
+            F.explode("_ws").alias("term"),
+        )
+        .groupBy(id_col, "_bm", "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    qset = [t.lower() for t in query_terms]
+    wgt = (
+        tf.select(
+            "term",
+            F.col(id_col),
+            F.expr("(_tf * _bm) div _dl").alias("_w"),
+        )
+        .groupBy("term")
+        .agg(
+            F.sum("_w").cast("long").alias("weight_m"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select(
+            "term",
+            "weight_m",
+            "n_docs",
+            F.col("term").isin(qset).alias("is_query_term"),
+        )
+    )
+    return wgt.orderBy(F.desc("weight_m"), F.asc("term")).limit(k_terms)

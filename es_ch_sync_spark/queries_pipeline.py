@@ -3375,3 +3375,50 @@ def q_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good_turing_unseen(
         _t(spark, sf_dir, "documents"), k=_GT_K, max_r=_GT_MAX_R
     ).orderBy("r")
+
+
+_RM3_KDOCS, _RM3_KTERMS = 10, 20
+
+
+@register(
+    "rm3_query_expansion",
+    f"""
+    WITH topk AS ({_o.bm25_topk_sql(_BM25_TERMS, k=_RM3_KDOCS)}),
+    sel AS (
+        SELECT doc_id, CAST(round(bm25 * 1000000.0, 0) AS BIGINT) AS bm
+        FROM topk
+    ),
+    fb AS (
+        SELECT d.doc_id, s.bm,
+               string_split({_o.NORM.format(col='d.text')}, ' ') AS ws
+        FROM documents d JOIN sel s USING (doc_id)
+    ),
+    tfg AS (
+        SELECT doc_id, bm, dl, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, bm, len(ws) AS dl, unnest(ws) AS term FROM fb)
+        GROUP BY 1, 2, 3, 4
+    ),
+    wgt AS (
+        SELECT term, sum((tf * bm) // dl)::BIGINT AS weight_m,
+               count(*)::BIGINT AS n_docs
+        FROM tfg GROUP BY term
+    )
+    SELECT term, weight_m, n_docs,
+           term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)}) AS is_query_term
+    FROM wgt ORDER BY weight_m DESC, term LIMIT {_RM3_KTERMS}
+    """,
+)
+def q_rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance-feedback expansion over the bm25_topk query
+    ['spark','merge','stream']: top-10 docs vote expansion terms with
+    weight Σ tf·bm25_m div dl — exact BIGINT arithmetic on the already
+    micro-exact BM25 scores; the feedback tokenize touches only the 10
+    selected docs (broadcast semi-join), never the corpus again."""
+    from es_ch_sync_spark.operators.text import rm3_expansion
+
+    return rm3_expansion(
+        _t(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        k_docs=_RM3_KDOCS,
+        k_terms=_RM3_KTERMS,
+    )

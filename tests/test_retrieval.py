@@ -347,3 +347,36 @@ def test_bm25_from_postings_matches_bm25_topk(spark):
     # the census row kept doc 3: n_docs/avgdl cover the WHOLE corpus
     s = stats.collect()[0]
     assert s["n_docs"] == 4 and abs(s["avgdl"] - 17 / 4) < 1e-12
+
+
+def test_rm3_expansion_laws(spark):
+    """RM3 on a planted corpus: terms co-occurring with the query in the
+    feedback docs outrank terms from non-retrieved docs (which must not
+    appear at all); query terms are flagged, not dropped; weights are
+    exact integers (tf·bm25_m div dl summed)."""
+    from es_ch_sync_spark.operators.text import rm3_expansion
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spark streams shuffle shuffle"),
+            (2, "spark shuffle partition"),
+            (3, "duck goose swan heron"),  # never retrieved for 'spark'
+        ],
+    )
+    out = rm3_expansion(docs, ["spark"], k_docs=2, k_terms=10).collect()
+    by_term = {r["term"]: r for r in out}
+    assert "duck" not in by_term  # non-feedback docs contribute nothing
+    assert by_term["spark"]["is_query_term"] is True
+    assert by_term["shuffle"]["is_query_term"] is False
+    # shuffle occurs 3x across both feedback docs; partition once
+    assert by_term["shuffle"]["n_docs"] == 2
+    assert by_term["shuffle"]["weight_m"] > by_term["partition"]["weight_m"]
+    # exact integer check: weight(partition) = 1 * bm25_m(doc2) div 3
+    import math
+
+    k1, b = 1.2, 0.75
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    comp2 = idf * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * 3 / (11 / 3)))
+    bm_m2 = round(round(comp2, 6) * 1e6)
+    assert by_term["partition"]["weight_m"] == bm_m2 // 3
