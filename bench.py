@@ -82,6 +82,12 @@ EXTENDED = [
     "dedup_snm_multipass",
     "fdr_bh_trends",
     "t_closeness_audit",
+    # round-10 family representatives (corpus stats, directed-graph
+    # centrality) — doc_perplexity_buckets deliberately excluded: its two
+    # trigram passes cost ~15 s/pass at sf0.1, which would triple the
+    # extended section's wall for one row (its ×100 row is in BENCH.md)
+    "zipf_rank_frequency",
+    "host_hits",
 ]
 
 

@@ -2288,3 +2288,178 @@ def classification_report(
             6,
         ).alias("f1"),
     ).orderBy("label")
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """ECE / MCE [Naeini et al. 2015; Guo et al. 2017] — the one-number
+    summaries of calibration_bins' reliability diagram:
+    ECE = Σ_b (n_b/N)·|mean_pred_b − frac_pos_b|, MCE = max_b |gap_b|.
+    The gate a probabilistic quality filter must pass before its scores
+    become sampling weights (a miscalibrated p=0.9 silently over-weights
+    its stratum).
+
+    Exactness: with 6dp-micro-quantized scores, each bin's
+    |Σpm − 1e6·Σy| is an exact BIGINT, so
+    ECE = Σ_b |Σpm_b − 1e6·Σy_b| / (1e6·N) is ONE float division of
+    exact integers; MCE divides per-bin before the max (identical
+    doubles in both engines).  Same fixed-width deterministic bins as
+    calibration_bins, one hash aggregate total."""
+    pm = F.round(F.col(score_col).cast("double") * 1000000.0).cast("long")
+    y = F.col(label_col).cast("long")
+    b = F.least(
+        F.floor(pm / (1000000 / n_bins)).cast("int"), F.lit(n_bins - 1)
+    )
+    g = df.select(b.alias("bin"), pm.alias("_pm"), y.alias("_y")).groupBy(
+        "bin"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_pm").cast("long").alias("_spm"),
+        F.sum("_y").cast("long").alias("_sy"),
+    )
+    adev = F.abs(F.col("_spm") - F.lit(1000000) * F.col("_sy")).cast("long")
+    return g.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.round(
+            F.sum(adev).cast("double")
+            / (F.sum("n").cast("double") * 1000000.0),
+            6,
+        ).alias("ece"),
+        F.round(
+            F.max(adev.cast("double") / (F.col("n").cast("double") * 1000000.0)),
+            6,
+        ).alias("mce"),
+    )
+
+
+def event_transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition census over per-user event streams:
+    (from_type, to_type, n, p) where p = n / Σ_to n — the
+    behavioral-sequence fingerprint next to sessionize/funnel (bot
+    traffic shows near-deterministic rows; a drifting product shows a
+    drifting matrix).  Sequence order is (ts, tiebreak) within each key,
+    exact and total, so the pair stream is deterministic.
+
+    Scale: one keyed window (the sessionize shuffle) → lead(1) pairs →
+    one hash aggregate to the |types|² census; p is one float division
+    of exact BIGINTs off a broadcast row-total join.  Nothing after the
+    window grows with the corpus."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col, 1).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    ct = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = ct.groupBy("from_type").agg(F.sum("n").cast("long").alias("_row"))
+    return (
+        ct.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_row").cast("double"), 6)
+            .alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    trim_num: int = 10,
+    trim_den: int = 100,
+) -> DataFrame:
+    """Per-key trimmed and winsorized means [Tukey; Dixon & Yuen 1974] —
+    the robust-location pair next to mad_outliers' robust-scale: a
+    heavy-tailed metric (payment value, doc length) needs a mean that a
+    handful of whales can't drag.  trim removes the top/bottom
+    trim_num/trim_den fraction; winsorize CLIPS those rows to the
+    surviving boundary values instead.
+
+    Integer discipline: values micro-quantize to BIGINT before any sum;
+    the cut count k = (n·trim_num) div trim_den is integer arithmetic;
+    boundary values are exact rank lookups; both means are ONE float
+    division of exact integer sums.  Rank order is (value, id) — total,
+    so ties cut deterministically.  Keys too small to cut (n ≤ 2k)
+    emit NULL trimmed/winsorized means rather than a fabricated value.
+
+    Scale: one keyed window (rank within key — the sessionize shuffle)
+    and one keyed aggregate; output one narrow row per key."""
+    from pyspark.sql import Window as W
+
+    vm = F.round(F.col(value_col).cast("double") * 1000000.0).cast("long")
+    base = df.select(
+        F.col(key_col).alias("_k"), vm.alias("_vm"), F.col(id_col).alias("_id")
+    ).filter(F.col("_vm").isNotNull())
+    w = W.partitionBy("_k").orderBy("_vm", "_id")
+    ranked = base.select(
+        "_k",
+        "_vm",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(W.partitionBy("_k")).alias("_n"),
+    )
+    k = F.expr(f"(_n * {trim_num}) div {trim_den}")
+    flagged = ranked.select(
+        "_k",
+        "_vm",
+        "_n",
+        k.alias("_cut"),
+        (F.col("_rk") > k).alias("_above_lo"),
+        (F.col("_rk") <= F.col("_n") - k).alias("_below_hi"),
+        (F.col("_rk") == k + 1).alias("_is_lo_bound"),
+        (F.col("_rk") == F.col("_n") - k).alias("_is_hi_bound"),
+    )
+    kept = F.col("_above_lo") & F.col("_below_hi")
+    agg = flagged.groupBy("_k").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_cut").cast("long").alias("n_cut_each"),
+        F.sum(F.when(kept, F.col("_vm"))).cast("long").alias("_s_kept"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("_n_kept"),
+        F.max(F.when(F.col("_is_lo_bound"), F.col("_vm"))).alias("_lo_v"),
+        F.max(F.when(F.col("_is_hi_bound"), F.col("_vm"))).alias("_hi_v"),
+        F.sum("_vm").cast("long").alias("_s_all"),
+    )
+    ok = F.col("n") > 2 * F.col("n_cut_each")
+    wins_sum = (
+        F.col("_s_kept")
+        + F.col("n_cut_each") * F.col("_lo_v")
+        + F.col("n_cut_each") * F.col("_hi_v")
+    )
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n",
+        "n_cut_each",
+        F.round(
+            F.col("_s_all").cast("double") / (F.col("n").cast("double") * 1e6), 6
+        ).alias("mean"),
+        F.round(
+            F.when(
+                ok,
+                F.col("_s_kept").cast("double")
+                / (F.col("_n_kept").cast("double") * 1e6),
+            ),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            F.when(ok, wins_sum.cast("double") / (F.col("n").cast("double") * 1e6)),
+            6,
+        ).alias("winsorized_mean"),
+    ).orderBy(key_col)

@@ -1355,3 +1355,73 @@ def shingle_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT verification over the minhash LSH
+    candidate set [Broder 1997's containment, the quote-inclusion dedup
+    signal]: C(A→B) = |S_A ∩ S_B| / |S_A|.  Symmetric Jaccard
+    underweights a short doc fully quoted inside a long one (small
+    union-normalized overlap); containment flags it at ~1.0 from the
+    short side — the case that matters when the long doc should survive
+    and the embedded copy should not.
+
+    Emits candidate pairs (id_a < id_b) with exact intersection / set
+    sizes and both directed containments, kept when EITHER direction
+    clears ``threshold``.  Same banded LSH front end as
+    minhash_near_duplicates (never all-pairs); per-pair verification is
+    an array intersect over the two per-doc distinct shingle sets —
+    each division a single float over exact integers.
+
+    Recall caveat shared with every minhash front end: banding targets
+    JACCARD, so a high-containment pair with low Jaccard (tiny doc in a
+    huge one) may not collide in any band; for containment-first mining
+    at scale, swap the front end for a prefix-filter on the SHORT side
+    (ppjoin's posture) — this operator keeps the shared-LSH shape so the
+    two verifications are comparable on the same candidates."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("_shs"),
+    )
+    j = (
+        cand.join(
+            sh.select(
+                F.col("_id").alias("id_a"), F.col("_shs").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("_id").alias("id_b"), F.col("_shs").alias("_sb")
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    out = j.select(
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("n_common"),
+        F.size("_sa").cast("long").alias("n_a"),
+        F.size("_sb").cast("long").alias("n_b"),
+        F.round(inter.cast("double") / F.size("_sa").cast("double"), 6).alias(
+            "c_ab"
+        ),
+        F.round(inter.cast("double") / F.size("_sb").cast("double"), 6).alias(
+            "c_ba"
+        ),
+    )
+    return out.filter(
+        (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
+    )

@@ -1534,3 +1534,36 @@ def quality_lr_sql(iters: int = 3, lr: float = 1.0) -> str:
            CASE WHEN 1.0 / (1.0 + exp(-({z}))) >= 0.5 THEN 1 ELSE 0 END AS pred
     FROM feats, {prev}
     """
+
+
+def containment_sql(
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> str:
+    """Mirror of dedup.containment_pairs: directed shingle containment
+    over the shared minhash LSH candidate set — kept when EITHER
+    direction clears the threshold."""
+    return f"""
+    {_minhash_buckets_sql(num_hashes, bands, k)}
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    v AS (
+        SELECT id_a, id_b,
+               len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))::BIGINT
+                   AS n_common,
+               len(sa.shs)::BIGINT AS n_a, len(sb.shs)::BIGINT AS n_b
+        FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+        JOIN sh sb ON cand.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, n_common, n_a, n_b,
+           round(n_common::DOUBLE / n_a::DOUBLE, 6) AS c_ab,
+           round(n_common::DOUBLE / n_b::DOUBLE, 6) AS c_ba
+    FROM v
+    WHERE round(n_common::DOUBLE / n_a::DOUBLE, 6) >= {threshold}
+       OR round(n_common::DOUBLE / n_b::DOUBLE, 6) >= {threshold}
+    """

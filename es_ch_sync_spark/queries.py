@@ -783,6 +783,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
+@register("dedup_containment", oracles.containment_sql(threshold=0.5))
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs over the minhash LSH candidate
+    set — the quote-inclusion dedup signal symmetric Jaccard underweights
+    (a short doc embedded in a long one scores ~1.0 from its own side).
+    Same banded front end as dedup_minhash_lsh; each containment one
+    float division of exact set sizes."""
+    return dd.containment_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
 @register("tfidf_top_terms", oracles.tfidf_top_terms_sql(k=3))
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by tf·ln(N/df); corpus stats via

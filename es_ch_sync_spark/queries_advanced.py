@@ -1062,3 +1062,87 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    ct AS (
+        SELECT from_type, to_type, count(*)::BIGINT AS n
+        FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(n)::BIGINT AS row_n FROM ct GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           round(c.n::DOUBLE / t.row_n::DOUBLE, 6) AS p
+    FROM ct c JOIN tot t USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    — the behavioral-sequence census next to sessionize/funnel: exact
+    (ts, event_id)-ordered lead pairs, one |types|² hash aggregate,
+    transition probability one float division of exact BIGINTs."""
+    from es_ch_sync_spark.operators.analytics import event_transition_matrix
+
+    return event_transition_matrix(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "winsorized_event_stats",
+    """
+    WITH base AS (
+        SELECT event_type AS k,
+               CAST(round(value * 1000000.0, 0) AS BIGINT) AS vm, event_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT k, vm,
+               row_number() OVER (PARTITION BY k ORDER BY vm, event_id) AS rk,
+               count(*) OVER (PARTITION BY k) AS n
+        FROM base
+    ),
+    flagged AS (
+        SELECT k, vm, n, (n * 10) // 100 AS cut, rk
+        FROM ranked
+    ),
+    agg AS (
+        SELECT k, max(n)::BIGINT AS n, max(cut)::BIGINT AS n_cut_each,
+               sum(CASE WHEN rk > cut AND rk <= n - cut THEN vm END)::BIGINT
+                   AS s_kept,
+               sum(CASE WHEN rk > cut AND rk <= n - cut THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_kept,
+               max(CASE WHEN rk = cut + 1 THEN vm END) AS lo_v,
+               max(CASE WHEN rk = n - cut THEN vm END) AS hi_v,
+               sum(vm)::BIGINT AS s_all
+        FROM flagged GROUP BY k
+    )
+    SELECT k AS event_type, n, n_cut_each,
+           round(s_all::DOUBLE / (n::DOUBLE * 1e6), 6) AS mean,
+           round(CASE WHEN n > 2 * n_cut_each
+                      THEN s_kept::DOUBLE / (n_kept::DOUBLE * 1e6) END, 6)
+               AS trimmed_mean,
+           round(CASE WHEN n > 2 * n_cut_each
+                      THEN (s_kept + n_cut_each * lo_v + n_cut_each * hi_v)
+                           ::DOUBLE / (n::DOUBLE * 1e6) END, 6)
+               AS winsorized_mean
+    FROM agg ORDER BY event_type
+    """,
+)
+def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed and winsorized means of event value per event_type —
+    the robust-location pair next to mad_outliers' robust scale.
+    Micro-quantized BIGINT sums, integer cut counts, exact rank-boundary
+    lookups; one keyed window + one keyed aggregate."""
+    from es_ch_sync_spark.operators.analytics import winsorized_stats
+
+    return winsorized_stats(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )

@@ -3422,3 +3422,39 @@ def q_rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_docs=_RM3_KDOCS,
         k_terms=_RM3_KTERMS,
     )
+
+
+@register(
+    "lr_ece",
+    f"""
+    WITH scores AS (
+        SELECT y, p_quality FROM ({_o.quality_lr_sql(iters=3)}) s
+    ),
+    g AS (
+        SELECT least((CAST(round(p_quality * 1000000) AS BIGINT)
+                      // 100000)::INT, 9) AS bin,
+               count(*)::BIGINT AS n,
+               sum(CAST(round(p_quality * 1000000) AS BIGINT))::BIGINT AS spm,
+               sum(y)::BIGINT AS sy
+        FROM scores GROUP BY 1
+    )
+    SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS n_bins_used,
+           round(sum(abs(spm - 1000000 * sy))::DOUBLE
+                 / (sum(n)::DOUBLE * 1000000.0), 6) AS ece,
+           round(max(abs(spm - 1000000 * sy)::DOUBLE
+                     / (n::DOUBLE * 1000000.0)), 6) AS mce
+    FROM g
+    """,
+)
+def q_lr_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error of the LR quality gate —
+    the one-number calibration summary next to lr_calibration's full
+    reliability diagram: ECE is ONE float division of exact BIGINTs
+    (Σ per-bin |Σpm − 1e6·Σy| over 1e6·N), MCE the max of per-bin
+    exact-integer gaps."""
+    from es_ch_sync_spark.operators.analytics import expected_calibration_error
+    from es_ch_sync_spark.operators.text import quality_lr_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)
+    return expected_calibration_error(scored, "y", "p_quality", n_bins=10)

@@ -893,3 +893,38 @@ def test_shingle_novelty_laws(spark):
     assert rows[3]["n_shingles"] == 3 and rows[3]["n_novel"] == 2
     assert rows[3]["novelty"] == round(2 / 3, 6)
     assert rows[4]["n_shingles"] == 1 and rows[4]["novelty"] == 1.0
+
+
+def test_containment_catches_subset_duplicate(spark):
+    """A short doc fully quoted inside a long one: Jaccard is low (small
+    union-normalized overlap) but containment from the short side is 1.0
+    — the quote-inclusion case containment_pairs exists for; an
+    unrelated doc pairs with nothing."""
+    from es_ch_sync_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    longdoc = (
+        quote
+        + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma "
+        + "tau upsilon phi chi psi omega one two three four five six"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, longdoc), (3, "totally different words here only")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r for r in containment_pairs(docs, 0.9).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["c_ab"] == 1.0  # every shingle of the quote is in the long doc
+    assert r["c_ba"] < 0.2
+    assert not any(3 in p for p in got)
+    # symmetric Jaccard on the same pair is far below the containment
+    jac = {
+        (x["id_a"], x["id_b"]): x["jaccard"]
+        for x in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    if (1, 2) in jac:
+        assert jac[(1, 2)] < 0.2

@@ -345,3 +345,54 @@ def test_classification_report_hand_computed(spark):
     assert c["precision"] is None and c["recall"] == 0.0 and c["f1"] == 0.0
     d = got["d"]
     assert d["recall"] is None and d["precision"] == 0.0 and d["f1"] == 0.0
+
+
+def test_expected_calibration_error_hand_computed(spark):
+    """Hand bins: perfectly calibrated scores give ECE = MCE = 0; a
+    planted miscalibrated bin contributes its exact |mean_pred −
+    frac_pos| share; degenerate single-score input still emits one row."""
+    from es_ch_sync_spark.operators.analytics import expected_calibration_error
+
+    # bin 1 (p=0.15): 4 rows, 1 positive -> gap |0.15 - 0.25| = 0.1
+    # bin 8 (p=0.85): 4 rows, 4 positives -> gap |0.85 - 1.0| = 0.15
+    rows = [(0, 0.15)] * 3 + [(1, 0.15)] + [(1, 0.85)] * 4
+    df = spark.createDataFrame(rows, "y int, p double")
+    r = expected_calibration_error(df, "y", "p", n_bins=10).collect()[0]
+    assert r["n"] == 8 and r["n_bins_used"] == 2
+    assert r["ece"] == round((4 * 0.1 + 4 * 0.15) / 8, 6)
+    assert r["mce"] == 0.15
+    # perfectly calibrated: half positives at p = 0.5
+    cal = spark.createDataFrame([(0, 0.5), (1, 0.5)], "y int, p double")
+    r2 = expected_calibration_error(cal, "y", "p").collect()[0]
+    assert r2["ece"] == 0.0 and r2["mce"] == 0.0
+
+
+def test_winsorized_stats_whale_and_small_groups(spark):
+    """A planted whale drags the raw mean but neither robust mean; a
+    group too small to cut (n <= 2k) emits NULL robust means; the
+    winsorized sum replaces exactly k values per side with the boundary
+    values."""
+    from es_ch_sync_spark.operators.analytics import winsorized_stats
+
+    # group 'a': values 1..9 plus a 1000.0 whale -> n=10, k=1
+    rows = [(i, "a", float(v)) for i, v in enumerate([*range(1, 10), 1000])]
+    rows += [(100, "b", 5.0), (101, "b", 7.0)]  # n=2, k=0 -> ok (n > 0)
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r["event_type"]: r for r in winsorized_stats(
+        df, "event_type", "value", "event_id"
+    ).collect()}
+    a = got["a"]
+    assert a["n"] == 10 and a["n_cut_each"] == 1
+    assert a["mean"] == round((45 + 1000) / 10, 6)
+    assert a["trimmed_mean"] == round(sum(range(2, 10)) / 8, 6)  # drop 1, 1000
+    # winsorize: 1 -> 2, 1000 -> 9
+    assert a["winsorized_mean"] == round((sum(range(2, 10)) + 2 + 9) / 10, 6)
+    b = got["b"]
+    assert b["n_cut_each"] == 0  # nothing cut: robust means = raw mean
+    assert b["trimmed_mean"] == b["winsorized_mean"] == b["mean"] == 6.0
+    # degenerate: a 1-row group with 10% trim cuts nothing and stays exact
+    one = spark.createDataFrame(
+        [(0, "z", 3.5)], "event_id long, event_type string, value double"
+    )
+    z = winsorized_stats(one, "event_type", "value", "event_id").collect()[0]
+    assert z["trimmed_mean"] == z["winsorized_mean"] == 3.5

@@ -66,6 +66,10 @@ HEADLINE = [
     "char_entropy_docs", "domain_pagerank", "unigram_vocab",
     "unigram_token_freqs", "retrieval_ranking_eval", "source_jsd",
     "label_agreement_kappa", "dp_event_counts",
+    # round 10
+    "shingle_novelty_docs", "script_ratios_docs", "doc_perplexity_buckets",
+    "zipf_rank_frequency", "good_turing_unseen", "lang_classification_report",
+    "host_hits", "rm3_query_expansion",
 ]
 
 MARKERS = [

@@ -913,6 +913,61 @@ def _r10_sections(spark, docs, replicas, only):
             f"script_ratios x{replicas}",
             lambda: script_ratios(docs).count(),
         )
+    if "zipfgt" in only:
+        from es_ch_sync_spark.operators.text import good_turing_unseen, zipf_fit
+
+        timed(
+            f"zipf_fit x{replicas} (top-500 ranks)",
+            lambda: zipf_fit(docs, top_ranks=500).count(),
+        )
+        timed(
+            f"good_turing_unseen x{replicas} (3-shingle census)",
+            lambda: good_turing_unseen(docs, k=3, max_r=5).count(),
+        )
+    if "langreport" in only:
+        from es_ch_sync_spark.operators.analytics import classification_report
+        from es_ch_sync_spark.operators.text import lang_id
+
+        d = docs.select(
+            F.concat(F.lit("l"), (F.col("doc_id") % 5).cast("string")).alias(
+                "lang"
+            ),
+            lang_id(F.col("text")).alias("pred"),
+        )
+        timed(
+            f"classification_report x{replicas}",
+            lambda: classification_report(d, "lang", "pred").count(),
+        )
+    if "hits" in only:
+        from es_ch_sync_spark.operators import dedup as dd
+        from es_ch_sync_spark.operators.graph import hits_fixed
+
+        pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+        pairs = pairs.localCheckpoint(eager=True)  # time HITS, not LSH
+        host = "('h' || CAST({c} % 9973 AS STRING))"
+        edges = (
+            pairs.select(
+                F.expr(host.format(c="id_a")).alias("src"),
+                F.expr(host.format(c="id_b")).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_edges = edges.count()
+        timed(
+            f"hits_fixed x{replicas} ({n_edges} directed host edges, 2 rounds)",
+            lambda: hits_fixed(edges, iterations=2).count(),
+        )
+    if "rm3" in only:
+        from es_ch_sync_spark.operators.text import rm3_expansion
+
+        timed(
+            f"rm3_expansion x{replicas} (10 feedback docs)",
+            lambda: rm3_expansion(
+                docs, ["sparkx7", "mergex7", "streamx7"], k_docs=10
+            ).count(),
+        )
     if "minhashskew" in only:
         from es_ch_sync_spark.operators.dedup import lsh_buckets
 
