@@ -346,3 +346,63 @@ def hits_fixed(
             F.coalesce("_h", F.lit(0)).cast("long").alias("hub_m"),
         )
     )
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation [Raghavan et al.
+    2007] — the cheap community detector over the mirror graph, the
+    coarser companion to connected components (CC merges anything
+    touching; LPA splits a component along its dense cores).  Each node
+    starts labeled with itself; each round every node adopts the most
+    frequent label among its IN-neighbors PLUS ITS OWN current label
+    (the self-vote variant — plain synchronous LPA oscillates on any
+    bipartite-ish structure, star hubs and bridges included; one self
+    vote damps the flip-flop so fixed-K snapshots are meaningful).
+    Symmetrize edges upstream for the classic undirected behavior.
+    Ties break to the SMALLEST label so every round is deterministic;
+    nodes with no in-edges keep their label.  K is fixed, never
+    data-dependent — the pagerank_fixed / BFS loop contract, one
+    equi-join + count + argmax window per round, label frame
+    localCheckpoint'd so lineage stays O(1).
+
+    Determinism note: synchronous updates + min-label ties + the self
+    vote make the result a pure function of the edge set (asynchronous
+    LPA is famously order-dependent; this variant trades convergence
+    speed for exact cross-engine reproducibility)."""
+    from pyspark.sql import Window as W
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.withColumn("label", F.col("id"))
+    for _ in range(iterations):
+        nbr = e.join(labels, e["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        votes = nbr.unionByName(labels.select("id", "label"))  # self vote
+        counts = votes.groupBy("id", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = W.partitionBy("id").orderBy(F.desc("_c"), F.asc("label"))
+        picked = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(picked, "id", "left")
+            .select("id", F.coalesce("_new", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

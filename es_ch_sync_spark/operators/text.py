@@ -1816,3 +1816,82 @@ def rm3_expansion(
         )
     )
     return wgt.orderBy(F.desc("weight_m"), F.asc("term")).limit(k_terms)
+
+
+# The Gopher document-quality rules [Rae et al. 2021, Appendix A] the
+# operator implements, with their published thresholds.  The stop-word
+# probe list is the paper's.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher repetition-free quality rules [Rae et al. 2021,
+    Appendix A] as one map-only pass: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio (# and … ellipses), alphabetic-word
+    fraction, and the ≥2-distinct-stop-words probe — the standard
+    pre-LM heuristic gate next to the CCNet perplexity tiers
+    (doc_perplexity_buckets handles the model-based leg; this is the
+    rule-based leg every published pipeline runs first).
+
+    Exactness: every count is an exact integer off the normalized token
+    stream — mean word length avoids a per-word explode entirely via
+    total_chars = len(nt) − (n_words − 1) (single-spaced normal form);
+    each ratio is one float division of exact integers; ``passes`` is a
+    boolean conjunction evaluated identically in both engines.
+
+    Scale: fused into the scan — no explode (array_size/filter run
+    inside codegen), no shuffle, one narrow row per doc."""
+    nt = normalize_text(F.col(text_col))
+    ws = F.split(nt, " ")
+    n_words = F.size(ws).cast("long")
+    total_chars = (F.length(nt) - (n_words - F.lit(1))).cast("long")
+    n_hash = (
+        F.length(nt) - F.length(F.regexp_replace(nt, "#", ""))
+    ).cast("long")
+    n_ellipsis = (
+        (
+            F.length(nt)
+            - F.length(F.regexp_replace(nt, r"\.\.\.", ""))
+        )
+        / 3
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(ws, lambda w: w.rlike("[a-z]"))
+    ).cast("long")
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(ws), sw)
+    ).cast("long")
+    mean_wl = total_chars.cast("double") / n_words.cast("double")
+    sym_ratio = (n_hash + n_ellipsis).cast("double") / n_words.cast("double")
+    alpha_frac = n_alpha_words.cast("double") / n_words.cast("double")
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_sym = sym_ratio < max_symbol_ratio
+    ok_alpha = alpha_frac >= min_alpha_word_frac
+    ok_stop = n_stop_distinct >= min_stopword_hits
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop_distinct.alias("n_stopwords"),
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_sym & ok_alpha & ok_stop).alias("passes"),
+    )

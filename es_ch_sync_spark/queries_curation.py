@@ -1149,3 +1149,57 @@ def q_lang_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", lang_id(F.col("text")).alias("pred")
     )
     return classification_report(docs, "lang", "pred")
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               {oracles.NORM.format(col='text')} AS nt,
+               string_split({oracles.NORM.format(col='text')}, ' ') AS ws
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ws)::BIGINT AS n_words,
+               (length(nt) - (len(ws) - 1))::BIGINT AS total_chars,
+               (length(nt) - length(replace(nt, '#', '')))::BIGINT AS n_hash,
+               ((length(nt) - length(replace(nt, '...', ''))) // 3)::BIGINT
+                   AS n_ellipsis,
+               len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))::BIGINT
+                   AS n_alpha,
+               len(list_filter(['the','be','to','of','and','that','have','with'],
+                               s -> list_contains(ws, s)))::BIGINT AS n_stop
+        FROM b
+    )
+    SELECT doc_id, n_words,
+           round(total_chars::DOUBLE / n_words::DOUBLE, 6) AS mean_word_len,
+           round((n_hash + n_ellipsis)::DOUBLE / n_words::DOUBLE, 6)
+               AS symbol_ratio,
+           round(n_alpha::DOUBLE / n_words::DOUBLE, 6) AS alpha_word_frac,
+           n_stop AS n_stopwords,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (total_chars::DOUBLE / n_words::DOUBLE >= 3
+            AND total_chars::DOUBLE / n_words::DOUBLE <= 10) AS ok_word_len,
+           ((n_hash + n_ellipsis)::DOUBLE / n_words::DOUBLE < 0.1) AS ok_symbols,
+           (n_alpha::DOUBLE / n_words::DOUBLE >= 0.8) AS ok_alpha,
+           (n_stop >= 2) AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (total_chars::DOUBLE / n_words::DOUBLE >= 3
+                 AND total_chars::DOUBLE / n_words::DOUBLE <= 10)
+            AND ((n_hash + n_ellipsis)::DOUBLE / n_words::DOUBLE < 0.1)
+            AND (n_alpha::DOUBLE / n_words::DOUBLE >= 0.8)
+            AND (n_stop >= 2)) AS passes
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate [Rae et al. 2021 App. A]: word
+    count, mean word length (via the no-explode single-spaced identity),
+    #/… symbol ratio, alphabetic-word fraction, ≥2-stop-words probe —
+    the heuristic leg next to doc_perplexity_buckets' model-based tiers.
+    Map-only, fused into the scan."""
+    from es_ch_sync_spark.operators.text import gopher_quality_flags
+
+    return gopher_quality_flags(_docs(spark, sf_dir)).orderBy("doc_id")

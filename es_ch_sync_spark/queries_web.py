@@ -375,3 +375,92 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("host"), "auth_m", "hub_m").orderBy(
         F.desc("auth_m"), F.desc("hub_m"), F.asc("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration label-propagation communities over the mirror graph (r10)
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 2
+
+
+def _host_communities_oracle() -> str:
+    from es_ch_sync_spark import oracles
+
+    pairs = oracles.minhash_near_dup_sql(threshold=0.5)
+    host_a = _HOST.replace("doc_id", "id_a")
+    host_b = _HOST.replace("doc_id", "id_b")
+    prev = "l0"
+    iters_sql = ""
+    for it in range(1, _LPA_ITERS + 1):
+        iters_sql += f"""
+    , cnt{it} AS MATERIALIZED (
+        SELECT id, label, count(*)::BIGINT AS c FROM (
+            SELECT e.dst AS id, p.label
+            FROM edges e JOIN {prev} p ON e.src = p.id
+            UNION ALL
+            SELECT id, label FROM {prev}
+        ) GROUP BY 1, 2
+    ),
+    pick{it} AS MATERIALIZED (
+        SELECT id, label AS new_label FROM (
+            SELECT id, label,
+                   row_number() OVER (
+                       PARTITION BY id ORDER BY c DESC, label
+                   ) AS rn
+            FROM cnt{it}
+        ) WHERE rn = 1
+    ),
+    l{it} AS MATERIALIZED (
+        SELECT n.id, coalesce(p.new_label, l.label) AS label
+        FROM nodes n JOIN {prev} l ON n.id = l.id
+        LEFT JOIN pick{it} p ON n.id = p.id
+    )"""
+        prev = f"l{it}"
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    he AS MATERIALIZED (
+        SELECT ha, hb FROM (
+            SELECT {host_a} AS ha, {host_b} AS hb FROM pairs
+        ) WHERE ha <> hb
+    ),
+    edges AS MATERIALIZED (
+        SELECT ha AS src, hb AS dst FROM he
+        UNION
+        SELECT hb, ha FROM he
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ),
+    l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)
+    {iters_sql}
+    SELECT id AS host, label AS community FROM {prev}
+    ORDER BY host
+    """
+
+
+@register("host_communities", _host_communities_oracle())
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (K=2) synchronous label propagation over the
+    SYMMETRIC host mirror graph — the dense-core community view next to
+    domain_pagerank's centrality and the connected-components merge:
+    min-label ties make every round deterministic, so the partition is
+    a pure function of the edge set (exact vs the unrolled-CTE
+    oracle)."""
+    from es_ch_sync_spark.operators.dedup import minhash_near_duplicates
+    from es_ch_sync_spark.operators.graph import label_propagation_fixed
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    he = pairs.select(
+        F.expr(_HOST.replace("doc_id", "id_a")).alias("ha"),
+        F.expr(_HOST.replace("doc_id", "id_b")).alias("hb"),
+    ).filter(F.col("ha") != F.col("hb"))
+    edges = (
+        he.select(F.col("ha").alias("src"), F.col("hb").alias("dst"))
+        .unionByName(he.select(F.col("hb").alias("src"), F.col("ha").alias("dst")))
+        .distinct()
+    )
+    out = label_propagation_fixed(edges, iterations=_LPA_ITERS)
+    return out.select(F.col("id").alias("host"), F.col("label").alias("community")).orderBy(
+        "host"
+    )

@@ -155,3 +155,25 @@ def test_hits_fixed_matches_integer_reference(spark):
     assert got["d"]["hub_m"] == 0
     # c is the sole authority-heavy node
     assert got["c"]["auth_m"] > got["d"]["auth_m"] > 0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: after 2 synchronous
+    min-label rounds each triangle converges to its own minimum label —
+    LPA splits what connected components would merge; determinism is a
+    re-run equality check."""
+    from es_ch_sync_spark.operators.graph import label_propagation_fixed
+
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    und = tri1 + tri2 + bridge
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    got = {r["id"]: r["label"] for r in label_propagation_fixed(edges, 2).collect()}
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"]
+    assert got["x"] != got["a"]  # the bridge did not merge the cliques
+    again = {r["id"]: r["label"] for r in label_propagation_fixed(edges, 2).collect()}
+    assert again == got

@@ -498,3 +498,36 @@ def test_good_turing_laws(spark):
     short = spark.createDataFrame([("one two",)], "text string")
     srows = good_turing_unseen(short, k=3).collect()
     assert {r["r"] for r in srows} == {0, 1}
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Planted docs hit each Gopher rule exactly: a fluent 60-word doc
+    passes; a 5-word doc fails the count floor; a symbol-soup doc fails
+    the #/ellipsis ratio; a no-stopword doc fails the probe; a numeric
+    doc fails the alpha fraction; the no-explode mean-word-length
+    identity is hand-checked."""
+    from es_ch_sync_spark.operators.text import gopher_quality_flags
+
+    fluent = " ".join(
+        ["the quick brown fox jumps over the lazy dog and that have with be to of"]
+        * 5
+    )  # 75 words, all rules pass
+    docs = spark.createDataFrame(
+        [
+            (1, fluent),
+            (2, "too short to pass here"),
+            (3, " ".join(["### ... ###"] * 30 + ["the of and that be"])),
+            (4, " ".join(["lorem ipsum dolor sit amet"] * 12)),  # no stopwords
+            (5, " ".join(["12345 67890"] * 30 + ["the of and that"])),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert got[1]["passes"] is True
+    assert got[2]["ok_word_count"] is False and got[2]["passes"] is False
+    assert got[3]["ok_symbols"] is False and got[3]["passes"] is False
+    assert got[4]["ok_stopwords"] is False and got[4]["passes"] is False
+    assert got[5]["ok_alpha"] is False and got[5]["passes"] is False
+    # mean word length identity: doc 2 = (len - (n-1)) / n over 'too
+    # short to pass here' = (18) / 5
+    assert got[2]["mean_word_len"] == round(18 / 5, 6)
