@@ -939,3 +939,95 @@ def augment_for_mips(
         ).alias(out_col),
     )
     return aug, float(m2) ** 0.5
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    pool: int = 15,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking [Carbonell & Goldstein
+    1998]: greedily pick k results from the cosine top-``pool`` pool,
+    each step maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    selected — the diversity pass a retrieval-curation loop runs so its
+    feedback set isn't k copies of one document (the redundancy RM3 and
+    hybrid_rrf inherit from raw top-k).
+
+    Exactness: relevance and pairwise similarities are the 6dp-rounded
+    cosines micro-quantized to BIGINT; with λ = lam_num/lam_den the
+    selection score is the exact integer
+    mmr_m = lam_num·rel_m − (lam_den − lam_num)·max_sim_m (the lam_den
+    divisor is monotonic — never applied), ties by id: every pick is a
+    pure integer argmax, reproduced verbatim by the oracle's unrolled
+    selection CTEs.
+
+    Scale: MMR is inherently sequential in k, so the loop runs k−1
+    bounded single-ROW collects (the GD-step pattern) — but ALL
+    arithmetic stays in Spark; the pairwise sim table is pool² rows
+    (≤ a few hundred), localCheckpoint'd once.  The corpus-sized work
+    is the one cosine_topk scan that builds the pool."""
+    pool_df = cosine_topk(
+        emb, query_vec, k=pool, id_col=id_col, vec_col=vec_col,
+        exclude_id=exclude_id,
+    ).select(
+        F.col(id_col),
+        F.col("cos_sim"),
+        F.round(F.col("cos_sim") * 1e6).cast("long").alias("_rel_m"),
+    ).localCheckpoint(eager=True)
+    vecs = emb.join(
+        F.broadcast(pool_df.select(id_col)), id_col
+    ).select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    sims = (
+        a.join(b, F.col("a._id") != F.col("b._id"))
+        .select(
+            F.col("a._id").alias("_ida"),
+            F.col("b._id").alias("_idb"),
+            F.round(
+                F.round(cosine(F.col("a._v"), F.col("b._v")), 6) * 1e6
+            ).cast("long").alias("_sim_m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mu = lam_den - lam_num
+    first = (
+        pool_df.orderBy(F.desc("_rel_m"), F.asc(id_col)).limit(1).collect()[0]
+    )
+    picked = [
+        (1, first[id_col], float(first["cos_sim"]), None, int(first["_rel_m"]) * lam_num)
+    ]
+    sel_ids = [first[id_col]]
+    for rank in range(2, k + 1):
+        cand = (
+            pool_df.filter(~F.col(id_col).isin(sel_ids))
+            .join(
+                sims.filter(F.col("_idb").isin(sel_ids)),
+                pool_df[id_col] == sims["_ida"],
+            )
+            .groupBy(id_col, "cos_sim", "_rel_m")
+            .agg(F.max("_sim_m").alias("_ms"))
+            .select(
+                id_col,
+                "cos_sim",
+                "_ms",
+                (F.lit(lam_num) * F.col("_rel_m") - F.lit(mu) * F.col("_ms"))
+                .cast("long")
+                .alias("_mmr_m"),
+            )
+        )
+        row = cand.orderBy(F.desc("_mmr_m"), F.asc(id_col)).limit(1).collect()[0]
+        picked.append(
+            (rank, row[id_col], float(row["cos_sim"]),
+             round(int(row["_ms"]) / 1e6, 6), int(row["_mmr_m"]))
+        )
+        sel_ids.append(row[id_col])
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        picked, f"rank int, {id_col} long, cos_sim double, max_sim double, mmr_m long"
+    )

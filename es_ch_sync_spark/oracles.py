@@ -1567,3 +1567,70 @@ def containment_sql(
     WHERE round(n_common::DOUBLE / n_a::DOUBLE, 6) >= {threshold}
        OR round(n_common::DOUBLE / n_b::DOUBLE, 6) >= {threshold}
     """
+
+
+def mmr_rerank_sql(
+    query_id: int = 0,
+    k: int = 5,
+    pool: int = 15,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> str:
+    """Mirror of similarity.mmr_rerank: greedy MMR over the cosine
+    top-``pool`` pool, each pick an exact integer argmax
+    lam_num·rel_m − (lam_den−lam_num)·max_sim_m, ties by id, unrolled
+    one CTE pair per selection step."""
+    cos = _cosine_sql("b.embedding", "q.embedding")
+    pcos = _cosine_sql("x.embedding", "y.embedding")
+    mu = lam_den - lam_num
+    steps = """
+    sel1 AS MATERIALIZED (
+        SELECT 1 AS rank, vec_id, cos_sim, NULL::DOUBLE AS max_sim,
+               ({ln} * rel_m)::BIGINT AS mmr_m
+        FROM pool ORDER BY rel_m DESC, vec_id LIMIT 1
+    )""".format(ln=lam_num)
+    prev = "sel1"
+    union = ["SELECT * FROM sel1"]
+    for r in range(2, k + 1):
+        steps += f"""
+    , picked{r} AS (SELECT vec_id FROM ({' UNION ALL '.join(union)})),
+    cand{r} AS (
+        SELECT p.vec_id, p.cos_sim, p.rel_m, max(s.sim_m)::BIGINT AS ms
+        FROM pool p JOIN sims s ON s.ida = p.vec_id
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM picked{r})
+          AND s.idb IN (SELECT vec_id FROM picked{r})
+        GROUP BY 1, 2, 3
+    ),
+    sel{r} AS MATERIALIZED (
+        SELECT {r} AS rank, vec_id, cos_sim,
+               round(ms / 1000000.0, 6) AS max_sim,
+               ({lam_num} * rel_m - {mu} * ms)::BIGINT AS mmr_m
+        FROM cand{r}
+        ORDER BY ({lam_num} * rel_m - {mu} * ms) DESC, vec_id LIMIT 1
+    )"""
+        union.append(f"SELECT * FROM sel{r}")
+        prev = f"sel{r}"
+    return f"""
+    WITH pool AS MATERIALIZED (
+        SELECT b.vec_id, round({cos}, 6) AS cos_sim,
+               CAST(round(round({cos}, 6) * 1000000.0, 0) AS BIGINT) AS rel_m
+        FROM embeddings b,
+             (SELECT embedding FROM embeddings WHERE vec_id = {query_id}) q
+        WHERE b.vec_id != {query_id}
+        ORDER BY {cos} DESC, b.vec_id ASC
+        LIMIT {pool}
+    ),
+    ids AS (SELECT vec_id FROM pool),
+    sims AS MATERIALIZED (
+        SELECT x.vec_id AS ida, y.vec_id AS idb,
+               CAST(round(round({pcos}, 6) * 1000000.0, 0) AS BIGINT) AS sim_m
+        FROM embeddings x, embeddings y
+        WHERE x.vec_id IN (SELECT vec_id FROM ids)
+          AND y.vec_id IN (SELECT vec_id FROM ids)
+          AND x.vec_id != y.vec_id
+    ),
+    {steps}
+    SELECT rank, vec_id, cos_sim, max_sim, mmr_m
+    FROM ({' UNION ALL '.join(union)})
+    ORDER BY rank
+    """

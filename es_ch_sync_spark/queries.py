@@ -904,6 +904,19 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(_emb(spark, sf_dir), _query_vec(sf_dir), k=10, exclude_id=0)
 
 
+@register("mmr_rerank_topk", oracles.mmr_rerank_sql(query_id=0, k=5, pool=15))
+def q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking [Carbonell-Goldstein 1998] of the cosine
+    top-15 pool to vec 0: greedy k=5 picks maximizing the exact integer
+    7·rel_m − 3·max_sim_m (λ = 0.7), ties by id — the redundancy-damping
+    pass over raw top-k.  All arithmetic in-engine; the k−1 single-row
+    collects are the GD-step bounded pattern; the oracle unrolls one
+    selection CTE per pick."""
+    return sim.mmr_rerank(
+        _emb(spark, sf_dir), _query_vec(sf_dir), k=5, pool=15, exclude_id=0
+    )
+
+
 @register("mips_topk", oracles.inner_product_topk_sql(query_id=0, k=10))
 def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 by raw INNER PRODUCT to vec 0 (MIPS) — the retrieval

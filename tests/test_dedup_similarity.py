@@ -928,3 +928,31 @@ def test_containment_catches_subset_duplicate(spark):
     }
     if (1, 2) in jac:
         assert jac[(1, 2)] < 0.2
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """Planted pool: two near-identical high-relevance vectors and one
+    moderately relevant orthogonal vector.  Raw top-2 takes the twins;
+    MMR's second pick (at lambda = 0.5, where relevance and redundancy
+    weigh equally) must be the orthogonal vector — the twin's ~0.999
+    similarity to pick 1 erases its relevance edge; rank-1 is always
+    the argmax relevance with NULL max_sim."""
+    from es_ch_sync_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.14, 0.0, 0.0]),      # very relevant
+        (2, [0.98, 0.19, 0.0, 0.0]),      # near-twin of 1
+        (3, [0.7, 0.0, 0.71, 0.0]),       # less relevant, orthogonal-ish
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 0.0, 0.0, 0.0]
+    raw = [r["vec_id"] for r in cosine_topk(emb, q, k=2, exclude_id=0).collect()]
+    assert raw == [1, 2]  # plain top-k keeps the redundant twin
+    out = mmr_rerank(emb, q, k=3, pool=3, lam_num=5, lam_den=10, exclude_id=0).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["vec_id"] == 1 and out[0]["max_sim"] is None
+    assert out[1]["vec_id"] == 3  # diversity beats the twin
+    assert out[2]["vec_id"] == 2
+    # the demoted twin's recorded max_sim is its similarity to pick 1
+    assert out[2]["max_sim"] > 0.99
