@@ -993,6 +993,9 @@ def mmr_rerank(
                 F.round(cosine(F.col("a._v"), F.col("b._v")), 6) * 1e6
             ).cast("long").alias("_sim_m"),
         )
+        # pool² rows: collapse to one partition so the k−1 selection
+        # rounds don't each schedule a full shuffle-partition fan-out
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     mu = lam_den - lam_num

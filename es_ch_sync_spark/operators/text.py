@@ -1895,3 +1895,107 @@ def gopher_quality_flags(
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_wl & ok_sym & ok_alpha & ok_stop).alias("passes"),
     )
+
+
+def heaps_law_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law fit V(N) ≈ K·N^β [Heaps 1978] over the corpus in
+    ingestion order (ascending id): ln V regressed on ln N at
+    ``checkpoints`` evenly-spaced prefix points — the vocabulary-growth
+    exponent that says whether a crawl is still discovering new language
+    (β near the 0.4–0.6 of natural text) or re-crawling itself (β → 0),
+    the stream-level companion to zipf_fit's snapshot and
+    shingle_novelty's per-doc curve.
+
+    No cumulative-distinct pass exists or is needed: a word counts
+    toward V(prefix c) iff its FIRST occurrence (min doc id — the
+    shingle_novelty index) lands in the prefix, so one word-level
+    explode + one min-aggregate + two bounded censuses (first-doc
+    bucket, tokens-per-doc bucket) produce every checkpoint's exact
+    (N, V) pair; the OLS runs over the ``checkpoints``-row table with
+    the zipf_fit integer contract (micro-quantized ln, DECIMAL(38,0)
+    moments, float only in the final divisions).
+
+    Checkpoint c covers docs with bucket(doc) ≤ c where bucket is
+    ntile-free: bucket = ((rank_of_doc·checkpoints − 1) div n_docs) + 1
+    over the ascending-id rank — integer arithmetic, no window over
+    data rows beyond one id rank (computed on the DISTINCT doc table,
+    corpus-bounded but narrow; at 100 TB swap for a precomputed ingest
+    sequence number)."""
+    from pyspark.sql import Window as W
+
+    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ids = d.select("_id").distinct()
+    n_docs = ids.count()
+    if n_docs == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "n_checkpoints long, beta double, ln_k double, r2 double"
+        )
+    wr = W.orderBy("_id")
+    bucketed = (
+        ids.select("_id", F.row_number().over(wr).alias("_rk"))
+        .select(
+            "_id",
+            F.expr(f"((_rk * {checkpoints} - 1) div {n_docs}) + 1").alias("_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    toks = d.select("_id", F.explode(words(F.col("_t"))).alias("_w")).filter(
+        F.col("_w") != ""
+    )
+    first = (
+        toks.join(bucketed, "_id")
+        .groupBy("_w")
+        .agg(F.min("_b").alias("_fb"))
+        .groupBy("_fb")
+        .agg(F.count(F.lit(1)).cast("long").alias("_new_types"))
+    )
+    tokens_per_bucket = (
+        toks.join(bucketed, "_id")
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_toks"))
+    )
+    wcum = W.orderBy("_b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pts = (
+        tokens_per_bucket.join(
+            first.withColumnRenamed("_fb", "_b"), "_b", "left"
+        )
+        .select(
+            "_b",
+            F.sum("_toks").over(wcum).alias("_n"),
+            F.sum(F.coalesce("_new_types", F.lit(0))).over(wcum).alias("_v"),
+        )
+        .filter((F.col("_n") > 0) & (F.col("_v") > 0))
+    )
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
+    xy = pts.select(lnm(F.col("_n")).alias("x"), lnm(F.col("_v")).alias("y"))
+    d38 = "decimal(38,0)"
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).cast(d38).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).cast(d38).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38)).cast(d38).alias("syy"),
+    )
+    nn = F.col("n").cast(d38)
+    num = nn * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy").cast(d38)
+    den = nn * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx").cast(d38)
+    deny = nn * F.col("syy") - F.col("sy").cast(d38) * F.col("sy").cast(d38)
+    beta = num.cast("double") / den.cast("double")
+    ln_k = (
+        F.col("sy").cast("double") - beta * F.col("sx").cast("double")
+    ) / (F.col("n").cast("double") * 1000000.0)
+    r2 = (num.cast("double") * num.cast("double")) / (
+        den.cast("double") * deny.cast("double")
+    )
+    return agg.select(
+        F.col("n").alias("n_checkpoints"),
+        F.round(F.when(den > 0, beta), 6).alias("beta"),
+        F.round(F.when(den > 0, ln_k), 6).alias("ln_k"),
+        F.round(F.when((den > 0) & (deny > 0), r2), 6).alias("r2"),
+    )

@@ -3458,3 +3458,85 @@ def q_lr_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     scored = quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)
     return expected_calibration_error(scored, "y", "p_quality", n_bins=10)
+
+
+_HEAPS_CP = 10
+
+
+def _heaps_oracle() -> str:
+    norm = _o.NORM.format(col="text")
+    return f"""
+    WITH ids AS (SELECT doc_id FROM documents),
+    nn AS (SELECT count(*)::BIGINT AS n_docs FROM ids),
+    bucketed AS MATERIALIZED (
+        SELECT doc_id,
+               ((row_number() OVER (ORDER BY doc_id) * {_HEAPS_CP} - 1)
+                // (SELECT n_docs FROM nn)) + 1 AS b
+        FROM ids
+    ),
+    toks AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(string_split({norm}, ' ')) AS word
+            FROM documents
+        ) WHERE word <> ''
+    ),
+    first AS (
+        SELECT fb, count(*)::BIGINT AS new_types FROM (
+            SELECT t.word, min(b.b) AS fb
+            FROM toks t JOIN bucketed b USING (doc_id)
+            GROUP BY t.word
+        ) GROUP BY fb
+    ),
+    tpb AS (
+        SELECT b.b, count(*)::BIGINT AS toks
+        FROM toks t JOIN bucketed b USING (doc_id) GROUP BY b.b
+    ),
+    pts AS (
+        SELECT sum(toks) OVER w AS n,
+               sum(coalesce(new_types, 0)) OVER w AS v
+        FROM tpb LEFT JOIN first ON tpb.b = first.fb
+        WINDOW w AS (ORDER BY tpb.b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    xy AS (
+        SELECT CAST(round(ln(n) * 1000000.0, 0) AS BIGINT) AS x,
+               CAST(round(ln(v) * 1000000.0, 0) AS BIGINT) AS y
+        FROM pts WHERE n > 0 AND v > 0
+    ),
+    s AS (
+        SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+               sum(y)::HUGEINT AS sy,
+               sum(x::HUGEINT * y::HUGEINT)::HUGEINT AS sxy,
+               sum(x::HUGEINT * x::HUGEINT)::HUGEINT AS sxx,
+               sum(y::HUGEINT * y::HUGEINT)::HUGEINT AS syy
+        FROM xy
+    )
+    SELECT n::BIGINT AS n_checkpoints,
+           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+               (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+           END, 6) AS beta,
+           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+               (sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                              / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+               / (n::DOUBLE * 1000000.0)
+           END, 6) AS ln_k,
+           round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               ((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)
+               / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
+           END, 6) AS r2
+    FROM s
+    """
+
+
+@register("heaps_law_fit", _heaps_oracle())
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) ≈ K·N^β over 10
+    ingestion-order prefix checkpoints — β near natural-text 0.4–0.6
+    means the crawl still discovers language; β → 0 means it re-crawls
+    itself.  No cumulative-distinct pass: first-occurrence bucket
+    censuses give every checkpoint's exact (N, V); zipf_fit's
+    integer-OLS contract."""
+    from es_ch_sync_spark.operators.text import heaps_law_fit
+
+    return heaps_law_fit(_t(spark, sf_dir, "documents"), checkpoints=_HEAPS_CP)

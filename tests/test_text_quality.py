@@ -531,3 +531,26 @@ def test_gopher_quality_flags_rules(spark):
     # mean word length identity: doc 2 = (len - (n-1)) / n over 'too
     # short to pass here' = (18) / 5
     assert got[2]["mean_word_len"] == round(18 / 5, 6)
+
+
+def test_heaps_law_fit_extremes(spark):
+    """All-new-words corpus: V = N at every checkpoint → β = 1, r² = 1,
+    ln_k = 0.  All-identical corpus: V saturates after the first
+    checkpoint → β near 0.  Empty corpus → empty frame."""
+    from es_ch_sync_spark.operators.text import heaps_law_fit
+
+    fresh = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c") for i in range(10)],
+        "doc_id long, text string",
+    )
+    r = heaps_law_fit(fresh, checkpoints=10).collect()[0]
+    assert r["n_checkpoints"] == 10
+    assert r["beta"] == 1.0 and r["r2"] == 1.0 and r["ln_k"] == 0.0
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)],
+        "doc_id long, text string",
+    )
+    r2 = heaps_law_fit(same, checkpoints=10).collect()[0]
+    assert abs(r2["beta"]) < 0.05  # vocabulary stopped growing
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert heaps_law_fit(empty).count() == 0

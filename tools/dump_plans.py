@@ -69,7 +69,9 @@ HEADLINE = [
     # round 10
     "shingle_novelty_docs", "script_ratios_docs", "doc_perplexity_buckets",
     "zipf_rank_frequency", "good_turing_unseen", "lang_classification_report",
-    "host_hits", "rm3_query_expansion",
+    "host_hits", "rm3_query_expansion", "lr_ece", "event_transition_matrix",
+    "dedup_containment", "winsorized_event_stats", "gopher_quality_flags",
+    "host_communities", "mmr_rerank_topk",
 ]
 
 MARKERS = [

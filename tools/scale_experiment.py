@@ -968,6 +968,97 @@ def _r10_sections(spark, docs, replicas, only):
                 docs, ["sparkx7", "mergex7", "streamx7"], k_docs=10
             ).count(),
         )
+    if "gopher" in only:
+        from es_ch_sync_spark.operators.text import gopher_quality_flags
+
+        timed(
+            f"gopher_quality_flags x{replicas}",
+            lambda: gopher_quality_flags(docs).count(),
+        )
+    if "ppl2" in only:
+        from es_ch_sync_spark.operators.analytics import (
+            expected_calibration_error,
+            winsorized_stats,
+        )
+        from es_ch_sync_spark.operators.text import quality_lr_scores
+
+        scored = quality_lr_scores(
+            docs, label=F.col("doc_id") % 3 == 0, iters=3
+        )
+        timed(
+            f"expected_calibration_error x{replicas} (LR-scored corpus)",
+            lambda: expected_calibration_error(scored, "y", "p_quality").count(),
+        )
+        vals = docs.select(
+            F.col("doc_id").alias("event_id"),
+            F.concat(F.lit("t"), (F.col("doc_id") % 7).cast("string")).alias(
+                "event_type"
+            ),
+            (F.length("text") % 997).cast("double").alias("value"),
+        )
+        timed(
+            f"winsorized_stats x{replicas} (7 keys over 500k values)",
+            lambda: winsorized_stats(
+                vals, "event_type", "value", "event_id"
+            ).count(),
+        )
+    if "transitions" in only:
+        from es_ch_sync_spark.io.sources import read_parquet_table
+        from es_ch_sync_spark.operators.analytics import event_transition_matrix
+
+        ev = read_parquet_table(spark, SF, "events")
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        big = ev.crossJoin(reps).select(
+            (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+            F.col("ts"),
+            (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+            F.col("event_type"),
+        )
+        timed(
+            f"event_transition_matrix x{replicas} (20M events)",
+            lambda: event_transition_matrix(big).count(),
+        )
+    if "containment" in only:
+        from es_ch_sync_spark.operators.dedup import containment_pairs
+
+        timed(
+            f"containment_pairs x{replicas}",
+            lambda: containment_pairs(docs, threshold=0.5).count(),
+        )
+    if "lpa" in only:
+        from es_ch_sync_spark.operators import dedup as dd
+        from es_ch_sync_spark.operators.graph import label_propagation_fixed
+
+        pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+        pairs = pairs.localCheckpoint(eager=True)
+        host = "('h' || CAST({c} % 9973 AS STRING))"
+        he = pairs.select(
+            F.expr(host.format(c="id_a")).alias("ha"),
+            F.expr(host.format(c="id_b")).alias("hb"),
+        ).filter(F.col("ha") != F.col("hb"))
+        edges = (
+            he.select(F.col("ha").alias("src"), F.col("hb").alias("dst"))
+            .unionByName(
+                he.select(F.col("hb").alias("src"), F.col("ha").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_edges = edges.count()
+        timed(
+            f"label_propagation_fixed x{replicas} ({n_edges} host edges, 2 rounds)",
+            lambda: label_propagation_fixed(edges, iterations=2).count(),
+        )
+    if "mmr" in only:
+        from es_ch_sync_spark.operators.similarity import mmr_rerank
+
+        emb100 = spark.read.parquet(f"{CACHE}/r{replicas}_embeddings.parquet")
+        qv = [float(x) for x in range(64)]
+        qv = [x / sum(qv) for x in qv]
+        timed(
+            f"mmr_rerank x{replicas} (pool 15 over 200k vectors)",
+            lambda: mmr_rerank(emb100, qv, k=5, pool=15).count(),
+        )
     if "minhashskew" in only:
         from es_ch_sync_spark.operators.dedup import lsh_buckets
 
