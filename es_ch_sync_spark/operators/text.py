@@ -1999,3 +1999,47 @@ def heaps_law_fit(
         F.round(F.when(den > 0, ln_k), 6).alias("ln_k"),
         F.round(F.when((den > 0) & (deny > 0), r2), 6).alias("r2"),
     )
+
+
+def c4_line_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning rules [Raffel et al. 2020 §2.2] as one
+    map-only pass — the companion to gopher_quality_flags' document-level
+    gate: keep only lines that end in terminal punctuation (. ! ? ")
+    and have ≥ ``min_line_words`` words, drop lines containing
+    'javascript'; the PAGE is dropped when it has < ``min_kept_lines``
+    surviving lines, contains 'lorem ipsum', or contains a curly brace
+    (code leakage).  Returns per-doc line census, the cleaned text
+    (kept lines re-joined with \\n), and the page-keep verdict.
+
+    Everything is array algebra over split(text, '\\n') fused into the
+    scan — no explode, no shuffle; counts are exact integers and the
+    verdicts boolean conjunctions, identical in both engines."""
+    lines = F.split(F.col(text_col), "\n")
+    lt = lambda ln: F.lower(F.trim(ln))
+    keep_line = lambda ln: (
+        lt(ln).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_line_words)
+        & ~lt(ln).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    low = F.lower(F.col(text_col))
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = low.contains("{") | low.contains("}")
+    n_kept = F.size(kept).cast("long")
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        (
+            (n_kept >= min_kept_lines) & ~has_lorem & ~has_brace
+        ).alias("keep_page"),
+    )

@@ -1203,3 +1203,38 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.text import gopher_quality_flags
 
     return gopher_quality_flags(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "c4_line_filters",
+    """
+    WITH b AS (
+        SELECT doc_id, string_split(text, chr(10)) AS lines, lower(text) AS low
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, len(lines)::BIGINT AS n_lines,
+               list_filter(lines, ln ->
+                   regexp_matches(lower(trim(ln)), '[.!?"]$')
+                   AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 3
+                   AND NOT contains(lower(trim(ln)), 'javascript')
+               ) AS kept,
+               contains(low, 'lorem ipsum') AS has_lorem,
+               (contains(low, '{') OR contains(low, '}')) AS has_brace
+        FROM b
+    )
+    SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept_lines,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           has_lorem AS has_lorem_ipsum, has_brace,
+           (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep_page
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning [Raffel et al. 2020 §2.2]: terminal-
+    punctuation + ≥3-word + no-javascript line keeps, lorem-ipsum /
+    curly-brace / <3-kept-lines page drops — the line-granular companion
+    to gopher_quality_flags, map-only, fused into the scan."""
+    from es_ch_sync_spark.operators.text import c4_line_filters
+
+    return c4_line_filters(_docs(spark, sf_dir)).orderBy("doc_id")

@@ -554,3 +554,39 @@ def test_heaps_law_fit_extremes(spark):
     assert abs(r2["beta"]) < 0.05  # vocabulary stopped growing
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert heaps_law_fit(empty).count() == 0
+
+
+def test_c4_line_filters_rules(spark):
+    """Planted pages hit each C4 rule: a clean 3-sentence page survives
+    with all lines; a no-terminal-punctuation line and a short line and
+    a javascript line are dropped from clean_text; lorem-ipsum and
+    curly-brace pages are dropped wholesale even with good lines."""
+    from es_ch_sync_spark.operators.text import c4_line_filters
+
+    good = "This is a fine sentence.\nAnother good line here!\nA third one?"
+    mixed = (
+        "This line is kept properly.\nno punctuation here\nShort one.\n"
+        "Please enable javascript to continue.\nAnd a final good line.\n"
+        "Last valid sentence stands."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, mixed),
+            (3, "Lorem ipsum dolor sit amet.\nGood line follows here.\nMore text here now.\nAnd again a line."),
+            (4, "if (x) { return y; }\nGood sentence one.\nGood sentence two.\nGood sentence three."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in c4_line_filters(docs).collect()}
+    g = got[1]
+    assert g["n_lines"] == 3 and g["n_kept_lines"] == 3 and g["keep_page"] is True
+    assert g["clean_text"] == good
+    m = got[2]
+    # kept: line 1, line 5, line 6 ('Short one.' has < 3 words,
+    # 'no punctuation here' lacks terminal punct, javascript dropped)
+    assert m["n_lines"] == 6 and m["n_kept_lines"] == 3
+    assert "javascript" not in m["clean_text"]
+    assert m["keep_page"] is True
+    assert got[3]["has_lorem_ipsum"] is True and got[3]["keep_page"] is False
+    assert got[4]["has_brace"] is True and got[4]["keep_page"] is False

@@ -71,7 +71,8 @@ HEADLINE = [
     "zipf_rank_frequency", "good_turing_unseen", "lang_classification_report",
     "host_hits", "rm3_query_expansion", "lr_ece", "event_transition_matrix",
     "dedup_containment", "winsorized_event_stats", "gopher_quality_flags",
-    "host_communities", "mmr_rerank_topk",
+    "host_communities", "mmr_rerank_topk", "heaps_law_fit",
+    "c4_line_filters",
 ]
 
 MARKERS = [
