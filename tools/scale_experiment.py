@@ -1059,6 +1059,17 @@ def _r10_sections(spark, docs, replicas, only):
             f"mmr_rerank x{replicas} (pool 15 over 200k vectors)",
             lambda: mmr_rerank(emb100, qv, k=5, pool=15).count(),
         )
+    if "heapsc4" in only:
+        from es_ch_sync_spark.operators.text import c4_line_filters, heaps_law_fit
+
+        timed(
+            f"heaps_law_fit x{replicas} (10 checkpoints)",
+            lambda: heaps_law_fit(docs, checkpoints=10).count(),
+        )
+        timed(
+            f"c4_line_filters x{replicas}",
+            lambda: c4_line_filters(docs).count(),
+        )
     if "minhashskew" in only:
         from es_ch_sync_spark.operators.dedup import lsh_buckets
 
