@@ -1357,7 +1357,7 @@ def shingle_novelty(
     )
 
 
-def containment_pairs(
+def containment_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
@@ -1366,9 +1366,10 @@ def containment_pairs(
     bands: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Asymmetric shingle CONTAINMENT verification over the minhash LSH
-    candidate set [Broder 1997's containment, the quote-inclusion dedup
-    signal]: C(A→B) = |S_A ∩ S_B| / |S_A|.  Symmetric Jaccard
+    """DIRECTED shingle containment over the minhash LSH candidate set
+    [Broder 1997's containment]: C(A→B) = |S_A ∩ S_B| / |S_A| — the
+    banded-front-end, both-directions variant of ``containment_pairs``
+    (which verifies |A∩B|/min exhaustively via the shingle equi-join).  Symmetric Jaccard
     underweights a short doc fully quoted inside a long one (small
     union-normalized overlap); containment flags it at ~1.0 from the
     short side — the case that matters when the long doc should survive

@@ -790,7 +790,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a short doc embedded in a long one scores ~1.0 from its own side).
     Same banded front end as dedup_minhash_lsh; each containment one
     float division of exact set sizes."""
-    return dd.containment_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return dd.containment_pairs_lsh(_docs(spark, sf_dir), threshold=0.5)
 
 
 @register("tfidf_top_terms", oracles.tfidf_top_terms_sql(k=3))

@@ -901,7 +901,7 @@ def test_containment_catches_subset_duplicate(spark):
     — the quote-inclusion case containment_pairs exists for; an
     unrelated doc pairs with nothing."""
     from es_ch_sync_spark.operators.dedup import (
-        containment_pairs,
+        containment_pairs_lsh,
         ngram_jaccard_pairs,
     )
 
@@ -915,7 +915,7 @@ def test_containment_catches_subset_duplicate(spark):
         [(1, quote), (2, longdoc), (3, "totally different words here only")],
         "doc_id long, text string",
     )
-    got = {(r["id_a"], r["id_b"]): r for r in containment_pairs(docs, 0.9).collect()}
+    got = {(r["id_a"], r["id_b"]): r for r in containment_pairs_lsh(docs, 0.9).collect()}
     assert (1, 2) in got
     r = got[(1, 2)]
     assert r["c_ab"] == 1.0  # every shingle of the quote is in the long doc

@@ -1019,11 +1019,11 @@ def _r10_sections(spark, docs, replicas, only):
             lambda: event_transition_matrix(big).count(),
         )
     if "containment" in only:
-        from es_ch_sync_spark.operators.dedup import containment_pairs
+        from es_ch_sync_spark.operators.dedup import containment_pairs_lsh
 
         timed(
-            f"containment_pairs x{replicas}",
-            lambda: containment_pairs(docs, threshold=0.5).count(),
+            f"containment_pairs_lsh x{replicas}",
+            lambda: containment_pairs_lsh(docs, threshold=0.5).count(),
         )
     if "lpa" in only:
         from es_ch_sync_spark.operators import dedup as dd
