@@ -999,9 +999,13 @@ def mmr_rerank(
         .localCheckpoint(eager=True)
     )
     mu = lam_den - lam_num
-    first = (
-        pool_df.orderBy(F.desc("_rel_m"), F.asc(id_col)).limit(1).collect()[0]
-    )
+    head = pool_df.orderBy(F.desc("_rel_m"), F.asc(id_col)).limit(1).collect()
+    if not head:  # empty corpus / everything excluded
+        return emb.sparkSession.createDataFrame(
+            [],
+            f"rank int, {id_col} long, cos_sim double, max_sim double, mmr_m long",
+        )
+    first = head[0]
     picked = [
         (1, first[id_col], float(first["cos_sim"]), None, int(first["_rel_m"]) * lam_num)
     ]
@@ -1024,7 +1028,10 @@ def mmr_rerank(
                 .alias("_mmr_m"),
             )
         )
-        row = cand.orderBy(F.desc("_mmr_m"), F.asc(id_col)).limit(1).collect()[0]
+        rows = cand.orderBy(F.desc("_mmr_m"), F.asc(id_col)).limit(1).collect()
+        if not rows:  # pool exhausted before k picks
+            break
+        row = rows[0]
         picked.append(
             (rank, row[id_col], float(row["cos_sim"]),
              round(int(row["_ms"]) / 1e6, 6), int(row["_mmr_m"]))
