@@ -1191,7 +1191,10 @@ def chi2_independence(
     per-cell contribution (O·N − R·C)²/(N·R·C) is ONE float expression
     over exact BIGINT counts, micro-quantized to a long before the final
     sum — so the statistic is bit-identical cross-engine regardless of
-    cell iteration order.  Output: one row (chi2, dof, n).
+    cell iteration order.  Output: one row (chi2, dof, n, cramers_v) —
+    Cramér's V = sqrt(χ² / (n·(min(r,c)−1))) [Cramér 1946] is the
+    sample-size-free effect size riding along for free (NULL when either
+    margin is constant: association undefined, never 0/0).
 
     Scale: the contingency table is |A|·|B| cells (tiny for real
     categorical columns); row/col totals broadcast back onto it.  The
@@ -1240,6 +1243,20 @@ def chi2_independence(
         (F.col("_chi2_m").cast("double") / F.lit(1000000.0)).alias("chi2"),
         ((F.col("_na") - 1) * (F.col("_nb") - 1)).cast("long").alias("dof"),
         F.col("_nn").cast("long").alias("n"),
+        F.round(
+            F.when(
+                (F.least("_na", "_nb") > 1) & (F.col("_nn") > 0),
+                F.sqrt(
+                    F.col("_chi2_m").cast("double")
+                    / F.lit(1000000.0)
+                    / (
+                        F.col("_nn").cast("double")
+                        * (F.least("_na", "_nb") - F.lit(1)).cast("double")
+                    )
+                ),
+            ),
+            6,
+        ).alias("cramers_v"),
     )
 
 

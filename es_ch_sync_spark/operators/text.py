@@ -2043,3 +2043,44 @@ def c4_line_filters(
             (n_kept >= min_kept_lines) & ~has_lorem & ~has_brace
         ).alias("keep_page"),
     )
+
+
+def tokenizer_compression(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source tokenizer compression census: UTF-8 bytes, whitespace
+    tokens, and BPE-ish regex tokens, with bytes-per-token for both —
+    the compression-rate lens next to tokenizer_fertility (fertility
+    compares tokenizers per word; this prices each source's text in
+    tokens, the number a training-budget planner multiplies by cost).
+    A source whose bytes/token diverges from the corpus is under- or
+    over-segmented there (URLs, code, CJK).
+
+    Exactness: all three counts are exact BIGINT sums off one scan (the
+    regex extraction runs inside codegen); each rate is ONE float
+    division of exact integers.  One hash aggregate keyed on the
+    source."""
+    agg = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.octet_length(F.col(text_col))).cast("long").alias("n_bytes"),
+        F.sum(token_count_ws(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+        F.sum(token_count_bpe(F.col(text_col))).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+    rate = lambda denom: F.round(
+        F.col("n_bytes").cast("double")
+        / F.when(F.col(denom) > 0, F.col(denom).cast("double")),
+        6,
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_bytes",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        rate("n_ws_tokens").alias("bytes_per_ws_token"),
+        rate("n_bpe_tokens").alias("bytes_per_bpe_token"),
+    ).orderBy("source")

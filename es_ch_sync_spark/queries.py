@@ -732,6 +732,50 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+@register(
+    "dedup_cluster_sizes",
+    f"""
+    WITH comp AS ({oracles.dedup_clusters_sql(threshold=0.5)}),
+    sizes AS (
+        SELECT cluster_id, count(*)::BIGINT AS cluster_size
+        FROM comp GROUP BY cluster_id
+    )
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_docs,
+           (cluster_size * count(*) - count(*))::BIGINT AS n_removable
+    FROM sizes GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup-audit summary a
+    keep-one pass prints before deleting anything: how many clusters of
+    each size exist, how many docs they hold, and the removable count
+    (size − 1 per cluster).  Derives from the connected components over
+    the verified minhash pairs with two more keyed aggregates; the
+    histogram is bounded by the largest cluster size."""
+    pairs = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    comp = dd.connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            (F.col("cluster_size") * F.col("n_clusters") - F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 @register("corpus_pipeline", oracles.corpus_pipeline_sql(threshold=0.5))
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end pretraining corpus pipeline in one plan: exact-dedup

@@ -969,7 +969,14 @@ def q_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT sum(m)::DOUBLE / 1000000.0 AS chi2,
            ((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1))::BIGINT AS dof,
-           max(n)::BIGINT AS n
+           max(n)::BIGINT AS n,
+           round(CASE WHEN least(count(DISTINCT a), count(DISTINCT b)) > 1
+                       AND max(n) > 0
+                 THEN sqrt((sum(m)::DOUBLE / 1000000.0)
+                           / (max(n)::DOUBLE
+                              * (least(count(DISTINCT a),
+                                       count(DISTINCT b)) - 1)))
+                 END, 6) AS cramers_v
     FROM contrib
     """,
 )
@@ -1145,4 +1152,55 @@ def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return winsorized_stats(
         _t(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
+@register(
+    "chi2_lang_source",
+    """
+    WITH obs AS (
+        SELECT lang AS a, source AS b, count(*)::BIGINT AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT av.a, bv.b, coalesce(obs.o, 0)::BIGINT AS o
+        FROM (SELECT DISTINCT a FROM obs) av
+        CROSS JOIN (SELECT DISTINCT b FROM obs) bv
+        LEFT JOIN obs ON obs.a = av.a AND obs.b = bv.b
+    ),
+    rt AS (SELECT a, sum(o)::BIGINT AS ra FROM cells GROUP BY 1),
+    ct AS (SELECT b, sum(o)::BIGINT AS cb FROM cells GROUP BY 1),
+    nt AS (SELECT sum(o)::BIGINT AS n FROM cells),
+    contrib AS (
+        SELECT CAST(round(
+                   (o::DOUBLE * n::DOUBLE - ra::DOUBLE * cb::DOUBLE)
+                   * (o::DOUBLE * n::DOUBLE - ra::DOUBLE * cb::DOUBLE)
+                   / (n::DOUBLE * ra::DOUBLE * cb::DOUBLE) * 1000000.0
+               ) AS BIGINT) AS m,
+               a, b, n
+        FROM cells JOIN rt USING (a) JOIN ct USING (b), nt
+    )
+    SELECT sum(m)::DOUBLE / 1000000.0 AS chi2,
+           ((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1))::BIGINT AS dof,
+           max(n)::BIGINT AS n,
+           round(CASE WHEN least(count(DISTINCT a), count(DISTINCT b)) > 1
+                       AND max(n) > 0
+                 THEN sqrt((sum(m)::DOUBLE / 1000000.0)
+                           / (max(n)::DOUBLE
+                              * (least(count(DISTINCT a),
+                                       count(DISTINCT b)) - 1)))
+                 END, 6) AS cramers_v
+    FROM contrib
+    """,
+)
+def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang × source independence with Cramér's V — the mixture-balance
+    audit with an effect size: χ² over 20M rows is always 'significant';
+    V says whether language composition actually differs across sources
+    enough to matter.  Multi-level × multi-level (min(r,c) > 2), so V
+    exercises the non-phi branch."""
+    from es_ch_sync_spark.operators.analytics import chi2_independence
+
+    return chi2_independence(
+        _t(spark, sf_dir, "documents"), "lang", "source"
     )

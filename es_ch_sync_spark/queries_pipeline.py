@@ -3540,3 +3540,37 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.text import heaps_law_fit
 
     return heaps_law_fit(_t(spark, sf_dir, "documents"), checkpoints=_HEAPS_CP)
+
+
+@register(
+    "tokenizer_compression",
+    f"""
+    WITH per AS (
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               sum(strlen(text))::BIGINT AS n_bytes,
+               sum(len(string_split({_o.NORM.format(col='text')}, ' ')))
+                   ::BIGINT AS n_ws_tokens,
+               sum(len(regexp_extract_all(text, '{{tre}}')))::BIGINT
+                   AS n_bpe_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_bytes, n_ws_tokens, n_bpe_tokens,
+           round(n_bytes::DOUBLE
+                 / (CASE WHEN n_ws_tokens > 0 THEN n_ws_tokens::DOUBLE END),
+                 6) AS bytes_per_ws_token,
+           round(n_bytes::DOUBLE
+                 / (CASE WHEN n_bpe_tokens > 0 THEN n_bpe_tokens::DOUBLE END),
+                 6) AS bytes_per_bpe_token
+    FROM per ORDER BY source
+    """.replace("{tre}", "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"),
+)
+def q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bytes / whitespace-token / BPE-ish-token census with
+    bytes-per-token rates — the compression-rate lens next to
+    tokenizer_fertility: prices each source's text in tokens for budget
+    planning.  One scan, one source-keyed hash aggregate, exact BIGINT
+    sums, one float division per rate."""
+    from es_ch_sync_spark.operators.text import tokenizer_compression
+
+    return tokenizer_compression(_t(spark, sf_dir, "documents"))

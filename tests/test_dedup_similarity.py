@@ -613,6 +613,15 @@ def test_chi2_independence_zero_for_independent_table(spark):
         spark.createDataFrame(dep, "a string, b string"), "a", "b"
     ).collect()[0]
     assert abs(got2["chi2"] - 60.0) < 1e-6
+    # Cramér's V rides along: 0 for independence, 1 for determinism,
+    # NULL when a margin is constant (min(r,c) = 1)
+    assert got["cramers_v"] == 0.0
+    assert abs(got2["cramers_v"] - 1.0) < 1e-6
+    const = spark.createDataFrame(
+        [("x", "p"), ("x", "q")], "a string, b string"
+    )
+    got3 = chi2_independence(const, "a", "b").collect()[0]
+    assert got3["cramers_v"] is None
 
 
 def test_mann_whitney_hand_computed_with_ties(spark):

@@ -590,3 +590,27 @@ def test_c4_line_filters_rules(spark):
     assert m["keep_page"] is True
     assert got[3]["has_lorem_ipsum"] is True and got[3]["keep_page"] is False
     assert got[4]["has_brace"] is True and got[4]["keep_page"] is False
+
+
+def test_tokenizer_compression_hand_counts(spark):
+    """Hand-counted per-source census: bytes (UTF-8 — the accented char
+    counts 2), whitespace tokens, BPE-ish tokens; rate NULL when a
+    source has zero tokens of a kind."""
+    from es_ch_sync_spark.operators.text import tokenizer_compression
+
+    docs = spark.createDataFrame(
+        [(1, "héllo world", "a"), (2, "a-b", "a"), (3, "", "b")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in tokenizer_compression(docs).collect()}
+    a = got["a"]
+    # bytes: 'héllo world' = 12 (é is 2), 'a-b' = 3
+    assert a["n_bytes"] == 15
+    assert a["n_ws_tokens"] == 3  # hello, world, a-b
+    # 'héllo' splits h | é | llo (é is outside [A-Za-z]), + world, a, -, b
+    assert a["n_bpe_tokens"] == 7
+    assert a["bytes_per_ws_token"] == 5.0
+    assert a["bytes_per_bpe_token"] == round(15 / 7, 6)
+    b = got["b"]
+    assert b["n_bytes"] == 0 and b["n_bpe_tokens"] == 0
+    assert b["bytes_per_bpe_token"] is None

@@ -72,7 +72,8 @@ HEADLINE = [
     "host_hits", "rm3_query_expansion", "lr_ece", "event_transition_matrix",
     "dedup_containment", "winsorized_event_stats", "gopher_quality_flags",
     "host_communities", "mmr_rerank_topk", "heaps_law_fit",
-    "c4_line_filters",
+    "c4_line_filters", "chi2_lang_source", "tokenizer_compression",
+    "dedup_cluster_sizes",
 ]
 
 MARKERS = [
