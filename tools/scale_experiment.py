@@ -1070,6 +1070,38 @@ def _r10_sections(spark, docs, replicas, only):
             f"c4_line_filters x{replicas}",
             lambda: c4_line_filters(docs).count(),
         )
+    if "batch2r10" in only:
+        from es_ch_sync_spark.operators import dedup as dd
+        from es_ch_sync_spark.operators.analytics import chi2_independence
+        from es_ch_sync_spark.operators.text import lang_id, tokenizer_compression
+
+        d = docs.select(
+            lang_id(F.col("text")).alias("lang"),
+            F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string")).alias(
+                "source"
+            ),
+            "text",
+            "doc_id",
+        )
+        timed(
+            f"chi2_independence+cramers_v x{replicas} (lang x 20 sources)",
+            lambda: chi2_independence(d, "lang", "source").count(),
+        )
+        timed(
+            f"tokenizer_compression x{replicas} (20 sources)",
+            lambda: tokenizer_compression(d, group_col="source").count(),
+        )
+        pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+        pairs = pairs.localCheckpoint(eager=True)  # time sizes, not LSH
+        comp = dd.connected_components(pairs)
+
+        def _sizes() -> int:
+            sizes = comp.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).alias("cluster_size")
+            )
+            return sizes.groupBy("cluster_size").count().count()
+
+        timed(f"dedup_cluster_sizes x{replicas} (post-LSH)", _sizes)
     if "minhashskew" in only:
         from es_ch_sync_spark.operators.dedup import lsh_buckets
 
