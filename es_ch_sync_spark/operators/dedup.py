@@ -1426,3 +1426,106 @@ def containment_pairs_lsh(
     return out.filter(
         (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
     )
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """CONTAINMENT-FIRST candidate generation with EXACT recall — the
+    prefix-filter miner ``containment_pairs_lsh`` names as its own scale
+    path (r10 verdict: minhash banding tracks *Jaccard*, so the
+    operator's motivating pair — a short doc fully quoted inside a long
+    one, containment ≈ 1.0 but Jaccard ≈ |short|/|long| — is precisely
+    the pair least likely to share a band).  Same directed semantics and
+    output schema as the LSH variant: C(A→B) = |S_A ∩ S_B| / |S_A|,
+    pairs kept when EITHER direction clears ``threshold``.
+
+    Candidate generation is the SSJoin/PPJoin prefix principle
+    [Chaudhuri et al. 2006; Xiao et al. 2008] applied to the DIRECTED
+    threshold, which depends only on the PROBING side's size: C(X→Y) ≥ t
+    forces |X∩Y| ≥ ⌈t·|X|⌉, so the overlap cannot fit inside X's last
+    ⌈t·|X|⌉ − 1 tokens — Y must share a token with X's first
+    |X| − ⌈t·|X|⌉ + 1 tokens in ascending-document-frequency order.
+    Probing the FULL inverted index with only those (rarest-first)
+    prefixes covers both directions (every doc probes once, is indexed
+    once) with recall exactly 1 — the brute-force oracle is a proof, not
+    a sample.  The lossless size filter |Y| ≥ ⌈t·|X|⌉ prunes
+    size-incompatible collisions inside the join.
+
+    Scale shape: df-ordering is one aggregate + one per-doc window
+    (bounded by doc length); candidate cost is Σ_tok pfx_df(tok)·df(tok)
+    — prefixes hold each doc's RAREST tokens, so the hot tokens that
+    dominate an unfiltered token join never probe (they can still be
+    probed INTO, which is what makes short-in-long visible at all);
+    verification touches candidates only.  Same vocabulary-driven
+    selectivity caveat as prefix_filter_pairs: a tiny-vocabulary
+    (templated/log-like) corpus degrades — run minhash first there."""
+    from pyspark.sql import Window as W
+
+    src = spread(df)
+    sets = (
+        src.select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_k).alias("ts"),
+        )
+        .withColumn("n", F.size("ts"))
+        .where(F.col("n") > 0)
+    )
+    toks = sets.select(F.col(id_col), "n", F.explode("ts").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked = toks.join(dfreq, "tok").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy(id_col).orderBy(F.col("f"), F.col("tok"))
+        ),
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    probe = ranked.where(F.col("rn") <= prefix_len).select(
+        F.col(id_col).alias("_pid"), "tok", F.col("n").alias("_pn")
+    )
+    index = toks.select(
+        F.col(id_col).alias("_fid"), "tok", F.col("n").alias("_fn")
+    )
+    probe = probe.withColumnRenamed("tok", "_ptok")
+    cand = (
+        probe.join(
+            index,
+            (F.col("_ptok") == F.col("tok"))
+            & (F.col("_pid") != F.col("_fid"))
+            # lossless: C(probe→indexed) ≥ t needs |Y| ≥ ⌈t·|X|⌉
+            & (F.col("_fn") >= F.ceil(F.lit(threshold) * F.col("_pn"))),
+        )
+        .select(
+            F.least("_pid", "_fid").alias("id_a"),
+            F.greatest("_pid", "_fid").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col("ts").alias("_sa")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col("ts").alias("_sb")
+    )
+    j = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    out = j.select(
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("n_common"),
+        F.size("_sa").cast("long").alias("n_a"),
+        F.size("_sb").cast("long").alias("n_b"),
+        F.round(inter.cast("double") / F.size("_sa").cast("double"), 6).alias(
+            "c_ab"
+        ),
+        F.round(inter.cast("double") / F.size("_sb").cast("double"), 6).alias(
+            "c_ba"
+        ),
+    )
+    return out.filter(
+        (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
+    )

@@ -1569,6 +1569,33 @@ def containment_sql(
     """
 
 
+def containment_prefix_sql(threshold: float = 0.5, k: int = 3) -> str:
+    """Oracle for dedup.containment_pairs_prefix: EXHAUSTIVE directed
+    containment (shingle equi-join — every pair with ≥1 shared shingle),
+    kept when either direction clears the threshold.  The operator's
+    prefix filter has recall 1 by construction, so a value match here
+    PROVES the filter lost nothing."""
+    return f"""
+    {_shingles_cte(k)}
+    , e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*)::BIGINT AS n_common
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+           round(n_common::DOUBLE / sa.n::DOUBLE, 6) AS c_ab,
+           round(n_common::DOUBLE / sb.n::DOUBLE, 6) AS c_ba
+    FROM inter
+    JOIN (SELECT doc_id, len(shs) AS n FROM sh) sa ON id_a = sa.doc_id
+    JOIN (SELECT doc_id, len(shs) AS n FROM sh) sb ON id_b = sb.doc_id
+    WHERE round(n_common::DOUBLE / sa.n::DOUBLE, 6) >= {threshold}
+       OR round(n_common::DOUBLE / sb.n::DOUBLE, 6) >= {threshold}
+    """
+
+
 def mmr_rerank_sql(
     query_id: int = 0,
     k: int = 5,

@@ -837,6 +837,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.containment_pairs_lsh(_docs(spark, sf_dir), threshold=0.5)
 
 
+@register("containment_pairs_prefix", oracles.containment_prefix_sql(threshold=0.5))
+def q_containment_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-FIRST miner (r10 verdict directive #1): prefix-filter
+    candidate generation on the probing side's rarest shingles, recall
+    exactly 1 for either-direction containment ≥ 0.5 — closes the
+    low-Jaccard/high-containment recall hole of dedup_containment's
+    minhash front end.  The exhaustive oracle is a proof of the filter."""
+    return dd.containment_pairs_prefix(_docs(spark, sf_dir), threshold=0.5)
+
+
 @register("tfidf_top_terms", oracles.tfidf_top_terms_sql(k=3))
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by tf·ln(N/df); corpus stats via

@@ -965,3 +965,115 @@ def test_mmr_rerank_prefers_diversity(spark):
     assert out[2]["vec_id"] == 2
     # the demoted twin's recorded max_sim is its similarity to pick 1
     assert out[2]["max_sim"] > 0.99
+
+
+def test_containment_prefix_finds_pair_lsh_misses(spark):
+    """r10 verdict directive #1: a planted short-in-long pair with
+    containment 1.0 but Jaccard ≈ 0.04 — minhash banding (Jaccard-
+    targeted) provably misses it; the prefix-filter miner must find it
+    with exact intersection arithmetic."""
+    short = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    long = short + " " + " ".join(f"w{i:03d}" for i in range(200))
+    filler = [(i, " ".join(f"f{i}x{j}" for j in range(12))) for i in range(3, 8)]
+    df = spark.createDataFrame(
+        [(1, short), (2, long)] + filler, "doc_id long, text string"
+    )
+    # the motivating pair: C(short→long)=1.0, J = 8/208 ≈ 0.038 ≤ 0.1
+    lsh = dd.containment_pairs_lsh(df, threshold=0.9).collect()
+    assert lsh == []  # no band collision at J≈0.04 — the recall hole
+    got = {(r["id_a"], r["id_b"]): r
+           for r in dd.containment_pairs_prefix(df, threshold=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["n_common"] == 8 and r["n_a"] == 8 and r["n_b"] == 208
+    assert r["c_ab"] == 1.0 and r["c_ba"] == round(8 / 208, 6)
+
+
+def test_containment_prefix_matches_exhaustive(spark):
+    """Recall-1 proof on a mixed corpus: the prefix-filtered pairs equal
+    brute-force directed containment over every pair sharing a shingle."""
+    import itertools
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog near the river bank",
+        2: "quick brown fox jumps over the lazy dog",  # contained tail
+        3: "a completely different document about spark query planning",
+        4: "spark query planning and adaptive execution in modern engines",
+        5: "the quick brown fox jumps over the lazy dog near the river bank today",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def shingles(t, k=3):
+        w = t.split()
+        if len(w) < k:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+    expect = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        inter = len(sa & sb)
+        if inter and (round(inter / len(sa), 6) >= 0.5
+                      or round(inter / len(sb), 6) >= 0.5):
+            expect[(a, b)] = (inter, len(sa), len(sb))
+    got = {(r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"])
+           for r in dd.containment_pairs_prefix(df, threshold=0.5).collect()}
+    assert got == expect and len(expect) >= 2
+
+
+def test_event_transition_matrix_hand_computed(spark):
+    """r10 verdict directive #5: 2-user 4-event hand-computed matrix;
+    the tie at equal ts breaks by event_id."""
+    from es_ch_sync_spark.operators.analytics import event_transition_matrix
+
+    rows = [
+        # user 1: a→b→a   (ts order)
+        (1, 10, "a", 100),
+        (1, 20, "b", 101),
+        (1, 30, "a", 102),
+        # user 2: two events at the SAME ts — order must fall to event_id:
+        # (ts=5,id=200,'b') → (ts=5,id=201,'a') → (ts=9,id=202,'b')
+        (2, 5, "b", 200),
+        (2, 5, "a", 201),
+        (2, 9, "b", 202),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, event_id long"
+    )
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in event_transition_matrix(df).collect()}
+    # pairs: u1: (a,b),(b,a); u2: (b,a),(a,b)  → a→b: 2 of 2, b→a: 2 of 2
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (2, 1.0)}
+    # flip the tie-break ids: u2 becomes a→b→b, changing the census
+    rows2 = [r for r in rows if r[3] < 200] + [
+        (2, 5, "b", 201), (2, 5, "a", 200), (2, 9, "b", 202)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, ts long, event_type string, event_id long"
+    )
+    got2 = {(r["from_type"], r["to_type"]): r["n"]
+            for r in event_transition_matrix(df2).collect()}
+    assert got2 == {("a", "b"): 2, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_dedup_cluster_sizes_planted_two_clusters(spark):
+    """r10 verdict directive #5: planted 2-cluster corpus — a 3-copy
+    cluster and a 2-copy cluster — yields the exact histogram."""
+    base3 = "one two three four five six seven eight nine ten eleven twelve"
+    base2 = "red orange yellow green blue indigo violet ultraviolet infrared xray"
+    docs = [
+        (1, base3), (2, base3 + " thirteen"), (3, base3),
+        (10, base2), (11, base2),
+        (20, "an unrelated singleton document about nothing in particular at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = dd.minhash_near_duplicates(df, threshold=0.5)
+    comp = dd.connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    hist = {r["cluster_size"]: r["n_clusters"] for r in
+            sizes.groupBy("cluster_size")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+                 .collect()}
+    assert hist == {3: 1, 2: 1}
