@@ -1941,10 +1941,16 @@ def calibration_bins(
     (scores 6dp-micro-quantized), one hash aggregate total."""
     pm = F.round(F.col(score_col).cast("double") * 1000000.0).cast("long")
     y = F.col(label_col).cast("long")
-    b = F.least(
-        F.floor(pm / (1000000 / n_bins)).cast("int"), F.lit(n_bins - 1)
-    )
-    g = df.select(b.alias("bin"), pm.alias("_pm"), y.alias("_y")).groupBy(
+    # integer bucket math (r10 advice #3): (pm·n_bins) div 1e6 — a Python
+    # float width 1e6/n_bins drifts from the oracle's integer // when
+    # n_bins does not divide 1e6
+    g = df.select(pm.alias("_pm"), y.alias("_y")).select(
+        F.expr(
+            f"least((_pm * {n_bins}) div 1000000, {n_bins - 1})"
+        ).cast("int").alias("bin"),
+        "_pm",
+        "_y",
+    ).groupBy(
         "bin"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -2328,10 +2334,16 @@ def expected_calibration_error(
     calibration_bins, one hash aggregate total."""
     pm = F.round(F.col(score_col).cast("double") * 1000000.0).cast("long")
     y = F.col(label_col).cast("long")
-    b = F.least(
-        F.floor(pm / (1000000 / n_bins)).cast("int"), F.lit(n_bins - 1)
-    )
-    g = df.select(b.alias("bin"), pm.alias("_pm"), y.alias("_y")).groupBy(
+    # integer bucket math (r10 advice #3): (pm·n_bins) div 1e6 — a Python
+    # float width 1e6/n_bins drifts from the oracle's integer // when
+    # n_bins does not divide 1e6
+    g = df.select(pm.alias("_pm"), y.alias("_y")).select(
+        F.expr(
+            f"least((_pm * {n_bins}) div 1000000, {n_bins - 1})"
+        ).cast("int").alias("bin"),
+        "_pm",
+        "_y",
+    ).groupBy(
         "bin"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -2396,7 +2408,7 @@ def event_transition_matrix(
     )
 
 
-def winsorized_stats(
+def winsorized_stats_ranktrim(
     df: DataFrame,
     key_col: str,
     value_col: str,

@@ -269,15 +269,30 @@ def hits_fixed(
         hᵣ(v)  = L1-normalize_to_unit( Σ_{v→w} aᵣ(w) )
 
     where normalize_to_unit(x) = (x · unit) div Σx with the product
-    riding as DECIMAL(38,0) (HUGEINT in the oracle) so nothing
-    overflows.  Nodes with no in-edges score authority 0; no out-edges
-    → hub 0.  Requires N ≤ unit (h₀ > 0), which a 1e9 unit grants any
-    realistic host graph.
-
-    Scale shape: identical to pagerank_fixed — edges and nodes
-    localCheckpoint once; each half-step is one equi-join + hash
-    aggregate on the node key plus a 1-row total broadcast back;
-    score frames checkpoint per round so lineage stays O(1); K fixed."""
+    riding as DECIMAL(38,0) (HUGEINT in the oracle).  Nodes with no
+    in-edges score authority 0; no out-edges → hub 0.  Requires N ≤ unit
+    (h₀ > 0), which the default 1e9 unit grants any realistic host
+    graph, AND unit small enough that score·unit fits DECIMAL(38,0): a
+    raw half-step sum is ≤ unit·max_degree, so unit²·max_degree < 1e38
+    must hold — a DECIMAL(38,0) overflow is a NULL product that
+    coalesces to a silent 0 score (r10 advice #5), so the ceiling is
+    ASSERTED here (unit ≤ 1e14 leaves 10 decimal digits of degree
+    headroom) rather than documented away.  ``iterations ≥ 1`` is also
+    enforced — with zero iterations there is no authority frame to
+    return (r10 advice #1)."""
+    if iterations < 1:
+        raise ValueError(
+            f"hits_fixed requires iterations >= 1, got {iterations}: the "
+            f"first half-step creates the authority frame the result joins"
+        )
+    if not 0 < unit <= 10**14:
+        raise ValueError(
+            f"hits_fixed unit={unit} out of range (0, 1e14]: the L1 "
+            f"normalize rides score·unit through DECIMAL(38,0) and a raw "
+            f"score is bounded by unit·max_degree, so unit²·degree must "
+            f"stay below 1e38 — an overflow would surface as NULL→0 "
+            f"scores, not an error"
+        )
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)

@@ -951,6 +951,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    max_pool: int = 1000,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking [Carbonell & Goldstein
     1998]: greedily pick k results from the cosine top-``pool`` pool,
@@ -971,7 +972,23 @@ def mmr_rerank(
     bounded single-ROW collects (the GD-step pattern) — but ALL
     arithmetic stays in Spark; the pairwise sim table is pool² rows
     (≤ a few hundred), localCheckpoint'd once.  The corpus-sized work
-    is the one cosine_topk scan that builds the pool."""
+    is the one cosine_topk scan that builds the pool.
+
+    The pool is GUARDED (r10 verdict directive #6, the kendall_tau_pairs
+    ceiling posture): the sims table is pool² rows coalesced to ONE
+    partition and the loop issues k−1 driver round-trips, so an
+    unbounded pool turns a diversity re-rank into a single-task
+    quadratic + a driver-paced scan.  pool ≤ 1000 (10⁶ sims rows) keeps
+    both effects sub-second; raise the ceiling explicitly for a sized
+    cluster via ``max_pool``."""
+    if not 0 < pool <= max_pool:
+        raise ValueError(
+            f"mmr_rerank pool={pool} exceeds max_pool={max_pool}: the "
+            f"pairwise sims table is pool² rows on ONE partition and the "
+            f"selection loop runs k−1 driver round-trips — re-rank a "
+            f"bounded pool (MMR's contract) or raise max_pool explicitly "
+            f"for a sized cluster"
+        )
     pool_df = cosine_topk(
         emb, query_vec, k=pool, id_col=id_col, vec_col=vec_col,
         exclude_id=exclude_id,

@@ -190,8 +190,21 @@ _DRIVER_SAMPLED_R9 = frozenset({
 
 _DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R9
 
+_DRIVER_SAMPLED_R10 = frozenset({
+    "c4_line_filters", "chi2_lang_source", "dedup_cluster_sizes",
+    "dedup_containment", "decontaminate", "doc_perplexity_buckets",
+    "event_transition_matrix", "global_shuffle", "good_turing_unseen",
+    "gopher_quality_flags", "heaps_law_fit", "host_communities",
+    "host_hits", "lang_classification_report", "lr_ece",
+    "mmr_rerank_topk", "pack_sequences", "quality_budget_select",
+    "rm3_query_expansion", "source_cap", "tokenizer_compression",
+    "winsorized_event_stats", "zipf_rank_frequency",
+})
+
+_DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R10
+
 # Queries whose LATEST driver row is red for a since-fixed reason and must
-# be re-sampled to flip green.  Empty after r9: the driver's 50-row sample
+# be re-sampled to flip green.  Empty after r10: the driver's 50-row sample
 # came back 50/50, so no registry name is currently red.
 _RED_LATEST: tuple[str, ...] = ()
 

@@ -1148,9 +1148,9 @@ def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the robust-location pair next to mad_outliers' robust scale.
     Micro-quantized BIGINT sums, integer cut counts, exact rank-boundary
     lookups; one keyed window + one keyed aggregate."""
-    from es_ch_sync_spark.operators.analytics import winsorized_stats
+    from es_ch_sync_spark.operators.analytics import winsorized_stats_ranktrim
 
-    return winsorized_stats(
+    return winsorized_stats_ranktrim(
         _t(spark, sf_dir, "events"), "event_type", "value", "event_id"
     )
 

@@ -2765,8 +2765,8 @@ def q_lr_auc_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT y, p_quality FROM ({_o.quality_lr_sql(iters=3)}) s
     ),
     g AS (
-        SELECT least((CAST(round(p_quality * 1000000) AS BIGINT)
-                      // 100000)::INT, 9) AS bin,
+        SELECT least(((CAST(round(p_quality * 1000000) AS BIGINT)
+                      * 10) // 1000000)::INT, 9) AS bin,
                count(*)::BIGINT AS n,
                sum(CAST(round(p_quality * 1000000) AS BIGINT))::BIGINT AS spm,
                sum(y)::BIGINT AS sy
@@ -3332,7 +3332,7 @@ _GT_SHINGLE_WC = f"""
                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                       ' ') AS ws
                   FROM documents)
-        ) GROUP BY s
+        ) WHERE s != '' GROUP BY s
     )"""
 
 
@@ -3431,8 +3431,8 @@ def q_rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT y, p_quality FROM ({_o.quality_lr_sql(iters=3)}) s
     ),
     g AS (
-        SELECT least((CAST(round(p_quality * 1000000) AS BIGINT)
-                      // 100000)::INT, 9) AS bin,
+        SELECT least(((CAST(round(p_quality * 1000000) AS BIGINT)
+                      * 10) // 1000000)::INT, 9) AS bin,
                count(*)::BIGINT AS n,
                sum(CAST(round(p_quality * 1000000) AS BIGINT))::BIGINT AS spm,
                sum(y)::BIGINT AS sy

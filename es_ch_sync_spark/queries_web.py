@@ -464,3 +464,66 @@ def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("host"), F.col("label").alias("community")).orderBy(
         "host"
     )
+
+
+# PSL query (r10 advice #4): registered_domain_psl's wildcard-suffix
+# self-emit and rule-key normalization were unit-tested but never
+# sweep-guarded.  Hosts are constructed deterministically from doc_id to
+# hit every rule path: plain longest-match, inline-comment-normalized
+# rule, wildcard, exception, plain-suffix host (emits itself via its PSL
+# parent), and the n == rule-span wildcard self-emit.  The oracle derives
+# each variant's registered domain INDEPENDENTLY (hand-applied PSL
+# algorithm per variant), so a normalization or precedence regression
+# surfaces as a value mismatch, not a silent fallback.
+_PSL_G = f"CAST({_BASE.replace('/ 5.0', '/ 6.0')} % 23 AS STRING)"
+_PSL_HOST = f"""CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN 'a' || {_PSL_G} || '.example.com'
+  WHEN 1 THEN 'b' || {_PSL_G} || '.web.co.uk'
+  WHEN 2 THEN 'c' || {_PSL_G} || '.foo.bar.ck'
+  WHEN 3 THEN 'd' || {_PSL_G} || '.www.ck'
+  WHEN 4 THEN 'co.uk'
+  ELSE 'sub.kawasaki.jp'
+END"""
+_PSL_RULES = [
+    "com",
+    "uk  ",                              # trailing whitespace (CRLF-ish)
+    "co.uk   // corporate registrations",  # inline comment to strip
+    "*.ck",
+    "!www.ck",
+    "*.kawasaki.jp",
+    "jp",
+    "// a full comment line",            # trims to '' and is dropped
+    "   ",
+]
+
+
+@register(
+    "psl_registered_domain",
+    f"""
+    WITH u AS (SELECT doc_id, {_PSL_HOST} AS host FROM documents)
+    SELECT doc_id, host,
+           CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN 'example.com'       -- plain 'com', longest match
+             WHEN 1 THEN 'web.co.uk'         -- 'co.uk' via comment-stripped rule
+             WHEN 2 THEN 'foo.bar.ck'        -- wildcard '*.ck' beats no plain rule
+             WHEN 3 THEN 'www.ck'            -- exception '!www.ck' overrides '*.ck'
+             WHEN 4 THEN 'co.uk'             -- host IS a plain suffix: parent 'uk'
+             ELSE 'sub.kawasaki.jp'          -- n == span wildcard self-emit
+           END AS domain
+    FROM u
+    """,
+)
+def q_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 against an inline PSL rule table exercising every rule
+    class (plain/wildcard/exception), rule-key normalization (inline
+    comments, trailing whitespace, comment-only lines), and both
+    suffix-host self-emit paths.  Plan: per tail length one LEFT
+    BroadcastHashJoin against the broadcast rule slices — no explode,
+    no shuffle, no window."""
+    from es_ch_sync_spark.operators.web import registered_domain_psl
+
+    hosts = _docs(spark, sf_dir).selectExpr("doc_id", f"{_PSL_HOST} AS host")
+    rules = spark.createDataFrame([(r,) for r in _PSL_RULES], "suffix string")
+    return registered_domain_psl(hosts, "host", rules).select(
+        "doc_id", "host", "domain"
+    )

@@ -1077,3 +1077,19 @@ def test_dedup_cluster_sizes_planted_two_clusters(spark):
                  .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
                  .collect()}
     assert hist == {3: 1, 2: 1}
+
+
+def test_mmr_pool_guard_refuses_oversized_pool(spark):
+    """r10 verdict directive #6: the pool² sims table + k−1 driver
+    round-trips are guarded — an over-wide pool fails loudly before any
+    corpus work; an explicit max_pool raise is honored."""
+    from es_ch_sync_spark.operators.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="max_pool"):
+        mmr_rerank(emb, [1.0, 0.0], k=3, pool=1001)
+    out = mmr_rerank(emb, [1.0, 0.0], k=2, pool=1001, max_pool=2000).collect()
+    assert len(out) == 2

@@ -372,7 +372,7 @@ def test_winsorized_stats_whale_and_small_groups(spark):
     group too small to cut (n <= 2k) emits NULL robust means; the
     winsorized sum replaces exactly k values per side with the boundary
     values."""
-    from es_ch_sync_spark.operators.analytics import winsorized_stats
+    from es_ch_sync_spark.operators.analytics import winsorized_stats_ranktrim as winsorized_stats
 
     # group 'a': values 1..9 plus a 1000.0 whale -> n=10, k=1
     rows = [(i, "a", float(v)) for i, v in enumerate([*range(1, 10), 1000])]

@@ -177,3 +177,18 @@ def test_label_propagation_two_cliques(spark):
     assert got["x"] != got["a"]  # the bridge did not merge the cliques
     again = {r["id"]: r["label"] for r in label_propagation_fixed(edges, 2).collect()}
     assert again == got
+
+
+def test_hits_fixed_guards_iterations_and_unit(spark):
+    """r10 advice #1/#5: iterations=0 has no authority frame to return
+    and an over-large unit would overflow DECIMAL(38,0) into silent
+    NULL→0 scores — both fail loudly instead."""
+    import pytest
+
+    from es_ch_sync_spark.operators.graph import hits_fixed
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iterations"):
+        hits_fixed(edges, iterations=0)
+    with pytest.raises(ValueError, match="unit"):
+        hits_fixed(edges, iterations=1, unit=10**15)

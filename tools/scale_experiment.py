@@ -978,7 +978,7 @@ def _r10_sections(spark, docs, replicas, only):
     if "ppl2" in only:
         from es_ch_sync_spark.operators.analytics import (
             expected_calibration_error,
-            winsorized_stats,
+            winsorized_stats_ranktrim as winsorized_stats,
         )
         from es_ch_sync_spark.operators.text import quality_lr_scores
 
@@ -997,7 +997,7 @@ def _r10_sections(spark, docs, replicas, only):
             (F.length("text") % 997).cast("double").alias("value"),
         )
         timed(
-            f"winsorized_stats x{replicas} (7 keys over 500k values)",
+            f"winsorized_stats_ranktrim x{replicas} (7 keys over 500k values)",
             lambda: winsorized_stats(
                 vals, "event_type", "value", "event_id"
             ).count(),
