@@ -86,9 +86,21 @@ def with_minhash(
     emits ≤ H longs per doc), so the shuffle is tiny; a projection-based
     formulation would let Catalyst's CollapseProject re-inline the base
     hash into all H columns and recompute the md5 H times."""
-    base = df.select(
+    stream = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s")
-    ).select(F.col(id_col), _shingle_base_hash(F.col("s")).alias("h"))
+    )
+    return minhash_from_stream(stream, id_col, num_hashes)
+
+
+def minhash_from_stream(
+    stream: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """Signatures from an ALREADY-EXPLODED ``(id, s)`` shingle stream —
+    the shared-pass entry (r10 verdict directive #4): a composite query
+    that also needs the exploded stream for an exact equi-join
+    (dedup_recall) materializes it once and feeds both consumers, so the
+    corpus is shingled exactly once."""
+    base = stream.select(F.col(id_col), _shingle_base_hash(F.col("s")).alias("h"))
     return base.groupBy(id_col).agg(
         *[
             F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
@@ -120,6 +132,14 @@ def lsh_buckets(
     """(id, band, key) bucket membership rows — the shared front half of
     every LSH pairing strategy (full self-join, capped, incremental)."""
     mh = with_minhash(spread(df), text_col, id_col, num_hashes, shingle_k)
+    return lsh_buckets_from_signatures(mh, id_col, num_hashes, bands)
+
+
+def lsh_buckets_from_signatures(
+    mh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Bucket rows from a precomputed signature frame (shared-pass
+    companion to minhash_from_stream)."""
     keys = lsh_band_keys(num_hashes, bands)
     return mh.select(
         F.col(id_col),
@@ -157,6 +177,15 @@ def minhash_lsh_candidates(
     keeps candidate generation exhaustive (AQE skew splitting handles
     moderate skew)."""
     bucketed = lsh_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
+    return lsh_candidate_pairs_from_buckets(bucketed, id_col, bucket_cap)
+
+
+def lsh_candidate_pairs_from_buckets(
+    bucketed: DataFrame, id_col: str = "doc_id", bucket_cap: int | None = None
+) -> DataFrame:
+    """Within-bucket distinct pairs from a bucket-membership frame
+    (shared-pass companion to minhash_from_stream); ``bucket_cap``
+    semantics as in minhash_lsh_candidates."""
     if bucket_cap is not None:
         small_enough = (
             bucketed.groupBy("band", "key")

@@ -1578,16 +1578,58 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ground truth (same shingles, same threshold) — the dedup
     analog of ann_recall: the engine measures its own banding quality.
     The exact side is the O(n²)-bounded verification tier; run at audit
-    scale, not corpus scale."""
+    scale, not corpus scale.
+
+    Shared shingle pass (r10 verdict directive #4 — this was the one
+    registered query shingling the corpus twice): ONE materialized
+    (doc_id, s) shingle stream feeds (a) the exact all-pairs equi-join
+    AND the per-doc sizes (shingles are per-doc distinct, so a keyed
+    count IS the set size), and (b) the minhash signatures via
+    minhash_from_stream.  The minhash side needs no separate verify
+    scan either: candidate pairs intersect the exact-side ≥threshold
+    set, which IS the verified-jaccard predicate."""
     th = 0.5
-    exact = dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.0).filter(
-        F.col("jaccard") >= th
-    ).select("id_a", "id_b")
-    approx = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=th).select(
-        "id_a", "id_b"
+    e = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(dd.word_shingles(F.col("text"), 3)).alias("s"),
+        )
+        .localCheckpoint(eager=True)
     )
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= th)
+        .select("id_a", "id_b")
+    )
+    mh = dd.minhash_from_stream(e)
+    buckets = dd.lsh_buckets_from_signatures(mh)
+    cand = dd.lsh_candidate_pairs_from_buckets(buckets)
     n_exact = exact.count()
-    found = approx.join(exact, ["id_a", "id_b"]).agg(
+    found = cand.join(exact, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).alias("n_found")
     )
     return found.select(
