@@ -2492,3 +2492,233 @@ def winsorized_stats_ranktrim(
             6,
         ).alias("winsorized_mean"),
     ).orderBy(key_col)
+
+
+def mcnemar_test(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """McNemar's test for paired binary raters [McNemar 1947] — do two
+    gates applied to the SAME items disagree symmetrically?  The
+    marginal-homogeneity check a pipeline runs before swapping one
+    quality filter for another: the discordant counts b = |A-only| and
+    c = |B-only| carry all the information; χ² = (b−c)²/(b+c) (without
+    continuity correction — documented, mirrored in the oracle), NULL
+    when b + c = 0 (no disagreements: the test is undefined, not 0).
+
+    One hash aggregate of four exact BIGINT conditional counts; χ² is
+    one float division."""
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    g = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((~a & ~b).cast("long")).cast("long").alias("n00"),
+        F.sum((~a & b).cast("long")).cast("long").alias("n01"),
+        F.sum((a & ~b).cast("long")).cast("long").alias("n10"),
+        F.sum((a & b).cast("long")).cast("long").alias("n11"),
+    )
+    disc = F.col("n10") + F.col("n01")
+    diff = F.col("n10") - F.col("n01")
+    return g.select(
+        "n",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round(
+            F.when(
+                disc > 0,
+                (diff * diff).cast("double") / disc.cast("double"),
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str,
+    cat_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa [Fleiss 1971] — chance-corrected agreement among a
+    FIXED number of raters assigning each item to one category; the
+    multi-rater generalization of label_agreement_kappa (Cohen).  With
+    n_ic = raters putting item i in category c:
+
+        P̄  = (Σ_ic n_ic² − N·m) / (N·m·(m−1))
+        P_e = Σ_c (Σ_i n_ic)² / (N·m)²
+        κ   = (P̄ − P_e) / (1 − P_e)
+
+    Exactness: every moment (Σ n_ic², category totals, their squares)
+    is an exact integer riding DECIMAL(38,0); κ is one float expression
+    over them.  Items with ratings ≠ m (incomplete panels) make the
+    identity Σ n_ic = N·m fail — κ is NULLed rather than fabricated.
+
+    Scale: one (item, cat) keyed aggregate (census of the ratings
+    table) → one item-free category census; both downstream aggregates
+    are over censuses."""
+    d38 = "decimal(38,0)"
+    nic = ratings.groupBy(item_col, cat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_k")
+    )
+    row = nic.agg(
+        F.countDistinct(item_col).cast("long").alias("n_items"),
+        F.sum("_k").cast("long").alias("_tot"),
+        F.sum(F.col("_k").cast(d38) * F.col("_k").cast(d38)).cast(d38).alias("_s2"),
+    )
+    tc = nic.groupBy(cat_col).agg(F.sum("_k").cast("long").alias("_t"))
+    cat = tc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(F.col("_t").cast(d38) * F.col("_t").cast(d38)).cast(d38).alias("_st2"),
+    )
+    j = row.crossJoin(F.broadcast(cat))
+    m = F.lit(n_raters).cast("long")
+    nm = F.col("n_items") * m
+    p_bar = (F.col("_s2").cast("double") - nm.cast("double")) / (
+        nm.cast("double") * (m - 1).cast("double")
+    )
+    p_e = F.col("_st2").cast("double") / (
+        nm.cast("double") * nm.cast("double")
+    )
+    kappa = F.when(
+        (F.col("_tot") == nm) & (F.lit(1.0) - p_e > 0),
+        (p_bar - p_e) / (F.lit(1.0) - p_e),
+    )
+    return j.select(
+        "n_items",
+        m.alias("n_raters"),
+        "n_categories",
+        F.round(F.when(F.col("_tot") == nm, p_bar), 6).alias("p_bar"),
+        F.round(F.when(F.col("_tot") == nm, p_e), 6).alias("p_e"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
+def ab_mde(
+    per_unit: DataFrame,
+    arm_col: str,
+    converted_col: str,
+    arm_a: str,
+    arm_b: str,
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """Minimum detectable effect for the two-proportion experiment
+    design [standard power analysis; z_α/2 = 1.96 (5% two-sided),
+    z_β = 0.84 (80% power)] — the pre-test companion to
+    ab_proportions_ztest: given the arms' current sizes and pooled
+    rate, the smallest absolute rate difference the test could reliably
+    detect, MDE = (z_α/2 + z_β)·√(p̄(1−p̄)(1/n_a + 1/n_b)).  The z
+    quantiles are fixed literals (no normal CDF is evaluated), so both
+    engines compute the identical closed form.
+
+    Four exact BIGINT counts in one hash aggregate; MDE is one float
+    expression; NULL when either arm is empty or p̄ ∈ {0, 1} (no
+    binomial variance — nothing is detectable)."""
+    d = per_unit.filter(F.col(arm_col).isin(arm_a, arm_b)).select(
+        F.col(arm_col).alias("_arm"),
+        F.col(converted_col).cast("int").alias("_c"),
+    )
+    g = d.agg(
+        F.sum((F.col("_arm") == arm_a).cast("long")).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_arm") == arm_a, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum((F.col("_arm") == arm_b).cast("long")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_arm") == arm_b, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    pbar = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    var = pbar * (F.lit(1.0) - pbar) * (
+        F.lit(1.0) / F.col("n_a").cast("double")
+        + F.lit(1.0) / F.col("n_b").cast("double")
+    )
+    mde = F.lit(z_alpha + z_beta) * F.sqrt(var)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return g.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(F.when(ok, pbar), 6).alias("pooled_rate"),
+        F.round(F.when(ok & (var > 0), mde), 6).alias("mde_abs"),
+        F.round(
+            F.when(
+                ok & (var > 0) & (F.col("x_b") > 0),
+                mde / (F.col("x_b").cast("double") / F.col("n_b").cast("double")),
+            ),
+            6,
+        ).alias("mde_rel"),
+    )
+
+
+def adjusted_rand_index(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    id_col: str,
+    label_a_col: str = "label_a",
+    label_b_col: str = "label_b",
+) -> DataFrame:
+    """Adjusted Rand index [Hubert & Arabie 1985] between two
+    partitions of the same item set — the chance-corrected pair-level
+    agreement a dedup audit reads when comparing a cheap clustering
+    (LSH components) against ground truth (exact-hash groups):
+    ARI 1 = identical partitions, ~0 = chance.
+
+        ARI = (Σ_ij C(n_ij,2) − E) / (½(Σ_i C(a_i,2)+Σ_j C(b_j,2)) − E),
+        E = Σ_i C(a_i,2)·Σ_j C(b_j,2) / C(n,2)
+
+    Exactness: the contingency census n_ij and all three comb2 moments
+    are exact integers in DECIMAL(38,0); E and ARI are single float
+    expressions.  NULL when C(n,2) = 0 or the denominator is 0 (both
+    partitions all-singletons or all-one-cluster agree trivially —
+    undefined, not 1).
+
+    Scale: one id-keyed join of the two label tables → one (a, b)
+    contingency census → two marginal censuses; everything downstream
+    of the join is census-sized (bounded by cluster counts)."""
+    d38 = "decimal(38,0)"
+    j = labels_a.select(
+        F.col(id_col), F.col(label_a_col).alias("_la")
+    ).join(
+        labels_b.select(F.col(id_col), F.col(label_b_col).alias("_lb")),
+        id_col,
+    )
+    nij = j.groupBy("_la", "_lb").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    comb2 = lambda c: (c.cast(d38) * (c - 1).cast(d38)) / F.lit(2).cast(d38)
+    cij = nij.agg(
+        F.sum("_n").cast("long").alias("n_items"),
+        F.sum(comb2(F.col("_n"))).cast(d38).alias("_sij"),
+    )
+    ca = (
+        nij.groupBy("_la")
+        .agg(F.sum("_n").cast("long").alias("_a"))
+        .agg(F.sum(comb2(F.col("_a"))).cast(d38).alias("_sa"))
+    )
+    cb = (
+        nij.groupBy("_lb")
+        .agg(F.sum("_n").cast("long").alias("_b"))
+        .agg(F.sum(comb2(F.col("_b"))).cast(d38).alias("_sb"))
+    )
+    g = cij.crossJoin(F.broadcast(ca)).crossJoin(F.broadcast(cb))
+    c2n = comb2(F.col("n_items"))
+    e = F.col("_sa").cast("double") * F.col("_sb").cast("double") / c2n.cast(
+        "double"
+    )
+    den = (
+        (F.col("_sa") + F.col("_sb")).cast("double") / F.lit(2.0) - e
+    )
+    ari = F.when(
+        (c2n > 0) & (F.abs(den) > F.lit(1e-12)),
+        (F.col("_sij").cast("double") - e) / den,
+    )
+    return g.select(
+        "n_items",
+        F.col("_sij").cast("long").alias("sum_comb_ij"),
+        F.col("_sa").cast("long").alias("sum_comb_a"),
+        F.col("_sb").cast("long").alias("sum_comb_b"),
+        F.round(ari, 6).alias("ari"),
+    )

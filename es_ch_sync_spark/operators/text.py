@@ -2155,3 +2155,155 @@ def tokenizer_compression(
         rate("n_ws_tokens").alias("bytes_per_ws_token"),
         rate("n_bpe_tokens").alias("bytes_per_bpe_token"),
     ).orderBy("source")
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    checkpoints: tuple[int, ...] = (100, 300, 1000, 3000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: for each checkpoint size V, the
+    fraction of corpus TOKENS covered by the top-V word types (by
+    descending frequency, word tie-break) — the closed-vocab/UNK-rate
+    readout a tokenizer budget decision reads (coverage(V) = 1 − UNK
+    rate under a V-word vocab), the applied companion to zipf_fit's
+    exponent and heaps_law_fit's growth curve.
+
+    Scale shape: one word explode → one keyed census (the unigram
+    posture); the global frequency rank runs as two_phase_rank over the
+    VOCABULARY census (Heaps-bounded, and every window partitioned —
+    no corpus-sized or single-partition sort); coverage is ONE
+    conditional aggregate over the ranked census producing all
+    checkpoints at once, exact BIGINT sums, one float division each."""
+    from es_ch_sync_spark.operators.util import spread, two_phase_rank
+
+    toks = (
+        spread(docs)
+        .select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ranked = two_phase_rank(wc, F.col("cnt").desc(), F.col("w").asc())
+    aggs = [
+        F.sum("cnt").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_v"),
+    ]
+    for j, v in enumerate(checkpoints):
+        aggs.append(
+            F.sum(F.when(F.col("_rk") <= v, F.col("cnt")))
+            .cast("long")
+            .alias(f"_c{j}")
+        )
+    g = ranked.agg(*aggs)
+    stack = ", ".join(
+        f"{int(v)}L, coalesce(_c{j}, 0L)" for j, v in enumerate(checkpoints)
+    )
+    return (
+        g.selectExpr(
+            "_n",
+            "_v",
+            f"stack({len(checkpoints)}, {stack}) AS (vocab_size, covered_tokens)",
+        )
+        .select(
+            F.col("vocab_size").cast("long"),
+            F.least(F.col("vocab_size"), F.col("_v")).cast("long").alias(
+                "n_types_used"
+            ),
+            F.col("covered_tokens").cast("long"),
+            F.col("_n").alias("n_tokens"),
+            F.round(
+                F.col("covered_tokens").cast("double")
+                / F.col("_n").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+def entropy_rate_bigram(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus bigram entropy rate: the conditional entropy H(W₂|W₁) of
+    the next word given the previous one, next to the marginal
+    (left-unigram) entropy H(W₁) and their ratio — the
+    sequence-predictability readout [Shannon 1951's printed-English
+    estimate] that separates a templated/log-like corpus (ratio → 0:
+    the next word is nearly determined) from natural text (ratio ≈
+    0.6–0.8), complementing zipf/heaps/good_turing's static censuses.
+
+        H(W₂|W₁) = Σ_xy (c_xy/N)·ln(c_x/c_xy)
+        H(W₁)    = Σ_x  (c_x/N)·ln(N/c_x)
+
+    Exactness: each ln is micro-quantized to BIGINT BEFORE any sum (the
+    zipf_fit/doc_perplexity contract); every Σ term is c·(lnm−lnm) in
+    DECIMAL(38,0); the entropies are ONE float division each.
+
+    Scale: one within-doc adjacent-pair explode (never crosses docs) →
+    one bigram census → one left-marginal census; the conditional join
+    is census×census on the left word.  Nothing after the censuses
+    grows with the corpus."""
+    d = docs.select(words(F.col(text_col)).alias("ws"))
+    bg = F.when(
+        F.size("ws") >= 2,
+        F.expr(
+            "transform(sequence(1, size(ws) - 1), i -> "
+            "struct(element_at(ws, i) AS x, element_at(ws, i + 1) AS y))"
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    e = (
+        d.select(F.explode(bg).alias("b"))
+        .select(F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+        .filter((F.col("x") != "") & (F.col("y") != ""))
+    )
+    cxy = e.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cx = cxy.groupBy("x").agg(F.sum("cnt").cast("long").alias("cx"))
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
+    d38 = "decimal(38,0)"
+    cond = (
+        cxy.join(cx, "x")
+        .select(
+            (
+                F.col("cnt").cast(d38)
+                * (lnm(F.col("cx")) - lnm(F.col("cnt"))).cast(d38)
+            ).alias("_t"),
+            "cnt",
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("v_bigrams"),
+            F.sum("_t").cast(d38).alias("_sc"),
+        )
+    )
+    left = cx.agg(
+        F.count(F.lit(1)).cast("long").alias("v_left"),
+        F.sum("cx").cast("long").alias("_nl"),
+        F.sum(F.col("cx").cast(d38) * lnm(F.col("cx")).cast(d38))
+        .cast(d38)
+        .alias("_sxlx"),
+    )
+    j = cond.crossJoin(F.broadcast(left))
+    nd = F.col("n_bigrams").cast("double") * 1000000.0
+    h_cond = F.col("_sc").cast("double") / nd
+    # H(W1) numerator as the exact integer N·lnm(N) − Σ cx·lnm(cx); the
+    # ratio divides the two EXACT numerators directly (1e6·N cancels), so
+    # both engines perform the identical single float division
+    left_num = (
+        F.col("n_bigrams").cast(d38) * lnm(F.col("n_bigrams")).cast(d38)
+        - F.col("_sxlx")
+    )
+    h_left = left_num.cast("double") / nd
+    return j.select(
+        "n_bigrams",
+        "v_bigrams",
+        "v_left",
+        F.round(h_cond, 6).alias("h_cond"),
+        F.round(h_left, 6).alias("h_left"),
+        F.round(
+            F.when(
+                left_num > 0,
+                F.col("_sc").cast("double") / left_num.cast("double"),
+            ),
+            6,
+        ).alias("entropy_ratio"),
+    )

@@ -106,3 +106,51 @@ def round_half_up(col, scale: int):
 
     p = float(10**scale)
     return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def two_phase_rank(
+    df: DataFrame,
+    *order_cols,
+    rank_col: str = "_rk",
+    partitions: int = 64,
+) -> DataFrame:
+    """Global ascending 1-based rank over ``order_col`` WITHOUT a
+    single-partition window — the scale-safe replacement for
+    ``row_number().over(Window.orderBy(...))`` (r10 verdict directive
+    #2): range-repartition on the order expression(s) — strings or
+    Columns, descending sort-order Columns allowed — materialize the
+    partition assignment once (localCheckpoint — every consumer must
+    see identical range boundaries), collect the ≤``partitions``-row
+    per-partition counts to build exclusive offsets (the bounded
+    zipWithIndex pattern), then rank = offset + row_number WITHIN each
+    range partition.  Total order requires the order-key TUPLE to be
+    DISTINCT in ``df`` (range partitions are disjoint and internally
+    ordered, so the composed rank is then exactly the global one).
+
+    Driver round-trip is ≤``partitions`` narrow rows; every window in
+    the result is partitioned."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    parted = (
+        df.repartitionByRange(partitions, *order_cols)
+        .withColumn("_tpr_p", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    cnts = sorted(
+        (r["_tpr_p"], r["c"])
+        for r in parted.groupBy("_tpr_p").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offs, acc = [], 0
+    for p, c in cnts:
+        offs.append((p, acc))
+        acc += c
+    if not offs:
+        return parted.withColumn(rank_col, F.lit(0).cast("long")).drop("_tpr_p")
+    offs_df = df.sparkSession.createDataFrame(offs, "_tpr_p int, _tpr_off long")
+    wp = W.partitionBy("_tpr_p").orderBy(*order_cols)
+    return (
+        parted.join(F.broadcast(offs_df), "_tpr_p")
+        .withColumn(rank_col, F.col("_tpr_off") + F.row_number().over(wp))
+        .drop("_tpr_p", "_tpr_off")
+    )

@@ -807,6 +807,77 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(survivors).select("doc_id", "split")
 
 
+@register(
+    "dedup_ari_exact_vs_lsh",
+    f"""
+    WITH comp AS ({oracles.dedup_clusters_sql(threshold=0.5)}),
+    la AS (
+        SELECT doc_id, md5({oracles.NORM.format(col='text')}) AS label_a
+        FROM documents
+    ),
+    lb AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id)::VARCHAR AS label_b
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    j AS (
+        SELECT label_a, label_b, count(*)::BIGINT AS n
+        FROM la JOIN lb USING (doc_id) GROUP BY 1, 2
+    ),
+    cij AS (
+        SELECT sum(n)::BIGINT AS n_items,
+               sum(n::HUGEINT * (n - 1) // 2)::HUGEINT AS sij
+        FROM j
+    ),
+    ca AS (SELECT sum(a::HUGEINT * (a - 1) // 2)::HUGEINT AS sa
+           FROM (SELECT sum(n)::BIGINT AS a FROM j GROUP BY label_a)),
+    cb AS (SELECT sum(b::HUGEINT * (b - 1) // 2)::HUGEINT AS sb
+           FROM (SELECT sum(n)::BIGINT AS b FROM j GROUP BY label_b))
+    SELECT n_items, sij::BIGINT AS sum_comb_ij, sa::BIGINT AS sum_comb_a,
+           sb::BIGINT AS sum_comb_b,
+           round(CASE WHEN n_items::HUGEINT * (n_items - 1) // 2 > 0
+                  AND abs((sa + sb)::DOUBLE / 2.0
+                          - sa::DOUBLE * sb::DOUBLE
+                            / (n_items::HUGEINT * (n_items - 1) // 2)::DOUBLE)
+                      > 1e-12
+                 THEN (sij::DOUBLE - sa::DOUBLE * sb::DOUBLE
+                       / (n_items::HUGEINT * (n_items - 1) // 2)::DOUBLE)
+                      / ((sa + sb)::DOUBLE / 2.0
+                         - sa::DOUBLE * sb::DOUBLE
+                           / (n_items::HUGEINT * (n_items - 1) // 2)::DOUBLE)
+                 END, 6) AS ari
+    FROM cij, ca, cb
+    """,
+)
+def q_dedup_ari_exact_vs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand index between the EXACT-hash duplicate partition
+    (md5 of normalized text; singletons are their own clusters) and the
+    minhash-LSH connected-component partition — the chance-corrected
+    audit of how much of the near-dup structure exact hashing alone
+    recovers.  Contingency census off one id-keyed join; every comb2
+    moment an exact integer."""
+    from es_ch_sync_spark.operators.analytics import adjusted_rand_index
+    from es_ch_sync_spark.operators.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    la = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("label_a")
+    )
+    comp = dd.connected_components(
+        dd.minhash_near_duplicates(docs, threshold=0.5)
+    )
+    lb = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            .cast("string")
+            .alias("label_b"),
+        )
+    )
+    return adjusted_rand_index(la, lb, "doc_id")
+
+
 @register("dedup_incremental", oracles.minhash_incremental_sql(threshold=0.5, new_mod=10))
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: the 10% "new batch" (doc_id % 10 = 0)

@@ -1238,3 +1238,152 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.text import c4_line_filters
 
     return c4_line_filters(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# Shared doc-level gate CTEs for the paired-gate eval queries: the Gopher
+# conjunction and the C4 page keep, restated compactly (same expressions
+# as the gopher_quality_flags / c4_line_filters oracles above).
+_GATES_CTE = f"""
+    b AS (
+        SELECT doc_id,
+               {oracles.NORM.format(col='text')} AS nt,
+               string_split({oracles.NORM.format(col='text')}, ' ') AS ws,
+               string_split(text, chr(10)) AS lines,
+               lower(text) AS low
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ws)::BIGINT AS n_words,
+               (length(nt) - (len(ws) - 1))::BIGINT AS total_chars,
+               (length(nt) - length(replace(nt, '#', ''))
+                + (length(nt) - length(replace(nt, '...', ''))) // 3)::BIGINT
+                   AS n_sym,
+               len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))::BIGINT
+                   AS n_alpha,
+               len(list_filter(['the','be','to','of','and','that','have','with'],
+                               s -> list_contains(ws, s)))::BIGINT AS n_stop,
+               len(list_filter(lines, ln ->
+                   regexp_matches(lower(trim(ln)), '[.!?"]$')
+                   AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 3
+                   AND NOT contains(lower(trim(ln)), 'javascript')
+               ))::BIGINT AS n_kept,
+               contains(low, 'lorem ipsum') AS has_lorem,
+               (contains(low, '{{') OR contains(low, '}}')) AS has_brace
+        FROM b
+    ),
+    gates AS (
+        SELECT doc_id,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (total_chars::DOUBLE / n_words::DOUBLE >= 3
+                     AND total_chars::DOUBLE / n_words::DOUBLE <= 10)
+                AND (n_sym::DOUBLE / n_words::DOUBLE < 0.1)
+                AND (n_alpha::DOUBLE / n_words::DOUBLE >= 0.8)
+                AND (n_stop >= 2)) AS pa,
+               (n_kept >= 3 AND NOT has_lorem AND NOT has_brace) AS pb,
+               (n_words >= 50 AND n_words <= 100000) AS r_words,
+               (n_sym::DOUBLE / n_words::DOUBLE < 0.1) AS r_sym,
+               (n_stop >= 2) AS r_stop
+        FROM m
+    )
+"""
+
+
+@register(
+    "mcnemar_gates",
+    f"""
+    WITH {_GATES_CTE}
+    SELECT count(*)::BIGINT AS n,
+           sum(CASE WHEN NOT pa AND NOT pb THEN 1 ELSE 0 END)::BIGINT AS n00,
+           sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END)::BIGINT AS n01,
+           sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END)::BIGINT AS n10,
+           sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END)::BIGINT AS n11,
+           round(CASE WHEN sum(CASE WHEN pa != pb THEN 1 ELSE 0 END) > 0
+                 THEN ((sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END)
+                        - sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END))::DOUBLE
+                       * (sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END)
+                          - sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END))::DOUBLE)
+                      / sum(CASE WHEN pa != pb THEN 1 ELSE 0 END)::DOUBLE
+                 END, 6) AS chi2
+    FROM gates
+    """,
+)
+def q_mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between the Gopher doc gate and the C4
+    page gate on the same corpus — do the two filters disagree
+    symmetrically, i.e. could one replace the other without shifting
+    the kept set's size?  Both gates are map-only column exprs joined
+    on doc_id; the test is one 4-count hash aggregate."""
+    from es_ch_sync_spark.operators.analytics import mcnemar_test
+    from es_ch_sync_spark.operators.text import (
+        c4_line_filters,
+        gopher_quality_flags,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ga = gopher_quality_flags(docs).select("doc_id", F.col("passes").alias("pa"))
+    cb = c4_line_filters(docs).select("doc_id", F.col("keep_page").alias("pb"))
+    return mcnemar_test(ga.join(cb, "doc_id"), "pa", "pb")
+
+
+@register(
+    "fleiss_kappa_gates",
+    f"""
+    WITH {_GATES_CTE},
+    votes AS (
+        SELECT doc_id,
+               (CASE WHEN r_words THEN 1 ELSE 0 END
+                + CASE WHEN r_sym THEN 1 ELSE 0 END
+                + CASE WHEN r_stop THEN 1 ELSE 0 END)::BIGINT AS k
+        FROM gates
+    ),
+    mom AS (
+        SELECT count(*)::BIGINT AS n_items,
+               sum(CASE WHEN k > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN k < 3 THEN 1 ELSE 0 END)::BIGINT AS n_cells,
+               sum(k * k + (3 - k) * (3 - k))::HUGEINT AS s2,
+               sum(k)::HUGEINT AS t_keep,
+               sum(3 - k)::HUGEINT AS t_drop,
+               sum(CASE WHEN k > 0 THEN 1 ELSE 0 END)::BIGINT AS any_keep,
+               sum(CASE WHEN k < 3 THEN 1 ELSE 0 END)::BIGINT AS any_drop
+        FROM votes
+    )
+    SELECT n_items, 3::BIGINT AS n_raters,
+           ((CASE WHEN any_keep > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN any_drop > 0 THEN 1 ELSE 0 END))::BIGINT
+               AS n_categories,
+           round((s2 - n_items * 3)::DOUBLE
+                 / (n_items * 3)::DOUBLE / 2.0, 6) AS p_bar,
+           round((t_keep * t_keep + t_drop * t_drop)::DOUBLE
+                 / ((n_items * 3)::DOUBLE * (n_items * 3)::DOUBLE), 6) AS p_e,
+           round(CASE WHEN 1.0 - (t_keep * t_keep + t_drop * t_drop)::DOUBLE
+                           / ((n_items * 3)::DOUBLE * (n_items * 3)::DOUBLE) > 0
+                 THEN ((s2 - n_items * 3)::DOUBLE / (n_items * 3)::DOUBLE / 2.0
+                       - (t_keep * t_keep + t_drop * t_drop)::DOUBLE
+                         / ((n_items * 3)::DOUBLE * (n_items * 3)::DOUBLE))
+                      / (1.0 - (t_keep * t_keep + t_drop * t_drop)::DOUBLE
+                               / ((n_items * 3)::DOUBLE * (n_items * 3)::DOUBLE))
+                 END, 6) AS kappa
+    FROM mom
+    """,
+)
+def q_fleiss_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa among three rule raters (Gopher word-count, symbol
+    ratio, stopword subrules voting keep/drop per doc) — chance-
+    corrected multi-rater agreement: how coherent is the heuristic gate
+    family before their conjunction ships?  One (item, cat) census off
+    a map-only vote pass; exact integer moments."""
+    from es_ch_sync_spark.operators.analytics import fleiss_kappa
+    from es_ch_sync_spark.operators.text import gopher_quality_flags
+
+    gf = gopher_quality_flags(_docs(spark, sf_dir))
+    votes = None
+    for col in ("ok_word_count", "ok_symbols", "ok_stopwords"):
+        v = gf.select(
+            "doc_id",
+            F.when(F.col(col), F.lit("keep")).otherwise(F.lit("drop")).alias(
+                "cat"
+            ),
+        )
+        votes = v if votes is None else votes.unionByName(v)
+    return fleiss_kappa(votes, "doc_id", "cat", n_raters=3)

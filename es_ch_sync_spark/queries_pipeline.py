@@ -3574,3 +3574,110 @@ def q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.text import tokenizer_compression
 
     return tokenizer_compression(_t(spark, sf_dir, "documents"))
+
+
+_VCC_CPS = (100, 300, 1000, 3000, 10000)
+
+
+@register(
+    "vocab_coverage",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_o.NORM.format(col='text')}, ' ')) AS w
+        FROM documents
+    ),
+    wc AS MATERIALIZED (
+        SELECT w, count(*)::BIGINT AS cnt FROM toks WHERE w != '' GROUP BY w
+    ),
+    rk AS MATERIALIZED (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS r FROM wc
+    ),
+    tot AS (SELECT sum(cnt)::BIGINT AS n, count(*)::BIGINT AS v FROM wc),
+    cps AS (SELECT unnest({list(_VCC_CPS)}) AS vocab_size)
+    SELECT c.vocab_size::BIGINT AS vocab_size,
+           least(c.vocab_size, t.v)::BIGINT AS n_types_used,
+           coalesce(sum(CASE WHEN rk.r <= c.vocab_size THEN rk.cnt END), 0)::BIGINT
+               AS covered_tokens,
+           t.n AS n_tokens,
+           round(coalesce(sum(CASE WHEN rk.r <= c.vocab_size THEN rk.cnt END), 0)::DOUBLE
+                 / t.n::DOUBLE, 6) AS coverage
+    FROM cps c CROSS JOIN tot t LEFT JOIN rk ON true
+    GROUP BY c.vocab_size, t.v, t.n
+    ORDER BY vocab_size
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V vocabulary token-coverage curve (1 − UNK rate under a
+    V-word closed vocab) at five checkpoint sizes — the tokenizer-budget
+    readout next to zipf_fit / heaps_law_fit.  The global frequency rank
+    runs as two_phase_rank over the Heaps-bounded vocabulary census
+    (every window partitioned); all checkpoints come from ONE
+    conditional aggregate."""
+    from es_ch_sync_spark.operators.text import vocab_coverage_curve
+
+    return vocab_coverage_curve(
+        _t(spark, sf_dir, "documents"), checkpoints=_VCC_CPS
+    )
+
+
+@register(
+    "entropy_rate_bigram",
+    f"""
+    WITH d AS (
+        SELECT string_split({_o.NORM.format(col='text')}, ' ') AS ws
+        FROM documents
+    ),
+    e AS (
+        SELECT b.x AS x, b.y AS y FROM (
+            SELECT unnest(list_transform(
+                range(1, len(ws)),
+                i -> struct_pack(x := ws[i], y := ws[i + 1])
+            )) AS b
+            FROM d WHERE len(ws) >= 2
+        ) WHERE b.x != '' AND b.y != ''
+    ),
+    cxy AS MATERIALIZED (
+        SELECT x, y, count(*)::BIGINT AS cnt FROM e GROUP BY 1, 2
+    ),
+    cx AS MATERIALIZED (SELECT x, sum(cnt)::BIGINT AS cx FROM cxy GROUP BY 1),
+    cond AS (
+        SELECT sum(cnt)::BIGINT AS n_bigrams, count(*)::BIGINT AS v_bigrams,
+               sum(cnt::HUGEINT
+                   * (CAST(round(ln(cx) * 1000000) AS BIGINT)
+                      - CAST(round(ln(cnt) * 1000000) AS BIGINT))::HUGEINT
+               )::HUGEINT AS sc
+        FROM cxy JOIN cx USING (x)
+    ),
+    lft AS (
+        SELECT count(*)::BIGINT AS v_left,
+               sum(cx::HUGEINT
+                   * CAST(round(ln(cx) * 1000000) AS BIGINT)::HUGEINT
+               )::HUGEINT AS sxlx
+        FROM cx
+    )
+    SELECT n_bigrams, v_bigrams, v_left,
+           round(sc::DOUBLE / (n_bigrams::DOUBLE * 1000000.0), 6) AS h_cond,
+           round((n_bigrams::HUGEINT
+                  * CAST(round(ln(n_bigrams) * 1000000) AS BIGINT)::HUGEINT
+                  - sxlx)::DOUBLE / (n_bigrams::DOUBLE * 1000000.0), 6)
+               AS h_left,
+           round(CASE WHEN (n_bigrams::HUGEINT
+                            * CAST(round(ln(n_bigrams) * 1000000) AS BIGINT)::HUGEINT
+                            - sxlx) > 0
+                 THEN sc::DOUBLE
+                      / (n_bigrams::HUGEINT
+                         * CAST(round(ln(n_bigrams) * 1000000) AS BIGINT)::HUGEINT
+                         - sxlx)::DOUBLE
+                 END, 6) AS entropy_ratio
+    FROM cond, lft
+    """,
+)
+def q_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram entropy rate H(W2|W1), left-unigram entropy H(W1), and
+    their ratio — the sequence-predictability census (templated corpora
+    collapse toward ratio 0).  Micro-quantized ln per census row,
+    DECIMAL(38,0)/HUGEINT sums, one float division per entropy; the
+    ratio divides the two exact numerators directly."""
+    from es_ch_sync_spark.operators.text import entropy_rate_bigram
+
+    return entropy_rate_bigram(_t(spark, sf_dir, "documents"))

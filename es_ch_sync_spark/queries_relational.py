@@ -3800,3 +3800,76 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_unit = j.select(dur.alias("dur"), event.alias("converted"))
     return kaplan_meier(per_unit, "dur", "converted")
+
+
+@register(
+    "ab_mde_power",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               CASE WHEN substr(md5('conv:' || user_id), 32, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+                    THEN 'treat' ELSE 'control' END AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT sum(CASE WHEN arm = 'treat' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN arm = 'treat' AND converted = 1
+                        THEN 1 ELSE 0 END)::BIGINT AS x_a,
+               sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+               sum(CASE WHEN arm = 'control' AND converted = 1
+                        THEN 1 ELSE 0 END)::BIGINT AS x_b
+        FROM pu
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           round(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE END, 6)
+               AS pooled_rate,
+           round(CASE WHEN n_a > 0 AND n_b > 0
+                  AND ((x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                      * (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                      * (1.0 / n_a + 1.0 / n_b) > 0
+                 THEN 2.801585 * sqrt(((x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                          * (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                          * (1.0 / n_a + 1.0 / n_b))
+                 END, 6) AS mde_abs,
+           round(CASE WHEN n_a > 0 AND n_b > 0 AND x_b > 0
+                  AND ((x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                      * (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                      * (1.0 / n_a + 1.0 / n_b) > 0
+                 THEN 2.801585 * sqrt(((x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                          * (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                          * (1.0 / n_a + 1.0 / n_b))
+                      / (x_b::DOUBLE / n_b::DOUBLE)
+                 END, 6) AS mde_rel
+    FROM agg
+    """,
+)
+def q_ab_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the purchase-conversion experiment
+    at its current arm sizes (alpha=5% two-sided, 80% power, fixed
+    z-quantile literals — no normal CDF evaluated): the design-phase
+    companion to ab_conversion_ztest, same md5-parity arms, one
+    4-count hash aggregate and a closed-form float expression."""
+    from es_ch_sync_spark.operators.analytics import ab_mde
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    pu = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("conv:"), F.col("user_id").cast("string"))),
+                32,
+                1,
+            ).isin(*list("01234567")),
+            F.lit("treat"),
+        ).otherwise(F.lit("control")),
+    )
+    return ab_mde(pu, "arm", "converted", "treat", "control")

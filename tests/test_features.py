@@ -355,3 +355,106 @@ def test_poisson_bootstrap_statistics(spark):
     again = {r["replicate"]: r["boot_mean"]
              for r in poisson_bootstrap_means(df, "x", "rid", replicates=32).collect()}
     assert again == out
+
+
+def test_mcnemar_known_counts(spark):
+    """b=3, c=1 -> chi2 = 4/4 = 1; all-agree panel -> NULL chi2."""
+    from es_ch_sync_spark.operators.analytics import mcnemar_test
+
+    rows = [(True, False)] * 3 + [(False, True)] + [(True, True)] * 2 + [
+        (False, False)
+    ]
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert (r["n"], r["n10"], r["n01"], r["chi2"]) == (7, 3, 1, 1.0)
+    agree = spark.createDataFrame([(True, True), (False, False)], "a boolean, b boolean")
+    assert mcnemar_test(agree, "a", "b").collect()[0]["chi2"] is None
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    """Perfect agreement -> 1; the textbook half-split panel (every item
+    rated 1/1 by 2 raters) -> kappa < 0 (worse than chance); incomplete
+    panels NULL out."""
+    from es_ch_sync_spark.operators.analytics import fleiss_kappa
+
+    perfect = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (2, "y")], "item long, cat string"
+    )
+    assert fleiss_kappa(perfect, "item", "cat", 2).collect()[0]["kappa"] == 1.0
+    # 2 raters always disagreeing: P_bar = 0, P_e = 0.5 -> kappa = -1
+    split = spark.createDataFrame(
+        [(i, c) for i in (1, 2, 3) for c in ("x", "y")], "item long, cat string"
+    )
+    r = fleiss_kappa(split, "item", "cat", 2).collect()[0]
+    assert (r["p_bar"], r["p_e"], r["kappa"]) == (0.0, 0.5, -1.0)
+    incomplete = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "item long, cat string"
+    )
+    assert fleiss_kappa(incomplete, "item", "cat", 2).collect()[0]["kappa"] is None
+
+
+def test_ab_mde_closed_form(spark):
+    """n_a=n_b=100, x_a=x_b=10 -> pooled 0.1, mde = 2.801585*sqrt(.09*.02)."""
+    import math
+
+    from es_ch_sync_spark.operators.analytics import ab_mde
+
+    rows = [("t", 1)] * 10 + [("t", 0)] * 90 + [("c", 1)] * 10 + [("c", 0)] * 90
+    df = spark.createDataFrame(rows, "arm string, converted int")
+    r = ab_mde(df, "arm", "converted", "t", "c").collect()[0]
+    exp = 2.801585 * math.sqrt(0.1 * 0.9 * (1 / 100 + 1 / 100))
+    assert r["pooled_rate"] == 0.1 and r["mde_abs"] == round(exp, 6)
+    assert r["mde_rel"] == round(exp / 0.1, 6)
+
+
+def test_adjusted_rand_index_known_values(spark):
+    """Identical partitions -> 1; the Hubert-Arabie worked example
+    ([1,1,2,2,3,3] vs [1,2,1,2,3,3]) -> ARI = (3-7/5)/(7-7/5)... computed
+    directly from the contingency table below."""
+    from es_ch_sync_spark.operators.analytics import adjusted_rand_index
+
+    la = spark.createDataFrame(
+        [(i, l) for i, l in zip(range(6), ["a", "a", "b", "b", "c", "c"])],
+        "id long, label_a string",
+    )
+    lb_same = spark.createDataFrame(
+        [(i, l) for i, l in zip(range(6), ["p", "p", "q", "q", "r", "r"])],
+        "id long, label_b string",
+    )
+    assert adjusted_rand_index(la, lb_same, "id").collect()[0]["ari"] == 1.0
+    lb = spark.createDataFrame(
+        [(i, l) for i, l in zip(range(6), ["p", "q", "p", "q", "r", "r"])],
+        "id long, label_b string",
+    )
+    r = adjusted_rand_index(la, lb, "id").collect()[0]
+    # contingency: rows a,b each split 1/1 across p,q; c -> r,r (2)
+    # sum_ij = C(2,2)=1; sum_a = 3*C(2,2)=3; sum_b = 3*C(2,2)=3; C(6,2)=15
+    # E = 9/15 = 0.6; ARI = (1-0.6)/(3-0.6) = 0.4/2.4
+    assert (r["sum_comb_ij"], r["sum_comb_a"], r["sum_comb_b"]) == (1, 3, 3)
+    assert r["ari"] == round(0.4 / 2.4, 6)
+
+
+def test_vocab_coverage_and_entropy_rate_tiny(spark):
+    """Hand corpus: coverage checkpoints cumulative by rank; a fully
+    deterministic bigram chain has h_cond = 0."""
+    import math
+
+    from es_ch_sync_spark.operators.text import (
+        entropy_rate_bigram,
+        vocab_coverage_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    cov = {r["vocab_size"]: r for r in
+           vocab_coverage_curve(docs, checkpoints=(1, 2, 3)).collect()}
+    assert [cov[v]["covered_tokens"] for v in (1, 2, 3)] == [3, 5, 6]
+    assert cov[2]["coverage"] == round(5 / 6, 6)
+    er = entropy_rate_bigram(
+        spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    ).collect()[0]
+    assert er["h_cond"] == 0.0 and er["entropy_ratio"] == 0.0
+    exp_left = (5 * round(math.log(5) * 1e6) - 3 * round(math.log(3) * 1e6)
+                - 2 * round(math.log(2) * 1e6)) / 5e6
+    assert er["h_left"] == round(exp_left, 6)

@@ -89,3 +89,21 @@ def test_assign_shards_releases_intermediates(spark, sf_dir):
     out = assign_shards(docs, shard_tokens=10_000)
     out.count()
     assert release_intermediates(out) == 1
+
+
+def test_two_phase_rank_matches_global_order(spark):
+    """Partition-offset rank equals a global row_number, including
+    descending + tie-break multi-column orders; empty frame yields no
+    rows."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.util import two_phase_rank
+
+    rows = [(f"w{i}", (i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "w string, cnt long")
+    out = two_phase_rank(df, F.col("cnt").desc(), "w", partitions=7).collect()
+    expect = sorted(rows, key=lambda r: (-r[1], r[0]))
+    got = sorted(((r["w"], r["cnt"]), r["_rk"]) for r in out)
+    assert dict(got) == {(w, c): i + 1 for i, (w, c) in enumerate(expect)}
+    empty = spark.createDataFrame([], "w string, cnt long")
+    assert two_phase_rank(empty, "w").count() == 0
