@@ -2307,3 +2307,87 @@ def entropy_rate_bigram(
             6,
         ).alias("entropy_ratio"),
     )
+
+
+def qld_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 15,
+    mu: int = 2000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing [Ponte &
+    Croft 1998; Zhai & Lafferty 2001] — the language-modeling ranker
+    next to bm25_topk (ES/Lucene's other classic similarity):
+
+        score(d) = Σ_{t∈q} ln( (tf_td + μ·cf_t/N) / (dl_d + μ) )
+
+    Exact-integer contract: with integer μ the ln argument is the exact
+    rational (tf·N + μ·cf_t) / ((dl+μ)·N), so each term's contribution
+    quantizes to lnm = round((ln num − ln den)·1e6) over EXACT
+    DECIMAL(38,0)/HUGEINT integers (tf·N overflows a 64-bit long once
+    the corpus passes ~10¹³ tokens) and the per-doc score is an exact
+    integer sum — order-independent
+    across engines.  Scored set = docs containing ≥1 query term (the
+    standard candidate semantics — background-only docs score strictly
+    lower than any doc at the same length containing a term); query
+    terms absent from the whole corpus (cf = 0) are skipped in both
+    engines (their smoothed probability is 0 — ln undefined).
+
+    Plan shape (the bm25_topk posture): tokenize → explode filtered to
+    the query terms → per-(doc, term) tf census → |q|-row cf table and
+    1-row corpus token total broadcast back → candidate×term grid (LEFT
+    join fills tf = 0 for missing terms) → per-doc integer sum →
+    TakeOrderedAndProject top-k.  Nothing grows with vocabulary."""
+    base = df.select(
+        F.col(id_col),
+        F.size(words(F.col(text_col))).alias("dl"),
+        words(F.col(text_col)).alias("ws"),
+    )
+    ntot = base.agg(F.sum("dl").cast("long").alias("n_tokens"))
+    tf = (
+        base.select(F.col(id_col), "dl", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    cand = tf.select(F.col(id_col), "dl").distinct()
+    grid = cand.crossJoin(F.broadcast(cf.filter(F.col("cf") > 0)))
+    g = (
+        grid.join(tf.select(id_col, "term", "tf"), [id_col, "term"], "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            F.col(id_col),
+            (F.coalesce("tf", F.lit(0)) > 0).cast("int").alias("_m"),
+            (
+                F.coalesce("tf", F.lit(0)).cast("decimal(38,0)")
+                * F.col("n_tokens").cast("decimal(38,0)")
+                + F.lit(int(mu)).cast("decimal(38,0)")
+                * F.col("cf").cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("_num"),
+            (
+                (F.col("dl") + F.lit(int(mu))).cast("decimal(38,0)")
+                * F.col("n_tokens").cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("_den"),
+        )
+    )
+    lnm = F.round(
+        (F.log(F.col("_num").cast("double")) - F.log(F.col("_den").cast("double")))
+        * 1000000.0,
+        0,
+    ).cast("long")
+    per_doc = g.groupBy(id_col).agg(
+        F.sum(lnm).cast("long").alias("_sm"),
+        F.sum("_m").cast("long").alias("n_matched"),
+    )
+    return (
+        per_doc.select(
+            id_col,
+            (F.col("_sm").cast("double") / 1000000.0).alias("qld"),
+            "n_matched",
+        )
+        .orderBy(F.col("qld").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1569,6 +1569,46 @@ def containment_sql(
     """
 
 
+def qld_topk_sql(terms: list[str], k: int = 15, mu: int = 2000) -> str:
+    """Mirror of text.qld_topk: Dirichlet-smoothed query likelihood over
+    the whitespace-normalized token stream; each term's ln argument is
+    the exact rational (tf·N + μ·cf)/((dl+μ)·N) in HUGEINT, quantized to
+    micro-nats before the per-doc integer sum."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    {WORDS_CTE}
+    , base AS (SELECT doc_id, len(ws)::BIGINT AS dl, ws FROM w)
+    , ntot AS (SELECT sum(dl)::BIGINT AS n_tokens FROM base)
+    , tf AS (
+        SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM (
+            SELECT doc_id, dl, unnest(ws) AS term FROM base
+        ) WHERE term IN ({tl}) GROUP BY 1, 2, 3
+    )
+    , cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1)
+    , cand AS (SELECT DISTINCT doc_id, dl FROM tf)
+    , g AS (
+        SELECT c.doc_id,
+               CASE WHEN t.tf IS NOT NULL THEN 1 ELSE 0 END AS m,
+               (coalesce(t.tf, 0)::HUGEINT * n.n_tokens::HUGEINT
+                + {int(mu)}::HUGEINT * f.cf::HUGEINT) AS num,
+               ((c.dl + {int(mu)})::HUGEINT * n.n_tokens::HUGEINT) AS den
+        FROM cand c
+        CROSS JOIN ntot n
+        CROSS JOIN (SELECT * FROM cf WHERE cf > 0) f
+        LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.term = f.term
+    )
+    , pd AS (
+        SELECT doc_id,
+               sum(CAST(round((ln(num::DOUBLE) - ln(den::DOUBLE)) * 1000000)
+                        AS BIGINT))::BIGINT AS sm,
+               sum(m)::BIGINT AS n_matched
+        FROM g GROUP BY 1
+    )
+    SELECT doc_id, sm::DOUBLE / 1000000.0 AS qld, n_matched
+    FROM pd ORDER BY qld DESC, doc_id LIMIT {k}
+    """
+
+
 def containment_prefix_sql(threshold: float = 0.5, k: int = 3) -> str:
     """Oracle for dedup.containment_pairs_prefix: EXHAUSTIVE directed
     containment (shingle equi-join — every pair with ≥1 shared shingle),

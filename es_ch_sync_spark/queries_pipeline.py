@@ -3681,3 +3681,98 @@ def q_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.text import entropy_rate_bigram
 
     return entropy_rate_bigram(_t(spark, sf_dir, "documents"))
+
+
+@register("qld_topk", _o.qld_topk_sql(_BM25_TERMS, k=10, mu=2000))
+def q_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-10 for the shared BM25
+    query terms — the language-modeling ranker next to bm25_topk; each
+    per-term contribution an exact-rational ln in micro-nats, per-doc
+    scores exact integer sums, TakeOrderedAndProject top-k."""
+    from es_ch_sync_spark.operators.text import qld_topk
+
+    return qld_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10, mu=2000)
+
+
+# Rank-biased overlap between the BM25 and QLD top-10 rankings at p=0.9
+# [Webber, Moffat & Zobel 2010], truncated at depth k (no residual
+# extrapolation).  The per-depth weights (1-p)/p·p^d/d are Python float
+# literals inlined VERBATIM into both engines, so the 10-term dot product
+# with the exact integer X_d overlap counts is bit-identical.
+_RBO_P = 0.9
+_RBO_K = 10
+_RBO_W = [
+    (1.0 - _RBO_P) / _RBO_P * _RBO_P ** d / d for d in range(1, _RBO_K + 1)
+]
+
+
+@register(
+    "rbo_bm25_vs_qld",
+    f"""
+    WITH A AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+        FROM ({_o.bm25_topk_sql(_BM25_TERMS, k=_RBO_K)})
+    ),
+    B AS (
+        SELECT doc_id, row_number() OVER (ORDER BY qld DESC, doc_id) AS rb
+        FROM ({_o.qld_topk_sql(_BM25_TERMS, k=_RBO_K, mu=2000)})
+    ),
+    m AS (SELECT greatest(ra, rb) AS m FROM A JOIN B USING (doc_id)),
+    x AS (
+        SELECT {", ".join(
+            f"sum(CASE WHEN m <= {d} THEN 1 ELSE 0 END)::BIGINT AS x{d}"
+            for d in range(1, _RBO_K + 1)
+        )}
+        FROM m
+    )
+    SELECT {_RBO_K}::BIGINT AS k, x{_RBO_K} AS overlap_at_k,
+           round(x{_RBO_K}::DOUBLE / {_RBO_K}, 6) AS overlap_frac,
+           round({" + ".join(
+               f"{w!r} * x{d}" for d, w in zip(range(1, _RBO_K + 1), _RBO_W)
+           )}, 6) AS rbo
+    FROM x
+    """,
+)
+def q_rbo_bm25_vs_qld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p=0.9, truncated at 10) between the BM25 and
+    QLD rankings of the same query — the top-weighted agreement readout
+    for comparing retrieval functions (Kendall/Spearman treat all depths
+    equally; RBO discounts like a user scanning results).  X_d overlap
+    counts are exact integers off one 10×10 rank join; the weight vector
+    is a shared literal."""
+    from pyspark.sql import Window as W
+
+    from es_ch_sync_spark.operators.text import bm25_topk, qld_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    a = bm25_topk(docs, _BM25_TERMS, k=_RBO_K).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("ra"),
+    )
+    b = qld_topk(docs, _BM25_TERMS, k=_RBO_K, mu=2000).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("qld").desc(), F.col("doc_id").asc()))
+        .alias("rb"),
+    )
+    m = a.join(b, "doc_id").select(F.greatest("ra", "rb").alias("m"))
+    xs = m.agg(
+        *[
+            F.sum((F.col("m") <= d).cast("long")).cast("long").alias(f"x{d}")
+            for d in range(1, _RBO_K + 1)
+        ]
+    )
+    rbo_expr = None
+    for d, w in zip(range(1, _RBO_K + 1), _RBO_W):
+        t = F.lit(w) * F.col(f"x{d}").cast("double")
+        rbo_expr = t if rbo_expr is None else rbo_expr + t
+    return xs.select(
+        F.lit(_RBO_K).cast("long").alias("k"),
+        F.col(f"x{_RBO_K}").alias("overlap_at_k"),
+        F.round(
+            F.col(f"x{_RBO_K}").cast("double") / F.lit(float(_RBO_K)), 6
+        ).alias("overlap_frac"),
+        F.round(rbo_expr, 6).alias("rbo"),
+    )

@@ -380,3 +380,53 @@ def test_rm3_expansion_laws(spark):
     comp2 = idf * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * 3 / (11 / 3)))
     bm_m2 = round(round(comp2, 6) * 1e6)
     assert by_term["partition"]["weight_m"] == bm_m2 // 3
+
+
+def test_qld_topk_handchecked(spark):
+    """3-doc corpus, mu=10: per-term micro-nat contributions recomputed
+    in Python; docs without any query term are not scored; missing terms
+    take the pure background probability."""
+    from es_ch_sync_spark.operators.text import qld_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark merge"), (2, "spark other other other"), (3, "other other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           qld_topk(docs, ["spark", "merge"], k=10, mu=10).collect()}
+    assert set(out) == {1, 2}
+
+    def lnm(num, den):
+        return round((math.log(num) - math.log(den)) * 1e6)
+
+    # N=9, cf_spark=3, cf_merge=1
+    d1 = lnm(2 * 9 + 10 * 3, 13 * 9) + lnm(1 * 9 + 10 * 1, 13 * 9)
+    d2 = lnm(1 * 9 + 10 * 3, 14 * 9) + lnm(0 * 9 + 10 * 1, 14 * 9)
+    assert out[1]["qld"] == d1 / 1e6 and out[1]["n_matched"] == 2
+    assert out[2]["qld"] == d2 / 1e6 and out[2]["n_matched"] == 1
+    assert out[1]["qld"] > out[2]["qld"]
+
+
+def test_rbo_identical_rankings_is_one_minus_p_pow_k(spark):
+    """RBO truncated at k of two IDENTICAL rankings = 1 - p^k (every
+    depth overlaps fully); the registered query's weight vector obeys
+    the same identity against a Python recomputation on real data."""
+    from es_ch_sync_spark.queries_pipeline import _RBO_K, _RBO_P, _RBO_W
+
+    # identity of the weights themselves: sum(w_d * d) = 1 - p^k
+    assert round(sum(w * d for w, d in zip(_RBO_W, range(1, _RBO_K + 1))), 12) \
+        == round(1 - _RBO_P ** _RBO_K, 12)
+
+
+def test_rbo_query_matches_python_recomputation(spark, sf_dir):
+    from es_ch_sync_spark import queries_pipeline as qp
+    from es_ch_sync_spark.operators.text import bm25_topk, qld_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = [r["doc_id"] for r in bm25_topk(docs, qp._BM25_TERMS, k=10).collect()]
+    b = [r["doc_id"] for r in
+         qld_topk(docs, qp._BM25_TERMS, k=10, mu=2000).collect()]
+    xs = [len(set(a[:d]) & set(b[:d])) for d in range(1, 11)]
+    expect = round(sum(w * x for w, x in zip(qp._RBO_W, xs)), 6)
+    got = qp.q_rbo_bm25_vs_qld(spark, sf_dir).collect()[0]
+    assert got["rbo"] == expect and got["overlap_at_k"] == xs[-1]

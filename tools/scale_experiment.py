@@ -845,6 +845,150 @@ def main() -> None:
     _r8c_sections(spark, docs, replicas, only)
     _r9_sections(spark, docs, replicas, only)
     _r10_sections(spark, docs, replicas, only)
+    _r11_sections(spark, docs, replicas, only)
+
+
+def _r11_sections(spark, docs, replicas, only):
+    """Round-11: containment-first prefix miner (VERDICT r10 #1 with
+    candidate-count evidence), re-measures for the de-windowed heaps and
+    shared-pass doc_ppl (use 'heapsc4'/'ppl'), and the new eval/corpus
+    registrations."""
+    if "containpfx" in only:
+        from pyspark.sql import Window as _W
+
+        from es_ch_sync_spark.operators.dedup import (
+            containment_pairs_prefix,
+            word_shingles,
+        )
+        from es_ch_sync_spark.operators.util import spread
+
+        timed(
+            f"containment_pairs_prefix x{replicas} (threshold 0.5)",
+            lambda: containment_pairs_prefix(docs, threshold=0.5).count(),
+        )
+
+        # candidate-count evidence: how many pairs the prefix front end
+        # emits before verification (the r10 verdict's 'done' criterion)
+        def _n_cand() -> int:
+            sets = (
+                spread(docs)
+                .select(
+                    F.col("doc_id"),
+                    word_shingles(F.col("text"), 3).alias("ts"),
+                )
+                .withColumn("n", F.size("ts"))
+                .where(F.col("n") > 0)
+            )
+            toks = sets.select("doc_id", "n", F.explode("ts").alias("tok"))
+            dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+            ranked = toks.join(dfreq, "tok").withColumn(
+                "rn",
+                F.row_number().over(
+                    _W.partitionBy("doc_id").orderBy(F.col("f"), F.col("tok"))
+                ),
+            )
+            plen = F.col("n") - F.ceil(F.lit(0.5) * F.col("n")) + 1
+            probe = ranked.where(F.col("rn") <= plen).select(
+                F.col("doc_id").alias("_pid"),
+                F.col("tok").alias("_ptok"),
+                F.col("n").alias("_pn"),
+            )
+            index = toks.select(
+                F.col("doc_id").alias("_fid"), "tok", F.col("n").alias("_fn")
+            )
+            return (
+                probe.join(
+                    index,
+                    (F.col("_ptok") == F.col("tok"))
+                    & (F.col("_pid") != F.col("_fid"))
+                    & (F.col("_fn") >= F.ceil(F.lit(0.5) * F.col("_pn"))),
+                )
+                .select(
+                    F.least("_pid", "_fid").alias("id_a"),
+                    F.greatest("_pid", "_fid").alias("id_b"),
+                )
+                .distinct()
+                .count()
+            )
+
+        timed(
+            f"containment_prefix_candidates x{replicas} (distinct pairs pre-verify)",
+            _n_cand,
+        )
+    if "vcc" in only:
+        from es_ch_sync_spark.operators.text import vocab_coverage_curve
+
+        timed(
+            f"vocab_coverage_curve x{replicas} (5 checkpoints)",
+            lambda: vocab_coverage_curve(docs).count(),
+        )
+    if "erate" in only:
+        from es_ch_sync_spark.operators.text import entropy_rate_bigram
+
+        timed(
+            f"entropy_rate_bigram x{replicas}",
+            lambda: entropy_rate_bigram(docs).count(),
+        )
+    if "ari11" in only:
+        from es_ch_sync_spark.operators import dedup as _dd
+        from es_ch_sync_spark.operators.analytics import adjusted_rand_index
+        from es_ch_sync_spark.operators.text import normalize_text
+
+        def _ari() -> int:
+            la = docs.select(
+                "doc_id", F.md5(normalize_text(F.col("text"))).alias("label_a")
+            )
+            comp = _dd.connected_components(
+                _dd.minhash_near_duplicates(docs, threshold=0.5)
+            )
+            lb = (
+                docs.select("doc_id")
+                .join(comp, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+                    .cast("string")
+                    .alias("label_b"),
+                )
+            )
+            return adjusted_rand_index(la, lb, "doc_id").count()
+
+        timed(f"dedup_ari_exact_vs_lsh x{replicas}", _ari)
+    if "gates11" in only:
+        from es_ch_sync_spark.operators.analytics import (
+            fleiss_kappa,
+            mcnemar_test,
+        )
+        from es_ch_sync_spark.operators.text import (
+            c4_line_filters,
+            gopher_quality_flags,
+        )
+
+        def _mc() -> int:
+            ga = gopher_quality_flags(docs).select(
+                "doc_id", F.col("passes").alias("pa")
+            )
+            cb = c4_line_filters(docs).select(
+                "doc_id", F.col("keep_page").alias("pb")
+            )
+            return mcnemar_test(ga.join(cb, "doc_id"), "pa", "pb").count()
+
+        timed(f"mcnemar_gates x{replicas}", _mc)
+
+        def _fk() -> int:
+            gf = gopher_quality_flags(docs)
+            votes = None
+            for col in ("ok_word_count", "ok_symbols", "ok_stopwords"):
+                v = gf.select(
+                    "doc_id",
+                    F.when(F.col(col), F.lit("keep"))
+                    .otherwise(F.lit("drop"))
+                    .alias("cat"),
+                )
+                votes = v if votes is None else votes.unionByName(v)
+            return fleiss_kappa(votes, "doc_id", "cat", n_raters=3).count()
+
+        timed(f"fleiss_kappa_gates x{replicas}", _fk)
 
 
 def _r10_sections(spark, docs, replicas, only):
