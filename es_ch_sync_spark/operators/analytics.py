@@ -2722,3 +2722,78 @@ def adjusted_rand_index(
         F.col("_sb").cast("long").alias("sum_comb_b"),
         F.round(ari, 6).alias("ari"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    ks: tuple[int, ...] = (50, 100, 200),
+) -> DataFrame:
+    """Hill estimator of the heavy-tail exponent [Hill 1975] at several
+    head sizes k: α_k = 1 / ( (1/k)·Σ_{i≤k} ln x_(i) − ln x_(k+1) )
+    over the descending order statistics — the tail-heaviness readout
+    for document length / host volume / cluster size distributions (a
+    Pareto tail has constant α across k; α drifting with k says the
+    tail is not power-law, so a "cap the whales" policy needs a knob,
+    not a law).  Ties order by (value desc, id) — total and exact.
+
+    Integer contract: each ln is micro-quantized BEFORE any sum; the
+    denominator Σ_{i≤k} lnm_i − k·lnm_{k+1} is an exact BIGINT; α is
+    ONE float division k·1e6 / H_km, NULL when the head is degenerate
+    (H_km ≤ 0 — all head values equal) or the corpus has ≤ k values.
+
+    Scale: TakeOrderedAndProject of the constant-size max(k)+1 head
+    (per-partition heaps, never a global sort); every window runs over
+    that head."""
+    from pyspark.sql import Window as W
+
+    kmax = max(ks)
+    top = (
+        df.filter(F.col(value_col) > 0)
+        .select(
+            F.col(value_col).cast("double").alias("_v"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy(F.col("_v").desc(), F.col("_id").asc())
+        .limit(kmax + 1)
+    )
+    lnm = F.round(F.log(F.col("_v")) * 1000000.0, 0).cast("long")
+    ranked = top.select(
+        lnm.alias("_l"),
+        F.col("_v"),
+        F.row_number()
+        .over(W.orderBy(F.col("_v").desc(), F.col("_id").asc()))
+        .alias("_r"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for k in ks:
+        aggs.append(
+            F.sum(F.when(F.col("_r") <= k, F.col("_l"))).cast("long").alias(f"_s{k}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("_r") == k + 1, F.col("_l"))).cast("long").alias(f"_t{k}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("_r") == k, F.col("_v"))).alias(f"_x{k}")
+        )
+    g = ranked.agg(*aggs)
+    rows = ", ".join(
+        f"{k}L, _s{k}, _t{k}, _x{k}" for k in ks
+    )
+    stacked = g.selectExpr(
+        "_n",
+        f"stack({len(ks)}, {rows}) AS (k, _s, _t, _x)",
+    )
+    h = F.col("_s") - F.col("k") * F.col("_t")
+    return stacked.select(
+        F.col("k").cast("long"),
+        F.col("_x").alias("x_k"),
+        F.round(
+            F.when(
+                (F.col("_n") > F.col("k")) & (h > 0),
+                F.col("k").cast("double") * 1000000.0 / h.cast("double"),
+            ),
+            6,
+        ).alias("alpha_hill"),
+    ).orderBy("k")

@@ -1558,3 +1558,76 @@ def containment_pairs_prefix(
     return out.filter(
         (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
     )
+
+
+def minhash_estimator_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Calibration census of the minhash Jaccard ESTIMATOR against the
+    exact Jaccard it estimates, over the engine's own LSH candidate
+    pairs: cells (est_matches = matching signature components of H,
+    jac_decile = floor(round(J,6)·10) capped at 9) with pair counts —
+    the banding-quality audit next to dedup_recall (recall measures
+    what the bands FIND; this measures what the signature CLAIMS,
+    E[est_matches/H] = J [Broder 1997]).  A drifting hash family or a
+    truncated-signature bug shows up as off-diagonal mass immediately.
+
+    One signature pass feeds BOTH the band buckets and the component
+    comparison (minhash_from_stream shared-pass helpers); exact shingle
+    arrays attach only to candidate docs; output is the ≤(H+1)×10
+    census."""
+    src = spread(df)
+    stream = src.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
+    mh = minhash_from_stream(stream, id_col, num_hashes).localCheckpoint(
+        eager=True
+    )
+    buckets = lsh_buckets_from_signatures(mh, id_col, num_hashes, bands)
+    cand = lsh_candidate_pairs_from_buckets(buckets, id_col)
+    sets = src.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("ts")
+    )
+    xa = mh.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(num_hashes)],
+    )
+    xb = mh.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(num_hashes)],
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("ts").alias("_ta"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("ts").alias("_tb"))
+    est = None
+    for i in range(num_hashes):
+        t = (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("long")
+        est = t if est is None else est + t
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb"))).cast("double")
+    union = (
+        F.size("_ta") + F.size("_tb")
+        - F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    ).cast("double")
+    jac = F.round(inter / union, 6)
+    pairs = (
+        cand.join(xa, "id_a")
+        .join(xb, "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            est.alias("est_matches"),
+            F.least(F.floor(jac * 10).cast("int"), F.lit(9)).alias(
+                "jac_decile"
+            ),
+        )
+    )
+    return (
+        pairs.groupBy("est_matches", "jac_decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("est_matches", "jac_decile")
+    )

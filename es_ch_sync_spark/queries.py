@@ -2015,3 +2015,40 @@ def q_multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.chunk_wav_features(media, chunk_ms=100).select(
         "media_id", "chunk_idx", "n_samples", "zcr", "peak"
     )
+
+
+@register(
+    "minhash_calibration",
+    f"""
+    {oracles._minhash_buckets_sql(8, 4, 3)}
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    v AS (
+        SELECT
+            ({" + ".join(
+                f"CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END"
+                for i in range(8)
+            )})::BIGINT AS est_matches,
+            len(list_filter(x.shs, s -> list_contains(y.shs, s)))::BIGINT
+                AS inter,
+            len(x.shs)::BIGINT AS na, len(y.shs)::BIGINT AS nb
+        FROM cand c JOIN mh x ON c.id_a = x.doc_id
+        JOIN mh y ON c.id_b = y.doc_id
+    )
+    SELECT est_matches,
+           least(floor(round(inter::DOUBLE / (na + nb - inter)::DOUBLE, 6)
+                       * 10), 9)::INT AS jac_decile,
+           count(*)::BIGINT AS n_pairs
+    FROM v GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-estimator calibration census over the engine's own LSH
+    candidates: (matching signature components, exact-Jaccard decile,
+    n_pairs) — the signature-quality audit next to dedup_recall's
+    banding-recall audit; E[matches/H] = J, so mass should hug the
+    diagonal.  One signature pass feeds buckets AND the comparison."""
+    return dd.minhash_estimator_calibration(_docs(spark, sf_dir))

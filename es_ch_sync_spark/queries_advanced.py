@@ -1204,3 +1204,54 @@ def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(
         _t(spark, sf_dir, "documents"), "lang", "source"
     )
+
+
+_HILL_KS = (50, 100, 200)
+
+
+@register(
+    "doc_length_tail_index",
+    f"""
+    WITH top AS (
+        SELECT n_chars::DOUBLE AS v, doc_id
+        FROM documents WHERE n_chars > 0
+        ORDER BY v DESC, doc_id LIMIT {max(_HILL_KS) + 1}
+    ),
+    ranked AS (
+        SELECT CAST(round(ln(v) * 1000000) AS BIGINT) AS l, v,
+               row_number() OVER (ORDER BY v DESC, doc_id) AS r
+        FROM top
+    ),
+    g AS (
+        SELECT count(*)::BIGINT AS n,
+               {", ".join(
+                   f"sum(CASE WHEN r <= {k} THEN l END)::BIGINT AS s{k}, "
+                   f"max(CASE WHEN r = {k + 1} THEN l END)::BIGINT AS t{k}, "
+                   f"max(CASE WHEN r = {k} THEN v END) AS x{k}"
+                   for k in _HILL_KS
+               )}
+        FROM ranked
+    )
+    SELECT k::BIGINT AS k, x_k,
+           round(CASE WHEN n > k AND (s - k * t) > 0
+                 THEN k::DOUBLE * 1000000.0 / (s - k * t)::DOUBLE END, 6)
+               AS alpha_hill
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT {k} AS k, s{k} AS s, t{k} AS t, x{k} AS x_k, n FROM g"
+            for k in _HILL_KS
+        )}
+    ) ORDER BY k
+    """,
+)
+def q_doc_length_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail exponent of the document-length distribution at head
+    sizes 50/100/200 — is the length tail Pareto (constant α) or not?
+    The whale-policy readout next to winsorized/mad robust stats.
+    Constant-size TakeOrderedAndProject head; micro-quantized ln; one
+    float division per k."""
+    from es_ch_sync_spark.operators.analytics import hill_tail_index
+
+    return hill_tail_index(
+        _t(spark, sf_dir, "documents"), "n_chars", "doc_id", ks=_HILL_KS
+    )

@@ -1093,3 +1093,36 @@ def test_mmr_pool_guard_refuses_oversized_pool(spark):
         mmr_rerank(emb, [1.0, 0.0], k=3, pool=1001)
     out = mmr_rerank(emb, [1.0, 0.0], k=2, pool=1001, max_pool=2000).collect()
     assert len(out) == 2
+
+
+def test_minhash_calibration_exact_duplicates_on_diagonal(spark):
+    """Exact duplicate pairs must land in cell (H, decile 9) — all 8
+    signature components match and true Jaccard is 1.0; a near-miss pair
+    lands strictly below H matches."""
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " extra thirteen fourteen"),
+         (4, "totally different content about nothing shared with others at all")],
+        "doc_id long, text string",
+    )
+    cells = {(r["est_matches"], r["jac_decile"]): r["n_pairs"]
+             for r in dd.minhash_estimator_calibration(docs).collect()}
+    assert cells.get((8, 9), 0) >= 1  # the exact pair (1,2)
+    assert all(e <= 8 and 0 <= d <= 9 for e, d in cells)
+
+
+def test_hill_tail_index_pareto_recovers_alpha(spark):
+    """On an exact Pareto(alpha=2) grid x_i = (1000/i)^(1/2) the Hill
+    estimator recovers alpha~2 at every head size."""
+    from es_ch_sync_spark.operators.analytics import hill_tail_index
+
+    rows = [(i, (1000.0 / i) ** 0.5) for i in range(1, 1001)]
+    df = spark.createDataFrame(rows, "doc_id long, v double")
+    out = {r["k"]: r["alpha_hill"] for r in
+           hill_tail_index(df, "v", "doc_id", ks=(50, 100)).collect()}
+    for k, a in out.items():
+        assert abs(a - 2.0) < 0.1, (k, a)
+    # degenerate: all-equal values -> NULL alpha
+    eq = spark.createDataFrame([(i, 5.0) for i in range(300)], "doc_id long, v double")
+    assert all(r["alpha_hill"] is None for r in
+               hill_tail_index(eq, "v", "doc_id", ks=(50,)).collect())
