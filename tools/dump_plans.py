@@ -74,6 +74,11 @@ HEADLINE = [
     "host_communities", "mmr_rerank_topk", "heaps_law_fit",
     "c4_line_filters", "chi2_lang_source", "tokenizer_compression",
     "dedup_cluster_sizes",
+    # round 11
+    "containment_pairs_prefix", "psl_registered_domain", "vocab_coverage",
+    "entropy_rate_bigram", "mcnemar_gates", "fleiss_kappa_gates",
+    "ab_mde_power", "dedup_ari_exact_vs_lsh", "qld_topk",
+    "rbo_bm25_vs_qld", "minhash_calibration", "doc_length_tail_index",
 ]
 
 MARKERS = [
