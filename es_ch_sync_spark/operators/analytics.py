@@ -2797,3 +2797,102 @@ def hill_tail_index(
             6,
         ).alias("alpha_hill"),
     ).orderBy("k")
+
+
+def pairwise_jsd(
+    census: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every pair of groups'
+    bucket distributions [Lin 1991] from a (group, bucket, count)
+    census — the drift detector between train/valid/test splits, daily
+    snapshots, or source mixes where the support is a BOUNDED bucket
+    grid (unlike source_jsd's open vocabulary, no closed-form tail is
+    needed: everything is census×census on the bucket key).
+
+    Per-bucket terms p·ln(p/m) and q·ln(q/m) quantize to nano-unit
+    BIGINTs before the pair-keyed sum (the source_jsd contract), so the
+    cross-engine reduction is order-independent; JSD = (Σp + Σq)/2 in
+    nats, symmetric and ≤ ln 2.  A bucket present in only one group
+    contributes p·ln 2 exactly (m = p/2) — materialized by the
+    anti-join legs, no NULL arithmetic.
+
+    Scale: the census is bounded (groups × buckets); every frame here
+    is census-sized."""
+    c = census.select(
+        F.col(group_col).alias("_g"),
+        F.col(bucket_col).alias("_b"),
+        F.col(count_col).cast("long").alias("_c"),
+    )
+    tot = c.groupBy("_g").agg(F.sum("_c").cast("long").alias("_n"))
+    cw = c.join(F.broadcast(tot), "_g")
+    a = cw.select(
+        F.col("_g").alias("g_a"), F.col("_b"),
+        F.col("_c").alias("_ca"), F.col("_n").alias("_na"),
+    )
+    b = cw.select(
+        F.col("_g").alias("g_b"), F.col("_b"),
+        F.col("_c").alias("_cb"), F.col("_n").alias("_nb"),
+    )
+    both = a.join(b, "_b").filter(F.col("g_a") != F.col("g_b")).select(
+        "g_a", "g_b", "_b", "_ca", "_na", "_cb", "_nb"
+    )
+    only_a = (
+        a.crossJoin(
+            F.broadcast(
+                tot.select(F.col("_g").alias("g_b"), F.col("_n").alias("_nb"))
+            )
+        )
+        .filter(F.col("g_a") != F.col("g_b"))
+        .join(
+            b.select(F.col("g_b").alias("g_b2"), F.col("_b").alias("_b2")),
+            (F.col("g_b") == F.col("g_b2")) & (F.col("_b") == F.col("_b2")),
+            "left_anti",
+        )
+        .select(
+            "g_a", "g_b", "_b", "_ca", "_na",
+            F.lit(0).cast("long").alias("_cb"), "_nb",
+        )
+    )
+    only_b = (
+        b.crossJoin(
+            F.broadcast(
+                tot.select(F.col("_g").alias("g_a"), F.col("_n").alias("_na"))
+            )
+        )
+        .filter(F.col("g_a") != F.col("g_b"))
+        .join(
+            a.select(F.col("g_a").alias("g_a2"), F.col("_b").alias("_b2")),
+            (F.col("g_a") == F.col("g_a2")) & (F.col("_b") == F.col("_b2")),
+            "left_anti",
+        )
+        .select(
+            "g_a", "g_b", "_b",
+            F.lit(0).cast("long").alias("_ca"), "_na", "_cb", "_nb",
+        )
+    )
+    allb = (
+        both.unionByName(only_a)
+        .unionByName(only_b)
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    p = F.col("_ca").cast("double") / F.col("_na").cast("double")
+    q = F.col("_cb").cast("double") / F.col("_nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    tp = F.when(F.col("_ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    tq = F.when(F.col("_cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    nano = lambda c_: F.floor(c_ * F.lit(1e9) + F.lit(0.5)).cast("long")
+    agg = allb.groupBy("g_a", "g_b").agg(
+        F.sum(nano(tp)).alias("_tp"),
+        F.sum(nano(tq)).alias("_tq"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    jsd = (F.col("_tp") + F.col("_tq")).cast("double") / F.lit(2e9)
+    return agg.select(
+        F.col("g_a").alias(f"{group_col}_a"),
+        F.col("g_b").alias(f"{group_col}_b"),
+        "n_buckets",
+        F.round(jsd, 6).alias("jsd_nats"),
+    ).orderBy(f"{group_col}_a", f"{group_col}_b")

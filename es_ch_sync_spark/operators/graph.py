@@ -421,3 +421,53 @@ def label_propagation_fixed(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def k_core_fixed(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling [Seidman 1983] over the UNDIRECTED
+    mirror of a directed edge list: each round drops every node whose
+    current degree is < k and restricts the edge set to survivors —
+    the degeneracy-ordering gate that separates a graph's dense
+    cohesive core from its tree-like fringe (a mirror-graph core =
+    template/boilerplate nests; a hub-and-spoke crawl graph has a tiny
+    core).  Like label_propagation_fixed / hits_fixed this is the
+    FIXED-ITERATION variant: ``rounds`` peels are applied whether or
+    not the fixpoint arrived earlier (extra rounds are no-ops once
+    stable), so the result is a pure function of (edges, k, rounds) and
+    the oracle unrolls the identical rounds as materialized CTEs.  A
+    path graph needs O(n) rounds to fully peel — for exact cores on
+    adversarial topologies raise ``rounds``; on real host graphs the
+    fixpoint arrives in a handful.
+
+    Scale shape: per round one symmetric-degree hash aggregate + one
+    broadcast-or-shuffle semi-join restricting the edge list;
+    localCheckpoint per round keeps lineage O(1) (the pagerank
+    posture).  Returns surviving (id, core_degree)."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    cur = sym
+    for _ in range(rounds):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
+        alive = deg.filter(F.col("_d") >= k).select("a")
+        cur = (
+            cur.join(alive, "a", "left_semi")
+            .join(alive.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("a").alias("id"), "core_degree")
+    )

@@ -2391,3 +2391,56 @@ def qld_topk(
         .orderBy(F.col("qld").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mattr_diversity(
+    docs: DataFrame,
+    window: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Moving-Average Type-Token Ratio [Covington & McFall 2010] — the
+    length-independent lexical-diversity score (plain TTR shrinks with
+    document length by Heaps' law, so cross-length comparisons lie):
+    the mean over all ``window``-word sliding windows of
+    distinct-types/window.  Docs shorter than the window fall back to
+    plain TTR over their full length (the published convention),
+    flagged by ``windowed = false``; a doc whose normalized text is
+    empty has no tokens — n_words 0, mattr NULL (the good_turing r10
+    advice posture: the '' pseudo-token is never counted).
+
+    Exactness: each window's distinct count is an exact integer from
+    array_distinct over a slice; mattr = Σ distinct_i / (w · n_windows)
+    is ONE float division of exact integers (identical in DuckDB via
+    list_transform/list_distinct).
+
+    Scale: map-ONLY — the sliding windows are a transform() over the
+    per-doc word array inside codegen; no explode, no shuffle, one
+    narrow row per doc.  Per-doc cost O(n_words · window) — the
+    ``window`` knob is the budget."""
+    d = docs.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
+    n = F.size("ws")
+    w = int(window)
+    win_sums = F.expr(
+        f"aggregate(transform(sequence(1, size(ws) - {w} + 1), "
+        f"i -> size(array_distinct(slice(ws, i, {w})))), 0L, (acc, x) -> acc + x)"
+    )
+    n_windows = (n - w + 1).cast("long")
+    ttr_short = F.size(F.array_distinct(F.col("ws"))).cast("double") / n.cast(
+        "double"
+    )
+    mattr = F.when(
+        n >= w,
+        win_sums.cast("double") / (n_windows * w).cast("double"),
+    ).otherwise(ttr_short)
+    empty = (n == 1) & (F.element_at(F.col("ws"), 1) == F.lit(""))
+    return d.select(
+        F.col(id_col),
+        F.when(empty, F.lit(0)).otherwise(n).cast("long").alias("n_words"),
+        F.when(empty, F.lit(0))
+        .otherwise(F.greatest(n_windows, F.lit(0)))
+        .cast("long")
+        .alias("n_windows"),
+        (~empty & (n >= w)).alias("windowed"),
+        F.round(F.when(~empty, mattr), 6).alias("mattr"),
+    )

@@ -1387,3 +1387,131 @@ def q_fleiss_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         votes = v if votes is None else votes.unionByName(v)
     return fleiss_kappa(votes, "doc_id", "cat", n_raters=3)
+
+
+@register(
+    "mattr_diversity",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split({oracles.NORM.format(col='text')}, ' ') AS ws
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, len(ws)::BIGINT AS n,
+               (ws = ['']) AS empty,
+               CASE WHEN len(ws) >= 25 THEN
+                   list_sum(list_transform(
+                       range(1, len(ws) - 25 + 2),
+                       i -> len(list_distinct(ws[i:i+24]))
+                   ))::BIGINT
+               END AS wsum,
+               len(list_distinct(ws))::BIGINT AS ndist
+        FROM d
+    )
+    SELECT doc_id,
+           CASE WHEN empty THEN 0 ELSE n END AS n_words,
+           CASE WHEN empty OR n < 25 THEN 0 ELSE n - 24 END AS n_windows,
+           (NOT empty AND n >= 25) AS windowed,
+           round(CASE WHEN empty THEN NULL
+                 WHEN n >= 25 THEN wsum::DOUBLE / ((n - 24) * 25)::DOUBLE
+                 ELSE ndist::DOUBLE / n::DOUBLE
+                 END, 6) AS mattr
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (window 25) per doc — the
+    length-independent lexical-diversity gate next to ngram_diversity's
+    per-source distinct ratios.  Map-only: the sliding windows are a
+    transform over the per-doc word array inside codegen; short docs
+    fall back to plain TTR (windowed = false); empty docs NULL."""
+    from es_ch_sync_spark.operators.text import mattr_diversity
+
+    return mattr_diversity(_docs(spark, sf_dir), window=25).orderBy("doc_id")
+
+
+def _split_drift_oracle() -> str:
+    split_case = oracles._split_case_sql()
+    return f"""
+    WITH d AS (
+        SELECT {split_case} AS split,
+               len(list_filter(
+                   string_split({oracles.NORM.format(col='text')}, ' '),
+                   t -> t != ''
+               ))::BIGINT AS n_tok
+        FROM documents
+    ),
+    census AS MATERIALIZED (
+        SELECT split, length(bin(greatest(n_tok, 1)))::INT AS bucket,
+               count(*)::BIGINT AS c
+        FROM d GROUP BY 1, 2
+    ),
+    tot AS (SELECT split, sum(c)::BIGINT AS n FROM census GROUP BY 1),
+    p AS (
+        SELECT a.split AS g_a, a.n AS na, b.split AS g_b, b.n AS nb
+        FROM tot a JOIN tot b ON a.split < b.split
+    ),
+    grid AS (
+        SELECT p.*, u.bucket
+        FROM p CROSS JOIN (SELECT DISTINCT bucket FROM census) u
+    ),
+    j AS (
+        SELECT g.g_a, g.g_b, g.na, g.nb, g.bucket,
+               coalesce(x.c, 0)::BIGINT AS ca, coalesce(y.c, 0)::BIGINT AS cb
+        FROM grid g
+        LEFT JOIN census x ON x.split = g.g_a AND x.bucket = g.bucket
+        LEFT JOIN census y ON y.split = g.g_b AND y.bucket = g.bucket
+        WHERE coalesce(x.c, 0) > 0 OR coalesce(y.c, 0) > 0
+    ),
+    t AS (
+        SELECT g_a, g_b,
+               CASE WHEN ca > 0 THEN (ca::DOUBLE / na::DOUBLE)
+                    * ln((ca::DOUBLE / na::DOUBLE)
+                         / (((ca::DOUBLE / na::DOUBLE)
+                             + (cb::DOUBLE / nb::DOUBLE)) / 2.0))
+                    ELSE 0.0 END AS tp,
+               CASE WHEN cb > 0 THEN (cb::DOUBLE / nb::DOUBLE)
+                    * ln((cb::DOUBLE / nb::DOUBLE)
+                         / (((ca::DOUBLE / na::DOUBLE)
+                             + (cb::DOUBLE / nb::DOUBLE)) / 2.0))
+                    ELSE 0.0 END AS tq
+        FROM j
+    )
+    SELECT g_a AS split_a, g_b AS split_b,
+           count(*)::BIGINT AS n_buckets,
+           round((sum(CAST(floor(tp * 1e9 + 0.5) AS BIGINT))
+                  + sum(CAST(floor(tq * 1e9 + 0.5) AS BIGINT)))::DOUBLE
+                 / 2e9, 6) AS jsd_nats
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("split_length_drift", _split_drift_oracle())
+def q_split_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise JSD between the train/valid/test token-length
+    distributions (power-of-two buckets via exact binary-digit length —
+    no float log2 at bucket edges): the split-health check a leakage
+    audit runs next to decontaminate (a hash split should show ~0 drift;
+    a time- or source-correlated split shows up immediately).  Bounded
+    census in, census-sized everywhere."""
+    from es_ch_sync_spark.operators.analytics import pairwise_jsd
+    from es_ch_sync_spark.operators.sampling import assign_split
+    from es_ch_sync_spark.operators.text import words
+
+    docs = _docs(spark, sf_dir)
+    d = assign_split(docs).select(
+        "split",
+        F.size(F.filter(words(F.col("text")), lambda t: t != F.lit("")))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    census = d.select(
+        "split",
+        F.length(
+            F.conv(F.greatest(F.col("n_tok"), F.lit(1)).cast("string"), 10, 2)
+        ).cast("int").alias("bucket"),
+    ).groupBy("split", "bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return pairwise_jsd(census, "split", "bucket", "c").withColumnsRenamed(
+        {"split_a": "split_a", "split_b": "split_b"}
+    )

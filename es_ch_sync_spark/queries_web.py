@@ -527,3 +527,65 @@ def q_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return registered_domain_psl(hosts, "host", rules).select(
         "doc_id", "host", "domain"
     )
+
+
+_KCORE_K, _KCORE_ROUNDS = 2, 8
+
+
+def _host_kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    from es_ch_sync_spark import oracles
+
+    pairs = oracles.minhash_near_dup_sql(threshold=0.5)
+    host_a = _HOST.replace("doc_id", "id_a")
+    host_b = _HOST.replace("doc_id", "id_b")
+    prev = "e0"
+    iters_sql = ""
+    for it in range(1, rounds + 1):
+        iters_sql += f"""
+    , d{it} AS MATERIALIZED (
+        SELECT src, count(*)::BIGINT AS c FROM {prev} GROUP BY 1
+    ),
+    a{it} AS MATERIALIZED (SELECT src AS id FROM d{it} WHERE c >= {k}),
+    e{it} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM {prev} e
+        JOIN a{it} x ON e.src = x.id
+        JOIN a{it} y ON e.dst = y.id
+    )"""
+        prev = f"e{it}"
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    he AS MATERIALIZED (
+        SELECT ha, hb FROM (
+            SELECT {host_a} AS ha, {host_b} AS hb FROM pairs
+        ) WHERE ha <> hb
+    ),
+    e0 AS MATERIALIZED (
+        SELECT ha AS src, hb AS dst FROM he
+        UNION
+        SELECT hb, ha FROM he
+    )
+    {iters_sql}
+    SELECT src AS id, count(*)::BIGINT AS core_degree
+    FROM {prev} GROUP BY 1 ORDER BY id
+    """
+
+
+@register("host_kcore", _host_kcore_oracle())
+def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round 2-core of the host mirror graph (8 peeling rounds —
+    fixpoint on this graph arrives in ≤3): the dense template/boilerplate
+    core of the near-dup neighborhood, next to host_communities' LPA
+    partition and domain_pagerank's centrality.  Per round one degree
+    aggregate + two semi-joins, localCheckpoint lineage discipline; the
+    oracle unrolls the identical rounds as materialized CTEs."""
+    from es_ch_sync_spark.operators.dedup import minhash_near_duplicates
+    from es_ch_sync_spark.operators.graph import k_core_fixed
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    he = pairs.select(
+        F.expr(_HOST.replace("doc_id", "id_a")).alias("src"),
+        F.expr(_HOST.replace("doc_id", "id_b")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return k_core_fixed(
+        he, k=_KCORE_K, rounds=_KCORE_ROUNDS
+    ).orderBy("id")

@@ -458,3 +458,40 @@ def test_vocab_coverage_and_entropy_rate_tiny(spark):
     exp_left = (5 * round(math.log(5) * 1e6) - 3 * round(math.log(3) * 1e6)
                 - 2 * round(math.log(2) * 1e6)) / 5e6
     assert er["h_left"] == round(exp_left, 6)
+
+
+def test_pairwise_jsd_known_values(spark):
+    """Identical distributions -> 0; disjoint supports -> ln 2; the
+    (3/4,1/4) vs (1/4,3/4) pair matches the closed form."""
+    import math
+
+    from es_ch_sync_spark.operators.analytics import pairwise_jsd
+
+    rows = [("x", 1, 5), ("x", 2, 5), ("y", 1, 50), ("y", 2, 50), ("z", 3, 7)]
+    df = spark.createDataFrame(rows, "g string, b int, c long")
+    out = {(r["g_a"], r["g_b"]): r["jsd_nats"]
+           for r in pairwise_jsd(df, "g", "b", "c").collect()}
+    assert out[("x", "y")] == 0.0
+    assert abs(out[("x", "z")] - math.log(2)) < 1e-6
+    df2 = spark.createDataFrame(
+        [("p", 1, 3), ("p", 2, 1), ("q", 1, 1), ("q", 2, 3)],
+        "g string, b int, c long",
+    )
+    r = pairwise_jsd(df2, "g", "b", "c").collect()[0]
+    exp = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+    assert abs(r["jsd_nats"] - exp) < 2e-6
+
+
+def test_mattr_window_and_fallbacks(spark):
+    """Alternating 2-word text at window 4 -> 0.5 exactly; short doc
+    falls back to plain TTR; empty doc NULLs out."""
+    from es_ch_sync_spark.operators.text import mattr_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in mattr_diversity(df, window=4).collect()}
+    assert out[1]["mattr"] == 0.5 and out[1]["windowed"] and out[1]["n_windows"] == 3
+    assert out[2]["mattr"] == 1.0 and not out[2]["windowed"]
+    assert out[3]["mattr"] is None and out[3]["n_words"] == 0

@@ -192,3 +192,23 @@ def test_hits_fixed_guards_iterations_and_unit(spark):
         hits_fixed(edges, iterations=0)
     with pytest.raises(ValueError, match="unit"):
         hits_fixed(edges, iterations=1, unit=10**15)
+
+
+def test_k_core_fixed_peels_pendants_keeps_clique(spark):
+    """Triangle + pendant path: the 2-core is exactly the triangle (all
+    core degrees 2); pendant chain peels over successive rounds.  k=3 on
+    the same graph is empty; a 4-clique survives k=3 with degree 3."""
+    from es_ch_sync_spark.operators.graph import k_core_fixed
+
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    path = [("c", "d"), ("d", "e"), ("e", "f")]
+    edges = spark.createDataFrame(tri + path, "src string, dst string")
+    core = {r["id"]: r["core_degree"]
+            for r in k_core_fixed(edges, k=2, rounds=8).collect()}
+    assert core == {"a": 2, "b": 2, "c": 2}
+    assert k_core_fixed(edges, k=3, rounds=8).count() == 0
+    k4 = [(x, y) for x in "pqrs" for y in "pqrs" if x < y]
+    e4 = spark.createDataFrame(k4, "src string, dst string")
+    core4 = {r["id"]: r["core_degree"]
+             for r in k_core_fixed(e4, k=3, rounds=4).collect()}
+    assert core4 == {c: 3 for c in "pqrs"}
