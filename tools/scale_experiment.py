@@ -989,6 +989,50 @@ def _r11_sections(spark, docs, replicas, only):
             return fleiss_kappa(votes, "doc_id", "cat", n_raters=3).count()
 
         timed(f"fleiss_kappa_gates x{replicas}", _fk)
+    if "r11b" in only:
+        from es_ch_sync_spark.operators import dedup as _dd
+        from es_ch_sync_spark.operators.analytics import pairwise_jsd
+        from es_ch_sync_spark.operators.graph import k_core_fixed
+        from es_ch_sync_spark.operators.sampling import assign_split
+        from es_ch_sync_spark.operators.text import mattr_diversity, words
+
+        def _kcore() -> int:
+            pairs = _dd.minhash_near_duplicates(docs, threshold=0.5)
+            pairs = pairs.localCheckpoint(eager=True)  # time the core, not LSH
+            host = "('h' || CAST({c} % 9973 AS STRING))"
+            he = pairs.select(
+                F.expr(host.format(c="id_a")).alias("src"),
+                F.expr(host.format(c="id_b")).alias("dst"),
+            ).filter(F.col("src") != F.col("dst"))
+            return k_core_fixed(he, k=2, rounds=8).count()
+
+        timed(f"k_core_fixed x{replicas} (k=2, 8 rounds, host graph)", _kcore)
+        timed(
+            f"mattr_diversity x{replicas} (window 25)",
+            lambda: mattr_diversity(docs, window=25).count(),
+        )
+
+        def _drift() -> int:
+            d = assign_split(docs).select(
+                "split",
+                F.size(
+                    F.filter(words(F.col("text")), lambda t: t != F.lit(""))
+                ).cast("long").alias("n_tok"),
+            )
+            census = d.select(
+                "split",
+                F.length(
+                    F.conv(
+                        F.greatest(F.col("n_tok"), F.lit(1)).cast("string"),
+                        10, 2,
+                    )
+                ).cast("int").alias("bucket"),
+            ).groupBy("split", "bucket").agg(
+                F.count(F.lit(1)).cast("long").alias("c")
+            )
+            return pairwise_jsd(census, "split", "bucket", "c").count()
+
+        timed(f"split_length_drift x{replicas}", _drift)
 
 
 def _r10_sections(spark, docs, replicas, only):
