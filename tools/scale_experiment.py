@@ -1033,6 +1033,86 @@ def _r11_sections(spark, docs, replicas, only):
             return pairwise_jsd(census, "split", "bucket", "c").count()
 
         timed(f"split_length_drift x{replicas}", _drift)
+    if "containpfx_heaps" in only:
+        # back the BENCH r11 claim: on a Heaps-law natural-text corpus the
+        # containment prefix miner's candidate set is near the true-pair
+        # count (the replica corpus's template vocabulary is the
+        # adversarial case).  Same corpus generator as ppjoin_heaps.
+        from es_ch_sync_spark.operators.dedup import (
+            containment_pairs_prefix,
+            word_shingles,
+        )
+        from pyspark.sql import Window as W
+
+        n_docs = 5_000 * replicas
+        tokens_per_doc = 60
+        v = int(30 * math.sqrt(n_docs * tokens_per_doc))
+        heaps = spark.range(n_docs).selectExpr(
+            "id AS doc_id",
+            f"""concat_ws(' ', transform(sequence(0, {tokens_per_doc - 1}),
+                s -> concat('t', cast(floor(pow({v},
+                  (abs(xxhash64(CASE WHEN id % 100 = 1 AND s >= 6
+                                     THEN id - 1 ELSE id END, s))
+                   % 1000000) / 1e6)) AS long)))) AS text""",
+        )
+        heaps = heaps.repartition(64).persist()
+        print(f"heaps corpus: {heaps.count()} docs, vocab~{v}", flush=True)
+
+        def _cand() -> int:
+            sets = (
+                heaps.select(
+                    F.col("doc_id"),
+                    word_shingles(F.col("text"), 3).alias("ts"),
+                )
+                .withColumn("n", F.size("ts"))
+                .where(F.col("n") > 0)
+            )
+            toks = sets.select("doc_id", "n", F.explode("ts").alias("tok"))
+            dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+            ranked = toks.join(dfreq, "tok").withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("doc_id").orderBy(F.col("f"), F.col("tok"))
+                ),
+            )
+            plen = F.col("n") - F.ceil(F.lit(0.5) * F.col("n")) + 1
+            probe = ranked.where(F.col("rn") <= plen).select(
+                F.col("doc_id").alias("_pid"),
+                F.col("tok").alias("_ptok"),
+                F.col("n").alias("_pn"),
+            )
+            index = toks.select(
+                F.col("doc_id").alias("_fid"), "tok", F.col("n").alias("_fn")
+            )
+            return (
+                probe.join(
+                    index,
+                    (F.col("_ptok") == F.col("tok"))
+                    & (F.col("_pid") != F.col("_fid"))
+                    & (F.col("_fn") >= F.ceil(F.lit(0.5) * F.col("_pn"))),
+                )
+                .select(
+                    F.least("_pid", "_fid").alias("id_a"),
+                    F.greatest("_pid", "_fid").alias("id_b"),
+                )
+                .distinct()
+                .count()
+            )
+
+        t0 = time.time()
+        n_cand = _cand()
+        all_pairs = n_docs * (n_docs - 1) // 2
+        print(
+            f"containpfx_heaps x{replicas}: {n_cand} candidates of "
+            f"{all_pairs} possible (reduction {all_pairs / max(n_cand, 1):.0f}x, "
+            f"{n_cand / n_docs:.2f} cand/doc) in {time.time() - t0:.1f}s",
+            flush=True,
+        )
+        timed(
+            f"containment_pairs_prefix heaps x{replicas} (threshold 0.5, full verify)",
+            lambda: containment_pairs_prefix(heaps, threshold=0.5).count(),
+        )
+        heaps.unpersist()
 
 
 def _r10_sections(spark, docs, replicas, only):
