@@ -2817,7 +2817,11 @@ def pairwise_jsd(
     cross-engine reduction is order-independent; JSD = (Σp + Σq)/2 in
     nats, symmetric and ≤ ln 2.  A bucket present in only one group
     contributes p·ln 2 exactly (m = p/2) — materialized by the
-    anti-join legs, no NULL arithmetic.
+    anti-join legs, no NULL arithmetic.  The companion ``tvd`` column
+    (total-variation distance, ½Σ|p−q|) is EXACT up to its single final
+    division: over the pair's common denominator n_a·n_b every
+    per-bucket |p−q| numerator is the integer |c_a·n_b − c_b·n_a|, so
+    the sum rides DECIMAL(38,0) and divides once.
 
     Scale: the census is bounded (groups × buckets); every frame here
     is census-sized."""
@@ -2884,15 +2888,82 @@ def pairwise_jsd(
     tp = F.when(F.col("_ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
     tq = F.when(F.col("_cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
     nano = lambda c_: F.floor(c_ * F.lit(1e9) + F.lit(0.5)).cast("long")
+    d38 = "decimal(38,0)"
+    # total-variation distance rides a COMMON per-pair denominator:
+    # p − q = (ca·nb − cb·na)/(na·nb), so TVD = Σ|ca·nb − cb·na| /
+    # (2·na·nb) — the numerator sum is an EXACT integer and the whole
+    # metric is ONE float division (no per-bucket rounding at all)
+    tvd_num = F.abs(
+        F.col("_ca").cast(d38) * F.col("_nb").cast(d38)
+        - F.col("_cb").cast(d38) * F.col("_na").cast(d38)
+    )
     agg = allb.groupBy("g_a", "g_b").agg(
         F.sum(nano(tp)).alias("_tp"),
         F.sum(nano(tq)).alias("_tq"),
+        F.sum(tvd_num).cast(d38).alias("_tv"),
+        F.max(F.col("_na")).alias("_mna"),
+        F.max(F.col("_nb")).alias("_mnb"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
     )
     jsd = (F.col("_tp") + F.col("_tq")).cast("double") / F.lit(2e9)
+    tvd = F.col("_tv").cast("double") / (
+        F.lit(2.0) * F.col("_mna").cast("double") * F.col("_mnb").cast("double")
+    )
     return agg.select(
         F.col("g_a").alias(f"{group_col}_a"),
         F.col("g_b").alias(f"{group_col}_b"),
         "n_buckets",
         F.round(jsd, 6).alias("jsd_nats"),
+        F.round(tvd, 6).alias("tvd"),
     ).orderBy(f"{group_col}_a", f"{group_col}_b")
+
+
+def gini_concentration(
+    census: DataFrame, key_col: str, weight_col: str
+) -> DataFrame:
+    """Gini coefficient of a weight distribution over keys [Gini 1912;
+    the discrete rank formula] — the one-number concentration readout
+    for "how much of the corpus does the top source/domain own", the
+    scalar companion to the full cap_per_domain / source_cap policies:
+    G = 0 is a perfectly balanced mix, G → 1 a single-source corpus.
+
+        G = (2·Σᵢ i·wᵢ − (n+1)·Σw) / (n·Σw),  wᵢ ascending, i = 1..n
+
+    Exactness: weights are exact BIGINTs; ranks come from one window
+    over the KEY CENSUS (bounded by the number of keys, never the
+    corpus — the zipf head posture); the numerator rides DECIMAL(38,0)
+    and G is ONE float division.  Ties order by (weight, key) — total,
+    and any tie order gives the same G (equal weights commute in the
+    rank sum).  NULL for an empty census or zero total weight."""
+    from pyspark.sql import Window as W
+
+    d38 = "decimal(38,0)"
+    c = census.select(
+        F.col(key_col).alias("_k"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    ranked = c.select(
+        "_w",
+        F.row_number().over(W.orderBy(F.col("_w").asc(), F.col("_k").asc())).alias("_i"),
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_w").cast("long").alias("total_weight"),
+        F.sum(F.col("_i").cast(d38) * F.col("_w").cast(d38)).cast(d38).alias("_iw"),
+    )
+    num = (
+        F.lit(2).cast(d38) * F.col("_iw")
+        - (F.col("n_keys") + 1).cast(d38) * F.col("total_weight").cast(d38)
+    )
+    den = F.col("n_keys").cast(d38) * F.col("total_weight").cast(d38)
+    return g.select(
+        "n_keys",
+        "total_weight",
+        F.round(
+            F.when(
+                (F.col("n_keys") > 0) & (F.col("total_weight") > 0),
+                num.cast("double") / den.cast("double"),
+            ),
+            6,
+        ).alias("gini"),
+    )

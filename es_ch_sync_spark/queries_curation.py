@@ -1465,7 +1465,7 @@ def _split_drift_oracle() -> str:
         WHERE coalesce(x.c, 0) > 0 OR coalesce(y.c, 0) > 0
     ),
     t AS (
-        SELECT g_a, g_b,
+        SELECT g_a, g_b, ca, cb, na, nb,
                CASE WHEN ca > 0 THEN (ca::DOUBLE / na::DOUBLE)
                     * ln((ca::DOUBLE / na::DOUBLE)
                          / (((ca::DOUBLE / na::DOUBLE)
@@ -1482,7 +1482,10 @@ def _split_drift_oracle() -> str:
            count(*)::BIGINT AS n_buckets,
            round((sum(CAST(floor(tp * 1e9 + 0.5) AS BIGINT))
                   + sum(CAST(floor(tq * 1e9 + 0.5) AS BIGINT)))::DOUBLE
-                 / 2e9, 6) AS jsd_nats
+                 / 2e9, 6) AS jsd_nats,
+           round(sum(abs(ca::HUGEINT * nb::HUGEINT
+                         - cb::HUGEINT * na::HUGEINT))::DOUBLE
+                 / (2.0 * max(na)::DOUBLE * max(nb)::DOUBLE), 6) AS tvd
     FROM t GROUP BY 1, 2 ORDER BY 1, 2
     """
 
@@ -1515,3 +1518,49 @@ def q_split_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_jsd(census, "split", "bucket", "c").withColumnsRenamed(
         {"split_a": "split_a", "split_b": "split_b"}
     )
+
+
+@register(
+    "source_gini",
+    f"""
+    WITH census AS (
+        SELECT source AS k,
+               sum(len(list_filter(
+                   string_split({oracles.NORM.format(col='text')}, ' '),
+                   t -> t != ''
+               )))::BIGINT AS w
+        FROM documents GROUP BY 1
+    ),
+    ranked AS (
+        SELECT w, row_number() OVER (ORDER BY w, k) AS i FROM census
+    )
+    SELECT count(*)::BIGINT AS n_keys, sum(w)::BIGINT AS total_weight,
+           round(CASE WHEN count(*) > 0 AND sum(w) > 0
+                 THEN (2::HUGEINT * sum(i::HUGEINT * w::HUGEINT)
+                       - (count(*) + 1)::HUGEINT * sum(w)::HUGEINT)::DOUBLE
+                      / (count(*)::HUGEINT * sum(w)::HUGEINT)::DOUBLE
+                 END, 6) AS gini
+    FROM ranked
+    """,
+)
+def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of corpus token mass across sources — the
+    scalar mixture-concentration readout next to cap_per_domain /
+    temperature_sample (a balanced blend reads ~0; one dominating
+    source pushes toward 1).  One token-count pass → source census →
+    one census window + one aggregate, exact integer moments."""
+    from es_ch_sync_spark.operators.analytics import gini_concentration
+    from es_ch_sync_spark.operators.text import words
+
+    census = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.size(F.filter(words(F.col("text")), lambda t: t != F.lit("")))
+            .cast("long")
+            .alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("w"))
+    )
+    return gini_concentration(census, "source", "w")

@@ -495,3 +495,36 @@ def test_mattr_window_and_fallbacks(spark):
     assert out[1]["mattr"] == 0.5 and out[1]["windowed"] and out[1]["n_windows"] == 3
     assert out[2]["mattr"] == 1.0 and not out[2]["windowed"]
     assert out[3]["mattr"] is None and out[3]["n_words"] == 0
+
+
+def test_gini_concentration_known_values(spark):
+    """Equal weights -> 0; an extreme whale approaches (n-1)/n; the
+    4-key hand case matches the rank formula."""
+    from es_ch_sync_spark.operators.analytics import gini_concentration
+
+    eq = spark.createDataFrame([(f"k{i}", 10) for i in range(5)], "k string, w long")
+    assert gini_concentration(eq, "k", "w").collect()[0]["gini"] == 0.0
+    whale = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0), ("d", 1000)], "k string, w long"
+    )
+    assert gini_concentration(whale, "k", "w").collect()[0]["gini"] == 0.75
+    hand = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)], "k string, w long"
+    )
+    # G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40
+    assert gini_concentration(hand, "k", "w").collect()[0]["gini"] == 0.25
+
+
+def test_pairwise_jsd_tvd_exact(spark):
+    """TVD companion column: disjoint supports -> 1.0; the
+    (3/4,1/4)-vs-(1/4,3/4) pair -> 0.5 exactly."""
+    from es_ch_sync_spark.operators.analytics import pairwise_jsd
+
+    rows = [("x", 1, 5), ("z", 3, 7)]
+    df = spark.createDataFrame(rows, "g string, b int, c long")
+    assert pairwise_jsd(df, "g", "b", "c").collect()[0]["tvd"] == 1.0
+    df2 = spark.createDataFrame(
+        [("p", 1, 3), ("p", 2, 1), ("q", 1, 1), ("q", 2, 3)],
+        "g string, b int, c long",
+    )
+    assert pairwise_jsd(df2, "g", "b", "c").collect()[0]["tvd"] == 0.5

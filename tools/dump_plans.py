@@ -79,7 +79,7 @@ HEADLINE = [
     "entropy_rate_bigram", "mcnemar_gates", "fleiss_kappa_gates",
     "ab_mde_power", "dedup_ari_exact_vs_lsh", "qld_topk",
     "rbo_bm25_vs_qld", "minhash_calibration", "doc_length_tail_index",
-    "host_kcore", "split_length_drift", "mattr_diversity",
+    "host_kcore", "split_length_drift", "mattr_diversity", "source_gini",
 ]
 
 MARKERS = [
