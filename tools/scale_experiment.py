@@ -556,6 +556,20 @@ def main() -> None:
             lambda: prefix_filter_pairs(heaps, shingle_k=3, threshold=0.6).count(),
         )
         heaps.unpersist()
+    if "qld11" in only:
+        from es_ch_sync_spark.operators.text import bm25_topk, qld_topk
+
+        # replica corpus suffixes tokens with the replica id — use the
+        # replica-7 terms (the rankeval convention) so postings are real
+        terms = ["sparkx7", "mergex7", "streamx7"]
+        timed(
+            f"qld_topk x{replicas} (mu=2000, k=10)",
+            lambda: qld_topk(docs, terms, k=10, mu=2000).count(),
+        )
+        timed(
+            f"bm25_topk x{replicas} (k=10, same terms)",
+            lambda: bm25_topk(docs, terms, k=10).count(),
+        )
     if "boiler" in only:
         from es_ch_sync_spark.operators.dedup import remove_boilerplate_chunks
 
