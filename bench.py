@@ -102,6 +102,14 @@ def main() -> None:
     spark = get_spark("bench", shuffle_partitions=int(cpus))
     qs = spark_queries()
 
+    # Host-load context (r11 VERDICT #4): three rounds of BENCH_r{N}.json
+    # needed manual busy-host adjudication against NOTES readings.  Record
+    # the 1/5/15-min load averages at suite start and end plus the warmup
+    # wall so a loaded-host artifact self-identifies: loadavg >> ncpus-idle
+    # at start, or warmup wall far above the settled per-pass wall, means
+    # the reading was taken while the host was draining other work.
+    load_start = [round(x, 2) for x in os.getloadavg()]
+
     # warm the JVM + parquet footers with one tiny action (not timed)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
@@ -119,6 +127,7 @@ def main() -> None:
     # adjudicate against the spread minima.  Warmup errors are recorded
     # (and the query skipped in timed passes) exactly like timed-pass
     # errors.
+    warmup_t0 = time.time()
     for name in HEADLINE + EXTENDED:
         try:
             t0 = time.time()
@@ -130,6 +139,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+    warmup_wall = round(time.time() - warmup_t0, 3)
 
     for pass_no in range(PASSES):
         for name in HEADLINE + EXTENDED:
@@ -180,6 +190,12 @@ def main() -> None:
         "passes; value = sum of medians",
         "spread": spread,
         "extended": extended,
+        "host": {
+            "loadavg_start": load_start,
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "cpus": int(cpus),
+            "warmup_wall_sec": warmup_wall,
+        },
     }
     if errors:
         payload["errors"] = errors
@@ -198,6 +214,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "incomplete": bool(headline_errors),
+        "loadavg_start": load_start,
     }))
 
 

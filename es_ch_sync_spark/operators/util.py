@@ -128,7 +128,17 @@ def two_phase_rank(
     ordered, so the composed rank is then exactly the global one).
 
     Driver round-trip is ≤``partitions`` narrow rows; every window in
-    the result is partitioned."""
+    the result is partitioned.
+
+    The distinctness contract is ENFORCED, not conventional (r11 verdict
+    directive #3): a duplicated order tuple would silently produce
+    boundary-dependent nondeterministic ranks, so after checkpointing the
+    range assignment the function probes for ties with one bounded job —
+    ``rank() != row_number()`` over the per-partition window holds on some
+    row iff the order tuple repeats (repartitionByRange sends equal keys
+    to one partition, so the within-partition probe is complete; the probe
+    accepts desc()/asc() sort-order Columns, which a groupBy-distinct
+    check could not) — and raises ValueError naming the tuple."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -137,6 +147,23 @@ def two_phase_rank(
         .withColumn("_tpr_p", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    _wp_probe = W.partitionBy("_tpr_p").orderBy(*order_cols)
+    dup = (
+        parted.select(
+            (F.rank().over(_wp_probe) != F.row_number().over(_wp_probe)).alias("_t")
+        )
+        .filter(F.col("_t"))
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "two_phase_rank: order-key tuple "
+            f"{[str(c) for c in order_cols]} is not distinct in the input — "
+            "range partitions + within-partition row_number compose to a "
+            "total order only for distinct keys; add a unique tie-break "
+            "column (e.g. the entity id) to the order tuple"
+        )
     cnts = sorted(
         (r["_tpr_p"], r["c"])
         for r in parted.groupBy("_tpr_p").agg(F.count(F.lit(1)).alias("c")).collect()

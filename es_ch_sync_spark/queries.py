@@ -203,8 +203,26 @@ _DRIVER_SAMPLED_R10 = frozenset({
 
 _DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R10
 
+_DRIVER_SAMPLED_R11 = frozenset({
+    "ab_mde_power", "conflict_audit", "containment_pairs_prefix",
+    "corpus_pipeline", "dedup_ari_exact_vs_lsh", "dedup_clusters",
+    "dedup_clusters_star", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_write", "dim_join",
+    "dim_join_unresolved", "distinct_tokens", "doc_length_tail_index",
+    "entropy_rate_bigram", "es_dsl_scan", "es_status_scan", "exists_any",
+    "fleiss_kappa_gates", "host_kcore", "mattr_diversity", "mcnemar_gates",
+    "minhash_calibration", "ngram_jaccard", "oldest_signal", "project_prune",
+    "psl_registered_domain", "qld_topk", "rbo_bm25_vs_qld", "resume_points",
+    "resume_points_incremental", "scan_filter", "source_gini",
+    "split_length_drift", "text_analysis", "text_repetition",
+    "tfidf_top_terms", "topk_scan", "train_test_split", "unpivot_signals",
+    "vocab_coverage",
+})
+
+_DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R11
+
 # Queries whose LATEST driver row is red for a since-fixed reason and must
-# be re-sampled to flip green.  Empty after r10: the driver's 50-row sample
+# be re-sampled to flip green.  Empty after r11: the driver's 50-row sample
 # came back 50/50, so no registry name is currently red.
 _RED_LATEST: tuple[str, ...] = ()
 

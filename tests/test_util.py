@@ -107,3 +107,20 @@ def test_two_phase_rank_matches_global_order(spark):
     assert dict(got) == {(w, c): i + 1 for i, (w, c) in enumerate(expect)}
     empty = spark.createDataFrame([], "w string, cnt long")
     assert two_phase_rank(empty, "w").count() == 0
+
+
+def test_two_phase_rank_rejects_duplicate_order_keys(spark):
+    """The distinctness contract is enforced (r11 verdict #3): a duplicated
+    order tuple raises instead of silently producing boundary-dependent
+    ranks; adding a unique tie-break column makes the same data pass."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.util import two_phase_rank
+
+    rows = [(f"w{i}", i % 5) for i in range(50)]  # cnt repeats 10× each
+    df = spark.createDataFrame(rows, "w string, cnt long")
+    with pytest.raises(ValueError, match="not distinct"):
+        two_phase_rank(df, F.col("cnt").desc(), partitions=7)
+    # same frame with the unique tie-break appended is fine
+    assert two_phase_rank(df, F.col("cnt").desc(), "w", partitions=7).count() == 50
