@@ -456,3 +456,79 @@ def test_nb_census_not_replayed(plans):
     p = plans("nb_lang_confusion")
     assert "Scan ExistingRDD" in p
     assert p.count("Scan parquet") <= 2, p.count("Scan parquet")
+
+
+# --- Plan-shape gate (r11 verdict directive #1) -------------------------
+# tools/plan_gate.py is the single source of truth for the three rules
+# (zero CartesianProduct, census-whitelisted single-partition windows,
+# shared-pass FileScan budgets); it runs in three places: here (pytest),
+# tools/dump_plans.py (the PLANS.md regen step of the sweep chain), and
+# standalone via `python tools/plan_gate.py`.
+
+def _plan_gate():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import plan_gate
+
+    return plan_gate
+
+
+def test_plan_gate_catches_injected_violations():
+    """The gate itself must be non-vacuous: synthetic plans violating each
+    of the three rules produce exactly the expected findings."""
+    pg = _plan_gate()
+    cart = "*(1) Project [x]\n+- CartesianProduct\n"
+    assert any("CartesianProduct" in v for v in pg.violations("q", cart))
+    spw = (
+        "Window [sum(x) windowspecdefinition(y ASC)]\n"
+        "+- *(1) Sort [y ASC], false, 0\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+    )
+    assert any("single-partition Window" in v for v in pg.violations("q", spw))
+    # whitelisted name passes the same plan
+    assert pg.violations("benford_digits", spw) == []
+    scans = "FileScan parquet a\nFileScan parquet b\n"
+    assert any("budget" in v for v in pg.violations("doc_perplexity_buckets", scans))
+    assert pg.violations("unbudgeted_query", scans) == []
+    # the AQE Initial Plan section must not double-count
+    aqe = "*(1) Project\n== Initial Plan ==\nCartesianProduct\n"
+    assert pg.violations("q", aqe) == []
+
+
+def test_plan_gate_committed_artifact():
+    """Gate the committed PLANS.md: all headline plans clean, and the
+    census-window whitelist is TIGHT (every entry actually flags — a stale
+    whitelist row would mask a future regression elsewhere)."""
+    from pathlib import Path
+
+    pg = _plan_gate()
+    path = Path(__file__).resolve().parent.parent / "PLANS.md"
+    if not path.exists():
+        import pytest
+
+        pytest.skip("PLANS.md not generated yet")
+    plans = pg.parse_plans_md(path.read_text())
+    assert len(plans) >= 100, "PLANS.md parse regression"
+    all_v = [v for name, p in plans.items() for v in pg.violations(name, p)]
+    assert all_v == [], all_v
+    for name in pg.CENSUS_WINDOW_WHITELIST:
+        if name in plans:
+            assert pg.single_partition_windows(plans[name]) > 0, (
+                f"stale whitelist entry: {name} no longer has a "
+                "single-partition window — remove it"
+            )
+
+
+def test_plan_gate_live_shared_pass(spark, sf_dir):
+    """Execute the two FileScan-budgeted shared-pass queries live and gate
+    their POST-EXECUTION plans — the budget must hold on fresh plans, not
+    just the committed artifact."""
+    pg = _plan_gate()
+    qs = spark_queries()
+    for name in ("retrieval_ranking_eval", "doc_perplexity_buckets"):
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert pg.violations(name, plan) == [], name

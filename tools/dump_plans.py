@@ -12,6 +12,7 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
     "sync_pipeline", "scan_filter", "topk_scan", "dim_join", "tpch_q1",
@@ -126,6 +127,8 @@ def _marker_counts(plan: str) -> dict[str, int]:
 
 
 def main() -> None:
+    from plan_gate import violations  # tools/plan_gate.py (same dir)
+
     from es_ch_sync_spark.queries import spark_queries
     from es_ch_sync_spark.session import get_spark
 
@@ -145,6 +148,7 @@ def main() -> None:
            "Exchange(shuffle) = materialized shuffle exchanges (reuse",
            "excluded); BroadcastExchange counted separately.  The",
            "'== Initial Plan ==' section AQE appends is stripped.", ""]
+    gate_failures: list[str] = []
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         # execute THIS df's QueryExecution so its AdaptiveSparkPlan
@@ -152,6 +156,7 @@ def main() -> None:
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         counts = _marker_counts(plan)
+        gate_failures.extend(violations(name, plan))
         out.append(f"## {name}")
         out.append("")
         out.append("markers: " + ", ".join(f"{k}×{v}" for k, v in sorted(counts.items())))
@@ -163,6 +168,13 @@ def main() -> None:
         print(f"# {name}: {counts}", file=sys.stderr)
     Path("/root/repo/PLANS.md").write_text("\n".join(out))
     print("wrote PLANS.md")
+    # Plan-shape gate (r11 verdict #1): fail the regen step itself — the
+    # artifact still gets written (diffable), but the chain goes red.
+    if gate_failures:
+        for v in gate_failures:
+            print(f"PLAN GATE FAIL {v}", file=sys.stderr)
+        sys.exit(1)
+    print(f"plan gate: OK ({len(HEADLINE)} plans, 0 violations)")
 
 
 if __name__ == "__main__":
