@@ -1452,8 +1452,12 @@ def containment_pairs_lsh(
             "c_ba"
         ),
     )
+    # exact-integer keep (same inequality as containment_pairs_prefix, so
+    # the two miners' keeps are comparable on identical candidates; the
+    # rounded c_ab/c_ba columns are display-only)
     return out.filter(
-        (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
+        (F.col("n_common") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+        | (F.col("n_common") >= F.ceil(F.lit(threshold) * F.col("n_b")))
     )
 
 
@@ -1463,6 +1467,7 @@ def containment_pairs_prefix(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    max_candidates: int = 10_000_000,
 ) -> DataFrame:
     """CONTAINMENT-FIRST candidate generation with EXACT recall — the
     prefix-filter miner ``containment_pairs_lsh`` names as its own scale
@@ -1492,7 +1497,28 @@ def containment_pairs_prefix(
     probed INTO, which is what makes short-in-long visible at all);
     verification touches candidates only.  Same vocabulary-driven
     selectivity caveat as prefix_filter_pairs: a tiny-vocabulary
-    (templated/log-like) corpus degrades — run minhash first there."""
+    (templated/log-like) corpus degrades — and that steer is ENFORCED,
+    not prose (r11 verdict directive #2): before the candidate join the
+    operator evaluates the exact pre-filter candidate mass
+    Σ_probe-rows df(tok) (one bounded aggregate over the checkpointed
+    rank table — every probe row joins to exactly df(tok) index
+    entries, so this is the join's true output size before the lossless
+    size filter and pair-dedup) and raises a loud ValueError above
+    ``max_candidates`` naming the minhash-first alternative.  On the
+    measured corpora: Heaps-law text ×100 ≈ 10⁴-scale mass (passes the
+    default 10M budget comfortably); the template-replica corpus that
+    produced the 473 s / 50M-candidate wall trips it before any
+    candidate is formed.  Raise ``max_candidates`` explicitly for a
+    sized cluster.
+
+    Keep predicate is EXACT-INTEGER (same bound as candidate
+    generation): C(X→Y) ≥ t ⟺ |X∩Y| ≥ ⌈t·|X|⌉ for integer overlaps, so
+    the filter compares n_common against the ceil bound directly — the
+    rounded c_ab/c_ba columns are display-only.  (Previously the keep
+    used round(c, 6) ≥ t, which on adversarial sizes — true containment
+    just below t rounding up at 6dp, ~10⁶ shingles — kept pairs the
+    candidate bound had already pruned, breaking the recall-1-vs-oracle
+    contract; bound and keep are now the same inequality.)"""
     from pyspark.sql import Window as W
 
     src = spread(df)
@@ -1506,17 +1532,40 @@ def containment_pairs_prefix(
     )
     toks = sets.select(F.col(id_col), "n", F.explode("ts").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-    ranked = toks.join(dfreq, "tok").withColumn(
-        "rn",
-        F.row_number().over(
-            W.partitionBy(id_col).orderBy(F.col("f"), F.col("tok"))
-        ),
+    # Checkpointed once: the corpus-shape guard aggregates over it, then
+    # BOTH join sides (rarest-prefix probe, full inverted index) derive
+    # from it without replaying the shingle explode + df join + window.
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.col("f"), F.col("tok"))
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    est = (
+        ranked.where(F.col("rn") <= prefix_len)
+        .agg(F.sum("f").alias("m"))
+        .first()["m"]
+        or 0
+    )
+    if est > max_candidates:
+        raise ValueError(
+            f"containment_pairs_prefix: prefix-token candidate mass "
+            f"Σ pfx_df(tok)·df(tok) = {est:,} exceeds max_candidates="
+            f"{max_candidates:,} — the corpus vocabulary is too small for "
+            "prefix filtering to be selective (templated/log-like text). "
+            "Run the Jaccard-first miner (containment_pairs_lsh / "
+            "minhash_near_duplicates) on this corpus, or raise "
+            "max_candidates explicitly for a sized cluster"
+        )
     probe = ranked.where(F.col("rn") <= prefix_len).select(
         F.col(id_col).alias("_pid"), "tok", F.col("n").alias("_pn")
     )
-    index = toks.select(
+    index = ranked.select(
         F.col(id_col).alias("_fid"), "tok", F.col("n").alias("_fn")
     )
     probe = probe.withColumnRenamed("tok", "_ptok")
@@ -1555,8 +1604,10 @@ def containment_pairs_prefix(
             "c_ba"
         ),
     )
+    # exact-integer keep, IDENTICAL to the candidate-generation bound
     return out.filter(
-        (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
+        (F.col("n_common") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+        | (F.col("n_common") >= F.ceil(F.lit(threshold) * F.col("n_b")))
     )
 
 

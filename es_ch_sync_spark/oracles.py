@@ -1564,8 +1564,8 @@ def containment_sql(
            round(n_common::DOUBLE / n_a::DOUBLE, 6) AS c_ab,
            round(n_common::DOUBLE / n_b::DOUBLE, 6) AS c_ba
     FROM v
-    WHERE round(n_common::DOUBLE / n_a::DOUBLE, 6) >= {threshold}
-       OR round(n_common::DOUBLE / n_b::DOUBLE, 6) >= {threshold}
+    WHERE n_common >= ceil({threshold} * n_a)
+       OR n_common >= ceil({threshold} * n_b)
     """
 
 
@@ -1614,7 +1614,10 @@ def containment_prefix_sql(threshold: float = 0.5, k: int = 3) -> str:
     containment (shingle equi-join — every pair with ≥1 shared shingle),
     kept when either direction clears the threshold.  The operator's
     prefix filter has recall 1 by construction, so a value match here
-    PROVES the filter lost nothing."""
+    PROVES the filter lost nothing.  Keep predicate is the same
+    exact-integer bound as the operator's candidate generation
+    (n_common ≥ ⌈t·n⌉) — NOT the rounded display columns, which on
+    adversarial sizes can round up past t (r11 ADVICE #1)."""
     return f"""
     {_shingles_cte(k)}
     , e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
@@ -1631,8 +1634,8 @@ def containment_prefix_sql(threshold: float = 0.5, k: int = 3) -> str:
     FROM inter
     JOIN (SELECT doc_id, len(shs) AS n FROM sh) sa ON id_a = sa.doc_id
     JOIN (SELECT doc_id, len(shs) AS n FROM sh) sb ON id_b = sb.doc_id
-    WHERE round(n_common::DOUBLE / sa.n::DOUBLE, 6) >= {threshold}
-       OR round(n_common::DOUBLE / sb.n::DOUBLE, 6) >= {threshold}
+    WHERE n_common >= ceil({threshold} * sa.n)
+       OR n_common >= ceil({threshold} * sb.n)
     """
 
 

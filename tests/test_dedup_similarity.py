@@ -1009,16 +1009,41 @@ def test_containment_prefix_matches_exhaustive(spark):
             return {" ".join(w)}
         return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
 
+    import math
+
     expect = {}
     for a, b in itertools.combinations(sorted(texts), 2):
         sa, sb = shingles(texts[a]), shingles(texts[b])
         inter = len(sa & sb)
-        if inter and (round(inter / len(sa), 6) >= 0.5
-                      or round(inter / len(sb), 6) >= 0.5):
+        # exact-integer keep, same inequality as the operator (r11 ADVICE
+        # #1: the rounded 6dp compare can disagree on adversarial sizes)
+        if inter and (inter >= math.ceil(0.5 * len(sa))
+                      or inter >= math.ceil(0.5 * len(sb))):
             expect[(a, b)] = (inter, len(sa), len(sb))
     got = {(r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"])
            for r in dd.containment_pairs_prefix(df, threshold=0.5).collect()}
     assert got == expect and len(expect) >= 2
+
+
+def test_containment_prefix_budget_guard(spark):
+    """r11 verdict directive #2: the template-corpus degradation steer is
+    code, not prose.  A tiny-vocabulary (templated) micro-corpus — every
+    doc the same boilerplate with one varying slot — trips the candidate-
+    budget ValueError before any candidate pair is formed; a Heaps-law
+    (diverse-vocabulary) micro-corpus of the same size passes untouched."""
+    import pytest
+
+    tmpl = [(i, f"system log entry code {i % 3} end of standard message body")
+            for i in range(40)]
+    df_t = spark.createDataFrame(tmpl, "doc_id long, text string")
+    with pytest.raises(ValueError, match="minhash"):
+        dd.containment_pairs_prefix(df_t, threshold=0.5, max_candidates=1000)
+    # diverse vocabulary: prefix tokens are rare → tiny candidate mass
+    heaps = [(i, " ".join(f"u{i}w{j}" for j in range(10)) + " common tail")
+             for i in range(40)]
+    df_h = spark.createDataFrame(heaps, "doc_id long, text string")
+    out = dd.containment_pairs_prefix(df_h, threshold=0.5, max_candidates=1000)
+    assert out.count() == 0  # no pair clears 0.5 containment
 
 
 def test_event_transition_matrix_hand_computed(spark):
