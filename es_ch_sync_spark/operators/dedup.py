@@ -1641,10 +1641,23 @@ def minhash_estimator_calibration(
         eager=True
     )
     buckets = lsh_buckets_from_signatures(mh, id_col, num_hashes, bands)
-    cand = lsh_candidate_pairs_from_buckets(buckets, id_col)
-    sets = src.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("ts")
+    cand = lsh_candidate_pairs_from_buckets(buckets, id_col).cache()
+    # exact shingle arrays attach only to CANDIDATE docs: broadcast
+    # semi-join on the distinct candidate ids before shingling (the
+    # minhash_near_duplicates pattern — r11 ADVICE #4: previously this
+    # shingled the full corpus and relied on the join to prune); cached
+    # because both pair sides reference it
+    cand_ids = F.broadcast(
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    sets = (
+        src.join(cand_ids, on=id_col, how="left_semi")
+        .select(
+            F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("ts")
+        )
+    ).cache()
     xa = mh.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(num_hashes)],

@@ -1339,8 +1339,6 @@ def q_mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mom AS (
         SELECT count(*)::BIGINT AS n_items,
-               sum(CASE WHEN k > 0 THEN 1 ELSE 0 END
-                   + CASE WHEN k < 3 THEN 1 ELSE 0 END)::BIGINT AS n_cells,
                sum(k * k + (3 - k) * (3 - k))::HUGEINT AS s2,
                sum(k)::HUGEINT AS t_keep,
                sum(3 - k)::HUGEINT AS t_drop,
@@ -1515,9 +1513,7 @@ def q_split_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.greatest(F.col("n_tok"), F.lit(1)).cast("string"), 10, 2)
         ).cast("int").alias("bucket"),
     ).groupBy("split", "bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    return pairwise_jsd(census, "split", "bucket", "c").withColumnsRenamed(
-        {"split_a": "split_a", "split_b": "split_b"}
-    )
+    return pairwise_jsd(census, "split", "bucket", "c")
 
 
 @register(
