@@ -1641,6 +1641,62 @@ def script_ratios(
     )
 
 
+def _ols_micro_ln(
+    xy: DataFrame,
+    n_name: str,
+    slope_name: str,
+    intercept_name: str,
+    r2_name: str,
+) -> DataFrame:
+    """Shared integer-exact log-log OLS (the zipf_fit/heaps_law_fit
+    contract, factored once for the corpus_stats_panel composite): input
+    is an (x, y) frame of micro-quantized ln coordinates (BIGINT); Σx,
+    Σy, Σxy, Σx², Σy² ride as DECIMAL(38,0), and slope / intercept / r²
+    are each one or two float operations over the exact integer moments
+    — identical to the printed digit in both engines."""
+    d38 = "decimal(38,0)"
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).cast(d38).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).cast(d38).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38)).cast(d38).alias("syy"),
+    )
+    n = F.col("n").cast(d38)
+    num = n * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy").cast(d38)
+    den = n * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx").cast(d38)
+    deny = n * F.col("syy") - F.col("sy").cast(d38) * F.col("sy").cast(d38)
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / (F.col("n").cast("double") * 1000000.0)
+    r2 = (num.cast("double") * num.cast("double")) / (
+        den.cast("double") * deny.cast("double")
+    )
+    return agg.select(
+        F.col("n").alias(n_name),
+        F.round(F.when(den > 0, slope), 6).alias(slope_name),
+        F.round(F.when(den > 0, intercept), 6).alias(intercept_name),
+        F.round(F.when((den > 0) & (deny > 0), r2), 6).alias(r2_name),
+    )
+
+
+def _zipf_from_counts(
+    wc: DataFrame, top_ranks: int = 500
+) -> DataFrame:
+    """zipf_fit's OLS over a prebuilt (word, cnt) census — the rank
+    window runs over the orderBy-limit head ONLY (constant-size)."""
+    from pyspark.sql import Window as W
+
+    head = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(top_ranks)
+    w = W.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = head.select(F.row_number().over(w).alias("rk"), F.col("cnt"))
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
+    pts = ranked.select(lnm(F.col("rk")).alias("x"), lnm(F.col("cnt")).alias("y"))
+    return _ols_micro_ln(pts, "n_ranks", "slope", "intercept_ln", "r2")
+
+
 def zipf_fit(
     docs: DataFrame,
     text_col: str = "text",
@@ -1665,44 +1721,7 @@ def zipf_fit(
     rank window runs over the top_ranks-row head ONLY (orderBy-limit
     first), so the single-partition window is over a constant-size
     table.  Ties in frequency rank by word for determinism."""
-    from pyspark.sql import Window as W
-
-    wc = bpe_word_counts(docs, text_col)
-    head = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(top_ranks)
-    w = W.orderBy(F.desc("cnt"), F.asc("word"))
-    ranked = head.select(
-        F.row_number().over(w).alias("rk"), F.col("cnt")
-    )
-    lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
-    pts = ranked.select(
-        lnm(F.col("rk")).alias("x"), lnm(F.col("cnt")).alias("y")
-    )
-    d38 = "decimal(38,0)"
-    agg = pts.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).cast(d38).alias("sxy"),
-        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).cast(d38).alias("sxx"),
-        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38)).cast(d38).alias("syy"),
-    )
-    n = F.col("n").cast(d38)
-    num = n * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy").cast(d38)
-    den = n * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx").cast(d38)
-    deny = n * F.col("syy") - F.col("sy").cast(d38) * F.col("sy").cast(d38)
-    slope = num.cast("double") / den.cast("double")
-    intercept = (
-        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
-    ) / (F.col("n").cast("double") * 1000000.0)
-    r2 = (num.cast("double") * num.cast("double")) / (
-        den.cast("double") * deny.cast("double")
-    )
-    return agg.select(
-        F.col("n").alias("n_ranks"),
-        F.round(F.when(den > 0, slope), 6).alias("slope"),
-        F.round(F.when(den > 0, intercept), 6).alias("intercept_ln"),
-        F.round(F.when((den > 0) & (deny > 0), r2), 6).alias("r2"),
-    )
+    return _zipf_from_counts(bpe_word_counts(docs, text_col), top_ranks)
 
 
 def good_turing_unseen(
@@ -1746,6 +1765,13 @@ def good_turing_unseen(
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return _good_turing_from_counts(wc, max_r)
+
+
+def _good_turing_from_counts(wc: DataFrame, max_r: int = 5) -> DataFrame:
+    """good_turing_unseen's estimates over a prebuilt (key, cnt) token
+    census — everything downstream of the census is bounded by the
+    distinct frequency values."""
     fof = wc.groupBy(F.col("cnt").alias("r")).agg(
         F.count(F.lit(1)).cast("long").alias("n_r")
     )
@@ -2018,17 +2044,29 @@ def heaps_law_fit(
     toks = d.select("_id", F.explode(words(F.col("_t"))).alias("_w")).filter(
         F.col("_w") != ""
     )
-    first = (
+    census = (
         toks.join(bucketed, "_id")
-        .groupBy("_w")
+        .groupBy("_b", "_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return _heaps_from_bucket_census(census)
+
+
+def _heaps_from_bucket_census(census: DataFrame) -> DataFrame:
+    """heaps_law_fit's growth fit over a prebuilt (_b bucket, _w word,
+    cnt) token census: first-occurrence bucket = min _b per word,
+    tokens-per-bucket = Σ cnt — both bounded censuses; cumsum windows
+    run over ≤``checkpoints`` rows; OLS is the shared integer contract."""
+    from pyspark.sql import Window as W
+
+    first = (
+        census.groupBy("_w")
         .agg(F.min("_b").alias("_fb"))
         .groupBy("_fb")
         .agg(F.count(F.lit(1)).cast("long").alias("_new_types"))
     )
-    tokens_per_bucket = (
-        toks.join(bucketed, "_id")
-        .groupBy("_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("_toks"))
+    tokens_per_bucket = census.groupBy("_b").agg(
+        F.sum("cnt").cast("long").alias("_toks")
     )
     wcum = W.orderBy("_b").rowsBetween(W.unboundedPreceding, W.currentRow)
     pts = (
@@ -2044,32 +2082,7 @@ def heaps_law_fit(
     )
     lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
     xy = pts.select(lnm(F.col("_n")).alias("x"), lnm(F.col("_v")).alias("y"))
-    d38 = "decimal(38,0)"
-    agg = xy.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).cast(d38).alias("sxy"),
-        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).cast(d38).alias("sxx"),
-        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38)).cast(d38).alias("syy"),
-    )
-    nn = F.col("n").cast(d38)
-    num = nn * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy").cast(d38)
-    den = nn * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx").cast(d38)
-    deny = nn * F.col("syy") - F.col("sy").cast(d38) * F.col("sy").cast(d38)
-    beta = num.cast("double") / den.cast("double")
-    ln_k = (
-        F.col("sy").cast("double") - beta * F.col("sx").cast("double")
-    ) / (F.col("n").cast("double") * 1000000.0)
-    r2 = (num.cast("double") * num.cast("double")) / (
-        den.cast("double") * deny.cast("double")
-    )
-    return agg.select(
-        F.col("n").alias("n_checkpoints"),
-        F.round(F.when(den > 0, beta), 6).alias("beta"),
-        F.round(F.when(den > 0, ln_k), 6).alias("ln_k"),
-        F.round(F.when((den > 0) & (deny > 0), r2), 6).alias("r2"),
-    )
+    return _ols_micro_ln(xy, "n_checkpoints", "beta", "ln_k", "r2")
 
 
 def c4_line_filters(
@@ -2175,7 +2188,7 @@ def vocab_coverage_curve(
     no corpus-sized or single-partition sort); coverage is ONE
     conditional aggregate over the ranked census producing all
     checkpoints at once, exact BIGINT sums, one float division each."""
-    from es_ch_sync_spark.operators.util import spread, two_phase_rank
+    from es_ch_sync_spark.operators.util import spread
 
     toks = (
         spread(docs)
@@ -2183,6 +2196,17 @@ def vocab_coverage_curve(
         .filter(F.col("w") != "")
     )
     wc = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return _vocab_coverage_from_counts(wc, checkpoints)
+
+
+def _vocab_coverage_from_counts(
+    wc: DataFrame, checkpoints: tuple[int, ...]
+) -> DataFrame:
+    """vocab_coverage_curve over a prebuilt (w, cnt) census: the global
+    frequency rank is two_phase_rank (every window partitioned); ONE
+    conditional aggregate yields all checkpoints."""
+    from es_ch_sync_spark.operators.util import two_phase_rank
+
     ranked = two_phase_rank(wc, F.col("cnt").desc(), F.col("w").asc())
     aggs = [
         F.sum("cnt").cast("long").alias("_n"),
@@ -2257,6 +2281,13 @@ def entropy_rate_bigram(
         .filter((F.col("x") != "") & (F.col("y") != ""))
     )
     cxy = e.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return _entropy_from_bigram_census(cxy)
+
+
+def _entropy_from_bigram_census(cxy: DataFrame) -> DataFrame:
+    """entropy_rate_bigram's readouts over a prebuilt (x, y, cnt) bigram
+    census — the conditional join is census×census on the left word;
+    nothing grows with the corpus."""
     cx = cxy.groupBy("x").agg(F.sum("cnt").cast("long").alias("cx"))
     lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
     d38 = "decimal(38,0)"
@@ -2307,6 +2338,161 @@ def entropy_rate_bigram(
             6,
         ).alias("entropy_ratio"),
     )
+
+
+def corpus_stats_panel(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    heaps_checkpoints: int = 10,
+    vocab_checkpoints: tuple[int, ...] = (100, 300, 1000, 3000, 10000),
+    zipf_top_ranks: int = 500,
+    gt_k: int = 3,
+    gt_max_r: int = 5,
+) -> DataFrame:
+    """The five corpus-health statistics — zipf_fit, heaps_law_fit,
+    vocab_coverage_curve, good_turing_unseen, entropy_rate_bigram — off
+    ONE materialized tokenization of the corpus (r11 verdict directive
+    #5: standalone, each query re-scans and re-explodes the same
+    documents; a daily corpus-health report wants all five, so the
+    shared-pass discipline of doc_perplexity_buckets / bm25's posting
+    table applies to the whole family).
+
+    One corpus scan → one (doc_id, words) token-array table
+    (localCheckpoint, the shared base) → from it: ONE bucketed word
+    census (bucket × word × count — Heaps-bounded × ``heaps_checkpoints``
+    rows, also checkpointed) feeding zipf + vocab-coverage (via the
+    word-marginal census) and heaps (first-occurrence bucket +
+    tokens-per-bucket); a bigram census feeding the entropy rate; a
+    k-shingle census feeding Good-Turing.  FileScan(documents) ≤ 1 in
+    the executed plan — everything downstream reads the checkpoints.
+
+    Output is the long-format panel (stat, metric, value DOUBLE), one
+    row per metric, totally ordered by (stat, metric); every value is
+    bit-identical to the corresponding standalone operator (zipf here
+    runs over the words() census, which tokenizes identically to
+    bpe_word_counts' \\s+ split for counting purposes)."""
+    from es_ch_sync_spark.operators.util import spread, two_phase_rank
+
+    spark = docs.sparkSession
+    base = (
+        spread(docs)
+        .select(F.col(id_col).alias("_id"), words(F.col(text_col)).alias("ws"))
+        .localCheckpoint(eager=True)
+    )
+    ids = base.select("_id").distinct()
+    n_docs = ids.count()
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], "stat string, metric string, value double"
+        )
+    bucketed = two_phase_rank(ids, "_id", rank_col="_rk").select(
+        "_id",
+        F.expr(
+            f"((_rk * {heaps_checkpoints} - 1) div {n_docs}) + 1"
+        ).alias("_b"),
+    )
+    tokc = (
+        base.select("_id", F.explode("ws").alias("_w"))
+        .filter(F.col("_w") != "")
+        .join(bucketed, "_id")
+        .groupBy("_b", "_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    wc = tokc.groupBy("_w").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+    zipf = _zipf_from_counts(
+        wc.select(F.col("_w").alias("word"), "cnt"), zipf_top_ranks
+    )
+    heaps = _heaps_from_bucket_census(tokc)
+    vocab = _vocab_coverage_from_counts(
+        wc.select(F.col("_w").alias("w"), "cnt"), vocab_checkpoints
+    )
+
+    bg = F.when(
+        F.size("ws") >= 2,
+        F.expr(
+            "transform(sequence(1, size(ws) - 1), i -> "
+            "struct(element_at(ws, i) AS x, element_at(ws, i + 1) AS y))"
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    cxy = (
+        base.select(F.explode(bg).alias("b"))
+        .select(F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+        .filter((F.col("x") != "") & (F.col("y") != ""))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    entropy = _entropy_from_bigram_census(cxy)
+
+    ngrams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("ws") - (gt_k - 1), F.lit(1))
+        ),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, gt_k)),
+    )
+    wc3 = (
+        base.select(F.explode(ngrams).alias("s"))
+        .filter(F.col("s") != "")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    gt = _good_turing_from_counts(wc3, gt_max_r)
+    gt_tot = wc3.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+
+    def melt1(df1: DataFrame, stat: str, cols: list[str]) -> DataFrame:
+        pairs = ", ".join(f"'{c}', cast({c} as double)" for c in cols)
+        return df1.selectExpr(
+            f"stack({len(cols)}, {pairs}) AS (metric, value)"
+        ).select(F.lit(stat).alias("stat"), "metric", "value")
+
+    parts = [
+        melt1(zipf, "zipf", ["n_ranks", "slope", "intercept_ln", "r2"]),
+        melt1(heaps, "heaps", ["n_checkpoints", "beta", "ln_k", "r2"]),
+        melt1(
+            entropy,
+            "entropy",
+            ["n_bigrams", "v_bigrams", "v_left", "h_cond", "h_left",
+             "entropy_ratio"],
+        ),
+        vocab.select(
+            F.lit("vocab").alias("stat"),
+            F.concat(
+                F.lit("coverage@"), F.col("vocab_size").cast("string")
+            ).alias("metric"),
+            F.col("coverage").cast("double").alias("value"),
+        ),
+        vocab.select(
+            F.lit("vocab").alias("stat"),
+            F.concat(
+                F.lit("covered_tokens@"), F.col("vocab_size").cast("string")
+            ).alias("metric"),
+            F.col("covered_tokens").cast("double").alias("value"),
+        ),
+        gt.select(
+            F.lit("good_turing").alias("stat"),
+            F.concat(F.lit("r_star@"), F.col("r").cast("string")).alias(
+                "metric"
+            ),
+            F.col("r_star").cast("double").alias("value"),
+        ),
+        gt.select(
+            F.lit("good_turing").alias("stat"),
+            F.concat(F.lit("n_r@"), F.col("r").cast("string")).alias(
+                "metric"
+            ),
+            F.col("n_r").cast("double").alias("value"),
+        ),
+        melt1(gt_tot, "good_turing_shingles", ["n_tokens", "n_types"]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("stat", "metric")
 
 
 def qld_topk(

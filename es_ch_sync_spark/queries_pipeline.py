@@ -3683,6 +3683,226 @@ def q_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entropy_rate_bigram(_t(spark, sf_dir, "documents"))
 
 
+def _corpus_stats_panel_oracle() -> str:
+    """One words()-tokenization feeding all five corpus statistics,
+    melted to the (stat, metric, value) panel — the SQL mirror of
+    text.corpus_stats_panel, assembled from the five standalone oracles'
+    proven blocks (same micro-ln / HUGEINT-moment / one-float-division
+    contracts) over shared pws/ptoks/pwc CTEs."""
+    norm = _o.NORM.format(col="text")
+    ols = """
+        SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+               sum(y)::HUGEINT AS sy,
+               sum(x::HUGEINT * y::HUGEINT)::HUGEINT AS sxy,
+               sum(x::HUGEINT * x::HUGEINT)::HUGEINT AS sxx,
+               sum(y::HUGEINT * y::HUGEINT)::HUGEINT AS syy
+        FROM {src}"""
+    fit = """
+        SELECT n::BIGINT AS n_pts,
+           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+               (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+           END, 6) AS slope,
+           round(CASE WHEN n * sxx - sx * sx > 0 THEN
+               (sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                              / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+               / (n::DOUBLE * 1000000.0)
+           END, 6) AS intercept,
+           round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               ((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)
+               / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
+           END, 6) AS r2
+        FROM {src}"""
+    return f"""
+    WITH pws AS MATERIALIZED (
+        SELECT doc_id, string_split({norm}, ' ') AS ws FROM documents
+    ),
+    ptoks AS MATERIALIZED (
+        SELECT doc_id, w FROM (SELECT doc_id, unnest(ws) AS w FROM pws)
+        WHERE w <> ''
+    ),
+    pwc AS MATERIALIZED (
+        SELECT w, count(*)::BIGINT AS cnt FROM ptoks GROUP BY w
+    ),
+    -- zipf over the shared word census (top-{_ZIPF_TOP} head)
+    zpts AS (
+        SELECT CAST(round(ln(row_number() OVER (ORDER BY cnt DESC, w))
+                          * 1000000.0, 0) AS BIGINT) AS x,
+               CAST(round(ln(cnt) * 1000000.0, 0) AS BIGINT) AS y
+        FROM (SELECT cnt, w FROM pwc ORDER BY cnt DESC, w LIMIT {_ZIPF_TOP})
+    ),
+    zs AS ({ols.format(src='zpts')}),
+    zfit AS ({fit.format(src='zs')}),
+    -- heaps over ingestion-order prefix buckets
+    pnn AS (SELECT count(*)::BIGINT AS n_docs
+            FROM (SELECT DISTINCT doc_id FROM pws)),
+    pbuck AS MATERIALIZED (
+        SELECT doc_id,
+               ((row_number() OVER (ORDER BY doc_id) * {_HEAPS_CP} - 1)
+                // (SELECT n_docs FROM pnn)) + 1 AS b
+        FROM (SELECT DISTINCT doc_id FROM pws)
+    ),
+    pfirst AS (
+        SELECT fb, count(*)::BIGINT AS new_types FROM (
+            SELECT t.w, min(b.b) AS fb
+            FROM ptoks t JOIN pbuck b USING (doc_id) GROUP BY t.w
+        ) GROUP BY fb
+    ),
+    ptpb AS (
+        SELECT b.b, count(*)::BIGINT AS toks
+        FROM ptoks t JOIN pbuck b USING (doc_id) GROUP BY b.b
+    ),
+    hpts AS (
+        SELECT sum(toks) OVER wd AS n, sum(coalesce(new_types, 0)) OVER wd AS v
+        FROM ptpb LEFT JOIN pfirst ON ptpb.b = pfirst.fb
+        WINDOW wd AS (ORDER BY ptpb.b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    hxy AS (
+        SELECT CAST(round(ln(n) * 1000000.0, 0) AS BIGINT) AS x,
+               CAST(round(ln(v) * 1000000.0, 0) AS BIGINT) AS y
+        FROM hpts WHERE n > 0 AND v > 0
+    ),
+    hs AS ({ols.format(src='hxy')}),
+    hfit AS ({fit.format(src='hs')}),
+    -- vocab coverage over the shared word census
+    vrk AS MATERIALIZED (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS r FROM pwc
+    ),
+    vtot AS (SELECT sum(cnt)::BIGINT AS n FROM pwc),
+    vcov AS (
+        SELECT c.vocab_size,
+               coalesce(sum(CASE WHEN vrk.r <= c.vocab_size THEN vrk.cnt END),
+                        0)::BIGINT AS covered,
+               t.n
+        FROM (SELECT unnest({list(_VCC_CPS)}) AS vocab_size) c
+        CROSS JOIN vtot t LEFT JOIN vrk ON true
+        GROUP BY c.vocab_size, t.n
+    ),
+    -- bigram entropy rate off the shared token arrays
+    pe AS (
+        SELECT b.x AS x, b.y AS y FROM (
+            SELECT unnest(list_transform(
+                range(1, len(ws)),
+                i -> struct_pack(x := ws[i], y := ws[i + 1])
+            )) AS b
+            FROM pws WHERE len(ws) >= 2
+        ) WHERE b.x != '' AND b.y != ''
+    ),
+    pcxy AS MATERIALIZED (
+        SELECT x, y, count(*)::BIGINT AS cnt FROM pe GROUP BY 1, 2
+    ),
+    pcx AS MATERIALIZED (SELECT x, sum(cnt)::BIGINT AS cx FROM pcxy GROUP BY 1),
+    econd AS (
+        SELECT sum(cnt)::BIGINT AS n_bigrams, count(*)::BIGINT AS v_bigrams,
+               sum(cnt::HUGEINT
+                   * (CAST(round(ln(cx) * 1000000) AS BIGINT)
+                      - CAST(round(ln(cnt) * 1000000) AS BIGINT))::HUGEINT
+               )::HUGEINT AS sc
+        FROM pcxy JOIN pcx USING (x)
+    ),
+    elft AS (
+        SELECT count(*)::BIGINT AS v_left,
+               sum(cx::HUGEINT
+                   * CAST(round(ln(cx) * 1000000) AS BIGINT)::HUGEINT
+               )::HUGEINT AS sxlx
+        FROM pcx
+    ),
+    efit AS (
+        SELECT n_bigrams, v_bigrams, v_left,
+           round(sc::DOUBLE / (n_bigrams::DOUBLE * 1000000.0), 6) AS h_cond,
+           round((n_bigrams::HUGEINT
+                  * CAST(round(ln(n_bigrams) * 1000000) AS BIGINT)::HUGEINT
+                  - sxlx)::DOUBLE / (n_bigrams::DOUBLE * 1000000.0), 6)
+               AS h_left,
+           round(CASE WHEN (n_bigrams::HUGEINT
+                            * CAST(round(ln(n_bigrams) * 1000000)
+                                   AS BIGINT)::HUGEINT - sxlx) > 0
+                 THEN sc::DOUBLE
+                      / (n_bigrams::HUGEINT
+                         * CAST(round(ln(n_bigrams) * 1000000)
+                                AS BIGINT)::HUGEINT - sxlx)::DOUBLE
+                 END, 6) AS entropy_ratio
+        FROM econd, elft
+    ),
+    -- Good-Turing over the shared token arrays' {_GT_K}-shingles
+    gwc AS MATERIALIZED (
+        SELECT s, count(*)::BIGINT AS cnt FROM (
+            SELECT unnest(list_transform(
+                range(1, greatest(len(ws) - {_GT_K - 1}, 1) + 1),
+                i -> array_to_string(ws[i:i+{_GT_K - 1}], ' '))) AS s
+            FROM pws
+        ) WHERE s != '' GROUP BY s
+    ),
+    gfof AS (SELECT cnt AS r, count(*)::BIGINT AS n_r FROM gwc GROUP BY 1),
+    gtot AS (SELECT sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types
+             FROM gwc),
+    gbase AS (SELECT f.r, f.n_r, t.n_tokens
+              FROM gfof f, gtot t WHERE f.r <= {_GT_MAX_R + 1}),
+    gnxt AS (SELECT r - 1 AS r, n_r AS n_r1 FROM gbase),
+    gt AS (
+        SELECT 0::BIGINT AS r, 0::BIGINT AS n_r,
+               round(b.n_r::DOUBLE / b.n_tokens::DOUBLE, 6) AS r_star
+        FROM gbase b WHERE b.r = 1
+        UNION ALL
+        SELECT b.r::BIGINT, b.n_r,
+               round(CASE WHEN b.n_r > 0 THEN
+                   ((b.r + 1) * coalesce(x.n_r1, 0))::DOUBLE / b.n_r::DOUBLE
+               END, 6) AS r_star
+        FROM gbase b LEFT JOIN gnxt x USING (r)
+        WHERE b.r <= {_GT_MAX_R}
+    )
+    SELECT * FROM (
+        SELECT 'zipf' AS stat, 'n_ranks' AS metric, n_pts::DOUBLE AS value
+        FROM zfit
+        UNION ALL SELECT 'zipf', 'slope', slope FROM zfit
+        UNION ALL SELECT 'zipf', 'intercept_ln', intercept FROM zfit
+        UNION ALL SELECT 'zipf', 'r2', r2 FROM zfit
+        UNION ALL SELECT 'heaps', 'n_checkpoints', n_pts::DOUBLE FROM hfit
+        UNION ALL SELECT 'heaps', 'beta', slope FROM hfit
+        UNION ALL SELECT 'heaps', 'ln_k', intercept FROM hfit
+        UNION ALL SELECT 'heaps', 'r2', r2 FROM hfit
+        UNION ALL SELECT 'entropy', 'n_bigrams', n_bigrams::DOUBLE FROM efit
+        UNION ALL SELECT 'entropy', 'v_bigrams', v_bigrams::DOUBLE FROM efit
+        UNION ALL SELECT 'entropy', 'v_left', v_left::DOUBLE FROM efit
+        UNION ALL SELECT 'entropy', 'h_cond', h_cond FROM efit
+        UNION ALL SELECT 'entropy', 'h_left', h_left FROM efit
+        UNION ALL SELECT 'entropy', 'entropy_ratio', entropy_ratio FROM efit
+        UNION ALL SELECT 'vocab', 'coverage@' || vocab_size::VARCHAR,
+                         round(covered::DOUBLE / n::DOUBLE, 6) FROM vcov
+        UNION ALL SELECT 'vocab', 'covered_tokens@' || vocab_size::VARCHAR,
+                         covered::DOUBLE FROM vcov
+        UNION ALL SELECT 'good_turing', 'r_star@' || r::VARCHAR, r_star FROM gt
+        UNION ALL SELECT 'good_turing', 'n_r@' || r::VARCHAR, n_r::DOUBLE
+                  FROM gt
+        UNION ALL SELECT 'good_turing_shingles', 'n_tokens',
+                         n_tokens::DOUBLE FROM gtot
+        UNION ALL SELECT 'good_turing_shingles', 'n_types',
+                         n_types::DOUBLE FROM gtot
+    ) ORDER BY stat, metric
+    """
+
+
+@register("corpus_stats_panel", _corpus_stats_panel_oracle())
+def q_corpus_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five corpus-health statistics (zipf, heaps, vocab coverage,
+    Good-Turing, bigram entropy rate) off ONE materialized tokenization
+    — the shared-pass discipline applied to the corpus-stats family (r11
+    verdict directive #5): one corpus scan, one bucketed word census
+    feeding zipf + vocab + heaps, plus bigram / shingle censuses off the
+    same checkpointed token arrays.  Long-format (stat, metric, value)
+    panel, every value bit-identical to its standalone query."""
+    from es_ch_sync_spark.operators.text import corpus_stats_panel
+
+    return corpus_stats_panel(
+        _t(spark, sf_dir, "documents"),
+        heaps_checkpoints=_HEAPS_CP,
+        vocab_checkpoints=_VCC_CPS,
+        zipf_top_ranks=_ZIPF_TOP,
+        gt_k=_GT_K,
+        gt_max_r=_GT_MAX_R,
+    )
+
+
 @register("qld_topk", _o.qld_topk_sql(_BM25_TERMS, k=10, mu=2000))
 def q_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet-smoothed query-likelihood top-10 for the shared BM25

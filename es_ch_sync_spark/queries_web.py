@@ -570,6 +570,235 @@ def _host_kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     """
 
 
+def _host_graph_panel_oracle() -> str:
+    """SQL mirror of q_host_graph_panel: ONE minhash mining + ONE host
+    pair list feed all four graph readouts over shared edge CTEs —
+    pagerank (symmetric), HITS (directed), LPA (symmetric), 2-core
+    (symmetric) — each the identical unrolled-CTE block as its
+    standalone oracle (kcore CTEs renamed kd/ka/ke to avoid colliding
+    with HITS' a{it})."""
+    from es_ch_sync_spark import oracles
+
+    pairs = oracles.minhash_near_dup_sql(threshold=0.5)
+    host_a = _HOST.replace("doc_id", "id_a")
+    host_b = _HOST.replace("doc_id", "id_b")
+
+    base = _PR_UNIT * (_PR_DEN - _PR_NUM) // _PR_DEN
+    prev = "r0"
+    pr_sql = ""
+    for it in range(1, _PR_ITERS + 1):
+        pr_sql += f"""
+    , r{it} AS MATERIALIZED (
+        SELECT nodes.id,
+               ({base} // (SELECT n FROM nn)
+                + ({_PR_NUM} * coalesce(s.s, 0)) // {_PR_DEN})::BIGINT AS rank_m
+        FROM nodes LEFT JOIN (
+            SELECT e.dst AS id, sum(r.rank_m // d.deg)::BIGINT AS s
+            FROM edges e
+            JOIN {prev} r ON e.src = r.id
+            JOIN deg d ON e.src = d.src
+            GROUP BY 1
+        ) s ON nodes.id = s.id
+    )"""
+        prev = f"r{it}"
+    pr_last = prev
+
+    prev = "h0"
+    hits_sql = ""
+    for it in range(1, _HITS_ITERS + 1):
+        hits_sql += f"""
+    , araw{it} AS MATERIALIZED (
+        SELECT e.dst AS id, sum(h.h)::HUGEINT AS s
+        FROM dedges e JOIN {prev} h ON e.src = h.id GROUP BY 1
+    ),
+    ta{it} AS (SELECT sum(s)::HUGEINT AS t FROM araw{it}),
+    a{it} AS MATERIALIZED (
+        SELECT n.id,
+               coalesce((r.s * {_HITS_UNIT}) // (SELECT t FROM ta{it}),
+                        0)::BIGINT AS a
+        FROM nodes n LEFT JOIN araw{it} r ON n.id = r.id
+    ),
+    hraw{it} AS MATERIALIZED (
+        SELECT e.src AS id, sum(a.a)::HUGEINT AS s
+        FROM dedges e JOIN a{it} a ON e.dst = a.id GROUP BY 1
+    ),
+    th{it} AS (SELECT sum(s)::HUGEINT AS t FROM hraw{it}),
+    h{it} AS MATERIALIZED (
+        SELECT n.id,
+               coalesce((r.s * {_HITS_UNIT}) // (SELECT t FROM th{it}),
+                        0)::BIGINT AS h
+        FROM nodes n LEFT JOIN hraw{it} r ON n.id = r.id
+    )"""
+        prev = f"h{it}"
+    hits_last = _HITS_ITERS
+
+    prev = "l0"
+    lpa_sql = ""
+    for it in range(1, _LPA_ITERS + 1):
+        lpa_sql += f"""
+    , cnt{it} AS MATERIALIZED (
+        SELECT id, label, count(*)::BIGINT AS c FROM (
+            SELECT e.dst AS id, p.label
+            FROM edges e JOIN {prev} p ON e.src = p.id
+            UNION ALL
+            SELECT id, label FROM {prev}
+        ) GROUP BY 1, 2
+    ),
+    pick{it} AS MATERIALIZED (
+        SELECT id, label AS new_label FROM (
+            SELECT id, label,
+                   row_number() OVER (
+                       PARTITION BY id ORDER BY c DESC, label
+                   ) AS rn
+            FROM cnt{it}
+        ) WHERE rn = 1
+    ),
+    l{it} AS MATERIALIZED (
+        SELECT n.id, coalesce(p.new_label, l.label) AS label
+        FROM nodes n JOIN {prev} l ON n.id = l.id
+        LEFT JOIN pick{it} p ON n.id = p.id
+    )"""
+        prev = f"l{it}"
+    lpa_last = prev
+
+    prev = "edges"
+    kc_sql = ""
+    for it in range(1, _KCORE_ROUNDS + 1):
+        kc_sql += f"""
+    , kd{it} AS MATERIALIZED (
+        SELECT src, count(*)::BIGINT AS c FROM {prev} GROUP BY 1
+    ),
+    ka{it} AS MATERIALIZED (SELECT src AS id FROM kd{it} WHERE c >= {_KCORE_K}),
+    ke{it} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM {prev} e
+        JOIN ka{it} x ON e.src = x.id
+        JOIN ka{it} y ON e.dst = y.id
+    )"""
+        prev = f"ke{it}"
+    kc_last = prev
+
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    he AS MATERIALIZED (
+        SELECT ha, hb FROM (
+            SELECT {host_a} AS ha, {host_b} AS hb FROM pairs
+        ) WHERE ha <> hb
+    ),
+    edges AS MATERIALIZED (
+        SELECT ha AS src, hb AS dst FROM he
+        UNION
+        SELECT hb, ha FROM he
+    ),
+    dedges AS MATERIALIZED (SELECT DISTINCT ha AS src, hb AS dst FROM he),
+    nodes AS MATERIALIZED (
+        SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+    r0 AS MATERIALIZED (
+        SELECT id, ({_PR_UNIT} // (SELECT n FROM nn))::BIGINT AS rank_m
+        FROM nodes
+    ),
+    h0 AS MATERIALIZED (
+        SELECT id, ({_HITS_UNIT} // (SELECT n FROM nn))::BIGINT AS h
+        FROM nodes
+    ),
+    l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)
+    {pr_sql}{hits_sql}{lpa_sql}{kc_sql}
+    SELECT n.id AS host, pr.rank_m, a{hits_last}.a AS auth_m,
+           h{hits_last}.h AS hub_m, lp.label AS community,
+           coalesce(kc.core_degree, 0)::BIGINT AS core_degree
+    FROM nodes n
+    JOIN {pr_last} pr ON n.id = pr.id
+    JOIN a{hits_last} ON n.id = a{hits_last}.id
+    JOIN h{hits_last} ON n.id = h{hits_last}.id
+    JOIN {lpa_last} lp ON n.id = lp.id
+    LEFT JOIN (
+        SELECT src AS id, count(*)::BIGINT AS core_degree
+        FROM {kc_last} GROUP BY 1
+    ) kc ON n.id = kc.id
+    ORDER BY host
+    """
+
+
+@register("host_graph_panel", _host_graph_panel_oracle())
+def q_host_graph_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four host-graph readouts — PageRank centrality (symmetric),
+    HITS hub/authority (directed by ingestion order), LPA community
+    (symmetric), and 2-core degree — off ONE minhash near-dup mining and
+    ONE checkpointed host pair list (r11 verdict directive #6: the
+    standalone queries each re-mine the LSH pairs, which is ~all of
+    their wall; the composite mines once and the four fixed-iteration
+    loops run over the host-bounded graph).  One row per host, joined on
+    the shared node set; core_degree 0 for hosts peeled out of the
+    2-core."""
+    from es_ch_sync_spark.operators.dedup import minhash_near_duplicates
+    from es_ch_sync_spark.operators.graph import (
+        hits_fixed,
+        k_core_fixed,
+        label_propagation_fixed,
+        pagerank_fixed,
+    )
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    he = (
+        pairs.select(
+            F.expr(_HOST.replace("doc_id", "id_a")).alias("ha"),
+            F.expr(_HOST.replace("doc_id", "id_b")).alias("hb"),
+        )
+        .filter(F.col("ha") != F.col("hb"))
+        .localCheckpoint(eager=True)  # the ONE mining pass
+    )
+    edges_dir = he.select(
+        F.col("ha").alias("src"), F.col("hb").alias("dst")
+    ).distinct()
+    edges_sym = (
+        he.select(F.col("ha").alias("src"), F.col("hb").alias("dst"))
+        .unionByName(
+            he.select(F.col("hb").alias("src"), F.col("ha").alias("dst"))
+        )
+        .distinct()
+    )
+    pr = pagerank_fixed(
+        edges_sym,
+        iterations=_PR_ITERS,
+        damping_num=_PR_NUM,
+        damping_den=_PR_DEN,
+        unit=_PR_UNIT,
+    )
+    hits = hits_fixed(edges_dir, iterations=_HITS_ITERS, unit=_HITS_UNIT)
+    lpa = label_propagation_fixed(edges_sym, iterations=_LPA_ITERS)
+    core = k_core_fixed(edges_dir, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return (
+        pr.select(F.col("id").alias("host"), "rank_m")
+        .join(
+            hits.select(F.col("id").alias("host"), "auth_m", "hub_m"), "host"
+        )
+        .join(
+            lpa.select(
+                F.col("id").alias("host"), F.col("label").alias("community")
+            ),
+            "host",
+        )
+        .join(
+            core.select(F.col("id").alias("host"), "core_degree"),
+            "host",
+            "left",
+        )
+        .select(
+            "host",
+            "rank_m",
+            "auth_m",
+            "hub_m",
+            "community",
+            F.coalesce("core_degree", F.lit(0)).cast("long").alias(
+                "core_degree"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
 @register("host_kcore", _host_kcore_oracle())
 def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round 2-core of the host mirror graph (8 peeling rounds —

@@ -81,6 +81,8 @@ HEADLINE = [
     "ab_mde_power", "dedup_ari_exact_vs_lsh", "qld_topk",
     "rbo_bm25_vs_qld", "minhash_calibration", "doc_length_tail_index",
     "host_kcore", "split_length_drift", "mattr_diversity", "source_gini",
+    # round 12
+    "corpus_stats_panel", "host_graph_panel",
 ]
 
 MARKERS = [

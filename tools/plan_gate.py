@@ -67,6 +67,10 @@ CENSUS_WINDOW_WHITELIST: dict[str, str] = {
     "doc_perplexity_buckets": "bounded quantile census",
     # discrete-rank Gini over the per-source weight census (≤ |sources|)
     "source_gini": "per-source weight census (discrete-rank Gini)",
+    # shared-pass composite: zipf's top-500 head rank + the ≤10-row
+    # heaps growth-bucket cumsum (both constant-size; the corpus-sized
+    # work all runs partitioned upstream of the checkpoints)
+    "corpus_stats_panel": "zipf top-500 head + 10-row growth census",
 }
 
 # Shared-pass FileScan budgets: executed plan must contain at most this
@@ -74,6 +78,8 @@ CENSUS_WINDOW_WHITELIST: dict[str, str] = {
 FILESCAN_BUDGETS: dict[str, int] = {
     "retrieval_ranking_eval": 1,
     "doc_perplexity_buckets": 1,
+    # one materialized tokenization feeds all five corpus statistics
+    "corpus_stats_panel": 1,
 }
 
 _WINDOW_RE = re.compile(r"\bWindow(GroupLimit)?\b.*windowspecdefinition")

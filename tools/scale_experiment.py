@@ -1206,6 +1206,99 @@ def _r10_sections(spark, docs, replicas, only):
             f"good_turing_unseen x{replicas} (3-shingle census)",
             lambda: good_turing_unseen(docs, k=3, max_r=5).count(),
         )
+    if "panel" in only:
+        # r12 directive #5: corpus_stats_panel (one shared tokenization)
+        # vs the sum of its five standalone constituents on the SAME corpus
+        from es_ch_sync_spark.operators.text import (
+            corpus_stats_panel,
+            entropy_rate_bigram,
+            good_turing_unseen,
+            heaps_law_fit,
+            vocab_coverage_curve,
+            zipf_fit,
+        )
+
+        timed(
+            f"corpus_stats_panel x{replicas} (shared pass, 38 rows)",
+            lambda: corpus_stats_panel(docs).count(),
+        )
+        timed(
+            f"  standalone zipf_fit x{replicas}",
+            lambda: zipf_fit(docs, top_ranks=500).count(),
+        )
+        timed(
+            f"  standalone heaps_law_fit x{replicas}",
+            lambda: heaps_law_fit(docs, checkpoints=10).count(),
+        )
+        timed(
+            f"  standalone vocab_coverage x{replicas}",
+            lambda: vocab_coverage_curve(docs).count(),
+        )
+        timed(
+            f"  standalone good_turing_unseen x{replicas}",
+            lambda: good_turing_unseen(docs, k=3, max_r=5).count(),
+        )
+        timed(
+            f"  standalone entropy_rate_bigram x{replicas}",
+            lambda: entropy_rate_bigram(docs).count(),
+        )
+    if "gpanel" in only:
+        # r12 directive #6: host_graph_panel (one LSH mining, shared edge
+        # lists) vs its four standalone constituents (each re-mines)
+        from es_ch_sync_spark.operators import dedup as dd
+        from es_ch_sync_spark.operators.graph import (
+            hits_fixed,
+            k_core_fixed,
+            label_propagation_fixed,
+            pagerank_fixed,
+        )
+
+        host = "('h' || CAST({c} % 9973 AS STRING))"
+
+        def _he():
+            pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+            return pairs.select(
+                F.expr(host.format(c="id_a")).alias("ha"),
+                F.expr(host.format(c="id_b")).alias("hb"),
+            ).filter(F.col("ha") != F.col("hb"))
+
+        def _panel() -> int:
+            he = _he().localCheckpoint(eager=True)
+            ed = he.select(
+                F.col("ha").alias("src"), F.col("hb").alias("dst")
+            ).distinct()
+            es = (
+                he.select(F.col("ha").alias("src"), F.col("hb").alias("dst"))
+                .unionByName(
+                    he.select(F.col("hb").alias("src"), F.col("ha").alias("dst"))
+                )
+                .distinct()
+            )
+            pr = pagerank_fixed(es, iterations=3)
+            ht = hits_fixed(ed, iterations=2)
+            lp = label_propagation_fixed(es, iterations=2)
+            kc = k_core_fixed(ed, k=2, rounds=8)
+            return (
+                pr.join(ht, "id").join(lp, "id").join(kc, "id", "left").count()
+            )
+
+        timed(f"host_graph_panel x{replicas} (one mining)", _panel)
+        timed(
+            f"  standalone pagerank x{replicas} (re-mines)",
+            lambda: pagerank_fixed(
+                _he().selectExpr("ha AS src", "hb AS dst")
+                .unionByName(_he().selectExpr("hb AS src", "ha AS dst"))
+                .distinct(),
+                iterations=3,
+            ).count(),
+        )
+        timed(
+            f"  standalone hits x{replicas} (re-mines)",
+            lambda: hits_fixed(
+                _he().selectExpr("ha AS src", "hb AS dst").distinct(),
+                iterations=2,
+            ).count(),
+        )
     if "langreport" in only:
         from es_ch_sync_spark.operators.analytics import classification_report
         from es_ch_sync_spark.operators.text import lang_id
