@@ -2495,6 +2495,213 @@ def corpus_stats_panel(
     return out.orderBy("stat", "metric")
 
 
+def lexical_concentration(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Yule's characteristic K [Yule 1944] and Simpson's repeat rate
+    [Simpson 1949] over the corpus word census — the two classical
+    repeated-draw concentration constants next to mattr_diversity's
+    windowed TTR and zipf_fit's slope: K = 10⁴·(Σ_w c_w² − N)/N² and
+    D = Σ_w c_w(c_w−1)/(N(N−1)) are both (approximately) sample-size
+    invariant, so a drifting K between crawl snapshots means the
+    VOCABULARY DISTRIBUTION changed, not just the corpus size — the
+    one-number lexical-health readouts a mixture planner tracks.
+
+    Exactness: N, V, Σc², Σc(c−1) are exact BIGINT/DECIMAL(38,0) sums
+    off one word census; K and D are one float division each.  Scale:
+    one explode → one Heaps-bounded census → one aggregate."""
+    from es_ch_sync_spark.operators.util import spread
+
+    toks = (
+        spread(docs)
+        .select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    d38 = "decimal(38,0)"
+    agg = wc.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("cnt").cast(d38) * F.col("cnt").cast(d38))
+        .cast(d38)
+        .alias("_s2"),
+        F.sum(F.col("cnt").cast(d38) * (F.col("cnt") - 1).cast(d38))
+        .cast(d38)
+        .alias("_srep"),
+    )
+    n = F.col("n_tokens").cast(d38)
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                (F.lit(10000).cast(d38) * (F.col("_s2") - n)).cast("double")
+                / (n * n).cast("double"),
+            ),
+            6,
+        ).alias("yules_k"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 1,
+                F.col("_srep").cast("double")
+                / (n * (n - F.lit(1).cast(d38))).cast("double"),
+            ),
+            6,
+        ).alias("simpson_repeat"),
+    )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_terms: int = 20,
+) -> DataFrame:
+    """Burstiness census of the ``top_terms`` most frequent words
+    [Church & Gale 1995]: variance-to-mean ratio of the per-document
+    count (zeros included — a term used once per doc everywhere has
+    VMR ≈ 1−tf/N like a Poisson; a bursty term that floods the few docs
+    it appears in has VMR ≫ 1) and the within-document rate tf/df — the
+    content-word vs function-word separator a stopword-list builder and
+    a TF-IDF sanity check both read.
+
+    Exactness: with N docs, tf = Σ_d c_d, Σ_d c_d² over occurring docs,
+    mean = tf/N and VMR = (N·Σc² − tf²)/(N·tf) — exact DECIMAL(38,0)
+    numerator/denominator, ONE float division (the zero docs contribute
+    nothing to Σc² and only N to the mean — no N-row zero-fill is ever
+    materialized).  Scale: one explode → one (doc, word) census → one
+    word-marginal aggregate; the head is an orderBy-limit over the
+    Heaps-bounded vocabulary."""
+    from es_ch_sync_spark.operators.util import spread
+
+    src = spread(docs)
+    n_docs_df = F.broadcast(
+        src.agg(F.count(F.lit(1)).cast("long").alias("_n_docs"))
+    )
+    dc = (
+        src.select(
+            F.col(id_col), F.explode(words(F.col(text_col))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    d38 = "decimal(38,0)"
+    per_term = dc.groupBy("w").agg(
+        F.sum("c").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.col("c").cast(d38) * F.col("c").cast(d38)).cast(d38).alias("_s2"),
+    )
+    head = per_term.orderBy(F.desc("tf"), F.asc("w")).limit(top_terms)
+    n = F.col("_n_docs").cast(d38)
+    return head.crossJoin(n_docs_df).select(
+        F.col("w").alias("word"),
+        "tf",
+        "df",
+        F.round(
+            (n * F.col("_s2") - F.col("tf").cast(d38) * F.col("tf").cast(d38))
+            .cast("double")
+            / (n * F.col("tf").cast(d38)).cast("double"),
+            6,
+        ).alias("vmr"),
+        F.round(F.col("tf").cast("double") / F.col("df").cast("double"), 6).alias(
+            "rate_in_docs"
+        ),
+    ).orderBy(F.desc("tf"), F.asc("word"))
+
+
+def split_cross_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_split: str = "train",
+    eval_split: str = "test",
+) -> DataFrame:
+    """Held-out unigram cross-entropy of the hash-assigned eval split
+    under an add-one-smoothed LM fitted on the train split — the
+    split-health readout next to split_length_drift's JSD: a clean
+    random split scores H_cross ≈ H_eval (tiny KL, OOV ≈ Heaps tail); a
+    time- or source-correlated split (or leakage after dedup) moves KL
+    and OOV immediately.
+
+        p̂(w) = (c_train(w) + 1) / (N_train + V_train + 1)   (add-one,
+        one UNK bucket shared by every unseen word)
+        H_cross = −Σ_w c_eval(w)·ln p̂(w) / N_eval
+
+    Exactness: the two split censuses are exact BIGINTs; each ln is
+    micro-quantized BEFORE the sum (the zipf/doc_perplexity contract):
+    term = c_eval·(lnm(N_tr+V+1) − lnm(c_tr+1)) in DECIMAL(38,0);
+    H_cross, H_eval, KL, and OOV rate are one float division each.
+    Scale: two word explodes → two Heaps-bounded censuses → one
+    census-sized LEFT join; nothing after the censuses grows with the
+    corpus."""
+    from es_ch_sync_spark.operators.sampling import assign_split
+    from es_ch_sync_spark.operators.util import spread
+
+    d = assign_split(spread(docs), id_col=id_col)
+    toks = (
+        d.select("split", F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    census = toks.groupBy("split", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tr = census.filter(F.col("split") == train_split).select(
+        "w", F.col("c").alias("c_tr")
+    )
+    ev = census.filter(F.col("split") == eval_split).select(
+        "w", F.col("c").alias("c_ev")
+    )
+    tr_tot = F.broadcast(
+        tr.agg(
+            F.sum("c_tr").cast("long").alias("n_tr"),
+            F.count(F.lit(1)).cast("long").alias("v_tr"),
+        )
+    )
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
+    d38 = "decimal(38,0)"
+    j = ev.join(tr, "w", "left").crossJoin(tr_tot)
+    denom_ln = lnm(F.col("n_tr") + F.col("v_tr") + 1)
+    num_ln = lnm(F.coalesce(F.col("c_tr"), F.lit(0)) + 1)
+    agg = j.agg(
+        F.sum("c_ev").cast("long").alias("n_ev"),
+        F.count(F.lit(1)).cast("long").alias("v_ev"),
+        F.sum(F.when(F.col("c_tr").isNull(), F.col("c_ev")).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+        F.sum(F.col("c_ev").cast(d38) * (denom_ln - num_ln).cast(d38))
+        .cast(d38)
+        .alias("_hx"),
+        # eval self-entropy numerator: Σ c_ev·(lnm(N_ev) − lnm(c_ev)) needs
+        # N_ev first — carried as Σ c_ev·lnm(c_ev) and finished below
+        F.sum(F.col("c_ev").cast(d38) * lnm(F.col("c_ev")).cast(d38))
+        .cast(d38)
+        .alias("_selx"),
+        F.first("n_tr").alias("n_train_tokens"),
+        F.first("v_tr").alias("v_train_types"),
+    )
+    nev = F.col("n_ev").cast("double") * 1000000.0
+    h_cross = F.col("_hx").cast("double") / nev
+    h_eval = (
+        F.col("n_ev").cast(d38) * lnm(F.col("n_ev")).cast(d38) - F.col("_selx")
+    ).cast("double") / nev
+    return agg.select(
+        F.col("n_ev").alias("n_eval_tokens"),
+        F.col("v_ev").alias("v_eval_types"),
+        "n_train_tokens",
+        "v_train_types",
+        "oov_tokens",
+        F.round(
+            F.col("oov_tokens").cast("double") / F.col("n_ev").cast("double"),
+            6,
+        ).alias("oov_rate"),
+        F.round(h_cross, 6).alias("h_cross"),
+        F.round(h_eval, 6).alias("h_eval"),
+        F.round(h_cross - h_eval, 6).alias("kl_proxy"),
+    )
+
+
 def qld_topk(
     df: DataFrame,
     query_terms: list[str],

@@ -3882,6 +3882,140 @@ def _corpus_stats_panel_oracle() -> str:
     """
 
 
+_LNM = "CAST(round(ln({x}) * 1000000) AS BIGINT)"
+
+
+@register(
+    "lexical_concentration",
+    f"""
+    WITH toks AS (
+        SELECT w FROM (
+            SELECT unnest(string_split({_o.NORM.format(col='text')}, ' ')) AS w
+            FROM documents
+        ) WHERE w <> ''
+    ),
+    wc AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY w),
+    ag AS (
+        SELECT sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+               sum(cnt::HUGEINT * cnt::HUGEINT)::HUGEINT AS s2,
+               sum(cnt::HUGEINT * (cnt - 1)::HUGEINT)::HUGEINT AS srep
+        FROM wc
+    )
+    SELECT n_tokens, n_types,
+           round(CASE WHEN n_tokens > 0 THEN
+               (10000::HUGEINT * (s2 - n_tokens::HUGEINT))::DOUBLE
+               / (n_tokens::HUGEINT * n_tokens::HUGEINT)::DOUBLE
+           END, 6) AS yules_k,
+           round(CASE WHEN n_tokens > 1 THEN
+               srep::DOUBLE
+               / (n_tokens::HUGEINT * (n_tokens::HUGEINT - 1))::DOUBLE
+           END, 6) AS simpson_repeat
+    FROM ag
+    """,
+)
+def q_lexical_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K and Simpson's repeat rate over the word census — the
+    sample-size-invariant lexical-concentration constants next to
+    mattr_diversity and zipf_fit.  Exact BIGINT/HUGEINT census moments,
+    one float division per constant."""
+    from es_ch_sync_spark.operators.text import lexical_concentration
+
+    return lexical_concentration(_t(spark, sf_dir, "documents"))
+
+
+_BURST_TOP = 20
+
+
+@register(
+    "term_burstiness",
+    f"""
+    WITH nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+    dc AS (
+        SELECT doc_id, w, count(*)::BIGINT AS c FROM (
+            SELECT doc_id,
+                   unnest(string_split({_o.NORM.format(col='text')}, ' ')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY 1, 2
+    ),
+    pt AS (
+        SELECT w, sum(c)::BIGINT AS tf, count(*)::BIGINT AS df,
+               sum(c::HUGEINT * c::HUGEINT)::HUGEINT AS s2
+        FROM dc GROUP BY w
+    ),
+    head AS (SELECT * FROM pt ORDER BY tf DESC, w LIMIT {_BURST_TOP})
+    SELECT w AS word, tf, df,
+           round((n::HUGEINT * s2 - tf::HUGEINT * tf::HUGEINT)::DOUBLE
+                 / (n::HUGEINT * tf::HUGEINT)::DOUBLE, 6) AS vmr,
+           round(tf::DOUBLE / df::DOUBLE, 6) AS rate_in_docs
+    FROM head, nd ORDER BY tf DESC, word
+    """,
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio (zeros included, never materialized) and
+    within-document rate of the top-20 words — the Church–Gale
+    burstiness census separating content words from function words.
+    Exact DECIMAL/HUGEINT moments, one float division per readout."""
+    from es_ch_sync_spark.operators.text import term_burstiness
+
+    return term_burstiness(_t(spark, sf_dir, "documents"), top_terms=_BURST_TOP)
+
+
+def _split_cross_entropy_oracle() -> str:
+    split_case = _o._split_case_sql()
+    norm = _o.NORM.format(col="text")
+    ln = _LNM.format
+    return f"""
+    WITH sp AS (SELECT {split_case} AS split, text FROM documents),
+    toks AS (
+        SELECT split, w FROM (
+            SELECT split, unnest(string_split({norm}, ' ')) AS w FROM sp
+        ) WHERE w <> ''
+    ),
+    census AS MATERIALIZED (
+        SELECT split, w, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+    ),
+    tr AS (SELECT w, c AS c_tr FROM census WHERE split = 'train'),
+    ev AS (SELECT w, c AS c_ev FROM census WHERE split = 'test'),
+    trt AS (SELECT sum(c_tr)::BIGINT AS n_tr, count(*)::BIGINT AS v_tr FROM tr),
+    j AS (SELECT ev.c_ev, tr.c_tr FROM ev LEFT JOIN tr USING (w)),
+    ag AS (
+        SELECT sum(c_ev)::BIGINT AS n_ev, count(*)::BIGINT AS v_ev,
+               sum(CASE WHEN c_tr IS NULL THEN c_ev ELSE 0 END)::BIGINT AS oov,
+               sum(c_ev::HUGEINT
+                   * ({ln(x='n_tr + v_tr + 1')}
+                      - {ln(x='coalesce(c_tr, 0) + 1')})::HUGEINT
+               )::HUGEINT AS hx,
+               sum(c_ev::HUGEINT * {ln(x='c_ev')}::HUGEINT)::HUGEINT AS selx,
+               any_value(n_tr)::BIGINT AS n_train_tokens,
+               any_value(v_tr)::BIGINT AS v_train_types
+        FROM j, trt
+    )
+    SELECT n_ev AS n_eval_tokens, v_ev AS v_eval_types,
+           n_train_tokens, v_train_types, oov AS oov_tokens,
+           round(oov::DOUBLE / n_ev::DOUBLE, 6) AS oov_rate,
+           round(hx::DOUBLE / (n_ev::DOUBLE * 1000000.0), 6) AS h_cross,
+           round((n_ev::HUGEINT * {ln(x='n_ev')}::HUGEINT - selx)::DOUBLE
+                 / (n_ev::DOUBLE * 1000000.0), 6) AS h_eval,
+           round(hx::DOUBLE / (n_ev::DOUBLE * 1000000.0)
+                 - (n_ev::HUGEINT * {ln(x='n_ev')}::HUGEINT - selx)::DOUBLE
+                   / (n_ev::DOUBLE * 1000000.0), 6) AS kl_proxy
+    FROM ag
+    """
+
+
+@register("split_cross_entropy", _split_cross_entropy_oracle())
+def q_split_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out unigram cross-entropy + OOV mass of the hash-assigned
+    test split under an add-one LM fitted on train — the split-health
+    readout next to split_length_drift (a clean random split shows KL ≈
+    0 and Heaps-tail OOV; leakage or a correlated split moves both).
+    Two Heaps-bounded censuses, one census-sized LEFT join, every ln
+    micro-quantized before the DECIMAL sum."""
+    from es_ch_sync_spark.operators.text import split_cross_entropy
+
+    return split_cross_entropy(_t(spark, sf_dir, "documents"))
+
+
 @register("corpus_stats_panel", _corpus_stats_panel_oracle())
 def q_corpus_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The five corpus-health statistics (zipf, heaps, vocab coverage,

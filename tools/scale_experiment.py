@@ -1299,6 +1299,23 @@ def _r10_sections(spark, docs, replicas, only):
                 iterations=2,
             ).count(),
         )
+        timed(
+            f"  standalone lpa x{replicas} (re-mines)",
+            lambda: label_propagation_fixed(
+                _he().selectExpr("ha AS src", "hb AS dst")
+                .unionByName(_he().selectExpr("hb AS src", "ha AS dst"))
+                .distinct(),
+                iterations=2,
+            ).count(),
+        )
+        timed(
+            f"  standalone kcore x{replicas} (re-mines)",
+            lambda: k_core_fixed(
+                _he().selectExpr("ha AS src", "hb AS dst").distinct(),
+                k=2,
+                rounds=8,
+            ).count(),
+        )
     if "langreport" in only:
         from es_ch_sync_spark.operators.analytics import classification_report
         from es_ch_sync_spark.operators.text import lang_id
