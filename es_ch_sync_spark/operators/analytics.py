@@ -2594,6 +2594,136 @@ def fleiss_kappa(
     )
 
 
+def krippendorff_alpha(
+    ratings: DataFrame,
+    item_col: str,
+    cat_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Krippendorff's alpha [Krippendorff 1970], nominal metric, for a
+    FIXED number of raters per item — the agreement coefficient next to
+    fleiss_kappa that chance-corrects by the COINCIDENCE distribution
+    (pairable values) instead of Fleiss' per-rater marginals, so it is
+    the one comparable across studies and robust when one category is
+    rare.  With n_ic raters putting item i in category c, m raters, T
+    items, n = T·m pairable values, n_c = Σ_i n_ic:
+
+        D_o = Σ_i Σ_{{c≠c'}} n_ic·n_ic' / (m−1) / n
+            = (T·m² − Σ_ic n_ic²) / ((m−1)·n)
+        D_e = (n² − Σ_c n_c²) / (n·(n−1))
+        α   = 1 − D_o/D_e
+            = 1 − (n−1)·(T·m² − Σ n_ic²) / ((m−1)·(n² − Σ n_c²))
+
+    Exactness: every moment is an exact integer riding DECIMAL(38,0);
+    α is ONE float division of the two exact products (not a quotient
+    of the separately-rounded D_o/D_e).  Incomplete panels (Σ n_ic ≠
+    T·m) NULL the outputs rather than fabricate.  Scale: one (item,
+    cat) census → one category census; the fleiss_kappa shape."""
+    d38 = "decimal(38,0)"
+    nic = ratings.groupBy(item_col, cat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_k")
+    )
+    row = nic.agg(
+        F.countDistinct(item_col).cast("long").alias("n_items"),
+        F.sum("_k").cast("long").alias("_tot"),
+        F.sum(F.col("_k").cast(d38) * F.col("_k").cast(d38)).cast(d38).alias("_s2"),
+    )
+    tc = nic.groupBy(cat_col).agg(F.sum("_k").cast("long").alias("_t"))
+    cat = tc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(F.col("_t").cast(d38) * F.col("_t").cast(d38)).cast(d38).alias("_sc2"),
+    )
+    j = row.crossJoin(F.broadcast(cat))
+    m = F.lit(n_raters).cast("long")
+    t = F.col("n_items").cast(d38)
+    n = F.col("n_items") * m
+    nd = n.cast(d38)
+    o_num = t * F.lit(n_raters * n_raters).cast(d38) - F.col("_s2")
+    e_num = nd * nd - F.col("_sc2")
+    complete = F.col("_tot") == n
+    d_o = o_num.cast("double") / (
+        F.lit(n_raters - 1).cast("double") * n.cast("double")
+    )
+    d_e = e_num.cast("double") / (n.cast("double") * (n - 1).cast("double"))
+    alpha = F.when(
+        complete & (e_num > 0),
+        F.lit(1.0)
+        - ((n - 1).cast(d38) * o_num).cast("double")
+        / (F.lit(n_raters - 1).cast(d38) * e_num).cast("double"),
+    )
+    return j.select(
+        "n_items",
+        m.alias("n_raters"),
+        "n_categories",
+        F.round(F.when(complete, d_o), 6).alias("d_o"),
+        F.round(F.when(complete, d_e), 6).alias("d_e"),
+        F.round(alpha, 6).alias("alpha"),
+    )
+
+
+def pass_at_k(
+    samples: DataFrame,
+    task_col: str,
+    correct_col: str,
+    n: int = 10,
+    ks: tuple[int, ...] = (1, 3, 5),
+) -> DataFrame:
+    """Unbiased pass@k estimator [Chen et al. 2021, Codex §2.1] over a
+    (task, sample-correctness) table — the standard code/eval metric:
+    with n samples per task of which c are correct,
+
+        pass@k = 1 − C(n−c, k)/C(n, k)
+               = 1 − Π_{{i=0..k−1}} (n−c−i) / Π_{{i=0..k−1}} (n−i)
+
+    averaged over tasks.  With the FIXED per-task sample count ``n``
+    (tasks with ≠ n samples are excluded — the estimator is undefined
+    for them), the denominator D_k = n·(n−1)···(n−k+1) is a constant,
+    so  mean pass@k = 1 − (Σ_t num_t) / (T·D_k)  is ONE float division
+    of exact BIGINTs per k; the numerator product hits a zero factor
+    exactly when c > n−k, so no clamping is needed.  Scale: one keyed
+    aggregate to the per-task (n, c) census; everything after is
+    census-sized."""
+    per_task = (
+        samples.groupBy(task_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nt"),
+            F.sum(F.col(correct_col).cast("long")).cast("long").alias("_c"),
+        )
+        .filter(F.col("_nt") == n)
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_tasks")]
+    for k in ks:
+        num = F.lit(1).cast("long")
+        for i in range(k):
+            num = num * (F.lit(n - i).cast("long") - F.col("_c"))
+        aggs.append(F.sum(num).cast("long").alias(f"_s{k}"))
+    g = per_task.agg(*aggs)
+    rows = []
+    for k in ks:
+        d_k = 1
+        for i in range(k):
+            d_k *= n - i
+        rows.append(
+            g.select(
+                F.lit(k).cast("long").alias("k"),
+                "n_tasks",
+                F.round(
+                    F.when(
+                        F.col("n_tasks") > 0,
+                        F.lit(1.0)
+                        - F.col(f"_s{k}").cast("double")
+                        / (F.col("n_tasks").cast("double") * float(d_k)),
+                    ),
+                    6,
+                ).alias("pass_at_k"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("k")
+
+
 def ab_mde(
     per_unit: DataFrame,
     arm_col: str,

@@ -1388,6 +1388,119 @@ def q_fleiss_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "krippendorff_alpha_gates",
+    f"""
+    WITH {_GATES_CTE},
+    votes AS (
+        SELECT doc_id,
+               (CASE WHEN r_words THEN 1 ELSE 0 END
+                + CASE WHEN r_sym THEN 1 ELSE 0 END
+                + CASE WHEN r_stop THEN 1 ELSE 0 END)::BIGINT AS k
+        FROM gates
+    ),
+    mom AS (
+        SELECT count(*)::BIGINT AS t,
+               sum(k * k + (3 - k) * (3 - k))::HUGEINT AS s2,
+               sum(k)::HUGEINT AS n1, sum(3 - k)::HUGEINT AS n0,
+               sum(CASE WHEN k > 0 THEN 1 ELSE 0 END)::BIGINT AS any_keep,
+               sum(CASE WHEN k < 3 THEN 1 ELSE 0 END)::BIGINT AS any_drop
+        FROM votes
+    )
+    SELECT t AS n_items, 3::BIGINT AS n_raters,
+           ((CASE WHEN any_keep > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN any_drop > 0 THEN 1 ELSE 0 END))::BIGINT
+               AS n_categories,
+           round((9 * t::HUGEINT - s2)::DOUBLE
+                 / (2.0 * (3 * t)::DOUBLE), 6) AS d_o,
+           round(((3 * t)::HUGEINT * (3 * t)::HUGEINT
+                  - (n1 * n1 + n0 * n0))::DOUBLE
+                 / ((3 * t)::DOUBLE * (3 * t - 1)::DOUBLE), 6) AS d_e,
+           round(CASE WHEN ((3 * t)::HUGEINT * (3 * t)::HUGEINT
+                            - (n1 * n1 + n0 * n0)) > 0 THEN
+               1.0 - ((3 * t - 1)::HUGEINT
+                      * (9 * t::HUGEINT - s2))::DOUBLE
+                     / (2::HUGEINT
+                        * ((3 * t)::HUGEINT * (3 * t)::HUGEINT
+                           - (n1 * n1 + n0 * n0)))::DOUBLE
+           END, 6) AS alpha
+    FROM mom
+    """,
+)
+def q_krippendorff_alpha_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) among the three Gopher subrule
+    raters — the coincidence-based agreement coefficient next to
+    fleiss_kappa_gates (same votes, chance corrected by pairable values
+    instead of per-rater marginals, so it stays comparable when one
+    category is rare).  Exact integer moments off the same (item, cat)
+    census; alpha is one float division of two exact products."""
+    from es_ch_sync_spark.operators.analytics import krippendorff_alpha
+    from es_ch_sync_spark.operators.text import gopher_quality_flags
+
+    gf = gopher_quality_flags(_docs(spark, sf_dir))
+    votes = None
+    for col in ("ok_word_count", "ok_symbols", "ok_stopwords"):
+        v = gf.select(
+            "doc_id",
+            F.when(F.col(col), F.lit("keep")).otherwise(F.lit("drop")).alias(
+                "cat"
+            ),
+        )
+        votes = v if votes is None else votes.unionByName(v)
+    return krippendorff_alpha(votes, "doc_id", "cat", n_raters=3)
+
+
+_PAK_N, _PAK_KS = 10, (1, 3, 5)
+
+
+def _pass_at_k_oracle(n: int = _PAK_N, ks: tuple[int, ...] = _PAK_KS) -> str:
+    sums, selects = [], []
+    for k in ks:
+        num = " * ".join(f"({n - i} - c)" for i in range(k))
+        sums.append(f"sum({num})::BIGINT AS s{k}")
+        d_k = 1
+        for i in range(k):
+            d_k *= n - i
+        selects.append(
+            f"SELECT {k}::BIGINT AS k, n_tasks, "
+            f"round(CASE WHEN n_tasks > 0 THEN "
+            f"1.0 - s{k}::DOUBLE / (n_tasks::DOUBLE * {float(d_k)}) END, 6) "
+            f"AS pass_at_k FROM ag"
+        )
+    return f"""
+    WITH s AS (
+        SELECT doc_id // {n} AS task, (length(text) % 3 = 0) AS ok
+        FROM documents
+    ),
+    pt AS (
+        SELECT task, count(*)::BIGINT AS nt,
+               sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS c
+        FROM s GROUP BY task
+    ),
+    ag AS (
+        SELECT count(*)::BIGINT AS n_tasks, {", ".join(sums)}
+        FROM pt WHERE nt = {n}
+    )
+    SELECT * FROM ({" UNION ALL ".join(selects)}) ORDER BY k
+    """
+
+
+@register("pass_at_k", _pass_at_k_oracle())
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k [Chen et al. 2021] over a deterministic
+    (task = doc_id div 10, correct = length(text) % 3 == 0) sample
+    table — the standard sampled-eval metric: per task 1 − C(n−c,k)/
+    C(n,k), averaged exactly (fixed n makes the denominator constant,
+    so each k is ONE float division of exact BIGINT sums)."""
+    from es_ch_sync_spark.operators.analytics import pass_at_k
+
+    d = _docs(spark, sf_dir).select(
+        F.expr(f"doc_id div {_PAK_N}").alias("task"),
+        (F.length("text") % 3 == 0).alias("ok"),
+    )
+    return pass_at_k(d, "task", "ok", n=_PAK_N, ks=_PAK_KS)
+
+
+@register(
     "mattr_diversity",
     f"""
     WITH d AS (

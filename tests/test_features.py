@@ -528,3 +528,45 @@ def test_pairwise_jsd_tvd_exact(spark):
         "g string, b int, c long",
     )
     assert pairwise_jsd(df2, "g", "b", "c").collect()[0]["tvd"] == 0.5
+
+
+def test_krippendorff_alpha_hand_computed(spark):
+    """Perfect agreement -> 1; 2 raters always disagreeing on balanced
+    categories -> alpha = 1 - (n-1)·O/( (m-1)·E ): with T=3, m=2, n=6,
+    O = T·m² − Σn_ic² = 12−6 = 6, E = n²−Σn_c² = 36−18 = 18 →
+    alpha = 1 − 5·6/(1·18) = 1 − 30/18 = −0.666667; incomplete NULLs."""
+    from es_ch_sync_spark.operators.analytics import krippendorff_alpha
+
+    perfect = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (2, "y")], "item long, cat string"
+    )
+    assert krippendorff_alpha(perfect, "item", "cat", 2).collect()[0]["alpha"] == 1.0
+    split = spark.createDataFrame(
+        [(i, c) for i in (1, 2, 3) for c in ("x", "y")], "item long, cat string"
+    )
+    r = krippendorff_alpha(split, "item", "cat", 2).collect()[0]
+    assert r["d_o"] == 1.0 and r["alpha"] == round(1 - 30 / 18, 6)
+    incomplete = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "item long, cat string"
+    )
+    assert krippendorff_alpha(incomplete, "item", "cat", 2).collect()[0]["alpha"] is None
+
+
+def test_pass_at_k_closed_form(spark):
+    """Two tasks, n=4: task A has c=2 correct, task B c=0.
+    pass@1 = mean(1−C(2,1)/C(4,1), 0) = mean(1−2/4, 0) = 0.25;
+    pass@2 = mean(1−C(2,2)/C(4,2), 0) = mean(1−1/6, 0) = 5/12;
+    pass@4 = mean(1−0, 0) = 0.5.  A task with n≠4 is excluded."""
+    from es_ch_sync_spark.operators.analytics import pass_at_k
+
+    rows = (
+        [("a", True), ("a", True), ("a", False), ("a", False)]
+        + [("b", False)] * 4
+        + [("c", True)] * 3  # n=3 ≠ 4 → excluded
+    )
+    df = spark.createDataFrame(rows, "task string, ok boolean")
+    out = {r["k"]: r for r in pass_at_k(df, "task", "ok", n=4, ks=(1, 2, 4)).collect()}
+    assert all(out[k]["n_tasks"] == 2 for k in (1, 2, 4))
+    assert out[1]["pass_at_k"] == 0.25
+    assert out[2]["pass_at_k"] == round((1 - 1 / 6) / 2, 6)
+    assert out[4]["pass_at_k"] == 0.5
