@@ -471,3 +471,103 @@ def k_core_fixed(
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("a").alias("id"), "core_degree")
     )
+
+
+def graph_global_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global structure constants of the undirected mirror of an edge
+    list — the one-row graph-health readout next to the per-node
+    centralities (pagerank/HITS/k-core): node and undirected-edge
+    counts, triangle and wedge censuses, global transitivity
+    C = 3·T/W [Newman 2003 §3 "fraction of transitive triples"], and
+    the degree assortativity coefficient r [Newman 2002] — a mirror
+    graph that turns disassortative (r < 0: hubs link to leaves) while
+    transitivity rises is developing template nests, the exact shape a
+    crawl-prioritization budget watches.
+
+    Exactness: T, W = Σ_v d_v(d_v−1)/2, and the assortativity moments
+    Σjk, Σj, Σj² over the symmetric edge list are exact BIGINT /
+    DECIMAL(38,0) sums; by symmetry the two denominator factors of
+    Newman's r coincide, so r = (M·Σjk − (Σj)²)/(M·Σj² − (Σj)²) needs
+    NO square root — like C it is ONE float division of exact
+    integers.
+
+    Scale shape: triangle counting is the a<b<c two-hop equi-join over
+    the deduplicated a<b edge list (the triangle_coactivity posture —
+    never a cartesian); degrees are one hash aggregate; the
+    assortativity join attaches deg(src)/deg(dst) by two keyed joins on
+    the symmetric list.  Everything downstream of the edge list is
+    edge-bounded."""
+    und = (
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    d38 = "decimal(38,0)"
+    wedges = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        # d(d−1) is always even, so the per-node div is exact integer
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    tri = (
+        und.alias("e1")
+        .join(
+            und.alias("e2"),
+            (F.col("e1.b") == F.col("e2.a")) & (F.col("e1.a") < F.col("e2.a")),
+        )
+        .join(
+            und.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    dj = sym.join(deg.withColumnRenamed("a", "_s").withColumnRenamed("d", "dj"),
+                  F.col("a") == F.col("_s")).join(
+        deg.withColumnRenamed("a", "_t").withColumnRenamed("d", "dk"),
+        F.col("b") == F.col("_t"),
+    )
+    mom = dj.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("dj").cast(d38)).cast(d38).alias("sj"),
+        F.sum(F.col("dj").cast(d38) * F.col("dk").cast(d38)).cast(d38).alias("sjk"),
+        F.sum(F.col("dj").cast(d38) * F.col("dj").cast(d38)).cast(d38).alias("sj2"),
+    )
+    ec = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    j = (
+        wedges.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(ec))
+        .crossJoin(F.broadcast(mom))
+    )
+    mm = F.col("m").cast(d38)
+    r_num = mm * F.col("sjk") - F.col("sj") * F.col("sj")
+    r_den = mm * F.col("sj2") - F.col("sj") * F.col("sj")
+    return j.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.lit(3).cast(d38) * F.col("n_triangles").cast(d38)).cast(
+                    "double"
+                )
+                / F.col("n_wedges").cast("double"),
+            ),
+            6,
+        ).alias("transitivity"),
+        F.round(
+            F.when(r_den > 0, r_num.cast("double") / r_den.cast("double")),
+            6,
+        ).alias("assortativity"),
+    )

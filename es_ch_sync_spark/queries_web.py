@@ -799,6 +799,79 @@ def q_host_graph_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _host_graph_stats_oracle() -> str:
+    from es_ch_sync_spark import oracles
+
+    pairs = oracles.minhash_near_dup_sql(threshold=0.5)
+    host_a = _HOST.replace("doc_id", "id_a")
+    host_b = _HOST.replace("doc_id", "id_b")
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    he AS (
+        SELECT ha, hb FROM (
+            SELECT {host_a} AS ha, {host_b} AS hb FROM pairs
+        ) WHERE ha <> hb
+    ),
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(ha, hb) AS a, greatest(ha, hb) AS b FROM he
+    ),
+    sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    deg AS MATERIALIZED (SELECT a, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+    w AS (
+        SELECT count(*)::BIGINT AS n_nodes,
+               sum(d * (d - 1) // 2)::BIGINT AS n_wedges
+        FROM deg
+    ),
+    tri AS (
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM und e1 JOIN und e2 ON e1.b = e2.a AND e1.a < e2.a
+        WHERE EXISTS (
+            SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b
+        )
+    ),
+    ec AS (SELECT count(*)::BIGINT AS n_edges FROM und),
+    dj AS (
+        SELECT d1.d AS dj, d2.d AS dk
+        FROM sym s JOIN deg d1 ON s.a = d1.a JOIN deg d2 ON s.b = d2.a
+    ),
+    mom AS (
+        SELECT count(*)::BIGINT AS m, sum(dj)::HUGEINT AS sj,
+               sum(dj::HUGEINT * dk::HUGEINT)::HUGEINT AS sjk,
+               sum(dj::HUGEINT * dj::HUGEINT)::HUGEINT AS sj2
+        FROM dj
+    )
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           round(CASE WHEN n_wedges > 0 THEN
+               (3::HUGEINT * n_triangles::HUGEINT)::DOUBLE / n_wedges::DOUBLE
+           END, 6) AS transitivity,
+           round(CASE WHEN (m::HUGEINT * sj2 - sj * sj) > 0 THEN
+               (m::HUGEINT * sjk - sj * sj)::DOUBLE
+               / (m::HUGEINT * sj2 - sj * sj)::DOUBLE
+           END, 6) AS assortativity
+    FROM w, tri, ec, mom
+    """
+
+
+@register("host_graph_stats", _host_graph_stats_oracle())
+def q_host_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (3·triangles/wedges) and degree
+    assortativity (Newman's r, square-root-free by edge symmetry) of
+    the host mirror graph — the one-row structural-health readout next
+    to the per-host centralities: a mirror graph turning disassortative
+    while transitivity rises is developing template nests.  Triangles
+    via the a<b<c two-hop equi-join; every moment an exact
+    BIGINT/DECIMAL sum; each constant ONE float division."""
+    from es_ch_sync_spark.operators.dedup import minhash_near_duplicates
+    from es_ch_sync_spark.operators.graph import graph_global_stats
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    he = pairs.select(
+        F.expr(_HOST.replace("doc_id", "id_a")).alias("src"),
+        F.expr(_HOST.replace("doc_id", "id_b")).alias("dst"),
+    )
+    return graph_global_stats(he)
+
+
 @register("host_kcore", _host_kcore_oracle())
 def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round 2-core of the host mirror graph (8 peeling rounds —

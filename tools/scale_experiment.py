@@ -1316,6 +1316,57 @@ def _r10_sections(spark, docs, replicas, only):
                 rounds=8,
             ).count(),
         )
+    if "r12a" in only:
+        from es_ch_sync_spark.operators.analytics import (
+            krippendorff_alpha,
+            pass_at_k,
+        )
+        from es_ch_sync_spark.operators.text import (
+            gopher_quality_flags,
+            lexical_concentration,
+            split_cross_entropy,
+            term_burstiness,
+        )
+
+        timed(
+            f"lexical_concentration x{replicas}",
+            lambda: lexical_concentration(docs).count(),
+        )
+        timed(
+            f"term_burstiness x{replicas} (top-20)",
+            lambda: term_burstiness(docs, top_terms=20).count(),
+        )
+        timed(
+            f"split_cross_entropy x{replicas}",
+            lambda: split_cross_entropy(docs).count(),
+        )
+
+        def _kripp() -> int:
+            gf = gopher_quality_flags(docs)
+            votes = None
+            for col in ("ok_word_count", "ok_symbols", "ok_stopwords"):
+                v = gf.select(
+                    "doc_id",
+                    F.when(F.col(col), F.lit("keep"))
+                    .otherwise(F.lit("drop"))
+                    .alias("cat"),
+                )
+                votes = v if votes is None else votes.unionByName(v)
+            return krippendorff_alpha(votes, "doc_id", "cat", n_raters=3).count()
+
+        timed(f"krippendorff_alpha x{replicas} (1.5M votes)", _kripp)
+        timed(
+            f"pass_at_k x{replicas} (k=1,3,5; 50k tasks)",
+            lambda: pass_at_k(
+                docs.selectExpr(
+                    "doc_id div 10 AS task", "length(text) % 3 = 0 AS ok"
+                ),
+                "task",
+                "ok",
+                n=10,
+                ks=(1, 3, 5),
+            ).count(),
+        )
     if "langreport" in only:
         from es_ch_sync_spark.operators.analytics import classification_report
         from es_ch_sync_spark.operators.text import lang_id
