@@ -1611,6 +1611,80 @@ def containment_pairs_prefix(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    max_distance: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """CHARACTER-level near-duplicates: minhash LSH candidate front end,
+    Levenshtein verification on the normalized text — the edit-distance
+    lens next to the shingle-set miners (Jaccard/containment measure
+    SET overlap and miss small in-place edits' characterwise cost;
+    Levenshtein prices every insertion/deletion/substitution, the right
+    contract for OCR noise, template fills, and typo-class near-dups).
+
+    Verification is bounded: the banded-Levenshtein threshold variant
+    (``levenshtein(l, r, threshold)``) computes only the |s|·d diagonal
+    band and returns −1 above ``max_distance`` — O(len·d), never the
+    full O(len²) matrix — and the LOSSLESS length filter
+    ||a|−|b|| ≤ d prunes size-incompatible candidates before any
+    distance is computed.
+
+    Recall caveat (documented, same family as containment_pairs_lsh):
+    the front end targets JACCARD, and edit distance ≤ d on texts of
+    length ≫ d·k implies near-identical shingle sets, so recall is ~1
+    for document-scale inputs; for SHORT strings (names, titles) where
+    d edits can rewrite most shingles, use the sorted-neighborhood
+    miner (dedup_sorted_neighborhood) as the front end instead.
+
+    Emits (id_a < id_b, edit_distance, len_a, len_b)."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    cand_ids = F.broadcast(
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # normalized text attaches only to candidate docs (the
+    # minhash_near_duplicates semi-join pattern); cached because both
+    # pair sides reference it
+    txt = (
+        spread(df)
+        .join(cand_ids, on=id_col, how="left_semi")
+        .select(F.col(id_col), normalize_text(F.col(text_col)).alias("nt"))
+    ).cache()
+    j = (
+        cand.join(
+            txt.select(F.col(id_col).alias("id_a"), F.col("nt").alias("_ta")),
+            "id_a",
+        )
+        .join(
+            txt.select(F.col(id_col).alias("id_b"), F.col("nt").alias("_tb")),
+            "id_b",
+        )
+        # lossless: levenshtein ≥ abs length difference
+        .filter(
+            F.abs(F.length("_ta") - F.length("_tb")) <= max_distance
+        )
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_distance)
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("edit_distance"),
+            F.length("_ta").cast("long").alias("len_a"),
+            F.length("_tb").cast("long").alias("len_b"),
+        )
+        .filter(F.col("edit_distance") >= 0)
+    )
+
+
 def minhash_estimator_calibration(
     df: DataFrame,
     text_col: str = "text",

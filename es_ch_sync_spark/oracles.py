@@ -1569,6 +1569,34 @@ def containment_sql(
     """
 
 
+def edit_distance_pairs_sql(
+    max_distance: int = 25,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> str:
+    """Mirror of dedup.edit_distance_pairs: Levenshtein over the
+    normalized text of the shared minhash LSH candidate set, with the
+    lossless length filter."""
+    norm = NORM.format(col="text")
+    return f"""
+    {_minhash_buckets_sql(num_hashes, bands, k)}
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    txt AS (SELECT doc_id, {norm} AS nt FROM documents)
+    SELECT id_a, id_b,
+           levenshtein(ta.nt, tb.nt)::BIGINT AS edit_distance,
+           length(ta.nt)::BIGINT AS len_a, length(tb.nt)::BIGINT AS len_b
+    FROM cand JOIN txt ta ON cand.id_a = ta.doc_id
+    JOIN txt tb ON cand.id_b = tb.doc_id
+    WHERE abs(length(ta.nt) - length(tb.nt)) <= {max_distance}
+      AND levenshtein(ta.nt, tb.nt) <= {max_distance}
+    """
+
+
 def qld_topk_sql(terms: list[str], k: int = 15, mu: int = 2000) -> str:
     """Mirror of text.qld_topk: Dirichlet-smoothed query likelihood over
     the whitespace-normalized token stream; each term's ln argument is

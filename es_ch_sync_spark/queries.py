@@ -949,6 +949,17 @@ def q_containment_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.containment_pairs_prefix(_docs(spark, sf_dir), threshold=0.5)
 
 
+@register("edit_distance_pairs", oracles.edit_distance_pairs_sql(max_distance=25))
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dups: Levenshtein ≤ 25 on normalized text
+    over the minhash LSH candidate set — the edit-cost lens next to the
+    shingle-set miners (catches in-place typo/OCR/template-fill edits
+    whose characterwise cost set-overlap underprices).  Banded
+    threshold Levenshtein (O(len·d), −1 above the cap) + the lossless
+    ||a|−|b|| ≤ d length filter; verification touches candidates only."""
+    return dd.edit_distance_pairs(_docs(spark, sf_dir), max_distance=25)
+
+
 @register("tfidf_top_terms", oracles.tfidf_top_terms_sql(k=3))
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by tf·ln(N/df); corpus stats via

@@ -1151,3 +1151,19 @@ def test_hill_tail_index_pareto_recovers_alpha(spark):
     eq = spark.createDataFrame([(i, 5.0) for i in range(300)], "doc_id long, v double")
     assert all(r["alpha_hill"] is None for r in
                hill_tail_index(eq, "v", "doc_id", ks=(50,)).collect())
+
+
+def test_edit_distance_pairs_planted(spark):
+    """A planted pair with exactly 2 substitutions is found with the
+    exact distance; a pair above the cap is excluded even though LSH
+    pairs them; the length filter excludes a doc padded past the cap."""
+    base = " ".join(f"tok{i:03d}" for i in range(60))
+    two_subs = base.replace("tok010", "tok01x").replace("tok040", "tok04y")
+    padded = base + " " + " ".join(f"pad{i}" for i in range(12))  # +>25 chars
+    df = spark.createDataFrame(
+        [(1, base), (2, two_subs), (3, padded)], "doc_id long, text string"
+    )
+    got = {(r["id_a"], r["id_b"]): r
+           for r in dd.edit_distance_pairs(df, max_distance=25).collect()}
+    assert (1, 2) in got and got[(1, 2)]["edit_distance"] == 2
+    assert (1, 3) not in got and (2, 3) not in got  # length-filtered
