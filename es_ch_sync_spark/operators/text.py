@@ -2702,6 +2702,133 @@ def split_cross_entropy(
     )
 
 
+# Deliberately conservative, cross-engine-identical (Java regex / RE2
+# common subset) patterns: a production redactor would add locale
+# variants; the census's job is the per-source PREVALENCE readout.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_pattern_census(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-source PII-pattern prevalence census (emails, URLs, IPv4,
+    NANP-style phone numbers) — the redaction-budget readout a privacy
+    gate runs BEFORE k_anonymity/dp_event_counts' output-side
+    protections: which sources carry identifier-dense text, how many
+    docs are affected, and how many spans a redactor would touch.
+
+    Map-only: every count is ``regexp_extract_all`` inside codegen
+    fused into the scan (no explode, no UDF); one hash aggregate keyed
+    on the source; exact BIGINT sums.  Patterns are the Java-regex/RE2
+    common subset, so the census is identical cross-engine."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for name, pat in PII_PATTERNS.items():
+        hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        aggs.append(F.sum(hits).cast("long").alias(f"n_{name}"))
+        aggs.append(
+            F.sum(F.when(hits > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"docs_with_{name}")
+        )
+    return (
+        docs.groupBy(F.col(group_col).alias("source"))
+        .agg(*aggs)
+        .orderBy("source")
+    )
+
+
+def dunning_llr_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 5,
+) -> DataFrame:
+    """Per-source keyword extraction by Dunning's log-likelihood ratio
+    [Dunning 1993]: for every (source, word), G² of the 2×2 contingency
+    (word-in-source a, word-elsewhere b, other-in-source c, other-
+    elsewhere d) — the corpus-linguistics standard for "what words
+    characterize this source", robust where raw TF-IDF overweights
+    rare typos.  Only ENRICHED terms qualify (a·(N−N_s) > b·N_s,
+    exact integer cross-multiplication — G² itself is two-sided); top
+    ``k`` per source by G², ties by word.
+
+        G² = 2·[Σ xlx(cell) + xlx(N) − Σ xlx(margin)],  xlx(x) = x·ln x
+
+    Exactness: all nine xlx terms are exact-integer · micro-quantized-ln
+    products in DECIMAL(38,0) (the zipf/entropy contract), so G² rides
+    as an exact integer in micro-nats until the single final division.
+    Scale: one word explode → one (source, word) census → two marginal
+    censuses joined back (word marginal shuffles census-sized; source
+    marginal broadcast); the top-k window is PARTITIONED by source."""
+    from pyspark.sql import Window as W
+
+    from es_ch_sync_spark.operators.util import spread
+
+    toks = (
+        spread(docs)
+        .select(
+            F.col(group_col).alias("source"),
+            F.explode(words(F.col(text_col))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    sw = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    wtot = sw.groupBy("w").agg(F.sum("a").cast("long").alias("cw"))
+    stot = F.broadcast(
+        sw.groupBy("source").agg(F.sum("a").cast("long").alias("ns"))
+    )
+    tot = F.broadcast(sw.agg(F.sum("a").cast("long").alias("n")))
+    j = sw.join(wtot, "w").join(stot, "source").crossJoin(tot)
+    b = F.col("cw") - F.col("a")
+    c = F.col("ns") - F.col("a")
+    d = F.col("n") - F.col("ns") - b
+    d38 = "decimal(38,0)"
+    lnm = lambda col: F.round(F.log(col.cast("double")) * 1000000.0, 0).cast(
+        "long"
+    )
+    xlx = lambda col: F.when(
+        col > 0, col.cast(d38) * lnm(col).cast(d38)
+    ).otherwise(F.lit(0).cast(d38))
+    g2m = 2 * (
+        xlx(F.col("a"))
+        + xlx(b)
+        + xlx(c)
+        + xlx(d)
+        + xlx(F.col("n"))
+        - xlx(F.col("a") + b)
+        - xlx(c + d)
+        - xlx(F.col("a") + c)
+        - xlx(b + d)
+    )
+    enriched = j.filter(
+        F.col("a").cast(d38) * (F.col("n") - F.col("ns")).cast(d38)
+        > b.cast(d38) * F.col("ns").cast(d38)
+    ).withColumn("_g2m", g2m.cast(d38))
+    w_rank = W.partitionBy("source").orderBy(
+        F.desc("_g2m"), F.asc("w")
+    )
+    return (
+        enriched.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("w").alias("word"),
+            F.col("a").alias("tf_in_source"),
+            b.cast("long").alias("tf_elsewhere"),
+            F.round(F.col("_g2m").cast("double") / 1000000.0, 6).alias("g2"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
 def qld_topk(
     df: DataFrame,
     query_terms: list[str],

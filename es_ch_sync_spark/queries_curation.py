@@ -1449,6 +1449,55 @@ def q_krippendorff_alpha_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_alpha(votes, "doc_id", "cat", n_raters=3)
 
 
+# Shared Spark-SQL/DuckDB augmented text: the synthetic corpus carries no
+# real identifiers, so deterministic doc_id-derived PII is planted on two
+# residue classes (the _PSL_HOST precedent) — every pattern class gets
+# non-vacuous counts and the census is exact cross-engine.
+_PII_TEXT = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN"
+    " ' reach user' || CAST(doc_id AS STRING) || '@mail.example.org"
+    " or at 10.0.' || CAST(doc_id % 250 AS STRING) || '.'"
+    " || CAST(doc_id % 100 AS STRING)"
+    " WHEN doc_id % 11 = 0 THEN"
+    " ' see https://ex.org/d/' || CAST(doc_id AS STRING)"
+    " || ' call 555-123-4567'"
+    " ELSE '' END"
+)
+
+
+def _pii_census_oracle() -> str:
+    from es_ch_sync_spark.operators.text import PII_PATTERNS
+
+    cols = []
+    for name, pat in PII_PATTERNS.items():
+        n = f"len(regexp_extract_all(t, '{pat}'))"
+        cols.append(f"sum({n})::BIGINT AS n_{name}")
+        cols.append(
+            f"sum(CASE WHEN {n} > 0 THEN 1 ELSE 0 END)::BIGINT"
+            f" AS docs_with_{name}"
+        )
+    return f"""
+    WITH aug AS (SELECT source, {_PII_TEXT} AS t FROM documents)
+    SELECT source, count(*)::BIGINT AS n_docs, {", ".join(cols)}
+    FROM aug GROUP BY source ORDER BY source
+    """
+
+
+@register("pii_pattern_census", _pii_census_oracle())
+def q_pii_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII-pattern prevalence (emails / URLs / IPv4 / phone
+    spans and affected-doc counts) — the input-side redaction-budget
+    readout next to the output-side privacy gates (k_anonymity,
+    dp_event_counts).  Map-only regexp_extract_all counts fused into
+    the scan, one source-keyed aggregate, exact cross-engine."""
+    from es_ch_sync_spark.operators.text import pii_pattern_census
+
+    aug = _docs(spark, sf_dir).select(
+        "source", F.expr(_PII_TEXT).alias("text")
+    )
+    return pii_pattern_census(aug)
+
+
 _PAK_N, _PAK_KS = 10, (1, 3, 5)
 
 

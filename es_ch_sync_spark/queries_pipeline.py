@@ -4016,6 +4016,69 @@ def q_split_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
+_LLR_K = 5
+
+
+def _dunning_llr_oracle(k: int = _LLR_K) -> str:
+    norm = _o.NORM.format(col="text")
+    xlx = (
+        "CASE WHEN {x} > 0 THEN ({x})::HUGEINT"
+        " * CAST(round(ln({x}) * 1000000) AS BIGINT)::HUGEINT"
+        " ELSE 0::HUGEINT END"
+    ).format
+    return f"""
+    WITH toks AS (
+        SELECT source, w FROM (
+            SELECT source, unnest(string_split({norm}, ' ')) AS w
+            FROM documents
+        ) WHERE w <> ''
+    ),
+    sw AS MATERIALIZED (
+        SELECT source, w, count(*)::BIGINT AS a FROM toks GROUP BY 1, 2
+    ),
+    wtot AS MATERIALIZED (SELECT w, sum(a)::BIGINT AS cw FROM sw GROUP BY 1),
+    stot AS (SELECT source, sum(a)::BIGINT AS ns FROM sw GROUP BY 1),
+    tot AS (SELECT sum(a)::BIGINT AS n FROM sw),
+    cells AS (
+        SELECT sw.source, sw.w, sw.a, (cw - a)::BIGINT AS b,
+               (ns - a)::BIGINT AS c, (n - ns - (cw - a))::BIGINT AS d,
+               ns, n
+        FROM sw JOIN wtot USING (w) JOIN stot USING (source) CROSS JOIN tot
+    ),
+    g AS (
+        SELECT source, w, a, b,
+               2 * ({xlx(x='a')} + {xlx(x='b')} + {xlx(x='c')} + {xlx(x='d')}
+                    + {xlx(x='n')} - {xlx(x='a + b')} - {xlx(x='c + d')}
+                    - {xlx(x='a + c')} - {xlx(x='b + d')}) AS g2m
+        FROM cells
+        WHERE a::HUGEINT * (n - ns)::HUGEINT > b::HUGEINT * ns::HUGEINT
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY g2m DESC, w
+        ) AS rank
+        FROM g
+    )
+    SELECT source, rank::BIGINT AS rank, w AS word,
+           a AS tf_in_source, b AS tf_elsewhere,
+           round(g2m::DOUBLE / 1000000.0, 6) AS g2
+    FROM r WHERE rank <= {k} ORDER BY source, rank
+    """
+
+
+@register("dunning_llr_keywords", _dunning_llr_oracle())
+def q_dunning_llr_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic words per source by Dunning's G²
+    log-likelihood ratio (enriched direction only) — the corpus-
+    linguistics keyword extractor next to tfidf_top_terms (per-doc) and
+    chi2_lang_source (association strength): nine exact xlx products in
+    micro-nats per (source, word) census row, one final division; the
+    top-k window is partitioned by source."""
+    from es_ch_sync_spark.operators.text import dunning_llr_keywords
+
+    return dunning_llr_keywords(_t(spark, sf_dir, "documents"), k=_LLR_K)
+
+
 @register("corpus_stats_panel", _corpus_stats_panel_oracle())
 def q_corpus_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The five corpus-health statistics (zipf, heaps, vocab coverage,

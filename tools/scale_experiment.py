@@ -1367,6 +1367,46 @@ def _r10_sections(spark, docs, replicas, only):
                 ks=(1, 3, 5),
             ).count(),
         )
+    if "r12b" in only:
+        from es_ch_sync_spark.operators.graph import graph_global_stats
+        from es_ch_sync_spark.operators.text import (
+            dunning_llr_keywords,
+            pii_pattern_census,
+        )
+
+        d20 = docs.select(
+            F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string")).alias(
+                "source"
+            ),
+            "text",
+            "doc_id",
+        )
+        timed(
+            f"dunning_llr_keywords x{replicas} (20 sources, top-5)",
+            lambda: dunning_llr_keywords(d20, k=5).count(),
+        )
+        timed(
+            f"pii_pattern_census x{replicas} (20 sources, 4 patterns)",
+            lambda: pii_pattern_census(d20).count(),
+        )
+        timed(
+            f"edit_distance_pairs x{replicas} (d=25, LSH front end)",
+            lambda: dd.edit_distance_pairs(docs, max_distance=25).count(),
+        )
+        host = "('h' || CAST({c} % 9973 AS STRING))"
+        pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+        he = (
+            pairs.select(
+                F.expr(host.format(c="id_a")).alias("src"),
+                F.expr(host.format(c="id_b")).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .localCheckpoint(eager=True)  # time the stats, not the mining
+        )
+        timed(
+            f"graph_global_stats x{replicas} (host graph, mining checkpointed out)",
+            lambda: graph_global_stats(he).count(),
+        )
     if "langreport" in only:
         from es_ch_sync_spark.operators.analytics import classification_report
         from es_ch_sync_spark.operators.text import lang_id
