@@ -88,6 +88,12 @@ EXTENDED = [
     # extended section's wall for one row (its ×100 row is in BENCH.md)
     "zipf_rank_frequency",
     "host_hits",
+    # round-12 family representatives (lexical concentration, sampled-eval
+    # metrics, privacy census) — the shared-pass panels are excluded for
+    # the same reason as doc_perplexity (×100 rows in BENCH.md)
+    "lexical_concentration",
+    "pass_at_k",
+    "pii_pattern_census",
 ]
 
 

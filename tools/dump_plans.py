@@ -82,7 +82,10 @@ HEADLINE = [
     "rbo_bm25_vs_qld", "minhash_calibration", "doc_length_tail_index",
     "host_kcore", "split_length_drift", "mattr_diversity", "source_gini",
     # round 12
-    "corpus_stats_panel", "host_graph_panel",
+    "corpus_stats_panel", "host_graph_panel", "lexical_concentration",
+    "term_burstiness", "split_cross_entropy", "krippendorff_alpha_gates",
+    "pass_at_k", "host_graph_stats", "edit_distance_pairs",
+    "pii_pattern_census", "dunning_llr_keywords",
 ]
 
 MARKERS = [

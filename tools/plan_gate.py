@@ -80,6 +80,8 @@ FILESCAN_BUDGETS: dict[str, int] = {
     "doc_perplexity_buckets": 1,
     # one materialized tokenization feeds all five corpus statistics
     "corpus_stats_panel": 1,
+    # one checkpointed mining feeds all four graph readouts
+    "host_graph_panel": 1,
 }
 
 _WINDOW_RE = re.compile(r"\bWindow(GroupLimit)?\b.*windowspecdefinition")

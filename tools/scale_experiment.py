@@ -1368,6 +1368,9 @@ def _r10_sections(spark, docs, replicas, only):
             ).count(),
         )
     if "r12b" in only:
+        from es_ch_sync_spark.operators import dedup as dd  # noqa: F811 —
+        # later mode blocks re-import dd locally, which makes the name
+        # function-local and unbound here unless imported again
         from es_ch_sync_spark.operators.graph import graph_global_stats
         from es_ch_sync_spark.operators.text import (
             dunning_llr_keywords,
