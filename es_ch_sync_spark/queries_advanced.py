@@ -1102,6 +1102,89 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transition_matrix(_t(spark, sf_dir, "events"))
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_oracle(steps: tuple[str, ...] = _FUNNEL_STEPS) -> str:
+    ctes, prev = [], None
+    for i, step in enumerate(steps, start=1):
+        if prev is None:
+            ctes.append(
+                f"t{i} AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{step}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"t{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN {prev} p ON e.user_id = p.user_id AND e.ts > p.t "
+                f"WHERE e.event_type = '{step}' GROUP BY 1)"
+            )
+        prev = f"t{i}"
+    selects = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step, '{step}' AS step_name, "
+        f"(SELECT count(*)::BIGINT FROM t{i}) AS n_users"
+        for i, step in enumerate(steps, start=1)
+    )
+    return f"""
+    WITH {", ".join(ctes)},
+    c AS ({selects})
+    SELECT step, step_name, n_users,
+           round(CASE WHEN first_value(n_users) OVER w0 > 0 THEN
+               n_users::DOUBLE / first_value(n_users) OVER w0
+           END, 6) AS conv_from_first,
+           round(CASE WHEN lag(n_users) OVER w0 > 0 THEN
+               n_users::DOUBLE / lag(n_users) OVER w0
+           END, 6) AS conv_from_prev
+    FROM c WINDOW w0 AS (ORDER BY step) ORDER BY step
+    """
+
+
+@register("funnel_conversion", _funnel_oracle())
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel with greedy-earliest step
+    times (the standard funnel witness — optimal for "did the ordered
+    sequence happen") — per step one type-filtered min-aggregate + one
+    user-keyed join against the previous step's time table; never a
+    window over the event stream."""
+    from es_ch_sync_spark.operators.analytics import funnel_conversion
+
+    return funnel_conversion(_t(spark, sf_dir, "events"), steps=_FUNNEL_STEPS)
+
+
+_RET_OFFSET = 14
+
+
+@register(
+    "retention_cohorts",
+    f"""
+    WITH c AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cd FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    j AS (
+        SELECT c.cd, date_diff('day', c.cd, a.d) AS off
+        FROM c JOIN act a USING (user_id)
+        WHERE date_diff('day', c.cd, a.d) BETWEEN 0 AND {_RET_OFFSET}
+    ),
+    r AS (SELECT cd, off, count(*)::BIGINT AS n_active FROM j GROUP BY 1, 2),
+    sz AS (SELECT cd, count(*)::BIGINT AS cohort_size FROM c GROUP BY 1)
+    SELECT r.cd AS cohort_day, sz.cohort_size, r.off::BIGINT AS day_offset,
+           r.n_active,
+           round(r.n_active::DOUBLE / sz.cohort_size::DOUBLE, 6) AS retention
+    FROM r JOIN sz USING (cd) ORDER BY cohort_day, day_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-day cohort retention matrix (offsets 0–14): one distinct
+    (user, day) activity census — the only event-volume pass — one
+    user-bounded cohort table, one user-keyed join; the output is the
+    bounded days×offsets matrix with exact counts."""
+    from es_ch_sync_spark.operators.analytics import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), max_offset=_RET_OFFSET)
+
+
 @register(
     "winsorized_event_stats",
     """
