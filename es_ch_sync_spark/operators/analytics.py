@@ -2724,79 +2724,6 @@ def pass_at_k(
     return out.orderBy("k")
 
 
-def funnel_conversion(
-    events: DataFrame,
-    steps: tuple[str, ...] = ("view", "click", "purchase"),
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-) -> DataFrame:
-    """Ordered funnel conversion over per-user event streams — the
-    product-analytics census next to event_transition_matrix and
-    sessionize: a user reaches step i when they have a step-i event
-    STRICTLY after their (greedy-earliest) step-(i−1) time, the
-    standard earliest-first funnel semantics (greedy is optimal for
-    "did the ordered sequence happen": taking the earliest feasible
-    time at each step dominates every other witness).
-
-    Per step one type-filtered min-aggregate + one user-keyed join
-    against the previous step's time table (user-bounded, shrinking
-    monotonically down the funnel) — never a window over the event
-    stream; counts are exact BIGINTs and each conversion rate ONE
-    float division.  Returns (step, step_name, n_users,
-    conv_from_first, conv_from_prev)."""
-    prev: DataFrame | None = None
-    counts = []
-    for i, step in enumerate(steps):
-        ev = events.filter(F.col(type_col) == step).select(
-            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
-        )
-        if prev is None:
-            cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
-        else:
-            cur = (
-                ev.join(prev, "_u")
-                .filter(F.col("_ts") > F.col("_t"))
-                .groupBy("_u")
-                .agg(F.min("_ts").alias("_t"))
-            )
-        counts.append(
-            cur.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
-                F.lit(i + 1).cast("long").alias("step"),
-                F.lit(step).alias("step_name"),
-                F.col("n").alias("n_users"),
-            )
-        )
-        prev = cur.select("_u", "_t")
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    from pyspark.sql import Window as W
-
-    # |steps|-row frame: the lag/first windows are over a constant-size
-    # census (plan-gate whitelisted)
-    first_n = F.first("n_users").over(
-        W.orderBy("step").rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    prev_n = F.lag("n_users").over(W.orderBy("step"))
-    return (
-        out.select(
-            "step",
-            "step_name",
-            "n_users",
-            F.round(
-                F.when(first_n > 0, F.col("n_users").cast("double") / first_n.cast("double")),
-                6,
-            ).alias("conv_from_first"),
-            F.round(
-                F.when(prev_n > 0, F.col("n_users").cast("double") / prev_n.cast("double")),
-                6,
-            ).alias("conv_from_prev"),
-        )
-        .orderBy("step")
-    )
-
-
 def retention_cohorts(
     events: DataFrame,
     cohort_event: str = "signup",
@@ -2805,11 +2732,15 @@ def retention_cohorts(
     type_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Day-cohort retention matrix — the second classic product-
-    analytics readout: users are cohorted by the DATE of their first
-    ``cohort_event``; retention(cohort, d) = the fraction of the cohort
-    with ANY activity exactly d days after the cohort date, for d =
-    0..``max_offset``.
+    """Day-cohort retention RATE matrix: users are cohorted by the DATE
+    of their first ``cohort_event``; retention(cohort, d) = the
+    fraction of the cohort with ANY activity exactly d days after the
+    cohort date, for d = 0..``max_offset``.  Positioning vs
+    ``cohort_retention`` (queries_relational): that one is the
+    week-granularity first-SEEN count triangle (unbounded offsets, raw
+    n_active); this one anchors on an explicit conversion event
+    (signup), emits per-cohort SIZES and RATES, and bounds the offset
+    horizon — the retention readout a growth dashboard actually plots.
 
     Scale shape: one distinct (user, day) activity census (the only
     event-volume pass, a keyed aggregate), one min-date cohort table

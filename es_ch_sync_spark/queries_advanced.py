@@ -1102,55 +1102,6 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transition_matrix(_t(spark, sf_dir, "events"))
 
 
-_FUNNEL_STEPS = ("view", "click", "purchase")
-
-
-def _funnel_oracle(steps: tuple[str, ...] = _FUNNEL_STEPS) -> str:
-    ctes, prev = [], None
-    for i, step in enumerate(steps, start=1):
-        if prev is None:
-            ctes.append(
-                f"t{i} AS (SELECT user_id, min(ts) AS t FROM events "
-                f"WHERE event_type = '{step}' GROUP BY 1)"
-            )
-        else:
-            ctes.append(
-                f"t{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
-                f"JOIN {prev} p ON e.user_id = p.user_id AND e.ts > p.t "
-                f"WHERE e.event_type = '{step}' GROUP BY 1)"
-            )
-        prev = f"t{i}"
-    selects = " UNION ALL ".join(
-        f"SELECT {i}::BIGINT AS step, '{step}' AS step_name, "
-        f"(SELECT count(*)::BIGINT FROM t{i}) AS n_users"
-        for i, step in enumerate(steps, start=1)
-    )
-    return f"""
-    WITH {", ".join(ctes)},
-    c AS ({selects})
-    SELECT step, step_name, n_users,
-           round(CASE WHEN first_value(n_users) OVER w0 > 0 THEN
-               n_users::DOUBLE / first_value(n_users) OVER w0
-           END, 6) AS conv_from_first,
-           round(CASE WHEN lag(n_users) OVER w0 > 0 THEN
-               n_users::DOUBLE / lag(n_users) OVER w0
-           END, 6) AS conv_from_prev
-    FROM c WINDOW w0 AS (ORDER BY step) ORDER BY step
-    """
-
-
-@register("funnel_conversion", _funnel_oracle())
-def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view→click→purchase funnel with greedy-earliest step
-    times (the standard funnel witness — optimal for "did the ordered
-    sequence happen") — per step one type-filtered min-aggregate + one
-    user-keyed join against the previous step's time table; never a
-    window over the event stream."""
-    from es_ch_sync_spark.operators.analytics import funnel_conversion
-
-    return funnel_conversion(_t(spark, sf_dir, "events"), steps=_FUNNEL_STEPS)
-
-
 _RET_OFFSET = 14
 
 

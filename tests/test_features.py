@@ -572,29 +572,6 @@ def test_pass_at_k_closed_form(spark):
     assert out[4]["pass_at_k"] == 0.5
 
 
-def test_funnel_conversion_greedy_earliest(spark):
-    """Hand-built streams: user 1 completes view→click→purchase in
-    order; user 2 clicks BEFORE their first view (step-2 time must be
-    strictly after step-1's earliest, so their later click at t=30
-    counts); user 3 views only.  A purchase before the click never
-    counts."""
-    from es_ch_sync_spark.operators.analytics import funnel_conversion
-
-    rows = [
-        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
-        (2, "click", 5), (2, "view", 10), (2, "click", 30),
-        (2, "purchase", 20),             # before their qualifying click
-        (3, "view", 10),
-    ]
-    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
-    out = {r["step_name"]: r for r in funnel_conversion(df).collect()}
-    assert out["view"]["n_users"] == 3
-    assert out["click"]["n_users"] == 2      # users 1 and 2
-    assert out["purchase"]["n_users"] == 1   # only user 1
-    assert out["click"]["conv_from_first"] == round(2 / 3, 6)
-    assert out["purchase"]["conv_from_prev"] == 0.5
-
-
 def test_retention_cohorts_hand_computed(spark):
     """Two users signing up on day 0; one returns on day 1.  The
     (cohort, offset) matrix is exact."""

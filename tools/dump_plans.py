@@ -85,8 +85,7 @@ HEADLINE = [
     "corpus_stats_panel", "host_graph_panel", "lexical_concentration",
     "term_burstiness", "split_cross_entropy", "krippendorff_alpha_gates",
     "pass_at_k", "host_graph_stats", "edit_distance_pairs",
-    "pii_pattern_census", "dunning_llr_keywords", "funnel_conversion",
-    "retention_cohorts",
+    "pii_pattern_census", "dunning_llr_keywords", "retention_cohorts",
 ]
 
 MARKERS = [

@@ -71,8 +71,6 @@ CENSUS_WINDOW_WHITELIST: dict[str, str] = {
     # heaps growth-bucket cumsum (both constant-size; the corpus-sized
     # work all runs partitioned upstream of the checkpoints)
     "corpus_stats_panel": "zipf top-500 head + 10-row growth census",
-    # |steps|-row funnel census (first/lag over ≤3 rows)
-    "funnel_conversion": "3-row funnel-step census",
 }
 
 # Shared-pass FileScan budgets: executed plan must contain at most this

@@ -1410,6 +1410,26 @@ def _r10_sections(spark, docs, replicas, only):
             f"graph_global_stats x{replicas} (host graph, mining checkpointed out)",
             lambda: graph_global_stats(he).count(),
         )
+    if "r12c" in only:
+        from es_ch_sync_spark.operators.analytics import retention_cohorts
+
+        ev = docs.select(
+            (F.col("doc_id") % 10_000).alias("user_id"),
+            F.element_at(
+                F.array(
+                    F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("signup"), F.lit("error"),
+                ),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ).alias("event_type"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("doc_id") % 2_592_000
+            ).alias("ts"),
+        )
+        timed(
+            f"retention_cohorts x{replicas} (500k events, 30-day span)",
+            lambda: retention_cohorts(ev).count(),
+        )
     if "langreport" in only:
         from es_ch_sync_spark.operators.analytics import classification_report
         from es_ch_sync_spark.operators.text import lang_id
