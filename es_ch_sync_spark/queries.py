@@ -36,6 +36,17 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        # Duplicate names are a LOUD error (r12 lesson: a second
+        # `funnel_conversion` registration was silently overwritten by
+        # whichever module imported last, so the correctness gate was
+        # testing a different query than the author thought).  Module
+        # import caching makes every legitimate registration run once.
+        if name in _REGISTRY:
+            raise ValueError(
+                f"register({name!r}): name already registered — query names "
+                "are globally unique across all queries_*.py modules; pick "
+                "a distinct name"
+            )
         _REGISTRY[name] = (fn, oracle)
         return fn
 
