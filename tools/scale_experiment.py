@@ -877,8 +877,11 @@ def _r11_sections(spark, docs, replicas, only):
         from es_ch_sync_spark.operators.util import spread
 
         timed(
-            f"containment_pairs_prefix x{replicas} (threshold 0.5)",
-            lambda: containment_pairs_prefix(docs, threshold=0.5).count(),
+            f"containment_pairs_prefix x{replicas} (threshold 0.5, "
+            "positional filter, guard raised explicitly)",
+            lambda: containment_pairs_prefix(
+                docs, threshold=0.5, max_candidates=10**12
+            ).count(),
         )
 
         # candidate-count evidence: how many pairs the prefix front end
@@ -906,16 +909,21 @@ def _r11_sections(spark, docs, replicas, only):
                 F.col("doc_id").alias("_pid"),
                 F.col("tok").alias("_ptok"),
                 F.col("n").alias("_pn"),
+                F.col("rn").alias("_prn"),
             )
-            index = toks.select(
-                F.col("doc_id").alias("_fid"), "tok", F.col("n").alias("_fn")
+            index = ranked.select(
+                F.col("doc_id").alias("_fid"), "tok",
+                F.col("n").alias("_fn"), F.col("rn").alias("_frn"),
             )
+            om = F.ceil(F.lit(0.5) * F.col("_pn"))
             return (
                 probe.join(
                     index,
                     (F.col("_ptok") == F.col("tok"))
                     & (F.col("_pid") != F.col("_fid"))
-                    & (F.col("_fn") >= F.ceil(F.lit(0.5) * F.col("_pn"))),
+                    & (F.col("_fn") >= om)
+                    & (1 + F.least(F.col("_pn") - F.col("_prn"),
+                                   F.col("_fn") - F.col("_frn")) >= om),
                 )
                 .select(
                     F.least("_pid", "_fid").alias("id_a"),
@@ -1094,16 +1102,21 @@ def _r11_sections(spark, docs, replicas, only):
                 F.col("doc_id").alias("_pid"),
                 F.col("tok").alias("_ptok"),
                 F.col("n").alias("_pn"),
+                F.col("rn").alias("_prn"),
             )
-            index = toks.select(
-                F.col("doc_id").alias("_fid"), "tok", F.col("n").alias("_fn")
+            index = ranked.select(
+                F.col("doc_id").alias("_fid"), "tok",
+                F.col("n").alias("_fn"), F.col("rn").alias("_frn"),
             )
+            om = F.ceil(F.lit(0.5) * F.col("_pn"))
             return (
                 probe.join(
                     index,
                     (F.col("_ptok") == F.col("tok"))
                     & (F.col("_pid") != F.col("_fid"))
-                    & (F.col("_fn") >= F.ceil(F.lit(0.5) * F.col("_pn"))),
+                    & (F.col("_fn") >= om)
+                    & (1 + F.least(F.col("_pn") - F.col("_prn"),
+                                   F.col("_fn") - F.col("_frn")) >= om),
                 )
                 .select(
                     F.least("_pid", "_fid").alias("id_a"),
