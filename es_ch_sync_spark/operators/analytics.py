@@ -3158,3 +3158,760 @@ def gini_concentration(
             6,
         ).alias("gini"),
     )
+
+
+def cochran_q(df: DataFrame, *flag_cols: str) -> DataFrame:
+    """Cochran's Q test [Cochran 1950] — do k ≥ 3 paired binary raters
+    (quality gates applied to the SAME items) pass items at the same
+    rate?  The k-sample generalization of :func:`mcnemar_test` (Q with
+    k = 2 reduces to McNemar's χ² without continuity correction): the
+    gate-family marginal-homogeneity check a pipeline runs before
+    treating its subrules as interchangeable.  With column totals
+    C_j = Σ_i x_ij, row totals R_i = Σ_j x_ij, and T = ΣC_j = ΣR_i:
+
+        Q = (k−1) · (k·ΣC_j² − T²) / (k·T − ΣR_i²),  df = k−1
+
+    Q is asymptotically χ²(k−1) under H₀ (equal marginal pass rates).
+    NULL when the denominator is 0 — every item has all-equal flags, so
+    there is no within-item variation and the test is undefined, not 0.
+
+    Exactness: all moments are exact integers (squares ride
+    DECIMAL(38,0) against BIGINT overflow at 100 TB item counts); Q is
+    one float division.  Scale: one map-only projection → ONE hash
+    aggregate; nothing downstream grows with the data."""
+    k = len(flag_cols)
+    if k < 2:
+        raise ValueError("cochran_q needs at least 2 flag columns")
+    d38 = "decimal(38,0)"
+    flags = [F.col(c).cast("boolean").cast("long") for c in flag_cols]
+    row_sum = flags[0]
+    for fl in flags[1:]:
+        row_sum = row_sum + fl
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(row_sum).cast("long").alias("_t"),
+        F.sum(row_sum.cast(d38) * row_sum.cast(d38)).cast(d38).alias("_sr2"),
+    ]
+    for i, fl in enumerate(flags):
+        aggs.append(F.sum(fl).cast("long").alias(f"_c{i}"))
+    g = df.agg(*aggs)
+    kq = F.lit(k).cast(d38)
+    sum_c2 = F.col("_c0").cast(d38) * F.col("_c0").cast(d38)
+    for i in range(1, k):
+        sum_c2 = sum_c2 + F.col(f"_c{i}").cast(d38) * F.col(f"_c{i}").cast(d38)
+    t38 = F.col("_t").cast(d38)
+    num = (kq - 1) * (kq * sum_c2 - t38 * t38)
+    den = kq * t38 - F.col("_sr2")
+    q = F.when(den > 0, num.cast("double") / den.cast("double"))
+    return g.select(
+        "n_items",
+        F.lit(k).cast("long").alias("n_raters"),
+        F.col("_t").alias("total_passes"),
+        F.round(q, 6).alias("q_stat"),
+        F.lit(k - 1).cast("long").alias("df_q"),
+    )
+
+
+def nmi_vmeasure(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    id_col: str,
+    label_a_col: str = "label_a",
+    label_b_col: str = "label_b",
+) -> DataFrame:
+    """Normalized mutual information / V-measure family [Rosenberg &
+    Hirschberg 2007] between two partitions of the same item set — the
+    information-theoretic companion to :func:`adjusted_rand_index` on
+    the SAME audit (exact-hash groups vs LSH components): ARI counts
+    pair agreements; NMI asks how much knowing one partition tells you
+    about the other, which stays informative when cluster sizes are
+    wildly skewed (a giant component swamps pair counts but not
+    entropy).  With contingency n_ij, marginals a_i / b_j, total n:
+
+        MI   = Σ_ij (n_ij/n)·ln(n·n_ij/(a_i·b_j))
+        homogeneity  = MI / H(A),  completeness = MI / H(B)
+        v_measure    = 2·MI / (H(A) + H(B))   (= NMI, arithmetic mean)
+
+    Exactness: every ln is micro-quantized to BIGINT BEFORE any sum
+    (the entropy_rate_bigram contract), so each Σ term is an exact
+    integer in DECIMAL(38,0); the common n·1e6 factor cancels in every
+    ratio, which is then ONE float division.  NULL readouts when the
+    relevant entropy is 0 (a single-cluster partition — undefined, not
+    1: the ARI degenerate-case posture).
+
+    Scale: one id-keyed join of the two label tables → one (a, b)
+    contingency census → two marginal censuses; all term sums are
+    census-sized, marginals broadcast back onto the census."""
+    d38 = "decimal(38,0)"
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
+    j = labels_a.select(
+        F.col(id_col), F.col(label_a_col).alias("_la")
+    ).join(
+        labels_b.select(F.col(id_col), F.col(label_b_col).alias("_lb")),
+        id_col,
+    )
+    nij = j.groupBy("_la", "_lb").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ca = nij.groupBy("_la").agg(F.sum("_n").cast("long").alias("_a"))
+    cb = nij.groupBy("_lb").agg(F.sum("_n").cast("long").alias("_b"))
+    tot = nij.agg(F.sum("_n").cast("long").alias("n_items"))
+    mi = (
+        nij.join(ca, "_la")
+        .join(cb, "_lb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("_n").cast(d38)
+                * (
+                    lnm(F.col("n_items")) + lnm(F.col("_n"))
+                    - lnm(F.col("_a")) - lnm(F.col("_b"))
+                ).cast(d38)
+            ).alias("_t")
+        )
+        .agg(F.sum("_t").cast(d38).alias("_smi"))
+    )
+    ha = (
+        ca.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("_a").cast(d38)
+                * (lnm(F.col("n_items")) - lnm(F.col("_a"))).cast(d38)
+            ).alias("_t")
+        )
+        .agg(F.sum("_t").cast(d38).alias("_sha"))
+    )
+    hb = (
+        cb.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("_b").cast(d38)
+                * (lnm(F.col("n_items")) - lnm(F.col("_b"))).cast(d38)
+            ).alias("_t")
+        )
+        .agg(F.sum("_t").cast(d38).alias("_shb"))
+    )
+    g = (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+    )
+    nd = F.col("n_items").cast("double") * 1000000.0
+    smi, sha, shb = (F.col(c).cast("double") for c in ("_smi", "_sha", "_shb"))
+    return g.select(
+        "n_items",
+        F.round(smi / nd, 6).alias("mi_nats"),
+        F.round(sha / nd, 6).alias("h_a_nats"),
+        F.round(shb / nd, 6).alias("h_b_nats"),
+        F.round(F.when(sha > 0, smi / sha), 6).alias("homogeneity"),
+        F.round(F.when(shb > 0, smi / shb), 6).alias("completeness"),
+        F.round(F.when(sha + shb > 0, 2.0 * smi / (sha + shb)), 6).alias(
+            "v_measure"
+        ),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    pair_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test [Wilcoxon 1945] — the PAIRED
+    nonparametric location test, completing the A/B rank-test family:
+    ab_mann_whitney compares two independent pools; this compares two
+    arms WITHIN each pairing unit (here: each unit's per-arm value
+    totals), which cancels between-unit variance exactly the way CUPED
+    cancels pre-period variance for the t-test.  Zero differences are
+    dropped (the standard Wilcoxon reduction); |d| ties get averaged
+    ranks.
+
+    Integer discipline: values micro-quantize to BIGINT per row, so the
+    per-(unit, arm) sums and every difference d are exact integers;
+    tie-averaged ranks of |d| ride as integer DOUBLE-RANKS over the
+    bounded distinct-|d| census (the ab_mann_whitney posture — units
+    are never individually sorted), making 2·W⁺ and the tie term
+    Σ(t³−t) exact BIGINTs.  z (tie-corrected normal approximation,
+    var = n(n+1)(2n+1)/24 − Σ(t³−t)/48) and the matched-pairs
+    rank-biserial effect size r = 4·W⁺/(n(n+1)) − 1 are single float
+    expressions.  Zero rows when no unit has both arms; z NULL when
+    the variance degenerates (all |d| tied at one value)."""
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    per = (
+        df.filter(
+            F.col(arm_col).isin(arm_a, arm_b)
+            & F.col(pair_col).isNotNull()
+        )
+        .select(F.col(pair_col).alias("_u"), F.col(arm_col).alias("_arm"), vm.alias("_v"))
+        .groupBy("_u")
+        .agg(
+            F.sum(F.when(F.col("_arm") == arm_a, F.col("_v"))).alias("_sa"),
+            F.sum(F.when(F.col("_arm") == arm_b, F.col("_v"))).alias("_sb"),
+        )
+        .filter(F.col("_sa").isNotNull() & F.col("_sb").isNotNull())
+        .select((F.col("_sa") - F.col("_sb")).alias("_d"))
+        .filter(F.col("_d") != 0)
+    )
+    pv = per.groupBy(F.abs(F.col("_d")).alias("_ad")).agg(
+        F.sum((F.col("_d") > 0).cast("long")).alias("_np"),
+        F.count(F.lit(1)).cast("long").alias("_t"),
+    )
+    wv = W.orderBy("_ad").rowsBetween(W.unboundedPreceding, -1)
+    ranked = pv.select(
+        "_np",
+        "_t",
+        F.coalesce(F.sum("_t").over(wv), F.lit(0)).alias("_cum_below"),
+    )
+    g = ranked.agg(
+        F.sum("_t").cast("long").alias("n_pairs"),
+        F.sum(
+            F.col("_np") * (2 * F.col("_cum_below") + F.col("_t") + 1)
+        ).cast("long").alias("_w2p"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("long")
+        .alias("_tie3"),
+    ).filter(F.col("n_pairs") > 0)
+    n = F.col("n_pairs").cast("double")
+    w_plus = F.col("_w2p").cast("double") / 2.0
+    mu = n * (n + 1.0) / 4.0
+    var = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col("_tie3").cast(
+        "double"
+    ) / 48.0
+    z = F.when(var > 0, (w_plus - mu) / F.sqrt(var))
+    return g.select(
+        "n_pairs",
+        F.round(w_plus, 1).alias("w_plus"),
+        F.round(z, 6).alias("z_score"),
+        F.round(4.0 * w_plus / (n * (n + 1.0)) - 1.0, 6).alias("rank_biserial"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H test [Kruskal & Wallis 1952] — the k-group
+    generalization of :func:`ab_mann_whitney`: do k ≥ 2 arms draw from
+    the same value distribution?  With pooled tie-averaged ranks R and
+    per-group rank sums R_g:
+
+        H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+        H_corr = H / (1 − Σ(t³−t)/(N³−N))      (tie correction)
+
+    Integer discipline: values micro-quantize to longs; tie-averaged
+    pooled ranks ride as integer DOUBLE-RANKS over the bounded
+    distinct-value census, so every per-group rank sum R2_g = 2·ΣR_g
+    and the tie term are exact BIGINTs.  The per-group float term
+    R2_g²/(4·n_g) is micro-quantized to DECIMAL(38,0) BEFORE the final
+    sum (the chi2_independence contract) — bit-identical cross-engine
+    regardless of group iteration order.  H_corr NULL when every value
+    is tied (correction factor 0).
+
+    Scale: rows are never individually ranked — one hash aggregate to
+    the (value, group) census, one window over the per-value census,
+    then everything is census-sized."""
+    d38 = "decimal(38,0)"
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    pool = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), vm.alias("_v"))
+    pv = pool.groupBy("_v", "_g").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    tv = pv.groupBy("_v").agg(F.sum("_c").cast("long").alias("_t"))
+    wv = W.orderBy("_v").rowsBetween(W.unboundedPreceding, -1)
+    ranked_v = tv.select(
+        "_v", "_t",
+        F.coalesce(F.sum("_t").over(wv), F.lit(0)).alias("_cum_below"),
+    )
+    per_g = (
+        pv.join(ranked_v, "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").cast("long").alias("_ng"),
+            F.sum(F.col("_c") * (2 * F.col("_cum_below") + F.col("_t") + 1))
+            .cast("long")
+            .alias("_r2g"),
+        )
+    )
+    term_m = F.round(
+        F.col("_r2g").cast("double")
+        * F.col("_r2g").cast("double")
+        / (4.0 * F.col("_ng").cast("double"))
+        * F.lit(1000000.0),
+        0,
+    ).cast(d38)
+    g = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("_ng").cast("long").alias("n_total"),
+        F.sum(term_m).cast(d38).alias("_s_m"),
+    ).filter(F.col("n_total") > 0)
+    ties = tv.agg(
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("long")
+        .alias("_tie3")
+    )
+    j = g.crossJoin(F.broadcast(ties))
+    n = F.col("n_total").cast("double")
+    s = F.col("_s_m").cast("double") / 1000000.0
+    h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    corr = F.lit(1.0) - F.col("_tie3").cast("double") / (n * n * n - n)
+    return j.select(
+        "n_groups",
+        "n_total",
+        F.round(h, 6).alias("h_stat"),
+        (F.col("n_groups") - 1).cast("long").alias("df_h"),
+        F.round(F.when((n > 1) & (corr > 0), h / corr), 6).alias("h_corrected"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown-Forsythe test [Brown & Forsythe 1974] — Levene's variance-
+    homogeneity test with MEDIAN centers: are the k groups' spreads
+    equal?  The check a pipeline runs before trusting a pooled-variance
+    readout (ab_welch_report sidesteps it per-pair; this audits the
+    whole panel).  One-way ANOVA F on the absolute deviations
+    z_ij = |x_ij − med_j|:
+
+        W = (N−k)/(k−1) · Σ_g n_g(z̄_g − z̄)² / Σ_gi (z_gi − z̄_g)²
+
+    Median contract: the LOWER median (smallest value with
+    2·cum_count ≥ n_g), decided on the per-group value census in exact
+    integers — portable across engines, unlike interpolating medians
+    whose even-count averages reintroduce float ties.  Deviations are
+    exact BIGINTs; the per-group float term sz_g²/n_g is
+    micro-quantized to DECIMAL(38,0) before its sum (the
+    chi2_independence contract); W is one float expression.  NULL when
+    the within-group sum of squares degenerates (all deviations equal).
+
+    Scale: two passes over the (group, value) census (median pick +
+    deviation moments), both census-sized; rows are touched once by
+    the census aggregate."""
+    d38 = "decimal(38,0)"
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    pool = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), vm.alias("_v"))
+    gv = pool.groupBy("_g", "_v").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    wg = W.partitionBy("_g").orderBy("_v").rowsBetween(W.unboundedPreceding, 0)
+    cum = gv.select(
+        "_g", "_v", "_c", F.sum("_c").over(wg).alias("_cum")
+    )
+    ng = gv.groupBy("_g").agg(F.sum("_c").cast("long").alias("_ng"))
+    med = (
+        cum.join(ng, "_g")
+        .filter(2 * F.col("_cum") >= F.col("_ng"))
+        .groupBy("_g")
+        .agg(F.min("_v").alias("_med"))
+    )
+    z = (
+        gv.join(med, "_g")
+        .select(
+            "_g",
+            "_c",
+            F.abs(F.col("_v") - F.col("_med")).alias("_z"),
+        )
+    )
+    per_g = z.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("_ng"),
+        F.sum(F.col("_c") * F.col("_z")).cast("long").alias("_sz"),
+        F.sum(F.col("_c").cast(d38) * F.col("_z").cast(d38) * F.col("_z").cast(d38))
+        .cast(d38)
+        .alias("_szz"),
+    )
+    term_m = F.round(
+        F.col("_sz").cast("double")
+        * F.col("_sz").cast("double")
+        / F.col("_ng").cast("double")
+        * F.lit(1000000.0),
+        0,
+    ).cast(d38)
+    g = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("_ng").cast("long").alias("n_total"),
+        F.sum("_sz").cast("long").alias("_s_z"),
+        F.sum("_szz").cast(d38).alias("_s_zz"),
+        F.sum(term_m).cast(d38).alias("_s_t1m"),
+    ).filter((F.col("n_groups") > 1) & (F.col("n_total") > F.col("n_groups")))
+    n = F.col("n_total").cast("double")
+    k = F.col("n_groups").cast("double")
+    t1 = F.col("_s_t1m").cast("double") / 1000000.0
+    ssb = t1 - F.col("_s_z").cast("double") * F.col("_s_z").cast("double") / n
+    ssw = F.col("_s_zz").cast("double") - t1
+    w_stat = F.when(ssw > 0, (n - k) / (k - 1.0) * ssb / ssw)
+    return g.select(
+        "n_groups",
+        "n_total",
+        F.round(w_stat, 6).alias("w_stat"),
+        (F.col("n_groups") - 1).cast("long").alias("df1"),
+        (F.col("n_total") - F.col("n_groups")).cast("long").alias("df2"),
+    )
+
+
+def theil_sen(
+    daily: DataFrame,
+    group_col: str,
+    day_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen slope estimator [Theil 1950; Sen 1968] per group — the
+    robust trend line next to linreg_trend (least squares: one outlier
+    day owns the slope) and mann_kendall_trend (direction only, no
+    magnitude): the MEDIAN of all pairwise slopes tolerates up to ~29%
+    corrupted days.
+
+    Median contract: the LOWER median (the value at 1-based position
+    ⌈n/2⌉ in slope order) — the brown_forsythe posture: no
+    interpolating average of two slopes crosses the engine boundary.
+    Each pairwise slope (y_b−y_a)/Δdays is ONE IEEE division of exact
+    BIGINTs, so both engines rank identical doubles.
+
+    Scale: the day census is bounded by the calendar (×groups), so the
+    O(days²) pair join is census-sized BY CONSTRUCTION — the same
+    bound the acf_lags/seasonal family rides; the median window is
+    PARTITIONED by group."""
+    d = daily.select(
+        F.col(group_col).alias("_g"),
+        F.col(day_col).alias("_day"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    b = d.select(
+        F.col("_g"), F.col("_day").alias("_db"), F.col("_y").alias("_yb")
+    )
+    pairs = d.join(b, "_g").filter(F.col("_db") > F.col("_day")).select(
+        "_g",
+        (
+            (F.col("_yb") - F.col("_y")).cast("double")
+            / F.datediff(F.col("_db"), F.col("_day")).cast("double")
+        ).alias("_slope"),
+    )
+    wg = W.partitionBy("_g").orderBy("_slope")
+    ranked = pairs.select(
+        "_g", "_slope", F.row_number().over(wg).alias("_i")
+    )
+    cnt = pairs.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    days = d.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    med = (
+        ranked.join(cnt, "_g")
+        .filter(F.col("_i") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("_g", "n_pairs", F.col("_slope").alias("sen_slope"))
+    )
+    return (
+        med.join(days, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_days",
+            "n_pairs",
+            F.round("sen_slope", 6).alias("sen_slope"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def effect_sizes_ab(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Standardized effect sizes for a two-arm comparison — the
+    magnitude readouts that belong NEXT TO every significance test in
+    the A/B family (ab_welch_report says "is it real", these say "is
+    it big"): Cohen's d (pooled-SD units), Hedges' g (d with the
+    small-sample bias correction J = 1 − 3/(4N−9) [Hedges 1981]), and
+    Glass's Δ (control-SD units — the right scale when the treatment
+    also moves the variance, exactly the case brown_forsythe flags).
+
+    Exactness: values micro-quantize to BIGINT, so each arm's n / Σv /
+    Σv² are exact integers (squares in DECIMAL(38,0)); every effect
+    size is a single float expression over the six moments — the
+    micro scale cancels in each ratio.  NULLs when the relevant SD
+    degenerates (n < 2 or zero variance)."""
+    d38 = "decimal(38,0)"
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    pool = df.filter(F.col(group_col).isin(arm_a, arm_b)).select(
+        F.col(group_col).alias("_arm"), vm.alias("_v")
+    )
+    per = pool.groupBy("_arm").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_v").cast("long").alias("_s"),
+        F.sum(F.col("_v").cast(d38) * F.col("_v").cast(d38)).cast(d38).alias("_ss"),
+    )
+    a = per.filter(F.col("_arm") == arm_a).select(
+        F.col("_n").alias("n_a"), F.col("_s").alias("_sa"), F.col("_ss").alias("_ssa")
+    )
+    b = per.filter(F.col("_arm") == arm_b).select(
+        F.col("_n").alias("n_b"), F.col("_s").alias("_sb"), F.col("_ss").alias("_ssb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("_sa").cast("double") / na
+    mb = F.col("_sb").cast("double") / nb
+    # sum of squared deviations: Σv² − (Σv)²/n, exact moments in, float out
+    ssd_a = F.col("_ssa").cast("double") - F.col("_sa").cast("double") * F.col(
+        "_sa"
+    ).cast("double") / na
+    ssd_b = F.col("_ssb").cast("double") - F.col("_sb").cast("double") * F.col(
+        "_sb"
+    ).cast("double") / nb
+    sp = F.sqrt((ssd_a + ssd_b) / (na + nb - 2.0))
+    sd_b = F.sqrt(ssd_b / (nb - 1.0))
+    d = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (ssd_a + ssd_b > 0),
+        (ma - mb) / sp,
+    )
+    jcorr = 1.0 - 3.0 / (4.0 * (na + nb) - 9.0)
+    glass = F.when((F.col("n_b") > 1) & (ssd_b > 0), (ma - mb) / sd_b)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("cohen_d"),
+        F.round(d * jcorr, 6).alias("hedges_g"),
+        F.round(glass, 6).alias("glass_delta"),
+    )
+
+
+def jackknife_group_means(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Leave-one-group-out (delete-a-group jackknife [Quenouille 1956;
+    Tukey 1958]) means — the influence audit for a grouped corpus: how
+    much does each source move the global mean of a metric?  The
+    curation question behind source capping ("which source is pulling
+    quality down") answered without recomputation: with global (N, S)
+    and per-group (n_g, s_g),
+
+        loo_mean_g  = (S − s_g) / (N − n_g)
+        influence_g = mean − loo_mean_g   (positive: g pulls the mean UP)
+
+    Exactness: values micro-quantize to BIGINT so all four moments are
+    exact integers; each readout is one float expression (the micro
+    factor cancels nowhere — means divide back by 1e6 once).  NULL
+    loo_mean for a group that IS the whole corpus.
+
+    Scale: one hash aggregate to the per-group moments (census-sized),
+    global totals aggregated FROM the census and broadcast back — the
+    corpus is scanned exactly once."""
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    per = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), vm.alias("_v"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_v").cast("long").alias("_s"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_rows").cast("long").alias("_nn"),
+        F.sum("_s").cast("long").alias("_ss"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    mean_all = F.col("_ss").cast("double") / F.col("_nn").cast("double") / 1e6
+    loo = F.when(
+        F.col("_nn") > F.col("n_rows"),
+        (F.col("_ss") - F.col("_s")).cast("double")
+        / (F.col("_nn") - F.col("n_rows")).cast("double")
+        / 1e6,
+    )
+    return j.select(
+        F.col("_g").alias(group_col),
+        "n_rows",
+        F.round(loo, 6).alias("loo_mean"),
+        F.round(mean_all - loo, 6).alias("influence"),
+    ).orderBy(group_col)
+
+
+def runs_test(
+    daily: DataFrame, group_col: str, day_col: str, y_col: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test [Wald & Wolfowitz 1940] on the
+    up/down-move sequence of each group's daily series — the
+    randomness check completing the trend family: mann_kendall asks
+    "is there a monotone trend", this asks "is the sequence of moves
+    random at all" (too FEW runs: momentum/regimes; too MANY:
+    oscillation), catching the alternating pattern a trend test reads
+    as flat.  Zero moves are dropped (the standard reduction); with
+    n₊ up-moves, n₋ down-moves, R runs:
+
+        μ_R = 2n₊n₋/n + 1,
+        σ²_R = 2n₊n₋(2n₊n₋ − n)/(n²(n−1)),   z = (R − μ_R)/σ_R
+
+    All counts exact integers; z one float expression, NULL when the
+    variance degenerates (all moves one direction).
+
+    Scale: two lag windows PARTITIONED by group over the
+    calendar-bounded day census (the acf_lags bound); the second runs
+    over the zero-filtered move sequence so both engines see the same
+    adjacency."""
+    wd = W.partitionBy("_g").orderBy("_day")
+    d = daily.select(
+        F.col(group_col).alias("_g"),
+        F.col(day_col).alias("_day"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    moves = (
+        d.select(
+            "_g", "_day",
+            (F.col("_y") - F.lag("_y").over(wd)).alias("_diff"),
+        )
+        .filter(F.col("_diff").isNotNull() & (F.col("_diff") != 0))
+        .select("_g", "_day", F.signum("_diff").cast("long").alias("_s"))
+    )
+    seq = moves.select(
+        "_g", "_s", F.lag("_s").over(W.partitionBy("_g").orderBy("_day")).alias("_prev")
+    )
+    g = seq.groupBy("_g").agg(
+        F.sum((F.col("_s") == 1).cast("long")).cast("long").alias("n_up"),
+        F.sum((F.col("_s") == -1).cast("long")).cast("long").alias("n_down"),
+        F.sum(
+            (F.col("_prev").isNull() | (F.col("_s") != F.col("_prev"))).cast("long")
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    n1, n2 = F.col("n_up").cast("double"), F.col("n_down").cast("double")
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1.0
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    z = F.when((n > 1) & (var > 0), (F.col("n_runs").cast("double") - mu) / F.sqrt(var))
+    return g.select(
+        F.col("_g").alias(group_col),
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(z, 6).alias("z_score"),
+    ).orderBy(group_col)
+
+
+# Gumbel method-of-moments constants: sqrt(6)/pi and the Euler-Mascheroni
+# gamma, as SHARED double literals (the oracle embeds the same digits —
+# both engines multiply identical doubles).
+GUMBEL_SQRT6_OVER_PI = 0.7796968012336793
+EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_block_maxima(
+    daily: DataFrame,
+    group_col: str,
+    day_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Gumbel (EV-I) fit to WEEKLY block maxima of each group's daily
+    series by the method of moments [Gumbel 1958]: β = s·√6/π,
+    μ = m̄ − γ·β — the capacity-planning readout ("what daily peak
+    should next quarter expect") that a mean/percentile summary
+    structurally understates, since extremes follow their own
+    distribution by Fisher-Tippett.
+
+    Exactness: block maxima of integer counts are exact BIGINTs off
+    one (group, week) MAX aggregate; n/Σm/Σm² are exact (squares in
+    DECIMAL(38,0)); β and μ are single float expressions over them
+    with the two constants embedded as shared double literals.  NULL
+    when fewer than 2 blocks or zero variance.
+
+    Scale: the week census is calendar-bounded × groups; both
+    aggregates are census-sized after the one pass over daily rows."""
+    d38 = "decimal(38,0)"
+    blocks = (
+        daily.select(
+            F.col(group_col).alias("_g"),
+            F.date_trunc("week", F.col(day_col)).cast("date").alias("_wk"),
+            F.col(y_col).cast("long").alias("_y"),
+        )
+        .groupBy("_g", "_wk")
+        .agg(F.max("_y").alias("_m"))
+    )
+    g = blocks.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("_m").cast("long").alias("_s"),
+        F.sum(F.col("_m").cast(d38) * F.col("_m").cast(d38)).cast(d38).alias("_ss"),
+    )
+    n = F.col("n_blocks").cast("double")
+    mean = F.col("_s").cast("double") / n
+    ssd = F.col("_ss").cast("double") - F.col("_s").cast("double") * F.col(
+        "_s"
+    ).cast("double") / n
+    ok = (F.col("n_blocks") > 1) & (ssd > 0)
+    beta = F.sqrt(ssd / (n - 1.0)) * F.lit(GUMBEL_SQRT6_OVER_PI)
+    return g.select(
+        F.col("_g").alias(group_col),
+        "n_blocks",
+        F.round(mean, 6).alias("max_mean"),
+        F.round(F.when(ok, beta), 6).alias("gumbel_beta"),
+        F.round(F.when(ok, mean - F.lit(EULER_GAMMA) * beta), 6).alias("gumbel_mu"),
+    ).orderBy(group_col)
+
+
+def paired_permutation_test(
+    df: DataFrame,
+    pair_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a: str,
+    arm_b: str,
+    replicates: int = 200,
+    seed: str = "perm",
+) -> DataFrame:
+    """Paired sign-flip permutation test [Fisher 1935] on per-unit arm
+    differences — the assumption-free companion to
+    :func:`wilcoxon_signed_rank` (same pairing, no rank approximation,
+    no normal-z): under H₀ each unit's difference is symmetric around
+    0, so flipping signs at random regenerates the null; the p-value
+    is the fraction of B deterministic sign-flip replicates whose
+    |Σ ±d| reaches the observed |Σ d|, with the +1/(B+1) add-one
+    correction that keeps it a valid test.
+
+    Determinism: flips come from the md5 hash56 family (seed:b:unit) —
+    the poisson_bootstrap_means contract — so the DuckDB oracle
+    replays every replicate exactly; differences are exact micro-BIGINTs
+    and every replicate sum is an exact integer.
+
+    Scale: units × B rows explode MAP-SIDE and partial-aggregate to B
+    rows per partition before the one B-row shuffle (the bootstrap
+    shape — no resampled copy of the data ever materializes)."""
+    from es_ch_sync_spark.operators.sketches import hash56
+
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    per = (
+        df.filter(F.col(arm_col).isin(arm_a, arm_b) & F.col(pair_col).isNotNull())
+        .select(F.col(pair_col).alias("_u"), F.col(arm_col).alias("_arm"), vm.alias("_v"))
+        .groupBy("_u")
+        .agg(
+            F.sum(F.when(F.col("_arm") == arm_a, F.col("_v"))).alias("_sa"),
+            F.sum(F.when(F.col("_arm") == arm_b, F.col("_v"))).alias("_sb"),
+        )
+        .filter(F.col("_sa").isNotNull() & F.col("_sb").isNotNull())
+        .select("_u", (F.col("_sa") - F.col("_sb")).alias("_d"))
+        .filter(F.col("_d") != 0)
+    )
+    obs = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_d").cast("long").alias("_t_obs"),
+    ).filter(F.col("n_pairs") > 0)
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("_b")
+    flip = (hash56(F.col("_b"), F.col("_u"), seed=seed) % 2 == 0).cast("long")
+    reps = (
+        per.select("_u", "_d", b)
+        .select("_b", ((2 * flip - 1) * F.col("_d")).alias("_fd"))
+        .groupBy("_b")
+        .agg(F.sum("_fd").cast("long").alias("_t"))
+    )
+    hits = reps.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            (F.abs(F.col("_t")) >= F.abs(F.col("_t_obs"))).cast("long")
+        )
+        .cast("long")
+        .alias("_ge")
+    )
+    out = obs.crossJoin(F.broadcast(hits))
+    return out.select(
+        "n_pairs",
+        F.lit(replicates).cast("long").alias("b_replicates"),
+        F.round(F.col("_t_obs").cast("double") / 1e6, 6).alias("t_obs"),
+        F.round(
+            (1.0 + F.col("_ge").cast("double"))
+            / (F.lit(float(replicates)) + 1.0),
+            6,
+        ).alias("p_value"),
+    )

@@ -571,3 +571,56 @@ def graph_global_stats(
             6,
         ).alias("assortativity"),
     )
+
+
+def degree_powerlaw(
+    edges: DataFrame, xmins: tuple[int, ...] = (1, 2, 4)
+) -> DataFrame:
+    """Discrete power-law exponent of the degree distribution via the
+    Clauset-Shalizi-Newman discrete MLE approximation [Clauset et al.
+    2009, eq. 3.7] at several tail cutoffs:
+
+        α(xmin) = 1 + n / Σ_{d ≥ xmin} ln( d / (xmin − ½) )
+
+    α stable across xmin says the tail is genuinely power-law (the
+    scale-free-graph readout next to graph_global_stats' moments); α
+    drifting says it is not, and a hub-capping policy needs a knob,
+    not a law.  Expects the symmetric directed edge list the host
+    mirror-graph family shares (each undirected edge present in both
+    directions), so out-degree = degree.
+
+    Exactness: ln(d/(xmin−½)) = ln(2d) − ln(2·xmin−1) with each ln
+    micro-quantized to BIGINT before the census-weighted sum (the
+    entropy_rate_bigram contract); α is ONE float division per xmin.
+    NULL when the tail is empty.
+
+    Scale: one degree hash-agg over the edges → one degree CENSUS
+    (distinct degree values, ≪ nodes); the per-xmin sums are a
+    census × |xmins| broadcast join."""
+    d38 = "decimal(38,0)"
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    census = deg.groupBy("_d").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    xm = edges.sparkSession.createDataFrame(
+        [(int(x),) for x in xmins], "xmin long"
+    )
+    j = census.crossJoin(F.broadcast(xm)).filter(F.col("_d") >= F.col("xmin"))
+    per = j.groupBy("xmin").agg(
+        F.sum("_c").cast("long").alias("n_tail"),
+        F.sum(
+            F.col("_c").cast(d38)
+            * (lnm(2 * F.col("_d")) - lnm(2 * F.col("xmin") - 1)).cast(d38)
+        )
+        .cast(d38)
+        .alias("_s"),
+    )
+    alpha = F.when(
+        (F.col("n_tail") > 0) & (F.col("_s") > 0),
+        1.0
+        + F.col("n_tail").cast("double")
+        * 1000000.0
+        / F.col("_s").cast("double"),
+    )
+    return per.select(
+        "xmin", "n_tail", F.round(alpha, 6).alias("alpha")
+    ).orderBy("xmin")

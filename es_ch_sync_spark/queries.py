@@ -907,6 +907,93 @@ def q_dedup_ari_exact_vs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adjusted_rand_index(la, lb, "doc_id")
 
 
+@register(
+    "nmi_exact_vs_lsh",
+    f"""
+    WITH comp AS ({oracles.dedup_clusters_sql(threshold=0.5)}),
+    la AS (
+        SELECT doc_id, md5({oracles.NORM.format(col='text')}) AS label_a
+        FROM documents
+    ),
+    lb AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id)::VARCHAR AS label_b
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    j AS MATERIALIZED (
+        SELECT label_a, label_b, count(*)::BIGINT AS n
+        FROM la JOIN lb USING (doc_id) GROUP BY 1, 2
+    ),
+    ca AS MATERIALIZED (SELECT label_a, sum(n)::BIGINT AS a FROM j GROUP BY 1),
+    cb AS MATERIALIZED (SELECT label_b, sum(n)::BIGINT AS b FROM j GROUP BY 1),
+    tot AS (SELECT sum(n)::BIGINT AS n_items FROM j),
+    mi AS (
+        SELECT sum(j.n::HUGEINT
+                   * (CAST(round(ln(tot.n_items) * 1000000) AS BIGINT)
+                      + CAST(round(ln(j.n) * 1000000) AS BIGINT)
+                      - CAST(round(ln(ca.a) * 1000000) AS BIGINT)
+                      - CAST(round(ln(cb.b) * 1000000) AS BIGINT))::HUGEINT
+               )::HUGEINT AS smi
+        FROM j JOIN ca USING (label_a) JOIN cb USING (label_b), tot
+    ),
+    ha AS (
+        SELECT sum(a::HUGEINT
+                   * (CAST(round(ln(tot.n_items) * 1000000) AS BIGINT)
+                      - CAST(round(ln(a) * 1000000) AS BIGINT))::HUGEINT
+               )::HUGEINT AS sha
+        FROM ca, tot
+    ),
+    hb AS (
+        SELECT sum(b::HUGEINT
+                   * (CAST(round(ln(tot.n_items) * 1000000) AS BIGINT)
+                      - CAST(round(ln(b) * 1000000) AS BIGINT))::HUGEINT
+               )::HUGEINT AS shb
+        FROM cb, tot
+    )
+    SELECT n_items,
+           round(smi::DOUBLE / (n_items::DOUBLE * 1000000.0), 6) AS mi_nats,
+           round(sha::DOUBLE / (n_items::DOUBLE * 1000000.0), 6) AS h_a_nats,
+           round(shb::DOUBLE / (n_items::DOUBLE * 1000000.0), 6) AS h_b_nats,
+           round(CASE WHEN sha > 0 THEN smi::DOUBLE / sha::DOUBLE END, 6)
+               AS homogeneity,
+           round(CASE WHEN shb > 0 THEN smi::DOUBLE / shb::DOUBLE END, 6)
+               AS completeness,
+           round(CASE WHEN sha + shb > 0
+                 THEN 2.0 * smi::DOUBLE / (sha + shb)::DOUBLE END, 6)
+               AS v_measure
+    FROM tot, mi, ha, hb
+    """,
+)
+def q_nmi_exact_vs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information / homogeneity / completeness /
+    V-measure between the exact-hash duplicate partition and the
+    minhash-LSH component partition — the entropy-based companion to
+    dedup_ari_exact_vs_lsh on the SAME contingency shape: ARI's pair
+    counts are swamped by a giant component, the information-theoretic
+    readouts are not.  Micro-quantized ln per census row; every sum an
+    exact DECIMAL(38,0); each readout one float division."""
+    from es_ch_sync_spark.operators.analytics import nmi_vmeasure
+    from es_ch_sync_spark.operators.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    la = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("label_a")
+    )
+    comp = dd.connected_components(
+        dd.minhash_near_duplicates(docs, threshold=0.5)
+    )
+    lb = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            .cast("string")
+            .alias("label_b"),
+        )
+    )
+    return nmi_vmeasure(la, lb, "doc_id")
+
+
 @register("dedup_incremental", oracles.minhash_incremental_sql(threshold=0.5, new_mod=10))
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: the 10% "new batch" (doc_id % 10 = 0)

@@ -1240,6 +1240,104 @@ def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "nmi_lang_source",
+    """
+    WITH j AS MATERIALIZED (
+        SELECT lang AS label_a, source AS label_b, count(*)::BIGINT AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    ca AS MATERIALIZED (SELECT label_a, sum(n)::BIGINT AS a FROM j GROUP BY 1),
+    cb AS MATERIALIZED (SELECT label_b, sum(n)::BIGINT AS b FROM j GROUP BY 1),
+    tot AS (SELECT sum(n)::BIGINT AS n_items FROM j),
+    mi AS (
+        SELECT sum(j.n::HUGEINT
+                   * (CAST(round(ln(tot.n_items) * 1000000) AS BIGINT)
+                      + CAST(round(ln(j.n) * 1000000) AS BIGINT)
+                      - CAST(round(ln(ca.a) * 1000000) AS BIGINT)
+                      - CAST(round(ln(cb.b) * 1000000) AS BIGINT))::HUGEINT
+               )::HUGEINT AS smi
+        FROM j JOIN ca USING (label_a) JOIN cb USING (label_b), tot
+    ),
+    ha AS (
+        SELECT sum(a::HUGEINT
+                   * (CAST(round(ln(tot.n_items) * 1000000) AS BIGINT)
+                      - CAST(round(ln(a) * 1000000) AS BIGINT))::HUGEINT
+               )::HUGEINT AS sha
+        FROM ca, tot
+    ),
+    hb AS (
+        SELECT sum(b::HUGEINT
+                   * (CAST(round(ln(tot.n_items) * 1000000) AS BIGINT)
+                      - CAST(round(ln(b) * 1000000) AS BIGINT))::HUGEINT
+               )::HUGEINT AS shb
+        FROM cb, tot
+    )
+    SELECT n_items,
+           round(smi::DOUBLE / (n_items::DOUBLE * 1000000.0), 6) AS mi_nats,
+           round(sha::DOUBLE / (n_items::DOUBLE * 1000000.0), 6) AS h_a_nats,
+           round(shb::DOUBLE / (n_items::DOUBLE * 1000000.0), 6) AS h_b_nats,
+           round(CASE WHEN sha > 0 THEN smi::DOUBLE / sha::DOUBLE END, 6)
+               AS homogeneity,
+           round(CASE WHEN shb > 0 THEN smi::DOUBLE / shb::DOUBLE END, 6)
+               AS completeness,
+           round(CASE WHEN sha + shb > 0
+                 THEN 2.0 * smi::DOUBLE / (sha + shb)::DOUBLE END, 6)
+               AS v_measure
+    FROM tot, mi, ha, hb
+    """,
+)
+def q_nmi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information / NMI between document language and source —
+    the information-theoretic effect size next to chi2_lang_source's
+    significance: how many nats does knowing the source tell you about
+    the language (homogeneity = MI/H(lang): are sources language-pure)?
+    Same micro-quantized-ln census contract as nmi_exact_vs_lsh; the
+    contingency is |langs|×|sources| cells off one hash aggregate."""
+    from es_ch_sync_spark.operators.analytics import nmi_vmeasure
+
+    docs = _t(spark, sf_dir, "documents")
+    la = docs.select("doc_id", F.col("lang").alias("label_a"))
+    lb = docs.select("doc_id", F.col("source").alias("label_b"))
+    return nmi_vmeasure(la, lb, "doc_id")
+
+
+@register(
+    "jackknife_source_means",
+    """
+    WITH per AS (
+        SELECT source AS g, count(*)::BIGINT AS n_rows,
+               sum(CAST(n_chars::DECIMAL(24,6) * 1000000 AS BIGINT))::BIGINT
+                   AS s
+        FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_rows)::BIGINT AS nn, sum(s)::BIGINT AS ss FROM per)
+    SELECT g AS source, n_rows,
+           round(CASE WHEN nn > n_rows
+                 THEN (ss - s)::DOUBLE / (nn - n_rows)::DOUBLE / 1e6
+                 END, 6) AS loo_mean,
+           round(ss::DOUBLE / nn::DOUBLE / 1e6
+                 - CASE WHEN nn > n_rows
+                   THEN (ss - s)::DOUBLE / (nn - n_rows)::DOUBLE / 1e6
+                   END, 6) AS influence
+    FROM per, tot ORDER BY source
+    """,
+)
+def q_jackknife_source_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out means of document length (n_chars) — the
+    influence audit behind source capping: which source is pulling the
+    corpus mean, and by how much?  Per-source exact integer moments
+    off one scan; global totals aggregate FROM the census and
+    broadcast back, so each readout is one float expression."""
+    from es_ch_sync_spark.operators.analytics import jackknife_group_means
+
+    return jackknife_group_means(
+        _t(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
 _HILL_KS = (50, 100, 200)
 
 

@@ -1449,6 +1449,51 @@ def q_krippendorff_alpha_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_alpha(votes, "doc_id", "cat", n_raters=3)
 
 
+@register(
+    "cochran_q_gates",
+    f"""
+    WITH {_GATES_CTE},
+    v AS (
+        SELECT (CASE WHEN r_words THEN 1 ELSE 0 END)::BIGINT AS x1,
+               (CASE WHEN r_sym THEN 1 ELSE 0 END)::BIGINT AS x2,
+               (CASE WHEN r_stop THEN 1 ELSE 0 END)::BIGINT AS x3
+        FROM gates
+    ),
+    mom AS (
+        SELECT count(*)::BIGINT AS n_items,
+               sum(x1 + x2 + x3)::BIGINT AS t,
+               sum((x1 + x2 + x3) * (x1 + x2 + x3))::HUGEINT AS sr2,
+               sum(x1)::BIGINT AS c1, sum(x2)::BIGINT AS c2,
+               sum(x3)::BIGINT AS c3
+        FROM v
+    )
+    SELECT n_items, 3::BIGINT AS n_raters, t AS total_passes,
+           round(CASE WHEN 3 * t::HUGEINT - sr2 > 0
+                 THEN (2::HUGEINT
+                       * (3::HUGEINT * (c1::HUGEINT * c1 + c2::HUGEINT * c2
+                                        + c3::HUGEINT * c3)
+                          - t::HUGEINT * t))::DOUBLE
+                      / (3 * t::HUGEINT - sr2)::DOUBLE
+                 END, 6) AS q_stat,
+           2::BIGINT AS df_q
+    FROM mom
+    """,
+)
+def q_cochran_q_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q among the three Gopher subrule raters (word-count,
+    symbol-ratio, stopword gates on the same docs) — the k-sample
+    marginal-homogeneity test completing the paired-gate family:
+    mcnemar_gates asks whether TWO gates pass at the same rate;
+    Q asks it for the whole panel at once (with k=2 it reduces to
+    McNemar's χ²).  One map-only flag projection → one exact-integer
+    hash aggregate; Q is one float division."""
+    from es_ch_sync_spark.operators.analytics import cochran_q
+    from es_ch_sync_spark.operators.text import gopher_quality_flags
+
+    gf = gopher_quality_flags(_docs(spark, sf_dir))
+    return cochran_q(gf, "ok_word_count", "ok_symbols", "ok_stopwords")
+
+
 # Shared Spark-SQL/DuckDB augmented text: the synthetic corpus carries no
 # real identifiers, so deterministic doc_id-derived PII is planted on two
 # residue classes (the _PSL_HOST precedent) — every pattern class gets

@@ -1467,6 +1467,63 @@ def q_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_means(ev, "value", "event_id", replicates=32)
 
 
+_PERM_B = 200
+
+
+@register(
+    "paired_permutation_test",
+    f"""
+    WITH ev AS (
+        SELECT user_id, event_type AS arm,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+          AND value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    per AS (
+        SELECT user_id,
+               sum(CASE WHEN arm = 'view' THEN v END)::BIGINT AS sa,
+               sum(CASE WHEN arm = 'purchase' THEN v END)::BIGINT AS sb
+        FROM ev GROUP BY 1
+    ),
+    d AS (
+        SELECT user_id, (sa - sb)::BIGINT AS d FROM per
+        WHERE sa IS NOT NULL AND sb IS NOT NULL AND sa != sb
+    ),
+    obs AS (SELECT count(*)::BIGINT AS n_pairs, sum(d)::BIGINT AS t_obs FROM d),
+    reps AS (
+        SELECT b,
+               sum(CASE WHEN ({_h56("'perm:' || b::VARCHAR || ':' || user_id::VARCHAR")}) % 2 = 0
+                        THEN d ELSE -d END)::BIGINT AS t
+        FROM d, (SELECT unnest(range(0, {_PERM_B})) AS b)
+        GROUP BY b
+    ),
+    hits AS (
+        SELECT sum(CASE WHEN abs(t) >= abs(t_obs) THEN 1 ELSE 0 END)::BIGINT AS ge
+        FROM reps, obs
+    )
+    SELECT n_pairs, {_PERM_B}::BIGINT AS b_replicates,
+           round(t_obs::DOUBLE / 1e6, 6) AS t_obs,
+           round((1.0 + ge::DOUBLE) / {float(_PERM_B + 1)}, 6) AS p_value
+    FROM obs, hits WHERE n_pairs > 0
+    """,
+)
+def q_paired_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-flip permutation test on each user's view-vs-purchase value
+    difference — the assumption-free companion to wilcoxon_signed_rank
+    (same pairing, exact finite-sample p instead of a normal-z): 200
+    deterministic md5-seeded flip replicates, add-one corrected.  The
+    units×B explosion is map-side and partial-aggregates to B rows per
+    partition (the bootstrap_means shape)."""
+    from es_ch_sync_spark.operators.analytics import paired_permutation_test
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return paired_permutation_test(
+        ev, pair_col="user_id", arm_col="event_type", value_col="value",
+        arm_a="view", arm_b="purchase", replicates=_PERM_B,
+    )
+
+
 @register(
     "source_divergence",
     f"""

@@ -3135,6 +3135,200 @@ def q_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wilcoxon_signed_rank",
+    """
+    WITH ev AS (
+        SELECT user_id,
+               event_type AS arm,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+          AND value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    per AS (
+        SELECT user_id,
+               sum(CASE WHEN arm = 'view' THEN v END)::BIGINT AS sa,
+               sum(CASE WHEN arm = 'purchase' THEN v END)::BIGINT AS sb
+        FROM ev GROUP BY 1
+    ),
+    d AS (
+        SELECT (sa - sb)::BIGINT AS d FROM per
+        WHERE sa IS NOT NULL AND sb IS NOT NULL AND sa != sb
+    ),
+    r AS (
+        SELECT d,
+               (2 * rank() OVER (ORDER BY abs(d))
+                + count(*) OVER (PARTITION BY abs(d)) - 1)::BIGINT AS r2
+        FROM d
+    ),
+    m AS (
+        SELECT count(*)::BIGINT AS n_pairs,
+               sum(CASE WHEN d > 0 THEN r2 ELSE 0 END)::BIGINT AS w2p
+        FROM r
+    ),
+    ties AS (
+        SELECT coalesce(sum(t * t * t - t), 0)::BIGINT AS tie3
+        FROM (SELECT abs(d) AS ad, count(*)::BIGINT AS t FROM d GROUP BY 1)
+    ),
+    s AS (
+        SELECT n_pairs, w2p, tie3,
+               w2p::DOUBLE / 2.0 AS w_plus,
+               n_pairs::DOUBLE * (n_pairs + 1.0) / 4.0 AS mu,
+               n_pairs::DOUBLE * (n_pairs + 1.0) * (2.0 * n_pairs + 1.0) / 24.0
+               - tie3::DOUBLE / 48.0 AS var
+        FROM m, ties WHERE n_pairs > 0
+    )
+    SELECT n_pairs, round(w_plus, 1) AS w_plus,
+           CASE WHEN var > 0
+                THEN round((w_plus - mu) / sqrt(var), 6) END AS z_score,
+           round(4.0 * w_plus
+                 / (n_pairs::DOUBLE * (n_pairs + 1.0)) - 1.0, 6)
+               AS rank_biserial
+    FROM s
+    """,
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of each user's total 'view' value
+    against their total 'purchase' value — the PAIRED nonparametric
+    test completing the A/B rank family (ab_mann_whitney: independent
+    pools; this: within-user differences, cancelling between-user
+    variance the way CUPED does for the t-test).  Per-event values
+    micro-quantize before the per-(user, arm) integer sums, so every
+    difference is exact; tie-averaged |d| ranks ride as integer
+    double-ranks over the bounded distinct-|d| census."""
+    from es_ch_sync_spark.operators.analytics import wilcoxon_signed_rank
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return wilcoxon_signed_rank(
+        ev, pair_col="user_id", arm_col="event_type", value_col="value",
+        arm_a="view", arm_b="purchase",
+    )
+
+
+@register(
+    "kruskal_wallis_arms",
+    """
+    WITH vm AS (
+        SELECT event_type AS g,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    pv AS (SELECT v, g, count(*)::BIGINT AS c FROM vm GROUP BY 1, 2),
+    tv AS MATERIALIZED (SELECT v, sum(c)::BIGINT AS t FROM pv GROUP BY 1),
+    rv AS (
+        SELECT v, t,
+               coalesce(sum(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS cum
+        FROM tv
+    ),
+    pg AS (
+        SELECT g, sum(c)::BIGINT AS ng,
+               sum(c * (2 * cum + t + 1))::BIGINT AS r2g
+        FROM pv JOIN rv USING (v) GROUP BY 1
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS n_groups, sum(ng)::BIGINT AS n_total,
+               sum(CAST(round(r2g::DOUBLE * r2g::DOUBLE
+                              / (4.0 * ng::DOUBLE) * 1000000.0)
+                        AS HUGEINT))::HUGEINT AS s_m
+        FROM pg
+    ),
+    ties AS (SELECT sum(t * t * t - t)::BIGINT AS tie3 FROM tv)
+    SELECT n_groups, n_total,
+           round(12.0 / (n_total::DOUBLE * (n_total + 1.0))
+                 * (s_m::DOUBLE / 1000000.0) - 3.0 * (n_total + 1.0), 6)
+               AS h_stat,
+           (n_groups - 1)::BIGINT AS df_h,
+           round(CASE WHEN n_total > 1
+                       AND 1.0 - tie3::DOUBLE
+                           / (n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+                              - n_total::DOUBLE) > 0
+                 THEN (12.0 / (n_total::DOUBLE * (n_total + 1.0))
+                       * (s_m::DOUBLE / 1000000.0) - 3.0 * (n_total + 1.0))
+                      / (1.0 - tie3::DOUBLE
+                         / (n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+                            - n_total::DOUBLE))
+                 END, 6) AS h_corrected
+    FROM s, ties WHERE n_total > 0
+    """,
+)
+def q_kruskal_wallis_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types' value distributions —
+    the k-group generalization of ab_mann_whitney (one omnibus rank
+    test before pairwise drilling).  Pooled tie-averaged double-ranks
+    over the distinct-value census keep every per-group rank sum an
+    exact BIGINT; the per-group R²/n term micro-quantizes before its
+    sum (chi2_independence contract)."""
+    from es_ch_sync_spark.operators.analytics import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events")
+    return kruskal_wallis(ev, group_col="event_type", value_col="value")
+
+
+@register(
+    "brown_forsythe_arms",
+    """
+    WITH vm AS (
+        SELECT event_type AS g,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    gv AS (SELECT g, v, count(*)::BIGINT AS c FROM vm GROUP BY 1, 2),
+    cum AS (
+        SELECT g, v, c,
+               sum(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum
+        FROM gv
+    ),
+    ng AS (SELECT g, sum(c)::BIGINT AS ng FROM gv GROUP BY 1),
+    med AS (
+        SELECT g, min(v)::BIGINT AS med
+        FROM cum JOIN ng USING (g) WHERE 2 * cum >= ng GROUP BY 1
+    ),
+    z AS (
+        SELECT gv.g AS g, c, abs(v - med)::BIGINT AS z
+        FROM gv JOIN med ON gv.g = med.g
+    ),
+    pg AS (
+        SELECT g, sum(c)::BIGINT AS ng, sum(c * z)::BIGINT AS sz,
+               sum(c::HUGEINT * z::HUGEINT * z::HUGEINT)::HUGEINT AS szz
+        FROM z GROUP BY 1
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS n_groups, sum(ng)::BIGINT AS n_total,
+               sum(sz)::BIGINT AS s_z, sum(szz)::HUGEINT AS s_zz,
+               sum(CAST(round(sz::DOUBLE * sz::DOUBLE / ng::DOUBLE
+                              * 1000000.0) AS HUGEINT))::HUGEINT AS s_t1m
+        FROM pg
+    )
+    SELECT n_groups, n_total,
+           round(CASE WHEN s_zz::DOUBLE - s_t1m::DOUBLE / 1000000.0 > 0
+                 THEN (n_total - n_groups)::DOUBLE / (n_groups - 1)::DOUBLE
+                      * ((s_t1m::DOUBLE / 1000000.0)
+                         - s_z::DOUBLE * s_z::DOUBLE / n_total::DOUBLE)
+                      / (s_zz::DOUBLE - s_t1m::DOUBLE / 1000000.0)
+                 END, 6) AS w_stat,
+           (n_groups - 1)::BIGINT AS df1,
+           (n_total - n_groups)::BIGINT AS df2
+    FROM s WHERE n_groups > 1 AND n_total > n_groups
+    """,
+)
+def q_brown_forsythe_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) variance-homogeneity
+    test across all event types' values — the spread-equality audit
+    next to kruskal_wallis_arms' location test.  Group medians are
+    LOWER medians decided on the per-group value census in exact
+    integers (no interpolating median crosses the engine boundary);
+    deviations and moments are exact; W is one float expression."""
+    from es_ch_sync_spark.operators.analytics import brown_forsythe
+
+    ev = _t(spark, sf_dir, "events")
+    return brown_forsythe(ev, group_col="event_type", value_col="value")
+
+
+@register(
     "sliding_distinct_users",
     """
     WITH ud AS (
@@ -3227,6 +3421,221 @@ def q_ks_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, group_col="event_type", value_col="value",
         arm_a="view", arm_b="purchase",
     )
+
+
+@register(
+    "effect_sizes_ab",
+    """
+    WITH vm AS (
+        SELECT event_type AS arm,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events
+        WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ),
+    per AS (
+        SELECT arm, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+               sum(v::HUGEINT * v::HUGEINT)::HUGEINT AS ss
+        FROM vm GROUP BY 1
+    ),
+    j AS (
+        SELECT a.n AS n_a, a.s AS sa, a.ss AS ssa,
+               b.n AS n_b, b.s AS sb, b.ss AS ssb
+        FROM (SELECT * FROM per WHERE arm = 'view') a,
+             (SELECT * FROM per WHERE arm = 'purchase') b
+    ),
+    m AS (
+        SELECT n_a, n_b,
+               sa::DOUBLE / n_a::DOUBLE AS ma, sb::DOUBLE / n_b::DOUBLE AS mb,
+               ssa::DOUBLE - sa::DOUBLE * sa::DOUBLE / n_a::DOUBLE AS ssd_a,
+               ssb::DOUBLE - sb::DOUBLE * sb::DOUBLE / n_b::DOUBLE AS ssd_b
+        FROM j
+    )
+    SELECT n_a, n_b,
+           round(CASE WHEN n_a > 1 AND n_b > 1 AND ssd_a + ssd_b > 0
+                 THEN (ma - mb)
+                      / sqrt((ssd_a + ssd_b) / (n_a::DOUBLE + n_b::DOUBLE - 2.0))
+                 END, 6) AS cohen_d,
+           round(CASE WHEN n_a > 1 AND n_b > 1 AND ssd_a + ssd_b > 0
+                 THEN (ma - mb)
+                      / sqrt((ssd_a + ssd_b) / (n_a::DOUBLE + n_b::DOUBLE - 2.0))
+                      * (1.0 - 3.0 / (4.0 * (n_a::DOUBLE + n_b::DOUBLE) - 9.0))
+                 END, 6) AS hedges_g,
+           round(CASE WHEN n_b > 1 AND ssd_b > 0
+                 THEN (ma - mb) / sqrt(ssd_b / (n_b::DOUBLE - 1.0))
+                 END, 6) AS glass_delta
+    FROM m
+    """,
+)
+def q_effect_sizes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g / Glass's Δ between the 'view' and
+    'purchase' arms — the magnitude readouts completing the A/B family
+    (every significance test answers "is it real"; these answer "is it
+    big", in pooled-SD, bias-corrected, and control-SD units).  Six
+    exact integer moments in, three float expressions out."""
+    from es_ch_sync_spark.operators.analytics import effect_sizes_ab
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return effect_sizes_ab(
+        ev, group_col="event_type", value_col="value",
+        arm_a="view", arm_b="purchase",
+    )
+
+
+@register(
+    "theil_sen_daily",
+    """
+    WITH daily AS (
+        SELECT event_type AS g, date_trunc('day', ts)::DATE AS day,
+               count(*)::BIGINT AS y
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.g AS g, (b.y - a.y)::DOUBLE / (b.day - a.day)::DOUBLE AS slope
+        FROM daily a JOIN daily b ON a.g = b.g AND b.day > a.day
+    ),
+    r AS (
+        SELECT g, slope,
+               row_number() OVER (PARTITION BY g ORDER BY slope) AS i
+        FROM pairs
+    ),
+    c AS (SELECT g, count(*)::BIGINT AS n_pairs FROM pairs GROUP BY 1),
+    d AS (SELECT g, count(*)::BIGINT AS n_days FROM daily GROUP BY 1)
+    SELECT r.g AS event_type, d.n_days, c.n_pairs,
+           round(r.slope, 6) AS sen_slope
+    FROM r JOIN c USING (g) JOIN d USING (g)
+    WHERE r.i = (c.n_pairs + 1) // 2
+    ORDER BY event_type
+    """,
+)
+def q_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of each event type's daily count series —
+    the outlier-tolerant trend magnitude next to linreg_trend (least
+    squares) and mann_kendall_trend (direction only): the median of
+    all pairwise slopes over the calendar-bounded day census.  Lower
+    median (no interpolation crosses the engine boundary); each slope
+    is one IEEE division of exact integers."""
+    from es_ch_sync_spark.operators.analytics import theil_sen
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return theil_sen(daily, "event_type", "day", "y")
+
+
+@register(
+    "runs_test_daily",
+    """
+    WITH daily AS (
+        SELECT event_type AS g, date_trunc('day', ts)::DATE AS day,
+               count(*)::BIGINT AS y
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    mv AS (
+        SELECT g, day,
+               y - lag(y) OVER (PARTITION BY g ORDER BY day) AS diff
+        FROM daily
+    ),
+    s AS (
+        SELECT g, day, (CASE WHEN diff > 0 THEN 1 ELSE -1 END)::BIGINT AS s
+        FROM mv WHERE diff IS NOT NULL AND diff != 0
+    ),
+    seq AS (
+        SELECT g, s, lag(s) OVER (PARTITION BY g ORDER BY day) AS prev
+        FROM s
+    ),
+    agg AS (
+        SELECT g,
+               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+               sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)::BIGINT AS n_down,
+               sum(CASE WHEN prev IS NULL OR s != prev THEN 1 ELSE 0 END)::BIGINT
+                   AS n_runs
+        FROM seq GROUP BY 1
+    ),
+    m AS (
+        SELECT g, n_up, n_down, n_runs,
+               n_up::DOUBLE AS n1, n_down::DOUBLE AS n2,
+               n_up::DOUBLE + n_down::DOUBLE AS n
+        FROM agg
+    )
+    SELECT g AS event_type, n_up, n_down, n_runs,
+           round(CASE WHEN n > 1
+                       AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                           / (n * n * (n - 1.0)) > 0
+                 THEN (n_runs::DOUBLE - (2.0 * n1 * n2 / n + 1.0))
+                      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                             / (n * n * (n - 1.0)))
+                 END, 6) AS z_score
+    FROM m ORDER BY event_type
+    """,
+)
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on each event type's daily up/down-move
+    sequence — the randomness check next to mann_kendall_trend (trend)
+    and acf_lags (correlation structure): too few runs = regimes, too
+    many = oscillation.  Exact move/run counts off two group-partitioned
+    lag windows over the calendar-bounded day census."""
+    from es_ch_sync_spark.operators.analytics import runs_test
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return runs_test(daily, "event_type", "day", "y")
+
+
+@register(
+    "gumbel_weekly_max",
+    """
+    WITH daily AS (
+        SELECT event_type AS g, date_trunc('day', ts)::DATE AS day,
+               count(*)::BIGINT AS y
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    blocks AS (
+        SELECT g, date_trunc('week', day)::DATE AS wk, max(y)::BIGINT AS m
+        FROM daily GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT g, count(*)::BIGINT AS n_blocks, sum(m)::BIGINT AS s,
+               sum(m::HUGEINT * m::HUGEINT)::HUGEINT AS ss
+        FROM blocks GROUP BY 1
+    ),
+    m AS (
+        SELECT g, n_blocks, s,
+               ss::DOUBLE - s::DOUBLE * s::DOUBLE / n_blocks::DOUBLE AS ssd
+        FROM agg
+    )
+    SELECT g AS event_type, n_blocks,
+           round(s::DOUBLE / n_blocks::DOUBLE, 6) AS max_mean,
+           round(CASE WHEN n_blocks > 1 AND ssd > 0
+                 THEN sqrt(ssd / (n_blocks::DOUBLE - 1.0))
+                      * 0.7796968012336793 END, 6) AS gumbel_beta,
+           round(CASE WHEN n_blocks > 1 AND ssd > 0
+                 THEN s::DOUBLE / n_blocks::DOUBLE
+                      - 0.5772156649015329
+                        * (sqrt(ssd / (n_blocks::DOUBLE - 1.0))
+                           * 0.7796968012336793) END, 6) AS gumbel_mu
+    FROM m ORDER BY event_type
+    """,
+)
+def q_gumbel_weekly_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) method-of-moments fit to each event type's WEEKLY
+    maxima of daily counts — the extreme-value capacity readout a
+    mean/percentile summary structurally understates (Fisher-Tippett:
+    block maxima follow their own distribution).  Exact integer block
+    maxima and moments; β and μ are single float expressions with
+    √6/π and Euler's γ embedded as shared double literals."""
+    from es_ch_sync_spark.operators.analytics import gumbel_block_maxima
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return gumbel_block_maxima(daily, "event_type", "day", "y")
 
 
 @register(

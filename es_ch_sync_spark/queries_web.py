@@ -872,6 +872,70 @@ def q_host_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_global_stats(he)
 
 
+def _host_degree_powerlaw_oracle() -> str:
+    from es_ch_sync_spark import oracles
+
+    pairs = oracles.minhash_near_dup_sql(threshold=0.5)
+    host_a = _HOST.replace("doc_id", "id_a")
+    host_b = _HOST.replace("doc_id", "id_b")
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    he AS (
+        SELECT ha, hb FROM (
+            SELECT {host_a} AS ha, {host_b} AS hb FROM pairs
+        ) WHERE ha <> hb
+    ),
+    edges AS MATERIALIZED (
+        SELECT ha AS src, hb AS dst FROM he
+        UNION
+        SELECT hb, ha FROM he
+    ),
+    deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+    census AS (SELECT d, count(*)::BIGINT AS c FROM deg GROUP BY 1),
+    xm AS (SELECT unnest([1, 2, 4])::BIGINT AS xmin),
+    per AS (
+        SELECT xmin, sum(c)::BIGINT AS n_tail,
+               sum(c::HUGEINT
+                   * (CAST(round(ln(2 * d) * 1000000) AS BIGINT)
+                      - CAST(round(ln(2 * xmin - 1) * 1000000) AS BIGINT)
+                     )::HUGEINT)::HUGEINT AS s
+        FROM census, xm WHERE d >= xmin GROUP BY 1
+    )
+    SELECT xmin, n_tail,
+           round(CASE WHEN n_tail > 0 AND s > 0
+                 THEN 1.0 + n_tail::DOUBLE * 1000000.0 / s::DOUBLE END, 6)
+               AS alpha
+    FROM per ORDER BY xmin
+    """
+
+
+@register("host_degree_powerlaw", _host_degree_powerlaw_oracle())
+def q_host_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law MLE exponent of the host mirror graph's
+    degree distribution at tail cutoffs xmin ∈ (1, 2, 4) [Clauset et
+    al. 2009] — the scale-free-tail readout next to host_graph_stats'
+    moments: α stable across xmin says hub-capping follows a law; α
+    drifting says it needs a knob.  Degrees come from one hash-agg
+    over the symmetric edge list; everything downstream is a
+    degree-CENSUS × 3 broadcast join with micro-quantized ln terms."""
+    from es_ch_sync_spark.operators.dedup import minhash_near_duplicates
+    from es_ch_sync_spark.operators.graph import degree_powerlaw
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    he = pairs.select(
+        F.expr(_HOST.replace("doc_id", "id_a")).alias("ha"),
+        F.expr(_HOST.replace("doc_id", "id_b")).alias("hb"),
+    ).filter(F.col("ha") != F.col("hb"))
+    edges = (
+        he.select(F.col("ha").alias("src"), F.col("hb").alias("dst"))
+        .unionByName(
+            he.select(F.col("hb").alias("src"), F.col("ha").alias("dst"))
+        )
+        .distinct()
+    )
+    return degree_powerlaw(edges)
+
+
 @register("host_kcore", _host_kcore_oracle())
 def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round 2-core of the host mirror graph (8 peeling rounds —

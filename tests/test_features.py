@@ -592,3 +592,267 @@ def test_retention_cohorts_hand_computed(spark):
     assert out[("2024-01-01", 0)]["retention"] == 1.0
     assert out[("2024-01-01", 1)]["n_active"] == 1
     assert out[("2024-01-01", 1)]["retention"] == 0.5
+
+
+def test_cochran_q_hand_computed(spark):
+    """Flags ((1,1,0),(1,1,1),(1,0,0),(0,1,0)): C=(3,3,1), T=7, sumR2=15
+    -> Q = 2*(3*19-49)/(3*7-15) = 16/6; all-agree panel -> NULL."""
+    from es_ch_sync_spark.operators.analytics import cochran_q
+
+    rows = [
+        (True, True, False),
+        (True, True, True),
+        (True, False, False),
+        (False, True, False),
+    ]
+    df = spark.createDataFrame(rows, "g1 boolean, g2 boolean, g3 boolean")
+    r = cochran_q(df, "g1", "g2", "g3").collect()[0]
+    assert (r["n_items"], r["n_raters"], r["total_passes"], r["df_q"]) == (
+        4, 3, 7, 2,
+    )
+    assert r["q_stat"] == round(16 / 6, 6)
+    agree = spark.createDataFrame(
+        [(True, True, True), (False, False, False)],
+        "g1 boolean, g2 boolean, g3 boolean",
+    )
+    assert cochran_q(agree, "g1", "g2", "g3").collect()[0]["q_stat"] is None
+
+
+def test_nmi_vmeasure_known_values(spark):
+    """Identical 2+2 partitions -> mi = h_a = h_b = ln 2, v = 1;
+    independent 2x2 grid -> mi 0, v 0; single-cluster B -> completeness
+    NULL (H(B)=0), v = 0."""
+    from es_ch_sync_spark.operators.analytics import nmi_vmeasure
+
+    def lab(pairs, col):
+        return spark.createDataFrame(
+            [(i, l) for i, l in pairs], f"id long, {col} string"
+        )
+
+    ident_a = lab(zip(range(4), ["a", "a", "b", "b"]), "label_a")
+    ident_b = lab(zip(range(4), ["p", "p", "q", "q"]), "label_b")
+    r = nmi_vmeasure(ident_a, ident_b, "id").collect()[0]
+    assert r["mi_nats"] == r["h_a_nats"] == r["h_b_nats"] == 0.693147
+    assert (r["homogeneity"], r["completeness"], r["v_measure"]) == (
+        1.0, 1.0, 1.0,
+    )
+    indep_b = lab(zip(range(4), ["p", "q", "p", "q"]), "label_b")
+    r = nmi_vmeasure(ident_a, indep_b, "id").collect()[0]
+    assert (r["mi_nats"], r["v_measure"]) == (0.0, 0.0)
+    one_b = lab(zip(range(4), ["z", "z", "z", "z"]), "label_b")
+    r = nmi_vmeasure(ident_a, one_b, "id").collect()[0]
+    assert r["h_b_nats"] == 0.0 and r["completeness"] is None
+    assert r["v_measure"] == 0.0
+
+
+def test_wilcoxon_signed_rank_hand_computed(spark):
+    """d=(+1,+2,+3,-4): W+=6, z=(6-5)/sqrt(7.5); tie panel d=(+1,-1,+2):
+    W+=4.5 (averaged ranks), var = 3.5 - 6/48; zero diffs and one-arm
+    units drop out."""
+    import math
+
+    from es_ch_sync_spark.operators.analytics import wilcoxon_signed_rank
+
+    rows = []
+    for u, (x, y) in enumerate([(2.0, 1.0), (5.0, 3.0), (9.0, 6.0), (1.0, 5.0)]):
+        rows += [(u, "a", x), (u, "b", y)]
+    rows += [(90, "a", 7.0), (90, "b", 7.0)]   # zero diff: dropped
+    rows += [(91, "a", 3.0)]                   # one-arm unit: dropped
+    df = spark.createDataFrame(rows, "u long, arm string, value double")
+    r = wilcoxon_signed_rank(df, "u", "arm", "value", "a", "b").collect()[0]
+    assert (r["n_pairs"], r["w_plus"]) == (4, 6.0)
+    assert r["z_score"] == round(1.0 / math.sqrt(7.5), 6)
+    assert r["rank_biserial"] == round(4 * 6.0 / 20 - 1, 6)
+    rows2 = []
+    for u, (x, y) in enumerate([(2.0, 1.0), (1.0, 2.0), (4.0, 2.0)]):
+        rows2 += [(u, "a", x), (u, "b", y)]
+    df2 = spark.createDataFrame(rows2, "u long, arm string, value double")
+    r2 = wilcoxon_signed_rank(df2, "u", "arm", "value", "a", "b").collect()[0]
+    assert (r2["n_pairs"], r2["w_plus"]) == (3, 4.5)
+    assert r2["z_score"] == round(1.5 / math.sqrt(3.375), 6)
+
+
+def test_kruskal_wallis_hand_computed(spark):
+    """a=[1,2], b=[3,4]: H = 0.6*29 - 15 = 2.4 (no ties -> corrected
+    equal); all-tied panel -> H = 0, correction factor 0 -> NULL."""
+    from es_ch_sync_spark.operators.analytics import kruskal_wallis
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = kruskal_wallis(df, "g", "x").collect()[0]
+    assert (r["n_groups"], r["n_total"], r["df_h"]) == (2, 4, 1)
+    assert r["h_stat"] == 2.4 and r["h_corrected"] == 2.4
+    tied = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)], "g string, x double"
+    )
+    rt = kruskal_wallis(tied, "g", "x").collect()[0]
+    assert rt["h_stat"] == 0.0 and rt["h_corrected"] is None
+
+
+def test_brown_forsythe_hand_computed(spark):
+    """a=[1,2,3] (med 2), b=[10,20,30,40] (lower med 20):
+    W = 5*448/602 = 3.720930; equal-spread panel -> W = 0."""
+    from es_ch_sync_spark.operators.analytics import brown_forsythe
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [
+        ("b", v) for v in (10.0, 20.0, 30.0, 40.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = brown_forsythe(df, "g", "x").collect()[0]
+    assert (r["n_groups"], r["n_total"], r["df1"], r["df2"]) == (2, 7, 1, 5)
+    assert r["w_stat"] == round(5 * 448 / 602, 6)
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 11.0), ("b", 13.0)], "g string, x double"
+    )
+    rs = brown_forsythe(same, "g", "x").collect()[0]
+    assert rs["w_stat"] == 0.0
+
+
+def test_theil_sen_hand_computed(spark):
+    """Days 1..4 with y = (2,4,1,8): slopes {2,-0.5,2,-1.5,2,7} ->
+    lower median (pos 3 of 6 sorted: -1.5,-0.5,2,2,2,7) = 2.0."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import theil_sen
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        ("a", base + datetime.timedelta(days=i), y)
+        for i, y in enumerate([2, 4, 1, 8])
+    ]
+    df = spark.createDataFrame(rows, "g string, day date, y long")
+    r = theil_sen(df, "g", "day", "y").collect()
+    assert len(r) == 1
+    assert (r[0]["g"], r[0]["n_days"], r[0]["n_pairs"], r[0]["sen_slope"]) == (
+        "a", 4, 6, 2.0,
+    )
+
+
+def test_effect_sizes_hand_computed(spark):
+    """a=[1,2,3], b=[2,4,6]: d = -2/sqrt((2+8)/4) = -1.264911;
+    J = 1-3/15 = 0.8; glass = -2/2."""
+    import math
+
+    from es_ch_sync_spark.operators.analytics import effect_sizes_ab
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [
+        ("b", v) for v in (2.0, 4.0, 6.0)
+    ]
+    df = spark.createDataFrame(rows, "arm string, x double")
+    r = effect_sizes_ab(df, "arm", "x", "a", "b").collect()[0]
+    d = -2.0 / math.sqrt(10.0 / 4.0)
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["cohen_d"] == round(d, 6)
+    assert r["hedges_g"] == round(d * 0.8, 6)
+    assert r["glass_delta"] == -1.0
+
+
+def test_degree_powerlaw_known_distribution(spark):
+    """Star K1,4 as symmetric edges: degrees (4,1,1,1,1); at xmin=1
+    alpha = 1 + 5e6/(4*ln2_m + ln8_m); xmin=2 keeps only the hub."""
+    import math
+
+    from es_ch_sync_spark.operators.graph import degree_powerlaw
+
+    edges = []
+    for leaf in ("b", "c", "d", "e"):
+        edges += [("hub", leaf), (leaf, "hub")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["xmin"]: r for r in degree_powerlaw(df, xmins=(1, 2)).collect()}
+    ln2_m = round(math.log(2.0) * 1e6)
+    ln8_m = round(math.log(8.0) * 1e6)
+    assert out[1]["n_tail"] == 5
+    assert out[1]["alpha"] == round(1.0 + 5e6 / (4 * ln2_m + ln8_m), 6)
+    # xmin=2: only the hub (d=4): ln(4/1.5) = ln8 - ln3
+    ln3_m = round(math.log(3.0) * 1e6)
+    assert out[2]["n_tail"] == 1
+    assert out[2]["alpha"] == round(1.0 + 1e6 / (ln8_m - ln3_m), 6)
+
+
+def test_jackknife_group_means_hand_computed(spark):
+    """a=[1,2,3], b=[10,20]: mean 7.2; loo_a = 15 (influence -7.8),
+    loo_b = 2 (influence 5.2); single-group corpus -> NULL."""
+    from es_ch_sync_spark.operators.analytics import jackknife_group_means
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 20.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {r["g"]: r for r in jackknife_group_means(df, "g", "x").collect()}
+    assert out["a"]["n_rows"] == 3 and out["a"]["loo_mean"] == 15.0
+    assert out["a"]["influence"] == -7.8
+    assert out["b"]["loo_mean"] == 2.0 and out["b"]["influence"] == 5.2
+    solo = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    r = jackknife_group_means(solo, "g", "x").collect()[0]
+    assert r["loo_mean"] is None
+
+
+def test_runs_test_hand_computed(spark):
+    """y=(1,2,1,2,3): moves (+,-,+,+) -> 3 runs, n_up=3, n_down=1,
+    z = (3-2.5)/0.5 = 1.0; monotone series -> variance 0 -> NULL z."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import runs_test
+
+    base = datetime.date(2024, 3, 1)
+    rows = [
+        ("a", base + datetime.timedelta(days=i), y)
+        for i, y in enumerate([1, 2, 1, 2, 3])
+    ]
+    df = spark.createDataFrame(rows, "g string, day date, y long")
+    r = runs_test(df, "g", "day", "y").collect()[0]
+    assert (r["n_up"], r["n_down"], r["n_runs"], r["z_score"]) == (3, 1, 3, 1.0)
+    mono = spark.createDataFrame(
+        [("a", base + datetime.timedelta(days=i), i) for i in range(5)],
+        "g string, day date, y long",
+    )
+    rm = runs_test(mono, "g", "day", "y").collect()[0]
+    assert (rm["n_up"], rm["n_down"], rm["n_runs"]) == (4, 0, 1)
+    assert rm["z_score"] is None
+
+
+def test_gumbel_block_maxima_hand_computed(spark):
+    """Three weeks with maxima (4, 8, 6): mean 6, sd 2,
+    beta = 2*sqrt6/pi, mu = 6 - gamma*beta."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import (
+        EULER_GAMMA,
+        GUMBEL_SQRT6_OVER_PI,
+        gumbel_block_maxima,
+    )
+
+    monday = datetime.date(2024, 1, 1)  # a Monday
+    rows = []
+    for w, peak in enumerate([4, 8, 6]):
+        rows += [
+            ("a", monday + datetime.timedelta(days=7 * w), peak - 1),
+            ("a", monday + datetime.timedelta(days=7 * w + 1), peak),
+            ("a", monday + datetime.timedelta(days=7 * w + 2), 1),
+        ]
+    df = spark.createDataFrame(rows, "g string, day date, y long")
+    r = gumbel_block_maxima(df, "g", "day", "y").collect()[0]
+    beta = 2.0 * GUMBEL_SQRT6_OVER_PI
+    assert (r["n_blocks"], r["max_mean"]) == (3, 6.0)
+    assert r["gumbel_beta"] == round(beta, 6)
+    assert r["gumbel_mu"] == round(6.0 - EULER_GAMMA * beta, 6)
+
+
+def test_paired_permutation_test_properties(spark):
+    """t_obs = 0 (perfectly balanced diffs) -> every replicate ties ->
+    p = 1; 20 same-sign unit diffs -> only an all-same-sign replicate
+    reaches |t_obs| -> p = 1/201 with the deterministic hash flips."""
+    from es_ch_sync_spark.operators.analytics import paired_permutation_test
+
+    rows = []
+    for u in range(10):
+        d = 1.0 if u % 2 == 0 else -1.0
+        rows += [(u, "a", 5.0 + d), (u, "b", 5.0)]
+    df = spark.createDataFrame(rows, "u long, arm string, value double")
+    r = paired_permutation_test(df, "u", "arm", "value", "a", "b").collect()[0]
+    assert r["n_pairs"] == 10 and r["t_obs"] == 0.0 and r["p_value"] == 1.0
+    rows2 = []
+    for u in range(20):
+        rows2 += [(u, "a", 6.0), (u, "b", 5.0)]
+    df2 = spark.createDataFrame(rows2, "u long, arm string, value double")
+    r2 = paired_permutation_test(df2, "u", "arm", "value", "a", "b").collect()[0]
+    assert r2["t_obs"] == 20.0
+    assert r2["p_value"] == round(1.0 / 201.0, 6)

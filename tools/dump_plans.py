@@ -86,6 +86,11 @@ HEADLINE = [
     "term_burstiness", "split_cross_entropy", "krippendorff_alpha_gates",
     "pass_at_k", "host_graph_stats", "edit_distance_pairs",
     "pii_pattern_census", "dunning_llr_keywords", "retention_cohorts",
+    "cochran_q_gates", "nmi_exact_vs_lsh", "wilcoxon_signed_rank",
+    "kruskal_wallis_arms", "brown_forsythe_arms", "theil_sen_daily",
+    "effect_sizes_ab", "nmi_lang_source", "host_degree_powerlaw",
+    "jackknife_source_means", "runs_test_daily", "gumbel_weekly_max",
+    "paired_permutation_test",
 ]
 
 MARKERS = [

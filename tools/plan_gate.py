@@ -54,6 +54,8 @@ CENSUS_WINDOW_WHITELIST: dict[str, str] = {
     # rank CDFs over VALUE censuses (distinct observed values, Heaps-bounded)
     "ab_mann_whitney": "distinct-value census CDF",
     "ks_ab_test": "distinct-value census CDF",
+    "wilcoxon_signed_rank": "distinct-|d| census CDF (one row per pairing unit at most)",
+    "kruskal_wallis_arms": "distinct-value census CDF (pooled double-ranks)",
     "lr_auc_brier": "distinct-score census CDF",
     "kaplan_meier_conversion": "distinct-event-time census cumsum",
     # 9-row digit census (Benford chi-square total)
