@@ -94,6 +94,11 @@ EXTENDED = [
     "lexical_concentration",
     "pass_at_k",
     "pii_pattern_census",
+    # round-12 batch-2 representatives: the one-census A/B panel, the
+    # k-group rank test, and the KN bigram LM (one explode each)
+    "ab_panel",
+    "kruskal_wallis_arms",
+    "kneser_ney_bigram",
 ]
 
 

@@ -3915,3 +3915,229 @@ def paired_permutation_test(
             6,
         ).alias("p_value"),
     )
+
+
+def ab_panel(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """The two-arm A/B readout PANEL off ONE shared value census — the
+    shared-pass discipline (corpus_stats_panel, host_graph_panel)
+    applied to the A/B test family: ab_welch_ttest, ab_mann_whitney,
+    ks_ab_test, and effect_sizes_ab each rescan the pool for the same
+    per-distinct-value arm counts; this materializes that census once
+    (localCheckpoint — it is census-sized by construction) and derives
+    all four readouts from it:
+
+        welch_t  (means, Welch-Satterthwaite df)
+        mw_z     (tie-corrected Mann-Whitney z) + u_stat
+        ks_d     (exact-integer ECDF sup-gap)
+        cohen_d  (pooled-SD standardized difference)
+
+    Every moment is an exact integer off the census (double-ranks, ECDF
+    numerators, Σv / Σv² with v micro-quantized); each statistic is one
+    float expression — identical digits to the standalone operators.
+
+    Scale: ONE hash aggregate over the pool; everything downstream is
+    census-sized.  The four standalones stay registered for per-test
+    use; the panel is the one-pass production shape."""
+    d38 = "decimal(38,0)"
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    pool = df.filter(F.col(group_col).isin(arm_a, arm_b)).select(
+        F.col(group_col).alias("_arm"), vm.alias("_v")
+    )
+    pv = (
+        pool.groupBy("_v")
+        .agg(
+            F.sum(F.when(F.col("_arm") == arm_a, 1).otherwise(0))
+            .cast("long")
+            .alias("_na_v"),
+            F.sum(F.when(F.col("_arm") == arm_b, 1).otherwise(0))
+            .cast("long")
+            .alias("_nb_v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t_v = (F.col("_na_v") + F.col("_nb_v")).alias("_t")
+    wv = W.orderBy("_v").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy("_v").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = pv.select(
+        "_v", "_na_v", "_nb_v", t_v,
+        F.coalesce(F.sum(F.col("_na_v") + F.col("_nb_v")).over(wv), F.lit(0))
+        .alias("_cum_below"),
+        F.coalesce(F.sum("_na_v").over(wv), F.lit(0)).alias("_ca_below"),
+        F.coalesce(F.sum("_nb_v").over(wv), F.lit(0)).alias("_cb_below"),
+        F.sum("_na_v").over(wall).alias("_tot_a"),
+        F.sum("_nb_v").over(wall).alias("_tot_b"),
+    )
+    g = ranked.agg(
+        F.sum("_na_v").cast("long").alias("n_a"),
+        F.sum("_nb_v").cast("long").alias("n_b"),
+        # Mann-Whitney double-rank sum + tie term
+        F.sum(F.col("_na_v") * (2 * F.col("_cum_below") + F.col("_t") + 1))
+        .cast("long")
+        .alias("_rs2a"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("long")
+        .alias("_tie3"),
+        # Welch / Cohen moments (v micro-quantized)
+        F.sum(F.col("_na_v") * F.col("_v")).cast("long").alias("_sa"),
+        F.sum(F.col("_nb_v") * F.col("_v")).cast("long").alias("_sb"),
+        F.sum(F.col("_na_v").cast(d38) * F.col("_v").cast(d38) * F.col("_v").cast(d38))
+        .cast(d38)
+        .alias("_ssa"),
+        F.sum(F.col("_nb_v").cast(d38) * F.col("_v").cast(d38) * F.col("_v").cast(d38))
+        .cast(d38)
+        .alias("_ssb"),
+        # KS sup-gap: max |n_b·cum_a(v) − n_a·cum_b(v)| over INCLUSIVE
+        # cums; the arm totals rode in as full-frame window columns
+        F.max(
+            F.abs(
+                F.col("_tot_b") * (F.col("_ca_below") + F.col("_na_v"))
+                - F.col("_tot_a") * (F.col("_cb_below") + F.col("_nb_v"))
+            )
+        )
+        .cast("long")
+        .alias("_d_num"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    u = (F.col("_rs2a") - F.col("n_a") * (F.col("n_a") + 1)).cast("double") / 2.0
+    var_u = (
+        na * nb / 12.0
+        * ((nn + 1.0) - F.col("_tie3").cast("double") / (nn * (nn - 1.0)))
+    )
+    ma = F.col("_sa").cast("double") / na
+    mb = F.col("_sb").cast("double") / nb
+    ssd_a = F.col("_ssa").cast("double") - F.col("_sa").cast("double") * F.col(
+        "_sa"
+    ).cast("double") / na
+    ssd_b = F.col("_ssb").cast("double") - F.col("_sb").cast("double") * F.col(
+        "_sb"
+    ).cast("double") / nb
+    va = ssd_a / (na - 1.0)
+    vb = ssd_b / (nb - 1.0)
+    se2 = va / na + vb / nb
+    welch_t = F.when((F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0), (ma - mb) / F.sqrt(se2))
+    welch_df = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0),
+        se2 * se2
+        / (va * va / (na * na * (na - 1.0)) + vb * vb / (nb * nb * (nb - 1.0))),
+    )
+    sp = F.sqrt((ssd_a + ssd_b) / (nn - 2.0))
+    cohen = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (ssd_a + ssd_b > 0),
+        (ma - mb) / sp,
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round(u, 1).alias("u_stat"),
+        F.round(F.when(var_u > 0, (u - na * nb / 2.0) / F.sqrt(var_u)), 6).alias(
+            "mw_z"
+        ),
+        F.round(F.col("_d_num").cast("double") / (na * nb), 6).alias("ks_d"),
+        F.round(welch_t, 6).alias("welch_t"),
+        F.round(welch_df, 6).alias("welch_df"),
+        F.round(cohen, 6).alias("cohen_d"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score [Murphy 1973] —
+    reliability − resolution + uncertainty over the same deterministic
+    fixed-width bins as :func:`expected_calibration_error`: reliability
+    re-reads ECE's gap QUADRATICALLY (big bin gaps hurt more),
+    resolution says whether the score separates outcomes at all (a
+    perfectly calibrated but constant score has zero), uncertainty is
+    the label-rate floor no scorer can beat.  The raw Brier score is
+    computed UNBINNED and exactly; the identity brier ≈ rel − res + unc
+    holds up to within-bin score variance (exact only if scores are
+    bin-constant) — both sides are emitted so the residual is visible.
+
+    Exactness: per-bin gap numerators (Σpm_b − 1e6·Σy_b) and
+    (N·Σy_b − n_b·Σy) are exact integers; each bin's quadratic term is
+    micro-quantized before its ≤ n_bins-row sum (chi2 contract); the
+    unbinned Brier numerator Σ(pm − 1e6·y)² is an exact DECIMAL(38,0).
+    One hash aggregate to the bin census, one more over it."""
+    d38 = "decimal(38,0)"
+    pm = F.round(F.col(score_col).cast("double") * 1000000.0).cast("long")
+    y = F.col(label_col).cast("long")
+    rows = df.select(pm.alias("_pm"), y.alias("_y"))
+    binned = rows.select(
+        F.expr(f"least((_pm * {n_bins}) div 1000000, {n_bins - 1})")
+        .cast("int")
+        .alias("bin"),
+        "_pm",
+        "_y",
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_pm").cast("long").alias("_spm"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(
+            (F.col("_pm") - 1000000 * F.col("_y")).cast(d38)
+            * (F.col("_pm") - 1000000 * F.col("_y")).cast(d38)
+        )
+        .cast(d38)
+        .alias("_sq"),
+    )
+    tot = g.agg(
+        F.sum("_n").cast("long").alias("_nn"),
+        F.sum("_sy").cast("long").alias("_syy"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    rel_m = F.round(
+        (F.col("_spm") - 1000000 * F.col("_sy")).cast("double")
+        * (F.col("_spm") - 1000000 * F.col("_sy")).cast("double")
+        / F.col("_n").cast("double")
+        * F.lit(1e-6),
+        0,
+    ).cast(d38)
+    res_m = F.round(
+        (
+            F.col("_nn").cast("double") * F.col("_sy").cast("double")
+            - F.col("_n").cast("double") * F.col("_syy").cast("double")
+        )
+        * (
+            F.col("_nn").cast("double") * F.col("_sy").cast("double")
+            - F.col("_n").cast("double") * F.col("_syy").cast("double")
+        )
+        / F.col("_n").cast("double")
+        * F.lit(1e6)
+        / (F.col("_nn").cast("double") * F.col("_nn").cast("double")),
+        0,
+    ).cast(d38)
+    out = j.agg(
+        F.max("_nn").cast("long").alias("n"),
+        F.max("_syy").cast("long").alias("_sy_all"),
+        F.sum("_sq").cast(d38).alias("_sq_all"),
+        F.sum(rel_m).cast(d38).alias("_rel_m"),
+        F.sum(res_m).cast(d38).alias("_res_m"),
+    )
+    nnd = F.col("n").cast("double")
+    obar = F.col("_sy_all").cast("double") / nnd
+    return out.select(
+        "n",
+        F.round(F.col("_sq_all").cast("double") / (nnd * 1e12), 6).alias("brier"),
+        # per-bin terms were quantized at 1e6 × their natural unit, so the
+        # final division normalizes by N·1e6 (the unbinned Brier numerator
+        # above stays in micro² and divides by N·1e12)
+        F.round(F.col("_rel_m").cast("double") / (nnd * 1e6), 6).alias(
+            "reliability"
+        ),
+        F.round(F.col("_res_m").cast("double") / (nnd * 1e6), 6).alias(
+            "resolution"
+        ),
+        F.round(obar * (1.0 - obar), 6).alias("uncertainty"),
+    )

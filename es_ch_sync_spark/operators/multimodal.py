@@ -9,7 +9,9 @@ Decode support is two-tier, honestly split by what pure numpy can do:
   pixel-stat and PCM-chunk operators are oracle-checked end to end: the
   DuckDB oracle recomputes the same statistics from the generating
   formula, so encode→decode→compute must round-trip exactly.
-- **Codec formats stay gated** — JPEG/PNG/MP4 need Pillow/pyav (not in
+- **PNG decodes for real** — stdlib zlib inflate + spec unfilter
+  (encode_png/decode_png below), no image library needed.
+- **Codec formats stay gated** — JPEG/GIF/WebP/MP4 need Pillow/pyav (not in
   this container); those paths raise NotImplementedError (job-level
   kernels) or emit a per-row ``error`` column (row-level kernels), never
   silently fake pixels.  Swapping the gate for `PIL.Image.open` changes
@@ -209,14 +211,132 @@ def decode_wav_pcm16(blob: bytes):
     return data, rate
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG bytes (bit depth 8, color type 2,
+    filter 0 on every scanline, one zlib IDAT) — pure stdlib zlib +
+    struct, no image library.  The minimal-but-conformant writer any
+    PNG reader accepts; pairs with :func:`decode_png` for the synth
+    round-trip oracles."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes):
+    """PNG → (H, W, 3) uint8 RGB — pure stdlib zlib + numpy: chunk walk,
+    one zlib inflate, per-scanline unfilter (all five filter types 0-4
+    per the spec's reconstruction functions).  Supported: bit depth 8,
+    color types 2 (RGB) and 6 (RGBA — alpha dropped), non-interlaced.
+    Interlaced (Adam7), paletted, grayscale, and 16-bit images raise
+    NotImplementedError naming the feature.  Up/None rows reconstruct
+    vectorized; Sub/Average/Paeth run the spec's sequential byte
+    recurrence (correctness path — the synth writer emits filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        size, tag = struct.unpack_from(">I4s", blob, pos)
+        body = blob[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in (2, 6) or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={ctype} "
+                    f"interlace={interlace}: only 8-bit RGB/RGBA, "
+                    "non-interlaced"
+                )
+            bpp = 3 if ctype == 2 else 4
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).copy()
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — fully vectorized
+            cur = line + prev
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = cur
+    px = out.reshape(h, w, bpp)
+    return px[:, :, :3].copy() if bpp == 4 else px.reshape(h, w, 3).copy()
+
+
 def decode_image(blob: bytes):
-    """Magic-dispatched real decode: BMP/PPM in pure numpy; codec formats
-    (JPEG/PNG/GIF/WebP) raise until an image library is present."""
+    """Magic-dispatched real decode: BMP/PPM/PNG in pure numpy + stdlib
+    zlib; codec formats needing an external library (JPEG/GIF/WebP)
+    raise until one is present."""
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:2] == b"P6":
         return decode_ppm(blob)
-    for magic, name in ((b"\xff\xd8", "JPEG"), (b"\x89PN", "PNG"), (b"GIF8", "GIF"), (b"RIFF", "WebP/RIFF-image")):
+    if blob[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(blob)
+    for magic, name in ((b"\xff\xd8", "JPEG"), (b"GIF8", "GIF"), (b"RIFF", "WebP/RIFF-image")):
         if blob[: len(magic)] == magic:
             raise NotImplementedError(f"{name} decode requires Pillow/libvips (not in this container)")
     raise ValueError("unrecognized image format")
@@ -477,6 +597,17 @@ def synth_bmp_blob(media_id: int) -> bytes:
     return encode_bmp((media_id + 3 * x + 5 * y + 85 * c) % 256)
 
 
+def synth_png_blob(media_id: int) -> bytes:
+    """Same deterministic gradient as synth_bmp_blob, PNG-encoded — one
+    synthetic pixel formula, two real container round-trips."""
+    import numpy as np
+
+    x = np.arange(SYNTH_W)[None, :, None]
+    y = np.arange(SYNTH_H)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return encode_png((media_id + 3 * x + 5 * y + 85 * c) % 256)
+
+
 def synth_wav_blob(media_id: int) -> bytes:
     """n = (media_id mod 20 + 5)·80 samples @ 8 kHz;
     sample(i) = ((media_id·31 + 7i) mod 4096) − 2048."""
@@ -491,7 +622,10 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
     """(media_id, kind, content) with real encoded BMP/WAV blobs derived
     from doc_id — generated executor-side in Arrow batches (the driver
     never holds a blob)."""
-    maker = synth_bmp_blob if kind == "image" else synth_wav_blob
+    maker = {
+        "image": synth_bmp_blob,
+        "png": synth_png_blob,
+    }.get(kind, synth_wav_blob)
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),

@@ -2267,6 +2267,13 @@ def entropy_rate_bigram(
     one bigram census → one left-marginal census; the conditional join
     is census×census on the left word.  Nothing after the censuses
     grows with the corpus."""
+    return _entropy_from_bigram_census(bigram_census(docs, text_col))
+
+
+def bigram_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-doc adjacent-word-pair census (x, y, cnt) — the shared
+    front end of entropy_rate_bigram and kneser_ney_bigram: one
+    explode that never crosses document boundaries, one keyed count."""
     d = docs.select(words(F.col(text_col)).alias("ws"))
     bg = F.when(
         F.size("ws") >= 2,
@@ -2280,8 +2287,7 @@ def entropy_rate_bigram(
         .select(F.col("b.x").alias("x"), F.col("b.y").alias("y"))
         .filter((F.col("x") != "") & (F.col("y") != ""))
     )
-    cxy = e.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    return _entropy_from_bigram_census(cxy)
+    return e.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
 
 
 def _entropy_from_bigram_census(cxy: DataFrame) -> DataFrame:
@@ -2963,4 +2969,69 @@ def mattr_diversity(
         .alias("n_windows"),
         (~empty & (n >= w)).alias("windowed"),
         F.round(F.when(~empty, mattr), 6).alias("mattr"),
+    )
+
+
+def kneser_ney_bigram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus cross-entropy under an interpolated Kneser-Ney bigram
+    model [Kneser & Ney 1995; Chen & Goodman 1998] with the fixed
+    discount D = 3/4 — the language-model quality readout one tier
+    above doc_perplexity_buckets' add-one trigram: KN's continuation
+    probability ("how many contexts has w appeared in") is the
+    smoothing every production n-gram LM (KenLM) actually uses, and
+    corpus-level H_KN is the single number that says how templated /
+    predictable the corpus is under it.
+
+        P_KN(y|x) = max(c(xy) − D, 0)/c(x·) + D·N1+(x·)/c(x·) · N1+(·y)/N1+(··)
+
+    Exact-rational contract: with D = 3/4 every probability is the
+    integer ratio [max(4c−3,0)·T + 3·N1a·N1b] / [4·c(x·)·T]
+    (T = distinct bigram types), so ln P = lnm(num) − lnm(den) with
+    each ln micro-quantized — the qld_topk posture; the Σ c·lnP sum is
+    an exact DECIMAL(38,0) and H is ONE float division.  Self-scoring
+    (model trained on the corpus it scores), mirrored exactly by the
+    oracle.
+
+    Scale: ONE bigram explode → census; both marginals and the type
+    count are census-sized aggregates joined back by key; nothing
+    after the census grows with the corpus."""
+    d38 = "decimal(38,0)"
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
+    cxy = bigram_census(docs, text_col)
+    cx = cxy.groupBy("x").agg(
+        F.sum("cnt").cast("long").alias("_cx"),
+        F.count(F.lit(1)).cast("long").alias("_n1a"),
+    )
+    cy = cxy.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("_n1b"))
+    tot = cxy.agg(
+        F.count(F.lit(1)).cast("long").alias("v_types"),
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+    )
+    j = (
+        cxy.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    num = (
+        F.greatest(4 * F.col("cnt") - 3, F.lit(0)).cast(d38)
+        * F.col("v_types").cast(d38)
+        + F.lit(3).cast(d38) * F.col("_n1a").cast(d38) * F.col("_n1b").cast(d38)
+    )
+    den = (
+        F.lit(4).cast(d38) * F.col("_cx").cast(d38) * F.col("v_types").cast(d38)
+    )
+    s = j.select(
+        (
+            F.col("cnt").cast(d38) * (lnm(den) - lnm(num)).cast(d38)
+        ).alias("_t")
+    ).agg(F.sum("_t").cast(d38).alias("_s"))
+    g = tot.crossJoin(F.broadcast(s))
+    h = F.col("_s").cast("double") / (
+        F.col("n_bigrams").cast("double") * 1000000.0
+    )
+    return g.select(
+        "n_bigrams",
+        "v_types",
+        F.round(h, 6).alias("h_kn"),
+        F.round(F.exp(h), 6).alias("ppl_kn"),
     )

@@ -1373,6 +1373,22 @@ def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_png_stats", _PIXEL_STATS_ORACLE)
+def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, no image library: the same deterministic 8×6
+    gradient as multimodal_pixel_stats, but PNG-encoded executor-side
+    (stdlib zlib deflate, filter-0 scanlines, CRC'd chunks) and decoded
+    back through chunk walk → inflate → unfilter → numpy stats.  The
+    SAME generating-formula oracle checks it, so a value-hash match
+    proves the full PNG container round trip — the codec gate that
+    used to raise NotImplementedError is now a real decoder (JPEG/
+    GIF/WebP still gate on an external library)."""
+    media = mm.synth_media(_docs(spark, sf_dir), "png")
+    return mm.extract_pixel_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 _INCR_ORACLE = """
     WITH tall AS (
         SELECT user_id AS token_id, ts AS timestamp, 'value' AS name,

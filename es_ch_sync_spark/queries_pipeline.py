@@ -3517,6 +3517,64 @@ def q_lr_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expected_calibration_error(scored, "y", "p_quality", n_bins=10)
 
 
+@register(
+    "lr_brier_decomposition",
+    f"""
+    WITH scores AS (
+        SELECT y, p_quality FROM ({_o.quality_lr_sql(iters=3)}) s
+    ),
+    q AS (
+        SELECT CAST(round(p_quality * 1000000) AS BIGINT) AS pm, y
+        FROM scores
+    ),
+    g AS (
+        SELECT least((pm * 10) // 1000000, 9)::INT AS bin,
+               count(*)::BIGINT AS n, sum(pm)::BIGINT AS spm,
+               sum(y)::BIGINT AS sy,
+               sum((pm - 1000000 * y)::HUGEINT
+                   * (pm - 1000000 * y)::HUGEINT)::HUGEINT AS sq
+        FROM q GROUP BY 1
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS nn, sum(sy)::BIGINT AS syy FROM g),
+    terms AS (
+        SELECT g.n, g.spm, g.sy, g.sq, tot.nn, tot.syy,
+               CAST(round((spm - 1000000 * sy)::DOUBLE
+                          * (spm - 1000000 * sy)::DOUBLE
+                          / n::DOUBLE * 1e-6) AS HUGEINT) AS rel_m,
+               CAST(round((nn::DOUBLE * sy::DOUBLE - n::DOUBLE * syy::DOUBLE)
+                          * (nn::DOUBLE * sy::DOUBLE - n::DOUBLE * syy::DOUBLE)
+                          / n::DOUBLE * 1e6
+                          / (nn::DOUBLE * nn::DOUBLE)) AS HUGEINT) AS res_m
+        FROM g, tot
+    )
+    SELECT max(nn)::BIGINT AS n,
+           round(sum(sq)::DOUBLE / (max(nn)::DOUBLE * 1e12), 6) AS brier,
+           round(sum(rel_m)::DOUBLE / (max(nn)::DOUBLE * 1e6), 6)
+               AS reliability,
+           round(sum(res_m)::DOUBLE / (max(nn)::DOUBLE * 1e6), 6)
+               AS resolution,
+           round((max(syy)::DOUBLE / max(nn)::DOUBLE)
+                 * (1.0 - max(syy)::DOUBLE / max(nn)::DOUBLE), 6)
+               AS uncertainty
+    FROM terms
+    """,
+)
+def q_lr_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the LR quality gate's Brier score —
+    reliability/resolution/uncertainty over lr_ece's own deterministic
+    bins, plus the exact unbinned Brier: reliability re-reads the ECE
+    gap quadratically, resolution says whether the score separates
+    outcomes at all, uncertainty is the label-rate floor.  Exact
+    integer gap numerators; per-bin quadratic terms micro-quantized
+    before the ≤10-row sum."""
+    from es_ch_sync_spark.operators.analytics import brier_decomposition
+    from es_ch_sync_spark.operators.text import quality_lr_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)
+    return brier_decomposition(scored, "y", "p_quality", n_bins=10)
+
+
 _HEAPS_CP = 10
 
 
@@ -3738,6 +3796,65 @@ def q_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_ch_sync_spark.operators.text import entropy_rate_bigram
 
     return entropy_rate_bigram(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "kneser_ney_bigram",
+    f"""
+    WITH d AS (
+        SELECT string_split({_o.NORM.format(col='text')}, ' ') AS ws
+        FROM documents
+    ),
+    e AS (
+        SELECT b.x AS x, b.y AS y FROM (
+            SELECT unnest(list_transform(
+                range(1, len(ws)),
+                i -> struct_pack(x := ws[i], y := ws[i + 1])
+            )) AS b
+            FROM d WHERE len(ws) >= 2
+        ) WHERE b.x != '' AND b.y != ''
+    ),
+    cxy AS MATERIALIZED (
+        SELECT x, y, count(*)::BIGINT AS cnt FROM e GROUP BY 1, 2
+    ),
+    cx AS MATERIALIZED (
+        SELECT x, sum(cnt)::BIGINT AS cx, count(*)::BIGINT AS n1a
+        FROM cxy GROUP BY 1
+    ),
+    cy AS MATERIALIZED (
+        SELECT y, count(*)::BIGINT AS n1b FROM cxy GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*)::BIGINT AS v_types, sum(cnt)::BIGINT AS n_bigrams
+        FROM cxy
+    ),
+    s AS (
+        SELECT sum(cnt::HUGEINT * (
+                   CAST(round(ln((4::HUGEINT * cx * v_types)::DOUBLE)
+                              * 1000000) AS BIGINT)
+                   - CAST(round(ln((greatest(4 * cnt - 3, 0)::HUGEINT * v_types
+                                    + 3::HUGEINT * n1a * n1b)::DOUBLE)
+                                * 1000000) AS BIGINT)
+               )::HUGEINT)::HUGEINT AS s
+        FROM cxy JOIN cx USING (x) JOIN cy USING (y), tot
+    )
+    SELECT n_bigrams, v_types,
+           round(s::DOUBLE / (n_bigrams::DOUBLE * 1000000.0), 6) AS h_kn,
+           round(exp(s::DOUBLE / (n_bigrams::DOUBLE * 1000000.0)), 6)
+               AS ppl_kn
+    FROM tot, s
+    """,
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cross-entropy / perplexity under an interpolated
+    Kneser-Ney bigram model (fixed D = 3/4) — the production-grade LM
+    smoothing (KenLM's) one tier above doc_perplexity_buckets' add-one
+    trigram, self-scored on the corpus.  With D = 3/4 every P_KN is an
+    exact integer ratio, so ln P micro-quantizes per census row and
+    the Σ c·lnP numerator is exact; H is one float division."""
+    from es_ch_sync_spark.operators.text import kneser_ney_bigram
+
+    return kneser_ney_bigram(_t(spark, sf_dir, "documents"))
 
 
 def _corpus_stats_panel_oracle() -> str:

@@ -3329,6 +3329,105 @@ def q_brown_forsythe_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ab_panel",
+    """
+    WITH vm AS (
+        SELECT event_type AS arm,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events
+        WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ),
+    pv AS MATERIALIZED (
+        SELECT v,
+               sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END)::BIGINT AS na_v,
+               sum(CASE WHEN arm = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb_v
+        FROM vm GROUP BY 1
+    ),
+    r AS (
+        SELECT v, na_v, nb_v, (na_v + nb_v)::BIGINT AS t,
+               coalesce(sum(na_v + nb_v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS cum_below,
+               coalesce(sum(na_v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS ca_below,
+               coalesce(sum(nb_v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS cb_below,
+               sum(na_v) OVER ()::BIGINT AS tot_a,
+               sum(nb_v) OVER ()::BIGINT AS tot_b
+        FROM pv
+    ),
+    g AS (
+        SELECT sum(na_v)::BIGINT AS n_a, sum(nb_v)::BIGINT AS n_b,
+               sum(na_v * (2 * cum_below + t + 1))::BIGINT AS rs2a,
+               sum(t * t * t - t)::BIGINT AS tie3,
+               sum(na_v * v)::BIGINT AS sa, sum(nb_v * v)::BIGINT AS sb,
+               sum(na_v::HUGEINT * v::HUGEINT * v::HUGEINT)::HUGEINT AS ssa,
+               sum(nb_v::HUGEINT * v::HUGEINT * v::HUGEINT)::HUGEINT AS ssb,
+               max(abs(tot_b * (ca_below + na_v)
+                       - tot_a * (cb_below + nb_v)))::BIGINT AS d_num
+        FROM r
+    ),
+    m AS (
+        SELECT n_a, n_b, rs2a, tie3, d_num,
+               (rs2a - n_a * (n_a + 1))::DOUBLE / 2.0 AS u,
+               n_a::DOUBLE * n_b / 12.0
+               * ((n_a + n_b + 1.0)
+                  - tie3::DOUBLE / ((n_a + n_b)::DOUBLE * (n_a + n_b - 1.0)))
+                   AS var_u,
+               sa::DOUBLE / n_a::DOUBLE AS ma, sb::DOUBLE / n_b::DOUBLE AS mb,
+               ssa::DOUBLE - sa::DOUBLE * sa::DOUBLE / n_a::DOUBLE AS ssd_a,
+               ssb::DOUBLE - sb::DOUBLE * sb::DOUBLE / n_b::DOUBLE AS ssd_b
+        FROM g WHERE n_a > 0 AND n_b > 0
+    ),
+    m2 AS (
+        SELECT m.*,
+               ssd_a / (n_a::DOUBLE - 1.0) AS va,
+               ssd_b / (n_b::DOUBLE - 1.0) AS vb
+        FROM m
+    ),
+    m3 AS (
+        SELECT m2.*,
+               va / n_a::DOUBLE + vb / n_b::DOUBLE AS se2
+        FROM m2
+    )
+    SELECT n_a, n_b, round(u, 1) AS u_stat,
+           CASE WHEN var_u > 0
+                THEN round((u - n_a::DOUBLE * n_b / 2.0) / sqrt(var_u), 6)
+           END AS mw_z,
+           round(d_num::DOUBLE / (n_a::DOUBLE * n_b), 6) AS ks_d,
+           round(CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                 THEN (ma - mb) / sqrt(se2) END, 6) AS welch_t,
+           round(CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                 THEN se2 * se2
+                      / (va * va / (n_a::DOUBLE * n_a::DOUBLE * (n_a::DOUBLE - 1.0))
+                         + vb * vb / (n_b::DOUBLE * n_b::DOUBLE * (n_b::DOUBLE - 1.0)))
+                 END, 6) AS welch_df,
+           round(CASE WHEN n_a > 1 AND n_b > 1 AND ssd_a + ssd_b > 0
+                 THEN (ma - mb)
+                      / sqrt((ssd_a + ssd_b) / (n_a::DOUBLE + n_b::DOUBLE - 2.0))
+                 END, 6) AS cohen_d
+    FROM m3
+    """,
+)
+def q_ab_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B readout panel — Welch t (+df), Mann-Whitney U/z, KS D,
+    and Cohen's d between the 'view' and 'purchase' arms off ONE
+    materialized distinct-value census: the shared-pass discipline
+    (corpus_stats_panel precedent) applied to the A/B family, which
+    otherwise rescans the pool once per test.  Statistics match the
+    standalone operators digit for digit."""
+    from es_ch_sync_spark.operators.analytics import ab_panel
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ab_panel(
+        ev, group_col="event_type", value_col="value",
+        arm_a="view", arm_b="purchase",
+    )
+
+
+@register(
     "sliding_distinct_users",
     """
     WITH ud AS (

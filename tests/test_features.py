@@ -856,3 +856,139 @@ def test_paired_permutation_test_properties(spark):
     r2 = paired_permutation_test(df2, "u", "arm", "value", "a", "b").collect()[0]
     assert r2["t_obs"] == 20.0
     assert r2["p_value"] == round(1.0 / 201.0, 6)
+
+
+def test_ab_panel_matches_standalones(spark):
+    """The one-census panel must reproduce the standalone operators'
+    statistics digit for digit on the same pool."""
+    from es_ch_sync_spark.operators.analytics import (
+        ab_mann_whitney,
+        ab_panel,
+        effect_sizes_ab,
+        ks_two_sample,
+    )
+
+    rows = [("a", float(v)) for v in (1, 2, 2, 3, 5, 8, 9)] + [
+        ("b", float(v)) for v in (2, 3, 3, 4, 7, 7)
+    ]
+    df = spark.createDataFrame(rows, "arm string, x double")
+    p = ab_panel(df, "arm", "x", "a", "b").collect()[0]
+    mw = ab_mann_whitney(df, "arm", "x", "a", "b").collect()[0]
+    ks = ks_two_sample(df, "arm", "x", "a", "b").collect()[0]
+    es = effect_sizes_ab(df, "arm", "x", "a", "b").collect()[0]
+    assert (p["n_a"], p["n_b"]) == (mw["n_a"], mw["n_b"]) == (7, 6)
+    assert p["u_stat"] == mw["u_stat"] and p["mw_z"] == mw["z_score"]
+    assert p["ks_d"] == ks["d_stat"]
+    assert p["cohen_d"] == es["cohen_d"]
+    assert p["welch_t"] is not None and p["welch_df"] is not None
+
+
+def test_brier_decomposition_identity(spark):
+    """Bin-constant scores (0.2 / 0.8 with 1-in-4 flips): brier = 0.19
+    = reliability 0.0025 - resolution 0.0625 + uncertainty 0.25."""
+    from es_ch_sync_spark.operators.analytics import brier_decomposition
+
+    rows = (
+        [(0, 0.2)] * 3 + [(1, 0.2)] + [(1, 0.8)] * 3 + [(0, 0.8)]
+    )
+    df = spark.createDataFrame(rows, "y int, p double")
+    r = brier_decomposition(df, "y", "p").collect()[0]
+    assert r["n"] == 8
+    assert r["brier"] == 0.19
+    assert r["reliability"] == 0.0025
+    assert r["resolution"] == 0.0625
+    assert r["uncertainty"] == 0.25
+    assert r["brier"] == round(
+        r["reliability"] - r["resolution"] + r["uncertainty"], 6
+    )
+
+
+def test_png_round_trip_and_filters():
+    """encode_png -> decode_png is pixel-exact; hand-built PNGs with
+    filter types 1-4 reconstruct per the spec; RGBA drops alpha;
+    interlaced raises."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    assert np.array_equal(decode_png(encode_png(rng)), rng)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, raw, ctype=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    # 2x2 RGB, filter 1 (Sub) row then filter 2 (Up) row:
+    # row0 raw (10,20,30, 5,6,7) -> px (10,20,30),(15,26,37)
+    # row1 Up   (1,1,1, 2,2,2)   -> px (11,21,31),(17,28,39)
+    raw = bytes([1, 10, 20, 30, 5, 6, 7]) + bytes([2, 1, 1, 1, 2, 2, 2])
+    out = decode_png(png(2, 2, raw))
+    assert out.tolist() == [
+        [[10, 20, 30], [15, 26, 37]],
+        [[11, 21, 31], [17, 28, 39]],
+    ]
+    # 2x2 RGB, filter 3 (Average) then 4 (Paeth) over known priors:
+    # row0 Avg with no prev: px0 = raw, px1 += floor(left/2)
+    # row1 Paeth: predictor = left/up/ul by the tie rules
+    raw2 = bytes([3, 10, 20, 30, 5, 6, 7]) + bytes([4, 1, 1, 1, 2, 2, 2])
+    out2 = decode_png(png(2, 2, raw2))
+    r0p0 = [10, 20, 30]
+    r0p1 = [5 + 5, 6 + 10, 7 + 15]
+    assert out2[0].tolist() == [r0p0, r0p1]
+    # Paeth row: px0 pred = up (a=0,c=0 -> p=b) -> up+1; px1: a=left,b=up,c=ul
+    assert out2[1][0].tolist() == [11, 21, 31]
+    a, b, c = out2[1][0], out2[0][1], out2[0][0]
+    exp = []
+    for ch in range(3):
+        p = int(a[ch]) + int(b[ch]) - int(c[ch])
+        pa, pb, pc = abs(p - a[ch]), abs(p - b[ch]), abs(p - c[ch])
+        pr = a[ch] if (pa <= pb and pa <= pc) else (b[ch] if pb <= pc else c[ch])
+        exp.append((int(pr) + 2) & 0xFF)
+    assert out2[1][1].tolist() == exp
+    # RGBA (color type 6): alpha dropped
+    raw4 = bytes([0, 9, 8, 7, 255, 1, 2, 3, 128])
+    out4 = decode_png(png(2, 1, raw4, ctype=6))
+    assert out4.tolist() == [[[9, 8, 7], [1, 2, 3]]]
+    # Adam7 interlace gates
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_png(png(2, 2, raw, interlace=1))
+
+
+def test_decode_image_dispatches_png():
+    """decode_image now routes PNG to the real decoder; JPEG still
+    gates on an external library."""
+    import numpy as np
+    import pytest
+
+    from es_ch_sync_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        synth_png_blob,
+        synth_bmp_blob,
+        decode_bmp,
+    )
+
+    arr = (np.arange(4 * 5 * 3, dtype=np.uint8) * 7 % 256).reshape(4, 5, 3)
+    assert np.array_equal(decode_image(encode_png(arr)), arr)
+    # PNG and BMP synth blobs decode to the SAME pixels (shared formula)
+    assert np.array_equal(
+        decode_image(synth_png_blob(42)), decode_bmp(synth_bmp_blob(42))
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")

@@ -614,3 +614,20 @@ def test_tokenizer_compression_hand_counts(spark):
     b = got["b"]
     assert b["n_bytes"] == 0 and b["n_bpe_tokens"] == 0
     assert b["bytes_per_bpe_token"] is None
+
+
+def test_kneser_ney_bigram_hand_computed(spark):
+    """Corpus 'a b a b': census (a,b):2, (b,a):1 -> P(b|a) = 13/16,
+    P(a|b) = 5/8; H = (2*(lnm16-lnm13) + (lnm8-lnm5)) / 3e6."""
+    import math
+
+    from es_ch_sync_spark.operators.text import kneser_ney_bigram
+
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    r = kneser_ney_bigram(docs).collect()[0]
+    assert (r["n_bigrams"], r["v_types"]) == (3, 2)
+    lnm = lambda x: round(math.log(x) * 1e6)
+    s = 2 * (lnm(16) - lnm(13)) + (lnm(8) - lnm(5))
+    h = s / 3e6
+    assert r["h_kn"] == round(h, 6)
+    assert r["ppl_kn"] == round(math.exp(h), 6)

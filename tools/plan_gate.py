@@ -56,6 +56,7 @@ CENSUS_WINDOW_WHITELIST: dict[str, str] = {
     "ks_ab_test": "distinct-value census CDF",
     "wilcoxon_signed_rank": "distinct-|d| census CDF (one row per pairing unit at most)",
     "kruskal_wallis_arms": "distinct-value census CDF (pooled double-ranks)",
+    "ab_panel": "one distinct-value census CDF feeding all four A/B readouts",
     "lr_auc_brier": "distinct-score census CDF",
     "kaplan_meier_conversion": "distinct-event-time census cumsum",
     # 9-row digit census (Benford chi-square total)
@@ -84,6 +85,8 @@ FILESCAN_BUDGETS: dict[str, int] = {
     "corpus_stats_panel": 1,
     # one checkpointed mining feeds all four graph readouts
     "host_graph_panel": 1,
+    # one value census (localCheckpoint) feeds all four A/B statistics
+    "ab_panel": 1,
 }
 
 _WINDOW_RE = re.compile(r"\bWindow(GroupLimit)?\b.*windowspecdefinition")

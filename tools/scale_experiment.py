@@ -1443,6 +1443,177 @@ def _r10_sections(spark, docs, replicas, only):
             f"retention_cohorts x{replicas} (500k events, 30-day span)",
             lambda: retention_cohorts(ev).count(),
         )
+    if "r12d" in only:
+        from es_ch_sync_spark.operators import dedup as dd  # noqa: F811
+        from es_ch_sync_spark.operators.analytics import (
+            ab_panel,
+            brown_forsythe,
+            cochran_q,
+            effect_sizes_ab,
+            gumbel_block_maxima,
+            jackknife_group_means,
+            kruskal_wallis,
+            nmi_vmeasure,
+            paired_permutation_test,
+            runs_test,
+            theil_sen,
+            wilcoxon_signed_rank,
+        )
+        from es_ch_sync_spark.operators.graph import degree_powerlaw
+        from es_ch_sync_spark.operators.text import (
+            gopher_quality_flags,
+            normalize_text,
+        )
+
+        # synthetic events with a value column (the r12c shape + value):
+        # ~10k users, 5 arms, 30-day span.  PRIME moduli only: replica
+        # doc_ids are base + rep*1e6, so any modulus dividing 1e6 (and any
+        # arm index correlated with the user modulus) collapses to one arm
+        # per user and every paired test degenerates to 0 rows.
+        ev = docs.select(
+            (F.col("doc_id") % 9973).alias("user_id"),
+            F.element_at(
+                F.array(
+                    F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("signup"), F.lit("error"),
+                ),
+                ((F.col("doc_id") / 9973).cast("long") % 5 + 1).cast("int"),
+            ).alias("event_type"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("doc_id") % 2_592_000
+            ).alias("ts"),
+            ((F.col("doc_id") % 997).cast("double") / 10.0).alias("value"),
+        ).localCheckpoint(eager=True)
+        timed(
+            f"wilcoxon_signed_rank x{replicas} (10k paired users)",
+            lambda: wilcoxon_signed_rank(
+                ev, "user_id", "event_type", "value", "view", "purchase"
+            ).count(),
+        )
+        timed(
+            f"paired_permutation_test x{replicas} (10k users x 200 flips)",
+            lambda: paired_permutation_test(
+                ev, "user_id", "event_type", "value", "view", "purchase"
+            ).count(),
+        )
+        timed(
+            f"kruskal_wallis x{replicas} (5 arms)",
+            lambda: kruskal_wallis(ev, "event_type", "value").count(),
+        )
+        timed(
+            f"brown_forsythe x{replicas} (5 arms)",
+            lambda: brown_forsythe(ev, "event_type", "value").count(),
+        )
+        timed(
+            f"effect_sizes_ab x{replicas}",
+            lambda: effect_sizes_ab(
+                ev, "event_type", "value", "view", "purchase"
+            ).count(),
+        )
+        timed(
+            f"ab_panel x{replicas} (one census, four readouts)",
+            lambda: ab_panel(
+                ev, "event_type", "value", "view", "purchase"
+            ).count(),
+        )
+        daily = ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("y")).localCheckpoint(eager=True)
+        timed(
+            f"theil_sen x{replicas} (5x30-day census)",
+            lambda: theil_sen(daily, "event_type", "day", "y").count(),
+        )
+        timed(
+            f"runs_test x{replicas} (5x30-day census)",
+            lambda: runs_test(daily, "event_type", "day", "y").count(),
+        )
+        timed(
+            f"gumbel_weekly_max x{replicas} (5x30-day census)",
+            lambda: gumbel_block_maxima(daily, "event_type", "day", "y").count(),
+        )
+        timed(
+            f"cochran_q x{replicas} (3 gopher subrules)",
+            lambda: cochran_q(
+                gopher_quality_flags(docs),
+                "ok_word_count", "ok_symbols", "ok_stopwords",
+            ).count(),
+        )
+        d20 = docs.select(
+            F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string")).alias(
+                "source"
+            ),
+            F.length("text").alias("n_chars"),
+        )
+        timed(
+            f"jackknife_source_means x{replicas} (20 sources)",
+            lambda: jackknife_group_means(d20, "source", "n_chars").count(),
+        )
+        lang5 = docs.select(
+            "doc_id",
+            F.concat(F.lit("l"), (F.col("doc_id") % 5).cast("string")).alias(
+                "label_a"
+            ),
+            F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string")).alias(
+                "label_b"
+            ),
+        )
+        timed(
+            f"nmi lang/source x{replicas} (5x20 contingency)",
+            lambda: nmi_vmeasure(
+                lang5.select("doc_id", "label_a"),
+                lang5.select("doc_id", "label_b"),
+                "doc_id",
+            ).count(),
+        )
+
+        def _nmi_lsh() -> int:
+            la = docs.select(
+                "doc_id", F.md5(normalize_text(F.col("text"))).alias("label_a")
+            )
+            comp = dd.connected_components(
+                dd.minhash_near_duplicates(docs, threshold=0.5)
+            )
+            lb = (
+                docs.select("doc_id")
+                .join(comp, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+                    .cast("string")
+                    .alias("label_b"),
+                )
+            )
+            return nmi_vmeasure(la, lb, "doc_id").count()
+
+        timed(f"nmi_exact_vs_lsh x{replicas} (minhash CC upstream)", _nmi_lsh)
+        host = "('h' || CAST({c} % 9973 AS STRING))"
+        pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+        he12 = (
+            pairs.select(
+                F.expr(host.format(c="id_a")).alias("ha"),
+                F.expr(host.format(c="id_b")).alias("hb"),
+            )
+            .filter(F.col("ha") != F.col("hb"))
+            .localCheckpoint(eager=True)  # time the fit, not the mining
+        )
+        es12 = (
+            he12.select(F.col("ha").alias("src"), F.col("hb").alias("dst"))
+            .unionByName(
+                he12.select(F.col("hb").alias("src"), F.col("ha").alias("dst"))
+            )
+            .distinct()
+        )
+        timed(
+            f"host_degree_powerlaw x{replicas} (mining checkpointed out)",
+            lambda: degree_powerlaw(es12).count(),
+        )
+    if "kn12" in only:
+        from es_ch_sync_spark.operators.text import kneser_ney_bigram
+
+        timed(
+            f"kneser_ney_bigram x{replicas}",
+            lambda: kneser_ney_bigram(docs).count(),
+        )
     if "langreport" in only:
         from es_ch_sync_spark.operators.analytics import classification_report
         from es_ch_sync_spark.operators.text import lang_id
