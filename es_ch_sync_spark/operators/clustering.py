@@ -599,3 +599,77 @@ def assign_to_centroids(
         .agg(F.min(F.struct("d", "cell")).alias("m"))
         .select(F.col(id_col), F.col("m.cell").alias("cell"))
     )
+
+
+def grid_density_clusters(
+    points: DataFrame,
+    x_col,
+    y_col,
+    eps: float = 0.1,
+    min_pts: int = 10,
+) -> DataFrame:
+    """Grid-based density clustering — the cell-level DBSCAN
+    approximation [Ester et al. 1996; cell decomposition per Gunawan
+    2013]: bin points into ε-cells, call a cell DENSE when it holds ≥
+    min_pts points, and emit the connected components of the dense-cell
+    8-neighborhood graph.  Points in sparse cells are noise (not
+    emitted).  The embedding-space readout for "how many modes does
+    this corpus occupy" that k-means can't give (no k, arbitrary
+    shapes) — and the standard way DBSCAN is made distributable: the
+    point-level ε-graph is never materialized, only the CELL graph
+    (≤ cells² but via an 8-offset EQUI-join, never a cross join).
+
+    Determinism contract: coordinates micro-quantize before the cell
+    floor-divide (identical doubles both engines); cluster_id is the
+    lexicographic MIN dense-cell key reachable (the connected_components
+    min-label contract; isolated dense cells label themselves).
+
+    Scale: one (cx, cy) hash aggregate over the points (the only
+    point-volume pass) → dense-cell census → 8-offset broadcast
+    equi-join → min-label CC over the CELL graph (cells ≪ points);
+    the summary is census-sized."""
+    from es_ch_sync_spark.operators.dedup import connected_components
+
+    eps_m = float(int(round(eps * 1e6)))
+    xq = F.round(F.col(x_col).cast("double") * 1000000.0).cast("long")
+    yq = F.round(F.col(y_col).cast("double") * 1000000.0).cast("long")
+    pts = points.select(
+        F.floor(xq / F.lit(eps_m)).cast("long").alias("_cx"),
+        F.floor(yq / F.lit(eps_m)).cast("long").alias("_cy"),
+    )
+    cells = pts.groupBy("_cx", "_cy").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    key = F.concat_ws(":", F.col("_cx"), F.col("_cy"))
+    dense = cells.filter(F.col("_n") >= min_pts).select(
+        "_cx", "_cy", "_n", key.alias("_key")
+    )
+    offs = points.sparkSession.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
+        "dx long, dy long",
+    )
+    shifted = dense.crossJoin(F.broadcast(offs)).select(
+        (F.col("_cx") + F.col("dx")).alias("_cx"),
+        (F.col("_cy") + F.col("dy")).alias("_cy"),
+        F.col("_key").alias("_key_b"),
+    )
+    edges = (
+        dense.join(shifted, ["_cx", "_cy"])
+        .filter(F.col("_key") < F.col("_key_b"))
+        .select(F.col("_key").alias("id_a"), F.col("_key_b").alias("id_b"))
+    )
+    comp = connected_components(edges)
+    labeled = dense.join(
+        comp.withColumnRenamed("doc_id", "_key"), "_key", "left"
+    ).select(
+        F.coalesce(F.col("cluster_id"), F.col("_key")).alias("cluster_id"),
+        "_n",
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("_n").cast("long").alias("n_points"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1373,6 +1373,68 @@ def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_density_clusters",
+    """
+    WITH RECURSIVE p AS (
+        SELECT floor(round(embedding[1]::DOUBLE * 1000000) / 100000.0)::BIGINT
+                   AS cx,
+               floor(round(embedding[2]::DOUBLE * 1000000) / 100000.0)::BIGINT
+                   AS cy
+        FROM embeddings
+    ),
+    cells AS (SELECT cx, cy, count(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+    dense AS MATERIALIZED (
+        SELECT cx, cy, n, cx::VARCHAR || ':' || cy::VARCHAR AS key
+        FROM cells WHERE n >= 10
+    ),
+    offs AS (
+        SELECT dx, dy
+        FROM (SELECT unnest([-1, 0, 1]) AS dx), (SELECT unnest([-1, 0, 1]) AS dy)
+        WHERE NOT (dx = 0 AND dy = 0)
+    ),
+    ed AS (
+        SELECT a.key AS id_a, b.key AS id_b
+        FROM dense a
+        JOIN offs ON TRUE
+        JOIN dense b ON b.cx = a.cx + offs.dx AND b.cy = a.cy + offs.dy
+        WHERE a.key < b.key
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM ed
+        UNION
+        SELECT id_b, id_a FROM ed
+    ),
+    walk(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+    ),
+    comp AS (SELECT id AS key, min(label) AS cluster_id FROM walk GROUP BY id),
+    lab AS (
+        SELECT coalesce(c.cluster_id, d.key) AS cluster_id, d.n
+        FROM dense d LEFT JOIN comp c ON d.key = c.key
+    )
+    SELECT cluster_id, count(*)::BIGINT AS n_cells, sum(n)::BIGINT AS n_points
+    FROM lab GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_embedding_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based density clusters (cell-level DBSCAN) over the first
+    two embedding dimensions — how many density modes does the corpus
+    occupy, without choosing k: ε-cells with ≥ min_pts points connect
+    through their 8-neighborhood into clusters; sparse cells are
+    noise.  The cell graph (never the point ε-graph) goes through the
+    same min-label CC as dedup; the 8-offset join is an equi-join."""
+    from es_ch_sync_spark.operators.clustering import grid_density_clusters
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("embedding").getItem(0).alias("x"),
+        F.col("embedding").getItem(1).alias("y"),
+    )
+    return grid_density_clusters(emb, "x", "y", eps=0.1, min_pts=10)
+
+
 @register("multimodal_png_stats", _PIXEL_STATS_ORACLE)
 def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode, no image library: the same deterministic 8×6

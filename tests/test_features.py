@@ -992,3 +992,19 @@ def test_decode_image_dispatches_png():
     )
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_grid_density_clusters_hand_computed(spark):
+    """Two dense cells sharing a corner merge into one cluster; a dense
+    cell two cells away stays its own; sparse points are noise."""
+    from es_ch_sync_spark.operators.clustering import grid_density_clusters
+
+    pts = []
+    pts += [(0.05 + i * 0.001, 0.05) for i in range(10)]   # cell (0,0)
+    pts += [(0.15 + i * 0.001, 0.15) for i in range(10)]   # cell (1,1) - corner-adjacent
+    pts += [(0.55 + i * 0.001, 0.05) for i in range(12)]   # cell (5,0) - isolated
+    pts += [(0.35, 0.35)] * 5                              # sparse cell: noise
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = grid_density_clusters(df, "x", "y", eps=0.1, min_pts=10).collect()
+    rows = {r["cluster_id"]: (r["n_cells"], r["n_points"]) for r in out}
+    assert rows == {"0:0": (2, 20), "5:0": (1, 12)}

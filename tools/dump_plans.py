@@ -91,7 +91,7 @@ HEADLINE = [
     "effect_sizes_ab", "nmi_lang_source", "host_degree_powerlaw",
     "jackknife_source_means", "runs_test_daily", "gumbel_weekly_max",
     "paired_permutation_test", "ab_panel", "lr_brier_decomposition",
-    "kneser_ney_bigram", "multimodal_png_stats",
+    "kneser_ney_bigram", "multimodal_png_stats", "embedding_density_clusters",
 ]
 
 MARKERS = [

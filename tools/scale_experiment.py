@@ -1614,6 +1614,20 @@ def _r10_sections(spark, docs, replicas, only):
             f"kneser_ney_bigram x{replicas}",
             lambda: kneser_ney_bigram(docs).count(),
         )
+    if "gridc" in only:
+        from es_ch_sync_spark.operators.clustering import grid_density_clusters
+
+        emb12 = spark.read.parquet(f"{CACHE}/r{replicas}_embeddings.parquet")
+        pts = emb12.select(
+            F.col("embedding").getItem(0).alias("x"),
+            F.col("embedding").getItem(1).alias("y"),
+        )
+        timed(
+            f"grid_density_clusters x{replicas}",
+            lambda: grid_density_clusters(
+                pts, "x", "y", eps=0.1, min_pts=10
+            ).count(),
+        )
     if "langreport" in only:
         from es_ch_sync_spark.operators.analytics import classification_report
         from es_ch_sync_spark.operators.text import lang_id
