@@ -4141,3 +4141,162 @@ def brier_decomposition(
         ),
         F.round(obar * (1.0 - obar), 6).alias("uncertainty"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame, dur_col: str, event_col: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard [Nelson 1972; Aalen 1978] —
+    H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the same (duration, event) framing as
+    :func:`kaplan_meier`: where KM's survival curve says "what fraction
+    has not converted yet", the hazard's SLOPE says "how fast are
+    conversions happening right now", which is the readout that shows
+    a promo spike or a decaying funnel directly (H ≈ −ln S only when
+    increments are small — both are exact here, so the gap itself is
+    informative).
+
+    Exactness: the per-time increment d/n_risk is micro-quantized to a
+    BIGINT BEFORE the running sum (the KM log-product contract), so
+    the cumulative hazard is an exact integer column divided once.
+
+    Scale: one (duration) census off the per-unit table; n_risk is a
+    window over that bounded census (whitelisted posture)."""
+    per_t = (
+        df.select(
+            F.col(dur_col).cast("long").alias("_t"),
+            F.col(event_col).cast("int").alias("_e"),
+        )
+        .groupBy("_t")
+        .agg(
+            F.sum(F.when(F.col("_e") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("d_events"),
+            F.sum(F.when(F.col("_e") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c_censored"),
+        )
+    )
+    tot = per_t.agg(
+        F.sum(F.col("d_events") + F.col("c_censored")).cast("long").alias("_n")
+    )
+    wb = W.orderBy("_t").rowsBetween(W.unboundedPreceding, -1)
+    staged = per_t.crossJoin(F.broadcast(tot)).select(
+        "_t", "d_events", "c_censored",
+        (
+            F.col("_n")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(wb), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    inc = F.when(
+        F.col("d_events") > 0,
+        F.round(
+            F.col("d_events").cast("double")
+            / F.col("n_risk").cast("double")
+            * 1000000.0,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    wc = W.orderBy("_t").rowsBetween(W.unboundedPreceding, 0)
+    return staged.select(
+        F.col("_t").alias("t"),
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.round(
+            F.sum(inc).over(wc).cast("double") / 1000000.0, 6
+        ).alias("cum_hazard"),
+    ).orderBy("t")
+
+
+def logrank_test(
+    df: DataFrame, group_col: str, dur_col: str, event_col: str
+) -> DataFrame:
+    """Two-group log-rank test [Mantel 1966] on censored time-to-event
+    data — "do the two cohorts convert on the same clock", the
+    significance companion to the kaplan_meier / nelson_aalen curves
+    (eyeballing two survival curves is exactly the mistake the test
+    exists to prevent).  At each event time with d events of n at
+    risk (d₁ of n₁ in group 1):
+
+        E₁ = d·n₁/n,   V = d·(n₁/n)·(1 − n₁/n)·(n − d)/(n − 1)
+        χ² = (Σd₁ − ΣE₁)² / ΣV,  df = 1
+
+    Exactness: group-wise d/c/n_risk are exact integers off one
+    duration census; E₁ and V are micro-quantized per event time
+    before their sums (the chi2_independence contract); χ² is one
+    float expression.  NULL when ΣV = 0 (no comparable event times).
+
+    Scale: one (group, duration) hash aggregate; both risk-set windows
+    run over the bounded duration census."""
+    g01 = F.col(group_col).cast("long")
+    per_t = (
+        df.select(
+            g01.alias("_g"),
+            F.col(dur_col).cast("long").alias("_t"),
+            F.col(event_col).cast("int").alias("_e"),
+        )
+        .groupBy("_t")
+        .agg(
+            F.sum(F.when((F.col("_g") == 1) & (F.col("_e") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("_d1"),
+            F.sum(F.when((F.col("_g") == 1) & (F.col("_e") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("_c1"),
+            F.sum(F.when((F.col("_g") == 0) & (F.col("_e") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("_d0"),
+            F.sum(F.when((F.col("_g") == 0) & (F.col("_e") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("_c0"),
+        )
+    )
+    tot = per_t.agg(
+        F.sum(F.col("_d1") + F.col("_c1")).cast("long").alias("_n1"),
+        F.sum(F.col("_d0") + F.col("_c0")).cast("long").alias("_n0"),
+    )
+    wb = W.orderBy("_t").rowsBetween(W.unboundedPreceding, -1)
+    staged = per_t.crossJoin(F.broadcast(tot)).select(
+        "_t", "_d1", "_d0",
+        (
+            F.col("_n1")
+            - F.coalesce(F.sum(F.col("_d1") + F.col("_c1")).over(wb), F.lit(0))
+        ).alias("_r1"),
+        (
+            F.col("_n0")
+            - F.coalesce(F.sum(F.col("_d0") + F.col("_c0")).over(wb), F.lit(0))
+        ).alias("_r0"),
+        "_n1", "_n0",
+    )
+    d = (F.col("_d1") + F.col("_d0")).cast("double")
+    n = (F.col("_r1") + F.col("_r0")).cast("double")
+    r1 = F.col("_r1").cast("double")
+    e1_m = F.round(d * r1 / n * 1000000.0, 0).cast("long")
+    v_m = F.when(
+        n > 1,
+        F.round(
+            d * (r1 / n) * (1.0 - r1 / n) * (n - d) / (n - 1.0) * 1000000.0,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    ev_rows = staged.filter((F.col("_d1") + F.col("_d0")) > 0)
+    g = ev_rows.agg(
+        F.max("_n1").cast("long").alias("n_1"),
+        F.max("_n0").cast("long").alias("n_0"),
+        F.sum("_d1").cast("long").alias("observed_1"),
+        F.sum(e1_m).cast("long").alias("_e1_m"),
+        F.sum(v_m).cast("long").alias("_v_m"),
+    )
+    diff = F.col("observed_1").cast("double") - F.col("_e1_m").cast("double") / 1e6
+    chi2 = F.when(
+        F.col("_v_m") > 0, diff * diff / (F.col("_v_m").cast("double") / 1e6)
+    )
+    return g.select(
+        "n_1",
+        "n_0",
+        "observed_1",
+        F.round(F.col("_e1_m").cast("double") / 1e6, 6).alias("expected_1"),
+        F.round(chi2, 6).alias("chi2_logrank"),
+    )

@@ -489,3 +489,68 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
     ).otherwise(raw)
     return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))
+
+
+def ams_f2_sketch(
+    df: DataFrame,
+    key_col: str,
+    estimators: int = 16,
+    seed: str = "ams",
+) -> DataFrame:
+    """AMS second-frequency-moment sketch [Alon, Matias & Szegedy 1996]:
+    F₂ = Σ_key c²_key estimated by k independent ±1-hash projections —
+    the join-size / self-join-cardinality estimator (F₂ of a join key IS
+    the self-join row count) that answers "can I afford this join"
+    from one linear pass, next to CMS (point frequency) and KMV/HLL
+    (distinct count) in the sketch family.
+
+        S_j = Σ_key c_key·s_j(key),  s_j ∈ {−1, +1};  E[S_j²] = F₂
+        estimate = lower median over k estimators
+
+    Determinism: signs come from the md5 hash56 family (seed:j:key), so
+    the oracle replays every estimator exactly; each S_j and S_j² is an
+    exact integer (DECIMAL(38,0) for the square).  The EXACT F₂ rides
+    along for the relative-error readout — affordable here because the
+    key census is already materialized; at 100 TB the estimate column
+    is the one you can compute without the census.
+
+    Scale: one key census (the only data-volume pass) → census × k
+    map-side explode → k-row aggregate; the median is over k rows."""
+    d38 = "decimal(38,0)"
+    cen = df.filter(F.col(key_col).isNotNull()).groupBy(
+        F.col(key_col).alias("_k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    exact = cen.agg(
+        F.sum(F.col("_c").cast(d38) * F.col("_c").cast(d38)).cast(d38).alias("_f2")
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(estimators - 1))).alias("_j")
+    sgn = (hash56(F.col("_j"), F.col("_k"), seed=seed) % 2 == 0).cast("long") * 2 - 1
+    ests = (
+        cen.select("_k", "_c", j)
+        .select("_j", (sgn * F.col("_c")).alias("_sc"))
+        .groupBy("_j")
+        .agg(F.sum("_sc").cast("long").alias("_s"))
+        .select(
+            "_j",
+            (F.col("_s").cast(d38) * F.col("_s").cast(d38)).cast(d38).alias("_e"),
+        )
+    )
+    ranked = ests.select(
+        "_e",
+        F.row_number().over(
+            Window.orderBy(F.col("_e").asc(), F.col("_j").asc())
+        ).alias("_i"),
+    )
+    med = ranked.filter(F.col("_i") == (estimators + 1) // 2).select(
+        F.col("_e").alias("_est")
+    )
+    out = exact.crossJoin(F.broadcast(med))
+    return out.select(
+        F.col("_f2").cast("long").alias("f2_exact"),
+        F.col("_est").cast("long").alias("f2_estimate"),
+        F.round(
+            F.abs(F.col("_est").cast("double") - F.col("_f2").cast("double"))
+            / F.col("_f2").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -1467,6 +1467,49 @@ def q_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_means(ev, "value", "event_id", replicates=32)
 
 
+_AMS_K = 16
+
+
+@register(
+    "ams_f2_users",
+    f"""
+    WITH cen AS (
+        SELECT user_id AS k, count(*)::BIGINT AS c
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    exact AS (SELECT sum(c::HUGEINT * c::HUGEINT)::HUGEINT AS f2 FROM cen),
+    e AS (
+        SELECT j,
+               sum((CASE WHEN ({_h56("'ams:' || j::VARCHAR || ':' || k::VARCHAR")}) % 2 = 0
+                         THEN 1 ELSE -1 END) * c)::BIGINT AS s
+        FROM cen, (SELECT unnest(range(0, {_AMS_K})) AS j)
+        GROUP BY 1
+    ),
+    est AS (
+        SELECT s::HUGEINT * s::HUGEINT AS e2, j,
+               row_number() OVER (ORDER BY s::HUGEINT * s::HUGEINT ASC, j ASC)
+                   AS i
+        FROM e
+    ),
+    med AS (SELECT e2 FROM est WHERE i = {(_AMS_K + 1) // 2})
+    SELECT exact.f2::BIGINT AS f2_exact, med.e2::BIGINT AS f2_estimate,
+           round(abs(med.e2::DOUBLE - exact.f2::DOUBLE) / exact.f2::DOUBLE, 6)
+               AS rel_err
+    FROM exact, med
+    """,
+)
+def q_ams_f2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 sketch of the events user-key — the self-join-size
+    estimator ("can I afford this join") next to CMS/KMV/HLL in the
+    sketch family: 16 deterministic md5-signed projections, lower
+    median of their squares, with the exact F2 alongside for the
+    relative-error readout."""
+    from es_ch_sync_spark.operators.sketches import ams_f2_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return ams_f2_sketch(ev, "user_id", estimators=_AMS_K)
+
+
 _PERM_B = 200
 
 

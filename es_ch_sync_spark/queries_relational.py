@@ -4311,6 +4311,172 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nelson_aalen_conversion",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               min(date_trunc('day', ts)::DATE) AS f,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN date_trunc('day', ts)::DATE END) AS p
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1
+    ),
+    mx AS (SELECT max(date_trunc('day', ts)::DATE) AS m FROM events
+           WHERE user_id IS NOT NULL),
+    du AS (
+        SELECT CASE WHEN p IS NOT NULL
+                    THEN date_diff('day', f, p)
+                    ELSE date_diff('day', f, m) END::BIGINT AS t,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM pu, mx
+    ),
+    per_t AS (
+        SELECT t,
+               sum(CASE WHEN e = 1 THEN 1 ELSE 0 END)::BIGINT AS d_events,
+               sum(CASE WHEN e = 0 THEN 1 ELSE 0 END)::BIGINT AS c_censored
+        FROM du GROUP BY 1
+    ),
+    tot AS (SELECT sum(d_events + c_censored)::BIGINT AS n FROM per_t),
+    staged AS (
+        SELECT t, d_events, c_censored,
+               (tot.n - coalesce(sum(d_events + c_censored) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0))::BIGINT AS n_risk
+        FROM per_t, tot
+    )
+    SELECT t, n_risk, d_events, c_censored,
+           round((sum(CASE WHEN d_events > 0
+                      THEN CAST(round(d_events::DOUBLE / n_risk::DOUBLE
+                                      * 1000000.0) AS BIGINT)
+                      ELSE 0 END) OVER (
+                  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW))::DOUBLE / 1000000.0, 6) AS cum_hazard
+    FROM staged ORDER BY t
+    """,
+)
+def q_nelson_aalen_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative conversion hazard — the rate-view
+    companion to kaplan_meier_conversion on the identical censored
+    framing: the hazard's slope reads out conversion VELOCITY day by
+    day.  Per-time d/n increments micro-quantize before the running
+    sum, so the curve is exact cross-engine."""
+    from es_ch_sync_spark.operators.analytics import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.to_date("ts")
+    pu = ev.groupBy("user_id").agg(
+        F.min(day).alias("f"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias("p"),
+    )
+    mx = ev.agg(F.max(day).alias("m"))
+    j = pu.crossJoin(F.broadcast(mx))
+    event = F.col("p").isNotNull().cast("int")
+    dur = F.when(event == 1, F.datediff(F.col("p"), F.col("f"))).otherwise(
+        F.datediff(F.col("m"), F.col("f"))
+    )
+    per_unit = j.select(dur.alias("dur"), event.alias("converted"))
+    return nelson_aalen(per_unit, "dur", "converted")
+
+
+@register(
+    "logrank_cohorts",
+    """
+    WITH pu AS (
+        SELECT user_id, (user_id % 2)::BIGINT AS grp,
+               min(date_trunc('day', ts)::DATE) AS f,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN date_trunc('day', ts)::DATE END) AS p
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(date_trunc('day', ts)::DATE) AS m FROM events
+           WHERE user_id IS NOT NULL),
+    du AS (
+        SELECT grp,
+               CASE WHEN p IS NOT NULL
+                    THEN date_diff('day', f, p)
+                    ELSE date_diff('day', f, m) END::BIGINT AS t,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM pu, mx
+    ),
+    per_t AS (
+        SELECT t,
+               sum(CASE WHEN grp = 1 AND e = 1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+               sum(CASE WHEN grp = 1 AND e = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+               sum(CASE WHEN grp = 0 AND e = 1 THEN 1 ELSE 0 END)::BIGINT AS d0,
+               sum(CASE WHEN grp = 0 AND e = 0 THEN 1 ELSE 0 END)::BIGINT AS c0
+        FROM du GROUP BY 1
+    ),
+    tot AS (SELECT sum(d1 + c1)::BIGINT AS n1, sum(d0 + c0)::BIGINT AS n0
+            FROM per_t),
+    staged AS (
+        SELECT t, d1, d0,
+               (tot.n1 - coalesce(sum(d1 + c1) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0))::BIGINT AS r1,
+               (tot.n0 - coalesce(sum(d0 + c0) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0))::BIGINT AS r0,
+               tot.n1 AS n1, tot.n0 AS n0
+        FROM per_t, tot
+    ),
+    ev AS (SELECT * FROM staged WHERE d1 + d0 > 0),
+    g AS (
+        SELECT max(n1)::BIGINT AS n_1, max(n0)::BIGINT AS n_0,
+               sum(d1)::BIGINT AS observed_1,
+               sum(CAST(round((d1 + d0)::DOUBLE * r1::DOUBLE
+                              / (r1 + r0)::DOUBLE * 1000000.0) AS BIGINT)
+                  )::BIGINT AS e1_m,
+               sum(CASE WHEN (r1 + r0) > 1
+                   THEN CAST(round((d1 + d0)::DOUBLE
+                                   * (r1::DOUBLE / (r1 + r0)::DOUBLE)
+                                   * (1.0 - r1::DOUBLE / (r1 + r0)::DOUBLE)
+                                   * ((r1 + r0)::DOUBLE - (d1 + d0)::DOUBLE)
+                                   / ((r1 + r0)::DOUBLE - 1.0)
+                                   * 1000000.0) AS BIGINT)
+                   ELSE 0 END)::BIGINT AS v_m
+        FROM ev
+    )
+    SELECT n_1, n_0, observed_1,
+           round(e1_m::DOUBLE / 1e6, 6) AS expected_1,
+           round(CASE WHEN v_m > 0
+                 THEN (observed_1::DOUBLE - e1_m::DOUBLE / 1e6)
+                      * (observed_1::DOUBLE - e1_m::DOUBLE / 1e6)
+                      / (v_m::DOUBLE / 1e6)
+                 END, 6) AS chi2_logrank
+    FROM g
+    """,
+)
+def q_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-cohort log-rank test on censored time-to-first-purchase
+    (deterministic cohorts: user_id parity, the bootstrap-style
+    synthetic assignment) — the significance test behind comparing two
+    Kaplan-Meier curves.  Group risk sets are exact integers off one
+    duration census; per-time E₁ and V micro-quantize before their
+    sums; χ² is one float expression."""
+    from es_ch_sync_spark.operators.analytics import logrank_test
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.to_date("ts")
+    pu = ev.groupBy("user_id").agg(
+        F.min(day).alias("f"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias("p"),
+    )
+    mx = ev.agg(F.max(day).alias("m"))
+    j = pu.crossJoin(F.broadcast(mx))
+    event = F.col("p").isNotNull().cast("int")
+    dur = F.when(event == 1, F.datediff(F.col("p"), F.col("f"))).otherwise(
+        F.datediff(F.col("m"), F.col("f"))
+    )
+    per_unit = j.select(
+        (F.col("user_id") % 2).alias("grp"),
+        dur.alias("dur"),
+        event.alias("converted"),
+    )
+    return logrank_test(per_unit, "grp", "dur", "converted")
+
+
+@register(
     "ab_mde_power",
     """
     WITH pu AS (

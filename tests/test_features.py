@@ -1008,3 +1008,54 @@ def test_grid_density_clusters_hand_computed(spark):
     out = grid_density_clusters(df, "x", "y", eps=0.1, min_pts=10).collect()
     rows = {r["cluster_id"]: (r["n_cells"], r["n_points"]) for r in out}
     assert rows == {"0:0": (2, 20), "5:0": (1, 12)}
+
+
+def test_nelson_aalen_hand_computed(spark):
+    """durs (1,1,2,3), last censored: increments 2/4 then 1/2 then 0
+    -> H = 0.5, 1.0, 1.0."""
+    from es_ch_sync_spark.operators.analytics import nelson_aalen
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 1), (3, 0)], "dur long, e int"
+    )
+    out = {r["t"]: r for r in nelson_aalen(df, "dur", "e").collect()}
+    assert out[1]["n_risk"] == 4 and out[1]["cum_hazard"] == 0.5
+    assert out[2]["n_risk"] == 2 and out[2]["cum_hazard"] == 1.0
+    assert out[3]["n_risk"] == 1 and out[3]["d_events"] == 0
+    assert out[3]["cum_hazard"] == 1.0
+
+
+def test_logrank_hand_computed(spark):
+    """Identical cohorts -> chi2 = 0; fully separated cohorts
+    (g1 at t=1, g0 at t=5) -> O1=2, E1=1, V=1/3 -> chi2 = 3.000003
+    (micro-quantized V)."""
+    from es_ch_sync_spark.operators.analytics import logrank_test
+
+    same = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 1), (0, 1, 1), (0, 2, 1)],
+        "grp int, dur long, e int",
+    )
+    r = logrank_test(same, "grp", "dur", "e").collect()[0]
+    assert (r["observed_1"], r["expected_1"], r["chi2_logrank"]) == (2, 2.0, 0.0)
+    sep = spark.createDataFrame(
+        [(1, 1, 1), (1, 1, 1), (0, 5, 1), (0, 5, 1)],
+        "grp int, dur long, e int",
+    )
+    r2 = logrank_test(sep, "grp", "dur", "e").collect()[0]
+    assert (r2["n_1"], r2["n_0"], r2["observed_1"]) == (2, 2, 2)
+    assert r2["expected_1"] == 1.0
+    assert r2["chi2_logrank"] == 3.000003
+
+
+def test_ams_f2_sketch_known_values(spark):
+    """Single key: every +/-1 projection squares to the exact F2 ->
+    rel_err 0; two keys: estimate is one of the two attainable squares."""
+    from es_ch_sync_spark.operators.sketches import ams_f2_sketch
+
+    one = spark.createDataFrame([("a",)] * 5, "k string")
+    r = ams_f2_sketch(one, "k").collect()[0]
+    assert (r["f2_exact"], r["f2_estimate"], r["rel_err"]) == (25, 25, 0.0)
+    two = spark.createDataFrame([("a",)] * 3 + [("b",)] * 4, "k string")
+    r2 = ams_f2_sketch(two, "k").collect()[0]
+    assert r2["f2_exact"] == 25 and r2["f2_estimate"] in (1, 49)
+    assert r2["rel_err"] == round(abs(r2["f2_estimate"] - 25) / 25, 6)

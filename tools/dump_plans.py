@@ -92,6 +92,7 @@ HEADLINE = [
     "jackknife_source_means", "runs_test_daily", "gumbel_weekly_max",
     "paired_permutation_test", "ab_panel", "lr_brier_decomposition",
     "kneser_ney_bigram", "multimodal_png_stats", "embedding_density_clusters",
+    "nelson_aalen_conversion", "logrank_cohorts", "ams_f2_users",
 ]
 
 MARKERS = [

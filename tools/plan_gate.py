@@ -59,6 +59,9 @@ CENSUS_WINDOW_WHITELIST: dict[str, str] = {
     "ab_panel": "one distinct-value census CDF feeding all four A/B readouts",
     "lr_auc_brier": "distinct-score census CDF",
     "kaplan_meier_conversion": "distinct-event-time census cumsum",
+    "nelson_aalen_conversion": "distinct-event-time census cumsum (hazard)",
+    "logrank_cohorts": "distinct-event-time census risk sets",
+    "ams_f2_users": "k=16 estimator census median",
     # 9-row digit census (Benford chi-square total)
     "benford_digits": "9-row digit census",
     # BH step-up over the per-user p-value census (one row per user key,

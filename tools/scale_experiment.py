@@ -1614,6 +1614,48 @@ def _r10_sections(spark, docs, replicas, only):
             f"kneser_ney_bigram x{replicas}",
             lambda: kneser_ney_bigram(docs).count(),
         )
+    if "surv12" in only:
+        from es_ch_sync_spark.operators.analytics import (
+            logrank_test,
+            nelson_aalen,
+        )
+        from es_ch_sync_spark.operators.sketches import ams_f2_sketch
+
+        ev12 = docs.select(
+            (F.col("doc_id") % 9973).alias("user_id"),
+            ((F.col("doc_id") / 9973).cast("long") % 5).alias("arm_ix"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("doc_id") % 2_592_000
+            ).alias("ts"),
+        ).localCheckpoint(eager=True)
+        day = F.to_date("ts")
+        pu = ev12.groupBy("user_id").agg(
+            F.min(day).alias("f"),
+            F.min(F.when(F.col("arm_ix") == 2, day)).alias("p"),
+        )
+        mx = ev12.agg(F.max(day).alias("m"))
+        jj = pu.crossJoin(F.broadcast(mx))
+        event = F.col("p").isNotNull().cast("int")
+        dur = F.when(event == 1, F.datediff(F.col("p"), F.col("f"))).otherwise(
+            F.datediff(F.col("m"), F.col("f"))
+        )
+        pun = jj.select(
+            (F.col("user_id") % 2).alias("grp"),
+            dur.alias("dur"),
+            event.alias("converted"),
+        ).localCheckpoint(eager=True)
+        timed(
+            f"nelson_aalen x{replicas} (10k units, 30-day horizon)",
+            lambda: nelson_aalen(pun, "dur", "converted").count(),
+        )
+        timed(
+            f"logrank_test x{replicas} (2 cohorts)",
+            lambda: logrank_test(pun, "grp", "dur", "converted").count(),
+        )
+        timed(
+            f"ams_f2_sketch x{replicas} (500k rows, 16 estimators)",
+            lambda: ams_f2_sketch(ev12, "user_id").count(),
+        )
     if "gridc" in only:
         from es_ch_sync_spark.operators.clustering import grid_density_clusters
 
