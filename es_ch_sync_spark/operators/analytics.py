@@ -4300,3 +4300,69 @@ def logrank_test(
         F.round(F.col("_e1_m").cast("double") / 1e6, 6).alias("expected_1"),
         F.round(chi2, 6).alias("chi2_logrank"),
     )
+
+
+def seasonal_strength(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str = "day",
+    value_col: str = "y",
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal and trend STRENGTH of each series [Hyndman &
+    Athanasopoulos, FPP3 §4.4] over the classical decomposition:
+
+        F_s = max(0, 1 − SSD(remainder)/SSD(seasonal + remainder))
+        F_t = max(0, 1 − SSD(remainder)/SSD(trend + remainder))
+
+    — the one-number-per-series answer to "is this series actually
+    weekly" that reading seasonal_decompose's full curve can't give at
+    fleet scale (rank thousands of series by F_s, alert on drops).
+
+    Exactness: the decomposition already runs in micro-unit fixed
+    point; the micro integers are recovered exactly from its output
+    (|m| < 2⁵² so round(x·1e6) is lossless) and all six moments are
+    exact DECIMAL(38,0); each strength is one float expression.
+    Restricted to rows where the trend window was full (decompose's
+    edge-NULL contract).  NULL when the denominator SSD is 0.
+
+    Scale: the decompose windows are keyed by series; the strength
+    aggregate is one hash-agg over its output."""
+    d38 = "decimal(38,0)"
+    dec = seasonal_decompose(
+        daily, key_col=key_col, day_col=day_col, value_col=value_col,
+        period=period,
+    ).filter(F.col("trend").isNotNull())
+    m = lambda c: F.round(F.col(c) * 1000000.0).cast("long")
+    r = dec.select(
+        F.col(key_col).alias("_k"),
+        (m("y") - m("trend") - m("seasonal")).alias("_r"),
+        (m("y") - m("trend")).alias("_sr"),
+        (m("y") - m("seasonal")).alias("_tr"),
+    )
+    mom = r.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_r").cast("long").alias("_s_r"),
+        F.sum(F.col("_r").cast(d38) * F.col("_r").cast(d38)).cast(d38).alias("_ss_r"),
+        F.sum("_sr").cast("long").alias("_s_sr"),
+        F.sum(F.col("_sr").cast(d38) * F.col("_sr").cast(d38)).cast(d38).alias("_ss_sr"),
+        F.sum("_tr").cast("long").alias("_s_tr"),
+        F.sum(F.col("_tr").cast(d38) * F.col("_tr").cast(d38)).cast(d38).alias("_ss_tr"),
+    )
+    n = F.col("n_days").cast("double")
+    ssd = lambda s, ss: F.col(ss).cast("double") - F.col(s).cast("double") * F.col(
+        s
+    ).cast("double") / n
+    ssd_r = ssd("_s_r", "_ss_r")
+    ssd_sr = ssd("_s_sr", "_ss_sr")
+    ssd_tr = ssd("_s_tr", "_ss_tr")
+    return mom.select(
+        F.col("_k").alias(key_col),
+        "n_days",
+        F.round(
+            F.when(ssd_sr > 0, F.greatest(F.lit(0.0), 1.0 - ssd_r / ssd_sr)), 6
+        ).alias("f_seasonal"),
+        F.round(
+            F.when(ssd_tr > 0, F.greatest(F.lit(0.0), 1.0 - ssd_r / ssd_tr)), 6
+        ).alias("f_trend"),
+    ).orderBy(key_col)

@@ -1467,6 +1467,57 @@ def q_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_means(ev, "value", "event_id", replicates=32)
 
 
+_BM25_GRID = [(0.9, 0.4), (1.2, 0.2), (1.2, 0.75), (1.8, 0.75)]
+
+
+def _bm25_grid_oracle() -> str:
+    cells = []
+    for k1, b in _BM25_GRID:
+        cells.append(
+            f"SELECT {int(k1 * 1000)}::BIGINT AS k1_milli, "
+            f"{int(b * 1000)}::BIGINT AS b_milli, t.* "
+            f"FROM ({_o.bm25_topk_sql(_BM25_TERMS, k=5, k1=k1, b=b)}) t"
+        )
+    return (
+        "\nUNION ALL\n".join(cells)
+        + "\nORDER BY k1_milli, b_milli, bm25 DESC, doc_id"
+    )
+
+
+@register("bm25_param_grid", _bm25_grid_oracle())
+def q_bm25_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1, b) parameter sweep — four cells' top-5 off ONE
+    materialized posting table (bm25_posting_table): the retrieval
+    tuning loop every search deployment runs, in the shared-pass shape
+    (the corpus is tokenized once; each cell re-scores the bounded
+    postings).  Cell scores are value-identical to a standalone
+    bm25_topk at the same (k1, b) — same df table, same corpus stats,
+    same 6dp micro-unit rounding."""
+    from es_ch_sync_spark.operators.text import (
+        bm25_posting_table,
+        bm25_topk_from_postings,
+    )
+
+    posting, stats = bm25_posting_table(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS
+    )
+    out = None
+    for k1, b in _BM25_GRID:
+        cell = bm25_topk_from_postings(
+            posting, stats, _BM25_TERMS, k=5, k1=k1, b=b
+        ).select(
+            F.lit(int(k1 * 1000)).cast("long").alias("k1_milli"),
+            F.lit(int(b * 1000)).cast("long").alias("b_milli"),
+            "doc_id",
+            "bm25",
+            "n_matched",
+        )
+        out = cell if out is None else out.unionByName(cell)
+    return out.orderBy(
+        "k1_milli", "b_milli", F.desc("bm25"), F.asc("doc_id")
+    )
+
+
 _AMS_K = 16
 
 

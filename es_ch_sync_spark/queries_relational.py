@@ -2789,6 +2789,94 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "seasonal_strength_daily",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               count(*) AS y
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    mu AS (
+        SELECT event_type, day,
+               CAST(y::DECIMAL(24,6) * 1000000 AS BIGINT) AS ymu,
+               ((date_diff('day', DATE '2024-01-01', day) % 7) + 7) % 7 AS phase
+        FROM daily
+    ),
+    tr AS (
+        SELECT *, CASE WHEN count(*) OVER w = 7
+                       THEN CAST(floor((sum(ymu) OVER w) / 7) AS BIGINT)
+                  END AS tmu
+        FROM mu
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (SELECT *, ymu - tmu AS dmu FROM tr),
+    pm AS (
+        SELECT event_type, phase,
+               CAST(floor(sum(dmu) / count(dmu)) AS BIGINT) AS pmu
+        FROM det GROUP BY 1, 2
+    ),
+    cen AS (
+        SELECT event_type, phase,
+               pmu - CAST(floor(sum(pmu) OVER (PARTITION BY event_type)
+                       / count(pmu) OVER (PARTITION BY event_type)) AS BIGINT)
+                   AS smu
+        FROM pm
+    ),
+    r AS (
+        SELECT d.event_type,
+               (d.ymu - d.tmu - c.smu)::BIGINT AS rmu,
+               (d.ymu - d.tmu)::BIGINT AS srmu,
+               (d.ymu - c.smu)::BIGINT AS trmu
+        FROM det d JOIN cen c USING (event_type, phase)
+        WHERE d.tmu IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(rmu)::HUGEINT AS sr,
+               sum(rmu::HUGEINT * rmu)::HUGEINT AS srr,
+               sum(srmu)::HUGEINT AS ss,
+               sum(srmu::HUGEINT * srmu)::HUGEINT AS sss,
+               sum(trmu)::HUGEINT AS st,
+               sum(trmu::HUGEINT * trmu)::HUGEINT AS stt
+        FROM r GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           round(CASE WHEN sss::DOUBLE - ss::DOUBLE * ss::DOUBLE / n::DOUBLE > 0
+                 THEN greatest(0.0, 1.0
+                      - (srr::DOUBLE - sr::DOUBLE * sr::DOUBLE / n::DOUBLE)
+                        / (sss::DOUBLE - ss::DOUBLE * ss::DOUBLE / n::DOUBLE))
+                 END, 6) AS f_seasonal,
+           round(CASE WHEN stt::DOUBLE - st::DOUBLE * st::DOUBLE / n::DOUBLE > 0
+                 THEN greatest(0.0, 1.0
+                      - (srr::DOUBLE - sr::DOUBLE * sr::DOUBLE / n::DOUBLE)
+                        / (stt::DOUBLE - st::DOUBLE * st::DOUBLE / n::DOUBLE))
+                 END, 6) AS f_trend
+    FROM m ORDER BY event_type
+    """,
+)
+def q_seasonal_strength_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman seasonal/trend strength of each event type's daily
+    series — the one-number "is this series actually weekly" ranking
+    over the classical decomposition's exact micro-unit pipeline: at
+    fleet scale you rank thousands of series by F_s instead of reading
+    decompose curves.  Six exact integer moments per series; each
+    strength one float expression."""
+    from es_ch_sync_spark.operators.analytics import seasonal_strength
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return seasonal_strength(
+        daily, key_col="event_type", day_col="day", value_col="y", period=7
+    )
+
+
+@register(
     "rolling_corr_daily",
     """
     WITH daily AS (

@@ -1059,3 +1059,61 @@ def test_ams_f2_sketch_known_values(spark):
     r2 = ams_f2_sketch(two, "k").collect()[0]
     assert r2["f2_exact"] == 25 and r2["f2_estimate"] in (1, 49)
     assert r2["rel_err"] == round(abs(r2["f2_estimate"] - 25) / 25, 6)
+
+
+def test_seasonal_strength_pure_signals(spark):
+    """Pure weekly pattern -> f_seasonal = 1, flat deseasonalized
+    series -> f_trend NULL; pure linear trend -> f_trend = 1,
+    zero seasonal -> f_seasonal NULL."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import seasonal_strength
+
+    base = datetime.date(2024, 1, 1)
+    weekly = [
+        ("w", base + datetime.timedelta(days=i), 10 * (i % 7 + 1))
+        for i in range(21)
+    ]
+    df = spark.createDataFrame(weekly, "k string, day date, y long")
+    r = seasonal_strength(df, "k").collect()[0]
+    assert r["f_seasonal"] == 1.0 and r["f_trend"] is None
+    linear = [
+        ("t", base + datetime.timedelta(days=i), 100 + 3 * i) for i in range(21)
+    ]
+    df2 = spark.createDataFrame(linear, "k string, day date, y long")
+    r2 = seasonal_strength(df2, "k").collect()[0]
+    assert r2["f_trend"] == 1.0 and r2["f_seasonal"] is None
+
+
+def test_bm25_grid_matches_standalone(spark):
+    """Each grid cell's scores equal a standalone bm25_topk at the
+    same (k1, b) on the same corpus."""
+    from es_ch_sync_spark.operators.text import (
+        bm25_posting_table,
+        bm25_topk,
+        bm25_topk_from_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark stream merge spark"),
+            (2, "merge stream quiet words here"),
+            (3, "nothing relevant at all"),
+            (4, "spark spark spark stream"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["spark", "merge", "stream"]
+    posting, stats = bm25_posting_table(docs, terms)
+    for k1, b in ((0.9, 0.4), (1.8, 0.75)):
+        grid = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_topk_from_postings(
+                posting, stats, terms, k=4, k1=k1, b=b
+            ).collect()
+        }
+        alone = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_topk(docs, terms, k=4, k1=k1, b=b).collect()
+        }
+        assert grid == alone

@@ -90,6 +90,8 @@ FILESCAN_BUDGETS: dict[str, int] = {
     "host_graph_panel": 1,
     # one value census (localCheckpoint) feeds all four A/B statistics
     "ab_panel": 1,
+    # one tokenize pass (checkpointed posting table) feeds all four cells
+    "bm25_param_grid": 1,
 }
 
 _WINDOW_RE = re.compile(r"\bWindow(GroupLimit)?\b.*windowspecdefinition")

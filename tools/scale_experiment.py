@@ -1656,6 +1656,27 @@ def _r10_sections(spark, docs, replicas, only):
             f"ams_f2_sketch x{replicas} (500k rows, 16 estimators)",
             lambda: ams_f2_sketch(ev12, "user_id").count(),
         )
+    if "grid25" in only:
+        from es_ch_sync_spark.operators.text import (
+            bm25_posting_table,
+            bm25_topk_from_postings,
+        )
+
+        # replica corpus suffixes every token with x{rep} — probe rep 7
+        # (the qld11-mode convention)
+        terms25 = ["sparkx7", "mergex7", "streamx7"]
+
+        def _grid() -> int:
+            posting, stats = bm25_posting_table(docs, terms25)
+            out = None
+            for k1, b in ((0.9, 0.4), (1.2, 0.2), (1.2, 0.75), (1.8, 0.75)):
+                cell = bm25_topk_from_postings(
+                    posting, stats, terms25, k=5, k1=k1, b=b
+                )
+                out = cell if out is None else out.unionByName(cell)
+            return out.count()
+
+        timed(f"bm25_param_grid x{replicas} (4 cells, one tokenize)", _grid)
     if "gridc" in only:
         from es_ch_sync_spark.operators.clustering import grid_density_clusters
 
