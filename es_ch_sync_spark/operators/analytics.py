@@ -4366,3 +4366,213 @@ def seasonal_strength(
             F.when(ssd_tr > 0, F.greatest(F.lit(0.0), 1.0 - ssd_r / ssd_tr)), 6
         ).alias("f_trend"),
     ).orderBy(key_col)
+
+
+def pairwise_mean_contrasts(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Tukey-Kramer pairwise mean contrasts [Tukey 1949; Kramer 1956]
+    across k arms — the post-hoc step after an omnibus test
+    (kruskal_wallis_arms / ANOVA) says "SOMETHING differs": which pairs
+    differ, in studentized-range units?
+
+        q_ab = |m_a − m_b| / sqrt( MSE/2 · (1/n_a + 1/n_b) )
+
+    with MSE = Σ_g SSD_g / (N − k), the pooled within-arm variance.
+    Compare q to the studentized-range quantile for (k, N−k) offline —
+    the statistic, not the table lookup, is the engine's job.
+
+    Exactness: per-arm n / Σv / Σv² are exact integers (values
+    micro-quantized); every q is a single float expression over six of
+    them plus the pooled MSE.  NULL when MSE degenerates.
+
+    Scale: one hash aggregate to the k-row arm census; the pair join
+    is census × census (k² ≪ anything)."""
+    d38 = "decimal(38,0)"
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    per = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), vm.alias("_v"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_v").cast("long").alias("_s"),
+            F.sum(F.col("_v").cast(d38) * F.col("_v").cast(d38)).cast(d38).alias("_ss"),
+        )
+    )
+    ssd = F.col("_ss").cast("double") - F.col("_s").cast("double") * F.col(
+        "_s"
+    ).cast("double") / F.col("_n").cast("double")
+    # per-arm SSD quantized to integer micro² units BEFORE the k-row sum
+    # (chi2_independence contract: an unordered float sum over arms could
+    # drift an ulp between engines)
+    d38_ssd = F.round(ssd, 0).cast("decimal(38,0)")
+    mse = (
+        per.select(d38_ssd.alias("_ssd"), "_n")
+        .agg(
+            F.sum("_ssd").cast("decimal(38,0)").alias("_ssw"),
+            F.sum("_n").cast("long").alias("_nn"),
+            F.count(F.lit(1)).cast("long").alias("_k"),
+        )
+        .select(
+            F.when(
+                F.col("_nn") > F.col("_k"),
+                F.col("_ssw").cast("double")
+                / (F.col("_nn") - F.col("_k")).cast("double"),
+            ).alias("_mse")
+        )
+    )
+    a = per.select(
+        F.col("_g").alias("arm_a"), F.col("_n").alias("_na"), F.col("_s").alias("_sa")
+    )
+    b = per.select(
+        F.col("_g").alias("arm_b"), F.col("_n").alias("_nb"), F.col("_s").alias("_sb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("arm_a") < F.col("arm_b"))
+        .crossJoin(F.broadcast(mse))
+    )
+    ma = F.col("_sa").cast("double") / F.col("_na").cast("double")
+    mb = F.col("_sb").cast("double") / F.col("_nb").cast("double")
+    se = F.sqrt(
+        F.col("_mse")
+        / 2.0
+        * (
+            1.0 / F.col("_na").cast("double")
+            + 1.0 / F.col("_nb").cast("double")
+        )
+    )
+    q = F.when(F.col("_mse") > 0, F.abs(ma - mb) / se)
+    return pairs.select(
+        "arm_a",
+        "arm_b",
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round((ma - mb) / 1e6, 6).alias("mean_diff"),
+        F.round(q, 6).alias("q_stat"),
+    ).orderBy("arm_a", "arm_b")
+
+
+def grouped_mutual_information(
+    df: DataFrame, group_col: str, a_col: str, b_col: str
+) -> DataFrame:
+    """Per-group mutual information between two categorical columns —
+    the feature-selection readout "how much does feature g tell you
+    about the label", one MI per feature in a single pass (the
+    information-gain column of every decision-tree split report).
+    Same micro-quantized-ln census contract as nmi_vmeasure, GROUPED:
+    one (group, a, b) census, marginals per group, every Σ term an
+    exact DECIMAL(38,0); MI and the normalized IG ratio MI/H(B) are
+    one float division each per group."""
+    d38 = "decimal(38,0)"
+    lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
+    nij = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ca = nij.groupBy("_g", "_a").agg(F.sum("_n").cast("long").alias("_ca"))
+    cb = nij.groupBy("_g", "_b").agg(F.sum("_n").cast("long").alias("_cb"))
+    tot = nij.groupBy("_g").agg(F.sum("_n").cast("long").alias("_t"))
+    mi = (
+        nij.join(ca, ["_g", "_a"])
+        .join(cb, ["_g", "_b"])
+        .join(F.broadcast(tot), "_g")
+        .select(
+            "_g",
+            (
+                F.col("_n").cast(d38)
+                * (
+                    lnm(F.col("_t")) + lnm(F.col("_n"))
+                    - lnm(F.col("_ca")) - lnm(F.col("_cb"))
+                ).cast(d38)
+            ).alias("_term"),
+        )
+        .groupBy("_g")
+        .agg(F.sum("_term").cast(d38).alias("_smi"))
+    )
+    hb = (
+        cb.join(F.broadcast(tot), "_g")
+        .select(
+            "_g",
+            (
+                F.col("_cb").cast(d38)
+                * (lnm(F.col("_t")) - lnm(F.col("_cb"))).cast(d38)
+            ).alias("_term"),
+        )
+        .groupBy("_g")
+        .agg(F.sum("_term").cast(d38).alias("_shb"))
+    )
+    g = mi.join(hb, "_g").join(F.broadcast(tot), "_g")
+    nd = F.col("_t").cast("double") * 1000000.0
+    smi, shb = F.col("_smi").cast("double"), F.col("_shb").cast("double")
+    return g.select(
+        F.col("_g").alias(group_col),
+        F.col("_t").alias("n_items"),
+        F.round(smi / nd, 6).alias("mi_nats"),
+        F.round(shb / nd, 6).alias("h_label_nats"),
+        F.round(F.when(shb > 0, smi / shb), 6).alias("ig_ratio"),
+    ).orderBy(group_col)
+
+
+def cumulative_gains(
+    df: DataFrame, label_col: str, score_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Cumulative gains / lift table over score deciles — the
+    "how deep do I dip into the ranked corpus to capture X% of the
+    positives" readout behind every quality-gate budget decision,
+    next to lr_auc_brier (rank quality) and lr_ece (calibration):
+    decile 0 is the TOP-scored bin; gain = cumulative positive share,
+    lift = cumulative precision over the base rate.
+
+    Exactness: the same deterministic integer bin math as
+    expected_calibration_error; per-bin n / positives are exact
+    BIGINTs; cumulative sums run over the ≤ n_bins census; gain and
+    lift are single float divisions.
+
+    Scale: one hash aggregate to the bin census; everything after is
+    n_bins rows."""
+    pm = F.round(F.col(score_col).cast("double") * 1000000.0).cast("long")
+    y = F.col(label_col).cast("long")
+    binned = df.select(pm.alias("_pm"), y.alias("_y")).select(
+        F.expr(f"least((_pm * {n_bins}) div 1000000, {n_bins - 1})")
+        .cast("int")
+        .alias("_bin"),
+        "_y",
+    )
+    g = binned.groupBy("_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("positives"),
+    )
+    # decile 0 = top scores: rank bins DESCENDING by score bin
+    wc = W.orderBy(F.col("_bin").desc()).rowsBetween(W.unboundedPreceding, 0)
+    tot = g.agg(
+        F.sum("n").cast("long").alias("_nn"),
+        F.sum("positives").cast("long").alias("_pp"),
+    )
+    staged = g.crossJoin(F.broadcast(tot)).select(
+        (F.lit(n_bins - 1) - F.col("_bin")).cast("long").alias("decile"),
+        "n",
+        "positives",
+        F.sum("n").over(wc).cast("long").alias("cum_n"),
+        F.sum("positives").over(wc).cast("long").alias("cum_positives"),
+        "_nn",
+        "_pp",
+    )
+    gain = F.when(
+        F.col("_pp") > 0,
+        F.col("cum_positives").cast("double") / F.col("_pp").cast("double"),
+    )
+    lift = F.when(
+        (F.col("_pp") > 0) & (F.col("cum_n") > 0),
+        (F.col("cum_positives").cast("double") / F.col("cum_n").cast("double"))
+        / (F.col("_pp").cast("double") / F.col("_nn").cast("double")),
+    )
+    return staged.select(
+        "decile",
+        "n",
+        "positives",
+        "cum_n",
+        "cum_positives",
+        F.round(gain, 6).alias("gain"),
+        F.round(lift, 6).alias("lift"),
+    ).orderBy("decile")

@@ -1494,6 +1494,82 @@ def q_cochran_q_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cochran_q(gf, "ok_word_count", "ok_symbols", "ok_stopwords")
 
 
+@register(
+    "gate_information_gain",
+    f"""
+    WITH {_GATES_CTE},
+    lab AS (SELECT doc_id, (lang = 'en') AS y FROM documents),
+    v AS (
+        SELECT 'ok_word_count' AS g, r_words AS a, y
+        FROM gates JOIN lab USING (doc_id)
+        UNION ALL
+        SELECT 'ok_symbols', r_sym, y FROM gates JOIN lab USING (doc_id)
+        UNION ALL
+        SELECT 'ok_stopwords', r_stop, y FROM gates JOIN lab USING (doc_id)
+    ),
+    nij AS (SELECT g, a, y AS b, count(*)::BIGINT AS n FROM v GROUP BY 1, 2, 3),
+    ca AS (SELECT g, a, sum(n)::BIGINT AS cca FROM nij GROUP BY 1, 2),
+    cb AS (SELECT g, b, sum(n)::BIGINT AS ccb FROM nij GROUP BY 1, 2),
+    tot AS (SELECT g, sum(n)::BIGINT AS t FROM nij GROUP BY 1),
+    mi AS (
+        SELECT nij.g,
+               sum(nij.n::HUGEINT
+                   * (CAST(round(ln(tot.t) * 1000000) AS BIGINT)
+                      + CAST(round(ln(nij.n) * 1000000) AS BIGINT)
+                      - CAST(round(ln(ca.cca) * 1000000) AS BIGINT)
+                      - CAST(round(ln(cb.ccb) * 1000000) AS BIGINT))::HUGEINT
+               )::HUGEINT AS smi
+        FROM nij
+        JOIN ca ON nij.g = ca.g AND nij.a = ca.a
+        JOIN cb ON nij.g = cb.g AND nij.b = cb.b
+        JOIN tot ON nij.g = tot.g
+        GROUP BY 1
+    ),
+    hb AS (
+        SELECT cb.g,
+               sum(ccb::HUGEINT
+                   * (CAST(round(ln(tot.t) * 1000000) AS BIGINT)
+                      - CAST(round(ln(ccb) * 1000000) AS BIGINT))::HUGEINT
+               )::HUGEINT AS shb
+        FROM cb JOIN tot ON cb.g = tot.g GROUP BY 1
+    )
+    SELECT mi.g AS gate, tot.t AS n_items,
+           round(smi::DOUBLE / (tot.t::DOUBLE * 1000000.0), 6) AS mi_nats,
+           round(shb::DOUBLE / (tot.t::DOUBLE * 1000000.0), 6)
+               AS h_label_nats,
+           round(CASE WHEN shb > 0 THEN smi::DOUBLE / shb::DOUBLE END, 6)
+               AS ig_ratio
+    FROM mi JOIN hb ON mi.g = hb.g JOIN tot ON mi.g = tot.g
+    ORDER BY gate
+    """,
+)
+def q_gate_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of each Gopher subrule gate about the English
+    label — the feature-selection readout "which gate actually
+    separates the language" (a gate with near-zero MI is burning
+    compute), one MI per gate in a single grouped census pass.  Same
+    micro-quantized-ln contract as nmi_exact_vs_lsh."""
+    from es_ch_sync_spark.operators.analytics import grouped_mutual_information
+    from es_ch_sync_spark.operators.text import gopher_quality_flags
+
+    docs = _docs(spark, sf_dir)
+    lab = docs.select("doc_id", (F.col("lang") == "en").alias("y"))
+    gf = gopher_quality_flags(docs).join(lab, "doc_id")
+    v = None
+    for name, col in (
+        ("ok_word_count", "ok_word_count"),
+        ("ok_symbols", "ok_symbols"),
+        ("ok_stopwords", "ok_stopwords"),
+    ):
+        part = gf.select(
+            F.lit(name).alias("gate"),
+            F.col(col).alias("a"),
+            F.col("y").alias("b"),
+        )
+        v = part if v is None else v.unionByName(part)
+    return grouped_mutual_information(v, "gate", "a", "b")
+
+
 # Shared Spark-SQL/DuckDB augmented text: the synthetic corpus carries no
 # real identifiers, so deterministic doc_id-derived PII is planted on two
 # residue classes (the _PSL_HOST precedent) — every pattern class gets

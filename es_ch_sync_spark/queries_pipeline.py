@@ -3669,6 +3669,56 @@ def q_lr_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brier_decomposition(scored, "y", "p_quality", n_bins=10)
 
 
+@register(
+    "lr_cumulative_gains",
+    f"""
+    WITH scores AS (
+        SELECT y, p_quality FROM ({_o.quality_lr_sql(iters=3)}) s
+    ),
+    b AS (
+        SELECT least((CAST(round(p_quality * 1000000) AS BIGINT) * 10)
+                     // 1000000, 9)::INT AS bin, y
+        FROM scores
+    ),
+    g AS (
+        SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS positives
+        FROM b GROUP BY 1
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS nn, sum(positives)::BIGINT AS pp FROM g),
+    st AS (
+        SELECT (9 - bin)::BIGINT AS decile, n, positives,
+               sum(n) OVER (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum_n,
+               sum(positives) OVER (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum_positives,
+               nn, pp
+        FROM g, tot
+    )
+    SELECT decile, n, positives, cum_n, cum_positives,
+           round(CASE WHEN pp > 0
+                 THEN cum_positives::DOUBLE / pp::DOUBLE END, 6) AS gain,
+           round(CASE WHEN pp > 0 AND cum_n > 0
+                 THEN (cum_positives::DOUBLE / cum_n::DOUBLE)
+                      / (pp::DOUBLE / nn::DOUBLE) END, 6) AS lift
+    FROM st ORDER BY decile
+    """,
+)
+def q_lr_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table of the LR quality gate by score
+    decile (decile 0 = top-scored) — "how deep into the ranked corpus
+    to capture X% of the positives", the budget-decision readout next
+    to lr_auc_brier and lr_ece.  Same deterministic integer bin math
+    as ECE; cumulative sums over the ≤10-row census."""
+    from es_ch_sync_spark.operators.analytics import cumulative_gains
+    from es_ch_sync_spark.operators.text import quality_lr_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)
+    return cumulative_gains(scored, "y", "p_quality", n_bins=10)
+
+
 _HEAPS_CP = 10
 
 

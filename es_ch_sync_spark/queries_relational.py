@@ -3516,6 +3516,58 @@ def q_ab_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tukey_pairwise_arms",
+    """
+    WITH vm AS (
+        SELECT event_type AS g,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    per AS (
+        SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+               sum(v::HUGEINT * v::HUGEINT)::HUGEINT AS ss
+        FROM vm GROUP BY 1
+    ),
+    w AS (
+        SELECT sum(CAST(round(ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                        AS HUGEINT))::HUGEINT AS ssw,
+               sum(n)::BIGINT AS nn, count(*)::BIGINT AS k
+        FROM per
+    ),
+    m AS (
+        SELECT CASE WHEN nn > k
+               THEN ssw::DOUBLE / (nn - k)::DOUBLE END AS mse
+        FROM w
+    ),
+    pairs AS (
+        SELECT a.g AS arm_a, b.g AS arm_b, a.n AS n_a, b.n AS n_b,
+               a.s AS sa, b.s AS sb
+        FROM per a JOIN per b ON a.g < b.g
+    )
+    SELECT arm_a, arm_b, n_a, n_b,
+           round((sa::DOUBLE / n_a::DOUBLE - sb::DOUBLE / n_b::DOUBLE)
+                 / 1e6, 6) AS mean_diff,
+           round(CASE WHEN mse > 0
+                 THEN abs(sa::DOUBLE / n_a::DOUBLE - sb::DOUBLE / n_b::DOUBLE)
+                      / sqrt(mse / 2.0
+                             * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))
+                 END, 6) AS q_stat
+    FROM pairs, m ORDER BY arm_a, arm_b
+    """,
+)
+def q_tukey_pairwise_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer pairwise contrasts across ALL event-type arms —
+    the post-hoc "which pairs differ" step after kruskal_wallis_arms'
+    omnibus answer, in studentized-range q units over the pooled
+    within-arm variance.  Per-arm exact moments; per-arm SSD quantized
+    before the k-row pooled sum; k²/2 census-sized pairs."""
+    from es_ch_sync_spark.operators.analytics import pairwise_mean_contrasts
+
+    ev = _t(spark, sf_dir, "events")
+    return pairwise_mean_contrasts(ev, "event_type", "value")
+
+
+@register(
     "sliding_distinct_users",
     """
     WITH ud AS (

@@ -1117,3 +1117,67 @@ def test_bm25_grid_matches_standalone(spark):
             for r in bm25_topk(docs, terms, k=4, k1=k1, b=b).collect()
         }
         assert grid == alone
+
+
+def test_pairwise_mean_contrasts_hand_computed(spark):
+    """Arms a=[1,2,3], b=[2,4,6], c=[10,10,10]: SSW=10 (micro^2 x1e12),
+    MSE=10/6; q_ab = 2e6/sqrt(MSE_u/2 * 2/3)."""
+    import math
+
+    from es_ch_sync_spark.operators.analytics import pairwise_mean_contrasts
+
+    rows = (
+        [("a", v) for v in (1.0, 2.0, 3.0)]
+        + [("b", v) for v in (2.0, 4.0, 6.0)]
+        + [("c", 10.0)] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {(r["arm_a"], r["arm_b"]): r
+           for r in pairwise_mean_contrasts(df, "g", "x").collect()}
+    assert len(out) == 3
+    mse_u = 10e12 / 6.0
+    q_ab = 2e6 / math.sqrt(mse_u / 2.0 * (2.0 / 3.0))
+    r = out[("a", "b")]
+    assert r["mean_diff"] == -2.0 and r["q_stat"] == round(q_ab, 6)
+    assert out[("a", "c")]["mean_diff"] == -8.0
+    assert out[("b", "c")]["mean_diff"] == -6.0
+
+
+def test_grouped_mutual_information_known_values(spark):
+    """A perfect predictor group has ig_ratio 1; an independent one 0."""
+    from es_ch_sync_spark.operators.analytics import grouped_mutual_information
+
+    rows = []
+    for i in range(8):
+        y = i % 2 == 0
+        rows.append(("perfect", y, y))
+        rows.append(("indep", i % 4 < 2, y))
+    df = spark.createDataFrame(rows, "gate string, a boolean, b boolean")
+    out = {r["gate"]: r for r in
+           grouped_mutual_information(df, "gate", "a", "b").collect()}
+    assert out["perfect"]["ig_ratio"] == 1.0
+    # lnm(8) - lnm(4) = 693148 under per-ln micro rounding (each ln is
+    # quantized separately, so the difference can sit an ulp off ln 2)
+    assert out["perfect"]["mi_nats"] == out["perfect"]["h_label_nats"] == 0.693148
+    # per-ln quantization leaves at most a micro-ulp of residual MI on
+    # an exactly independent table
+    assert abs(out["indep"]["mi_nats"]) <= 1e-06
+    assert abs(out["indep"]["ig_ratio"]) <= 2e-06
+
+
+def test_cumulative_gains_hand_computed(spark):
+    """Bins (0.95: 2 pos), (0.55: 1/2), (0.15: 0/4): decile-0 gain 2/3
+    lift 8/3; full-capture at decile 4; lift 1 at the bottom."""
+    from es_ch_sync_spark.operators.analytics import cumulative_gains
+
+    rows = (
+        [(1, 0.95), (1, 0.95)]
+        + [(1, 0.55), (0, 0.55)]
+        + [(0, 0.15)] * 4
+    )
+    df = spark.createDataFrame(rows, "y int, p double")
+    out = {r["decile"]: r for r in cumulative_gains(df, "y", "p").collect()}
+    assert out[0]["cum_positives"] == 2 and out[0]["gain"] == 0.666667
+    assert out[0]["lift"] == round((2 / 2) / (3 / 8), 6)
+    assert out[4]["gain"] == 1.0 and out[4]["lift"] == 2.0
+    assert out[8]["cum_n"] == 8 and out[8]["lift"] == 1.0

@@ -93,7 +93,8 @@ HEADLINE = [
     "paired_permutation_test", "ab_panel", "lr_brier_decomposition",
     "kneser_ney_bigram", "multimodal_png_stats", "embedding_density_clusters",
     "nelson_aalen_conversion", "logrank_cohorts", "ams_f2_users",
-    "seasonal_strength_daily", "bm25_param_grid",
+    "seasonal_strength_daily", "bm25_param_grid", "tukey_pairwise_arms",
+    "gate_information_gain", "lr_cumulative_gains",
 ]
 
 MARKERS = [

@@ -62,6 +62,7 @@ CENSUS_WINDOW_WHITELIST: dict[str, str] = {
     "nelson_aalen_conversion": "distinct-event-time census cumsum (hazard)",
     "logrank_cohorts": "distinct-event-time census risk sets",
     "ams_f2_users": "k=16 estimator census median",
+    "lr_cumulative_gains": "n_bins-row decile census cumsum",
     # 9-row digit census (Benford chi-square total)
     "benford_digits": "9-row digit census",
     # BH step-up over the per-user p-value census (one row per user key,

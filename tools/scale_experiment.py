@@ -1677,6 +1677,49 @@ def _r10_sections(spark, docs, replicas, only):
             return out.count()
 
         timed(f"bm25_param_grid x{replicas} (4 cells, one tokenize)", _grid)
+    if "g12" in only:
+        from es_ch_sync_spark.operators.analytics import (
+            grouped_mutual_information,
+            pairwise_mean_contrasts,
+        )
+        from es_ch_sync_spark.operators.text import gopher_quality_flags
+
+        evg = docs.select(
+            (F.col("doc_id") % 9973).alias("user_id"),
+            F.element_at(
+                F.array(
+                    F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("signup"), F.lit("error"),
+                ),
+                ((F.col("doc_id") / 9973).cast("long") % 5 + 1).cast("int"),
+            ).alias("event_type"),
+            ((F.col("doc_id") % 997).cast("double") / 10.0).alias("value"),
+        )
+        timed(
+            f"tukey_pairwise_arms x{replicas} (5 arms, 10 pairs)",
+            lambda: pairwise_mean_contrasts(
+                evg, "event_type", "value"
+            ).count(),
+        )
+
+        def _ig() -> int:
+            lab = docs.select(
+                "doc_id", (F.col("doc_id") % 3 == 0).alias("y")
+            )
+            gf = gopher_quality_flags(docs.select("doc_id", "text")).join(
+                lab, "doc_id"
+            )
+            v = None
+            for col in ("ok_word_count", "ok_symbols", "ok_stopwords"):
+                part = gf.select(
+                    F.lit(col).alias("gate"),
+                    F.col(col).alias("a"),
+                    F.col("y").alias("b"),
+                )
+                v = part if v is None else v.unionByName(part)
+            return grouped_mutual_information(v, "gate", "a", "b").count()
+
+        timed(f"gate_information_gain x{replicas} (3 gates)", _ig)
     if "gridc" in only:
         from es_ch_sync_spark.operators.clustering import grid_density_clusters
 
