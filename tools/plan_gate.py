@@ -61,7 +61,9 @@ CENSUS_WINDOW_WHITELIST: dict[str, str] = {
     "kaplan_meier_conversion": "distinct-event-time census cumsum",
     "nelson_aalen_conversion": "distinct-event-time census cumsum (hazard)",
     "logrank_cohorts": "distinct-event-time census risk sets",
-    "ams_f2_users": "k=16 estimator census median",
+    # (ams_f2_users' 16-row estimator median plans WITHOUT a
+    # single-partition window — no whitelist entry needed; the stale-entry
+    # pytest check enforces this stays accurate)
     "lr_cumulative_gains": "n_bins-row decile census cumsum",
     # 9-row digit census (Benford chi-square total)
     "benford_digits": "9-row digit census",
