@@ -396,3 +396,146 @@ def test_winsorized_stats_whale_and_small_groups(spark):
     )
     z = winsorized_stats(one, "event_type", "value", "event_id").collect()[0]
     assert z["trimmed_mean"] == z["winsorized_mean"] == 3.5
+
+
+def test_r12_ab_family_degenerate(spark):
+    """Empty pools and one-arm pools: every r12 A/B operator emits zero
+    rows or NULL statistics, never a division error."""
+    from es_ch_sync_spark.operators.analytics import (
+        ab_panel,
+        brown_forsythe,
+        effect_sizes_ab,
+        kruskal_wallis,
+        paired_permutation_test,
+        wilcoxon_signed_rank,
+    )
+
+    empty = spark.createDataFrame([], "u long, arm string, value double")
+    one_arm = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", 3.0)], "u long, arm string, value double"
+    )
+    for df in (empty, one_arm):
+        assert ab_panel(df, "arm", "value", "a", "b").count() == 0
+        assert effect_sizes_ab(df, "arm", "value", "a", "b").count() == 0
+        assert wilcoxon_signed_rank(df, "u", "arm", "value", "a", "b").count() == 0
+        assert (
+            paired_permutation_test(df, "u", "arm", "value", "a", "b").count()
+            == 0
+        )
+    # kruskal/brown-forsythe run on k>=1 groups: one group must be
+    # guarded, not crash
+    r = kruskal_wallis(one_arm, "arm", "value").collect()[0]
+    assert r["n_groups"] == 1 and r["df_h"] == 0
+    assert brown_forsythe(one_arm, "arm", "value").count() == 0
+    assert kruskal_wallis(empty, "arm", "value").count() == 0
+    assert brown_forsythe(empty, "arm", "value").count() == 0
+
+
+def test_r12_survival_and_series_degenerate(spark):
+    """Empty/constant series: survival, trend, extremes, and strength
+    operators emit empty or NULL readouts."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import (
+        gumbel_block_maxima,
+        jackknife_group_means,
+        logrank_test,
+        nelson_aalen,
+        runs_test,
+        seasonal_strength,
+        theil_sen,
+    )
+
+    e_dur = spark.createDataFrame([], "grp int, dur long, e int")
+    assert nelson_aalen(e_dur, "dur", "e").count() == 0
+    # global-agg-on-empty emits ONE all-NULL-stat row (the mcnemar/fleiss
+    # family posture — the oracle's aggregate does the same, so the
+    # engines agree); the statistic itself is NULL, never a crash
+    lr_empty = logrank_test(e_dur, "grp", "dur", "e").collect()
+    assert len(lr_empty) == 1 and lr_empty[0]["chi2_logrank"] is None
+    one_grp = spark.createDataFrame([(1, 3, 1), (1, 5, 1)], "grp int, dur long, e int")
+    r = logrank_test(one_grp, "grp", "dur", "e").collect()[0]
+    assert r["chi2_logrank"] is None  # no group-0 risk: V = 0
+    base = datetime.date(2024, 1, 1)
+    flat = spark.createDataFrame(
+        [("a", base + datetime.timedelta(days=i), 5) for i in range(10)],
+        "g string, day date, y long",
+    )
+    assert runs_test(flat, "g", "day", "y").count() == 0  # no nonzero moves
+    one_day = spark.createDataFrame(
+        [("a", base, 5)], "g string, day date, y long"
+    )
+    assert theil_sen(one_day, "g", "day", "y").count() == 0  # no pairs
+    gb = gumbel_block_maxima(one_day, "g", "day", "y").collect()[0]
+    assert gb["gumbel_beta"] is None  # single block
+    assert seasonal_strength(one_day, "g").count() == 0  # no full window
+    solo = spark.createDataFrame([], "g string, x double")
+    assert jackknife_group_means(solo, "g", "x").count() == 0
+
+
+def test_r12_misc_degenerate(spark):
+    """Empty inputs through the sketch, clustering, MI, contrast, and
+    gains operators."""
+    from es_ch_sync_spark.operators.analytics import (
+        cochran_q,
+        cumulative_gains,
+        grouped_mutual_information,
+        nmi_vmeasure,
+        pairwise_mean_contrasts,
+    )
+    from es_ch_sync_spark.operators.clustering import grid_density_clusters
+    from es_ch_sync_spark.operators.graph import degree_powerlaw
+    from es_ch_sync_spark.operators.sketches import ams_f2_sketch
+    from es_ch_sync_spark.operators.text import kneser_ney_bigram
+
+    assert (
+        cochran_q(
+            spark.createDataFrame([], "a boolean, b boolean"), "a", "b"
+        ).collect()[0]["q_stat"]
+        is None
+    )
+    e_lab = spark.createDataFrame([], "id long, label_a string")
+    e_lab_b = spark.createDataFrame([], "id long, label_b string")
+    # same global-agg posture: one row, every readout NULL
+    nmi_empty = nmi_vmeasure(e_lab, e_lab_b, "id").collect()
+    assert len(nmi_empty) == 1 and nmi_empty[0]["v_measure"] is None
+    assert (
+        grouped_mutual_information(
+            spark.createDataFrame([], "g string, a boolean, b boolean"),
+            "g", "a", "b",
+        ).count()
+        == 0
+    )
+    assert (
+        pairwise_mean_contrasts(
+            spark.createDataFrame([("a", 1.0)], "g string, x double"),
+            "g", "x",
+        ).count()
+        == 0  # one arm: no pairs
+    )
+    assert (
+        cumulative_gains(
+            spark.createDataFrame([], "y int, p double"), "y", "p"
+        ).count()
+        == 0
+    )
+    assert (
+        ams_f2_sketch(
+            spark.createDataFrame([], "k string"), "k"
+        ).count()
+        == 0  # empty census: no median row survives the join
+    )
+    sparse = spark.createDataFrame(
+        [(0.05, 0.05), (0.95, 0.95)], "x double, y double"
+    )
+    assert grid_density_clusters(sparse, "x", "y", min_pts=10).count() == 0
+    assert (
+        degree_powerlaw(
+            spark.createDataFrame([], "src string, dst string")
+        ).count()
+        == 0
+    )
+    kn = kneser_ney_bigram(
+        spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    ).collect()[0]
+    assert kn["n_bigrams"] is None or kn["n_bigrams"] == 0 or kn["h_kn"] is None
