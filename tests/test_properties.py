@@ -625,3 +625,104 @@ def test_char_entropy_upper_bound(spark):
     got = {r["doc_id"]: r for r in char_entropy(df).collect()}
     assert abs(got[1]["entropy_nats"] - math.log(4)) < 1e-5
     assert got[2]["entropy_nats"] < math.log(got[2]["n_distinct"])
+
+
+def _avg_ranks(values):
+    """Tie-averaged 1-based ranks of a list (pure-python reference)."""
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        avg = (i + j + 2) / 2.0  # 1-based positions i+1..j+1
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_wilcoxon_matches_reference(spark, pairs):
+    """wilcoxon_signed_rank equals a brute-force tie-averaged-rank
+    reference on small integer pairs (exact micro quantization)."""
+    import math
+
+    from es_ch_sync_spark.operators.analytics import wilcoxon_signed_rank
+
+    rows = []
+    for u, (x, y) in enumerate(pairs):
+        rows += [(u, "a", float(x)), (u, "b", float(y))]
+    df = spark.createDataFrame(rows, "u long, arm string, value double")
+    out = wilcoxon_signed_rank(df, "u", "arm", "value", "a", "b").collect()
+    ds = [x - y for x, y in pairs if x != y]
+    if not ds:
+        assert out == []
+        return
+    r = out[0]
+    ranks = _avg_ranks([abs(d) for d in ds])
+    w_plus = sum(rk for d, rk in zip(ds, ranks) if d > 0)
+    n = len(ds)
+    assert (r["n_pairs"], r["w_plus"]) == (n, round(w_plus, 1))
+    counts = {}
+    for d in ds:
+        counts[abs(d)] = counts.get(abs(d), 0) + 1
+    tie3 = sum(t * t * t - t for t in counts.values())
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0
+    if var > 0:
+        z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(var)
+        assert r["z_score"] == round(z, 6)
+    else:
+        assert r["z_score"] is None
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # arm index
+            st.integers(min_value=0, max_value=6),  # value
+        ),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_kruskal_wallis_matches_reference(spark, rows_in):
+    """kruskal_wallis equals the textbook tie-corrected H on small
+    integer pools (micro-quantized per-group terms drift < 1e-5)."""
+    from es_ch_sync_spark.operators.analytics import kruskal_wallis
+
+    rows = [(f"g{a}", float(v)) for a, v in rows_in]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = kruskal_wallis(df, "g", "x").collect()[0]
+    vals = [v for _, v in rows_in]
+    ranks = _avg_ranks(vals)
+    groups = {}
+    for (a, _), rk in zip(rows_in, ranks):
+        groups.setdefault(a, []).append(rk)
+    n = len(vals)
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(rs) ** 2 / len(rs) for rs in groups.values()
+    ) - 3.0 * (n + 1)
+    assert r["n_groups"] == len(groups) and r["n_total"] == n
+    assert abs(r["h_stat"] - h) < 1e-5
+    counts = {}
+    for v in vals:
+        counts[v] = counts.get(v, 0) + 1
+    tie3 = sum(t * t * t - t for t in counts.values())
+    corr = 1.0 - tie3 / (n**3 - n) if n > 1 else 0.0
+    if n > 1 and corr > 0:
+        assert abs(r["h_corrected"] - h / corr) < 1e-5
+    else:
+        assert r["h_corrected"] is None
