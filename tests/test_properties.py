@@ -726,3 +726,52 @@ def test_kruskal_wallis_matches_reference(spark, rows_in):
         assert abs(r["h_corrected"] - h / corr) < 1e-5
     else:
         assert r["h_corrected"] is None
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=2, max_size=10),
+    st.lists(st.integers(min_value=0, max_value=20), min_size=2, max_size=10),
+)
+def test_effect_sizes_match_reference(spark, xs, ys):
+    """Cohen's d / Hedges' g / Glass's delta match the textbook formulas
+    on integer samples (exact micro moments, scale factor cancels)."""
+    import math
+
+    from es_ch_sync_spark.operators.analytics import effect_sizes_ab
+
+    rows = [("a", float(v)) for v in xs] + [("b", float(v)) for v in ys]
+    df = spark.createDataFrame(rows, "arm string, x double")
+    r = effect_sizes_ab(df, "arm", "x", "a", "b").collect()[0]
+    na, nb = len(xs), len(ys)
+    ma, mb = sum(xs) / na, sum(ys) / nb
+    ssd_a = sum(v * v for v in xs) - sum(xs) ** 2 / na
+    ssd_b = sum(v * v for v in ys) - sum(ys) ** 2 / nb
+    if ssd_a + ssd_b > 0:
+        d = (ma - mb) / math.sqrt((ssd_a + ssd_b) / (na + nb - 2))
+        assert r["cohen_d"] == round(d, 6)
+        assert r["hedges_g"] == round(d * (1 - 3 / (4 * (na + nb) - 9)), 6)
+    else:
+        assert r["cohen_d"] is None
+    if ssd_b > 0:
+        assert r["glass_delta"] == round(
+            (ma - mb) / math.sqrt(ssd_b / (nb - 1)), 6
+        )
+    else:
+        assert r["glass_delta"] is None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_png_roundtrip_random_images(seed):
+    """encode_png -> decode_png is pixel-exact on random RGB images of
+    varied shapes (no Spark involved: pure codec property)."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 12))
+    w = int(rng.integers(1, 12))
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
