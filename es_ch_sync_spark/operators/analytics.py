@@ -3183,6 +3183,15 @@ def cochran_q(df: DataFrame, *flag_cols: str) -> DataFrame:
     if k < 2:
         raise ValueError("cochran_q needs at least 2 flag columns")
     d38 = "decimal(38,0)"
+    # A NULL flag would otherwise drop the row from T and ΣR² (NULL
+    # propagates through row_sum) while its non-NULL siblings still
+    # count in C_j and n_items — mutually inconsistent moments.  The
+    # test is defined on complete cases only, matching the oracle's
+    # non-NULL gate assumption.
+    complete = F.col(flag_cols[0]).isNotNull()
+    for c in flag_cols[1:]:
+        complete = complete & F.col(c).isNotNull()
+    df = df.filter(complete)
     flags = [F.col(c).cast("boolean").cast("long") for c in flag_cols]
     row_sum = flags[0]
     for fl in flags[1:]:
@@ -3572,7 +3581,12 @@ def theil_sen(
     d = daily.select(
         F.col(group_col).alias("_g"),
         F.col(day_col).alias("_day"),
-        F.col(y_col).cast("long").alias("_y"),
+        # micro-quantize: fractional series (rates, means) would
+        # otherwise truncate toward zero via cast('long'), silently
+        # changing slopes — the effect_sizes_ab contract applies here
+        (F.col(y_col).cast("decimal(24,6)") * F.lit(1000000))
+        .cast("long")
+        .alias("_y"),
     )
     b = d.select(
         F.col("_g"), F.col("_day").alias("_db"), F.col("_y").alias("_yb")
@@ -3601,7 +3615,7 @@ def theil_sen(
             F.col("_g").alias(group_col),
             "n_days",
             "n_pairs",
-            F.round("sen_slope", 6).alias("sen_slope"),
+            F.round(F.col("sen_slope") / 1e6, 6).alias("sen_slope"),
         )
         .orderBy(group_col)
     )
@@ -3748,7 +3762,12 @@ def runs_test(
     d = daily.select(
         F.col(group_col).alias("_g"),
         F.col(day_col).alias("_day"),
-        F.col(y_col).cast("long").alias("_y"),
+        # micro-quantize so fractional series keep their move signs
+        # (cast('long') would floor toward zero and erase sub-integer
+        # moves); signs of integer series are unchanged exactly
+        (F.col(y_col).cast("decimal(24,6)") * F.lit(1000000))
+        .cast("long")
+        .alias("_y"),
     )
     moves = (
         d.select(
@@ -3817,7 +3836,11 @@ def gumbel_block_maxima(
         daily.select(
             F.col(group_col).alias("_g"),
             F.date_trunc("week", F.col(day_col)).cast("date").alias("_wk"),
-            F.col(y_col).cast("long").alias("_y"),
+            # micro-quantize: fractional daily series would truncate
+            # via cast('long'); max commutes with the monotone ×1e6
+            (F.col(y_col).cast("decimal(24,6)") * F.lit(1000000))
+            .cast("long")
+            .alias("_y"),
         )
         .groupBy("_g", "_wk")
         .agg(F.max("_y").alias("_m"))
@@ -3828,12 +3851,12 @@ def gumbel_block_maxima(
         F.sum(F.col("_m").cast(d38) * F.col("_m").cast(d38)).cast(d38).alias("_ss"),
     )
     n = F.col("n_blocks").cast("double")
-    mean = F.col("_s").cast("double") / n
+    mean = F.col("_s").cast("double") / n / 1e6
     ssd = F.col("_ss").cast("double") - F.col("_s").cast("double") * F.col(
         "_s"
     ).cast("double") / n
     ok = (F.col("n_blocks") > 1) & (ssd > 0)
-    beta = F.sqrt(ssd / (n - 1.0)) * F.lit(GUMBEL_SQRT6_OVER_PI)
+    beta = F.sqrt(ssd / (n - 1.0)) * F.lit(GUMBEL_SQRT6_OVER_PI) / 1e6
     return g.select(
         F.col("_g").alias(group_col),
         "n_blocks",
@@ -4074,8 +4097,12 @@ def brier_decomposition(
     pm = F.round(F.col(score_col).cast("double") * 1000000.0).cast("long")
     y = F.col(label_col).cast("long")
     rows = df.select(pm.alias("_pm"), y.alias("_y"))
+    # clamped both sides: a score below 0 would otherwise yield a
+    # negative bin (unreachable for sigmoid scores, guarded anyway)
     binned = rows.select(
-        F.expr(f"least((_pm * {n_bins}) div 1000000, {n_bins - 1})")
+        F.expr(
+            f"greatest(0, least((_pm * {n_bins}) div 1000000, {n_bins - 1}))"
+        )
         .cast("int")
         .alias("bin"),
         "_pm",
@@ -4533,8 +4560,12 @@ def cumulative_gains(
     n_bins rows."""
     pm = F.round(F.col(score_col).cast("double") * 1000000.0).cast("long")
     y = F.col(label_col).cast("long")
+    # clamped both sides: a score below 0 would otherwise produce a
+    # negative bin and an out-of-range decile > n_bins-1 downstream
     binned = df.select(pm.alias("_pm"), y.alias("_y")).select(
-        F.expr(f"least((_pm * {n_bins}) div 1000000, {n_bins - 1})")
+        F.expr(
+            f"greatest(0, least((_pm * {n_bins}) div 1000000, {n_bins - 1}))"
+        )
         .cast("int")
         .alias("_bin"),
         "_y",

@@ -267,7 +267,11 @@ def decode_png(blob: bytes):
     while pos + 8 <= len(blob):
         size, tag = struct.unpack_from(">I4s", blob, pos)
         body = blob[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated PNG chunk")
         if tag == b"IHDR":
+            if size != 13:
+                raise ValueError("truncated PNG chunk")
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )

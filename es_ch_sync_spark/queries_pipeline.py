@@ -3622,7 +3622,7 @@ def q_lr_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scores
     ),
     g AS (
-        SELECT least((pm * 10) // 1000000, 9)::INT AS bin,
+        SELECT greatest(0, least((pm * 10) // 1000000, 9))::INT AS bin,
                count(*)::BIGINT AS n, sum(pm)::BIGINT AS spm,
                sum(y)::BIGINT AS sy,
                sum((pm - 1000000 * y)::HUGEINT
@@ -3676,8 +3676,9 @@ def q_lr_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT y, p_quality FROM ({_o.quality_lr_sql(iters=3)}) s
     ),
     b AS (
-        SELECT least((CAST(round(p_quality * 1000000) AS BIGINT) * 10)
-                     // 1000000, 9)::INT AS bin, y
+        SELECT greatest(0,
+                 least((CAST(round(p_quality * 1000000) AS BIGINT) * 10)
+                       // 1000000, 9))::INT AS bin, y
         FROM scores
     ),
     g AS (

@@ -3725,7 +3725,7 @@ def q_effect_sizes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT event_type AS g, date_trunc('day', ts)::DATE AS day,
-               count(*)::BIGINT AS y
+               CAST(count(*)::DECIMAL(24,6) * 1000000 AS BIGINT) AS y
         FROM events WHERE event_type IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -3741,7 +3741,7 @@ def q_effect_sizes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT g, count(*)::BIGINT AS n_pairs FROM pairs GROUP BY 1),
     d AS (SELECT g, count(*)::BIGINT AS n_days FROM daily GROUP BY 1)
     SELECT r.g AS event_type, d.n_days, c.n_pairs,
-           round(r.slope, 6) AS sen_slope
+           round(r.slope / 1000000.0, 6) AS sen_slope
     FROM r JOIN c USING (g) JOIN d USING (g)
     WHERE r.i = (c.n_pairs + 1) // 2
     ORDER BY event_type
@@ -3830,7 +3830,7 @@ def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT event_type AS g, date_trunc('day', ts)::DATE AS day,
-               count(*)::BIGINT AS y
+               CAST(count(*)::DECIMAL(24,6) * 1000000 AS BIGINT) AS y
         FROM events WHERE event_type IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -3849,15 +3849,16 @@ def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM agg
     )
     SELECT g AS event_type, n_blocks,
-           round(s::DOUBLE / n_blocks::DOUBLE, 6) AS max_mean,
+           round(s::DOUBLE / n_blocks::DOUBLE / 1000000.0, 6) AS max_mean,
            round(CASE WHEN n_blocks > 1 AND ssd > 0
                  THEN sqrt(ssd / (n_blocks::DOUBLE - 1.0))
-                      * 0.7796968012336793 END, 6) AS gumbel_beta,
+                      * 0.7796968012336793 / 1000000.0 END, 6) AS gumbel_beta,
            round(CASE WHEN n_blocks > 1 AND ssd > 0
-                 THEN s::DOUBLE / n_blocks::DOUBLE
+                 THEN s::DOUBLE / n_blocks::DOUBLE / 1000000.0
                       - 0.5772156649015329
                         * (sqrt(ssd / (n_blocks::DOUBLE - 1.0))
-                           * 0.7796968012336793) END, 6) AS gumbel_mu
+                           * 0.7796968012336793 / 1000000.0) END, 6)
+               AS gumbel_mu
     FROM m ORDER BY event_type
     """,
 )
