@@ -100,6 +100,17 @@ EXTENDED = [
     "kruskal_wallis_arms",
     "kneser_ney_bigram",
 ]
+# EXTENDED is FROZEN as of r12 (r12 verdict directive #3): the 18-query
+# list above now has its own summed, round-comparable headline
+# ("extended_wall_sec" in the JSON line, reference value recorded in
+# NOTES.md).  Do NOT add to it — new-family representatives go in EXTRA
+# below (timed identically, reported under "extra", never summed into
+# either frozen number).
+
+EXTRA = [
+    # round-13 representatives: the shared-mining dedup-audit composite
+    "dedup_audit_panel",
+]
 
 
 def main() -> None:
@@ -127,7 +138,7 @@ def main() -> None:
     # Fault-isolated: one broken query must never zero the round's perf
     # evidence — errors are recorded per-query and the JSON always emits.
     samples: dict[str, list[float]] = {
-        name: [] for name in HEADLINE + EXTENDED
+        name: [] for name in HEADLINE + EXTENDED + EXTRA
     }
     errors: dict[str, str] = {}
 
@@ -139,7 +150,7 @@ def main() -> None:
     # (and the query skipped in timed passes) exactly like timed-pass
     # errors.
     warmup_t0 = time.time()
-    for name in HEADLINE + EXTENDED:
+    for name in HEADLINE + EXTENDED + EXTRA:
         try:
             t0 = time.time()
             qs[name](spark, sf_dir).count()
@@ -153,7 +164,7 @@ def main() -> None:
     warmup_wall = round(time.time() - warmup_t0, 3)
 
     for pass_no in range(PASSES):
-        for name in HEADLINE + EXTENDED:
+        for name in HEADLINE + EXTENDED + EXTRA:
             if name in errors:
                 continue
             try:
@@ -171,12 +182,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extended: dict[str, float] = {}
+    extra: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, ts in samples.items():
         if not ts:
             continue
         med = round(sorted(ts)[len(ts) // 2], 3)
-        (extended if name in EXTENDED else timings)[name] = med
+        bucket = (
+            extended if name in EXTENDED else extra if name in EXTRA else timings
+        )
+        bucket[name] = med
         spread[name] = [round(min(ts), 3), round(max(ts), 3)]
 
     # A partial suite must not masquerade as a (faster-looking) full-suite
@@ -185,6 +200,13 @@ def main() -> None:
     # r1-comparable artifact).
     headline_errors = {k: v for k, v in errors.items() if k in HEADLINE}
     total = round(sum(timings.values()), 3) if not headline_errors else None
+    # Second frozen headline (r12 verdict directive #3): sum of the
+    # 18 EXTENDED medians, comparable round-over-round exactly like
+    # "value"; null whenever an EXTENDED query errored.
+    extended_errors = {k: v for k, v in errors.items() if k in EXTENDED}
+    extended_total = (
+        round(sum(extended.values()), 3) if not extended_errors else None
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -201,6 +223,8 @@ def main() -> None:
         "passes; value = sum of medians",
         "spread": spread,
         "extended": extended,
+        "extended_wall_sec": extended_total,
+        "extra": extra,
         "host": {
             "loadavg_start": load_start,
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
@@ -222,6 +246,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "headline_suite_wall_sec",
         "headline_wall_sec": total,
+        "extended_wall_sec": extended_total,
         "unit": "sec",
         "sf": sf_val,
         "incomplete": bool(headline_errors),

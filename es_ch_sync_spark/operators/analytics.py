@@ -2871,14 +2871,40 @@ def adjusted_rand_index(
     Scale: one id-keyed join of the two label tables → one (a, b)
     contingency census → two marginal censuses; everything downstream
     of the join is census-sized (bounded by cluster counts)."""
-    d38 = "decimal(38,0)"
-    j = labels_a.select(
-        F.col(id_col), F.col(label_a_col).alias("_la")
-    ).join(
-        labels_b.select(F.col(id_col), F.col(label_b_col).alias("_lb")),
-        id_col,
+    nij = contingency_census(
+        labels_a, labels_b, id_col, label_a_col, label_b_col
+    ).localCheckpoint(eager=False)
+    return adjusted_rand_index_from_census(nij)
+
+
+def contingency_census(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    id_col: str,
+    label_a_col: str = "label_a",
+    label_b_col: str = "label_b",
+) -> DataFrame:
+    """(_la, _lb, _n) contingency census of two partitions of the same
+    item set — the shared front half of adjusted_rand_index and
+    nmi_vmeasure.  A composite that needs BOTH readouts (the dedup
+    audit panel) computes this once, checkpoints it, and feeds the
+    two ``*_from_census`` halves, so the (possibly expensive) label
+    derivation runs exactly once."""
+    return (
+        labels_a.select(F.col(id_col), F.col(label_a_col).alias("_la"))
+        .join(
+            labels_b.select(F.col(id_col), F.col(label_b_col).alias("_lb")),
+            id_col,
+        )
+        .groupBy("_la", "_lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
     )
-    nij = j.groupBy("_la", "_lb").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+
+def adjusted_rand_index_from_census(nij: DataFrame) -> DataFrame:
+    """ARI readout from a precomputed (_la, _lb, _n) contingency census
+    (see :func:`adjusted_rand_index` for semantics and exactness)."""
+    d38 = "decimal(38,0)"
     comb2 = lambda c: (c.cast(d38) * (c - 1).cast(d38)) / F.lit(2).cast(d38)
     cij = nij.agg(
         F.sum("_n").cast("long").alias("n_items"),
@@ -3251,15 +3277,22 @@ def nmi_vmeasure(
     Scale: one id-keyed join of the two label tables → one (a, b)
     contingency census → two marginal censuses; all term sums are
     census-sized, marginals broadcast back onto the census."""
+    # the (a, b) contingency census is tiny (|A| x |B| cells);
+    # localCheckpoint it so the marginal/MI branches below read the
+    # census instead of re-running the id-join (and whatever expensive
+    # mining produced the label tables) once per branch
+    nij = contingency_census(
+        labels_a, labels_b, id_col, label_a_col, label_b_col
+    ).localCheckpoint(eager=False)
+    return nmi_vmeasure_from_census(nij)
+
+
+def nmi_vmeasure_from_census(nij: DataFrame) -> DataFrame:
+    """NMI / homogeneity / completeness / V-measure readout from a
+    precomputed (_la, _lb, _n) contingency census (see
+    :func:`nmi_vmeasure` for semantics and exactness)."""
     d38 = "decimal(38,0)"
     lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
-    j = labels_a.select(
-        F.col(id_col), F.col(label_a_col).alias("_la")
-    ).join(
-        labels_b.select(F.col(id_col), F.col(label_b_col).alias("_lb")),
-        id_col,
-    )
-    nij = j.groupBy("_la", "_lb").agg(F.count(F.lit(1)).cast("long").alias("_n"))
     ca = nij.groupBy("_la").agg(F.sum("_n").cast("long").alias("_a"))
     cb = nij.groupBy("_lb").agg(F.sum("_n").cast("long").alias("_b"))
     tot = nij.agg(F.sum("_n").cast("long").alias("n_items"))
@@ -4494,9 +4527,18 @@ def grouped_mutual_information(
     one float division each per group."""
     d38 = "decimal(38,0)"
     lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
-    nij = df.groupBy(
-        F.col(group_col).alias("_g"), F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
-    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # the (g, a, b) census is bounded by groups x |a| x |b| (tiny);
+    # localCheckpoint it so the four downstream branches (ca/cb/tot/mi)
+    # read the census, not four more passes over the full input
+    nij = (
+        df.groupBy(
+            F.col(group_col).alias("_g"),
+            F.col(a_col).alias("_a"),
+            F.col(b_col).alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .localCheckpoint(eager=False)
+    )
     ca = nij.groupBy("_g", "_a").agg(F.sum("_n").cast("long").alias("_ca"))
     cb = nij.groupBy("_g", "_b").agg(F.sum("_n").cast("long").alias("_cb"))
     tot = nij.groupBy("_g").agg(F.sum("_n").cast("long").alias("_t"))
@@ -4607,3 +4649,196 @@ def cumulative_gains(
         F.round(gain, 6).alias("gain"),
         F.round(lift, 6).alias("lift"),
     ).orderBy("decile")
+
+
+def cuped_adjusted_ab(
+    units: DataFrame,
+    arm_col: str,
+    x_col: str,
+    y_col: str,
+    arm_a: str,
+    arm_b: str,
+    quantize: bool = True,
+) -> DataFrame:
+    """CUPED variance-reduced two-arm comparison [Deng, Xu, Kohavi &
+    Walker, WSDM 2013] — the capstone the completed A/B family leans on
+    in production: regress the outcome Y on a pre-experiment covariate
+    X (θ = cov(X,Y)/var(X), pooled across arms, the paper's
+    recommendation) and run Welch's t on the adjusted outcome
+    Ŷ = Y − θ·(X − X̄), which keeps the mean difference unbiased while
+    removing the between-unit variance X explains (ρ² of it).
+
+    Exactness: X and Y micro-quantize to BIGINT per unit, so each arm's
+    six moments (n, Σx, Σy, Σx², Σy², Σxy) are exact integers (products
+    ride DECIMAL(38,0)); θ, the adjusted means/variances, t, the
+    Welch-Satterthwaite df, and ρ² are single float expressions over
+    the twelve moments — the micro scale cancels in θ, t, df and ρ²,
+    and divides out once in the adjusted means.  NULLs when pooled
+    var(X) is 0 (θ undefined) or an arm degenerates (n < 2, zero
+    adjusted variance).
+
+    Scale: ONE hash aggregate over the unit table to two moment rows;
+    everything downstream is a 2-row broadcast.  The unit table itself
+    is the caller's per-unit census (one groupBy over events).
+
+    ``quantize=False`` means x/y are ALREADY exact micro BIGINTs (the
+    caller summed per-event micro values — the wilcoxon contract; a
+    per-unit float sum would diverge cross-engine at the last ulp
+    before quantization)."""
+    d38 = "decimal(38,0)"
+    if quantize:
+        xm = (F.col(x_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+        ym = (F.col(y_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    else:
+        xm = F.col(x_col).cast("long")
+        ym = F.col(y_col).cast("long")
+    per = (
+        units.filter(F.col(arm_col).isin(arm_a, arm_b))
+        .select(F.col(arm_col).alias("_arm"), xm.alias("_x"), ym.alias("_y"))
+        .groupBy("_arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_x").cast("long").alias("_sx"),
+            F.sum("_y").cast("long").alias("_sy"),
+            F.sum(F.col("_x").cast(d38) * F.col("_x").cast(d38))
+            .cast(d38)
+            .alias("_sxx"),
+            F.sum(F.col("_y").cast(d38) * F.col("_y").cast(d38))
+            .cast(d38)
+            .alias("_syy"),
+            F.sum(F.col("_x").cast(d38) * F.col("_y").cast(d38))
+            .cast(d38)
+            .alias("_sxy"),
+        )
+    )
+    a = per.filter(F.col("_arm") == arm_a).select(
+        F.col("_n").alias("n_a"), F.col("_sx").alias("_sxa"),
+        F.col("_sy").alias("_sya"), F.col("_sxx").alias("_sxxa"),
+        F.col("_syy").alias("_syya"), F.col("_sxy").alias("_sxya"),
+    )
+    b = per.filter(F.col("_arm") == arm_b).select(
+        F.col("_n").alias("n_b"), F.col("_sx").alias("_sxb"),
+        F.col("_sy").alias("_syb"), F.col("_sxx").alias("_sxxb"),
+        F.col("_syy").alias("_syyb"), F.col("_sxy").alias("_sxyb"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    dbl = lambda c: F.col(c).cast("double")
+    na, nb = dbl("n_a"), dbl("n_b")
+    nn = na + nb
+    sx = dbl("_sxa") + dbl("_sxb")
+    sy = dbl("_sya") + dbl("_syb")
+    sxx = dbl("_sxxa") + dbl("_sxxb")
+    syy = dbl("_syya") + dbl("_syyb")
+    sxy = dbl("_sxya") + dbl("_sxyb")
+    # pooled centered second moments (micro^2 scale, cancels everywhere)
+    varp = sxx - sx * sx / nn
+    covp = sxy - sx * sy / nn
+    syyc = syy - sy * sy / nn
+    theta = covp / varp
+    xbar = sx / nn
+    # per-arm adjusted means (micro): ȳ_g − θ(x̄_g − x̄)
+    ma = dbl("_sya") / na - theta * (dbl("_sxa") / na - xbar)
+    mb = dbl("_syb") / nb - theta * (dbl("_sxb") / nb - xbar)
+    # per-arm adjusted sample variances (micro^2):
+    # (Σy²c − 2θΣxyc + θ²Σx²c) / (n − 1)
+    syyca = dbl("_syya") - dbl("_sya") * dbl("_sya") / na
+    sxxca = dbl("_sxxa") - dbl("_sxa") * dbl("_sxa") / na
+    sxyca = dbl("_sxya") - dbl("_sxa") * dbl("_sya") / na
+    syycb = dbl("_syyb") - dbl("_syb") * dbl("_syb") / nb
+    sxxcb = dbl("_sxxb") - dbl("_sxb") * dbl("_sxb") / nb
+    sxycb = dbl("_sxyb") - dbl("_sxb") * dbl("_syb") / nb
+    s2a = (syyca - 2.0 * theta * sxyca + theta * theta * sxxca) / (na - 1.0)
+    s2b = (syycb - 2.0 * theta * sxycb + theta * theta * sxxcb) / (nb - 1.0)
+    vna = s2a / na
+    vnb = s2b / nb
+    se2 = vna + vnb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (
+        se2 * se2
+        / (vna * vna / (na - 1.0) + vnb * vnb / (nb - 1.0))
+    )
+    rho2 = covp * covp / (varp * syyc)
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (varp > 0)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(varp > 0, theta), 6).alias("theta"),
+        F.round(F.when(ok, ma / 1e6), 6).alias("adj_mean_a"),
+        F.round(F.when(ok, mb / 1e6), 6).alias("adj_mean_b"),
+        F.round(F.when(ok & (se2 > 0), t), 6).alias("t_cuped"),
+        F.round(F.when(ok & (se2 > 0), dof), 6).alias("df"),
+        F.round(
+            F.when((varp > 0) & (syyc > 0), rho2), 6
+        ).alias("var_reduction_rho2"),
+    )
+
+
+# SPRT boundary/LLR constants are computed ONCE in Python and embedded
+# as shared double literals in BOTH engines (the Gumbel-constant
+# contract): each engine multiplies exact integer counts by the
+# identical doubles.
+def sprt_conversion_daily(
+    events: DataFrame,
+    ts_col: str,
+    success_pred,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald's sequential probability ratio test [Wald 1945] on a
+    conversion stream, evaluated at DAILY analysis checkpoints — the
+    sequential-monitoring companion to the fixed-horizon A/B family:
+    with cumulative trials n_t and successes k_t through day t,
+
+        LLR_t = k_t·ln(p1/p0) + (n_t − k_t)·ln((1−p1)/(1−p0))
+        accept H1 when LLR_t ≥ ln((1−β)/α);  H0 when ≤ ln(β/(1−α))
+
+    Daily (not per-event) evaluation is BOTH the production shape
+    (peeking happens at analysis checkpoints) and the scale shape: the
+    cumulative window runs over the calendar-bounded day census, never
+    the event stream.
+
+    Exactness: n_t/k_t are exact BIGINT cumsums; the four ln constants
+    are Python-computed doubles embedded identically in the oracle, so
+    LLR is a product-sum of identical doubles.  Output: one row per
+    day with the running decision ('h1' / 'h0' / 'continue')."""
+    import math
+
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    daily = (
+        events.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            success_pred.cast("long").alias("_k"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_day"),
+            F.sum("_k").cast("long").alias("k_day"),
+        )
+    )
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        "n_day",
+        "k_day",
+        F.sum("n_day").over(wc).cast("long").alias("n_cum"),
+        F.sum("k_day").over(wc).cast("long").alias("k_cum"),
+    )
+    llr = (
+        F.col("k_cum").cast("double") * F.lit(l1)
+        + (F.col("n_cum") - F.col("k_cum")).cast("double") * F.lit(l0)
+    )
+    return cum.select(
+        "day",
+        "n_cum",
+        "k_cum",
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= F.lit(upper), F.lit("h1"))
+        .when(llr <= F.lit(lower), F.lit("h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("day")

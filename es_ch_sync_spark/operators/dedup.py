@@ -1804,3 +1804,189 @@ def minhash_estimator_calibration(
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("est_matches", "jac_decile")
     )
+
+
+def dedup_audit_panel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """ALL FOUR dedup-audit readouts off ONE checkpointed minhash
+    mining (r12 verdict directive #1): the standalone queries
+    (``minhash_calibration``, ``dedup_cluster_sizes``,
+    ``dedup_ari_exact_vs_lsh``, ``nmi_exact_vs_lsh``) each re-run the
+    signature/candidate/CC upstream, which is ~85-100% of every wall;
+    in the one-query-per-session driver/cron shape that mining is paid
+    four times.  This composite mines once — signatures → band buckets
+    → candidate pairs → per-candidate (est_matches, exact Jaccard)
+    audit table, localCheckpoint'd — and derives everything from it:
+
+    - ``calibration``: the (est_matches, jac_decile) estimator census
+      (minhash_estimator_calibration semantics);
+    - ``cluster_sizes``: the keep-one histogram over the connected
+      components of the verified (J ≥ threshold) pairs;
+    - ``ari`` / ``nmi``: chance-corrected and information-theoretic
+      agreement of the LSH component partition against the exact-hash
+      partition, BOTH off one checkpointed contingency census.
+
+    Output is long-format — (section, k1, k2, metric, value) — because
+    the four readouts have incompatible row shapes; counts ride as
+    exact doubles (all < 2^53), statistics are rounded to 6 as in the
+    standalones.
+
+    Scale: identical to the standalone plans (banded candidates, never
+    all-pairs; shingles attach to candidate ids only; CC on the
+    verified pair graph), minus three redundant re-minings.  The
+    checkpoints are all census/pair-sized, never corpus-sized."""
+    from es_ch_sync_spark.operators.analytics import (
+        adjusted_rand_index_from_census,
+        contingency_census,
+        nmi_vmeasure_from_census,
+    )
+
+    src = spread(df)
+    stream = src.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
+    mh = minhash_from_stream(stream, id_col, num_hashes).localCheckpoint(
+        eager=True
+    )
+    buckets = lsh_buckets_from_signatures(mh, id_col, num_hashes, bands)
+    cand = lsh_candidate_pairs_from_buckets(buckets, id_col).cache()
+    cand_ids = F.broadcast(
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        src.join(cand_ids, on=id_col, how="left_semi")
+        .select(
+            F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("ts")
+        )
+    ).cache()
+    xa = mh.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(num_hashes)],
+    )
+    xb = mh.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(num_hashes)],
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("ts").alias("_ta"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("ts").alias("_tb"))
+    est = None
+    for i in range(num_hashes):
+        t = (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("long")
+        est = t if est is None else est + t
+    # THE one mining output: every downstream readout derives from this
+    # candidate-sized audit table, never from the corpus again
+    audit = (
+        cand.join(xa, "id_a")
+        .join(xb, "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_matches"),
+            F.round(jaccard(F.col("_ta"), F.col("_tb")), 6).alias("jaccard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    nulls = [
+        F.lit(None).cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+    ]
+    calib_long = (
+        audit.groupBy(
+            F.col("est_matches").cast("long").alias("k1"),
+            F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9))
+            .cast("long")
+            .alias("k2"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(
+            F.lit("calibration").alias("section"),
+            "k1",
+            "k2",
+            F.lit("n_pairs").alias("metric"),
+            "value",
+        )
+    )
+
+    comp = connected_components(
+        audit.filter(F.col("jaccard") >= threshold)
+    ).localCheckpoint(eager=True)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    cs_long = (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.lit("cluster_sizes").alias("section"),
+            F.col("cluster_size").cast("long").alias("k1"),
+            F.lit(None).cast("long").alias("k2"),
+            F.expr(
+                "stack(3,"
+                " 'n_clusters', CAST(n_clusters AS DOUBLE),"
+                " 'n_docs', CAST(cluster_size * n_clusters AS DOUBLE),"
+                " 'n_removable',"
+                " CAST(cluster_size * n_clusters - n_clusters AS DOUBLE)"
+                ") AS (metric, value)"
+            ),
+        )
+    )
+
+    la = df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("label_a")
+    )
+    lb = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            .cast("string")
+            .alias("label_b"),
+        )
+    )
+    nij = contingency_census(la, lb, id_col).localCheckpoint(eager=True)
+    ari_long = adjusted_rand_index_from_census(nij).select(
+        F.lit("ari").alias("section"),
+        *nulls,
+        F.expr(
+            "stack(5,"
+            " 'n_items', CAST(n_items AS DOUBLE),"
+            " 'sum_comb_ij', CAST(sum_comb_ij AS DOUBLE),"
+            " 'sum_comb_a', CAST(sum_comb_a AS DOUBLE),"
+            " 'sum_comb_b', CAST(sum_comb_b AS DOUBLE),"
+            " 'ari', ari) AS (metric, value)"
+        ),
+    )
+    nmi_long = nmi_vmeasure_from_census(nij).select(
+        F.lit("nmi").alias("section"),
+        *nulls,
+        F.expr(
+            "stack(7,"
+            " 'n_items', CAST(n_items AS DOUBLE),"
+            " 'mi_nats', mi_nats,"
+            " 'h_a_nats', h_a_nats,"
+            " 'h_b_nats', h_b_nats,"
+            " 'homogeneity', homogeneity,"
+            " 'completeness', completeness,"
+            " 'v_measure', v_measure) AS (metric, value)"
+        ),
+    )
+    return (
+        calib_long.unionByName(cs_long)
+        .unionByName(ari_long)
+        .unionByName(nmi_long)
+        .orderBy("section", "k1", "k2", "metric")
+    )

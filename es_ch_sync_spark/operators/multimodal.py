@@ -11,7 +11,10 @@ Decode support is two-tier, honestly split by what pure numpy can do:
   formula, so encode→decode→compute must round-trip exactly.
 - **PNG decodes for real** — stdlib zlib inflate + spec unfilter
   (encode_png/decode_png below), no image library needed.
-- **Codec formats stay gated** — JPEG/GIF/WebP/MP4 need Pillow/pyav (not in
+- **GIF decodes for real** — stdlib LZW + numpy palette lookup
+  (encode_gif/decode_gif below); animation/interlace/partial-canvas
+  frames gate explicitly.
+- **Codec formats stay gated** — JPEG/WebP/MP4 need Pillow/pyav (not in
   this container); those paths raise NotImplementedError (job-level
   kernels) or emit a per-row ``error`` column (row-level kernels), never
   silently fake pixels.  Swapping the gate for `PIL.Image.open` changes
@@ -330,17 +333,264 @@ def decode_png(blob: bytes):
     return px[:, :, :3].copy() if bpp == 4 else px.reshape(h, w, 3).copy()
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — single-frame decode + writer, stdlib-only LZW + numpy
+# palette lookup (r12 verdict directive #4: close the GIF gate the PNG
+# way).  Animation, interlace, and partial-canvas frames are explicitly
+# gated with NotImplementedError; malformed input is a ValueError.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices, mcs: int) -> bytes:
+    """GIF-variant LZW: variable-width codes starting at mcs+1 bits,
+    LSB-first bit packing, clear/EOI codes, dictionary capped at 4096
+    (images here never fill it, so no mid-stream clear is emitted)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    code_size = mcs + 1
+    d: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    cur = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w: tuple = ()
+    for k in map(int, indices):
+        wk = w + (k,)
+        if wk in d:
+            w = wk
+            continue
+        emit(d[w])
+        if next_code < 4096:
+            d[wk] = next_code
+            next_code += 1
+            # the encoder's dictionary runs one entry ahead of the
+            # decoder's at each emission, so it widens one entry later
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        w = (k,)
+    if w:
+        emit(d[w])
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, expected: int) -> list[int]:
+    """Spec decoder (GIF89a appendix F): the ground truth the encoder is
+    property-tested against — code == next_code handles the KwKwK case;
+    width bumps when the table reaches 2^code_size; deferred-clear
+    tolerated (table full ⇒ stop growing until a clear code)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out: list[int] = []
+    cur = 0
+    nbits = 0
+    pos = 0
+    table: dict[int, tuple] = {}
+    next_code = 0
+    code_size = mcs + 1
+    prev: tuple | None = None
+
+    def reset() -> None:
+        nonlocal table, next_code, code_size, prev
+        table = {i: (i,) for i in range(clear)}
+        next_code = eoi + 1
+        code_size = mcs + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            cur |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = cur & ((1 << code_size) - 1)
+        cur >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("bad first GIF LZW code")
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("bad GIF LZW code")
+            if next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out.extend(entry)
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("GIF pixel overflow")
+    if len(out) != expected:
+        raise ValueError("GIF pixel count mismatch")
+    return out
+
+
+def encode_gif(arr) -> bytes:
+    """(H, W, 3) uint8 RGB → single-frame GIF87a bytes: global palette
+    (np.unique color order — deterministic), LZW-compressed index
+    stream.  Raises ValueError above 256 distinct colors (inherent GIF
+    limit, not a gate)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF palette overflow: {len(colors)} > 256 colors")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), np.uint8)
+    pal[: len(colors)] = colors
+    mcs = max(2, bits)  # spec: LZW min code size >= 2
+    out = bytearray()
+    out += b"GIF87a"
+    out += struct.pack(
+        "<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0
+    )
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    data = _gif_lzw_encode(inverse.reshape(-1), mcs)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(blob: bytes):
+    """GIF87a/89a → (H, W, 3) uint8 RGB — stdlib LZW + numpy palette
+    lookup.  Supported: one full-canvas image, global or local color
+    table, 89a extension blocks skipped.  Animation (second image
+    descriptor), interlace, and partial-canvas frames raise
+    NotImplementedError naming the feature; truncation and malformed
+    streams raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(blob) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + n * 3 > len(blob):
+            raise ValueError("truncated GIF color table")
+        gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    frame = None
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while True:
+                if pos >= len(blob):
+                    raise ValueError("truncated GIF extension")
+                sz = blob[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+        elif b0 == 0x2C:  # image descriptor
+            if frame is not None:
+                raise NotImplementedError("animated GIF (multiple frames)")
+            if pos + 10 > len(blob):
+                raise ValueError("truncated GIF image descriptor")
+            left, top, iw, ih, ip = struct.unpack_from("<HHHHB", blob, pos + 1)
+            pos += 10
+            if ip & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if (left, top) != (0, 0) or (iw, ih) != (w, h):
+                raise NotImplementedError("partial-canvas GIF frame")
+            pal = gct
+            if ip & 0x80:
+                n = 2 << (ip & 0x07)
+                if pos + n * 3 > len(blob):
+                    raise ValueError("truncated GIF local color table")
+                pal = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            if pos >= len(blob):
+                raise ValueError("truncated GIF image data")
+            mcs = blob[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError(f"bad GIF LZW min code size {mcs}")
+            data = bytearray()
+            while True:
+                if pos >= len(blob):
+                    raise ValueError("truncated GIF data sub-blocks")
+                sz = blob[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if pos + sz > len(blob):
+                    raise ValueError("truncated GIF data sub-block")
+                data += blob[pos : pos + sz]
+                pos += sz
+            idx = np.array(
+                _gif_lzw_decode(bytes(data), mcs, iw * ih), dtype=np.int64
+            )
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF index outside color table")
+            frame = pal[idx].reshape(ih, iw, 3).copy()
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    if frame is None:
+        raise ValueError("GIF missing image data")
+    return frame
+
+
 def decode_image(blob: bytes):
-    """Magic-dispatched real decode: BMP/PPM/PNG in pure numpy + stdlib
-    zlib; codec formats needing an external library (JPEG/GIF/WebP)
-    raise until one is present."""
+    """Magic-dispatched real decode: BMP/PPM/PNG/GIF in pure numpy +
+    stdlib zlib/LZW; codec formats needing an external library
+    (JPEG/WebP) raise until one is present."""
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:2] == b"P6":
         return decode_ppm(blob)
     if blob[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(blob)
-    for magic, name in ((b"\xff\xd8", "JPEG"), (b"GIF8", "GIF"), (b"RIFF", "WebP/RIFF-image")):
+    if blob[:4] == b"GIF8":
+        return decode_gif(blob)
+    for magic, name in ((b"\xff\xd8", "JPEG"), (b"RIFF", "WebP/RIFF-image")):
         if blob[: len(magic)] == magic:
             raise NotImplementedError(f"{name} decode requires Pillow/libvips (not in this container)")
     raise ValueError("unrecognized image format")
@@ -612,6 +862,18 @@ def synth_png_blob(media_id: int) -> bytes:
     return encode_png((media_id + 3 * x + 5 * y + 85 * c) % 256)
 
 
+def synth_gif_blob(media_id: int) -> bytes:
+    """Same deterministic gradient as synth_bmp_blob, GIF-encoded — the
+    48-pixel gradient has ≤ 48 distinct colors, comfortably inside the
+    256-color palette."""
+    import numpy as np
+
+    x = np.arange(SYNTH_W)[None, :, None]
+    y = np.arange(SYNTH_H)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return encode_gif((media_id + 3 * x + 5 * y + 85 * c) % 256)
+
+
 def synth_wav_blob(media_id: int) -> bytes:
     """n = (media_id mod 20 + 5)·80 samples @ 8 kHz;
     sample(i) = ((media_id·31 + 7i) mod 4096) − 2048."""
@@ -629,6 +891,7 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
     maker = {
         "image": synth_bmp_blob,
         "png": synth_png_blob,
+        "gif": synth_gif_blob,
     }.get(kind, synth_wav_blob)
     schema = T.StructType(
         [

@@ -994,6 +994,172 @@ def q_nmi_exact_vs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nmi_vmeasure(la, lb, "doc_id")
 
 
+def _dedup_audit_panel_oracle() -> str:
+    """SQL mirror of dd.dedup_audit_panel: ONE materialized audit CTE
+    (candidates + est_matches + exact Jaccard) feeds the calibration
+    census, the CC walk → cluster-size histogram, and the shared
+    contingency census behind the ARI and NMI readouts — each block
+    identical to its standalone oracle, CTEs renamed to coexist."""
+    est = " + ".join(
+        f"CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    lnm = "CAST(round(ln({v}) * 1000000) AS BIGINT)"
+    return f"""
+    WITH RECURSIVE audit AS MATERIALIZED (
+        {oracles._minhash_buckets_sql(8, 4, 3)}
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               ({est})::BIGINT AS est_matches,
+               round(
+                 len(list_filter(x.shs, s -> list_contains(y.shs, s)))::DOUBLE
+                 / (len(x.shs) + len(y.shs)
+                    - len(list_filter(x.shs, s -> list_contains(y.shs, s))))::DOUBLE,
+                 6) AS jaccard
+        FROM cand c
+        JOIN mh x ON c.id_a = x.doc_id JOIN mh y ON c.id_b = y.doc_id
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM audit WHERE jaccard >= 0.5
+        UNION
+        SELECT id_b, id_a FROM audit WHERE jaccard >= 0.5
+    ),
+    walk(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w2.label FROM edges e JOIN walk w2 ON w2.id = e.dst
+    ),
+    comp AS MATERIALIZED (
+        SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+    ),
+    sizes AS (
+        SELECT cluster_id, count(*)::BIGINT AS cluster_size
+        FROM comp GROUP BY 1
+    ),
+    hist AS (
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters
+        FROM sizes GROUP BY 1
+    ),
+    la AS (
+        SELECT doc_id, md5({oracles.NORM.format(col='text')}) AS label_a
+        FROM documents
+    ),
+    lb AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id)::VARCHAR AS label_b
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    cj AS MATERIALIZED (
+        SELECT label_a, label_b, count(*)::BIGINT AS n
+        FROM la JOIN lb USING (doc_id) GROUP BY 1, 2
+    ),
+    acij AS (
+        SELECT sum(n)::BIGINT AS n_items,
+               sum(n::HUGEINT * (n - 1) // 2)::HUGEINT AS sij
+        FROM cj
+    ),
+    asa AS (SELECT sum(a::HUGEINT * (a - 1) // 2)::HUGEINT AS sa
+            FROM (SELECT sum(n)::BIGINT AS a FROM cj GROUP BY label_a)),
+    asb AS (SELECT sum(b::HUGEINT * (b - 1) // 2)::HUGEINT AS sb
+            FROM (SELECT sum(n)::BIGINT AS b FROM cj GROUP BY label_b)),
+    nca AS MATERIALIZED (SELECT label_a, sum(n)::BIGINT AS a FROM cj GROUP BY 1),
+    ncb AS MATERIALIZED (SELECT label_b, sum(n)::BIGINT AS b FROM cj GROUP BY 1),
+    ntot AS (SELECT sum(n)::BIGINT AS n_items FROM cj),
+    nmi_s AS (
+        SELECT sum(cj.n::HUGEINT
+                   * ({lnm.format(v='ntot.n_items')}
+                      + {lnm.format(v='cj.n')}
+                      - {lnm.format(v='nca.a')}
+                      - {lnm.format(v='ncb.b')})::HUGEINT
+               )::HUGEINT AS smi
+        FROM cj JOIN nca USING (label_a) JOIN ncb USING (label_b), ntot
+    ),
+    nha AS (
+        SELECT sum(a::HUGEINT
+                   * ({lnm.format(v='ntot.n_items')}
+                      - {lnm.format(v='a')})::HUGEINT)::HUGEINT AS sha
+        FROM nca, ntot
+    ),
+    nhb AS (
+        SELECT sum(b::HUGEINT
+                   * ({lnm.format(v='ntot.n_items')}
+                      - {lnm.format(v='b')})::HUGEINT)::HUGEINT AS shb
+        FROM ncb, ntot
+    )
+    SELECT 'calibration' AS section, est_matches::BIGINT AS k1,
+           least(floor(jaccard * 10), 9)::BIGINT AS k2,
+           'n_pairs' AS metric, count(*)::DOUBLE AS value
+    FROM audit GROUP BY 1, 2, 3, 4
+    UNION ALL
+    SELECT 'cluster_sizes', cluster_size::BIGINT, NULL::BIGINT, m.metric,
+           (CASE m.metric WHEN 'n_clusters' THEN n_clusters
+                          WHEN 'n_docs' THEN cluster_size * n_clusters
+                          ELSE cluster_size * n_clusters - n_clusters
+            END)::DOUBLE
+    FROM hist,
+         (VALUES ('n_clusters'), ('n_docs'), ('n_removable')) m(metric)
+    UNION ALL
+    SELECT 'ari', NULL::BIGINT, NULL::BIGINT, m.metric,
+           CASE m.metric
+             WHEN 'n_items' THEN n_items::DOUBLE
+             WHEN 'sum_comb_ij' THEN sij::DOUBLE
+             WHEN 'sum_comb_a' THEN sa::DOUBLE
+             WHEN 'sum_comb_b' THEN sb::DOUBLE
+             ELSE round(
+               CASE WHEN n_items::HUGEINT * (n_items - 1) // 2 > 0
+                     AND abs((sa + sb)::DOUBLE / 2.0
+                             - sa::DOUBLE * sb::DOUBLE
+                               / (n_items::HUGEINT * (n_items - 1) // 2)::DOUBLE)
+                         > 1e-12
+               THEN (sij::DOUBLE - sa::DOUBLE * sb::DOUBLE
+                     / (n_items::HUGEINT * (n_items - 1) // 2)::DOUBLE)
+                    / ((sa + sb)::DOUBLE / 2.0
+                       - sa::DOUBLE * sb::DOUBLE
+                         / (n_items::HUGEINT * (n_items - 1) // 2)::DOUBLE)
+               END, 6)
+           END
+    FROM acij, asa, asb,
+         (VALUES ('n_items'), ('sum_comb_ij'), ('sum_comb_a'),
+                 ('sum_comb_b'), ('ari')) m(metric)
+    UNION ALL
+    SELECT 'nmi', NULL::BIGINT, NULL::BIGINT, m.metric,
+           CASE m.metric
+             WHEN 'n_items' THEN n_items::DOUBLE
+             WHEN 'mi_nats' THEN
+               round(smi::DOUBLE / (n_items::DOUBLE * 1000000.0), 6)
+             WHEN 'h_a_nats' THEN
+               round(sha::DOUBLE / (n_items::DOUBLE * 1000000.0), 6)
+             WHEN 'h_b_nats' THEN
+               round(shb::DOUBLE / (n_items::DOUBLE * 1000000.0), 6)
+             WHEN 'homogeneity' THEN
+               round(CASE WHEN sha > 0 THEN smi::DOUBLE / sha::DOUBLE END, 6)
+             WHEN 'completeness' THEN
+               round(CASE WHEN shb > 0 THEN smi::DOUBLE / shb::DOUBLE END, 6)
+             ELSE round(CASE WHEN sha + shb > 0
+                        THEN 2.0 * smi::DOUBLE / (sha + shb)::DOUBLE END, 6)
+           END
+    FROM ntot, nmi_s, nha, nhb,
+         (VALUES ('n_items'), ('mi_nats'), ('h_a_nats'), ('h_b_nats'),
+                 ('homogeneity'), ('completeness'), ('v_measure')) m(metric)
+    ORDER BY section, k1, k2, metric
+    """
+
+
+@register("dedup_audit_panel", _dedup_audit_panel_oracle())
+def q_dedup_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four dedup-audit readouts — minhash-estimator calibration
+    census, keep-one cluster-size histogram, and the ARI + NMI agreement
+    of the LSH partition against the exact-hash partition — off ONE
+    checkpointed minhash mining (r12 verdict directive #1: the
+    standalones each re-pay the ~same signature/candidate/CC upstream;
+    the driver/cron one-query-per-session shape pays it 4x).
+    Long-format (section, k1, k2, metric, value) because the sections
+    have incompatible row shapes."""
+    return dd.dedup_audit_panel(_docs(spark, sf_dir), threshold=0.5)
+
+
 @register("dedup_incremental", oracles.minhash_incremental_sql(threshold=0.5, new_mod=10))
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: the 10% "new batch" (doc_id % 10 = 0)
@@ -1446,6 +1612,22 @@ def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     used to raise NotImplementedError is now a real decoder (JPEG/
     GIF/WebP still gate on an external library)."""
     media = mm.synth_media(_docs(spark, sf_dir), "png")
+    return mm.extract_pixel_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
+@register("multimodal_gif_stats", _PIXEL_STATS_ORACLE)
+def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, no image library (r12 verdict directive #4,
+    closed the PNG way): the same deterministic 8×6 gradient,
+    GIF87a-encoded executor-side (≤48-color global palette + stdlib
+    LZW) and decoded back through header walk → LZW → palette lookup →
+    numpy stats.  The SAME generating-formula oracle checks it, so a
+    value-hash match proves the full GIF container round trip —
+    animation/interlace/partial-canvas stay explicitly gated,
+    JPEG/WebP/MP4 still need an external library."""
+    media = mm.synth_media(_docs(spark, sf_dir), "gif")
     return mm.extract_pixel_features(media).select(
         "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
     )

@@ -1555,18 +1555,19 @@ def q_gate_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lab = docs.select("doc_id", (F.col("lang") == "en").alias("y"))
     gf = gopher_quality_flags(docs).join(lab, "doc_id")
-    v = None
-    for name, col in (
-        ("ok_word_count", "ok_word_count"),
-        ("ok_symbols", "ok_symbols"),
-        ("ok_stopwords", "ok_stopwords"),
-    ):
-        part = gf.select(
-            F.lit(name).alias("gate"),
-            F.col(col).alias("a"),
-            F.col("y").alias("b"),
-        )
-        v = part if v is None else v.unionByName(part)
+    # ONE long-format projection (stack) instead of a 3-way union over
+    # the uncheckpointed gate frame — the union shape executed the
+    # map-only gate pass 3x (r12 VERDICT "What's wrong" #4); stack
+    # explodes the three flag columns map-side in a single corpus scan
+    v = gf.select(
+        F.expr(
+            "stack(3,"
+            " 'ok_word_count', ok_word_count,"
+            " 'ok_symbols', ok_symbols,"
+            " 'ok_stopwords', ok_stopwords) AS (gate, a)"
+        ),
+        F.col("y").alias("b"),
+    )
     return grouped_mutual_information(v, "gate", "a", "b")
 
 

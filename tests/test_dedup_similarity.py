@@ -225,12 +225,13 @@ def test_multimodal_feature_extraction(spark, docs):
 
 def test_multimodal_codec_formats_gate_cleanly():
     """Library-needing codecs still raise (no Pillow/pyav in this
-    container); PNG decodes for REAL now (see test_png_round_trip_*),
-    so a malformed PNG is a ValueError, not a gate; unrecognized bytes
+    container); PNG and GIF decode for REAL now (see
+    test_png_round_trip_* / test_gif_round_trip_*), so malformed
+    PNG/GIF bytes are a ValueError, not a gate; unrecognized bytes
     are a ValueError; uncompressed formats decode."""
     with pytest.raises(NotImplementedError, match="JPEG"):
         mm.resize_image(b"\xff\xd8\xff\xe0 jpeg bytes", 10, 10)
-    with pytest.raises(NotImplementedError, match="GIF"):
+    with pytest.raises(ValueError):  # valid GIF magic, truncated header
         mm.decode_image(b"GIF89a fake")
     with pytest.raises(ValueError):  # valid PNG signature, no chunks
         mm.decode_image(b"\x89PNG\r\n\x1a\n")

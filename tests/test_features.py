@@ -1181,3 +1181,89 @@ def test_cumulative_gains_hand_computed(spark):
     assert out[0]["lift"] == round((2 / 2) / (3 / 8), 6)
     assert out[4]["gain"] == 1.0 and out[4]["lift"] == 2.0
     assert out[8]["cum_n"] == 8 and out[8]["lift"] == 1.0
+
+
+def test_gif_round_trip_and_gates():
+    """encode_gif -> decode_gif is pixel-exact (including LZW width
+    boundary crossings); 89a extension blocks skip; malformed input is
+    ValueError; animation/interlace/partial-canvas gate with
+    NotImplementedError; palette overflow is ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from es_ch_sync_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+        synth_gif_blob,
+    )
+
+    # deterministic gradient round trip + decode_image dispatch
+    x = np.arange(8)[None, :, None]
+    y = np.arange(6)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    ref = ((7 + 3 * x + 5 * y + 85 * c) % 256).astype(np.uint8)
+    assert np.array_equal(decode_gif(synth_gif_blob(7)), ref)
+    assert np.array_equal(decode_image(synth_gif_blob(7)), ref)
+
+    # width-boundary stress: 250-color random image grows the LZW table
+    # through several code-size bumps
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, size=(250, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 250, size=(40, 40))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+    # KwKwK case: long constant runs produce code == next_code
+    runs = np.zeros((16, 64, 3), np.uint8)
+    runs[:, 32:] = [200, 100, 50]
+    assert np.array_equal(decode_gif(encode_gif(runs)), runs)
+
+    # GIF89a magic accepted; extension blocks are skipped.  The image
+    # descriptor offset is computed structurally (13-byte header + the
+    # global color table) — searching for 0x2c would hit palette bytes.
+    blob = bytearray(synth_gif_blob(3))
+    blob[:6] = b"GIF89a"
+    desc = 13 + (2 << (blob[10] & 0x07)) * 3
+    assert blob[desc] == 0x2C
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+    with_ext = bytes(blob[:desc]) + ext + bytes(blob[desc:])
+    assert np.array_equal(decode_gif(with_ext), decode_gif(bytes(blob)))
+
+    # malformed: truncations at every structural boundary -> ValueError
+    b = synth_gif_blob(3)
+    for cut in (4, 10, 14, 30, len(b) - 2):
+        with pytest.raises(ValueError):
+            decode_gif(b[:cut])
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif at all")
+
+    # animation gate: append a second image descriptor
+    di = 13 + (2 << (b[10] & 0x07)) * 3
+    assert b[di] == 0x2C
+    second = b[di:-1]  # image descriptor..before trailer
+    animated = b[:-1] + second + b"\x3b"
+    with pytest.raises(NotImplementedError):
+        decode_gif(animated)
+
+    # interlace gate: flip the interlace bit in the image descriptor
+    bl = bytearray(b)
+    bl[di + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(bl))
+
+    # partial-canvas gate: shrink the frame width field
+    bl2 = bytearray(b)
+    struct.pack_into("<H", bl2, di + 5, 4)
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(bl2))
+
+    # palette overflow: >256 distinct colors cannot be a GIF
+    big = np.arange(18 * 18 * 3, dtype=np.uint8).reshape(18, 18, 3)
+    big[:, :, 0] = np.arange(18)[:, None]
+    big[:, :, 1] = np.arange(18)[None, :]
+    big[:, :, 2] = 0
+    # 18*18 = 324 distinct (r,g) combinations > 256
+    with pytest.raises(ValueError):
+        encode_gif(big)

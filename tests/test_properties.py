@@ -775,3 +775,22 @@ def test_png_roundtrip_random_images(seed):
     w = int(rng.integers(1, 12))
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_gif_roundtrip_random_images(seed):
+    """encode_gif -> decode_gif is pixel-exact on random paletted images
+    of varied shapes and palette sizes, including LZW code-width
+    boundary crossings (no Spark involved: pure codec property)."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 40))
+    w = int(rng.integers(1, 40))
+    ncol = int(rng.integers(1, 257))
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, ncol, size=(h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)

@@ -95,6 +95,9 @@ FILESCAN_BUDGETS: dict[str, int] = {
     "ab_panel": 1,
     # one tokenize pass (checkpointed posting table) feeds all four cells
     "bm25_param_grid": 1,
+    # one checkpointed candidate-audit table (signatures + exact Jaccard)
+    # feeds calibration + cluster sizes + ARI + NMI
+    "dedup_audit_panel": 1,
 }
 
 _WINDOW_RE = re.compile(r"\bWindow(GroupLimit)?\b.*windowspecdefinition")
@@ -143,6 +146,18 @@ def violations(name: str, plan: str) -> list[str]:
             out.append(
                 f"{name}: FileScan×{n_scan} exceeds shared-pass budget "
                 f"{budget} (a second corpus scan re-grew)"
+            )
+        # checkpoint invariant (r12 verdict directive #7): the budget is
+        # only meaningful because the shared pass is MATERIALIZED — a
+        # refactor that silently drops the localCheckpoint would still
+        # pass FileScan <= budget in warm sessions via cache hits, then
+        # re-scan per consumer cold.  Every budgeted plan must read at
+        # least one checkpointed RDD.
+        if "ExistingRDD" not in fin:
+            out.append(
+                f"{name}: no ExistingRDD (checkpoint) marker in a "
+                "FileScan-budgeted plan — the shared-pass "
+                "localCheckpoint was dropped"
             )
     return out
 
