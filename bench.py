@@ -108,8 +108,12 @@ EXTENDED = [
 # either frozen number).
 
 EXTRA = [
-    # round-13 representatives: the shared-mining dedup-audit composite
+    # round-13 representatives: the shared-mining dedup-audit composite,
+    # the real-GIF container round trip, and the A/B capstones
     "dedup_audit_panel",
+    "multimodal_gif_stats",
+    "cuped_adjusted_ab",
+    "sprt_conversion_daily",
 ]
 
 

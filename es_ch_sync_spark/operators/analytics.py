@@ -4734,7 +4734,11 @@ def cuped_adjusted_ab(
     varp = sxx - sx * sx / nn
     covp = sxy - sx * sy / nn
     syyc = syy - sy * sy / nn
-    theta = covp / varp
+    # ANSI + whole-stage codegen evaluates shared subexpressions even
+    # inside untaken CASE branches (subExpr hoisting), so every divisor
+    # that can degenerate is NULLed instead of guarded downstream:
+    # x / NULL = NULL quietly, x / 0 throws under ANSI.
+    theta = covp / F.when(varp > 0, varp)
     xbar = sx / nn
     # per-arm adjusted means (micro): ȳ_g − θ(x̄_g − x̄)
     ma = dbl("_sya") / na - theta * (dbl("_sxa") / na - xbar)
@@ -4747,17 +4751,17 @@ def cuped_adjusted_ab(
     syycb = dbl("_syyb") - dbl("_syb") * dbl("_syb") / nb
     sxxcb = dbl("_sxxb") - dbl("_sxb") * dbl("_sxb") / nb
     sxycb = dbl("_sxyb") - dbl("_sxb") * dbl("_syb") / nb
-    s2a = (syyca - 2.0 * theta * sxyca + theta * theta * sxxca) / (na - 1.0)
-    s2b = (syycb - 2.0 * theta * sxycb + theta * theta * sxxcb) / (nb - 1.0)
+    da = F.when(na > 1.0, na - 1.0)
+    db = F.when(nb > 1.0, nb - 1.0)
+    s2a = (syyca - 2.0 * theta * sxyca + theta * theta * sxxca) / da
+    s2b = (syycb - 2.0 * theta * sxycb + theta * theta * sxxcb) / db
     vna = s2a / na
     vnb = s2b / nb
     se2 = vna + vnb
-    t = (ma - mb) / F.sqrt(se2)
-    dof = (
-        se2 * se2
-        / (vna * vna / (na - 1.0) + vnb * vnb / (nb - 1.0))
-    )
-    rho2 = covp * covp / (varp * syyc)
+    t = (ma - mb) / F.when(se2 > 0, F.sqrt(se2))
+    dof_den = vna * vna / da + vnb * vnb / db
+    dof = se2 * se2 / F.when(dof_den > 0, dof_den)
+    rho2 = covp * covp / F.when((varp > 0) & (syyc > 0), varp * syyc)
     ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (varp > 0)
     return j.select(
         "n_a",

@@ -232,9 +232,30 @@ _DRIVER_SAMPLED_R11 = frozenset({
 
 _DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R11
 
+_DRIVER_SAMPLED_R12 = frozenset({
+    "nmi_exact_vs_lsh", "edit_distance_pairs", "embedding_density_clusters",
+    "multimodal_png_stats", "retention_cohorts", "nmi_lang_source",
+    "jackknife_source_means", "krippendorff_alpha_gates", "cochran_q_gates",
+    "gate_information_gain", "pii_pattern_census", "pass_at_k",
+    "bm25_param_grid", "ams_f2_users", "paired_permutation_test",
+    "lr_brier_decomposition", "lr_cumulative_gains", "kneser_ney_bigram",
+    "lexical_concentration", "term_burstiness", "split_cross_entropy",
+    "dunning_llr_keywords", "corpus_stats_panel", "seasonal_strength_daily",
+    "wilcoxon_signed_rank", "kruskal_wallis_arms", "brown_forsythe_arms",
+    "ab_panel", "tukey_pairwise_arms", "effect_sizes_ab", "theil_sen_daily",
+    "runs_test_daily", "gumbel_weekly_max", "nelson_aalen_conversion",
+    "logrank_cohorts", "host_graph_panel", "host_graph_stats",
+    "host_degree_powerlaw", "scan_filter", "topk_scan", "project_prune",
+    "exists_any", "es_status_scan", "es_dsl_scan", "unpivot_signals",
+    "dim_join", "dim_join_unresolved", "oldest_signal", "distinct_tokens",
+    "dedup_write",
+})
+
+_DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R12
+
 # Queries whose LATEST driver row is red for a since-fixed reason and must
-# be re-sampled to flip green.  Empty after r11: the driver's 50-row sample
-# came back 50/50, so no registry name is currently red.
+# be re-sampled to flip green.  Empty after r12: the driver's 49-row sample
+# came back 49/49, so no registry name is currently red.
 _RED_LATEST: tuple[str, ...] = ()
 
 

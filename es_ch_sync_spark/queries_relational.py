@@ -3294,6 +3294,200 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cuped_adjusted_ab",
+    """
+    WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+          AND value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    units AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN event_type = 'view' THEN v END),
+                        0)::BIGINT AS x,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN v END),
+                        0)::BIGINT AS y,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        FROM ev GROUP BY 1
+    ),
+    per AS (
+        SELECT arm, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x::HUGEINT * x::HUGEINT)::HUGEINT AS sxx,
+               sum(y::HUGEINT * y::HUGEINT)::HUGEINT AS syy,
+               sum(x::HUGEINT * y::HUGEINT)::HUGEINT AS sxy
+        FROM units GROUP BY 1
+    ),
+    ar AS (SELECT n AS n_a, sx AS sxa, sy AS sya, sxx AS sxxa,
+                  syy AS syya, sxy AS sxya FROM per WHERE arm = 'A'),
+    br AS (SELECT n AS n_b, sx AS sxb, sy AS syb, sxx AS sxxb,
+                  syy AS syyb, sxy AS sxyb FROM per WHERE arm = 'B'),
+    m1 AS (
+        SELECT *,
+               n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+               n_a::DOUBLE + n_b::DOUBLE AS nn,
+               sxa::DOUBLE + sxb::DOUBLE AS psx,
+               sya::DOUBLE + syb::DOUBLE AS psy,
+               sxxa::DOUBLE + sxxb::DOUBLE AS psxx,
+               syya::DOUBLE + syyb::DOUBLE AS psyy,
+               sxya::DOUBLE + sxyb::DOUBLE AS psxy
+        FROM ar, br
+    ),
+    m2 AS (
+        SELECT *,
+               psxx - psx * psx / nn AS varp,
+               psxy - psx * psy / nn AS covp,
+               psyy - psy * psy / nn AS syyc,
+               (psxy - psx * psy / nn) / (psxx - psx * psx / nn) AS theta,
+               psx / nn AS xbar
+        FROM m1
+    ),
+    m3 AS (
+        SELECT *,
+               sya::DOUBLE / na - theta * (sxa::DOUBLE / na - xbar) AS ma,
+               syb::DOUBLE / nb - theta * (sxb::DOUBLE / nb - xbar) AS mb,
+               (syya::DOUBLE - sya::DOUBLE * sya::DOUBLE / na
+                - 2.0 * theta
+                  * (sxya::DOUBLE - sxa::DOUBLE * sya::DOUBLE / na)
+                + theta * theta
+                  * (sxxa::DOUBLE - sxa::DOUBLE * sxa::DOUBLE / na))
+               / (na - 1.0) AS s2a,
+               (syyb::DOUBLE - syb::DOUBLE * syb::DOUBLE / nb
+                - 2.0 * theta
+                  * (sxyb::DOUBLE - sxb::DOUBLE * syb::DOUBLE / nb)
+                + theta * theta
+                  * (sxxb::DOUBLE - sxb::DOUBLE * sxb::DOUBLE / nb))
+               / (nb - 1.0) AS s2b
+        FROM m2
+    ),
+    m4 AS (
+        SELECT *, s2a / na AS vna, s2b / nb AS vnb,
+               s2a / na + s2b / nb AS se2
+        FROM m3
+    )
+    SELECT n_a, n_b,
+           round(CASE WHEN varp > 0 THEN theta END, 6) AS theta,
+           round(CASE WHEN n_a > 1 AND n_b > 1 AND varp > 0
+                 THEN ma / 1000000.0 END, 6) AS adj_mean_a,
+           round(CASE WHEN n_a > 1 AND n_b > 1 AND varp > 0
+                 THEN mb / 1000000.0 END, 6) AS adj_mean_b,
+           round(CASE WHEN n_a > 1 AND n_b > 1 AND varp > 0 AND se2 > 0
+                 THEN (ma - mb) / sqrt(se2) END, 6) AS t_cuped,
+           round(CASE WHEN n_a > 1 AND n_b > 1 AND varp > 0 AND se2 > 0
+                 THEN se2 * se2
+                      / (vna * vna / (na - 1.0) + vnb * vnb / (nb - 1.0))
+                 END, 6) AS df,
+           round(CASE WHEN varp > 0 AND syyc > 0
+                 THEN covp * covp / (varp * syyc) END, 6)
+               AS var_reduction_rho2
+    FROM m4
+    """,
+)
+def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout [Deng et al. 2013]: each
+    user's total 'view' value is the pre-experiment covariate X, their
+    total 'purchase' value the outcome Y, arms a deterministic
+    user_id-parity split; pooled θ = cov(X,Y)/var(X), then Welch's t on
+    Ŷ = Y − θ(X − X̄) plus the ρ² variance-reduction readout.  Per-event
+    micro quantization keeps every per-user sum and all twelve arm
+    moments exact integers (wilcoxon contract); one hash aggregate
+    per stage."""
+    from es_ch_sync_spark.operators.analytics import cuped_adjusted_ab
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    vm = (F.col("value").cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    units = (
+        ev.select("user_id", F.col("event_type").alias("_et"), vm.alias("_v"))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_et") == "view", F.col("_v"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("_et") == "purchase", F.col("_v"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(
+                F.lit("B")
+            ),
+        )
+    )
+    return cuped_adjusted_ab(
+        units, "arm", "x", "y", "A", "B", quantize=False
+    )
+
+
+def _sprt_oracle(
+    p0: float = 0.2, p1: float = 0.25, alpha: float = 0.05, beta: float = 0.2
+) -> str:
+    """SQL mirror of analytics.sprt_conversion_daily on the events
+    purchase stream: the four ln constants are the SAME Python doubles
+    embedded in both engines (Gumbel shared-literal contract)."""
+    import math
+
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    llr = f"k_cum::DOUBLE * {l1!r} + (n_cum - k_cum)::DOUBLE * {l0!r}"
+    return f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts)::DATE AS day,
+               count(*)::BIGINT AS n_day,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                   AS k_day
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT day, n_day, k_day,
+               sum(n_day) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS n_cum,
+               sum(k_day) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS k_cum
+        FROM daily
+    )
+    SELECT day, n_cum, k_cum,
+           round({llr}, 6) AS llr,
+           CASE WHEN {llr} >= {upper!r} THEN 'h1'
+                WHEN {llr} <= {lower!r} THEN 'h0'
+                ELSE 'continue' END AS decision
+    FROM cum ORDER BY day
+    """
+
+
+@register("sprt_conversion_daily", _sprt_oracle())
+def q_sprt_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT on the purchase-conversion stream, evaluated at
+    daily analysis checkpoints (H0: p = 0.2 vs H1: p = 0.25,
+    α = 0.05, β = 0.2) — the sequential-monitoring capstone next to
+    the fixed-horizon A/B family: one row per day with cumulative
+    trials/successes, the log-likelihood ratio, and the running
+    decision.  Exact BIGINT cumsums over the calendar-bounded day
+    census; the ln constants are shared Python doubles."""
+    from es_ch_sync_spark.operators.analytics import sprt_conversion_daily
+
+    ev = _t(spark, sf_dir, "events")
+    return sprt_conversion_daily(
+        ev, "ts", F.col("event_type") == "purchase", p0=0.2, p1=0.25
+    )
+
+
+@register(
     "kruskal_wallis_arms",
     """
     WITH vm AS (

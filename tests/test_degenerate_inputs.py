@@ -539,3 +539,86 @@ def test_r12_misc_degenerate(spark):
         spark.createDataFrame([(1, "word")], "doc_id long, text string")
     ).collect()[0]
     assert kn["n_bigrams"] is None or kn["n_bigrams"] == 0 or kn["h_kn"] is None
+
+
+def test_r13_cuped_sprt_degenerate(spark):
+    """CUPED with an empty/one-arm unit table emits zero rows; zero
+    covariate variance yields NULL theta and readouts (undefined, not a
+    division error); SPRT on an empty stream emits zero rows."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import (
+        cuped_adjusted_ab,
+        sprt_conversion_daily,
+    )
+
+    empty = spark.createDataFrame([], "u long, arm string, x double, y double")
+    one_arm = spark.createDataFrame(
+        [(1, "A", 2.0, 1.0), (2, "A", 3.0, 2.0)],
+        "u long, arm string, x double, y double",
+    )
+    assert cuped_adjusted_ab(empty, "arm", "x", "y", "A", "B").count() == 0
+    assert cuped_adjusted_ab(one_arm, "arm", "x", "y", "A", "B").count() == 0
+    # constant covariate: var(X) = 0 -> theta and every adjusted readout NULL
+    const_x = spark.createDataFrame(
+        [(1, "A", 5.0, 1.0), (2, "A", 5.0, 2.0),
+         (3, "B", 5.0, 4.0), (4, "B", 5.0, 8.0)],
+        "u long, arm string, x double, y double",
+    )
+    r = cuped_adjusted_ab(const_x, "arm", "x", "y", "A", "B").collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert r["theta"] is None and r["t_cuped"] is None
+    assert r["adj_mean_a"] is None and r["var_reduction_rho2"] is None
+
+    empty_ev = spark.createDataFrame([], "ts timestamp, event_type string")
+    assert (
+        sprt_conversion_daily(
+            empty_ev, "ts", F.col("event_type") == "x", p0=0.2, p1=0.25
+        ).count()
+        == 0
+    )
+    # all-success single day: llr positive, decision well-formed
+    d = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(d, "buy")] * 5, "ts timestamp, event_type string"
+    )
+    rows = sprt_conversion_daily(
+        ev, "ts", F.col("event_type") == "buy", p0=0.2, p1=0.25
+    ).collect()
+    assert len(rows) == 1 and rows[0]["k_cum"] == 5
+    assert rows[0]["decision"] in ("h0", "h1", "continue")
+
+
+def test_r13_dedup_audit_panel_degenerate(spark):
+    """The audit panel on an empty / identical-doc corpus: sections stay
+    consistent (identical docs form one cluster; ARI/NMI readouts NULL
+    on the single-cluster partitions, the standalone posture)."""
+    from es_ch_sync_spark.operators.dedup import dedup_audit_panel
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    # empty corpus: the calibration/cluster_sizes censuses vanish, but the
+    # scalar ARI/NMI sections still emit their 5+7 stacked rows (a global
+    # aggregate yields one row on empty input — the oracle's ungrouped
+    # sums do the same) with NULL values throughout
+    er = dedup_audit_panel(empty).collect()
+    assert len(er) == 12
+    assert {r["section"] for r in er} == {"ari", "nmi"}
+    assert all(r["value"] is None for r in er)
+    ident = spark.createDataFrame(
+        [(i, "same words in every doc") for i in range(6)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["section"], r["k1"], r["k2"], r["metric"]): r["value"]
+        for r in dedup_audit_panel(ident).collect()
+    }
+    # 6 identical docs -> one cluster of size 6, 15 candidate pairs all
+    # at jaccard 1.0 with all 8 signature components matching
+    assert rows[("cluster_sizes", 6, None, "n_clusters")] == 1.0
+    assert rows[("cluster_sizes", 6, None, "n_removable")] == 5.0
+    assert rows[("calibration", 8, 9, "n_pairs")] == 15.0
+    assert rows[("ari", None, None, "n_items")] == 6.0
+    # both partitions are the single all-in-one cluster: agreement is
+    # undefined (NULL), not 1 — the ARI/NMI degenerate contract
+    assert rows[("ari", None, None, "ari")] is None
+    assert rows[("nmi", None, None, "v_measure")] is None

@@ -51,6 +51,8 @@ CENSUS_WINDOW_WHITELIST: dict[str, str] = {
     "negative_sample_pairs": "partition-count bucket-offset census",
     # minute-bucket concurrency ladder (bounded by the time range)
     "peak_concurrency": "time-bucket census cumsum",
+    # SPRT analysis checkpoints: cumsum over the calendar-bounded day census
+    "sprt_conversion_daily": "calendar-bounded day census cumsum",
     # rank CDFs over VALUE censuses (distinct observed values, Heaps-bounded)
     "ab_mann_whitney": "distinct-value census CDF",
     "ks_ab_test": "distinct-value census CDF",
