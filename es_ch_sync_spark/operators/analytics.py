@@ -4846,3 +4846,393 @@ def sprt_conversion_daily(
         .otherwise(F.lit("continue"))
         .alias("decision"),
     ).orderBy("day")
+
+
+def ljung_box(
+    daily: DataFrame,
+    group_col: str,
+    day_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Ljung-Box portmanteau test [Ljung & Box 1978] per group — the
+    one-number "is this series white noise" readout over acf_daily's
+    lag census (acf says how big each ρ_k is; this says whether the
+    first h of them are JOINTLY too big):
+
+        Q = n(n+2) · Σ_{k=1..h} ρ_k²/(n−k),   Q ~ χ²(h) under H₀
+
+    Exactness: ρ_k is acf_daily's already-cross-engine-pinned rounded
+    readout; each term ρ_k²/(n−k) micro-quantizes to a BIGINT at 1e12
+    before the per-group sum (order-independent), and Q is one float
+    product over the exact term sum.  Lags with NULL ρ (zero-variance
+    series) drop out and n_lags_used reports the actual df.
+
+    Scale: everything downstream of acf_daily is census-sized (groups ×
+    max_lag rows)."""
+    ac = acf_daily(daily, group_col, day_col, y_col, max_lag)
+    term = (
+        F.col("acf") * F.col("acf")
+        / (F.col("n_days") - F.col("lag")).cast("double")
+    )
+    tq = F.round(term * 1e12, 0).cast("long")
+    g = (
+        ac.filter(F.col("acf").isNotNull() & (F.col("n_days") > F.col("lag")))
+        .groupBy(F.col(group_col))
+        .agg(
+            F.sum(tq).cast("long").alias("_st"),
+            F.max("n_days").cast("long").alias("n_days"),
+            F.count(F.lit(1)).cast("long").alias("n_lags_used"),
+        )
+    )
+    n = F.col("n_days").cast("double")
+    q = n * (n + 2.0) * (F.col("_st").cast("double") / 1e12)
+    return g.select(
+        F.col(group_col),
+        "n_days",
+        "n_lags_used",
+        F.round(q, 6).alias("q_stat"),
+    ).orderBy(group_col)
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled 2×2 analysis [Mantel & Haenszel
+    1959] across strata — "does the gate predict the label AFTER
+    controlling for source", the confounding-aware companion to the
+    marginal chi2 tests (a gate can look predictive marginally purely
+    because both gate and label vary by source — Simpson's pattern):
+
+        OR_MH  = Σ_s a_s·d_s/N_s  /  Σ_s b_s·c_s/N_s
+        χ²_CMH = (Σa_s − Σ E_s)² / Σ V_s       (no continuity corr.)
+        E_s = (a+b)(a+c)/N,  V_s = (a+b)(c+d)(a+c)(b+d)/(N²(N−1))
+
+    Exactness: the per-stratum 2×2 cells are exact BIGINTs off ONE
+    (stratum, exposure, outcome)-shaped hash aggregate; each rational
+    term (ad/N, bc/N, E, V) micro-quantizes to a BIGINT before the
+    stratum sum, so the cross-engine reduction is order-independent;
+    OR and χ² are one float division each.  Strata with N < 2 carry no
+    CMH information (V = 0) and are excluded, reported via n_strata.
+
+    Scale: census-shaped throughout — strata × 4 cells."""
+    cells = (
+        df.filter(
+            F.col(exposure_col).isNotNull() & F.col(outcome_col).isNotNull()
+        )
+        .groupBy(F.col(stratum_col).alias("_s"))
+        .agg(
+            F.sum(
+                (F.col(exposure_col) & F.col(outcome_col)).cast("long")
+            ).alias("_a"),
+            F.sum(
+                (F.col(exposure_col) & ~F.col(outcome_col)).cast("long")
+            ).alias("_b"),
+            F.sum(
+                (~F.col(exposure_col) & F.col(outcome_col)).cast("long")
+            ).alias("_c"),
+            F.sum(
+                (~F.col(exposure_col) & ~F.col(outcome_col)).cast("long")
+            ).alias("_d"),
+        )
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in ("_a", "_b", "_c", "_d"))
+    nt = a + b + c + d
+    mq = lambda e: F.round(e * 1e6, 0).cast("long")
+    per = cells.filter((F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")) > 1).select(
+        F.col("_a"),
+        mq(a * d / nt).alias("_tad"),
+        mq(b * c / nt).alias("_tbc"),
+        mq((a + b) * (a + c) / nt).alias("_te"),
+        mq((a + b) * (c + d) * (a + c) * (b + d) / (nt * nt * (nt - 1.0))).alias("_tv"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("_a").cast("long").alias("sum_a"),
+        F.sum("_tad").cast("long").alias("_sad"),
+        F.sum("_tbc").cast("long").alias("_sbc"),
+        F.sum("_te").cast("long").alias("_se"),
+        F.sum("_tv").cast("long").alias("_sv"),
+    )
+    or_mh = F.col("_sad").cast("double") / F.when(
+        F.col("_sbc") > 0, F.col("_sbc").cast("double")
+    )
+    num = F.col("sum_a").cast("double") - F.col("_se").cast("double") / 1e6
+    chi2 = num * num / F.when(F.col("_sv") > 0, F.col("_sv").cast("double") / 1e6)
+    return g.select(
+        "n_strata",
+        "sum_a",
+        F.round(or_mh, 6).alias("or_mh"),
+        F.round(chi2, 6).alias("chi2_cmh"),
+    )
+
+
+def cramer_von_mises_ab(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion [Anderson 1962], ECDF
+    form with the standard tie weighting — the whole-distribution
+    companion between ks_ab_test (max gap: sensitive to one point) and
+    ab_mann_whitney (location only): T integrates the SQUARED ECDF gap
+    over the pooled sample, so spread/shape differences that never
+    produce one large gap still register.
+
+        T = Σ_v t_v · (F_A(v) − F_B(v))²  ·  nm/N²
+          = Σ_v t_v · (ca_v·m − cb_v·n)²  /  (n·m·N²)
+
+    Exactness: per-distinct-value arm counts and inclusive cumulative
+    counts are exact BIGINTs (the MW value-census machinery); the
+    numerator Σ t·(ca·m − cb·n)² is an exact DECIMAL(38,0) integer and
+    T is ONE float division.  Degenerate pools emit zero rows (MW
+    contract).
+
+    Scale: one value-census hash aggregate; the CDF window runs over
+    the bounded distinct-value census (quantize heavy-tailed metrics
+    first — the ab_mann_whitney note applies verbatim)."""
+    d38 = "decimal(38,0)"
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    pool = df.filter(F.col(group_col).isin(arm_a, arm_b)).select(
+        F.col(group_col).alias("_arm"), vm.alias("_v")
+    )
+    pv = pool.groupBy("_v").agg(
+        F.sum(F.when(F.col("_arm") == arm_a, 1).otherwise(0)).cast("long").alias("_na_v"),
+        F.sum(F.when(F.col("_arm") == arm_b, 1).otherwise(0)).cast("long").alias("_nb_v"),
+    )
+    wv = W.orderBy("_v").rowsBetween(W.unboundedPreceding, 0)
+    cum = pv.select(
+        "_na_v",
+        "_nb_v",
+        F.sum("_na_v").over(wv).cast("long").alias("_ca"),
+        F.sum("_nb_v").over(wv).cast("long").alias("_cb"),
+    )
+    tots = cum.agg(
+        F.sum("_na_v").cast("long").alias("n_a"),
+        F.sum("_nb_v").cast("long").alias("n_b"),
+    )
+    gap = (
+        F.col("_ca").cast(d38) * F.col("n_b").cast(d38)
+        - F.col("_cb").cast(d38) * F.col("n_a").cast(d38)
+    )
+    s = (
+        cum.crossJoin(F.broadcast(tots))
+        .select(
+            "n_a",
+            "n_b",
+            ((F.col("_na_v") + F.col("_nb_v")).cast(d38) * gap * gap).alias("_t"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.sum("_t").cast(d38).alias("_s"))
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    t = F.col("_s").cast("double") / (na * nb * nn * nn)
+    return s.select("n_a", "n_b", F.round(t, 6).alias("t_cvm"))
+
+
+def hodges_lehmann_daily(
+    daily: DataFrame,
+    arm_col: str,
+    day_col: str,
+    y_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Hodges-Lehmann estimator [Hodges & Lehmann 1963] of the location
+    shift between two arms' daily series: the MEDIAN of all cross-arm
+    differences y_a − y_b — the magnitude readout paired with
+    ab_mann_whitney's significance (rank_biserial says direction, HL
+    says "by how much" in the metric's own units, robustly).
+
+    Median contract: the LOWER median (position ⌈K/2⌉), the theil_sen
+    posture — no interpolation crosses the engine boundary; every
+    difference is an exact BIGINT of micro-quantized daily values.
+
+    Scale: the cross join is DAY-CENSUS × DAY-CENSUS — calendar-bounded
+    by construction (the theil_sen O(days²) argument); the median
+    window runs over that bounded pair census."""
+    ym = (F.col(y_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    d = daily.select(F.col(arm_col).alias("_arm"), F.col(day_col).alias("_day"), ym.alias("_y"))
+    va = d.filter(F.col("_arm") == arm_a).select(F.col("_y").alias("_ya"))
+    vb = d.filter(F.col("_arm") == arm_b).select(F.col("_y").alias("_yb"))
+    diffs = va.crossJoin(F.broadcast(vb)).select(
+        (F.col("_ya") - F.col("_yb")).alias("_d")
+    )
+    ranked = diffs.select(
+        "_d", F.row_number().over(W.orderBy("_d")).alias("_i")
+    )
+    cnt = diffs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    med = (
+        ranked.crossJoin(F.broadcast(cnt))
+        .filter(F.col("_i") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select(
+            "n_pairs",
+            F.round(F.col("_d").cast("double") / 1e6, 6).alias("hl_shift"),
+        )
+    )
+    return med
+
+
+def diff_in_diff(
+    df: DataFrame,
+    arm_col: str,
+    period_col: str,
+    value_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Difference-in-differences estimate [Card & Krueger 1994 design]
+    over a 2×2 (arm × pre/post) design — the quasi-experimental readout
+    when assignment isn't randomized per unit: the treatment effect is
+    the TREATED arm's change minus the control arm's change, removing
+    both the arm-level baseline gap and the common time trend.
+
+        DiD = (ȳ_B,post − ȳ_B,pre) − (ȳ_A,post − ȳ_A,pre)
+        SE  = sqrt(Σ_cell s²/n)   (unpooled, Welch-style),  t = DiD/SE
+
+    ``period_col`` must be boolean (false = pre, true = post).
+    Exactness: values micro-quantize, so the 4 cells' (n, Σv, Σv²) are
+    exact integers; DiD/SE/t are single float expressions.  NULLs when
+    any cell has n < 2 (SE undefined).
+
+    Scale: ONE (arm, period) hash aggregate to 4 moment rows."""
+    d38 = "decimal(38,0)"
+    vm = (F.col(value_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    per = (
+        df.filter(F.col(arm_col).isin(arm_a, arm_b) & F.col(period_col).isNotNull())
+        .select(F.col(arm_col).alias("_arm"), F.col(period_col).alias("_post"), vm.alias("_v"))
+        .groupBy("_arm", "_post")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_v").cast("long").alias("_s"),
+            F.sum(F.col("_v").cast(d38) * F.col("_v").cast(d38)).cast(d38).alias("_ss"),
+        )
+    )
+
+    def cell(arm: str, post: bool, tag: str):
+        return per.filter(
+            (F.col("_arm") == arm) & (F.col("_post") == F.lit(post))
+        ).select(
+            F.col("_n").alias(f"n_{tag}"),
+            F.col("_s").alias(f"_s{tag}"),
+            F.col("_ss").alias(f"_ss{tag}"),
+        )
+
+    j = (
+        cell(arm_a, False, "a0")
+        .crossJoin(F.broadcast(cell(arm_a, True, "a1")))
+        .crossJoin(F.broadcast(cell(arm_b, False, "b0")))
+        .crossJoin(F.broadcast(cell(arm_b, True, "b1")))
+    )
+
+    def mean(tag: str):
+        return F.col(f"_s{tag}").cast("double") / F.col(f"n_{tag}").cast("double")
+
+    def vn(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        ssd = F.col(f"_ss{tag}").cast("double") - F.col(f"_s{tag}").cast(
+            "double"
+        ) * F.col(f"_s{tag}").cast("double") / n
+        return ssd / F.when(n > 1.0, n - 1.0) / n
+
+    did = (mean("b1") - mean("b0")) - (mean("a1") - mean("a0"))
+    se2 = vn("a0") + vn("a1") + vn("b0") + vn("b1")
+    t = did / F.when(se2 > 0, F.sqrt(se2))
+    return j.select(
+        "n_a0", "n_a1", "n_b0", "n_b1",
+        F.round(mean("a0") / 1e6, 6).alias("mean_a_pre"),
+        F.round(mean("a1") / 1e6, 6).alias("mean_a_post"),
+        F.round(mean("b0") / 1e6, 6).alias("mean_b_pre"),
+        F.round(mean("b1") / 1e6, 6).alias("mean_b_post"),
+        F.round(did / 1e6, 6).alias("did"),
+        F.round(t, 6).alias("t_did"),
+    )
+
+
+def mix_jsd_daily(
+    events: DataFrame, ts_col: str, cat_col: str
+) -> DataFrame:
+    """Day-over-day Jensen-Shannon divergence of a categorical mix —
+    the drift monitor a production pipeline runs on its event-type /
+    source / language mix: JSD(day d ‖ day d−1) spikes exactly when the
+    incoming mix shifts (a new client version, a broken producer), and
+    is symmetric + bounded (≤ ln 2) so one quiet day can't saturate it.
+
+    Support algebra: the (day × category) grid is built from the GLOBAL
+    category census (bounded — event types, sources, languages are all
+    small vocabularies), zero-filled per side; p = 0 and q = 0 terms
+    are exactly 0 and m > 0 wherever either side is present.  Per-term
+    nano-quantization before the per-day sum (the source_jsd contract)
+    keeps the reduction order-independent.  Days whose PREVIOUS
+    calendar day has no events read NULL (drift vs nothing is
+    undefined, not 0).
+
+    Scale: one (day, category) hash aggregate; everything after is the
+    days × categories grid."""
+    import math as _math
+
+    c = (
+        events.filter(F.col(cat_col).isNotNull())
+        .groupBy(
+            F.to_date(F.col(ts_col)).alias("_day"),
+            F.col(cat_col).alias("_cat"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ).localCheckpoint(eager=False)
+    days = c.select("_day").distinct()
+    cats = c.select("_cat").distinct()
+    tot = c.groupBy("_day").agg(F.sum("_n").cast("long").alias("_t"))
+    grid = days.crossJoin(F.broadcast(cats))
+    cur = grid.join(c, ["_day", "_cat"], "left").select(
+        "_day", "_cat", F.coalesce(F.col("_n"), F.lit(0)).alias("_cn")
+    )
+    prev = c.select(
+        F.date_add(F.col("_day"), 1).alias("_day"),
+        F.col("_cat"),
+        F.col("_n").alias("_pn"),
+    )
+    both = (
+        cur.join(prev, ["_day", "_cat"], "left")
+        .join(tot, "_day")
+        .join(
+            tot.select(
+                F.date_add(F.col("_day"), 1).alias("_day"),
+                F.col("_t").alias("_pt"),
+            ),
+            "_day",
+            "left",
+        )
+        .select(
+            "_day",
+            "_cat",
+            F.col("_cn"),
+            F.coalesce(F.col("_pn"), F.lit(0)).alias("_pn2"),
+            "_t",
+            "_pt",
+        )
+    )
+    p = F.col("_cn").cast("double") / F.col("_t").cast("double")
+    q = F.col("_pn2").cast("double") / F.col("_pt").cast("double")
+    m = (p + q) / 2.0
+    term_p = F.when(F.col("_cn") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    term_q = F.when(F.col("_pn2") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    nano = lambda e: F.floor(e * F.lit(1e9) + F.lit(0.5)).cast("long")
+    agg = both.groupBy("_day").agg(
+        F.sum(nano(term_p)).cast("long").alias("_tp"),
+        F.sum(nano(term_q)).cast("long").alias("_tq"),
+        F.max("_pt").alias("_has_prev"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+    )
+    jsd = (F.col("_tp").cast("double") + F.col("_tq").cast("double")) / 2e9
+    return agg.select(
+        F.col("_day").alias("day"),
+        "n_categories",
+        F.when(F.col("_has_prev").isNotNull(), F.round(jsd, 6)).alias("jsd_nats"),
+    ).orderBy("day")

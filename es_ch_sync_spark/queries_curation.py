@@ -1571,6 +1571,83 @@ def q_gate_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_mutual_information(v, "gate", "a", "b")
 
 
+@register(
+    "mantel_haenszel_gate",
+    f"""
+    WITH {_GATES_CTE},
+    lab AS (SELECT doc_id, (lang = 'en') AS y FROM documents),
+    j AS (
+        SELECT d.source AS s, g.r_stop AS e, l.y AS o
+        FROM documents d
+        JOIN gates g ON d.doc_id = g.doc_id
+        JOIN lab l ON d.doc_id = l.doc_id
+        WHERE g.r_stop IS NOT NULL AND l.y IS NOT NULL
+    ),
+    cells AS (
+        SELECT s,
+               sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+               sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+               sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+               sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS d
+        FROM j GROUP BY 1
+    ),
+    per AS (
+        SELECT a,
+               CAST(round(a::DOUBLE * d::DOUBLE
+                          / (a::DOUBLE + b::DOUBLE + c::DOUBLE + d::DOUBLE)
+                          * 1e6) AS BIGINT) AS tad,
+               CAST(round(b::DOUBLE * c::DOUBLE
+                          / (a::DOUBLE + b::DOUBLE + c::DOUBLE + d::DOUBLE)
+                          * 1e6) AS BIGINT) AS tbc,
+               CAST(round((a::DOUBLE + b::DOUBLE) * (a::DOUBLE + c::DOUBLE)
+                          / (a::DOUBLE + b::DOUBLE + c::DOUBLE + d::DOUBLE)
+                          * 1e6) AS BIGINT) AS te,
+               CAST(round((a::DOUBLE + b::DOUBLE) * (c::DOUBLE + d::DOUBLE)
+                          * (a::DOUBLE + c::DOUBLE) * (b::DOUBLE + d::DOUBLE)
+                          / ((a::DOUBLE + b::DOUBLE + c::DOUBLE + d::DOUBLE)
+                             * (a::DOUBLE + b::DOUBLE + c::DOUBLE + d::DOUBLE)
+                             * (a::DOUBLE + b::DOUBLE + c::DOUBLE + d::DOUBLE
+                                - 1.0))
+                          * 1e6) AS BIGINT) AS tv
+        FROM cells WHERE a + b + c + d > 1
+    ),
+    g AS (
+        SELECT count(*)::BIGINT AS n_strata, sum(a)::BIGINT AS sum_a,
+               sum(tad)::BIGINT AS sad, sum(tbc)::BIGINT AS sbc,
+               sum(te)::BIGINT AS se, sum(tv)::BIGINT AS sv
+        FROM per
+    )
+    SELECT n_strata, sum_a,
+           round(CASE WHEN sbc > 0 THEN sad::DOUBLE / sbc::DOUBLE END, 6)
+               AS or_mh,
+           round(CASE WHEN sv > 0
+                 THEN (sum_a::DOUBLE - se::DOUBLE / 1e6)
+                      * (sum_a::DOUBLE - se::DOUBLE / 1e6)
+                      / (sv::DOUBLE / 1e6) END, 6) AS chi2_cmh
+    FROM g
+    """,
+)
+def q_mantel_haenszel_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled odds ratio + chi2 of the Gopher
+    stopword gate vs the English label ACROSS source strata — the
+    confounding-aware companion to gate_information_gain and the
+    marginal chi2 family: a gate can look predictive marginally purely
+    because both gate and label vary by source (Simpson's pattern);
+    CMH pools the per-source 2x2 evidence instead.  One (source, gate,
+    label) census; per-stratum rational terms micro-quantize before
+    the stratum sum."""
+    from es_ch_sync_spark.operators.analytics import mantel_haenszel
+    from es_ch_sync_spark.operators.text import gopher_quality_flags
+
+    docs = _docs(spark, sf_dir)
+    gf = gopher_quality_flags(docs).select("doc_id", "ok_stopwords")
+    j = (
+        docs.select("doc_id", "source", (F.col("lang") == "en").alias("y"))
+        .join(gf, "doc_id")
+    )
+    return mantel_haenszel(j, "source", "ok_stopwords", "y")
+
+
 # Shared Spark-SQL/DuckDB augmented text: the synthetic corpus carries no
 # real identifiers, so deterministic doc_id-derived PII is planted on two
 # residue classes (the _PSL_HOST precedent) — every pattern class gets

@@ -3488,6 +3488,323 @@ def q_sprt_conversion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ljung_box_daily",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts)::DATE AS day,
+               count(*)::BIGINT AS y
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+        FROM daily GROUP BY 1
+    ),
+    c AS (
+        SELECT d.event_type, d.day, (st.n * d.y - st.s)::BIGINT AS c
+        FROM daily d JOIN stats st USING (event_type)
+    ),
+    den AS (
+        SELECT event_type, sum(c * c)::BIGINT AS den,
+               count(*)::BIGINT AS n_days
+        FROM c GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 8))::INT AS lag_d),
+    pairs AS (
+        SELECT a.event_type, l.lag_d, sum(a.c * b.c)::BIGINT AS num
+        FROM c a CROSS JOIN lags l
+        JOIN c b ON b.event_type = a.event_type AND b.day = a.day + l.lag_d
+        GROUP BY 1, 2
+    ),
+    acf AS (
+        SELECT p.event_type, p.lag_d, d.n_days,
+               CASE WHEN d.den > 0
+                    THEN round(p.num::DOUBLE / d.den::DOUBLE, 6) END AS acf
+        FROM pairs p JOIN den d USING (event_type)
+    ),
+    terms AS (
+        SELECT event_type, n_days,
+               CAST(round(acf * acf / (n_days - lag_d)::DOUBLE * 1e12)
+                    AS BIGINT) AS tq
+        FROM acf WHERE acf IS NOT NULL AND n_days > lag_d
+    ),
+    g AS (
+        SELECT event_type, sum(tq)::BIGINT AS st,
+               max(n_days)::BIGINT AS n_days,
+               count(*)::BIGINT AS n_lags_used
+        FROM terms GROUP BY 1
+    )
+    SELECT event_type, n_days, n_lags_used,
+           round(n_days::DOUBLE * (n_days::DOUBLE + 2.0)
+                 * (st::DOUBLE / 1e12), 6) AS q_stat
+    FROM g ORDER BY event_type
+    """,
+)
+def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau Q over each event type's daily-count acf at
+    lags 1..7 — the joint "is it white noise" readout over acf_lags'
+    per-lag census (Q ~ chi2(h) under H0).  Each term micro-quantizes at
+    1e12 before the per-group sum; Q is one float product."""
+    from es_ch_sync_spark.operators.analytics import ljung_box
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return ljung_box(daily, "event_type", "day", "y", max_lag=7)
+
+
+@register(
+    "cramer_von_mises_ab",
+    """
+    WITH vm AS (
+        SELECT event_type AS arm,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events
+        WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ),
+    pv AS (
+        SELECT v,
+               sum(CASE WHEN arm = 'view' THEN 1 ELSE 0 END)::BIGINT AS na_v,
+               sum(CASE WHEN arm = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb_v
+        FROM vm GROUP BY 1
+    ),
+    cum AS (
+        SELECT na_v, nb_v,
+               sum(na_v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS ca,
+               sum(nb_v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cb
+        FROM pv
+    ),
+    tots AS (SELECT sum(na_v)::BIGINT AS n_a, sum(nb_v)::BIGINT AS n_b
+             FROM cum),
+    s AS (
+        SELECT n_a, n_b,
+               sum((na_v + nb_v)::HUGEINT
+                   * (ca::HUGEINT * n_b - cb::HUGEINT * n_a)
+                   * (ca::HUGEINT * n_b - cb::HUGEINT * n_a))::HUGEINT AS sm
+        FROM cum, tots
+        GROUP BY 1, 2
+    )
+    SELECT n_a, n_b,
+           round(sm::DOUBLE
+                 / (n_a::DOUBLE * n_b::DOUBLE
+                    * (n_a::DOUBLE + n_b::DOUBLE)
+                    * (n_a::DOUBLE + n_b::DOUBLE)), 6) AS t_cvm
+    FROM s WHERE n_a > 0 AND n_b > 0
+    """,
+)
+def q_cramer_von_mises_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises T between the 'view' and 'purchase'
+    arms — the integrated-squared-ECDF-gap companion to ks_ab_test (max
+    gap) and ab_mann_whitney (location): shape/spread differences that
+    never open one large gap still register.  Exact integer numerator
+    off the MW value census; T is one float division."""
+    from es_ch_sync_spark.operators.analytics import cramer_von_mises_ab
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return cramer_von_mises_ab(
+        ev, "event_type", "value", "view", "purchase"
+    )
+
+
+@register(
+    "hodges_lehmann_daily",
+    """
+    WITH daily AS (
+        SELECT event_type AS arm, date_trunc('day', ts)::DATE AS day,
+               (count(*) * 1000000)::BIGINT AS y
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1, 2
+    ),
+    va AS (SELECT y AS ya FROM daily WHERE arm = 'view'),
+    vb AS (SELECT y AS yb FROM daily WHERE arm = 'purchase'),
+    d AS (SELECT (ya - yb)::BIGINT AS d FROM va, vb),
+    r AS (
+        SELECT d, row_number() OVER (ORDER BY d) AS i FROM d
+    ),
+    c AS (SELECT count(*)::BIGINT AS n_pairs FROM d)
+    SELECT c.n_pairs, round(r.d::DOUBLE / 1e6, 6) AS hl_shift
+    FROM r, c WHERE r.i = (c.n_pairs + 1) // 2
+    """,
+)
+def q_hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location-shift estimate between the 'view' and
+    'purchase' arms' daily counts — the robust "by how much" next to
+    ab_mann_whitney's rank_biserial: the LOWER median of all cross-arm
+    daily differences (calendar²-bounded pair census, exact integer
+    differences)."""
+    from es_ch_sync_spark.operators.analytics import hodges_lehmann_daily
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(
+        F.col("event_type").alias("arm"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return hodges_lehmann_daily(daily, "arm", "day", "y", "view", "purchase")
+
+
+@register(
+    "did_effect",
+    """
+    WITH ev AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               (date_trunc('day', ts)::DATE >= DATE '2024-01-16') AS post,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    per AS (
+        SELECT arm, post, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+               sum(v::HUGEINT * v::HUGEINT)::HUGEINT AS ss
+        FROM ev GROUP BY 1, 2
+    ),
+    a0 AS (SELECT n AS n_a0, s AS sa0, ss AS ssa0 FROM per
+           WHERE arm = 'A' AND NOT post),
+    a1 AS (SELECT n AS n_a1, s AS sa1, ss AS ssa1 FROM per
+           WHERE arm = 'A' AND post),
+    b0 AS (SELECT n AS n_b0, s AS sb0, ss AS ssb0 FROM per
+           WHERE arm = 'B' AND NOT post),
+    b1 AS (SELECT n AS n_b1, s AS sb1, ss AS ssb1 FROM per
+           WHERE arm = 'B' AND post),
+    m AS (
+        SELECT *,
+               sa0::DOUBLE / n_a0::DOUBLE AS ma0,
+               sa1::DOUBLE / n_a1::DOUBLE AS ma1,
+               sb0::DOUBLE / n_b0::DOUBLE AS mb0,
+               sb1::DOUBLE / n_b1::DOUBLE AS mb1,
+               (ssa0::DOUBLE - sa0::DOUBLE * sa0::DOUBLE / n_a0::DOUBLE)
+                   / (n_a0::DOUBLE - 1.0) / n_a0::DOUBLE AS vna0,
+               (ssa1::DOUBLE - sa1::DOUBLE * sa1::DOUBLE / n_a1::DOUBLE)
+                   / (n_a1::DOUBLE - 1.0) / n_a1::DOUBLE AS vna1,
+               (ssb0::DOUBLE - sb0::DOUBLE * sb0::DOUBLE / n_b0::DOUBLE)
+                   / (n_b0::DOUBLE - 1.0) / n_b0::DOUBLE AS vnb0,
+               (ssb1::DOUBLE - sb1::DOUBLE * sb1::DOUBLE / n_b1::DOUBLE)
+                   / (n_b1::DOUBLE - 1.0) / n_b1::DOUBLE AS vnb1
+        FROM a0, a1, b0, b1
+    ),
+    f AS (
+        SELECT *,
+               (mb1 - mb0) - (ma1 - ma0) AS did,
+               vna0 + vna1 + vnb0 + vnb1 AS se2
+        FROM m
+    )
+    SELECT n_a0, n_a1, n_b0, n_b1,
+           round(ma0 / 1000000.0, 6) AS mean_a_pre,
+           round(ma1 / 1000000.0, 6) AS mean_a_post,
+           round(mb0 / 1000000.0, 6) AS mean_b_pre,
+           round(mb1 / 1000000.0, 6) AS mean_b_post,
+           round(did / 1000000.0, 6) AS did,
+           round(CASE WHEN n_a0 > 1 AND n_a1 > 1 AND n_b0 > 1 AND n_b1 > 1
+                       AND se2 > 0
+                 THEN did / sqrt(se2) END, 6) AS t_did
+    FROM f
+    """,
+)
+def q_did_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the events value metric: arms a
+    deterministic user-parity split, pre/post at the calendar midpoint
+    (2024-01-16) — the quasi-experimental effect next to the randomized
+    A/B family, removing the arm baseline gap and the common time
+    trend.  One (arm, period) hash aggregate; exact micro moments;
+    Welch-style unpooled SE."""
+    from es_ch_sync_spark.operators.analytics import diff_in_diff
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            (F.to_date("ts") >= F.lit("2024-01-16").cast("date")).alias(
+                "post"
+            ),
+            "value",
+        )
+    )
+    return diff_in_diff(ev, "arm", "post", "value", "A", "B")
+
+
+@register(
+    "event_mix_drift_daily",
+    """
+    WITH c AS (
+        SELECT date_trunc('day', ts)::DATE AS day, event_type AS cat,
+               count(*)::BIGINT AS n
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM c),
+    cats AS (SELECT DISTINCT cat FROM c),
+    tot AS (SELECT day, sum(n)::BIGINT AS t FROM c GROUP BY 1),
+    grid AS (SELECT day, cat FROM days, cats),
+    cur AS (
+        SELECT g.day, g.cat, coalesce(c.n, 0)::BIGINT AS cn
+        FROM grid g LEFT JOIN c ON g.day = c.day AND g.cat = c.cat
+    ),
+    prev AS (SELECT day + 1 AS day, cat, n AS pn FROM c),
+    ptot AS (SELECT day + 1 AS day, t AS pt FROM tot),
+    b AS (
+        SELECT cur.day, cur.cat, cur.cn,
+               coalesce(p.pn, 0)::BIGINT AS pn2, t.t, pt.pt
+        FROM cur
+        LEFT JOIN prev p ON cur.day = p.day AND cur.cat = p.cat
+        JOIN tot t ON cur.day = t.day
+        LEFT JOIN ptot pt ON cur.day = pt.day
+    ),
+    terms AS (
+        SELECT day, pt,
+               CASE WHEN cn > 0
+                    THEN (cn::DOUBLE / t::DOUBLE)
+                         * ln((cn::DOUBLE / t::DOUBLE)
+                              / (((cn::DOUBLE / t::DOUBLE)
+                                  + (pn2::DOUBLE / pt::DOUBLE)) / 2.0))
+                    ELSE 0.0 END AS term_p,
+               CASE WHEN pn2 > 0
+                    THEN (pn2::DOUBLE / pt::DOUBLE)
+                         * ln((pn2::DOUBLE / pt::DOUBLE)
+                              / (((cn::DOUBLE / t::DOUBLE)
+                                  + (pn2::DOUBLE / pt::DOUBLE)) / 2.0))
+                    ELSE 0.0 END AS term_q
+        FROM b
+    ),
+    agg AS (
+        SELECT day,
+               sum(CAST(floor(term_p * 1e9 + 0.5) AS BIGINT))::BIGINT AS tp,
+               sum(CAST(floor(term_q * 1e9 + 0.5) AS BIGINT))::BIGINT AS tq,
+               max(pt) AS has_prev,
+               count(*)::BIGINT AS n_categories
+        FROM terms GROUP BY 1
+    )
+    SELECT day, n_categories,
+           CASE WHEN has_prev IS NOT NULL
+                THEN round((tp::DOUBLE + tq::DOUBLE) / 2e9, 6) END
+               AS jsd_nats
+    FROM agg ORDER BY day
+    """,
+)
+def q_event_mix_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day Jensen-Shannon divergence of the event-type mix —
+    the production drift monitor: JSD(day ‖ previous day) spikes when
+    the incoming mix shifts; bounded ≤ ln 2, symmetric, NULL for days
+    with no previous calendar day (drift vs nothing is undefined).
+    One (day, type) census; grid support algebra; nano-quantized terms
+    (source_jsd contract)."""
+    from es_ch_sync_spark.operators.analytics import mix_jsd_daily
+
+    ev = _t(spark, sf_dir, "events")
+    return mix_jsd_daily(ev, "ts", "event_type")
+
+
+@register(
     "kruskal_wallis_arms",
     """
     WITH vm AS (

@@ -622,3 +622,87 @@ def test_r13_dedup_audit_panel_degenerate(spark):
     # undefined (NULL), not 1 — the ARI/NMI degenerate contract
     assert rows[("ari", None, None, "ari")] is None
     assert rows[("nmi", None, None, "v_measure")] is None
+
+
+def test_r13_stats_batch_degenerate(spark):
+    """Empty/one-sided inputs for the r13 stats batch: zero rows or NULL
+    readouts, never a division error."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import (
+        cramer_von_mises_ab,
+        diff_in_diff,
+        hodges_lehmann_daily,
+        ljung_box,
+        mantel_haenszel,
+        mix_jsd_daily,
+    )
+
+    d0 = datetime.date(2024, 1, 1)
+    # ljung_box: empty and constant series
+    empty_daily = spark.createDataFrame([], "g string, day date, y long")
+    assert ljung_box(empty_daily, "g", "day", "y").count() == 0
+    const = spark.createDataFrame(
+        [("a", d0 + datetime.timedelta(days=i), 5) for i in range(10)],
+        "g string, day date, y long",
+    )
+    # constant series: zero variance -> every acf NULL -> group drops out
+    assert ljung_box(const, "g", "day", "y").count() == 0
+
+    # mantel_haenszel: empty -> one all-NULL-moment row is avoided by the
+    # N>1 stratum filter emitting zero input rows -> global agg emits one
+    # row with n_strata 0 and NULL statistics
+    ej = spark.createDataFrame([], "s string, e boolean, o boolean")
+    r = mantel_haenszel(ej, "s", "e", "o").collect()[0]
+    assert r["n_strata"] == 0 and r["or_mh"] is None and r["chi2_cmh"] is None
+    # all-exposed stratum: b = c = 0 -> sbc = 0 -> OR undefined (NULL)
+    allexp = spark.createDataFrame(
+        [("s1", True, True), ("s1", True, False)] * 3,
+        "s string, e boolean, o boolean",
+    )
+    r2 = mantel_haenszel(allexp, "s", "e", "o").collect()[0]
+    assert r2["or_mh"] is None
+
+    # cramer_von_mises: one-arm pool -> zero rows (MW contract)
+    one_arm = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "arm string, value double"
+    )
+    assert cramer_von_mises_ab(one_arm, "arm", "value", "a", "b").count() == 0
+
+    # hodges_lehmann: one side empty -> zero pairs -> zero rows
+    daily_one = spark.createDataFrame(
+        [("a", d0, 5)], "arm string, day date, y long"
+    )
+    assert (
+        hodges_lehmann_daily(daily_one, "arm", "day", "y", "a", "b").count()
+        == 0
+    )
+
+    # diff_in_diff: a missing cell voids the 4-cell cross join
+    three_cells = spark.createDataFrame(
+        [("A", False, 1.0), ("A", True, 2.0), ("B", False, 3.0)],
+        "arm string, post boolean, value double",
+    )
+    assert diff_in_diff(
+        three_cells, "arm", "post", "value", "A", "B"
+    ).count() == 0
+    # n=1 cells: row survives but SE/t are NULL
+    four_single = spark.createDataFrame(
+        [("A", False, 1.0), ("A", True, 2.0),
+         ("B", False, 3.0), ("B", True, 7.0)],
+        "arm string, post boolean, value double",
+    )
+    r3 = diff_in_diff(
+        four_single, "arm", "post", "value", "A", "B"
+    ).collect()[0]
+    assert r3["did"] == 3.0 and r3["t_did"] is None
+
+    # mix_jsd_daily: empty stream -> zero rows; single day -> NULL jsd
+    empty_ev = spark.createDataFrame([], "ts timestamp, et string")
+    assert mix_jsd_daily(empty_ev, "ts", "et").count() == 0
+    one_day = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1), "x")] * 4,
+        "ts timestamp, et string",
+    )
+    rows = mix_jsd_daily(one_day, "ts", "et").collect()
+    assert len(rows) == 1 and rows[0]["jsd_nats"] is None

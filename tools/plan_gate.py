@@ -53,6 +53,10 @@ CENSUS_WINDOW_WHITELIST: dict[str, str] = {
     "peak_concurrency": "time-bucket census cumsum",
     # SPRT analysis checkpoints: cumsum over the calendar-bounded day census
     "sprt_conversion_daily": "calendar-bounded day census cumsum",
+    # CvM ECDF gap: cumsum over the bounded distinct-value census (MW posture)
+    "cramer_von_mises_ab": "distinct-value census CDF",
+    # HL median: row_number over the calendar^2-bounded day-pair census
+    "hodges_lehmann_daily": "calendar^2-bounded day-pair census median",
     # rank CDFs over VALUE censuses (distinct observed values, Heaps-bounded)
     "ab_mann_whitney": "distinct-value census CDF",
     "ks_ab_test": "distinct-value census CDF",
