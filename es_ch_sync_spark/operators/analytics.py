@@ -5236,3 +5236,193 @@ def mix_jsd_daily(
         "n_categories",
         F.when(F.col("_has_prev").isNotNull(), F.round(jsd, 6)).alias("jsd_nats"),
     ).orderBy("day")
+
+
+def friedman_daily(
+    daily: DataFrame,
+    block_col: str,
+    treat_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Friedman rank test [Friedman 1937] over complete blocks — the
+    repeated-measures member completing the nonparametric family
+    (kruskal_wallis: independent groups; wilcoxon: two paired;
+    Friedman: k treatments measured on the SAME blocks, here k event
+    types observed on the same days, removing the between-day volume
+    swing the independent tests cannot):
+
+        χ²_F = 12/(n·k·(k+1)) · Σ_j R_j²  −  3·n·(k+1),   df = k−1
+
+    with R_j the rank sum of treatment j across the n complete blocks
+    (tie-averaged ranks within a block; uncorrected statistic —
+    documented conservative under heavy ties).  Only blocks containing
+    ALL k treatments enter (the test is defined on complete blocks).
+
+    Exactness: within-block tie-averaged ranks ride as integer
+    DOUBLE-RANKS (2r is an exact BIGINT via the 2·rank + ties − 1
+    identity), so every R₂_j is an exact integer and χ²_F is one float
+    expression.  Scale: ranks are windowed PER BLOCK (bounded by k),
+    never globally; everything else is census-sized."""
+    ym = (F.col(y_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    d = daily.select(
+        F.col(block_col).alias("_b"), F.col(treat_col).alias("_t"), ym.alias("_y")
+    )
+    k_tot = d.agg(F.countDistinct("_t").alias("_k"))
+    complete = (
+        d.groupBy("_b")
+        .agg(F.countDistinct("_t").alias("_kt"))
+        .crossJoin(F.broadcast(k_tot))
+        .filter(F.col("_kt") == F.col("_k"))
+        .select("_b")
+    )
+    dc = d.join(complete, "_b", "left_semi")
+    wb = W.partitionBy("_b").orderBy("_y")
+    wties = W.partitionBy("_b", "_y")
+    r2 = dc.select(
+        "_b",
+        "_t",
+        (
+            2 * F.rank().over(wb) + F.count(F.lit(1)).over(wties) - 1
+        ).cast("long").alias("_r2"),
+    )
+    per_t = r2.groupBy("_t").agg(
+        F.sum("_r2").cast("long").alias("_rs2"),
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+    )
+    d38 = "decimal(38,0)"
+    g = per_t.agg(
+        F.sum(F.col("_rs2").cast(d38) * F.col("_rs2").cast(d38)).cast(d38).alias("_sr2"),
+        F.max("_nb").cast("long").alias("n_blocks"),
+        F.count(F.lit(1)).cast("long").alias("k_treatments"),
+    )
+    n = F.col("n_blocks").cast("double")
+    k = F.col("k_treatments").cast("double")
+    # Σ R_j² = Σ (R2_j/2)² = Σ R2_j² / 4
+    chi = (
+        12.0 / (n * k * (k + 1.0)) * (F.col("_sr2").cast("double") / 4.0)
+        - 3.0 * n * (k + 1.0)
+    )
+    ok = (F.col("n_blocks") > 0) & (F.col("k_treatments") > 1)
+    return g.select(
+        "n_blocks",
+        "k_treatments",
+        F.round(F.when(ok, chi), 6).alias("chi2_f"),
+        (F.col("k_treatments") - 1).cast("long").alias("df_f"),
+    )
+
+
+def grubbs_daily(
+    daily: DataFrame, group_col: str, day_col: str, y_col: str
+) -> DataFrame:
+    """Grubbs' outlier statistic [Grubbs 1950] per group over a daily
+    series: G = max|y − ȳ|/s with the argmax day — "which single day
+    is most anomalous, and how many sample SDs out is it", the
+    point-outlier readout next to cusum (level shifts) and
+    zscore_anomalies (per-row streams).  The statistic only; the
+    critical value is a t-quantile the caller applies.
+
+    Exactness: micro-quantized y makes n/Σy/Σy² exact integers;
+    |n·y − Σy| is an exact integer per day (deviation scaled by n, so
+    no float mean enters the argmax), and G is one float expression.
+    Ties on |dev| break to the EARLIEST day (deterministic).
+
+    Scale: one census aggregate + one window over the calendar-bounded
+    day census per group."""
+    d38 = "decimal(38,0)"
+    ym = (F.col(y_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    d = daily.select(
+        F.col(group_col).alias("_g"), F.col(day_col).alias("_day"), ym.alias("_y")
+    )
+    stats = d.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_y").cast("long").alias("_s"),
+        F.sum(F.col("_y").cast(d38) * F.col("_y").cast(d38)).cast(d38).alias("_ss"),
+    )
+    j = d.join(F.broadcast(stats), "_g").select(
+        "_g",
+        "_day",
+        "n_days",
+        "_s",
+        "_ss",
+        F.abs(F.col("n_days") * F.col("_y") - F.col("_s")).cast("long").alias("_ndev"),
+    )
+    wg = W.partitionBy("_g").orderBy(F.col("_ndev").desc(), F.col("_day").asc())
+    top = j.select(
+        "_g", "_day", "n_days", "_s", "_ss", "_ndev",
+        F.row_number().over(wg).alias("_rn"),
+    ).filter(F.col("_rn") == 1)
+    n = F.col("n_days").cast("double")
+    ssd = F.col("_ss").cast("double") - F.col("_s").cast("double") * F.col(
+        "_s"
+    ).cast("double") / n
+    sd = F.sqrt(ssd / F.when(n > 1.0, n - 1.0))
+    # G = max|y − ȳ|/s = max|n·y − Σy| / (n·s)
+    g_stat = F.col("_ndev").cast("double") / F.when(
+        (n > 1.0) & (ssd > 0), n * sd
+    )
+    return top.select(
+        F.col("_g").alias(group_col),
+        "n_days",
+        F.col("_day").alias("outlier_day"),
+        F.round(g_stat, 6).alias("g_stat"),
+    ).orderBy(group_col)
+
+
+def page_hinkley_daily(
+    daily: DataFrame,
+    group_col: str,
+    day_col: str,
+    y_col: str,
+    delta: float = 0.0,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Page-Hinkley drift detector [Page 1954; Hinkley 1971] per group
+    over a daily series — the sequential mean-shift monitor next to
+    cusum (which needs a known target level; PH self-references the
+    running mean): m_T = Σ_{t≤T}(x_t − x̄_t − δ) with x̄_t the running
+    mean, alarm when m_T − min_{t≤T} m_t > λ.
+
+    Exactness: x̄_t = cumsum/t is float, but each day's TERM
+    (x_t − x̄_t − δ) micro-quantizes to a BIGINT before the cumulative
+    sum, so m_T and its running min are exact integers cross-engine;
+    the alarm compare is integer-vs-integer (λ scaled once).
+
+    Scale: three cumulative windows over the calendar-bounded day
+    census, PARTITIONED by group."""
+    ym = (F.col(y_col).cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    d = daily.select(
+        F.col(group_col).alias("_g"), F.col(day_col).alias("_day"), ym.alias("_y")
+    )
+    wc = W.partitionBy("_g").orderBy("_day").rowsBetween(W.unboundedPreceding, 0)
+    run = d.select(
+        "_g",
+        "_day",
+        "_y",
+        F.sum("_y").over(wc).cast("long").alias("_cs"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("_ct"),
+    )
+    # per-day term in micro units, quantized to a BIGINT
+    term = F.round(
+        F.col("_y").cast("double")
+        - F.col("_cs").cast("double") / F.col("_ct").cast("double")
+        - F.lit(delta * 1e6),
+        0,
+    ).cast("long")
+    cum = run.select("_g", "_day", term.alias("_term")).select(
+        "_g",
+        "_day",
+        F.sum("_term").over(wc).cast("long").alias("_m"),
+    )
+    mmin = cum.select(
+        "_g",
+        "_day",
+        "_m",
+        F.min("_m").over(wc).cast("long").alias("_mmin"),
+    )
+    ph = (F.col("_m") - F.col("_mmin")).cast("long")
+    return mmin.select(
+        F.col("_g").alias(group_col),
+        F.col("_day").alias("day"),
+        F.round(ph.cast("double") / 1e6, 6).alias("ph_stat"),
+        (ph > F.lit(int(lam * 1e6))).alias("alarm"),
+    ).orderBy(group_col, "day")

@@ -761,3 +761,51 @@ def embedding_anisotropy(
         id_col,
         round_half_up(dot * dot / nsq, 6).alias("top_energy_frac"),
     )
+
+
+def embedding_effective_rank(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Participation ratio / effective rank of the corpus second-moment
+    matrix [Gao et al. 2017 neuroscience usage; Roy & Vetterli 2007] —
+    the one-number "how many dimensions does this embedding corpus
+    actually use" readout next to embedding_anisotropy (top-direction
+    dominance) and pca_top_component (the direction itself):
+
+        PR = (tr G)² / ‖G‖_F²   ∈ [1, d]
+
+    over the UNCENTERED Gram G = Σ v·vᵀ (the anisotropy convention —
+    no mean pass; PR(G) = d for isotropic vectors, 1 for rank-one
+    collapse, the smoking gun for an encoder that collapsed).
+
+    Exactness: derives from :func:`embedding_gram`'s ROUNDED(4) upper
+    triangle — the already-cross-engine-pinned artifact — so both
+    engines square and sum IDENTICAL doubles; terms quantize at 1e4
+    (floor(x·1e4 + 0.5), sign-symmetric) before the sum, making the
+    reduction order-independent.  One float division at the end.
+
+    Scale: everything downstream of the gram kernel is d(d+1)/2 rows."""
+    g = embedding_gram(emb, vec_col, dim)
+    diag = F.col("i") == F.col("j")
+    q = lambda e: F.floor(e * F.lit(1e4) + F.lit(0.5)).cast("long")
+    agg = g.agg(
+        F.sum(F.when(diag, q(F.col("gram"))).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_t"),
+        F.sum(
+            q(
+                F.when(diag, F.col("gram") * F.col("gram")).otherwise(
+                    F.lit(2.0) * F.col("gram") * F.col("gram")
+                )
+            )
+        )
+        .cast("long")
+        .alias("_f"),
+    )
+    tr = F.col("_t").cast("double") / 1e4
+    pr = tr * tr / F.when(F.col("_f") > 0, F.col("_f").cast("double") / 1e4)
+    return agg.select(
+        F.lit(dim).cast("long").alias("d"),
+        F.round(tr, 4).alias("trace"),
+        F.round(pr, 6).alias("effective_rank"),
+    )

@@ -179,6 +179,47 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_effective_rank",
+    """
+    WITH pe AS (
+        SELECT vec_id, i::INTEGER AS i, embedding[i + 1]::DOUBLE AS x
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) d
+    ),
+    gm AS (
+        SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 4) AS gram
+        FROM pe a JOIN pe b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT sum(CASE WHEN i = j
+                        THEN CAST(floor(gram * 1e4 + 0.5) AS BIGINT)
+                        ELSE 0 END)::BIGINT AS t,
+               sum(CAST(floor((CASE WHEN i = j THEN gram * gram
+                                    ELSE 2.0 * gram * gram END) * 1e4 + 0.5)
+                        AS BIGINT))::BIGINT AS f
+        FROM gm
+    )
+    SELECT 64::BIGINT AS d,
+           round(t::DOUBLE / 1e4, 4) AS trace,
+           round((t::DOUBLE / 1e4) * (t::DOUBLE / 1e4)
+                 / CASE WHEN f > 0 THEN f::DOUBLE / 1e4 END, 6)
+               AS effective_rank
+    FROM agg
+    """,
+)
+def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio (tr G)²/‖G‖_F² of the embedding corpus's
+    uncentered second-moment matrix — "how many dimensions are actually
+    in use": d for isotropic, 1 for rank-one collapse; the one-number
+    collapse detector next to embedding_anisotropy.  Derives from the
+    rounded Gram triangle (already cross-engine-pinned), terms
+    quantized sign-symmetrically before the sum."""
+    from es_ch_sync_spark.operators.features import embedding_effective_rank
+
+    return embedding_effective_rank(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+@register(
     "scd2_dim_join",
     """
     WITH v AS (

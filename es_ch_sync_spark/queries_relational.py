@@ -3805,6 +3805,179 @@ def q_event_mix_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "friedman_daily",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts)::DATE AS b, event_type AS t,
+               (count(*) * 1000000)::BIGINT AS y
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    kt AS (SELECT count(DISTINCT t)::BIGINT AS k FROM daily),
+    complete AS (
+        SELECT b FROM daily, kt GROUP BY b, kt.k
+        HAVING count(DISTINCT t) = any_value(kt.k)
+    ),
+    dc AS (SELECT d.* FROM daily d JOIN complete USING (b)),
+    r AS (
+        SELECT b, t,
+               (2 * rank() OVER (PARTITION BY b ORDER BY y)
+                + count(*) OVER (PARTITION BY b, y) - 1)::BIGINT AS r2
+        FROM dc
+    ),
+    per_t AS (
+        SELECT t, sum(r2)::BIGINT AS rs2, count(*)::BIGINT AS nb
+        FROM r GROUP BY 1
+    ),
+    g AS (
+        SELECT sum(rs2::HUGEINT * rs2::HUGEINT)::HUGEINT AS sr2,
+               max(nb)::BIGINT AS n_blocks,
+               count(*)::BIGINT AS k_treatments
+        FROM per_t
+    )
+    SELECT n_blocks, k_treatments,
+           round(CASE WHEN n_blocks > 0 AND k_treatments > 1
+                 THEN 12.0 / (n_blocks::DOUBLE * k_treatments::DOUBLE
+                              * (k_treatments::DOUBLE + 1.0))
+                      * (sr2::DOUBLE / 4.0)
+                      - 3.0 * n_blocks::DOUBLE * (k_treatments::DOUBLE + 1.0)
+                 END, 6) AS chi2_f,
+           (k_treatments - 1)::BIGINT AS df_f
+    FROM g
+    """,
+)
+def q_friedman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of the k event types' daily counts over
+    complete days — the repeated-measures member completing the
+    nonparametric family (days are the blocks, removing the between-day
+    volume swing kruskal_wallis cannot).  Tie-averaged within-day
+    double-ranks keep every rank sum an exact BIGINT."""
+    from es_ch_sync_spark.operators.analytics import friedman_daily
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("t")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return friedman_daily(daily, "day", "t", "y")
+
+
+@register(
+    "grubbs_daily",
+    """
+    WITH daily AS (
+        SELECT event_type AS g, date_trunc('day', ts)::DATE AS day,
+               (count(*) * 1000000)::BIGINT AS y
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT g, count(*)::BIGINT AS n_days, sum(y)::BIGINT AS s,
+               sum(y::HUGEINT * y::HUGEINT)::HUGEINT AS ss
+        FROM daily GROUP BY 1
+    ),
+    j AS (
+        SELECT d.g, d.day, st.n_days, st.s, st.ss,
+               abs(st.n_days * d.y - st.s)::BIGINT AS ndev
+        FROM daily d JOIN stats st USING (g)
+    ),
+    top AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY g ORDER BY ndev DESC, day ASC) AS rn
+        FROM j
+    ),
+    m AS (
+        SELECT g, day, n_days, ndev,
+               ss::DOUBLE - s::DOUBLE * s::DOUBLE / n_days::DOUBLE AS ssd
+        FROM top WHERE rn = 1
+    )
+    SELECT g AS event_type, n_days, day AS outlier_day,
+           round(CASE WHEN n_days > 1 AND ssd > 0
+                 THEN ndev::DOUBLE
+                      / (n_days::DOUBLE
+                         * sqrt(ssd / (n_days::DOUBLE - 1.0))) END, 6)
+               AS g_stat
+    FROM m ORDER BY event_type
+    """,
+)
+def q_grubbs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' max-studentized-deviation statistic per event type over
+    the daily count series, with the argmax day — "which single day is
+    most anomalous and by how many SDs", next to cusum_shifts (level
+    shifts) and page_hinkley (drift).  Deviations scaled by n stay
+    exact integers, so the argmax never depends on a float mean."""
+    from es_ch_sync_spark.operators.analytics import grubbs_daily
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return grubbs_daily(daily, "event_type", "day", "y")
+
+
+@register(
+    "page_hinkley_daily",
+    """
+    WITH daily AS (
+        SELECT event_type AS g, date_trunc('day', ts)::DATE AS day,
+               (count(*) * 1000000)::BIGINT AS y
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    run AS (
+        SELECT g, day, y,
+               sum(y) OVER (PARTITION BY g ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cs,
+               count(*) OVER (PARTITION BY g ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS ct
+        FROM daily
+    ),
+    terms AS (
+        SELECT g, day,
+               CAST(round(y::DOUBLE - cs::DOUBLE / ct::DOUBLE - 0.0)
+                    AS BIGINT) AS term
+        FROM run
+    ),
+    cum AS (
+        SELECT g, day,
+               sum(term) OVER (PARTITION BY g ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS m
+        FROM terms
+    ),
+    mm AS (
+        SELECT g, day, m,
+               min(m) OVER (PARTITION BY g ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS mmin
+        FROM cum
+    )
+    SELECT g AS event_type, day,
+           round((m - mmin)::DOUBLE / 1e6, 6) AS ph_stat,
+           ((m - mmin) > 50000000) AS alarm
+    FROM mm ORDER BY event_type, day
+    """,
+)
+def q_page_hinkley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift detector per event type over daily
+    counts (delta = 0, lambda = 50 in count units) — the self-referencing
+    mean-shift monitor next to cusum_shifts: alarm when the cumulative
+    deviation from the running mean exceeds lambda over its running
+    minimum.  Per-day terms quantize to BIGINTs before the cumsums, so
+    every m_T and running min is exact cross-engine."""
+    from es_ch_sync_spark.operators.analytics import page_hinkley_daily
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return page_hinkley_daily(
+        daily, "event_type", "day", "y", delta=0.0, lam=50.0
+    )
+
+
+@register(
     "kruskal_wallis_arms",
     """
     WITH vm AS (

@@ -706,3 +706,53 @@ def test_r13_stats_batch_degenerate(spark):
     )
     rows = mix_jsd_daily(one_day, "ts", "et").collect()
     assert len(rows) == 1 and rows[0]["jsd_nats"] is None
+
+
+def test_r13_batch3_degenerate(spark):
+    """Friedman/Grubbs/Page-Hinkley/effective-rank degenerate inputs:
+    empty or NULL readouts, never a division error."""
+    import datetime
+
+    from es_ch_sync_spark.operators.analytics import (
+        friedman_daily,
+        grubbs_daily,
+        page_hinkley_daily,
+    )
+    from es_ch_sync_spark.operators.features import embedding_effective_rank
+
+    d0 = datetime.date(2024, 1, 1)
+    empty = spark.createDataFrame([], "b date, t string, y long")
+    r = friedman_daily(empty, "b", "t", "y").collect()[0]
+    assert r["n_blocks"] is None or r["chi2_f"] is None
+    # one treatment: k = 1 -> chi2 NULL (df 0)
+    one_t = spark.createDataFrame(
+        [(d0 + datetime.timedelta(days=i), "a", 5 + i) for i in range(4)],
+        "b date, t string, y long",
+    )
+    r1 = friedman_daily(one_t, "b", "t", "y").collect()[0]
+    assert r1["k_treatments"] == 1 and r1["chi2_f"] is None
+
+    # constant series: zero variance -> Grubbs G NULL; single day -> NULL
+    const = spark.createDataFrame(
+        [("a", d0 + datetime.timedelta(days=i), 5) for i in range(6)],
+        "g string, day date, y long",
+    )
+    rg = grubbs_daily(const, "g", "day", "y").collect()[0]
+    assert rg["g_stat"] is None
+    single = spark.createDataFrame([("a", d0, 5)], "g string, day date, y long")
+    assert grubbs_daily(single, "g", "day", "y").collect()[0]["g_stat"] is None
+
+    # Page-Hinkley on a constant series: every term 0, no alarm
+    rows = page_hinkley_daily(const, "g", "day", "y", lam=1.0).collect()
+    assert all(r["ph_stat"] == 0.0 and not r["alarm"] for r in rows)
+
+    # effective rank: a rank-one corpus reads PR = 1 exactly
+    one_dir = spark.createDataFrame(
+        [(i, [2.0] + [0.0] * 7) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    er = embedding_effective_rank(one_dir, dim=8).collect()[0]
+    assert er["effective_rank"] == 1.0 and er["trace"] == 40.0
+    emptye = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    er2 = embedding_effective_rank(emptye, dim=8).collect()[0]
+    assert er2["effective_rank"] is None
