@@ -5426,3 +5426,138 @@ def page_hinkley_daily(
         F.round(ph.cast("double") / 1e6, 6).alias("ph_stat"),
         (ph > F.lit(int(lam * 1e6))).alias("alarm"),
     ).orderBy(group_col, "day")
+
+
+def delong_auc_compare(
+    items: DataFrame,
+    score_a_col: str,
+    score_b_col: str,
+    label_col: str,
+) -> DataFrame:
+    """DeLong test for two CORRELATED AUCs [DeLong, DeLong &
+    Clarke-Pearson 1988; fast mid-rank form per Sun & Xu 2014] — "is
+    scorer A actually better than scorer B on the SAME items", the
+    model-comparison readout roc_auc_brier alone cannot give (two AUCs
+    on shared labels are strongly correlated; an independent-variance
+    z overstates significance badly):
+
+        V10_i = (R_pool(x_i) − R_pos(x_i)) / n    (positives i)
+        V01_j = 1 − (R_pool(x_j) − R_neg(x_j)) / m (negatives j)
+        var(ΔAUC) = (S10_AA + S10_BB − 2·S10_AB)/m
+                  + (S01_AA + S01_BB − 2·S01_AB)/n
+        z = (AUC_A − AUC_B) / sqrt(var)
+
+    Scores MUST be integer-valued (micro-quantize upstream — the ECE
+    contract); ties are handled exactly by tie-averaged mid-ranks.
+
+    Exactness: all ranks ride as integer DOUBLE-RANKS off per-scorer
+    value censuses, so every structural component w10 = 2n·V10 and
+    w01 = 2m·V01 is an exact BIGINT per item; the covariance moments
+    (Σw, Σw², Σw_a·w_b) are exact DECIMAL(38,0) sums; AUCs, the S
+    entries, var and z are single float expressions over them.
+
+    Scale: two value censuses + two census-keyed joins back to items
+    (never a global per-row sort); moment aggregates are one pass over
+    the item table."""
+    d38 = "decimal(38,0)"
+    y = F.col(label_col).cast("boolean")
+    base = items.select(
+        F.col(score_a_col).cast("long").alias("_va"),
+        F.col(score_b_col).cast("long").alias("_vb"),
+        y.alias("_y"),
+    ).filter(F.col("_y").isNotNull())
+
+    def ranks(tag: str):
+        v = F.col(f"_v{tag}")
+        cen = base.groupBy(v.alias("_v")).agg(
+            F.count(F.lit(1)).cast("long").alias("_t"),
+            F.sum(F.col("_y").cast("long")).cast("long").alias("_tp"),
+        )
+        cen = cen.withColumn("_tn", F.col("_t") - F.col("_tp"))
+        wv = W.orderBy("_v").rowsBetween(W.unboundedPreceding, -1)
+        return cen.select(
+            "_v",
+            (2 * F.coalesce(F.sum("_t").over(wv), F.lit(0)) + F.col("_t") + 1)
+            .cast("long")
+            .alias(f"_r2pool_{tag}"),
+            (2 * F.coalesce(F.sum("_tp").over(wv), F.lit(0)) + F.col("_tp") + 1)
+            .cast("long")
+            .alias(f"_r2pos_{tag}"),
+            (2 * F.coalesce(F.sum("_tn").over(wv), F.lit(0)) + F.col("_tn") + 1)
+            .cast("long")
+            .alias(f"_r2neg_{tag}"),
+        )
+
+    ra = ranks("a").withColumnRenamed("_v", "_va")
+    rb = ranks("b").withColumnRenamed("_v", "_vb")
+    j = base.join(F.broadcast(ra), "_va").join(F.broadcast(rb), "_vb")
+    # per-item structural components as exact integers:
+    #   positives: w10 = R2_pool − R2_pos  (= 2n·V10)
+    #   negatives: w01 = 2m − (R2_pool − R2_neg)  (= 2m·V01) — 2m joins in
+    # at the aggregate stage below to keep the per-item columns integral
+    pos = j.filter(F.col("_y")).select(
+        (F.col("_r2pool_a") - F.col("_r2pos_a")).cast("long").alias("_wa"),
+        (F.col("_r2pool_b") - F.col("_r2pos_b")).cast("long").alias("_wb"),
+        F.col("_r2pool_a").alias("_rpa"),
+        F.col("_r2pool_b").alias("_rpb"),
+    )
+    neg = j.filter(~F.col("_y")).select(
+        (F.col("_r2pool_a") - F.col("_r2neg_a")).cast("long").alias("_wa"),
+        (F.col("_r2pool_b") - F.col("_r2neg_b")).cast("long").alias("_wb"),
+    )
+
+    def moments(df: DataFrame, extra: list) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_wa").cast("long").alias("_sa"),
+            F.sum("_wb").cast("long").alias("_sb"),
+            F.sum(F.col("_wa").cast(d38) * F.col("_wa").cast(d38)).cast(d38).alias("_saa"),
+            F.sum(F.col("_wb").cast(d38) * F.col("_wb").cast(d38)).cast(d38).alias("_sbb"),
+            F.sum(F.col("_wa").cast(d38) * F.col("_wb").cast(d38)).cast(d38).alias("_sab"),
+            *extra,
+        )
+
+    mp = moments(
+        pos,
+        [
+            F.sum("_rpa").cast("long").alias("_rsa"),
+            F.sum("_rpb").cast("long").alias("_rsb"),
+        ],
+    ).select(*[F.col(c).alias(c + "p") for c in ("_n", "_sa", "_sb", "_saa", "_sbb", "_sab", "_rsa", "_rsb")])
+    mn = moments(neg, []).select(
+        *[F.col(c).alias(c + "n") for c in ("_n", "_sa", "_sb", "_saa", "_sbb", "_sab")]
+    )
+    g = mp.crossJoin(F.broadcast(mn))
+    m = F.col("_np").cast("double")
+    n = F.col("_nn").cast("double")
+    # AUC_s = (Σ_pos R2_pool − m(m+1)) / (2mn), exact integer numerator
+    auc_a = (F.col("_rsap").cast("double") - m * (m + 1.0)) / (2.0 * m * n)
+    auc_b = (F.col("_rsbp").cast("double") - m * (m + 1.0)) / (2.0 * m * n)
+
+    def svar(ss, s, cnt):  # Σw² − (Σw)²/cnt, float over exact moments
+        return ss.cast("double") - s.cast("double") * s.cast("double") / cnt
+
+    def scov(sab, sa, sb, cnt):
+        return sab.cast("double") - sa.cast("double") * sb.cast("double") / cnt
+
+    dm1 = F.when(m > 1.0, m - 1.0)
+    dn1 = F.when(n > 1.0, n - 1.0)
+    # S10 entries in V units: centered moments / (m−1) / (2n)²
+    s10aa = svar(F.col("_saap"), F.col("_sap"), m) / dm1 / (4.0 * n * n)
+    s10bb = svar(F.col("_sbbp"), F.col("_sbp"), m) / dm1 / (4.0 * n * n)
+    s10ab = scov(F.col("_sabp"), F.col("_sap"), F.col("_sbp"), m) / dm1 / (4.0 * n * n)
+    # S01: w01 = 2m − w, so var/cov of w01 equal var/cov of w — the 2m
+    # shift cancels in the centered moments
+    s01aa = svar(F.col("_saan"), F.col("_san"), n) / dn1 / (4.0 * m * m)
+    s01bb = svar(F.col("_sbbn"), F.col("_sbn"), n) / dn1 / (4.0 * m * m)
+    s01ab = scov(F.col("_sabn"), F.col("_san"), F.col("_sbn"), n) / dn1 / (4.0 * m * m)
+    var = (s10aa + s10bb - 2.0 * s10ab) / m + (s01aa + s01bb - 2.0 * s01ab) / n
+    z = (auc_a - auc_b) / F.when(var > 0, F.sqrt(var))
+    ok = (F.col("_np") > 0) & (F.col("_nn") > 0)
+    return g.filter(ok).select(
+        F.col("_np").alias("n_pos"),
+        F.col("_nn").alias("n_neg"),
+        F.round(auc_a, 6).alias("auc_a"),
+        F.round(auc_b, 6).alias("auc_b"),
+        F.round(z, 6).alias("z_delong"),
+    )

@@ -3710,6 +3710,131 @@ def q_lr_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brier_decomposition(scored, "y", "p_quality", n_bins=10)
 
 
+_DELONG_RANKS = """
+    cen{tag} AS MATERIALIZED (
+        SELECT v{tag} AS v, count(*)::BIGINT AS t,
+               sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS tp
+        FROM items GROUP BY 1
+    ),
+    r{tag} AS MATERIALIZED (
+        SELECT v,
+               (2 * coalesce(sum(t) OVER w, 0) + t + 1)::BIGINT AS r2pool,
+               (2 * coalesce(sum(tp) OVER w, 0) + tp + 1)::BIGINT AS r2pos,
+               (2 * coalesce(sum(t - tp) OVER w, 0) + (t - tp) + 1)::BIGINT
+                   AS r2neg
+        FROM cen{tag}
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )"""
+
+
+@register(
+    "auc_delong_gates",
+    f"""
+    WITH scores AS (
+        SELECT doc_id, y, p_quality FROM ({{lr}}) s
+    ),
+    nst AS (
+        SELECT doc_id,
+               len(list_filter(
+                   ['the','be','to','of','and','that','have','with'],
+                   s -> list_contains(
+                       string_split({{norm}}, ' '), s)))::BIGINT AS nstop
+        FROM documents
+    ),
+    items AS (
+        SELECT CAST(round(p_quality * 1000000) AS BIGINT) AS va,
+               n.nstop AS vb, (sc.y = 1) AS y
+        FROM scores sc JOIN nst n USING (doc_id)
+    ),
+    {{ra}},
+    {{rb}},
+    ji AS MATERIALIZED (
+        SELECT i.y,
+               ra.r2pool AS rpa, ra.r2pos AS rposa, ra.r2neg AS rnega,
+               rb.r2pool AS rpb, rb.r2pos AS rposb, rb.r2neg AS rnegb
+        FROM items i JOIN ra ON i.va = ra.v JOIN rb ON i.vb = rb.v
+    ),
+    mp AS (
+        SELECT count(*)::BIGINT AS m,
+               sum(rpa - rposa)::BIGINT AS sap,
+               sum(rpb - rposb)::BIGINT AS sbp,
+               sum((rpa - rposa)::HUGEINT * (rpa - rposa))::HUGEINT AS saap,
+               sum((rpb - rposb)::HUGEINT * (rpb - rposb))::HUGEINT AS sbbp,
+               sum((rpa - rposa)::HUGEINT * (rpb - rposb))::HUGEINT AS sabp,
+               sum(rpa)::BIGINT AS rsa, sum(rpb)::BIGINT AS rsb
+        FROM ji WHERE y
+    ),
+    mn AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(rpa - rnega)::BIGINT AS san,
+               sum(rpb - rnegb)::BIGINT AS sbn,
+               sum((rpa - rnega)::HUGEINT * (rpa - rnega))::HUGEINT AS saan,
+               sum((rpb - rnegb)::HUGEINT * (rpb - rnegb))::HUGEINT AS sbbn,
+               sum((rpa - rnega)::HUGEINT * (rpb - rnegb))::HUGEINT AS sabn
+        FROM ji WHERE NOT y
+    ),
+    f AS (
+        SELECT m::DOUBLE AS md, n::DOUBLE AS nd, *,
+               (rsa::DOUBLE - m::DOUBLE * (m::DOUBLE + 1.0))
+                   / (2.0 * m::DOUBLE * n::DOUBLE) AS auc_a,
+               (rsb::DOUBLE - m::DOUBLE * (m::DOUBLE + 1.0))
+                   / (2.0 * m::DOUBLE * n::DOUBLE) AS auc_b
+        FROM mp, mn
+    ),
+    v AS (
+        SELECT *,
+               ((saap::DOUBLE - sap::DOUBLE * sap::DOUBLE / md)
+                / (md - 1.0) / (4.0 * nd * nd)
+                + (sbbp::DOUBLE - sbp::DOUBLE * sbp::DOUBLE / md)
+                  / (md - 1.0) / (4.0 * nd * nd)
+                - 2.0 * (sabp::DOUBLE - sap::DOUBLE * sbp::DOUBLE / md)
+                  / (md - 1.0) / (4.0 * nd * nd)) / md
+               + ((saan::DOUBLE - san::DOUBLE * san::DOUBLE / nd)
+                  / (nd - 1.0) / (4.0 * md * md)
+                  + (sbbn::DOUBLE - sbn::DOUBLE * sbn::DOUBLE / nd)
+                    / (nd - 1.0) / (4.0 * md * md)
+                  - 2.0 * (sabn::DOUBLE - san::DOUBLE * sbn::DOUBLE / nd)
+                    / (nd - 1.0) / (4.0 * md * md)) / nd AS var
+        FROM f
+    )
+    SELECT m AS n_pos, n AS n_neg,
+           round(auc_a, 6) AS auc_a, round(auc_b, 6) AS auc_b,
+           round(CASE WHEN var > 0
+                 THEN (auc_a - auc_b) / sqrt(var) END, 6) AS z_delong
+    FROM v WHERE m > 0 AND n > 0
+    """.format(
+        lr=_o.quality_lr_sql(iters=3),
+        norm=_o.NORM.format(col="text"),
+        ra=_DELONG_RANKS.format(tag="a"),
+        rb=_DELONG_RANKS.format(tag="b"),
+    ),
+)
+def q_auc_delong_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong correlated-AUC comparison of the trained LR quality score
+    against the raw Gopher stopword count on the SAME documents and the
+    SAME English label — "did training the classifier actually beat the
+    single heuristic feature", with the correlation-aware variance an
+    independent z would overstate.  All structural components are exact
+    integer double-rank differences off two value censuses; AUCs and z
+    are single float expressions over exact moments."""
+    from es_ch_sync_spark.operators.analytics import delong_auc_compare
+    from es_ch_sync_spark.operators.text import (
+        gopher_quality_flags,
+        quality_lr_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_lr_scores(docs, label=F.col("lang") == "en", iters=3)
+    gf = gopher_quality_flags(docs).select("doc_id", "n_stopwords")
+    items = scored.join(gf, "doc_id").select(
+        F.round(F.col("p_quality") * 1000000).cast("long").alias("score_a"),
+        F.col("n_stopwords").alias("score_b"),
+        (F.col("y") == 1).alias("label"),
+    )
+    return delong_auc_compare(items, "score_a", "score_b", "label")
+
+
 @register(
     "lr_cumulative_gains",
     f"""

@@ -794,3 +794,62 @@ def test_gif_roundtrip_random_images(seed):
     pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
     img = pal[rng.integers(0, ncol, size=(h, w))]
     assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_delong_auc_matches_bruteforce(spark, seed):
+    """delong_auc_compare's AUCs equal the brute-force tie-averaged
+    pair statistic, and its z matches a direct numpy DeLong on the
+    same structural components."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.analytics import delong_auc_compare
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(12, 40))
+    y = rng.integers(0, 2, n).astype(bool)
+    if y.all() or (~y).all():
+        y[0] = True
+        y[1] = False
+    a = rng.integers(0, 8, n)
+    b = rng.integers(0, 8, n)
+    df = spark.createDataFrame(
+        [(int(a[i]), int(b[i]), bool(y[i])) for i in range(n)],
+        "sa long, sb long, y boolean",
+    )
+    got = delong_auc_compare(df, "sa", "sb", "y").collect()[0]
+
+    def brute_auc(x):
+        pos, neg = x[y], x[~y]
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    assert got["auc_a"] == round(float(brute_auc(a)), 6)
+    assert got["auc_b"] == round(float(brute_auc(b)), 6)
+
+    def structural(x):
+        pos, neg = x[y], x[~y]
+        psi_pos = np.array(
+            [((p > neg).sum() + 0.5 * (p == neg).sum()) / len(neg) for p in pos]
+        )
+        psi_neg = np.array(
+            [((pos > q).sum() + 0.5 * (pos == q).sum()) / len(pos) for q in neg]
+        )
+        return psi_pos, psi_neg
+
+    pa, na_ = structural(a)
+    pb, nb_ = structural(b)
+    m, nn = len(pa), len(na_)
+    if m > 1 and nn > 1:
+        s10 = np.cov(np.vstack([pa, pb]))
+        s01 = np.cov(np.vstack([na_, nb_]))
+        var = (s10[0, 0] + s10[1, 1] - 2 * s10[0, 1]) / m + (
+            s01[0, 0] + s01[1, 1] - 2 * s01[0, 1]
+        ) / nn
+        if var > 1e-12:
+            z = (brute_auc(a) - brute_auc(b)) / np.sqrt(var)
+            assert abs(got["z_delong"] - z) < 1e-5
+        else:
+            assert got["z_delong"] is None

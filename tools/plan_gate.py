@@ -55,6 +55,8 @@ CENSUS_WINDOW_WHITELIST: dict[str, str] = {
     "sprt_conversion_daily": "calendar-bounded day census cumsum",
     # CvM ECDF gap: cumsum over the bounded distinct-value census (MW posture)
     "cramer_von_mises_ab": "distinct-value census CDF",
+    # DeLong structural ranks: two distinct-value census CDFs (one per scorer)
+    "auc_delong_gates": "distinct-value census CDF (two scorers)",
     # HL median: row_number over the calendar^2-bounded day-pair census
     "hodges_lehmann_daily": "calendar^2-bounded day-pair census median",
     # rank CDFs over VALUE censuses (distinct observed values, Heaps-bounded)

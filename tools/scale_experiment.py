@@ -2538,6 +2538,128 @@ def _r7b_sections(spark, docs, replicas, only):
             ).count(),
         )
 
+    if "r13" in only:
+        from es_ch_sync_spark.operators.analytics import (
+            cramer_von_mises_ab,
+            cuped_adjusted_ab,
+            diff_in_diff,
+            friedman_daily,
+            grubbs_daily,
+            hodges_lehmann_daily,
+            ljung_box,
+            mantel_haenszel,
+            mix_jsd_daily,
+            page_hinkley_daily,
+            sprt_conversion_daily,
+        )
+        from es_ch_sync_spark.operators.text import gopher_quality_flags
+
+        # the r12c synthetic-events shape (prime moduli — see NOTES)
+        ev = docs.select(
+            (F.col("doc_id") % 9973).alias("user_id"),
+            F.element_at(
+                F.array(
+                    F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("signup"), F.lit("error"),
+                ),
+                ((F.col("doc_id") / 9973).cast("long") % 5 + 1).cast("int"),
+            ).alias("event_type"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("doc_id") % 2_592_000
+            ).alias("ts"),
+            ((F.col("doc_id") % 997).cast("double") / 10.0).alias("value"),
+        ).localCheckpoint(eager=True)
+        timed(
+            f"cramer_von_mises_ab x{replicas} (value census)",
+            lambda: cramer_von_mises_ab(
+                ev, "event_type", "value", "view", "purchase"
+            ).count(),
+        )
+        timed(
+            f"diff_in_diff x{replicas} (4-cell census)",
+            lambda: diff_in_diff(
+                ev.select(
+                    F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+                    .otherwise(F.lit("B")).alias("arm"),
+                    (F.to_date("ts") >= F.lit("2023-11-29").cast("date"))
+                    .alias("post"),
+                    "value",
+                ),
+                "arm", "post", "value", "A", "B",
+            ).count(),
+        )
+        timed(
+            f"sprt_conversion_daily x{replicas} (day census)",
+            lambda: sprt_conversion_daily(
+                ev, "ts", F.col("event_type") == "purchase", p0=0.2, p1=0.25
+            ).count(),
+        )
+        timed(
+            f"event_mix_drift_daily x{replicas} (day x type grid)",
+            lambda: mix_jsd_daily(ev, "ts", "event_type").count(),
+        )
+        vm = (F.col("value").cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+        units = (
+            ev.select("user_id", F.col("event_type").alias("_et"), vm.alias("_v"))
+            .groupBy("user_id")
+            .agg(
+                F.coalesce(F.sum(F.when(F.col("_et") == "view", F.col("_v"))), F.lit(0))
+                .cast("long").alias("x"),
+                F.coalesce(F.sum(F.when(F.col("_et") == "purchase", F.col("_v"))), F.lit(0))
+                .cast("long").alias("y"),
+            )
+            .withColumn(
+                "arm",
+                F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+            )
+        )
+        timed(
+            f"cuped_adjusted_ab x{replicas} (10k units)",
+            lambda: cuped_adjusted_ab(
+                units, "arm", "x", "y", "A", "B", quantize=False
+            ).count(),
+        )
+        daily = ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("y")).localCheckpoint(eager=True)
+        timed(
+            f"friedman_daily x{replicas} (5x30 complete blocks)",
+            lambda: friedman_daily(daily, "day", "event_type", "y").count(),
+        )
+        timed(
+            f"grubbs_daily x{replicas} (5x30-day census)",
+            lambda: grubbs_daily(daily, "event_type", "day", "y").count(),
+        )
+        timed(
+            f"page_hinkley_daily x{replicas} (5x30-day census)",
+            lambda: page_hinkley_daily(
+                daily, "event_type", "day", "y", lam=50.0
+            ).count(),
+        )
+        timed(
+            f"ljung_box x{replicas} (acf census, 7 lags)",
+            lambda: ljung_box(daily, "event_type", "day", "y", 7).count(),
+        )
+        timed(
+            f"hodges_lehmann_daily x{replicas} (30x30 day pairs)",
+            lambda: hodges_lehmann_daily(
+                daily, "event_type", "day", "y", "view", "purchase"
+            ).count(),
+        )
+        # MH on the replica corpus: stand-in stratum/label (the cached
+        # projection carries only doc_id + text — the gateig precedent)
+        gf = gopher_quality_flags(docs).select("doc_id", "ok_stopwords")
+        jmh = docs.select(
+            "doc_id",
+            (F.col("doc_id") % 20).cast("string").alias("source"),
+            (F.col("doc_id") % 3 == 0).alias("y"),
+        ).join(gf, "doc_id")
+        timed(
+            f"mantel_haenszel x{replicas} (20 strata, 50M docs gate pass)",
+            lambda: mantel_haenszel(jmh, "source", "ok_stopwords", "y").count(),
+        )
+
+
 
 if __name__ == "__main__":
     main()
