@@ -1280,3 +1280,63 @@ def dp_noisy_counts(
             F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.7,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture weights [Lample & Conneau 2019; XLM-R
+    Conneau et al. 2020]: sampling probabilities p_s ∝ c_s^α over
+    per-source token mass — WHERE the weights mixture_plan consumes
+    come from.  α = 1 reproduces natural proportions, α → 0 uniform;
+    the standard knob that keeps high-resource sources from drowning
+    the tail.  ``epochs_at_corpus_budget`` = p_s·T/c_s says how many
+    passes over source s one corpus-sized budget implies (> 1 = the
+    source repeats — the memorization-risk flag).
+
+    Exactness: token counts are exact integers; each source's c^α is
+    ONE float exp/ln pair micro-quantized to a BIGINT before the
+    (source-census-sized) normalizing sum, so the denominator is exact
+    and every probability is one float division.
+
+    Scale: one map pass + a source-keyed aggregate; everything after
+    is the source census."""
+    from es_ch_sync_spark.operators.text import token_count_ws
+
+    per_src = (
+        df.filter(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            token_count_ws(F.col(text_col)).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    qa = F.floor(
+        F.exp(F.lit(alpha) * F.log(F.col("n_tokens").cast("double")))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    staged = per_src.select("source", "n_docs", "n_tokens", qa.alias("_qa"))
+    tot = staged.agg(
+        F.sum("_qa").cast("long").alias("_qt"),
+        F.sum("n_tokens").cast("long").alias("_tt"),
+    )
+    j = staged.crossJoin(F.broadcast(tot))
+    share = F.col("n_tokens").cast("double") / F.col("_tt").cast("double")
+    p = F.col("_qa").cast("double") / F.col("_qt").cast("double")
+    epochs = p * F.col("_tt").cast("double") / F.col("n_tokens").cast("double")
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("natural_share"),
+        F.round(p, 6).alias("p_temperature"),
+        F.round(epochs, 6).alias("epochs_at_corpus_budget"),
+    ).orderBy("source")

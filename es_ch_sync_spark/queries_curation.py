@@ -725,6 +725,41 @@ def _mixture_plan_oracle() -> str:
     """
 
 
+@register(
+    "temperature_mixture",
+    f"""
+    WITH per AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(len(string_split({oracles.NORM.format(col='text')},
+                                    ' ')))::BIGINT AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+        GROUP BY 1
+    ),
+    q AS (
+        SELECT *, CAST(floor(exp(0.7 * ln(n_tokens::DOUBLE)) * 1e6 + 0.5)
+                       AS BIGINT) AS qa
+        FROM per
+    ),
+    tot AS (SELECT sum(qa)::BIGINT AS qt, sum(n_tokens)::BIGINT AS tt FROM q)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens::DOUBLE / tt::DOUBLE, 6) AS natural_share,
+           round(qa::DOUBLE / qt::DOUBLE, 6) AS p_temperature,
+           round(qa::DOUBLE / qt::DOUBLE * tt::DOUBLE / n_tokens::DOUBLE, 6)
+               AS epochs_at_corpus_budget
+    FROM q, tot ORDER BY source
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (α = 0.7) mixture weights over the per-source
+    token mass — WHERE mixture_plan's weights come from: p_s ∝ c_s^0.7,
+    the XLM-R knob that keeps high-resource sources from drowning the
+    tail, with the epochs-at-corpus-budget repeat-risk flag.  Each
+    c^α micro-quantizes before the source-census normalizing sum."""
+    from es_ch_sync_spark.operators.sampling import temperature_mixture
+
+    return temperature_mixture(_docs(spark, sf_dir), alpha=0.7)
+
+
 @register("mixture_plan", _mixture_plan_oracle())
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted mixture planning: per-source target tokens, full
