@@ -1181,6 +1181,67 @@ def q_dedup_audit_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_audit_panel(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _split_leakage_oracle() -> str:
+    pairs = oracles.minhash_near_dup_sql(threshold=0.5)
+    split_a = oracles._split_case_sql(id_expr="id_a")
+    split_b = oracles._split_case_sql(id_expr="id_b")
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    lab AS (
+        SELECT {split_a} AS sa, {split_b} AS sb FROM pairs
+    ),
+    norm AS (
+        SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b
+        FROM lab
+    )
+    SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
+           (least(split_a, split_b) != greatest(split_a, split_b))
+               AS crosses_split
+    FROM norm GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("split_leakage_report", _split_leakage_oracle())
+def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs that CROSS the train/valid/test boundary —
+    the leakage audit decontaminate_* cannot see (those check exact and
+    fuzzy n-gram containment against a benchmark table; this asks
+    whether the corpus's OWN near-dup structure straddles the split, the
+    classic way test metrics go quietly optimistic).  Composition of two
+    verified operators: the minhash near-dup pair miner and the
+    hash-bucket split assigner, joined pair-side (labels attach to the
+    pair list, never a second corpus pass).  Output: pair counts by
+    unordered split pair with the crosses_split flag."""
+    from es_ch_sync_spark.operators.sampling import assign_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+    # assign splits to BOTH pair sides by reusing the same deterministic
+    # hash-bucket expression — no join back to documents is needed
+    # (split is a pure function of the id)
+    sa = assign_split(pairs.select("id_a", "id_b"), id_col="id_a").select(
+        "id_a", "id_b", F.col("split").alias("_sa")
+    )
+    both = assign_split(sa, id_col="id_b").select(
+        "_sa", F.col("split").alias("_sb")
+    )
+    norm = both.select(
+        F.least("_sa", "_sb").alias("split_a"),
+        F.greatest("_sa", "_sb").alias("split_b"),
+    )
+    return (
+        norm.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("crosses_split"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
 @register("dedup_incremental", oracles.minhash_incremental_sql(threshold=0.5, new_mod=10))
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: the 10% "new batch" (doc_id % 10 = 0)
