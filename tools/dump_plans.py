@@ -95,6 +95,13 @@ HEADLINE = [
     "nelson_aalen_conversion", "logrank_cohorts", "ams_f2_users",
     "seasonal_strength_daily", "bm25_param_grid", "tukey_pairwise_arms",
     "gate_information_gain", "lr_cumulative_gains",
+    # round 13
+    "dedup_audit_panel", "multimodal_gif_stats", "cuped_adjusted_ab",
+    "sprt_conversion_daily", "ljung_box_daily", "mantel_haenszel_gate",
+    "cramer_von_mises_ab", "hodges_lehmann_daily", "did_effect",
+    "event_mix_drift_daily", "friedman_daily", "grubbs_daily",
+    "page_hinkley_daily", "embedding_effective_rank", "auc_delong_gates",
+    "temperature_mixture", "split_leakage_report",
 ]
 
 MARKERS = [
