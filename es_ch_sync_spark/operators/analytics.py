@@ -5561,3 +5561,93 @@ def delong_auc_compare(
         F.round(auc_b, 6).alias("auc_b"),
         F.round(z, 6).alias("z_delong"),
     )
+
+
+def qini_uplift_deciles(
+    units: DataFrame,
+    score_col: str,
+    treated_col: str,
+    converted_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Qini / uplift decile table [Radcliffe 2007] — the targeting-model
+    audit behind every "who should we treat" decision: rank units by the
+    model score, walk down the deciles, and at each depth compare the
+    TREATED conversion count with the control conversion count scaled to
+    the treated exposure:
+
+        qini(k) = convT(k) − convC(k) · nT(k)/nC(k)   (cumulative, top-k)
+
+    A useful targeting score front-loads qini; a useless one tracks 0.
+
+    Determinism: deciles come from the DESCENDING score-value census —
+    every unit sharing a score value lands in ONE decile
+    (floor(B·cum_above/N), capped), so ties can never straddle a
+    boundary differently across engines; all counts are exact BIGINTs
+    and each qini is one float expression.
+
+    Scale: one unit census → one value census + its CDF window (bounded
+    distinct scores — quantize heavy-tailed scores first) → a ≤ B-row
+    cumulative."""
+    d = units.select(
+        F.col(score_col).cast("long").alias("_v"),
+        F.col(treated_col).cast("boolean").alias("_t"),
+        F.col(converted_col).cast("boolean").alias("_c"),
+    )
+    cen = d.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("_t").cast("long")).cast("long").alias("_nt"),
+        F.sum((F.col("_t") & F.col("_c")).cast("long")).cast("long").alias("_ct"),
+        F.sum(((~F.col("_t")) & F.col("_c")).cast("long")).cast("long").alias("_cc"),
+    )
+    wdesc = W.orderBy(F.col("_v").desc()).rowsBetween(W.unboundedPreceding, -1)
+    tot = cen.agg(F.sum("_n").cast("long").alias("_nn"))
+    binned = cen.crossJoin(F.broadcast(tot)).select(
+        F.least(
+            F.floor(
+                F.lit(n_bins)
+                * F.coalesce(F.sum("_n").over(wdesc), F.lit(0))
+                / F.col("_nn")
+            ).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("decile"),
+        "_n",
+        "_nt",
+        "_ct",
+        "_cc",
+    )
+    per = binned.groupBy("decile").agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_nt").cast("long").alias("n_treat"),
+        F.sum("_ct").cast("long").alias("conv_treat"),
+        F.sum("_cc").cast("long").alias("conv_ctrl"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        "n",
+        "n_treat",
+        "conv_treat",
+        "conv_ctrl",
+        F.sum("n_treat").over(wc).cast("long").alias("cum_n_treat"),
+        (F.sum("n").over(wc) - F.sum("n_treat").over(wc))
+        .cast("long")
+        .alias("cum_n_ctrl"),
+        F.sum("conv_treat").over(wc).cast("long").alias("cum_conv_treat"),
+        F.sum("conv_ctrl").over(wc).cast("long").alias("cum_conv_ctrl"),
+    )
+    qini = F.col("cum_conv_treat").cast("double") - F.col(
+        "cum_conv_ctrl"
+    ).cast("double") * F.col("cum_n_treat").cast("double") / F.when(
+        F.col("cum_n_ctrl") > 0, F.col("cum_n_ctrl").cast("double")
+    )
+    return cum.select(
+        "decile",
+        "n",
+        "n_treat",
+        "conv_treat",
+        "conv_ctrl",
+        "cum_n_treat",
+        "cum_n_ctrl",
+        F.round(qini, 6).alias("qini"),
+    ).orderBy("decile")

@@ -809,3 +809,61 @@ def embedding_effective_rank(
         F.round(tr, 4).alias("trace"),
         F.round(pr, 6).alias("effective_rank"),
     )
+
+
+def label_centroid_drift(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-group centroid alignment with the corpus centroid — the
+    embedding-space mixture-drift audit (a source/label whose centroid
+    points away from the corpus is contributing a systematically
+    different region of representation space; near-1 cosine = the group
+    is centrally redundant).  cos is scale-invariant, so it is computed
+    directly between the exact VECTOR SUMS — no float mean ever forms:
+
+        cos_g = ⟨Σv_g, Σv⟩ / (‖Σv_g‖·‖Σv‖)
+
+    Exactness: elements micro-quantize (the grid_density contract), so
+    every per-dimension group sum is an exact BIGINT off ONE
+    (group, dim) hash aggregate of the exploded stream; dots and norms
+    are exact DECIMAL(38,0) sums over the dim-bounded census; cos is
+    one float division.
+
+    Scale: the explode is n·d rows through ONE keyed partial-aggregated
+    census (the embedding_gram argument); everything downstream is
+    groups × d."""
+    d38 = "decimal(38,0)"
+    xm = F.round(F.col("_x").cast("double") * 1000000.0).cast("long")
+    pe = emb.select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(F.col(vec_col)).alias("_i", "_x"),
+    ).select("_g", "_i", xm.alias("_xm"))
+    sg = pe.groupBy("_g", "_i").agg(
+        F.sum("_xm").cast("long").alias("_s")
+    ).localCheckpoint(eager=False)
+    tot = sg.groupBy("_i").agg(F.sum("_s").cast("long").alias("_t"))
+    nvec = emb.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    j = sg.join(tot, "_i")
+    per = j.groupBy("_g").agg(
+        F.sum(F.col("_s").cast(d38) * F.col("_t").cast(d38)).cast(d38).alias("_dot"),
+        F.sum(F.col("_s").cast(d38) * F.col("_s").cast(d38)).cast(d38).alias("_naa"),
+        F.sum(F.col("_t").cast(d38) * F.col("_t").cast(d38)).cast(d38).alias("_nbb"),
+    )
+    cos = F.col("_dot").cast("double") / F.when(
+        (F.col("_naa") > 0) & (F.col("_nbb") > 0),
+        F.sqrt(F.col("_naa").cast("double") * F.col("_nbb").cast("double")),
+    )
+    return (
+        per.join(nvec, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_vecs",
+            F.round(cos, 6).alias("centroid_cos"),
+        )
+        .orderBy(group_col)
+    )

@@ -624,3 +624,79 @@ def degree_powerlaw(
     return per.select(
         "xmin", "n_tail", F.round(alpha, 6).alias("alpha")
     ).orderBy("xmin")
+
+
+def community_modularity(
+    edges_sym: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman-Girvan modularity [Newman & Girvan 2004] of a node
+    partition over an undirected graph — "is the community structure
+    better than a random rewiring with the same degrees", the quality
+    readout that belongs NEXT TO every community detector (LPA emits a
+    partition unconditionally; Q says whether it means anything;
+    Q ≈ 0 = no structure, ≳ 0.3 = real):
+
+        Q = (Σ_c e_c)/m − (Σ_c d_c²)/(4m²)
+
+    (the per-community sum rewritten as two GLOBAL integer moments, so
+    no float accumulates across communities: intra-edge total and
+    degree-mass squares are exact integers; Q is two float divisions).
+
+    Input: ``edges_sym`` the distinct SYMMETRIC mirror edge list (each
+    undirected edge both ways — the LPA/pagerank convention);
+    ``labels`` one row per node.  Scale: one undirected-pair distinct,
+    two label joins, one degree census — all keyed on node ids."""
+    d38 = "decimal(38,0)"
+    und = (
+        edges_sym.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lab")
+    )
+    j = (
+        und.join(lab.withColumnRenamed("_id", "_a").withColumnRenamed("_lab", "_la"), "_a")
+        .join(lab.withColumnRenamed("_id", "_b").withColumnRenamed("_lab", "_lb"), "_b")
+    )
+    m_intra = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum((F.col("_la") == F.col("_lb")).cast("long"))
+        .cast("long")
+        .alias("intra_edges"),
+    )
+    deg = edges_sym.groupBy(F.col(src_col).alias("_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("_d")
+    )
+    dc = (
+        deg.join(lab, "_id")
+        .groupBy("_lab")
+        .agg(F.sum("_d").cast("long").alias("_dsum"))
+    )
+    sq = dc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum(F.col("_dsum").cast(d38) * F.col("_dsum").cast(d38))
+        .cast(d38)
+        .alias("_sd2"),
+    )
+    g = m_intra.crossJoin(F.broadcast(sq))
+    m = F.col("n_edges").cast("double")
+    q = F.col("intra_edges").cast("double") / F.when(
+        F.col("n_edges") > 0, m
+    ) - F.col("_sd2").cast("double") / F.when(
+        F.col("n_edges") > 0, 4.0 * m * m
+    )
+    return g.select(
+        "n_communities",
+        "n_edges",
+        "intra_edges",
+        F.round(q, 6).alias("modularity"),
+    )

@@ -220,6 +220,47 @@ def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_centroid_drift",
+    """
+    WITH pe AS (
+        SELECT label AS g, i::INTEGER AS i,
+               CAST(round(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT)
+                   AS xm
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) d
+    ),
+    sg AS MATERIALIZED (
+        SELECT g, i, sum(xm)::BIGINT AS s FROM pe GROUP BY 1, 2
+    ),
+    tot AS (SELECT i, sum(s)::BIGINT AS t FROM sg GROUP BY 1),
+    nv AS (SELECT label AS g, count(*)::BIGINT AS n_vecs
+           FROM embeddings GROUP BY 1),
+    per AS (
+        SELECT sg.g,
+               sum(sg.s::HUGEINT * tot.t::HUGEINT)::HUGEINT AS dot,
+               sum(sg.s::HUGEINT * sg.s::HUGEINT)::HUGEINT AS naa,
+               sum(tot.t::HUGEINT * tot.t::HUGEINT)::HUGEINT AS nbb
+        FROM sg JOIN tot USING (i) GROUP BY 1
+    )
+    SELECT per.g AS label, nv.n_vecs,
+           round(CASE WHEN naa > 0 AND nbb > 0
+                 THEN dot::DOUBLE / sqrt(naa::DOUBLE * nbb::DOUBLE) END, 6)
+               AS centroid_cos
+    FROM per JOIN nv USING (g) ORDER BY label
+    """,
+)
+def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cosine to the corpus centroid — the
+    embedding-space mixture-drift audit (a cluster pointing away from
+    the corpus centroid is contributing a systematically different
+    region; ~1 = centrally redundant).  Exact micro-integer vector
+    sums; cos computed between the sums (scale-invariant), one float
+    division per label."""
+    from es_ch_sync_spark.operators.features import label_centroid_drift
+
+    return label_centroid_drift(_t(spark, sf_dir, "embeddings"), "label")
+
+
+@register(
     "scd2_dim_join",
     """
     WITH v AS (

@@ -3978,6 +3978,92 @@ def q_page_hinkley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "qini_uplift_deciles",
+    """
+    WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(value::DECIMAL(24,6) * 1000000 AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    units AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN event_type = 'view' THEN v END),
+                        0)::BIGINT AS score,
+               (user_id % 2 = 0) AS treated,
+               bool_or(event_type = 'purchase') AS converted
+        FROM ev GROUP BY user_id
+    ),
+    cen AS (
+        SELECT score AS v, count(*)::BIGINT AS n,
+               sum(CASE WHEN treated THEN 1 ELSE 0 END)::BIGINT AS nt,
+               sum(CASE WHEN treated AND converted THEN 1 ELSE 0 END)::BIGINT
+                   AS ct,
+               sum(CASE WHEN NOT treated AND converted THEN 1 ELSE 0 END)::BIGINT
+                   AS cc
+        FROM units GROUP BY 1
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS nn FROM cen),
+    b AS (
+        SELECT least((10 * coalesce(sum(n) OVER (ORDER BY v DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                   // nn, 9)::INT AS decile,
+               n, nt, ct, cc
+        FROM cen, tot
+    ),
+    per AS (
+        SELECT decile, sum(n)::BIGINT AS n, sum(nt)::BIGINT AS n_treat,
+               sum(ct)::BIGINT AS conv_treat, sum(cc)::BIGINT AS conv_ctrl
+        FROM b GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile, n, n_treat, conv_treat, conv_ctrl,
+               sum(n_treat) OVER w::BIGINT AS cum_n_treat,
+               (sum(n) OVER w - sum(n_treat) OVER w)::BIGINT AS cum_n_ctrl,
+               sum(conv_treat) OVER w::BIGINT AS cum_conv_treat,
+               sum(conv_ctrl) OVER w::BIGINT AS cum_conv_ctrl
+        FROM per
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT decile, n, n_treat, conv_treat, conv_ctrl,
+           cum_n_treat, cum_n_ctrl,
+           round(cum_conv_treat::DOUBLE
+                 - cum_conv_ctrl::DOUBLE * cum_n_treat::DOUBLE
+                   / CASE WHEN cum_n_ctrl > 0
+                          THEN cum_n_ctrl::DOUBLE END, 6) AS qini
+    FROM cum ORDER BY decile
+    """,
+)
+def q_qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift deciles: users ranked by their total 'view' value
+    (the targeting score), treatment a deterministic user-parity split,
+    conversion = any purchase — the "who should we treat" audit next to
+    the A/B family's "did the treatment work".  Descending value-census
+    deciles keep ties in one bin; exact counts, one float qini per
+    row."""
+    from es_ch_sync_spark.operators.analytics import qini_uplift_deciles
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    vm = (F.col("value").cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+    units = (
+        ev.select("user_id", F.col("event_type").alias("_et"), vm.alias("_v"))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_et") == "view", F.col("_v"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("score"),
+            F.max(F.col("_et") == "purchase").alias("converted"),
+        )
+        .withColumn("treated", F.col("user_id") % 2 == 0)
+    )
+    return qini_uplift_deciles(units, "score", "treated", "converted")
+
+
+@register(
     "kruskal_wallis_arms",
     """
     WITH vm AS (

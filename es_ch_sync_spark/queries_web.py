@@ -466,6 +466,123 @@ def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _host_modularity_oracle() -> str:
+    """host_communities' unrolled LPA chain extended with the two
+    global modularity moments (intra-edge total + degree-mass
+    squares)."""
+    from es_ch_sync_spark import oracles
+
+    pairs = oracles.minhash_near_dup_sql(threshold=0.5)
+    host_a = _HOST.replace("doc_id", "id_a")
+    host_b = _HOST.replace("doc_id", "id_b")
+    prev = "l0"
+    iters_sql = ""
+    for it in range(1, _LPA_ITERS + 1):
+        iters_sql += f"""
+    , cnt{it} AS MATERIALIZED (
+        SELECT id, label, count(*)::BIGINT AS c FROM (
+            SELECT e.dst AS id, p.label
+            FROM edges e JOIN {prev} p ON e.src = p.id
+            UNION ALL
+            SELECT id, label FROM {prev}
+        ) GROUP BY 1, 2
+    ),
+    pick{it} AS MATERIALIZED (
+        SELECT id, label AS new_label FROM (
+            SELECT id, label,
+                   row_number() OVER (
+                       PARTITION BY id ORDER BY c DESC, label
+                   ) AS rn
+            FROM cnt{it}
+        ) WHERE rn = 1
+    ),
+    l{it} AS MATERIALIZED (
+        SELECT n.id, coalesce(p.new_label, l.label) AS label
+        FROM nodes n JOIN {prev} l ON n.id = l.id
+        LEFT JOIN pick{it} p ON n.id = p.id
+    )"""
+        prev = f"l{it}"
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    he AS MATERIALIZED (
+        SELECT ha, hb FROM (
+            SELECT {host_a} AS ha, {host_b} AS hb FROM pairs
+        ) WHERE ha <> hb
+    ),
+    edges AS MATERIALIZED (
+        SELECT ha AS src, hb AS dst FROM he
+        UNION
+        SELECT hb, ha FROM he
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ),
+    l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)
+    {iters_sql},
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(ha, hb) AS a, greatest(ha, hb) AS b
+        FROM he WHERE ha <> hb
+    ),
+    mi AS (
+        SELECT count(*)::BIGINT AS n_edges,
+               sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)::BIGINT
+                   AS intra_edges
+        FROM und u
+        JOIN {prev} la ON u.a = la.id
+        JOIN {prev} lb ON u.b = lb.id
+    ),
+    deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+    dc AS (
+        SELECT l.label, sum(deg.d)::BIGINT AS dsum
+        FROM deg JOIN {prev} l ON deg.id = l.id GROUP BY 1
+    ),
+    sq AS (
+        SELECT count(*)::BIGINT AS n_communities,
+               sum(dsum::HUGEINT * dsum::HUGEINT)::HUGEINT AS sd2
+        FROM dc
+    )
+    SELECT n_communities, n_edges, intra_edges,
+           round(CASE WHEN n_edges > 0
+                 THEN intra_edges::DOUBLE / n_edges::DOUBLE END
+                 - CASE WHEN n_edges > 0
+                   THEN sd2::DOUBLE
+                        / (4.0 * n_edges::DOUBLE * n_edges::DOUBLE) END, 6)
+               AS modularity
+    FROM mi, sq
+    """
+
+
+@register("host_modularity", _host_modularity_oracle())
+def q_host_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of the K=2 LPA host partition — "is the
+    community structure host_communities emits better than a
+    degree-preserving random rewiring" (Q ≈ 0 = none, ≳ 0.3 = real).
+    Rewritten as two GLOBAL exact-integer moments (intra-edge total,
+    degree-mass squares) so no float accumulates across communities;
+    Q is two float divisions."""
+    from es_ch_sync_spark.operators.dedup import minhash_near_duplicates
+    from es_ch_sync_spark.operators.graph import (
+        community_modularity,
+        label_propagation_fixed,
+    )
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    he = pairs.select(
+        F.expr(_HOST.replace("doc_id", "id_a")).alias("ha"),
+        F.expr(_HOST.replace("doc_id", "id_b")).alias("hb"),
+    ).filter(F.col("ha") != F.col("hb"))
+    edges = (
+        he.select(F.col("ha").alias("src"), F.col("hb").alias("dst"))
+        .unionByName(
+            he.select(F.col("hb").alias("src"), F.col("ha").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # the ONE mining pass
+    )
+    lpa = label_propagation_fixed(edges, iterations=_LPA_ITERS)
+    return community_modularity(edges, lpa)
+
+
 # PSL query (r10 advice #4): registered_domain_psl's wildcard-suffix
 # self-emit and rule-key normalization were unit-tested but never
 # sweep-guarded.  Hosts are constructed deterministically from doc_id to

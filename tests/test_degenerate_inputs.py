@@ -756,3 +756,59 @@ def test_r13_batch3_degenerate(spark):
     emptye = spark.createDataFrame([], "vec_id long, embedding array<float>")
     er2 = embedding_effective_rank(emptye, dim=8).collect()[0]
     assert er2["effective_rank"] is None
+
+
+def test_r13_phase2_degenerate(spark):
+    """Centroid drift, Qini, and modularity degenerate inputs."""
+    from es_ch_sync_spark.operators.analytics import qini_uplift_deciles
+    from es_ch_sync_spark.operators.features import label_centroid_drift
+    from es_ch_sync_spark.operators.graph import community_modularity
+
+    # single-group corpus: its centroid IS the corpus centroid -> cos 1
+    one = spark.createDataFrame(
+        [(i, 7, [1.0, 2.0, 3.0, 4.0]) for i in range(5)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    r = label_centroid_drift(one, "label", dim=4).collect()[0]
+    assert r["centroid_cos"] == 1.0 and r["n_vecs"] == 5
+    # zero vectors: both norms 0 -> NULL, not a division error
+    zeros = spark.createDataFrame(
+        [(i, 1, [0.0, 0.0]) for i in range(3)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    assert label_centroid_drift(zeros, "label", dim=2).collect()[0][
+        "centroid_cos"
+    ] is None
+
+    # qini: no control units at any depth -> qini NULL everywhere
+    all_t = spark.createDataFrame(
+        [(i, True, i % 2 == 0) for i in range(10)],
+        "score long, treated boolean, converted boolean",
+    )
+    rows = qini_uplift_deciles(all_t, "score", "treated", "converted").collect()
+    assert rows and all(r["qini"] is None for r in rows)
+    empty = spark.createDataFrame(
+        [], "score long, treated boolean, converted boolean"
+    )
+    assert (
+        qini_uplift_deciles(empty, "score", "treated", "converted").count()
+        == 0
+    )
+
+    # modularity: a single clique labeled as one community -> every edge
+    # intra, Q = 1 - 1/1... for one community Q = e/m - (2m/(2m))^2 = 0
+    edges = spark.createDataFrame(
+        [(a, b) for a in "xyz" for b in "xyz" if a != b],
+        "src string, dst string",
+    )
+    labels = spark.createDataFrame(
+        [("x", "x"), ("y", "x"), ("z", "x")], "id string, label string"
+    )
+    rm = community_modularity(edges, labels).collect()[0]
+    assert rm["n_communities"] == 1 and rm["intra_edges"] == rm["n_edges"]
+    assert rm["modularity"] == 0.0
+    # empty graph: one all-NULL row, never a division error
+    eedges = spark.createDataFrame([], "src string, dst string")
+    elabels = spark.createDataFrame([], "id string, label string")
+    rme = community_modularity(eedges, elabels).collect()[0]
+    assert rme["n_edges"] == 0 and rme["modularity"] is None

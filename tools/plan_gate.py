@@ -57,6 +57,8 @@ CENSUS_WINDOW_WHITELIST: dict[str, str] = {
     "cramer_von_mises_ab": "distinct-value census CDF",
     # DeLong structural ranks: two distinct-value census CDFs (one per scorer)
     "auc_delong_gates": "distinct-value census CDF (two scorers)",
+    # Qini deciles: descending score-value census CDF + the 10-row cumulative
+    "qini_uplift_deciles": "distinct-score census CDF + n_bins-row cumulative",
     # HL median: row_number over the calendar^2-bounded day-pair census
     "hodges_lehmann_daily": "calendar^2-bounded day-pair census median",
     # rank CDFs over VALUE censuses (distinct observed values, Heaps-bounded)
