@@ -1340,3 +1340,68 @@ def temperature_mixture(
         F.round(p, 6).alias("p_temperature"),
         F.round(epochs, 6).alias("epochs_at_corpus_budget"),
     ).orderBy("source")
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection [Gonzalez 1985; SVP/coreset
+    curation usage per Sener & Savarese 2018] — the diversity-sampling
+    companion to stratified/temperature sampling: pick the point
+    farthest from everything selected so far, k times, giving a
+    2-approximation of the optimal covering radius.  The curation move
+    for "label/inspect a SMALL set that spans the corpus".
+
+    Determinism: the seed is the MIN id; distances are exact integer
+    squared-Euclidean over micro-quantized components, argmax ties
+    break to the MIN id — the selection is a pure function of the
+    corpus, pinned cross-engine by the unrolled-CTE oracle.
+
+    Scale: each round is ONE map pass (distance to the latest selected
+    vector, folded into the running min-distance column — selected
+    vectors ride in as ≤k broadcast literals) + one
+    TakeOrderedAndProject argmax; k is fixed and small.  The k−1
+    driver-side .first() calls are bounded collects (k rows total, the
+    documented pattern for fixed-iteration argmax loops)."""
+    q = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1000000.0).cast("long"),
+        ).alias("_v"),
+    ).localCheckpoint(eager=True)
+
+    def dist2_to(vec: list) -> "F.Column":
+        lit = F.array(*[F.lit(int(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("_v"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = q.orderBy("_id").select("_id", "_v").first()
+    selected = [(1, int(seed["_id"]), None)]
+    cur = q.select("_id", "_v", dist2_to(list(seed["_v"])).alias("_md"))
+    for r in range(2, k + 1):
+        top = cur.orderBy(F.col("_md").desc(), F.col("_id").asc()).first()
+        selected.append((r, int(top["_id"]), int(top["_md"])))
+        cur = cur.select(
+            "_id",
+            "_v",
+            F.least(F.col("_md"), dist2_to(list(top["_v"]))).alias("_md"),
+        ).localCheckpoint(eager=False)
+    spark = emb.sparkSession
+    out = spark.createDataFrame(
+        [(r, i, d) for r, i, d in selected],
+        "round long, vec_id long, sel_dist2_micro long",
+    )
+    return out.select(
+        "round",
+        "vec_id",
+        F.round(F.col("sel_dist2_micro").cast("double") / 1e12, 6).alias(
+            "sel_dist2"
+        ),
+    ).orderBy("round")

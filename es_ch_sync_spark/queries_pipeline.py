@@ -219,6 +219,68 @@ def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_effective_rank(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
+def _kcenter_oracle(k: int = 4, dim: int = 64) -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, {n}), i -> "
+        "({a}.v[i] - {b}.v[i]) * ({a}.v[i] - {b}.v[i])))::BIGINT"
+    )
+    ctes = [
+        """q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS v
+        FROM embeddings
+    )""",
+        "s1 AS (SELECT min(vec_id) AS id FROM q)",
+        "v1 AS (SELECT q.v AS v FROM q, s1 WHERE q.vec_id = s1.id)",
+        f"""m1 AS MATERIALIZED (
+        SELECT q.vec_id, q.v,
+               {d2.format(n=dim + 1, a='q', b='v1')} AS md
+        FROM q, v1
+    )""",
+    ]
+    rows = ["SELECT 1 AS round, id AS vec_id, NULL::DOUBLE AS sel_dist2 FROM s1"]
+    for r in range(2, k + 1):
+        prev = f"m{r - 1}"
+        ctes.append(
+            f"s{r} AS (SELECT vec_id AS id, md FROM {prev} "
+            f"ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        rows.append(
+            f"SELECT {r}, id, round(md::DOUBLE / 1e12, 6) FROM s{r}"
+        )
+        if r < k:
+            ctes.append(
+                f"v{r} AS (SELECT q.v AS v FROM q, s{r} WHERE q.vec_id = s{r}.id)"
+            )
+            ctes.append(
+                f"""m{r} AS MATERIALIZED (
+        SELECT {prev}.vec_id, {prev}.v,
+               least({prev}.md,
+                     {d2.format(n=dim + 1, a=prev, b=f'v{r}')}) AS md
+        FROM {prev}, v{r}
+    )"""
+            )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(rows) + "\n    ORDER BY round"
+    )
+
+
+@register("kcenter_coreset", _kcenter_oracle())
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (k=4) coreset over the embedding corpus — pick
+    the point farthest from everything selected so far, k times (a
+    2-approximation of the optimal covering radius): the
+    diversity-sampling audit next to stratified/temperature sampling.
+    Min-id seed, exact integer squared distances over micro components,
+    min-id tie-breaks — the selection is a pure function of the corpus,
+    pinned by the unrolled-CTE oracle."""
+    from es_ch_sync_spark.operators.sampling import kcenter_coreset
+
+    return kcenter_coreset(_t(spark, sf_dir, "embeddings"), k=4)
+
+
 @register(
     "label_centroid_drift",
     """

@@ -2660,6 +2660,76 @@ def _r7b_sections(spark, docs, replicas, only):
         )
 
 
+    if "r13b" in only:
+        from es_ch_sync_spark.operators.analytics import qini_uplift_deciles
+        from es_ch_sync_spark.operators.features import (
+            embedding_effective_rank,
+            label_centroid_drift,
+        )
+        from es_ch_sync_spark.operators.sampling import (
+            kcenter_coreset,
+            temperature_mixture,
+        )
+
+        # embeddings: the x100 replica has no label column; derive a
+        # deterministic 10-way stand-in group from vec_id
+        emb = spark.read.parquet(f"{CACHE}/r{replicas}_embeddings.parquet")
+        embl = emb.select(
+            "vec_id", "embedding",
+            (F.col("vec_id") % 10).cast("int").alias("label"),
+        )
+        timed(
+            f"label_centroid_drift x{replicas} (200k vectors, 10 groups)",
+            lambda: label_centroid_drift(embl, "label").count(),
+        )
+        timed(
+            f"embedding_effective_rank x{replicas} (200k vectors)",
+            lambda: embedding_effective_rank(emb).count(),
+        )
+        timed(
+            f"kcenter_coreset x{replicas} (k=4 over 200k vectors)",
+            lambda: kcenter_coreset(emb, k=4).count(),
+        )
+        timed(
+            f"temperature_mixture x{replicas} (500k docs, stand-in source)",
+            lambda: temperature_mixture(
+                docs.select(
+                    "text",
+                    (F.col("doc_id") % 20).cast("string").alias("source"),
+                ),
+                alpha=0.7,
+            ).count(),
+        )
+        ev13 = docs.select(
+            (F.col("doc_id") % 9973).alias("user_id"),
+            F.element_at(
+                F.array(
+                    F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("signup"), F.lit("error"),
+                ),
+                ((F.col("doc_id") / 9973).cast("long") % 5 + 1).cast("int"),
+            ).alias("event_type"),
+            ((F.col("doc_id") % 997).cast("double") / 10.0).alias("value"),
+        )
+        vm13 = (F.col("value").cast("decimal(24,6)") * F.lit(1000000)).cast("long")
+        units13 = (
+            ev13.select("user_id", F.col("event_type").alias("_et"), vm13.alias("_v"))
+            .groupBy("user_id")
+            .agg(
+                F.coalesce(F.sum(F.when(F.col("_et") == "view", F.col("_v"))), F.lit(0))
+                .cast("long").alias("score"),
+                F.max(F.col("_et") == "purchase").alias("converted"),
+            )
+            .withColumn("treated", F.col("user_id") % 2 == 0)
+        )
+        timed(
+            f"qini_uplift_deciles x{replicas} (10k units)",
+            lambda: qini_uplift_deciles(
+                units13, "score", "treated", "converted"
+            ).count(),
+        )
+
+
 
 if __name__ == "__main__":
     main()
