@@ -853,3 +853,215 @@ def test_delong_auc_matches_bruteforce(spark, seed):
             assert abs(got["z_delong"] - z) < 1e-5
         else:
             assert got["z_delong"] is None
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_cramer_von_mises_matches_bruteforce(spark, seed):
+    """cramer_von_mises_ab equals the direct tie-weighted ECDF sum."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.analytics import cramer_von_mises_ab
+
+    rng = np.random.default_rng(seed)
+    na, nb = int(rng.integers(3, 25)), int(rng.integers(3, 25))
+    a = rng.integers(0, 10, na)
+    b = rng.integers(0, 10, nb)
+    rows = [("A", float(x)) for x in a] + [("B", float(x)) for x in b]
+    df = spark.createDataFrame(rows, "arm string, value double")
+    got = cramer_von_mises_ab(df, "arm", "value", "A", "B").collect()[0]
+    pooled = np.concatenate([a, b])
+    vals, counts = np.unique(pooled, return_counts=True)
+    fa = np.array([(a <= v).sum() for v in vals]) / na
+    fb = np.array([(b <= v).sum() for v in vals]) / nb
+    t = (na * nb / (na + nb) ** 2) * float((counts * (fa - fb) ** 2).sum())
+    assert abs(got["t_cvm"] - t) < 1e-6
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_hodges_lehmann_matches_bruteforce(spark, seed):
+    """hodges_lehmann_daily equals the lower median of all cross-arm
+    differences."""
+    import datetime
+
+    import numpy as np
+
+    from es_ch_sync_spark.operators.analytics import hodges_lehmann_daily
+
+    rng = np.random.default_rng(seed)
+    na, nb = int(rng.integers(2, 15)), int(rng.integers(2, 15))
+    a = rng.integers(0, 50, na)
+    b = rng.integers(0, 50, nb)
+    d0 = datetime.date(2024, 1, 1)
+    rows = [
+        ("A", d0 + datetime.timedelta(days=i), int(a[i])) for i in range(na)
+    ] + [("B", d0 + datetime.timedelta(days=i), int(b[i])) for i in range(nb)]
+    df = spark.createDataFrame(rows, "arm string, day date, y long")
+    got = hodges_lehmann_daily(df, "arm", "day", "y", "A", "B").collect()[0]
+    diffs = np.sort((a[:, None] - b[None, :]).reshape(-1))
+    lower_med = diffs[(len(diffs) + 1) // 2 - 1]
+    assert got["n_pairs"] == na * nb
+    assert got["hl_shift"] == float(lower_med)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_friedman_matches_formula(spark, seed):
+    """friedman_daily equals the textbook statistic over tie-averaged
+    within-block ranks (complete blocks only)."""
+    import datetime
+
+    import numpy as np
+
+    from es_ch_sync_spark.operators.analytics import friedman_daily
+
+    rng = np.random.default_rng(seed)
+    n, k = int(rng.integers(3, 12)), int(rng.integers(3, 6))
+    y = rng.integers(0, 8, (n, k))
+    d0 = datetime.date(2024, 1, 1)
+    rows = [
+        (d0 + datetime.timedelta(days=i), f"t{j}", int(y[i, j]))
+        for i in range(n)
+        for j in range(k)
+    ]
+    df = spark.createDataFrame(rows, "b date, t string, y long")
+    got = friedman_daily(df, "b", "t", "y").collect()[0]
+    # tie-averaged ranks within each block, numpy only
+    ranks = np.zeros((n, k))
+    for i in range(n):
+        row = y[i]
+        order = np.argsort(row, kind="stable")
+        r = np.empty(k)
+        pos = 1
+        for v in np.unique(row):
+            idx = np.where(row == v)[0]
+            r[idx] = pos + (len(idx) - 1) / 2.0
+            pos += len(idx)
+        ranks[i] = r
+    rj = ranks.sum(axis=0)
+    chi = 12.0 / (n * k * (k + 1)) * float((rj ** 2).sum()) - 3.0 * n * (k + 1)
+    assert got["n_blocks"] == n and got["k_treatments"] == k
+    assert abs(got["chi2_f"] - chi) < 1e-6
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_mantel_haenszel_matches_formula(spark, seed):
+    """mantel_haenszel equals the direct CMH formulas over the same
+    per-stratum 2x2 cells."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.analytics import mantel_haenszel
+
+    rng = np.random.default_rng(seed)
+    ns = int(rng.integers(2, 6))
+    rows = []
+    for s in range(ns):
+        for _ in range(int(rng.integers(4, 30))):
+            rows.append((f"s{s}", bool(rng.integers(0, 2)), bool(rng.integers(0, 2))))
+    df = spark.createDataFrame(rows, "s string, e boolean, o boolean")
+    got = mantel_haenszel(df, "s", "e", "o").collect()[0]
+    sad = sbc = se = sv = suma = 0.0
+    n_strata = 0
+    for s in range(ns):
+        sub = [(e, o) for (st_, e, o) in rows if st_ == f"s{s}"]
+        a = sum(1 for e, o in sub if e and o)
+        b = sum(1 for e, o in sub if e and not o)
+        c = sum(1 for e, o in sub if not e and o)
+        d = sum(1 for e, o in sub if not e and not o)
+        nt = a + b + c + d
+        if nt < 2:
+            continue
+        n_strata += 1
+        suma += a
+        sad += round(a * d / nt * 1e6)
+        sbc += round(b * c / nt * 1e6)
+        se += round((a + b) * (a + c) / nt * 1e6)
+        sv += round(
+            (a + b) * (c + d) * (a + c) * (b + d) / (nt * nt * (nt - 1)) * 1e6
+        )
+    assert got["n_strata"] == n_strata and got["sum_a"] == suma
+    if sbc > 0:
+        assert abs(got["or_mh"] - sad / sbc) < 1e-5
+    if sv > 0:
+        chi = (suma - se / 1e6) ** 2 / (sv / 1e6)
+        assert abs(got["chi2_cmh"] - chi) < 1e-5
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_kcenter_matches_bruteforce_greedy(spark, seed):
+    """kcenter_coreset equals the brute-force greedy selection with the
+    same seed and tie rules."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.sampling import kcenter_coreset
+
+    rng = np.random.default_rng(seed)
+    n, d = int(rng.integers(6, 20)), 4
+    vecs = rng.random((n, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r["round"], r["vec_id"], r["sel_dist2"])
+        for r in kcenter_coreset(df, k=4).collect()
+    ]
+    q = np.round(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    sel = [0]
+    md = ((q - q[0]) ** 2).sum(axis=1)
+    want = [(1, 0, None)]
+    for r in range(2, 5):
+        best = int(np.lexsort((np.arange(n), -md))[0])
+        want.append((r, best, round(float(md[best]) / 1e12, 6)))
+        sel.append(best)
+        md = np.minimum(md, ((q - q[best]) ** 2).sum(axis=1))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_qini_matches_bruteforce(spark, seed):
+    """qini_uplift_deciles' cumulative counts and qini match a direct
+    computation with the same descending-value-census decile rule."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.analytics import qini_uplift_deciles
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 80))
+    score = rng.integers(0, 12, n)
+    treated = rng.integers(0, 2, n).astype(bool)
+    conv = rng.integers(0, 2, n).astype(bool)
+    df = spark.createDataFrame(
+        [(int(score[i]), bool(treated[i]), bool(conv[i])) for i in range(n)],
+        "score long, treated boolean, converted boolean",
+    )
+    got = {
+        r["decile"]: (
+            r["cum_n_treat"], r["cum_n_ctrl"],
+            r["conv_treat"], r["conv_ctrl"], r["qini"],
+        )
+        for r in qini_uplift_deciles(df, "score", "treated", "converted").collect()
+    }
+    # brute: decile per distinct value by cum-above, then cumulative
+    vals = np.sort(np.unique(score))[::-1]
+    cum_above = 0
+    dec_of_val = {}
+    for v in vals:
+        dec_of_val[int(v)] = min(int(10 * cum_above / n), 9)
+        cum_above += int((score == v).sum())
+    dec = np.array([dec_of_val[int(s)] for s in score])
+    cnt, cnc, cct, ccc = 0, 0, 0, 0
+    for d in sorted(set(dec)):
+        m = dec == d
+        pt = int((m & treated & conv).sum())
+        pc = int((m & ~treated & conv).sum())
+        cnt += int((m & treated).sum())
+        cnc += int((m & ~treated).sum())
+        cct += pt
+        ccc += pc
+        q = round(cct - ccc * cnt / cnc, 6) if cnc > 0 else None
+        assert got[d] == (cnt, cnc, pt, pc, q)

@@ -101,7 +101,8 @@ HEADLINE = [
     "cramer_von_mises_ab", "hodges_lehmann_daily", "did_effect",
     "event_mix_drift_daily", "friedman_daily", "grubbs_daily",
     "page_hinkley_daily", "embedding_effective_rank", "auc_delong_gates",
-    "temperature_mixture", "split_leakage_report",
+    "temperature_mixture", "split_leakage_report", "label_centroid_drift",
+    "qini_uplift_deciles", "host_modularity", "kcenter_coreset",
 ]
 
 MARKERS = [
