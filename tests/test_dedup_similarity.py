@@ -1172,3 +1172,70 @@ def test_edit_distance_pairs_planted(spark):
            for r in dd.edit_distance_pairs(df, max_distance=25).collect()}
     assert (1, 2) in got and got[(1, 2)]["edit_distance"] == 2
     assert (1, 3) not in got and (2, 3) not in got  # length-filtered
+
+
+def test_dedup_audit_panel_sections_match_standalones(spark):
+    """The composite's four sections reproduce the standalone operators'
+    outputs exactly on a small corpus with planted near-dup structure —
+    the shared mining changes the plan, never the numbers."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.analytics import (
+        adjusted_rand_index,
+        nmi_vmeasure,
+    )
+    from es_ch_sync_spark.operators.text import normalize_text
+
+    rows = []
+    for i in range(40):
+        base = f"alpha beta gamma delta epsilon zeta eta theta doc{i // 4}"
+        # groups of 4 near-identical docs + a distinct tail token
+        rows.append((i, base + (" extra" if i % 4 == 3 else "")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    panel = {
+        (r["section"], r["k1"], r["k2"], r["metric"]): r["value"]
+        for r in dd.dedup_audit_panel(docs, threshold=0.5).collect()
+    }
+
+    # calibration section == minhash_estimator_calibration
+    calib = dd.minhash_estimator_calibration(docs).collect()
+    for r in calib:
+        key = ("calibration", r["est_matches"], r["jac_decile"], "n_pairs")
+        assert panel[key] == float(r["n_pairs"])
+    assert sum(1 for k in panel if k[0] == "calibration") == len(calib)
+
+    # cluster_sizes section == histogram over connected components
+    comp = dd.connected_components(
+        dd.minhash_near_duplicates(docs, threshold=0.5)
+    )
+    sizes = (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in sizes:
+        assert panel[("cluster_sizes", r["s"], None, "n_clusters")] == float(r["n"])
+
+    # ari / nmi sections == the standalone kernels on the same labels
+    la = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("label_a")
+    )
+    lb = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            .cast("string")
+            .alias("label_b"),
+        )
+    )
+    ari = adjusted_rand_index(la, lb, "doc_id").collect()[0]
+    assert panel[("ari", None, None, "ari")] == ari["ari"]
+    assert panel[("ari", None, None, "n_items")] == float(ari["n_items"])
+    nmi = nmi_vmeasure(la, lb, "doc_id").collect()[0]
+    assert panel[("nmi", None, None, "v_measure")] == nmi["v_measure"]
+    assert panel[("nmi", None, None, "mi_nats")] == nmi["mi_nats"]

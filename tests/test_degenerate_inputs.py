@@ -812,3 +812,58 @@ def test_r13_phase2_degenerate(spark):
     elabels = spark.createDataFrame([], "id string, label string")
     rme = community_modularity(eedges, elabels).collect()[0]
     assert rme["n_edges"] == 0 and rme["modularity"] is None
+
+
+def test_r13_phase3_degenerate(spark):
+    """temperature_mixture, split leakage inputs, and DeLong one-class
+    degenerates."""
+    from es_ch_sync_spark.operators.analytics import delong_auc_compare
+    from es_ch_sync_spark.operators.sampling import (
+        kcenter_coreset,
+        temperature_mixture,
+    )
+
+    # single-source corpus: p = 1, epochs = 1 exactly
+    one_src = spark.createDataFrame(
+        [(i, "some words here", "s0") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    r = temperature_mixture(one_src, alpha=0.7).collect()[0]
+    assert r["p_temperature"] == 1.0 and r["epochs_at_corpus_budget"] == 1.0
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert temperature_mixture(empty).count() == 0
+
+    # alpha = 1 reproduces natural shares exactly on equal-length docs
+    two = spark.createDataFrame(
+        [(1, "a b c", "s0"), (2, "a b c", "s0"), (3, "a b c", "s1")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in temperature_mixture(two, alpha=1.0).collect()}
+    assert rows["s0"]["p_temperature"] == rows["s0"]["natural_share"]
+
+    # DeLong: one-class labels -> zero rows (m or n is 0)
+    onec = spark.createDataFrame(
+        [(i, i, True) for i in range(6)], "sa long, sb long, y boolean"
+    )
+    assert delong_auc_compare(onec, "sa", "sb", "y").count() == 0
+    # identical scorers: auc_a == auc_b and var 0 -> z NULL
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    same = spark.createDataFrame(
+        [(int(v), int(v), bool(b)) for v, b in zip(rng.integers(0, 9, 20), rng.integers(0, 2, 20))],
+        "sa long, sb long, y boolean",
+    )
+    rs = delong_auc_compare(same, "sa", "sb", "y").collect()
+    if rs:
+        assert rs[0]["auc_a"] == rs[0]["auc_b"] and rs[0]["z_delong"] is None
+
+    # kcenter with k > n: selection stops at... k rows requested but only
+    # n points exist — the argmax keeps returning md=0 duplicates of the
+    # last distinct point; pin that it never crashes and emits k rows
+    tiny = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = kcenter_coreset(tiny, k=4)
+    assert out.count() == 4
