@@ -495,6 +495,15 @@ def test_plan_gate_catches_injected_violations():
     # the AQE Initial Plan section must not double-count
     aqe = "*(1) Project\n== Initial Plan ==\nCartesianProduct\n"
     assert pg.violations("q", aqe) == []
+    # checkpoint-marker rule (r13): a budgeted plan whose shared pass was
+    # silently un-checkpointed (no ExistingRDD anywhere, e.g. warm-session
+    # cache hits keeping FileScan under budget) must fail
+    warm = "InMemoryTableScan [x]\n+- *(1) Project\n"
+    assert any("ExistingRDD" in v for v in pg.violations("corpus_stats_panel", warm))
+    ok = "Scan ExistingRDD[x]\n+- *(1) Project\n"
+    assert pg.violations("corpus_stats_panel", ok) == []
+    # unbudgeted queries are exempt from the marker rule
+    assert pg.violations("unbudgeted_query", warm) == []
 
 
 def test_plan_gate_committed_artifact():
