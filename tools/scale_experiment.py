@@ -2728,6 +2728,22 @@ def _r7b_sections(spark, docs, replicas, only):
                 units13, "score", "treated", "converted"
             ).count(),
         )
+        from es_ch_sync_spark.operators.analytics import delong_auc_compare
+        from es_ch_sync_spark.operators.text import gopher_quality_flags as _gqf
+
+        # DeLong on the replica corpus: stand-in label (no lang column in
+        # the cached projection — the gateig precedent); scorer A = doc
+        # word count, scorer B = distinct stopword count (both exact ints)
+        gfq = _gqf(docs).select("doc_id", "n_words", "n_stopwords")
+        items13 = gfq.select(
+            F.col("n_words").alias("sa"),
+            F.col("n_stopwords").alias("sb"),
+            (F.col("doc_id") % 3 == 0).alias("y"),
+        )
+        timed(
+            f"auc_delong_compare x{replicas} (500k docs, 2 scorers)",
+            lambda: delong_auc_compare(items13, "sa", "sb", "y").count(),
+        )
 
 
 
