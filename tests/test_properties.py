@@ -1065,3 +1065,89 @@ def test_qini_matches_bruteforce(spark, seed):
         ccc += pc
         q = round(cct - ccc * cnt / cnc, 6) if cnc > 0 else None
         assert got[d] == (cnt, cnc, pt, pc, q)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_diff_in_diff_matches_bruteforce(spark, seed):
+    """diff_in_diff equals the direct 2x2 cell computation."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.analytics import diff_in_diff
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    cells = {}
+    for arm in ("A", "B"):
+        for post in (False, True):
+            n = int(rng.integers(2, 20))
+            vals = rng.integers(0, 50, n).astype(float)
+            cells[(arm, post)] = vals
+            rows += [(arm, post, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "arm string, post boolean, value double")
+    got = diff_in_diff(df, "arm", "post", "value", "A", "B").collect()[0]
+    m = {k: v.mean() for k, v in cells.items()}
+    did = (m[("B", True)] - m[("B", False)]) - (m[("A", True)] - m[("A", False)])
+    assert abs(got["did"] - did) < 1e-6
+    vn = sum(
+        v.var(ddof=1) / len(v) for v in cells.values()
+    )
+    if vn > 0:
+        assert abs(got["t_did"] - did / vn ** 0.5) < 1e-5
+
+
+def test_sprt_llr_matches_hand_computation(spark):
+    """sprt_conversion_daily's LLR and decisions equal the hand-computed
+    Wald recursion on a tiny two-day stream."""
+    import datetime
+    import math
+
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.analytics import sprt_conversion_daily
+
+    d1 = datetime.datetime(2024, 1, 1)
+    d2 = datetime.datetime(2024, 1, 2)
+    # day 1: 4 trials 3 successes; day 2: +6 trials +5 successes
+    rows = [(d1, "buy")] * 3 + [(d1, "skip")] + [(d2, "buy")] * 5 + [(d2, "skip")]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {
+        str(r["day"]): r
+        for r in sprt_conversion_daily(
+            ev, "ts", F.col("event_type") == "buy", p0=0.2, p1=0.25,
+            alpha=0.05, beta=0.2,
+        ).collect()
+    }
+    l1 = math.log(0.25 / 0.2)
+    l0 = math.log(0.75 / 0.8)
+    upper = math.log(0.8 / 0.05)
+    lower = math.log(0.2 / 0.95)
+    for day, (n, k) in {"2024-01-01": (4, 3), "2024-01-02": (10, 8)}.items():
+        llr = k * l1 + (n - k) * l0
+        r = out[day]
+        assert r["n_cum"] == n and r["k_cum"] == k
+        assert r["llr"] == round(llr, 6)
+        want = "h1" if llr >= upper else ("h0" if llr <= lower else "continue")
+        assert r["decision"] == want
+
+
+def test_mix_jsd_bounds_and_identity(spark):
+    """event_mix_drift_daily: identical consecutive-day mixes read 0;
+    disjoint mixes read ln 2; everything is within [0, ln 2]."""
+    import datetime
+    import math
+
+    from es_ch_sync_spark.operators.analytics import mix_jsd_daily
+
+    d = datetime.datetime
+    rows = (
+        [(d(2024, 1, 1), "a")] * 3 + [(d(2024, 1, 1), "b")] * 1
+        + [(d(2024, 1, 2), "a")] * 6 + [(d(2024, 1, 2), "b")] * 2  # same mix
+        + [(d(2024, 1, 3), "c")] * 5                                # disjoint
+    )
+    ev = spark.createDataFrame(rows, "ts timestamp, et string")
+    out = {str(r["day"]): r["jsd_nats"] for r in mix_jsd_daily(ev, "ts", "et").collect()}
+    assert out["2024-01-01"] is None          # no previous day
+    assert out["2024-01-02"] == 0.0           # identical mix
+    assert abs(out["2024-01-03"] - math.log(2)) < 1e-6  # disjoint support
+    assert all(v is None or 0.0 <= v <= math.log(2) + 1e-9 for v in out.values())
