@@ -253,9 +253,30 @@ _DRIVER_SAMPLED_R12 = frozenset({
 
 _DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R12
 
+_DRIVER_SAMPLED_R13 = frozenset({
+    "auc_delong_gates", "conflict_audit", "corpus_pipeline",
+    "cramer_von_mises_ab", "cuped_adjusted_ab", "dedup_ari_exact_vs_lsh",
+    "dedup_audit_panel", "dedup_cluster_sizes", "dedup_clusters",
+    "dedup_clusters_star", "dedup_containment", "dedup_exact",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_write", "did_effect", "dim_join", "dim_join_unresolved",
+    "distinct_tokens", "embedding_effective_rank", "es_dsl_scan",
+    "es_status_scan", "event_mix_drift_daily", "exists_any",
+    "friedman_daily", "grubbs_daily", "hodges_lehmann_daily",
+    "host_modularity", "kcenter_coreset", "label_centroid_drift",
+    "ljung_box_daily", "mantel_haenszel_gate", "multimodal_gif_stats",
+    "ngram_jaccard", "nmi_exact_vs_lsh", "oldest_signal",
+    "page_hinkley_daily", "project_prune", "qini_uplift_deciles",
+    "resume_points", "resume_points_incremental", "scan_filter",
+    "split_leakage_report", "sprt_conversion_daily", "temperature_mixture",
+    "text_analysis", "text_repetition", "topk_scan", "unpivot_signals",
+})
+
+_DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R13
+
 # Queries whose LATEST driver row is red for a since-fixed reason and must
-# be re-sampled to flip green.  Empty after r12: the driver's 49-row sample
-# came back 49/49, so no registry name is currently red.
+# be re-sampled to flip green.  Empty after r13: the driver's 50-row sample
+# came back 50/50, so no registry name is currently red.
 _RED_LATEST: tuple[str, ...] = ()
 
 
