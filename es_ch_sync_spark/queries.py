@@ -530,6 +530,68 @@ def q_es_dsl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "es_cell_array_scan",
+    """
+    WITH base AS (
+      SELECT event_id, value FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ), slots AS (
+      SELECT event_id,
+        list_filter([
+          CASE WHEN (event_id + 0) % 2 = 0
+               THEN struct_pack(slot := 0, cell_value := value * 1) END,
+          CASE WHEN (event_id + 1) % 3 = 0
+               THEN struct_pack(slot := 1, cell_value := value * 2) END,
+          CASE WHEN (event_id + 2) % 4 = 0
+               THEN struct_pack(slot := 2, cell_value := value * 3) END,
+          CASE WHEN (event_id + 3) % 5 = 0
+               THEN struct_pack(slot := 3, cell_value := value * 4) END
+        ], x -> x IS NOT NULL) AS cell
+      FROM base
+    ), exploded AS (
+      SELECT event_id, UNNEST(cell, recursive := true) FROM slots
+    )
+    SELECT event_id, slot, cell_value FROM exploded
+    """,
+)
+def q_es_cell_array_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cell_[0..3] pseudo-array signals end-to-end (SURVEY §1.1 risk 4).
+
+    The source mapping stores per-cell radio stats as numbered flat fields
+    ``cell.details.cell_[0..3].*`` (/root/reference/internal/sync/test/
+    status_mapping.json:38-110) that the reference never folds back into an
+    array.  This query replays that shape: a deterministic fixture widens
+    events into ``cell_0..cell_3`` columns (slot i present iff
+    ``(event_id+i) % (i+2) = 0``, value ``value*(i+1)`` — same formula in
+    the DuckDB oracle), ``normalize_pseudo_arrays`` compacts them into one
+    ``array<struct<slot,value>>`` column, and ``explode`` lands the
+    per-element rows the oracle reproduces with UNNEST.
+
+    Scale: the widen + compact + explode chain is pure column expressions
+    fused into the scan (one Generate over the projected scan, no shuffle);
+    only ``event_id``/``value``/``event_type`` are read (ReadSchema-pruned)."""
+    from es_ch_sync_spark.operators.transform import normalize_pseudo_arrays
+
+    df = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "view") & F.col("value").isNotNull()
+    )
+    for i in range(4):
+        df = df.withColumn(
+            f"cell_{i}",
+            F.when(
+                (F.col("event_id") + F.lit(i)) % F.lit(i + 2) == 0,
+                F.col("value") * F.lit(i + 1),
+            ),
+        )
+    arr = normalize_pseudo_arrays(df, "cell", 4)
+    return arr.select("event_id", F.explode("cell").alias("c")).select(
+        "event_id",
+        F.col("c.slot").alias("slot"),
+        F.col("c.value").alias("cell_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # T1/T2 — wide→tall unpivot (sync.go:187-208)
 # ---------------------------------------------------------------------------
