@@ -1116,9 +1116,42 @@ def remove_dup_spans(
 
     Returns only affected docs: (id, n_spans, n_dup_tokens, clean_text);
     a fully-duplicated doc yields clean_text = ''."""
+    src = df.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
+    spans = duplicated_spans(src, k, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("se") - F.col("ss")).alias("n_dup_tokens"),
+        F.sort_array(F.collect_list(F.struct("ss", "se"))).alias("spans"),
+    )
+    return (
+        src.join(per_doc, id_col)
+        .withColumn(
+            "clean_text",
+            F.expr(
+                "concat_ws(' ', transform("
+                "filter(sequence(1, size(ws)), "
+                "i -> NOT exists(spans, sp -> i >= sp.ss AND i < sp.se)), "
+                "i -> element_at(ws, i)))"
+            ),
+        )
+        .select(id_col, "n_spans", "n_dup_tokens", "clean_text")
+    )
+
+
+def duplicated_spans(
+    src: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Maximal corpus-duplicated token spans per document — the shared
+    mining half of ExactSubstr dedup (Lee et al. 2022): ``src`` is
+    (id, ws: array<string> token list); output is one row per maximal
+    span, (id, ss, se) with token positions [ss, se) 1-based.
+
+    Plan shape (remove_dup_spans' scale notes apply): positions+grams per
+    doc (one Generate) → gram-keyed duplicate count → join hit positions
+    back on the 64-bit gram hash → per-doc island merge (windows bounded
+    by doc length, never corpus size)."""
     from pyspark.sql import Window as W
 
-    src = df.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
     hits = src.select(
         F.col(id_col),
         F.explode(
@@ -1159,26 +1192,48 @@ def remove_dup_spans(
     islands = flagged.withColumn(
         "island", F.sum("flag").over(W.partitionBy(id_col).orderBy("s"))
     )
-    spans = islands.groupBy(id_col, "island").agg(
+    return islands.groupBy(id_col, "island").agg(
         F.min("s").alias("ss"), (F.max("s") + k).alias("se")
-    )
-    per_doc = spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("se") - F.col("ss")).alias("n_dup_tokens"),
-        F.sort_array(F.collect_list(F.struct("ss", "se"))).alias("spans"),
-    )
+    ).select(id_col, "ss", "se")
+
+
+def duplicate_span_census(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GLOBAL census of exact-duplicate spans at the Lee-et-al-2022
+    min-match length (50 tokens): the corpus-wide distribution of maximal
+    duplicated-span lengths — (span_tokens, n_spans, n_docs, dup_tokens)
+    — the "how much verbatim duplication, at what lengths" readout their
+    §4 reports for C4/RealNews, across documents and global rather than
+    per-pair (cross_doc_shingle_stats) or per-doc (remove_dup_spans).
+
+    A maximal run of r consecutive corpus-duplicated k-grams in one
+    document is a duplicated span of r + k − 1 tokens; the census rolls
+    every span up by its length.  Suffix arrays find the same spans with
+    one global sort; the k-gram formulation decomposes into keyed
+    shuffles (gram count + position join + per-doc windows), and the
+    census tail is one corpus-bounded hash aggregate over the span frame
+    — at 100 TB the output stays ≤ max-doc-tokens rows."""
+    src = df.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
+    spans = duplicated_spans(src, k, id_col)
     return (
-        src.join(per_doc, id_col)
-        .withColumn(
-            "clean_text",
-            F.expr(
-                "concat_ws(' ', transform("
-                "filter(sequence(1, size(ws)), "
-                "i -> NOT exists(spans, sp -> i >= sp.ss AND i < sp.se)), "
-                "i -> element_at(ws, i)))"
-            ),
+        spans.select(F.col(id_col), (F.col("se") - F.col("ss")).alias("span_tokens"))
+        .groupBy("span_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
         )
-        .select(id_col, "n_spans", "n_dup_tokens", "clean_text")
+        .select(
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+            "n_spans",
+            "n_docs",
+            "dup_tokens",
+        )
+        .orderBy("span_tokens")
     )
 
 

@@ -1444,6 +1444,66 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_dup_spans(_t(spark, sf_dir, "documents"), k=_DSK)
 
 
+_SPAN_K = 50  # Lee et al. 2022 §4 min-match length (tokens)
+
+
+@register(
+    "duplicate_span_census",
+    f"""
+    {_o.WORDS_CTE}
+    , h0 AS (
+        SELECT doc_id, ws,
+               unnest(CASE WHEN len(ws) >= {_SPAN_K}
+                      THEN range(1, len(ws) - {_SPAN_K} + 2) ELSE [] END) AS s
+        FROM w
+    ), h AS (
+        SELECT doc_id, s,
+               array_to_string(list_slice(ws, s, s + {_SPAN_K} - 1), ' ') AS g
+        FROM h0
+    ), dupg AS (
+        SELECT g FROM h GROUP BY g HAVING count(*) > 1
+    ), dh AS (
+        SELECT doc_id, s FROM h JOIN dupg USING (g)
+    ), isl AS (
+        SELECT doc_id, s,
+               CASE WHEN max(s + {_SPAN_K}) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR s > max(s + {_SPAN_K}) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS flag
+        FROM dh
+    ), isl2 AS (
+        SELECT doc_id, s,
+               sum(flag) OVER (PARTITION BY doc_id ORDER BY s) AS island
+        FROM isl
+    ), spans AS (
+        SELECT doc_id, island, min(s) AS ss, max(s) + {_SPAN_K} AS se
+        FROM isl2 GROUP BY doc_id, island
+    )
+    SELECT (se - ss)::BIGINT AS span_tokens,
+           count(*)::BIGINT AS n_spans,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           sum(se - ss)::BIGINT AS dup_tokens
+    FROM spans
+    GROUP BY 1
+    """,
+)
+def q_duplicate_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplication census (Lee et al. 2022, r13 VERDICT #6):
+    the corpus-wide distribution of maximal 50-token-minimum verbatim
+    duplicate-span lengths — global, not per-pair.  Same mined span
+    frame as dup_span_removal (gram-hash count + position join + per-doc
+    sorted-position windows); the census tail is one bounded hash
+    aggregate.  Oracle re-mines every span with DuckDB windows over the
+    per-doc sorted shingle positions."""
+    from es_ch_sync_spark.operators.dedup import duplicate_span_census
+
+    return duplicate_span_census(_t(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
 @register(
     "streaming_dedup_docs",
     """
