@@ -867,3 +867,40 @@ def test_r13_phase3_degenerate(spark):
     )
     out = kcenter_coreset(tiny, k=4)
     assert out.count() == 4
+
+
+def test_duplicate_span_census_degenerate_and_brute(spark):
+    """r14: duplicate_span_census — degenerate corpora plus an exact
+    hand-computed pin (two docs sharing one 6-token verbatim run, k=4:
+    one maximal span per doc, 6 tokens each)."""
+    from es_ch_sync_spark.operators.dedup import duplicate_span_census
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert duplicate_span_census(empty, k=4).count() == 0
+
+    # single doc: no gram can repeat across docs (and none repeats within)
+    one = _docs(spark, [(0, "alpha beta gamma delta epsilon zeta eta")])
+    assert duplicate_span_census(one, k=4).count() == 0
+
+    # identical docs: every doc is one full-length span
+    ident = _docs(spark, [(i, "same words in every doc here") for i in range(5)])
+    rows = duplicate_span_census(ident, k=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["span_tokens"] == 6 and r["n_spans"] == 5 and r["n_docs"] == 5
+    assert r["dup_tokens"] == 30
+
+    # brute-force pin: shared 6-token run embedded at different offsets,
+    # k=4 → run of 3 duplicated grams → span of 3 + 4 - 1 = 6 tokens
+    two = _docs(
+        spark,
+        [
+            (1, "x1 x2 common run of six shared tokens y1"),
+            (2, "z1 common run of six shared tokens z2 z3 z4"),
+        ],
+    )
+    rows = duplicate_span_census(two, k=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["span_tokens"] == 6 and r["n_spans"] == 2 and r["n_docs"] == 2
+    assert r["dup_tokens"] == 12

@@ -271,3 +271,34 @@ def test_reverse_sync_update_delete_tombstones(spark, tmp_path):
     tx.vacuum(table, keep_versions=1)
     with _pytest.raises(ExportHistoryError):
         export_new_versions(spark, table, es_dir, "event_id", 0, None)
+
+
+def test_es_cell_array_scan_fixture_explode(spark):
+    """r14: the es_cell_array_scan query's widen→compact→explode chain on a
+    hand-computed frame — slot i present iff (event_id+i) % (i+2) = 0,
+    value = value·(i+1); event_id 2 hits all four slots, event_id 3 hits
+    none — pinned exactly below."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.transform import normalize_pseudo_arrays
+
+    df = spark.createDataFrame(
+        [(2, 10.0), (3, 5.0)], "event_id long, value double"
+    )
+    for i in range(4):
+        df = df.withColumn(
+            f"cell_{i}",
+            F.when(
+                (F.col("event_id") + F.lit(i)) % F.lit(i + 2) == 0,
+                F.col("value") * F.lit(i + 1),
+            ),
+        )
+    out = (
+        normalize_pseudo_arrays(df, "cell", 4)
+        .select("event_id", F.explode("cell").alias("c"))
+        .select("event_id", F.col("c.slot").alias("slot"), F.col("c.value").alias("v"))
+    )
+    got = sorted((r["event_id"], r["slot"], r["v"]) for r in out.collect())
+    # event 2: (2+0)%2=0 ✓, (2+1)%3=0 ✓, (2+2)%4=0 ✓, (2+3)%5=0 ✓ — all 4
+    # event 3: (3+0)%2≠0, (3+1)%3≠0, (3+2)%4≠0, (3+3)%5≠0 — none
+    assert got == [(2, 0, 10.0), (2, 1, 20.0), (2, 2, 30.0), (2, 3, 40.0)]
