@@ -197,3 +197,126 @@ def ivf_drift_report(
         .withColumn("needs_refit", F.col("drift") > F.lit(refit_threshold))
         .orderBy("cell")
     )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 4,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF-PQ index build (Jégou 2011 §III.C / FAISS IVFADC, persisted):
+    fit the coarse quantizer ONCE, product-quantize the RESIDUAL
+    x − centroid(x), and materialize three tables:
+
+    - ``{path}/codes``:     (id, sub, code) partitionBy(cell) — each
+      inverted list holds only m small ints per vector (the 100 TB
+      economics: ~m bytes per vector served instead of 4·dim — serving
+      memory is code-table-sized, raw vectors never load);
+    - ``{path}/centroids``: (cell, pos, c) coarse centroids — same schema
+      as build_ivf_index so probe_cells serves both layouts;
+    - ``{path}/codebook``:  (sub, code, spos, c) residual codewords
+      (m·ksub·sub_dim rows — driver/broadcast-sized metadata).
+
+    Same deterministic construction as operators.clustering.ivfpq_topk
+    (9dp centroid/distance rounding, ksub-lowest-id seeds, struct-min tie
+    breaks), so a fresh search over the persisted layout reproduces the
+    relational IVFADC answer bit-for-bit (pinned in tests)."""
+    from es_ch_sync_spark.operators.clustering import (
+        _pq_fit_tall,
+        kmeans_assign,
+        posexplode_vectors,
+    )
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    assign_c = kmeans_assign(
+        emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+    pe = posexplode_vectors(emb, id_col, vec_col)
+    centc = (
+        assign_c.join(pe, id_col)
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), 9).alias("c"))
+    ).cache()
+    resid = (
+        pe.join(assign_c, id_col)
+        .join(F.broadcast(centc), ["cell", "pos"])
+        .select(
+            F.col(id_col),
+            F.expr(f"pos DIV {sub_dim}").alias("sub"),
+            F.expr(f"pos % {sub_dim}").alias("spos"),
+            (F.col("x") - F.col("c")).alias("x"),
+        )
+    ).localCheckpoint()
+    seeds = emb.select(id_col).orderBy(id_col).limit(ksub)
+    codes, codebook = _pq_fit_tall(resid, seeds, iters, id_col)
+    (
+        codes.join(assign_c, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    centc.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k over the persisted IVF-PQ codes, probed-cells only.
+
+    Per probed cell the query RESIDUAL differs, so the lookup table is
+    keyed (cell, sub, code) — nprobe·m·ksub rows, built relationally from
+    the centroid + codebook tables and broadcast.  The scoring scan reads
+    ONLY the probed cells' code partitions (the cell IN (…) filter lands
+    as a PartitionFilter, pinned in tests) and only (id, sub, code)
+    columns — at 100 TB that is nprobe/n_cells of an already-32×-smaller
+    table, with the shuffle carrying (id, partial-sum) pairs."""
+    from es_ch_sync_spark.operators.similarity import _sql_double_array
+
+    cells = probe_cells(spark, path, query_vec, nprobe)
+    q = [float(x) for x in query_vec]
+    qcol = F.expr(_sql_double_array(q))
+    cent = spark.read.parquet(f"{path}/centroids").filter(F.col("cell").isin(cells))
+    codebook = spark.read.parquet(f"{path}/codebook")
+    # sub_dim is index metadata (max spos + 1) — one bounded scalar agg
+    sub_dim = int(codebook.agg(F.max("spos")).collect()[0][0]) + 1
+    qr = cent.select(
+        "cell",
+        "pos",
+        (F.element_at(qcol, (F.col("pos") + 1).cast("int")) - F.col("c")).alias("qr"),
+    )
+    lut = (
+        codebook.withColumn(
+            "pos", (F.col("sub") * sub_dim + F.col("spos")).cast("int")
+        )
+        .join(qr, "pos")
+        .groupBy("cell", "sub", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("qr") - F.col("c")) * (F.col("qr") - F.col("c"))), 9
+            ).alias("d")
+        )
+    )
+    codes = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(cells))
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)

@@ -769,6 +769,107 @@ def ivfpq_topk_sql(
     """
 
 
+def ivfpq_probe_topk_sql(
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    n_cells: int = 4,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Oracle for io.ann_index.search_ivfpq_index over a freshly built
+    index: same CTE chain as ivfpq_topk_sql, but the single best-cell
+    argmax generalizes to the top-``nprobe`` cells and the LUT is keyed
+    (cell, sub, code) — each vector scores against the residual table of
+    ITS OWN cell, membership in a probed cell implied by the lut join."""
+    sub_dim = dim // m
+    coarse = kmeans_cells_sql(n_cells, iters, dim)
+    body = coarse.rsplit("SELECT vec_id, cell FROM", 1)[0].rstrip().rstrip(",")
+    ctes = [
+        f"""centc AS (
+        SELECT a.cell, pe.pos, round(avg(pe.x), 9) AS cc
+        FROM assign{iters} a JOIN pe ON a.vec_id = pe.vec_id GROUP BY a.cell, pe.pos
+    )""",
+        f"""rpe AS (
+        SELECT pe.vec_id, (pe.pos // {sub_dim})::INTEGER AS sub,
+               (pe.pos % {sub_dim})::INTEGER AS spos, pe.x - centc.cc AS x
+        FROM pe JOIN assign{iters} a ON pe.vec_id = a.vec_id
+                JOIN centc ON a.cell = centc.cell AND pe.pos = centc.pos
+    )""",
+        f"""pcent0 AS (
+        SELECT sub, vec_id AS code, spos, round(x, 9) AS c FROM rpe
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ksub})
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pdist{i} AS (
+        SELECT rpe.vec_id, rpe.sub, ct.code,
+               round(sum((rpe.x - ct.c) * (rpe.x - ct.c)), 9) AS d
+        FROM rpe JOIN pcent{i - 1} ct ON rpe.sub = ct.sub AND rpe.spos = ct.spos
+        GROUP BY rpe.vec_id, rpe.sub, ct.code
+    )"""
+        )
+        ctes.append(
+            f"""passign{i} AS (
+        SELECT vec_id, sub, min(struct_pack(d := d, code := code))['code']::BIGINT AS code
+        FROM pdist{i} GROUP BY vec_id, sub
+    )"""
+        )
+        if i < iters:
+            ctes.append(
+                f"""pcent{i} AS (
+        SELECT a.sub, a.code, rpe.spos, round(avg(rpe.x), 9) AS c
+        FROM passign{i} a JOIN rpe ON a.vec_id = rpe.vec_id AND a.sub = rpe.sub
+        GROUP BY a.sub, a.code, rpe.spos
+    )"""
+            )
+    ctes.append(
+        f"""pcentf AS (
+        SELECT a.sub, a.code, rpe.spos, round(avg(rpe.x), 9) AS c
+        FROM passign{iters} a JOIN rpe ON a.vec_id = rpe.vec_id AND a.sub = rpe.sub
+        GROUP BY a.sub, a.code, rpe.spos
+    )"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""{body},
+    {joined},
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_id}),
+    cellcos AS (
+        SELECT cell,
+               round(CASE WHEN sqrt(sum(cc * cc)) > 0
+                     THEN sum(cc * qv[pos + 1]) / (sqrt(sum(cc * cc)) * sqrt(list_dot_product(any_value(qv), any_value(qv))))
+                     ELSE -2.0 END, 9) AS ccos
+        FROM centc, q GROUP BY cell
+    ),
+    probed AS (
+        SELECT cell FROM cellcos ORDER BY ccos DESC, cell ASC LIMIT {nprobe}
+    ),
+    qr AS (
+        SELECT centc.cell, centc.pos, qv[centc.pos + 1] - centc.cc AS qr
+        FROM centc JOIN probed USING (cell), q
+    ),
+    lut AS (
+        SELECT qr.cell, pcentf.sub, pcentf.code,
+               round(sum((qr.qr - pcentf.c) * (qr.qr - pcentf.c)), 9) AS d
+        FROM pcentf JOIN qr ON qr.pos = pcentf.sub * {sub_dim} + pcentf.spos
+        GROUP BY qr.cell, pcentf.sub, pcentf.code
+    ),
+    scores AS (
+        SELECT a.vec_id, round(sum(l.d), 6) AS adc_dist
+        FROM passign{iters} a
+        JOIN assign{iters} ca ON a.vec_id = ca.vec_id
+        JOIN lut l ON l.cell = ca.cell AND a.sub = l.sub AND a.code = l.code
+        GROUP BY a.vec_id
+    )
+    SELECT vec_id, adc_dist FROM scores WHERE vec_id != {query_id}
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT {k}
+    """
+
+
 def embedding_near_dup_sql(
     threshold: float = 0.4, n_planes: int = 12, bands: int = 4, dim: int = 64
 ) -> str:

@@ -760,6 +760,49 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted IVF-PQ index for this sf, built once into a tmp dir
+    (r13 VERDICT #4): the serving layout a real deployment materializes —
+    cell-partitioned code lists + centroid/codebook metadata — so every
+    query over it is an index READ, never a refit."""
+    import hashlib
+    import os
+    import tempfile
+
+    from es_ch_sync_spark.io.ann_index import build_ivfpq_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"es_ch_sync_spark_ivfpq_{tag}")
+    if not os.path.exists(os.path.join(out, "codebook", "_SUCCESS")):
+        emb = read_parquet_table(spark, sf_dir, "embeddings")
+        build_ivfpq_index(
+            emb, out, n_cells=4, m=4, ksub=4, iters=2, dim=64
+        )
+    return out
+
+
+@register(
+    "ann_ivfpq_index_topk",
+    oracles.ivfpq_probe_topk_sql(
+        query_id=0, k=10, nprobe=2, n_cells=4, m=4, ksub=4, iters=2, dim=64
+    ),
+)
+def q_ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over the PERSISTED index (io/ann_index.py, r13 VERDICT #4):
+    build once (coarse cells + residual-PQ codes, partitionBy(cell)), then
+    serve ADC top-k reading ONLY the nprobe=2 probed cells' code
+    partitions — the cell filter lands as a PartitionFilter and the scan
+    touches m small ints per vector instead of the raw float vectors.
+    The oracle re-derives the whole chain (coarse k-means, residual PQ,
+    top-nprobe probe, per-cell residual LUTs, summed-lookup top-k)."""
+    from es_ch_sync_spark.io.ann_index import search_ivfpq_index
+
+    path = _ivfpq_index_dir(spark, sf_dir)
+    return search_ivfpq_index(
+        spark, path, _ivf_query_vec(sf_dir, 0), k=10, nprobe=2, exclude_id=0
+    )
+
+
 @register("ann_ivf_topk", oracles.ann_ivf_topk_sql(query_id=0, k=10, dim=64))
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize by the label column (stand-in for

