@@ -224,21 +224,32 @@ def test_multimodal_feature_extraction(spark, docs):
 
 
 def test_multimodal_codec_formats_gate_cleanly():
-    """Library-needing codecs still raise (no Pillow/pyav in this
-    container); PNG and GIF decode for REAL now (see
-    test_png_round_trip_* / test_gif_round_trip_*), so malformed
-    PNG/GIF bytes are a ValueError, not a gate; unrecognized bytes
-    are a ValueError; uncompressed formats decode."""
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    """Remaining library-needing codecs still raise (no Pillow/pyav in
+    this container); PNG/GIF/baseline-JPEG/MJPEG-AVI decode for REAL now
+    (see test_png_round_trip_* / test_gif_round_trip_* /
+    test_jpeg_round_trip_* / test_mjpeg_avi_*), so malformed bytes with a
+    real magic are a ValueError, not a gate; unrecognized bytes are a
+    ValueError; uncompressed formats decode."""
+    with pytest.raises(ValueError):  # valid JPEG magic, truncated stream
         mm.resize_image(b"\xff\xd8\xff\xe0 jpeg bytes", 10, 10)
+    with pytest.raises(NotImplementedError, match="WebP"):
+        mm.decode_image(b"RIFF\x04\x00\x00\x00WEBPxxxx")
     with pytest.raises(ValueError):  # valid GIF magic, truncated header
         mm.decode_image(b"GIF89a fake")
     with pytest.raises(ValueError):  # valid PNG signature, no chunks
         mm.decode_image(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(ValueError):
         mm.resize_image(b"xx", 10, 10)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # not an AVI at all
         mm.sample_video_frames(b"xx", 1000)
+    # non-MJPG video codecs still gate by name
+    import struct
+
+    strh = b"vids" + b"H264" + struct.pack("<IHHIIIIIIIi", *([0] * 11)) + b"\x00" * 8
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh)) + b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh
+    body = b"AVI " + strl
+    with pytest.raises(NotImplementedError, match="H264"):
+        mm.parse_mjpeg_avi(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
 def test_multimodal_numpy_codecs_roundtrip():

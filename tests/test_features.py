@@ -971,8 +971,9 @@ def test_png_round_trip_and_filters():
 
 
 def test_decode_image_dispatches_png():
-    """decode_image now routes PNG to the real decoder; JPEG still
-    gates on an external library."""
+    """decode_image now routes PNG to the real decoder; baseline JPEG
+    decodes for real too (truncated JPEG bytes are a ValueError, not a
+    gate)."""
     import numpy as np
     import pytest
 
@@ -990,7 +991,7 @@ def test_decode_image_dispatches_png():
     assert np.array_equal(
         decode_image(synth_png_blob(42)), decode_bmp(synth_bmp_blob(42))
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
 
 
@@ -1267,3 +1268,151 @@ def test_gif_round_trip_and_gates():
     # 18*18 = 324 distinct (r,g) combinations > 256
     with pytest.raises(ValueError):
         encode_gif(big)
+
+
+def test_jpeg_round_trip_exact_on_block_constant():
+    """r14: constant 8×8 blocks + q=1 survive the lossy codec EXACTLY
+    (DC = 8·(v−128), AC = 0 — both integer before quantization), across
+    every block value and several grid shapes.  This is the property the
+    oracle-checked multimodal_jpeg_stats fixture relies on."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    for bh, bw in [(1, 1), (1, 3), (2, 2), (3, 1), (4, 2)]:
+        vals = rng.integers(0, 256, (bh, bw)).astype(np.uint8)
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == (bh * 8, bw * 8, 3)
+        assert (out[..., 0] == img).all()
+        assert (out == out[..., :1]).all()  # grayscale replicates channels
+    # extreme block values round-trip too (DC range ±1024/1016)
+    for v in (0, 1, 127, 128, 254, 255):
+        img = np.full((8, 8), v, np.uint8)
+        assert (decode_jpeg(encode_jpeg(img))[..., 0] == v).all()
+
+
+def test_jpeg_round_trip_bounded_on_arbitrary_images():
+    """Arbitrary grayscale at q=1: decode(encode(x)) within ±4 of x (the
+    DCT-coefficient rounding bound); arbitrary color at 4:4:4 within the
+    YCbCr double-round bound; odd dimensions exercise the MCU pad/crop."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(12)
+    for h, w in [(8, 8), (5, 7), (17, 9), (24, 31)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out[..., 0].astype(int) - img.astype(int)).max() <= 4
+    for h, w in [(8, 8), (11, 14)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_jpeg_420_subsampling_decodes():
+    """4:2:0 encode → decode: the MCU-interleave + chroma-upsample path.
+    Mid-range pixels (no RGB clipping on reconstruction) keep the
+    recomputed luma within the grayscale bound even though chroma is
+    box-averaged — at the extremes clipping couples chroma error back
+    into luma, which is inherent to the colorspace, not a codec bug."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(13)
+    for h, w in [(16, 16), (13, 21), (8, 8)]:
+        img = rng.integers(40, 216, (h, w, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, subsample="420"))
+        assert out.shape == (h, w, 3)
+        y_in = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        y_out = 0.299 * out[..., 0] + 0.587 * out[..., 1] + 0.114 * out[..., 2]
+        assert np.abs(y_in - y_out).max() <= 8
+
+
+def test_jpeg_gates_and_malformed():
+    """Progressive SOF2 gates by name; truncated streams and garbage are
+    ValueError; 12-bit precision gates."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from es_ch_sync_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    good = bytearray(encode_jpeg(np.full((8, 8), 55, np.uint8)))
+    sof = good.find(b"\xff\xc0")
+    assert sof > 0
+    prog = bytes(good[:sof]) + b"\xff\xc2" + bytes(good[sof + 2 :])
+    with pytest.raises(NotImplementedError, match="0xFFC2"):
+        decode_jpeg(prog)
+    twelve = bytearray(good)
+    twelve[sof + 4] = 12  # precision byte
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(twelve))
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good[: len(good) // 2]))  # truncated entropy data
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_mjpeg_avi_container_round_trip_and_sampling():
+    """r14: the AVI container is lossless — parse returns the exact JPEG
+    bytes stored, fps from strh rate/scale, and sample_video_frames picks
+    floor(t·rate/(1000·scale)) under each tick."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_mjpeg_avi,
+        parse_mjpeg_avi,
+        sample_video_frames,
+    )
+
+    frames = [
+        encode_jpeg(np.full((8, 16), 10 * f + 3, np.uint8)) for f in range(7)
+    ]
+    avi = encode_mjpeg_avi(frames, 16, 8, fps=10)
+    v = parse_mjpeg_avi(avi)
+    assert (v["rate"], v["scale"], v["width"], v["height"]) == (10, 1, 16, 8)
+    assert v["frames"] == frames
+    # 100 ms period: every 250 ms → t = 0, 250, 500, 750 → idx 0, 2, 5, 7(stop)
+    got = sample_video_frames(avi, 250)
+    assert got == [frames[0], frames[2], frames[5]]
+    # every_ms larger than the clip → just frame 0
+    assert sample_video_frames(avi, 5000) == [frames[0]]
+    # sampled frames decode to the constant they encode
+    px = decode_jpeg(got[1])
+    assert (px[..., 0] == 23).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        sample_video_frames(avi, 0)
+    with pytest.raises(ValueError):
+        parse_mjpeg_avi(avi[: len(avi) // 2])
+
+
+def test_synth_mjpeg_blob_matches_formula():
+    """The fixture's sampled mean luma equals the closed form the
+    multimodal_video_frames oracle computes."""
+    from es_ch_sync_spark.operators.multimodal import (
+        decode_jpeg,
+        sample_video_frames,
+        synth_mjpeg_blob,
+    )
+
+    for mid in (0, 1, 5, 42):
+        n = mid % 4 + 2
+        blobs = sample_video_frames(synth_mjpeg_blob(mid), 200)
+        assert len(blobs) == (n + 1) // 2
+        for s, b in enumerate(blobs):
+            f = 2 * s
+            want = (
+                (11 * mid + 17 * f) % 256 + (11 * mid + 17 * f + 23) % 256
+            ) / 2.0
+            px = decode_jpeg(b)
+            assert px[..., 0].astype(float).mean() == want
