@@ -353,6 +353,48 @@ def ivfpq_topk(
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def ivfpq_rerank_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    n_cells: int = 4,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVFADC with exact reranking (Jégou 2011 §III.C "IVFADC+R" — the
+    standard serving recipe): the ADC pass shortlists ``shortlist``
+    candidates from the probed cell's codes, then ONLY those ids' raw
+    vectors are fetched and rescored with exact cosine for the final
+    top-k.  This removes the PQ approximation from the returned ranking
+    while keeping the scan economics: the corpus-sized pass reads codes
+    (m bytes/vector, cell-pruned); the float vectors are touched for
+    ``shortlist`` rows via a broadcast semi-join — at 100 TB that is a
+    point-lookup-sized read, not a scan."""
+    from es_ch_sync_spark.operators.similarity import (
+        _as_double,
+        _sql_double_array,
+        cosine,
+    )
+
+    short = ivfpq_topk(
+        emb, query_vec, k=shortlist, n_cells=n_cells, m=m, ksub=ksub,
+        iters=iters, dim=dim, id_col=id_col, vec_col=vec_col,
+        exclude_id=exclude_id,
+    ).select(id_col)
+    q = F.expr(_sql_double_array([float(x) for x in query_vec]))
+    scored = emb.join(F.broadcast(short), id_col).select(
+        F.col(id_col), cosine(_as_double(F.col(vec_col)), q).alias("cos_sim")
+    )
+    out = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+    return out.select(id_col, F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],

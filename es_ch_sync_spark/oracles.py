@@ -769,6 +769,40 @@ def ivfpq_topk_sql(
     """
 
 
+def ivfpq_rerank_topk_sql(
+    query_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    n_cells: int = 4,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Oracle for clustering.ivfpq_rerank_topk: the ivfpq_topk_sql chain
+    with its final top-k widened to the ADC shortlist, then exact cosine
+    rerank over only those ids."""
+    base = ivfpq_topk_sql(query_id, shortlist, n_cells, m, ksub, iters, dim)
+    tail = f"""
+    SELECT vec_id, adc_dist FROM scores WHERE vec_id != {query_id}
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT {shortlist}
+    """
+    assert base.endswith(tail), "ivfpq_topk_sql tail changed"
+    cos = _cosine_sql("b.embedding", "q.qv")
+    return base[: -len(tail)] + f""",
+    short AS (
+        SELECT vec_id FROM scores WHERE vec_id != {query_id}
+        ORDER BY adc_dist ASC, vec_id ASC
+        LIMIT {shortlist}
+    )
+    SELECT b.vec_id, round({cos}, 6) AS cos_sim
+    FROM embeddings b JOIN short USING (vec_id), q
+    ORDER BY {cos} DESC, b.vec_id ASC
+    LIMIT {k}
+    """
+
+
 def ivfpq_probe_topk_sql(
     query_id: int = 0,
     k: int = 10,

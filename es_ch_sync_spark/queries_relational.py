@@ -760,6 +760,27 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivfpq_rerank_topk",
+    oracles.ivfpq_rerank_topk_sql(
+        query_id=0, k=10, shortlist=30, n_cells=4, m=4, ksub=4, iters=2, dim=64
+    ),
+)
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + exact rerank (Jégou §III.C "IVFADC+R"): ADC shortlists 30
+    candidates from the probed cell's codes, exact cosine rescores only
+    those ids — PQ approximation gone from the final ranking, scan still
+    codes-only.  The oracle widens the IVFADC top-k to the shortlist and
+    replays the cosine rerank."""
+    from es_ch_sync_spark.operators.clustering import ivfpq_rerank_topk
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return ivfpq_rerank_topk(
+        emb, _ivf_query_vec(sf_dir, 0), k=10, shortlist=30,
+        n_cells=4, m=4, ksub=4, iters=2, exclude_id=0,
+    )
+
+
 def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Persisted IVF-PQ index for this sf, built once into a tmp dir
     (r13 VERDICT #4): the serving layout a real deployment materializes —

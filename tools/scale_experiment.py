@@ -2746,6 +2746,95 @@ def _r7b_sections(spark, docs, replicas, only):
         )
 
 
+    if "r14" in only:
+        import time as _time
+
+        from es_ch_sync_spark.io.ann_index import (
+            build_ivfpq_index,
+            search_ivfpq_index,
+        )
+        from es_ch_sync_spark.operators import multimodal as mm
+        from es_ch_sync_spark.operators.dedup import duplicate_span_census
+        from es_ch_sync_spark.operators.transform import normalize_pseudo_arrays
+
+        # duplicate_span_census at ×N: replica token-suffixing destroys
+        # cross-replica 50-gram matches, so intrinsic dup spans replicate
+        # ×N — output (and census mass) grows linearly, not quadratically
+        timed(
+            f"duplicate_span_census x{replicas} (k=50)",
+            lambda: duplicate_span_census(docs, k=50).count(),
+        )
+
+        # persisted IVF-PQ: build once on the replica embeddings (500k
+        # vectors at ×100), then serve — searches report separately so the
+        # ×100 row shows the amortization a real deployment gets
+        emb14 = spark.read.parquet(f"{CACHE}/r{replicas}_embeddings.parquet")
+        ivfpq_path = f"{CACHE}/r{replicas}_ivfpq"
+        import os as _os
+
+        if not _os.path.exists(f"{ivfpq_path}/codebook/_SUCCESS"):
+            t0 = _time.time()
+            build_ivfpq_index(emb14, ivfpq_path, n_cells=16, m=4, ksub=16,
+                              iters=2, dim=64)
+            print(f"ivfpq build x{replicas} (16 cells, m=4, ksub=16): "
+                  f"{_time.time() - t0:.1f}s", flush=True)
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(f"{CACHE}/r{replicas}_embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+        qv = t.column("embedding").to_pylist()[
+            t.column("vec_id").to_pylist().index(0)
+        ]
+        for np_ in (1, 4):
+            timed(
+                f"ivfpq search x{replicas} (nprobe={np_}/16, ADC over codes)",
+                lambda np_=np_: search_ivfpq_index(
+                    spark, ivfpq_path, qv, k=10, nprobe=np_, exclude_id=0
+                ).count(),
+            )
+
+        # cell_[0..3] pseudo-array widen → compact → explode at 20M rows:
+        # pure column expressions, one Generate, no shuffle
+        def _cells() -> int:
+            df = spark.range(20_000_000).select(
+                F.col("id").alias("event_id"),
+                (F.col("id") % 997).cast("double").alias("value"),
+            )
+            for i in range(4):
+                df = df.withColumn(
+                    f"cell_{i}",
+                    F.when((F.col("event_id") + i) % (i + 2) == 0,
+                           F.col("value") * (i + 1)),
+                )
+            arr = normalize_pseudo_arrays(df, "cell", 4)
+            return arr.select(F.explode("cell")).count()
+
+        timed(f"es_cell_array explode x{replicas} (20M synthetic events)",
+              _cells)
+
+        # real-JPEG fixtures at scale: encode+entropy-decode per doc in
+        # Arrow batches (Python codec work, embarrassingly parallel — the
+        # per-doc cost is the honest number; capped corpora, stated)
+        jd = docs.select(F.col("doc_id")).limit(200_000).cache()
+        jd.count()
+        timed(
+            f"multimodal_jpeg_stats x{replicas} (200k docs, encode+decode)",
+            lambda: mm.extract_pixel_features(
+                mm.synth_media(jd, "jpeg")
+            ).count(),
+        )
+        vd = docs.select(F.col("doc_id")).limit(100_000).cache()
+        vd.count()
+        timed(
+            f"multimodal_video_frames x{replicas} (100k clips, 2-5 frames, "
+            "sample every 200ms)",
+            lambda: mm.video_frame_stats(
+                mm.synth_media(vd, "mjpeg"), every_ms=200
+            ).count(),
+        )
+        jd.unpersist()
+        vd.unpersist()
+
 
 if __name__ == "__main__":
     main()
