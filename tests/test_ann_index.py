@@ -234,3 +234,18 @@ def test_ivfpq_multiprobe_scores_each_vector_in_its_own_cell(spark, emb, qv, ivf
     assert len(got) == 10
     # distances ascend with the id tie-break
     assert got == sorted(got, key=lambda t: (t[1], t[0]))
+
+
+def test_ivfpq_rerank_full_shortlist_equals_cell_exact(spark, emb, qv):
+    """With the shortlist covering the whole probed cell, IVFADC+R
+    degrades to exact cosine over that cell's members — which is
+    precisely ivf_topk (same coarse quantizer, same probe rule)."""
+    from es_ch_sync_spark.operators.clustering import ivfpq_rerank_topk
+
+    want = [(r["vec_id"], r["cos_sim"]) for r in
+            ivf_topk(emb, qv, k=10, n_cells=4, iters=2, exclude_id=0).collect()]
+    big = emb.count()  # shortlist ≥ any cell size
+    got = [(r["vec_id"], r["cos_sim"]) for r in
+           ivfpq_rerank_topk(emb, qv, k=10, shortlist=big, n_cells=4,
+                             m=4, ksub=4, iters=2, exclude_id=0).collect()]
+    assert got == want and len(got) == 10
