@@ -103,6 +103,10 @@ HEADLINE = [
     "page_hinkley_daily", "embedding_effective_rank", "auc_delong_gates",
     "temperature_mixture", "split_leakage_report", "label_centroid_drift",
     "qini_uplift_deciles", "host_modularity", "kcenter_coreset",
+    # round 14
+    "es_cell_array_scan", "duplicate_span_census", "ann_ivfpq_index_topk",
+    "ann_ivfpq_rerank_topk", "multimodal_jpeg_stats",
+    "multimodal_video_frames",
 ]
 
 MARKERS = [
