@@ -1774,8 +1774,8 @@ def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     back through chunk walk → inflate → unfilter → numpy stats.  The
     SAME generating-formula oracle checks it, so a value-hash match
     proves the full PNG container round trip — the codec gate that
-    used to raise NotImplementedError is now a real decoder (JPEG/
-    GIF/WebP still gate on an external library)."""
+    used to raise NotImplementedError is now a real decoder (as of
+    r14 only WebP/MP4 still gate on an external library)."""
     media = mm.synth_media(_docs(spark, sf_dir), "png")
     return mm.extract_pixel_features(media).select(
         "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
@@ -1855,8 +1855,10 @@ def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     LZW) and decoded back through header walk → LZW → palette lookup →
     numpy stats.  The SAME generating-formula oracle checks it, so a
     value-hash match proves the full GIF container round trip —
-    animation/interlace/partial-canvas stay explicitly gated,
-    JPEG/WebP/MP4 still need an external library."""
+    animation/interlace/partial-canvas stay explicitly gated (r14:
+    baseline JPEG and MJPEG-AVI decode for real now — see
+    multimodal_jpeg_stats / multimodal_video_frames; WebP/MP4 still
+    need an external library)."""
     media = mm.synth_media(_docs(spark, sf_dir), "gif")
     return mm.extract_pixel_features(media).select(
         "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
