@@ -788,13 +788,17 @@ def _jpeg_encode_block(bw, coeffs, prev_dc, dc_map, ac_map):
     return int(coeffs[0])
 
 
-def encode_jpeg(arr, subsample: str = "444") -> bytes:
+def encode_jpeg(arr, subsample: str = "444", restart_interval: int = 0) -> bytes:
     """(H, W) or (H, W, 3) uint8 → baseline JFIF bytes with an all-ones
     quantization table (q=1: maximum-fidelity baseline; 8×8-constant
     blocks round-trip EXACTLY — see module notes).  Grayscale stays one
     component; RGB encodes as YCbCr (BT.601, rounded) at 4:4:4 or —
     ``subsample="420"`` — with 2×2-box-averaged chroma, which exercises
-    the decoder's sampling-factor/MCU-interleave path for real."""
+    the decoder's sampling-factor/MCU-interleave path for real.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (DC predictors reset, bitstream byte-aligned) — the
+    error-resilience feature real camera JPEGs use, and the encoder-side
+    exerciser for the decoder's restart path."""
     import struct
 
     import numpy as np
@@ -862,6 +866,8 @@ def encode_jpeg(arr, subsample: str = "444") -> bytes:
     ):
         out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
         out += bytes([cls]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         out += bytes([ci + 1, 0x00])
@@ -869,7 +875,15 @@ def encode_jpeg(arr, subsample: str = "444") -> bytes:
 
     bw = _JpegBitWriter()
     prev = [0] * ncomp
+    rst = 0
     for mi in range(mcux * mcuy):
+        if restart_interval and mi and mi % restart_interval == 0:
+            bw.flush()  # byte-align before the marker (T.81 E.1.4)
+            out += bw.buf
+            bw = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            prev = [0] * ncomp
         my, mx = divmod(mi, mcux)
         for ci, (p, (fh, fv)) in enumerate(zip(padded, factors)):
             for bv in range(fv):
@@ -1718,6 +1732,81 @@ def video_frame_stats(media: DataFrame, every_ms: int = 200) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         batches, VIDEO_FRAME_SCHEMA
+    )
+
+
+FRAME_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("frame_md5", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def video_frame_fingerprints(media: DataFrame, every_ms: int = 200) -> DataFrame:
+    """Content fingerprint per SAMPLED video frame: parse the MJPEG-AVI
+    container, decode the frame under each ``every_ms`` tick, md5 the
+    decoded RGB pixel buffer — byte-level container/encoder differences
+    (chunk padding, Huffman table choice, restart intervals) vanish, so
+    equal fingerprints mean equal decoded CONTENT.  Same Arrow
+    mapInPandas + per-row error isolation as video_frame_stats."""
+    import hashlib
+
+    every_ms = int(every_ms)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    v = parse_mjpeg_avi(bytes(blob))
+                    n = len(v["frames"])
+                    t = 0
+                    while True:
+                        idx = (t * v["rate"]) // (1000 * v["scale"])
+                        if idx >= n:
+                            break
+                        px = decode_jpeg(v["frames"][idx])
+                        out.append(
+                            (mid, idx, hashlib.md5(px.tobytes()).hexdigest(), None)
+                        )
+                        t += every_ms
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    out.append((mid, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_md5", "error"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, FRAME_FP_SCHEMA
+    )
+
+
+def video_frame_dedup(media: DataFrame, every_ms: int = 200) -> DataFrame:
+    """Cross-clip duplicate-FRAME census — the video analog of
+    exact_duplicate_groups: fingerprint every sampled frame (decoded
+    content, not bytes), group identical fingerprints corpus-wide, and
+    roll the groups up into a (n_frames, n_clips) → n_groups census.
+    Training pipelines use exactly this to find shared intros/outros/
+    test-card frames across a clip corpus before frame-level dedup.
+
+    Scale: the fingerprint pass is the blob scan (decode parallelism =
+    scan partitioning, blobs never shuffle); both aggregates move
+    (md5, id)-sized rows then census-sized rows — the standard
+    two-hash-aggregate discipline, never pixels."""
+    fp = video_frame_fingerprints(media, every_ms).filter(
+        F.col("frame_md5").isNotNull()
+    )
+    groups = fp.groupBy("frame_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.countDistinct("media_id").cast("long").alias("n_clips"),
+    )
+    return (
+        groups.groupBy("n_frames", "n_clips")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .orderBy("n_frames", "n_clips")
     )
 
 

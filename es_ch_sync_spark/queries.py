@@ -1847,6 +1847,41 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VIDEO_DEDUP_ORACLE = """
+    WITH f AS (
+        SELECT doc_id AS media_id,
+               unnest(range(0, (doc_id % 4 + 2 + 1) // 2)) AS s
+        FROM documents WHERE doc_id < 2000
+    ), fr AS (
+        SELECT media_id, (11 * media_id + 17 * (s * 2)) % 256 AS key
+        FROM f
+    ), g AS (
+        SELECT key, count(*)::BIGINT AS n_frames,
+               count(DISTINCT media_id)::BIGINT AS n_clips
+        FROM fr GROUP BY key
+    )
+    SELECT n_frames, n_clips, count(*)::BIGINT AS n_groups
+    FROM g GROUP BY 1, 2
+"""
+
+
+@register("video_frame_dedup", _VIDEO_DEDUP_ORACLE)
+def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-clip duplicate-FRAME census through REAL decode: every
+    sampled frame of every MJPEG-AVI clip is content-fingerprinted
+    (md5 of the decoded RGB buffer — container/entropy-coding
+    differences vanish), identical fingerprints group corpus-wide, and
+    the census rolls groups up by (n_frames, n_clips).  The fixture's
+    frame content is fully determined by (11·id + 17·f) mod 256, so the
+    oracle reproduces the exact group partition from the generating
+    formula — a hash match proves container parse + JPEG decode +
+    fingerprint grouping end to end."""
+    media = mm.synth_media(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 2000), "mjpeg"
+    )
+    return mm.video_frame_dedup(media, every_ms=200)
+
+
 @register("multimodal_gif_stats", _PIXEL_STATS_ORACLE)
 def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode, no image library (r12 verdict directive #4,

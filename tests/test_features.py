@@ -1416,3 +1416,63 @@ def test_synth_mjpeg_blob_matches_formula():
             ) / 2.0
             px = decode_jpeg(b)
             assert px[..., 0].astype(float).mean() == want
+
+
+def test_jpeg_restart_interval_round_trip():
+    """r14: DRI + RSTn emit (byte-align, DC-predictor reset every N MCUs)
+    decodes identically to the restart-free stream — the decoder's restart
+    path pinned against the plain path, grayscale and 4:2:0 color."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(21)
+    for h, w, ri in [(24, 24, 1), (24, 24, 2), (40, 17, 3), (16, 16, 5)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        plain = decode_jpeg(encode_jpeg(img))
+        rst = decode_jpeg(encode_jpeg(img, restart_interval=ri))
+        assert (plain == rst).all()
+    img = rng.integers(0, 256, (32, 24, 3)).astype(np.uint8)
+    a = decode_jpeg(encode_jpeg(img, subsample="420"))
+    b = decode_jpeg(encode_jpeg(img, subsample="420", restart_interval=1))
+    assert (a == b).all()
+    # a corrupted restart marker is a ValueError, not silence
+    import pytest
+
+    blob = bytearray(encode_jpeg(img, restart_interval=1))
+    i = blob.find(b"\xff\xd0")
+    assert i > 0
+    blob[i + 1] = 0xD5  # wrong RST index
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(blob))
+
+
+def test_video_frame_dedup_hand_computed(spark):
+    """r14: cross-clip frame dedup on a hand-built corpus — clip A repeats
+    one frame 4×, clip B shares that content for 2 of its 3 frames; at
+    every_ms = period every frame is sampled, so the census is exact."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_mjpeg_avi,
+        video_frame_dedup,
+    )
+
+    def frame(v):
+        return encode_jpeg(np.full((8, 8), v, np.uint8))
+
+    clip_a = encode_mjpeg_avi([frame(7)] * 4, 8, 8, fps=10)
+    clip_b = encode_mjpeg_avi([frame(7), frame(9), frame(7)], 8, 8, fps=10)
+    media = spark.createDataFrame(
+        [(1, clip_a), (2, clip_b)], "media_id long, content binary"
+    )
+    rows = {
+        (r["n_frames"], r["n_clips"]): r["n_groups"]
+        for r in video_frame_dedup(media, every_ms=100).collect()
+    }
+    # content 7: 4 + 2 = 6 frames across 2 clips; content 9: 1 frame, 1 clip
+    assert rows == {(6, 2): 1, (1, 1): 1}
+
+    empty = spark.createDataFrame([], "media_id long, content binary")
+    assert video_frame_dedup(empty).count() == 0
