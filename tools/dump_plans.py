@@ -106,7 +106,7 @@ HEADLINE = [
     # round 14
     "es_cell_array_scan", "duplicate_span_census", "ann_ivfpq_index_topk",
     "ann_ivfpq_rerank_topk", "multimodal_jpeg_stats",
-    "multimodal_video_frames",
+    "multimodal_video_frames", "video_frame_dedup",
 ]
 
 MARKERS = [

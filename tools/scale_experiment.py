@@ -2832,6 +2832,12 @@ def _r7b_sections(spark, docs, replicas, only):
                 mm.synth_media(vd, "mjpeg"), every_ms=200
             ).count(),
         )
+        timed(
+            f"video_frame_dedup x{replicas} (100k clips, cross-clip census)",
+            lambda: mm.video_frame_dedup(
+                mm.synth_media(vd, "mjpeg"), every_ms=200
+            ).count(),
+        )
         jd.unpersist()
         vd.unpersist()
 
