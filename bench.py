@@ -114,6 +114,12 @@ EXTRA = [
     "multimodal_gif_stats",
     "cuped_adjusted_ab",
     "sprt_conversion_daily",
+    # round-14 representatives: real-JPEG + MJPEG-AVI decode paths, the
+    # persisted IVF-PQ serve, and the global exact-substring census
+    "multimodal_jpeg_stats",
+    "multimodal_video_frames",
+    "ann_ivfpq_index_topk",
+    "duplicate_span_census",
 ]
 
 
