@@ -40,6 +40,8 @@ Scale posture for binary columns:
 
 from __future__ import annotations
 
+import struct as _struct
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -47,6 +49,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Errors a malformed blob may legitimately raise out of the pure-python
+# codecs.  Row-level kernels catch exactly this tuple so ONE bad
+# real-world blob lands in its row's ``error`` column instead of failing
+# the whole Spark job (ADVICE r14: struct.error from short segment/chunk
+# bodies and KeyError from scans that omit a component escaped the old
+# three-way catch).  The decoders below also length-check their inputs so
+# most malformed streams surface as ValueError at the source.
+_ROW_DECODE_ERRORS = (
+    NotImplementedError, ValueError, IndexError, KeyError, _struct.error,
+)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -934,6 +947,8 @@ def decode_jpeg(blob: bytes):
         if pos + 2 > len(blob):
             raise ValueError("truncated JPEG segment header")
         seglen = struct.unpack_from(">H", blob, pos)[0]
+        if seglen < 2:
+            raise ValueError("JPEG segment length below header size")
         seg_end = pos + seglen
         if seg_end > len(blob):
             raise ValueError("truncated JPEG segment")
@@ -969,9 +984,13 @@ def decode_jpeg(blob: bytes):
                 (ac_tabs if cls else dc_tabs)[tid] = tab
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF0 header")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 component list")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -982,10 +1001,14 @@ def decode_jpeg(blob: bytes):
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDC:
             raise NotImplementedError("JPEG DNL segment")
         elif marker == 0xDA:  # SOS
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated SOS header")
             ns = body[0]
             scan = []
             for si in range(ns):
@@ -1005,6 +1028,11 @@ def decode_jpeg(blob: bytes):
     if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
         raise NotImplementedError("JPEG sampling factors above 2x2")
     by_id = {c["id"]: c for c in comps}
+    if len(scan) != len(comps):
+        # Baseline decode here assumes one fully interleaved scan; a scan
+        # covering a component subset would leave c["dc"] unset and the
+        # MCU loop would KeyError (ADVICE r14) — gate it explicitly.
+        raise NotImplementedError("non-interleaved JPEG scan")
     for s in scan:
         c = by_id.get(s["id"])
         if c is None:
@@ -1015,6 +1043,8 @@ def decode_jpeg(blob: bytes):
             raise ValueError("SOS references undefined Huffman table")
         if c["tq"] not in qt:
             raise ValueError("component references undefined DQT")
+    if any("dc" not in c for c in comps):
+        raise ValueError("SOS does not cover every frame component")
     h, w = frame["h"], frame["w"]
     mcux = -(-w // (8 * maxh))
     mcuy = -(-h // (8 * maxv))
@@ -1214,6 +1244,8 @@ def parse_mjpeg_avi(blob: bytes) -> dict:
                 pos, end = body_start + 4, body_start + size
                 continue
             if fourcc == b"strh":
+                if size < 8:
+                    raise ValueError("truncated AVI strh chunk")
                 fcc_type = blob[body_start : body_start + 4]
                 handler = blob[body_start + 4 : body_start + 8]
                 if fcc_type == b"vids":
@@ -1221,6 +1253,8 @@ def parse_mjpeg_avi(blob: bytes) -> dict:
                         raise NotImplementedError(
                             f"AVI video codec {handler!r}: only MJPG"
                         )
+                    if size < 28:
+                        raise ValueError("truncated AVI strh chunk")
                     vid_stream = stream_no
                     scale, rate = struct.unpack_from("<II", blob, body_start + 20)
                     if not rate or not scale:
@@ -1228,6 +1262,8 @@ def parse_mjpeg_avi(blob: bytes) -> dict:
                     meta["rate"], meta["scale"] = rate, scale
                 stream_no += 1
             elif fourcc == b"strf" and meta["width"] is None and vid_stream is not None:
+                if size < 12:
+                    raise ValueError("truncated AVI strf chunk")
                 _, w, h = struct.unpack_from("<Iii", blob, body_start)
                 meta["width"], meta["height"] = w, abs(h)
             elif vid_stream is not None and fourcc in (
@@ -1317,7 +1353,7 @@ def extract_pixel_features(media: DataFrame, batch_rows: int = 256) -> DataFrame
                          round(float(m[0]), 4), round(float(m[1]), 4),
                          round(float(m[2]), 4), None)
                     )
-                except (NotImplementedError, ValueError, IndexError) as exc:
+                except _ROW_DECODE_ERRORS as exc:
                     out.append((mid, None, None, None, None, None, str(exc)[:200]))
             yield pd.DataFrame(
                 out,
@@ -1350,7 +1386,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 try:
                     out.append((mid, resize_image(bytes(blob), width, height),
                                 width, height, None))
-                except (NotImplementedError, ValueError, IndexError) as exc:
+                except _ROW_DECODE_ERRORS as exc:
                     out.append((mid, None, None, None, str(exc)[:200]))
             yield pd.DataFrame(
                 out, columns=["media_id", "content", "width", "height", "error"]
@@ -1398,7 +1434,7 @@ def chunk_wav(media: DataFrame, chunk_ms: int = 100) -> DataFrame:
                              min((ci + 1) * per, n) * 1000 // rate,
                              len(seg), round(rms, 4), None)
                         )
-                except (NotImplementedError, ValueError, IndexError) as exc:
+                except _ROW_DECODE_ERRORS as exc:
                     out.append((mid, None, None, None, None, None, str(exc)[:200]))
             yield pd.DataFrame(
                 out,
@@ -1447,7 +1483,7 @@ def chunk_wav_features(media: DataFrame, chunk_ms: int = 100) -> DataFrame:
                         )
                         peak = int(np.max(np.abs(seg))) if len(seg) else 0
                         out.append((mid, ci, len(seg), zcr, peak, None))
-                except (NotImplementedError, ValueError, IndexError) as exc:
+                except _ROW_DECODE_ERRORS as exc:
                     out.append((mid, None, None, None, None, str(exc)[:200]))
             yield pd.DataFrame(
                 out,
@@ -1713,14 +1749,22 @@ def video_frame_stats(media: DataFrame, every_ms: int = 200) -> DataFrame:
                         idx = (t * v["rate"]) // (1000 * v["scale"])
                         if idx >= n:
                             break
-                        px = decode_jpeg(v["frames"][idx])
-                        luma = px[..., 0].astype("float64").mean()
+                        px = decode_jpeg(v["frames"][idx]).astype("float64")
+                        # BT.601 luma (ADVICE r14: mean of the R channel is
+                        # only luma for grayscale frames; color MJPEG needs
+                        # the real weighting).  On gray fixtures the 1-ulp
+                        # float noise vs the plain channel mean is absorbed
+                        # by the round-to-4-decimals below.
+                        luma = (
+                            0.299 * px[..., 0] + 0.587 * px[..., 1]
+                            + 0.114 * px[..., 2]
+                        ).mean()
                         out.append(
                             (mid, idx, t, px.shape[1], px.shape[0],
                              round(float(luma), 4), None)
                         )
                         t += every_ms
-                except (NotImplementedError, ValueError, IndexError) as exc:
+                except _ROW_DECODE_ERRORS as exc:
                     out.append((mid, None, None, None, None, None, str(exc)[:200]))
             yield pd.DataFrame(
                 out,
@@ -1773,7 +1817,7 @@ def video_frame_fingerprints(media: DataFrame, every_ms: int = 200) -> DataFrame
                             (mid, idx, hashlib.md5(px.tobytes()).hexdigest(), None)
                         )
                         t += every_ms
-                except (NotImplementedError, ValueError, IndexError) as exc:
+                except _ROW_DECODE_ERRORS as exc:
                     out.append((mid, None, None, str(exc)[:200]))
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "frame_md5", "error"]
@@ -1855,7 +1899,7 @@ def dhash_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                         (mid, px.shape[1], px.shape[0],
                          int((bits * weights).sum()), None)
                     )
-                except (NotImplementedError, ValueError, IndexError) as exc:
+                except _ROW_DECODE_ERRORS as exc:
                     out.append((mid, None, None, None, str(exc)[:200]))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "dhash", "error"]

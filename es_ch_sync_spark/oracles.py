@@ -788,7 +788,12 @@ def ivfpq_rerank_topk_sql(
     ORDER BY adc_dist ASC, vec_id ASC
     LIMIT {shortlist}
     """
-    assert base.endswith(tail), "ivfpq_topk_sql tail changed"
+    if not base.endswith(tail):
+        # Not an assert: under ``python -O`` an assert is stripped and a
+        # changed tail would silently slice the SQL into a malformed
+        # query (ADVICE r14).
+        raise RuntimeError("ivfpq_topk_sql tail changed; rerank oracle "
+                           "string surgery would corrupt the SQL")
     cos = _cosine_sql("b.embedding", "q.qv")
     return base[: -len(tail)] + f""",
     short AS (

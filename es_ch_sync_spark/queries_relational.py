@@ -792,8 +792,30 @@ def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
     from es_ch_sync_spark.io.ann_index import build_ivfpq_index
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"es_ch_sync_spark_ivfpq_{tag}")
+    # Key the cache on a CONTENT fingerprint of the embeddings parquet
+    # (relative path + size + mtime of every data file), not just the
+    # sf_dir path (ADVICE r14): a regenerated table under the same path
+    # gets a fresh index instead of serving a stale one, and a foreign
+    # /tmp directory for the old key can't be picked up.  uid in the tag
+    # keeps per-user caches separate on shared hosts.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = [sf_dir]
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for fn in sorted(files):
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    tag = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    out = os.path.join(
+        tempfile.gettempdir(), f"es_ch_sync_spark_ivfpq_u{uid}_{tag}"
+    )
     if not os.path.exists(os.path.join(out, "codebook", "_SUCCESS")):
         emb = read_parquet_table(spark, sf_dir, "embeddings")
         build_ivfpq_index(
