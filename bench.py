@@ -5,12 +5,17 @@ JSON line:
     {"metric": "headline_suite_wall_sec", "value": <total>, "unit": "sec",
      "queries": {"<name>": <sec>, ...}, "sf": <sf>}
 
-Noise discipline (r4 lesson: a single-pass artifact once read 27% hot on a
-noisy host and had to be adjudicated by hand): the whole suite runs THREE
-times in one JVM; each query's reported time is its MEDIAN across passes
-and ``spread`` records the per-query [min, max], so the artifact is
-self-adjudicating — a plan regression moves the median, a noisy host only
-widens the spread.  ``value`` is the sum of medians.
+Noise discipline (r4/r13/r14 lessons: single-pass artifacts read 27% hot
+on noisy hosts; r13/r14 official artifacts were drift-inflated mid-band
+readings even WITH a settle-wait, because VM-neighbor noise the loadavg
+cannot see inflates a whole timed window uniformly): the whole suite runs
+as THREE full timed sessions in one JVM, each session separated by a
+settle re-check; each query's reported time is its MIN across sessions
+(r14 VERDICT directive #3 — a query cannot run faster than its plan, so
+the min is the drift-free reading), ``sessions`` embeds every per-session
+value for audit, and ``spread`` records the per-query [min, max].
+``value`` is the sum of per-query minima; ``value_median`` keeps the old
+sum-of-medians aggregation for continuity with BENCH_r01..r14.
 
 Each query is forced with .count() (full compute, no driver-side collect
 overhead).  The suite covers every operator family: reference sync surface,
@@ -28,7 +33,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-PASSES = 3
+PASSES = 3  # timed sessions per invocation (see noise discipline above)
 
 HEADLINE = [
     # reference surface
@@ -198,7 +203,26 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
     warmup_wall = round(time.time() - warmup_t0, 3)
 
+    # Timed sessions (r14 VERDICT directive #3): each session is one full
+    # suite execution; before sessions 2..N we re-check the settle
+    # condition (bounded wait) so a drift burst that lands mid-invocation
+    # doesn't inflate every session uniformly.  Per-session loadavg is
+    # recorded alongside the per-session timings.
+    session_loads: list[list[float]] = []
     for pass_no in range(PASSES):
+        if pass_no:
+            re_t0 = time.time()
+            while (
+                max(os.getloadavg()[:2]) >= settle_threshold
+                and time.time() - re_t0 < 120
+            ):
+                print(
+                    f"# inter-session settle: loadavg {os.getloadavg()[:2]}"
+                    f" >= {settle_threshold}, sleeping 10s",
+                    file=sys.stderr,
+                )
+                time.sleep(10)
+        session_loads.append([round(x, 2) for x in os.getloadavg()])
         for name in HEADLINE + EXTENDED + EXTRA:
             if name in errors:
                 continue
@@ -208,7 +232,7 @@ def main() -> None:
                 dt = time.time() - t0
                 samples[name].append(dt)
                 print(
-                    f"# pass {pass_no + 1}/{PASSES} {name}: {n} rows in {dt:.3f}s",
+                    f"# session {pass_no + 1}/{PASSES} {name}: {n} rows in {dt:.3f}s",
                     file=sys.stderr,
                 )
             except Exception as exc:  # noqa: BLE001 — isolate, record, continue
@@ -219,14 +243,17 @@ def main() -> None:
     extended: dict[str, float] = {}
     extra: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    medians: dict[str, float] = {}
+    sessions: dict[str, list[float]] = {}
     for name, ts in samples.items():
         if not ts:
             continue
-        med = round(sorted(ts)[len(ts) // 2], 3)
         bucket = (
             extended if name in EXTENDED else extra if name in EXTRA else timings
         )
-        bucket[name] = med
+        bucket[name] = round(min(ts), 3)
+        medians[name] = round(sorted(ts)[len(ts) // 2], 3)
+        sessions[name] = [round(t, 3) for t in ts]
         spread[name] = [round(min(ts), 3), round(max(ts), 3)]
 
     # A partial suite must not masquerade as a (faster-looking) full-suite
@@ -235,9 +262,10 @@ def main() -> None:
     # r1-comparable artifact).
     headline_errors = {k: v for k, v in errors.items() if k in HEADLINE}
     total = round(sum(timings.values()), 3) if not headline_errors else None
-    # Second frozen headline (r12 verdict directive #3): sum of the
-    # 18 EXTENDED medians, comparable round-over-round exactly like
-    # "value"; null whenever an EXTENDED query errored.
+    # Second frozen headline (r12 verdict directive #3): sum over the
+    # 18 EXTENDED rows (per-query min across sessions, like "value"),
+    # comparable round-over-round; null whenever an EXTENDED query
+    # errored.  extended_wall_sec_median keeps the pre-r15 aggregation.
     extended_errors = {k: v for k, v in errors.items() if k in EXTENDED}
     extended_total = (
         round(sum(extended.values()), 3) if not extended_errors else None
@@ -247,6 +275,17 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Continuity numbers: the r1..r14 artifacts aggregated by
+    # sum-of-medians; keep those alongside the new min-based headline so
+    # round-over-round comparisons stay possible in both directions.
+    total_median = (
+        round(sum(medians[n] for n in timings), 3)
+        if not headline_errors else None
+    )
+    extended_total_median = (
+        round(sum(medians[n] for n in extended), 3)
+        if not extended_errors else None
+    )
     payload = {
         "metric": "headline_suite_wall_sec",
         "value": total,
@@ -254,11 +293,18 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "passes": PASSES,
-        "aggregation": "untimed warmup pass, then per-query median across "
-        "passes; value = sum of medians",
+        "aggregation": "untimed warmup pass, then N full timed sessions "
+        "with inter-session settle re-checks; per-query time = min across "
+        "sessions (drift-free reading), value = sum of minima; "
+        "value_median/extended_wall_sec_median keep the r1..r14 "
+        "sum-of-medians aggregation; 'sessions' embeds every per-session "
+        "reading for audit",
+        "value_median": total_median,
         "spread": spread,
+        "sessions": sessions,
         "extended": extended,
         "extended_wall_sec": extended_total,
+        "extended_wall_sec_median": extended_total_median,
         "extra": extra,
         "host": {
             "loadavg_start": load_start,
@@ -284,9 +330,11 @@ def main() -> None:
     print(json.dumps({
         "metric": "headline_suite_wall_sec",
         "headline_wall_sec": total,
+        "headline_wall_sec_median": total_median,
         "extended_wall_sec": extended_total,
         "unit": "sec",
         "sf": sf_val,
+        "aggregation": "per-query min across sessions",
         "incomplete": bool(headline_errors),
         "loadavg_start": load_start,
         "settled": settled,
