@@ -11,12 +11,16 @@ Decode support is two-tier, honestly split by what pure numpy can do:
   formula, so encode→decode→compute must round-trip exactly.
 - **PNG decodes for real** — stdlib zlib inflate + spec unfilter
   (encode_png/decode_png below), no image library needed.
-- **GIF decodes for real** — stdlib LZW + numpy palette lookup
-  (encode_gif/decode_gif below); animation/interlace/partial-canvas
-  frames gate explicitly.
-- **Baseline JPEG decodes for real** — pure numpy Huffman + IDCT
-  (encode_jpeg/decode_jpeg below: DQT/DHT/SOF0/SOS, sampling factors to
-  2×2, restart intervals); progressive/arithmetic/12-bit gate explicitly.
+- **GIF decodes for real, ANIMATED included** — stdlib LZW + numpy
+  palette lookup (encode_gif/encode_gif_animated/parse_gif_frames
+  below): multi-frame full-canvas clips with graphic-control
+  extensions; interlace/partial-canvas/transparency/disposal-2-3
+  gate explicitly.
+- **Baseline AND progressive JPEG decode for real** — pure numpy Huffman
+  + IDCT (encode_jpeg/encode_jpeg_progressive/decode_jpeg below:
+  DQT/DHT/SOF0/SOF2/SOS, sampling factors to 2×2, restart intervals,
+  spectral-selection + successive-approximation scans);
+  arithmetic/12-bit/lossless/hierarchical gate explicitly.
 - **MJPEG-AVI video decodes for real** — RIFF container walk
   (encode_mjpeg_avi/parse_mjpeg_avi) + per-frame baseline-JPEG decode;
   sample_video_frames / video_frame_stats are real kernels now.
@@ -399,6 +403,17 @@ def _gif_lzw_encode(indices, mcs: int) -> bytes:
         w = (k,)
     if w:
         emit(d[w])
+        # Mirror the decoder's entry-add on the FINAL data code: the
+        # decoder inserts a table entry for every received code and
+        # widens when its table hits 2^code_size, so when that final add
+        # crosses the boundary it reads EOI at the wider size.  Without
+        # this phantom add the encoder emits EOI one bit narrower and
+        # the stream truncates (first hit: a 64-pixel constant frame at
+        # mcs=2 — the add lands exactly on next_code 16).
+        if next_code - 1 < 4096:
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
     emit(eoi)
     if nbits:
         out.append(cur & 0xFF)
@@ -506,11 +521,17 @@ def encode_gif(arr) -> bytes:
     return bytes(out)
 
 
-def decode_gif(blob: bytes):
-    """GIF87a/89a → (H, W, 3) uint8 RGB — stdlib LZW + numpy palette
-    lookup.  Supported: one full-canvas image, global or local color
-    table, 89a extension blocks skipped.  Animation (second image
-    descriptor), interlace, and partial-canvas frames raise
+def parse_gif_frames(blob: bytes) -> dict:
+    """GIF87a/89a → {"w", "h", "frames": [(H, W, 3) uint8 …],
+    "delays_cs": [int …]} — stdlib LZW + numpy palette lookup, MULTI-FRAME
+    (r14 VERDICT directive #2: animated GIF un-gated).
+
+    Supported: any number of full-canvas frames, global or local color
+    tables, graphic-control extensions with disposal "unspecified" (0) or
+    "do not dispose" (1) — full-canvas frames fully replace the canvas
+    under both, so no compositing state is needed.  Interlace,
+    partial-canvas frames, transparency, and disposal 2/3
+    (restore-to-background/previous, which DO need compositing) raise
     NotImplementedError naming the feature; truncation and malformed
     streams raise ValueError."""
     import struct
@@ -530,13 +551,19 @@ def decode_gif(blob: bytes):
             raise ValueError("truncated GIF color table")
         gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
-    frame = None
+    frames: list = []
+    delays: list[int] = []
+    pending_delay = 0
     while pos < len(blob):
         b0 = blob[pos]
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension: label byte + sub-blocks
+            if pos + 2 > len(blob):
+                raise ValueError("truncated GIF extension")
+            label = blob[pos + 1]
             pos += 2
+            first_block = True
             while True:
                 if pos >= len(blob):
                     raise ValueError("truncated GIF extension")
@@ -544,10 +571,24 @@ def decode_gif(blob: bytes):
                 pos += 1
                 if sz == 0:
                     break
+                if pos + sz > len(blob):
+                    raise ValueError("truncated GIF extension block")
+                if label == 0xF9 and first_block:  # graphic control
+                    if sz < 4:
+                        raise ValueError("truncated GIF graphic control")
+                    gp = blob[pos]
+                    disposal = (gp >> 2) & 0x07
+                    if disposal > 1:
+                        raise NotImplementedError(
+                            f"GIF disposal method {disposal} "
+                            "(restore-to-background/previous)"
+                        )
+                    if gp & 0x01:
+                        raise NotImplementedError("GIF transparency")
+                    pending_delay = blob[pos + 1] | (blob[pos + 2] << 8)
+                first_block = False
                 pos += sz
         elif b0 == 0x2C:  # image descriptor
-            if frame is not None:
-                raise NotImplementedError("animated GIF (multiple frames)")
             if pos + 10 > len(blob):
                 raise ValueError("truncated GIF image descriptor")
             left, top, iw, ih, ip = struct.unpack_from("<HHHHB", blob, pos + 1)
@@ -588,12 +629,65 @@ def decode_gif(blob: bytes):
             )
             if int(idx.max(initial=0)) >= len(pal):
                 raise ValueError("GIF index outside color table")
-            frame = pal[idx].reshape(ih, iw, 3).copy()
+            frames.append(pal[idx].reshape(ih, iw, 3).copy())
+            delays.append(pending_delay)
+            pending_delay = 0
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
-    if frame is None:
+    if not frames:
         raise ValueError("GIF missing image data")
-    return frame
+    return {"w": w, "h": h, "frames": frames, "delays_cs": delays}
+
+
+def decode_gif(blob: bytes):
+    """GIF → (H, W, 3) uint8 RGB: the FIRST frame (the conventional
+    still-image reading of an animation; parse_gif_frames returns them
+    all).  Same gates as parse_gif_frames."""
+    return parse_gif_frames(blob)["frames"][0]
+
+
+def encode_gif_animated(frames, delay_cs: int = 10) -> bytes:
+    """List of (H, W, 3) uint8 frames → animated GIF89a bytes: one
+    graphic-control extension (disposal=1, no transparency, ``delay_cs``
+    hundredths) + full-canvas image with its OWN local color table per
+    frame — the exact feature set parse_gif_frames un-gates, and local
+    tables sidestep a cross-frame palette union."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("no GIF frames")
+    h, w = np.asarray(frames[0]).shape[:2]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global color table
+    for fr in frames:
+        a = np.asarray(fr, dtype=np.uint8)
+        if a.shape[:2] != (h, w):
+            raise ValueError("GIF frames must share the canvas size")
+        colors, inverse = np.unique(a.reshape(-1, 3), axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(f"GIF palette overflow: {len(colors)} > 256 colors")
+        bits = max(1, int(len(colors) - 1).bit_length())
+        size = 1 << bits
+        pal = np.zeros((size, 3), np.uint8)
+        pal[: len(colors)] = colors
+        mcs = max(2, bits)
+        out += bytes([0x21, 0xF9, 0x04, 0x04])  # GCE: disposal=1
+        out += struct.pack("<H", delay_cs) + bytes([0, 0])
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x80 | (bits - 1)
+        )
+        out += pal.tobytes()
+        out.append(mcs)
+        data = _gif_lzw_encode(inverse.reshape(-1), mcs)
+        for i in range(0, len(data), 255):
+            block = data[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -801,6 +895,212 @@ def _jpeg_encode_block(bw, coeffs, prev_dc, dc_map, ac_map):
     return int(coeffs[0])
 
 
+def _jpeg_decode_block_full(br, block, dctab, actab, pred):
+    """Baseline sequential entropy decode of one 64-coefficient block
+    (zig-zag order) into ``block``; returns the new DC prediction."""
+    cat = br.read_huff(dctab)
+    if cat > 11:
+        raise ValueError("bad DC category")
+    pred += _jpeg_extend(br.read(cat), cat)
+    block[0] = pred
+    k = 1
+    while k < 64:
+        sym = br.read_huff(actab)
+        if sym == 0x00:
+            break
+        if sym == 0xF0:
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 15
+        k += run
+        if k > 63 or size == 0:
+            raise ValueError("bad AC run/size")
+        block[k] = _jpeg_extend(br.read(size), size)
+        k += 1
+    return pred
+
+
+def _jpeg_ac_first(br, block, actab, ss, se, al, eobrun):
+    """Progressive AC first scan (Ah=0) for one block: spectral band
+    [ss, se] at point transform ``al``; EOB runs span blocks (T.81
+    G.1.2.2) — returns the remaining EOB run."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = br.read_huff(actab)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read(r)
+                return eobrun
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            block[k] = _jpeg_extend(br.read(s), s) << al
+            k += 1
+    return 0
+
+
+def _jpeg_ac_refine(br, block, actab, ss, se, al, eobrun):
+    """Progressive AC refinement scan (Ah=Al+1) for one block: newly
+    nonzero coefficients arrive with magnitude 1 at bit ``al``; already
+    nonzero coefficients receive one correction bit each (T.81 G.1.2.3,
+    the same control flow libjpeg's jdphuff uses).  Returns the remaining
+    EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = br.read_huff(actab)
+            r, s = sym >> 4, sym & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                val = p1 if br.read(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read(r)
+                break
+            # advance past r zero-history coefficients, emitting one
+            # correction bit for every nonzero-history one on the way
+            while k <= se:
+                if block[k]:
+                    if br.read(1) and not (block[k] & p1):
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refinement run past band end")
+                block[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:
+            if block[k]:
+                if br.read(1) and not (block[k] & p1):
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan(
+    blob, pos, frame, scan, ss, se, ah, al,
+    dc_tabs, ac_tabs, coefs, dri, progressive,
+):
+    """Entropy-decode one scan's data starting at ``pos`` into the
+    per-component coefficient planes ``coefs``; returns the stream
+    position of the next marker.  Handles baseline full-block scans,
+    progressive DC first/refinement (interleaved or single-component)
+    and progressive AC first/refinement (single-component only, per
+    T.81 G.1), with restart-interval support in all modes."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcux = -(-w // (8 * maxh))
+    mcuy = -(-h // (8 * maxv))
+    sc = []
+    for s in scan:
+        c = by_id.get(s["id"])
+        if c is None:
+            raise ValueError("SOS references unknown component")
+        need_dc = (not progressive) or (ss == 0 and ah == 0)
+        need_ac = (not progressive) or ss > 0
+        dc = dc_tabs.get(s["td"]) if need_dc else None
+        ac = ac_tabs.get(s["ta"]) if need_ac else None
+        if (need_dc and dc is None) or (need_ac and ac is None):
+            raise ValueError("SOS references undefined Huffman table")
+        sc.append((c, dc, ac))
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(sc) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if ss > se or se > 63:
+            raise ValueError("bad spectral band")
+        if ah and ah != al + 1:
+            raise ValueError("successive approximation must step one bit")
+    else:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("baseline scan must cover 0..63 at Ah=Al=0")
+
+    br = _JpegBitReader(blob, pos)
+    prev = {c["id"]: 0 for c, _, _ in sc}
+    eobrun = 0
+    rst = 0
+    interleaved = len(sc) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        c0 = sc[0][0]
+        # Non-interleaved scans cover the component's OWN block grid
+        # (ceil of its scaled dimensions), not the MCU-padded grid.
+        cw = -(-(w * c0["h"]) // maxh)
+        ch = -(-(h * c0["v"]) // maxv)
+        nbx = -(-cw // 8)
+        nby = -(-ch // 8)
+        n_units = nbx * nby
+    for mi in range(n_units):
+        if dri and mi and mi % dri == 0:
+            br.restart(rst)
+            rst += 1
+            prev = {c["id"]: 0 for c, _, _ in sc}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(mi, mcux)
+            units = [
+                (c, dc, ac, (my * c["v"] + bv), (mx * c["h"] + bh))
+                for c, dc, ac in sc
+                for bv in range(c["v"])
+                for bh in range(c["h"])
+            ]
+        else:
+            c, dc, ac = sc[0]
+            by, bx = divmod(mi, nbx)
+            units = [(c, dc, ac, by, bx)]
+        for c, dc, ac, by, bx in units:
+            block = coefs[c["id"]][by, bx]
+            if not progressive:
+                prev[c["id"]] = _jpeg_decode_block_full(
+                    br, block, dc, ac, prev[c["id"]]
+                )
+            elif ss == 0 and ah == 0:  # DC first
+                cat = br.read_huff(dc)
+                if cat > 11:
+                    raise ValueError("bad DC category")
+                prev[c["id"]] += _jpeg_extend(br.read(cat), cat)
+                block[0] = prev[c["id"]] << al
+            elif ss == 0:  # DC refinement: one raw bit per block
+                if br.read(1):
+                    block[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _jpeg_ac_first(br, block, ac, ss, se, al, eobrun)
+            else:
+                eobrun = _jpeg_ac_refine(br, block, ac, ss, se, al, eobrun)
+    # resync to the next marker (skip pad bytes / stray stuffing)
+    p = br.pos
+    n = len(blob)
+    while p + 1 < n and not (
+        blob[p] == 0xFF and blob[p + 1] not in (0x00,)
+        and not (0xD0 <= blob[p + 1] <= 0xD7)
+    ):
+        p += 1
+    return p
+
+
 def encode_jpeg(arr, subsample: str = "444", restart_interval: int = 0) -> bytes:
     """(H, W) or (H, W, 3) uint8 → baseline JFIF bytes with an all-ones
     quantization table (q=1: maximum-fidelity baseline; 8×8-constant
@@ -915,14 +1215,293 @@ def encode_jpeg(arr, subsample: str = "444", restart_interval: int = 0) -> bytes
     return bytes(out)
 
 
-def decode_jpeg(blob: bytes):
-    """Baseline JPEG → (H, W, 3) uint8 RGB — pure numpy Huffman + IDCT.
+# Progressive AC Huffman table (uniform 8-bit canonical, like the
+# baseline tables above): the baseline AC symbol set plus the EOBRUN
+# symbols (r<<4)|0 for r = 0..14 that progressive scans need (T.81
+# G.1.2.2) — 176 symbols, codes 0..175, all-ones 8-bit code unused.
+_JPEG_PROG_AC_BITS = [0] * 7 + [176] + [0] * 8
+_JPEG_PROG_AC_VALS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
 
-    Supported: 8-bit baseline sequential (SOF0), 1 or 3 components,
+
+def _jpeg_coefficients(arr, subsample: str = "444"):
+    """Forward path shared with the progressive encoder: colorspace,
+    subsampling, MCU padding and per-block quantized (q=1) zig-zag DCT —
+    the SAME per-block expression encode_jpeg uses, so baseline and
+    progressive encodings of one image carry identical coefficients.
+    Returns (h, w, factors, mcux, mcuy, [comp blocks (nby, nbx, 64)])."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if not h or not w:
+        raise ValueError("empty image")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsample {subsample!r}")
+    if gray:
+        planes = [a.astype(np.float64)]
+        factors = [(1, 1)]
+    else:
+        r, g, b = (a[..., i].astype(np.float64) for i in range(3))
+        y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        cb = np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255)
+        cr = np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255)
+        planes = [y, cb, cr]
+        if subsample == "420":
+            factors = [(2, 2), (1, 1), (1, 1)]
+            for i in (1, 2):
+                p = planes[i]
+                eh, ew = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+                q = np.empty((eh, ew))
+                q[: p.shape[0], : p.shape[1]] = p
+                q[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+                q[:, p.shape[1] :] = q[:, p.shape[1] - 1 : p.shape[1]]
+                planes[i] = np.round(
+                    (q[0::2, 0::2] + q[1::2, 0::2] + q[0::2, 1::2] + q[1::2, 1::2]) / 4
+                )
+        else:
+            factors = [(1, 1)] * 3
+    maxh = max(f[0] for f in factors)
+    maxv = max(f[1] for f in factors)
+    mcux = -(-w // (8 * maxh))
+    mcuy = -(-h // (8 * maxv))
+    A = _jpeg_dct_matrix()
+    zz_r = [r for r, _ in _JPEG_ZZ]
+    zz_c = [c for _, c in _JPEG_ZZ]
+    blocks = []
+    for p, (fh, fv) in zip(planes, factors):
+        ph, pw = mcuy * fv * 8, mcux * fh * 8
+        q = np.empty((ph, pw))
+        sh, sw = min(p.shape[0], ph), min(p.shape[1], pw)
+        q[:sh, :sw] = p[:sh, :sw]
+        q[sh:, :sw] = q[sh - 1 : sh, :sw]
+        q[:, sw:] = q[:, sw - 1 : sw]
+        nby, nbx = ph // 8, pw // 8
+        out = np.zeros((nby, nbx, 64), np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = q[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.rint(A @ blk @ A.T).astype(np.int64)
+                out[by, bx] = coef[zz_r, zz_c]
+        blocks.append(out)
+    return h, w, factors, mcux, mcuy, blocks
+
+
+class _ProgAcState:
+    """Per-scan progressive AC encoder state: the pending EOB run and the
+    correction bits buffered inside it, flushed together (T.81 G.1.2.2,
+    the jcphuff discipline)."""
+
+    def __init__(self, bw, ac_map):
+        self.bw = bw
+        self.map = ac_map
+        self.eobrun = 0
+        self.pend = []
+
+    def sym(self, s):
+        code, length = self.map[s]
+        self.bw.write(code, length)
+
+    def flush_eob(self):
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.pend:
+            self.bw.write(b, 1)
+        self.pend = []
+
+
+def _jpeg_enc_ac_first(pa, block, ss, se, al):
+    """Progressive AC first-scan encoding of one block's band: values
+    divided by 2^al with truncation toward zero, EOB runs across blocks."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        t = (v >> al) if v >= 0 else -((-v) >> al)
+        if t == 0:
+            r += 1
+            continue
+        pa.flush_eob()
+        while r > 15:
+            pa.sym(0xF0)
+            r -= 16
+        nbits = abs(t).bit_length()
+        pa.sym((r << 4) | nbits)
+        pa.bw.write(t if t >= 0 else t + (1 << nbits) - 1, nbits)
+        r = 0
+    if r:
+        pa.eobrun += 1
+        if pa.eobrun == 0x7FFF:
+            pa.flush_eob()
+
+
+def _jpeg_enc_ac_refine(pa, block, ss, se, al):
+    """Progressive AC refinement encoding of one block's band: newly
+    nonzero coefficients (shifted magnitude 1) get a run/1 symbol + sign
+    bit; already nonzero ones get one buffered correction bit."""
+    absv = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+    eobk = ss - 1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eobk = ss + i
+    r = 0
+    brbits = []
+    for i, t in enumerate(absv):
+        k = ss + i
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobk:
+            pa.flush_eob()
+            pa.sym(0xF0)
+            r -= 16
+            for b in brbits:
+                pa.bw.write(b, 1)
+            brbits = []
+        if t > 1:
+            brbits.append(t & 1)
+            continue
+        pa.flush_eob()
+        pa.sym((r << 4) | 1)
+        pa.bw.write(1 if int(block[k]) >= 0 else 0, 1)
+        for b in brbits:
+            pa.bw.write(b, 1)
+        brbits = []
+        r = 0
+    if r > 0 or brbits:
+        pa.eobrun += 1
+        pa.pend.extend(brbits)
+        if pa.eobrun == 0x7FFF or len(pa.pend) > 900:
+            pa.flush_eob()
+
+
+def encode_jpeg_progressive(arr, subsample: str = "444") -> bytes:
+    """(H, W) or (H, W, 3) uint8 → PROGRESSIVE (SOF2) JFIF bytes, q=1 —
+    the encoder-side fixture for the progressive decode path (r14 VERDICT
+    directive #1).  Same coefficients as encode_jpeg (entropy coding is
+    lossless either way, so decode(progressive) == decode(baseline)
+    pixel-for-pixel), delivered as a real spectral-selection +
+    successive-approximation scan script:
+
+        DC all comps        Ss=0 Se=0  Ah=0 Al=1
+        AC per comp         Ss=1 Se=5  Ah=0 Al=2   (low band first)
+        AC per comp         Ss=6 Se=63 Ah=0 Al=2   (high band)
+        AC per comp         Ss=1 Se=63 Ah=2 Al=1   (refine bit 1)
+        AC per comp         Ss=1 Se=63 Ah=1 Al=0   (refine bit 0)
+        DC all comps        Ss=0 Se=0  Ah=1 Al=0   (DC refine)
+
+    which exercises every progressive decode mode: interleaved DC
+    first/refine, banded AC first with cross-block EOB runs, and AC
+    refinement with correction bits."""
+    import struct
+
+    h, w, factors, mcux, mcuy, blocks = _jpeg_coefficients(arr, subsample)
+    ncomp = len(blocks)
+    maxh = max(f[0] for f in factors)
+    maxv = max(f[1] for f in factors)
+
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (fh, fv) in enumerate(factors):
+        out += bytes([ci + 1, (fh << 4) | fv, 0])
+    for cls, bits, vals in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0x10, _JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
+        out += bytes([cls]) + bytes(bits) + bytes(vals)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        hdr = bytearray(b"\xff\xda")
+        hdr += struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for ci in comp_ids:
+            hdr += bytes([ci + 1, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return bytes(hdr)
+
+    def comp_grid(ci):
+        # non-interleaved scans cover the component's own block grid
+        fh, fv = factors[ci]
+        cw = -(-(w * fh) // maxh)
+        ch = -(-(h * fv) // maxv)
+        return -(-ch // 8), -(-cw // 8)
+
+    all_comps = list(range(ncomp))
+    # DC first (interleaved, Al=1)
+    out += sos_header(all_comps, 0, 0, 0, 1)
+    bw = _JpegBitWriter()
+    prev = [0] * ncomp
+    for mi in range(mcux * mcuy):
+        my, mx = divmod(mi, mcux)
+        for ci, (fh, fv) in enumerate(factors):
+            for bv in range(fv):
+                for bh in range(fh):
+                    dc = int(blocks[ci][my * fv + bv, mx * fh + bh, 0]) >> 1
+                    diff = dc - prev[ci]
+                    prev[ci] = dc
+                    cat = _jpeg_category(diff)
+                    code, length = dc_map[cat]
+                    bw.write(code, length)
+                    if cat:
+                        bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    bw.flush()
+    out += bw.buf
+    # AC scans: banded first pass at Al=2, then two refinement passes
+    for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)):
+        for ci in range(ncomp):
+            out += sos_header([ci], ss, se, ah, al)
+            bw = _JpegBitWriter()
+            pa = _ProgAcState(bw, ac_map)
+            nby, nbx = comp_grid(ci)
+            for mi in range(nby * nbx):
+                by, bx = divmod(mi, nbx)
+                if ah == 0:
+                    _jpeg_enc_ac_first(pa, blocks[ci][by, bx], ss, se, al)
+                else:
+                    _jpeg_enc_ac_refine(pa, blocks[ci][by, bx], ss, se, al)
+            pa.flush_eob()
+            bw.flush()
+            out += bw.buf
+    # DC refinement (interleaved, one raw bit per block)
+    out += sos_header(all_comps, 0, 0, 1, 0)
+    bw = _JpegBitWriter()
+    for mi in range(mcux * mcuy):
+        my, mx = divmod(mi, mcux)
+        for ci, (fh, fv) in enumerate(factors):
+            for bv in range(fv):
+                for bh in range(fh):
+                    bw.write(int(blocks[ci][my * fv + bv, mx * fh + bh, 0]) & 1, 1)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg(blob: bytes):
+    """Baseline (SOF0) and progressive (SOF2) JPEG → (H, W, 3) uint8 RGB
+    — pure numpy Huffman + IDCT, no image library.
+
+    Architecture: every SOS entropy-decodes into per-component
+    coefficient planes (zig-zag order, int32); dequantization,
+    de-zigzag and a BATCHED IDCT run once at end of stream.  Baseline
+    is the one-scan special case; progressive accumulates spectral
+    bands and successive-approximation bits across scans (T.81 G.1,
+    r14 VERDICT directive #1).  Supported: 8-bit, 1 or 3 components,
     sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0), multiple
-    DQT/DHT tables, restart intervals, APPn/COM skip.  Progressive
-    (SOF2), extended/arithmetic/lossless/hierarchical SOFs and DNL gate
-    with NotImplementedError; malformed streams raise ValueError."""
+    scans (including non-interleaved baseline), multiple DQT/DHT
+    tables, restart intervals, APPn/COM skip.  Extended/arithmetic/
+    lossless/hierarchical SOFs and DNL gate with NotImplementedError;
+    malformed streams raise ValueError."""
     import struct
 
     import numpy as np
@@ -933,8 +1512,11 @@ def decode_jpeg(blob: bytes):
     qt = {}
     dc_tabs, ac_tabs = {}, {}
     frame = None
+    progressive = False
     dri = 0
-    scan = None
+    coefs = None
+    nscans = 0
+    mcux = mcuy = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -974,6 +1556,8 @@ def decode_jpeg(blob: bytes):
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT")
                 cls, tid = body[i] >> 4, body[i] & 15
                 bits = list(body[i + 1 : i + 17])
                 nv = sum(bits)
@@ -983,22 +1567,39 @@ def decode_jpeg(blob: bytes):
                 tab = _huff_decode_map(bits, vals)
                 (ac_tabs if cls else dc_tabs)[tid] = tab
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             if len(body) < 6:
-                raise ValueError("truncated SOF0 header")
+                raise ValueError("truncated SOF header")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
             if len(body) < 6 + 3 * nc:
-                raise ValueError("truncated SOF0 component list")
+                raise ValueError("truncated SOF component list")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            if len(comps) not in (1, 3):
+                raise NotImplementedError(f"{len(comps)}-component JPEG")
+            if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+                raise NotImplementedError("JPEG sampling factors above 2x2")
+            if not fh or not fw:
+                raise ValueError("zero JPEG dimensions")
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            maxh = max(c["h"] for c in comps)
+            maxv = max(c["v"] for c in comps)
+            mcux = -(-fw // (8 * maxh))
+            mcuy = -(-fh // (8 * maxv))
+            coefs = {
+                c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                for c in comps
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
+                f"non-baseline/progressive JPEG (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -1007,95 +1608,46 @@ def decode_jpeg(blob: bytes):
         elif marker == 0xDC:
             raise NotImplementedError("JPEG DNL segment")
         elif marker == 0xDA:  # SOS
-            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
                 raise ValueError("truncated SOS header")
             ns = body[0]
+            if not ns:
+                raise ValueError("SOS with zero components")
             scan = []
             for si in range(ns):
                 cid, tt = body[1 + 2 * si : 3 + 2 * si]
                 scan.append({"id": cid, "td": tt >> 4, "ta": tt & 15})
-            pos = seg_end
-            break
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            pos = _jpeg_decode_scan(
+                blob, seg_end, frame, scan, ss, se, ahal >> 4, ahal & 15,
+                dc_tabs, ac_tabs, coefs, dri, progressive,
+            )
+            nscans += 1
+            continue
         # APPn / COM / others: skip
         pos = seg_end
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if frame is None or nscans == 0:
+        raise ValueError("JPEG missing SOF/SOS")
     comps = frame["comps"]
-    if len(comps) not in (1, 3):
-        raise NotImplementedError(f"{len(comps)}-component JPEG")
     maxh = max(c["h"] for c in comps)
     maxv = max(c["v"] for c in comps)
-    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
-        raise NotImplementedError("JPEG sampling factors above 2x2")
-    by_id = {c["id"]: c for c in comps}
-    if len(scan) != len(comps):
-        # Baseline decode here assumes one fully interleaved scan; a scan
-        # covering a component subset would leave c["dc"] unset and the
-        # MCU loop would KeyError (ADVICE r14) — gate it explicitly.
-        raise NotImplementedError("non-interleaved JPEG scan")
-    for s in scan:
-        c = by_id.get(s["id"])
-        if c is None:
-            raise ValueError("SOS references unknown component")
-        c["dc"] = dc_tabs.get(s["td"])
-        c["ac"] = ac_tabs.get(s["ta"])
-        if c["dc"] is None or c["ac"] is None:
-            raise ValueError("SOS references undefined Huffman table")
-        if c["tq"] not in qt:
-            raise ValueError("component references undefined DQT")
-    if any("dc" not in c for c in comps):
-        raise ValueError("SOS does not cover every frame component")
     h, w = frame["h"], frame["w"]
-    mcux = -(-w // (8 * maxh))
-    mcuy = -(-h // (8 * maxv))
     A = _jpeg_dct_matrix()
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
-        for c in comps
-    }
-    br = _JpegBitReader(blob, pos)
-    prev = {c["id"]: 0 for c in comps}
-    rst = 0
-    for mi in range(mcux * mcuy):
-        if dri and mi and mi % dri == 0:
-            br.restart(rst)
-            rst += 1
-            prev = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mi, mcux)
-        for c in comps:
-            for bv in range(c["v"]):
-                for bh in range(c["h"]):
-                    zzc = np.zeros(64)
-                    cat = br.read_huff(c["dc"])
-                    if cat > 11:
-                        raise ValueError("bad DC category")
-                    prev[c["id"]] += _jpeg_extend(br.read(cat), cat)
-                    zzc[0] = prev[c["id"]]
-                    k = 1
-                    while k < 64:
-                        sym = br.read_huff(c["ac"])
-                        if sym == 0x00:
-                            break
-                        if sym == 0xF0:
-                            k += 16
-                            continue
-                        run, size = sym >> 4, sym & 15
-                        k += run
-                        if k > 63 or size == 0:
-                            raise ValueError("bad AC run/size")
-                        zzc[k] = _jpeg_extend(br.read(size), size)
-                        k += 1
-                    coef = np.zeros((8, 8))
-                    for kk, (r, cc) in enumerate(_JPEG_ZZ):
-                        coef[r, cc] = zzc[kk]
-                    coef *= qt[c["tq"]]
-                    blk = A.T @ coef @ A + 128.0
-                    y0 = (my * c["v"] + bv) * 8
-                    x0 = (mx * c["h"] + bh) * 8
-                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
+    # zig-zag index → natural (row, col) gather: nat[r*8+c] = zz[k]
+    nat_idx = np.empty(64, np.int64)
+    for k, (r, c) in enumerate(_JPEG_ZZ):
+        nat_idx[r * 8 + c] = k
     chans = []
     for c in comps:
-        p = planes[c["id"]]
+        if c["tq"] not in qt:
+            raise ValueError("component references undefined DQT")
+        zz = coefs[c["id"]].astype(np.float64)
+        nby, nbx = zz.shape[:2]
+        coef = zz[..., nat_idx].reshape(nby, nbx, 8, 8) * qt[c["tq"]]
+        blk = A.T @ coef @ A + 128.0  # batched IDCT over all blocks
+        p = blk.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         p = np.repeat(np.repeat(p, maxv // c["v"], axis=0), maxh // c["h"], axis=1)
         chans.append(p[:h, :w])
     if len(chans) == 1:
@@ -1110,9 +1662,9 @@ def decode_jpeg(blob: bytes):
 
 
 def decode_image(blob: bytes):
-    """Magic-dispatched real decode: BMP/PPM/PNG/GIF/baseline-JPEG in
-    pure numpy + stdlib zlib/LZW/Huffman; WebP (and progressive JPEG)
-    still need an external library and raise until one is present."""
+    """Magic-dispatched real decode: BMP/PPM/PNG/GIF/JPEG (baseline and
+    progressive) in pure numpy + stdlib zlib/LZW/Huffman; WebP still
+    needs an external library and raises until one is present."""
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:2] == b"P6":
@@ -1563,6 +2115,37 @@ def synth_jpeg_blob(media_id: int) -> bytes:
     return encode_jpeg(np.repeat(np.repeat(vals, 8, 0), 8, 1))
 
 
+def synth_agif_blob(media_id: int) -> bytes:
+    """Animated GIF89a, n = (media_id mod 4) + 2 full-canvas 16×8 frames,
+    frame f a constant gray c(f) = (13·media_id + 19·f) mod 256 — real
+    LZW-coded frames behind real graphic-control extensions, every
+    decoded pixel reproducible by the gif_frame_dedup oracle's closed
+    form (the synth_mjpeg_blob pattern on the GIF container)."""
+    import numpy as np
+
+    n = media_id % 4 + 2
+    frames = [
+        np.full((8, 16, 3), (13 * media_id + 19 * f) % 256, np.uint8)
+        for f in range(n)
+    ]
+    return encode_gif_animated(frames, delay_cs=10)
+
+
+def synth_pjpeg_blob(media_id: int) -> bytes:
+    """16×16 grayscale, 8×8-BLOCK-CONSTANT like synth_jpeg_blob but with
+    a DIFFERENT generating formula v = (19·media_id + 31·bx + 53·by) mod
+    256, PROGRESSIVE-encoded (SOF2, 10-scan spectral-selection +
+    successive-approximation script) — constant blocks + q=1 keep the
+    round trip exact, so the closed-form oracle hash-checks the whole
+    progressive entropy-decode path."""
+    import numpy as np
+
+    bx = np.arange(2)[None, :]
+    by = np.arange(2)[:, None]
+    vals = ((19 * media_id + 31 * bx + 53 * by) % 256).astype(np.uint8)
+    return encode_jpeg_progressive(np.repeat(np.repeat(vals, 8, 0), 8, 1))
+
+
 def synth_mjpeg_blob(media_id: int) -> bytes:
     """MJPEG-AVI, 10 fps: n = (media_id mod 4) + 2 frames, each 16×8
     grayscale with two constant blocks v(f, bx) = (11·media_id + 17·f +
@@ -1590,6 +2173,8 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
         "png": synth_png_blob,
         "gif": synth_gif_blob,
         "jpeg": synth_jpeg_blob,
+        "pjpeg": synth_pjpeg_blob,
+        "agif": synth_agif_blob,
         "mjpeg": synth_mjpeg_blob,
     }.get(kind, synth_wav_blob)
     schema = T.StructType(
@@ -1843,6 +2428,54 @@ def video_frame_dedup(media: DataFrame, every_ms: int = 200) -> DataFrame:
     fp = video_frame_fingerprints(media, every_ms).filter(
         F.col("frame_md5").isNotNull()
     )
+    groups = fp.groupBy("frame_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.countDistinct("media_id").cast("long").alias("n_clips"),
+    )
+    return (
+        groups.groupBy("n_frames", "n_clips")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .orderBy("n_frames", "n_clips")
+    )
+
+
+def gif_frame_fingerprints(media: DataFrame) -> DataFrame:
+    """Content fingerprint per ANIMATED-GIF frame: parse_gif_frames walks
+    every full-canvas frame, md5 the decoded RGB pixel buffer — palette
+    layout, LZW coding and sub-block packing vanish, so equal
+    fingerprints mean equal decoded CONTENT (the video_frame_fingerprints
+    contract on the second real container, r14 VERDICT directive #2).
+    Arrow mapInPandas + per-row error isolation."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    v = parse_gif_frames(bytes(blob))
+                    for idx, px in enumerate(v["frames"]):
+                        out.append(
+                            (mid, idx, hashlib.md5(px.tobytes()).hexdigest(), None)
+                        )
+                except _ROW_DECODE_ERRORS as exc:
+                    out.append((mid, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_md5", "error"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, FRAME_FP_SCHEMA
+    )
+
+
+def gif_frame_dedup(media: DataFrame) -> DataFrame:
+    """Cross-clip duplicate-frame census over animated GIFs — identical
+    census shape to video_frame_dedup (fingerprint every frame, group
+    identical fingerprints corpus-wide, roll up to (n_frames, n_clips) →
+    n_groups).  Same scale posture: decode parallelism is the blob scan's
+    partitioning, the aggregates move (md5, id) rows, never pixels."""
+    fp = gif_frame_fingerprints(media).filter(F.col("frame_md5").isNotNull())
     groups = fp.groupBy("frame_md5").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames"),
         F.countDistinct("media_id").cast("long").alias("n_clips"),

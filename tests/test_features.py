@@ -1240,13 +1240,18 @@ def test_gif_round_trip_and_gates():
     with pytest.raises(ValueError):
         decode_gif(b"not a gif at all")
 
-    # animation gate: append a second image descriptor
+    # r15: animation is un-gated — a second image descriptor parses as a
+    # second frame; decode_gif returns frame 0, parse_gif_frames both
+    from es_ch_sync_spark.operators.multimodal import parse_gif_frames
+
     di = 13 + (2 << (b[10] & 0x07)) * 3
     assert b[di] == 0x2C
     second = b[di:-1]  # image descriptor..before trailer
     animated = b[:-1] + second + b"\x3b"
-    with pytest.raises(NotImplementedError):
-        decode_gif(animated)
+    v = parse_gif_frames(animated)
+    assert len(v["frames"]) == 2
+    assert np.array_equal(v["frames"][0], v["frames"][1])
+    assert np.array_equal(decode_gif(animated), decode_gif(b))
 
     # interlace gate: flip the interlace bit in the image descriptor
     bl = bytearray(b)
@@ -1268,6 +1273,30 @@ def test_gif_round_trip_and_gates():
     # 18*18 = 324 distinct (r,g) combinations > 256
     with pytest.raises(ValueError):
         encode_gif(big)
+
+
+def test_gif_lzw_eoi_width_boundary():
+    """r15 regression: when the decoder's table-entry add on the FINAL
+    data code crosses a 2^code_size boundary, the EOI must be emitted at
+    the widened size (a 64-pixel constant frame at mcs=2 lands exactly on
+    next_code 16 and used to truncate).  Sweep run lengths across the
+    boundary plus random streams."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    for mcs in (2, 3, 4, 8):
+        for n in (1, 63, 64, 65, 119, 120, 121, 255, 256, 1000):
+            out = _gif_lzw_decode(_gif_lzw_encode(np.zeros(n, np.int64), mcs), mcs, n)
+            assert len(out) == n and not any(out)
+    rng = np.random.default_rng(3)
+    for mcs in (2, 4, 8):
+        for n in (64, 65, 1000):
+            idx = rng.integers(0, 1 << mcs, n)
+            assert list(_gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs, n)) == list(idx)
 
 
 def test_jpeg_round_trip_exact_on_block_constant():
@@ -1334,8 +1363,10 @@ def test_jpeg_420_subsampling_decodes():
 
 
 def test_jpeg_gates_and_malformed():
-    """Progressive SOF2 gates by name; truncated streams and garbage are
-    ValueError; 12-bit precision gates."""
+    """r15: SOF2 now DECODES, so the old swapped-marker pin flips to
+    ValueError (a baseline Ss=0..63 scan is illegal inside a progressive
+    frame); arithmetic/lossless SOFs and 12-bit precision still gate by
+    name; truncated streams and garbage are ValueError."""
     import struct
 
     import numpy as np
@@ -1346,9 +1377,17 @@ def test_jpeg_gates_and_malformed():
     good = bytearray(encode_jpeg(np.full((8, 8), 55, np.uint8)))
     sof = good.find(b"\xff\xc0")
     assert sof > 0
+    # SOF2 marker on a baseline single full-band scan: structurally
+    # invalid progressive (DC scan must have Se=0) → ValueError, not a
+    # silent wrong decode and not a gate.
     prog = bytes(good[:sof]) + b"\xff\xc2" + bytes(good[sof + 2 :])
-    with pytest.raises(NotImplementedError, match="0xFFC2"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(prog)
+    # arithmetic-coded (SOF9) and lossless (SOF3) still gate by name
+    for marker, name in ((b"\xff\xc9", "0xFFC9"), (b"\xff\xc3", "0xFFC3")):
+        swapped = bytes(good[:sof]) + marker + bytes(good[sof + 2 :])
+        with pytest.raises(NotImplementedError, match=name):
+            decode_jpeg(swapped)
     twelve = bytearray(good)
     twelve[sof + 4] = 12  # precision byte
     with pytest.raises(NotImplementedError, match="12-bit"):
@@ -1357,6 +1396,74 @@ def test_jpeg_gates_and_malformed():
         decode_jpeg(bytes(good[: len(good) // 2]))  # truncated entropy data
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
+    # ADVICE r14 robustness pins: short segment bodies are ValueError,
+    # never struct.error escaping the row-level catch
+    dri_short = bytes(good[:sof]) + b"\xff\xdd\x00\x03\x00" + bytes(good[sof:])
+    with pytest.raises(ValueError, match="DRI"):
+        decode_jpeg(dri_short)
+    zero_seg = bytes(good[:sof]) + b"\xff\xdd\x00\x01" + bytes(good[sof:])
+    with pytest.raises(ValueError, match="segment length"):
+        decode_jpeg(zero_seg)
+
+
+def test_jpeg_progressive_round_trip():
+    """r15: progressive (SOF2) encode→decode — block-constant images are
+    EXACT (the multimodal_jpeg_progressive oracle property), and on
+    arbitrary images the progressive decode is pixel-identical to the
+    baseline decode of the same image (entropy coding is lossless either
+    way; only the scan script differs).  Covers gray, 4:4:4 and 4:2:0
+    (non-interleaved component block grids), odd dimensions, and the
+    AC-refinement correction-bit path (random images have dense AC)."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    for bh, bw in [(1, 1), (2, 2), (4, 2)]:
+        vals = rng.integers(0, 256, (bh, bw)).astype(np.uint8)
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+        out = decode_jpeg(encode_jpeg_progressive(img))
+        assert (out[..., 0] == img).all()
+    for h, w in [(8, 8), (5, 7), (17, 9), (24, 31)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg_progressive(img))
+            == decode_jpeg(encode_jpeg(img))
+        ).all()
+    for h, w in [(8, 8), (11, 14), (13, 21)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg_progressive(img))
+            == decode_jpeg(encode_jpeg(img))
+        ).all()
+        assert (
+            decode_jpeg(encode_jpeg_progressive(img, subsample="420"))
+            == decode_jpeg(encode_jpeg(img, subsample="420"))
+        ).all()
+
+
+def test_synth_pjpeg_blob_matches_formula():
+    """The progressive fixture decodes to its generating formula — the
+    property the multimodal_jpeg_progressive oracle hash relies on."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_pjpeg_blob,
+    )
+
+    for mid in (0, 1, 7, 123):
+        px = decode_jpeg(synth_pjpeg_blob(mid))
+        assert px.shape == (16, 16, 3)
+        for by in range(2):
+            for bx in range(2):
+                want = (19 * mid + 31 * bx + 53 * by) % 256
+                blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+                assert (blk == want).all()
 
 
 def test_mjpeg_avi_container_round_trip_and_sampling():
@@ -1476,3 +1583,73 @@ def test_video_frame_dedup_hand_computed(spark):
 
     empty = spark.createDataFrame([], "media_id long, content binary")
     assert video_frame_dedup(empty).count() == 0
+
+
+def test_animated_gif_round_trip_and_gates():
+    """r15: multi-frame GIF89a encode→decode is exact (palette-indexed,
+    lossless), delays survive the GCE walk, and the still-gated features
+    (disposal 2/3, transparency) raise by name."""
+    import numpy as np
+    import pytest
+
+    from es_ch_sync_spark.operators.multimodal import (
+        encode_gif_animated,
+        parse_gif_frames,
+    )
+
+    rng = np.random.default_rng(19)
+    frames = [
+        (rng.integers(0, 16, (8, 16, 1)) * 13 % 256).astype(np.uint8).repeat(3, 2)
+        for _ in range(5)
+    ]
+    blob = encode_gif_animated(frames, delay_cs=12)
+    v = parse_gif_frames(blob)
+    assert (v["w"], v["h"]) == (16, 8)
+    assert len(v["frames"]) == 5
+    for a, b in zip(v["frames"], frames):
+        assert np.array_equal(a, b)
+    assert v["delays_cs"] == [12] * 5
+
+    # disposal 2 (restore-to-background) gates by name
+    ba = bytearray(blob)
+    gce = ba.find(b"\x21\xf9\x04")
+    assert gce > 0
+    ba[gce + 3] = (ba[gce + 3] & ~0x1C) | (2 << 2)
+    with pytest.raises(NotImplementedError, match="disposal"):
+        parse_gif_frames(bytes(ba))
+    # transparency flag gates by name
+    bt = bytearray(blob)
+    bt[gce + 3] |= 0x01
+    with pytest.raises(NotImplementedError, match="transparency"):
+        parse_gif_frames(bytes(bt))
+    # mismatched frame sizes refuse to encode
+    with pytest.raises(ValueError):
+        encode_gif_animated([frames[0], frames[0][:4]])
+
+
+def test_gif_frame_dedup_hand_computed(spark):
+    """r15: cross-clip frame dedup on a hand-built animated-GIF corpus —
+    clip A repeats one constant frame 3×, clip B shares that content for
+    1 of its 2 frames; every frame is decoded (no sampling), so the
+    census is exact."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import (
+        encode_gif_animated,
+        gif_frame_dedup,
+    )
+
+    def frame(v):
+        return np.full((8, 8, 3), v, np.uint8)
+
+    clip_a = encode_gif_animated([frame(7)] * 3)
+    clip_b = encode_gif_animated([frame(9), frame(7)])
+    media = spark.createDataFrame(
+        [(1, clip_a), (2, clip_b)], "media_id long, content binary"
+    )
+    rows = {
+        (r["n_frames"], r["n_clips"]): r["n_groups"]
+        for r in gif_frame_dedup(media).collect()
+    }
+    # content 7: 3 + 1 = 4 frames across 2 clips; content 9: 1 frame, 1 clip
+    assert rows == {(4, 2): 1, (1, 1): 1}

@@ -2841,6 +2841,36 @@ def _r7b_sections(spark, docs, replicas, only):
         jd.unpersist()
         vd.unpersist()
 
+    if "r15" in only:
+        from es_ch_sync_spark.operators import multimodal as mm
+
+        # progressive-JPEG fixtures at scale: the 10-scan SOF2 script is
+        # entropy-coded AND multi-scan decoded per doc in Arrow batches —
+        # like the baseline row, the per-doc Python codec cost is the
+        # honest number (embarrassingly parallel, blobs never shuffle)
+        pj = docs.select(F.col("doc_id")).limit(200_000).cache()
+        pj.count()
+        timed(
+            f"multimodal_jpeg_progressive x{replicas} (200k docs, "
+            "10-scan encode+decode)",
+            lambda: mm.extract_pixel_features(
+                mm.synth_media(pj, "pjpeg")
+            ).count(),
+        )
+        pj.unpersist()
+
+        # animated-GIF cross-clip frame dedup at scale: 100k clips of
+        # 2-5 full-canvas LZW frames each — decode cost per frame, then
+        # the two-hash-aggregate census over (md5, id) rows
+        gd = docs.select(F.col("doc_id")).limit(100_000).cache()
+        gd.count()
+        timed(
+            f"gif_frame_dedup x{replicas} (100k animated clips, "
+            "cross-clip census)",
+            lambda: mm.gif_frame_dedup(mm.synth_media(gd, "agif")).count(),
+        )
+        gd.unpersist()
+
 
 if __name__ == "__main__":
     main()
