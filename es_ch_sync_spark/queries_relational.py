@@ -846,6 +846,54 @@ def q_ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivfpq_recall_oracle(k: int = 10) -> str:
+    exact = oracles.cosine_topk_sql(query_id=0, k=k)
+    parts = []
+    for np_ in (1, 2, 4):
+        probe = oracles.ivfpq_probe_topk_sql(
+            query_id=0, k=k, nprobe=np_, n_cells=4, m=4, ksub=4, iters=2,
+            dim=64,
+        )
+        parts.append(
+            f"SELECT 'nprobe={np_}' AS method,\n"
+            f"  (SELECT count(*) FROM (SELECT vec_id FROM ({probe}))\n"
+            f"   JOIN e USING (vec_id))::DOUBLE / {k} AS recall_at_k"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"WITH e AS ({exact})\n{body}"
+
+
+@register("ann_ivfpq_recall", _ann_ivfpq_recall_oracle(k=10))
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PERSISTED IVF-PQ serving path at every probe
+    depth (nprobe ∈ {1, 2, 4} of the 4-cell index) against the exact
+    cosine baseline — the accuracy side of the nprobe/latency trade-off
+    the ann_ivfpq ×100 bench rows price (r14 VERDICT directive #5).  Each
+    probe depth reads only its probed cells' code partitions
+    (PartitionFilter), so the recall curve is measured on the REAL index
+    layout a deployment serves from, not a refit.  Deterministic by
+    construction: every input is a deterministic top-k; the oracle
+    re-derives the full coarse+residual-PQ chain per depth."""
+    from es_ch_sync_spark.io.ann_index import search_ivfpq_index
+    from es_ch_sync_spark.operators.similarity import cosine_topk
+
+    k = 10
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    qv = _ivf_query_vec(sf_dir, 0)
+    exact = cosine_topk(emb, qv, k=k, exclude_id=0).select("vec_id")
+    path = _ivfpq_index_dir(spark, sf_dir)
+    out = None
+    for np_ in (1, 2, 4):
+        approx = search_ivfpq_index(
+            spark, path, qv, k=k, nprobe=np_, exclude_id=0
+        ).select("vec_id")
+        r = approx.join(exact, "vec_id").agg(
+            (F.count(F.lit(1)).cast("double") / k).alias("recall_at_k")
+        ).select(F.lit(f"nprobe={np_}").alias("method"), "recall_at_k")
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 @register("ann_ivf_topk", oracles.ann_ivf_topk_sql(query_id=0, k=10, dim=64))
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize by the label column (stand-in for
