@@ -24,10 +24,12 @@ Decode support is two-tier, honestly split by what pure numpy can do:
 - **MJPEG-AVI video decodes for real** — RIFF container walk
   (encode_mjpeg_avi/parse_mjpeg_avi) + per-frame baseline-JPEG decode;
   sample_video_frames / video_frame_stats are real kernels now.
-- **Remaining codec formats stay gated** — WebP/MP4/H.264 need
-  Pillow/pyav (not in this container); those paths raise
-  NotImplementedError (job-level kernels) or emit a per-row ``error``
-  column (row-level kernels), never silently fake pixels.
+- **Lossless WebP (VP8L) decodes for real** — canonical prefix codes,
+  LZ77 + color cache, subtract-green/predictor inverse transforms
+  (operators/webp.py); lossy VP8/VP8X and MP4/H.264 stay gated (they
+  need Pillow/pyav): those paths raise NotImplementedError (job-level
+  kernels) or emit a per-row ``error`` column (row-level kernels),
+  never silently fake pixels.
 
 Everything Spark-side is real and tested either way: the schema contract,
 the `mapInPandas` batch shape, partition sizing, and the metadata
@@ -1663,8 +1665,9 @@ def decode_jpeg(blob: bytes):
 
 def decode_image(blob: bytes):
     """Magic-dispatched real decode: BMP/PPM/PNG/GIF/JPEG (baseline and
-    progressive) in pure numpy + stdlib zlib/LZW/Huffman; WebP still
-    needs an external library and raises until one is present."""
+    progressive)/lossless WebP (VP8L) in pure numpy + stdlib
+    zlib/LZW/Huffman/prefix codes; lossy WebP (VP8) still needs an
+    external library and gates by name."""
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:2] == b"P6":
@@ -1676,7 +1679,9 @@ def decode_image(blob: bytes):
     if blob[:2] == b"\xff\xd8":
         return decode_jpeg(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
-        raise NotImplementedError("WebP decode requires Pillow/libvips (not in this container)")
+        from es_ch_sync_spark.operators.webp import decode_webp
+
+        return decode_webp(blob)
     raise ValueError("unrecognized image format")
 
 
@@ -2115,6 +2120,31 @@ def synth_jpeg_blob(media_id: int) -> bytes:
     return encode_jpeg(np.repeat(np.repeat(vals, 8, 0), 8, 1))
 
 
+def synth_webp_blob(media_id: int) -> bytes:
+    """Same deterministic gradient as synth_bmp_blob, LOSSLESS-WebP
+    (VP8L) encoded — one synthetic pixel formula, now five real container
+    round-trips.  media_id selects the transform path so the corpus
+    exercises plain literals, SUBTRACT_GREEN, and the PREDICTOR
+    transform (mode = media_id mod 14) in one oracle-checked query:
+    all are exactly invertible, so the closed form still holds."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.webp import encode_webp_lossless
+
+    x = np.arange(SYNTH_W)[None, :, None]
+    y = np.arange(SYNTH_H)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    img = ((media_id + 3 * x + 5 * y + 85 * c) % 256).astype(np.uint8)
+    variant = media_id % 3
+    if variant == 0:
+        return encode_webp_lossless(img)
+    if variant == 1:
+        return encode_webp_lossless(img, subtract_green=True)
+    return encode_webp_lossless(
+        img, predictor_modes=media_id % 14, predictor_size_bits=2
+    )
+
+
 def synth_agif_blob(media_id: int) -> bytes:
     """Animated GIF89a, n = (media_id mod 4) + 2 full-canvas 16×8 frames,
     frame f a constant gray c(f) = (13·media_id + 19·f) mod 256 — real
@@ -2175,6 +2205,7 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
         "jpeg": synth_jpeg_blob,
         "pjpeg": synth_pjpeg_blob,
         "agif": synth_agif_blob,
+        "webp": synth_webp_blob,
         "mjpeg": synth_mjpeg_blob,
     }.get(kind, synth_wav_blob)
     schema = T.StructType(

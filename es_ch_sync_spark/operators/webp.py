@@ -1,0 +1,607 @@
+"""Lossless WebP (VP8L) — pure stdlib + numpy codec (r14 VERDICT
+directive #6: the only WebP variant that is honest in-stdlib work).
+
+Everything here derives from the PUBLIC WebP Lossless Bitstream
+Specification (RFC 9649 / the webmproject spec): LSB-first bit packing,
+canonical prefix codes transmitted as code-length codes, LZ77 backward
+references with a color cache, and the four spatial transforms.  The
+control flow mirrors the spec pseudo-code, not any library's source.
+
+Decoder (`decode_webp` / `_decode_vp8l`) supports:
+  - single `VP8L` chunk in a `WEBP` RIFF form;
+  - simple (1-2 symbol) and normal (code-length-coded) prefix codes,
+    including the 16/17/18 repeat codes and the optional max_symbol
+    shortcut;
+  - literals, color-cache hits, and LZ77 backward references with PLAIN
+    distance codes (dist_code > 120);
+  - SUBTRACT_GREEN and PREDICTOR inverse transforms (all 14 predictor
+    modes, shared with the encoder below).
+
+Gates (NotImplementedError, each named):
+  - lossy `VP8 ` and extended `VP8X` containers;
+  - meta prefix codes (spatially varying code groups);
+  - COLOR_TRANSFORM and COLOR_INDEXING transforms;
+  - 2D near-distance codes (dist_code <= 120, the neighborhood alias
+    table) — transcribing the 120-entry map without a conformance
+    corpus to check against risks silent wrong pixels, so it gates.
+
+Malformed streams raise ValueError.
+
+Encoder (`encode_webp_lossless`) emits literals-only VP8L (no LZ77, no
+color cache, one prefix-code group) with BALANCED COMPLETE prefix codes
+(every used symbol at ceil(log2(k)) or one bit less — valid canonical
+codes, deterministic, no frequency modeling), optionally behind
+SUBTRACT_GREEN and/or a PREDICTOR transform with an explicit per-block
+mode image.  Lossless means encode→decode round-trips EXACTLY, which is
+what the multimodal_webp_stats oracle checks; the per-block mode knob
+lets tests exercise every predictor inverse path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# Order in which code-length-code lengths are transmitted (spec §6.2.2).
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+_GREEN_LITERALS = 256
+_LENGTH_CODES = 24
+_DISTANCE_CODES = 40
+_HASH_MUL = 0x1E35A7BD
+
+
+class _BitReaderLSB:
+    """LSB-first bit reader over bytes (VP8L bit order)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read(self, n: int) -> int:
+        while self._n < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated VP8L bitstream")
+            self._acc |= self.data[self.pos] << self._n
+            self._n += 8
+            self.pos += 1
+        v = self._acc & ((1 << n) - 1)
+        self._acc >>= n
+        self._n -= n
+        return v
+
+    def read_code(self, table: dict) -> int:
+        """Read one canonical prefix code: stream bits arrive code-MSB
+        first (the writer reverses), so accumulate MSB-style."""
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+class _BitWriterLSB:
+    """LSB-first bit writer (VP8L bit order)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, n: int) -> None:
+        self._acc |= (value & ((1 << n) - 1)) << self._n
+        self._n += n
+        while self._n >= 8:
+            self.buf.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Emit a canonical code: its bits go on the wire MSB-first,
+        which for an LSB-first writer means writing the bit-reversal."""
+        rev = 0
+        for _ in range(length):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        self.write(rev, length)
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.buf.append(self._acc & 0xFF)
+            self._acc = 0
+            self._n = 0
+        return bytes(self.buf)
+
+
+def _canonical_from_lengths(lengths: dict) -> dict:
+    """{symbol: bit length} → {symbol: (canonical code, length)} — codes
+    assigned in (length, symbol) order, the spec's canonical rule."""
+    by_len: dict[int, list[int]] = {}
+    for sym, ln in lengths.items():
+        if ln:
+            by_len.setdefault(ln, []).append(sym)
+    code = 0
+    out = {}
+    for ln in range(1, 16):
+        for sym in sorted(by_len.get(ln, ())):
+            out[sym] = (code, ln)
+            code += 1
+        code <<= 1
+    return out
+
+
+def _decode_table_from_lengths(lengths: dict) -> dict:
+    """{symbol: length} → {(length, code): symbol} for read_code.
+    A single used symbol is the spec's 0-bit trivial code."""
+    used = [s for s, ln in lengths.items() if ln]
+    if len(used) == 1:
+        return {"trivial": used[0]}
+    enc = _canonical_from_lengths(lengths)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+def _read_sym(br: _BitReaderLSB, table: dict) -> int:
+    if "trivial" in table:
+        return table["trivial"]
+    return br.read_code(table)
+
+
+def _balanced_lengths(symbols) -> dict:
+    """Complete canonical code over >= 3 used symbols: with
+    k symbols and L = ceil(log2(k)), the first (2^L - k) symbols get
+    length L-1 and the rest L — Kraft sums to exactly 1."""
+    syms = sorted(symbols)
+    k = len(syms)
+    L = max(1, (k - 1).bit_length())
+    short = (1 << L) - k
+    return {s: (L - 1 if i < short else L) for i, s in enumerate(syms)}
+
+
+def _prefix_decode(br: _BitReaderLSB, code: int) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# ---------------------------------------------------------------------------
+# Predictor transform (spec §4.4.2) — shared by encoder and decoder so the
+# forward subtraction and inverse addition agree by construction.
+# ---------------------------------------------------------------------------
+
+
+def _avg2(a, b):
+    return tuple((x + y) >> 1 for x, y in zip(a, b))
+
+
+def _clamp(v):
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _predict(mode: int, L, T, TL, TR):
+    """One predicted (a, r, g, b) pixel from mode 0..13 (spec §4.4.2)."""
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:
+        # Select: whichever of L/T is closer (L1 over channels) to the
+        # gradient estimate L + T - TL
+        p = tuple(a + b - c for a, b, c in zip(L, T, TL))
+        p_l = sum(abs(x - y) for x, y in zip(p, L))
+        p_t = sum(abs(x - y) for x, y in zip(p, T))
+        return L if p_l <= p_t else T
+    if mode == 12:
+        return tuple(_clamp(a + b - c) for a, b, c in zip(L, T, TL))
+    if mode == 13:
+        ave = _avg2(L, T)
+        return tuple(_clamp(a + (a - c) // 2) for a, c in zip(ave, TL))
+    raise ValueError(f"bad VP8L predictor mode {mode}")
+
+
+def _predictor_pass(pix, w, h, modes, size_bits, inverse: bool):
+    """Apply (inverse=True) or subtract (False) the predictor transform
+    in raster order.  ``pix`` is a flat list of (a, r, g, b) tuples,
+    mutated in place; ``modes`` the per-block mode grid (flat list),
+    edge rules per spec: (0,0) black, row 0 → L, column 0 → T.
+    Predictions always read RECONSTRUCTED neighbors: that's ``pix``
+    itself when inverting (originals accumulate in place) and a frozen
+    copy of the originals when subtracting at encode time."""
+    src = pix if inverse else list(pix)
+    bw_blocks = -(-w // (1 << size_bits))
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                mode = 0
+            elif y == 0:
+                mode = 1
+            elif x == 0:
+                mode = 2
+            else:
+                mode = modes[(y >> size_bits) * bw_blocks + (x >> size_bits)]
+            L = src[i - 1] if x else (255, 0, 0, 0)
+            T = src[i - w] if y else (255, 0, 0, 0)
+            TL = src[i - w - 1] if (x and y) else (255, 0, 0, 0)
+            # TR by raster index (spec): for the last column this wraps
+            # to the current row's first pixel, which is already
+            # reconstructed; row 0 never reads TR (edge rule forces L)
+            TR = src[i - w + 1] if y else T
+            pred = _predict(mode, L, T, TL, TR)
+            cur = pix[i]
+            if inverse:
+                pix[i] = tuple((c + p) & 0xFF for c, p in zip(cur, pred))
+            else:
+                pix[i] = tuple((c - p) & 0xFF for c, p in zip(cur, pred))
+
+
+# ---------------------------------------------------------------------------
+# Entropy-coded image read/write
+# ---------------------------------------------------------------------------
+
+
+def _read_prefix_code(br: _BitReaderLSB, alphabet: int) -> dict:
+    """One prefix code (spec §6.2.2): simple (1-2 symbols) or normal
+    (code-length-coded); returns a read_code table."""
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        s0 = br.read(8 if first_8bit else 1)
+        if s0 >= alphabet:
+            raise ValueError("VP8L simple-code symbol outside alphabet")
+        if num_symbols == 1:
+            return {"trivial": s0}
+        s1 = br.read(8)
+        if s1 >= alphabet or s1 == s0:
+            raise ValueError("VP8L simple-code symbol outside alphabet")
+        return _decode_table_from_lengths({s0: 1, s1: 1})
+    num_clc = 4 + br.read(4)
+    clc_lengths = {}
+    for i in range(num_clc):
+        ln = br.read(3)
+        if ln:
+            clc_lengths[_CLC_ORDER[i]] = ln
+    if not clc_lengths:
+        raise ValueError("empty VP8L code-length code")
+    clc = _decode_table_from_lengths(clc_lengths)
+    if br.read(1):  # use max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = {}
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = _read_sym(br, clc)
+        if cl < 16:
+            if cl:
+                lengths[symbol] = cl
+                prev_len = cl
+            symbol += 1
+        else:
+            if cl == 16:
+                repeat, fill = 3 + br.read(2), prev_len
+            elif cl == 17:
+                repeat, fill = 3 + br.read(3), 0
+            else:
+                repeat, fill = 11 + br.read(7), 0
+            if symbol + repeat > alphabet:
+                raise ValueError("VP8L code-length repeat overflows alphabet")
+            if fill:
+                for _ in range(repeat):
+                    lengths[symbol] = fill
+                    symbol += 1
+            else:
+                symbol += repeat
+    if not lengths:
+        raise ValueError("VP8L prefix code with no symbols")
+    return _decode_table_from_lengths(lengths)
+
+
+def _read_entropy_image(br: _BitReaderLSB, w: int, h: int, is_argb: bool):
+    """Decode one entropy-coded image to a flat list of (a, r, g, b)."""
+    if is_argb and br.read(1):
+        raise NotImplementedError("VP8L meta prefix codes")
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"bad VP8L color cache bits {cache_bits}")
+    green_alpha = _GREEN_LITERALS + _LENGTH_CODES + (
+        (1 << cache_bits) if cache_bits else 0
+    )
+    t_green = _read_prefix_code(br, green_alpha)
+    t_red = _read_prefix_code(br, 256)
+    t_blue = _read_prefix_code(br, 256)
+    t_alpha = _read_prefix_code(br, 256)
+    t_dist = _read_prefix_code(br, _DISTANCE_CODES)
+    n = w * h
+    pix: list = [None] * n
+    cache = [(0, 0, 0, 0)] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+
+    def insert(p):
+        if cache is not None:
+            argb = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+            cache[((_HASH_MUL * argb) & 0xFFFFFFFF) >> shift] = p
+
+    i = 0
+    while i < n:
+        g = _read_sym(br, t_green)
+        if g < _GREEN_LITERALS:
+            r = _read_sym(br, t_red)
+            b = _read_sym(br, t_blue)
+            a = _read_sym(br, t_alpha)
+            pix[i] = (a, r, g, b)
+            insert(pix[i])
+            i += 1
+        elif g < _GREEN_LITERALS + _LENGTH_CODES:
+            length = _prefix_decode(br, g - _GREEN_LITERALS)
+            dist_code = _prefix_decode(br, _read_sym(br, t_dist))
+            if dist_code <= 120:
+                raise NotImplementedError(
+                    "VP8L 2D near-distance code (dist_code <= 120)"
+                )
+            dist = dist_code - 120
+            if dist > i or i + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                pix[i] = pix[i - dist]
+                insert(pix[i])
+                i += 1
+        else:
+            if cache is None:
+                raise ValueError("VP8L cache hit without a color cache")
+            idx = g - _GREEN_LITERALS - _LENGTH_CODES
+            pix[i] = cache[idx]
+            i += 1
+    return pix
+
+
+def _emit_prefix_code(bw: _BitWriterLSB, lengths: dict, alphabet: int) -> dict:
+    """Write one prefix code's description; returns {sym: (code, len)}."""
+    used = sorted(s for s, ln in lengths.items() if ln)
+    if len(used) == 1 and used[0] <= 255:
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # one symbol
+        if used[0] <= 1:
+            bw.write(0, 1)
+            bw.write(used[0], 1)
+        else:
+            bw.write(1, 1)
+            bw.write(used[0], 8)
+        return {used[0]: (0, 0)}
+    if len(used) == 2 and used[1] <= 255:
+        bw.write(1, 1)
+        bw.write(1, 1)  # two symbols
+        if used[0] <= 1:
+            bw.write(0, 1)
+            bw.write(used[0], 1)
+        else:
+            bw.write(1, 1)
+            bw.write(used[0], 8)
+        bw.write(used[1], 8)
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+    bw.write(0, 1)  # normal
+    # code-length alphabet actually used (zeros appear unless the whole
+    # alphabet is coded); keep it >= 2 distinct so the CL code is a
+    # complete canonical code
+    arr = [lengths.get(s, 0) for s in range(alphabet)]
+    distinct = sorted(set(arr))
+    if len(distinct) == 1:
+        distinct = sorted({distinct[0], 0 if distinct[0] else 1})
+    clc_lengths = _balanced_lengths(distinct) if len(distinct) > 2 else {
+        distinct[0]: 1, distinct[1]: 1,
+    }
+    num_clc = max(_CLC_ORDER.index(s) for s in clc_lengths) + 1
+    num_clc = max(num_clc, 4)
+    bw.write(num_clc - 4, 4)
+    for i in range(num_clc):
+        bw.write(clc_lengths.get(_CLC_ORDER[i], 0), 3)
+    clc_enc = _canonical_from_lengths(clc_lengths)
+    bw.write(0, 1)  # no max_symbol shortcut
+    for ln in arr:
+        code, bits = clc_enc[ln]
+        bw.write_code(code, bits)
+    return _canonical_from_lengths(lengths)
+
+
+def _write_entropy_image(bw: _BitWriterLSB, pix, is_argb: bool) -> None:
+    """Literals-only entropy image: one prefix-code group, no cache."""
+    if is_argb:
+        bw.write(0, 1)  # no meta prefix codes
+    bw.write(0, 1)  # no color cache
+    greens = {p[2] for p in pix}
+    reds = {p[1] for p in pix}
+    blues = {p[3] for p in pix}
+    alphas = {p[0] for p in pix}
+
+    def lens(symbols):
+        if len(symbols) <= 2:
+            return {s: 1 for s in sorted(symbols)}
+        return _balanced_lengths(symbols)
+
+    green_alpha = _GREEN_LITERALS + _LENGTH_CODES
+    e_green = _emit_prefix_code(bw, lens(greens), green_alpha)
+    e_red = _emit_prefix_code(bw, lens(reds), 256)
+    e_blue = _emit_prefix_code(bw, lens(blues), 256)
+    e_alpha = _emit_prefix_code(bw, lens(alphas), 256)
+    e_dist = _emit_prefix_code(bw, {0: 1}, _DISTANCE_CODES)
+    del e_dist  # one-symbol code: zero bits per (never-emitted) use
+    for a, r, g, b in pix:
+        c, n = e_green[g]
+        bw.write_code(c, n)
+        c, n = e_red[r]
+        bw.write_code(c, n)
+        c, n = e_blue[b]
+        bw.write_code(c, n)
+        c, n = e_alpha[a]
+        bw.write_code(c, n)
+
+
+# ---------------------------------------------------------------------------
+# VP8L stream + RIFF container
+# ---------------------------------------------------------------------------
+
+
+def _decode_vp8l(payload: bytes):
+    """VP8L chunk payload → (H, W, 3) uint8 RGB."""
+    import numpy as np
+
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _BitReaderLSB(payload, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("bad VP8L version")
+    transforms = []
+    seen = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype == 0:  # PREDICTOR
+            size_bits = br.read(3) + 2
+            bw_blocks = -(-w // (1 << size_bits))
+            bh_blocks = -(-h // (1 << size_bits))
+            sub = _read_entropy_image(br, bw_blocks, bh_blocks, False)
+            modes = [p[2] for p in sub]
+            if any(m > 13 for m in modes):
+                raise ValueError("bad VP8L predictor mode")
+            transforms.append(("predictor", size_bits, modes))
+        elif ttype == 1:
+            raise NotImplementedError("VP8L color transform")
+        elif ttype == 2:
+            transforms.append(("subtract_green",))
+        else:
+            raise NotImplementedError("VP8L color indexing")
+    pix = _read_entropy_image(br, w, h, True)
+    for t in reversed(transforms):
+        if t[0] == "subtract_green":
+            pix = [
+                (a, (r + g) & 0xFF, g, (b + g) & 0xFF) for a, r, g, b in pix
+            ]
+        else:
+            _predictor_pass(pix, w, h, t[2], t[1], inverse=True)
+    arr = np.array(pix, dtype=np.uint8).reshape(h, w, 4)
+    return arr[..., 1:4].copy()  # (a, r, g, b) → RGB
+
+
+def decode_webp(blob: bytes):
+    """WebP container → (H, W, 3) uint8 RGB.  Lossless (VP8L) decodes
+    for real; lossy VP8 and extended VP8X gate with NotImplementedError;
+    malformed containers raise ValueError."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing RIFF/WEBP header)")
+    riff_len = struct.unpack_from("<I", blob, 4)[0]
+    end = min(len(blob), 8 + riff_len)
+    pos = 12
+    while pos + 8 <= end:
+        fourcc = blob[pos : pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WebP chunk")
+        if fourcc == b"VP8L":
+            return _decode_vp8l(body)
+        if fourcc == b"VP8 ":
+            raise NotImplementedError("lossy WebP (VP8) decode")
+        if fourcc == b"VP8X":
+            raise NotImplementedError("extended WebP (VP8X) container")
+        pos += 8 + size + (size % 2)
+    raise ValueError("WebP without an image chunk")
+
+
+def encode_webp_lossless(
+    arr,
+    subtract_green: bool = False,
+    predictor_modes=None,
+    predictor_size_bits: int = 4,
+) -> bytes:
+    """(H, W, 3) uint8 RGB → lossless WebP bytes (VP8L, literals-only).
+
+    ``subtract_green`` prepends the SUBTRACT_GREEN transform;
+    ``predictor_modes`` (flat per-block mode list, or a single int
+    broadcast to every block) prepends a PREDICTOR transform — both are
+    exactly inverted by the decoder, so every encode round-trips
+    bit-exactly regardless of the knobs (the test handle for all 14
+    predictor inverse paths)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) RGB")
+    h, w = a.shape[:2]
+    if not h or not w or w > (1 << 14) or h > (1 << 14):
+        raise ValueError("bad WebP dimensions")
+    pix = [
+        (255, int(p[0]), int(p[1]), int(p[2]))
+        for row in a for p in row
+    ]
+    bw = _BitWriterLSB()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha hint
+    bw.write(0, 3)  # version
+    if predictor_modes is not None:
+        size_bits = predictor_size_bits
+        if not 2 <= size_bits <= 9:
+            raise ValueError("predictor size_bits out of range")
+        bwb = -(-w // (1 << size_bits))
+        bhb = -(-h // (1 << size_bits))
+        if isinstance(predictor_modes, int):
+            modes = [predictor_modes] * (bwb * bhb)
+        else:
+            modes = list(predictor_modes)
+            if len(modes) != bwb * bhb:
+                raise ValueError("predictor mode grid size mismatch")
+        if any(not 0 <= m <= 13 for m in modes):
+            raise ValueError("bad predictor mode")
+        bw.write(1, 1)
+        bw.write(0, 2)  # PREDICTOR
+        bw.write(size_bits - 2, 3)
+        _write_entropy_image(
+            bw, [(0, 0, m, 0) for m in modes], is_argb=False
+        )
+        _predictor_pass(pix, w, h, modes, size_bits, inverse=False)
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN
+        pix = [(pa, (r - g) & 0xFF, g, (b - g) & 0xFF) for pa, r, g, b in pix]
+    bw.write(0, 1)  # end of transforms
+    _write_entropy_image(bw, pix, is_argb=True)
+    payload = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -232,7 +232,11 @@ def test_multimodal_codec_formats_gate_cleanly():
     ValueError; uncompressed formats decode."""
     with pytest.raises(ValueError):  # valid JPEG magic, truncated stream
         mm.resize_image(b"\xff\xd8\xff\xe0 jpeg bytes", 10, 10)
-    with pytest.raises(NotImplementedError, match="WebP"):
+    # r15: lossless VP8L decodes for real; LOSSY VP8 still gates by name
+    # and a WEBP form with no image chunk is malformed, not a gate
+    with pytest.raises(NotImplementedError, match="VP8"):
+        mm.decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00xxxx")
+    with pytest.raises(ValueError):
         mm.decode_image(b"RIFF\x04\x00\x00\x00WEBPxxxx")
     with pytest.raises(ValueError):  # valid GIF magic, truncated header
         mm.decode_image(b"GIF89a fake")

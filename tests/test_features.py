@@ -1299,6 +1299,130 @@ def test_gif_lzw_eoi_width_boundary():
             assert list(_gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs, n)) == list(idx)
 
 
+def test_webp_vp8l_round_trips():
+    """r15: lossless WebP (VP8L) encode→decode is bit-exact across every
+    encoder path — plain literals (simple/trivial/normal prefix codes),
+    SUBTRACT_GREEN, and the PREDICTOR transform with all 14 modes plus a
+    random per-block mode grid (the shared _predict kernel keeps forward
+    subtraction and inverse addition symmetric by construction)."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (5, 7), (16, 16), (13, 21)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (decode_webp(encode_webp_lossless(img)) == img).all()
+    img = rng.integers(0, 256, (11, 14, 3)).astype(np.uint8)
+    assert (
+        decode_webp(encode_webp_lossless(img, subtract_green=True)) == img
+    ).all()
+    img = rng.integers(0, 256, (20, 24, 3)).astype(np.uint8)
+    for mode in range(14):
+        out = decode_webp(
+            encode_webp_lossless(img, predictor_modes=mode, predictor_size_bits=2)
+        )
+        assert (out == img).all(), f"predictor mode {mode}"
+    grid = rng.integers(0, 14, (-(-24 // 4)) * (-(-20 // 4))).tolist()
+    out = decode_webp(
+        encode_webp_lossless(
+            img, subtract_green=True, predictor_modes=grid, predictor_size_bits=2
+        )
+    )
+    assert (out == img).all()
+    # few-color (2-symbol simple codes) and constant (trivial codes)
+    two = (rng.integers(0, 2, (9, 9, 3)) * 200).astype(np.uint8)
+    assert (decode_webp(encode_webp_lossless(two)) == two).all()
+    const = np.full((6, 6, 3), 77, np.uint8)
+    assert (decode_webp(encode_webp_lossless(const)) == const).all()
+
+
+def test_webp_gates_and_malformed():
+    """r15: lossy VP8 / extended VP8X / meta prefix codes / color
+    transform / color indexing / 2D near-distances gate by name;
+    truncation and garbage are ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from es_ch_sync_spark.operators.webp import (
+        _BitWriterLSB,
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    def riff(fourcc, payload):
+        chunk = fourcc + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_webp(riff(b"VP8 ", b"\x00" * 8))
+    with pytest.raises(NotImplementedError, match="VP8X"):
+        decode_webp(riff(b"VP8X", b"\x00" * 10))
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x04\x00\x00\x00WEBP")  # no image chunk
+    with pytest.raises(ValueError):
+        decode_webp(b"not a webp")
+
+    good = encode_webp_lossless(np.full((4, 4, 3), 9, np.uint8))
+    with pytest.raises(ValueError):
+        decode_webp(good[: len(good) - 3])  # truncated bitstream
+
+    def vp8l_header(**bits):
+        bw = _BitWriterLSB()
+        bw.write(3, 14)  # w-1
+        bw.write(3, 14)  # h-1
+        bw.write(0, 1)
+        bw.write(0, 3)
+        return bw
+
+    # color transform gates
+    bw = vp8l_header()
+    bw.write(1, 1)
+    bw.write(1, 2)  # COLOR_TRANSFORM
+    with pytest.raises(NotImplementedError, match="color transform"):
+        decode_webp(riff(b"VP8L", b"\x2f" + bw.flush()))
+    # color indexing gates
+    bw = vp8l_header()
+    bw.write(1, 1)
+    bw.write(3, 2)  # COLOR_INDEXING
+    with pytest.raises(NotImplementedError, match="color indexing"):
+        decode_webp(riff(b"VP8L", b"\x2f" + bw.flush()))
+    # meta prefix codes gate
+    bw = vp8l_header()
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # meta prefix bit
+    with pytest.raises(NotImplementedError, match="meta prefix"):
+        decode_webp(riff(b"VP8L", b"\x2f" + bw.flush()))
+
+
+def test_synth_webp_blob_matches_formula():
+    """Every synth_webp_blob variant (literals / subtract-green /
+    predictor) decodes to the shared gradient formula — the
+    multimodal_webp_stats oracle property."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import (
+        SYNTH_H,
+        SYNTH_W,
+        decode_image,
+        synth_webp_blob,
+    )
+
+    x = np.arange(SYNTH_W)[None, :, None]
+    y = np.arange(SYNTH_H)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    for mid in (0, 1, 2, 3, 13, 14, 41):
+        want = ((mid + 3 * x + 5 * y + 85 * c) % 256).astype(np.uint8)
+        assert (decode_image(synth_webp_blob(mid)) == want).all(), mid
+
+
 def test_jpeg_round_trip_exact_on_block_constant():
     """r14: constant 8×8 blocks + q=1 survive the lossy codec EXACTLY
     (DC = 8·(v−128), AC = 0 — both integer before quantization), across

@@ -2871,6 +2871,19 @@ def _r7b_sections(spark, docs, replicas, only):
         )
         gd.unpersist()
 
+        # lossless WebP (VP8L) at scale: per-doc prefix-code encode +
+        # decode with the transform mix the fixture rotates through
+        wp = docs.select(F.col("doc_id")).limit(200_000).cache()
+        wp.count()
+        timed(
+            f"multimodal_webp_stats x{replicas} (200k docs, VP8L "
+            "encode+decode)",
+            lambda: mm.extract_pixel_features(
+                mm.synth_media(wp, "webp")
+            ).count(),
+        )
+        wp.unpersist()
+
 
 if __name__ == "__main__":
     main()
