@@ -125,6 +125,12 @@ EXTRA = [
     "multimodal_video_frames",
     "ann_ivfpq_index_topk",
     "duplicate_span_census",
+    # round-15 representatives: progressive-JPEG decode, animated-GIF
+    # frame census, VP8L decode, and the persisted-index recall curve
+    "multimodal_jpeg_progressive",
+    "gif_frame_dedup",
+    "multimodal_webp_stats",
+    "ann_ivfpq_recall",
 ]
 
 

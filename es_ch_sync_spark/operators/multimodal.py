@@ -241,20 +241,57 @@ def decode_wav_pcm16(blob: bytes):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(arr) -> bytes:
-    """(H, W, 3) uint8 RGB → PNG bytes (bit depth 8, color type 2,
-    filter 0 on every scanline, one zlib IDAT) — pure stdlib zlib +
-    struct, no image library.  The minimal-but-conformant writer any
-    PNG reader accepts; pairs with :func:`decode_png` for the synth
-    round-trip oracles."""
+def encode_png(arr, color_type: int | None = None, interlace: bool = False) -> bytes:
+    """uint8 image → PNG bytes — pure stdlib zlib + struct, no image
+    library.  (H, W, 3) RGB encodes as color type 2 (truecolor) or — with
+    ``color_type=3`` — as a PLTE-paletted image (ValueError above 256
+    distinct colors); (H, W) grayscale encodes as color type 0.  All at
+    bit depth 8, filter 0 on every scanline, one zlib IDAT;
+    ``interlace=True`` writes the real Adam7 pass structure.  Pairs with
+    :func:`decode_png` for the synth round-trip oracles."""
     import struct
     import zlib
 
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
-    h, w, _ = a.shape
-    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    gray = a.ndim == 2
+    if color_type is None:
+        color_type = 0 if gray else 2
+    if color_type == 0 and not gray:
+        raise ValueError("grayscale PNG needs a 2-D array")
+    if color_type in (2, 3) and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("truecolor/paletted PNG needs (H, W, 3)")
+    if color_type not in (0, 2, 3):
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    h, w = a.shape[:2]
+    plte = b""
+    if color_type == 3:
+        colors, inverse = np.unique(
+            a.reshape(-1, 3), axis=0, return_inverse=True
+        )
+        if len(colors) > 256:
+            raise ValueError(
+                f"PNG palette overflow: {len(colors)} > 256 colors"
+            )
+        plte = colors.astype(np.uint8).tobytes()
+        img = inverse.reshape(h, w).astype(np.uint8)
+    elif color_type == 0:
+        img = a
+    else:
+        img = a
+
+    def pass_bytes(sub) -> bytes:
+        return b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+
+    if interlace:
+        raw = b"".join(
+            pass_bytes(img[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _PNG_PASSES
+            if img[y0::dy, x0::dx].shape[0] and img[y0::dy, x0::dx].shape[1]
+        )
+    else:
+        raw = pass_bytes(img)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -264,24 +301,79 @@ def encode_png(arr) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
     )
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per spec §8.2.
+_PNG_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_unfilter(raw, offset, ph, stride, fbpp):
+    """Reconstruct ``ph`` scanlines of ``stride`` filtered bytes starting
+    at ``offset`` (all five filter types per spec §9); returns a
+    (ph, stride) uint8 array.  Up/None rows reconstruct vectorized;
+    Sub/Average/Paeth run the spec's sequential byte recurrence."""
+    import numpy as np
+
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    for y in range(ph):
+        ftype = raw[offset + y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, offset + y * (stride + 1) + 1
+        ).copy()
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — fully vectorized
+            cur = line + prev
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(fbpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - fbpp])) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - fbpp]) if x >= fbpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - fbpp]) if x >= fbpp else 0
+                b = int(prev[x])
+                c = int(prev[x - fbpp]) if x >= fbpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = cur
+    return out
 
 
 def decode_png(blob: bytes):
     """PNG → (H, W, 3) uint8 RGB — pure stdlib zlib + numpy: chunk walk,
-    one zlib inflate, per-scanline unfilter (all five filter types 0-4
-    per the spec's reconstruction functions).  Supported: bit depth 8,
-    color types 2 (RGB) and 6 (RGBA — alpha dropped), non-interlaced.
-    Interlaced (Adam7), paletted, grayscale, and 16-bit images raise
-    NotImplementedError naming the feature.  Up/None rows reconstruct
-    vectorized; Sub/Average/Paeth run the spec's sequential byte
-    recurrence (correctness path — the synth writer emits filter 0)."""
+    one zlib inflate, per-scanline unfilter, sample decode.
+
+    Supported (r15 — the full spec color/interlace matrix): color types
+    0 (grayscale, depths 1/2/4/8/16), 2 (RGB, 8/16), 3 (paletted,
+    1/2/4/8), 4 (gray+alpha, 8/16) and 6 (RGBA, 8/16), each either
+    non-interlaced or Adam7-interlaced.  Sub-8-bit samples scale to
+    8-bit by the exact 255/(2^d−1) factor; 16-bit samples take the high
+    byte; alpha is dropped.  Malformed streams raise ValueError."""
     import struct
     import zlib
 
@@ -291,6 +383,7 @@ def decode_png(blob: bytes):
         raise ValueError("not a PNG")
     pos, w = len(_PNG_SIG), None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(blob):
         size, tag = struct.unpack_from(">I4s", blob, pos)
         body = blob[pos + 8 : pos + 8 + size]
@@ -302,13 +395,16 @@ def decode_png(blob: bytes):
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or ctype not in (2, 6) or interlace:
-                raise NotImplementedError(
-                    f"PNG depth={depth} color_type={ctype} "
-                    f"interlace={interlace}: only 8-bit RGB/RGBA, "
-                    "non-interlaced"
+            if ctype not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[ctype]:
+                raise ValueError(
+                    f"bad PNG depth={depth} color_type={ctype} combination"
                 )
-            bpp = 3 if ctype == 2 else 4
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+        elif tag == b"PLTE":
+            if size % 3:
+                raise ValueError("bad PNG PLTE size")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -316,45 +412,55 @@ def decode_png(blob: bytes):
         pos += 12 + size
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if ctype == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
     raw = zlib.decompress(bytes(idat))
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline payload size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
-        ).copy()
-        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
-        if ftype == 0:
-            cur = line
-        elif ftype == 2:  # Up — fully vectorized
-            cur = line + prev
-        elif ftype == 1:  # Sub
-            cur = line
-            for x in range(bpp, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
-        elif ftype == 3:  # Average
-            cur = line
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(cur[x]) + pr) & 0xFF
+    channels = _PNG_CHANNELS[ctype]
+    fbpp = max(1, channels * depth // 8)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    passes = _PNG_PASSES if interlace else ((0, 0, 1, 1),)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * channels * depth + 7) // 8
+        need = ph * (stride + 1)
+        if pos + need > len(raw):
+            raise ValueError("PNG scanline payload size mismatch")
+        rows = _png_unfilter(raw, pos, ph, stride, fbpp)
+        pos += need
+        if depth == 8:
+            samples = rows[:, : pw * channels]
+        elif depth == 16:
+            samples = rows.reshape(ph, -1)[:, : pw * channels * 2 : 2]
         else:
-            raise ValueError(f"PNG filter type {ftype}")
-        out[y] = cur
-    px = out.reshape(h, w, bpp)
-    return px[:, :, :3].copy() if bpp == 4 else px.reshape(h, w, 3).copy()
+            bits = np.unpackbits(rows, axis=1)
+            samples = (
+                bits[:, : pw * channels * depth]
+                .reshape(ph, pw * channels, depth)
+                .dot(1 << np.arange(depth - 1, -1, -1))
+                .astype(np.uint8)
+            )
+        if ctype == 3:
+            idx = samples.reshape(ph, pw).astype(np.int64)
+            if int(idx.max(initial=0)) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            rgb = plte[idx]
+        elif ctype in (0, 4):
+            g = samples.reshape(ph, pw, channels)[:, :, 0]
+            if depth < 8:
+                g = (g.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+                    np.uint8
+                )
+            rgb = np.stack([g] * 3, axis=-1)
+        else:
+            rgb = samples.reshape(ph, pw, channels)[:, :, :3]
+        out[y0::dy, x0::dx] = rgb
+    if pos != len(raw):
+        raise ValueError("PNG scanline payload size mismatch")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2120,6 +2226,25 @@ def synth_jpeg_blob(media_id: int) -> bytes:
     return encode_jpeg(np.repeat(np.repeat(vals, 8, 0), 8, 1))
 
 
+def synth_pngx_blob(media_id: int) -> bytes:
+    """Same deterministic gradient as synth_png_blob, but rotating
+    through the r15 PNG variant matrix by media_id mod 4: truecolor /
+    paletted / truecolor+Adam7 / paletted+Adam7 — all lossless, so one
+    closed-form oracle checks every container variant."""
+    import numpy as np
+
+    x = np.arange(SYNTH_W)[None, :, None]
+    y = np.arange(SYNTH_H)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    img = ((media_id + 3 * x + 5 * y + 85 * c) % 256).astype(np.uint8)
+    variant = media_id % 4
+    return encode_png(
+        img,
+        color_type=3 if variant in (1, 3) else 2,
+        interlace=variant >= 2,
+    )
+
+
 def synth_webp_blob(media_id: int) -> bytes:
     """Same deterministic gradient as synth_bmp_blob, LOSSLESS-WebP
     (VP8L) encoded — one synthetic pixel formula, now five real container
@@ -2206,6 +2331,7 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
         "pjpeg": synth_pjpeg_blob,
         "agif": synth_agif_blob,
         "webp": synth_webp_blob,
+        "pngx": synth_pngx_blob,
         "mjpeg": synth_mjpeg_blob,
     }.get(kind, synth_wav_blob)
     schema = T.StructType(

@@ -1803,6 +1803,20 @@ def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_png_variants", _PIXEL_STATS_ORACLE)
+def q_multimodal_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode across the r15 variant matrix: the corpus rotates
+    through truecolor / paletted / truecolor+Adam7 / paletted+Adam7 by
+    media_id (operators/multimodal.py decode_png now covers grayscale,
+    palette, 16-bit and Adam7 interlace — the variants a real web corpus
+    actually contains).  All variants are lossless, so the SAME
+    generating-formula oracle value-hashes every one of them."""
+    media = mm.synth_media(_docs(spark, sf_dir), "pngx")
+    return mm.extract_pixel_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 @register("multimodal_webp_stats", _PIXEL_STATS_ORACLE)
 def q_multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossless-WebP (VP8L) decode, no image library (r14 VERDICT

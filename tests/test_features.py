@@ -963,11 +963,103 @@ def test_png_round_trip_and_filters():
     raw4 = bytes([0, 9, 8, 7, 255, 1, 2, 3, 128])
     out4 = decode_png(png(2, 1, raw4, ctype=6))
     assert out4.tolist() == [[[9, 8, 7], [1, 2, 3]]]
-    # Adam7 interlace gates
+    # r15: Adam7 is un-gated — a stream declaring interlace but carrying
+    # a non-interlaced payload is now a size-mismatch ValueError
     import pytest
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(png(2, 2, raw, interlace=1))
+
+
+def test_png_variant_matrix():
+    """r15: the full PNG color/interlace matrix decodes — grayscale,
+    paletted, RGB, each plain and Adam7-interlaced (encoder-paired), and
+    hand-built 16-bit / 4-bit grayscale and 1-bit paletted streams
+    (sub-8-bit samples scale by exactly 255/(2^d−1); 16-bit takes the
+    high byte)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(9)
+    for h, w in [(1, 1), (5, 7), (16, 16), (13, 21)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (decode_png(encode_png(img, interlace=True)) == img).all()
+    pal = rng.integers(0, 256, (40, 3)).astype(np.uint8)
+    img = pal[rng.integers(0, 40, (11, 14))]
+    assert (decode_png(encode_png(img, color_type=3)) == img).all()
+    assert (
+        decode_png(encode_png(img, color_type=3, interlace=True)) == img
+    ).all()
+    g = rng.integers(0, 256, (9, 13)).astype(np.uint8)
+    for il in (False, True):
+        out = decode_png(encode_png(g, interlace=il))
+        assert (out[..., 0] == g).all() and (out == out[..., :1]).all()
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, raw, depth, ctype, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        return (
+            _PNG_SIG + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # 16-bit gray: samples v*257 → high byte == v
+    h, w = 4, 5
+    v = rng.integers(0, 256, (h, w)).astype(np.uint16)
+    raw = b"".join(b"\x00" + (v[y] * 257).astype(">u2").tobytes() for y in range(h))
+    assert (decode_png(png(w, h, raw, 16, 0))[..., 0] == v).all()
+    # 4-bit gray, two samples per byte MSB-first, scale ×17
+    h, w = 3, 5
+    v4 = rng.integers(0, 16, (h, w))
+
+    def pack4(row):
+        bs = bytearray()
+        for i in range(0, len(row), 2):
+            bs.append(row[i] << 4 | (row[i + 1] if i + 1 < len(row) else 0))
+        return bytes(bs)
+
+    raw = b"".join(b"\x00" + pack4(list(v4[y])) for y in range(h))
+    assert (decode_png(png(w, h, raw, 4, 0))[..., 0] == v4 * 17).all()
+    # 1-bit paletted
+    h, w = 3, 9
+    v1 = rng.integers(0, 2, (h, w))
+
+    def pack1(row):
+        bs, acc, n = bytearray(), 0, 0
+        for b in row:
+            acc, n = (acc << 1) | b, n + 1
+            if n == 8:
+                bs.append(acc)
+                acc, n = 0, 0
+        if n:
+            bs.append(acc << (8 - n))
+        return bytes(bs)
+
+    raw = b"".join(b"\x00" + pack1(list(v1[y])) for y in range(h))
+    pal2 = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    blob = png(w, h, raw, 1, 3, extra=chunk(b"PLTE", pal2.tobytes()))
+    assert (decode_png(blob) == pal2[v1]).all()
+    # paletted stream without PLTE is malformed
+    import pytest
+
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(png(w, h, raw, 1, 3))
+    # bad depth/color combos are ValueError now (no silent decode)
+    with pytest.raises(ValueError, match="combination"):
+        decode_png(png(2, 2, b"", 4, 2))
 
 
 def test_decode_image_dispatches_png():
@@ -1400,6 +1492,27 @@ def test_webp_gates_and_malformed():
     bw.write(1, 1)  # meta prefix bit
     with pytest.raises(NotImplementedError, match="meta prefix"):
         decode_webp(riff(b"VP8L", b"\x2f" + bw.flush()))
+
+
+def test_synth_pngx_blob_matches_formula():
+    """Every synth_pngx_blob variant (truecolor/paletted × plain/Adam7)
+    decodes to the shared gradient — the multimodal_png_variants oracle
+    property."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.multimodal import (
+        SYNTH_H,
+        SYNTH_W,
+        decode_image,
+        synth_pngx_blob,
+    )
+
+    x = np.arange(SYNTH_W)[None, :, None]
+    y = np.arange(SYNTH_H)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    for mid in (0, 1, 2, 3, 17, 42):
+        want = ((mid + 3 * x + 5 * y + 85 * c) % 256).astype(np.uint8)
+        assert (decode_image(synth_pngx_blob(mid)) == want).all(), mid
 
 
 def test_synth_webp_blob_matches_formula():

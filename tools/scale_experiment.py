@@ -2884,6 +2884,20 @@ def _r7b_sections(spark, docs, replicas, only):
         )
         wp.unpersist()
 
+        # PNG variant matrix at scale: palette build + Adam7 pass
+        # splitting on encode, inflate + unfilter + palette/interlace
+        # reassembly on decode, per doc
+        px15 = docs.select(F.col("doc_id")).limit(200_000).cache()
+        px15.count()
+        timed(
+            f"multimodal_png_variants x{replicas} (200k docs, "
+            "4-variant encode+decode)",
+            lambda: mm.extract_pixel_features(
+                mm.synth_media(px15, "pngx")
+            ).count(),
+        )
+        px15.unpersist()
+
 
 if __name__ == "__main__":
     main()
