@@ -592,11 +592,22 @@ def _gif_lzw_decode(data: bytes, mcs: int, expected: int) -> list[int]:
     return out
 
 
-def encode_gif(arr) -> bytes:
+def _gif_interlace_rows(h: int) -> list[int]:
+    """GIF89a appendix E interlace order: the row indices in the order
+    the four passes store them (pass 1: every 8th from 0; pass 2: every
+    8th from 4; pass 3: every 4th from 2; pass 4: every 2nd from 1)."""
+    return (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+
+
+def encode_gif(arr, interlace: bool = False) -> bytes:
     """(H, W, 3) uint8 RGB → single-frame GIF87a bytes: global palette
     (np.unique color order — deterministic), LZW-compressed index
-    stream.  Raises ValueError above 256 distinct colors (inherent GIF
-    limit, not a gate)."""
+    stream; ``interlace=True`` stores rows in the real 4-pass order.
+    Raises ValueError above 256 distinct colors (inherent GIF limit,
+    not a gate)."""
     import struct
 
     import numpy as np
@@ -612,15 +623,20 @@ def encode_gif(arr) -> bytes:
     pal = np.zeros((size, 3), np.uint8)
     pal[: len(colors)] = colors
     mcs = max(2, bits)  # spec: LZW min code size >= 2
+    idx = inverse.reshape(h, w)
+    if interlace:
+        idx = idx[_gif_interlace_rows(h)]
     out = bytearray()
     out += b"GIF87a"
     out += struct.pack(
         "<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0
     )
     out += pal.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
     out.append(mcs)
-    data = _gif_lzw_encode(inverse.reshape(-1), mcs)
+    data = _gif_lzw_encode(idx.reshape(-1), mcs)
     for i in range(0, len(data), 255):
         block = data[i : i + 255]
         out.append(len(block))
@@ -635,10 +651,10 @@ def parse_gif_frames(blob: bytes) -> dict:
     (r14 VERDICT directive #2: animated GIF un-gated).
 
     Supported: any number of full-canvas frames, global or local color
-    tables, graphic-control extensions with disposal "unspecified" (0) or
-    "do not dispose" (1) — full-canvas frames fully replace the canvas
-    under both, so no compositing state is needed.  Interlace,
-    partial-canvas frames, transparency, and disposal 2/3
+    tables, 4-pass interlace (r15), graphic-control extensions with
+    disposal "unspecified" (0) or "do not dispose" (1) — full-canvas
+    frames fully replace the canvas under both, so no compositing state
+    is needed.  Partial-canvas frames, transparency, and disposal 2/3
     (restore-to-background/previous, which DO need compositing) raise
     NotImplementedError naming the feature; truncation and malformed
     streams raise ValueError."""
@@ -701,8 +717,6 @@ def parse_gif_frames(blob: bytes) -> dict:
                 raise ValueError("truncated GIF image descriptor")
             left, top, iw, ih, ip = struct.unpack_from("<HHHHB", blob, pos + 1)
             pos += 10
-            if ip & 0x40:
-                raise NotImplementedError("interlaced GIF")
             if (left, top) != (0, 0) or (iw, ih) != (w, h):
                 raise NotImplementedError("partial-canvas GIF frame")
             pal = gct
@@ -737,7 +751,12 @@ def parse_gif_frames(blob: bytes) -> dict:
             )
             if int(idx.max(initial=0)) >= len(pal):
                 raise ValueError("GIF index outside color table")
-            frames.append(pal[idx].reshape(ih, iw, 3).copy())
+            frame = pal[idx].reshape(ih, iw, 3).copy()
+            if ip & 0x40:  # interlaced: stored rows map to 4-pass order
+                out = np.empty_like(frame)
+                out[_gif_interlace_rows(ih)] = frame
+                frame = out
+            frames.append(frame)
             delays.append(pending_delay)
             pending_delay = 0
         else:
@@ -2193,13 +2212,18 @@ def synth_png_blob(media_id: int) -> bytes:
 def synth_gif_blob(media_id: int) -> bytes:
     """Same deterministic gradient as synth_bmp_blob, GIF-encoded — the
     48-pixel gradient has ≤ 48 distinct colors, comfortably inside the
-    256-color palette."""
+    256-color palette.  Odd media_ids store the real 4-pass INTERLACED
+    row order (r15), so the one oracle-checked query covers both
+    layouts (lossless either way)."""
     import numpy as np
 
     x = np.arange(SYNTH_W)[None, :, None]
     y = np.arange(SYNTH_H)[:, None, None]
     c = np.arange(3)[None, None, :]
-    return encode_gif((media_id + 3 * x + 5 * y + 85 * c) % 256)
+    return encode_gif(
+        (media_id + 3 * x + 5 * y + 85 * c) % 256,
+        interlace=bool(media_id % 2),
+    )
 
 
 def synth_wav_blob(media_id: int) -> bytes:

@@ -1279,8 +1279,8 @@ def test_cumulative_gains_hand_computed(spark):
 def test_gif_round_trip_and_gates():
     """encode_gif -> decode_gif is pixel-exact (including LZW width
     boundary crossings); 89a extension blocks skip; malformed input is
-    ValueError; animation/interlace/partial-canvas gate with
-    NotImplementedError; palette overflow is ValueError."""
+    ValueError; animation and interlace decode for REAL (r15);
+    partial-canvas still gates; palette overflow is ValueError."""
     import struct
 
     import numpy as np
@@ -1345,11 +1345,26 @@ def test_gif_round_trip_and_gates():
     assert np.array_equal(v["frames"][0], v["frames"][1])
     assert np.array_equal(decode_gif(animated), decode_gif(b))
 
-    # interlace gate: flip the interlace bit in the image descriptor
-    bl = bytearray(b)
-    bl[di + 9] |= 0x40
-    with pytest.raises(NotImplementedError):
-        decode_gif(bytes(bl))
+    # r15: interlace is un-gated — a real interlaced encode round-trips,
+    # and flipping the flag on sequential rows applies the 4-pass
+    # reorder (valid parse, permuted rows)
+    from es_ch_sync_spark.operators.multimodal import (
+        _gif_interlace_rows,
+        encode_gif,
+    )
+
+    base = decode_gif(synth_gif_blob(4))
+    inter = decode_gif(encode_gif(base, interlace=True))
+    assert np.array_equal(inter, base)
+    # flag flipped on SEQUENTIAL rows (plain encode of base): the 4-pass
+    # reorder applies, so gathering by the pass order restores them
+    plain = bytearray(encode_gif(base))
+    di2 = 13 + (2 << (plain[10] & 0x07)) * 3
+    assert plain[di2] == 0x2C
+    plain[di2 + 9] |= 0x40
+    scrambled = decode_gif(bytes(plain))
+    order = _gif_interlace_rows(scrambled.shape[0])
+    assert np.array_equal(scrambled[order], base)
 
     # partial-canvas gate: shrink the frame width field
     bl2 = bytearray(b)
