@@ -1796,7 +1796,7 @@ def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME generating-formula oracle checks it, so a value-hash match
     proves the full PNG container round trip — the codec gate that
     used to raise NotImplementedError is now a real decoder (as of
-    r14 only WebP/MP4 still gate on an external library)."""
+    r15 only lossy WebP/MP4 still gate on an external library)."""
     media = mm.synth_media(_docs(spark, sf_dir), "png")
     return mm.extract_pixel_features(media).select(
         "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
@@ -2010,11 +2010,12 @@ def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GIF87a-encoded executor-side (≤48-color global palette + stdlib
     LZW) and decoded back through header walk → LZW → palette lookup →
     numpy stats.  The SAME generating-formula oracle checks it, so a
-    value-hash match proves the full GIF container round trip —
-    animation/interlace/partial-canvas stay explicitly gated (r14:
-    baseline JPEG and MJPEG-AVI decode for real now — see
-    multimodal_jpeg_stats / multimodal_video_frames; WebP/MP4 still
-    need an external library)."""
+    value-hash match proves the full GIF container round trip — the
+    corpus rotates plain/interlaced layouts (r15: animation and
+    interlace decode for real — see gif_frame_dedup; only
+    partial-canvas/transparency/disposal-2-3 still gate, and of the
+    codec formats only lossy WebP/MP4 still need an external
+    library)."""
     media = mm.synth_media(_docs(spark, sf_dir), "gif")
     return mm.extract_pixel_features(media).select(
         "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
