@@ -107,6 +107,9 @@ HEADLINE = [
     "es_cell_array_scan", "duplicate_span_census", "ann_ivfpq_index_topk",
     "ann_ivfpq_rerank_topk", "multimodal_jpeg_stats",
     "multimodal_video_frames", "video_frame_dedup",
+    # round 15
+    "multimodal_jpeg_progressive", "gif_frame_dedup", "ann_ivfpq_recall",
+    "multimodal_webp_stats", "multimodal_png_variants",
 ]
 
 MARKERS = [
