@@ -414,11 +414,30 @@ def decode_png(blob: bytes):
         raise ValueError("PNG missing IHDR/IDAT")
     if ctype == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # zlib.error is not in the row-level catch tuple; a corrupt
+        # IDAT must surface as ValueError so one bad blob lands in its
+        # row's error column instead of failing the job (r15 fuzz find)
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     channels = _PNG_CHANNELS[ctype]
     fbpp = max(1, channels * depth // 8)
-    out = np.zeros((h, w, 3), dtype=np.uint8)
     passes = _PNG_PASSES if interlace else ((0, 0, 1, 1),)
+    # Validate the TOTAL expected scanline payload against what actually
+    # inflated BEFORE allocating the output: a corrupted IHDR can claim
+    # multi-gigapixel dimensions and a naive h×w allocation would
+    # MemoryError (r15 fuzz find) — the inflated byte count bounds every
+    # allocation instead.
+    total = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw > 0 and ph > 0:
+            total += ph * (1 + (pw * channels * depth + 7) // 8)
+    if total != len(raw):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, w, 3), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in passes:
         pw = (w - x0 + dx - 1) // dx if w > x0 else 0
@@ -1715,6 +1734,13 @@ def decode_jpeg(blob: bytes):
                 raise NotImplementedError("JPEG sampling factors above 2x2")
             if not fh or not fw:
                 raise ValueError("zero JPEG dimensions")
+            if fh * fw > (1 << 26):
+                # resource bound, not malformed: the pure-python decoder
+                # tops out far below the 65535² the format allows, and a
+                # corrupted SOF must not trigger a multi-GB allocation
+                raise NotImplementedError(
+                    "JPEG larger than 64 MP (pure-python decoder bound)"
+                )
             frame = {"h": fh, "w": fw, "comps": comps}
             maxh = max(c["h"] for c in comps)
             maxv = max(c["v"] for c in comps)

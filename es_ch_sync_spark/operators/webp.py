@@ -483,6 +483,12 @@ def _decode_vp8l(payload: bytes):
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("bad VP8L version")
+    if w * h > (1 << 26):
+        # resource bound, not malformed: a corrupted header must not
+        # trigger a quarter-billion-entry pixel list allocation
+        raise NotImplementedError(
+            "VP8L larger than 64 MP (pure-python decoder bound)"
+        )
     transforms = []
     seen = set()
     while br.read(1):

@@ -1551,6 +1551,59 @@ def test_synth_webp_blob_matches_formula():
         assert (decode_image(synth_webp_blob(mid)) == want).all(), mid
 
 
+def test_decoder_corruption_fuzz():
+    """r15: every codec honors the row-level error contract under random
+    corruption — seeded single/multi-byte flips and truncations of valid
+    blobs may only raise the _ROW_DECODE_ERRORS members (ValueError /
+    NotImplementedError / IndexError / KeyError / struct.error), never
+    an unlisted exception that would fail a whole Spark job on one bad
+    real-world blob.  (This fuzz caught zlib.error escaping from a
+    corrupt PNG IDAT — now re-raised as ValueError.)"""
+    import numpy as np
+
+    from es_ch_sync_spark.operators import multimodal as mm
+    from es_ch_sync_spark.operators.multimodal import _ROW_DECODE_ERRORS
+
+    rng = np.random.default_rng(77)
+    blobs = {
+        "jpeg": mm.synth_jpeg_blob(5),
+        "pjpeg": mm.synth_pjpeg_blob(5),
+        "png": mm.synth_png_blob(5),
+        "pngx": mm.synth_pngx_blob(6),
+        "gif": mm.synth_gif_blob(5),
+        "agif": mm.synth_agif_blob(5),
+        "webp": mm.synth_webp_blob(5),
+        "bmp": mm.synth_bmp_blob(5),
+    }
+    for name, blob in blobs.items():
+        for _trial in range(120):
+            b = bytearray(blob)
+            for _ in range(int(rng.integers(1, 4))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            if rng.random() < 0.3:
+                b = b[: int(rng.integers(0, len(b)))]
+            try:
+                mm.decode_image(bytes(b))
+            except _ROW_DECODE_ERRORS:
+                pass  # the contract: only these may escape
+        for cut in range(0, len(blob), max(1, len(blob) // 40)):
+            try:
+                mm.decode_image(blob[:cut])
+            except _ROW_DECODE_ERRORS:
+                pass
+    vb = mm.synth_mjpeg_blob(5)
+    for _trial in range(100):
+        b = bytearray(vb)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            v = mm.parse_mjpeg_avi(bytes(b))
+            for f in v["frames"]:
+                mm.decode_jpeg(f)
+        except _ROW_DECODE_ERRORS:
+            pass
+
+
 def test_jpeg_round_trip_exact_on_block_constant():
     """r14: constant 8×8 blocks + q=1 survive the lossy codec EXACTLY
     (DC = 8·(v−128), AC = 0 — both integer before quantization), across
