@@ -33,7 +33,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-PASSES = 3  # timed sessions per invocation (see noise discipline above)
+PASSES = 4  # timed sessions per invocation (see noise discipline above)
 
 HEADLINE = [
     # reference surface
@@ -320,6 +320,7 @@ def main() -> None:
             "settled": settled,
             "settle_wait_sec": settle_wait,
             "settle_threshold": settle_threshold,
+            "session_loadavg": session_loads,
         },
     }
     if errors:

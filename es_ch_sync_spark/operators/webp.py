@@ -213,12 +213,19 @@ def _predict(mode: int, L, T, TL, TR):
         p = tuple(a + b - c for a, b, c in zip(L, T, TL))
         p_l = sum(abs(x - y) for x, y in zip(p, L))
         p_t = sum(abs(x - y) for x, y in zip(p, T))
-        return L if p_l <= p_t else T
+        # Spec tie-break: strictly "if (pL < pT) return L else return T",
+        # so ties return T (matches libwebp).
+        return L if p_l < p_t else T
     if mode == 12:
         return tuple(_clamp(a + b - c) for a, b, c in zip(L, T, TL))
     if mode == 13:
         ave = _avg2(L, T)
-        return tuple(_clamp(a + (a - c) // 2) for a, c in zip(ave, TL))
+        # ClampAddSubtractHalf: the spec's (a - c) / 2 is C division,
+        # truncating toward zero — Python // floors, which differs for
+        # negative odd differences.
+        return tuple(
+            _clamp(a + int((a - c) / 2)) for a, c in zip(ave, TL)
+        )
     raise ValueError(f"bad VP8L predictor mode {mode}")
 
 

@@ -295,6 +295,28 @@ _DRIVER_SAMPLED_R14 = frozenset({
 
 _DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R14
 
+_DRIVER_SAMPLED_R15 = frozenset({
+    'ann_cosine_topk', 'ann_ivfpq_recall', 'conflict_audit',
+    'containment_pairs_prefix', 'corpus_pipeline', 'decontaminate',
+    'dedup_ari_exact_vs_lsh', 'dedup_audit_panel',
+    'dedup_cluster_sizes', 'dedup_clusters', 'dedup_clusters_star',
+    'dedup_containment', 'dedup_exact', 'dedup_incremental',
+    'dedup_minhash_lsh', 'dedup_simhash', 'dedup_write', 'dim_join',
+    'dim_join_unresolved', 'distinct_tokens', 'edit_distance_pairs',
+    'embedding_near_dup', 'es_cell_array_scan', 'es_dsl_scan',
+    'es_status_scan', 'exists_any', 'gif_frame_dedup',
+    'global_shuffle', 'mmr_rerank_topk', 'multimodal_jpeg_progressive',
+    'multimodal_png_variants', 'multimodal_webp_stats',
+    'ngram_jaccard', 'nmi_exact_vs_lsh', 'oldest_signal',
+    'pack_sequences', 'project_prune', 'quality_budget_select',
+    'resume_points', 'resume_points_incremental', 'scan_filter',
+    'source_cap', 'split_leakage_report', 'stratified_sample',
+    'text_analysis', 'text_repetition', 'tfidf_top_terms', 'topk_scan',
+    'train_test_split', 'unpivot_signals',
+})
+
+_DRIVER_SAMPLED = _DRIVER_SAMPLED | _DRIVER_SAMPLED_R15
+
 # Queries whose LATEST driver row is red for a since-fixed reason and must
 # be re-sampled to flip green.  Empty after r14: the driver's 50-row sample
 # came back 50/50, so no registry name is currently red.
