@@ -11,11 +11,12 @@ Decode support is two-tier, honestly split by what pure numpy can do:
   formula, so encode→decode→compute must round-trip exactly.
 - **PNG decodes for real** — stdlib zlib inflate + spec unfilter
   (encode_png/decode_png below), no image library needed.
-- **GIF decodes for real, ANIMATED included** — stdlib LZW + numpy
-  palette lookup (encode_gif/encode_gif_animated/parse_gif_frames
-  below): multi-frame full-canvas clips with graphic-control
-  extensions; interlace/partial-canvas/transparency/disposal-2-3
-  gate explicitly.
+- **GIF decodes for real, ANIMATED + COMPOSITED** — stdlib LZW + numpy
+  palette lookup (encode_gif/encode_gif_frames/encode_gif_animated/
+  parse_gif_frames below): multi-frame clips with graphic-control
+  extensions, 4-pass interlace, partial-canvas blits, transparent-index
+  pass-through and disposal 0-3 (restore-to-background/previous) —
+  the full GIF89a compositing model (r16).
 - **Baseline AND progressive JPEG decode for real** — pure numpy Huffman
   + IDCT (encode_jpeg/encode_jpeg_progressive/decode_jpeg below:
   DQT/DHT/SOF0/SOF2/SOS, sampling factors to 2×2, restart intervals,
@@ -669,13 +670,20 @@ def parse_gif_frames(blob: bytes) -> dict:
     "delays_cs": [int …]} — stdlib LZW + numpy palette lookup, MULTI-FRAME
     (r14 VERDICT directive #2: animated GIF un-gated).
 
-    Supported: any number of full-canvas frames, global or local color
-    tables, 4-pass interlace (r15), graphic-control extensions with
-    disposal "unspecified" (0) or "do not dispose" (1) — full-canvas
-    frames fully replace the canvas under both, so no compositing state
-    is needed.  Partial-canvas frames, transparency, and disposal 2/3
-    (restore-to-background/previous, which DO need compositing) raise
-    NotImplementedError naming the feature; truncation and malformed
+    Decodes with FULL COMPOSITING (r16 VERDICT directive #1): global or
+    local color tables, 4-pass interlace, partial-canvas frames blitted
+    at their (left, top) offset, transparent-index pass-through, and all
+    four defined disposal methods — 0/1 leave the canvas, 2 restores the
+    frame's rectangle to the background color, 3 restores it to the
+    canvas state before the frame was drawn.  Each returned frame is the
+    COMPOSED canvas after its image was rendered (the sequence a viewer
+    displays), so full-canvas opaque streams return exactly the stored
+    pixels, unchanged from the pre-r16 semantics.  The canvas starts as
+    the logical-screen background color (GCT[bg] when a GCT exists, else
+    black), which is also what disposal 2 restores — the spec's literal
+    "restore to background color" reading, pinned by the
+    encode→parse round trip.  Reserved disposal values 4-7 and frames
+    extending past the canvas raise ValueError; truncation and malformed
     streams raise ValueError."""
     import struct
 
@@ -685,7 +693,7 @@ def parse_gif_frames(blob: bytes) -> dict:
         raise ValueError("not a GIF")
     if len(blob) < 13:
         raise ValueError("truncated GIF header")
-    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    w, h, packed, bg_idx, _ar = struct.unpack_from("<HHBBB", blob, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -694,9 +702,16 @@ def parse_gif_frames(blob: bytes) -> dict:
             raise ValueError("truncated GIF color table")
         gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    if gct is not None and bg_idx < len(gct):
+        bg_rgb = gct[bg_idx]
+    else:
+        bg_rgb = np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).astype(np.uint8).copy()
     frames: list = []
     delays: list[int] = []
     pending_delay = 0
+    pending_disposal = 0
+    pending_transparent = -1  # no transparent index
     while pos < len(blob):
         b0 = blob[pos]
         if b0 == 0x3B:  # trailer
@@ -720,14 +735,12 @@ def parse_gif_frames(blob: bytes) -> dict:
                     if sz < 4:
                         raise ValueError("truncated GIF graphic control")
                     gp = blob[pos]
-                    disposal = (gp >> 2) & 0x07
-                    if disposal > 1:
-                        raise NotImplementedError(
-                            f"GIF disposal method {disposal} "
-                            "(restore-to-background/previous)"
+                    pending_disposal = (gp >> 2) & 0x07
+                    if pending_disposal > 3:
+                        raise ValueError(
+                            f"reserved GIF disposal method {pending_disposal}"
                         )
-                    if gp & 0x01:
-                        raise NotImplementedError("GIF transparency")
+                    pending_transparent = blob[pos + 3] if gp & 0x01 else -1
                     pending_delay = blob[pos + 1] | (blob[pos + 2] << 8)
                 first_block = False
                 pos += sz
@@ -736,8 +749,8 @@ def parse_gif_frames(blob: bytes) -> dict:
                 raise ValueError("truncated GIF image descriptor")
             left, top, iw, ih, ip = struct.unpack_from("<HHHHB", blob, pos + 1)
             pos += 10
-            if (left, top) != (0, 0) or (iw, ih) != (w, h):
-                raise NotImplementedError("partial-canvas GIF frame")
+            if left + iw > w or top + ih > h or iw == 0 or ih == 0:
+                raise ValueError("GIF frame outside canvas")
             pal = gct
             if ip & 0x80:
                 n = 2 << (ip & 0x07)
@@ -767,17 +780,34 @@ def parse_gif_frames(blob: bytes) -> dict:
                 pos += sz
             idx = np.array(
                 _gif_lzw_decode(bytes(data), mcs, iw * ih), dtype=np.int64
-            )
-            if int(idx.max(initial=0)) >= len(pal):
-                raise ValueError("GIF index outside color table")
-            frame = pal[idx].reshape(ih, iw, 3).copy()
+            ).reshape(ih, iw)
             if ip & 0x40:  # interlaced: stored rows map to 4-pass order
-                out = np.empty_like(frame)
-                out[_gif_interlace_rows(ih)] = frame
-                frame = out
-            frames.append(frame)
+                out = np.empty_like(idx)
+                out[_gif_interlace_rows(ih)] = idx
+                idx = out
+            opaque = (
+                idx != pending_transparent
+                if pending_transparent >= 0
+                else np.ones_like(idx, dtype=bool)
+            )
+            if idx[opaque].max(initial=0) >= len(pal):
+                raise ValueError("GIF index outside color table")
+            region = canvas[top : top + ih, left : left + iw]
+            if pending_disposal == 3:
+                saved = region.copy()
+            # transparent pixels pass the existing canvas through; the
+            # clip guards pal from out-of-range TRANSPARENT indices
+            # (opaque ones were bounds-checked above)
+            region[opaque] = pal[np.clip(idx, 0, len(pal) - 1)][opaque]
+            frames.append(canvas.copy())
+            if pending_disposal == 2:
+                region[:] = bg_rgb
+            elif pending_disposal == 3:
+                region[:] = saved
             delays.append(pending_delay)
             pending_delay = 0
+            pending_disposal = 0
+            pending_transparent = -1
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
     if not frames:
@@ -792,41 +822,76 @@ def decode_gif(blob: bytes):
     return parse_gif_frames(blob)["frames"][0]
 
 
-def encode_gif_animated(frames, delay_cs: int = 10) -> bytes:
-    """List of (H, W, 3) uint8 frames → animated GIF89a bytes: one
-    graphic-control extension (disposal=1, no transparency, ``delay_cs``
-    hundredths) + full-canvas image with its OWN local color table per
-    frame — the exact feature set parse_gif_frames un-gates, and local
-    tables sidestep a cross-frame palette union."""
+def encode_gif_frames(specs, w: int, h: int, gct=None, bg_index: int = 0) -> bytes:
+    """Low-level animated GIF89a writer that exercises the FULL
+    compositing feature set parse_gif_frames decodes (r16 directive #1).
+    Each spec is a dict: ``rgb`` (ih, iw, 3) uint8, optional ``left`` /
+    ``top`` (partial-canvas position, default 0), ``disposal`` (0-3,
+    default 1), ``delay_cs`` (default 10) and ``alpha`` — an (ih, iw)
+    bool mask where False pixels are written as a TRANSPARENT index (the
+    composed canvas shows through).  Every frame gets its own local
+    color table (np.unique order + one appended transparent slot when
+    needed) behind a real graphic-control extension; ``gct`` (K, 3)
+    uint8 + ``bg_index`` emit a global color table defining the
+    background color disposal 2 restores."""
     import struct
 
     import numpy as np
 
-    if not frames:
-        raise ValueError("no GIF frames")
-    h, w = np.asarray(frames[0]).shape[:2]
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global color table
-    for fr in frames:
-        a = np.asarray(fr, dtype=np.uint8)
-        if a.shape[:2] != (h, w):
-            raise ValueError("GIF frames must share the canvas size")
-        colors, inverse = np.unique(a.reshape(-1, 3), axis=0, return_inverse=True)
-        if len(colors) > 256:
-            raise ValueError(f"GIF palette overflow: {len(colors)} > 256 colors")
-        bits = max(1, int(len(colors) - 1).bit_length())
-        size = 1 << bits
-        pal = np.zeros((size, 3), np.uint8)
+    if gct is not None:
+        g = np.asarray(gct, dtype=np.uint8).reshape(-1, 3)
+        bits = max(1, int(len(g) - 1).bit_length())
+        pal = np.zeros((1 << bits, 3), np.uint8)
+        pal[: len(g)] = g
+        out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), bg_index, 0)
+        out += pal.tobytes()
+    else:
+        out += struct.pack("<HHBBB", w, h, 0, 0, 0)
+    for spec in specs:
+        a = np.asarray(spec["rgb"], dtype=np.uint8)
+        ih, iw = a.shape[:2]
+        left = int(spec.get("left", 0))
+        top = int(spec.get("top", 0))
+        disposal = int(spec.get("disposal", 1))
+        delay_cs = int(spec.get("delay_cs", 10))
+        alpha = spec.get("alpha")
+        if left + iw > w or top + ih > h:
+            raise ValueError("GIF frame outside canvas")
+        if not 0 <= disposal <= 3:
+            raise ValueError(f"bad GIF disposal {disposal}")
+        colors, inverse = np.unique(
+            a.reshape(-1, 3), axis=0, return_inverse=True
+        )
+        idx = inverse.reshape(ih, iw).astype(np.int64)
+        n_colors = len(colors)
+        transparent = -1
+        if alpha is not None:
+            m = np.asarray(alpha, dtype=bool)
+            if m.shape != (ih, iw):
+                raise ValueError("GIF alpha mask shape mismatch")
+            if not m.all():
+                transparent = n_colors  # one extra palette slot
+                n_colors += 1
+                idx = np.where(m, idx, transparent)
+        if n_colors > 256:
+            raise ValueError(
+                f"GIF palette overflow: {n_colors} > 256 colors"
+            )
+        bits = max(1, int(n_colors - 1).bit_length())
+        pal = np.zeros((1 << bits, 3), np.uint8)
         pal[: len(colors)] = colors
         mcs = max(2, bits)
-        out += bytes([0x21, 0xF9, 0x04, 0x04])  # GCE: disposal=1
-        out += struct.pack("<H", delay_cs) + bytes([0, 0])
+        gce_flags = (disposal << 2) | (1 if transparent >= 0 else 0)
+        out += bytes([0x21, 0xF9, 0x04, gce_flags])
+        out += struct.pack("<H", delay_cs)
+        out += bytes([max(transparent, 0), 0])
         out += b"\x2c" + struct.pack(
-            "<HHHHB", 0, 0, w, h, 0x80 | (bits - 1)
+            "<HHHHB", left, top, iw, ih, 0x80 | (bits - 1)
         )
         out += pal.tobytes()
         out.append(mcs)
-        data = _gif_lzw_encode(inverse.reshape(-1), mcs)
+        data = _gif_lzw_encode(idx.reshape(-1), mcs)
         for i in range(0, len(data), 255):
             block = data[i : i + 255]
             out.append(len(block))
@@ -834,6 +899,61 @@ def encode_gif_animated(frames, delay_cs: int = 10) -> bytes:
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def encode_gif_animated(frames, delay_cs: int = 10, deltas: bool = False) -> bytes:
+    """List of (H, W, 3) uint8 COMPOSED frames → animated GIF89a bytes.
+
+    ``deltas=False``: one full-canvas opaque image per frame (disposal 1,
+    local color table each) — the pre-r16 layout.  ``deltas=True`` emits
+    the r16 inter-frame-optimized layout real encoders produce: frame 0
+    full, every later frame only the BOUNDING BOX of pixels that changed
+    vs the previous composed frame, with unchanged pixels inside the box
+    stored as a transparent index (disposal 1).  parse_gif_frames
+    composites either layout back to exactly ``frames`` — the round trip
+    that pins the compositor."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("no GIF frames")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = arrs[0].shape[:2]
+    for a in arrs:
+        if a.shape[:2] != (h, w):
+            raise ValueError("GIF frames must share the canvas size")
+    specs = [{"rgb": arrs[0], "delay_cs": delay_cs, "disposal": 1}]
+    for prev, cur in zip(arrs, arrs[1:]):
+        if not deltas:
+            specs.append({"rgb": cur, "delay_cs": delay_cs, "disposal": 1})
+            continue
+        changed = (cur != prev).any(axis=2)
+        if not changed.any():
+            # identical frame: 1×1 fully-transparent image keeps the
+            # frame count without touching the canvas
+            specs.append(
+                {
+                    "rgb": cur[:1, :1],
+                    "alpha": np.zeros((1, 1), bool),
+                    "delay_cs": delay_cs,
+                    "disposal": 1,
+                }
+            )
+            continue
+        rows = np.flatnonzero(changed.any(axis=1))
+        cols = np.flatnonzero(changed.any(axis=0))
+        top, bot = int(rows[0]), int(rows[-1]) + 1
+        left, right = int(cols[0]), int(cols[-1]) + 1
+        specs.append(
+            {
+                "rgb": cur[top:bot, left:right],
+                "alpha": changed[top:bot, left:right],
+                "left": left,
+                "top": top,
+                "delay_cs": delay_cs,
+                "disposal": 1,
+            }
+        )
+    return encode_gif_frames(specs, w, h)
 
 
 # ---------------------------------------------------------------------------
@@ -2321,19 +2441,61 @@ def synth_webp_blob(media_id: int) -> bytes:
 
 
 def synth_agif_blob(media_id: int) -> bytes:
-    """Animated GIF89a, n = (media_id mod 4) + 2 full-canvas 16×8 frames,
-    frame f a constant gray c(f) = (13·media_id + 19·f) mod 256 — real
-    LZW-coded frames behind real graphic-control extensions, every
-    decoded pixel reproducible by the gif_frame_dedup oracle's closed
-    form (the synth_mjpeg_blob pattern on the GIF container)."""
+    """Animated GIF89a, n = (media_id mod 4) + 2 frames on a 16×8
+    canvas, rotating the r16 COMPOSITING variants by v = (media_id//4)
+    mod 4 so the one oracle-checked census pins transparency,
+    partial-canvas blits and disposal 2/3 (r16 VERDICT directive #1).
+    With c(f) = (13·media_id + 19·f) mod 256 and background B = 0
+    (GCT[0], bg_index 0), the COMPOSED frame is always two constant-gray
+    halves (left | right):
+
+    - v=0: full-canvas opaque frames, disposal 1 → (c(f), c(f)) —
+      the pre-r16 layout.
+    - v=1: frame 0 full; f≥1 blits an 8×8 OPAQUE half (odd f → left,
+      even → right), disposal 1 — the untouched half persists.
+    - v=2: frame 0 full; f≥1 a full-canvas image whose right half is a
+      TRANSPARENT index, disposal 2 — the right half shows frame 0's
+      color once, then the restored background forever after.
+    - v=3: frame 0 full; f≥1 blits alternating halves with disposal 3 —
+      the canvas snaps back to frame 0 after every frame, so the
+      untouched half always reads c(0).
+
+    Every decoded half is reproducible by the gif_frame_dedup oracle's
+    closed form, so a hash match proves the whole compositor."""
     import numpy as np
 
     n = media_id % 4 + 2
-    frames = [
-        np.full((8, 16, 3), (13 * media_id + 19 * f) % 256, np.uint8)
-        for f in range(n)
-    ]
-    return encode_gif_animated(frames, delay_cs=10)
+    v = (media_id // 4) % 4
+    gct = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+
+    def c(f: int) -> int:
+        return (13 * media_id + 19 * f) % 256
+
+    if v == 0:
+        frames = [np.full((8, 16, 3), c(f), np.uint8) for f in range(n)]
+        return encode_gif_animated(frames, delay_cs=10)
+    specs = [{"rgb": np.full((8, 16, 3), c(0), np.uint8), "disposal": 1}]
+    for f in range(1, n):
+        if v == 2:
+            alpha = np.zeros((8, 16), bool)
+            alpha[:, :8] = True
+            specs.append(
+                {
+                    "rgb": np.full((8, 16, 3), c(f), np.uint8),
+                    "alpha": alpha,
+                    "disposal": 2,
+                }
+            )
+        else:  # v in (1, 3): alternating opaque half blits
+            specs.append(
+                {
+                    "rgb": np.full((8, 8, 3), c(f), np.uint8),
+                    "left": 0 if f % 2 else 8,
+                    "top": 0,
+                    "disposal": 1 if v == 1 else 3,
+                }
+            )
+    return encode_gif_frames(specs, 16, 8, gct=gct, bg_index=0)
 
 
 def synth_pjpeg_blob(media_id: int) -> bytes:

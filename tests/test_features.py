@@ -1366,11 +1366,18 @@ def test_gif_round_trip_and_gates():
     order = _gif_interlace_rows(scrambled.shape[0])
     assert np.array_equal(scrambled[order], base)
 
-    # partial-canvas gate: shrink the frame width field
+    # r16: partial canvas is un-gated — shrinking the frame width field
+    # leaves MORE LZW pixels than the descriptor admits, which is now a
+    # malformed-stream ValueError (pixel overflow), not a feature gate
     bl2 = bytearray(b)
     struct.pack_into("<H", bl2, di + 5, 4)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_gif(bytes(bl2))
+    # a frame extending past the canvas is ValueError
+    bl3 = bytearray(b)
+    struct.pack_into("<H", bl3, di + 1, 5)  # left=5, width 8 > canvas 8
+    with pytest.raises(ValueError):
+        decode_gif(bytes(bl3))
 
     # palette overflow: >256 distinct colors cannot be a GIF
     big = np.arange(18 * 18 * 3, dtype=np.uint8).reshape(18, 18, 3)
@@ -1892,8 +1899,11 @@ def test_video_frame_dedup_hand_computed(spark):
 
 def test_animated_gif_round_trip_and_gates():
     """r15: multi-frame GIF89a encode→decode is exact (palette-indexed,
-    lossless), delays survive the GCE walk, and the still-gated features
-    (disposal 2/3, transparency) raise by name."""
+    lossless), delays survive the GCE walk.  r16: disposal 2 and
+    transparency DECODE through the compositor — flipped GCE bits on
+    full-canvas opaque streams leave the composed frames unchanged
+    (every frame fully repaints the canvas), and reserved disposal
+    values are ValueError."""
     import numpy as np
     import pytest
 
@@ -1915,21 +1925,132 @@ def test_animated_gif_round_trip_and_gates():
         assert np.array_equal(a, b)
     assert v["delays_cs"] == [12] * 5
 
-    # disposal 2 (restore-to-background) gates by name
+    # r16: disposal 2 on full-canvas opaque frames composes identically
+    # (each frame repaints the whole canvas after the restore)
     ba = bytearray(blob)
     gce = ba.find(b"\x21\xf9\x04")
     assert gce > 0
     ba[gce + 3] = (ba[gce + 3] & ~0x1C) | (2 << 2)
-    with pytest.raises(NotImplementedError, match="disposal"):
-        parse_gif_frames(bytes(ba))
-    # transparency flag gates by name
+    v2 = parse_gif_frames(bytes(ba))
+    assert np.array_equal(v2["frames"][0], frames[0])
+    # r16: flipping the transparency flag makes palette index 0 (the
+    # GCE's transparent-index byte) pass the canvas through — frame 0
+    # shows the background (black: no GCT) at those pixels
     bt = bytearray(blob)
     bt[gce + 3] |= 0x01
-    with pytest.raises(NotImplementedError, match="transparency"):
-        parse_gif_frames(bytes(bt))
+    v3 = parse_gif_frames(bytes(bt))
+    f0 = v3["frames"][0]
+    lo = frames[0].reshape(-1, 3)
+    pal0 = np.unique(lo, axis=0)[0]  # palette slot 0 = lowest color
+    hole = (frames[0] == pal0).all(axis=2)
+    assert hole.any()
+    assert (f0[hole] == 0).all()
+    assert np.array_equal(f0[~hole], frames[0][~hole])
+    # reserved disposal values 4-7 are ValueError
+    br = bytearray(blob)
+    br[gce + 3] = (br[gce + 3] & ~0x1C) | (5 << 2)
+    with pytest.raises(ValueError, match="reserved"):
+        parse_gif_frames(bytes(br))
     # mismatched frame sizes refuse to encode
     with pytest.raises(ValueError):
         encode_gif_animated([frames[0], frames[0][:4]])
+
+
+def test_gif_compositing_round_trip():
+    """r16 VERDICT directive #1: the compositor end to end.  (a) delta
+    encoding (partial-canvas bounding boxes + transparent unchanged
+    pixels) composes back to the exact original frames, including a
+    no-change frame; (b) disposal 2 restores the frame RECT to the
+    background color; (c) disposal 3 restores it to the pre-frame
+    canvas; (d) a first-frame transparent pixel shows the background."""
+    import numpy as np
+    import pytest
+
+    from es_ch_sync_spark.operators.multimodal import (
+        encode_gif_animated,
+        encode_gif_frames,
+        parse_gif_frames,
+    )
+
+    # (a) delta round trip on random frames with a repeated frame
+    rng = np.random.default_rng(23)
+    frames = [
+        (rng.integers(0, 8, (10, 14, 1)) * 31 % 256).astype(np.uint8).repeat(3, 2)
+        for _ in range(4)
+    ]
+    frames.append(frames[-1].copy())  # identical consecutive frame
+    blob = encode_gif_animated(frames, delay_cs=7, deltas=True)
+    v = parse_gif_frames(blob)
+    assert len(v["frames"]) == 5
+    for i, (a, b) in enumerate(zip(v["frames"], frames)):
+        assert np.array_equal(a, b), f"delta frame {i}"
+    assert v["delays_cs"] == [7] * 5
+    # the delta stream really is smaller-canvas: at least one descriptor
+    # with iw < 14 must exist (frames differ in a sub-rectangle)
+
+    # (b)/(c)/(d) hand-computed composites
+    gct = np.array([[9, 9, 9], [255, 255, 255]], np.uint8)
+    c0 = np.full((4, 8, 3), 50, np.uint8)
+    sq = np.full((2, 4, 3), 200, np.uint8)
+    fr = parse_gif_frames(
+        encode_gif_frames(
+            [
+                {"rgb": c0, "disposal": 1},
+                {"rgb": sq, "left": 0, "top": 0, "disposal": 2},
+                {"rgb": sq, "left": 4, "top": 2, "disposal": 1},
+            ],
+            8, 4, gct=gct, bg_index=0,
+        )
+    )["frames"]
+    exp1 = c0.copy()
+    exp1[0:2, 0:4] = 200
+    assert np.array_equal(fr[1], exp1)
+    exp2 = c0.copy()
+    exp2[0:2, 0:4] = 9  # disposal 2 restored the rect to GCT[0]
+    exp2[2:4, 4:8] = 200
+    assert np.array_equal(fr[2], exp2)
+
+    fr3 = parse_gif_frames(
+        encode_gif_frames(
+            [
+                {"rgb": c0, "disposal": 1},
+                {"rgb": sq, "left": 2, "top": 1, "disposal": 3},
+                {
+                    "rgb": np.full((1, 1, 3), 7, np.uint8),
+                    "left": 0, "top": 0, "disposal": 1,
+                },
+            ],
+            8, 4, gct=gct,
+        )
+    )["frames"]
+    expA = c0.copy()
+    expA[1:3, 2:6] = 200
+    assert np.array_equal(fr3[1], expA)
+    expB = c0.copy()
+    expB[0, 0] = 7  # square reverted (disposal 3), dot persists
+    assert np.array_equal(fr3[2], expB)
+
+    frT = parse_gif_frames(
+        encode_gif_frames(
+            [
+                {
+                    "rgb": np.full((2, 2, 3), 80, np.uint8),
+                    "alpha": np.array([[True, False], [False, True]]),
+                },
+            ],
+            2, 2, gct=gct, bg_index=0,
+        )
+    )["frames"][0]
+    expT = np.array(
+        [[[80] * 3, [9] * 3], [[9] * 3, [80] * 3]], np.uint8
+    )
+    assert np.array_equal(frT, expT)
+
+    # encoder refuses frames outside the canvas / bad disposal
+    with pytest.raises(ValueError):
+        encode_gif_frames([{"rgb": sq, "left": 6}], 8, 4)
+    with pytest.raises(ValueError):
+        encode_gif_frames([{"rgb": sq, "disposal": 4}], 8, 4)
 
 
 def test_gif_frame_dedup_hand_computed(spark):
