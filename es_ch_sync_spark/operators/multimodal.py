@@ -2417,11 +2417,13 @@ def synth_pngx_blob(media_id: int) -> bytes:
 
 def synth_webp_blob(media_id: int) -> bytes:
     """Same deterministic gradient as synth_bmp_blob, LOSSLESS-WebP
-    (VP8L) encoded — one synthetic pixel formula, now five real container
-    round-trips.  media_id selects the transform path so the corpus
-    exercises plain literals, SUBTRACT_GREEN, and the PREDICTOR
-    transform (mode = media_id mod 14) in one oracle-checked query:
-    all are exactly invertible, so the closed form still holds."""
+    (VP8L) encoded — one synthetic pixel formula, one oracle-checked
+    query.  media_id mod 6 selects the encoder path so the corpus
+    exercises plain literals, SUBTRACT_GREEN, the PREDICTOR transform
+    (mode = media_id mod 14), COLOR_INDEXING (the ≤48-color gradient
+    palettizes), greedy LZ77 with 2D near-distance codes, and the color
+    cache + cross-COLOR_TRANSFORM (r16 directive #2): all are exactly
+    invertible, so the closed form still holds."""
     import numpy as np
 
     from es_ch_sync_spark.operators.webp import encode_webp_lossless
@@ -2430,13 +2432,24 @@ def synth_webp_blob(media_id: int) -> bytes:
     y = np.arange(SYNTH_H)[:, None, None]
     c = np.arange(3)[None, None, :]
     img = ((media_id + 3 * x + 5 * y + 85 * c) % 256).astype(np.uint8)
-    variant = media_id % 3
+    variant = media_id % 6
     if variant == 0:
         return encode_webp_lossless(img)
     if variant == 1:
         return encode_webp_lossless(img, subtract_green=True)
+    if variant == 2:
+        return encode_webp_lossless(
+            img, predictor_modes=media_id % 14, predictor_size_bits=2
+        )
+    if variant == 3:
+        return encode_webp_lossless(img, palette=True)
+    if variant == 4:
+        return encode_webp_lossless(img, lz77=True)
     return encode_webp_lossless(
-        img, predictor_modes=media_id % 14, predictor_size_bits=2
+        img,
+        lz77=True,
+        cache_bits=4,
+        color_transform=(media_id % 256, (media_id * 7) % 256, 77),
     )
 
 

@@ -17,24 +17,35 @@ Decoder (`decode_webp` / `_decode_vp8l`) supports:
   - SUBTRACT_GREEN and PREDICTOR inverse transforms (all 14 predictor
     modes, shared with the encoder below).
 
+r16 additions (VERDICT directive #2): COLOR_INDEXING (palette) with
+sub-byte pixel packing, the cross-COLOR_TRANSFORM, and the 2D
+near-distance codes (dist_code <= 120).  The 120-entry distance map is
+DERIVED, not transcribed: the spec's neighborhood is exactly every
+offset (dx, dy) with dy in 1..7, dx in -7..8 plus dy=0, dx in 1..8
+(120 offsets — the (dy << 4) | (8 - dx) nibble encoding's full range),
+ordered by increasing squared Euclidean distance with ties broken by
+larger dy (equivalently smaller |dx|) and positive dx before negative.
+The derivation reproduces the spec table's documented prefix and is
+pinned by unit test both against that prefix and by encoder↔decoder
+round trips through 2D codes.
+
 Gates (NotImplementedError, each named):
   - lossy `VP8 ` and extended `VP8X` containers;
-  - meta prefix codes (spatially varying code groups);
-  - COLOR_TRANSFORM and COLOR_INDEXING transforms;
-  - 2D near-distance codes (dist_code <= 120, the neighborhood alias
-    table) — transcribing the 120-entry map without a conformance
-    corpus to check against risks silent wrong pixels, so it gates.
+  - meta prefix codes (spatially varying code groups).
 
 Malformed streams raise ValueError.
 
-Encoder (`encode_webp_lossless`) emits literals-only VP8L (no LZ77, no
-color cache, one prefix-code group) with BALANCED COMPLETE prefix codes
-(every used symbol at ceil(log2(k)) or one bit less — valid canonical
-codes, deterministic, no frequency modeling), optionally behind
-SUBTRACT_GREEN and/or a PREDICTOR transform with an explicit per-block
-mode image.  Lossless means encode→decode round-trips EXACTLY, which is
-what the multimodal_webp_stats oracle checks; the per-block mode knob
-lets tests exercise every predictor inverse path.
+Encoder (`encode_webp_lossless`) emits VP8L with BALANCED COMPLETE
+prefix codes (every used symbol at ceil(log2(k)) or one bit less —
+valid canonical codes, deterministic, no frequency modeling),
+optionally behind SUBTRACT_GREEN, a PREDICTOR transform with an
+explicit per-block mode image, a COLOR_TRANSFORM with explicit deltas,
+or COLOR_INDEXING (``palette=True``); ``lz77=True`` runs a greedy
+matcher that emits backward references (2D near codes when the
+distance maps into the neighborhood) and ``cache_bits`` adds a real
+color cache.  Lossless means encode→decode round-trips EXACTLY, which
+is what the multimodal_webp_stats oracle checks; the knobs let tests
+exercise every inverse path.
 """
 
 from __future__ import annotations
@@ -48,6 +59,26 @@ _GREEN_LITERALS = 256
 _LENGTH_CODES = 24
 _DISTANCE_CODES = 40
 _HASH_MUL = 0x1E35A7BD
+
+
+def _near_distance_table():
+    """The 120 2D near-distance offsets (dist_code 1..120), DERIVED from
+    the spec's construction instead of transcribed: the neighborhood is
+    every (dx, dy) with dy in 1..7, dx in -7..8, plus the same-row
+    dy=0, dx in 1..8 — exactly 120 offsets, the full range of the
+    (dy << 4) | (8 - dx) nibble packing — ordered by increasing
+    dx² + dy², ties by larger dy (= smaller |dx|), positive dx before
+    negative.  The unit test pins the documented prefix of the spec
+    table against this derivation."""
+    pairs = [(dx, 0) for dx in range(1, 9)]
+    pairs += [(dx, dy) for dy in range(1, 8) for dx in range(-7, 9)]
+    pairs.sort(
+        key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], 0 if p[0] > 0 else 1)
+    )
+    return tuple(pairs)
+
+
+_NEAR_DIST = _near_distance_table()
 
 
 class _BitReaderLSB:
@@ -169,6 +200,20 @@ def _prefix_decode(br: _BitReaderLSB, code: int) -> int:
     return offset + br.read(extra) + 1
 
 
+def _prefix_encode(v: int):
+    """Inverse of _prefix_decode: value >= 1 → (code, extra_value,
+    extra_bits) such that decode(code) with those extra bits yields v."""
+    if v <= 4:
+        return v - 1, 0, 0
+    x = v - 1
+    hb = x.bit_length() - 1  # x >= 4 so hb >= 2
+    second = (x >> (hb - 1)) & 1
+    code = 2 * hb + second
+    extra = hb - 1
+    offset = (2 + second) << extra
+    return code, x - offset, extra
+
+
 # ---------------------------------------------------------------------------
 # Predictor transform (spec §4.4.2) — shared by encoder and decoder so the
 # forward subtraction and inverse addition agree by construction.
@@ -263,6 +308,59 @@ def _predictor_pass(pix, w, h, modes, size_bits, inverse: bool):
                 pix[i] = tuple((c + p) & 0xFF for c, p in zip(cur, pred))
             else:
                 pix[i] = tuple((c - p) & 0xFF for c, p in zip(cur, pred))
+
+
+def _cdelta(t: int, c: int) -> int:
+    """ColorTransformDelta (spec §4.4.3): (int8(t) * int8(c)) >> 5 with
+    arithmetic shift — both arguments reinterpreted as signed bytes."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _color_transform_pass(pix, w, h, sub, size_bits, inverse: bool):
+    """Apply (inverse=True) or subtract the cross-color transform.  The
+    per-block element packs green_to_red in BLUE, green_to_blue in
+    GREEN and red_to_blue in RED (spec §4.4.3).  Red transforms off
+    green; blue off green and the ORIGINAL red — which at decode time
+    is the just-reconstructed red, at encode time the input red."""
+    bw_blocks = -(-w // (1 << size_bits))
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            _ea, r2b, g2b, g2r = sub[
+                (y >> size_bits) * bw_blocks + (x >> size_bits)
+            ]
+            a, r, g, b = pix[i]
+            if inverse:
+                r = (r + _cdelta(g2r, g)) & 0xFF
+                b = (b + _cdelta(g2b, g) + _cdelta(r2b, r)) & 0xFF
+            else:
+                b = (b - _cdelta(g2b, g) - _cdelta(r2b, r)) & 0xFF
+                r = (r - _cdelta(g2r, g)) & 0xFF
+            pix[i] = (a, r, g, b)
+
+
+def _palette_inverse(pix, palette, width_bits: int, w: int, h: int):
+    """COLOR_INDEXING inverse (spec §4.4.4): the decoded image is
+    ceil(w / 2^width_bits) wide with 2^width_bits indices PACKED
+    LSB-first into each GREEN channel at 8 >> width_bits bits each;
+    out-of-range indices are transparent black per spec."""
+    packed_w = -(-w // (1 << width_bits))
+    bits_per = 8 >> width_bits
+    mask = (1 << bits_per) - 1
+    sub_mask = (1 << width_bits) - 1
+    n_pal = len(palette)
+    out: list = [None] * (w * h)
+    for y in range(h):
+        row = y * packed_w
+        for x in range(w):
+            g = pix[row + (x >> width_bits)][2]
+            idx = (g >> ((x & sub_mask) * bits_per)) & mask
+            out[y * w + x] = (
+                palette[idx] if idx < n_pal else (0, 0, 0, 0)
+            )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -373,10 +471,14 @@ def _read_entropy_image(br: _BitReaderLSB, w: int, h: int, is_argb: bool):
             length = _prefix_decode(br, g - _GREEN_LITERALS)
             dist_code = _prefix_decode(br, _read_sym(br, t_dist))
             if dist_code <= 120:
-                raise NotImplementedError(
-                    "VP8L 2D near-distance code (dist_code <= 120)"
-                )
-            dist = dist_code - 120
+                # 2D near-distance: map through the neighborhood table
+                # scaled by THIS entropy image's width (spec: codes 1..120)
+                dx, dy = _NEAR_DIST[dist_code - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            else:
+                dist = dist_code - 120
             if dist > i or i + length > n:
                 raise ValueError("VP8L backward reference out of range")
             for _ in range(length):
@@ -440,37 +542,153 @@ def _emit_prefix_code(bw: _BitWriterLSB, lengths: dict, alphabet: int) -> dict:
     return _canonical_from_lengths(lengths)
 
 
-def _write_entropy_image(bw: _BitWriterLSB, pix, is_argb: bool) -> None:
-    """Literals-only entropy image: one prefix-code group, no cache."""
+def _tokenize_lz77(pix, w: int, cache_bits: int):
+    """Greedy LZ77 over the pixel stream (r16 directive #2's encoder
+    handle): emits ("lit", pixel) / ("cache", idx) / ("copy", length,
+    dist_code, raw_dist) tokens the decoder's backward-reference path
+    reproduces.  Distances that land in the 2D neighborhood map to
+    near-distance codes 1..120 (smallest code on collision — the same
+    table the decoder aliases through); everything else is
+    dist + 120.  Min match 3, overlap allowed (the decoder copies
+    sequentially), candidate positions from a last-8-occurrences
+    chain."""
+    near: dict[int, int] = {}
+    for ci, (dx, dy) in enumerate(_NEAR_DIST):
+        d = dy * w + dx
+        if d >= 1 and d not in near:
+            near[d] = ci + 1
+    cache = [(0, 0, 0, 0)] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+
+    def cache_idx(p):
+        argb = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+        return ((_HASH_MUL * argb) & 0xFFFFFFFF) >> shift
+
+    chains: dict = {}
+    tokens = []
+    n = len(pix)
+    i = 0
+    while i < n:
+        best_len = 0
+        best_dist = 0
+        for j in reversed(chains.get(pix[i], ())):
+            d = i - j
+            ln = 0
+            limit = min(n - i, 1024)
+            while ln < limit and pix[i + ln - d] == pix[i + ln]:
+                ln += 1
+            if ln > best_len:
+                best_len, best_dist = ln, d
+                if ln >= limit:
+                    break
+        if best_len >= 3:
+            dc = near.get(best_dist, best_dist + 120)
+            tokens.append(("copy", best_len, dc, best_dist))
+            for k in range(i, i + best_len):
+                chains.setdefault(pix[k], []).append(k)
+                if len(chains[pix[k]]) > 8:
+                    chains[pix[k]].pop(0)
+                if cache is not None:
+                    cache[cache_idx(pix[k])] = pix[k]
+            i += best_len
+            continue
+        if cache is not None and cache[cache_idx(pix[i])] == pix[i]:
+            tokens.append(("cache", cache_idx(pix[i])))
+        else:
+            tokens.append(("lit", pix[i]))
+            if cache is not None:
+                cache[cache_idx(pix[i])] = pix[i]
+        chains.setdefault(pix[i], []).append(i)
+        if len(chains[pix[i]]) > 8:
+            chains[pix[i]].pop(0)
+        i += 1
+    return tokens
+
+
+def _write_entropy_image(
+    bw: _BitWriterLSB,
+    pix,
+    is_argb: bool,
+    lz77: bool = False,
+    w: int | None = None,
+    cache_bits: int = 0,
+) -> None:
+    """Entropy image: one prefix-code group.  Default literals-only; with
+    ``lz77`` (requires ``w``) backward references + optional color
+    cache are emitted through _tokenize_lz77."""
     if is_argb:
         bw.write(0, 1)  # no meta prefix codes
-    bw.write(0, 1)  # no color cache
-    greens = {p[2] for p in pix}
-    reds = {p[1] for p in pix}
-    blues = {p[3] for p in pix}
-    alphas = {p[0] for p in pix}
+    if cache_bits:
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color cache bits")
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)  # no color cache
+    if lz77 or cache_bits:
+        if w is None:
+            raise ValueError("lz77/cache emission needs the image width")
+        tokens = _tokenize_lz77(pix, w, cache_bits)
+    else:
+        tokens = [("lit", p) for p in pix]
+    greens: set = set()
+    reds: set = set()
+    blues: set = set()
+    alphas: set = set()
+    dists: set = set()
+    cache_base = _GREEN_LITERALS + _LENGTH_CODES
+    for t in tokens:
+        if t[0] == "lit":
+            a, r, g, b = t[1]
+            greens.add(g)
+            reds.add(r)
+            blues.add(b)
+            alphas.add(a)
+        elif t[0] == "cache":
+            greens.add(cache_base + t[1])
+        else:
+            greens.add(_GREEN_LITERALS + _prefix_encode(t[1])[0])
+            dists.add(_prefix_encode(t[2])[0])
 
     def lens(symbols):
+        if not symbols:
+            return {0: 1}
         if len(symbols) <= 2:
             return {s: 1 for s in sorted(symbols)}
         return _balanced_lengths(symbols)
 
-    green_alpha = _GREEN_LITERALS + _LENGTH_CODES
+    green_alpha = cache_base + ((1 << cache_bits) if cache_bits else 0)
     e_green = _emit_prefix_code(bw, lens(greens), green_alpha)
     e_red = _emit_prefix_code(bw, lens(reds), 256)
     e_blue = _emit_prefix_code(bw, lens(blues), 256)
     e_alpha = _emit_prefix_code(bw, lens(alphas), 256)
-    e_dist = _emit_prefix_code(bw, {0: 1}, _DISTANCE_CODES)
-    del e_dist  # one-symbol code: zero bits per (never-emitted) use
-    for a, r, g, b in pix:
-        c, n = e_green[g]
-        bw.write_code(c, n)
-        c, n = e_red[r]
-        bw.write_code(c, n)
-        c, n = e_blue[b]
-        bw.write_code(c, n)
-        c, n = e_alpha[a]
-        bw.write_code(c, n)
+    e_dist = _emit_prefix_code(bw, lens(dists), _DISTANCE_CODES)
+    for t in tokens:
+        if t[0] == "lit":
+            a, r, g, b = t[1]
+            c, nb = e_green[g]
+            bw.write_code(c, nb)
+            c, nb = e_red[r]
+            bw.write_code(c, nb)
+            c, nb = e_blue[b]
+            bw.write_code(c, nb)
+            c, nb = e_alpha[a]
+            bw.write_code(c, nb)
+        elif t[0] == "cache":
+            c, nb = e_green[cache_base + t[1]]
+            bw.write_code(c, nb)
+        else:
+            _mk, length, dc, _raw = t
+            lcode, lextra, lbits = _prefix_encode(length)
+            c, nb = e_green[_GREEN_LITERALS + lcode]
+            bw.write_code(c, nb)
+            if lbits:
+                bw.write(lextra, lbits)
+            dcode, dextra, dbits = _prefix_encode(dc)
+            c, nb = e_dist[dcode]
+            bw.write_code(c, nb)
+            if dbits:
+                bw.write(dextra, dbits)
 
 
 # ---------------------------------------------------------------------------
@@ -498,6 +716,7 @@ def _decode_vp8l(payload: bytes):
         )
     transforms = []
     seen = set()
+    cur_w = w  # COLOR_INDEXING packing shrinks the width downstream
     while br.read(1):
         ttype = br.read(2)
         if ttype in seen:
@@ -505,27 +724,48 @@ def _decode_vp8l(payload: bytes):
         seen.add(ttype)
         if ttype == 0:  # PREDICTOR
             size_bits = br.read(3) + 2
-            bw_blocks = -(-w // (1 << size_bits))
+            bw_blocks = -(-cur_w // (1 << size_bits))
             bh_blocks = -(-h // (1 << size_bits))
             sub = _read_entropy_image(br, bw_blocks, bh_blocks, False)
             modes = [p[2] for p in sub]
             if any(m > 13 for m in modes):
                 raise ValueError("bad VP8L predictor mode")
-            transforms.append(("predictor", size_bits, modes))
-        elif ttype == 1:
-            raise NotImplementedError("VP8L color transform")
+            transforms.append(("predictor", size_bits, modes, cur_w))
+        elif ttype == 1:  # COLOR_TRANSFORM (cross-color)
+            size_bits = br.read(3) + 2
+            bw_blocks = -(-cur_w // (1 << size_bits))
+            bh_blocks = -(-h // (1 << size_bits))
+            sub = _read_entropy_image(br, bw_blocks, bh_blocks, False)
+            transforms.append(("color_transform", size_bits, sub, cur_w))
         elif ttype == 2:
             transforms.append(("subtract_green",))
-        else:
-            raise NotImplementedError("VP8L color indexing")
-    pix = _read_entropy_image(br, w, h, True)
+        else:  # COLOR_INDEXING (palette)
+            n_colors = br.read(8) + 1
+            pal_deltas = _read_entropy_image(br, n_colors, 1, False)
+            palette = []
+            prev = (0, 0, 0, 0)
+            for p in pal_deltas:  # spec: entries are delta-coded mod 256
+                prev = tuple((x + y) & 0xFF for x, y in zip(prev, p))
+                palette.append(prev)
+            width_bits = (
+                3 if n_colors <= 2 else
+                2 if n_colors <= 4 else
+                1 if n_colors <= 16 else 0
+            )
+            transforms.append(("color_index", palette, width_bits, cur_w))
+            cur_w = -(-cur_w // (1 << width_bits))
+    pix = _read_entropy_image(br, cur_w, h, True)
     for t in reversed(transforms):
         if t[0] == "subtract_green":
             pix = [
                 (a, (r + g) & 0xFF, g, (b + g) & 0xFF) for a, r, g, b in pix
             ]
-        else:
-            _predictor_pass(pix, w, h, t[2], t[1], inverse=True)
+        elif t[0] == "predictor":
+            _predictor_pass(pix, t[3], h, t[2], t[1], inverse=True)
+        elif t[0] == "color_transform":
+            _color_transform_pass(pix, t[3], h, t[2], t[1], inverse=True)
+        else:  # color_index: unpack sub-byte indices, look up the palette
+            pix = _palette_inverse(pix, t[1], t[2], t[3], h)
     arr = np.array(pix, dtype=np.uint8).reshape(h, w, 4)
     return arr[..., 1:4].copy()  # (a, r, g, b) → RGB
 
@@ -560,15 +800,25 @@ def encode_webp_lossless(
     subtract_green: bool = False,
     predictor_modes=None,
     predictor_size_bits: int = 4,
+    palette: bool = False,
+    color_transform=None,
+    lz77: bool = False,
+    cache_bits: int = 0,
 ) -> bytes:
-    """(H, W, 3) uint8 RGB → lossless WebP bytes (VP8L, literals-only).
+    """(H, W, 3) uint8 RGB → lossless WebP bytes (VP8L).
 
     ``subtract_green`` prepends the SUBTRACT_GREEN transform;
     ``predictor_modes`` (flat per-block mode list, or a single int
-    broadcast to every block) prepends a PREDICTOR transform — both are
-    exactly inverted by the decoder, so every encode round-trips
-    bit-exactly regardless of the knobs (the test handle for all 14
-    predictor inverse paths)."""
+    broadcast to every block) prepends a PREDICTOR transform;
+    ``color_transform`` — an (g2r, g2b, r2b) byte triple broadcast to
+    every block — prepends the cross-COLOR_TRANSFORM; ``palette=True``
+    (exclusive with the other transforms) emits COLOR_INDEXING with
+    sub-byte packing when <= 16 colors; ``lz77``/``cache_bits`` switch
+    the entropy image from literals-only to backward references (2D
+    near-distance codes when in range) and a real color cache.  All
+    paths are exactly inverted by the decoder, so every encode
+    round-trips bit-exactly regardless of the knobs (the test handle
+    for every inverse path)."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -577,6 +827,11 @@ def encode_webp_lossless(
     h, w = a.shape[:2]
     if not h or not w or w > (1 << 14) or h > (1 << 14):
         raise ValueError("bad WebP dimensions")
+    if palette and (
+        subtract_green or predictor_modes is not None
+        or color_transform is not None
+    ):
+        raise ValueError("palette encoding excludes the other transforms")
     pix = [
         (255, int(p[0]), int(p[1]), int(p[2]))
         for row in a for p in row
@@ -586,6 +841,7 @@ def encode_webp_lossless(
     bw.write(h - 1, 14)
     bw.write(0, 1)  # no alpha hint
     bw.write(0, 3)  # version
+    cur_w = w
     if predictor_modes is not None:
         size_bits = predictor_size_bits
         if not 2 <= size_bits <= 9:
@@ -607,12 +863,58 @@ def encode_webp_lossless(
             bw, [(0, 0, m, 0) for m in modes], is_argb=False
         )
         _predictor_pass(pix, w, h, modes, size_bits, inverse=False)
+    if color_transform is not None:
+        g2r, g2b, r2b = (int(v) & 0xFF for v in color_transform)
+        size_bits = 4
+        bwb = -(-w // (1 << size_bits))
+        bhb = -(-h // (1 << size_bits))
+        elems = [(255, r2b, g2b, g2r)] * (bwb * bhb)
+        bw.write(1, 1)
+        bw.write(1, 2)  # COLOR_TRANSFORM
+        bw.write(size_bits - 2, 3)
+        _write_entropy_image(bw, elems, is_argb=False)
+        _color_transform_pass(pix, w, h, elems, size_bits, inverse=False)
     if subtract_green:
         bw.write(1, 1)
         bw.write(2, 2)  # SUBTRACT_GREEN
         pix = [(pa, (r - g) & 0xFF, g, (b - g) & 0xFF) for pa, r, g, b in pix]
+    if palette:
+        colors, inverse = np.unique(
+            a.reshape(-1, 3), axis=0, return_inverse=True
+        )
+        n_colors = len(colors)
+        if n_colors > 256:
+            raise ValueError(
+                f"palette overflow: {n_colors} > 256 colors"
+            )
+        width_bits = (
+            3 if n_colors <= 2 else
+            2 if n_colors <= 4 else
+            1 if n_colors <= 16 else 0
+        )
+        bw.write(1, 1)
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(n_colors - 1, 8)
+        pal_argb = [(255, int(c[0]), int(c[1]), int(c[2])) for c in colors]
+        deltas = []
+        prev = (0, 0, 0, 0)
+        for cur in pal_argb:  # spec: palette entries are delta-coded
+            deltas.append(tuple((x - y) & 0xFF for x, y in zip(cur, prev)))
+            prev = cur
+        _write_entropy_image(bw, deltas, is_argb=False)
+        idx = inverse.reshape(h, w).astype(np.int64)
+        packed_w = -(-w // (1 << width_bits))
+        bits_per = 8 >> width_bits
+        packed = np.zeros((h, packed_w), np.int64)
+        for sub in range(1 << width_bits):
+            cols = idx[:, sub::(1 << width_bits)]
+            packed[:, : cols.shape[1]] |= cols << (sub * bits_per)
+        pix = [(255, 0, int(g), 0) for row in packed for g in row]
+        cur_w = packed_w
     bw.write(0, 1)  # end of transforms
-    _write_entropy_image(bw, pix, is_argb=True)
+    _write_entropy_image(
+        bw, pix, is_argb=True, lz77=lz77, w=cur_w, cache_bits=cache_bits
+    )
     payload = b"\x2f" + bw.flush()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) % 2:

@@ -1455,8 +1455,9 @@ def test_webp_vp8l_round_trips():
 
 
 def test_webp_gates_and_malformed():
-    """r15: lossy VP8 / extended VP8X / meta prefix codes / color
-    transform / color indexing / 2D near-distances gate by name;
+    """r15/r16: lossy VP8 / extended VP8X / meta prefix codes gate by
+    name; color transform and color indexing now DECODE (r16 directive
+    #2), so their truncated headers are malformed-stream ValueError;
     truncation and garbage are ValueError."""
     import struct
 
@@ -1496,17 +1497,17 @@ def test_webp_gates_and_malformed():
         bw.write(0, 3)
         return bw
 
-    # color transform gates
+    # r16: color transform / color indexing decode now — their
+    # TRUNCATED headers are malformed streams, not feature gates
     bw = vp8l_header()
     bw.write(1, 1)
-    bw.write(1, 2)  # COLOR_TRANSFORM
-    with pytest.raises(NotImplementedError, match="color transform"):
+    bw.write(1, 2)  # COLOR_TRANSFORM, then EOF
+    with pytest.raises(ValueError):
         decode_webp(riff(b"VP8L", b"\x2f" + bw.flush()))
-    # color indexing gates
     bw = vp8l_header()
     bw.write(1, 1)
-    bw.write(3, 2)  # COLOR_INDEXING
-    with pytest.raises(NotImplementedError, match="color indexing"):
+    bw.write(3, 2)  # COLOR_INDEXING, then EOF
+    with pytest.raises(ValueError):
         decode_webp(riff(b"VP8L", b"\x2f" + bw.flush()))
     # meta prefix codes gate
     bw = vp8l_header()
@@ -1514,6 +1515,80 @@ def test_webp_gates_and_malformed():
     bw.write(1, 1)  # meta prefix bit
     with pytest.raises(NotImplementedError, match="meta prefix"):
         decode_webp(riff(b"VP8L", b"\x2f" + bw.flush()))
+
+
+def test_webp_vp8l_r16_round_trips():
+    """r16 VERDICT directive #2: COLOR_INDEXING (every width_bits
+    packing path + ragged widths), greedy LZ77 with 2D near-distance
+    codes, the color cache, and the cross-COLOR_TRANSFORM all
+    round-trip bit-exactly; the derived 120-entry neighborhood table
+    matches the spec's documented prefix."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.webp import (
+        _NEAR_DIST,
+        _tokenize_lz77,
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    # the derivation pins: size, uniqueness, domain, documented prefix
+    assert len(_NEAR_DIST) == 120 and len(set(_NEAR_DIST)) == 120
+    assert all(
+        (0 <= dy <= 7) and (-7 <= dx <= 8) and (dy > 0 or dx > 0)
+        for dx, dy in _NEAR_DIST
+    )
+    assert _NEAR_DIST[:22] == (
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2),
+    )
+
+    rng = np.random.default_rng(7)
+
+    def rt(img, **kw):
+        out = decode_webp(encode_webp_lossless(img, **kw))
+        assert np.array_equal(out, img), f"round trip failed {kw}"
+
+    # palette: every width_bits path (2/4/16-color packing + byte)
+    for n in (2, 3, 4, 5, 16, 17, 48, 200):
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        rt(pal[rng.integers(0, n, (11, 13))], palette=True)
+    # ragged widths exercise the partial last packed byte
+    for wdt in (1, 2, 3, 7, 9):
+        pal = rng.integers(0, 256, (3, 3), dtype=np.uint8)
+        rt(pal[rng.integers(0, 3, (5, wdt))], palette=True)
+
+    # lz77 / cache round trips on repetitive content
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 4, (20, 24))]
+    rt(img, lz77=True)
+    rt(img, lz77=True, cache_bits=4)
+    rt(img, cache_bits=6)
+    rt(np.full((16, 16, 3), 77, np.uint8), lz77=True)  # overlapping copy
+
+    # a row-repeat image must emit a genuine 2D near code: dist w ↔
+    # offset (0, 1) = dist_code 1
+    stripes = np.tile(np.arange(12, dtype=np.uint8).reshape(1, 4, 3), (2, 1, 1))
+    pix = [(255, int(p[0]), int(p[1]), int(p[2])) for row in stripes for p in row]
+    toks = _tokenize_lz77(pix, 4, 0)
+    assert any(t[0] == "copy" and t[2] == 1 and t[3] == 4 for t in toks)
+    rt(stripes, lz77=True)
+
+    # color transform: zero, extreme, and mixed deltas; composition
+    # with the other transforms
+    img = rng.integers(0, 256, (9, 14, 3), dtype=np.uint8)
+    for ct in [(0, 0, 0), (34, 212, 77), (255, 128, 1), (90, 7, 250)]:
+        rt(img, color_transform=ct)
+    rt(img, color_transform=(34, 212, 77), subtract_green=True)
+    rt(
+        img,
+        predictor_modes=12,
+        color_transform=(10, 20, 30),
+        subtract_green=True,
+        lz77=True,
+        cache_bits=3,
+    )
 
 
 def test_synth_pngx_blob_matches_formula():
@@ -1539,8 +1614,9 @@ def test_synth_pngx_blob_matches_formula():
 
 def test_synth_webp_blob_matches_formula():
     """Every synth_webp_blob variant (literals / subtract-green /
-    predictor) decodes to the shared gradient formula — the
-    multimodal_webp_stats oracle property."""
+    predictor / palette / lz77+near-distance / cache+color-transform)
+    decodes to the shared gradient formula — the multimodal_webp_stats
+    oracle property."""
     import numpy as np
 
     from es_ch_sync_spark.operators.multimodal import (
@@ -1553,7 +1629,7 @@ def test_synth_webp_blob_matches_formula():
     x = np.arange(SYNTH_W)[None, :, None]
     y = np.arange(SYNTH_H)[:, None, None]
     c = np.arange(3)[None, None, :]
-    for mid in (0, 1, 2, 3, 13, 14, 41):
+    for mid in (0, 1, 2, 3, 4, 5, 6, 13, 14, 21, 22, 23, 41):
         want = ((mid + 3 * x + 5 * y + 85 * c) % 256).astype(np.uint8)
         assert (decode_image(synth_webp_blob(mid)) == want).all(), mid
 
