@@ -2547,7 +2547,22 @@ def synth_mjpeg_blob(media_id: int) -> bytes:
 def synth_media(docs: DataFrame, kind: str) -> DataFrame:
     """(media_id, kind, content) with real encoded BMP/WAV blobs derived
     from doc_id — generated executor-side in Arrow batches (the driver
-    never holds a blob)."""
+    never holds a blob).
+
+    r16: the doc-id frame is REPARTITIONED up to the cluster's default
+    parallelism before synthesis when the upstream scan yields fewer
+    splits (a small-SF documents table is one parquet file → one task,
+    which serialized the whole per-blob codec pipeline onto a single
+    core — the r15 ×100 rows were measuring exactly that).  The shuffle
+    moves only ids (blobs are synthesized AFTER it, and real decode
+    pipelines inherit the same layout), so this is the scale-correct
+    shape: codec CPU spreads across every core at any input split
+    count."""
+    sess = docs.sparkSession
+    if sess is not None:
+        par = sess.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
     maker = {
         "image": synth_bmp_blob,
         "png": synth_png_blob,

@@ -103,13 +103,32 @@ class _BitReaderLSB:
         return v
 
     def read_code(self, table: dict) -> int:
-        """Read one canonical prefix code: stream bits arrive code-MSB
-        first (the writer reverses), so accumulate MSB-style."""
+        """Read one canonical prefix code.  Fast path (r16 directive
+        #3): peek ``bits`` stream bits and resolve symbol + length in
+        ONE table lookup — the LUT is keyed by the bit-reversed code
+        (stream bits arrive code-MSB-first) padded to ``bits``.  Codes
+        longer than the LUT fall back to the bit-by-bit walk."""
+        lut = table.get("lut")
+        if lut is not None:
+            m = table["bits"]
+            while self._n < m and self.pos < len(self.data):
+                self._acc |= self.data[self.pos] << self._n
+                self._n += 8
+                self.pos += 1
+            entry = lut[self._acc & ((1 << m) - 1)]
+            if entry is not None:
+                sym, ln = entry
+                if ln > self._n:
+                    raise ValueError("truncated VP8L bitstream")
+                self._acc >>= ln
+                self._n -= ln
+                return sym
         code, length = 0, 0
+        mp = table["map"]
         while length < 16:
             code = (code << 1) | self.read(1)
             length += 1
-            sym = table.get((length, code))
+            sym = mp.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid VP8L prefix code")
@@ -140,6 +159,42 @@ class _BitWriterLSB:
             code >>= 1
         self.write(rev, length)
 
+    def write_bulk(self, vals, lens) -> None:
+        """Vectorized bulk append (r16 directive #3): ``vals[i]`` is an
+        ALREADY-BIT-REVERSED code (or raw LSB-first value) emitted at
+        ``lens[i]`` bits.  Expands to a flat LSB-first bit array with
+        numpy, prepends the writer's pending bits, packs with
+        np.packbits and leaves the sub-byte remainder pending."""
+        import numpy as np
+
+        vals = np.asarray(vals, dtype=np.uint64)
+        lens = np.asarray(lens, dtype=np.int64)
+        if not len(vals):
+            return
+        maxb = int(lens.max())
+        if maxb == 0:
+            return
+        shifts = np.arange(maxb, dtype=np.uint64)
+        bitmat = ((vals[:, None] >> shifts[None, :]) & 1).astype(bool)
+        keep = shifts[None, :] < lens[:, None].astype(np.uint64)
+        flat = bitmat[keep]  # row-major: symbol order, LSB-first
+        if self._n:
+            pending = np.array(
+                [(self._acc >> i) & 1 for i in range(self._n)], dtype=bool
+            )
+            flat = np.concatenate([pending, flat])
+        packed = np.packbits(flat, bitorder="little")
+        nbits = len(flat)
+        rem = nbits % 8
+        if rem:
+            self.buf += packed[:-1].tobytes()
+            self._acc = int(packed[-1])
+            self._n = rem
+        else:
+            self.buf += packed.tobytes()
+            self._acc = 0
+            self._n = 0
+
     def flush(self) -> bytes:
         if self._n:
             self.buf.append(self._acc & 0xFF)
@@ -165,14 +220,33 @@ def _canonical_from_lengths(lengths: dict) -> dict:
     return out
 
 
+def _bitrev(code: int, length: int) -> int:
+    rev = 0
+    for _ in range(length):
+        rev = (rev << 1) | (code & 1)
+        code >>= 1
+    return rev
+
+
 def _decode_table_from_lengths(lengths: dict) -> dict:
-    """{symbol: length} → {(length, code): symbol} for read_code.
-    A single used symbol is the spec's 0-bit trivial code."""
+    """{symbol: length} → decode table for read_code: a peek LUT over
+    min(maxlen, 11) bits (one lookup resolves symbol + length; longer
+    codes marked None fall back to the "map" walk).  A single used
+    symbol is the spec's 0-bit trivial code."""
     used = [s for s, ln in lengths.items() if ln]
     if len(used) == 1:
         return {"trivial": used[0]}
     enc = _canonical_from_lengths(lengths)
-    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+    mp = {(ln, code): sym for sym, (code, ln) in enc.items()}
+    m = min(max(ln for _, ln in enc.values()), 11)
+    lut: list = [None] * (1 << m)
+    for sym, (code, ln) in enc.items():
+        if ln > m:
+            continue
+        rev = _bitrev(code, ln)
+        for j in range(rev, 1 << m, 1 << ln):
+            lut[j] = (sym, ln)
+    return {"lut": lut, "bits": m, "map": mp}
 
 
 def _read_sym(br: _BitReaderLSB, table: dict) -> int:
@@ -519,11 +593,47 @@ def _emit_prefix_code(bw: _BitWriterLSB, lengths: dict, alphabet: int) -> dict:
         bw.write(used[1], 8)
         return {used[0]: (0, 1), used[1]: (1, 1)}
     bw.write(0, 1)  # normal
-    # code-length alphabet actually used (zeros appear unless the whole
-    # alphabet is coded); keep it >= 2 distinct so the CL code is a
-    # complete canonical code
-    arr = [lengths.get(s, 0) for s in range(alphabet)]
-    distinct = sorted(set(arr))
+    # r16 directive #3: run-length the code-length sequence with the
+    # spec's 16 (repeat prev non-zero) / 17 / 18 (zero runs) codes and
+    # stop at the last used symbol via the max_symbol shortcut — for a
+    # sparse alphabet this collapses ~alphabet writes (and the
+    # decoder's matching reads) to ~2×(used symbols) tokens.
+    end = max(s for s, v in lengths.items() if v) + 1
+    arr = [0] * end
+    for s, v in lengths.items():
+        if s < end:
+            arr[s] = v
+    toks: list[tuple[int, int, int]] = []  # (cl symbol, extra, extra bits)
+    prev_len = 8  # reader's initial "previous" for code 16
+    i = 0
+    while i < end:
+        v = arr[i]
+        j = i
+        while j < end and arr[j] == v:
+            j += 1
+        run = j - i
+        if v == 0:
+            while run >= 11:
+                r = min(run, 138)
+                toks.append((18, r - 11, 7))
+                run -= r
+            while run >= 3:
+                r = min(run, 10)
+                toks.append((17, r - 3, 3))
+                run -= r
+            toks.extend((0, 0, 0) for _ in range(run))
+        else:
+            if v != prev_len:
+                toks.append((v, 0, 0))
+                run -= 1
+                prev_len = v
+            while run >= 3:
+                r = min(run, 6)
+                toks.append((16, r - 3, 2))
+                run -= r
+            toks.extend((v, 0, 0) for _ in range(run))
+        i = j
+    distinct = sorted({t[0] for t in toks})
     if len(distinct) == 1:
         distinct = sorted({distinct[0], 0 if distinct[0] else 1})
     clc_lengths = _balanced_lengths(distinct) if len(distinct) > 2 else {
@@ -535,10 +645,23 @@ def _emit_prefix_code(bw: _BitWriterLSB, lengths: dict, alphabet: int) -> dict:
     for i in range(num_clc):
         bw.write(clc_lengths.get(_CLC_ORDER[i], 0), 3)
     clc_enc = _canonical_from_lengths(clc_lengths)
-    bw.write(0, 1)  # no max_symbol shortcut
-    for ln in arr:
-        code, bits = clc_enc[ln]
+    if len(toks) >= 2:
+        # max_symbol counts CL-token READS (the reader decrements once
+        # per token, repeats included)
+        x = len(toks) - 2
+        k = max(0, -(-(max(2, x.bit_length()) - 2) // 2))
+        bw.write(1, 1)
+        bw.write(k, 3)
+        bw.write(x, 2 + 2 * k)
+    else:
+        bw.write(0, 1)  # no max_symbol shortcut: emit the whole alphabet
+        toks = [(v, 0, 0) for v in arr]
+        toks += [(0, 0, 0)] * (alphabet - end)
+    for sym, extra, ebits in toks:
+        code, bits = clc_enc[sym]
         bw.write_code(code, bits)
+        if ebits:
+            bw.write(extra, ebits)
     return _canonical_from_lengths(lengths)
 
 
@@ -663,20 +786,53 @@ def _write_entropy_image(
     e_blue = _emit_prefix_code(bw, lens(blues), 256)
     e_alpha = _emit_prefix_code(bw, lens(alphas), 256)
     e_dist = _emit_prefix_code(bw, lens(dists), _DISTANCE_CODES)
+    if len(tokens) >= 1024 and all(t[0] == "lit" for t in tokens):
+        # vectorized literal emission (r16 directive #3): map each
+        # channel symbol to its bit-reversed code + length via numpy
+        # gather, interleave g,r,b,a per pixel, bulk-pack once
+        import numpy as np
+
+        arr = np.array([t[1] for t in tokens], dtype=np.int64)
+
+        def table_arrays(enc):
+            hi = max(enc) + 1
+            revs = np.zeros(hi, np.uint64)
+            ls = np.zeros(hi, np.int64)
+            for s, (code, ln) in enc.items():
+                revs[s] = _bitrev(code, ln)
+                ls[s] = ln
+            return revs, ls
+
+        rg, lg = table_arrays(e_green)
+        rr, lr = table_arrays(e_red)
+        rb, lb = table_arrays(e_blue)
+        ra, la = table_arrays(e_alpha)
+        g, r, b, al = arr[:, 2], arr[:, 1], arr[:, 3], arr[:, 0]
+        vals = np.stack([rg[g], rr[r], rb[b], ra[al]], axis=1).reshape(-1)
+        lns = np.stack([lg[g], lr[r], lb[b], la[al]], axis=1).reshape(-1)
+        bw.write_bulk(vals, lns)
+        return
+    # scalar path: pre-reverse each used code once (write() takes the
+    # LSB-first form directly) instead of per-emission bit reversal
+    rv_green = {s: (_bitrev(c, n), n) for s, (c, n) in e_green.items()}
+    rv_red = {s: (_bitrev(c, n), n) for s, (c, n) in e_red.items()}
+    rv_blue = {s: (_bitrev(c, n), n) for s, (c, n) in e_blue.items()}
+    rv_alpha = {s: (_bitrev(c, n), n) for s, (c, n) in e_alpha.items()}
+    wr = bw.write
     for t in tokens:
         if t[0] == "lit":
             a, r, g, b = t[1]
-            c, nb = e_green[g]
-            bw.write_code(c, nb)
-            c, nb = e_red[r]
-            bw.write_code(c, nb)
-            c, nb = e_blue[b]
-            bw.write_code(c, nb)
-            c, nb = e_alpha[a]
-            bw.write_code(c, nb)
+            c, nb = rv_green[g]
+            wr(c, nb)
+            c, nb = rv_red[r]
+            wr(c, nb)
+            c, nb = rv_blue[b]
+            wr(c, nb)
+            c, nb = rv_alpha[a]
+            wr(c, nb)
         elif t[0] == "cache":
-            c, nb = e_green[cache_base + t[1]]
-            bw.write_code(c, nb)
+            c, nb = rv_green[cache_base + t[1]]
+            wr(c, nb)
         else:
             _mk, length, dc, _raw = t
             lcode, lextra, lbits = _prefix_encode(length)
