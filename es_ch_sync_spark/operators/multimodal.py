@@ -1412,6 +1412,20 @@ def encode_jpeg(arr, subsample: str = "444", restart_interval: int = 0) -> bytes
                 )
         else:
             factors = [(1, 1)] * 3
+    return _emit_baseline_jpeg(planes, factors, h, w, restart_interval)
+
+
+def _emit_baseline_jpeg(
+    planes, factors, h, w, restart_interval=0, app14_transform=None
+):
+    """Shared baseline-JPEG emitter (q=1, standard Huffman tables) for
+    any component count; ``app14_transform`` emits an Adobe APP14
+    segment (r16 directive #4: the 4-component CMYK/YCCK convention
+    marker)."""
+    import struct
+
+    import numpy as np
+
     maxh = max(f[0] for f in factors)
     maxv = max(f[1] for f in factors)
     mcux = -(-w // (8 * maxh))
@@ -1434,6 +1448,9 @@ def encode_jpeg(arr, subsample: str = "444", restart_interval: int = 0) -> bytes
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if app14_transform is not None:
+        out += b"\xff\xee" + struct.pack(">H", 14)
+        out += b"Adobe" + bytes([0, 100, 0, 0, 0, 0, app14_transform])
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
     ncomp = len(planes)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
@@ -1479,6 +1496,31 @@ def encode_jpeg(arr, subsample: str = "444", restart_interval: int = 0) -> bytes
     out += bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def encode_jpeg_cmyk(stored, transform: int = 0) -> bytes:
+    """(H, W, 4) uint8 STORED component planes → 4-component baseline
+    JPEG with an Adobe APP14 segment (r16 VERDICT directive #4).
+
+    ``stored`` holds the values as they appear in the file's four
+    components — for ``transform=0`` the Adobe INVERTED CMYK planes
+    (255 = no ink), for ``transform=2`` (YCCK) the Y/Cb/Cr/K planes
+    directly.  No color conversion happens here: the caller controls
+    the exact stored values, so 8×8-block-constant planes + the q=1
+    table round-trip bit-exactly and the decoder's documented
+    CMYK→RGB math is pinned by a closed-form oracle."""
+    import numpy as np
+
+    a = np.asarray(stored, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 4:
+        raise ValueError("expected (H, W, 4) stored CMYK planes")
+    if transform not in (0, 2):
+        raise ValueError(f"bad Adobe transform {transform} for CMYK")
+    h, w = a.shape[:2]
+    planes = [a[..., i].astype(np.float64) for i in range(4)]
+    return _emit_baseline_jpeg(
+        planes, [(1, 1)] * 4, h, w, app14_transform=transform
+    )
 
 
 # Progressive AC Huffman table (uniform 8-bit canonical, like the
@@ -1762,7 +1804,8 @@ def decode_jpeg(blob: bytes):
     de-zigzag and a BATCHED IDCT run once at end of stream.  Baseline
     is the one-scan special case; progressive accumulates spectral
     bands and successive-approximation bits across scans (T.81 G.1,
-    r14 VERDICT directive #1).  Supported: 8-bit, 1 or 3 components,
+    r14 VERDICT directive #1).  Supported: 8-bit, 1, 3 or 4 components
+    (r16: Adobe APP14 CMYK and YCCK with the inverted-ink composite),
     sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0), multiple
     scans (including non-interleaved baseline), multiple DQT/DHT
     tables, restart intervals, APPn/COM skip.  Extended/arithmetic/
@@ -1783,6 +1826,7 @@ def decode_jpeg(blob: bytes):
     coefs = None
     nscans = 0
     mcux = mcuy = 0
+    adobe_transform = None
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1848,7 +1892,7 @@ def decode_jpeg(blob: bytes):
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            if len(comps) not in (1, 3):
+            if len(comps) not in (1, 3, 4):
                 raise NotImplementedError(f"{len(comps)}-component JPEG")
             if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
                 raise NotImplementedError("JPEG sampling factors above 2x2")
@@ -1899,6 +1943,9 @@ def decode_jpeg(blob: bytes):
             )
             nscans += 1
             continue
+        elif marker == 0xEE:  # APP14: Adobe transform convention
+            if body[:5] == b"Adobe" and len(body) >= 12:
+                adobe_transform = body[11]
         # APPn / COM / others: skip
         pos = seg_end
     if frame is None or nscans == 0:
@@ -1926,6 +1973,28 @@ def decode_jpeg(blob: bytes):
     if len(chans) == 1:
         gray = np.clip(np.round(chans[0]), 0, 255).astype(np.uint8)
         return np.stack([gray] * 3, axis=-1)
+    if len(chans) == 4:
+        # Adobe CMYK/YCCK (r16 directive #4).  Stored values follow the
+        # Adobe INVERTED convention (255 = no ink): for transform 0 the
+        # planes are C', M', Y', K' directly; for transform 2 (YCCK)
+        # the first three are BT.601 YCbCr of (C', M', Y') and invert
+        # through the same matrix as the 3-component path.  RGB is then
+        # channel' × K' / 255, the standard consumer-side composite.
+        t = 0 if adobe_transform is None else adobe_transform
+        c0, c1, c2, kk = (np.clip(ch, 0.0, 255.0) for ch in chans)
+        if t == 2:
+            cy = c0 + 1.402 * (c2 - 128)
+            mg = c0 - 0.344136 * (c1 - 128) - 0.714136 * (c2 - 128)
+            yl = c0 + 1.772 * (c1 - 128)
+            cy, mg, yl = (np.clip(v, 0.0, 255.0) for v in (cy, mg, yl))
+        elif t == 0:
+            cy, mg, yl = c0, c1, c2
+        else:
+            raise ValueError(
+                f"4-component JPEG with Adobe transform {t}"
+            )
+        rgb = np.stack([cy * kk, mg * kk, yl * kk], axis=-1) / 255.0
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     y, cb, cr = chans
     r = y + 1.402 * (cr - 128)
     g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
@@ -2526,6 +2595,31 @@ def synth_pjpeg_blob(media_id: int) -> bytes:
     return encode_jpeg_progressive(np.repeat(np.repeat(vals, 8, 0), 8, 1))
 
 
+def synth_cmyk_blob(media_id: int) -> bytes:
+    """16×16 4-component Adobe JPEG, 8×8-BLOCK-CONSTANT stored planes
+    p1..p4(bx, by) = ((23|29|37|31)·id + (37|43|53|17)·bx +
+    (41|47|59|13)·by) mod 256, alternating transform 0 (inverted CMYK)
+    and 2 (YCCK) by id parity (r16 VERDICT directive #4).  Constant
+    blocks + q=1 make the stored planes exact, so the decoder's
+    documented CMYK→RGB composite is a closed form the DuckDB oracle
+    recomputes."""
+    import numpy as np
+
+    bx = np.arange(2)[None, :]
+    by = np.arange(2)[:, None]
+
+    def plane(a, b, c):
+        v = ((a * media_id + b * bx + c * by) % 256).astype(np.uint8)
+        return np.repeat(np.repeat(v, 8, 0), 8, 1)
+
+    stored = np.stack(
+        [plane(23, 37, 41), plane(29, 43, 47),
+         plane(37, 53, 59), plane(31, 17, 13)],
+        axis=-1,
+    )
+    return encode_jpeg_cmyk(stored, transform=2 * (media_id % 2))
+
+
 def synth_mjpeg_blob(media_id: int) -> bytes:
     """MJPEG-AVI, 10 fps: n = (media_id mod 4) + 2 frames, each 16×8
     grayscale with two constant blocks v(f, bx) = (11·media_id + 17·f +
@@ -2573,6 +2667,7 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
         "webp": synth_webp_blob,
         "pngx": synth_pngx_blob,
         "mjpeg": synth_mjpeg_blob,
+        "cmyk": synth_cmyk_blob,
     }.get(kind, synth_wav_blob)
     schema = T.StructType(
         [

@@ -1984,6 +1984,61 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_CMYK_STATS_ORACLE = """
+    WITH px AS (
+        SELECT doc_id AS media_id, unnest(range(0, 4)) AS b
+        FROM documents
+    ), pl AS (
+        SELECT media_id,
+               (23 * media_id + 37 * (b % 2) + 41 * (b // 2)) % 256 AS p1,
+               (29 * media_id + 43 * (b % 2) + 47 * (b // 2)) % 256 AS p2,
+               (37 * media_id + 53 * (b % 2) + 59 * (b // 2)) % 256 AS p3,
+               (31 * media_id + 17 * (b % 2) + 13 * (b // 2)) % 256 AS p4
+        FROM px
+    ), cmy AS (
+        -- even ids: transform 0 (stored planes ARE inverted C'M'Y');
+        -- odd ids: transform 2 (YCCK) — BT.601-invert first
+        SELECT media_id,
+          CASE WHEN media_id % 2 = 0 THEN CAST(p1 AS DOUBLE)
+               ELSE least(greatest(p1 + 1.402 * (p3 - 128), 0), 255)
+          END AS cy,
+          CASE WHEN media_id % 2 = 0 THEN CAST(p2 AS DOUBLE)
+               ELSE least(greatest(
+                    p1 - 0.344136 * (p2 - 128) - 0.714136 * (p3 - 128),
+                    0), 255)
+          END AS mg,
+          CASE WHEN media_id % 2 = 0 THEN CAST(p3 AS DOUBLE)
+               ELSE least(greatest(p1 + 1.772 * (p2 - 128), 0), 255)
+          END AS yl,
+          CAST(p4 AS DOUBLE) AS k
+        FROM pl
+    )
+    SELECT media_id, 16 AS width, 16 AS height,
+           round(avg(round(cy * k / 255.0)), 4) AS mean_r,
+           round(avg(round(mg * k / 255.0)), 4) AS mean_g,
+           round(avg(round(yl * k / 255.0)), 4) AS mean_b
+    FROM cmy GROUP BY media_id
+"""
+
+
+@register("multimodal_jpeg_cmyk", _CMYK_STATS_ORACLE)
+def q_multimodal_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4-component Adobe JPEG decode (r16 VERDICT directive #4):
+    8×8-block-constant stored planes are entropy-coded executor-side by
+    encode_jpeg_cmyk behind a real APP14 segment, alternating transform
+    0 (inverted CMYK) and 2 (YCCK) by id parity, then decoded through
+    the component-count-agnostic multi-scan path and composited to RGB
+    (channel' × K' / 255, YCCK BT.601-inverted first).  Constant
+    blocks + q=1 keep the stored planes exact, so the oracle recomputes
+    every pixel from the generating formula — a hash match proves APP14
+    detection + 4-component MCU interleave + the inverted-ink composite
+    end to end."""
+    media = mm.synth_media(_docs(spark, sf_dir), "cmyk")
+    return mm.extract_pixel_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 _VIDEO_FRAMES_ORACLE = """
     WITH f AS (
         SELECT doc_id AS media_id,
