@@ -1367,7 +1367,9 @@ def _jpeg_decode_scan(
     return p
 
 
-def encode_jpeg(arr, subsample: str = "444", restart_interval: int = 0) -> bytes:
+def encode_jpeg(
+    arr, subsample: str = "444", restart_interval: int = 0, qtable=None
+) -> bytes:
     """(H, W) or (H, W, 3) uint8 → baseline JFIF bytes with an all-ones
     quantization table (q=1: maximum-fidelity baseline; 8×8-constant
     blocks round-trip EXACTLY — see module notes).  Grayscale stays one
@@ -1412,19 +1414,32 @@ def encode_jpeg(arr, subsample: str = "444", restart_interval: int = 0) -> bytes
                 )
         else:
             factors = [(1, 1)] * 3
-    return _emit_baseline_jpeg(planes, factors, h, w, restart_interval)
+    return _emit_baseline_jpeg(
+        planes, factors, h, w, restart_interval, qtable=qtable
+    )
 
 
 def _emit_baseline_jpeg(
-    planes, factors, h, w, restart_interval=0, app14_transform=None
+    planes, factors, h, w, restart_interval=0, app14_transform=None,
+    qtable=None,
 ):
-    """Shared baseline-JPEG emitter (q=1, standard Huffman tables) for
-    any component count; ``app14_transform`` emits an Adobe APP14
-    segment (r16 directive #4: the 4-component CMYK/YCCK convention
-    marker)."""
+    """Shared baseline-JPEG emitter (standard Huffman tables) for any
+    component count; ``app14_transform`` emits an Adobe APP14 segment
+    (r16 directive #4: the 4-component CMYK/YCCK convention marker);
+    ``qtable`` — an (8, 8) natural-order quantization table — replaces
+    the default all-ones table (r16 directive #5: REAL-table dequant,
+    coefficients quantized as round(coef / q) and the DQT carried in
+    zig-zag order)."""
     import struct
 
     import numpy as np
+
+    if qtable is None:
+        q_nat = np.ones((8, 8))
+    else:
+        q_nat = np.asarray(qtable, dtype=np.float64)
+        if q_nat.shape != (8, 8) or (q_nat < 1).any() or (q_nat > 255).any():
+            raise ValueError("qtable must be (8, 8) with entries 1..255")
 
     maxh = max(f[0] for f in factors)
     maxv = max(f[1] for f in factors)
@@ -1451,7 +1466,8 @@ def _emit_baseline_jpeg(
     if app14_transform is not None:
         out += b"\xff\xee" + struct.pack(">H", 14)
         out += b"Adobe" + bytes([0, 100, 0, 0, 0, 0, app14_transform])
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    zz_q = bytes(int(q_nat[r, c]) for r, c in _JPEG_ZZ)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
     ncomp = len(planes)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci, (fh, fv) in enumerate(factors):
@@ -1487,7 +1503,7 @@ def _emit_baseline_jpeg(
                     y0 = (my * fv + bv) * 8
                     x0 = (mx * fh + bh) * 8
                     blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                    coef = np.rint(A @ blk @ A.T).astype(np.int64)
+                    coef = np.rint((A @ blk @ A.T) / q_nat).astype(np.int64)
                     zzc = coef[zz_r, zz_c]
                     prev[ci] = _jpeg_encode_block(
                         bw, zzc, prev[ci], dc_map, ac_map
