@@ -131,6 +131,10 @@ EXTRA = [
     "gif_frame_dedup",
     "multimodal_webp_stats",
     "ann_ivfpq_recall",
+    # round-16 representatives: 4-component Adobe CMYK/YCCK decode and
+    # the FLAC audio codec
+    "multimodal_jpeg_cmyk",
+    "multimodal_flac_stats",
 ]
 
 

@@ -2276,6 +2276,61 @@ def extract_pixel_features(media: DataFrame, batch_rows: int = 256) -> DataFrame
     return media.select("media_id", "content").mapInPandas(batches, PIXEL_STATS_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("mean_amp", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def extract_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode → whole-clip stats via mapInPandas, dispatched
+    on magic (RIFF/WAVE PCM16 or FLAC — r16 directive #8).  Bad blobs
+    land in the per-row ``error`` column; output rows are 5 scalars, so
+    downstream shuffles move stats, not samples."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from es_ch_sync_spark.operators.flac import decode_flac
+
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    raw = bytes(blob)
+                    if raw[:4] == b"fLaC":
+                        s, rate = decode_flac(raw)
+                    elif raw[:4] == b"RIFF":
+                        s, rate = decode_wav_pcm16(raw)
+                    else:
+                        raise ValueError("unrecognized audio format")
+                    f = np.asarray(s, np.float64).reshape(len(s), -1)
+                    out.append(
+                        (mid, len(f), int(rate),
+                         round(float(f.mean()), 4),
+                         round(float(np.sqrt((f * f).mean())), 4), None)
+                    )
+                except _ROW_DECODE_ERRORS as exc:
+                    out.append((mid, None, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_samples", "sample_rate",
+                    "mean_amp", "rms", "error",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, AUDIO_STATS_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -2611,6 +2666,30 @@ def synth_pjpeg_blob(media_id: int) -> bytes:
     return encode_jpeg_progressive(np.repeat(np.repeat(vals, 8, 0), 8, 1))
 
 
+def synth_flac_blob(media_id: int) -> bytes:
+    """The synth_wav_blob PCM formula (n = (id mod 20 + 5)·80 samples @
+    8 kHz, s(i) = ((id·31 + 7i) mod 4096) − 2048), FLAC-encoded — the
+    lossless audio sibling of the image-codec fixtures (r16 directive
+    #8).  media_id mod 4 rotates the encoder path: auto fixed-order
+    selection, VERBATIM, an explicit LPC subframe, and 4-partition rice
+    — all exactly invertible, so the closed form holds."""
+    import numpy as np
+
+    from es_ch_sync_spark.operators.flac import encode_flac
+
+    n = (media_id % 20 + 5) * 80
+    i = np.arange(n, dtype=np.int64)
+    s = ((media_id * 31 + 7 * i) % 4096) - 2048
+    variant = media_id % 4
+    if variant == 1:
+        return encode_flac(s, SYNTH_RATE, force="verbatim")
+    if variant == 2:
+        return encode_flac(s, SYNTH_RATE, force="lpc", lpc_coefs=[2, -1])
+    if variant == 3:
+        return encode_flac(s, SYNTH_RATE, partition_order=2)
+    return encode_flac(s, SYNTH_RATE)
+
+
 def synth_cmyk_blob(media_id: int) -> bytes:
     """16×16 4-component Adobe JPEG, 8×8-BLOCK-CONSTANT stored planes
     p1..p4(bx, by) = ((23|29|37|31)·id + (37|43|53|17)·bx +
@@ -2684,6 +2763,7 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
         "pngx": synth_pngx_blob,
         "mjpeg": synth_mjpeg_blob,
         "cmyk": synth_cmyk_blob,
+        "flac": synth_flac_blob,
     }.get(kind, synth_wav_blob)
     schema = T.StructType(
         [

@@ -110,6 +110,8 @@ HEADLINE = [
     # round 15
     "multimodal_jpeg_progressive", "gif_frame_dedup", "ann_ivfpq_recall",
     "multimodal_webp_stats", "multimodal_png_variants",
+    # round 16
+    "multimodal_jpeg_cmyk", "multimodal_flac_stats",
 ]
 
 MARKERS = [
