@@ -2558,12 +2558,13 @@ def synth_pngx_blob(media_id: int) -> bytes:
 def synth_webp_blob(media_id: int) -> bytes:
     """Same deterministic gradient as synth_bmp_blob, LOSSLESS-WebP
     (VP8L) encoded — one synthetic pixel formula, one oracle-checked
-    query.  media_id mod 6 selects the encoder path so the corpus
+    query.  media_id mod 7 selects the encoder path so the corpus
     exercises plain literals, SUBTRACT_GREEN, the PREDICTOR transform
     (mode = media_id mod 14), COLOR_INDEXING (the ≤48-color gradient
-    palettizes), greedy LZ77 with 2D near-distance codes, and the color
-    cache + cross-COLOR_TRANSFORM (r16 directive #2): all are exactly
-    invertible, so the closed form still holds."""
+    palettizes), greedy LZ77 with 2D near-distance codes, the color
+    cache + cross-COLOR_TRANSFORM, and META PREFIX code groups (r16
+    directive #2): all are exactly invertible, so the closed form
+    still holds."""
     import numpy as np
 
     from es_ch_sync_spark.operators.webp import encode_webp_lossless
@@ -2572,7 +2573,7 @@ def synth_webp_blob(media_id: int) -> bytes:
     y = np.arange(SYNTH_H)[:, None, None]
     c = np.arange(3)[None, None, :]
     img = ((media_id + 3 * x + 5 * y + 85 * c) % 256).astype(np.uint8)
-    variant = media_id % 6
+    variant = media_id % 7
     if variant == 0:
         return encode_webp_lossless(img)
     if variant == 1:
@@ -2585,12 +2586,14 @@ def synth_webp_blob(media_id: int) -> bytes:
         return encode_webp_lossless(img, palette=True)
     if variant == 4:
         return encode_webp_lossless(img, lz77=True)
-    return encode_webp_lossless(
-        img,
-        lz77=True,
-        cache_bits=4,
-        color_transform=(media_id % 256, (media_id * 7) % 256, 77),
-    )
+    if variant == 5:
+        return encode_webp_lossless(
+            img,
+            lz77=True,
+            cache_bits=4,
+            color_transform=(media_id % 256, (media_id * 7) % 256, 77),
+        )
+    return encode_webp_lossless(img, meta_prefix_bits=2)
 
 
 def synth_agif_blob(media_id: int) -> bytes:

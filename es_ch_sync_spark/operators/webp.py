@@ -29,9 +29,13 @@ The derivation reproduces the spec table's documented prefix and is
 pinned by unit test both against that prefix and by encoder↔decoder
 round trips through 2D codes.
 
+r16 also un-gates META PREFIX CODES: an entropy sub-image assigns a
+prefix-code group (red << 8 | green) to every 2^bits block, and each
+pixel's five codes read from its block's group — the last VP8L decode
+feature besides the lossy VP8 path.
+
 Gates (NotImplementedError, each named):
-  - lossy `VP8 ` and extended `VP8X` containers;
-  - meta prefix codes (spatially varying code groups).
+  - lossy `VP8 ` and extended `VP8X` containers.
 
 Malformed streams raise ValueError.
 
@@ -42,8 +46,9 @@ optionally behind SUBTRACT_GREEN, a PREDICTOR transform with an
 explicit per-block mode image, a COLOR_TRANSFORM with explicit deltas,
 or COLOR_INDEXING (``palette=True``); ``lz77=True`` runs a greedy
 matcher that emits backward references (2D near codes when the
-distance maps into the neighborhood) and ``cache_bits`` adds a real
-color cache.  Lossless means encode→decode round-trips EXACTLY, which
+distance maps into the neighborhood), ``cache_bits`` adds a real
+color cache, and ``meta_prefix_bits`` emits two block-column-parity
+meta prefix groups.  Lossless means encode→decode round-trips EXACTLY, which
 is what the multimodal_webp_stats oracle checks; the knobs let tests
 exercise every inverse path.
 """
@@ -505,9 +510,19 @@ def _read_prefix_code(br: _BitReaderLSB, alphabet: int) -> dict:
 
 
 def _read_entropy_image(br: _BitReaderLSB, w: int, h: int, is_argb: bool):
-    """Decode one entropy-coded image to a flat list of (a, r, g, b)."""
+    """Decode one entropy-coded image to a flat list of (a, r, g, b).
+    ARGB images may carry META PREFIX CODES (r16: the last VP8L decode
+    gate besides lossy VP8): a sub-image maps each 2^bits block to a
+    prefix-code GROUP (index = red << 8 | green), and every symbol of
+    a pixel reads from its block's group."""
+    meta_groups = None
+    meta_bits = 0
     if is_argb and br.read(1):
-        raise NotImplementedError("VP8L meta prefix codes")
+        meta_bits = br.read(3) + 2
+        mw = -(-w // (1 << meta_bits))
+        mh = -(-h // (1 << meta_bits))
+        meta_pix = _read_entropy_image(br, mw, mh, False)
+        meta_groups = [((p[1] << 8) | p[2]) for p in meta_pix]
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
@@ -516,11 +531,20 @@ def _read_entropy_image(br: _BitReaderLSB, w: int, h: int, is_argb: bool):
     green_alpha = _GREEN_LITERALS + _LENGTH_CODES + (
         (1 << cache_bits) if cache_bits else 0
     )
-    t_green = _read_prefix_code(br, green_alpha)
-    t_red = _read_prefix_code(br, 256)
-    t_blue = _read_prefix_code(br, 256)
-    t_alpha = _read_prefix_code(br, 256)
-    t_dist = _read_prefix_code(br, _DISTANCE_CODES)
+    n_groups = (max(meta_groups) + 1) if meta_groups is not None else 1
+    if n_groups > 1 << 16:
+        raise ValueError("VP8L meta prefix group index overflow")
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _read_prefix_code(br, green_alpha),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, _DISTANCE_CODES),
+        ))
+    t_green, t_red, t_blue, t_alpha, t_dist = groups[0]
+    mw_blocks = -(-w // (1 << meta_bits)) if meta_groups is not None else 0
     n = w * h
     pix: list = [None] * n
     cache = [(0, 0, 0, 0)] * (1 << cache_bits) if cache_bits else None
@@ -533,6 +557,13 @@ def _read_entropy_image(br: _BitReaderLSB, w: int, h: int, is_argb: bool):
 
     i = 0
     while i < n:
+        if meta_groups is not None:
+            y, x = divmod(i, w)
+            t_green, t_red, t_blue, t_alpha, t_dist = groups[
+                meta_groups[
+                    (y >> meta_bits) * mw_blocks + (x >> meta_bits)
+                ]
+            ]
         g = _read_sym(br, t_green)
         if g < _GREEN_LITERALS:
             r = _read_sym(br, t_red)
@@ -665,6 +696,27 @@ def _emit_prefix_code(bw: _BitWriterLSB, lengths: dict, alphabet: int) -> dict:
     return _canonical_from_lengths(lengths)
 
 
+def _emit_group_codes(bw: _BitWriterLSB, gpix):
+    """Emit one meta-prefix GROUP's five codes (literals-only group:
+    the distance code is a never-used one-symbol table)."""
+
+    def lens(symbols):
+        if not symbols:
+            return {0: 1}
+        if len(symbols) <= 2:
+            return {s: 1 for s in sorted(symbols)}
+        return _balanced_lengths(symbols)
+
+    e_green = _emit_prefix_code(
+        bw, lens({p[2] for p in gpix}), _GREEN_LITERALS + _LENGTH_CODES
+    )
+    e_red = _emit_prefix_code(bw, lens({p[1] for p in gpix}), 256)
+    e_blue = _emit_prefix_code(bw, lens({p[3] for p in gpix}), 256)
+    e_alpha = _emit_prefix_code(bw, lens({p[0] for p in gpix}), 256)
+    _emit_prefix_code(bw, {0: 1}, _DISTANCE_CODES)
+    return e_green, e_red, e_blue, e_alpha
+
+
 def _tokenize_lz77(pix, w: int, cache_bits: int):
     """Greedy LZ77 over the pixel stream (r16 directive #2's encoder
     handle): emits ("lit", pixel) / ("cache", idx) / ("copy", length,
@@ -735,11 +787,54 @@ def _write_entropy_image(
     lz77: bool = False,
     w: int | None = None,
     cache_bits: int = 0,
+    meta_bits: int | None = None,
+    h: int | None = None,
 ) -> None:
     """Entropy image: one prefix-code group.  Default literals-only; with
     ``lz77`` (requires ``w``) backward references + optional color
-    cache are emitted through _tokenize_lz77."""
+    cache are emitted through _tokenize_lz77; ``meta_bits`` (requires
+    ``w``/``h``, literals-only) emits META PREFIX CODES — two code
+    groups assigned by block-column parity, each built from its own
+    pixels' statistics (the r16 decoder-path exerciser)."""
     if is_argb:
+        if meta_bits is not None:
+            if lz77 or cache_bits:
+                raise ValueError("meta prefix emission is literals-only")
+            if w is None or h is None:
+                raise ValueError("meta prefix emission needs w and h")
+            if not 2 <= meta_bits <= 9:
+                raise ValueError("meta_bits out of range")
+            bw.write(1, 1)  # meta prefix codes present
+            bw.write(meta_bits - 2, 3)
+            mw = -(-w // (1 << meta_bits))
+            mh = -(-h // (1 << meta_bits))
+            grid = [bx % 2 for _by in range(mh) for bx in range(mw)]
+            n_groups = max(grid) + 1
+            _write_entropy_image(
+                bw,
+                [(0, idx >> 8, idx & 0xFF, 0) for idx in grid],
+                is_argb=False,
+            )
+            bw.write(0, 1)  # no color cache
+            group_of = [
+                grid[((i // w) >> meta_bits) * mw + ((i % w) >> meta_bits)]
+                for i in range(len(pix))
+            ]
+            encs = []
+            for gi in range(n_groups):
+                gpix = [p for p, g in zip(pix, group_of) if g == gi] or [
+                    (255, 0, 0, 0)
+                ]
+                encs.append(_emit_group_codes(bw, gpix))
+            for p, g in zip(pix, group_of):
+                e_green, e_red, e_blue, e_alpha = encs[g]
+                a, r, gg, b = p
+                for enc, sym in (
+                    (e_green, gg), (e_red, r), (e_blue, b), (e_alpha, a)
+                ):
+                    c, nb = enc[sym]
+                    bw.write_code(c, nb)
+            return
         bw.write(0, 1)  # no meta prefix codes
     if cache_bits:
         if not 1 <= cache_bits <= 11:
@@ -960,6 +1055,7 @@ def encode_webp_lossless(
     color_transform=None,
     lz77: bool = False,
     cache_bits: int = 0,
+    meta_prefix_bits: int | None = None,
 ) -> bytes:
     """(H, W, 3) uint8 RGB → lossless WebP bytes (VP8L).
 
@@ -1069,7 +1165,8 @@ def encode_webp_lossless(
         cur_w = packed_w
     bw.write(0, 1)  # end of transforms
     _write_entropy_image(
-        bw, pix, is_argb=True, lz77=lz77, w=cur_w, cache_bits=cache_bits
+        bw, pix, is_argb=True, lz77=lz77, w=cur_w, cache_bits=cache_bits,
+        meta_bits=meta_prefix_bits, h=h,
     )
     payload = b"\x2f" + bw.flush()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload

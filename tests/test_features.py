@@ -1509,11 +1509,12 @@ def test_webp_gates_and_malformed():
     bw.write(3, 2)  # COLOR_INDEXING, then EOF
     with pytest.raises(ValueError):
         decode_webp(riff(b"VP8L", b"\x2f" + bw.flush()))
-    # meta prefix codes gate
+    # r16: meta prefix codes decode too — a truncated meta sub-image
+    # header is a malformed stream, not a gate
     bw = vp8l_header()
     bw.write(0, 1)  # no transforms
-    bw.write(1, 1)  # meta prefix bit
-    with pytest.raises(NotImplementedError, match="meta prefix"):
+    bw.write(1, 1)  # meta prefix bit, then EOF
+    with pytest.raises(ValueError):
         decode_webp(riff(b"VP8L", b"\x2f" + bw.flush()))
 
 
@@ -1708,6 +1709,15 @@ def test_webp_vp8l_r16_round_trips():
     assert any(t[0] == "copy" and t[2] == 1 and t[3] == 4 for t in toks)
     rt(stripes, lz77=True)
 
+    # meta prefix codes: per-block-column code groups round-trip, alone
+    # and composed with transforms
+    for shape, mb in [((9, 20), 2), ((16, 16), 3), ((5, 33), 4)]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        rt(img, meta_prefix_bits=mb)
+    img = rng.integers(0, 256, (12, 18, 3), dtype=np.uint8)
+    rt(img, subtract_green=True, meta_prefix_bits=2)
+    rt(img, predictor_modes=12, predictor_size_bits=2, meta_prefix_bits=3)
+
     # color transform: zero, extreme, and mixed deltas; composition
     # with the other transforms
     img = rng.integers(0, 256, (9, 14, 3), dtype=np.uint8)
@@ -1762,7 +1772,7 @@ def test_synth_webp_blob_matches_formula():
     x = np.arange(SYNTH_W)[None, :, None]
     y = np.arange(SYNTH_H)[:, None, None]
     c = np.arange(3)[None, None, :]
-    for mid in (0, 1, 2, 3, 4, 5, 6, 13, 14, 21, 22, 23, 41):
+    for mid in (0, 1, 2, 3, 4, 5, 6, 13, 14, 20, 21, 22, 23, 27, 41):
         want = ((mid + 3 * x + 5 * y + 85 * c) % 256).astype(np.uint8)
         assert (decode_image(synth_webp_blob(mid)) == want).all(), mid
 
