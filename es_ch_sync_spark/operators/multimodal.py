@@ -1389,7 +1389,10 @@ def encode_jpeg(
     h, w = a.shape[:2]
     if not h or not w:
         raise ValueError("empty image")
-    if subsample not in ("444", "420"):
+    # chroma box-average spans per mode (r16: 4:2:2 and 4:1:1 exercise
+    # the decoder's non-square / above-2 sampling factors for real)
+    spans = {"444": (1, 1), "422": (2, 1), "420": (2, 2), "411": (4, 1)}
+    if subsample not in spans:
         raise ValueError(f"unsupported subsample {subsample!r}")
     if gray:
         planes = [a.astype(np.float64)]
@@ -1400,20 +1403,20 @@ def encode_jpeg(
         cb = np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255)
         cr = np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255)
         planes = [y, cb, cr]
-        if subsample == "420":
-            factors = [(2, 2), (1, 1), (1, 1)]
+        sx, sy = spans[subsample]
+        factors = [(sx, sy), (1, 1), (1, 1)]
+        if (sx, sy) != (1, 1):
             for i in (1, 2):
                 p = planes[i]
-                eh, ew = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+                eh = -(-p.shape[0] // sy) * sy
+                ew = -(-p.shape[1] // sx) * sx
                 q = np.empty((eh, ew))
                 q[: p.shape[0], : p.shape[1]] = p
-                q[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+                q[p.shape[0] :, : p.shape[1]] = p[-1:, : p.shape[1]]
                 q[:, p.shape[1] :] = q[:, p.shape[1] - 1 : p.shape[1]]
                 planes[i] = np.round(
-                    (q[0::2, 0::2] + q[1::2, 0::2] + q[0::2, 1::2] + q[1::2, 1::2]) / 4
+                    q.reshape(eh // sy, sy, ew // sx, sx).mean(axis=(1, 3))
                 )
-        else:
-            factors = [(1, 1)] * 3
     return _emit_baseline_jpeg(
         planes, factors, h, w, restart_interval, qtable=qtable
     )
@@ -1562,7 +1565,10 @@ def _jpeg_coefficients(arr, subsample: str = "444"):
     h, w = a.shape[:2]
     if not h or not w:
         raise ValueError("empty image")
-    if subsample not in ("444", "420"):
+    # chroma box-average spans per mode (r16: 4:2:2 and 4:1:1 exercise
+    # the decoder's non-square / above-2 sampling factors for real)
+    spans = {"444": (1, 1), "422": (2, 1), "420": (2, 2), "411": (4, 1)}
+    if subsample not in spans:
         raise ValueError(f"unsupported subsample {subsample!r}")
     if gray:
         planes = [a.astype(np.float64)]
@@ -1573,20 +1579,20 @@ def _jpeg_coefficients(arr, subsample: str = "444"):
         cb = np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255)
         cr = np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255)
         planes = [y, cb, cr]
-        if subsample == "420":
-            factors = [(2, 2), (1, 1), (1, 1)]
+        sx, sy = spans[subsample]
+        factors = [(sx, sy), (1, 1), (1, 1)]
+        if (sx, sy) != (1, 1):
             for i in (1, 2):
                 p = planes[i]
-                eh, ew = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+                eh = -(-p.shape[0] // sy) * sy
+                ew = -(-p.shape[1] // sx) * sx
                 q = np.empty((eh, ew))
                 q[: p.shape[0], : p.shape[1]] = p
-                q[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+                q[p.shape[0] :, : p.shape[1]] = p[-1:, : p.shape[1]]
                 q[:, p.shape[1] :] = q[:, p.shape[1] - 1 : p.shape[1]]
                 planes[i] = np.round(
-                    (q[0::2, 0::2] + q[1::2, 0::2] + q[0::2, 1::2] + q[1::2, 1::2]) / 4
+                    q.reshape(eh // sy, sy, ew // sx, sx).mean(axis=(1, 3))
                 )
-        else:
-            factors = [(1, 1)] * 3
     maxh = max(f[0] for f in factors)
     maxv = max(f[1] for f in factors)
     mcux = -(-w // (8 * maxh))
@@ -1910,8 +1916,18 @@ def decode_jpeg(blob: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             if len(comps) not in (1, 3, 4):
                 raise NotImplementedError(f"{len(comps)}-component JPEG")
-            if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
-                raise NotImplementedError("JPEG sampling factors above 2x2")
+            if not all(1 <= c["h"] <= 4 and 1 <= c["v"] <= 4 for c in comps):
+                raise NotImplementedError("JPEG sampling factors above 4x4")
+            fmaxh = max(c["h"] for c in comps)
+            fmaxv = max(c["v"] for c in comps)
+            if not all(
+                fmaxh % c["h"] == 0 and fmaxv % c["v"] == 0 for c in comps
+            ):
+                # np.repeat upsampling needs integer ratios; 3:2-style
+                # mixes would need fractional resampling
+                raise NotImplementedError(
+                    "non-dividing JPEG sampling factors"
+                )
             if not fh or not fw:
                 raise ValueError("zero JPEG dimensions")
             if fh * fw > (1 << 26):

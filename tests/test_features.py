@@ -1518,6 +1518,42 @@ def test_webp_gates_and_malformed():
         decode_webp(riff(b"VP8L", b"\x2f" + bw.flush()))
 
 
+def test_jpeg_sampling_factors_422_411():
+    """r16: sampling factors beyond 2×2 decode — 4:2:2 (2×1) and 4:1:1
+    (4×1 — an above-2 horizontal factor) encode/decode within the usual
+    lossy bound on block-constant fixtures, arbitrary images decode at
+    the right shape, and non-dividing factor mixes gate by name."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from es_ch_sync_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(2)
+    vals = rng.integers(0, 256, (2, 4, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)  # 16×32, block-constant
+    for sub in ("444", "422", "420", "411"):
+        out = decode_jpeg(encode_jpeg(img, subsample=sub))
+        diff = np.abs(out.astype(int) - img.astype(int)).max()
+        assert diff <= 2, (sub, diff)  # YCbCr round trip ±, box-avg ±
+    img2 = rng.integers(0, 256, (21, 19, 3), dtype=np.uint8)
+    for sub in ("422", "411"):
+        assert decode_jpeg(encode_jpeg(img2, subsample=sub)).shape == img2.shape
+    # non-dividing factors gate by name (Y h=4 with Cb h=3); above-4 gates
+    blob = bytearray(encode_jpeg(img, subsample="411"))
+    sof = blob.find(b"\xff\xc0")
+    assert blob[sof + 10 + 1] == 0x41  # Y component h=4 v=1
+    bad = bytearray(blob)
+    bad[sof + 13 + 1] = 0x31  # Cb h=3 v=1 vs maxh=4
+    with pytest.raises(NotImplementedError, match="non-dividing"):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(blob)
+    bad[sof + 10 + 1] = 0x51  # h=5
+    with pytest.raises(NotImplementedError, match="above 4x4"):
+        decode_jpeg(bytes(bad))
+
+
 def test_jpeg_cmyk_ycck_round_trips():
     """r16 VERDICT directive #4: 4-component Adobe JPEG decode.
     Block-constant stored planes + q=1 round-trip exactly, so the
