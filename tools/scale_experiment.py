@@ -2898,6 +2898,64 @@ def _r7b_sections(spark, docs, replicas, only):
         )
         px15.unpersist()
 
+    if "r16" in only:
+        from es_ch_sync_spark.operators import multimodal as mm
+
+        # compositing GIF at scale: the 4-variant rotation (full-canvas /
+        # partial blits / transparency+disposal-2 / disposal-3) walks the
+        # canvas state machine per clip, then the two-hash-aggregate
+        # census — only (md5, id) rows cross the shuffles
+        gd = docs.select(F.col("doc_id")).limit(100_000).cache()
+        gd.count()
+        timed(
+            f"gif_frame_dedup x{replicas} (100k composited clips, "
+            "cross-clip census)",
+            lambda: mm.gif_frame_dedup(mm.synth_media(gd, "agif")).count(),
+        )
+        gd.unpersist()
+
+        # VP8L at scale after the r16 additions: the 7-variant rotation
+        # now includes palette, LZ77+near-distance, color cache +
+        # cross-color, and meta prefix groups; decode is LUT-driven
+        wp = docs.select(F.col("doc_id")).limit(200_000).cache()
+        wp.count()
+        timed(
+            f"multimodal_webp_stats x{replicas} (200k docs, 7-variant "
+            "VP8L encode+decode)",
+            lambda: mm.extract_pixel_features(
+                mm.synth_media(wp, "webp")
+            ).count(),
+        )
+        wp.unpersist()
+
+        # 4-component Adobe CMYK/YCCK at scale: four coefficient planes
+        # per doc through the multi-scan path + the inverted-ink
+        # composite — 33% more entropy decode than the 3-component row
+        ck = docs.select(F.col("doc_id")).limit(200_000).cache()
+        ck.count()
+        timed(
+            f"multimodal_jpeg_cmyk x{replicas} (200k docs, 4-plane "
+            "encode+decode)",
+            lambda: mm.extract_pixel_features(
+                mm.synth_media(ck, "cmyk")
+            ).count(),
+        )
+        ck.unpersist()
+
+        # FLAC at scale: rice encode + decode of 400-1920 samples per
+        # doc (fixed/LPC predictor recurrence is the per-sample cost),
+        # stats-only rows cross the shuffle
+        fl = docs.select(F.col("doc_id")).limit(200_000).cache()
+        fl.count()
+        timed(
+            f"multimodal_flac_stats x{replicas} (200k docs, FLAC "
+            "encode+decode)",
+            lambda: mm.extract_audio_stats(
+                mm.synth_media(fl, "flac")
+            ).count(),
+        )
+        fl.unpersist()
+
 
 if __name__ == "__main__":
     main()
