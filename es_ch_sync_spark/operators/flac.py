@@ -39,27 +39,53 @@ import hashlib
 import struct
 
 
-def _crc8(data: bytes) -> int:
-    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 (FLAC frame header)."""
-    crc = 0
-    for b in data:
-        crc ^= b
+def _build_crc8_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
-    return crc
+        table.append(crc)
+    return table
 
 
-def _crc16(data: bytes) -> int:
-    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 (FLAC frame)."""
-    crc = 0
-    for b in data:
-        crc ^= b << 8
+def _build_crc16_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b << 8
         for _ in range(8):
             crc = (
                 ((crc << 1) ^ 0x8005) & 0xFFFF
                 if crc & 0x8000
                 else (crc << 1) & 0xFFFF
             )
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _build_crc8_table()
+_CRC16_TABLE = _build_crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 (FLAC frame header).
+    Table-driven byte loop (r16 optimization: the bit-at-a-time loop was
+    28% of the whole codec in cProfile — same polynomial arithmetic,
+    eight steps folded into one 256-entry lookup per byte)."""
+    crc = 0
+    t = _CRC8_TABLE
+    for b in data:
+        crc = t[crc ^ b]
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 (FLAC frame).
+    Table-driven byte loop — see _crc8."""
+    crc = 0
+    t = _CRC16_TABLE
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ t[(crc >> 8) ^ b]
     return crc
 
 
@@ -88,6 +114,41 @@ class _BitWriterMSB:
     def write_signed(self, v: int, n: int) -> None:
         self.write(v & ((1 << n) - 1), n)
 
+    def write_bulk(self, vals, lens) -> None:
+        """Vectorized bulk append (r16 optimization, guide §4.2):
+        ``vals[i]`` is emitted MSB-first at ``lens[i]`` bits.  Expands
+        to a flat bit array in numpy, prepends the writer's pending
+        sub-byte bits, packs with np.packbits(bitorder='big') and
+        leaves the remainder pending — bit-identical to a write() loop
+        (each value's bits land MSB-first in stream order)."""
+        import numpy as np
+
+        vals = np.asarray(vals, dtype=np.uint64)
+        lens = np.asarray(lens, dtype=np.int64)
+        if not len(vals):
+            return
+        maxb = int(lens.max())
+        shifts = lens[:, None] - 1 - np.arange(maxb, dtype=np.int64)[None, :]
+        keep = shifts >= 0
+        bits = (
+            (vals[:, None] >> np.where(keep, shifts, 0).astype(np.uint64)) & 1
+        ).astype(np.uint8)
+        flat = bits[keep]  # row-major selection preserves stream order
+        if self._n:
+            pend = np.array(
+                [(self._acc >> (self._n - 1 - i)) & 1 for i in range(self._n)],
+                np.uint8,
+            )
+            flat = np.concatenate([pend, flat])
+        nbytes = flat.size // 8
+        self.buf += np.packbits(flat[: nbytes * 8]).tobytes()
+        rem = flat[nbytes * 8 :]
+        self._n = int(rem.size)
+        acc = 0
+        for b in rem.tolist():
+            acc = (acc << 1) | int(b)
+        self._acc = acc
+
     def align(self) -> None:
         if self._n:
             self.write(0, 8 - self._n)
@@ -105,6 +166,36 @@ class _BitReaderMSB:
         self.pos = pos  # byte position of next refill
         self._acc = 0
         self._n = 0
+        self._bits = None  # lazy numpy bit view for the vectorized paths
+        self._ones = None
+
+    def bit_view(self):
+        """(bits, ones): the stream as a flat uint8 0/1 array plus the
+        sorted positions of its set bits — built once per reader, shared
+        by every vectorized residual read (r16 optimization)."""
+        if self._bits is None:
+            import numpy as np
+
+            self._bits = np.unpackbits(np.frombuffer(self.data, np.uint8))
+            self._ones = np.flatnonzero(self._bits)
+        return self._bits, self._ones
+
+    def bitpos(self) -> int:
+        """Absolute index of the next unread bit."""
+        return self.pos * 8 - self._n
+
+    def seek_bit(self, ab: int) -> None:
+        """Position the scalar reader at absolute bit index ``ab``
+        (restores the refill-byte/accumulator invariant exactly)."""
+        if ab > len(self.data) * 8:
+            raise ValueError("truncated FLAC bitstream")
+        byte, rem = divmod(ab, 8)
+        if rem == 0:
+            self.pos, self._n, self._acc = byte, 0, 0
+        else:
+            self.pos = byte + 1
+            self._n = 8 - rem
+            self._acc = self.data[byte] & ((1 << self._n) - 1)
 
     def read(self, n: int) -> int:
         while self._n < n:
@@ -190,12 +281,14 @@ def _rice_cost(u, p: int) -> int:
 
 
 def _best_rice_param(u) -> int:
-    best_p, best_c = 0, _rice_cost(u, 0)
-    for p in range(1, 15):
-        c = _rice_cost(u, p)
-        if c < best_c:
-            best_p, best_c = p, c
-    return best_p
+    """argmin_p of the exact rice bit cost over p ∈ [0, 14], as one
+    vectorized 15×n shift-sum (r16 optimization) — ties break to the
+    smallest p exactly like the scalar scan did."""
+    import numpy as np
+
+    ps = np.arange(15, dtype=np.int64)
+    costs = (u[None, :] >> ps[:, None]).sum(axis=1) + len(u) * (ps + 1)
+    return int(np.argmin(costs))
 
 
 def _write_residuals(bw: _BitWriterMSB, res, order: int, blocksize: int,
@@ -218,10 +311,29 @@ def _write_residuals(bw: _BitWriterMSB, res, order: int, blocksize: int,
         start += n
         p = _best_rice_param(u)
         bw.write(p, 4)
-        for uv in u.tolist():
-            bw.write_unary(uv >> p)
-            if p:
-                bw.write(uv & ((1 << p) - 1), p)
+        # One rice value is q zeros, a one, then p suffix bits — as a
+        # single MSB-first write that is value (1<<p)|suffix at width
+        # q+1+p, so the whole partition bulk-packs in numpy (guide
+        # §4.2).  A long unary run decomposes into 32-bit zero chunks
+        # ahead of its value entry (same bits write_unary would emit),
+        # keeping every entry's width under 64 so the matrix expansion
+        # in write_bulk stays valid.
+        if not len(u):
+            continue
+        q = u >> p
+        vals = (1 << p) | (u & ((1 << p) - 1))
+        lens = (q & 31) + 1 + p
+        n_chunks = (q >> 5).astype(np.int64)
+        if int(n_chunks.max()):
+            total = len(u) + int(n_chunks.sum())
+            val_pos = np.arange(len(u)) + np.cumsum(n_chunks)
+            out_vals = np.zeros(total, np.int64)
+            out_lens = np.full(total, 32, np.int64)
+            out_vals[val_pos] = vals
+            out_lens[val_pos] = lens
+            bw.write_bulk(out_vals, out_lens)
+        else:
+            bw.write_bulk(vals, lens)
 
 
 def encode_flac(
@@ -313,8 +425,7 @@ def encode_flac(
                 fw.write(0, 1)
                 fw.write(1, 6)  # VERBATIM
                 fw.write(0, 1)
-                for v in s.tolist():
-                    fw.write_signed(v, bps)
+                fw.write_bulk(s & ((1 << bps) - 1), np.full(len(s), bps))
             elif kind == "lpc":
                 coefs = [int(c) for c in (lpc_coefs or ())]
                 order = len(coefs)
@@ -388,9 +499,7 @@ def _read_subframe(br: _BitReaderMSB, blocksize: int, bps: int):
     if stype == 0:  # CONSTANT
         s = np.full(blocksize, br.read_signed(bps), np.int64)
     elif stype == 1:  # VERBATIM
-        s = np.array(
-            [br.read_signed(bps) for _ in range(blocksize)], np.int64
-        )
+        s = _raw_partition_vec(br, blocksize, bps)
     elif 8 <= stype <= 12:  # FIXED order 0-4
         order = stype - 8
         s = _read_predicted(
@@ -421,18 +530,109 @@ def _read_predicted(br, blocksize, bps, order, coefs, shift, warm=None):
     if blocksize < order:
         raise ValueError("FLAC block smaller than predictor order")
     res = _read_residuals(br, blocksize, order)
+    if list(coefs) == list(_FIXED_COEFS[order]) and shift == 0:
+        # FIXED predictor = k-th difference, so the recurrence inverts
+        # as k cumulative integrations (r16 optimization, guide §4.2).
+        # seeds[j] = d^j s at index order-1, from the warmup's own
+        # difference pyramid; each cumsum is exact in int64 (values are
+        # true partial reconstructions, bounded by the sample range).
+        w = np.asarray(warm, np.int64)
+        seeds = []
+        d = w.copy()
+        for _ in range(order):
+            seeds.append(int(d[-1]))
+            d = np.diff(d)
+        x = np.asarray(res, np.int64)
+        for j in range(order - 1, -1, -1):
+            x = seeds[j] + np.cumsum(x)
+        out = np.empty(blocksize, np.int64)
+        out[:order] = w
+        out[order:] = x
+        return out
     s = np.empty(blocksize, np.int64)
     s[:order] = warm
     sl = s.tolist()  # python-int recurrence (predictor feedback)
+    rl = np.asarray(res).tolist()
     for i in range(order, blocksize):
         acc = 0
         for j, c in enumerate(coefs):
             acc += c * sl[i - 1 - j]
-        sl[i] = res[i - order] + (acc >> shift)
+        sl[i] = rl[i - order] + (acc >> shift)
     return np.array(sl, np.int64)
 
 
+def _raw_partition_vec(br: _BitReaderMSB, n: int, raw: int):
+    """n raw ``raw``-bit signed values, decoded as one numpy bit-matrix
+    gather (r16 optimization, guide §4.2) — bit-exact vs. the scalar
+    read_signed loop."""
+    import numpy as np
+
+    if n == 0:
+        return np.empty(0, np.int64)
+    if raw == 0:
+        return np.zeros(n, np.int64)
+    bits, _ = br.bit_view()
+    s0 = br.bitpos()
+    end = s0 + n * raw
+    if end > bits.size:
+        raise ValueError("truncated FLAC bitstream")
+    block = bits[s0:end].reshape(n, raw).astype(np.int64)
+    v = block @ (np.int64(1) << np.arange(raw - 1, -1, -1, dtype=np.int64))
+    v = v - ((v >> (raw - 1)) << raw)  # two's-complement sign extend
+    br.seek_bit(end)
+    return v
+
+
+def _rice_partition_vec(br: _BitReaderMSB, n: int, p: int):
+    """n rice(p) values decoded vectorized: the unary terminators are
+    chased through the stream's set-bit index with a pointer-doubling
+    jump table (o_{i+1} = first set bit ≥ o_i + 1 + p), then suffixes
+    gather as one bit matrix (r16 optimization, guide §4.2).  Exact
+    integer arithmetic — bit-identical to the scalar loop, including
+    the truncation/runaway ValueErrors."""
+    import numpy as np
+
+    if n == 0:
+        return np.empty(0, np.int64)
+    bits, ones = br.bit_view()
+    m = ones.size
+    s0 = br.bitpos()
+    # nxt[j] = index of the first set bit at position >= ones[j]+1+p;
+    # sentinel index m maps to itself so an exhausted chain is detectable
+    nxt = np.append(np.searchsorted(ones, ones + 1 + p), m)
+    J = np.array([np.searchsorted(ones, s0)], np.int64)
+    P = nxt
+    while J.size < n:
+        J = np.concatenate([J, P[J]])
+        if J.size < n:
+            P = P[P]
+    J = J[:n]
+    if int(J[-1]) >= m:  # chains are monotone: last entry is the max
+        raise ValueError("truncated FLAC bitstream")
+    o = ones[J]
+    s_prev = np.empty(n, np.int64)
+    s_prev[0] = s0
+    s_prev[1:] = o[:-1] + 1 + p
+    q = o - s_prev
+    if int(q.max()) > 1 << 24:
+        raise ValueError("runaway FLAC unary code")
+    if p:
+        idx = o[:, None] + 1 + np.arange(p, dtype=np.int64)[None, :]
+        if int(idx[-1, -1]) >= bits.size:
+            raise ValueError("truncated FLAC bitstream")
+        suf = bits[idx].astype(np.int64) @ (
+            np.int64(1) << np.arange(p - 1, -1, -1, dtype=np.int64)
+        )
+        u = (q << p) | suf
+    else:
+        u = q
+    br.seek_bit(int(o[-1]) + 1 + p)
+    return (u >> 1) ^ -(u & 1)  # un-zigzag
+
+
 def _read_residuals(br: _BitReaderMSB, blocksize: int, order: int):
+    import numpy as np
+
     method = br.read(2)
     if method > 1:
         raise ValueError(f"reserved FLAC residual method {method}")
@@ -442,7 +642,7 @@ def _read_residuals(br: _BitReaderMSB, blocksize: int, order: int):
     nparts = 1 << po
     if blocksize % nparts:
         raise ValueError("FLAC partition order does not divide blocksize")
-    res = []
+    parts = []
     for pi in range(nparts):
         n = blocksize // nparts - (order if pi == 0 else 0)
         if n < 0:
@@ -450,14 +650,12 @@ def _read_residuals(br: _BitReaderMSB, blocksize: int, order: int):
         p = br.read(pbits)
         if p == escape:
             raw = br.read(5)
-            for _ in range(n):
-                res.append(br.read_signed(raw) if raw else 0)
+            parts.append(_raw_partition_vec(br, n, raw))
         else:
-            for _ in range(n):
-                q = br.read_unary()
-                u = (q << p) | (br.read(p) if p else 0)
-                res.append((u >> 1) ^ -(u & 1))  # un-zigzag
-    return res
+            parts.append(_rice_partition_vec(br, n, p))
+    return (
+        np.concatenate(parts) if parts else np.empty(0, np.int64)
+    )
 
 
 def decode_flac(blob: bytes):

@@ -142,6 +142,32 @@ def test_flac_crcs_and_malformed():
         assert F._read_utf8_code(br) == n
 
 
+def test_flac_vectorized_rice_extremes():
+    """r16 optimization pins: the bulk rice writer decomposes long
+    unary runs into 32-bit zero chunks and the pointer-doubling reader
+    chases them exactly — exercised by a lone spike (q ≈ 2^16 at p=0),
+    by all-zero partitions, and by a partition whose parameter search
+    lands on each boundary p."""
+    # spike → enormous unary run through the chunked bulk path
+    s = np.zeros(1024, np.int64)
+    s[100] = 32767
+    _rt(s, force="fixed0")
+    # spike in a multi-partition layout (first partition shortened by order)
+    s2 = np.zeros(2048, np.int64)
+    s2[3] = -30000
+    s2[2000] = 29999
+    _rt(s2, force="fixed1", partition_order=3)
+    # alternating extremes: every value pays a long-ish run at best p
+    s3 = np.tile(np.array([32767, -32768], np.int64), 512)
+    _rt(s3, force="fixed0")
+    # tiny block (n < one chunk) and exact chunk-boundary runs
+    for q_target in (31, 32, 33, 63, 64, 65):
+        v = (q_target >> 1) ^ -(q_target & 1)  # un-zigzag of q at p=0
+        sq = np.zeros(16, np.int64)
+        sq[7] = v
+        _rt(sq, force="fixed0")
+
+
 def test_flac_synth_blob_matches_formula():
     """Every synth_flac_blob variant decodes to the shared PCM formula
     — the multimodal_flac_stats oracle property."""
