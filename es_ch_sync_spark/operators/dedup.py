@@ -417,6 +417,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Duplicate clusters from near-dup pairs: (doc_id, cluster_id) with
     cluster_id = min doc id reachable through the pair graph.
@@ -439,6 +440,57 @@ def connected_components(
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().cache()
+
+    # r16 optimization (guide §1.2: fix the distributed algorithm first):
+    # the Pregel loop pays 2+ blocking jobs PER ROUND (checkpoint +
+    # convergence probe), which is pure fixed overhead when the verified
+    # pair graph is small — and near-dup pair graphs are candidate-sized,
+    # usually orders of magnitude below the corpus.  When the (already
+    # cached, already counted) edge list is bounded, run union-find on
+    # the driver instead: ≤ small_graph_edges × 16 bytes is a few MB,
+    # the same class of bounded collect as the codebook/centroid tables,
+    # and the output (min reachable id per node) is identical by
+    # construction.  Larger graphs take the distributed loop unchanged —
+    # the 100 TB path does not collect.
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        spark = pairs.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            s, d = row[0], row[1]
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rd] = rs
+        roots: dict = {}
+        for node in parent:
+            r = find(node)
+            m = roots.get(r)
+            if m is None or node < m:
+                roots[r] = node
+        out_rows = [(node, roots[find(node)]) for node in parent]
+        from pyspark.sql import types as T
+
+        dt = edges.schema[0].dataType  # node ids keep their input type
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", dt, False),
+                T.StructField("cluster_id", dt, False),
+            ]
+        )
+        return spark.createDataFrame(out_rows, schema=schema)
 
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))

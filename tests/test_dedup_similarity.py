@@ -1299,3 +1299,28 @@ def test_split_leakage_detects_planted_cross_split_pairs(spark):
         .collect()
     )
     assert sum(r["count"] for r in rep) == n_pairs
+
+
+def test_cc_small_graph_fast_path_equivalence(spark):
+    """r16 optimization pin: the bounded driver union-find fast path
+    returns exactly the distributed min-label loop's labels (same
+    (doc_id, cluster_id) set) — forced both ways via the edge cap."""
+    from es_ch_sync_spark.operators.dedup import connected_components
+
+    rows = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 1), (30, 30)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    fast = connected_components(pairs)  # default cap -> driver path
+    slow = connected_components(pairs, small_graph_edges=0)  # force loop
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b
+    # min-label semantics: 1-2-3-22-21-20 collapse to 1
+    lab = dict(a)
+    assert lab[20] == 1 and lab[3] == 1 and lab[11] == 10 and lab[30] == 30
+    # string node keys (grid_density_clusters path) keep their type
+    sp = spark.createDataFrame(
+        [("1:2", "1:3"), ("2:9", "1:2")], "id_a string, id_b string"
+    )
+    sf_ = connected_components(sp)
+    ss = connected_components(sp, small_graph_edges=0)
+    assert sorted(map(tuple, sf_.collect())) == sorted(map(tuple, ss.collect()))
