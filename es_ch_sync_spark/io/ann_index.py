@@ -65,27 +65,42 @@ def probe_cells(
 
     Relational scoring over the centroid table; only the chosen cell ids
     (``nprobe`` longs) ever reach the driver."""
-    cent = spark.read.parquet(f"{path}/centroids")
     q = [float(x) for x in query_vec]
     qn = sum(x * x for x in q) ** 0.5
-    from es_ch_sync_spark.operators.similarity import _sql_double_array
+    # r16 optimization: the centroid table is parameter-bounded index
+    # metadata (n_cells × dim rows), so score it on the driver from ONE
+    # collect — the relational groupBy + TakeOrdered version paid three
+    # blocking AQE query stages per probe.  Arithmetic is the same
+    # per-cell Σ c·q / (‖c‖·‖q‖) rounded to 9dp (sum order differences
+    # are absorbed by the rounding exactly as they were between Spark
+    # partitions and the DuckDB oracle); ties still break to the
+    # smaller cell id.
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    cells_acc: dict[int, tuple[float, float]] = {}
+    for r in rows:
+        cell, pos, c = r["cell"], r["pos"], float(r["c"])
+        dot, cn2 = cells_acc.get(cell, (0.0, 0.0))
+        qx = q[pos] if 0 <= pos < len(q) else 0.0
+        cells_acc[cell] = (dot + c * qx, cn2 + c * c)
+    import decimal
 
-    qcol = F.expr(_sql_double_array(q))
-    cq = cent.withColumn("qx", F.element_at(qcol, (F.col("pos") + 1).cast("int")))
-    scores = cq.groupBy("cell").agg(
-        F.sum(F.col("c") * F.col("qx")).alias("dot"),
-        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"),
-    )
-    ccos = F.when(
-        F.col("cn") > 0, F.col("dot") / (F.col("cn") * F.lit(qn))
-    ).otherwise(F.lit(-2.0))
-    rows = (
-        scores.select("cell", F.round(ccos, 9).alias("ccos"))
-        .orderBy(F.col("ccos").desc(), F.col("cell").asc())
-        .limit(nprobe)
-        .collect()
-    )
-    return [r["cell"] for r in rows]
+    def _round9(x: float) -> float:
+        # Spark's round() on DOUBLE is BigDecimal HALF_UP — replicate it
+        # exactly rather than using Python's HALF_EVEN round()
+        return float(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    scored = []
+    for cell in sorted(cells_acc):
+        dot, cn2 = cells_acc[cell]
+        cn = cn2 ** 0.5
+        ccos = dot / (cn * qn) if cn > 0 else -2.0
+        scored.append((_round9(ccos), cell))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [cell for _, cell in scored[:nprobe]]
 
 
 def search_ivf_index(
@@ -275,6 +290,8 @@ def search_ivfpq_index(
     nprobe: int = 1,
     id_col: str = "vec_id",
     exclude_id: int | None = None,
+    cells: list[int] | None = None,
+    sub_dim: int | None = None,
 ) -> DataFrame:
     """ADC top-k over the persisted IVF-PQ codes, probed-cells only.
 
@@ -287,13 +304,22 @@ def search_ivfpq_index(
     table, with the shuffle carrying (id, partial-sum) pairs."""
     from es_ch_sync_spark.operators.similarity import _sql_double_array
 
-    cells = probe_cells(spark, path, query_vec, nprobe)
+    if cells is None:
+        # callers issuing several probe depths over one index pass the
+        # ranked prefix themselves (probe_cells once at max depth) —
+        # r16 optimization: the per-call probe job is the dominant cost
+        # of a small-index search
+        cells = probe_cells(spark, path, query_vec, nprobe)
     q = [float(x) for x in query_vec]
     qcol = F.expr(_sql_double_array(q))
     cent = spark.read.parquet(f"{path}/centroids").filter(F.col("cell").isin(cells))
     codebook = spark.read.parquet(f"{path}/codebook")
-    # sub_dim is index metadata (max spos + 1) — one bounded scalar agg
-    sub_dim = int(codebook.agg(F.max("spos")).collect()[0][0]) + 1
+    # sub_dim is index metadata (max spos + 1) — callers that know the
+    # index geometry pass it and skip the metadata job (r16
+    # optimization: under AQE every extra aggregate is a blocking query
+    # stage, which dominates a small-index search)
+    if sub_dim is None:
+        sub_dim = int(codebook.agg(F.max("spos")).collect()[0][0]) + 1
     qr = cent.select(
         "cell",
         "pos",
@@ -320,3 +346,81 @@ def search_ivfpq_index(
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def search_ivfpq_index_multi(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    depths: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+    sub_dim: int | None = None,
+) -> DataFrame:
+    """Top-k per probe depth in ONE codes scan (r16 optimization).
+
+    A recall curve runs the same query at several nprobe values; the
+    per-depth searches differ ONLY in which ranked-prefix cells they
+    read — the (cell, sub, code) → d lookup table is depth-independent.
+    So: probe once at max(depths), build one LUT over those cells, scan
+    the codes partitions once, replicate each scored row onto the
+    depths whose prefix contains its cell (a broadcast join against the
+    tiny (method, cell) map), aggregate per (method, id), and take each
+    method's top-k with one window — identical rows to running
+    :func:`search_ivfpq_index` per depth (same LUT arithmetic, same
+    (adc_dist, id) total order), with one scan and one aggregate
+    instead of ``len(depths)`` of each.
+
+    Output: (method = 'nprobe=<d>', vec_id) — k rows per depth."""
+    from pyspark.sql import Window as W
+
+    from es_ch_sync_spark.operators.similarity import _sql_double_array
+
+    ranked = probe_cells(spark, path, query_vec, max(depths))
+    q = [float(x) for x in query_vec]
+    qcol = F.expr(_sql_double_array(q))
+    cent = spark.read.parquet(f"{path}/centroids").filter(
+        F.col("cell").isin(ranked)
+    )
+    codebook = spark.read.parquet(f"{path}/codebook")
+    if sub_dim is None:
+        sub_dim = int(codebook.agg(F.max("spos")).collect()[0][0]) + 1
+    qr = cent.select(
+        "cell",
+        "pos",
+        (F.element_at(qcol, (F.col("pos") + 1).cast("int")) - F.col("c")).alias("qr"),
+    )
+    lut = (
+        codebook.withColumn(
+            "pos", (F.col("sub") * sub_dim + F.col("spos")).cast("int")
+        )
+        .join(qr, "pos")
+        .groupBy("cell", "sub", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("qr") - F.col("c")) * (F.col("qr") - F.col("c"))), 9
+            ).alias("d")
+        )
+    )
+    method_map = spark.createDataFrame(
+        [(f"nprobe={d}", c) for d in depths for c in ranked[:d]],
+        "method string, cell bigint",
+    )
+    codes = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(ranked))
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .join(F.broadcast(method_map), "cell")
+        .groupBy("method", id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    w = W.partitionBy("method").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("method", id_col)
+    )

@@ -842,7 +842,8 @@ def q_ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _ivfpq_index_dir(spark, sf_dir)
     return search_ivfpq_index(
-        spark, path, _ivf_query_vec(sf_dir, 0), k=10, nprobe=2, exclude_id=0
+        spark, path, _ivf_query_vec(sf_dir, 0), k=10, nprobe=2, exclude_id=0,
+        sub_dim=16,  # index geometry: dim 64 / m 4 (skips the metadata job)
     )
 
 
@@ -874,7 +875,7 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout a deployment serves from, not a refit.  Deterministic by
     construction: every input is a deterministic top-k; the oracle
     re-derives the full coarse+residual-PQ chain per depth."""
-    from es_ch_sync_spark.io.ann_index import search_ivfpq_index
+    from es_ch_sync_spark.io.ann_index import search_ivfpq_index_multi
     from es_ch_sync_spark.operators.similarity import cosine_topk
 
     k = 10
@@ -882,16 +883,28 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _ivf_query_vec(sf_dir, 0)
     exact = cosine_topk(emb, qv, k=k, exclude_id=0).select("vec_id")
     path = _ivfpq_index_dir(spark, sf_dir)
-    out = None
-    for np_ in (1, 2, 4):
-        approx = search_ivfpq_index(
-            spark, path, qv, k=k, nprobe=np_, exclude_id=0
-        ).select("vec_id")
-        r = approx.join(exact, "vec_id").agg(
-            (F.count(F.lit(1)).cast("double") / k).alias("recall_at_k")
-        ).select(F.lit(f"nprobe={np_}").alias("method"), "recall_at_k")
-        out = r if out is None else out.unionByName(r)
-    return out
+    # r16 optimization (guide §1.2/§2.4): all three probe depths score
+    # in ONE codes scan + ONE aggregate (search_ivfpq_index_multi —
+    # the per-depth searches differ only in which ranked-prefix cells
+    # they keep), then ONE left join against the exact baseline
+    # replaces the three per-depth join+agg legs.  Identical recall
+    # values: the per-depth top-k sets are unchanged (same LUT, same
+    # (adc_dist, vec_id) order), and the inner-hit count per method is
+    # the same sum the per-leg joins produced.
+    approx_all = search_ivfpq_index_multi(
+        spark, path, qv, k=k, depths=(1, 2, 4), exclude_id=0,
+        sub_dim=16,  # index geometry: dim 64 / m 4 (skips the metadata job)
+    )
+    hits = exact.withColumn("_hit", F.lit(1))
+    return (
+        approx_all.join(hits, "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double") / k
+            ).alias("recall_at_k")
+        )
+    )
 
 
 @register("ann_ivf_topk", oracles.ann_ivf_topk_sql(query_id=0, k=10, dim=64))
