@@ -186,6 +186,7 @@ def pagerank_fixed(
     unit: int = 1_000_000_000,
     src_col: str = "src",
     dst_col: str = "dst",
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank [Page et al. 1999] over a directed edge
     list, carried ENTIRELY in quantized BIGINT rank units so every
@@ -209,6 +210,47 @@ def pagerank_fixed(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
+
+    # r16 optimization: bounded small-graph driver fast path — same
+    # rationale and same integer arithmetic as hits_fixed below (each
+    # round above pays join + agg + eager checkpoint in blocking jobs;
+    # Python ints replicate the BIGINT div chain exactly).  The mining
+    # feeding ``edges`` materializes once either way via the checkpoint.
+    if e.count() <= small_graph_edges:
+        spark = edges.sparkSession
+        erows = [(r[0], r[1]) for r in e.collect()]
+        node_set = sorted({x for t in erows for x in t})
+        n_loc = len(node_set)
+        if n_loc == 0:
+            return e.select(F.col("src").alias("id")).limit(0).withColumn(
+                "rank_m", F.lit(0).cast("long")
+            )
+        deg_loc: dict = {}
+        for s, _ in erows:
+            deg_loc[s] = deg_loc.get(s, 0) + 1
+        base_loc = unit * (damping_den - damping_num) // damping_den // n_loc
+        rank_loc = {v: unit // n_loc for v in node_set}
+        for _ in range(iterations):
+            summed: dict = {}
+            for s, d in erows:
+                summed[d] = summed.get(d, 0) + rank_loc[s] // deg_loc[s]
+            rank_loc = {
+                v: base_loc + (damping_num * summed.get(v, 0)) // damping_den
+                for v in node_set
+            }
+        from pyspark.sql import types as T
+
+        dt = e.schema[0].dataType  # node ids keep their input type
+        schema = T.StructType(
+            [
+                T.StructField("id", dt, False),
+                T.StructField("rank_m", T.LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(
+            [(v, rank_loc[v]) for v in node_set], schema=schema
+        )
+
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -254,6 +296,7 @@ def hits_fixed(
     unit: int = 1_000_000_000,
     src_col: str = "src",
     dst_col: str = "dst",
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Fixed-iteration HITS [Kleinberg 1999] over a directed edge list —
     hubs point at good authorities, authorities are pointed at by good
@@ -296,6 +339,62 @@ def hits_fixed(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
+
+    # r16 optimization (guide §1.2: fix the distributed algorithm first):
+    # each half-step below is an agg + left join + eager checkpoint — 3+
+    # blocking jobs, ×2 per iteration, pure fixed overhead when the host
+    # graph is small (a near-dup mirror graph has FAR fewer hosts than
+    # documents).  The checkpointed edge list materializes the mining
+    # exactly once on both paths; when it is bounded, run the identical
+    # quantized-integer recurrence on the driver — Python ints are
+    # arbitrary-precision, so (raw·unit) // tot is exactly the
+    # DECIMAL(38,0) `div` the distributed path computes on non-negative
+    # scores, and the output rows match by construction.  Larger graphs
+    # take the distributed loop unchanged — the 100 TB path never
+    # collects.
+    if e.count() <= small_graph_edges:
+        spark = edges.sparkSession
+        erows = [(r[0], r[1]) for r in e.collect()]
+        node_set = sorted({x for t in erows for x in t})
+        n_loc = len(node_set)
+        if n_loc == 0:
+            return e.select(
+                F.col("src").alias("id"),
+                F.lit(0).cast("long").alias("auth_m"),
+                F.lit(0).cast("long").alias("hub_m"),
+            ).limit(0)
+
+        def _norm_loc(raw: dict) -> dict:
+            tot = sum(raw.values())
+            if tot == 0:
+                return {v: 0 for v in node_set}
+            return {v: (raw.get(v, 0) * unit) // tot for v in node_set}
+
+        h_loc = {v: unit // n_loc for v in node_set}
+        a_loc: dict = {}
+        for _ in range(iterations):
+            raw_a: dict = {}
+            for s, d in erows:
+                raw_a[d] = raw_a.get(d, 0) + h_loc[s]
+            a_loc = _norm_loc(raw_a)
+            raw_h: dict = {}
+            for s, d in erows:
+                raw_h[s] = raw_h.get(s, 0) + a_loc[d]
+            h_loc = _norm_loc(raw_h)
+        from pyspark.sql import types as T
+
+        dt = e.schema[0].dataType  # node ids keep their input type
+        schema = T.StructType(
+            [
+                T.StructField("id", dt, False),
+                T.StructField("auth_m", T.LongType(), False),
+                T.StructField("hub_m", T.LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(
+            [(v, a_loc[v], h_loc[v]) for v in node_set], schema=schema
+        )
+
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from es_ch_sync_spark.operators.util import spread
+from es_ch_sync_spark.operators.util import gather_columns, scan_row_count, spread
 
 
 def _as_double(col: Column) -> Column:
@@ -113,7 +113,7 @@ def knn_join(
     embedding_near_dup tiers) so it can never be pointed at production
     data by accident; the count is one cheap row-count scan, negligible
     next to the n² join it gates."""
-    n = emb.count()
+    n = scan_row_count(emb)
     if n > max_rows:
         raise ValueError(
             f"knn_join is the O(n²) exact baseline and refuses {n} rows "
@@ -186,7 +186,7 @@ def knn_join_blocked(
     import numpy as np
     import pandas as pd
 
-    n = emb.count()
+    n = scan_row_count(emb)
     if n > max_broadcast_rows:
         return _knn_join_block_pairs(
             emb, k=k, id_col=id_col, vec_col=vec_col, rows_per_block=rows_per_block
@@ -194,7 +194,7 @@ def knn_join_blocked(
 
     spark = emb.sparkSession
     # gather B driver-side (only the two needed columns, Arrow path)
-    pdf = emb.select(id_col, vec_col).toPandas()
+    pdf = gather_columns(emb, [id_col, vec_col])
     ids = pdf[id_col].to_numpy()
     Bn = _normalized_matrix(pdf[vec_col])
     b_ids = spark.sparkContext.broadcast(ids)
@@ -257,7 +257,7 @@ def _knn_join_block_pairs(
 
     from pyspark.sql import Window as W
 
-    n = emb.count()
+    n = scan_row_count(emb)
     nb = max(1, math.ceil(n / rows_per_block))
     packed = (
         emb.select(
@@ -488,7 +488,7 @@ def embedding_near_duplicates(
     # and spread's partition-count probe on a computed frame would plan and
     # run the upstream pipeline eagerly at build time
     if broadcast_vectors is None:
-        broadcast_vectors = emb.count() <= max_broadcast_rows
+        broadcast_vectors = scan_row_count(emb) <= max_broadcast_rows
     if broadcast_vectors:
         # small-corpus tier: pairs stay (long, long) rows end-to-end; vectors
         # ride once as a broadcast matrix and each partition scores its pairs
@@ -520,7 +520,7 @@ def _score_pairs_numpy(
     import pandas as pd
 
     spark = emb.sparkSession
-    pdf = emb.select(id_col, vec_col).toPandas()
+    pdf = gather_columns(emb, [id_col, vec_col])
     ids = pdf[id_col].to_numpy()
     Bn = _normalized_matrix(pdf[vec_col])
     index = {int(i): r for r, i in enumerate(ids)}

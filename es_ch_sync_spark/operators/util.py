@@ -36,7 +36,11 @@ def _is_scan_stage(df: DataFrame) -> bool:
     )
 
 
-def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    by: str | tuple[str, ...] | None = None,
+) -> DataFrame:
     """Ensure a compute-heavy map stage has enough partitions to use the
     cluster.
 
@@ -45,6 +49,17 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     costs little (input is small by construction — that's why it had few
     splits); on real 100 TB inputs the condition is false and this is a
     no-op.  min_partitions defaults to the scheduler's defaultParallelism.
+
+    ``by`` (r16 optimization, guide §2.4): callers whose downstream
+    pipeline aggregates or joins on a key pass it here so the spread
+    shuffle IS the key shuffle — ``repartition(n, key)`` satisfies the
+    downstream ClusteredDistribution requirement, so the planner drops
+    the second Exchange outright (verified: dedup_simhash 1.36 → 0.86 s
+    at sf0.1, plan loses one Exchange).  A keyed repartition also skips
+    the sortBeforeRepartition local sort that every keyless round-robin
+    repartition pays (guide §2.5).  Key cardinality must comfortably
+    exceed the partition count (true by construction for document/vector
+    ids); results are identical either way — only row placement moves.
 
     The df.rdd partition-count probe physically plans the frame, and if
     the plan contains a broadcast join the broadcast (and everything under
@@ -59,8 +74,72 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if by is not None:
+            cols = [by] if isinstance(by, str) else list(by)
+            return df.repartition(target, *cols)
         return df.repartition(target)
     return df
+
+
+def bare_scan_files(df: DataFrame) -> list[str] | None:
+    """Local parquet paths iff ``df`` is a BARE file scan — its analyzed
+    logical plan is a single relation node (no Project/Filter/Join/...),
+    so the files hold exactly the frame's rows and values.  Returns None
+    otherwise.  Used by the r16 driver-metadata fast paths below; the
+    plan inspection itself never triggers physical planning."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    if len(lines) != 1 or not lines[0].lstrip().startswith("Relation"):
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file relations
+        return None
+    out = []
+    for f in files:
+        if f.startswith("file:"):
+            f = f[5:]
+        elif "://" in f:  # non-local scheme: no driver-side footer access
+            return None
+        out.append(f)
+    return out or None
+
+
+def scan_row_count(df: DataFrame, max_files: int = 64) -> int:
+    """Row count of a frame WITHOUT a Spark job when possible (r16
+    optimization, guide §1.2: tier-gate ``df.count()`` calls each cost a
+    blocking job that dominates small-input queries).  For a bare file
+    scan the count is the sum of parquet footer row counts — exact, read
+    driver-side in milliseconds.  Falls back to ``df.count()`` for
+    non-scan frames; above ``max_files`` the scan is by construction
+    far beyond every caller's small-tier threshold, so the footer walk
+    is skipped and the (then cheap relative to the work that follows)
+    distributed count runs instead."""
+    files = bare_scan_files(df)
+    if files is not None and len(files) <= max_files:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return df.count()
+
+
+def gather_columns(df: DataFrame, cols: list[str]):
+    """``df.select(*cols).toPandas()`` without a Spark job when the frame
+    is a bare file scan: the parquet files are read driver-side with
+    pyarrow (same bytes, same values — the scan has no expressions to
+    apply).  The caller is responsible for having bounded the row count
+    (every use rides behind a ``scan_row_count`` tier gate).  Column
+    order follows ``cols``; row order is file order, which callers must
+    not rely on (both paths build id→row indexes)."""
+    files = bare_scan_files(df)
+    if files is not None:
+        import pyarrow.parquet as pq
+
+        tables = [pq.read_table(f, columns=cols) for f in files]
+        import pyarrow as pa
+
+        return pa.concat_tables(tables).to_pandas()
+    return df.select(*cols).toPandas()
 
 
 def register_intermediate(result: DataFrame, *cached: DataFrame) -> DataFrame:

@@ -212,3 +212,33 @@ def test_k_core_fixed_peels_pendants_keeps_clique(spark):
     core4 = {r["id"]: r["core_degree"]
              for r in k_core_fixed(e4, k=3, rounds=4).collect()}
     assert core4 == {c: 3 for c in "pqrs"}
+
+
+def test_graph_small_fast_paths_match_distributed(spark):
+    """r16 optimization pin: the bounded driver fast paths in hits_fixed
+    and pagerank_fixed return exactly the distributed loops' rows —
+    forced both ways via the small_graph_edges cap (0 = always
+    distributed)."""
+    from es_ch_sync_spark.operators.graph import hits_fixed, pagerank_fixed
+
+    E = [("a", "c"), ("b", "c"), ("c", "d"), ("d", "a"), ("c", "a"),
+         ("e", "e"), ("b", "d")]
+    edges = spark.createDataFrame(E, "src string, dst string")
+    fast_h = sorted(map(tuple, hits_fixed(edges, iterations=2).collect()))
+    slow_h = sorted(
+        map(tuple, hits_fixed(edges, iterations=2, small_graph_edges=0).collect())
+    )
+    assert fast_h == slow_h
+    fast_p = sorted(map(tuple, pagerank_fixed(edges, iterations=3).collect()))
+    slow_p = sorted(
+        map(
+            tuple,
+            pagerank_fixed(edges, iterations=3, small_graph_edges=0).collect(),
+        )
+    )
+    assert fast_p == slow_p
+    # long node ids keep their type through the fast path
+    el = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert sorted(map(tuple, pagerank_fixed(el, iterations=1).collect())) == sorted(
+        map(tuple, pagerank_fixed(el, iterations=1, small_graph_edges=0).collect())
+    )
