@@ -1406,28 +1406,18 @@ def sorted_neighborhood_pairs(
     ).withColumn("skey", F.substring("nt", 1, key_chars)).withColumn(
         "block", F.substring("nt", 1, block_chars)
     )
-    ranked = base.withColumn(
-        "rn",
-        F.row_number().over(W.partitionBy("block").orderBy("skey", "id")),
-    ).select("id", "nt", "block", "rn")
-
-    offs = F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("off")
-    left = ranked.select("id", "nt", "block", "rn", offs).withColumn(
-        "rn2", F.col("rn") + F.col("off")
-    )
-    right = ranked.select(
-        F.col("id").alias("id_b"),
-        F.col("nt").alias("nt_b"),
-        "block",
-        F.col("rn").alias("rn2"),
-    )
-    # each unordered pair arises exactly once (one rank per id, offsets
-    # distinct), so no pair-dedup shuffle is needed
-    cand = left.join(right, ["block", "rn2"]).select(
-        F.least(F.col("id"), F.col("id_b")).alias("id_a"),
-        F.greatest(F.col("id"), F.col("id_b")).alias("id_b"),
-        F.col("nt").alias("nt_a"),
-        F.col("nt_b"),
+    # r16 optimization (guide §2.4): "pair each record with its window−1
+    # successors" IS a lead() window — the (block, rank+off) explode +
+    # equi-join formulation paid a second shuffle of the ranked frame
+    # plus the join itself for rows the window stage already had adjacent
+    # (each unordered pair arises exactly once either way: one rank per
+    # id, lead offsets distinct).  Texts are re-attached AFTER candidate
+    # generation, so neither the window nor the pair rows carry payloads.
+    pairs = _snm_pass_pairs(
+        base.select("id", F.col("nt").alias("sortsrc")),
+        window,
+        block_chars,
+        key_chars,
     )
     ta = F.array_distinct(F.split(F.col("nt_a"), " "))
     tb = F.array_distinct(F.split(F.col("nt_b"), " "))
@@ -1435,7 +1425,15 @@ def sorted_neighborhood_pairs(
     union = F.size(ta) + F.size(tb) - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
     return (
-        cand.select("id_a", "id_b", jac.alias("jaccard"))
+        pairs.join(
+            base.select(F.col("id").alias("id_a"), F.col("nt").alias("nt_a")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("id").alias("id_b"), F.col("nt").alias("nt_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -1444,31 +1442,41 @@ def _snm_pass_pairs(
     keyed: DataFrame, window: int, block_chars: int, key_chars: int
 ) -> DataFrame:
     """One sorted-neighborhood pass over a NARROW (id, sortsrc) frame:
-    rank by the ``key_chars`` prefix of sortsrc within its ``block_chars``
-    prefix block, pair each record with its window−1 successors via the
-    (block, rank+offset) equi-join.  Returns unordered (id_a, id_b)
-    candidate pairs only — texts are re-attached once, after the
-    cross-pass pair-dedup, so candidate generation never shuffles
-    document payloads."""
+    sort by the ``key_chars`` prefix of sortsrc within its ``block_chars``
+    prefix block, pair each record with its window−1 successors.  Returns
+    unordered (id_a, id_b) candidate pairs only — texts are re-attached
+    once, after the cross-pass pair-dedup, so candidate generation never
+    shuffles document payloads.
+
+    r16 optimization (guide §2.4): the successors come from ``lead()``
+    columns over the SAME block window that establishes the sort — the
+    former (block, rank+offset) explode + equi-join re-shuffled the
+    ranked frame and joined it against itself for rows the window stage
+    already had adjacent.  Identical pair set: lead(id, k) within the
+    block IS the record at rank+k (one rank per id, offsets distinct, no
+    cross-block pairs either way)."""
     from pyspark.sql import Window as W
 
     ranked = keyed.select(
         "id",
         F.substring("sortsrc", 1, key_chars).alias("skey"),
         F.substring("sortsrc", 1, block_chars).alias("block"),
-    ).withColumn(
-        "rn", F.row_number().over(W.partitionBy("block").orderBy("skey", "id"))
     )
-    offs = F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("off")
-    left = ranked.select("id", "block", "rn", offs).withColumn(
-        "rn2", F.col("rn") + F.col("off")
-    )
-    right = ranked.select(
-        F.col("id").alias("id_b"), "block", F.col("rn").alias("rn2")
-    )
-    return left.join(right, ["block", "rn2"]).select(
-        F.least(F.col("id"), F.col("id_b")).alias("id_a"),
-        F.greatest(F.col("id"), F.col("id_b")).alias("id_b"),
+    w_ = W.partitionBy("block").orderBy("skey", "id")
+    nxt = [F.lead("id", k).over(w_).alias(f"_n{k}") for k in range(1, window)]
+    return (
+        ranked.select("id", *nxt)
+        .select(
+            "id",
+            F.explode(
+                F.array(*[F.col(f"_n{k}") for k in range(1, window)])
+            ).alias("id_b"),
+        )
+        .filter(F.col("id_b").isNotNull())
+        .select(
+            F.least("id", "id_b").alias("id_a"),
+            F.greatest("id", "id_b").alias("id_b"),
+        )
     )
 
 
