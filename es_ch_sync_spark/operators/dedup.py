@@ -447,15 +447,17 @@ def connected_components(
     # the Pregel loop pays 2+ blocking jobs PER ROUND (checkpoint +
     # convergence probe), which is pure fixed overhead when the verified
     # pair graph is small — and near-dup pair graphs are candidate-sized,
-    # usually orders of magnitude below the corpus.  When the (already
-    # cached, already counted) edge list is bounded, run union-find on
-    # the driver instead: ≤ small_graph_edges × 16 bytes is a few MB,
-    # the same class of bounded collect as the codebook/centroid tables,
-    # and the output (min reachable id per node) is identical by
-    # construction.  Larger graphs take the distributed loop unchanged —
-    # the 100 TB path does not collect.
-    n_edges = edges.count()
-    if n_edges <= small_graph_edges:
+    # usually orders of magnitude below the corpus.  When the edge list
+    # is bounded, run union-find on the driver instead:
+    # ≤ small_graph_edges × 16 bytes is a few MB, the same class of
+    # bounded collect as the codebook/centroid tables, and the output
+    # (min reachable id per node) is identical by construction.  Larger
+    # graphs take the distributed loop unchanged — the 100 TB path does
+    # not collect.  The size probe IS the collect (limit cap+1 — ONE
+    # bounded job, not a count() followed by a collect(); an over-cap
+    # result is discarded and the distributed loop proceeds).
+    probe = edges.limit(small_graph_edges + 1).collect()
+    if len(probe) <= small_graph_edges:
         spark = pairs.sparkSession
         parent: dict = {}
 
@@ -467,7 +469,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
+        for row in probe:
             s, d = row[0], row[1]
             if s not in parent:
                 parent[s] = s

@@ -216,9 +216,10 @@ def pagerank_fixed(
     # round above pays join + agg + eager checkpoint in blocking jobs;
     # Python ints replicate the BIGINT div chain exactly).  The mining
     # feeding ``edges`` materializes once either way via the checkpoint.
-    if e.count() <= small_graph_edges:
+    probe = e.limit(small_graph_edges + 1).collect()
+    if len(probe) <= small_graph_edges:
         spark = edges.sparkSession
-        erows = [(r[0], r[1]) for r in e.collect()]
+        erows = [(r[0], r[1]) for r in probe]
         node_set = sorted({x for t in erows for x in t})
         n_loc = len(node_set)
         if n_loc == 0:
@@ -345,16 +346,18 @@ def hits_fixed(
     # blocking jobs, ×2 per iteration, pure fixed overhead when the host
     # graph is small (a near-dup mirror graph has FAR fewer hosts than
     # documents).  The checkpointed edge list materializes the mining
-    # exactly once on both paths; when it is bounded, run the identical
+    # exactly once on both paths; the size probe IS the collect (limit
+    # cap+1 — one bounded job); when it is bounded, run the identical
     # quantized-integer recurrence on the driver — Python ints are
     # arbitrary-precision, so (raw·unit) // tot is exactly the
     # DECIMAL(38,0) `div` the distributed path computes on non-negative
     # scores, and the output rows match by construction.  Larger graphs
     # take the distributed loop unchanged — the 100 TB path never
     # collects.
-    if e.count() <= small_graph_edges:
+    probe = e.limit(small_graph_edges + 1).collect()
+    if len(probe) <= small_graph_edges:
         spark = edges.sparkSession
-        erows = [(r[0], r[1]) for r in e.collect()]
+        erows = [(r[0], r[1]) for r in probe]
         node_set = sorted({x for t in erows for x in t})
         n_loc = len(node_set)
         if n_loc == 0:
