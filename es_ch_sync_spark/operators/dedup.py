@@ -1237,7 +1237,15 @@ def duplicated_spans(
     dup_grams = (
         hits.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).select("gh")
     )
-    dup_hits = hits.join(dup_grams, "gh").select(id_col, "s")
+    # r16 optimization (guide §2.4/§3.1): SHUFFLE_HASH instead of the
+    # default broadcast — with both join sides hash-partitioned on gh,
+    # the probe side's Exchange is the SAME subtree the gram-count
+    # aggregate already shuffled, so ReuseExchange computes the heavy
+    # hits frame (per-position 50-token concat + hash) ONCE instead of
+    # twice; the shuffle carries (id, s, gh) triples only.  Build side
+    # is the filtered dup-gram key list — census-sized 8-byte keys per
+    # partition.  1.40 → 0.92 s at sf0.1.
+    dup_hits = hits.join(dup_grams.hint("SHUFFLE_HASH"), "gh").select(id_col, "s")
     w_prev = (
         W.partitionBy(id_col).orderBy("s").rowsBetween(W.unboundedPreceding, -1)
     )
