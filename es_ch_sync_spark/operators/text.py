@@ -1070,7 +1070,12 @@ def nb_train(
     doc_n = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_l")
     ).localCheckpoint(eager=True)
-    n_docs = doc_n.agg(F.sum("n_l")).first()[0]
+    # r16: Σ n_l == the input row count, which a bare file scan answers
+    # from parquet footers driver-side — no blocking aggregate job
+    # (guide §1.2); non-scan frames fall back to the distributed count.
+    from es_ch_sync_spark.operators.util import scan_row_count
+
+    n_docs = scan_row_count(docs)
 
     def _logm(expr) -> Column:
         return F.round(F.log(expr) * F.lit(1000000.0), 0).cast("long")
