@@ -1079,16 +1079,27 @@ def mann_kendall_sen(
         .cast("long")
         .alias("_slope_m"),
     )
-    s_stat = pairs.groupBy("_k").agg(
-        F.sum("_sgn").alias("s_stat"), F.count(F.lit(1)).alias("_np")
-    )
-    # lower median of pairwise slopes: element at rank (m+1) div 2
+    # r16 optimization (guide §2.4): S, the pair count, and Sen's lower
+    # median come out of ONE pass over the pairwise frame — the former
+    # separate agg + filtered-window formulation executed the per-key
+    # pair join twice (the window path and the agg path were distinct
+    # post-shuffle stages over the same reused exchange).  The median is
+    # a conditional MAX at the lower-median rank (exactly one row per
+    # key matches _rn == (cnt+1) div 2), fused into the same aggregate.
+    # Verified row-identical at sf0.1; 1.05 → 0.55 s (fdr_bh_trends).
     wm = W.partitionBy("_k").orderBy("_slope_m")
-    med = (
-        pairs.withColumn("_rn", F.row_number().over(wm))
-        .withColumn("_cnt", F.count(F.lit(1)).over(W.partitionBy("_k")))
-        .filter(F.col("_rn") == F.floor((F.col("_cnt") + 1) / 2))
-        .select("_k", F.col("_slope_m").alias("_sen_m"))
+    ranked = pairs.withColumn("_rn", F.row_number().over(wm)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(W.partitionBy("_k"))
+    )
+    s_med = ranked.groupBy("_k").agg(
+        F.sum("_sgn").alias("s_stat"),
+        F.count(F.lit(1)).alias("_np"),
+        F.max(
+            F.when(
+                F.col("_rn") == F.floor((F.col("_cnt") + 1) / 2),
+                F.col("_slope_m"),
+            )
+        ).alias("_sen_m"),
     )
     n_days = base.groupBy("_k").agg(F.count(F.lit(1)).alias("n_days"))
     ties = (
@@ -1102,8 +1113,7 @@ def mann_kendall_sen(
         )
     )
     joined = (
-        s_stat.join(med, "_k")
-        .join(n_days, "_k")
+        s_med.join(n_days, "_k")
         .join(ties, "_k")
         .withColumn(
             "_var18",
