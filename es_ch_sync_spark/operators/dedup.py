@@ -2045,7 +2045,6 @@ def dedup_audit_panel(
     checkpoints are all census/pair-sized, never corpus-sized."""
     from es_ch_sync_spark.operators.analytics import (
         adjusted_rand_index_from_census,
-        contingency_census,
         nmi_vmeasure_from_census,
     )
 
@@ -2140,20 +2139,28 @@ def dedup_audit_panel(
         )
     )
 
-    la = df.select(
-        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("label_a")
-    )
-    lb = (
-        df.select(F.col(id_col).alias("doc_id"))
+    # r16 (guide §2.4): both label partitions come off ONE corpus scan —
+    # the exact-hash label is a row-local md5 and the LSH label is a
+    # broadcast join against the (tiny) component frame, so the former
+    # la ⋈ lb id-join (second scan + join stage) is a fused projection.
+    # Identical census: same id set (left join + coalesce keeps every
+    # doc), same label values, same groupBy.
+    nij = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(normalize_text(F.col(text_col))).alias("_la"),
+        )
         .join(comp, "doc_id", "left")
         .select(
-            F.col("doc_id").alias(id_col),
+            "_la",
             F.coalesce(F.col("cluster_id"), F.col("doc_id"))
             .cast("string")
-            .alias("label_b"),
+            .alias("_lb"),
         )
+        .groupBy("_la", "_lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .localCheckpoint(eager=True)
     )
-    nij = contingency_census(la, lb, id_col).localCheckpoint(eager=True)
     ari_long = adjusted_rand_index_from_census(nij).select(
         F.lit("ari").alias("section"),
         *nulls,
