@@ -124,3 +124,37 @@ def test_two_phase_rank_rejects_duplicate_order_keys(spark):
         two_phase_rank(df, F.col("cnt").desc(), partitions=7)
     # same frame with the unique tie-break appended is fine
     assert two_phase_rank(df, F.col("cnt").desc(), "w", partitions=7).count() == 50
+
+
+def test_metadata_fast_paths_match_spark(spark, tmp_path):
+    """r16 optimization pins: bare_scan_files/scan_row_count/
+    gather_columns answer from parquet footers ONLY for bare file scans
+    and agree exactly with count()/toPandas(); any non-scan frame falls
+    back to the distributed path."""
+    from pyspark.sql import functions as F
+
+    from es_ch_sync_spark.operators.util import (
+        bare_scan_files,
+        gather_columns,
+        scan_row_count,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    files = bare_scan_files(df)
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert scan_row_count(df) == 100 == df.count()
+    g = gather_columns(df, ["id", "v"]).sort_values("id").reset_index(drop=True)
+    t = df.select("id", "v").toPandas().sort_values("id").reset_index(drop=True)
+    assert g.equals(t)
+    # filtered/derived frames are NOT bare scans: must fall back
+    flt = df.filter(F.col("id") < 10)
+    assert bare_scan_files(flt) is None
+    assert scan_row_count(flt) == 10
+    agg = df.groupBy().count()
+    assert bare_scan_files(agg) is None
+    # above the file cap the footer walk is skipped (still correct)
+    assert scan_row_count(df, max_files=0) == 100
