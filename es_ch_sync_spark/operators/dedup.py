@@ -439,9 +439,6 @@ def connected_components(
     round k replans k joins deep); the convergence probe piggybacks on the
     labels action — one count per round, each O(|V|)."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().cache()
 
     # r16 optimization (guide §1.2: fix the distributed algorithm first):
     # the Pregel loop pays 2+ blocking jobs PER ROUND (checkpoint +
@@ -455,8 +452,14 @@ def connected_components(
     # graphs take the distributed loop unchanged — the 100 TB path does
     # not collect.  The size probe IS the collect (limit cap+1 — ONE
     # bounded job, not a count() followed by a collect(); an over-cap
-    # result is discarded and the distributed loop proceeds).
-    probe = edges.limit(small_graph_edges + 1).collect()
+    # result is discarded and the distributed loop proceeds) and it runs
+    # on the RAW pair frame, BEFORE the bidirect-union + distinct
+    # shuffle: union-find tolerates duplicate edges and adds the reverse
+    # direction implicitly, so the small path never pays that exchange
+    # (the cap now bounds raw pair rows instead of distinct directed
+    # edges — both paths still produce identical labels; at scale the
+    # probe is an incremental executeTake that stops at cap+1 rows).
+    probe = e.limit(small_graph_edges + 1).collect()
     if len(probe) <= small_graph_edges:
         spark = pairs.sparkSession
         parent: dict = {}
@@ -487,7 +490,7 @@ def connected_components(
         out_rows = [(node, roots[find(node)]) for node in parent]
         from pyspark.sql import types as T
 
-        dt = edges.schema[0].dataType  # node ids keep their input type
+        dt = e.schema[0].dataType  # node ids keep their input type
         schema = T.StructType(
             [
                 T.StructField("doc_id", dt, False),
@@ -496,6 +499,9 @@ def connected_components(
         )
         return spark.createDataFrame(out_rows, schema=schema)
 
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()

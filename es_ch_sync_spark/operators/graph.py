@@ -209,13 +209,16 @@ def pagerank_fixed(
     dependent."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    )
 
     # r16 optimization: bounded small-graph driver fast path — same
     # rationale and same integer arithmetic as hits_fixed below (each
     # round above pays join + agg + eager checkpoint in blocking jobs;
-    # Python ints replicate the BIGINT div chain exactly).  The mining
-    # feeding ``edges`` materializes once either way via the checkpoint.
+    # Python ints replicate the BIGINT div chain exactly).  The probe
+    # runs on the UN-checkpointed frame: the small path's collect IS its
+    # only materialization (one job instead of checkpoint-then-collect),
+    # and the distributed path checkpoints right after, paying at most
+    # one bounded executeTake extra at scale.
     probe = e.limit(small_graph_edges + 1).collect()
     if len(probe) <= small_graph_edges:
         spark = edges.sparkSession
@@ -252,6 +255,7 @@ def pagerank_fixed(
             [(v, rank_loc[v]) for v in node_set], schema=schema
         )
 
+    e = e.localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -339,17 +343,19 @@ def hits_fixed(
         )
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    )
 
     # r16 optimization (guide §1.2: fix the distributed algorithm first):
     # each half-step below is an agg + left join + eager checkpoint — 3+
     # blocking jobs, ×2 per iteration, pure fixed overhead when the host
     # graph is small (a near-dup mirror graph has FAR fewer hosts than
-    # documents).  The checkpointed edge list materializes the mining
-    # exactly once on both paths; the size probe IS the collect (limit
-    # cap+1 — one bounded job); when it is bounded, run the identical
-    # quantized-integer recurrence on the driver — Python ints are
-    # arbitrary-precision, so (raw·unit) // tot is exactly the
+    # documents).  The size probe IS the collect (limit cap+1 — one
+    # bounded job) and runs on the UN-checkpointed frame, so the small
+    # path's collect is its ONLY materialization of the mining (the
+    # distributed path checkpoints right after, paying at most one
+    # bounded executeTake extra at scale); when it is bounded, run the
+    # identical quantized-integer recurrence on the driver — Python ints
+    # are arbitrary-precision, so (raw·unit) // tot is exactly the
     # DECIMAL(38,0) `div` the distributed path computes on non-negative
     # scores, and the output rows match by construction.  Larger graphs
     # take the distributed loop unchanged — the 100 TB path never
@@ -398,6 +404,7 @@ def hits_fixed(
             [(v, a_loc[v], h_loc[v]) for v in node_set], schema=schema
         )
 
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
