@@ -30,6 +30,73 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _round9(x: float) -> float:
+    """Spark's round() on DOUBLE is BigDecimal HALF_UP on the exact binary
+    expansion — replicate it exactly (Python's round() is HALF_EVEN)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _meta_table_rows(path: str, table: str, columns: list[str]) -> list[tuple]:
+    """Driver-side read of a small UNPARTITIONED index-metadata table
+    (centroids / codebook — parameter-bounded row counts by construction)
+    straight from its local parquet files: no Spark job, no scheduling
+    latency.  The index dir is always a local tempdir (see the builders),
+    so plain-filesystem access is safe."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out: list[tuple] = []
+    for f in sorted(glob.glob(f"{path}/{table}/*.parquet")):
+        t = pq.read_table(f, columns=columns)
+        cols = [t.column(c).to_pylist() for c in columns]
+        out.extend(zip(*cols))
+    return out
+
+
+def adc_lut_rows(
+    path: str,
+    query_vec: list[float],
+    cells: list[int],
+    sub_dim: int | None = None,
+) -> list[tuple[int, int, int, float]]:
+    """(cell, sub, code, d) ADC lookup rows computed ON THE DRIVER from
+    the centroid + codebook metadata tables (r16 optimization, guide
+    §1.2): the relational LUT build paid two parquet scans, a join and a
+    groupBy — three blocking AQE query stages — for a table bounded by
+    nprobe·m·ksub rows.  Arithmetic is identical: per (cell, sub, code),
+    d = round₉(Σ_spos (q[pos]−centroid_c − codeword_c)²) with the same
+    HALF_UP 9dp rounding; float sum-order differences are absorbed by
+    the rounding exactly as they were between Spark partitions and the
+    DuckDB oracle (the probe_cells precedent)."""
+    q = [float(x) for x in query_vec]
+    cellset = set(cells)
+    qr: dict[tuple[int, int], float] = {}
+    for cell, pos, c in _meta_table_rows(path, "centroids", ["cell", "pos", "c"]):
+        if cell in cellset:
+            qx = q[pos] if 0 <= pos < len(q) else 0.0
+            qr[(cell, pos)] = qx - float(c)
+    cb = _meta_table_rows(path, "codebook", ["sub", "code", "spos", "c"])
+    if sub_dim is None:
+        sub_dim = max(r[2] for r in cb) + 1
+    acc: dict[tuple[int, int, int], float] = {}
+    for sub, code, spos, c in cb:
+        pos = sub * sub_dim + spos
+        for cell in cells:
+            r = qr[(cell, pos)] - float(c)
+            key = (cell, sub, code)
+            acc[key] = acc.get(key, 0.0) + r * r
+    return [
+        (cell, sub, code, _round9(d)) for (cell, sub, code), d in sorted(acc.items())
+    ]
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,
@@ -68,30 +135,22 @@ def probe_cells(
     q = [float(x) for x in query_vec]
     qn = sum(x * x for x in q) ** 0.5
     # r16 optimization: the centroid table is parameter-bounded index
-    # metadata (n_cells × dim rows), so score it on the driver from ONE
-    # collect — the relational groupBy + TakeOrdered version paid three
-    # blocking AQE query stages per probe.  Arithmetic is the same
-    # per-cell Σ c·q / (‖c‖·‖q‖) rounded to 9dp (sum order differences
-    # are absorbed by the rounding exactly as they were between Spark
-    # partitions and the DuckDB oracle); ties still break to the
-    # smaller cell id.
-    rows = spark.read.parquet(f"{path}/centroids").collect()
+    # metadata (n_cells × dim rows), so score it on the driver — first
+    # from ONE collect (the relational groupBy + TakeOrdered version
+    # paid three blocking AQE query stages per probe), now straight from
+    # the local parquet files with NO Spark job at all (the same footer/
+    # data fast-path class as operators.util.scan_row_count).  Arithmetic
+    # is the same per-cell Σ c·q / (‖c‖·‖q‖) rounded to 9dp (sum order
+    # differences are absorbed by the rounding exactly as they were
+    # between Spark partitions and the DuckDB oracle); ties still break
+    # to the smaller cell id.
+    rows = _meta_table_rows(path, "centroids", ["cell", "pos", "c"])
     cells_acc: dict[int, tuple[float, float]] = {}
-    for r in rows:
-        cell, pos, c = r["cell"], r["pos"], float(r["c"])
+    for cell, pos, c in rows:
+        c = float(c)
         dot, cn2 = cells_acc.get(cell, (0.0, 0.0))
         qx = q[pos] if 0 <= pos < len(q) else 0.0
         cells_acc[cell] = (dot + c * qx, cn2 + c * c)
-    import decimal
-
-    def _round9(x: float) -> float:
-        # Spark's round() on DOUBLE is BigDecimal HALF_UP — replicate it
-        # exactly rather than using Python's HALF_EVEN round()
-        return float(
-            decimal.Decimal(x).quantize(
-                decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
-            )
-        )
 
     scored = []
     for cell in sorted(cells_acc):
@@ -302,40 +361,20 @@ def search_ivfpq_index(
     as a PartitionFilter, pinned in tests) and only (id, sub, code)
     columns — at 100 TB that is nprobe/n_cells of an already-32×-smaller
     table, with the shuffle carrying (id, partial-sum) pairs."""
-    from es_ch_sync_spark.operators.similarity import _sql_double_array
-
     if cells is None:
         # callers issuing several probe depths over one index pass the
         # ranked prefix themselves (probe_cells once at max depth) —
         # r16 optimization: the per-call probe job is the dominant cost
         # of a small-index search
         cells = probe_cells(spark, path, query_vec, nprobe)
-    q = [float(x) for x in query_vec]
-    qcol = F.expr(_sql_double_array(q))
-    cent = spark.read.parquet(f"{path}/centroids").filter(F.col("cell").isin(cells))
-    codebook = spark.read.parquet(f"{path}/codebook")
-    # sub_dim is index metadata (max spos + 1) — callers that know the
-    # index geometry pass it and skip the metadata job (r16
-    # optimization: under AQE every extra aggregate is a blocking query
-    # stage, which dominates a small-index search)
-    if sub_dim is None:
-        sub_dim = int(codebook.agg(F.max("spos")).collect()[0][0]) + 1
-    qr = cent.select(
-        "cell",
-        "pos",
-        (F.element_at(qcol, (F.col("pos") + 1).cast("int")) - F.col("c")).alias("qr"),
-    )
-    lut = (
-        codebook.withColumn(
-            "pos", (F.col("sub") * sub_dim + F.col("spos")).cast("int")
-        )
-        .join(qr, "pos")
-        .groupBy("cell", "sub", "code")
-        .agg(
-            F.round(
-                F.sum((F.col("qr") - F.col("c")) * (F.col("qr") - F.col("c"))), 9
-            ).alias("d")
-        )
+    # r16 optimization (guide §1.2): the (cell, sub, code) → d lookup
+    # table is nprobe·m·ksub rows of parameter-bounded metadata — build
+    # it on the driver (adc_lut_rows; no parquet scans, no join+groupBy
+    # query stages) and broadcast the literal frame.  Identical values:
+    # same residual arithmetic, same HALF_UP 9dp rounding.
+    lut = spark.createDataFrame(
+        adc_lut_rows(path, query_vec, cells, sub_dim),
+        "cell bigint, sub bigint, code bigint, d double",
     )
     codes = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(cells))
     scored = (
@@ -375,33 +414,13 @@ def search_ivfpq_index_multi(
     Output: (method = 'nprobe=<d>', vec_id) — k rows per depth."""
     from pyspark.sql import Window as W
 
-    from es_ch_sync_spark.operators.similarity import _sql_double_array
-
     ranked = probe_cells(spark, path, query_vec, max(depths))
-    q = [float(x) for x in query_vec]
-    qcol = F.expr(_sql_double_array(q))
-    cent = spark.read.parquet(f"{path}/centroids").filter(
-        F.col("cell").isin(ranked)
-    )
-    codebook = spark.read.parquet(f"{path}/codebook")
-    if sub_dim is None:
-        sub_dim = int(codebook.agg(F.max("spos")).collect()[0][0]) + 1
-    qr = cent.select(
-        "cell",
-        "pos",
-        (F.element_at(qcol, (F.col("pos") + 1).cast("int")) - F.col("c")).alias("qr"),
-    )
-    lut = (
-        codebook.withColumn(
-            "pos", (F.col("sub") * sub_dim + F.col("spos")).cast("int")
-        )
-        .join(qr, "pos")
-        .groupBy("cell", "sub", "code")
-        .agg(
-            F.round(
-                F.sum((F.col("qr") - F.col("c")) * (F.col("qr") - F.col("c"))), 9
-            ).alias("d")
-        )
+    # r16 optimization (guide §1.2): LUT built on the driver from the
+    # bounded metadata tables (see adc_lut_rows) — the relational build
+    # paid two parquet scans + join + groupBy in blocking query stages.
+    lut = spark.createDataFrame(
+        adc_lut_rows(path, query_vec, ranked, sub_dim),
+        "cell bigint, sub bigint, code bigint, d double",
     )
     method_map = spark.createDataFrame(
         [(f"nprobe={d}", c) for d in depths for c in ranked[:d]],
