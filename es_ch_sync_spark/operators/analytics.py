@@ -3300,51 +3300,56 @@ def nmi_vmeasure(
 def nmi_vmeasure_from_census(nij: DataFrame) -> DataFrame:
     """NMI / homogeneity / completeness / V-measure readout from a
     precomputed (_la, _lb, _n) contingency census (see
-    :func:`nmi_vmeasure` for semantics and exactness)."""
+    :func:`nmi_vmeasure` for semantics and exactness).
+
+    Join-free formulation (r16, guide §2.4): because Σ_j n_ij = a_i,
+    the joint term Σ_ij n_ij·lnm(a_i) regroups EXACTLY (all addends
+    are integers) to the marginal sum Σ_i a_i·lnm(a_i), so MI needs no
+    census⋈marginal join at all:
+
+        Σmi = N·lnm(N) + Σ_ij n_ij·lnm(n_ij)
+                       − Σ_i a_i·lnm(a_i) − Σ_j b_j·lnm(b_j)
+        Σha = N·lnm(N) − Σ_i a_i·lnm(a_i)   (and Σhb symmetrically)
+
+    Three aggregate branches over the census (joint, a-marginal,
+    b-marginal) replace the former census⋈ca⋈cb join + four separate
+    aggregates — identical BIGINT/DECIMAL(38,0) values, two fewer
+    exchanges, and the census subtree is shared by ReuseExchange."""
     d38 = "decimal(38,0)"
     lnm = lambda c: F.round(F.log(c.cast("double")) * 1000000.0, 0).cast("long")
-    ca = nij.groupBy("_la").agg(F.sum("_n").cast("long").alias("_a"))
-    cb = nij.groupBy("_lb").agg(F.sum("_n").cast("long").alias("_b"))
-    tot = nij.agg(F.sum("_n").cast("long").alias("n_items"))
-    mi = (
-        nij.join(ca, "_la")
-        .join(cb, "_lb")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            (
-                F.col("_n").cast(d38)
-                * (
-                    lnm(F.col("n_items")) + lnm(F.col("_n"))
-                    - lnm(F.col("_a")) - lnm(F.col("_b"))
-                ).cast(d38)
-            ).alias("_t")
-        )
-        .agg(F.sum("_t").cast(d38).alias("_smi"))
+    joint = nij.agg(
+        F.sum("_n").cast("long").alias("n_items"),
+        F.sum(F.col("_n").cast(d38) * lnm(F.col("_n")).cast(d38))
+        .cast(d38)
+        .alias("_sj"),
     )
-    ha = (
-        ca.crossJoin(F.broadcast(tot))
-        .select(
-            (
-                F.col("_a").cast(d38)
-                * (lnm(F.col("n_items")) - lnm(F.col("_a"))).cast(d38)
-            ).alias("_t")
+    ma = (
+        nij.groupBy("_la")
+        .agg(F.sum("_n").cast("long").alias("_a"))
+        .agg(
+            F.sum(F.col("_a").cast(d38) * lnm(F.col("_a")).cast(d38))
+            .cast(d38)
+            .alias("_saa")
         )
-        .agg(F.sum("_t").cast(d38).alias("_sha"))
     )
-    hb = (
-        cb.crossJoin(F.broadcast(tot))
-        .select(
-            (
-                F.col("_b").cast(d38)
-                * (lnm(F.col("n_items")) - lnm(F.col("_b"))).cast(d38)
-            ).alias("_t")
+    mb = (
+        nij.groupBy("_lb")
+        .agg(F.sum("_n").cast("long").alias("_b"))
+        .agg(
+            F.sum(F.col("_b").cast(d38) * lnm(F.col("_b")).cast(d38))
+            .cast(d38)
+            .alias("_sbb")
         )
-        .agg(F.sum("_t").cast(d38).alias("_shb"))
     )
-    g = (
-        tot.crossJoin(F.broadcast(mi))
-        .crossJoin(F.broadcast(ha))
-        .crossJoin(F.broadcast(hb))
+    g = joint.crossJoin(F.broadcast(ma)).crossJoin(F.broadcast(mb))
+    nlnn = F.col("n_items").cast(d38) * lnm(F.col("n_items")).cast(d38)
+    g = g.select(
+        "n_items",
+        (nlnn + F.col("_sj") - F.col("_saa") - F.col("_sbb"))
+        .cast(d38)
+        .alias("_smi"),
+        (nlnn - F.col("_saa")).cast(d38).alias("_sha"),
+        (nlnn - F.col("_sbb")).cast(d38).alias("_shb"),
     )
     nd = F.col("n_items").cast("double") * 1000000.0
     smi, sha, shb = (F.col(c).cast("double") for c in ("_smi", "_sha", "_shb"))

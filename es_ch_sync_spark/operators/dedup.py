@@ -2171,7 +2171,10 @@ def dedup_audit_panel(
         )
         .groupBy("_la", "_lb")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-        .localCheckpoint(eager=True)
+        # lazy: materializes once inside the final job (all six ARI/NMI
+        # readout branches share the checkpointed RDD) instead of paying
+        # a blocking driver round-trip before it (r16 #14, guide §1.2)
+        .localCheckpoint(eager=False)
     )
     ari_long = adjusted_rand_index_from_census(nij).select(
         F.lit("ari").alias("section"),
