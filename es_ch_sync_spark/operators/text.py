@@ -1064,12 +1064,14 @@ def nb_train(
     cnt = toks.groupBy("label", "tok").agg(
         F.count(F.lit(1)).alias("cnt")
     ).localCheckpoint(eager=True)
-    vocab_n = cnt.select("tok").distinct().count()
+    # r16 #15: the vocab size rides as a 1-row broadcast frame instead of
+    # a blocking .count() — same value, zero extra driver jobs.
+    vocab = cnt.agg(F.count_distinct(F.col("tok")).alias("_v"))
     totals = cnt.groupBy("label").agg(F.sum("cnt").alias("t_l"))
-    # |labels| rows: one docs scan feeds both doc_n and n_docs.
+    # |labels| rows, single consumer (priors): no checkpoint needed.
     doc_n = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_l")
-    ).localCheckpoint(eager=True)
+    )
     # r16: Σ n_l == the input row count, which a bare file scan answers
     # from parquet footers driver-side — no blocking aggregate job
     # (guide §1.2); non-scan frames fall back to the distributed count.
@@ -1082,22 +1084,27 @@ def nb_train(
 
     model = (
         cnt.join(F.broadcast(totals), "label")
+        .crossJoin(F.broadcast(vocab))
         .select(
             "label",
             "tok",
             _logm(
                 (F.col("cnt") + F.lit(alpha)).cast("double")
-                / (F.col("t_l") + F.lit(alpha) * F.lit(vocab_n)).cast("double")
+                / (F.col("t_l") + F.lit(alpha) * F.col("_v")).cast("double")
             ).alias("logp_m"),
         )
     )
-    priors = totals.join(doc_n, "label").select(
-        "label",
-        _logm(F.col("n_l").cast("double") / F.lit(float(n_docs))).alias("logprior_m"),
-        _logm(
-            F.lit(float(alpha))
-            / (F.col("t_l") + F.lit(alpha) * F.lit(vocab_n)).cast("double")
-        ).alias("unseen_m"),
+    priors = (
+        totals.join(doc_n, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            _logm(F.col("n_l").cast("double") / F.lit(float(n_docs))).alias("logprior_m"),
+            _logm(
+                F.lit(float(alpha))
+                / (F.col("t_l") + F.lit(alpha) * F.col("_v")).cast("double")
+            ).alias("unseen_m"),
+        )
     )
     return model, priors
 
@@ -1134,19 +1141,21 @@ def nb_classify(
         .groupBy("_id", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    labels = priors.select("label", "unseen_m")
+    # ONE broadcast of the full priors frame: logprior_m rides the label
+    # fan-out (constant per (_id, label) group, re-attached with first())
+    # so the former post-agg priors join — a second broadcast build —
+    # disappears (r16 #15, guide §2.4).
     scored = (
-        dt.crossJoin(F.broadcast(labels))
+        dt.crossJoin(F.broadcast(priors))
         .join(F.broadcast(model), ["label", "tok"], "left")
         .select(
             "_id",
             "label",
+            "logprior_m",
             (F.col("n") * F.coalesce(F.col("logp_m"), F.col("unseen_m"))).alias("_s"),
         )
         .groupBy("_id", "label")
-        .agg(F.sum("_s").alias("_s"))
-        .join(F.broadcast(priors.select("label", "logprior_m")), "label")
-        .select("_id", "label", (F.col("_s") + F.col("logprior_m")).alias("score_m"))
+        .agg((F.sum("_s") + F.first("logprior_m")).alias("score_m"))
     )
     w = W.partitionBy("_id").orderBy(F.desc("score_m"), F.asc("label"))
     return (
