@@ -446,11 +446,13 @@ def embedding_near_duplicates(
         .select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
         .withColumn("sig", srp_signature("v", planes))
     )
-    # band bucketing carries ONLY (id, band, key): the vectors rejoin after
-    # pair-dedup so each candidate pair is scored exactly once (a pair
-    # colliding in 3 bands must not cost 3 cosines)
+    # band bucketing carries (id, band, key, sig): the vectors rejoin after
+    # candidate generation so each candidate pair is scored exactly once (a
+    # pair colliding in 3 bands must not cost 3 cosines); the 8-byte sig
+    # rides along so multi-band collisions dedup WITHOUT a distinct()
     bucketed = v.select(
         id_col,
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -464,7 +466,9 @@ def embedding_near_duplicates(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     if bucket_cap is not None:
         small_enough = (
             bucketed.groupBy("band", "key")
@@ -474,16 +478,31 @@ def embedding_near_duplicates(
         )
         bucketed = bucketed.join(small_enough, ["band", "key"], "left_semi")
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    # minimal-colliding-band emission (r16, guide §2.4): a pair sharing k
+    # bands is emitted ONLY from its smallest colliding band — "no earlier
+    # band collides" is a bitwise check on a.sig XOR b.sig (band j collides
+    # ⟺ xor slice j == 0) folded into the join condition.  Each candidate
+    # pair then appears exactly once: set-identical to the former
+    # distinct(), minus its Exchange, and the Python scorer downstream
+    # still sees every pair once.
+    xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    slice_differs = [
+        (F.shiftright(xor, j * bits_per_band).bitwiseAND(F.lit(mask)) != 0)
+        for j in range(bands)
+    ]
+    minimal_band = F.lit(False)
+    for bnd in range(bands):
+        cond = F.col("a.band") == bnd
+        for j in range(bnd):
+            cond = cond & slice_differs[j]
+        minimal_band = minimal_band | cond
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & minimal_band,
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
     # no spread() here: pairs comes out of a shuffle (already cluster-wide),
     # and spread's partition-count probe on a computed frame would plan and
     # run the upstream pipeline eagerly at build time
