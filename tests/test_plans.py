@@ -457,12 +457,16 @@ def test_mann_kendall_pairwise_is_keyed_join(plans):
 
 def test_nb_census_not_replayed(plans):
     """nb_train localCheckpoints the (label, tok) census: the confusion
-    query's plan must read the checkpointed RDD and keep the corpus
-    parquet scan count at 2 (classify tokenize + label re-join) — the
-    r7 plan had the census lineage replayed ~4x (Exchange x20)."""
+    query's plan must read the checkpointed RDD — the r7 plan had the
+    census lineage replayed ~4x (Exchange x20).  Scan budget 3: classify
+    tokenize + label re-join + the priors build's 2-column doc-count
+    scan (r16 #15 dropped doc_n's eager checkpoint, which ran the same
+    scan as a blocking job BEFORE the plan; total scan work unchanged,
+    one driver round-trip fewer, measured 1.74 → 1.36 s).  The census
+    tokenization itself must never re-appear as a parquet scan."""
     p = plans("nb_lang_confusion")
     assert "Scan ExistingRDD" in p
-    assert p.count("Scan parquet") <= 2, p.count("Scan parquet")
+    assert p.count("Scan parquet") <= 3, p.count("Scan parquet")
 
 
 # --- Plan-shape gate (r11 verdict directive #1) -------------------------
