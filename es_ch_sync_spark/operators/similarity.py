@@ -478,31 +478,46 @@ def embedding_near_duplicates(
         )
         bucketed = bucketed.join(small_enough, ["band", "key"], "left_semi")
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    # minimal-colliding-band emission (r16, guide §2.4): a pair sharing k
-    # bands is emitted ONLY from its smallest colliding band — "no earlier
-    # band collides" is a bitwise check on a.sig XOR b.sig (band j collides
-    # ⟺ xor slice j == 0) folded into the join condition.  Each candidate
-    # pair then appears exactly once: set-identical to the former
-    # distinct(), minus its Exchange, and the Python scorer downstream
-    # still sees every pair once.
-    xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
-    slice_differs = [
-        (F.shiftright(xor, j * bits_per_band).bitwiseAND(F.lit(mask)) != 0)
-        for j in range(bands)
-    ]
-    minimal_band = F.lit(False)
-    for bnd in range(bands):
-        cond = F.col("a.band") == bnd
-        for j in range(bnd):
-            cond = cond & slice_differs[j]
-        minimal_band = minimal_band | cond
-    pairs = a.join(
-        b,
+    join_cond = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.key") == F.col("b.key"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        & minimal_band,
-    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    if bucket_cap is None:
+        # minimal-colliding-band emission (r16, guide §2.4): a pair sharing k
+        # bands is emitted ONLY from its smallest colliding band — "no earlier
+        # band collides" is a bitwise check on a.sig XOR b.sig (band j collides
+        # ⟺ xor slice j == 0) folded into the join condition.  Each candidate
+        # pair then appears exactly once: set-identical to the former
+        # distinct(), minus its Exchange, and the Python scorer downstream
+        # still sees every pair once.
+        xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+        slice_differs = [
+            (F.shiftright(xor, j * bits_per_band).bitwiseAND(F.lit(mask)) != 0)
+            for j in range(bands)
+        ]
+        minimal_band = F.lit(False)
+        for bnd in range(bands):
+            cond = F.col("a.band") == bnd
+            for j in range(bnd):
+                cond = cond & slice_differs[j]
+            minimal_band = minimal_band | cond
+        pairs = a.join(b, join_cond & minimal_band).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+    else:
+        # capped path: the sig-slice test alone is WRONG here — a pair whose
+        # minimal colliding band was dropped by the cap would fail
+        # slice_differs for that band and never be emitted from a surviving
+        # larger band.  The cap path keeps the explicit distinct() instead.
+        pairs = (
+            a.join(b, join_cond)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
     # no spread() here: pairs comes out of a shuffle (already cluster-wide),
     # and spread's partition-count probe on a computed frame would plan and
     # run the upstream pipeline eagerly at build time

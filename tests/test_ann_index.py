@@ -249,3 +249,15 @@ def test_ivfpq_rerank_full_shortlist_equals_cell_exact(spark, emb, qv):
            ivfpq_rerank_topk(emb, qv, k=10, shortlist=big, n_cells=4,
                              m=4, ksub=4, iters=2, exclude_id=0).collect()]
     assert got == want and len(got) == 10
+
+
+def test_meta_table_rows_raises_on_bogus_index_path(tmp_path):
+    """r17 hardening (r16 VERDICT what's-wrong #1): a wrong or non-local
+    index path must fail loudly, not produce an empty LUT that silently
+    empties every downstream search."""
+    import pytest
+
+    from es_ch_sync_spark.io.ann_index import _meta_table_rows
+
+    with pytest.raises(ValueError, match="no parquet files"):
+        _meta_table_rows(str(tmp_path / "nope"), "centroids", ["cell"])

@@ -477,6 +477,53 @@ def test_srp_bucket_cap_bounds_degenerate_corpus(spark):
     assert roomy == uncapped
 
 
+def test_srp_bucket_cap_keeps_pairs_whose_minimal_band_was_capped(spark):
+    """r17 regression (ADVICE r16): a pair whose SMALLEST colliding band
+    sits in a cap-dropped mega-bucket must still be emitted from a
+    surviving larger band.  The r16 minimal-band emission tested sig
+    slices alone, so such pairs silently vanished whenever bucket_cap
+    was set; the cap path now keeps the explicit distinct()."""
+    from es_ch_sync_spark.operators import similarity as sim
+
+    # derive signatures with the operator's own plane family (bands=4,
+    # n_planes=12 -> 3 bits/band) and search for two vectors that SHARE
+    # the band-0 key but DIFFER in some later band
+    planes = sim.srp_planes(4, 12)
+
+    def sig_of(vec):
+        s = 0
+        for p, plane in enumerate(planes):
+            if sum(x * y for x, y in zip(vec, plane)) >= 0:
+                s |= 1 << p
+        return s
+
+    def keys_of(vec):
+        s = sig_of(vec)
+        return [(s >> (b * 3)) & 7 for b in range(4)]
+
+    u = [1.0, 2.0, 3.0, 4.0]
+    ku = keys_of(u)
+    w = None
+    for i in range(1, 4000):
+        cand = [1.0 * (i % 17 - 8), 2.0 + i % 7, 3.0 - i % 5, 0.25 * i]
+        kc = keys_of(cand)
+        if kc[0] == ku[0] and any(kc[j] != ku[j] for j in range(1, 4)):
+            w = cand
+            break
+    assert w is not None, "no suitable vector found for the scenario"
+
+    # 50 copies of u blow the (band0, key) bucket past the cap; the w-pair
+    # collides with it there (its minimal band) but survives in a 2-member
+    # bucket of a later band.
+    rows = [(i, u) for i in range(50)] + [(100, w), (101, w)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = sim.embedding_near_duplicates(
+        df, threshold=0.99, dim=4, bucket_cap=32
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+
+
 def test_sq8_topk_recall_vs_exact(spark, sf_dir):
     """SQ8 with exact rerank should recover nearly all of the exact
     top-10 (8-bit quantization is near-lossless for candidate cuts)."""

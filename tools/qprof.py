@@ -55,7 +55,9 @@ def main() -> int:
     qs = spark_queries()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r16"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get(
+        "QPROF_PLANS_DIR", "r17"
+    )
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     for name in names:
@@ -70,17 +72,21 @@ def main() -> int:
                 df.explain("formatted")
             (plans_dir / f"{name}_{tag}.txt").write_text(buf.getvalue())
         ts = []
-        for r in range(reps + 1):
+        n = None
+        for r in range(reps + 1 if reps else 0):  # --reps 0: plans only
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
             dt = time.time() - t0
             if r:  # rep 0 is warmup
                 ts.append(dt)
-        print(
-            f"{name}: rows={n} min={min(ts):.3f} "
-            f"times={[round(t, 3) for t in ts]}",
-            flush=True,
-        )
+        if ts:
+            print(
+                f"{name}: rows={n} min={min(ts):.3f} "
+                f"times={[round(t, 3) for t in ts]}",
+                flush=True,
+            )
+        else:
+            print(f"{name}: rows={n} (plan dump only)", flush=True)
         spark.sparkContext.setJobDescription(None)
     return 0
 
