@@ -1053,10 +1053,13 @@ def nb_train(
     partial aggs); the model is |V|·|labels| rows — Heaps-law-bounded,
     broadcast at classify time.  The census is ``localCheckpoint``-ed so
     its three consumers (vocab_n, totals, model) read one materialization
-    instead of replaying the corpus tokenization per branch, and the
-    per-label doc counts are likewise checkpointed so n_docs is derived
-    from them without a second corpus scan (r7 exchange-audit remedy:
-    nb_lang_confusion dropped from Exchange×20 to single-digit)."""
+    instead of replaying the corpus tokenization per branch (r7
+    exchange-audit remedy: nb_lang_confusion dropped from Exchange×20 to
+    single-digit).  The per-label doc counts are NOT checkpointed (r16
+    dropped doc_n's eager checkpoint): doc_n is a single-consumer
+    pruned-scan aggregate that runs lazily inside the priors build, and
+    n_docs comes from the parquet footers via scan_row_count — one extra
+    lazy 2-column scan inside the priors job, no blocking driver jobs."""
     toks = docs.select(
         F.col(label_col).alias("label"), F.explode(words(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")

@@ -467,6 +467,18 @@ def test_nb_census_not_replayed(plans):
     p = plans("nb_lang_confusion")
     assert "Scan ExistingRDD" in p
     assert p.count("Scan parquet") <= 3, p.count("Scan parquet")
+    # r17 (ADVICE r16): the budget bump 2→3 admitted ANY extra scan — pin
+    # the three scans' shapes so the census tokenization (a lang+text
+    # read) cannot silently reappear under the budget: every scan that
+    # reads `text` must be the classify tokenize (doc_id+text), never
+    # lang+text.
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        if "text" in cols:
+            assert cols == {"doc_id", "text"}, f"unexpected text scan: {s}"
 
 
 # --- Plan-shape gate (r11 verdict directive #1) -------------------------
