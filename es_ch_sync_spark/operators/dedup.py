@@ -1240,18 +1240,20 @@ def duplicated_spans(
         # positional, so a collision can only ADD a span, never corrupt one.
         F.xxhash64("h.g").alias("gh"),
     )
-    dup_grams = (
-        hits.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).select("gh")
+    # r17 (guide §2.4, replacing the r16 SHUFFLE_HASH shape): the
+    # duplicate filter is a count window over the ONE gh exchange — the
+    # gram-count aggregate, the join operator and its ReuseExchange leg
+    # disappear outright (plan: Exchange+HashAggregate+ShuffledHashJoin →
+    # Exchange+Sort+Window).  The shuffle still carries only (id, s, gh)
+    # triples; a corpus-hot gram concentrates on one reducer key in BOTH
+    # shapes (a single join key is equally unsplittable by AQE), so the
+    # skew posture is unchanged.  Interleaved A/B min-of-4 ×4 rounds:
+    # window 0.96/1.01/1.07/1.03 vs join 1.00/1.16/1.40/1.14 s at sf0.1.
+    dup_hits = (
+        hits.withColumn("_c", F.count(F.lit(1)).over(W.partitionBy("gh")))
+        .filter(F.col("_c") > 1)
+        .select(id_col, "s")
     )
-    # r16 optimization (guide §2.4/§3.1): SHUFFLE_HASH instead of the
-    # default broadcast — with both join sides hash-partitioned on gh,
-    # the probe side's Exchange is the SAME subtree the gram-count
-    # aggregate already shuffled, so ReuseExchange computes the heavy
-    # hits frame (per-position 50-token concat + hash) ONCE instead of
-    # twice; the shuffle carries (id, s, gh) triples only.  Build side
-    # is the filtered dup-gram key list — census-sized 8-byte keys per
-    # partition.  1.40 → 0.92 s at sf0.1.
-    dup_hits = hits.join(dup_grams.hint("SHUFFLE_HASH"), "gh").select(id_col, "s")
     w_prev = (
         W.partitionBy(id_col).orderBy("s").rowsBetween(W.unboundedPreceding, -1)
     )

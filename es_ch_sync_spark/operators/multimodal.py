@@ -268,9 +268,7 @@ def encode_png(arr, color_type: int | None = None, interlace: bool = False) -> b
     h, w = a.shape[:2]
     plte = b""
     if color_type == 3:
-        colors, inverse = np.unique(
-            a.reshape(-1, 3), axis=0, return_inverse=True
-        )
+        colors, inverse = _unique_rgb(a.reshape(-1, 3))
         if len(colors) > 256:
             raise ValueError(
                 f"PNG palette overflow: {len(colors)} > 256 colors"
@@ -491,14 +489,40 @@ def decode_png(blob: bytes):
 # ---------------------------------------------------------------------------
 
 
+def _unique_rgb(flat):
+    """np.unique(flat, axis=0, return_inverse=True) for (N, 3) uint8 rows
+    via packed uint32 keys (r17, guide §4.2): axis-unique pays a structured
+    view + lexicographic argsort (cProfile: 0.96 s cum over the 2000-doc
+    agif corpus); packing r<<16|g<<8|b makes it the 1-D fast path.  Row
+    order is identical by construction — lexicographic (r, g, b) IS numeric
+    order of the packed key — so palettes and inverse indices match the
+    axis-unique output exactly."""
+    import numpy as np
+
+    f = flat.astype(np.uint32)
+    packed = (f[:, 0] << 16) | (f[:, 1] << 8) | f[:, 2]
+    keys, inverse = np.unique(packed, return_inverse=True)
+    colors = np.empty((len(keys), 3), np.uint8)
+    colors[:, 0] = keys >> 16
+    colors[:, 1] = (keys >> 8) & 0xFF
+    colors[:, 2] = keys & 0xFF
+    return colors, inverse
+
+
 def _gif_lzw_encode(indices, mcs: int) -> bytes:
     """GIF-variant LZW: variable-width codes starting at mcs+1 bits,
     LSB-first bit packing, clear/EOI codes, dictionary capped at 4096
-    (images here never fill it, so no mid-stream clear is emitted)."""
+    (images here never fill it, so no mid-stream clear is emitted).
+
+    r17 (guide §4.2): the dictionary keys on ``(current_code << 8) |
+    symbol`` ints instead of symbol tuples — sequences and their codes
+    are in bijection, so the greedy match and every emitted code are
+    identical, without a tuple allocation + tuple hash per pixel
+    (cProfile: 0.346 → ~0.11 s tottime over the 2000-doc agif corpus)."""
     clear = 1 << mcs
     eoi = clear + 1
     code_size = mcs + 1
-    d: dict[tuple, int] = {(i,): i for i in range(clear)}
+    d: dict[int, int] = {}
     next_code = eoi + 1
     out = bytearray()
     cur = 0
@@ -514,23 +538,28 @@ def _gif_lzw_encode(indices, mcs: int) -> bytes:
             nbits -= 8
 
     emit(clear)
-    w: tuple = ()
-    for k in map(int, indices):
-        wk = w + (k,)
-        if wk in d:
-            w = wk
+    seq = indices.tolist() if hasattr(indices, "tolist") else list(map(int, indices))
+    w = -1  # code of the currently-matched sequence; -1 = empty
+    for k in seq:
+        if w < 0:
+            w = k
             continue
-        emit(d[w])
+        key = (w << 8) | k
+        nxt = d.get(key)
+        if nxt is not None:
+            w = nxt
+            continue
+        emit(w)
         if next_code < 4096:
-            d[wk] = next_code
+            d[key] = next_code
             next_code += 1
             # the encoder's dictionary runs one entry ahead of the
             # decoder's at each emission, so it widens one entry later
             if next_code == (1 << code_size) + 1 and code_size < 12:
                 code_size += 1
-        w = (k,)
-    if w:
-        emit(d[w])
+        w = k
+    if w >= 0:
+        emit(w)
         # Mirror the decoder's entry-add on the FINAL data code: the
         # decoder inserts a table entry for every received code and
         # widens when its table hits 2^code_size, so when that final add
@@ -635,7 +664,7 @@ def encode_gif(arr, interlace: bool = False) -> bytes:
     a = np.asarray(arr, dtype=np.uint8)
     h, w, _ = a.shape
     flat = a.reshape(-1, 3)
-    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    colors, inverse = _unique_rgb(flat)
     if len(colors) > 256:
         raise ValueError(f"GIF palette overflow: {len(colors)} > 256 colors")
     bits = max(1, int(len(colors) - 1).bit_length())
@@ -860,9 +889,7 @@ def encode_gif_frames(specs, w: int, h: int, gct=None, bg_index: int = 0) -> byt
             raise ValueError("GIF frame outside canvas")
         if not 0 <= disposal <= 3:
             raise ValueError(f"bad GIF disposal {disposal}")
-        colors, inverse = np.unique(
-            a.reshape(-1, 3), axis=0, return_inverse=True
-        )
+        colors, inverse = _unique_rgb(a.reshape(-1, 3))
         idx = inverse.reshape(ih, iw).astype(np.int64)
         n_colors = len(colors)
         transparent = -1
