@@ -2288,14 +2288,54 @@ PIXEL_STATS_SCHEMA = T.StructType(
 )
 
 
-def extract_pixel_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+def extract_pixel_features(
+    media: DataFrame, batch_rows: int = 256, use_arrow: bool = False
+) -> DataFrame:
     """REAL decode → per-channel pixel means via mapInPandas.
 
     Uncompressed blobs (BMP/PPM) decode in pure numpy; codec blobs land in
     the per-row ``error`` column with null stats — row-level isolation,
     same contract as the quarantine operators (a bad blob never fails the
     job).  Output rows are tiny (7 scalars), so downstream shuffles move
-    stats, not pixels."""
+    stats, not pixels.  ``use_arrow`` (r17 pilot, guide §4): mapInArrow
+    variant that skips the Arrow→pandas conversion on both sides."""
+
+    def _decode_rows(ids, blobs):
+        out = []
+        for mid, blob in zip(ids, blobs):
+            try:
+                px = decode_image(bytes(blob))
+                m = px.reshape(-1, 3).mean(axis=0)
+                out.append(
+                    (int(mid), px.shape[1], px.shape[0],
+                     round(float(m[0]), 4), round(float(m[1]), 4),
+                     round(float(m[2]), 4), None)
+                )
+            except _ROW_DECODE_ERRORS as exc:
+                out.append((int(mid), None, None, None, None, None, str(exc)[:200]))
+        return out
+
+    if use_arrow:
+        def batches_arrow(it):
+            import pyarrow as pa
+
+            cols = ["media_id", "width", "height", "mean_r", "mean_g",
+                    "mean_b", "error"]
+            types = [pa.int64(), pa.int32(), pa.int32(), pa.float64(),
+                     pa.float64(), pa.float64(), pa.string()]
+            for rb in it:
+                rows = _decode_rows(
+                    rb.column(0).to_pylist(), rb.column(1).to_pylist()
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([r[i] for r in rows], types[i])
+                     for i in range(7)],
+                    names=cols,
+                )
+
+        return media.select("media_id", "content").mapInArrow(
+            batches_arrow, PIXEL_STATS_SCHEMA
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2779,7 +2819,7 @@ def synth_mjpeg_blob(media_id: int) -> bytes:
     return encode_mjpeg_avi(frames, 16, 8, fps=10)
 
 
-def synth_media(docs: DataFrame, kind: str) -> DataFrame:
+def synth_media(docs: DataFrame, kind: str, use_arrow: bool = False) -> DataFrame:
     """(media_id, kind, content) with real encoded BMP/WAV blobs derived
     from doc_id — generated executor-side in Arrow batches (the driver
     never holds a blob).
@@ -2818,6 +2858,26 @@ def synth_media(docs: DataFrame, kind: str) -> DataFrame:
             T.StructField("content", T.BinaryType(), True),
         ]
     )
+
+    if use_arrow:
+        # r17 pilot (guide §4, VERDICT next-round #5): mapInArrow skips the
+        # Arrow→pandas materialization of the id/blob columns on both sides
+        # of the boundary; the per-row codec loop is unchanged.
+        def batches_arrow(it):
+            import pyarrow as pa
+
+            for rb in it:
+                ids = rb.column(0).to_pylist()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids, pa.int64()),
+                        pa.array([kind] * len(ids), pa.string()),
+                        pa.array([maker(int(m)) for m in ids], pa.binary()),
+                    ],
+                    names=["media_id", "kind", "content"],
+                )
+
+        return docs.select("doc_id").mapInArrow(batches_arrow, schema)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

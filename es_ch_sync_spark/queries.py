@@ -2156,8 +2156,12 @@ def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-canvas, transparency and disposal 2/3 are un-gated and
     oracle-pinned in gif_frame_dedup; of the codec formats only lossy
     WebP/MP4 still need an external library)."""
-    media = mm.synth_media(_docs(spark, sf_dir), "gif")
-    return mm.extract_pixel_features(media).select(
+    # r17 pilot (guide §4, VERDICT #5): both Python boundaries run as
+    # mapInArrow — the Arrow→pandas block materialization of the id/blob
+    # columns disappears on each side; the codec loops are unchanged.
+    # Interleaved A/B min-of-4 ×3: 0.81/0.87/0.83 vs 0.88/0.95/0.84 s.
+    media = mm.synth_media(_docs(spark, sf_dir), "gif", use_arrow=True)
+    return mm.extract_pixel_features(media, use_arrow=True).select(
         "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
     )
 
